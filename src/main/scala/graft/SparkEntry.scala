@@ -1,13 +1,567 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, DiskUsageOp, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is paired with an ANSI-SQL oracle executed by DuckDB over the
+  * same parquet tables. Cross-engine determinism rules used throughout:
+  *  - double SUMs go through DECIMAL(18,s) (exact, order-insensitive), then
+  *    back to double;
+  *  - cosine/jaccard scores are emitted rounded (and `+ 0.0` to normalize a
+  *    possible negative zero), with thresholds/ranks applied to the rounded
+  *    value and id tie-breaks;
+  *  - md5/sha2 are the only hash functions that cross the oracle boundary;
+  *  - every result carries an explicit deterministic total ORDER BY.
+  */
 object SparkEntry {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects at
+    * schema inference; no query here needs it, so events reads carry an
+    * explicit projected schema (which also skips footer schema merging).
+    */
+  private val eventsSchema =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") s.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact order-insensitive sum of a double column, returned as double. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("du_by_address")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------- parity: the reference pipeline (SURVEY §2.1-2.4, §2.8)
+    "du_by_address" -> ((s, dir) => {
+      // handler.go:170-252 end-to-end: scan → project → malformed filter →
+      // split key → SUM/COUNT by address. Key synthesized as
+      // user_id/event_type/event_id to exercise the split exactly.
+      val inv = t(s, dir, "events").select(
+        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        col("value").as("size"))
+      DiskUsageOp.aggregateFractional(inv).orderBy(col("address"))
+    }),
+    "du_group_by_user" -> ((s, dir) =>
+      // A1 in its pure form (handler.go:231-251): hash group-by, SUM + COUNT.
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))),
+    "du_point_lookup" -> ((s, dir) => {
+      // GetDiskUsage equality probe (handler.go:257-262) as an engine predicate.
+      val inv = t(s, dir, "events").select(
+        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        col("value").as("size"))
+      DiskUsageOp.aggregateFractional(inv)
+        .filter(col("address") === lit("42"))
+        .orderBy(col("address"))
+    }),
+    "du_malformed_filter" -> ((s, dir) =>
+      // P2 (handler.go:234-238): drop keys without '/'.
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          when(col("event_id") % 7 === 0, col("event_type"))
+            .otherwise(concat_ws("/", col("user_id"), col("event_id"))).as("key"))
+        .filter(col("key").contains("/"))
+        .orderBy(col("event_id"))),
+    "du_path_extract" -> ((s, dir) =>
+      // F1-F3 (handler.go:109-115,234,239): segment extraction + prefix strip.
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"))
+        .select(
+          col("event_id"),
+          substring_index(col("key"), "/", 1).as("address"),
+          element_at(split(col("key"), "/"), 2).as("mid_segment"),
+          element_at(split(col("key"), "/"), 3).as("leaf_segment"),
+          regexp_replace(concat(lit("s3://bkt/"), col("key")), "^s3://", "").as("stripped"))
+        .orderBy(col("event_id"))),
+    "du_date_ops" -> ((s, dir) =>
+      // F4-F7 (handler.go:105-125): 01:00-UTC pin, Go-layout format, date-1.
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_day"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          col("order_day"),
+          (col("order_day").cast("timestamp") + expr("INTERVAL 1 HOUR")).as("pinned_ts"),
+          concat(
+            lit("inv/"),
+            date_format(col("order_day").cast("timestamp") + expr("INTERVAL 1 HOUR"),
+              "yyyy-MM-dd'T'HH-mm'Z'"),
+            lit("/manifest.json")).as("manifest_key"),
+          date_sub(col("order_day"), 1).as("prev_day"),
+          col("n_orders"))
+        .orderBy(col("order_day"))),
+    "du_union_all" -> ((s, dir) => {
+      // §2.8: the implicit UNION ALL of per-manifest-file scans.
+      val e = t(s, dir, "events")
+      e.filter(col("value") < 5)
+        .unionAll(e.filter(col("value") >= 5))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+    "du_projection_pushdown" -> ((s, dir) =>
+      // P1 (handler.go:205-221): 2-column projection + predicate, both pushed
+      // into the parquet scan by Catalyst (verified in plan tests).
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // -------- relational breadth (engine library beyond the reference)
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q3_join_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+    "q_join_broadcast_nation" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))),
+    "q_window_toporder" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))),
+    "q_running_sum" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .over(Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"))
+        .orderBy(col("event_id"))),
+    "q_topk_acctbal" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)),
+    "q_intersect_users" -> ((s, dir) =>
+      t(s, dir, "events").select(col("user_id").as("id"))
+        .intersect(t(s, dir, "customer").select(col("c_custkey").as("id")))
+        .orderBy(col("id"))),
+    "q_except_users" -> ((s, dir) =>
+      t(s, dir, "events").select(col("user_id").as("id"))
+        .except(t(s, dir, "customer").select(col("c_custkey").as("id")))
+        .orderBy(col("id"))),
+    "q_rollup_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_items"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+    "q_distinct_count" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))),
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod"))),
+
+    // -------- dedup (SURVEY §2.12)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("text_hash"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6, bands = 16, rows = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 7)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), tau = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // -------- similarity search (SURVEY §2.12)
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), planes, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // -------- text analysis (SURVEY §2.12)
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
+        .orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // -------- multimodal plumbing (SURVEY §2.12)
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id")))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingles of documents. */
+  private val shingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+      |         generate_subscripts(string_split(lower(text),' '),1) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w||' '||b.w||' '||c.w AS s
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |nn AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+      |      FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2)
+      |""".stripMargin
+
+  private def jaccardOracle(tau: Double): String =
+    shingleCte +
+      s"""SELECT p.a AS doc_a, p.b AS doc_b,
+         |       CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) AS jaccard
+         |FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+         |WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= $tau
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash oracle: recomputes the md5-hex 32-bit SimHash in SQL, so the
+    * result set (Hamming ≤ 7 AND Jaccard ≥ tau) is exact by definition.
+    */
+  private def simhashOracle(tau: Double, maxHamming: Int): String = {
+    val bsums = (0 until 32)
+      .map(k => s"SUM(CASE WHEN substring(md5(s),${k + 1},1) >= '8' THEN 1 ELSE -1 END) AS b$k")
+      .mkString(", ")
+    val bits = (0 until 32)
+      .map(k => s"CASE WHEN b$k > 0 THEN 1 ELSE 0 END AS t$k")
+      .mkString(", ")
+    val hamExpr = (0 until 32)
+      .map(k => s"CASE WHEN x.t$k <> y.t$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shingleCte +
+      s""", sig AS (SELECT doc_id, $bsums FROM sh GROUP BY doc_id),
+         |bits AS (SELECT doc_id, $bits FROM sig),
+         |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST($hamExpr AS BIGINT) AS hamming
+         |        FROM bits x JOIN bits y ON x.doc_id < y.doc_id),
+         |jac AS (SELECT p.a, p.b, CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) AS jaccard
+         |        FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b)
+         |SELECT jac.a AS doc_a, jac.b AS doc_b, jac.jaccard, ham.hamming
+         |FROM jac JOIN ham ON ham.a=jac.a AND ham.b=jac.b
+         |WHERE jac.jaccard >= $tau AND ham.hamming <= $maxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Shared DuckDB CTE: embeddings flattened to (vec_id, i, v) + L2 norms. */
+  private val embCte =
+    """WITH f AS (
+      |  SELECT vec_id, CAST(u.e AS DOUBLE) AS v, u.i AS i
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |               generate_subscripts(embedding,1) AS i FROM embeddings) u),
+      |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY 1)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "du_by_address" ->
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,
+        |         value AS size FROM events)
+        |SELECT split_part(key,'/',1) AS address,
+        |       CAST(SUM(CAST(size AS DECIMAL(18,4))) AS DOUBLE) AS size_bytes,
+        |       COUNT(*) AS number_files
+        |FROM inv WHERE key LIKE '%/%'
+        |GROUP BY 1 ORDER BY address""".stripMargin,
+    "du_group_by_user" ->
+      """SELECT user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "du_point_lookup" ->
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,
+        |         value AS size FROM events)
+        |SELECT split_part(key,'/',1) AS address,
+        |       CAST(SUM(CAST(size AS DECIMAL(18,4))) AS DOUBLE) AS size_bytes,
+        |       COUNT(*) AS number_files
+        |FROM inv WHERE key LIKE '%/%'
+        |GROUP BY 1 HAVING split_part(key,'/',1) = '42' ORDER BY address""".stripMargin,
+    "du_malformed_filter" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 7 = 0 THEN event_type
+        |            ELSE CAST(user_id AS VARCHAR)||'/'||CAST(event_id AS VARCHAR) END AS key
+        |FROM events
+        |WHERE (CASE WHEN event_id % 7 = 0 THEN event_type
+        |            ELSE CAST(user_id AS VARCHAR)||'/'||CAST(event_id AS VARCHAR) END) LIKE '%/%'
+        |ORDER BY event_id""".stripMargin,
+    "du_path_extract" ->
+      """WITH k AS (
+        |  SELECT event_id,
+        |         CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key
+        |  FROM events)
+        |SELECT event_id,
+        |       split_part(key,'/',1) AS address,
+        |       split_part(key,'/',2) AS mid_segment,
+        |       split_part(key,'/',3) AS leaf_segment,
+        |       regexp_replace('s3://bkt/'||key, '^s3://', '') AS stripped
+        |FROM k ORDER BY event_id""".stripMargin,
+    "du_date_ops" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day,
+        |       CAST(order_day AS TIMESTAMP) + INTERVAL 1 HOUR AS pinned_ts,
+        |       'inv/'||strftime(CAST(order_day AS TIMESTAMP) + INTERVAL 1 HOUR, '%Y-%m-%dT%H-%MZ')||'/manifest.json' AS manifest_key,
+        |       order_day - 1 AS prev_day,
+        |       n_orders
+        |FROM d ORDER BY order_day""".stripMargin,
+    "du_union_all" ->
+      """SELECT event_type, COUNT(*) AS n FROM (
+        |  SELECT event_type FROM events WHERE value < 5
+        |  UNION ALL
+        |  SELECT event_type FROM events WHERE value >= 5)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "du_projection_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_revenue" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "q_join_broadcast_nation" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "q_window_toporder" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_topk_acctbal" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "q_intersect_users" ->
+      """SELECT user_id AS id FROM events
+        |INTERSECT
+        |SELECT c_custkey AS id FROM customer
+        |ORDER BY id""".stripMargin,
+    "q_except_users" ->
+      """SELECT user_id AS id FROM events
+        |EXCEPT
+        |SELECT c_custkey AS id FROM customer
+        |ORDER BY id""".stripMargin,
+    "q_rollup_lineitem" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |       COALESCE(l_linestatus,'ALL') AS linestatus,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_json_extract" ->
+      """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle(0.6),
+    "dedup_minhash_lsh" -> jaccardOracle(0.6),
+    "dedup_simhash" -> simhashOracle(0.6, 7),
+    "dedup_embedding_cosine" -> (embCte +
+      """, d AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v*b.v) AS dot
+        |  FROM f a JOIN f b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2)
+        |SELECT id_a, id_b, ROUND(dot/(x.nrm*y.nrm),4)+0.0 AS cosine
+        |FROM d JOIN nrm x ON x.vec_id=id_a JOIN nrm y ON y.vec_id=id_b
+        |WHERE ROUND(dot/(x.nrm*y.nrm),4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+    "ann_cosine_topk" -> (embCte +
+      """, d AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(q.v*n.v) AS dot
+        |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+        |  GROUP BY 1,2),
+        |s AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM d JOIN nrm nq ON nq.vec_id=d.query_id
+        |         JOIN nrm nn2 ON nn2.vec_id=d.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, score, rnk FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    "ann_lsh_topk" -> (embCte +
+      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+        |pd AS (
+        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
+        |bk AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1<<plane_id ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM bk q JOIN bk n ON q.bucket=n.bucket AND q.vec_id<10 AND q.vec_id<>n.vec_id),
+        |dd AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  FROM cand c
+        |  JOIN f a ON a.vec_id=c.query_id
+        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+        |  GROUP BY 1,2),
+        |ss AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM ss)
+        |SELECT query_id, neighbor_id, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(lower(text),' '))) AS BIGINT) AS n_unique_tokens,
+        |       CAST(len(regexp_extract_all(lower(text),'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens,
+        |         CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT) AS alpha_ratio,
+        |         CAST(length(regexp_replace(text,'[^ ]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT) AS ws_ratio,
+        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(string_split(lower(text),' ')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, alpha_ratio, ws_ratio, stopword_ratio,
+        |       ROUND(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 + alpha_ratio*0.5, 6) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS c_de,
+        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS c_en,
+        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('el','los','y','es','una','en'))) AS BIGINT) AS c_es,
+        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('le','les','et','est','une','dans'))) AS BIGINT) AS c_fr
+        |  FROM documents)
+        |SELECT doc_id, c_de, c_en, c_es, c_fr, actual_lang,
+        |       CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und'
+        |            WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
+        |            WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
+        |            WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
+        |            ELSE 'fr' END AS predicted_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS norm, string_split(lower(text),' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, norm, i, md5(w[i+1]||' '||w[i+2]||' '||w[i+3]) AS h
+        |  FROM (SELECT doc_id, norm, w, unnest(range(len(w)-2)) AS i FROM t WHERE len(w) >= 3)),
+        |m AS (
+        |  SELECT doc_id, norm,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        |  FROM g)
+        |SELECT doc_id,
+        |       CAST(COUNT(DISTINCT win_min) AS BIGINT) AS n_fingerprints,
+        |       MIN(win_min) AS min_fingerprint,
+        |       md5(MIN(norm)) AS doc_md5
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha256,
+        |       CAST(floor(CAST(octet_length(encode(text)) AS BIGINT)/256)+1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

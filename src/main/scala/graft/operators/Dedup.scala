@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each built from
+  * codegen'd built-ins only (no UDFs):
+  *
+  *  - [[exact]]: hash-group-by exact dedup.
+  *  - [[ngramJaccardPairs]]: exact n-gram Jaccard all-pairs — the 100%-recall
+  *    form, used as the correctness oracle for the approximate paths.
+  *  - [[minhashLshPairs]]: MinHash + banded LSH candidate generation, then
+  *    exact verification of candidates only. This is the 100 TB scale path:
+  *    cost is O(docs × shingles) for signatures plus the bucket join, never
+  *    all-pairs.
+  *  - [[simhashPairs]]: 64-bit SimHash fingerprints; candidate pairs from an
+  *    8×8-bit block join (pigeonhole: any pair within Hamming distance ≤ 7
+  *    shares at least one exact block), Hamming-filtered, then exact-verified.
+  *
+  * Approximate paths verify candidates with true Jaccard before emitting, so
+  * their output equals the exact operator's whenever recall is complete —
+  * which the band/row and block parameters are chosen to guarantee for
+  * near-duplicates (e.g. 16 bands × 2 rows ⇒ P[miss | J=0.8] ≈ 8·10⁻⁸).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id as canonical. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (id, shingle) distinct word-n-grams — see [[TextAnalysis.shingles]]. */
+  private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
+
+  /** Jaccard for given candidate pairs (cand: doc_a < doc_b), computing
+    * shingle intersections only for candidates — candidate-driven, so the
+    * expensive part stays proportional to the candidate count, not all-pairs.
+    */
+  private def verifyJaccard(
+      shingled: DataFrame,
+      cand: DataFrame,
+      tau: Double): DataFrame = {
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = shingled.as("x")
+      .join(cand, col("x.id") === col("doc_a"))
+      .join(shingled.as("y"),
+        col("y.id") === col("doc_b") && col("x.shingle") === col("y.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("common").cast("double") /
+          (col("na.n") + col("nb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: every pair (a<b) with J ≥ tau.
+    * All-pairs via the inverted shingle index (self-join on shingle): at
+    * scale, cap the fan-out of ultra-common shingles (document-frequency
+    * pruning) or switch to [[minhashLshPairs]] — the LSH path exists exactly
+    * because this join is quadratic in per-shingle document frequency.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6): DataFrame = {
+    val shingled = sh(docs, idCol, textCol, n)
+    val cand = shingled.as("l")
+      .join(shingled.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(shingled, cand, tau)
+  }
+
+  /** MinHash signatures (numHashes = bands × rows) via min over per-seed
+    * xxhash64, banded LSH bucket join for candidates, exact verification.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6, bands: Int = 16, rows: Int = 2): DataFrame = {
+    val numHashes = bands * rows
+    val shingled = sh(docs, idCol, textCol, n)
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val sig = shingled.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map(b =>
+      hash(((b * rows) until ((b + 1) * rows)).map(i => col(s"h$i")): _*))
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(shingled, cand, tau)
+  }
+
+  /** 32-bit SimHash per doc: bit k is the sign of Σ_shingles (±1 by whether
+    * hex digit k of md5(shingle) is ≥ '8'). md5 (not xxhash64) so the
+    * fingerprint is bit-identical in any engine — the DuckDB oracle
+    * recomputes the same SimHash, making the emitted set exact by definition
+    * (pairs with Hamming ≤ maxHamming AND Jaccard ≥ tau) instead of
+    * recall-dependent. Candidates come from the 8×4-bit block pigeonhole
+    * join (any pair within Hamming ≤ 7 shares an exact block), so candidate
+    * generation never scans all pairs; candidates are then Hamming-filtered
+    * and exact-Jaccard-verified.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8-block pigeonhole guarantees recall only to Hamming 7")
+    val shingled = sh(docs, idCol, textCol, n)
+    val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
+    val bitCols = (0 until 32).map { k =>
+      sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$k")
+    }
+    val sig = hashed.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(
+        col("id"),
+        (0 until 32)
+          .map(k => when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val blocks = sig.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 8).map(j =>
+        shiftrightunsigned(col("simhash"), j * 4).bitwiseAND(lit(15L))): _*))
+        .as(Seq("blk", "blk_val")))
+    val cand = blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.blk_val") === col("r.blk_val") &&
+          col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
+      .join(cand, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
+  }
+
+  /** Survivor set from a pair list: a document is dropped iff it appears as
+    * the larger id of any near-dup pair (greedy min-id-wins policy — the
+    * standard one-pass approximation of connected components, exact when dup
+    * clusters are cliques, which J ≥ tau near-dup clusters essentially are).
+    */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / frame-sample
+  * stages shaped for a real pipeline.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernel is a clearly-marked deterministic stub ([[stubDecode]]) —
+  * but everything around it is real and load-bearing at scale: the schema
+  * (binary payload + metadata struct), the partition-preserving
+  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas`: one
+  * iterator per partition so a heavyweight decoder is initialized once per
+  * partition, not per row), and the narrow, shuffle-free plan.
+  */
+object Multimodal {
+
+  /** A decoded media record: fixed-length feature vector + sampled frames. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      n_frames: Long,
+      features: Array[Double])
+
+  /** Attach a binary payload column + metadata to a text table — the fixture
+    * stand-in for real media bytes (deterministic: UTF-8 encode of the text).
+    */
+  def withBinaryPayload(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      octet_length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len"),
+      sha2(col(textCol), 256).as("sha256"))
+
+  /** Pure-SQL metadata pass over the payload (codegen'd, no stub involved):
+    * byte length, content hash, deterministic frame count at `frameBytes`
+    * bytes per simulated frame.
+    */
+  def binaryMeta(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      frameBytes: Int = 256): DataFrame =
+    withBinaryPayload(docs, idCol, textCol)
+      .select(
+        col(idCol),
+        col("byte_len"),
+        col("sha256"),
+        (floor(col("byte_len") / frameBytes) + 1).cast("long").as("n_frames"))
+
+  /** STUB — stands in for a real image/audio decoder (??? in spirit): derives
+    * a deterministic pseudo-feature vector from payload bytes. Replace the
+    * body with e.g. a JNI codec call; the partitioning, batching and schema
+    * around it are the real design.
+    */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0
+      i += 1
+    }
+    out
+  }
+
+  /** Decode + feature-extract via `mapPartitions`: per-partition iterator so a
+    * real decoder's init cost amortizes across the partition (the reason this
+    * is `mapPartitions`, not `map`/UDF). Input must carry (doc_id, payload).
+    */
+  def extractFeatures(withPayload: DataFrame, dim: Int = 8, frameBytes: Int = 256): DataFrame = {
+    val projected = withPayload.select(col("doc_id").cast("long"), col("payload"))
+    implicit val enc = Encoders.product[MediaFeatures]
+    projected
+      .mapPartitions { rows =>
+        // real pipeline: initialize the (expensive) decoder here, once
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          MediaFeatures(
+            doc_id = id,
+            byte_len = payload.length.toLong,
+            n_frames = payload.length.toLong / frameBytes + 1,
+            features = stubDecode(payload, dim))
+        }
+      }(enc)
+      .toDF()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the 100%-recall baseline every
+  *    approximate method is judged against. Cost O(|Q|·|N|·d); right when the
+  *    query set is small or as the per-bucket kernel below.
+  *  - [[lshTopK]]: random-hyperplane LSH — sign-bit bucketing so each query
+  *    only scans its own bucket. This is the scale path: with b hyperplanes,
+  *    expected bucket size is |N|/2^b, and the bucket join replaces the full
+  *    cross product. Hyperplanes are passed in as a small DataFrame and
+  *    broadcast — at 100 TB the candidate join stays shuffle-free on the big
+  *    side.
+  *  - [[nearDupPairs]]: embedding-cosine near-duplicate pairs at threshold.
+  *
+  * Numeric determinism: elements are cast float→double first; the dot product
+  * is a sequential left fold over the array (`aggregate`), so scores are
+  * reproducible run-to-run; emitted scores are rounded to 4 decimals and
+  * thresholds/rankings apply to the rounded value with an id tie-break, which
+  * makes results stable across engines that sum in a different order.
+  */
+object Similarity {
+
+  /** array<float> → array<double>, the deterministic compute representation. */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of an array<double> column. */
+  def norm(c: Column): Column = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+
+  /** (id, v: array<double>, nrm) from (idCol, embCol: array<float>). */
+  def prepared(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), toDouble(col(embCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private def rankWindow = Window.partitionBy(col("query_id"))
+    .orderBy(col("score").desc, col("neighbor_id"))
+
+  /** Exact cosine top-k: for each query vector, the k nearest neighbors by
+    * cosine similarity (self excluded), rank 1-based, rounded score.
+    */
+  def bruteForceTopK(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val n = prepared(emb, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    q.join(n, col("query_id") =!= col("id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
+      .withColumn("rank", row_number().over(rankWindow).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-bit bucket id from hyperplane dot products. `planes` must be small
+    * (it is collected into a broadcast join); each row: (plane_id, v).
+    */
+  def withBuckets(vectors: DataFrame, planes: DataFrame): DataFrame = {
+    val bits = vectors
+      .crossJoin(broadcast(planes.select(col("plane_id"), col("pv"))))
+      .select(
+        col("id"), col("v"), col("nrm"),
+        when(dot(col("v"), col("pv")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INT))"))
+          .otherwise(lit(0L)).as("bit"))
+    bits.groupBy(col("id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"), sum(col("bit")).as("bucket"))
+  }
+
+  /** Approximate top-k: queries only compare against neighbors in their own
+    * hyperplane-sign bucket. planes: (plane_id int, pv array<double>).
+    */
+  def lshTopK(
+      emb: DataFrame, queries: DataFrame, planes: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val n = withBuckets(prepared(emb, idCol, embCol), planes)
+    val q = withBuckets(prepared(queries, idCol, embCol), planes)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qbucket"))
+    q.join(n, col("query_id") =!= col("id") && col("qbucket") === col("bucket"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
+      .withColumn("rank", row_number().over(rankWindow).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
+    * bucket first ([[withBuckets]]) and restrict pairs to same-bucket, or use
+    * [[Dedup.minhashLshPairs]]-style banding over sign bits.
+    */
+  def nearDupPairs(
+      emb: DataFrame, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val a = p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline: token
+  * statistics, quality scoring, n-gram-heuristic language ID, and rolling
+  * document fingerprinting. All computations are narrow (per-row) except the
+  * fingerprint winnowing window, so they scale linearly with the data: no
+  * shuffle at all for tokens/quality/langid, and one partition-local-friendly
+  * window keyed by doc for fingerprints.
+  *
+  * Cross-engine determinism notes (these queries are DuckDB-oracle-checked):
+  * only integer arithmetic, exact-string ops and single-double-op ratios are
+  * used; md5 is the one hash function because it is bit-identical in every
+  * engine.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `lower(text)`. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  val BpeIshPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Per-document token statistics (token counting operator). */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_unique_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit(BpeIshPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** English function words used by both the quality score and language ID. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein")
+  val StopwordsFr = Seq("le", "les", "et", "est", "une", "dans")
+  val StopwordsEs = Seq("el", "los", "y", "es", "una", "en")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def hitCount(tokCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($tokCol, w -> w IN ${inList(words)}))").cast("long")
+
+  /** Document quality scoring: length, alphabetic/whitespace ratios, stopword
+    * density, and a composite score in [0,1]. The formula is expressed with
+    * single IEEE-double operations in a fixed order so it reproduces exactly
+    * in any engine.
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(
+      col(idCol),
+      col(textCol).as("text"),
+      tokens(col(textCol)).as("toks"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    t.select(
+        col(idCol),
+        col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+          col("n_chars")).as("alpha_ratio"),
+        (length(regexp_replace(col("text"), "[^ ]", "")).cast("double") /
+          col("n_chars")).as("ws_ratio"),
+        (hitCount("toks", StopwordsEn).cast("double") /
+          size(col("toks"))).as("stopword_ratio"))
+      .withColumn(
+        "quality_score",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.5) +
+            col("alpha_ratio") * lit(0.5),
+          6))
+  }
+
+  /** N-gram-heuristic language identification: score per language = count of
+    * that language's function words among the tokens; argmax with a fixed
+    * alphabetical tie-break; zero hits → "und". Deterministic by construction.
+    */
+  def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      actualLangCol: Option[String] = None): DataFrame = {
+    val base = docs.select(
+      (Seq(col(idCol), tokens(col(textCol)).as("toks")) ++
+        actualLangCol.map(c => col(c).as("actual_lang"))): _*)
+    val scored = base.select(
+      (Seq(
+        col(idCol),
+        hitCount("toks", StopwordsDe).as("c_de"),
+        hitCount("toks", StopwordsEn).as("c_en"),
+        hitCount("toks", StopwordsEs).as("c_es"),
+        hitCount("toks", StopwordsFr).as("c_fr")) ++
+        actualLangCol.map(_ => col("actual_lang"))): _*)
+    scored.withColumn(
+      "predicted_lang",
+      when(greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr")) === 0, lit("und"))
+        .when(col("c_de") === greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr")), lit("de"))
+        .when(col("c_en") === greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr")), lit("en"))
+        .when(col("c_es") === greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr")), lit("es"))
+        .otherwise(lit("fr")))
+  }
+
+  /** Word n-gram shingles, distinct per doc: (id, shingle). Documents shorter
+    * than `n` words contribute no rows. The guard filter avoids Spark's
+    * descending `sequence(0, negative)` surprise on short docs.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(
+        col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(w) - $n), i -> " +
+            (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+        ))).as("shingle"))
+
+  /** Rolling-hash document fingerprinting (winnowing): md5 each word-`n`-gram
+    * in sequence, then keep the minimum hash of every `window`-length run of
+    * consecutive shingles. The distinct minima are the document's
+    * fingerprints — a compact, alignment-robust signature for near-dup and
+    * provenance checks at corpus scale. Narrow except one per-doc window.
+    */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, windowLen: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("w"), lower(col(textCol)).as("norm"))
+      .filter(size(col("w")) >= n)
+      .select(
+        col(idCol),
+        col("norm"),
+        posexplode(expr(
+          s"transform(sequence(0, size(w) - $n), i -> " +
+            (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+        )).as(Seq("pos", "gram")))
+      .select(col(idCol), col("norm"), col("pos"), md5(col("gram")).as("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, windowLen - 1)
+    grams
+      .withColumn("win_min", min(col("h")).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("win_min")).as("n_fingerprints"),
+        min(col("win_min")).as("min_fingerprint"),
+        md5(min(col("norm"))).as("doc_md5"))
+  }
+}

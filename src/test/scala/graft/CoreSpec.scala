@@ -1,0 +1,97 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Manifest
+
+/** Pure driver-side logic: manifest key resolution, fallback, JSON parse.
+  * Reference semantics under test: /root/reference/handler.go:96-143.
+  */
+class CoreSpec extends AnyFunSuite {
+
+  test("pinTo0100Utc rebuilds the timestamp at 01:00:00 UTC of the same day") {
+    val pinned = Manifest.pinTo0100Utc(Instant.parse("2026-08-12T17:45:12.345Z"))
+    assert(pinned == Instant.parse("2026-08-12T01:00:00Z"))
+  }
+
+  test("pinTo0100Utc is idempotent and pins midnight to the same day") {
+    assert(Manifest.pinTo0100Utc(Instant.parse("2026-08-12T00:00:00Z")) ==
+      Instant.parse("2026-08-12T01:00:00Z"))
+    assert(Manifest.pinTo0100Utc(Instant.parse("2026-08-12T01:00:00Z")) ==
+      Instant.parse("2026-08-12T01:00:00Z"))
+  }
+
+  test("formatKeyDate uses the Go layout 2006-01-02T15-04Z (handler.go:107)") {
+    assert(Manifest.formatKeyDate(Instant.parse("2026-08-12T17:45:12Z")) == "2026-08-12T01-00Z")
+    assert(Manifest.formatKeyDate(Instant.parse("2024-02-29T23:59:59Z")) == "2024-02-29T01-00Z")
+    // single-digit month/day zero-padded
+    assert(Manifest.formatKeyDate(Instant.parse("2025-01-05T03:00:00Z")) == "2025-01-05T01-00Z")
+  }
+
+  test("manifestKey assembles prefix/date/manifest.json (handler.go:117)") {
+    assert(Manifest.manifestKey("inv/prefix", Instant.parse("2026-08-12T12:00:00Z")) ==
+      "inv/prefix/2026-08-12T01-00Z/manifest.json")
+  }
+
+  test("splitBucketPrefix strips scheme and splits on first slash (handler.go:109-115)") {
+    assert(Manifest.splitBucketPrefix("s3://my-bucket/some/deep/prefix") ==
+      Right(("my-bucket", "some/deep/prefix")))
+    assert(Manifest.splitBucketPrefix("file://root/data") == Right(("root", "data")))
+    assert(Manifest.splitBucketPrefix("s3://no-slash-after-bucket").isLeft)
+  }
+
+  test("resolveWithFallback retries exactly one day earlier on not-found (handler.go:119-134)") {
+    val today = Instant.parse("2026-08-12T09:00:00Z")
+    // found immediately: no fallback probe
+    var probes = List.empty[Instant]
+    val hit = Manifest.resolveWithFallback(today) { ts => probes ::= ts; Some(s"m@$ts") }
+    assert(hit.contains(s"m@$today") && probes == List(today))
+    // today missing, yesterday found
+    probes = Nil
+    val fb = Manifest.resolveWithFallback(today) { ts =>
+      probes ::= ts
+      if (ts == today) None else Some("yesterday")
+    }
+    assert(fb.contains("yesterday"))
+    assert(probes.reverse == List(today, Instant.parse("2026-08-11T09:00:00Z")))
+    // both missing: None, exactly two probes (no further fallback)
+    probes = Nil
+    assert(Manifest.resolveWithFallback(today) { ts => probes ::= ts; None }.isEmpty)
+    assert(probes.size == 2)
+    // non-not-found errors propagate
+    intercept[RuntimeException] {
+      Manifest.resolveWithFallback(today)(_ => throw new RuntimeException("forbidden"))
+    }
+  }
+
+  test("parseInventory maps the manifest document (types.go:28-43)") {
+    val json =
+      """{
+        |  "sourceBucket": "example-source-bucket",
+        |  "destinationBucket": "arn:aws:s3:::example-destination-bucket",
+        |  "version": "2016-11-30",
+        |  "creationTimestamp": "1514944800000",
+        |  "fileFormat": "Parquet",
+        |  "fileSchema": "message s3.inventory { required binary bucket (STRING); }",
+        |  "files": [
+        |    {"key": "prefix/data/aaa.parquet", "size": 56291, "MD5checksum": "abc123"},
+        |    {"key": "prefix/data/bbb.parquet", "size": 1024, "MD5checksum": "def456"}
+        |  ]
+        |}""".stripMargin
+    val inv = Manifest.parseInventory(json)
+    assert(inv.sourceBucket == "example-source-bucket")
+    assert(inv.fileFormat == "Parquet")
+    assert(inv.files.map(_.key) ==
+      Seq("prefix/data/aaa.parquet", "prefix/data/bbb.parquet"))
+    assert(inv.files.map(_.size) == Seq(56291L, 1024L))
+    assert(inv.dataPaths("s3a://root") ==
+      Seq("s3a://root/prefix/data/aaa.parquet", "s3a://root/prefix/data/bbb.parquet"))
+  }
+
+  test("parseInventory tolerates missing optional fields") {
+    val inv = Manifest.parseInventory("""{"sourceBucket":"b"}""")
+    assert(inv.sourceBucket == "b" && inv.files.isEmpty)
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.streaming.DiskUsageStream
+
+/** Spark-backed tests: reference semantics of the disk-usage pipeline
+  * (union-of-files fix, malformed-key drop, snapshot swap, scheduler),
+  * operator invariants (LSH vs exact dedup, ANN vs brute force), the
+  * streaming refresh, and plan-shape assertions (pushdown/pruning/broadcast)
+  * that encode the 100 TB design contract.
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("engine-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def events = spark.read
+    .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    .parquet(s"$sf/events.parquet")
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ------------------------------------------------------------ disk usage
+
+  test("aggregate drops keys without '/' and groups by first segment (handler.go:234-251)") {
+    import spark.implicits._
+    val inv = Seq(
+      ("alice/a.txt", 10L), ("alice/b/c.txt", 5L), ("bob/x", 7L),
+      ("noslash", 100L), ("", 3L)).toDF("key", "size")
+    val got = DiskUsageOp.aggregate(inv).orderBy("address").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("alice", 15L, 2L), ("bob", 7L, 1L)))
+  }
+
+  test("multi-file read accumulates across files — the §2.4 overwrite fix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("inv").toString
+    Seq(("u/a", 1L)).toDF("key", "size").write.parquet(s"$dir/f1")
+    Seq(("u/b", 2L), ("v/c", 4L)).toDF("key", "size").write.parquet(s"$dir/f2")
+    val all = spark.read.parquet(s"$dir/f1", s"$dir/f2") // manifest path list
+    val got = DiskUsageOp.aggregate(all).orderBy("address").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("u", 3L, 2L), ("v", 4L, 1L))) // NOT last-file-wins
+  }
+
+  test("salted aggregate equals plain aggregate") {
+    import spark.implicits._
+    val inv = (1 to 500).map(i => (s"user${i % 7}/obj$i", i.toLong)).toDF("key", "size")
+    val plain = DiskUsageOp.aggregate(inv).orderBy("address").collect().toSeq
+    val salted = DiskUsageOp.aggregateSalted(inv).orderBy("address").collect().toSeq
+    assert(plain.map(_.toSeq) == salted.map(_.toSeq))
+  }
+
+  test("handler: blocking first refresh, point lookup, periodic re-refresh, failure keeps snapshot") {
+    val load = () => events.select(
+      concat_ws("/", col("user_id"), col("event_id")).as("key"),
+      (col("value") * 100).cast("long").as("size"))
+    val h = new DiskUsageHandler(load, refreshEvery = 300.millis)
+    try {
+      // run-at-start (handler.go:58): queryable immediately
+      assert(h.refreshCount == 1)
+      val some = h.getDiskUsage("8")
+      assert(some.nonEmpty && some.get.numberFiles > 0)
+      assert(h.getDiskUsage("no-such-address").isEmpty) // ErrNotFound → None
+      // cron re-run (handler.go:56-66)
+      val deadline = System.currentTimeMillis() + 10000
+      while (h.refreshCount < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(h.refreshCount >= 2)
+    } finally h.close()
+    // a failing refresh must keep the old snapshot (fix of log.Fatalf)
+    var fail = false
+    val flaky = () =>
+      if (fail) sys.error("decode error") else events.select(
+        concat_ws("/", col("user_id"), col("event_id")).as("key"), col("event_id").as("size"))
+    val h2 = new DiskUsageHandler(flaky, refreshEvery = 10.minutes)
+    try {
+      fail = true
+      intercept[RuntimeException](h2.refreshOnce())
+      assert(h2.getDiskUsage("8").nonEmpty) // old snapshot still served
+    } finally h2.close()
+  }
+
+  test("streaming refresh: complete-mode memory snapshot equals batch result") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-inv").toString
+    Seq(("u/a", 1L), ("v/b", 2L)).toDF("key", "size").write.parquet(s"$dir/d1")
+    // file source requires the files under one dir; move parquet parts flat
+    val q = DiskUsageStream.start(spark, s"$dir/d1", "key STRING, size BIGINT",
+      queryName = "du_test")
+    try {
+      q.processAllAvailable()
+      val snap1 = spark.table("du_test").orderBy("address").collect()
+      assert(snap1.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("u", 1L), ("v", 2L)))
+      // a new file arriving is folded into the next snapshot (accumulating)
+      Seq(("u/c", 10L)).toDF("key", "size")
+        .write.mode("append").parquet(s"$dir/d1")
+      q.processAllAvailable()
+      val snap2 = spark.table("du_test").orderBy("address").collect()
+      assert(snap2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("u", 11L), ("v", 2L)))
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------------------- operators
+
+  test("LSH minhash pairs == exact ngram pairs on fixture docs") {
+    val exact = Dedup.ngramJaccardPairs(docs, tau = 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, tau = 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("survivors drops exactly the larger ids of near-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.6)
+    val dropped = pairs.select("doc_b").distinct().count()
+    val kept = Dedup.survivors(docs, pairs).count()
+    assert(kept == docs.count() - dropped)
+  }
+
+  test("ANN-LSH results are a subset of brute-force candidates' scores") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 50)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    val lsh = Similarity.lshTopK(emb, q, planes, k = 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // every LSH hit carries the same (rounded) cosine the exact path computes
+      bf.get(key).foreach(s => assert(s == r.getAs[Double]("score")))
+    }
+  }
+
+  test("multimodal extractFeatures: schema, determinism, stub decode shape") {
+    val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), dim = 8)
+    assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "n_frames", "features"))
+    val rows = feats.orderBy("doc_id").limit(3).collect()
+    assert(rows.forall(_.getAs[Seq[Double]]("features").size == 8))
+    val again = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), dim = 8)
+      .orderBy("doc_id").limit(3).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  // ------------------------------------------------------------ plan shape
+
+  test("projection + predicate are pushed into the parquet scan") {
+    val plan = SparkEntry.queries("du_projection_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"missing pushed filter in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan not pruned to 3 columns in:\n$plan")
+  }
+
+  test("disk-usage scan reads only key+size equivalent columns") {
+    val df = SparkEntry.queries("du_group_by_user")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<user_id:bigint,value:double>"),
+      s"aggregate scan not pruned in:\n$scan")
+  }
+
+  test("dimension join is broadcast") {
+    val plan = SparkEntry.queries("q_join_broadcast_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+}

@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen paths on the smallest fixture so measured
+    // times reflect steady-state execution, not first-query JIT cost.
+    try SparkEntry.queries.foreach { case (_, fn) =>
+      fn(spark, "/root/testdata/sf0.001").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -30,9 +30,30 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (id, shingle) distinct word-n-grams — see [[TextAnalysis.shingles]]. */
+  /** (id, shingle) distinct word-n-grams — see [[TextAnalysis.shingles]].
+    * Persisted (memory-and-disk, so it spills rather than OOMs at scale):
+    * every pair operator reads the shingle index several times (sizes,
+    * intersection sides, signatures) and recomputing the explode per use
+    * dominated the runtime.
+    */
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_a, doc_b, jaccard ≥ tau) from an intersection-count DataFrame
+    * (doc_a, doc_b, common) plus per-doc shingle counts.
+    */
+  private def jaccardFromIntersections(
+      inter: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("common").cast("double") /
+          (col("na.n") + col("nb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
 
   /** Jaccard for given candidate pairs (cand: doc_a < doc_b), computing
     * shingle intersections only for candidates — candidate-driven, so the
@@ -49,32 +70,27 @@ object Dedup {
         col("y.id") === col("doc_b") && col("x.shingle") === col("y.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na.id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.id"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        (col("common").cast("double") /
-          (col("na.n") + col("nb.n") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    jaccardFromIntersections(inter, sizes, tau)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: every pair (a<b) with J ≥ tau.
-    * All-pairs via the inverted shingle index (self-join on shingle): at
-    * scale, cap the fan-out of ultra-common shingles (document-frequency
-    * pruning) or switch to [[minhashLshPairs]] — the LSH path exists exactly
-    * because this join is quadratic in per-shingle document frequency.
+    * Single pass over the inverted shingle index: the self-join on shingle
+    * directly yields intersection counts (no separate candidate + re-verify
+    * scan). At scale, cap the fan-out of ultra-common shingles
+    * (document-frequency pruning) or switch to [[minhashLshPairs]] — the LSH
+    * path exists exactly because this join is quadratic in per-shingle
+    * document frequency.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, tau: Double = 0.6): DataFrame = {
     val shingled = sh(docs, idCol, textCol, n)
-    val cand = shingled.as("l")
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = shingled.as("l")
       .join(shingled.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-      .distinct()
-    verifyJaccard(shingled, cand, tau)
+      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardFromIntersections(inter, sizes, tau)
   }
 
   /** MinHash signatures (numHashes = bands × rows) via min over per-seed

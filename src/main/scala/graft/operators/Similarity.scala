@@ -28,8 +28,15 @@ object Similarity {
   /** array<float> → array<double>, the deterministic compute representation. */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product — fused codegen expression
+    * ([[graft.functions.ArrayDotProduct]]); bit-identical to [[dotBuiltin]].
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDotProduct(a, b)
+
+  /** Built-in-composition dot product (reference implementation; the custom
+    * expression is validated against this in tests).
+    */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm of an array<double> column. */

@@ -154,6 +154,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ArrayDotProduct codegen expression is bit-identical to the built-in fold") {
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val pairs = p.select(col("id").as("ia"), col("v").as("va"))
+      .join(p.select(col("id").as("ib"), col("v").as("vb")), col("ia") < col("ib"))
+      .limit(5000)
+    val diff = pairs.select(
+      (Similarity.dot(col("va"), col("vb")) -
+        Similarity.dotBuiltin(col("va"), col("vb"))).as("d"))
+      .agg(sum(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0, s"codegen dot diverges from built-in fold by $diff")
+    // and it is available from SQL once registered on the session
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("multimodal extractFeatures: schema, determinism, stub decode shape") {
     val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), dim = 8)
     assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "n_frames", "features"))

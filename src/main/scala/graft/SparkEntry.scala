@@ -239,6 +239,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.survivors(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.6))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "du_top_addresses" -> ((s, dir) => {
+      // heavy-hitters: the operational "which users eat the bucket" query
+      val inv = t(s, dir, "events").select(
+        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        col("value").as("size"))
+      DiskUsageOp.aggregateFractional(inv)
+        .orderBy(col("size_bytes").desc, col("address"))
+        .limit(20)
+    }),
+    "text_ngrams_top" -> ((s, dir) =>
+      // corpus document-frequency of shingles — the statistic that drives
+      // common-shingle pruning of the exact-Jaccard join at scale
+      TextAnalysis.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("shingle"))
+        .limit(20)),
+
     // -------- text analysis (SURVEY §2.12)
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -506,6 +538,61 @@ object SparkEntry {
         |  FROM ss)
         |SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_ivf_topk" -> (embCte +
+      """, cd AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 4),
+        |cdot AS (
+        |  SELECT f.vec_id, cd.cid, SUM(f.v*cd.v) AS d
+        |  FROM f JOIN cd ON f.i=cd.i GROUP BY 1,2),
+        |cscore AS (
+        |  SELECT cdot.vec_id, cdot.cid, ROUND(d/(nv.nrm*nc.nrm),4) AS cs
+        |  FROM cdot JOIN nrm nv ON nv.vec_id=cdot.vec_id
+        |          JOIN nrm nc ON nc.vec_id=cdot.cid),
+        |cell AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS crn
+        |    FROM cscore)
+        |  WHERE crn = 1),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM cell q JOIN cell n ON q.cell=n.cell AND q.vec_id<10 AND q.vec_id<>n.vec_id),
+        |dd AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  FROM cand c
+        |  JOIN f a ON a.vec_id=c.query_id
+        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+        |  GROUP BY 1,2),
+        |ss AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM ss)
+        |SELECT query_id, neighbor_id, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "dedup_survivors" -> (shingleCte +
+      """SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT p.b FROM p
+        |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6)
+        |ORDER BY doc_id""".stripMargin),
+    "du_top_addresses" ->
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,
+        |         value AS size FROM events)
+        |SELECT split_part(key,'/',1) AS address,
+        |       CAST(SUM(CAST(size AS DECIMAL(18,4))) AS DOUBLE) AS size_bytes,
+        |       COUNT(*) AS number_files
+        |FROM inv WHERE key LIKE '%/%'
+        |GROUP BY 1 ORDER BY size_bytes DESC, address LIMIT 20""".stripMargin,
+    "text_ngrams_top" -> (shingleCte +
+      """SELECT s AS shingle, COUNT(*) AS doc_freq
+        |FROM sh GROUP BY s
+        |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin),
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -102,6 +102,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: vectors are partitioned into cells by
+    * nearest centroid (cosine, rounded, centroid-id tie-break); each query
+    * probes only its own cell. `centroids` is small ((cid, cv, cnrm)) and
+    * broadcast — the IVF counterpart of [[lshTopK]]: coarse quantization by
+    * learned/chosen centroids instead of random hyperplanes. At 100 TB the
+    * assignment pass is a narrow broadcast map and the probe join shuffles
+    * only by cell id.
+    */
+  def ivfTopK(
+      emb: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def assign(vecs: DataFrame): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(centroids))
+        .select(col("id"), col("v"), col("nrm"), col("cid"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cscore"))
+      scored
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid"))))
+        .filter(col("crn") === 1)
+        .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+    }
+    val n = assign(prepared(emb, idCol, embCol))
+    val q = assign(prepared(queries, idCol, embCol))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("qcell"))
+    q.join(n, col("query_id") =!= col("id") && col("qcell") === col("cell"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
+      .withColumn("rank", row_number().over(rankWindow).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
     * bucket first ([[withBuckets]]) and restrict pairs to same-bucket, or use
     * [[Dedup.minhashLshPairs]]-style banding over sign bits.

@@ -207,6 +207,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
 
+    "q_semi_join" -> ((s, dir) =>
+      // EXISTS: customers that placed at least one order
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "q_anti_join" -> ((s, dir) =>
+      // NOT EXISTS: customers with no orders
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "q_cube_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_items"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+    "q_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+    "q_window_tumbling" -> ((s, dir) =>
+      // batch form of the streaming tumbling window (7-day, epoch-aligned)
+      t(s, dir, "orders")
+        .groupBy(window(col("o_orderdate"), "7 days").as("w"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .select(
+          unix_timestamp(col("w.start")).as("win_start_epoch"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("win_start_epoch"))),
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // -------- dedup (SURVEY §2.12)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy(col("text_hash"))),
@@ -284,7 +330,12 @@ object SparkEntry {
 
     // -------- multimodal plumbing (SURVEY §2.12)
     "mm_binary_meta" -> ((s, dir) =>
-      Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id")))
+      Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "mm_features" -> ((s, dir) =>
+      // mapPartitions decode stage (stubbed codec, real plumbing); not
+      // SQL-expressible → no oracle entry, driver records rows-only check
+      Multimodal.extractFeatures(Multimodal.withBinaryPayload(t(s, dir, "documents")))
+        .orderBy(col("doc_id")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -480,6 +531,40 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cube_lineitem" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |       COALESCE(l_linestatus,'ALL') AS linestatus,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |       CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT CAST(floor(epoch(o_orderdate)/604800.0)*604800 AS BIGINT) AS win_start_epoch,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY win_start_epoch""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,

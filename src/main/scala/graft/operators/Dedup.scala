@@ -93,19 +93,23 @@ object Dedup {
     jaccardFromIntersections(inter, sizes, tau)
   }
 
-  /** MinHash signatures (numHashes = bands × rows) via min over per-seed
-    * xxhash64, banded LSH bucket join for candidates, exact verification.
+  /** MinHash signatures (numHashes = bands × rows) via the
+    * [[graft.functions.MinHashSketch]] `TypedImperativeAggregate` — one
+    * sketch buffer per group instead of numHashes independent min()
+    * aggregates — then banded LSH bucket join for candidates, exact
+    * verification. (Minhash internals never cross the oracle boundary: the
+    * emitted pairs are exact-Jaccard-verified.)
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, tau: Double = 0.6, bands: Int = 16, rows: Int = 2): DataFrame = {
     val numHashes = bands * rows
     val shingled = sh(docs, idCol, textCol, n)
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    val sig = shingled.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until bands).map(b =>
-      hash(((b * rows) until ((b + 1) * rows)).map(i => col(s"h$i")): _*))
+    val sig = shingled
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashSketch(col("h"), numHashes).as("sig"))
+    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
     val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val cand = banded.as("l")
       .join(banded.as("r"),

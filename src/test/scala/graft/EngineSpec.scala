@@ -121,6 +121,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("event-time windows: append mode emits finalized windows, drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val agg = graft.streaming.EventTimeWindows.windowedCounts(
+      in.toDF().toDF("ts", "etype"), "ts", "etype", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      in.addData((ts(0), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      assert(spark.table("win_out").count() == 0) // watermark hasn't passed window end
+      in.addData((ts(30), "a")) // advances watermark to 10:20
+      q.processAllAvailable()
+      val emitted = spark.table("win_out")
+        .select(date_format(col("win_start"), "HH:mm").as("w"), col("etype"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(emitted == Set(("10:00", "a", 2L), ("10:00", "b", 1L)))
+      in.addData((ts(1), "a")) // later than watermark → dropped
+      in.addData((ts(59), "a")) // flush remaining windows
+      q.processAllAvailable()
+      val all = spark.table("win_out")
+        .select(date_format(col("win_start"), "HH:mm").as("w"), col("etype"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(all == Set(("10:00", "a", 2L), ("10:00", "b", 1L), ("10:30", "a", 1L)),
+        s"late row must not change finalized windows: $all")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------- operators
 
   test("LSH minhash pairs == exact ngram pairs on fixture docs") {

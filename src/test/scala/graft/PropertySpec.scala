@@ -1,0 +1,90 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DiskUsageOp
+import graft.sources.Manifest
+
+/** Property tests (SURVEY.md §5.2): F1 path-segment extraction over
+  * adversarial keys, A1 aggregation vs a naive fold, and the Go-layout date
+  * formatter. Spark properties run one job over a generated batch rather
+  * than one job per ScalaCheck case; generators are plain ScalaCheck `Gen`.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("property-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val segmentGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.const(""),
+    Gen.const("ünïcødé-名前"),
+    Gen.const("a b c"),
+    Gen.const("."))
+  private val keyGen: Gen[String] = for {
+    nSegs <- Gen.choose(1, 5)
+    segs <- Gen.listOfN(nSegs, segmentGen)
+  } yield segs.mkString("/")
+
+  test("F1: first-segment extraction matches the reference model on adversarial keys") {
+    import spark.implicits._
+    val keys = Gen.listOfN(400, keyGen).sample.get.distinct
+    val got = keys.toDF("key")
+      .select(col("key"), substring_index(col("key"), "/", 1).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    keys.foreach { k =>
+      val expected = k.split("/", 2)(0) // handler.go:234,239: Split + [0]
+      assert(got(k) == expected, s"key=$k")
+    }
+  }
+
+  test("A1: aggregate equals a naive in-memory fold on generated data") {
+    import spark.implicits._
+    val rowGen = for {
+      user <- Gen.choose(0, 20)
+      hasSlash <- Gen.frequency(9 -> true, 1 -> false)
+      leaf <- Gen.alphaNumStr.map(_.take(6))
+      size <- Gen.choose(0L, 1000000L)
+    } yield (if (hasSlash) s"u$user/$leaf" else s"u$user", size)
+    val rows = Gen.listOfN(2000, rowGen).sample.get
+    val expected = rows
+      .filter(_._1.contains("/"))
+      .groupBy(_._1.split("/", 2)(0))
+      .map { case (addr, rs) => (addr, rs.map(_._2).sum, rs.size.toLong) }
+      .toSet
+    val got = DiskUsageOp.aggregate(rows.toDF("key", "size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // salted variant: identical result on the same data
+    val salted = DiskUsageOp.aggregateSalted(rows.toDF("key", "size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == expected)
+  }
+
+  test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
+    val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
+    Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>
+      val ts = Instant.ofEpochSecond(epochSec)
+      val s = Manifest.formatKeyDate(ts)
+      assert(layout.matches(s), s"bad layout: $s")
+      assert(s.startsWith(ts.toString.take(10))) // same calendar day
+      val pinned = Manifest.pinTo0100Utc(ts)
+      assert(Manifest.pinTo0100Utc(pinned) == pinned) // idempotent
+      assert(pinned.minus(java.time.Duration.ofDays(1)) ==
+        Manifest.pinTo0100Utc(ts.minus(java.time.Duration.ofDays(1))))
+    }
+  }
+}

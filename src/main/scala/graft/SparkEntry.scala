@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DiskUsageOp, Multimodal, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -207,6 +207,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
 
+    "q_sessionize" -> ((s, dir) => {
+      // event-time sessionization over the nanos ts column (read as long —
+      // Spark's reader refuses TIMESTAMP(NANOS) without the legacy flag)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), Temporal.nanosToMicros("ts").as("ts_us"))
+      Temporal.sessionize(ev, "user_id", "ts_us", "event_id", gapMicros = 30L * 60 * 1000000)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+    "q_asof_prev_order" -> ((s, dir) =>
+      Temporal.previousByKey(t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          col("prev_o_orderkey").as("prev_orderkey"),
+          to_date(col("prev_o_orderdate")).as("prev_date"),
+          datediff(to_date(col("o_orderdate")), to_date(col("prev_o_orderdate")))
+            .cast("long").as("gap_days"))
+        .filter(col("prev_orderkey").isNotNull) // first order per key has no as-of match
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -531,6 +552,34 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx,
+        |       MIN(ts_us) AS session_start_us,
+        |       MAX(ts_us) AS session_end_us,
+        |       COUNT(*) AS n_events,
+        |       MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM g GROUP BY 1,2 ORDER BY user_id, session_idx""".stripMargin,
+    "q_asof_prev_order" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         lag(o_orderkey) OVER w AS prev_orderkey,
+        |         CAST(lag(o_orderdate) OVER w AS DATE) AS prev_date,
+        |         CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE prev_orderkey IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

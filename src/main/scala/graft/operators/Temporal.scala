@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / event-time operators over per-key ordered history — the
+  * batch forms of the classic event-pipeline primitives.
+  *
+  * Scale notes: every operator here is a per-key window (`partitionBy(key)
+  * .orderBy(time)`) — one shuffle on the key, per-partition sort, no global
+  * ordering anywhere, so they hold at 100 TB exactly like any keyed
+  * aggregation. Session ids are assigned with the standard
+  * gap-flag → running-sum trick (two window passes over the same
+  * partitioning, which Spark executes with a single exchange + sort).
+  */
+object Temporal {
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * key's previous event exceeds `gapMicros`. Emits one row per session
+    * with start/end/duration/size. Time is an epoch-microsecond long column
+    * (caller converts; keeps the arithmetic exact and engine-portable).
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      idCol: String,
+      gapMicros: Long): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
+    val flagged = events.withColumn(
+      "is_new",
+      when(
+        lag(col(tsUsCol), 1).over(order).isNull ||
+          col(tsUsCol) - lag(col(tsUsCol), 1).over(order) > gapMicros,
+        lit(1L)).otherwise(lit(0L)))
+    flagged
+      .withColumn("session_idx",
+        sum(col("is_new")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        min(col(tsUsCol)).as("session_start_us"),
+        max(col(tsUsCol)).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("session_end_us") - col("session_start_us"))
+  }
+
+  /** As-of (previous-row) self-join per key: for each row, the key's most
+    * recent earlier row by `timeCol` (deterministic `idCol` tie-break).
+    * Returns the input plus `prev_<id>` and `prev_<time>` columns — the
+    * window form of `ASOF JOIN` when the joined table is the history of the
+    * same key.
+    */
+  def previousByKey(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(idCol))
+    df.withColumn(s"prev_$idCol", lag(col(idCol), 1).over(w))
+      .withColumn(s"prev_$timeCol", lag(col(timeCol), 1).over(w))
+  }
+
+  /** Epoch-microseconds from a nanosecond-long column, by exact integer
+    * division (`div`) — `/` would route through double and can mis-floor at
+    * 1e18 magnitudes.
+    */
+  def nanosToMicros(colName: String): Column = expr(s"$colName div 1000")
+}

@@ -348,6 +348,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // -------- multimodal plumbing (SURVEY §2.12)
     "mm_binary_meta" -> ((s, dir) =>
@@ -778,6 +783,26 @@ object SparkEntry {
         |       MIN(win_min) AS min_fingerprint,
         |       md5(MIN(norm)) AS doc_md5
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+        |dfreq AS (
+        |  SELECT word, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+        |       ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+        |ORDER BY doc_id, word""".stripMargin,
+    "mm_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, CAST(floor(length(text)/256.0) AS BIGINT) AS max_frame
+        |  FROM documents)
+        |SELECT doc_id, unnest(range(max_frame + 1)) AS frame_idx,
+        |       md5(substring(text, CAST(unnest(range(max_frame + 1))*256 + 1 AS BIGINT), 256)) AS frame_md5,
+        |       CAST(length(substring(text, CAST(unnest(range(max_frame + 1))*256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes
+        |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

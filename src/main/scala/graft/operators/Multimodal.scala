@@ -47,6 +47,25 @@ object Multimodal {
         col("sha256"),
         (floor(col("byte_len") / frameBytes) + 1).cast("long").as("n_frames"))
 
+  /** Frame sampling: chop the binary payload into fixed-size frames, one
+    * output row per frame, identified by content hash — the video/audio
+    * "sample every Nth frame" stage shaped as a pure narrow plan (explode +
+    * binary substring + md5, all codegen'd; no shuffle, no decoder).
+    */
+  def frameSample(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      frameBytes: Int = 256): DataFrame =
+    withBinaryPayload(docs, idCol, textCol)
+      .select(
+        col(idCol), col("payload"),
+        explode(sequence(lit(0L), floor(col("byte_len") / frameBytes))).as("frame_idx"))
+      .select(
+        col(idCol),
+        col("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"),
+        length(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .cast("long").as("frame_bytes"))
+
   /** STUB — stands in for a real image/audio decoder (??? in spirit): derives
     * a deterministic pseudo-feature vector from payload bytes. Replace the
     * body with e.g. a JNI codec call; the partitioning, batching and schema

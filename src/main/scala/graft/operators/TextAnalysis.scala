@@ -116,6 +116,23 @@ object TextAnalysis {
             (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
         ))).as("shingle"))
 
+  /** TF-IDF over whitespace tokens: term frequency per (doc, word), document
+    * frequency per word, weight = tf · ln(N/df). Corpus size joins in as a
+    * broadcast scalar (no driver-side action, no global state) — two keyed
+    * aggregations and one broadcast join, the canonical 100 TB shape.
+    */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val tf = toks.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col(idCol), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+  }
+
   /** Rolling-hash document fingerprinting (winnowing): md5 each word-`n`-gram
     * in sequence, then keep the minimum hash of every `window`-length run of
     * consecutive shingles. The distinct minima are the document's

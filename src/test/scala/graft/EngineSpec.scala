@@ -230,6 +230,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"aggregate scan not pruned in:\n$scan")
   }
 
+  test("bucketed co-located join and aggregation run without a shuffle") {
+    events.write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucketed")
+    val aggPlan = spark.table("ev_bucketed")
+      .groupBy(col("user_id")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"bucketed aggregation should not shuffle:\n$aggPlan")
+    events.write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucketed2")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joinPlan = spark.table("ev_bucketed").as("a")
+        .join(spark.table("ev_bucketed2").as("b"), Seq("user_id"))
+        .queryExecution.executedPlan.toString
+      assert(joinPlan.contains("SortMergeJoin"), s"expected SMJ:\n$joinPlan")
+      assert(!joinPlan.contains("Exchange"),
+        s"co-located bucketed join should not shuffle:\n$joinPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("dimension join is broadcast") {
     val plan = SparkEntry.queries("q_join_broadcast_nation")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }
 

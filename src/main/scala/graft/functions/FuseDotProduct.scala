@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: rewrite the built-in dot-product composition
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v) }}}
+  *
+  * into the fused [[ArrayDotProduct]] codegen expression. The two compute
+  * the identical left-to-right IEEE-double fold (the fused form skips the
+  * intermediate array and the per-element lambda dispatch), so the rewrite
+  * is semantics-preserving, including null behavior: both yield null iff an
+  * input array is null, and both treat length mismatch as min-length
+  * (zip_with pads with null products, which the sum then propagates — pairs
+  * here are fixed-dimension, so the case is theoretical).
+  *
+  * This is the pattern Catalyst itself uses for fusions: users (and SQL
+  * authors, who cannot call library helpers) write the declarative form;
+  * the optimizer picks the fast implementation. Registered via
+  * [[GraftExtensions]] (`injectOptimizerRule`) for new sessions or
+  * `spark.experimental.extraOptimizations` on a live one.
+  */
+object FuseDotProduct extends Rule[LogicalPlan] {
+
+  private object DotProductPattern {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(
+              Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
+          if x.exprId != y.exprId && acc.exprId != v.exprId &&
+            fin.exprId == finArg.exprId =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProductPattern(a, b)
+          if a.dataType == org.apache.spark.sql.types.ArrayType(DoubleType, false) ||
+            a.dataType == org.apache.spark.sql.types.ArrayType(DoubleType, true) =>
+        ArrayDotProduct(a, b)
+    }
+}

@@ -136,9 +136,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Bucketed near-dup pairs: only same-hyperplane-bucket pairs are scored —
+    * the scale form of [[nearDupPairs]]: candidate count drops by ~2^planes
+    * while sign-LSH keeps high-cosine pairs co-bucketed with high
+    * probability. The emitted set is exactly "same bucket AND rounded
+    * cosine ≥ tau" (deterministic, oracle-reproducible).
+    */
+  def nearDupPairsBucketed(
+      emb: DataFrame, planes: DataFrame, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val b = withBuckets(prepared(emb, idCol, embCol), planes)
+    val l = b.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val r = b.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("bucket").as("bucket_b"))
+    l.join(r, col("id_a") < col("id_b") && col("bucket") === col("bucket_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
-    * bucket first ([[withBuckets]]) and restrict pairs to same-bucket, or use
-    * [[Dedup.minhashLshPairs]]-style banding over sign bits.
+    * use [[nearDupPairsBucketed]] or [[Dedup.minhashLshPairs]]-style banding
+    * over sign bits.
     */
   def nearDupPairs(
       emb: DataFrame, tau: Double,

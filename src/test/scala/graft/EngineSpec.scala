@@ -202,6 +202,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 11.0)
   }
 
+  test("FuseDotProduct rule rewrites the built-in fold into array_dot") {
+    spark.experimental.extraOptimizations = Seq(graft.functions.FuseDotProduct)
+    try {
+      val p = Similarity.prepared(emb, "vec_id", "embedding")
+      val df = p.select(col("id"), Similarity.dotBuiltin(col("v"), col("v")).as("d"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("array_dot"), s"pattern not fused:\n$optimized")
+      // fused result equals the explicit fused expression
+      val viaRule = df.orderBy("id").collect().map(_.getDouble(1))
+      val direct = p.select(col("id"), Similarity.dot(col("v"), col("v")).as("d"))
+        .orderBy("id").collect().map(_.getDouble(1))
+      assert(viaRule.sameElements(direct))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    val r = events.agg(
+      approx_count_distinct(col("user_id")).as("approx"),
+      countDistinct(col("user_id")).as("exact")).collect()(0)
+    val (ap, ex) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(ap - ex).toDouble / ex < 0.05, s"approx=$ap exact=$ex")
+  }
+
   test("multimodal extractFeatures: schema, determinism, stub decode shape") {
     val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), dim = 8)
     assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "n_frames", "features"))
@@ -231,6 +254,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bucketed co-located join and aggregation run without a shuffle") {
+    def rmdir(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmdir)
+      p.delete(): Unit
+    }
+    Seq("ev_bucketed", "ev_bucketed2").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmdir(new java.io.File(s"spark-warehouse/$tbl"))
+    }
     events.write.bucketBy(8, "user_id").sortBy("user_id")
       .mode("overwrite").saveAsTable("ev_bucketed")
     val aggPlan = spark.table("ev_bucketed")

@@ -284,7 +284,7 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6, bands = 16, rows = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 7)
+      Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau = 0.4)
@@ -632,7 +632,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(0.6),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
-    "dedup_simhash" -> simhashOracle(0.6, 7),
+    "dedup_simhash" -> simhashOracle(0.6, 6),
     "dedup_embedding_cosine" -> (embCte +
       """, d AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v*b.v) AS dot

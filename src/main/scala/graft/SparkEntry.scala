@@ -207,6 +207,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // SQL entry point: GROUPING SETS has no DataFrame-API form
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+          |       COALESCE(l_linestatus,'ALL') AS linestatus,
+          |       COUNT(*) AS n_items
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus))
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+    "q_correlated_subquery" -> ((s, dir) => {
+      // Catalyst decorrelates the scalar subquery into an aggregate + join
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_v c
+          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "Customer#", "C-").as("replaced"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev"),
+          length(trim(col("c_name"))).cast("long").as("trimmed_len"))
+        .orderBy(col("c_custkey"))),
+    "q_math_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+          round(pow(col("l_discount") + 1, 2), 6).as("pow_d"),
+          abs(col("l_quantity") - 25.0).as("abs_q"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          array_max(col("embedding")).cast("double").as("arr_max"),
+          array_min(col("embedding")).cast("double").as("arr_min"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"))
+        .orderBy(col("vec_id"))),
     "q_sessionize" -> ((s, dir) => {
       // event-time sessionization over the nanos ts column (read as long —
       // Spark's reader refuses TIMESTAMP(NANOS) without the legacy flag)
@@ -565,6 +615,42 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |       COALESCE(l_linestatus,'ALL') AS linestatus,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS upper_name,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |       regexp_replace(c_name, 'Customer#', 'C-') AS replaced,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+        |       CAST(length(trim(c_name)) AS BIGINT) AS trimmed_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(sqrt(l_quantity), 6) AS sqrt_q,
+        |       ROUND(pow(l_discount + 1, 2), 6) AS pow_d,
+        |       abs(l_quantity - 25.0) AS abs_q,
+        |       ROUND(exp(l_discount), 6) AS exp_d,
+        |       ROUND(ln(l_extendedprice), 6) AS ln_p
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dims,
+        |       CAST(list_max(embedding) AS DOUBLE) AS arr_max,
+        |       CAST(list_min(embedding) AS DOUBLE) AS arr_min,
+        |       CAST(embedding[1] AS DOUBLE) AS first_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |f AS (

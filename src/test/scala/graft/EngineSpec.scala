@@ -152,6 +152,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("arbitrary stateful streaming: mapGroupsWithState running count per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val in = MemoryStream[(String, Int)](spark)
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (key, c)
+      }
+    val q = counts.toDF("key", "cnt").writeStream
+      .outputMode("update").format("memory").queryName("state_out").start()
+    try {
+      in.addData(("a", 1), ("a", 2), ("b", 1))
+      q.processAllAvailable()
+      in.addData(("a", 3)) // state must survive across micro-batches
+      q.processAllAvailable()
+      val last = spark.table("state_out")
+        .groupBy(col("key")).agg(max(col("cnt")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("csv/json/orc sources round-trip an events projection") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("formats").toString
+    val src = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id")).limit(100)
+    val expected = src.collect().map(_.toSeq).toSeq
+    Seq("csv", "json", "orc").foreach { fmt =>
+      src.write.format(fmt).option("header", "true").mode("overwrite").save(s"$dir/$fmt")
+      val back = spark.read.format(fmt).option("header", "true").schema(src.schema)
+        .load(s"$dir/$fmt")
+        .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+      assert(back == expected, s"round-trip mismatch for $fmt")
+    }
+  }
+
   // ------------------------------------------------------------- operators
 
   test("LSH minhash pairs == exact ngram pairs on fixture docs") {

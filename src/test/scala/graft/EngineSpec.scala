@@ -99,6 +99,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally h2.close()
   }
 
+  test("manifest-driven pipeline end to end: resolve, fallback, multi-file scan, serve") {
+    import java.nio.file.{Files, Paths}
+    import java.time.Instant
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val bucket = Files.createTempDirectory("bucket").toString
+    // two inventory data files named by the manifest
+    Seq(("alice/a", 10L), ("bob/b", 5L)).toDF("key", "size")
+      .coalesce(1).write.parquet(s"$bucket/data/f1")
+    Seq(("alice/c", 90L)).toDF("key", "size")
+      .coalesce(1).write.parquet(s"$bucket/data/f2")
+    // manifest for YESTERDAY only → exercises the previous-day fallback
+    val yesterdayKey = graft.sources.Manifest.manifestKey(
+      "inv/prefix", Instant.parse("2026-08-11T09:00:00Z"))
+    Files.createDirectories(Paths.get(s"$bucket/$yesterdayKey").getParent)
+    Files.writeString(Paths.get(s"$bucket/$yesterdayKey"),
+      """{"sourceBucket":"b","files":[{"key":"data/f1","size":1},{"key":"data/f2","size":1}]}""")
+    val fetch = (key: String) => {
+      val p = Paths.get(s"$bucket/$key")
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val now = () => Instant.parse("2026-08-12T09:00:00Z") // fake clock: "today"
+    val h = InventoryPipeline.servingHandler(
+      spark, bucket, "inv/prefix", now, fetch, refreshEvery = 10.minutes)
+    try {
+      assert(h.getDiskUsage("alice").contains(DiskUsage("alice", 100L, 2L))) // across BOTH files
+      assert(h.getDiskUsage("bob").contains(DiskUsage("bob", 5L, 1L)))
+      assert(h.getDiskUsage("carol").isEmpty)
+    } finally h.close()
+    // no manifest for either day → construction fails (reference: fatal first run)
+    intercept[RuntimeException] {
+      InventoryPipeline.servingHandler(spark, bucket, "inv/prefix",
+        () => Instant.parse("2026-09-01T00:00:00Z"), fetch, 10.minutes).close()
+    }
+  }
+
   test("streaming refresh: complete-mode memory snapshot equals batch result") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-inv").toString

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DiskUsageOp}
+
+/** Scale smoke: replicates the sf0.1 fixtures (events ×50 → 5M rows,
+  * documents ×10 → 50k docs with a per-replica marker token so replicas
+  * stay near-dups rather than exact dups) into /tmp, then times the
+  * flagship aggregate and the MinHash-LSH dedup at that scale. Manual
+  * evidence that the chosen plans behave at 10-50× bench volume —
+  * `sbt "runMain graft.ScaleSmoke"`; results recorded in PLANS.md.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("scale-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val dir = "/tmp/graft_scale"
+
+    if (!new java.io.File(s"$dir/events").exists()) {
+      spark.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$base/events.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(49))))
+        .select(
+          (col("event_id") * 50 + col("rep")).as("event_id"),
+          (col("user_id") * 50 + col("rep") % 7).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$dir/events")
+      spark.read.parquet(s"$base/documents.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("doc_id") * 10 + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" marker"), col("rep")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents")
+    }
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale-smoke] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val events = spark.read.parquet(s"$dir/events")
+    println(s"[scale-smoke] events rows = ${events.count()}")
+    timed("du aggregate (5M rows)") {
+      DiskUsageOp.aggregateFractional(
+        events.select(concat_ws("/", col("user_id"), col("event_id")).as("key"),
+          col("value").as("size"))).count()
+    }
+    timed("du salted (5M rows)") {
+      DiskUsageOp.aggregateSalted(
+        events.select(concat_ws("/", col("user_id"), col("event_id")).as("key"),
+          (col("value") * 100).cast("long").as("size"))).count()
+    }
+    val docs = spark.read.parquet(s"$dir/documents")
+    println(s"[scale-smoke] documents rows = ${docs.count()}")
+    timed("minhash LSH pairs (50k docs)") {
+      Dedup.minhashLshPairs(docs, tau = 0.6).count()
+    }
+    timed("simhash pairs (50k docs)") {
+      Dedup.simhashPairs(docs, tau = 0.6).count()
+    }
+    spark.stop()
+  }
+}

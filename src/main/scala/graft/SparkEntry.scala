@@ -207,6 +207,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
 
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .filter(col("n_cust") >= 50)
+        .orderBy(col("c_nationkey"))),
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("q"), col("m"), col("d"))),
+    "q_filtered_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_discounted"))
+        .orderBy(col("l_returnflag"))),
+    "q_union_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select(col("user_id").as("id"))
+        .union(t(s, dir, "customer").select(col("c_custkey").as("id")))
+        .distinct()
+        .orderBy(col("id"))),
     "q_grouping_sets" -> ((s, dir) => {
       // SQL entry point: GROUPING SETS has no DataFrame-API form
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -615,6 +642,29 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 HAVING COUNT(*) >= 50
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS d,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1,2,3,4 ORDER BY y, q, m, d""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT l_returnflag,
+        |       COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_heavy,
+        |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT id FROM (
+        |  SELECT user_id AS id FROM events
+        |  UNION
+        |  SELECT c_custkey AS id FROM customer)
+        |ORDER BY id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
         |       COALESCE(l_linestatus,'ALL') AS linestatus,

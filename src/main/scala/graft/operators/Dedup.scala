@@ -30,14 +30,19 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (id, shingle) distinct word-n-grams — see [[TextAnalysis.shingles]].
-    * Persisted (memory-and-disk, so it spills rather than OOMs at scale):
-    * every pair operator reads the shingle index several times (sizes,
-    * intersection sides, signatures) and recomputing the explode per use
-    * dominated the runtime.
+  /** (id, shingle, h) distinct word-n-grams — see [[TextAnalysis.shingles]]
+    * — with `h = xxhash64(shingle)`. All self-joins key on the fixed-width
+    * 64-bit hash (cheaper shuffle + comparison than variable-length
+    * strings; collision odds over a shingle vocabulary V are ~V²/2⁶⁵ —
+    * ~10⁻¹¹ at 27k, still <10⁻⁷ at billion-shingle corpus scale); the
+    * string stays available for the md5-based SimHash bits. Persisted
+    * (memory-and-disk, so it spills rather than OOMs at scale): every pair
+    * operator reads the index several times (sizes, intersection sides,
+    * signatures) and recomputing the explode per use dominated the runtime.
     */
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
+      .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_a, doc_b, jaccard ≥ tau) from an intersection-count DataFrame
@@ -67,7 +72,7 @@ object Dedup {
     val inter = shingled.as("x")
       .join(cand, col("x.id") === col("doc_a"))
       .join(shingled.as("y"),
-        col("y.id") === col("doc_b") && col("x.shingle") === col("y.shingle"))
+        col("y.id") === col("doc_b") && col("x.h") === col("y.h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     jaccardFromIntersections(inter, sizes, tau)
@@ -87,7 +92,7 @@ object Dedup {
     val shingled = sh(docs, idCol, textCol, n)
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = shingled.as("l")
-      .join(shingled.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .join(shingled.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     jaccardFromIntersections(inter, sizes, tau)
@@ -106,7 +111,6 @@ object Dedup {
     val numHashes = bands * rows
     val shingled = sh(docs, idCol, textCol, n)
     val sig = shingled
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("id"))
       .agg(graft.functions.MinHashSketch(col("h"), numHashes).as("sig"))
     val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))

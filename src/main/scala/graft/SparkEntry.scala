@@ -171,6 +171,34 @@ object SparkEntry {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("running_value"))
         .orderBy(col("event_id"))),
+    "q_window_range_frame" -> ((s, dir) =>
+      // RANGE frame over a numeric ordering: events within 100 event-ids back
+      t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+              .rangeBetween(-100, Window.currentRow)).as("n_recent"))
+        .orderBy(col("event_id"))),
+    "q_window_lead_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          first_value(col("o_orderkey")).over(w).as("first_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_sv")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_v
+          |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_v)
+          |  AND o_custkey IN (SELECT c_custkey FROM customer_sv WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
     "q_topk_acctbal" -> ((s, dir) =>
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -612,6 +640,23 @@ object SparkEntry {
         |         PARTITION BY user_id ORDER BY event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |                      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_recent
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_lead_ntile" ->
+      """SELECT o_orderkey, o_custkey,
+        |       lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "q_topk_acctbal" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,

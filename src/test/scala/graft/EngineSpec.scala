@@ -135,6 +135,60 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt parquet fails the refresh but keeps serving the old snapshot (log.Fatalf fix)") {
+    import java.nio.file.{Files, Paths}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corrupt").toString
+    Seq(("u/a", 1L)).toDF("key", "size").write.parquet(s"$dir/good")
+    var path = s"$dir/good"
+    val h = new DiskUsageHandler(
+      () => spark.read.schema("key STRING, size BIGINT").parquet(path),
+      refreshEvery = 10.minutes)
+    try {
+      assert(h.getDiskUsage("u").nonEmpty)
+      // a garbage file where parquet is expected — the reference would
+      // log.Fatalf and kill the process (handler.go:176,186,192)
+      Files.createDirectories(Paths.get(s"$dir/bad"))
+      Files.write(Paths.get(s"$dir/bad/data.parquet"), "not a parquet file".getBytes)
+      path = s"$dir/bad"
+      intercept[Exception](h.refreshOnce())
+      assert(h.getDiskUsage("u").nonEmpty, "old snapshot must survive a failed refresh")
+    } finally h.close()
+  }
+
+  test("serving store under concurrent refresh + reads: every lookup sees a consistent snapshot") {
+    import scala.concurrent.duration._
+    import spark.implicits._
+    // alternate between two generations; size and count always move together,
+    // so a torn read would show a mixed (size, count) pair
+    @volatile var gen = 0
+    val load = () => {
+      val g = gen
+      Seq(("u", 100L * (g + 1)), ("u", 100L * (g + 1))).toDF("key0", "size")
+        .select(concat_ws("/", col("key0"), lit("x")).as("key"), col("size"))
+    }
+    val h = new DiskUsageHandler(load, refreshEvery = 10.minutes)
+    try {
+      val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+      val readers = (1 to 4).map { _ =>
+        new Thread(() => {
+          (1 to 2000).foreach { _ =>
+            h.getDiskUsage("u").foreach { d =>
+              // consistent iff sizeBytes == numberFiles * (100 * generation)
+              if (d.sizeBytes % (100L * d.numberFiles) != 0) bad.incrementAndGet()
+            }
+          }
+        })
+      }
+      readers.foreach(_.start())
+      (1 to 5).foreach { g => gen = g; h.refreshOnce() }
+      readers.foreach(_.join())
+      assert(bad.get() == 0, s"${bad.get()} torn reads observed")
+      assert(h.getDiskUsage("u").contains(DiskUsage("u", 1200L, 2L)))
+    } finally h.close()
+  }
+
   test("streaming refresh: complete-mode memory snapshot equals batch result") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-inv").toString

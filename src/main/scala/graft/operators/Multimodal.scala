@@ -24,6 +24,9 @@ object Multimodal {
       n_frames: Long,
       features: Array[Double])
 
+  /** A resized media record. */
+  final case class Resized(doc_id: Long, byte_len: Long, resized: Array[Byte])
+
   /** Attach a binary payload column + metadata to a text table — the fixture
     * stand-in for real media bytes (deterministic: UTF-8 encode of the text).
     */
@@ -79,6 +82,34 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** Resize stage (STUB codec, real plumbing): downsample the payload by
+    * keeping every `factor`-th byte — the byte-level stand-in for an image
+    * resize. Narrow, codegen-friendly when expressed over the binary column;
+    * kept as a plain function so [[extractFeatures]]-style partition stages
+    * can fuse it with decode.
+    */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Payload → resized payload column via mapPartitions (same batch shape
+    * as [[extractFeatures]]).
+    */
+  def resize(withPayload: DataFrame, factor: Int): DataFrame = {
+    implicit val enc = Encoders.product[Resized]
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = resizeStub(r.getAs[Array[Byte]](1), factor)
+          Resized(r.getLong(0), p.length.toLong, p)
+        }
+      }(enc)
+      .toDF()
   }
 
   /** Decode + feature-extract via `mapPartitions`: per-partition iterator so a

@@ -267,6 +267,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(last == Map("a" -> 3L, "b" -> 1L))
     } finally q.stop()
+    // flatMapGroupsWithState: emit only on threshold crossings (0..n rows out)
+    import org.apache.spark.sql.streaming.OutputMode
+    val in2 = MemoryStream[(String, Int)](spark)
+    val alerts = in2.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          if (total >= 10) Iterator((key, total)) else Iterator.empty
+      }
+    val q2 = alerts.toDF("key", "total").writeStream
+      .outputMode("append").format("memory").queryName("alerts_out").start()
+    try {
+      in2.addData(("x", 4), ("y", 3))
+      q2.processAllAvailable()
+      assert(spark.table("alerts_out").count() == 0) // below threshold: no rows
+      in2.addData(("x", 7))
+      q2.processAllAvailable()
+      val alerted = spark.table("alerts_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(alerted == Set(("x", 11L)))
+    } finally q2.stop()
   }
 
   test("csv/json/orc sources round-trip an events projection") {
@@ -365,6 +388,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), dim = 8)
       .orderBy("doc_id").limit(3).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("multimodal resize stage: 4x downsample preserves ids, shrinks payloads") {
+    val src = Multimodal.withBinaryPayload(docs)
+    val resized = Multimodal.resize(src, factor = 4)
+    val joined = src.select(col("doc_id"), col("byte_len").as("orig_len"))
+      .join(resized.withColumnRenamed("byte_len", "new_len"), "doc_id")
+    val offById = joined
+      .filter(col("new_len") =!= ceil(col("orig_len") / 4).cast("long")).count()
+    assert(offById == 0)
+    assert(resized.count() == docs.count())
   }
 
   // ------------------------------------------------------------ plan shape

@@ -74,6 +74,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == expected)
   }
 
+  test("operator edge cases: short docs, single-event sessions, empty frames") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal, Temporal, TextAnalysis}
+    // docs shorter than n words contribute no shingles and no pairs
+    val tiny = Seq((1L, "one two"), (2L, "one two"), (3L, "a b c d e")).toDF("doc_id", "text")
+    assert(TextAnalysis.shingles(tiny, "doc_id", "text", 3).count() == 3) // only doc 3
+    assert(Dedup.ngramJaccardPairs(tiny, tau = 0.1).count() == 0)
+    // single-event users produce single-event sessions
+    val ev = Seq((1L, 1000L, 7L), (2L, 2000L, 8L), (3L, 999999999L, 8L))
+      .toDF("event_id", "ts_us", "user_id")
+    val sess = Temporal.sessionize(ev, "user_id", "ts_us", "event_id", gapMicros = 1000000)
+      .orderBy("user_id", "session_idx").collect()
+    assert(sess.length == 3 && sess.forall(_.getAs[Long]("n_events") == 1))
+    // empty payload: one empty frame, zero-length resize
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(empty).collect()
+    assert(frames.length == 1 && frames(0).getAs[Long]("frame_bytes") == 0)
+    assert(Multimodal.resize(Multimodal.withBinaryPayload(empty), 4)
+      .collect()(0).getAs[Long]("byte_len") == 0)
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

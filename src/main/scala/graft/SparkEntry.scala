@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, DiskUsageOp, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -450,6 +450,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("shingle"))
         .limit(20)),
+
+    "split_assign" -> ((s, dir) =>
+      // deterministic train/val/test assignment (pure function of doc_id)
+      Splits.assign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+    "split_stats" -> ((s, dir) =>
+      // stratification check: split × language counts
+      Splits.assign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))),
+    "du_salted_agg" -> ((s, dir) => {
+      // the skew-hardened two-phase aggregate; result-identical to the
+      // plain form, so the oracle is the plain GROUP BY
+      // floor (not cast) for the double→long derivation: Spark's cast
+      // truncates where DuckDB's rounds, floor is identical in both
+      val inv = t(s, dir, "events").select(
+        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        floor(col("value") * 100).as("size"))
+      DiskUsageOp.aggregateSalted(inv).orderBy(col("address"))
+    }),
 
     // -------- text analysis (SURVEY §2.12)
     "text_tokens" -> ((s, dir) =>
@@ -942,6 +966,26 @@ object SparkEntry {
       """SELECT s AS shingle, COUNT(*) AS doc_freq
         |FROM sh GROUP BY s
         |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin),
+    "split_assign" -> {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      s"""SELECT doc_id, ${graft.operators.Splits.splitCaseSql("doc_id", splits)} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "split_stats" -> {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      s"""SELECT ${graft.operators.Splits.splitCaseSql("doc_id", splits)} AS split,
+         |       lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+    "du_salted_agg" ->
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,
+        |         CAST(floor(value * 100) AS BIGINT) AS size FROM events)
+        |SELECT split_part(key,'/',1) AS address,
+        |       CAST(SUM(size) AS BIGINT) AS size_bytes,
+        |       COUNT(*) AS number_files
+        |FROM inv WHERE key LIKE '%/%'
+        |GROUP BY 1 ORDER BY address""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -154,6 +154,17 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"))),
+    "q_topk_custom_operator" -> ((s, dir) =>
+      // the custom TopKPerKey physical operator (bounded per-key heaps);
+      // oracle = the window-function SQL, which is semantics-identical
+      // under the total (o_totalprice DESC, o_orderkey) order
+      graft.plans.TopK.perKey(
+          t(s, dir, "orders"),
+          keyCols = Seq("o_custkey"),
+          orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))),
     "q_window_toporder" -> ((s, dir) =>
       t(s, dir, "orders")
         .withColumn("rn", row_number().over(
@@ -651,6 +662,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "q_topk_custom_operator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_window_toporder" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

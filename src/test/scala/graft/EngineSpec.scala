@@ -357,6 +357,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 11.0)
   }
 
+  test("TopKPerKey physical operator equals the window form and plans with one exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val custom = graft.plans.TopK.perKey(orders,
+        Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    val window = orders
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(custom.collect().map(_.toSeq).toSeq == window.collect().map(_.toSeq).toSeq)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), s"custom exec missing:\n$plan")
+    // no per-partition Sort below the operator — that's the whole point
+    assert(!plan.split("TopKPerKey ").last.contains("Sort"),
+      s"unexpected sort under TopKPerKey:\n$plan")
+  }
+
   test("FuseDotProduct rule rewrites the built-in fold into array_dot") {
     spark.experimental.extraOptimizations = Seq(graft.functions.FuseDotProduct)
     try {

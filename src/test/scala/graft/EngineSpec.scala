@@ -469,6 +469,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!joinPlan.contains("Exchange"),
         s"co-located bucketed join should not shuffle:\n$joinPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // the custom TopKPerKey operator's ClusteredDistribution is satisfied
+    // by the bucketing → whole top-k-per-user with ZERO shuffles
+    val topkPlan = graft.plans.TopK.perKey(spark.table("ev_bucketed"),
+        Seq("user_id"), Seq("value" -> false, "event_id" -> true), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(topkPlan.contains("TopKPerKey ") && !topkPlan.contains("Exchange"),
+      s"bucketed TopKPerKey should not shuffle:\n$topkPlan")
   }
 
   test("dimension join is broadcast") {

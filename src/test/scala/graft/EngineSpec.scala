@@ -478,6 +478,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketed TopKPerKey should not shuffle:\n$topkPlan")
   }
 
+  test("partitioned layout: filter prunes partitions at the scan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("parted").toString
+    events.write.partitionBy("event_type").parquet(s"$dir/events")
+    val df = spark.read.parquet(s"$dir/events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type") &&
+      plan.contains("= click)"),
+      s"partition filter not pushed to the scan:\n$plan")
+    assert(df.count() == events.filter(col("event_type") === "click").count())
+  }
+
   test("dimension join is broadcast") {
     val plan = SparkEntry.queries("q_join_broadcast_nation")(spark, sf)
       .queryExecution.executedPlan.toString

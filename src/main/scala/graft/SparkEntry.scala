@@ -325,7 +325,10 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
     "q_sessionize" -> ((s, dir) => {
       // event-time sessionization over the nanos ts column (read as long —
-      // Spark's reader refuses TIMESTAMP(NANOS) without the legacy flag)
+      // Spark's reader refuses TIMESTAMP(NANOS) without the legacy flag).
+      // Deliberately session-global and NOT restored: the flag must still
+      // be set when this lazy plan executes, and its only effect is turning
+      // otherwise-fatal nanos reads into long reads.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
@@ -1068,18 +1071,23 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (word) CROSS JOIN nd
         |ORDER BY doc_id, word""".stripMargin,
     "mm_frames" ->
+      // NOTE: the oracle slices the VARCHAR where Spark slices the BINARY
+      // payload — equivalent because the fixture corpus is pure ASCII
+      // (verified); n_frames = max(1, ceil(len/256)), no phantom trailing
+      // frame on exact multiples
       """WITH p AS (
-        |  SELECT doc_id, text, CAST(floor(length(text)/256.0) AS BIGINT) AS max_frame
+        |  SELECT doc_id, text,
+        |         greatest(1, CAST(ceil(length(text)/256.0) AS BIGINT)) AS nf
         |  FROM documents)
-        |SELECT doc_id, unnest(range(max_frame + 1)) AS frame_idx,
-        |       md5(substring(text, CAST(unnest(range(max_frame + 1))*256 + 1 AS BIGINT), 256)) AS frame_md5,
-        |       CAST(length(substring(text, CAST(unnest(range(max_frame + 1))*256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes
+        |SELECT doc_id, unnest(range(nf)) AS frame_idx,
+        |       md5(substring(text, CAST(unnest(range(nf))*256 + 1 AS BIGINT), 256)) AS frame_md5,
+        |       CAST(length(substring(text, CAST(unnest(range(nf))*256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes
         |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS sha256,
-        |       CAST(floor(CAST(octet_length(encode(text)) AS BIGINT)/256)+1 AS BIGINT) AS n_frames
+        |       greatest(1, CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT)) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

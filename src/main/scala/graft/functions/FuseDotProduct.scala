@@ -13,9 +13,9 @@ import org.apache.spark.sql.types.DoubleType
   * the identical left-to-right IEEE-double fold (the fused form skips the
   * intermediate array and the per-element lambda dispatch), so the rewrite
   * is semantics-preserving, including null behavior: both yield null iff an
-  * input array is null, and both treat length mismatch as min-length
-  * (zip_with pads with null products, which the sum then propagates — pairs
-  * here are fixed-dimension, so the case is theoretical).
+  * input array is null, the lengths differ (`zip_with` pads the shorter
+  * side with nulls, which poisons the sum), or any element is null —
+  * [[ArrayDotProduct]] implements exactly those rules.
   *
   * This is the pattern Catalyst itself uses for fusions: users (and SQL
   * authors, who cannot call library helpers) write the declarative form;

@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   *    exact verification of candidates only. This is the 100 TB scale path:
   *    cost is O(docs × shingles) for signatures plus the bucket join, never
   *    all-pairs.
-  *  - [[simhashPairs]]: 64-bit SimHash fingerprints; candidate pairs from an
-  *    8×8-bit block join (pigeonhole: any pair within Hamming distance ≤ 7
-  *    shares at least one exact block), Hamming-filtered, then exact-verified.
+  *  - [[simhashPairs]]: 32-bit md5-derived SimHash fingerprints; candidates
+  *    from the pair-of-blocks pigeonhole join (guaranteed recall to Hamming
+  *    ≤ 6 — see the method doc), Hamming-filtered, then exact-verified.
   *
   * Approximate paths verify candidates with true Jaccard before emitting, so
   * their output equals the exact operator's whenever recall is complete —
-  * which the band/row and block parameters are chosen to guarantee for
-  * near-duplicates (e.g. 16 bands × 2 rows ⇒ P[miss | J=0.8] ≈ 8·10⁻⁸).
+  * which the band/row parameters are chosen to guarantee for near-duplicates
+  * (e.g. 16 bands × 2 rows ⇒ P[miss | J=0.8] ≈ 8·10⁻⁸).
+  *
+  * Caching: each pair operator persists its shingle index (several readers
+  * per query). The cache is session-tracked, so batch jobs are unaffected;
+  * a LONG-LIVED session recomputing dedup repeatedly should call
+  * [[uncacheAll]] between rounds to release old indexes.
   */
 object Dedup {
 
@@ -174,6 +179,13 @@ object Dedup {
       .join(cand, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
   }
+
+  /** Release every cached DataFrame of the session — call between dedup
+    * rounds in long-lived services so superseded shingle indexes don't
+    * accumulate in the block manager.
+    */
+  def uncacheAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.catalog.clearCache()
 
   /** Survivor set from a pair list: a document is dropped iff it appears as
     * the larger id of any near-dup pair (greedy min-id-wins policy — the

@@ -112,16 +112,20 @@ final class DiskUsageHandler(
     extends AutoCloseable {
 
   private val snapshot = new AtomicReference[Map[String, DiskUsage]](Map.empty)
-  @volatile private var refreshes = 0L
+  private val refreshes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def refreshOnce(): Unit = {
+  /** Synchronized: overlapping refreshes (scheduler tick + manual call)
+    * would otherwise race compute-then-set and could publish the OLDER
+    * inventory's snapshot over the newer one.
+    */
+  def refreshOnce(): Unit = synchronized {
     val rows = DiskUsageOp
       .aggregate(loadInventory(), keyCol, sizeCol)
       .withColumnsRenamed(Map("size_bytes" -> "sizeBytes", "number_files" -> "numberFiles"))
       .as(Encoders.product[DiskUsage])
       .collect()
     snapshot.set(rows.iterator.map(d => d.address -> d).toMap) // handler.go:252, race-free
-    refreshes += 1
+    refreshes.incrementAndGet(): Unit
   }
 
   private val exec: ScheduledExecutorService =
@@ -147,7 +151,7 @@ final class DiskUsageHandler(
     */
   def getDiskUsage(address: String): Option[DiskUsage] = snapshot.get.get(address)
 
-  def refreshCount: Long = refreshes
+  def refreshCount: Long = refreshes.get()
 
   def close(): Unit = exec.shutdownNow() // handler.go:70-72
 }

@@ -37,6 +37,13 @@ object Multimodal {
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len"),
       sha2(col(textCol), 256).as("sha256"))
 
+  /** Frame count: ceil(byte_len / frameBytes), with empty payloads counted
+    * as one (degenerate) frame — every document owns ≥ 1 frame and an
+    * exact-multiple payload does NOT get a phantom empty trailing frame.
+    */
+  private def frameCount(byteLen: org.apache.spark.sql.Column, frameBytes: Int) =
+    greatest(lit(1L), ceil(byteLen / frameBytes).cast("long"))
+
   /** Pure-SQL metadata pass over the payload (codegen'd, no stub involved):
     * byte length, content hash, deterministic frame count at `frameBytes`
     * bytes per simulated frame.
@@ -48,7 +55,7 @@ object Multimodal {
         col(idCol),
         col("byte_len"),
         col("sha256"),
-        (floor(col("byte_len") / frameBytes) + 1).cast("long").as("n_frames"))
+        frameCount(col("byte_len"), frameBytes).as("n_frames"))
 
   /** Frame sampling: chop the binary payload into fixed-size frames, one
     * output row per frame, identified by content hash — the video/audio
@@ -60,7 +67,8 @@ object Multimodal {
     withBinaryPayload(docs, idCol, textCol)
       .select(
         col(idCol), col("payload"),
-        explode(sequence(lit(0L), floor(col("byte_len") / frameBytes))).as("frame_idx"))
+        explode(sequence(lit(0L), frameCount(col("byte_len"), frameBytes) - 1))
+          .as("frame_idx"))
       .select(
         col(idCol),
         col("frame_idx"),
@@ -128,7 +136,7 @@ object Multimodal {
           MediaFeatures(
             doc_id = id,
             byte_len = payload.length.toLong,
-            n_frames = payload.length.toLong / frameBytes + 1,
+            n_frames = math.max(1L, (payload.length + frameBytes - 1L) / frameBytes),
             features = stubDecode(payload, dim))
         }
       }(enc)

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
+  /** Cumulative thresholds as 2-char strings comparable against a 2-hex
+    * md5 prefix. A cumulative fraction reaching 1.0 maps to 256, whose
+    * natural "%02x" would be the 3-char "100" — lexicographically SMALLER
+    * than "ff", silently inverting the comparison — so it is clamped to
+    * "zz", which every 2-hex string is below.
+    */
+  private def thresholds(splits: Seq[(String, Double)]): Seq[String] =
+    splits.init.scanLeft(0.0)(_ + _._2).tail.map { c =>
+      val bucket = (c * 256).toInt
+      if (bucket >= 256) "zz" else f"$bucket%02x"
+    }
+
   /** (name, fraction) pairs → a CASE column over the id. Fractions must sum
     * to 1; the last split absorbs rounding.
     */
@@ -21,9 +33,7 @@ object Splits {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
     val hex = substring(md5(idCol.cast("string")), 1, 2)
-    val thresholds = splits.init.scanLeft(0.0)(_ + _._2).tail
-      .map(c => f"${(c * 256).toInt}%02x")
-    splits.init.zip(thresholds).reverse
+    splits.init.zip(thresholds(splits)).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), t)) =>
         when(hex < t, lit(name)).otherwise(acc)
       }
@@ -31,9 +41,7 @@ object Splits {
 
   /** The same thresholds as SQL text, for oracle mirroring. */
   def splitCaseSql(idExpr: String, splits: Seq[(String, Double)]): String = {
-    val thresholds = splits.init.scanLeft(0.0)(_ + _._2).tail
-      .map(c => f"${(c * 256).toInt}%02x")
-    val whens = splits.init.zip(thresholds)
+    val whens = splits.init.zip(thresholds(splits))
       .map { case ((name, _), t) =>
         s"WHEN substring(md5(CAST($idExpr AS VARCHAR)),1,2) < '$t' THEN '$name'"
       }

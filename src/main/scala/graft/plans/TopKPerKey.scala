@@ -66,12 +66,18 @@ final case class TopKPerKeyExec(
     val limit = k
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // children are not contractually UnsafeRow producers — normalize
+      // non-Unsafe rows (identity projection) instead of blind casting
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
         .asInstanceOf[Ordering[UnsafeRow]]
       // max-heap under the sort order: head = worst retained row of the key
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { r =>
-        val row = r.asInstanceOf[UnsafeRow]
+        val row = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>

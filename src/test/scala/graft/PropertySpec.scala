@@ -95,6 +95,41 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getAs[Long]("byte_len") == 0)
   }
 
+  test("array_dot matches the built-in fold on nulls and length mismatch") {
+    import graft.operators.Similarity
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0d, 2.0d),       array(3.0d, 4.0d)),
+        |  (array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d)),
+        |  (array(1.0d, 2.0d, 5.0d), array(3.0d, 4.0d)),
+        |  (CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS t(a, b)""".stripMargin)
+    val got = rows.select(
+        Similarity.dot(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("fused"),
+        Similarity.dotBuiltin(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("builtin"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: fused=${r.get(0)} builtin=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(got(0).getDouble(0) == 11.0 && got(1).isNullAt(0) &&
+      got(2).isNullAt(0) && got(3).isNullAt(0))
+  }
+
+  test("split thresholds survive degenerate fractions (1.0 cumulative)") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val df = (0L until 500L).toDF("id")
+    val all = Splits.assign(df, "id", Seq("train" -> 1.0, "test" -> 0.0))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("train" -> 500L), s"got $all")
+    val fracs = Splits.assign(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fracs.values.sum == 500L && fracs("train") > 350 && fracs("train") < 450, s"got $fracs")
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

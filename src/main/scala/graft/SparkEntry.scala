@@ -499,6 +499,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_scrub" -> ((s, dir) => {
+      // synthesize text that actually contains PII so the redaction fires
+      val raw = t(s, dir, "events").select(
+        col("event_id"),
+        concat(
+          lit("user u"), col("user_id"),
+          lit(" mail u"), col("user_id"), lit("@mail.example"),
+          lit(" see http://site.example/e/"), col("event_id"),
+          lit(" type "), col("event_type")).as("text"))
+      TextAnalysis.scrub(raw, "event_id", "text").orderBy(col("event_id"))
+    }),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
     "mm_frames" -> ((s, dir) =>
@@ -1058,6 +1069,18 @@ object SparkEntry {
         |       MIN(win_min) AS min_fingerprint,
         |       md5(MIN(norm)) AS doc_md5
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_scrub" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |         'user u'||CAST(user_id AS VARCHAR)||' mail u'||CAST(user_id AS VARCHAR)||'@mail.example'||
+        |         ' see http://site.example/e/'||CAST(event_id AS VARCHAR)||' type '||event_type AS text
+        |  FROM events)
+        |SELECT event_id,
+        |       regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls
+        |FROM raw ORDER BY event_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),

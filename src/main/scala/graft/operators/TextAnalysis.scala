@@ -116,6 +116,25 @@ object TextAnalysis {
             (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
         ))).as("shingle"))
 
+  /** PII scrubbing: redact emails and URLs with placeholder tokens and
+    * count the redactions — the privacy pass of a training-data pipeline.
+    * Patterns stick to character classes both Java regex and RE2 interpret
+    * identically (no lookaround, no backrefs), so the operation is
+    * engine-portable; row-local and codegen'd, no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(col(textCol), UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>").as("scrubbed"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .cast("long").as("n_urls"))
+
   /** TF-IDF over whitespace tokens: term frequency per (doc, word), document
     * frequency per word, weight = tf · ln(N/df). Corpus size joins in as a
     * broadcast scalar (no driver-side action, no global state) — two keyed

@@ -516,6 +516,11 @@ object SparkEntry {
       Multimodal.frameSample(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    "pipeline_prep" -> ((s, dir) =>
+      // the composed corpus-prep flow: dedup → quality filter → splits
+      graft.operators.Pipeline.prepareCorpus(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // -------- multimodal plumbing (SURVEY §2.12)
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -1069,6 +1074,25 @@ object SparkEntry {
         |       MIN(win_min) AS min_fingerprint,
         |       md5(MIN(norm)) AS doc_md5
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_prep" -> (shingleCte + {
+      val splitCase = graft.operators.Splits.splitCaseSql(
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s""", dropped AS (
+         |  SELECT DISTINCT p.b AS doc_id
+         |  FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens,
+         |         CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT) AS alpha_ratio
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |sc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         ROUND(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 + alpha_ratio*0.5, 6) AS quality_score
+         |  FROM q)
+         |SELECT doc_id, $splitCase AS split, lang, n_tokens, quality_score
+         |FROM sc WHERE quality_score >= 0.55 ORDER BY doc_id""".stripMargin
+    }),
     "text_scrub" ->
       """WITH raw AS (
         |  SELECT event_id,

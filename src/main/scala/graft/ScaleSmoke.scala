@@ -71,6 +71,18 @@ object ScaleSmoke {
     timed("simhash pairs (50k docs)") {
       Dedup.simhashPairs(docs, tau = 0.6).count()
     }
+    // custom TopKPerKey vs the window form on the same 5M-row input
+    timed("top-3/user via window (5M)") {
+      import org.apache.spark.sql.expressions.Window
+      events.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rn") <= 3).count()
+    }
+    timed("top-3/user via TopKPerKey (5M)") {
+      graft.plans.TopK.perKey(events, Seq("user_id"),
+        Seq("value" -> false, "event_id" -> true), k = 3).count()
+    }
     spark.stop()
   }
 }

@@ -202,11 +202,14 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
     "q_scalar_subquery" -> ((s, dir) => {
+      // price > 2·avg phrased as price·n > 2·Σprice with a decimal-exact
+      // sum, so the threshold is identical across engines
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
       t(s, dir, "customer").createOrReplaceTempView("customer_sv")
       s.sql(
         """SELECT o_orderkey, o_totalprice FROM orders_v
-          |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_v)
+          |WHERE o_totalprice * (SELECT COUNT(*) FROM orders_v)
+          |      > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders_v)
           |  AND o_custkey IN (SELECT c_custkey FROM customer_sv WHERE c_mktsegment = 'BUILDING')
           |ORDER BY o_orderkey""".stripMargin)
     }),
@@ -285,12 +288,17 @@ object SparkEntry {
           |ORDER BY returnflag, linestatus""".stripMargin)
     }),
     "q_correlated_subquery" -> ((s, dir) => {
-      // Catalyst decorrelates the scalar subquery into an aggregate + join
+      // Catalyst decorrelates the scalar subqueries into aggregates + joins.
+      // "above the nation average" is phrased as bal·n > Σbal with a
+      // decimal-exact sum — an order-insensitive equivalent (a raw AVG of
+      // doubles differs in final ulps between engines).
       t(s, dir, "customer").createOrReplaceTempView("customer_v")
       s.sql(
         """SELECT c_custkey, c_acctbal FROM customer_v c
-          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+          |WHERE c_acctbal * (SELECT COUNT(*) FROM customer_v c2
           |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |      > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+          |         FROM customer_v c3 WHERE c3.c_nationkey = c.c_nationkey)
           |ORDER BY c_custkey""".stripMargin)
     }),
     "q_string_funcs" -> ((s, dir) =>
@@ -715,7 +723,8 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        |WHERE o_totalprice * (SELECT COUNT(*) FROM orders)
+        |      > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
     "q_topk_acctbal" ->
@@ -780,8 +789,10 @@ object SparkEntry {
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c
-        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |WHERE c_acctbal * (SELECT COUNT(*) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |      > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |         FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
@@ -1093,18 +1104,23 @@ object SparkEntry {
          |SELECT doc_id, $splitCase AS split, lang, n_tokens, quality_score
          |FROM sc WHERE quality_score >= 0.55 ORDER BY doc_id""".stripMargin
     }),
-    "text_scrub" ->
-      """WITH raw AS (
-        |  SELECT event_id,
-        |         'user u'||CAST(user_id AS VARCHAR)||' mail u'||CAST(user_id AS VARCHAR)||'@mail.example'||
-        |         ' see http://site.example/e/'||CAST(event_id AS VARCHAR)||' type '||event_type AS text
-        |  FROM events)
-        |SELECT event_id,
-        |       regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
-        |                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed,
-        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls
-        |FROM raw ORDER BY event_id""".stripMargin,
+    "text_scrub" -> {
+      // interpolate the shared pattern constants — the oracle must follow
+      // any future pattern change automatically
+      val em = TextAnalysis.EmailPattern
+      val url = TextAnalysis.UrlPattern
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |         'user u'||CAST(user_id AS VARCHAR)||' mail u'||CAST(user_id AS VARCHAR)||'@mail.example'||
+         |         ' see http://site.example/e/'||CAST(event_id AS VARCHAR)||' type '||event_type AS text
+         |  FROM events)
+         |SELECT event_id,
+         |       regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+         |                      '$em', '<EMAIL>', 'g') AS scrubbed,
+         |       CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
+         |FROM raw ORDER BY event_id""".stripMargin
+    },
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),

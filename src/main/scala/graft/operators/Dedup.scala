@@ -45,10 +45,16 @@ object Dedup {
     * operator reads the index several times (sizes, intersection sides,
     * signatures) and recomputing the explode per use dominated the runtime.
     */
-  private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val df = TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
       .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(df)
+    df
+  }
 
   /** (doc_a, doc_b, jaccard ≥ tau) from an intersection-count DataFrame
     * (doc_a, doc_b, common) plus per-doc shingle counts.
@@ -180,12 +186,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
   }
 
-  /** Release every cached DataFrame of the session — call between dedup
-    * rounds in long-lived services so superseded shingle indexes don't
-    * accumulate in the block manager.
+  /** Release exactly the shingle indexes this object has persisted — call
+    * between dedup rounds in long-lived services so superseded indexes
+    * don't accumulate in the block manager. Touches nothing else the
+    * session may have cached.
     */
-  def uncacheAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.catalog.clearCache()
+  def uncacheAll(): Unit = {
+    var df = persisted.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persisted.poll()
+    }
+  }
 
   /** Survivor set from a pair list: a document is dropped iff it appears as
     * the larger id of any near-dup pair (greedy min-id-wins policy — the

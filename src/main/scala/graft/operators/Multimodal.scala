@@ -99,6 +99,7 @@ object Multimodal {
     * can fuse it with decode.
     */
   def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = payload(i * factor); i += 1 }
@@ -109,6 +110,7 @@ object Multimodal {
     * as [[extractFeatures]]).
     */
   def resize(withPayload: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor") // fail at plan time, not per task
     implicit val enc = Encoders.product[Resized]
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>

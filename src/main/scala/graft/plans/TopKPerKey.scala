@@ -80,13 +80,14 @@ final case class TopKPerKeyExec(
         }
         val key = keyProj(row)
         heaps.get(key) match {
-          case None =>
+          case None if limit > 0 =>
             val h = mutable.PriorityQueue.empty[UnsafeRow](ord)
             h += row.copy()
             heaps.put(key.copy(), h)
           case Some(h) =>
             if (h.size < limit) h += row.copy()
             else if (ord.lt(row, h.head)) { h.dequeue(); h += row.copy() }
+          case None => () // k <= 0: nothing retained (guarded in TopK.perKey)
         }
       }
       // emit each key's rows in sort order (dequeueAll yields worst-first)
@@ -117,21 +118,37 @@ object TopK {
     * include a unique tie-break column for deterministic results. Columns
     * are resolved by name against the input's analyzed output (Spark 4's
     * public Column wrappers resolve lazily and never materialize inside a
-    * third-party logical node, so names are the robust currency here).
+    * third-party logical node, so names are the robust currency here):
+    * exact match first, case-insensitive fallback, ambiguity rejected.
+    *
+    * Floating-point key columns are wrapped with Catalyst's
+    * NormalizeFloatingNumbers.normalize — the optimizer applies that rule
+    * only to nodes it knows (window/aggregate/join), so a third-party node
+    * must normalize itself or `-0.0`/`0.0` (and NaN bit patterns) would
+    * hash to different partitions and heaps despite being SQL-equal.
     */
   def perKey(
       df: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     install(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${analyzed.output.map(_.name).mkString(",")}"))
-    val keys = keyCols.map(attr)
+    def attr(name: String): Attribute = {
+      val exact = analyzed.output.filter(_.name == name)
+      val found = if (exact.nonEmpty) exact
+        else analyzed.output.filter(_.name.equalsIgnoreCase(name))
+      require(found.size == 1,
+        s"column $name ${if (found.isEmpty) "not found in" else "is ambiguous among"} " +
+          analyzed.output.map(_.name).mkString(","))
+      found.head
+    }
+    val keys = keyCols.map(attr).map { a =>
+      if (ColumnBridge.containsFloat(a.dataType)) ColumnBridge.normalizeFloating(a)
+      else a
+    }
     val order = orderCols.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

@@ -30,6 +30,21 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Canonicalize -0.0/NaN in a (possibly nested) floating-point expression
+    * — NormalizeFloatingNumbers.normalize is `private[sql]`, but third-party
+    * operators that hash or group on float keys must apply it themselves
+    * (the optimizer rule only visits nodes it knows).
+    */
+  def normalizeFloating(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** True if the type (recursively) contains FloatType/DoubleType. */
+  def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.existsRecursively {
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
   /** DataFrame from a LogicalPlan (runs the analyzer) — the classic
     * `Dataset.ofRows` went `private[sql]` with the Connect split.
     */

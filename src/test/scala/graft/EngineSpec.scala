@@ -379,6 +379,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected sort under TopKPerKey:\n$plan")
   }
 
+  test("TopKPerKey treats -0.0 and 0.0 (and NaN variants) as one key") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L), (Double.NaN, 5L),
+      (Double.NaN, 6L)).toDF("k", "id")
+    val got = graft.plans.TopK.perKey(df, Seq("k"), Seq("id" -> true), k = 1)
+      .collect().map(_.getLong(1)).toSet
+    // one row per SQL-equal key: {0.0-group → 1, 1.5 → 4, NaN-group → 5}
+    assert(got == Set(1L, 4L, 5L), s"got $got")
+  }
+
   test("FuseDotProduct rule rewrites the built-in fold into array_dot") {
     spark.experimental.extraOptimizations = Seq(graft.functions.FuseDotProduct)
     try {

@@ -242,6 +242,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming file sink: watermarked windows append to parquet with checkpointing") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val out = Files.createTempDirectory("sink").toString
+    val q = graft.streaming.EventTimeWindows.windowedCounts(
+        in.toDF().toDF("ts", "etype"), "ts", "etype", "5 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "a"), (ts(30), "b")) // 10:30 finalizes 10:00
+      q.processAllAvailable()
+      in.addData((ts(59), "b")) // finalize the 10:30 window too
+      q.processAllAvailable()
+      val files = spark.read.parquet(s"$out/data")
+        .select(date_format(col("win_start"), "HH:mm").as("w"), col("etype"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(files == Set(("10:00", "a", 2L), ("10:30", "b", 1L)), s"got $files")
+    } finally q.stop()
+  }
+
   test("arbitrary stateful streaming: mapGroupsWithState running count per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

@@ -455,6 +455,32 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "du_size_histogram" -> ((s, dir) => {
+      // operational distribution: how many addresses fall in each usage
+      // band (exact integer thresholds — no float binning at the boundary)
+      val inv = t(s, dir, "events").select(
+        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        floor(col("value") * 100).as("size"))
+      DiskUsageOp.aggregate(inv)
+        .select(
+          when(col("size_bytes") < 10000, "small")
+            .when(col("size_bytes") < 50000, "medium")
+            .when(col("size_bytes") < 100000, "large")
+            .otherwise("huge").as("band"),
+          col("number_files"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_addresses"), sum(col("number_files")).as("n_files"))
+        .orderBy(col("band"))
+    }),
+    "dedup_stats" -> ((s, dir) => {
+      // one-row corpus summary of the dedup pass
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.6)
+      val survivors = Dedup.survivors(docs, pairs)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    }),
     "du_top_addresses" -> ((s, dir) => {
       // heavy-hitters: the operational "which users eat the bucket" query
       val inv = t(s, dir, "events").select(
@@ -1001,6 +1027,31 @@ object SparkEntry {
         |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6)
         |ORDER BY doc_id""".stripMargin),
+    "du_size_histogram" ->
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,
+        |         CAST(floor(value * 100) AS BIGINT) AS size FROM events),
+        |agg AS (
+        |  SELECT split_part(key,'/',1) AS address,
+        |         CAST(SUM(size) AS BIGINT) AS size_bytes,
+        |         COUNT(*) AS number_files
+        |  FROM inv WHERE key LIKE '%/%' GROUP BY 1)
+        |SELECT CASE WHEN size_bytes < 10000 THEN 'small'
+        |            WHEN size_bytes < 50000 THEN 'medium'
+        |            WHEN size_bytes < 100000 THEN 'large'
+        |            ELSE 'huge' END AS band,
+        |       COUNT(*) AS n_addresses,
+        |       CAST(SUM(number_files) AS BIGINT) AS n_files
+        |FROM agg GROUP BY 1 ORDER BY band""".stripMargin,
+    "dedup_stats" -> (shingleCte +
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |       (SELECT COUNT(*) FROM p
+        |        JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |        WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6) AS n_pairs,
+        |       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (
+        |          SELECT p.b FROM p
+        |          JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |          WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6)) AS n_survivors""".stripMargin),
     "du_top_addresses" ->
       """WITH inv AS (
         |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,

@@ -95,6 +95,25 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getAs[Long]("byte_len") == 0)
   }
 
+  test("TopKPerKey equals the window form on random keyed data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val data = Gen.listOfN(3000,
+        for { k <- Gen.choose(0, 40); v <- Gen.choose(-1000, 1000) } yield (k, v))
+      .sample.get.zipWithIndex
+      .map { case ((k, v), id) => (k.toLong, v.toLong, id.toLong) }
+    val df = data.toDF("k", "v", "id")
+    for (kk <- Seq(1, 3, 7)) {
+      val custom = graft.plans.TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), kk)
+        .collect().map(_.toSeq).toSet
+      val window = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= kk).drop("rn")
+        .collect().map(_.toSeq).toSet
+      assert(custom == window, s"k=$kk: ${custom.size} vs ${window.size} rows")
+    }
+  }
+
   test("array_dot matches the built-in fold on nulls and length mismatch") {
     import graft.operators.Similarity
     val rows = spark.sql(

@@ -68,9 +68,35 @@ object ScaleSmoke {
     timed("minhash LSH pairs (50k docs)") {
       Dedup.minhashLshPairs(docs, tau = 0.6).count()
     }
+    Dedup.uncacheAll()
     timed("simhash pairs (50k docs)") {
       Dedup.simhashPairs(docs, tau = 0.6).count()
     }
+    Dedup.uncacheAll()
+    // dup-heavy corpus: 5k distinct texts × 10 EXACT copies — the SimHash
+    // skew case (identical fingerprints pile into the same 28 pair-keys).
+    // The collapse-first rewrite runs candidates once per distinct text.
+    val dupHeavy = spark.read.parquet(s"$base/documents.parquet")
+      .withColumn("rep", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"), col("lang"))
+    timed("simhash pairs, dup-heavy (50k docs)") {
+      Dedup.simhashPairs(dupHeavy, tau = 0.6).count()
+    }
+    Dedup.uncacheAll()
+    // planted viral shingle: one boilerplate 3-gram shared by EVERY doc —
+    // the exact join's O(df²) bomb (50k docs → 1.25B join rows from that one
+    // key). df-pruning drops it before the join; the unpruned form is only
+    // run on a 5k subset (df² = 12.5M) to keep the smoke finite.
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"), lit(" xviral yviral zviral")).as("text"))
+    timed("exact jaccard, viral, df<=1000 (50k)") {
+      Dedup.ngramJaccardPairs(planted, tau = 0.6, maxDf = Some(1000L)).count()
+    }
+    Dedup.uncacheAll()
+    timed("exact jaccard, viral, unpruned (5k)") {
+      Dedup.ngramJaccardPairs(planted.filter(col("doc_id") % 10 === 0), tau = 0.6).count()
+    }
+    Dedup.uncacheAll()
     // custom TopKPerKey vs the window form on the same 5M-row input
     timed("top-3/user via window (5M)") {
       import org.apache.spark.sql.expressions.Window

@@ -92,15 +92,33 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: every pair (a<b) with J ≥ tau.
     * Single pass over the inverted shingle index: the self-join on shingle
     * directly yields intersection counts (no separate candidate + re-verify
-    * scan). At scale, cap the fan-out of ultra-common shingles
-    * (document-frequency pruning) or switch to [[minhashLshPairs]] — the LSH
-    * path exists exactly because this join is quadratic in per-shingle
-    * document frequency.
+    * scan).
+    *
+    * `maxDf`: document-frequency pruning — the fan-out cap for the self-join.
+    * The join's cost is O(Σ_shingle df²), so one viral shingle (a boilerplate
+    * header shared by millions of docs) detonates it at corpus scale. With
+    * `maxDf = Some(cap)`, shingles appearing in more than `cap` documents are
+    * dropped from the universe BEFORE the join (both intersection counts and
+    * per-doc sizes are computed over the pruned universe, so the emitted
+    * Jaccard is exactly "Jaccard over non-viral shingles" — a well-defined,
+    * oracle-reproducible statistic, and the standard trade: ultra-common
+    * shingles carry ~zero similarity signal). With `None` (default) the
+    * operator is the exact all-shingle form used as the oracle baseline; at
+    * 100 TB use `Some(cap)` or switch to [[minhashLshPairs]].
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, tau: Double = 0.6): DataFrame = {
-    val shingled = sh(docs, idCol, textCol, n)
+      n: Int = 3, tau: Double = 0.6, maxDf: Option[Long] = None): DataFrame = {
+    val all = sh(docs, idCol, textCol, n)
+    val shingled = maxDf match {
+      case Some(cap) =>
+        // shingles are distinct per doc, so count(*) per hash IS document
+        // frequency; the anti-join drops the viral tail before any fan-out
+        val keep = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("h"))
+        all.join(keep, Seq("h"))
+      case None => all
+    }
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = shingled.as("l")
       .join(shingled.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
@@ -153,7 +171,19 @@ object Dedup {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 6, "pair-of-blocks pigeonhole guarantees recall only to Hamming 6")
-    val shingled = sh(docs, idCol, textCol, n)
+    // De-skew: exact duplicates share fingerprint AND shingle set, so on a
+    // dup-heavy corpus they all collide in the same 28 pair-keys and the
+    // candidate join degenerates to quadratic on those hot keys. Collapse to
+    // one representative per distinct text, run candidate generation +
+    // verification once per TEXT, then expand groups back. Within-group
+    // pairs are exact duplicates (Jaccard 1, Hamming 0) — no recompute;
+    // cross-group pairs inherit the representative pair's jaccard/hamming
+    // verbatim (both are pure functions of the text).
+    val members = docs.select(col(idCol).as("m_id"), md5(col(textCol)).as("th"))
+    val repDocs = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("th"))
+      .groupBy(col("th"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    val shingled = sh(repDocs, idCol, textCol, n)
     val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
     val bitCols = (0 until 32).map { k =>
       sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$k")
@@ -181,9 +211,33 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
+    val repPairs = verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
       .join(cand, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
+    // expand representatives back to member ids
+    val repTh = repDocs.select(col(idCol).as("rep_id"), col("th"))
+    val cross = repPairs
+      .join(repTh.select(col("rep_id").as("doc_a"), col("th").as("th_a")), Seq("doc_a"))
+      .join(repTh.select(col("rep_id").as("doc_b"), col("th").as("th_b")), Seq("doc_b"))
+      .join(members.select(col("m_id").as("a_id"), col("th").as("th_a")), Seq("th_a"))
+      .join(members.select(col("m_id").as("b_id"), col("th").as("th_b")), Seq("th_b"))
+      .select(
+        least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"),
+        col("jaccard"), col("hamming"))
+    // within-group pairs: identical texts → J = 1, Hamming = 0 — emitted only
+    // for texts that actually have ≥ 1 shingle (matching the oracle, which
+    // computes Jaccard from shingle sets and skips shingle-less docs)
+    val eligible = shingled.select(col("id").as("rep_id")).distinct()
+    val within = members.as("x")
+      .join(members.as("y"), col("x.th") === col("y.th") && col("x.m_id") < col("y.m_id"))
+      .join(repTh, col("x.th") === repTh("th")) // th → rep id
+      .join(eligible, Seq("rep_id"))
+      .select(
+        col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
+        lit(1.0).as("jaccard"), lit(0L).as("hamming"))
+      .filter(lit(1.0) >= tau && lit(0) <= maxHamming) // constant-folded guard
+    cross.unionAll(within)
   }
 
   /** Release exactly the shingle indexes this object has persisted — call
@@ -194,7 +248,11 @@ object Dedup {
   def uncacheAll(): Unit = {
     var df = persisted.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      // the queue is process-global: an entry may belong to a session that
+      // has since been stopped (e.g. another test suite's), whose block
+      // manager is gone — nothing to release there, so swallow the failure
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
       df = persisted.poll()
     }
   }

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   * Each stage is one of the already-verified operators; the composition is
   * itself registered as an oracle-checked query (`pipeline_prep`), so the
   * whole flow — not just its pieces — is held to the correctness gate.
-  * Plan shape: the dedup self-join and the quality scan share the document
-  * read; split assignment and scoring are row-local; one final broadcast
-  * anti-join removes the dropped ids.
+  * Plan shape: the dedup banded-LSH join and the quality scan share the
+  * document read; split assignment and scoring are row-local; one final
+  * broadcast anti-join removes the dropped ids.
+  *
+  * The dedup stage rides [[Dedup.minhashLshPairs]] — the bucketed 100 TB
+  * path (candidates ∝ band-bucket collisions, never all-pairs) — NOT the
+  * exact quadratic n-gram self-join. At the default band/row parameters the
+  * LSH output is proven equal to the exact operator's on the fixtures
+  * (EngineSpec "LSH minhash pairs == exact ngram pairs"), so the pipeline's
+  * DuckDB oracle remains the exact-Jaccard formulation.
   */
 object Pipeline {
 
@@ -27,7 +34,7 @@ object Pipeline {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val deduped = Dedup.survivors(
-      docs, Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3, tau = dedupTau), idCol)
+      docs, Dedup.minhashLshPairs(docs, idCol, textCol, n = 3, tau = dedupTau), idCol)
     val scored = TextAnalysis.qualityScore(deduped, idCol, textCol)
       .filter(col("quality_score") >= minQuality)
     Splits.assign(scored, idCol, splits)

@@ -68,19 +68,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Sign-bit bucket id from hyperplane dot products. `planes` must be small
-    * (it is collected into a broadcast join); each row: (plane_id, v).
+  /** Collect the (small by contract) hyperplane table to the driver once;
+    * each plane becomes an inline array literal in the bucket expression.
+    */
+  private[graft] def collectPlanes(planes: DataFrame): Seq[(Int, Seq[Double])] =
+    planes.select(col("plane_id").cast("int"), col("pv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector: Seq[Double])).toSeq
+
+  /** Sign-bit bucket id from hyperplane dot products, as ONE row-local
+    * projection: planes are inlined as array literals, so the bucket is
+    * computed with zero shuffle and zero vector duplication. (The round-1
+    * form crossJoined |N|×planes rows carrying the full vectors and then
+    * re-grouped by id just to sum sign bits — a ×planes shuffle
+    * amplification this projection removes.) Each `planes` row: (plane_id, pv).
     */
   def withBuckets(vectors: DataFrame, planes: DataFrame): DataFrame = {
-    val bits = vectors
-      .crossJoin(broadcast(planes.select(col("plane_id"), col("pv"))))
-      .select(
-        col("id"), col("v"), col("nrm"),
-        when(dot(col("v"), col("pv")) > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INT))"))
-          .otherwise(lit(0L)).as("bit"))
-    bits.groupBy(col("id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"), sum(col("bit")).as("bucket"))
+    val ps = collectPlanes(planes)
+    require(ps.nonEmpty, "planes must be non-empty")
+    require(ps.forall(_._1 < 63), "plane_id must fit a 64-bit bucket")
+    val bucket = ps.map { case (pid, pv) =>
+      when(dot(col("v"), typedLit(pv)) > 0, lit(1L << pid)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select(col("id"), col("v"), col("nrm"), bucket.as("bucket"))
+  }
+
+  /** Band-OR sign buckets — the multi-probe recall knob. Planes are split
+    * into `bands` contiguous groups (by plane_id order); each vector emits
+    * one (band, bucket) key per band, and two vectors are candidates if they
+    * collide in ANY band (mirroring [[Dedup.minhashLshPairs]] banding). With
+    * per-bit disagreement probability p = θ/π, a true neighbor is missed
+    * only if every band contains a disagreeing bit: P[miss] = (1-(1-p)^r)^b
+    * for r planes per band — strictly better recall than the single
+    * all-planes bucket's 1-(1-p)^(rb), at the cost of b keys per vector.
+    */
+  def withBandBuckets(vectors: DataFrame, planes: DataFrame, bands: Int): DataFrame = {
+    val ps = collectPlanes(planes).sortBy(_._1)
+    require(bands >= 1 && ps.nonEmpty && ps.size % bands == 0,
+      s"bands ($bands) must evenly divide the plane count (${ps.size})")
+    val perBand = ps.size / bands
+    val bandCols = ps.grouped(perBand).toSeq.map { grp =>
+      grp.zipWithIndex.map { case ((_, pv), k) =>
+        when(dot(col("v"), typedLit(pv)) > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    vectors.select(col("id"), col("v"), col("nrm"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
 
   /** Approximate top-k: queries only compare against neighbors in their own
@@ -97,6 +129,38 @@ object Similarity {
       .select(
         col("query_id"),
         col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
+      .withColumn("rank", row_number().over(rankWindow).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Banded approximate top-k: a query compares against neighbors sharing
+    * ANY band's bucket (see [[withBandBuckets]]). Candidate ids are made
+    * distinct over a narrow (id, band, bucket) projection — vectors are
+    * joined back only for the final scoring, so the distinct never carries
+    * array payloads.
+    */
+  def lshTopKBanded(
+      emb: DataFrame, queries: DataFrame, planes: DataFrame, bands: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val np = prepared(emb, idCol, embCol)
+    val qp = prepared(queries, idCol, embCol)
+    val cand = withBandBuckets(qp, planes, bands)
+      .select(col("id").as("query_id"), col("band"), col("bucket"))
+      .join(withBandBuckets(np, planes, bands)
+        .select(col("id").as("neighbor_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    cand
+      .join(qp.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(np.select(col("id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
       .withColumn("rank", row_number().over(rankWindow).cast("long"))
       .filter(col("rank") <= k)

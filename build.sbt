@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The three suites share one SparkSession (getOrCreate) in the forked JVM;
+// running them concurrently races the block-manager cache (persist/unpersist
+// of dedup shingle indexes from different suites) — observed as rare
+// spurious set-mismatch failures. Suites are independent, sessions aren't.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

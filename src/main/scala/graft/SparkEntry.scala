@@ -36,6 +36,15 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** '/'-joined key with NULL-PROPAGATING semantics: one null segment nulls
+    * the whole key, exactly like the oracle's `||`. (concat_ws would skip
+    * null segments and silently diverge from the oracle on null inputs —
+    * the fixtures are null-free today, but the semantics should not depend
+    * on that.)
+    */
+  private def slashKey(cols: Column*): Column =
+    concat(cols.map(_.cast("string")).flatMap(c => Seq(c, lit("/"))).dropRight(1): _*)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("du_by_address")(spark, "/root/testdata/sf0.001")
@@ -49,7 +58,7 @@ object SparkEntry {
       // split key → SUM/COUNT by address. Key synthesized as
       // user_id/event_type/event_id to exercise the split exactly.
       val inv = t(s, dir, "events").select(
-        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         col("value").as("size"))
       DiskUsageOp.aggregateFractional(inv).orderBy(col("address"))
     }),
@@ -62,7 +71,7 @@ object SparkEntry {
     "du_point_lookup" -> ((s, dir) => {
       // GetDiskUsage equality probe (handler.go:257-262) as an engine predicate.
       val inv = t(s, dir, "events").select(
-        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         col("value").as("size"))
       DiskUsageOp.aggregateFractional(inv)
         .filter(col("address") === lit("42"))
@@ -74,7 +83,7 @@ object SparkEntry {
         .select(
           col("event_id"),
           when(col("event_id") % 7 === 0, col("event_type"))
-            .otherwise(concat_ws("/", col("user_id"), col("event_id"))).as("key"))
+            .otherwise(slashKey(col("user_id"), col("event_id"))).as("key"))
         .filter(col("key").contains("/"))
         .orderBy(col("event_id"))),
     "du_path_extract" -> ((s, dir) =>
@@ -82,7 +91,7 @@ object SparkEntry {
       t(s, dir, "events")
         .select(
           col("event_id"),
-          concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"))
+          slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"))
         .select(
           col("event_id"),
           substring_index(col("key"), "/", 1).as("address"),
@@ -334,9 +343,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       // event-time sessionization over the nanos ts column (read as long —
       // Spark's reader refuses TIMESTAMP(NANOS) without the legacy flag).
-      // Deliberately session-global and NOT restored: the flag must still
-      // be set when this lazy plan executes, and its only effect is turning
-      // otherwise-fatal nanos reads into long reads.
+      // The flag is a declared session config of the harness builders
+      // (Verify/Bench); it is re-asserted here only so the query stays
+      // self-contained on a fresh session. It cannot be scoped-and-restored:
+      // it must still be set when this LAZY plan executes, and its only
+      // effect is turning otherwise-fatal nanos reads into long reads.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
@@ -407,6 +418,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_ngram_jaccard_pruned" -> ((s, dir) =>
+      // document-frequency-pruned exact Jaccard: shingles in > 10 docs are
+      // dropped BEFORE the self-join, capping the join's per-key fan-out (the
+      // viral-shingle scale-killer); the oracle applies the identical df cap
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxDf = Some(10L))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6, bands = 16, rows = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -441,6 +458,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_lsh_banded_topk" -> ((s, dir) => {
+      // band-OR multi-probe: candidates collide in ANY of 2 bands × 2 planes
+      // — the recall knob the single-bucket probe lacks
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      Similarity.lshTopKBanded(emb, emb.filter(col("vec_id") < 10), planes, bands = 2, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
@@ -450,8 +477,11 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
     "dedup_survivors" -> ((s, dir) => {
+      // rides the banded-LSH path (the 100 TB shape); output is proven equal
+      // to the exact quadratic form at these parameters (EngineSpec), so the
+      // oracle stays the exact-Jaccard SQL
       val docs = t(s, dir, "documents")
-      Dedup.survivors(docs, Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.6))
+      Dedup.survivors(docs, Dedup.minhashLshPairs(docs, n = 3, tau = 0.6))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -459,7 +489,7 @@ object SparkEntry {
       // operational distribution: how many addresses fall in each usage
       // band (exact integer thresholds — no float binning at the boundary)
       val inv = t(s, dir, "events").select(
-        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         floor(col("value") * 100).as("size"))
       DiskUsageOp.aggregate(inv)
         .select(
@@ -473,9 +503,10 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
     "dedup_stats" -> ((s, dir) => {
-      // one-row corpus summary of the dedup pass
+      // one-row corpus summary of the dedup pass — banded-LSH hot path,
+      // exact-Jaccard oracle (outputs proven equal at these parameters)
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.6)
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, tau = 0.6)
       val survivors = Dedup.survivors(docs, pairs)
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
@@ -484,7 +515,7 @@ object SparkEntry {
     "du_top_addresses" -> ((s, dir) => {
       // heavy-hitters: the operational "which users eat the bucket" query
       val inv = t(s, dir, "events").select(
-        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         col("value").as("size"))
       DiskUsageOp.aggregateFractional(inv)
         .orderBy(col("size_bytes").desc, col("address"))
@@ -518,7 +549,7 @@ object SparkEntry {
       // floor (not cast) for the double→long derivation: Spark's cast
       // truncates where DuckDB's rounds, floor is identical in both
       val inv = t(s, dir, "events").select(
-        concat_ws("/", col("user_id"), col("event_type"), col("event_id")).as("key"),
+        slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         floor(col("value") * 100).as("size"))
       DiskUsageOp.aggregateSalted(inv).orderBy(col("address"))
     }),
@@ -559,10 +590,20 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "mm_features" -> ((s, dir) =>
-      // mapPartitions decode stage (stubbed codec, real plumbing); not
-      // SQL-expressible → no oracle entry, driver records rows-only check
+      // mapPartitions decode stage (stubbed codec, real plumbing). The raw
+      // array<double> output is not oracle-hashable, so the verified shape
+      // explodes each feature lane and de-scales it to the exact integer it
+      // accumulates (lane value = Σ bytes/255.0 → ×255 → byte sum): every
+      // emitted column is an exactly-comparable integer, and the DuckDB
+      // oracle recomputes the same byte math over the ASCII corpus
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(t(s, dir, "documents")))
-        .orderBy(col("doc_id")))
+        .select(col("doc_id"), col("byte_len"), col("n_frames"),
+          posexplode(col("features")).as(Seq("i", "feature")))
+        .select(
+          col("doc_id"), col("byte_len"), col("n_frames"),
+          col("i").cast("long").as("i"),
+          round(col("feature") * 255.0).cast("long").as("lane_byte_sum"))
+        .orderBy(col("doc_id"), col("i")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -910,6 +951,17 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(0.6),
+    "dedup_ngram_jaccard_pruned" -> (shingleCte +
+      """, keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10),
+        |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        |nn2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+        |p2 AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |       FROM sh2 x JOIN sh2 y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2)
+        |SELECT p2.a AS doc_a, p2.b AS doc_b,
+        |       CAST(p2.c AS DOUBLE)/(na.n+nb.n-p2.c) AS jaccard
+        |FROM p2 JOIN nn2 na ON na.doc_id=p2.a JOIN nn2 nb ON nb.doc_id=p2.b
+        |WHERE CAST(p2.c AS DOUBLE)/(na.n+nb.n-p2.c) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
     "dedup_simhash" -> simhashOracle(0.6, 6),
     "dedup_embedding_cosine" -> (embCte +
@@ -968,6 +1020,36 @@ object SparkEntry {
         |cand AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM bk q JOIN bk n ON q.bucket=n.bucket AND q.vec_id<10 AND q.vec_id<>n.vec_id),
+        |dd AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  FROM cand c
+        |  JOIN f a ON a.vec_id=c.query_id
+        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+        |  GROUP BY 1,2),
+        |ss AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM ss)
+        |SELECT query_id, neighbor_id, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_lsh_banded_topk" -> (embCte +
+      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+        |pd AS (
+        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
+        |bkb AS (
+        |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1,2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM bkb q JOIN bkb n ON q.band=n.band AND q.bucket=n.bucket
+        |  WHERE q.vec_id<10 AND q.vec_id<>n.vec_id),
         |dd AS (
         |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
         |  FROM cand c
@@ -1202,6 +1284,27 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS sha256,
         |       greatest(1, CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT)) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      // recomputes the stub decode's byte math: lane i accumulates
+      // byte/255.0 over payload positions ≡ i (mod 8), so lane×255 rounds to
+      // the exact per-lane byte sum; ord() == byte value on the (verified)
+      // pure-ASCII corpus. Empty texts still own 8 zero lanes (LEFT JOIN).
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(u AS BIGINT) AS pos,
+        |         ord(substring(text, CAST(u + 1 AS INTEGER), 1)) AS bv
+        |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS u FROM documents)),
+        |lane AS (
+        |  SELECT doc_id, pos % 8 AS i, SUM(bv) AS s FROM ch GROUP BY 1, 2),
+        |docs8 AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         greatest(1, CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT)) AS n_frames,
+        |         CAST(unnest(range(8)) AS BIGINT) AS i
+        |  FROM documents)
+        |SELECT d.doc_id, d.byte_len, d.n_frames, d.i,
+        |       CAST(COALESCE(lane.s, 0) AS BIGINT) AS lane_byte_sum
+        |FROM docs8 d LEFT JOIN lane ON lane.doc_id = d.doc_id AND lane.i = d.i
+        |ORDER BY d.doc_id, d.i""".stripMargin
   )
 }

@@ -135,6 +135,51 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s3a profile: configs land on the session; pipeline code is scheme-agnostic") {
+    import java.nio.file.{Files, Paths}
+    import java.time.Instant
+    import spark.implicits._
+    import graft.sources.S3aProfile
+    // config shape per credential mode
+    val static = S3aProfile.configs(S3aProfile.Creds(Some("AK"), Some("SK")))
+    assert(static("fs.s3a.access.key") == "AK")
+    assert(static("fs.s3a.secret.key") == "SK")
+    assert(static("fs.s3a.aws.credentials.provider").endsWith("SimpleAWSCredentialsProvider"))
+    val anon = S3aProfile.configs(S3aProfile.Creds(anonymous = true),
+      endpoint = Some("http://localhost:9000"), pathStyle = true, region = Some("eu-west-1"))
+    assert(anon("fs.s3a.aws.credentials.provider").endsWith("AnonymousAWSCredentialsProvider"))
+    assert(anon("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(anon("fs.s3a.path.style.access") == "true")
+    assert(anon("fs.s3a.endpoint.region") == "eu-west-1")
+    assert(S3aProfile.configs()("fs.s3a.experimental.input.fadvise") == "random")
+    // apply() writes through to the live Hadoop configuration
+    S3aProfile(spark, S3aProfile.Creds(anonymous = true))
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("fs.s3a.aws.credentials.provider").endsWith("AnonymousAWSCredentialsProvider"))
+    // the pipeline runs identically over an EXPLICIT scheme-qualified root:
+    // file: here, s3a://bucket in production — only the dataRoot string and
+    // the cluster's hadoop-aws jars differ (InventoryPipeline injection seam)
+    val bucket = Files.createTempDirectory("s3a-shape").toString
+    Seq(("alice/a", 7L)).toDF("key", "size").coalesce(1).write.parquet(s"$bucket/data/f1")
+    val key = graft.sources.Manifest.manifestKey(
+      "inv/p", Instant.parse("2026-08-12T09:00:00Z"))
+    Files.createDirectories(Paths.get(s"$bucket/$key").getParent)
+    Files.writeString(Paths.get(s"$bucket/$key"),
+      """{"sourceBucket":"b","files":[{"key":"data/f1","size":1}]}""")
+    val fetch = (k: String) => {
+      val p = Paths.get(s"$bucket/$k")
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val got = InventoryPipeline.inventoryForDay(
+      spark, s"file:$bucket", "inv/p", Instant.parse("2026-08-12T09:00:00Z"), fetch)
+    assert(got.nonEmpty)
+    assert(got.get._2.count() == 1)
+    if (S3aProfile.isAvailable)
+      info("hadoop-aws present: same call with dataRoot = s3a://bucket would run live")
+    else
+      info("hadoop-aws absent in this container: s3a leg is config-checked only")
+  }
+
   test("corrupt parquet fails the refresh but keeps serving the old snapshot (log.Fatalf fix)") {
     import java.nio.file.{Files, Paths}
     import scala.concurrent.duration._
@@ -342,6 +387,78 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lsh = Dedup.minhashLshPairs(docs, tau = 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact)
+  }
+
+  test("df-pruning drops viral shingles from the Jaccard universe") {
+    import spark.implicits._
+    // viral1..3 appear in every doc (df = 3); with cap 2 they are pruned,
+    // so d1-d3 / d2-d3 lose their only common shingle while d1-d2 stays J=1
+    val planted = Seq(
+      (1L, "w1 w2 w3 viral1 viral2 viral3"),
+      (2L, "w1 w2 w3 viral1 viral2 viral3"),
+      (3L, "z1 z2 z3 viral1 viral2 viral3")).toDF("doc_id", "text")
+    def pairs(maxDf: Option[Long]) =
+      Dedup.ngramJaccardPairs(planted, tau = 0.1, maxDf = maxDf)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(None) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(Some(2L)) == Set((1L, 2L)))
+    // a cap nothing exceeds must be a no-op
+    assert(pairs(Some(100L)) == pairs(None))
+    Dedup.uncacheAll()
+  }
+
+  test("withBuckets is a narrow projection: no Exchange, no vector duplication") {
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    val plan = Similarity.withBuckets(p, planes).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket computation must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"bucket computation must not join:\n$plan")
+  }
+
+  test("banded LSH top-k recall >= 0.9 vs brute force on the fixture") {
+    val q = emb.filter(col("vec_id") < 10)
+    val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairSet(Similarity.bruteForceTopK(emb, q, k = 3))
+    // bands IS the recall knob: 4 bands × 1 plane → candidate iff ANY sign
+    // bit agrees, P[miss] = p^4 per true neighbor — ≥ 0.9 on this fixture.
+    // (The registered query uses 2 bands × 2 planes: coarser, cheaper.)
+    val banded = pairSet(Similarity.lshTopKBanded(emb, q, planes, bands = 4, k = 3))
+    val recall = (bf & banded).size.toDouble / bf.size
+    assert(recall >= 0.9, s"banded recall $recall < 0.9 (|bf|=${bf.size})")
+    // band-OR candidates are a superset of the single-bucket probe's
+    // (single bucket = ALL planes agree ⇒ every band agrees), so banded
+    // recall can only be >= the all-planes single-bucket form's
+    val single = pairSet(Similarity.lshTopK(emb, q, planes, k = 3))
+    val singleRecall = (bf & single).size.toDouble / bf.size
+    assert(recall >= singleRecall, s"banded $recall < single-bucket $singleRecall")
+    // and turning the knob up strictly helps vs the coarse setting
+    val coarse = pairSet(Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 3))
+    val coarseRecall = (bf & coarse).size.toDouble / bf.size
+    assert(recall >= coarseRecall, s"bands=4 $recall < bands=2 $coarseRecall")
+  }
+
+  test("simhash collapse-first rewrite: exact dups expand to J=1/H=0 pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r s t u v w x y z a b"),
+      (2L, "p q r s t u v w x y z a b"), // exact dup of 1
+      (3L, "p q r s t u v w x y z a c"), // near-dup of 1/2
+      (4L, "entirely different words in this one right here")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(corpus, tau = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // the within-group pair: exact duplicates
+    assert(got((1L, 2L)) == (1.0, 0L))
+    // members of a group carry identical (jaccard, hamming) against outsiders
+    assert(got.get((1L, 3L)) == got.get((2L, 3L)))
+    // ordering invariant: doc_a < doc_b everywhere
+    assert(got.keys.forall { case (a, b) => a < b })
+    Dedup.uncacheAll()
   }
 
   test("survivors drops exactly the larger ids of near-dup pairs") {

@@ -7,14 +7,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // declared up front (not leaked mid-run by q_sessionize)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen paths on the smallest fixture so measured
     // times reflect steady-state execution, not first-query JIT cost.
-    try SparkEntry.queries.foreach { case (_, fn) =>
-      fn(spark, "/root/testdata/sf0.001").count()
-    } catch { case _: Throwable => () }
+    // try/catch is per query: one failing warm-up must not skip the rest.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      graft.operators.Dedup.uncacheAll()
+    }
     // a failed query reports -1 (NOT its near-zero elapsed time), so a
     // regression can never make the benchmark look faster
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -23,13 +28,21 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.uncacheAll() // drop superseded shingle indexes (untimed)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: a truncated stdout tail must not lose the signal
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
   }
 }

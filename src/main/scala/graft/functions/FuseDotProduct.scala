@@ -41,11 +41,17 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     }
   }
 
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case DotProductPattern(a, b)
-          if a.dataType == org.apache.spark.sql.types.ArrayType(DoubleType, false) ||
-            a.dataType == org.apache.spark.sql.types.ArrayType(DoubleType, true) =>
+      // both sides must already be array<double>: the right side is enforced
+      // explicitly (not just via the Multiply pattern failing on an implicit
+      // Cast) as defense in depth against analyzer lambda-coercion changes
+      case DotProductPattern(a, b) if isDoubleArray(a) && isDoubleArray(b) =>
         ArrayDotProduct(a, b)
     }
 }

@@ -26,6 +26,14 @@ import org.apache.spark.sql.graft.ColumnBridge
   * Semantics are identical to the window form given a total `order`
   * (deterministic tie-break), which is exactly how it is verified (oracle =
   * the window SQL; EngineSpec compares against the window implementation).
+  *
+  * Memory constraint: the per-key heaps live in a plain JVM HashMap that is
+  * NOT tracked by Spark's task memory manager, so unlike the window form it
+  * cannot spill — the O(#keys·k) working set must fit the executor heap.
+  * The bound is per PARTITION (#distinct keys in the partition × k rows),
+  * so size partitions accordingly for ultra-high-cardinality keys, or fall
+  * back to the window form; a BytesToBytesMap-backed variant is the upgrade
+  * path if tracked allocation is ever required.
   */
 final case class TopKPerKey(
     keys: Seq[Expression],

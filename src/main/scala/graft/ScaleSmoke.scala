@@ -14,7 +14,8 @@ import graft.operators.{Dedup, DiskUsageOp}
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("scale-smoke")
@@ -83,18 +84,20 @@ object ScaleSmoke {
       Dedup.simhashPairs(dupHeavy, tau = 0.6).count()
     }
     Dedup.uncacheAll()
-    // planted viral shingle: one boilerplate 3-gram shared by EVERY doc —
-    // the exact join's O(df²) bomb (50k docs → 1.25B join rows from that one
-    // key). df-pruning drops it before the join; the unpruned form is only
-    // run on a 5k subset (df² = 12.5M) to keep the smoke finite.
+    // planted viral shingle: boilerplate 3-grams shared by EVERY doc — the
+    // exact join's O(df²) bomb (50k docs → >1B join rows from those keys,
+    // and the tail shingles around the marker token go viral too).
+    // df-pruning drops them before the join; the unpruned form is only run
+    // on a 1k subset (~1.5M pair rows) to keep the smoke finite — already
+    // there the quadratic shape dwarfs the pruned 50k run.
     val planted = docs.select(col("doc_id"),
       concat(col("text"), lit(" xviral yviral zviral")).as("text"))
     timed("exact jaccard, viral, df<=1000 (50k)") {
       Dedup.ngramJaccardPairs(planted, tau = 0.6, maxDf = Some(1000L)).count()
     }
     Dedup.uncacheAll()
-    timed("exact jaccard, viral, unpruned (5k)") {
-      Dedup.ngramJaccardPairs(planted.filter(col("doc_id") % 10 === 0), tau = 0.6).count()
+    timed("exact jaccard, viral, unpruned (1k)") {
+      Dedup.ngramJaccardPairs(planted.filter(col("doc_id") % 50 === 0), tau = 0.6).count()
     }
     Dedup.uncacheAll()
     // custom TopKPerKey vs the window form on the same 5M-row input

@@ -442,6 +442,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_embedding_lsh_banded" -> ((s, dir) => {
+      // multi-probe near-dup: candidates collide in ANY of 2 bands × 2
+      // planes — the recall knob the single-bucket near-dup probe lacks
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      Similarity.nearDupPairsBanded(emb, planes, bands = 2, tau = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // -------- similarity search (SURVEY §2.12)
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -983,6 +993,28 @@ object SparkEntry {
         |cand AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bk a JOIN bk b ON a.bucket=b.bucket AND a.vec_id<b.vec_id),
+        |d AS (
+        |  SELECT c.id_a, c.id_b, SUM(x.v*y.v) AS dot
+        |  FROM cand c
+        |  JOIN f x ON x.vec_id=c.id_a
+        |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
+        |  GROUP BY 1,2)
+        |SELECT id_a, id_b, ROUND(dot/(nx.nrm*ny.nrm),4)+0.0 AS cosine
+        |FROM d JOIN nrm nx ON nx.vec_id=id_a JOIN nrm ny ON ny.vec_id=id_b
+        |WHERE ROUND(dot/(nx.nrm*ny.nrm),4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+    "dedup_embedding_lsh_banded" -> (embCte +
+      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+        |pd AS (
+        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
+        |bkb AS (
+        |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1,2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkb a JOIN bkb b ON a.band=b.band AND a.bucket=b.bucket AND a.vec_id<b.vec_id),
         |d AS (
         |  SELECT c.id_a, c.id_b, SUM(x.v*y.v) AS dot
         |  FROM cand c

@@ -171,19 +171,62 @@ object Dedup {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 6, "pair-of-blocks pigeonhole guarantees recall only to Hamming 6")
-    // De-skew: exact duplicates share fingerprint AND shingle set, so on a
-    // dup-heavy corpus they all collide in the same 28 pair-keys and the
-    // candidate join degenerates to quadratic on those hot keys. Collapse to
-    // one representative per distinct text, run candidate generation +
-    // verification once per TEXT, then expand groups back. Within-group
-    // pairs are exact duplicates (Jaccard 1, Hamming 0) — no recompute;
-    // cross-group pairs inherit the representative pair's jaccard/hamming
-    // verbatim (both are pure functions of the text).
-    val members = docs.select(col(idCol).as("m_id"), md5(col(textCol)).as("th"))
+    // De-skew, adaptively: exact duplicates share fingerprint AND shingle
+    // set, so on a dup-heavy corpus they all collide in the same 28
+    // pair-keys and the candidate join degenerates to quadratic on those
+    // hot keys. When a cheap driver-side cardinality probe (HLL sketch, one
+    // pass) says the corpus is dup-heavy, collapse to one representative
+    // per distinct text, run candidates + verification once per TEXT, and
+    // expand groups back; otherwise run directly — the collapse machinery
+    // is pure overhead on an already-distinct corpus, and BOTH paths emit
+    // the identical exact-verified pair set, so the probe threshold only
+    // tunes performance, never results.
+    val stats = docs
+      .agg(count(lit(1)).as("n"), approx_count_distinct(md5(col(textCol))).as("d"))
+      .collect()(0)
+    val dupHeavy = stats.getLong(0) > 0 &&
+      stats.getLong(1).toDouble / stats.getLong(0) < 0.9
+    if (!dupHeavy) return simhashCore(docs, idCol, textCol, n, tau, maxHamming)
+    val members = docs.select(
+      col(idCol).as("m_id"), md5(col(textCol)).as("th"),
+      (size(split(lower(col(textCol)), " ")) >= n).as("has_shingle"))
     val repDocs = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("th"))
       .groupBy(col("th"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
-    val shingled = sh(repDocs, idCol, textCol, n)
+    val repPairs = simhashCore(repDocs, idCol, textCol, n, tau, maxHamming)
+    // expand representatives back to member ids: one (rep_id, m_id) map
+    // built with a single text-hash join, reused by both expansion legs
+    val expand = members
+      .join(repDocs.select(col(idCol).as("rep_id"), col("th")), Seq("th"))
+      .select(col("rep_id"), col("m_id"), col("has_shingle"))
+    val cross = repPairs
+      .join(expand.select(col("rep_id").as("doc_a"), col("m_id").as("a_id")), Seq("doc_a"))
+      .join(expand.select(col("rep_id").as("doc_b"), col("m_id").as("b_id")), Seq("doc_b"))
+      .select(
+        least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"),
+        col("jaccard"), col("hamming"))
+    // within-group pairs: identical texts → J = 1, Hamming = 0 — emitted
+    // only for texts long enough to own ≥ 1 shingle (matching the oracle,
+    // which computes Jaccard from shingle sets and skips shingle-less docs)
+    val within = expand.as("x")
+      .join(expand.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.m_id") < col("y.m_id"))
+      .filter(col("x.has_shingle"))
+      .select(
+        col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
+        lit(1.0).as("jaccard"), lit(0L).as("hamming"))
+      .filter(lit(1.0) >= tau && lit(0) <= maxHamming) // constant-folded guard
+    cross.unionAll(within)
+  }
+
+  /** The SimHash fingerprint → pair-of-blocks candidates → Hamming filter →
+    * exact-Jaccard verify pipeline over an (assumed mostly-distinct) corpus.
+    */
+  private def simhashCore(
+      input: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxHamming: Int): DataFrame = {
+    val shingled = sh(input, idCol, textCol, n)
     val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
     val bitCols = (0 until 32).map { k =>
       sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$k")
@@ -211,33 +254,9 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val repPairs = verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
+    verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
       .join(cand, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
-    // expand representatives back to member ids
-    val repTh = repDocs.select(col(idCol).as("rep_id"), col("th"))
-    val cross = repPairs
-      .join(repTh.select(col("rep_id").as("doc_a"), col("th").as("th_a")), Seq("doc_a"))
-      .join(repTh.select(col("rep_id").as("doc_b"), col("th").as("th_b")), Seq("doc_b"))
-      .join(members.select(col("m_id").as("a_id"), col("th").as("th_a")), Seq("th_a"))
-      .join(members.select(col("m_id").as("b_id"), col("th").as("th_b")), Seq("th_b"))
-      .select(
-        least(col("a_id"), col("b_id")).as("doc_a"),
-        greatest(col("a_id"), col("b_id")).as("doc_b"),
-        col("jaccard"), col("hamming"))
-    // within-group pairs: identical texts → J = 1, Hamming = 0 — emitted only
-    // for texts that actually have ≥ 1 shingle (matching the oracle, which
-    // computes Jaccard from shingle sets and skips shingle-less docs)
-    val eligible = shingled.select(col("id").as("rep_id")).distinct()
-    val within = members.as("x")
-      .join(members.as("y"), col("x.th") === col("y.th") && col("x.m_id") < col("y.m_id"))
-      .join(repTh, col("x.th") === repTh("th")) // th → rep id
-      .join(eligible, Seq("rep_id"))
-      .select(
-        col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
-        lit(1.0).as("jaccard"), lit(0L).as("hamming"))
-      .filter(lit(1.0) >= tau && lit(0) <= maxHamming) // constant-folded guard
-    cross.unionAll(within)
   }
 
   /** Release exactly the shingle indexes this object has persisted — call

@@ -220,9 +220,38 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
+  /** Banded near-dup pairs: candidates collide in ANY band's bucket (see
+    * [[withBandBuckets]]), then exact rounded-cosine verification at `tau` —
+    * the multi-probe upgrade of [[nearDupPairsBucketed]]: a high-cosine pair
+    * straddling one sign boundary is no longer lost, it only needs ONE band
+    * of agreeing bits. Candidate distinct runs over the narrow
+    * (id, band, bucket) projection; vectors join back only for scoring.
+    */
+  def nearDupPairsBanded(
+      emb: DataFrame, planes: DataFrame, bands: Int, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val bb = withBandBuckets(p, planes, bands)
+    val cand = bb.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(bb.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
-    * use [[nearDupPairsBucketed]] or [[Dedup.minhashLshPairs]]-style banding
-    * over sign bits.
+    * use [[nearDupPairsBanded]]/[[nearDupPairsBucketed]] or
+    * [[Dedup.minhashLshPairs]]-style banding over sign bits.
     */
   def nearDupPairs(
       emb: DataFrame, tau: Double,

@@ -442,6 +442,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= coarseRecall, s"bands=4 $recall < bands=2 $coarseRecall")
   }
 
+  test("banded near-dup pairs: superset of single-bucket, subset of brute force") {
+    val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.nearDupPairs(emb, tau = 0.4))
+    val single = pairSet(Similarity.nearDupPairsBucketed(emb, planes, tau = 0.4))
+    val banded = pairSet(Similarity.nearDupPairsBanded(emb, planes, bands = 2, tau = 0.4))
+    // single bucket = all 4 sign bits agree ⇒ both bands agree ⇒ banded hit
+    assert(single.subsetOf(banded), s"missing: ${single -- banded}")
+    // every banded hit is a true tau-pair (candidates are exact-verified)
+    assert(banded.subsetOf(brute), s"phantom: ${banded -- brute}")
+  }
+
   test("simhash collapse-first rewrite: exact dups expand to J=1/H=0 pairs") {
     import spark.implicits._
     val corpus = Seq(

@@ -646,13 +646,21 @@ object SparkEntry {
     * result set (Hamming ≤ 7 AND Jaccard ≥ tau) is exact by definition.
     */
   private def simhashOracle(tau: Double, maxHamming: Int): String = {
-    val bsums = (0 until 32)
-      .map(k => s"SUM(CASE WHEN substring(md5(s),${k + 1},1) >= '8' THEN 1 ELSE -1 END) AS b$k")
+    // 64-bit fingerprint, two bits per md5 hex digit — bit 2k from digit
+    // bit 3 (≥ '8'), bit 2k+1 from digit bit 2 (4-7 or c-f); mirrors
+    // Dedup.simhashCore.digitBit exactly
+    def bitPred(k: Int): String = {
+      val d = s"substring(md5(s),${k / 2 + 1},1)"
+      if (k % 2 == 0) s"$d >= '8'"
+      else s"(($d >= '4' AND $d <= '7') OR $d >= 'c')"
+    }
+    val bsums = (0 until 64)
+      .map(k => s"SUM(CASE WHEN ${bitPred(k)} THEN 1 ELSE -1 END) AS b$k")
       .mkString(", ")
-    val bits = (0 until 32)
+    val bits = (0 until 64)
       .map(k => s"CASE WHEN b$k > 0 THEN 1 ELSE 0 END AS t$k")
       .mkString(", ")
-    val hamExpr = (0 until 32)
+    val hamExpr = (0 until 64)
       .map(k => s"CASE WHEN x.t$k <> y.t$k THEN 1 ELSE 0 END")
       .mkString(" + ")
     shingleCte +

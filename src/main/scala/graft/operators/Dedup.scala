@@ -153,19 +153,25 @@ object Dedup {
     verifyJaccard(shingled, cand, tau)
   }
 
-  /** 32-bit SimHash per doc: bit k is the sign of Σ_shingles (±1 by whether
-    * hex digit k of md5(shingle) is ≥ '8'). md5 (not xxhash64) so the
-    * fingerprint is bit-identical in any engine — the DuckDB oracle
-    * recomputes the same SimHash, making the emitted set exact by definition
-    * (pairs with Hamming ≤ maxHamming AND Jaccard ≥ tau) instead of
-    * recall-dependent. Candidates come from a pair-of-blocks pigeonhole
-    * join: the 32-bit fingerprint splits into 8 nibbles, and each doc emits
-    * the C(8,2)=28 (block-pair-id, 8-bit value) keys. A pair within
-    * Hamming ≤ 6 touches at most 6 blocks, leaving ≥2 intact, so it shares
-    * at least one exact pair-key — guaranteed recall with ~256-way key
-    * selectivity instead of the 16-way single-nibble join (which measured
-    * ~6.4M candidates on the 5k-doc fixture; pair-keys cut that ~10×).
-    * Candidates are then Hamming-filtered and exact-Jaccard-verified.
+  /** 64-bit SimHash per doc (the fingerprint width of Manku/Jain/Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07): bit 2k is the
+    * sign of Σ_shingles (±1 by bit 3 of hex digit k of md5(shingle)), bit
+    * 2k+1 likewise from bit 2 — two fingerprint bits per hex digit. md5
+    * (not xxhash64) so the fingerprint is bit-identical in any engine —
+    * the DuckDB oracle recomputes the same SimHash, making the emitted set
+    * exact by definition (pairs with Hamming ≤ maxHamming AND Jaccard ≥
+    * tau) instead of recall-dependent. Candidates come from a
+    * pair-of-blocks pigeonhole join: the fingerprint splits into 8 bytes,
+    * and each doc emits the C(8,2)=28 (block-pair-id, 16-bit value) keys.
+    * A pair within Hamming ≤ 6 corrupts at most 6 blocks, leaving ≥2
+    * intact, so it shares at least one exact pair-key — guaranteed recall
+    * with 65536-way key selectivity. (The earlier 32-bit form's 8-bit
+    * pair-keys collided by birthday alone: ~N²/2³ candidate rows per block
+    * pair at 256 buckets — ~137M candidates at 50k docs; 16-bit keys cut
+    * that 256×.) Candidates are then Hamming-filtered and
+    * exact-Jaccard-verified. Note the tighter relative radius: 6/64 bits
+    * targets high-similarity near-dups (the regime SimHash is built for);
+    * for looser thresholds use [[minhashLshPairs]], the library default.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -228,20 +234,26 @@ object Dedup {
       n: Int, tau: Double, maxHamming: Int): DataFrame = {
     val shingled = sh(input, idCol, textCol, n)
     val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
-    val bitCols = (0 until 32).map { k =>
-      sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$k")
+    // bit 2k ← bit 3 of hex digit k (digit ≥ '8'); bit 2k+1 ← bit 2
+    // (digit in 4-7 or c-f) — lexicographic compares on lowercase hex
+    def digitBit(k: Int) = {
+      val d = substring(col("h"), k / 2 + 1, 1)
+      if (k % 2 == 0) d >= "8" else (d >= "4" && d <= "7") || d >= "c"
+    }
+    val bitCols = (0 until 64).map { k =>
+      sum(when(digitBit(k), 1).otherwise(-1)).as(s"b$k")
     }
     val sig = hashed.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
       .select(
         col("id"),
-        (0 until 32)
+        (0 until 64)
           .map(k => when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
     val pairKeys = for {
       j1 <- 0 until 8
       j2 <- (j1 + 1) until 8
-    } yield shiftrightunsigned(col("simhash"), j1 * 4).bitwiseAND(lit(15L)) * 16 +
-      shiftrightunsigned(col("simhash"), j2 * 4).bitwiseAND(lit(15L))
+    } yield shiftrightunsigned(col("simhash"), j1 * 8).bitwiseAND(lit(255L)) * 256 +
+      shiftrightunsigned(col("simhash"), j2 * 8).bitwiseAND(lit(255L))
     val blocks = sig.select(
       col("id"), col("simhash"),
       posexplode(array(pairKeys: _*)).as(Seq("blk", "blk_val")))

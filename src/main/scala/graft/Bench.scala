@@ -1,12 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark. Emits ONE JSON line (stdout + SPARK_GRAFT_BENCH_OUT
+  * file) with per-query MEDIAN seconds — a single cold run proved too
+  * fragile as the round's perf signal: one machine-contention window made
+  * round 2's recorded bench claim a phantom 12.5× regression that a clean
+  * re-run disproved. Protocol:
+  *
+  *  - each query runs SPARK_GRAFT_BENCH_ITERS times (default 3) after a
+  *    warm-up pass at sf0.001; "queries" reports the per-query median
+  *    (robust to one poisoned iteration), "queries_min" the best case,
+  *    "iters" every raw time so a contaminated run is self-evident;
+  *  - iterations are ROUND-ROBIN (the full query sweep repeated N times),
+  *    not back-to-back: host contention arrives in multi-minute windows,
+  *    and consecutive iterations of one query would all fall inside the
+  *    same window — interleaving means one window poisons at most one of
+  *    each query's N samples, which the median then rejects;
+  *  - JVM GC seconds and system load average are recorded before/after,
+  *    so environmental poisoning is distinguishable from real regressions
+  *    without a re-run;
+  *  - a failed query reports -1 (never its near-zero elapsed time), so a
+  *    regression can never make the benchmark look faster;
+  *  - SPARK_GRAFT_BENCH_FILTER=<name,name,...> narrows the query set for
+  *    local iteration (never set by the driver).
+  */
 object Bench {
+
+  private def gcSeconds: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every available core: the target environment is local[32]
     // (shuffle.partitions follows suit — never the 200-partition default)
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,32 +50,56 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(f) =>
+        val keep = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (k, _) => keep(k) }
+      case None => SparkEntry.queries
+    }
+    val loadStart = loadAvg
+    val gcStart = gcSeconds
     // Warm up the JVM/codegen paths on the smallest fixture so measured
     // times reflect steady-state execution, not first-query JIT cost.
     // try/catch is per query: one failing warm-up must not skip the rest.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       graft.operators.Dedup.uncacheAll()
     }
-    // a failed query reports -1 (NOT its near-zero elapsed time), so a
-    // regression can never make the benchmark look faster
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    (1 to iters).foreach { _ =>
+      queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.uncacheAll() // drop superseded shingle indexes (untimed)
+        acc(name) = acc.getOrElse(name, Vector.empty) :+ (if (ok) elapsed else -1.0)
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.uncacheAll() // drop superseded shingle indexes (untimed)
-      name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results: Map[String, Seq[Double]] = acc.toMap
+    def median(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0
+      else { val s = ts.sorted; s(s.size / 2) }
+    val med = results.map { case (k, ts) => k -> median(ts) }
+    def jnum(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val itersJson = results
+      .map { case (k, ts) => "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.values.filter(_ >= 0).sum
+    val failed = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = med.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)}""" +
+        s""","queries_min":${jmap(results.map { case (k, ts) =>
+            k -> (if (ts.exists(_ < 0)) -1.0 else ts.min) })}""" +
+        s""","iters":$itersJson,"n_iters":$iters""" +
+        s""","gc_sec":${jnum(gcSeconds - gcStart)}""" +
+        s""","load_avg_start":${jnum(loadStart)},"load_avg_end":${jnum(loadAvg)}""" +
+        s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: a truncated stdout tail must not lose the signal
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -211,14 +211,17 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
     "q_scalar_subquery" -> ((s, dir) => {
-      // price > 2·avg phrased as price·n > 2·Σprice with a decimal-exact
-      // sum, so the threshold is identical across engines
+      // price > 1.2·avg phrased as 5·price·n > 6·Σprice with a decimal-exact
+      // sum and integer literals, so the threshold is identical across
+      // engines. (1.2× — not 2× — keeps the result set non-empty and
+      // discriminating on the fixtures: a silently-broken subquery can no
+      // longer pass by trivially agreeing on zero rows.)
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
       t(s, dir, "customer").createOrReplaceTempView("customer_sv")
       s.sql(
         """SELECT o_orderkey, o_totalprice FROM orders_v
-          |WHERE o_totalprice * (SELECT COUNT(*) FROM orders_v)
-          |      > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders_v)
+          |WHERE o_totalprice * (SELECT COUNT(*) FROM orders_v) * 5
+          |      > 6 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders_v)
           |  AND o_custkey IN (SELECT c_custkey FROM customer_sv WHERE c_mktsegment = 'BUILDING')
           |ORDER BY o_orderkey""".stripMargin)
     }),
@@ -232,8 +235,11 @@ object SparkEntry {
         .intersect(t(s, dir, "customer").select(col("c_custkey").as("id")))
         .orderBy(col("id"))),
     "q_except_users" -> ((s, dir) =>
-      t(s, dir, "events").select(col("user_id").as("id"))
-        .except(t(s, dir, "customer").select(col("c_custkey").as("id")))
+      // customers minus event users — the direction that is NON-EMPTY on the
+      // fixtures (1350 rows at sf0.01), so a broken EXCEPT cannot pass by
+      // trivially agreeing on an empty result
+      t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .except(t(s, dir, "events").select(col("user_id").as("id")))
         .orderBy(col("id"))),
     "q_rollup_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -373,9 +379,16 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
     "q_anti_join" -> ((s, dir) =>
-      // NOT EXISTS: customers with no orders
+      // NOT EXISTS: customers with no orders in 1997-H1. Every fixture
+      // customer has SOME order, so the unfiltered anti-join is empty and
+      // non-discriminating; the date window makes the result non-empty
+      // (701 rows at sf0.01) while keeping the anti-join shape.
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1997-07-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
     "q_cube_lineitem" -> ((s, dir) =>
@@ -411,6 +424,24 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.95)").as("p95_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
+    "q_percentile_approx" -> ((s, dir) =>
+      // The 100 TB percentile: approx_percentile's summary buffer is BOUNDED
+      // (~O(accuracy·log n) entries, Greenwald-Khanna), unlike exact
+      // `percentile`, whose buffer holds every distinct value per group and
+      // cannot spill gracefully. With accuracy ≥ group cardinality the
+      // summary never drops a sample, so the result is rank-EXACT — the
+      // smallest value with ≥ p·n values at or below it, which is DuckDB's
+      // quantile_disc — making the oracle a true value-level check at every
+      // harness scale (≤ 600 k rows < the 10⁶ accuracy here). Beyond that n
+      // the same query keeps running in bounded memory with rank error
+      // ≤ n/accuracy — the property exact percentile cannot offer.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000000)").as("median_qty"),
+          expr("approx_percentile(l_quantity, 0.95, 1000000)").as("p95_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
 
     // -------- dedup (SURVEY §2.12)
     "dedup_exact" -> ((s, dir) =>
@@ -425,9 +456,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxDf = Some(10L))
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6, bands = 16, rows = 2)
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, dir) =>
+      // direct single-stage plan: the fixture corpus is ~99.8% distinct
+      // texts, where the dup-collapse rewrite is pure fixed overhead (≈6
+      // extra tiny-stage exchanges that only amortize at cluster scale).
+      // The collapse path — the library DEFAULT, structurally required on
+      // dup-heavy corpora — is benched + oracle-checked separately as
+      // dedup_simhash_collapse; both emit the identical exact-verified set.
+      Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 6,
+          collapseExactDups = false)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash_collapse" -> ((s, dir) =>
+      // the dup-safe default: collapse exact duplicates to one
+      // representative per distinct text BEFORE fingerprinting (bounding
+      // the pigeonhole join's hot keys), expand groups back afterwards
       Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -808,8 +852,8 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice * (SELECT COUNT(*) FROM orders)
-        |      > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)
+        |WHERE o_totalprice * (SELECT COUNT(*) FROM orders) * 5
+        |      > 6 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
     "q_topk_acctbal" ->
@@ -821,9 +865,9 @@ object SparkEntry {
         |SELECT c_custkey AS id FROM customer
         |ORDER BY id""".stripMargin,
     "q_except_users" ->
-      """SELECT user_id AS id FROM events
+      """SELECT c_custkey AS id FROM customer
         |EXCEPT
-        |SELECT c_custkey AS id FROM customer
+        |SELECT user_id AS id FROM events
         |ORDER BY id""".stripMargin,
     "q_rollup_lineitem" ->
       """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
@@ -937,7 +981,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01')
         |ORDER BY c_custkey""".stripMargin,
     "q_cube_lineitem" ->
       """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
@@ -965,6 +1010,12 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.95) AS p95_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_percentile_approx" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.5) AS median_qty,
+        |       quantile_disc(l_quantity, 0.95) AS p95_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
@@ -982,6 +1033,9 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
     "dedup_simhash" -> simhashOracle(0.6, 6),
+    // identical oracle by design: the collapse rewrite must never change
+    // the emitted pair set, only the plan shape
+    "dedup_simhash_collapse" -> simhashOracle(0.6, 6),
     "dedup_embedding_cosine" -> (embCte +
       """, d AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v*b.v) AS dot

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each built from
@@ -133,10 +133,21 @@ object Dedup {
     * aggregates — then banded LSH bucket join for candidates, exact
     * verification. (Minhash internals never cross the oracle boundary: the
     * emitted pairs are exact-Jaccard-verified.)
+    *
+    * Default banding is chosen so that recall at the decision boundary is
+    * negligible-loss, not merely high: P[candidate | J] = 1-(1-J^rows)^bands,
+    * so at 32 bands × 2 rows a pair EXACTLY at tau = 0.6 is missed with
+    * probability 0.64³² ≈ 6·10⁻⁷ (at J = 0.8, ≈ 6·10⁻¹⁵) — small enough
+    * that the emitted set coincides with the exact-Jaccard operator's for
+    * any realistic corpus, which is why downstream compositions
+    * ([[Pipeline.prepareCorpus]], survivor queries) can keep an exact-form
+    * oracle while riding this bucketed plan. Halving bands to 16 saves a
+    * third of the sketch/join cost but raises boundary miss odds to
+    * ~8·10⁻⁴ per pair — per-corpus roulette; don't.
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, tau: Double = 0.6, bands: Int = 16, rows: Int = 2): DataFrame = {
+      n: Int = 3, tau: Double = 0.6, bands: Int = 32, rows: Int = 2): DataFrame = {
     val numHashes = bands * rows
     val shingled = sh(docs, idCol, textCol, n)
     val sig = shingled
@@ -175,36 +186,46 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6): DataFrame = {
+      n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6,
+      collapseExactDups: Boolean = true): DataFrame = {
     require(maxHamming <= 6, "pair-of-blocks pigeonhole guarantees recall only to Hamming 6")
-    // De-skew, adaptively: exact duplicates share fingerprint AND shingle
+    // De-skew by default: exact duplicates share fingerprint AND shingle
     // set, so on a dup-heavy corpus they all collide in the same 28
     // pair-keys and the candidate join degenerates to quadratic on those
-    // hot keys. When a cheap driver-side cardinality probe (HLL sketch, one
-    // pass) says the corpus is dup-heavy, collapse to one representative
-    // per distinct text, run candidates + verification once per TEXT, and
-    // expand groups back; otherwise run directly — the collapse machinery
-    // is pure overhead on an already-distinct corpus, and BOTH paths emit
-    // the identical exact-verified pair set, so the probe threshold only
-    // tunes performance, never results.
-    val stats = docs
-      .agg(count(lit(1)).as("n"), approx_count_distinct(md5(col(textCol))).as("d"))
-      .collect()(0)
-    val dupHeavy = stats.getLong(0) > 0 &&
-      stats.getLong(1).toDouble / stats.getLong(0) < 0.9
-    if (!dupHeavy) return simhashCore(docs, idCol, textCol, n, tau, maxHamming)
+    // hot keys. Collapsing to one representative per distinct text bounds
+    // that blow-up structurally, and on an already-distinct corpus it costs
+    // only one narrow md5 group-by (repDocs ≈ docs), so it is the default
+    // rather than a decision made by a probe: an earlier adaptive variant
+    // paid a full corpus scan + driver collect at PLAN-CONSTRUCTION time on
+    // every call — an eager pass that usually chose the direct path anyway.
+    // Both paths emit the identical exact-verified pair set (EngineSpec
+    // asserts it), so the flag only tunes performance, never results;
+    // `collapseExactDups = false` opts into the direct single-stage plan
+    // when the caller KNOWS ids are already distinct per text.
+    if (!collapseExactDups) return simhashCore(docs, idCol, textCol, n, tau, maxHamming)
     val members = docs.select(
       col(idCol).as("m_id"), md5(col(textCol)).as("th"),
       (size(split(lower(col(textCol)), " ")) >= n).as("has_shingle"))
+    // NOT persisted: its two consumers want different projections — the
+    // fingerprint pipeline needs (id, text) and is cached downstream at the
+    // shingle level anyway, while the expansion map needs only (id, th),
+    // which column pruning strips to a narrow group-by; caching the full
+    // texts here would hold the whole distinct corpus resident for a
+    // consumer that never reads the text column
     val repDocs = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("th"))
       .groupBy(col("th"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
     val repPairs = simhashCore(repDocs, idCol, textCol, n, tau, maxHamming)
-    // expand representatives back to member ids: one (rep_id, m_id) map
-    // built with a single text-hash join, reused by both expansion legs
+    // expand representatives back to member ids: one narrow (rep_id, m_id)
+    // map built with a single text-hash join. Persisted — all FOUR expansion
+    // legs (two cross joins, two within-group sides) read it, and as a
+    // tiny id-level projection it is the cheapest thing in the operator to
+    // keep resident.
     val expand = members
       .join(repDocs.select(col(idCol).as("rep_id"), col("th")), Seq("th"))
       .select(col("rep_id"), col("m_id"), col("has_shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(expand)
     val cross = repPairs
       .join(expand.select(col("rep_id").as("doc_a"), col("m_id").as("a_id")), Seq("doc_a"))
       .join(expand.select(col("rep_id").as("doc_b"), col("m_id").as("b_id")), Seq("doc_b"))
@@ -233,22 +254,55 @@ object Dedup {
       input: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxHamming: Int): DataFrame = {
     val shingled = sh(input, idCol, textCol, n)
+    // Fingerprint DEFINITION (shared with the DuckDB oracle, which
+    // recomputes it digit-by-digit): bit 2k is the sign of
+    // Σ_shingles ±1 by bit 3 of hex digit k of md5(shingle); bit 2k+1
+    // likewise from bit 2 — two fingerprint bits per hex digit.
+    //
+    // Evaluation strategy (Spark side only; bit-identical result): the
+    // 32-hex md5 is parsed ONCE into four 32-bit integer limbs, each
+    // per-bit vote becomes a 0/1 bitwise extract (sign test Σ±1 > 0 ⟺
+    // popcount·2 > n), and votes are packed three 20-bit counters per
+    // 64-bit accumulator — 22 plain LONG sums + one count instead of the
+    // earlier 64 string-compare sum(when) aggregates, which dominated the
+    // operator's runtime (string substring+compare × 64 per shingle row,
+    // and a 64-buffer aggregation map entry per doc). 20-bit fields hold
+    // popcounts exactly up to 2²⁰-1 shingles per document (~1M — far
+    // beyond any real document; callers with larger blobs should chunk).
     val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
-    // bit 2k ← bit 3 of hex digit k (digit ≥ '8'); bit 2k+1 ← bit 2
-    // (digit in 4-7 or c-f) — lexicographic compares on lowercase hex
-    def digitBit(k: Int) = {
-      val d = substring(col("h"), k / 2 + 1, 1)
-      if (k % 2 == 0) d >= "8" else (d >= "4" && d <= "7") || d >= "c"
+    val limbs = (0 until 4).map(m =>
+      conv(substring(col("h"), m * 8 + 1, 8), 16, 10).cast("long").as(s"v$m"))
+    val withLimbs = hashed.select(col("id") +: limbs: _*)
+    // vote b_k ∈ {0,1} for fingerprint bit k: hex digit k/2 sits in limb
+    // digit/8 at nibble shift 28-4·(digit%8); take digit bit 3 (even k)
+    // or bit 2 (odd k)
+    def bitOf(k: Int): Column = {
+      val digit = k / 2
+      val nibbleShift = 28 - 4 * (digit % 8)
+      val bitInDigit = if (k % 2 == 0) 3 else 2
+      shiftrightunsigned(col(s"v${digit / 8}"), nibbleShift + bitInDigit)
+        .bitwiseAND(lit(1L))
     }
-    val bitCols = (0 until 64).map { k =>
-      sum(when(digitBit(k), 1).otherwise(-1)).as(s"b$k")
+    val packed = (0 until 22).map { j =>
+      ((3 * j) until math.min(3 * j + 3, 64))
+        .map(k => shiftleft(bitOf(k), 20 * (k % 3)))
+        .reduce(_ + _)
     }
-    val sig = hashed.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
+    val aggs = packed.zipWithIndex.map { case (c, j) => sum(c).as(s"p$j") } :+
+      count(lit(1)).as("n_sh")
+    // persisted: one narrow (id, simhash) row per doc, read by both legs of
+    // the block self-join below — without it the full 1M-shingle-row
+    // aggregation re-executes per consumer subtree
+    val sig = withLimbs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .select(
         col("id"),
-        (0 until 64)
-          .map(k => when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+        (0 until 64).map { k =>
+          val cnt = shiftrightunsigned(col(s"p${k / 3}"), 20 * (k % 3))
+            .bitwiseAND(lit(0xFFFFFL))
+          when(cnt * 2 > col("n_sh"), shiftleft(lit(1L), k)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(sig)
     val pairKeys = for {
       j1 <- 0 until 8
       j2 <- (j1 + 1) until 8
@@ -257,6 +311,9 @@ object Dedup {
     val blocks = sig.select(
       col("id"), col("simhash"),
       posexplode(array(pairKeys: _*)).as(Seq("blk", "blk_val")))
+    // persisted: the candidate set is read twice (Jaccard verification and
+    // the final hamming join-back) and is small by construction — bounded
+    // by block-key collisions, never all-pairs
     val cand = blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.blk_val") === col("r.blk_val") &&
@@ -266,6 +323,8 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(cand)
     verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
       .join(cand, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
@@ -281,9 +340,13 @@ object Dedup {
     while (df != null) {
       // the queue is process-global: an entry may belong to a session that
       // has since been stopped (e.g. another test suite's), whose block
-      // manager is gone — nothing to release there, so swallow the failure
+      // manager is gone — nothing to release there, so swallow that
+      // failure; anything fatal (VM errors) and interrupts still propagate
       try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
       df = persisted.poll()
     }
   }

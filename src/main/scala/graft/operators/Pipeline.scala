@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   *
   * The dedup stage rides [[Dedup.minhashLshPairs]] — the bucketed 100 TB
   * path (candidates ∝ band-bucket collisions, never all-pairs) — NOT the
-  * exact quadratic n-gram self-join. At the default band/row parameters the
-  * LSH output is proven equal to the exact operator's on the fixtures
-  * (EngineSpec "LSH minhash pairs == exact ngram pairs"), so the pipeline's
-  * DuckDB oracle remains the exact-Jaccard formulation.
+  * exact quadratic n-gram self-join. LSH recall is probabilistic in
+  * principle, and the DuckDB oracle is the exact-Jaccard formulation, so
+  * the default banding is sized for negligible loss at the tau boundary
+  * (32 bands × 2 rows ⇒ P[miss | J = tau = 0.6] ≈ 6·10⁻⁷ per pair — see
+  * the [[Dedup.minhashLshPairs]] scaladoc), and equality with the exact
+  * operator is additionally asserted on the fixtures (EngineSpec "LSH
+  * minhash pairs == exact ngram pairs"). Callers that need recall to be
+  * CERTAIN rather than overwhelmingly probable — e.g. a small corpus where
+  * the quadratic join is affordable and auditability beats throughput —
+  * opt into the exact path with `exactDedup = true`; both paths share the
+  * same exact-verification semantics, so the flag never loosens precision.
   */
 object Pipeline {
 
@@ -32,9 +39,12 @@ object Pipeline {
       minQuality: Double = 0.55,
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val deduped = Dedup.survivors(
-      docs, Dedup.minhashLshPairs(docs, idCol, textCol, n = 3, tau = dedupTau), idCol)
+      textCol: String = "text",
+      exactDedup: Boolean = false): DataFrame = {
+    val pairs =
+      if (exactDedup) Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3, tau = dedupTau)
+      else Dedup.minhashLshPairs(docs, idCol, textCol, n = 3, tau = dedupTau)
+    val deduped = Dedup.survivors(docs, pairs, idCol)
     val scored = TextAnalysis.qualityScore(deduped, idCol, textCol)
       .filter(col("quality_score") >= minQuality)
     Splits.assign(scored, idCol, splits)

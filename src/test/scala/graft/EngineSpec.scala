@@ -475,6 +475,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("simhash collapse and direct paths emit the identical pair set") {
+    // the collapseExactDups flag must tune performance only, never results —
+    // checked on a corpus with exact dups, near-dups, and distinct docs
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r s t u v w x y z a b"),
+      (2L, "p q r s t u v w x y z a b"),
+      (3L, "p q r s t u v w x y z a c"),
+      (4L, "entirely different words in this one right here"),
+      (5L, "entirely different words in this one right here"),
+      (6L, "m n o p q r s t u v w x y")).toDF("doc_id", "text")
+    def rows(collapse: Boolean) =
+      Dedup.simhashPairs(corpus, tau = 0.5, collapseExactDups = collapse)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(collapse = true) == rows(collapse = false))
+    Dedup.uncacheAll()
+  }
+
   test("survivors drops exactly the larger ids of near-dup pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.6)
     val dropped = pairs.select("doc_b").distinct().count()

@@ -68,28 +68,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Collect the (small by contract) hyperplane table to the driver once;
-    * each plane becomes an inline array literal in the bucket expression.
+  /** Collect the (small by contract) hyperplane table to the driver once —
+    * note this is EAGER: building a bucketed plan executes the (tiny)
+    * planes query immediately. `pv` may be array<float> or array<double>;
+    * it is cast to the double compute representation here.
     */
   private[graft] def collectPlanes(planes: DataFrame): Seq[(Int, Seq[Double])] =
-    planes.select(col("plane_id").cast("int"), col("pv")).collect()
+    planes.select(col("plane_id").cast("int"), toDouble(col("pv"))).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toVector: Seq[Double])).toSeq
 
+  private def requireValidPlaneIds(ps: Seq[(Int, Seq[Double])]): Unit = {
+    require(ps.nonEmpty, "planes must be non-empty")
+    // fail fast: a negative id would wrap via shift masking and a duplicate
+    // id would double-set its bit — both silently corrupt bucket ids
+    require(ps.forall(p => p._1 >= 0 && p._1 < 63),
+      s"plane_id must be in [0, 63), got ${ps.map(_._1).filterNot(i => i >= 0 && i < 63)}")
+    require(ps.map(_._1).distinct.size == ps.size,
+      s"plane_ids must be distinct, got ${ps.map(_._1)}")
+  }
+
   /** Sign-bit bucket id from hyperplane dot products, as ONE row-local
-    * projection: planes are inlined as array literals, so the bucket is
-    * computed with zero shuffle and zero vector duplication. (The round-1
-    * form crossJoined |N|×planes rows carrying the full vectors and then
-    * re-grouped by id just to sum sign bits — a ×planes shuffle
-    * amplification this projection removes.) Each `planes` row: (plane_id, pv).
+    * projection: the bucket is computed with zero shuffle and zero vector
+    * duplication. (The round-1 form crossJoined |N|×planes rows carrying
+    * the full vectors and then re-grouped by id just to sum sign bits — a
+    * ×planes shuffle amplification this projection removes.) The plane
+    * matrix rides a Spark BROADCAST consumed by the codegen'd
+    * [[graft.functions.PlaneSignBuckets]] expression — at production ANN
+    * settings (say 64 planes × 768 dims) inlining every component as a
+    * plan literal would blow generated methods past the JVM's 64 KB limit
+    * (dropping to interpreted row processing) and re-ship the matrix with
+    * every task; as a broadcast it moves once per executor and the
+    * generated loop stays a few hundred bytes. Each `planes` row:
+    * (plane_id, pv).
     */
   def withBuckets(vectors: DataFrame, planes: DataFrame): DataFrame = {
     val ps = collectPlanes(planes)
-    require(ps.nonEmpty, "planes must be non-empty")
-    require(ps.forall(_._1 < 63), "plane_id must fit a 64-bit bucket")
-    val bucket = ps.map { case (pid, pv) =>
-      when(dot(col("v"), typedLit(pv)) > 0, lit(1L << pid)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    vectors.select(col("id"), col("v"), col("nrm"), bucket.as("bucket"))
+    requireValidPlaneIds(ps)
+    val bc = vectors.sparkSession.sparkContext.broadcast(
+      graft.functions.PlaneMatrix(
+        ps.map(_._2.toArray).toArray,
+        ps.map(p => 1L << p._1).toArray,
+        Array.fill(ps.size)(0),
+        numBands = 1))
+    vectors.select(col("id"), col("v"), col("nrm"),
+      element_at(graft.functions.PlaneSignBuckets(col("v"), bc), 1).as("bucket"))
   }
 
   /** Band-OR sign buckets — the multi-probe recall knob. Planes are split
@@ -100,19 +122,24 @@ object Similarity {
     * only if every band contains a disagreeing bit: P[miss] = (1-(1-p)^r)^b
     * for r planes per band — strictly better recall than the single
     * all-planes bucket's 1-(1-p)^(rb), at the cost of b keys per vector.
+    * All bands' buckets come from ONE pass over the broadcast plane matrix
+    * (see [[withBuckets]] for why broadcast beats plan literals).
     */
   def withBandBuckets(vectors: DataFrame, planes: DataFrame, bands: Int): DataFrame = {
     val ps = collectPlanes(planes).sortBy(_._1)
-    require(bands >= 1 && ps.nonEmpty && ps.size % bands == 0,
+    requireValidPlaneIds(ps)
+    require(bands >= 1 && ps.size % bands == 0,
       s"bands ($bands) must evenly divide the plane count (${ps.size})")
     val perBand = ps.size / bands
-    val bandCols = ps.grouped(perBand).toSeq.map { grp =>
-      grp.zipWithIndex.map { case ((_, pv), k) =>
-        when(dot(col("v"), typedLit(pv)) > 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    val bc = vectors.sparkSession.sparkContext.broadcast(
+      graft.functions.PlaneMatrix(
+        ps.map(_._2.toArray).toArray,
+        Array.tabulate(ps.size)(i => 1L << (i % perBand)),
+        Array.tabulate(ps.size)(i => i / perBand),
+        numBands = bands))
     vectors.select(col("id"), col("v"), col("nrm"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      posexplode(graft.functions.PlaneSignBuckets(col("v"), bc))
+        .as(Seq("band", "bucket")))
   }
 
   /** Approximate top-k: queries only compare against neighbors in their own

@@ -416,6 +416,71 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), s"bucket computation must not join:\n$plan")
   }
 
+  test("broadcast plane matrix: production-size buckets stay codegen'd and " +
+      "equal the inline-literal formulation") {
+    import spark.implicits._
+    // 32 planes × 256 dims — the parameter regime where inlining every
+    // component as a plan literal used to blow generated methods past the
+    // 64 KB JVM limit; deterministic pseudo-random values via sin
+    val dims = 256
+    val nPlanes = 32
+    val planes = Seq.tabulate(nPlanes)(i =>
+      (i, Seq.tabulate(dims)(j => math.sin(i * 257 + j) - 0.1))).toDF("plane_id", "pv")
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.tabulate(dims)(j => math.cos(i * 263 + j)))).toDF("id", "vraw")
+      .select(col("id"), col("vraw").as("v"), lit(1.0).as("nrm"))
+    // with codegen fallback DISABLED a non-codegen expression in the
+    // projection would throw instead of silently interpreting
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Similarity.withBuckets(vecs, planes)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: the old per-plane when(dot > 0, 1L << pid) literal chain
+      val ps = Similarity.collectPlanes(planes)
+      val ref = ps.map { case (pid, pv) =>
+        when(Similarity.dot(col("v"), typedLit(pv)) > 0, lit(1L << pid)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val want = vecs.select(col("id"), ref.as("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      assert(got.values.toSet.size > 1, "discriminating fixture: multiple buckets")
+      // banded form consistency: OR of every band's in-band bits must
+      // reconstruct membership decisions from the same matrix
+      val banded = Similarity.withBandBuckets(vecs, planes, bands = 4)
+        .select("id", "band", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val perBand = nPlanes / 4
+      val sorted = ps.sortBy(_._1)
+      for (((id, band), bucket) <- banded) {
+        val wantBand = sorted.slice(band * perBand, (band + 1) * perBand).zipWithIndex
+          .map { case ((pid, _), k) => if ((want(id) & (1L << pid)) != 0) 1L << k else 0L }
+          .reduce(_ | _)
+        assert(bucket == wantBand, s"id=$id band=$band")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
+  test("plane buckets accept array<float> planes and reject invalid plane ids") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1.0, -2.0))).toDF("id", "v").withColumn("nrm", lit(1.0))
+    val fplanes = Seq((0, Seq(1.0f, 0.25f)), (1, Seq(-1.0f, 0.25f))).toDF("plane_id", "pv")
+    // float planes: cast to double inside collectPlanes, not a ClassCastException
+    val b = Similarity.withBuckets(vecs, fplanes).select("bucket").collect()(0).getLong(0)
+    // plane 0: 1 - 2·0.25 = 0.5 > 0 → bit 0 set; plane 1: -1 - 0.5 < 0 → off
+    assert(b == 1L)
+    intercept[IllegalArgumentException] {
+      Similarity.withBuckets(vecs, Seq((-1, Seq(1.0, 1.0))).toDF("plane_id", "pv"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.withBuckets(vecs,
+        Seq((2, Seq(1.0, 1.0)), (2, Seq(1.0, -1.0))).toDF("plane_id", "pv"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.withBuckets(vecs, Seq((63, Seq(1.0, 1.0))).toDF("plane_id", "pv"))
+    }
+  }
+
   test("banded LSH top-k recall >= 0.9 vs brute force on the fixture") {
     val q = emb.filter(col("vec_id") < 10)
     val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")

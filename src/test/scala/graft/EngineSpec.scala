@@ -621,6 +621,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected sort under TopKPerKey:\n$plan")
   }
 
+  test("TopKPerKey spills at high key cardinality and still equals the window form") {
+    import org.apache.spark.sql.expressions.Window
+    // 50k rows over 20k distinct keys, with each key's rows scattered across
+    // the partition stream (id % cycle), and a spill threshold of 500
+    // retained rows — every task spills dozens of sorted runs and most keys
+    // span MULTIPLE runs, exercising the cross-run bounded merge
+    val df = spark.range(50000).select(
+      (col("id") % 20000).as("k"),
+      col("id"),
+      (col("id") * 37 % 1000).as("v"))
+    val got = graft.plans.TopK.perKey(
+        df, Seq("k"), Seq("v" -> false, "id" -> true), k = 2, spillThresholdRows = 500)
+      .collect().map(_.toSeq).toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("TopKPerKey treats -0.0 and 0.0 (and NaN variants) as one key") {
     import spark.implicits._
     val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L), (Double.NaN, 5L),

@@ -70,8 +70,15 @@ object ScaleSmoke {
       Dedup.minhashLshPairs(docs, tau = 0.6).count()
     }
     Dedup.uncacheAll()
-    timed("simhash pairs (50k docs)") {
+    timed("simhash pairs, collapse (50k docs)") {
       Dedup.simhashPairs(docs, tau = 0.6).count()
+    }
+    Dedup.uncacheAll()
+    // the marker-token corpus is 100% distinct texts — the regime where the
+    // dup-collapse rewrite is pure overhead; the direct form is the right
+    // pick here and the delta IS the cost of dup-safety
+    timed("simhash pairs, direct (50k docs)") {
+      Dedup.simhashPairs(docs, tau = 0.6, collapseExactDups = false).count()
     }
     Dedup.uncacheAll()
     // dup-heavy corpus: 5k distinct texts × 10 EXACT copies — the SimHash
@@ -92,8 +99,15 @@ object ScaleSmoke {
     // there the quadratic shape dwarfs the pruned 50k run.
     val planted = docs.select(col("doc_id"),
       concat(col("text"), lit(" xviral yviral zviral")).as("text"))
-    timed("exact jaccard, viral, df<=1000 (50k)") {
-      Dedup.ngramJaccardPairs(planted, tau = 0.6, maxDf = Some(1000L)).count()
+    // cap 50: organic shingles (df ≈ 10-30 after ×10 replication) survive,
+    // the planted boilerplate (df = 50k) and marker-tail shingles
+    // (df = 5k) die BEFORE the join. A 1000 cap demonstrably does NOT
+    // bound this corpus — its template-generated texts put many shingles
+    // in the df 100-1000 band, and Σ df² with df ~ 10³ spins for hours.
+    // The cap is the operator's scale contract: it must be sized to the
+    // corpus's shingle-frequency distribution, not "big enough to ignore".
+    timed("exact jaccard, viral, df<=50 (50k)") {
+      Dedup.ngramJaccardPairs(planted, tau = 0.6, maxDf = Some(50L)).count()
     }
     Dedup.uncacheAll()
     timed("exact jaccard, viral, unpruned (1k)") {
@@ -111,6 +125,38 @@ object ScaleSmoke {
     timed("top-3/user via TopKPerKey (5M)") {
       graft.plans.TopK.perKey(events, Seq("user_id"),
         Seq("value" -> false, "event_id" -> true), k = 3).count()
+    }
+    // ultra-high-cardinality keys (2M distinct) with a deliberately small
+    // spill threshold: every task writes sorted runs and merges them —
+    // the path that previously OOM'd instead of degrading to disk
+    timed("top-3/2M-keys spill-forced (5M)") {
+      graft.plans.TopK.perKey(
+        events.withColumn("hk", col("event_id") % 2000000L),
+        Seq("hk"), Seq("value" -> false, "event_id" -> true), k = 3,
+        spillThresholdRows = 50000).count()
+    }
+    // banded embedding LSH at 10× volume: replicas are EXACT vector copies,
+    // so each source vector becomes a 10-clique of cosine-1.0 near-dups —
+    // the dup-heavy ANN regime (hot buckets) plus organic neighbors
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .withColumn("rep", explode(sequence(lit(0), lit(9))))
+      .select((col("vec_id") * 10 + col("rep")).as("vec_id"), col("embedding"))
+    println(s"[scale-smoke] embeddings rows = ${emb.count()}")
+    // 16 DISTINCT source vectors as hyperplanes (replicas are exact copies,
+    // so vec_id<16 would yield near-duplicate planes — i.e. one effective
+    // sign bit and near-quadratic candidates), 2 bands × 8 bits: expected
+    // random-collision rate ≈ 2/256, so candidates stay ~1% of all-pairs
+    // while every replica clique still collides in both bands
+    val planes = graft.operators.Similarity
+      .prepared(
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 160), "vec_id", "embedding")
+      .select((col("id") / 10).cast("int").as("plane_id"), col("v").as("pv"))
+    timed("banded near-dup pairs tau=.97 (20k vecs)") {
+      graft.operators.Similarity.nearDupPairsBanded(emb, planes, bands = 2, tau = 0.97).count()
+    }
+    timed("banded ANN top-5, 200 queries (20k vecs)") {
+      graft.operators.Similarity.lshTopKBanded(
+        emb, emb.filter(col("vec_id") % 100 === 0), planes, bands = 2, k = 5).count()
     }
     spark.stop()
   }

@@ -73,20 +73,40 @@ object Dedup {
 
   /** Jaccard for given candidate pairs (cand: doc_a < doc_b), computing
     * shingle intersections only for candidates — candidate-driven, so the
-    * expensive part stays proportional to the candidate count, not all-pairs.
+    * expensive part stays proportional to the candidate count, not
+    * all-pairs.
+    *
+    * Shape: each doc's (already distinct) shingle hashes are aggregated
+    * ONCE into a sorted array, candidates join the two compact arrays, and
+    * the intersection size is a row-local two-pointer merge
+    * ([[graft.functions.SortedArrayIntersectCount]], codegen'd). The
+    * earlier relational form — explode both sides, join on the hash,
+    * re-group — shuffled an intermediate ∝ Σ_cand |shingles(doc)| (a
+    * ~200M-row exchange at the 50k-doc smoke scale); here the verify joins
+    * carry one array per doc and no per-shingle rows at all.
     */
   private def verifyJaccard(
       shingled: DataFrame,
       cand: DataFrame,
       tau: Double): DataFrame = {
-    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = shingled.as("x")
-      .join(cand, col("x.id") === col("doc_a"))
-      .join(shingled.as("y"),
-        col("y.id") === col("doc_b") && col("x.h") === col("y.h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFromIntersections(inter, sizes, tau)
+    // persisted: both candidate legs read it; one narrow array row per doc
+    val sets = shingled.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(sets)
+    cand
+      .join(sets.select(col("id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        graft.functions.SortedArrayIntersectCount(col("ha"), col("hb")).as("common"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: every pair (a<b) with J ≥ tau.
@@ -203,45 +223,55 @@ object Dedup {
     // `collapseExactDups = false` opts into the direct single-stage plan
     // when the caller KNOWS ids are already distinct per text.
     if (!collapseExactDups) return simhashCore(docs, idCol, textCol, n, tau, maxHamming)
-    val members = docs.select(
-      col(idCol).as("m_id"), md5(col(textCol)).as("th"),
-      (size(split(lower(col(textCol)), " ")) >= n).as("has_shingle"))
-    // NOT persisted: its two consumers want different projections — the
-    // fingerprint pipeline needs (id, text) and is cached downstream at the
-    // shingle level anyway, while the expansion map needs only (id, th),
-    // which column pruning strips to a narrow group-by; caching the full
-    // texts here would hold the whole distinct corpus resident for a
-    // consumer that never reads the text column
+    // NOT persisted: the fingerprint pipeline needs (id, text) and is
+    // cached downstream at the shingle level anyway; the expansion map
+    // needs only (id, th), which column pruning strips to a narrow form
     val repDocs = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("th"))
       .groupBy(col("th"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
     val repPairs = simhashCore(repDocs, idCol, textCol, n, tau, maxHamming)
-    // expand representatives back to member ids: one narrow (rep_id, m_id)
-    // map built with a single text-hash join. Persisted — all FOUR expansion
-    // legs (two cross joins, two within-group sides) read it, and as a
-    // tiny id-level projection it is the cheapest thing in the operator to
-    // keep resident.
-    val expand = members
+    // One ARRAY row per representative: (rep_id, sorted member ids,
+    // has_shingle). Ending the expansion map in this aggregation is
+    // deliberate plan engineering, not style: the three consumers below
+    // (two cross-join legs, the within-group generator) are INDEPENDENT
+    // subtrees that the scheduler may run concurrently, and a cache()'d
+    // row-level map gets re-computed by each of them before any cache
+    // block lands — an earlier formulation re-executed the member join
+    // four times in one job. A shuffle boundary, by contrast, is Spark's
+    // natural memoization point: the group-by's map side runs exactly
+    // once and every consumer re-reads the same shuffle files.
+    val groups = docs
+      .select(
+        md5(col(textCol)).as("th"), col(idCol).as("m_id"),
+        (size(split(lower(col(textCol)), " ")) >= n).as("has_shingle"))
       .join(repDocs.select(col(idCol).as("rep_id"), col("th")), Seq("th"))
-      .select(col("rep_id"), col("m_id"), col("has_shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(expand)
+      .groupBy(col("rep_id"))
+      .agg(
+        sort_array(collect_list(col("m_id"))).as("ids"),
+        first(col("has_shingle")).as("has_shingle"))
     val cross = repPairs
-      .join(expand.select(col("rep_id").as("doc_a"), col("m_id").as("a_id")), Seq("doc_a"))
-      .join(expand.select(col("rep_id").as("doc_b"), col("m_id").as("b_id")), Seq("doc_b"))
+      .join(groups.select(col("rep_id").as("doc_a"), col("ids").as("a_ids")), Seq("doc_a"))
+      .join(groups.select(col("rep_id").as("doc_b"), col("ids").as("b_ids")), Seq("doc_b"))
+      .select(explode(col("a_ids")).as("a_id"), col("b_ids"), col("jaccard"), col("hamming"))
+      .select(col("a_id"), explode(col("b_ids")).as("b_id"), col("jaccard"), col("hamming"))
       .select(
         least(col("a_id"), col("b_id")).as("doc_a"),
         greatest(col("a_id"), col("b_id")).as("doc_b"),
         col("jaccard"), col("hamming"))
     // within-group pairs: identical texts → J = 1, Hamming = 0 — emitted
     // only for texts long enough to own ≥ 1 shingle (matching the oracle,
-    // which computes Jaccard from shingle sets and skips shingle-less docs)
-    val within = expand.as("x")
-      .join(expand.as("y"),
-        col("x.rep_id") === col("y.rep_id") && col("x.m_id") < col("y.m_id"))
-      .filter(col("x.has_shingle"))
+    // which computes Jaccard from shingle sets and skips shingle-less
+    // docs). Pairs are generated ROW-LOCALLY from each group's sorted id
+    // array (ids are distinct and ascending, so i<j ⟺ id_i < id_j) —
+    // no self-join, no extra exchange.
+    val within = groups
+      .filter(col("has_shingle") && size(col("ids")) >= 2)
+      .select(expr(
+        """inline(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS doc_a, y AS doc_b)))))""".stripMargin))
       .select(
-        col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
+        col("doc_a"), col("doc_b"),
         lit(1.0).as("jaccard"), lit(0L).as("hamming"))
       .filter(lit(1.0) >= tau && lit(0) <= maxHamming) // constant-folded guard
     cross.unionAll(within)

@@ -540,6 +540,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("SortedArrayIntersectCount: two-pointer merge over sorted hash arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L), 2L), // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L), 0L),                  // disjoint
+      (Seq.empty[Long], Seq(1L), 0L),                  // empty side
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L), 3L))          // identical
+      .toDF("a", "b", "want")
+    val got = df.select(
+      graft.functions.SortedArrayIntersectCount(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null array propagates null
+    val n = df.select(graft.functions.SortedArrayIntersectCount(
+      lit(null).cast("array<bigint>"), col("b"))).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
   test("simhash collapse and direct paths emit the identical pair set") {
     // the collapseExactDups flag must tune performance only, never results —
     // checked on a corpus with exact dups, near-dups, and distinct docs

@@ -362,6 +362,29 @@ object SparkEntry {
       Temporal.sessionize(ev, "user_id", "ts_us", "event_id", gapMicros = 30L * 60 * 1000000)
         .orderBy(col("user_id"), col("session_idx"))
     }),
+    "q_session_window" -> ((s, dir) => {
+      // the BUILT-IN gap-session operator (session_window, batch form of the
+      // streaming one) checked against the same DuckDB lag/cumsum oracle
+      // formulation as q_sessionize — two independent sessionization
+      // implementations (built-in merge-windows vs window-function
+      // composition) pinned to one oracle
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), timestamp_micros(Temporal.nanosToMicros("ts")).as("ts"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          // session_window's end is exclusive (last event + gap); subtract
+          // the gap back so the emitted bound is the last event time,
+          // matching the lag/cumsum oracle exactly
+          (unix_micros(col("w.end")) - lit(1800L * 1000000L)).as("session_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
     "q_asof_prev_order" -> ((s, dir) =>
       Temporal.previousByKey(t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
         .select(
@@ -631,6 +654,10 @@ object SparkEntry {
     }),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
+    "text_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
@@ -965,6 +992,21 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       MAX(ts_us) - MIN(ts_us) AS duration_us
         |FROM g GROUP BY 1,2 ORDER BY user_id, session_idx""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     "q_asof_prev_order" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_custkey,
@@ -1348,6 +1390,28 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
          |FROM raw ORDER BY event_id""".stripMargin
     },
+    "text_rarity" ->
+      // mean_freq is ONE int64/int64 division on both engines (no float
+      // summation anywhere), so the double compares bit-exact
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+        |freq AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(freq) AS BIGINT) AS sum_freq, COUNT(*) AS n_tokens,
+        |       CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
+        |FROM toks JOIN freq USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_chunks" ->
+      // non-overlapping 16-token chunks aligned at multiples of 16;
+      // trailing partial chunks skipped (same universe as Dedup.chunkStats)
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts) // 16)) AS i
+        |  FROM toks WHERE len(ts) >= 16),
+        |chunks AS (
+        |  SELECT doc_id, array_to_string(ts[i*16+1 : i*16+16], ' ') AS chunk FROM idx)
+        |SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM chunks GROUP BY 1 ORDER BY chunk_hash""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),

@@ -381,6 +381,43 @@ object Dedup {
     }
   }
 
+  /** Chunk-level duplication stats: corpus-wide occurrence counts of
+    * fixed-width token chunks (k consecutive tokens, non-overlapping,
+    * aligned at multiples of k; trailing partial chunks are skipped so the
+    * chunk universe is deterministic). This is the sub-document granularity
+    * of exact dedup — the C4/RefinedWeb-style pass that finds boilerplate
+    * repeated ACROSS distinct documents (headers, navigation, license
+    * blocks) that document-level dedup by definition cannot see.
+    *
+    * Plan shape: one narrow projection (tokenize + row-local chunk
+    * assembly via `transform`/`slice` — no join, no explode of token rows)
+    * into one hash aggregation keyed on the chunk md5. At 100 TB the
+    * exchange carries one row per (task × distinct chunk) after partial
+    * aggregation — the same single-shuffle profile as the flagship A1
+    * aggregate. Downstream, `n_docs > 1` chunks form a scrub-list joined
+    * back (broadcast at realistic boilerplate cardinality) to strip
+    * repeated spans.
+    */
+  def chunkStats(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16): DataFrame = {
+    require(k >= 1, "chunk width must be >= 1")
+    docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(
+        col("id"),
+        explode(expr(
+          s"""transform(sequence(0, size(ts) div $k - 1),
+             |          i -> array_join(slice(ts, i * $k + 1, $k), ' '))""".stripMargin))
+          .as("chunk"))
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_doc"))
+  }
+
   /** Survivor set from a pair list: a document is dropped iff it appears as
     * the larger id of any near-dup pair (greedy min-id-wins policy — the
     * standard one-pass approximation of connected components, exact when dup

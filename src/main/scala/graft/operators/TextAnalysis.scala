@@ -152,6 +152,35 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
   }
 
+  /** Token-rarity scoring: each document's mean corpus frequency over its
+    * tokens — the cheap unigram-LM stand-in for quality filtering (CCNet
+    * lineage: documents made of globally-common tokens are boilerplate-ish;
+    * documents of globally-rare tokens are noise/garble; the training-data
+    * sweet spot sits between, and the thresholds are a downstream policy).
+    *
+    * Emits the exact integer numerator/denominator (`sum_freq`,
+    * `n_tokens`) plus their single-division mean, so cross-engine
+    * verification is bit-exact — no float summation order anywhere: the
+    * float is produced by ONE int64/int64 division per row.
+    *
+    * Plan shape: token frequencies are one hash aggregation; the
+    * tokens-to-frequency join keys on the word. The frequency table is
+    * vocabulary-sized (Zipf: millions of rows at web scale, ≪ corpus), so
+    * AQE broadcasts it when it fits and falls back to a shuffle join when
+    * it doesn't — deliberately not pinned to `broadcast()` here, unlike
+    * the always-tiny corpus-count scalar in [[tfIdf]].
+    */
+  def tokenRarity(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    toks.join(freq, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("freq")).as("sum_freq"), count(lit(1)).as("n_tokens"))
+      .select(
+        col(idCol), col("sum_freq"), col("n_tokens"),
+        (col("sum_freq").cast("double") / col("n_tokens")).as("mean_freq"))
+  }
+
   /** Rolling-hash document fingerprinting (winnowing): md5 each word-`n`-gram
     * in sequence, then keep the minimum hash of every `window`-length run of
     * consecutive shingles. The distinct minima are the document's

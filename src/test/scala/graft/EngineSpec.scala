@@ -788,4 +788,84 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
+
+  test("custom-state streaming sessionize: gap, cap, and watermark-timeout closes") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.{Event, Session}
+    import spark.implicits._
+    // nonzero base: the initial watermark is epoch 0, and an event AT the
+    // watermark is dropped as late — t=0 events never reach the operator
+    val base = 100000L
+    def ev(user: Long, sec: Long) = Event(user, new Timestamp((base + sec) * 1000L))
+    def usOf(sec: Long) = (base + sec) * 1000000L
+    val in = MemoryStream[Event](spark)
+    // gap 60 s, zero allowed lateness: the watermark is simply the max
+    // event time of completed batches, which makes timeout firing exact
+    val out = SessionizeStream.sessions(
+      in.toDS(), gapUs = 60L * 1000000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: in-batch gap proof (10 → 100 jumps the 60 s gap)
+      in.addData(ev(1, 0), ev(1, 10), ev(1, 100))
+      q.processAllAvailable()
+      // batch 2: 300 − 100 > gap closes the open session
+      in.addData(ev(1, 300))
+      q.processAllAvailable()
+      // batch 3 advances the watermark to 1000 via another key; batch 4
+      // (any data) then evaluates user 1's event-time timeout (300+gap<1000)
+      in.addData(ev(2, 1000))
+      q.processAllAvailable()
+      in.addData(ev(2, 1001))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").as[Session].collect()
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events, s.closed_by))
+        .toSet
+      assert(got == Set(
+        (1L, usOf(0), usOf(10), 2L, "gap"),
+        (1L, usOf(100), usOf(100), 1L, "gap"),
+        (1L, usOf(300), usOf(300), 1L, "timeout")),
+        s"unexpected sessions: $got")
+    } finally q.stop()
+    // the size cap — the policy the built-in session_window cannot express:
+    // 4 in-gap events with maxEvents = 2 split into two sessions
+    val in2 = MemoryStream[Event](spark)
+    val out2 = SessionizeStream.sessions(
+      in2.toDS(), gapUs = 60L * 1000000L, watermarkDelay = "0 seconds", maxEvents = 2)
+    val q2 = out2.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_cap_out").start()
+    try {
+      in2.addData(ev(9, 0), ev(9, 1), ev(9, 2), ev(9, 3))
+      q2.processAllAvailable()
+      val got = spark.table("sessions_cap_out").as[Session].collect()
+        .map(s => (s.session_start_us, s.session_end_us, s.n_events, s.closed_by)).toSet
+      assert(got == Set((usOf(0), usOf(1), 2L, "cap")), s"unexpected cap split: $got")
+    } finally q2.stop()
+  }
+
+  test("streaming dedup: duplicates within the watermark window are dropped") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val deduped = graft.streaming.DedupStream.dedupWithinWatermark(
+      in.toDF().toDF("ts", "text"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_out").start()
+    try {
+      in.addData(
+        (new Timestamp(t0), "alpha"),
+        (new Timestamp(t0 + 1000), "alpha"), // in-batch duplicate
+        (new Timestamp(t0), "beta"))
+      q.processAllAvailable()
+      in.addData((new Timestamp(t0 + 2000), "alpha")) // cross-batch duplicate
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream_out")
+        .select(col("text")).as[String].collect().sorted.toSeq
+      assert(texts == Seq("alpha", "beta"), s"expected one alpha + one beta, got $texts")
+    } finally q.stop()
+  }
 }

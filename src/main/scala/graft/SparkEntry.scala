@@ -395,6 +395,21 @@ object SparkEntry {
             .cast("long").as("gap_days"))
         .filter(col("prev_orderkey").isNotNull) // first order per key has no as-of match
         .orderBy(col("o_custkey"), col("o_orderkey"))),
+    "q_range_join" -> ((s, dir) => {
+      // interval/theta join done scale-safe: the binned equi-join rewrite
+      // (Temporal.pairsWithin) instead of the O(n²) nested-loop the naive
+      // BETWEEN formulation plans to. Co-occurrence counts of event-type
+      // pairs within a 60-second window.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_type"), Temporal.nanosToMicros("ts").as("us"))
+      Temporal.pairsWithin(ev, "us", 60L * 1000000L, Seq("event_type"))
+        .groupBy(col("a_event_type").as("type_a"), col("b_event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -1017,6 +1032,13 @@ object SparkEntry {
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         |WHERE prev_orderkey IS NOT NULL
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_range_join" ->
+      // DuckDB's IEJoin evaluates the inequality join directly; result must
+      // equal the Spark side's binned equi-join + residual-filter rewrite
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+        |FROM e a JOIN e b ON b.us > a.us AND b.us <= a.us + 60000000
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

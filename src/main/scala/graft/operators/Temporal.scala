@@ -61,6 +61,46 @@ object Temporal {
       .withColumn(s"prev_$timeCol", lag(col(timeCol), 1).over(w))
   }
 
+  /** Range (interval) self-join via time-binning — all ordered pairs (a, b)
+    * with `0 < ts_b − ts_a ≤ windowUs`, without ever forming the quadratic
+    * theta-join. Spark has no native interval-join operator; the naive
+    * `a JOIN b ON b.ts BETWEEN a.ts AND a.ts + w` plans as a nested-loop
+    * over every pair — O(n²) and dead at any real volume.
+    *
+    * The binned form is the standard scale-safe rewrite: bucket time into
+    * `windowUs`-wide bins; `bin(b) ∈ {bin(a), bin(a)+1}` for every
+    * qualifying pair, so replicating the b-side to its own bin and the one
+    * below turns the theta-join into an EQUI-join on the bin id (each
+    * qualifying pair meets on exactly one key — no dedup needed) plus a
+    * residual range filter. Cost: one 2× replication and a hash join
+    * keyed on bin — fan-out per bin is the stream's rate × window, not n².
+    * At 100 TB the bin key partitions evenly as long as event rates do; a
+    * hot bin (flash-crowd second) is AQE-skew-splittable since the join is
+    * a plain shuffle-hash equi-join.
+    *
+    * Emits `a_<c>`/`b_<c>` for each payload column plus `a_us`/`b_us`.
+    * Pairs at EXACTLY equal timestamps are excluded (no self-pairs, no
+    * double-counted symmetric pairs).
+    */
+  def pairsWithin(
+      events: DataFrame,
+      tsUsCol: String,
+      windowUs: Long,
+      payload: Seq[String]): DataFrame = {
+    require(windowUs > 0, "window must be positive")
+    val aSide = events.select(
+      (col(tsUsCol).as("a_us") +: expr(s"$tsUsCol div $windowUs").as("bin") +:
+        payload.map(c => col(c).as(s"a_$c"))): _*)
+    val bSide = events.select(
+      (col(tsUsCol).as("b_us") +:
+        explode(array(expr(s"$tsUsCol div $windowUs"), expr(s"$tsUsCol div $windowUs - 1")))
+          .as("bin") +:
+        payload.map(c => col(c).as(s"b_$c"))): _*)
+    aSide.join(bSide, "bin")
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + windowUs)
+      .drop("bin")
+  }
+
   /** Epoch-microseconds from a nanosecond-long column, by exact integer
     * division (`div`) — `/` would route through double and can mis-floor at
     * 1e18 magnitudes.

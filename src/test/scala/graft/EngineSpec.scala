@@ -789,6 +789,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("binned range join equals the naive theta join (bin edges, ties)") {
+    // pseudo-times with collisions and exact-boundary deltas: (i·7919) mod
+    // 1000 over 400 ids guarantees equal timestamps and pairs exactly at
+    // the window edge — the cases where the bin replication could double-
+    // count or drop
+    val df = spark.range(0, 400).select(
+      col("id").as("eid"), ((col("id") * 7919) % 1000).as("us"))
+    val binned = Temporal.pairsWithin(df, "us", 100L, Seq("eid"))
+      .select(col("a_eid"), col("b_eid"))
+    val naive = df.as("a").join(df.as("b"),
+        col("b.us") > col("a.us") && col("b.us") <= col("a.us") + 100L)
+      .select(col("a.eid").as("a_eid"), col("b.eid").as("b_eid"))
+    assert(binned.count() == naive.count(), "pair cardinality differs")
+    assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty,
+      "pair sets differ")
+  }
+
   test("custom-state streaming sessionize: gap, cap, and watermark-timeout closes") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -635,6 +635,25 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"), col("lang"))),
+    "split_stratified" -> ((s, dir) =>
+      // training-mix rebalancing: halve the over-represented language,
+      // keep the rest — deterministic (md5-bucket) so the cut is stable
+      // across engines and runs
+      Splits.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    "split_pack_batches" -> ((s, dir) =>
+      // token-budget sequence packing: contiguous greedy fill per language,
+      // 2048-token batches; emitted as per-batch stats
+      Splits.packBatches(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
+          "lang", "doc_id", "n_tokens", budget = 2048L)
+        .groupBy(col("lang"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+        .orderBy(col("lang"), col("batch_id"))),
     "du_salted_agg" -> ((s, dir) => {
       // the skew-hardened two-phase aggregate; result-identical to the
       // plain form, so the oracle is the plain GROUP BY
@@ -1316,6 +1335,24 @@ object SparkEntry {
          |       lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
+    "split_stratified" -> {
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${graft.operators.Splits.stratifiedSampleSql("doc_id", "lang", Map("en" -> 0.5))}
+         |ORDER BY doc_id""".stripMargin
+    },
+    "split_pack_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
     "du_salted_agg" ->
       """WITH inv AS (
         |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,

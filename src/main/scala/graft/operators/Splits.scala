@@ -52,4 +52,65 @@ object Splits {
   /** df + a `split` column. */
   def assign(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits))
+
+  private def fractionThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
+    val bucket = (f * 256).toInt
+    if (bucket >= 256) "zz" else f"$bucket%02x"
+  }
+
+  /** Deterministic stratified sampling — the training-mix rebalancing step
+    * (downsample the over-represented language/source strata, keep the
+    * rest). A row survives iff its id's 2-hex md5 bucket falls below its
+    * stratum's fraction threshold: the same engine-portable, RNG-free,
+    * row-local decision as [[assign]], so the sample is stable across
+    * runs, engines, and partitionings, and the plan stays narrow (a filter
+    * — no shuffle, no sample() nondeterminism; `df.sample` re-draws on
+    * every recomputation and is unusable for reproducible corpus cuts).
+    * Fractions are honored to 1/256 granularity per stratum.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(fractionThreshold(defaultFraction))) { case (acc, (k, f)) =>
+        when(col(stratumCol) === lit(k), lit(fractionThreshold(f))).otherwise(acc)
+      }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 2) < thr)
+  }
+
+  /** The same stratum-threshold predicate as SQL text, for oracle mirroring. */
+  def stratifiedSampleSql(
+      idExpr: String, stratumExpr: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): String = {
+    val whens = fractions.toSeq.sortBy(_._1)
+      .map { case (k, f) => s"WHEN $stratumExpr = '$k' THEN '${fractionThreshold(f)}'" }
+      .mkString(" ")
+    s"substring(md5(CAST($idExpr AS VARCHAR)),1,2) < (CASE $whens ELSE '${fractionThreshold(defaultFraction)}' END)"
+  }
+
+  /** Token-budget sequence packing (greedy contiguous fill): within each
+    * `partCol` stratum, walk rows in `orderCol` order and assign
+    * `batch_id = (running-token-offset) div budget` — each batch is a
+    * contiguous run of documents whose combined tokens fill ~one training
+    * context budget (a document straddling the boundary belongs to the
+    * batch it STARTS in, so batches can overshoot by one document — the
+    * standard greedy approximation; exact bin packing is NP-hard and
+    * inherently sequential).
+    *
+    * Scale: one window (hash exchange on the stratum + per-partition
+    * sort). The stratum key is what keeps this distributed — a single
+    * global packing order would funnel the corpus through one partition;
+    * partitioning by language/source shard is how packing is actually run
+    * at 100 TB.
+    */
+  def packBatches(
+      df: DataFrame, partCol: String, orderCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(orderCol))
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("batch_id", expr(s"(cum_tokens - $tokensCol) div $budget"))
+  }
 }

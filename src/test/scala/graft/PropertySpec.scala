@@ -149,6 +149,48 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fracs.values.sum == 500L && fracs("train") > 350 && fracs("train") < 450, s"got $fracs")
   }
 
+  test("stratified sample: degenerate fractions, stability, and stratum isolation") {
+    import spark.implicits._
+    import graft.operators.Splits
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = (0L until 600L).toDF("id")
+      .withColumn("g", when(col("id") % 3 === 0, lit("a"))
+        .when(col("id") % 3 === 1, lit("b")).otherwise(lit("c")))
+    // fraction 1.0 keeps everything; 0.0 removes the stratum entirely
+    assert(Splits.stratifiedSample(df, "id", "g", Map.empty).count() == 600L)
+    val cut = Splits.stratifiedSample(df, "id", "g", Map("a" -> 0.0, "b" -> 0.5))
+    val byG = cut.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("a"), s"stratum a must be empty: $byG")
+    assert(byG("c") == 200L, s"untouched stratum must be whole: $byG")
+    assert(byG("b") > 60 && byG("b") < 140, s"b should be ~half: $byG")
+    // determinism: the survivor set is a pure function of the id
+    val again = Splits.stratifiedSample(df, "id", "g", Map("a" -> 0.0, "b" -> 0.5))
+    assert(cut.except(again).isEmpty && again.except(cut).isEmpty)
+  }
+
+  test("pack batches: contiguous fill respects the budget up to one straddler") {
+    import spark.implicits._
+    import graft.operators.Splits
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val docs = (0L until 200L).map(i => (i, "s", 10L + (i * 7) % 50)).toDF("id", "g", "n_tok")
+    val packed = Splits.packBatches(docs, "g", "id", "n_tok", budget = 100L)
+    // every doc assigned; batch ids contiguous from 0
+    assert(packed.count() == 200L)
+    val stats = packed.groupBy(col("batch_id"))
+      .agg(sum(col("n_tok")).as("tok"), max(col("n_tok")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = stats.map(_._1).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1L, s"batch ids not contiguous: ${ids.toSeq}")
+    // greedy contract: a batch exceeds the budget by less than its last
+    // (straddling) document, and non-final batches are at least budget-full
+    stats.foreach { case (b, tok, mx) =>
+      assert(tok < 100L + mx, s"batch $b overshoots beyond one straddler: tok=$tok mx=$mx")
+    }
+    val fullBatches = stats.filter(_._1 < ids.last)
+    assert(fullBatches.forall(_._2 >= 100L - 59), "non-final batch suspiciously empty")
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

@@ -577,6 +577,14 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_components" -> ((s, dir) =>
+      // exact dup-cluster canonicalization: min-label propagation to a
+      // fixpoint over the near-dup pair graph (LSH-generated pairs, proven
+      // equal to exact at these parameters); oracle recomputes reachability
+      // with a recursive CTE
+      Dedup.components(
+          Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6))
+        .orderBy(col("doc_id"))),
     "du_size_histogram" -> ((s, dir) => {
       // operational distribution: how many addresses fall in each usage
       // band (exact integer thresholds — no float binning at the boundary)
@@ -1286,6 +1294,18 @@ object SparkEntry {
         |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6)
         |ORDER BY doc_id""".stripMargin),
+    "dedup_components" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,qp AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
+        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
     "du_size_histogram" ->
       """WITH inv AS (
         |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,

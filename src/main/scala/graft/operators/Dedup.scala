@@ -425,4 +425,61 @@ object Dedup {
     */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over the near-dup pair graph: every document that
+    * appears in a pair, labeled with the smallest doc id reachable through
+    * pairs (`component`). This is the EXACT cluster canonicalization that
+    * [[survivors]]' greedy min-id pass approximates: greedy drops doc_b of
+    * every pair, which over-drops on chains (a-b, b-c but NOT a-c keeps
+    * only a; component labeling keeps one canonical doc per true cluster
+    * and maps every member to it — the join key for provenance and for
+    * choosing a representative by any downstream policy).
+    *
+    * Algorithm: iterative min-label propagation — labels start as self,
+    * each round takes the min over the 1-hop neighborhood, fixpoint when a
+    * round changes nothing. Rounds = graph diameter; near-dup clusters are
+    * quasi-cliques (diameter 1-2), so 3-4 rounds in practice. Each round is
+    * one join + one aggregation, both keyed on node id — the shape scales
+    * like any keyed join at 100 TB. For adversarial diameters (long chains)
+    * the known upgrade is pointer-jumping (large-star/small-star, Kiveris
+    * et al.), which converges in O(log n) rounds with the same per-round
+    * plan; not needed at near-dup workloads and deliberately not built.
+    *
+    * The driver-side loop is orchestration, not data movement: per round it
+    * runs one `isEmpty` convergence probe (a distributed aggregate) and
+    * never collects rows. Intermediate label tables are persisted per round
+    * and released as soon as the next round materializes; the final table
+    * stays cached (released by [[uncacheAll]]).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .persist(lvl)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("lbl"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist(lvl)
+      next.count() // materialize before the old round is released
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "old_lbl"), "node")
+        .filter(col("lbl") =!= col("old_lbl"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    persisted.add(labels)
+    labels.select(col("node").as("doc_id"), col("lbl").as("component"))
+  }
 }

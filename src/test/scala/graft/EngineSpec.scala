@@ -789,6 +789,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("connected components: chains, cliques, isolated pairs label to the min id") {
+    import spark.implicits._
+    // a 4-chain (diameter 3 — needs multiple propagation rounds), an
+    // isolated pair, and a triangle clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (20L, 22L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+    Dedup.uncacheAll()
+  }
+
   test("binned range join equals the naive theta join (bin edges, ties)") {
     // pseudo-times with collisions and exact-boundary deltas: (i·7919) mod
     // 1000 over 400 ids guarantees equal timestamps and pairs exactly at

@@ -70,6 +70,12 @@ object ScaleSmoke {
       Dedup.minhashLshPairs(docs, tau = 0.6).count()
     }
     Dedup.uncacheAll()
+    // connected components over the 250k-pair near-dup graph: replica
+    // cliques have diameter 1, so label propagation converges in 2 rounds
+    timed("components over LSH pairs (50k)") {
+      Dedup.components(Dedup.minhashLshPairs(docs, tau = 0.6)).count()
+    }
+    Dedup.uncacheAll()
     timed("simhash pairs, collapse (50k docs)") {
       Dedup.simhashPairs(docs, tau = 0.6).count()
     }

@@ -454,6 +454,16 @@ object SparkEntry {
           unix_timestamp(col("w.start")).as("win_start_epoch"),
           col("n_orders"), col("revenue"))
         .orderBy(col("win_start_epoch"))),
+    "q_window_sliding" -> ((s, dir) =>
+      // sliding (hopping) windows: 14-day duration, 7-day slide — every
+      // order lands in exactly two epoch-aligned windows
+      t(s, dir, "orders")
+        .groupBy(window(col("o_orderdate"), "14 days", "7 days").as("w"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .select(
+          unix_timestamp(col("w.start")).as("win_start_epoch"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("win_start_epoch"))),
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1095,6 +1105,19 @@ object SparkEntry {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY win_start_epoch""".stripMargin,
+    "q_window_sliding" ->
+      // ts ∈ [base−slide, base+dur−slide) for base = ts's slide bucket ⇒
+      // member of exactly the windows starting at base and base−slide
+      """WITH o AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)/604800.0)*604800 AS BIGINT) AS base,
+        |         o_totalprice
+        |  FROM orders),
+        |m AS (
+        |  SELECT base - u.off AS win_start_epoch, o_totalprice
+        |  FROM o, (SELECT unnest([0, 604800]) AS off) u)
+        |SELECT win_start_epoch, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM m GROUP BY 1 ORDER BY win_start_epoch""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -456,30 +456,35 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("node")).distinct()
+    // `cached` is the DataFrame actually holding this round's storage (the
+    // thing unpersist must target); `labels` is its (node, lbl) view
+    var cached = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .persist(lvl)
-    labels.count()
+    var labels = cached
+    cached.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("lbl"))
-      val next = labels.unionAll(prop)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .select(edges("src").as("node"), col("lbl"), lit(null).cast("long").as("prev"))
+      // the node's own previous label rides the union as `prev` (unique per
+      // node, min() just selects it), so convergence is read off the
+      // aggregated table itself — no per-round old-vs-new join
+      val next = labels.select(col("node"), col("lbl"), col("lbl").as("prev"))
+        .unionAll(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
         .persist(lvl)
       next.count() // materialize before the old round is released
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "old_lbl"), "node")
-        .filter(col("lbl") =!= col("old_lbl"))
-        .isEmpty
-      labels.unpersist(blocking = false)
-      labels = next
+      converged = next.filter(col("lbl") < col("prev")).isEmpty // labels only decrease
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
     edges.unpersist(blocking = false)
     require(converged, s"label propagation did not converge in $maxIter rounds")
-    persisted.add(labels)
+    persisted.add(cached)
     labels.select(col("node").as("doc_id"), col("lbl").as("component"))
   }
 }

@@ -661,6 +661,11 @@ object SparkEntry {
           Map("en" -> 0.5))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    "split_negative_pairs" -> ((s, dir) =>
+      // contrastive negatives: 4 deterministic pseudo-random partners per
+      // doc via integer arithmetic (engine-portable, retry-stable)
+      Splits.negativePairs(t(s, dir, "documents"), "doc_id", k = 4)
+        .orderBy(col("doc_id"), col("k_idx"))),
     "split_pack_batches" -> ((s, dir) =>
       // token-budget sequence packing: contiguous greedy fill per language,
       // 2048-token batches; emitted as per-batch stats
@@ -1383,6 +1388,19 @@ object SparkEntry {
          |WHERE ${graft.operators.Splits.stratifiedSampleSql("doc_id", "lang", Map("en" -> 0.5))}
          |ORDER BY doc_id""".stripMargin
     },
+    "split_negative_pairs" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        |c AS (
+        |  SELECT d.doc_id, u.k_idx,
+        |         (d.doc_id * 2654435761 + u.k_idx * 40503 + 12345)
+        |           % (mx.max_id + 1) AS neg_id
+        |  FROM documents d CROSS JOIN mx,
+        |       (SELECT unnest([0,1,2,3]) AS k_idx) u)
+        |SELECT doc_id, CAST(k_idx AS BIGINT) AS k_idx, neg_id
+        |FROM c
+        |WHERE neg_id <> doc_id
+        |  AND neg_id IN (SELECT doc_id FROM documents)
+        |ORDER BY doc_id, k_idx""".stripMargin,
     "split_pack_batches" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

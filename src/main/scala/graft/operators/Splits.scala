@@ -89,6 +89,41 @@ object Splits {
     s"substring(md5(CAST($idExpr AS VARCHAR)),1,2) < (CASE $whens ELSE '${fractionThreshold(defaultFraction)}' END)"
   }
 
+  /** Deterministic negative sampling — the contrastive-pair generation step
+    * (k pseudo-random "negative" partners per document, e.g. for embedding
+    * or reranker training). The candidate for (id, i) is pure integer
+    * arithmetic, `(id·2654435761 + i·40503 + seed) mod N` (Knuth
+    * multiplicative hashing) — deliberately NOT an engine hash function or
+    * RNG, so the identical pair set reproduces in any engine, any task
+    * retry, any partitioning. Self-pairs are dropped; candidates are
+    * semi-joined back to the id universe so sparse id spaces never emit
+    * dangling references (for dense 0..N-1 ids the join is a no-op that
+    * AQE executes as a broadcast).
+    *
+    * Plan: one broadcast scalar (max id), a row-local k-explode, one
+    * semi-join — no shuffle on the corpus side beyond the join AQE picks.
+    * The modulus keeps candidates uniform enough for negatives (these are
+    * random partners, not cryptography); collisions across i are possible
+    * and harmless (duplicate negatives are standard and can be distinct'd
+    * by the caller).
+    */
+  def negativePairs(
+      df: DataFrame, idCol: String, k: Int, seed: Long = 12345L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val maxId = df.agg(max(col(idCol)).as("max_id"))
+    val cand = df.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(maxId))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("k_idx"),
+        col("max_id"))
+      .select(col("doc_id"), col("k_idx"),
+        ((col("doc_id") * 2654435761L + col("k_idx") * 40503L + seed)
+          % (col("max_id") + 1)).as("neg_id"))
+      .filter(col("neg_id") =!= col("doc_id"))
+    cand.join(df.select(col(idCol).as("neg_id")), Seq("neg_id"), "left_semi")
+      .select(col("doc_id"), col("k_idx"), col("neg_id"))
+  }
+
   /** Token-budget sequence packing (greedy contiguous fill): within each
     * `partCol` stratum, walk rows in `orderCol` order and assign
     * `batch_id = (running-token-offset) div budget` — each batch is a

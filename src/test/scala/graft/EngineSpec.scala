@@ -789,6 +789,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB the fact side of fact⋈dim must not fully materialize when
+    // the dim is selectively filtered and too big to broadcast — Spark's
+    // InjectRuntimeFilter plants a bloom-filter semi-filter on the fact
+    // scan. Thresholds are lowered so the rule fires at fixture scale;
+    // broadcast is disabled because a broadcast join already filters.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderdate") < lit("1995-06-01"))
+        .select(col("o_orderkey"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no bloom runtime filter injected:\n$opt")
+      // and it must not change results vs the unfiltered-plan join
+      assert(j.count() ==
+        li.join(ord.hint("broadcast"), col("l_orderkey") === col("o_orderkey")).count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("connected components: chains, cliques, isolated pairs label to the min id") {
     import spark.implicits._
     // a 4-chain (diameter 3 — needs multiple propagation rounds), an

@@ -587,6 +587,16 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_contamination" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing >= 5 distinct
+      // 3-gram shingles with any doc of the (stand-in) eval slice
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 3, minShared = 5L)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
     "dedup_components" -> ((s, dir) =>
       // exact dup-cluster canonicalization: min-label propagation to a
       // fixpoint over the near-dup pair graph (LSH-generated pairs, proven
@@ -1322,6 +1332,13 @@ object SparkEntry {
         |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6)
         |ORDER BY doc_id""".stripMargin),
+    "dedup_contamination" -> (shingleCte +
+      """SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |       COUNT(*) AS n_shared
+        |FROM sh t JOIN sh e ON t.s = e.s
+        |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY train_id, eval_id""".stripMargin),
     "dedup_components" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """,qp AS (
         |  SELECT p.a, p.b FROM p

@@ -426,6 +426,33 @@ object Dedup {
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Benchmark decontamination: cross-corpus n-gram collisions between a
+    * training corpus and a (much smaller) eval/benchmark set — the overlap
+    * check run before training so benchmark text is scrubbed from the
+    * training mix. Emits `(train_id, eval_id, n_shared)` for every pair
+    * sharing ≥ `minShared` distinct word-n-gram shingles.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] but TWO-SIDED: the
+    * join keys on the shingle hash between corpora instead of self-joining
+    * one, so cost is Σ_shingle df_train·df_eval — linear in the training
+    * corpus for a fixed eval set, and the (small) eval index broadcasts.
+    * The absolute shared-count threshold (not Jaccard) is deliberate:
+    * contamination is about any verbatim overlap long enough to leak, not
+    * about whole-document similarity — a 13-gram quote inside an otherwise
+    * unrelated document must flag.
+    */
+  def contaminationPairs(
+      train: DataFrame, probe: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, minShared: Long = 1L): DataFrame = {
+    val a = sh(train, idCol, textCol, n).select(col("id").as("train_id"), col("h"))
+    val b = sh(probe, idCol, textCol, n).select(col("id").as("eval_id"), col("h"))
+    a.join(b, Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over the near-dup pair graph: every document that
     * appears in a pair, labeled with the smallest doc id reachable through
     * pairs (`component`). This is the EXACT cluster canonicalization that

@@ -789,6 +789,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("flagship aggregate plans exactly one data exchange") {
+    // the A1 contract at 100 TB: map-side partial aggregation, ONE hash
+    // exchange on the group key, final aggregation — any second data
+    // shuffle is a plan regression (the trailing range exchange exists
+    // only for the deterministic verify ORDER BY)
+    val plan = SparkEntry.queries("du_by_address")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, found $hashExchanges:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // at 100 TB the fact side of fact⋈dim must not fully materialize when
     // the dim is selectively filtered and too big to broadcast — Spark's

@@ -723,6 +723,11 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_bpe_vocab" -> ((s, dir) =>
+      // tokenizer training: 4 BPE merge rounds — distributed pair counting,
+      // driver argmax (the merge decision IS global), row-local merge apply
+      TextAnalysis.bpeVocab(t(s, dir, "documents"), merges = 4)
+        .orderBy(col("merge_round"))),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
     "mm_frames" -> ((s, dir) =>
@@ -1527,6 +1532,8 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
          |FROM raw ORDER BY event_id""".stripMargin
     },
+    "text_bpe_vocab" ->
+      graft.operators.TextAnalysis.bpeVocabSql(4),
     "text_rarity" ->
       // mean_freq is ONE int64/int64 division on both engines (no float
       // summation anywhere), so the double compares bit-exact

@@ -181,6 +181,97 @@ object TextAnalysis {
         (col("sum_freq").cast("double") / col("n_tokens")).as("mean_freq"))
   }
 
+  /** BPE-style tokenizer vocabulary induction (word-level byte-pair
+    * encoding): `merges` rounds of [count all adjacent token pairs across
+    * the corpus → take the most frequent pair (count DESC, then
+    * lexicographic — fully deterministic) → merge its adjacent occurrences
+    * left-to-right everywhere]. Returns the learned merge table
+    * `(merge_round, lhs, rhs, n_occurrences)` — the model artifact a
+    * tokenizer trainer emits.
+    *
+    * Distribution contract: pair counting — the O(corpus) work — is one
+    * explode + hash aggregation per round, fully distributed; only the
+    * single argmax row crosses to the driver each round (selecting the
+    * merge IS a global decision — this collect is the algorithm, not a
+    * shortcut). Merge application is a row-local string `replace` on the
+    * delimited token representation (`⟨a⟩⟨b⟩ → ⟨a b⟩`, left-to-right
+    * non-overlapping — exactly standard BPE application order), so no
+    * round shuffles anything but its own pair aggregation.
+    *
+    * The delimited form makes the merge engine-portable: any SQL engine's
+    * literal `replace` applies the same vocabulary identically, which is
+    * how the DuckDB oracle replays the full training loop. Tokens must not
+    * contain the `⟨⟩` delimiters (guaranteed for whitespace-split text).
+    */
+  def bpeVocab(docs: DataFrame, textCol: String = "text", merges: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var repr = docs.select(
+      concat(lit("⟨"), array_join(split(lower(col(textCol)), " "), "⟩⟨"), lit("⟩")).as("r"))
+      .persist(lvl)
+    repr.count()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val top = repr
+        .select(split(regexp_replace(col("r"), "^⟨|⟩$", ""), "⟩⟨").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS l, t[i+1] AS rt))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.rt").as("rhs"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round.toLong, l, r, n))
+        val prev = repr
+        repr = repr.select(call_function("replace", col("r"),
+            lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩")).as("r"))
+          .persist(lvl)
+        repr.count()
+        prev.unpersist(blocking = false)
+      }
+      round += 1
+    }
+    repr.unpersist(blocking = false)
+    import spark.implicits._
+    learned.toSeq.toDF("merge_round", "lhs", "rhs", "n_occurrences")
+  }
+
+  /** The same `merges`-round training loop as SQL text (oracle mirroring):
+    * unrolled CTE chain — each round derives the argmax pair of the
+    * previous round's representation and applies it with the identical
+    * literal `replace`.
+    */
+  def bpeVocabSql(merges: Int): String = {
+    val rounds = (1 to merges).map { k =>
+      s"""t$k AS (
+         |  SELECT string_split(trim(r, '⟨⟩'), '⟩⟨') AS t FROM r${k - 1}),
+         |p$k AS (
+         |  SELECT t[i] AS lhs, t[i+1] AS rhs, COUNT(*) AS n
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t$k WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |r$k AS (
+         |  SELECT replace(r, '⟨'||m$k.lhs||'⟩⟨'||m$k.rhs||'⟩',
+         |                    '⟨'||m$k.lhs||' '||m$k.rhs||'⟩') AS r
+         |  FROM r${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges)
+      .map(k => s"SELECT $k AS merge_round, lhs, rhs, n AS n_occurrences FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH r0 AS (
+       |  SELECT '⟨'||array_to_string(string_split(lower(text), ' '), '⟩⟨')||'⟩' AS r
+       |  FROM documents),
+       |$rounds
+       |SELECT CAST(merge_round AS BIGINT) AS merge_round, lhs, rhs, n_occurrences
+       |FROM ($union)
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** Rolling-hash document fingerprinting (winnowing): md5 each word-`n`-gram
     * in sequence, then keep the minimum hash of every `window`-length run of
     * consecutive shingles. The distinct minima are the document's

@@ -76,6 +76,15 @@ object ScaleSmoke {
       Dedup.components(Dedup.minhashLshPairs(docs, tau = 0.6)).count()
     }
     Dedup.uncacheAll()
+    // decontamination: 45k-doc training slice vs 5k-doc eval slice — the
+    // two-sided index join is Σ df_train·df_eval, linear in the training
+    // corpus for a fixed eval set
+    timed("contamination 45k train x 5k eval") {
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), minShared = 5L).count()
+    }
+    Dedup.uncacheAll()
     timed("simhash pairs, collapse (50k docs)") {
       Dedup.simhashPairs(docs, tau = 0.6).count()
     }

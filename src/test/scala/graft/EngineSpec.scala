@@ -924,6 +924,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("idempotent foreachBatch sink: batch replay replaces, never duplicates") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fbsink").toString
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val sink = graft.streaming.IdempotentSink.partitionedParquet(s"$dir/out") _
+    val q = in.toDF().toDF("ts", "v").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sink(df, id)
+        sink(df, id) // simulate at-least-once redelivery of the same batch
+      }.start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      in.addData((t0, "a"), (t0, "b"), (t0, "c"))
+      q.processAllAvailable()
+      in.addData((t0, "d"), (t0, "e"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() == 5, "replayed batches must not duplicate rows")
+      assert(out.select(col("batch_id")).distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark window are dropped") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

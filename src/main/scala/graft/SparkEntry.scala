@@ -454,6 +454,43 @@ object SparkEntry {
           unix_timestamp(col("w.start")).as("win_start_epoch"),
           col("n_orders"), col("revenue"))
         .orderBy(col("win_start_epoch"))),
+    "q_window_ranks" -> ((s, dir) => {
+      // the full ranking-function family in one pass; percent_rank and
+      // cume_dist are rank arithmetic (single exact divisions), so the
+      // doubles verify bit-exact cross-engine
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_collect_agg" -> ((s, dir) =>
+      // order-insensitive list aggregation made deterministic: collect,
+      // SORT, then join — the only portable way to verify an agg whose
+      // input order is partitioning-dependent
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))),
+    "q_null_semantics" -> ((s, dir) =>
+      // null-handling semantics pinned cross-engine: NULLIF injection,
+      // COALESCE recovery, null-safe equality (<=> / IS NOT DISTINCT FROM),
+      // and null-aware conditional counting
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("rf_null"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("rf_null"),
+          coalesce(col("rf_null"), lit("NONE")).as("rf_filled"),
+          (col("rf_null") <=> lit("R")).as("is_r_nullsafe"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_window_sliding" -> ((s, dir) =>
       // sliding (hopping) windows: 14-day duration, 7-day slide — every
       // order lands in exactly two epoch-aligned windows
@@ -1125,6 +1162,26 @@ object SparkEntry {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY win_start_epoch""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_collect_agg" ->
+      """SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       NULLIF(l_returnflag, 'N') AS rf_null,
+        |       COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS rf_filled,
+        |       (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM 'R') AS is_r_nullsafe
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_window_sliding" ->
       // ts ∈ [base−slide, base+dur−slide) for base = ts's slide bucket ⇒
       // member of exactly the windows starting at base and base−slide

@@ -92,19 +92,27 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = med.values.filter(_ >= 0).sum
-    val line =
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val telemetry =
+      s""""n_iters":$iters,"gc_sec":${jnum(gcSeconds - gcStart)}""" +
+        s""","load_avg_start":${jnum(loadStart)},"load_avg_end":${jnum(loadAvg)}""" +
+        s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir""""
+    // stdout gets the COMPACT line (medians only): the driver parses a
+    // bounded stdout tail, and round 3's full per-iteration dump overflowed
+    // it — the tail started mid-JSON and the artifact recorded parsed:null.
+    // The full protocol record (per-iteration raw times + per-query min)
+    // goes to the file, which has no size constraint.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)}""" +
+        s""",$telemetry,"detail":"$outFile"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)}""" +
         s""","queries_min":${jmap(results.map { case (k, ts) =>
             k -> (if (ts.exists(_ < 0)) -1.0 else ts.min) })}""" +
-        s""","iters":$itersJson,"n_iters":$iters""" +
-        s""","gc_sec":${jnum(gcSeconds - gcStart)}""" +
-        s""","load_avg_start":${jnum(loadStart)},"load_avg_end":${jnum(loadAvg)}""" +
-        s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(line)
-    // also persist to a file: a truncated stdout tail must not lose the signal
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+        s""","iters":$itersJson,$telemetry}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
+    println(compact)
     spark.stop()
   }
 }

@@ -348,13 +348,12 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
     "q_sessionize" -> ((s, dir) => {
       // event-time sessionization over the nanos ts column (read as long —
-      // Spark's reader refuses TIMESTAMP(NANOS) without the legacy flag).
-      // The flag is a declared session config of the harness builders
-      // (Verify/Bench); it is re-asserted here only so the query stays
-      // self-contained on a fresh session. It cannot be scoped-and-restored:
-      // it must still be set when this LAZY plan executes, and its only
-      // effect is turning otherwise-fatal nanos reads into long reads.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark's reader refuses TIMESTAMP(NANOS) without the legacy
+      // `spark.sql.legacy.parquet.nanosAsLong` flag, which is a DECLARED
+      // SESSION CONFIG of every harness builder: Verify, Bench, TimeQueries,
+      // PlanAudit, and the test suites. It is deliberately NOT set here —
+      // a conf.set inside a registry closure would be a global, permanent
+      // side effect of merely BUILDING the query plan.)
       val ev = s.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
         .parquet(s"$dir/events.parquet")
@@ -367,8 +366,8 @@ object SparkEntry {
       // streaming one) checked against the same DuckDB lag/cumsum oracle
       // formulation as q_sessionize — two independent sessionization
       // implementations (built-in merge-windows vs window-function
-      // composition) pinned to one oracle
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // composition) pinned to one oracle. nanosAsLong: harness session
+      // config (see q_sessionize).
       val ev = s.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
         .parquet(s"$dir/events.parquet")
@@ -399,8 +398,8 @@ object SparkEntry {
       // interval/theta join done scale-safe: the binned equi-join rewrite
       // (Temporal.pairsWithin) instead of the O(n²) nested-loop the naive
       // BETWEEN formulation plans to. Co-occurrence counts of event-type
-      // pairs within a 60-second window.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pairs within a 60-second window. nanosAsLong: harness session
+      // config (see q_sessionize).
       val ev = s.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
         .parquet(s"$dir/events.parquet")
@@ -767,6 +766,12 @@ object SparkEntry {
         .orderBy(col("merge_round"))),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
+    "dedup_chunk_scrub" -> ((s, dir) =>
+      // the APPLICATION pass over dedup_chunks' diagnosis: strip chunks
+      // repeated across >1 distinct docs, reassemble the survivors in
+      // order (+ the always-kept partial tail)
+      Dedup.chunkScrub(t(s, dir, "documents"), k = 16, maxDocs = 1L)
+        .orderBy(col("doc_id"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
@@ -1468,18 +1473,18 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     "split_negative_pairs" ->
-      """WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
-        |c AS (
-        |  SELECT d.doc_id, u.k_idx,
-        |         (d.doc_id * 2654435761 + u.k_idx * 40503 + 12345)
-        |           % (mx.max_id + 1) AS neg_id
-        |  FROM documents d CROSS JOIN mx,
-        |       (SELECT unnest([0,1,2,3]) AS k_idx) u)
-        |SELECT doc_id, CAST(k_idx AS BIGINT) AS k_idx, neg_id
-        |FROM c
-        |WHERE neg_id <> doc_id
-        |  AND neg_id IN (SELECT doc_id FROM documents)
-        |ORDER BY doc_id, k_idx""".stripMargin,
+      s"""WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+         |c AS (
+         |  SELECT d.doc_id, u.k_idx,
+         |         ${graft.operators.Splits.negativeCandidateSql("d.doc_id", "u.k_idx")}
+         |           % (mx.max_id + 1) AS neg_id
+         |  FROM documents d CROSS JOIN mx,
+         |       (SELECT unnest([0,1,2,3]) AS k_idx) u)
+         |SELECT doc_id, CAST(k_idx AS BIGINT) AS k_idx, neg_id
+         |FROM c
+         |WHERE neg_id <> doc_id
+         |  AND neg_id IN (SELECT doc_id FROM documents)
+         |ORDER BY doc_id, k_idx""".stripMargin,
     "split_pack_batches" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
@@ -1613,6 +1618,39 @@ object SparkEntry {
         |SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
         |FROM chunks GROUP BY 1 ORDER BY chunk_hash""".stripMargin,
+    "dedup_chunk_scrub" ->
+      // same chunk universe as dedup_chunks; scrub = chunks in >1 distinct
+      // docs; rewrite = kept chunks in order + the partial tail (lossless
+      // reassembly for unaffected docs)
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts) // 16)) AS i
+        |  FROM toks WHERE len(ts) >= 16),
+        |chunks AS (
+        |  SELECT doc_id, i, array_to_string(ts[i*16+1 : i*16+16], ' ') AS chunk FROM idx),
+        |scrub AS (
+        |  SELECT md5(chunk) AS ch FROM chunks GROUP BY 1
+        |  HAVING COUNT(DISTINCT doc_id) > 1),
+        |kept AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS kept_txt,
+        |         COUNT(*) AS n_kept
+        |  FROM chunks WHERE md5(chunk) NOT IN (SELECT ch FROM scrub)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+        |  -- where Spark's array_join is '' (exact-multiple docs have an
+        |  -- empty tail slice; fully-scrubbed docs an empty filter result)
+        |  SELECT doc_id, len(ts) // 16 AS n_chunks,
+        |         COALESCE(array_to_string(ts[(len(ts) // 16) * 16 + 1 : len(ts)], ' '), '') AS tail_txt
+        |  FROM toks)
+        |SELECT b.doc_id,
+        |       COALESCE(array_to_string(
+        |         list_filter([COALESCE(k.kept_txt, ''), b.tail_txt], p -> len(p) > 0),
+        |         ' '), '') AS scrubbed_text,
+        |       CAST(b.n_chunks AS BIGINT) AS n_chunks,
+        |       CAST(b.n_chunks - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),

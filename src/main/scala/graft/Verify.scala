@@ -20,7 +20,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_FILTER=<name,name,...>: narrow the dumped set for
+    // local iteration (never set by the driver — oracle_sql.json still
+    // carries every query so tools/check.py can be pointed at a full dir)
+    val queries = sys.env.get("SPARK_GRAFT_VERIFY_FILTER") match {
+      case Some(f) =>
+        val keep = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (k, _) => keep(k) }
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

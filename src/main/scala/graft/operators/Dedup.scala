@@ -418,6 +418,73 @@ object Dedup {
         min(col("id")).as("first_doc"))
   }
 
+  /** Chunk-scrub application — the CURE to [[chunkStats]]' diagnosis: rewrite
+    * each document with every chunk that occurs in more than `maxDocs`
+    * DISTINCT documents removed (the C4/RefinedWeb boilerplate pass: headers,
+    * navigation, license blocks repeated across the corpus are stripped;
+    * document-unique content survives). The trailing partial chunk (< k
+    * tokens) is never corpus-repeated ANALYSIS-wise and is always kept, so
+    * reassembly is lossless for unaffected documents: kept chunks rejoin in
+    * original order plus the tail. Text is lowercase-tokenized exactly like
+    * [[chunkStats]], so the scrub-list and the stats agree on the chunk
+    * universe.
+    *
+    * Emits (doc_id, scrubbed_text, n_chunks, n_removed).
+    *
+    * Plan shape: the scrub-list is the `n_docs > maxDocs` tail of one hash
+    * aggregation — by the boilerplate premise it is SMALL (chunks repeated
+    * across many docs are rare relative to the corpus; at 100 TB it is the
+    * distinct-boilerplate set, ≪ corpus), so Spark broadcasts it and the
+    * scrub join adds NO shuffle on the corpus side. Reassembly is one
+    * row-local sort of each doc's kept chunks (bounded by doc length) after
+    * a single groupBy(doc) — the same one-exchange profile as the stats
+    * pass. If a corpus ever produces a scrub-list too large to broadcast,
+    * AQE falls back to a shuffle join; the semantics don't change.
+    */
+  def chunkScrub(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, maxDocs: Long = 1L): DataFrame = {
+    require(k >= 1, "chunk width must be >= 1")
+    val toks = docs.select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("ts"))
+    val chunks = toks
+      .filter(size(col("ts")) >= k)
+      .select(
+        col("id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(ts) div $k - 1),
+             |          i -> array_join(slice(ts, i * $k + 1, $k), ' '))""".stripMargin))
+          .as(Seq("ci", "chunk")))
+    val scrub = chunks
+      .groupBy(md5(col("chunk")).as("ch"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("ch"))
+    val kept = chunks
+      .join(scrub, md5(col("chunk")) === col("ch"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ci, chunk))), x -> x.chunk)"),
+          " ").as("kept_txt"),
+        count(lit(1)).as("n_kept"))
+    toks
+      .select(
+        col("id"),
+        expr(s"size(ts) div $k").cast("long").as("n_chunks"),
+        expr(s"array_join(slice(ts, (size(ts) div $k) * $k + 1," +
+          s" size(ts) - (size(ts) div $k) * $k), ' ')").as("tail_txt"))
+      .join(kept, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        array_join(
+          filter(
+            array(coalesce(col("kept_txt"), lit("")), col("tail_txt")),
+            p => length(p) > 0),
+          " ").as("scrubbed_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Survivor set from a pair list: a document is dropped iff it appears as
     * the larger id of any near-dup pair (greedy min-id-wins policy — the
     * standard one-pass approximation of connected components, exact when dup
@@ -510,8 +577,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    require(converged, s"label propagation did not converge in $maxIter rounds")
+    // register the final round's cache BEFORE the convergence check: if the
+    // require throws, uncacheAll() can still release it (no storage leak on
+    // the failure path)
     persisted.add(cached)
+    require(converged, s"label propagation did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("component"))
   }
 }

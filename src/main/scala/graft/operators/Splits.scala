@@ -91,14 +91,17 @@ object Splits {
 
   /** Deterministic negative sampling — the contrastive-pair generation step
     * (k pseudo-random "negative" partners per document, e.g. for embedding
-    * or reranker training). The candidate for (id, i) is pure integer
-    * arithmetic, `(id·2654435761 + i·40503 + seed) mod N` (Knuth
-    * multiplicative hashing) — deliberately NOT an engine hash function or
-    * RNG, so the identical pair set reproduces in any engine, any task
-    * retry, any partitioning. Self-pairs are dropped; candidates are
-    * semi-joined back to the id universe so sparse id spaces never emit
-    * dangling references (for dense 0..N-1 ids the join is a no-op that
-    * AQE executes as a broadcast).
+    * or reranker training). The candidate for (id, i) is the first 15 hex
+    * digits of `md5(id:i:seed)` read as an integer, mod N — md5 because it
+    * is the one hash bit-identical in every engine (same discipline as
+    * [[assign]]), so the identical pair set reproduces in any engine, any
+    * task retry, any partitioning. 15 hex digits < 2⁶⁰ keeps every
+    * intermediate non-negative and overflow-free for the FULL long id
+    * domain (an earlier Knuth-multiplicative form wrapped negative for
+    * ids ≳ 2³³ and silently emitted fewer than k negatives). Self-pairs
+    * are dropped; candidates are semi-joined back to the id universe so
+    * sparse id spaces never emit dangling references (for dense 0..N-1
+    * ids the join is a no-op that AQE executes as a broadcast).
     *
     * Plan: one broadcast scalar (max id), a row-local k-explode, one
     * semi-join — no shuffle on the corpus side beyond the join AQE picks.
@@ -117,12 +120,17 @@ object Splits {
         explode(sequence(lit(0L), lit((k - 1).toLong))).as("k_idx"),
         col("max_id"))
       .select(col("doc_id"), col("k_idx"),
-        ((col("doc_id") * 2654435761L + col("k_idx") * 40503L + seed)
-          % (col("max_id") + 1)).as("neg_id"))
+        (conv(substring(md5(concat_ws(":",
+            col("doc_id"), col("k_idx"), lit(seed))), 1, 15), 16, 10)
+          .cast("long") % (col("max_id") + 1)).as("neg_id"))
       .filter(col("neg_id") =!= col("doc_id"))
     cand.join(df.select(col(idCol).as("neg_id")), Seq("neg_id"), "left_semi")
       .select(col("doc_id"), col("k_idx"), col("neg_id"))
   }
+
+  /** The same candidate expression as SQL text, for oracle mirroring. */
+  def negativeCandidateSql(idExpr: String, kExpr: String, seed: Long = 12345L): String =
+    s"CAST(('0x'||substring(md5(CAST($idExpr AS VARCHAR)||':'||CAST($kExpr AS VARCHAR)||':$seed'),1,15)) AS BIGINT)"
 
   /** Token-budget sequence packing (greedy contiguous fill): within each
     * `partCol` stratum, walk rows in `orderCol` order and assign

@@ -88,12 +88,17 @@ object Temporal {
       windowUs: Long,
       payload: Seq[String]): DataFrame = {
     require(windowUs > 0, "window must be positive")
+    // FLOOR division, not `div` (which truncates toward zero): for negative
+    // (pre-epoch) timestamps truncation breaks the bin(b) ∈ {bin(a),
+    // bin(a)+1} adjacency invariant and silently drops qualifying pairs.
+    // Long-exact floor: subtract the non-negative remainder first.
+    val floorBin = s"(($tsUsCol - ((($tsUsCol % $windowUs) + $windowUs) % $windowUs)) div $windowUs)"
     val aSide = events.select(
-      (col(tsUsCol).as("a_us") +: expr(s"$tsUsCol div $windowUs").as("bin") +:
+      (col(tsUsCol).as("a_us") +: expr(floorBin).as("bin") +:
         payload.map(c => col(c).as(s"a_$c"))): _*)
     val bSide = events.select(
       (col(tsUsCol).as("b_us") +:
-        explode(array(expr(s"$tsUsCol div $windowUs"), expr(s"$tsUsCol div $windowUs - 1")))
+        explode(array(expr(floorBin), expr(s"$floorBin - 1")))
           .as("bin") +:
         payload.map(c => col(c).as(s"b_$c"))): _*)
     aSide.join(bSide, "bin")

@@ -249,7 +249,7 @@ object TextAnalysis {
   def bpeVocabSql(merges: Int): String = {
     val rounds = (1 to merges).map { k =>
       s"""t$k AS (
-         |  SELECT string_split(trim(r, '⟨⟩'), '⟩⟨') AS t FROM r${k - 1}),
+         |  SELECT string_split(substr(r, 2, length(r) - 2), '⟩⟨') AS t FROM r${k - 1}),
          |p$k AS (
          |  SELECT t[i] AS lhs, t[i+1] AS rhs, COUNT(*) AS n
          |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t$k WHERE len(t) >= 2)

@@ -98,29 +98,48 @@ object SessionizeStream {
       // Micro-batch arrival order is arbitrary; session semantics are
       // event-time order. Sorting WITHIN the group is bounded by the
       // per-key batch volume, not history — state never holds events.
-      val sorted = rows.toArray.sortBy(e => us(e.ts))
+      //
+      // Out-of-order-but-within-watermark handling: the open session from
+      // state is folded into the SAME sorted sweep as the batch's events
+      // (as a proto-session interval), ordered by start time. An event
+      // earlier than the open session therefore either extends it backwards
+      // (start moves to the min — within gap on either side) or forms its
+      // own earlier session, closed by "gap" — it is never silently
+      // absorbed with a stale session_start_us. With in-order input the
+      // sweep degenerates to the classic per-event fold (the open session
+      // sorts first), so the batch-equivalence contract with
+      // `Temporal.sessionize` is unchanged.
+      val protos = (state.getOption.toSeq ++
+        rows.map { e => val t = us(e.ts); OpenSession(t, t, 1) })
+        .sortBy(p => (p.startUs, p.lastUs))
       val out = Vector.newBuilder[Session]
-      var open = state.getOption
-      sorted.foreach { e =>
-        val t = us(e.ts)
+      var open: Option[OpenSession] = None
+      protos.foreach { p =>
         open match {
-          case Some(o) if t - o.lastUs <= gapUs && o.n < maxEvents =>
-            open = Some(o.copy(lastUs = math.max(o.lastUs, t), n = o.n + 1))
+          // mergeable: within gap of the open interval on either side
+          // (p.startUs >= o.startUs by sort, so only the trailing gap and
+          // the cap can reject). n-accounting stays exact when p is the
+          // carried state interval (p.n events, not 1).
+          case Some(o) if p.startUs - o.lastUs <= gapUs && o.n < maxEvents =>
+            open = Some(OpenSession(
+              o.startUs, math.max(o.lastUs, p.lastUs), o.n + p.n))
           case Some(o) =>
-            out += close(o, if (t - o.lastUs > gapUs) "gap" else "cap")
-            open = Some(OpenSession(t, t, 1))
+            out += close(o, if (p.startUs - o.lastUs > gapUs) "gap" else "cap")
+            open = Some(p)
           case None =>
-            open = Some(OpenSession(t, t, 1))
+            open = Some(p)
         }
       }
       open match {
         case Some(o) =>
           state.update(o)
           // fire once the watermark proves no in-gap event can still arrive;
-          // the max() guard keeps the timestamp legal (> current watermark)
-          // when the watermark has already advanced past last + gap
+          // ceiling division (micros → millis) so the timeout never fires in
+          // the sliver up to 2 ms BEFORE last + gap, and the max() guard
+          // keeps the timestamp legal (> current watermark) when the
+          // watermark has already advanced past last + gap
           state.setTimeoutTimestamp(
-            math.max(o.lastUs / 1000L + gapUs / 1000L,
+            math.max((o.lastUs + gapUs + 999L) / 1000L,
               state.getCurrentWatermarkMs() + 1L))
         case None => // no events and no timeout: nothing to do
       }

@@ -27,6 +27,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("engine-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // harness-wide declared config (same as Verify/Bench): nanos parquet
+    // columns read as long instead of failing the scan
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

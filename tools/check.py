@@ -56,6 +56,9 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional: restrict to named queries
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     fails = 0
     for name in sorted(oracle):
         try:

@@ -614,6 +614,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      // END-TO-END IVF: deterministic k-means quantizer training (2 Lloyd's
+      // rounds, md5-bucket init) + nprobe=2 multi-probe serving — the oracle
+      // replays the identical training loop in SQL (decimal-exact means,
+      // rounded-cosine assignment), so the full train→index→query path is
+      // value-checked, not just the serving join
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "dedup_survivors" -> ((s, dir) => {
       // rides the banded-LSH path (the 100 TB shape); output is proven equal
       // to the exact quadratic form at these parameters (EngineSpec), so the
@@ -1375,6 +1387,40 @@ object SparkEntry {
         |cand AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM cell q JOIN cell n ON q.cell=n.cell AND q.vec_id<10 AND q.vec_id<>n.vec_id),
+        |dd AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  FROM cand c
+        |  JOIN f a ON a.vec_id=c.query_id
+        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+        |  GROUP BY 1,2),
+        |ss AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM ss)
+        |SELECT query_id, neighbor_id, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_ivf_trained_topk" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 4, iters = 2) +
+      """,
+        |dfin AS (
+        |  SELECT f.vec_id, c2.cell, SUM(f.v*c2.m) AS dot
+        |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
+        |rfin AS (
+        |  SELECT dfin.vec_id, dfin.cell,
+        |         row_number() OVER (PARTITION BY dfin.vec_id
+        |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
+        |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
+        |            JOIN cn2 ON cn2.cell=dfin.cell),
+        |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+        |qcell AS (SELECT vec_id, cell FROM rfin WHERE rn <= 2 AND vec_id < 10),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
         |dd AS (
         |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
         |  FROM cand c

@@ -193,31 +193,108 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style approximate top-k: vectors are partitioned into cells by
-    * nearest centroid (cosine, rounded, centroid-id tie-break); each query
-    * probes only its own cell. `centroids` is small ((cid, cv, cnrm)) and
-    * broadcast — the IVF counterpart of [[lshTopK]]: coarse quantization by
-    * learned/chosen centroids instead of random hyperplanes. At 100 TB the
+  /** Nearest-centroid cell assignment: each vector in `vecs` ((id, v, nrm))
+    * gets its `nprobe` closest cells by rounded cosine (centroid-id
+    * tie-break). `centroids` ((cid, cv, cnrm)) is tiny and broadcast — the
+    * pass is a narrow map over the corpus, no shuffle until the per-id
+    * ranking window (k candidate rows per id, partitioned by id).
+    */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cscore"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+
+  /** (cid, cv, cnrm) DataFrame from driver-held centroid rows. */
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "cv").withColumn("cnrm", norm(col("cv")))
+  }
+
+  /** Deterministic k-means coarse-quantizer training (Lloyd's iterations) —
+    * what makes [[ivfTopK]] usable END-TO-END instead of demanding
+    * caller-supplied centroids. Fully deterministic, no RNG:
+    *
+    *  - init: cell(id) = md5-prefix(id) mod k — the same engine-portable
+    *    md5-bucket discipline as [[Splits]] (15 hex digits < 2⁶⁰, so the
+    *    arithmetic is overflow-free and non-negative for any id);
+    *  - each round: centroid = per-dimension MEAN of its members, summed
+    *    through DECIMAL(28,12) (exact, order-insensitive) and divided once —
+    *    bit-identical across engines and partitionings; then re-assign by
+    *    rounded cosine with centroid-id tie-break (same rule as the serving
+    *    path, so train and query agree on boundaries).
+    *
+    * Distribution contract: the per-round O(corpus) work — the dimension
+    * explode and (cell, dim) hash aggregation — is fully distributed
+    * (k·dims cells ≪ corpus); only the k×dims centroid table crosses to the
+    * driver each round, which IS the algorithm's global synchronization
+    * point (the [[graft.operators.TextAnalysis.bpeVocab]] argmax precedent:
+    * a tiny global decision, not a data collect). Re-assignment is a narrow
+    * broadcast map. Note training is an ACTION (it runs `iters` jobs when
+    * called), not a lazy plan — like any iterative fixpoint operator here.
+    *
+    * A cell that loses all members simply disappears (k shrinks) — the
+    * deterministic behavior a SQL oracle reproduces, rather than a random
+    * re-seed it could not. Returns (cid, cv: array<double>, cnrm).
+    */
+  def trainCentroids(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    val spark = emb.sparkSession
+    val p = prepared(emb, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def means(assigned: DataFrame): Seq[(Long, Seq[Double])] = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double])).toSeq
+    var assigned = p.select(col("id"), col("v"), col("nrm"),
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long") % k)
+        .as("cell"))
+    var cents = means(assigned)
+    (2 to iters).foreach { _ =>
+      assigned = assignCells(p, centroidFrame(spark, cents), nprobe = 1)
+      cents = means(assigned)
+    }
+    p.unpersist(blocking = false)
+    centroidFrame(spark, cents)
+  }
+
+  /** IVF approximate top-k: vectors are partitioned into cells by nearest
+    * centroid (cosine, rounded, centroid-id tie-break); each query probes
+    * its `nprobe` nearest cells — the recall knob (a query straddling a
+    * cell boundary finds neighbors in the adjacent cell at nprobe ≥ 2,
+    * mirroring what banding does for [[lshTopKBanded]]). `centroids` is
+    * small ((cid, cv, cnrm)) and broadcast — train it with
+    * [[trainCentroids]] or supply domain centroids. At 100 TB the
     * assignment pass is a narrow broadcast map and the probe join shuffles
-    * only by cell id.
+    * only by cell id; candidate volume scales with nprobe/k of the corpus
+    * per query.
     */
   def ivfTopK(
       emb: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    def assign(vecs: DataFrame): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(centroids))
-        .select(col("id"), col("v"), col("nrm"), col("cid"),
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cscore"))
-      scored
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid"))))
-        .filter(col("crn") === 1)
-        .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
-    }
-    val n = assign(prepared(emb, idCol, embCol))
-    val q = assign(prepared(queries, idCol, embCol))
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val n = assignCells(prepared(emb, idCol, embCol), centroids, nprobe = 1)
+    val q = assignCells(prepared(queries, idCol, embCol), centroids, nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell").as("qcell"))
+    // each neighbor lives in exactly ONE cell and a query's probed cells
+    // are distinct, so a (query, neighbor) pair meets on at most one key —
+    // no candidate dedup needed at any nprobe
     q.join(n, col("query_id") =!= col("id") && col("qcell") === col("cell"))
       .select(
         col("query_id"),
@@ -274,6 +351,46 @@ object Similarity {
         col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= tau)
+  }
+
+  /** The same [[trainCentroids]] loop as SQL CTE text, for oracle mirroring
+    * (unrolled like [[TextAnalysis.bpeVocabSql]]). Expects the caller's WITH
+    * chain to already define `f` (vec_id, i, v: the flattened doubles) and
+    * `nrm` (vec_id, nrm); emits `a0` (md5-bucket init) and per round r the
+    * per-dimension decimal-exact means `c{r}` (cell, i, m), centroid norms
+    * `cn{r}`, and (before the last round) the rounded-cosine re-assignment
+    * `a{r}`. The final centroid tables are `c{iters}`/`cn{iters}`.
+    */
+  def kmeansOracleCtes(k: Int, iters: Int): String = {
+    require(k >= 1 && iters >= 1)
+    val sb = new StringBuilder
+    sb ++= s""", a0 AS (
+              |  SELECT vec_id,
+              |         CAST(('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % $k AS cell
+              |  FROM embeddings)""".stripMargin
+    (1 to iters).foreach { r =>
+      sb ++= s""",
+                |c$r AS (
+                |  SELECT a${r - 1}.cell, f.i,
+                |         CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+                |  FROM f JOIN a${r - 1} USING (vec_id) GROUP BY 1,2),
+                |cn$r AS (SELECT cell, sqrt(SUM(m*m)) AS cnrm FROM c$r GROUP BY 1)""".stripMargin
+      if (r < iters) {
+        sb ++= s""",
+                  |d$r AS (
+                  |  SELECT f.vec_id, c$r.cell, SUM(f.v*c$r.m) AS dot
+                  |  FROM f JOIN c$r ON f.i=c$r.i GROUP BY 1,2),
+                  |a$r AS (
+                  |  SELECT vec_id, cell FROM (
+                  |    SELECT d$r.vec_id, d$r.cell,
+                  |           row_number() OVER (PARTITION BY d$r.vec_id
+                  |             ORDER BY ROUND(d$r.dot/(nrm.nrm*cn$r.cnrm),4) DESC, d$r.cell) AS rn
+                  |    FROM d$r JOIN nrm ON nrm.vec_id=d$r.vec_id
+                  |              JOIN cn$r ON cn$r.cell=d$r.cell)
+                  |  WHERE rn = 1)""".stripMargin
+      }
+    }
+    sb.toString
   }
 
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,

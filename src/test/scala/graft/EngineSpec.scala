@@ -510,6 +510,51 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= coarseRecall, s"bands=4 $recall < bands=2 $coarseRecall")
   }
 
+  test("IVF trained quantizer + multi-probe: recall >= 0.9 vs brute force at nprobe=2") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(approx: Set[(Long, Long)], exact: Set[(Long, Long)]) =
+      (exact & approx).size.toDouble / exact.size
+    // IVF's recall premise is CLUSTER STRUCTURE (near neighbors share a
+    // coarse cell) — so the recall bar is asserted on a planted-cluster
+    // corpus: 4 clusters of 100 vectors on orthogonal 16-dim blocks plus a
+    // deterministic ±0.14 perturbation. On such data 2 Lloyd's rounds from
+    // the md5-bucket init separate the clusters exactly.
+    val clustered = (0 until 400).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(64) { j =>
+        (if (j / 16 == c) 1.0f else 0.0f) +
+          (((i * 131 + j * 17) % 29) - 14).toFloat / 29.0f * 0.3f
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(clustered, k = 4, iters = 2)
+    // training is deterministic: same call → identical centroid table
+    val again = Similarity.trainCentroids(clustered, k = 4, iters = 2)
+    assert(cents.orderBy("cid").collect().toSeq == again.orderBy("cid").collect().toSeq,
+      "k-means training must be run-to-run deterministic")
+    assert(cents.count() == 4, "all 4 cells should survive")
+    val q = clustered.filter(col("vec_id") < 20)
+    val bf = pairSet(Similarity.bruteForceTopK(clustered, q, k = 5))
+    val multi = pairSet(Similarity.ivfTopK(clustered, q, cents, k = 5, nprobe = 2))
+    assert(recallOf(multi, bf) >= 0.9,
+      s"nprobe=2 recall ${recallOf(multi, bf)} < 0.9 (|bf|=${bf.size})")
+    // the nprobe knob on the UNCLUSTERED fixture embeddings: recall rises
+    // monotonically with probed cells and probing every cell IS brute force
+    // (documented behavior — without cluster structure IVF recall scales
+    // with the probed fraction, which is why the knob exists)
+    val fixCents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+    val fq = emb.filter(col("vec_id") < 20)
+    val fbf = pairSet(Similarity.bruteForceTopK(emb, fq, k = 5))
+    val r1 = recallOf(pairSet(Similarity.ivfTopK(emb, fq, fixCents, k = 5, nprobe = 1)), fbf)
+    val r2 = recallOf(pairSet(Similarity.ivfTopK(emb, fq, fixCents, k = 5, nprobe = 2)), fbf)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    val all = pairSet(Similarity.ivfTopK(emb, fq, fixCents, k = 5, nprobe = 4))
+    assert(all == fbf, "nprobe=k must equal the exact top-k")
+  }
+
   test("banded near-dup pairs: superset of single-bucket, subset of brute force") {
     val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
       .select(col("id").as("plane_id"), col("v").as("pv"))

@@ -384,6 +384,22 @@ object SparkEntry {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))
     }),
+    "q_sessionize_capped" -> ((s, dir) => {
+      // the gap+cap policy of the custom-state streaming sessionizer in its
+      // batch form (sessions split on a 30-min gap AND after 2 events —
+      // cap 2 because the fixtures' largest gap-session has 3 events, so
+      // the cap path is exercised by the data, not just the unit test) —
+      // this row gives the POLICY itself a DuckDB oracle; EngineSpec
+      // separately asserts streaming output equals this operator's.
+      // nanosAsLong: harness session config (see q_sessionize).
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), Temporal.nanosToMicros("ts").as("ts_us"))
+      Temporal.sessionizeCapped(ev, "user_id", "ts_us", "event_id",
+          gapMicros = 30L * 60 * 1000000, maxEvents = 2L)
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
     "q_asof_prev_order" -> ((s, dir) =>
       Temporal.previousByKey(t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
         .select(
@@ -1133,6 +1149,24 @@ object SparkEntry {
         |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
         |       COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_sessionize_capped" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new,
+        |         row_number() OVER w AS rnk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_us, rnk,
+        |         MAX(CASE WHEN is_new = 1 THEN rnk END) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_first
+        |  FROM f)
+        |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sess_first, (rnk - sess_first) // 2
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q_asof_prev_order" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_custkey,

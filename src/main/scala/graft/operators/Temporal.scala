@@ -45,6 +45,50 @@ object Temporal {
       .withColumn("duration_us", col("session_end_us") - col("session_start_us"))
   }
 
+  /** Gap-AND-cap sessionization — the batch form of
+    * [[graft.streaming.SessionizeStream]]'s policy: sessions split on a
+    * silence gap (like [[sessionize]]) AND after `maxEvents` rows (a bot
+    * storm must not produce one million-event session). A gap-session's
+    * events are numbered in event-time order and chopped into consecutive
+    * `maxEvents`-sized runs, which is exactly what the streaming operator's
+    * in-order fold produces — EngineSpec asserts the two outputs equal on
+    * the same events.
+    *
+    * Plan: ALL the window passes (gap flag, row number, running max) share
+    * one (key) partitioning and one (time, id) sort, so Spark plans a
+    * single exchange + sort — the cap costs nothing over plain
+    * sessionization. The session start is identified by the running max of
+    * the flagged row numbers (no second window partitioning on the derived
+    * session id, which would be another exchange).
+    */
+  def sessionizeCapped(
+      events: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      idCol: String,
+      gapMicros: Long,
+      maxEvents: Long): DataFrame = {
+    require(maxEvents >= 1, "maxEvents must be >= 1")
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn(
+        "is_new",
+        when(
+          lag(col(tsUsCol), 1).over(order).isNull ||
+            col(tsUsCol) - lag(col(tsUsCol), 1).over(order) > gapMicros,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("rnk", row_number().over(order).cast("long"))
+      .withColumn("sess_first", max(when(col("is_new") === 1, col("rnk"))).over(run))
+      .withColumn("sub_idx", expr(s"(rnk - sess_first) div $maxEvents"))
+      .groupBy(col(keyCol), col("sess_first"), col("sub_idx"))
+      .agg(
+        min(col(tsUsCol)).as("session_start_us"),
+        max(col(tsUsCol)).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_start_us"), col("session_end_us"), col("n_events"))
+  }
+
   /** As-of (previous-row) self-join per key: for each row, the key's most
     * recent earlier row by `timeCol` (deterministic `idCol` tie-break).
     * Returns the input plus `prev_<id>` and `prev_<time>` columns — the

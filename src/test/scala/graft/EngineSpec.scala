@@ -912,6 +912,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("b.us") > col("a.us") && col("b.us") <= col("a.us") + 100L)
       .select(col("a.eid").as("a_eid"), col("b.eid").as("b_eid"))
     assert(binned.count() == naive.count(), "pair cardinality differs")
+    // pre-epoch (negative) timestamps: truncating division would break the
+    // bin-adjacency invariant here and silently drop qualifying pairs
+    val neg = spark.range(0, 400).select(
+      col("id").as("eid"), (((col("id") * 7919) % 1000) - 500).as("us"))
+    val negBinned = Temporal.pairsWithin(neg, "us", 100L, Seq("eid"))
+    val negNaive = neg.as("a").join(neg.as("b"),
+        col("b.us") > col("a.us") && col("b.us") <= col("a.us") + 100L)
+    assert(negBinned.count() == negNaive.count(),
+      "negative-timestamp pair cardinality differs")
     assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty,
       "pair sets differ")
   }
@@ -970,6 +979,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(s => (s.session_start_us, s.session_end_us, s.n_events, s.closed_by)).toSet
       assert(got == Set((usOf(0), usOf(1), 2L, "cap")), s"unexpected cap split: $got")
     } finally q2.stop()
+  }
+
+  test("gap+cap policy: streaming sessionize equals the batch operator on the same events") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.{Event, Session}
+    import spark.implicits._
+    val base = 100000L
+    def ev(user: Long, sec: Long) = Event(user, new Timestamp((base + sec) * 1000L))
+    // user 1: six in-gap events (cap 2 splits into three sessions), then a
+    // gap, then one lone event that only the watermark timeout can close
+    val secs = Seq(0L, 10L, 20L, 30L, 40L, 50L, 300L)
+    val in = MemoryStream[Event](spark)
+    val out = SessionizeStream.sessions(
+      in.toDS(), gapUs = 60L * 1000000L, watermarkDelay = "0 seconds", maxEvents = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_eq_out").start()
+    try {
+      in.addData(secs.map(ev(1L, _)): _*)
+      q.processAllAvailable()
+      in.addData(ev(2L, 5000L)) // advance the watermark...
+      q.processAllAvailable()
+      in.addData(ev(2L, 5001L)) // ...then evaluate user 1's timeout
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_eq_out").as[Session]
+        .filter(_.user_id == 1L)
+        .collect()
+        .map(s => (s.session_start_us, s.session_end_us, s.n_events)).toSet
+      val batch = Temporal.sessionizeCapped(
+          secs.map(s => (1L, (base + s) * 1000000L, s)).toDF("user_id", "ts_us", "event_id"),
+          "user_id", "ts_us", "event_id",
+          gapMicros = 60L * 1000000L, maxEvents = 2L)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"policy divergence: streaming $streamed vs batch $batch")
+      assert(batch.size == 4, s"expected 3 cap splits + 1 lone session, got $batch")
+    } finally q.stop()
   }
 
   test("idempotent foreachBatch sink: batch replay replaces, never duplicates") {

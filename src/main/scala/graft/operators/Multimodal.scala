@@ -122,6 +122,62 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded image: dimensions + per-channel means. `width = -1` marks
+    * a payload the codec rejected (corrupt-payload accounting is part of
+    * the pipeline contract — rows are never dropped silently).
+    */
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image decode — `javax.imageio` (the JDK's built-in PNG/JPEG/BMP/
+    * GIF codecs), no stub — behind the exact same `mapPartitions` seam as
+    * [[extractFeatures]]: one iterator per partition, so the codec-plugin
+    * scan and any decoder state initialize once per partition, not per row.
+    * Emits width/height and per-channel byte means (exact integer sums, one
+    * final division — deterministic). This is the template for swapping any
+    * real codec behind the stubbed stages: same input contract ((doc_id,
+    * payload)), same narrow shuffle-free plan, same failure accounting.
+    */
+  def extractImageFeatures(withPayload: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageFeatures(id, -1, -1, 0.0, 0.0, 0.0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            ImageFeatures(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Decode + feature-extract via `mapPartitions`: per-partition iterator so a
     * real decoder's init cost amortizes across the partition (the reason this
     * is `mapPartitions`, not `map`/UDF). Input must carry (doc_id, payload).

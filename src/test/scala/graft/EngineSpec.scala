@@ -751,6 +751,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("multimodal real decoder: javax.imageio PNG behind the mapPartitions seam") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // synthesize real PNGs with known pixels so the extracted features are
+    // EXACT: a solid-color image (means = the color) and a gradient (means
+    // = closed-form averages); plus one corrupt payload (accounting row)
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val solid = png(4, 2)((_, _) => (10 << 16) | (20 << 8) | 30)
+    val gradient = png(4, 2)((x, y) => ((x * 40) << 16) | ((y * 100) << 8) | 50)
+    val corrupt = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, solid), (2L, gradient), (3L, corrupt)).toDF("doc_id", "payload")
+    val got = Multimodal.extractImageFeatures(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got(0) == ((1L, 4, 2, 10.0, 20.0, 30.0)), s"solid: ${got(0)}")
+    assert(got(1) == ((2L, 4, 2, 60.0, 50.0, 50.0)), s"gradient: ${got(1)}")
+    assert(got(2)._2 == -1, s"corrupt payload must be accounted, got ${got(2)}")
+  }
+
   test("multimodal resize stage: 4x downsample preserves ids, shrinks payloads") {
     val src = Multimodal.withBinaryPayload(docs)
     val resized = Multimodal.resize(src, factor = 4)

@@ -76,6 +76,18 @@ object ScaleSmoke {
       Dedup.components(Dedup.minhashLshPairs(docs, tau = 0.6)).count()
     }
     Dedup.uncacheAll()
+    // chain-shaped dup graph: 1000 planted 50-link chains over 50k nodes
+    // (diameter 49) — the adversarial shape where hook-only label
+    // propagation needs 49 rounds (and previously exceeded the 25-round
+    // budget outright); pointer jumping converges it in ~7 rounds at one
+    // extra keyed self-join per round
+    timed("components 1000 x 50-link chains (50k)") {
+      val chain = spark.range(0, 50000)
+        .filter(col("id") % 50 =!= 49)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      Dedup.components(chain).count()
+    }
+    Dedup.uncacheAll()
     // decontamination: 45k-doc training slice vs 5k-doc eval slice — the
     // two-sided index join is Σ df_train·df_eval, linear in the training
     // corpus for a fixed eval set

@@ -524,6 +524,60 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.95)").as("p95_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
+    "q_bool_agg" -> ((s, dir) =>
+      // boolean aggregates (bool_and/bool_or) — deterministic regardless of
+      // evaluation order, pinned cross-engine
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bool_and(l_quantity > 1)").as("all_gt1"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("bool_and(l_quantity <= 50)").as("all_le50"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    "q_bitwise_agg" -> ((s, dir) =>
+      // bitwise aggregates — exact integer results at any evaluation order
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 16).as("user_bucket"))
+        .agg(
+          expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_bucket"))),
+    "q_stddev_var" -> ((s, dir) =>
+      // population variance/stddev from decimal-EXACT first and second
+      // moments (one formula, identical token-for-token in the oracle) —
+      // the built-in stddev aggregates sum doubles in partition order and
+      // do not verify bit-exact across engines
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8)))
+            .cast("double").as("sxx"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")), 6)
+            .as("var_pop"),
+          round(sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))), 6)
+            .as("stddev_pop"))
+        .orderBy(col("l_returnflag"))),
+    "q_datetime_funcs" -> ((s, dir) =>
+      // calendar function surface: month truncation, month end, day counts,
+      // day-of-week (normalized to DuckDB's Sunday=0 convention)
+      t(s, dir, "orders")
+        .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          col("month_start"),
+          last_day(col("month_start")).as("month_end"),
+          dayofmonth(last_day(col("month_start"))).cast("long").as("days_in_month"),
+          (dayofweek(col("month_start")) - 1).cast("long").as("dow_start"),
+          col("n_orders"))
+        .orderBy(col("month_start"))),
     "q_percentile_approx" -> ((s, dir) =>
       // The 100 TB percentile: approx_percentile's summary buffer is BOUNDED
       // (~O(accuracy·log n) entries, Greenwald-Khanna), unlike exact
@@ -787,6 +841,16 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition screen: duplicate-trigram fraction +
+      // top-bigram share, computed entirely row-locally (zero exchanges)
+      TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "split_mix_weights" -> ((s, dir) =>
+      // training-mix retargeting: per-language sampling fraction toward a
+      // 40/20/20/20 en/de/fr/es mix (down-sample only, weight capped at 1)
+      Splits.mixWeights(t(s, dir, "documents"), "lang",
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .orderBy(col("lang"))),
     "text_bpe_vocab" -> ((s, dir) =>
       // tokenizer training: 4 BPE merge rounds — distributed pair counting,
       // driver argmax (the merge decision IS global), row-local merge apply
@@ -1246,6 +1310,42 @@ object SparkEntry {
         |SELECT win_start_epoch, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM m GROUP BY 1 ORDER BY win_start_epoch""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 1) AS all_gt1,
+        |       bool_or(l_discount > 0.09) AS any_deep_discount,
+        |       bool_and(l_quantity <= 50) AS all_le50,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT user_id % 16 AS user_bucket,
+        |       bit_and(event_id) AS band,
+        |       bit_or(event_id) AS bor,
+        |       bit_xor(event_id) AS bxor,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q_stddev_var" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       ROUND(sx / n, 6) AS mean_qty,
+        |       ROUND(sxx / n - (sx / n) * (sx / n), 6) AS var_pop,
+        |       ROUND(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS stddev_pop
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_datetime_funcs" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start,
+        |       last_day(month_start) AS month_end,
+        |       CAST(day(last_day(month_start)) AS BIGINT) AS days_in_month,
+        |       CAST(dayofweek(month_start) AS BIGINT) AS dow_start,
+        |       n_orders
+        |FROM m ORDER BY month_start""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -1676,6 +1776,44 @@ object SparkEntry {
     },
     "text_bpe_vocab" ->
       graft.operators.TextAnalysis.bpeVocabSql(4),
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |tri AS (
+        |  SELECT doc_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i FROM t WHERE len(w) >= 3)),
+        |bg AS (
+        |  SELECT doc_id, w[i+1]||' '||w[i+2] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t WHERE len(w) >= 2)),
+        |ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_tri_d FROM tri GROUP BY 1),
+        |bt AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY 1),
+        |bp AS (SELECT doc_id, MAX(c) AS top_n
+        |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1,2) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(COALESCE(ts.n_tri, 0) AS BIGINT) AS n_trigrams,
+        |       CAST(COALESCE(ts.n_tri_d, 0) AS BIGINT) AS n_distinct_trigrams,
+        |       CAST(COALESCE(bt.n_bg, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(bp.top_n, 0) AS BIGINT) AS top_bigram_n,
+        |       CASE WHEN COALESCE(ts.n_tri, 0) > 0
+        |            THEN CAST(ts.n_tri - ts.n_tri_d AS DOUBLE) / ts.n_tri
+        |            ELSE 0.0 END AS dup_trigram_frac,
+        |       CASE WHEN COALESCE(bt.n_bg, 0) > 0
+        |            THEN CAST(bp.top_n AS DOUBLE) / bt.n_bg
+        |            ELSE 0.0 END AS top_bigram_frac
+        |FROM t LEFT JOIN ts USING (doc_id)
+        |       LEFT JOIN bt USING (doc_id)
+        |       LEFT JOIN bp USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "split_mix_weights" -> {
+      val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2)
+      val tcase = graft.operators.Splits.mixTargetCaseSql("lang", targets)
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+         |SELECT lang, n_docs,
+         |       ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS corpus_frac,
+         |       $tcase AS target_share,
+         |       ROUND(LEAST(1.0, $tcase * CAST(n_total AS DOUBLE) / n_docs), 6) AS weight
+         |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin
+    },
     "text_rarity" ->
       // mean_freq is ONE int64/int64 division on both engines (no float
       // summation anywhere), so the double compares bit-exact

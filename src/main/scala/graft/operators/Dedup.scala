@@ -529,15 +529,18 @@ object Dedup {
     * and maps every member to it — the join key for provenance and for
     * choosing a representative by any downstream policy).
     *
-    * Algorithm: iterative min-label propagation — labels start as self,
-    * each round takes the min over the 1-hop neighborhood, fixpoint when a
-    * round changes nothing. Rounds = graph diameter; near-dup clusters are
-    * quasi-cliques (diameter 1-2), so 3-4 rounds in practice. Each round is
-    * one join + one aggregation, both keyed on node id — the shape scales
-    * like any keyed join at 100 TB. For adversarial diameters (long chains)
-    * the known upgrade is pointer-jumping (large-star/small-star, Kiveris
-    * et al.), which converges in O(log n) rounds with the same per-round
-    * plan; not needed at near-dup workloads and deliberately not built.
+    * Algorithm: min-label propagation WITH pointer jumping. Labels start as
+    * self; each round (a) takes the min over the 1-hop neighborhood (hook),
+    * then (b) shortcuts every label to its label's label (jump, the
+    * large-star/small-star idea of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Hook alone needs diameter rounds — fine for
+    * near-dup quasi-cliques (diameter 1-2), a scale-killer on chain-shaped
+    * graphs (ScaleSmoke's 50-link chains would need 50 rounds); the jump
+    * halves the remaining label-tree depth each round, so convergence is
+    * O(log diameter) with one extra keyed self-join per round. Labels only
+    * decrease and always name a node of the same component (label ≤ node id
+    * by induction), so the jump join never loses rows and the fixpoint —
+    * every node labeled with its component's min id — is unchanged.
     *
     * The driver-side loop is orchestration, not data movement: per round it
     * runs one `isEmpty` convergence probe (a distributed aggregate) and
@@ -565,15 +568,32 @@ object Dedup {
       // the node's own previous label rides the union as `prev` (unique per
       // node, min() just selects it), so convergence is read off the
       // aggregated table itself — no per-round old-vs-new join
-      val next = labels.select(col("node"), col("lbl"), col("lbl").as("prev"))
+      val hooked = labels.select(col("node"), col("lbl"), col("lbl").as("prev"))
         .unionAll(prop)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
+      // pointer jumping: lbl(v) ← lbl(lbl(v)). Every label IS a node of the
+      // same component with its own row (invariant above), so the inner
+      // self-join is total; at the hook fixpoint the jump is a no-op, so
+      // the convergence test below is unaffected
+      val next = hooked.as("a")
+        .join(hooked.select(col("node").as("jn"), col("lbl").as("jlbl")).as("b"),
+          col("a.lbl") === col("b.jn"))
+        .select(col("a.node").as("node"), col("jlbl").as("lbl"), col("a.prev").as("prev"))
         .persist(lvl)
       next.count() // materialize before the old round is released
       converged = next.filter(col("lbl") < col("prev")).isEmpty // labels only decrease
       cached.unpersist(blocking = false)
       cached = next
-      labels = next.select(col("node"), col("lbl"))
+      // CUT THE LOGICAL LINEAGE before the next round: the jump self-join
+      // references this round's plan twice, so carrying the raw DataFrame
+      // forward doubles the logical tree per round — exponential ANALYSIS
+      // cost by round ~8 (observed as a planning stall, not an execution
+      // one). Rebuilding from the now-cached RDD gives the next round a
+      // constant-size LogicalRDD plan; reads come from the persisted
+      // blocks, nothing recomputes.
+      labels = pairs.sparkSession
+        .createDataFrame(next.rdd, next.schema)
+        .select(col("node"), col("lbl"))
       iter += 1
     }
     edges.unpersist(blocking = false)

@@ -132,6 +132,52 @@ object Splits {
   def negativeCandidateSql(idExpr: String, kExpr: String, seed: Long = 12345L): String =
     s"CAST(('0x'||substring(md5(CAST($idExpr AS VARCHAR)||':'||CAST($kExpr AS VARCHAR)||':$seed'),1,15)) AS BIGINT)"
 
+  /** Training-mix rebalancing weights: given target mix shares per stratum
+    * (language/source/domain), compute each stratum's sampling fraction —
+    * the number that feeds [[stratifiedSample]] when retargeting a corpus
+    * to a prescribed mix. `weight = min(1, target_share · total / count)`:
+    * over-represented strata get a down-sampling fraction < 1,
+    * under-represented ones cap at 1 (this operator never up-samples;
+    * epoch repetition is a trainer policy, not a corpus cut). Strata
+    * absent from `targets` get weight 0 (excluded from the mix).
+    *
+    * Emits (stratum, n_docs, corpus_frac, target_share, weight) with the
+    * fractions as single divisions over exact integer counts (rounded to
+    * 6), so the oracle compares bit-exact.
+    *
+    * Plan: one hash aggregation (stratum cardinality rows) + one broadcast
+    * total — the output is stratum-sized, trivially small at any corpus
+    * scale.
+    */
+  def mixWeights(
+      df: DataFrame, stratumCol: String, targets: Map[String, Double]): DataFrame = {
+    val targetCol = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (k, share)) =>
+        when(col(stratumCol) === lit(k), lit(share)).otherwise(acc)
+      }
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    counts
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+      .select(
+        col(stratumCol),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("corpus_frac"),
+        targetCol.as("target_share"),
+        round(
+          least(
+            lit(1.0),
+            targetCol * col("n_total").cast("double") / col("n_docs")),
+          6).as("weight"))
+  }
+
+  /** The same target-share CASE as SQL text, for oracle mirroring. */
+  def mixTargetCaseSql(stratumExpr: String, targets: Map[String, Double]): String = {
+    val whens = targets.toSeq.sortBy(_._1)
+      .map { case (k, share) => s"WHEN $stratumExpr = '$k' THEN $share" }
+      .mkString(" ")
+    s"CASE $whens ELSE 0.0 END"
+  }
+
   /** Token-budget sequence packing (greedy contiguous fill): within each
     * `partCol` stratum, walk rows in `orderCol` order and assign
     * `batch_id = (running-token-offset) div budget` — each batch is a

@@ -116,6 +116,57 @@ object TextAnalysis {
             (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
         ))).as("shingle"))
 
+  /** Repetition quality signals (the Gopher/MassiveText repetition filters):
+    * duplicate word-trigram fraction and most-frequent-bigram share per
+    * document — high values flag boilerplate loops, keyboard mash, and
+    * degenerate generations. Emits exact integer numerators/denominators
+    * (`n_trigrams`, `n_distinct_trigrams`, `top_bigram_n`, `n_bigrams`)
+    * plus the two single-division fractions, so cross-engine verification
+    * is bit-exact.
+    *
+    * Scale: ENTIRELY row-local — the top-bigram count folds over the
+    * doc's own sorted bigram array (longest equal run via `aggregate`),
+    * never exploding token rows into a shuffle. A corpus-wide repetition
+    * screen is therefore a zero-exchange narrow scan, unlike frequency
+    * joins (cf. [[tokenRarity]]) that need corpus statistics.
+    */
+  def repetitionStats(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        tokens(col(textCol)).as("w"))
+      .select(
+        col(idCol),
+        expr("CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3)," +
+          " i -> concat_ws(' ', w[i], w[i+1], w[i+2])) ELSE array() END").as("tri"),
+        expr("CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2)," +
+          " i -> concat_ws(' ', w[i], w[i+1])) ELSE array() END").as("bg"))
+      .select(
+        col(idCol),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("long").as("n_distinct_trigrams"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        // longest equal run over the SORTED bigram array = the max bigram
+        // multiplicity, computed without leaving the row
+        expr(
+          """aggregate(array_sort(bg),
+            |          struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+            |          (acc, x) -> struct(
+            |            x AS prev,
+            |            IF(x = acc.prev, acc.run + 1L, 1L) AS run,
+            |            GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L)) AS best),
+            |          acc -> acc.best)""".stripMargin).as("top_bigram_n"))
+      .select(
+        col(idCol), col("n_trigrams"), col("n_distinct_trigrams"),
+        col("n_bigrams"), col("top_bigram_n"),
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+
   /** PII scrubbing: redact emails and URLs with placeholder tokens and
     * count the redactions — the privacy pass of a training-data pipeline.
     * Patterns stick to character classes both Java regex and RE2 interpret

@@ -908,6 +908,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("components pointer-jumping: a 200-link chain converges within default maxIter") {
+    import spark.implicits._
+    // diameter 200: hook-only min-label propagation needs 200 rounds and
+    // would blow the default 25-round budget — the jump step must converge
+    // this in O(log 200) ≈ 8 rounds with the correct fixpoint
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 201, s"expected 201 labeled nodes, got ${got.length}")
+    assert(got.forall(_._2 == 0L), s"all chain nodes must label to 0")
+    Dedup.uncacheAll()
+  }
+
   test("connected components: chains, cliques, isolated pairs label to the min id") {
     import spark.implicits._
     // a 4-chain (diameter 3 — needs multiple propagation rounds), an

@@ -425,6 +425,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("type_a"), col("type_b"))
     }),
+    "q_asof_join_2table" -> ((s, dir) => {
+      // true two-table AS-OF join (union-and-sweep rewrite, one exchange):
+      // each click joined to the user's most recent at-or-before purchase.
+      // The purchase side is pre-aggregated to unique (user, time) so tie
+      // resolution is well-defined in both engines; DuckDB's native ASOF
+      // LEFT JOIN is the oracle. nanosAsLong: harness session config.
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Temporal.nanosToMicros("ts").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -1248,6 +1267,16 @@ object SparkEntry {
         |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
         |FROM e a JOIN e b ON b.us > a.us AND b.us <= a.us + 60000000
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_asof_join_2table" ->
+      // DuckDB's NATIVE ASOF JOIN validates the Spark union-and-sweep
+      // rewrite — two entirely different algorithms, one result set
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -105,6 +105,49 @@ object Temporal {
       .withColumn(s"prev_$timeCol", lag(col(timeCol), 1).over(w))
   }
 
+  /** Two-table AS-OF join — for each left row, the right table's most
+    * recent row at-or-before it (per key): the price/telemetry/feature
+    * lookup primitive. Implemented with the UNION-AND-SWEEP rewrite, the
+    * scale-safe form: both sides union into one (key, time)-ordered stream
+    * (right rows sorted BEFORE left rows at equal times — "at-or-before"
+    * is inclusive) and one window carries the latest right id/time forward
+    * (`last(..., ignoreNulls)`). Cost is ONE exchange on the key + one
+    * per-partition sort — never the quadratic theta-join a naive
+    * `l.t >= r.t` formulation plans to, and unlike [[pairsWithin]]'s
+    * binning there is no window-width parameter: matches reach back
+    * arbitrarily far. (DuckDB's native ASOF JOIN is the oracle.)
+    *
+    * Unmatched left rows keep NULL `asof_rid`/`asof_rt` (left-join
+    * semantics). Among right ties at one (key, time), the LARGEST right id
+    * wins — deterministic; pre-aggregate the right side to unique
+    * (key, time) when the oracle must agree on ties. Ids and times must be
+    * long-typed (the registry's epoch-micros convention).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      leftIdCol: String,
+      rightIdCol: String): DataFrame = {
+    val l = left.select(
+      col(keyCol), col(timeCol).as("t"), col(leftIdCol).as("lid"),
+      lit(1).as("side"), lit(null).cast("long").as("rid"), lit(null).cast("long").as("rt"))
+    val r = right.select(
+      col(keyCol), col(timeCol).as("t"), lit(null).cast("long").as("lid"),
+      lit(0).as("side"), col(rightIdCol).cast("long").as("rid"), col(timeCol).as("rt"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("t"), col("side"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("asof_rid", last(col("rid"), ignoreNulls = true).over(w))
+      .withColumn("asof_rt", last(col("rt"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col(keyCol), col("lid").as(leftIdCol), col("t").as(timeCol),
+        col("asof_rid"), col("asof_rt"))
+  }
+
   /** Range (interval) self-join via time-binning — all ordered pairs (a, b)
     * with `0 < ts_b − ts_a ≤ windowUs`, without ever forming the quadratic
     * theta-join. Spark has no native interval-join operator; the naive

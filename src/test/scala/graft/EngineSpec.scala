@@ -1083,6 +1083,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: bounded look-back, equals the batch join") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(sec: Long) = new Timestamp(base + sec * 1000L)
+    // key 1: click at t=100 should match purchases at t=70 and t=100
+    // (within 60 s, inclusive both ends) but NOT t=30 (too old) or t=130
+    // (after the click); key 2 must not cross-match key 1
+    val clicks = Seq((1L, ts(100), 10L), (2L, ts(100), 20L))
+    val purchases = Seq(
+      (1L, ts(30), 73L), (1L, ts(70), 77L), (1L, ts(100), 71L), (1L, ts(130), 79L),
+      (2L, ts(90), 29L))
+    val expected = Set((10L, 77L), (10L, 71L), (20L, 29L))
+    val inL = MemoryStream[(Long, Timestamp, Long)](spark)
+    val inR = MemoryStream[(Long, Timestamp, Long)](spark)
+    val out = graft.streaming.StreamJoin.joinWithin(
+      inL.toDF(), inR.toDF(), watermarkDelay = "0 seconds", withinSeconds = 60L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sj_out").start()
+    try {
+      inL.addData(clicks: _*)
+      inR.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sj_out")
+        .select(col("l_id"), col("r_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == expected, s"streaming join: $streamed")
+      // the SAME function over batch frames is the identical interval join
+      val batch = graft.streaming.StreamJoin.joinWithin(
+          clicks.toDF(), purchases.toDF(), "0 seconds", 60L)
+        .select(col("l_id"), col("r_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == streamed, s"batch $batch != streaming $streamed")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark window are dropped") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1682,11 +1682,11 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     "split_negative_pairs" ->
-      s"""WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+      s"""WITH mx AS (SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM documents),
          |c AS (
          |  SELECT d.doc_id, u.k_idx,
-         |         ${graft.operators.Splits.negativeCandidateSql("d.doc_id", "u.k_idx")}
-         |           % (mx.max_id + 1) AS neg_id
+         |         mx.min_id + ${graft.operators.Splits.negativeCandidateSql("d.doc_id", "u.k_idx")}
+         |           % (mx.max_id - mx.min_id + 1) AS neg_id
          |  FROM documents d CROSS JOIN mx,
          |       (SELECT unnest([0,1,2,3]) AS k_idx) u)
          |SELECT doc_id, CAST(k_idx AS BIGINT) AS k_idx, neg_id

@@ -91,44 +91,54 @@ object Splits {
 
   /** Deterministic negative sampling — the contrastive-pair generation step
     * (k pseudo-random "negative" partners per document, e.g. for embedding
-    * or reranker training). The candidate for (id, i) is the first 15 hex
-    * digits of `md5(id:i:seed)` read as an integer, mod N — md5 because it
-    * is the one hash bit-identical in every engine (same discipline as
-    * [[assign]]), so the identical pair set reproduces in any engine, any
-    * task retry, any partitioning. 15 hex digits < 2⁶⁰ keeps every
-    * intermediate non-negative and overflow-free for the FULL long id
-    * domain (an earlier Knuth-multiplicative form wrapped negative for
-    * ids ≳ 2³³ and silently emitted fewer than k negatives). Self-pairs
-    * are dropped; candidates are semi-joined back to the id universe so
-    * sparse id spaces never emit dangling references (for dense 0..N-1
-    * ids the join is a no-op that AQE executes as a broadcast).
+    * or reranker training). The candidate for (id, i) is
+    * `min_id + (md5₆₀(id:i:seed) mod (max_id − min_id + 1))` — the first 15
+    * hex digits of the md5 read as an integer, mapped into the corpus's own
+    * id RANGE. md5 because it is the one hash bit-identical in every engine
+    * (same discipline as [[assign]]), so the identical pair set reproduces
+    * in any engine, any task retry, any partitioning. The arithmetic is
+    * overflow-free over the FULL long domain: the hash is < 2⁶⁰, the
+    * modulus keeps it below the range width, and adding `min_id` lands
+    * inside [min_id, max_id] — an earlier Knuth-multiplicative form wrapped
+    * negative for ids ≳ 2³³ and silently emitted fewer than k negatives,
+    * and an absolute (not range-relative) modulus could never reach a
+    * dense id block sitting high in the long domain at all (PropertySpec
+    * pins a block near 2⁶² emitting its full k·n pairs). Ranges wider than
+    * 2⁶⁰ ids would truncate to the first 2⁶⁰ — re-key first (no real
+    * corpus is within a millionfold of that). Self-pairs are dropped;
+    * candidates are semi-joined back to the id universe so sparse id
+    * spaces never emit dangling references (for dense id blocks the join
+    * is a no-op that AQE executes as a broadcast).
     *
-    * Plan: one broadcast scalar (max id), a row-local k-explode, one
-    * semi-join — no shuffle on the corpus side beyond the join AQE picks.
-    * The modulus keeps candidates uniform enough for negatives (these are
-    * random partners, not cryptography); collisions across i are possible
-    * and harmless (duplicate negatives are standard and can be distinct'd
-    * by the caller).
+    * Plan: one broadcast scalar row (min/max id), a row-local k-explode,
+    * one semi-join — no shuffle on the corpus side beyond the join AQE
+    * picks. The modulus keeps candidates uniform enough for negatives
+    * (these are random partners, not cryptography); collisions across i
+    * are possible and harmless (duplicate negatives are standard and can
+    * be distinct'd by the caller).
     */
   def negativePairs(
       df: DataFrame, idCol: String, k: Int, seed: Long = 12345L): DataFrame = {
     require(k >= 1, "k must be positive")
-    val maxId = df.agg(max(col(idCol)).as("max_id"))
+    val bounds = df.agg(min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
     val cand = df.select(col(idCol).as("doc_id"))
-      .crossJoin(broadcast(maxId))
+      .crossJoin(broadcast(bounds))
       .select(col("doc_id"),
         explode(sequence(lit(0L), lit((k - 1).toLong))).as("k_idx"),
-        col("max_id"))
+        col("min_id"), col("max_id"))
       .select(col("doc_id"), col("k_idx"),
-        (conv(substring(md5(concat_ws(":",
-            col("doc_id"), col("k_idx"), lit(seed))), 1, 15), 16, 10)
-          .cast("long") % (col("max_id") + 1)).as("neg_id"))
+        (col("min_id") +
+          conv(substring(md5(concat_ws(":",
+              col("doc_id"), col("k_idx"), lit(seed))), 1, 15), 16, 10)
+            .cast("long") % (col("max_id") - col("min_id") + 1)).as("neg_id"))
       .filter(col("neg_id") =!= col("doc_id"))
     cand.join(df.select(col(idCol).as("neg_id")), Seq("neg_id"), "left_semi")
       .select(col("doc_id"), col("k_idx"), col("neg_id"))
   }
 
-  /** The same candidate expression as SQL text, for oracle mirroring. */
+  /** The same candidate hash as SQL text, for oracle mirroring (the caller
+    * adds the `min_id + … % range` mapping).
+    */
   def negativeCandidateSql(idExpr: String, kExpr: String, seed: Long = 12345L): String =
     s"CAST(('0x'||substring(md5(CAST($idExpr AS VARCHAR)||':'||CAST($kExpr AS VARCHAR)||':$seed'),1,15)) AS BIGINT)"
 

@@ -191,6 +191,30 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fullBatches.forall(_._2 >= 100L - 59), "non-final batch suspiciously empty")
   }
 
+  test("negative sampling: a dense id block near 2^62 still emits its full k negatives") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // the earlier Knuth-multiplicative candidate wrapped NEGATIVE for ids
+    // >= ~2^33 and silently emitted fewer than k rows; the range-relative
+    // md5 form must land every candidate inside [min_id, max_id] anywhere
+    // in the long domain
+    val base = Long.MaxValue / 2 // ≈ 2^62
+    val ids = (0L until 400L).map(base + _)
+    val df = ids.toDF("doc_id")
+    val out = Splits.negativePairs(df, "doc_id", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every candidate hits the dense block, so only hash-self-collisions
+    // (expected ~4 of 1600) are dropped
+    assert(out.length >= 1590 && out.length <= 1600, s"emitted ${out.length}/1600")
+    assert(out.forall { case (_, _, neg) => neg >= base && neg < base + 400 },
+      "negative outside the id block")
+    assert(out.forall { case (doc, _, neg) => neg != doc }, "self-pair leaked")
+    // retry-stability: the pair set is a pure function of (id, k, seed)
+    val again = Splits.negativePairs(df, "doc_id", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet, "non-deterministic pair set")
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

@@ -742,6 +742,41 @@ object SparkEntry {
       Dedup.components(
           Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6))
         .orderBy(col("doc_id"))),
+    "dedup_best_rep" -> ((s, dir) => {
+      // representative SELECTION policy over exact dup clusters: instead of
+      // min-id-wins, keep each component's highest-QUALITY member (the
+      // policy real pipelines want — the cleanest copy survives, not the
+      // earliest-crawled). Composes components × qualityScore; ties break
+      // on doc_id so the choice is total.
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.components(Dedup.minhashLshPairs(docs, n = 3, tau = 0.6))
+      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+      comp.join(q, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("rep_id"), col("quality_score"))
+        .orderBy(col("component"))
+    }),
+    "q_explode_lateral" -> ((s, dir) =>
+      // table-generating function surface: posexplode (LATERAL VIEW) with
+      // positions — one row per token with its 0-based offset
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+        .orderBy(col("doc_id"), col("pos"))),
+    "q_regexp_groups" -> ((s, dir) =>
+      // regexp capture-group extraction + the empty-string-on-no-match
+      // semantic pinned cross-engine
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("cust_num"),
+          regexp_extract(col("c_name"), "(Customer)#", 1).as("prefix"),
+          regexp_extract(col("c_name"), "(zzz)(\\d+)", 2).as("no_match"))
+        .orderBy(col("c_custkey"))),
     "du_size_histogram" -> ((s, dir) => {
       // operational distribution: how many addresses fall in each usage
       // band (exact integer thresholds — no float binning at the boundary)
@@ -1627,6 +1662,42 @@ object SparkEntry {
         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    "dedup_best_rep" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,qp AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
+        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+        |q AS (
+        |  SELECT doc_id,
+        |         ROUND(least(1.0, CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0)*0.5 +
+        |               CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT)*0.5,
+        |               6) AS quality_score
+        |  FROM documents),
+        |r AS (
+        |  SELECT comp.component, comp.doc_id, q.quality_score,
+        |         row_number() OVER (PARTITION BY comp.component
+        |                            ORDER BY q.quality_score DESC, comp.doc_id) AS rn
+        |  FROM comp JOIN q USING (doc_id))
+        |SELECT component, doc_id AS rep_id, quality_score
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "q_explode_lateral" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS word
+        |FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |             generate_subscripts(string_split(lower(text),' '),1) AS i
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_regexp_groups" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '#(\d+)', 1) AS cust_num,
+        |       regexp_extract(c_name, '(Customer)#', 1) AS prefix,
+        |       regexp_extract(c_name, '(zzz)(\d+)', 2) AS no_match
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "du_size_histogram" ->
       """WITH inv AS (
         |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,

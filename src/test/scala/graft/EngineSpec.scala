@@ -1018,6 +1018,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("asofJoin and sessionizeCapped plan ONE data exchange (no join node)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 90L, 20L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 50L, 7L), (2L, 95L, 9L)).toDF("k", "t", "rid")
+    // the union-and-sweep rewrite's whole point: an as-of match with NO
+    // join operator — one hash exchange on the key feeds the sweep window
+    val asofPlan = Temporal.asofJoin(left, right, "k", "t", "lid", "rid")
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"), s"asofJoin must not plan a join:\n$asofPlan")
+    val asofEx = "Exchange hashpartitioning".r.findAllIn(asofPlan).size
+    assert(asofEx == 1, s"asofJoin must shuffle exactly once, found $asofEx:\n$asofPlan")
+    // gap flag, row number, running max, AND the final aggregation all ride
+    // the same (key) partitioning — the cap costs no second exchange
+    val ev = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 4000000000L, 3L))
+      .toDF("user_id", "ts_us", "event_id")
+    val capPlan = Temporal.sessionizeCapped(ev, "user_id", "ts_us", "event_id",
+        gapMicros = 1000000L, maxEvents = 2L)
+      .queryExecution.executedPlan.toString
+    val capEx = "Exchange hashpartitioning".r.findAllIn(capPlan).size
+    assert(capEx == 1, s"sessionizeCapped must shuffle exactly once, found $capEx:\n$capPlan")
+  }
+
   test("gap+cap policy: streaming sessionize equals the batch operator on the same events") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

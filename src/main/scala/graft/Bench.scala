@@ -85,6 +85,15 @@ object Bench {
       else { val s = ts.sorted; s(s.size / 2) }
     val med = results.map { case (k, ts) => k -> median(ts) }
     def jnum(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    // paths come from the environment — escape them so a quote or backslash
+    // in SPARK_GRAFT_BENCH_OUT / SPARK_GRAFT_SF_DIR cannot corrupt the JSON
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val itersJson = results
@@ -96,7 +105,7 @@ object Bench {
     val telemetry =
       s""""n_iters":$iters,"gc_sec":${jnum(gcSeconds - gcStart)}""" +
         s""","load_avg_start":${jnum(loadStart)},"load_avg_end":${jnum(loadAvg)}""" +
-        s""","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir""""
+        s""","failed":${failed.mkString("[", ",", "]")},"sf":${jstr(sfDir)}"""
     // stdout gets the COMPACT line (medians only): the driver parses a
     // bounded stdout tail, and round 3's full per-iteration dump overflowed
     // it — the tail started mid-JSON and the artifact recorded parsed:null.
@@ -104,7 +113,7 @@ object Bench {
     // goes to the file, which has no size constraint.
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)}""" +
-        s""",$telemetry,"detail":"$outFile"}"""
+        s""",$telemetry,"detail":${jstr(outFile)}}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)}""" +
         s""","queries_min":${jmap(results.map { case (k, ts) =>
@@ -113,6 +122,15 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     println(compact)
+    // LAST stdout line is SUMMARY-ONLY (~120 bytes, no per-query dict): the
+    // driver keeps a bounded tail of stdout, and with ~100 queries even the
+    // compact medians line (~3 KB) overflows it — the tail then starts
+    // mid-dict and the artifact records parsed:null (rounds 2-4). This line
+    // is always a complete JSON object inside any tail window; per-query
+    // medians stay on the compact line above and in the detail file.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size}""" +
+        s""","failed":${failed.mkString("[", ",", "]")},"detail":${jstr(outFile)}}""")
     spark.stop()
   }
 }

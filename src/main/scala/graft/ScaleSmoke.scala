@@ -185,6 +185,29 @@ object ScaleSmoke {
       graft.operators.Similarity.lshTopKBanded(
         emb, emb.filter(col("vec_id") % 100 === 0), planes, bands = 2, k = 5).count()
     }
+    // IVF assignment at 64 cells — the round-5 zero-exchange rewrite: the
+    // top-nprobe fold over the broadcast centroid matrix is a narrow map,
+    // so wall time must scale ~linearly in the corpus (2k → 20k ≈ 10×,
+    // modulo fixed job overhead). The replaced windowed form shuffled
+    // corpus × 64 rows carrying full vectors here.
+    val cents64 = graft.operators.Similarity
+      .prepared(
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 640), "vec_id", "embedding")
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val prepped = graft.operators.Similarity.prepared(emb, "vec_id", "embedding")
+    timed("ivf assign 64 cells (2k vecs)") {
+      graft.operators.Similarity
+        .assignCells(prepped.filter(col("id") % 10 === 0), cents64, nprobe = 2).count()
+    }
+    timed("ivf assign 64 cells (20k vecs)") {
+      graft.operators.Similarity.assignCells(prepped, cents64, nprobe = 2).count()
+    }
+    // Lloyd's training at 64 cells × 20k vectors: per round, one narrow
+    // re-assignment + one (cell, dim) mean aggregation — the aggregation
+    // IS the algorithm's only exchange
+    timed("ivf train k=64 iters=2 (20k)") {
+      graft.operators.Similarity.trainCentroids(emb, k = 64, iters = 2).count()
+    }
     spark.stop()
   }
 }

@@ -193,20 +193,53 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Collect the (small by contract — k×dims) centroid table to the driver
+    * once, sorted by cid. EAGER like [[collectPlanes]]: building an
+    * IVF-probed plan executes the (tiny) centroid query immediately.
+    */
+  private[graft] def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Double], Double)] =
+    centroids.select(col("cid").cast("long"), toDouble(col("cv")), col("cnrm").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
   /** Nearest-centroid cell assignment: each vector in `vecs` ((id, v, nrm))
     * gets its `nprobe` closest cells by rounded cosine (centroid-id
-    * tie-break). `centroids` ((cid, cv, cnrm)) is tiny and broadcast — the
-    * pass is a narrow map over the corpus, no shuffle until the per-id
-    * ranking window (k candidate rows per id, partitioned by id).
+    * tie-break), emitted as one (id, v, nrm, cell) row per probed cell.
+    *
+    * ZERO-EXCHANGE: the top-nprobe selection folds over the broadcast
+    * centroid matrix inside the row
+    * ([[graft.functions.NearestCentroidCells]], the [[withBuckets]]
+    * broadcast-matrix discipline), so the whole pass is one narrow
+    * projection + explode — no exchange anywhere below the probe join.
+    * The previous form ranked cells with a per-id `row_number` window after
+    * `crossJoin(broadcast(centroids))`, which shuffled corpus × k rows each
+    * carrying the full embedding array — a ~k× corpus shuffle inside what
+    * should be a map, paid again every Lloyd's training round. EngineSpec
+    * pins the no-Exchange plan.
     */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("nrm"), col("cid"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4).as("cscore"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid"))))
-      .filter(col("crn") <= nprobe)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("cell"))
+  private[graft] def assignCells(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    assignCellsLocal(vecs, collectCentroids(centroids), nprobe)
+
+  /** [[assignCells]] over driver-held centroid rows ((cid, cv, cnrm)) —
+    * the form the Lloyd's loop uses directly, skipping a per-round
+    * DataFrame round-trip of centroids it already holds.
+    */
+  private[graft] def assignCellsLocal(
+      vecs: DataFrame, cents: Seq[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+    require(cents.nonEmpty, "centroids must be non-empty")
+    require(cents.map(_._1).distinct.size == cents.size,
+      s"centroid ids must be distinct, got ${cents.map(_._1)}")
+    val sorted = cents.sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      graft.functions.CentroidMatrix(
+        sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray,
+        sorted.map(_._3).toArray,
+        nprobe))
+    vecs.select(col("id"), col("v"), col("nrm"),
+      explode(graft.functions.NearestCentroidCells(col("v"), col("nrm"), bc)).as("cell"))
+  }
 
   /** (cid, cv, cnrm) DataFrame from driver-held centroid rows. */
   private def centroidFrame(
@@ -260,12 +293,21 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double])).toSeq
+    // driver-side L2 norm, the same sequential fold as the norm() column —
+    // bit-identical, so train-time assignment agrees with serving exactly
+    def withNorms(cs: Seq[(Long, Seq[Double])]): Seq[(Long, Array[Double], Double)] =
+      cs.map { case (cid, cv) =>
+        (cid, cv.toArray, math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
     var assigned = p.select(col("id"), col("v"), col("nrm"),
       (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long") % k)
         .as("cell"))
     var cents = means(assigned)
     (2 to iters).foreach { _ =>
-      assigned = assignCells(p, centroidFrame(spark, cents), nprobe = 1)
+      // row-local re-assignment (assignCellsLocal): each Lloyd's round is
+      // one narrow map over the corpus — the round's only exchange is the
+      // (cell, dim) mean aggregation, which IS the algorithm
+      assigned = assignCellsLocal(p, withNorms(cents), nprobe = 1)
       cents = means(assigned)
     }
     p.unpersist(blocking = false)
@@ -288,8 +330,9 @@ object Similarity {
       nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val n = assignCells(prepared(emb, idCol, embCol), centroids, nprobe = 1)
-    val q = assignCells(prepared(queries, idCol, embCol), centroids, nprobe)
+    val cents = collectCentroids(centroids) // once, shared by both sides
+    val n = assignCellsLocal(prepared(emb, idCol, embCol), cents, nprobe = 1)
+    val q = assignCellsLocal(prepared(queries, idCol, embCol), cents, nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell").as("qcell"))
     // each neighbor lives in exactly ONE cell and a query's probed cells

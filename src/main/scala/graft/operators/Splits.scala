@@ -105,7 +105,9 @@ object Splits {
     * dense id block sitting high in the long domain at all (PropertySpec
     * pins a block near 2⁶² emitting its full k·n pairs). Ranges wider than
     * 2⁶⁰ ids would truncate to the first 2⁶⁰ — re-key first (no real
-    * corpus is within a millionfold of that). Self-pairs are dropped;
+    * corpus is within a millionfold of that) — and a span whose width
+    * itself overflows long (> 2⁶³ ids, e.g. min_id < 0 with max_id near
+    * 2⁶³) raises a plan-side error rather than silently under-emitting. Self-pairs are dropped;
     * candidates are semi-joined back to the id universe so sparse id
     * spaces never emit dangling references (for dense id blocks the join
     * is a no-op that AQE executes as a broadcast).
@@ -130,7 +132,17 @@ object Splits {
         (col("min_id") +
           conv(substring(md5(concat_ws(":",
               col("doc_id"), col("k_idx"), lit(seed))), 1, 15), 16, 10)
-            .cast("long") % (col("max_id") - col("min_id") + 1)).as("neg_id"))
+            .cast("long") %
+          // id spans wider than the long domain overflow the width to a
+          // NEGATIVE modulus, which would silently emit out-of-range
+          // candidates the semi-join drops (fewer than k negatives) — fail
+          // loudly instead. The guard rides the broadcast scalar row, so
+          // the check is plan-side and costs one comparison per row.
+          when(col("max_id") - col("min_id") + 1 > 0,
+            col("max_id") - col("min_id") + 1)
+            .otherwise(raise_error(concat(
+              lit("negativePairs: id span max-min+1 overflows long (min_id="),
+              col("min_id"), lit(", max_id="), col("max_id"), lit(")"))))).as("neg_id"))
       .filter(col("neg_id") =!= col("doc_id"))
     cand.join(df.select(col(idCol).as("neg_id")), Seq("neg_id"), "left_semi")
       .select(col("doc_id"), col("k_idx"), col("neg_id"))

@@ -555,6 +555,52 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all == fbf, "nprobe=k must equal the exact top-k")
   }
 
+  test("IVF cell assignment is zero-exchange and equals the windowed formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val cents = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = Similarity.assignCells(p, cents, nprobe = 2)
+    // THE plan pin of the round-4 scale fix: assignment must be a pure
+    // narrow map (broadcast-matrix fold + explode) — the previous per-id
+    // row_number form shuffled corpus × k rows carrying full vectors
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not rank via window:\n$plan")
+    // with codegen fallback DISABLED a non-codegen expression would throw
+    // instead of silently dropping the projection to interpreted rows
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got =
+      try assigned.select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // bit-for-bit the windowed formulation it replaced (rounded-cosine
+    // score, DESC, cid tie-break, top nprobe)
+    val want = p.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        round(Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4)
+          .as("cscore"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid"))))
+      .filter(col("crn") <= 2)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // nprobe > k degrades to "all cells", never an error or phantom rows
+    val kAll = Similarity.assignCells(p, cents, nprobe = 99)
+      .groupBy("id").count().select("count").distinct().collect()
+    assert(kAll.map(_.getLong(0)).toSeq == Seq(4L))
+    // the full probe-join plan keeps exactly ONE ranking window (the final
+    // per-query rank, with its one hash exchange) — nothing below the probe
+    // join ranks or shuffles per id, and the join itself broadcasts
+    val ivfPlan = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents,
+      k = 3, nprobe = 2).queryExecution.executedPlan.toString
+    assert("Window \\[row_number".r.findAllIn(ivfPlan).size == 1,
+      s"expected exactly 1 ranking Window (final rank):\n$ivfPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(ivfPlan).size == 1,
+      s"expected exactly 1 hash exchange (final rank):\n$ivfPlan")
+  }
+
   test("banded near-dup pairs: superset of single-bucket, subset of brute force") {
     val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
       .select(col("id").as("plane_id"), col("v").as("pv"))
@@ -1029,6 +1075,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!asofPlan.contains("Join"), s"asofJoin must not plan a join:\n$asofPlan")
     val asofEx = "Exchange hashpartitioning".r.findAllIn(asofPlan).size
     assert(asofEx == 1, s"asofJoin must shuffle exactly once, found $asofEx:\n$asofPlan")
+    // payload carry-through rides the SAME single sweep: still no join
+    // node, still one exchange — and the matched row's id/time/payload move
+    // atomically (a NULL payload on the matched row is carried as NULL,
+    // never skipped past to an older row's non-null value)
+    val rightP = Seq((1L, 50L, 7L, Option(2.5)), (1L, 60L, 8L, Option.empty[Double]),
+      (2L, 95L, 9L, Option(1.0))).toDF("k", "t", "rid", "price")
+    val pj = Temporal.asofJoin(left, rightP, "k", "t", "lid", "rid",
+      payload = Seq("price"))
+    val pPlan = pj.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Join"), s"payload asofJoin must not plan a join:\n$pPlan")
+    val pEx = "Exchange hashpartitioning".r.findAllIn(pPlan).size
+    assert(pEx == 1, s"payload asofJoin must shuffle exactly once, found $pEx:\n$pPlan")
+    val m = pj.collect().map(r => r.getLong(1) ->
+      ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(m(10L) == ((Some(8L), None)), // matched rid=8's NULL price, not rid=7's 2.5
+      s"payload must be the matched row's value, got ${m(10L)}")
+    assert(m(20L) == ((None, None)), // k=2's only right row is later: left-join nulls
+      s"unmatched left row must carry nulls, got ${m(20L)}")
     // gap flag, row number, running max, AND the final aggregation all ride
     // the same (key) partitioning — the cap costs no second exchange
     val ev = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 4000000000L, 3L))

@@ -444,6 +444,27 @@ object SparkEntry {
       Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id")
         .orderBy(col("user_id"), col("event_id"))
     }),
+    "q_asof_join_payload" -> ((s, dir) => {
+      // as-of join WITH payload carry-through: the matched purchase's value
+      // arrives on the same single-exchange sweep (struct-atomic last), not
+      // via a second join back on asof_rid. Purchase side pre-aggregated to
+      // unique (user, time) with MAX id/value so tie resolution is
+      // well-defined in both engines; DuckDB native ASOF LEFT JOIN oracle.
+      // nanosAsLong: harness session config (see q_sessionize).
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          Temporal.nanosToMicros("ts").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"), max(col("value")).as("p_value"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id",
+          payload = Seq("p_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -1310,6 +1331,18 @@ object SparkEntry {
         |p AS (SELECT user_id, us, MAX(event_id) AS p_id
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_join_payload" ->
+      // the payload-carrying form: DuckDB's native ASOF LEFT JOIN selects
+      // the matched row's value directly; the Spark side must surface the
+      // identical value through its struct-atomic single-sweep rewrite
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id, MAX(value) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt,
+        |       p.p_value AS asof_p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
         |ORDER BY c.user_id, c.event_id""".stripMargin,
     "q_semi_join" ->

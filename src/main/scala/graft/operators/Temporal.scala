@@ -122,6 +122,17 @@ object Temporal {
     * wins — deterministic; pre-aggregate the right side to unique
     * (key, time) when the oracle must agree on ties. Ids and times must be
     * long-typed (the registry's epoch-micros convention).
+    *
+    * `payload` names right-side columns to carry through onto the matched
+    * row, emitted as `asof_<col>` — the price/feature lookup that is the
+    * operator's first real use, without a second join back on `asof_rid`
+    * (which would pay the exchange this rewrite exists to avoid). All
+    * carried values ride ONE `last(struct(...), ignoreNulls)` sweep — a
+    * struct per RIGHT row (null on left rows), so the matched row's id,
+    * time and payload move ATOMICALLY: a NULL payload value in the matched
+    * right row is carried as that NULL, never skipped past to an older
+    * row's value (which per-column ignoreNulls sweeps would do). Plan is
+    * unchanged: no join node, one exchange (EngineSpec pin).
     */
   def asofJoin(
       left: DataFrame,
@@ -129,23 +140,32 @@ object Temporal {
       keyCol: String,
       timeCol: String,
       leftIdCol: String,
-      rightIdCol: String): DataFrame = {
+      rightIdCol: String,
+      payload: Seq[String] = Nil): DataFrame = {
+    val pTypes = payload.map(c => c -> right.schema(c).dataType)
     val l = left.select(
-      col(keyCol), col(timeCol).as("t"), col(leftIdCol).as("lid"),
-      lit(1).as("side"), lit(null).cast("long").as("rid"), lit(null).cast("long").as("rt"))
+      (col(keyCol) +: col(timeCol).as("t") +: col(leftIdCol).as("lid") +:
+        lit(1).as("side") +: lit(null).cast("long").as("rid") +:
+        lit(null).cast("long").as("rt") +:
+        pTypes.map { case (c, dt) => lit(null).cast(dt).as(s"p_$c") }): _*)
     val r = right.select(
-      col(keyCol), col(timeCol).as("t"), lit(null).cast("long").as("lid"),
-      lit(0).as("side"), col(rightIdCol).cast("long").as("rid"), col(timeCol).as("rt"))
+      (col(keyCol) +: col(timeCol).as("t") +: lit(null).cast("long").as("lid") +:
+        lit(0).as("side") +: col(rightIdCol).cast("long").as("rid") +:
+        col(timeCol).as("rt") +:
+        payload.map(c => col(c).as(s"p_$c"))): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("t"), col("side"), col("rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = struct(
+      (col("rid") +: col("rt") +: payload.map(c => col(s"p_$c"))): _*)
     l.unionAll(r)
-      .withColumn("asof_rid", last(col("rid"), ignoreNulls = true).over(w))
-      .withColumn("asof_rt", last(col("rt"), ignoreNulls = true).over(w))
+      .withColumn("m",
+        last(when(col("side") === 0, matched), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(
-        col(keyCol), col("lid").as(leftIdCol), col("t").as(timeCol),
-        col("asof_rid"), col("asof_rt"))
+        (col(keyCol) +: col("lid").as(leftIdCol) +: col("t").as(timeCol) +:
+          col("m.rid").as("asof_rid") +: col("m.rt").as("asof_rt") +:
+          payload.map(c => col(s"m.p_$c").as(s"asof_$c"))): _*)
   }
 
   /** Range (interval) self-join via time-binning — all ordered pairs (a, b)

@@ -931,6 +931,19 @@ object SparkEntry {
       // driver argmax (the merge decision IS global), row-local merge apply
       TextAnalysis.bpeVocab(t(s, dir, "documents"), merges = 4)
         .orderBy(col("merge_round"))),
+    "text_bpe_encode" -> ((s, dir) => {
+      // the APPLY side: train the 4-merge vocabulary on the full corpus,
+      // then encode a doc slice to (pos, token, token_id) — the merge fold
+      // is row-local, ids are the vocabulary's alphabetical dense rank.
+      // Oracle replays the identical training rounds as unrolled CTEs and
+      // encodes the same slice.
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocab(docs, merges = 4)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 40), m)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
     "dedup_chunk_scrub" -> ((s, dir) =>
@@ -1909,6 +1922,8 @@ object SparkEntry {
     },
     "text_bpe_vocab" ->
       graft.operators.TextAnalysis.bpeVocabSql(4),
+    "text_bpe_encode" ->
+      graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L),
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |tri AS (

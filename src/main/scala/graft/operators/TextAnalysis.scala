@@ -323,6 +323,88 @@ object TextAnalysis {
        |ORDER BY merge_round""".stripMargin
   }
 
+  /** BPE ENCODE — the apply side of [[bpeVocab]]: run a trained merge list
+    * over each document and emit its token stream `(doc_id, pos, token,
+    * token_id)`. This is what makes the tokenizer pipeline end at token
+    * ids instead of at a vocabulary: train once ([[bpeVocab]]), encode the
+    * whole corpus with the artifact.
+    *
+    * Merge application is a ROW-LOCAL fold: the merge list unrolls into a
+    * chain of literal `replace` calls over the delimited representation
+    * (`⟨a⟩⟨b⟩ → ⟨a b⟩`, left-to-right non-overlapping — byte-for-byte the
+    * same mechanics as training's merge application, so encoding with the
+    * induced vocabulary reproduces the training loop's final corpus state;
+    * EngineSpec round-trips this). No shuffle anywhere in the encode pass
+    * itself.
+    *
+    * Token ids are the vocabulary's alphabetical dense rank over the
+    * OUTPUT's distinct tokens — deterministic and engine-portable (no
+    * hash, no driver state). The ranking window runs over the
+    * vocabulary-sized distinct-token table, not the corpus (Zipf: tiny),
+    * the same scale discipline as [[bpeVocab]]'s argmax; the id join back
+    * to the token stream is vocabulary-sized and AQE-broadcastable.
+    */
+  def bpeEncode(
+      docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(merges.forall { case (l, r) =>
+      !l.contains("⟨") && !l.contains("⟩") && !r.contains("⟨") && !r.contains("⟩") },
+      "merge tokens must not contain the ⟨⟩ delimiters")
+    val r0 = concat(lit("⟨"), array_join(tokens(col(textCol)), "⟩⟨"), lit("⟩"))
+    val rFinal = merges.foldLeft(r0) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩"))
+    }
+    val enc = docs
+      .select(col(idCol), rFinal.as("r"))
+      .select(col(idCol),
+        posexplode(split(regexp_replace(col("r"), "^⟨|⟩$", ""), "⟩⟨"))
+          .as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
+    val vocab = enc.select(col("token")).distinct()
+      .withColumn("token_id",
+        dense_rank().over(Window.orderBy(col("token"))).cast("long"))
+    enc.join(vocab, "token")
+      .select(col(idCol), col("pos"), col("token"), col("token_id"))
+  }
+
+  /** [[bpeEncode]] fed by [[bpeVocab]]'s trained table, as SQL text (oracle
+    * mirroring): the same unrolled training CTEs as [[bpeVocabSql]], with
+    * the per-round merge application carrying `doc_id`, then the encoded
+    * stream of docs with `doc_id < maxDocId` and alphabetical dense-rank
+    * token ids.
+    */
+  def bpeEncodeSql(merges: Int, maxDocId: Long): String = {
+    val rounds = (1 to merges).map { k =>
+      s"""t$k AS (
+         |  SELECT string_split(substr(r, 2, length(r) - 2), '⟩⟨') AS t FROM r${k - 1}),
+         |p$k AS (
+         |  SELECT t[i] AS lhs, t[i+1] AS rhs, COUNT(*) AS n
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t$k WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT lhs, rhs FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |r$k AS (
+         |  SELECT doc_id, replace(r, '⟨'||m$k.lhs||'⟩⟨'||m$k.rhs||'⟩',
+         |                            '⟨'||m$k.lhs||' '||m$k.rhs||'⟩') AS r
+         |  FROM r${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r0 AS (
+       |  SELECT doc_id,
+       |         '⟨'||array_to_string(string_split(lower(text), ' '), '⟩⟨')||'⟩' AS r
+       |  FROM documents),
+       |$rounds,
+       |enc AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tok AS token
+       |  FROM (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+       |        FROM (SELECT doc_id, string_split(substr(r, 2, length(r) - 2), '⟩⟨') AS t
+       |              FROM r$merges WHERE doc_id < $maxDocId))),
+       |vocab AS (
+       |  SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS token_id
+       |  FROM (SELECT DISTINCT token FROM enc))
+       |SELECT enc.doc_id, enc.pos, enc.token, vocab.token_id
+       |FROM enc JOIN vocab USING (token)
+       |ORDER BY enc.doc_id, enc.pos""".stripMargin
+  }
+
   /** Rolling-hash document fingerprinting (winnowing): md5 each word-`n`-gram
     * in sequence, then keep the minimum hash of every `window`-length run of
     * consecutive shingles. The distinct minima are the document's

@@ -1064,6 +1064,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("BPE encode applies trained merges row-locally and round-trips with training") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Seq((1L, "a b a b x"), (2L, "a b c a b"), (3L, "b a c"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeVocab(corpus, merges = 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1 learns the hand-countable top pair (a, b) × 4
+    assert(vocab(0) == ((1L, "a", "b", 4L)), s"got ${vocab(0)}")
+    val enc1 = TextAnalysis.bpeEncode(corpus, Seq((vocab(0)._2, vocab(0)._3)))
+    val got = enc1.orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, "a b"), (1L, "a b"), (1L, "x"),
+      (2L, "a b"), (2L, "c"), (2L, "a b"),
+      (3L, "b"), (3L, "a"), (3L, "c")), s"got $got")
+    // token ids = alphabetical dense rank over the output vocabulary
+    val ids = enc1.select("token", "token_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids == Map("a" -> 1L, "a b" -> 2L, "b" -> 3L, "c" -> 4L, "x" -> 5L), s"got $ids")
+    // ROUND-TRIP with training: encoding with round 1's vocabulary
+    // reproduces the training loop's corpus state entering round 2, so the
+    // adjacent-pair argmax over the encoded stream must equal the round-2
+    // merge the trainer learned (count DESC, then lexicographic)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val top = enc1.withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("token"), col("nxt")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"), col("nxt")).limit(1)
+      .collect()(0)
+    assert((top.getString(0), top.getString(1), top.getLong(2)) ==
+      ((vocab(1)._2, vocab(1)._3, vocab(1)._4)),
+      s"round-2 merge ${vocab(1)} != encoded-stream argmax $top")
+  }
+
   test("asofJoin and sessionizeCapped plan ONE data exchange (no join node)") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (2L, 90L, 20L)).toDF("k", "t", "lid")

@@ -118,9 +118,17 @@ object SessionizeStream {
         open match {
           // mergeable: within gap of the open interval on either side
           // (p.startUs >= o.startUs by sort, so only the trailing gap and
-          // the cap can reject). n-accounting stays exact when p is the
-          // carried state interval (p.n events, not 1).
-          case Some(o) if p.startUs - o.lastUs <= gapUs && o.n < maxEvents =>
+          // the cap can reject). The cap guard is on the MERGED count
+          // o.n + p.n — p can be the carried state interval (p.n events,
+          // not 1), and `o.n < maxEvents` alone would admit a merge whose
+          // result breaches the cap (e.g. cap 2, state n=2, one earlier
+          // within-gap late event → n=3). With in-order input p.n == 1 and
+          // the guard degenerates to o.n < maxEvents, so the
+          // batch-equivalence contract is untouched; under late data the
+          // emitted SPLIT BOUNDARIES may differ from the batch re-chop
+          // (state cannot be retracted), but no emitted session ever
+          // exceeds maxEvents — the hard invariant.
+          case Some(o) if p.startUs - o.lastUs <= gapUs && o.n + p.n <= maxEvents =>
             open = Some(OpenSession(
               o.startUs, math.max(o.lastUs, p.lastUs), o.n + p.n))
           case Some(o) =>

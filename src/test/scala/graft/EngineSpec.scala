@@ -1064,6 +1064,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming sessionize: a late within-gap event never breaches the cap") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.{Event, Session}
+    import spark.implicits._
+    val base = 200000L
+    def ev(user: Long, sec: Long) = Event(user, new Timestamp((base + sec) * 1000L))
+    def usOf(sec: Long) = (base + sec) * 1000000L
+    val in = MemoryStream[Event](spark)
+    val out = SessionizeStream.sessions(
+      in.toDS(), gapUs = 60L * 1000000L, watermarkDelay = "10 minutes", maxEvents = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late_out").start()
+    try {
+      in.addData(ev(1, 100), ev(1, 110)) // open session already AT the cap
+      q.processAllAvailable()
+      in.addData(ev(1, 50)) // late but within watermark AND within gap of 100
+      q.processAllAvailable()
+      in.addData(ev(2, 5000)) // advance the watermark...
+      q.processAllAvailable()
+      in.addData(ev(2, 5001)) // ...then evaluate user 1's timeout
+      q.processAllAvailable()
+      val got = spark.table("sessions_late_out").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start_us, s.session_end_us, s.n_events, s.closed_by)).toSet
+      // the HARD invariant the round-4 guard missed: merging the late event
+      // with the at-cap state interval would have emitted n_events = 3
+      assert(got.forall(_._3 <= 2), s"cap breached: $got")
+      assert(got == Set(
+        (usOf(50), usOf(50), 1L, "cap"),
+        (usOf(100), usOf(110), 2L, "timeout")), s"unexpected sessions: $got")
+    } finally q.stop()
+  }
+
   test("BPE encode applies trained merges row-locally and round-trips with training") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

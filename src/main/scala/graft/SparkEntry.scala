@@ -465,6 +465,30 @@ object SparkEntry {
           payload = Seq("p_value"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    "q_interval_join_2stream" -> ((s, dir) => {
+      // the stream-stream interval join's PLAN over batch frames — the same
+      // graft.streaming.StreamJoin.joinWithin function registered here so
+      // the two-stream policy has its own DuckDB range-join oracle row
+      // (EngineSpec separately asserts streaming output equals this batch
+      // form on the same rows; the watermark is a no-op on batch plans).
+      // nanosAsLong: harness session config (see q_sessionize).
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(Temporal.nanosToMicros("ts")).as("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamJoin
+        .joinWithin(clicks, purchases, watermarkDelay = "10 minutes", withinSeconds = 86400L)
+        .select(
+          col("key").as("user_id"),
+          col("l_id").as("click_id"), unix_micros(col("ts")).as("click_us"),
+          col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -1358,6 +1382,17 @@ object SparkEntry {
         |       p.p_value AS asof_p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
         |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_interval_join_2stream" ->
+      // DuckDB's IEJoin evaluates the keyed interval predicate directly;
+      // result must equal StreamJoin.joinWithin's batch plan
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_us, p.purchase_id, p.purchase_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |              AND p.purchase_us >= c.click_us - 86400000000
+        |              AND p.purchase_us <= c.click_us
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -1269,7 +1269,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("l_id"), col("r_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed == expected, s"streaming join: $streamed")
-      // the SAME function over batch frames is the identical interval join
+      // the SAME function over batch frames is the identical interval join —
+      // the plan the registry's q_interval_join_2stream row pins against a
+      // DuckDB range-join oracle on the events fixture
       val batch = graft.streaming.StreamJoin.joinWithin(
           clicks.toDF(), purchases.toDF(), "0 seconds", 60L)
         .select(col("l_id"), col("r_id")).collect()

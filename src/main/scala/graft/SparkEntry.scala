@@ -988,6 +988,23 @@ object SparkEntry {
     // -------- multimodal plumbing (SURVEY §2.12)
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "mm_image_features" -> ((s, dir) =>
+      // REAL codec, oracle-checked: synthesize a solid-color PNG per doc id
+      // (dims + channels closed-form in the id; every 10th payload corrupt),
+      // decode with javax.imageio, emit exact integer dims + channel means.
+      // DuckDB recomputes the same closed forms — the PNG encode → decode →
+      // pixel-sum path is value-verified; corrupt rows surface as width=-1
+      // (accounted, never dropped) on both sides.
+      Multimodal.extractImageFeatures(
+          Multimodal.synthesizeImagePayloads(t(s, dir, "documents").select(col("doc_id"))))
+        .select(
+          col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r")).cast("long").as("mean_r_int"),
+          round(col("mean_g")).cast("long").as("mean_g_int"),
+          round(col("mean_b")).cast("long").as("mean_b_int"))
+        .orderBy(col("doc_id"))),
     "mm_features" -> ((s, dir) =>
       // mapPartitions decode stage (stubbed codec, real plumbing). The raw
       // array<double> output is not oracle-hashable, so the verified shape
@@ -2082,6 +2099,16 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS sha256,
         |       greatest(1, CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT)) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_image_features" ->
+      // closed-form expectations of the synthesized solid-color PNGs: the
+      // Spark side must reproduce these through a real encode/decode
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 7 + 1 END AS width,
+        |       CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 5 + 1 END AS height,
+        |       CASE WHEN doc_id % 10 = 0 THEN 0 ELSE (doc_id * 37) % 256 END AS mean_r_int,
+        |       CASE WHEN doc_id % 10 = 0 THEN 0 ELSE (doc_id * 59) % 256 END AS mean_g_int,
+        |       CASE WHEN doc_id % 10 = 0 THEN 0 ELSE (doc_id * 83) % 256 END AS mean_b_int
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       // recomputes the stub decode's byte math: lane i accumulates

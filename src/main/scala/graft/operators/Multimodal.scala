@@ -134,6 +134,47 @@ object Multimodal {
       mean_g: Double,
       mean_b: Double)
 
+  /** A synthesized image payload row (the fixture generator's output). */
+  final case class ImagePayload(doc_id: Long, payload: Array[Byte])
+
+  /** Deterministic image-fixture generator: one SOLID-COLOR PNG per id with
+    * dimensions and channel color derived arithmetically from the id —
+    * `w = id%7+1, h = id%5+1, (r,g,b) = (37·id, 59·id, 83·id) mod 256` —
+    * and every `id % 10 == 0` row a deliberately CORRUPT payload (bytes
+    * that are not an image). This makes [[extractImageFeatures]]'
+    * accounting ORACLE-CHECKABLE end to end: DuckDB cannot decode a PNG,
+    * but it can compute the same closed-form expectations from the id, so
+    * the PNG encode → `javax.imageio` decode → channel-sum path is
+    * value-verified by the standard harness (registry row
+    * `mm_image_features`), corrupt rows appearing as width = −1 on both
+    * sides. Same `mapPartitions` batch shape as the decode stages.
+    */
+  def synthesizeImagePayloads(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[ImagePayload]
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 0) ImagePayload(id, Array[Byte](0x13, 0x37, 0x00, 0x42))
+        else {
+          val w = (id % 7 + 1).toInt
+          val h = (id % 5 + 1).toInt
+          val rgb = (((id * 37) % 256) << 16 | ((id * 59) % 256) << 8 | ((id * 83) % 256)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImagePayload(id, bos.toByteArray)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** REAL image decode — `javax.imageio` (the JDK's built-in PNG/JPEG/BMP/
     * GIF codecs), no stub — behind the exact same `mapPartitions` seam as
     * [[extractFeatures]]: one iterator per partition, so the codec-plugin

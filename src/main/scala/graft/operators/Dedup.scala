@@ -537,10 +537,14 @@ object Dedup {
     * near-dup quasi-cliques (diameter 1-2), a scale-killer on chain-shaped
     * graphs (ScaleSmoke's 50-link chains would need 50 rounds); the jump
     * halves the remaining label-tree depth each round, so convergence is
-    * O(log diameter) with one extra keyed self-join per round. Labels only
-    * decrease and always name a node of the same component (label ≤ node id
-    * by induction), so the jump join never loses rows and the fixpoint —
-    * every node labeled with its component's min id — is unchanged.
+    * O(log diameter) with one extra keyed self-join per round. The jump is
+    * CONDITIONAL — off for the first two rounds, so the quasi-clique
+    * common case (which converges in exactly those rounds) never pays the
+    * self-join, while deep graphs keep the O(log diameter) bound. Labels
+    * only decrease and always name a node of the same component (label ≤
+    * node id by induction), so the jump join never loses rows and the
+    * fixpoint — every node labeled with its component's min id — is
+    * unchanged.
     *
     * The driver-side loop is orchestration, not data movement: per round it
     * runs one `isEmpty` convergence probe (a distributed aggregate) and
@@ -574,12 +578,24 @@ object Dedup {
       // pointer jumping: lbl(v) ← lbl(lbl(v)). Every label IS a node of the
       // same component with its own row (invariant above), so the inner
       // self-join is total; at the hook fixpoint the jump is a no-op, so
-      // the convergence test below is unaffected
-      val next = hooked.as("a")
-        .join(hooked.select(col("node").as("jn"), col("lbl").as("jlbl")).as("b"),
-          col("a.lbl") === col("b.jn"))
-        .select(col("a.node").as("node"), col("jlbl").as("lbl"), col("a.prev").as("prev"))
-        .persist(lvl)
+      // the convergence test below is unaffected.
+      //
+      // CONDITIONAL: the jump join is skipped for the first two rounds —
+      // near-dup graphs are overwhelmingly quasi-cliques (diameter 1-2)
+      // that hook-only converges in exactly those rounds, so the common
+      // case pays ZERO jump joins (round-4 ScaleSmoke measured the
+      // unconditional jump as ~+40% wall on the quasi-clique corpus).
+      // Deep graphs (chains) are still O(log diameter): after the two
+      // hook-only rounds every remaining round halves the label-tree
+      // depth. Correctness is unaffected either way — hook-only and
+      // hook+jump share the same fixpoint and labels only ever decrease.
+      val jumped =
+        if (iter < 2) hooked
+        else hooked.as("a")
+          .join(hooked.select(col("node").as("jn"), col("lbl").as("jlbl")).as("b"),
+            col("a.lbl") === col("b.jn"))
+          .select(col("a.node").as("node"), col("jlbl").as("lbl"), col("a.prev").as("prev"))
+      val next = jumped.persist(lvl)
       next.count() // materialize before the old round is released
       converged = next.filter(col("lbl") < col("prev")).isEmpty // labels only decrease
       cached.unpersist(blocking = false)

@@ -760,6 +760,12 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_centroid_outlier" -> ((s, dir) =>
+      // embedding-sanity screen: rounded cosine of every vector to the
+      // corpus's decimal-exact mean vector (one distributed aggregation +
+      // a broadcast narrow scoring map)
+      Similarity.centroidOutliers(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
     "dedup_survivors" -> ((s, dir) => {
       // rides the banded-LSH path (the 100 TB shape); output is proven equal
       // to the exact quadratic form at these parameters (EngineSpec), so the
@@ -940,6 +946,11 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_lm_score" -> ((s, dir) =>
+      // bigram-LM quality scoring (CCNet lineage): mean log conditional
+      // probability under the corpus's own MLE bigram model — per-term
+      // ln over an exact integer ratio, rounded, decimal-summed
+      TextAnalysis.lmScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition screen: duplicate-trigram fraction +
       // top-bigram share, computed entirely row-locally (zero exchanges)
@@ -1734,6 +1745,15 @@ object SparkEntry {
         |  FROM ss)
         |SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_centroid_outlier" -> (embCte +
+      """, m AS (
+        |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+        |  FROM f GROUP BY 1),
+        |mn AS (SELECT sqrt(SUM(m*m)) AS mnrm FROM m),
+        |d AS (SELECT f.vec_id, SUM(f.v*m.m) AS dot FROM f JOIN m USING (i) GROUP BY 1)
+        |SELECT d.vec_id, ROUND(d.dot/(nrm.nrm*mn.mnrm),4)+0.0 AS centroid_cosine
+        |FROM d JOIN nrm USING (vec_id) CROSS JOIN mn
+        |ORDER BY vec_id""".stripMargin),
     "dedup_survivors" -> (shingleCte +
       """SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (
@@ -2024,6 +2044,20 @@ object SparkEntry {
         |       CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
         |FROM toks JOIN freq USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t WHERE len(w) >= 2)),
+        |c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT bg.doc_id, ROUND(ln(CAST(c2t.c2 AS DOUBLE)/c1t.c1), 6) AS lp
+        |  FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) AS sum_logp,
+        |       ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean_logp
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_chunks" ->
       // non-overlapping 16-token chunks aligned at multiples of 16;
       // trailing partial chunks skipped (same universe as Dedup.chunkStats)

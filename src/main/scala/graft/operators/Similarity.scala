@@ -436,6 +436,34 @@ object Similarity {
     sb.toString
   }
 
+  /** Corpus-centroid outlier scoring: each vector's rounded cosine to the
+    * corpus MEAN vector — the cheap embedding-sanity screen of a training
+    * pipeline (corrupt, zeroed, or wrong-modality vectors score far from
+    * the bulk; thresholding is downstream policy). The mean is the
+    * per-dimension DECIMAL(28,12)-exact average (order-insensitive, the
+    * [[trainCentroids]] discipline), aggregated to ONE dims-length row
+    * that broadcasts into a narrow scoring map — plan is one distributed
+    * aggregation plus a shuffle-free projection at any corpus size.
+    */
+  def centroidOutliers(
+      emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = prepared(emb, idCol, embCol)
+    val meanVec = p.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("cv"))
+      .select(col("cv"), norm(col("cv")).as("cnrm"))
+    p.crossJoin(broadcast(meanVec))
+      .select(
+        col("id").as(idCol),
+        // + 0.0 normalizes a possible negative zero (scores here can take
+        // any sign, unlike the tau-thresholded pair queries)
+        (round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4) + lit(0.0))
+          .as("centroid_cosine"))
+  }
+
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
     * use [[nearDupPairsBanded]]/[[nearDupPairsBucketed]] or
     * [[Dedup.minhashLshPairs]]-style banding over sign bits.

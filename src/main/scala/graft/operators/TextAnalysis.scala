@@ -232,6 +232,45 @@ object TextAnalysis {
         (col("sum_freq").cast("double") / col("n_tokens")).as("mean_freq"))
   }
 
+  /** Bigram-LM document scoring — the CCNet-lineage quality signal a
+    * unigram rarity screen ([[tokenRarity]]) cannot express: score each
+    * document by the mean log conditional probability of its word bigrams
+    * under the corpus's own MLE bigram model, `lp(w1 w2) = ln(c(w1,w2) /
+    * c(w1·))` with `c(w1·)` the bigram-head count. Fluent in-domain text
+    * scores near 0; keyboard mash and wrong-language text score strongly
+    * negative. Documents shorter than two tokens have no bigrams and emit
+    * no row (same convention as [[shingles]]).
+    *
+    * Cross-engine determinism: each term is ONE exact integer ratio →
+    * one `ln` → round 6 (the [[tfIdf]] discipline), summed through
+    * DECIMAL(28,12) (order-insensitive), and the mean is a single
+    * division rounded 6 — every emitted double verifies bit-exact.
+    *
+    * Plan shape: one explode + two vocabulary-sized count aggregations;
+    * the model joins back onto the bigram stream by key (vocabulary ≪
+    * corpus — AQE broadcasts when it fits, exactly the [[tokenRarity]]
+    * frequency-join contract), then one per-doc aggregation.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairC = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val headC = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(pairC, Seq("w1", "w2")).join(headC, Seq("w1"))
+      .select(col(idCol),
+        round(log(col("c2").cast("double") / col("c1")), 6).as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(DecimalType(28, 12))).cast("double").as("sum_logp"))
+      .select(col(idCol), col("n_bigrams"), col("sum_logp"),
+        round(col("sum_logp") / col("n_bigrams"), 6).as("mean_logp"))
+  }
+
   /** BPE-style tokenizer vocabulary induction (word-level byte-pair
     * encoding): `merges` rounds of [count all adjacent token pairs across
     * the corpus → take the most frequent pair (count DESC, then

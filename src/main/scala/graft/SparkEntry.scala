@@ -489,6 +489,29 @@ object SparkEntry {
           col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
+    "q_interval_join_outer" -> ((s, dir) => {
+      // the LEFT OUTER form: clicks with no in-window purchase survive with
+      // NULL purchase columns — on a stream these rows emit once both
+      // watermarks prove no match can still arrive; this batch plan is the
+      // identical join. nanosAsLong: harness session config.
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(Temporal.nanosToMicros("ts")).as("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamJoin
+        .joinWithin(clicks, purchases, watermarkDelay = "10 minutes",
+          withinSeconds = 86400L, joinType = "left_outer")
+        .select(
+          col("key").as("user_id"),
+          col("l_id").as("click_id"), unix_micros(col("ts")).as("click_us"),
+          col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -1420,6 +1443,15 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |              AND p.purchase_us >= c.click_us - 86400000000
         |              AND p.purchase_us <= c.click_us
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+    "q_interval_join_outer" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_us, p.purchase_id, p.purchase_us
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |                   AND p.purchase_us >= c.click_us - 86400000000
+        |                   AND p.purchase_us <= c.click_us
         |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -25,11 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** @param joinType "inner" (default) or "left_outer" — the outer form
+    *                  emits an unmatched left row (NULL `r_id`/`r_ts`) once
+    *                  BOTH watermarks prove no in-window match can still
+    *                  arrive; on batch frames it is the plain left outer
+    *                  interval join (same plan, two execution modes).
+    */
   def joinWithin(
       left: DataFrame,
       right: DataFrame,
       watermarkDelay: String,
-      withinSeconds: Long): DataFrame = {
+      withinSeconds: Long,
+      joinType: String = "inner"): DataFrame = {
     require(withinSeconds >= 0, "look-back window must be non-negative")
     val l = left.toDF("key", "ts", "l_id").withWatermark("ts", watermarkDelay)
     val r = right.toDF("r_key", "r_ts", "r_id").withWatermark("r_ts", watermarkDelay)
@@ -37,7 +44,8 @@ object StreamJoin {
         r,
         col("key") === col("r_key") &&
           col("r_ts") >= col("ts") - expr(s"INTERVAL $withinSeconds SECONDS") &&
-          col("r_ts") <= col("ts"))
+          col("r_ts") <= col("ts"),
+        joinType)
       .select(col("key"), col("l_id"), col("ts"), col("r_id"), col("r_ts"))
   }
 }

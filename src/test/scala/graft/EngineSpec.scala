@@ -1278,6 +1278,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(batch == streamed, s"batch $batch != streaming $streamed")
     } finally q.stop()
+    // LEFT OUTER form: a click with no in-window purchase must surface with
+    // NULL purchase columns once both watermarks prove no match can arrive
+    val inL2 = MemoryStream[(Long, Timestamp, Long)](spark)
+    val inR2 = MemoryStream[(Long, Timestamp, Long)](spark)
+    val out2 = graft.streaming.StreamJoin.joinWithin(
+      inL2.toDF(), inR2.toDF(), watermarkDelay = "0 seconds", withinSeconds = 60L,
+      joinType = "left_outer")
+    val q2 = out2.writeStream.outputMode("append")
+      .format("memory").queryName("sjo_out").start()
+    try {
+      inL2.addData((3L, ts(100), 30L)) // no purchase for key 3 at all
+      inR2.addData((4L, ts(100), 49L))
+      q2.processAllAvailable()
+      // advance BOTH watermarks far past 100 + 60 so the unmatched row fires
+      inL2.addData((3L, ts(5000), 31L))
+      inR2.addData((4L, ts(5000), 48L))
+      q2.processAllAvailable()
+      inL2.addData((3L, ts(5001), 32L))
+      inR2.addData((4L, ts(5001), 47L))
+      q2.processAllAvailable()
+      val got = spark.table("sjo_out").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(got.contains((30L, None)),
+        s"unmatched click must emit with NULL purchase after the watermark: $got")
+      // batch equality for the outer form too (same rows, plain left join)
+      val bOuter = graft.streaming.StreamJoin.joinWithin(
+          Seq((3L, ts(100), 30L)).toDF(), Seq.empty[(Long, Timestamp, Long)].toDF(),
+          "0 seconds", 60L, joinType = "left_outer")
+        .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(bOuter == Set((30L, None)), s"batch outer: $bOuter")
+    } finally q2.stop()
   }
 
   test("streaming dedup: duplicates within the watermark window are dropped") {

@@ -969,6 +969,33 @@ object SparkEntry {
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_tfidf_topk" -> ((s, dir) =>
+      // top-3 characteristic words per document: TF-IDF composed with the
+      // custom TopKPerKey physical operator (bounded per-key heaps — no
+      // per-key sort of the full posting list, the 100 TB shape for
+      // "top terms per doc"); oracle = the window-function SQL
+      graft.plans.TopK.perKey(
+          TextAnalysis.tfIdf(t(s, dir, "documents")),
+          keyCols = Seq("doc_id"),
+          orderCols = Seq("tfidf" -> false, "word" -> true),
+          k = 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("word"))),
+    "q_window_nth" -> ((s, dir) => {
+      // window-surface breadth: nth_value over the running frame,
+      // lag with a default, and last_value IGNORE NULLS — three semantics
+      // pinned cross-engine
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_or_neg1"),
+          last(when(col("o_orderkey") % 3 === 0, col("o_orderkey")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("last_div3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
     "text_lm_score" -> ((s, dir) =>
       // bigram-LM quality scoring (CCNet lineage): mean log conditional
       // probability under the corpus's own MLE bigram model — per-term
@@ -2076,6 +2103,32 @@ object SparkEntry {
         |       CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
         |FROM toks JOIN freq USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+        |dfreq AS (
+        |  SELECT word, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |x AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+        |         ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN nd)
+        |SELECT doc_id, word, tf, df, tfidf FROM (
+        |  SELECT x.*, row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY tfidf DESC, word) AS rn
+        |  FROM x)
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, word""".stripMargin,
+    "q_window_nth" ->
+      """SELECT o_orderkey, o_custkey,
+        |       nth_value(o_orderkey, 2) OVER w AS second_key,
+        |       lag(o_orderkey, 1, -1) OVER w AS prev_or_neg1,
+        |       last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END IGNORE NULLS)
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_div3
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |bg AS (

@@ -933,6 +933,19 @@ object SparkEntry {
         .groupBy(col("lang"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
         .orderBy(col("lang"), col("batch_id"))),
+    "du_incremental_merge" -> ((s, dir) => {
+      // incremental refresh: history snapshot + delta snapshot merged by
+      // re-aggregating partials (decomposable SUM/COUNT) — value-identical
+      // to the full recompute, which IS the oracle. The split on event_id
+      // stands in for yesterday's inventory vs today's delta.
+      val e = t(s, dir, "events")
+      def inv(f: DataFrame) = f.select(
+        slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
+        col("value").as("size"))
+      val history = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 5 =!= 0)))
+      val delta = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 5 === 0)))
+      DiskUsageOp.mergeSnapshots(history, delta).orderBy(col("address"))
+    }),
     "du_salted_agg" -> ((s, dir) => {
       // the skew-hardened two-phase aggregate; result-identical to the
       // plain form, so the oracle is the plain GROUP BY
@@ -1955,6 +1968,16 @@ object SparkEntry {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_id,
         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
+    "du_incremental_merge" ->
+      // the FULL recompute: the semantic claim is merge(partials) == this
+      """WITH inv AS (
+        |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,
+        |         value AS size FROM events)
+        |SELECT split_part(key,'/',1) AS address,
+        |       CAST(SUM(CAST(size AS DECIMAL(18,4))) AS DOUBLE) AS size_bytes,
+        |       COUNT(*) AS number_files
+        |FROM inv WHERE key LIKE '%/%'
+        |GROUP BY 1 ORDER BY address""".stripMargin,
     "du_salted_agg" ->
       """WITH inv AS (
         |  SELECT CAST(user_id AS VARCHAR)||'/'||event_type||'/'||CAST(event_id AS VARCHAR) AS key,

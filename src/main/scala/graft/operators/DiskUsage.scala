@@ -82,6 +82,30 @@ object DiskUsageOp {
       .agg(sum(col("size")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("address"))
       .agg(sum(col("s")).as("size_bytes"), sum(col("n")).as("number_files"))
+
+  /** INCREMENTAL refresh: combine already-aggregated snapshots (yesterday's
+    * served table + today's delta aggregate) instead of rescanning the full
+    * history — the SUM/COUNT aggregate is decomposable, so merging partials
+    * is exact and the refresh cost drops from O(history) to O(delta +
+    * |addresses|). At 100 TB this is the difference between a daily full
+    * scan and a daily delta scan; the reference recomputes from scratch
+    * every cycle (handler.go:77-92), which this extension makes optional.
+    *
+    * Inputs are (address, size_bytes, number_files) snapshots
+    * ([[aggregate]]/[[aggregateFractional]] output); sums re-run through
+    * DECIMAL(28,4) so the merged totals are exact and order-insensitive
+    * regardless of how many snapshots combine. Result is value-identical
+    * to aggregating the concatenated inventories (EngineSpec asserts it;
+    * the registry row's oracle IS the full recompute).
+    */
+  def mergeSnapshots(snapshots: DataFrame*): DataFrame = {
+    require(snapshots.nonEmpty, "need at least one snapshot")
+    snapshots.reduce(_ unionAll _)
+      .groupBy(col("address"))
+      .agg(
+        sum(col("size_bytes").cast(DecimalType(28, 4))).cast("double").as("size_bytes"),
+        sum(col("number_files")).as("number_files"))
+  }
 }
 
 /** Periodic-refresh serving handler: the reference's whole lifecycle

@@ -65,6 +65,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("u", 3L, 2L), ("v", 4L, 1L))) // NOT last-file-wins
   }
 
+  test("incremental snapshot merge equals the full recompute") {
+    import spark.implicits._
+    val inv = (1 to 500).map(i => (s"user${i % 7}/obj$i", i * 0.25)).toDF("key", "size")
+    val full = DiskUsageOp.aggregateFractional(inv).orderBy("address").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    // split the inventory three ways, aggregate each slice independently,
+    // merge the partials — decomposable SUM/COUNT must reproduce the full
+    // aggregate exactly (the incremental-refresh contract)
+    val parts = (0 until 3).map(k =>
+      DiskUsageOp.aggregateFractional(
+        inv.filter(pmod(xxhash64(col("key")), lit(3)) === k)))
+    val merged = DiskUsageOp.mergeSnapshots(parts: _*).orderBy("address").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(merged == full)
+    // merging a single snapshot is the identity
+    val single = DiskUsageOp.mergeSnapshots(DiskUsageOp.aggregateFractional(inv))
+      .orderBy("address").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(single == full)
+  }
+
   test("salted aggregate equals plain aggregate") {
     import spark.implicits._
     val inv = (1 to 500).map(i => (s"user${i % 7}/obj$i", i.toLong)).toDF("key", "size")

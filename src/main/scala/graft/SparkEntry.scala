@@ -808,6 +808,18 @@ object SparkEntry {
           n = 3, minShared = 5L)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    "dedup_contamination_bloom" -> ((s, dir) => {
+      // the scale form: eval shingles fold into ONE broadcast Bloom filter
+      // that pre-filters the (huge) training side before any join; the
+      // exact inverted-index verify after makes the output IDENTICAL to
+      // dedup_contamination — so the oracle is the same exact SQL
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairsBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 3, minShared = 5L)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
     "dedup_components" -> ((s, dir) =>
       // exact dup-cluster canonicalization: min-label propagation to a
       // fixpoint over the near-dup pair graph (LSH-generated pairs, proven
@@ -1834,6 +1846,15 @@ object SparkEntry {
         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6)
         |ORDER BY doc_id""".stripMargin),
     "dedup_contamination" -> (shingleCte +
+      """SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |       COUNT(*) AS n_shared
+        |FROM sh t JOIN sh e ON t.s = e.s
+        |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY train_id, eval_id""".stripMargin),
+    // identical oracle by design: the Bloom pre-filter must never change
+    // the emitted pair set, only the join's input volume
+    "dedup_contamination_bloom" -> (shingleCte +
       """SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
         |       COUNT(*) AS n_shared
         |FROM sh t JOIN sh e ON t.s = e.s

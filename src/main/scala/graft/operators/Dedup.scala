@@ -520,6 +520,52 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a BLOOM PRE-FILTER on the training side —
+    * the 100 TB form of the check. The eval corpus's shingle hashes fold
+    * into one Bloom filter (`bloom_filter_agg`, a single binary blob that
+    * broadcasts); the training corpus's shingle rows — the Σ-terabytes
+    * side — are filtered by `might_contain` BEFORE the join, so only the
+    * tiny truly-colliding fraction (plus the Bloom's false-positive sliver)
+    * ever shuffles. The final inverted-index join then verifies exactly, so
+    * Bloom false positives cost bandwidth, never correctness: the emitted
+    * pair set is IDENTICAL to [[contaminationPairs]]' (same oracle, and
+    * EngineSpec asserts equality). This is the standard eval-side-small
+    * asymmetry: the filter is O(|eval shingles|) bits regardless of
+    * training-corpus size.
+    *
+    * @param expectedEvalShingles sizing hint for the filter (Spark derives
+    *        the bit count; ~1% FP at the default bits-per-item)
+    */
+  def contaminationPairsBloom(
+      train: DataFrame, probe: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, minShared: Long = 1L,
+      expectedEvalShingles: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val a = sh(train, idCol, textCol, n).select(col("id").as("train_id"), col("h"))
+    val b = sh(probe, idCol, textCol, n).select(col("id").as("eval_id"), col("h"))
+    // BloomFilterAggregate/BloomFilterMightContain are the engine's own
+    // runtime-filter expressions (public Catalyst classes, not registered
+    // as SQL functions), assembled exactly the way InjectRuntimeFilter
+    // does: the filter blob arrives as a SCALAR SUBQUERY (might_contain's
+    // required shape — its binary side must be constant-foldable, never a
+    // join column)
+    val bloomPlan = b.agg(ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(col("h")), expectedEvalShingles)
+        .toAggregateExpression()).as("bf"))
+      .queryExecution.analyzed
+    a.filter(ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan),
+          ColumnBridge.expression(col("h")))))
+      .select(col("train_id"), col("h"))
+      .join(b, Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over the near-dup pair graph: every document that
     * appears in a pair, labeled with the smallest doc id reachable through
     * pairs (`component`). This is the EXACT cluster canonicalization that

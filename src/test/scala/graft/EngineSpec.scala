@@ -431,6 +431,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("bloom-prefiltered decontamination equals the exact two-sided join") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = pairSet(Dedup.contaminationPairs(train, eval, minShared = 2L))
+    val bloomed = pairSet(Dedup.contaminationPairsBloom(train, eval, minShared = 2L))
+    // Bloom false positives add join INPUT, never output: the exact
+    // inverted-index verify after the pre-filter makes the sets identical
+    assert(bloomed == exact, s"missing=${exact -- bloomed} phantom=${bloomed -- exact}")
+    assert(exact.nonEmpty, "fixture must produce contamination pairs")
+    Dedup.uncacheAll()
+  }
+
   test("withBuckets is a narrow projection: no Exchange, no vector duplication") {
     val p = Similarity.prepared(emb, "vec_id", "embedding")
     val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")

@@ -97,6 +97,35 @@ object ScaleSmoke {
         docs.filter(col("doc_id") % 10 === 0), minShared = 5L).count()
     }
     Dedup.uncacheAll()
+    // the Bloom-prefiltered form on the SAME slices: this replica corpus is
+    // the adversarial ALL-OVERLAP case (nearly every training shingle IS in
+    // the eval set), so the filter drops almost nothing and its build +
+    // per-shingle probe cost is pure overhead — the honest negative control
+    timed("contamination bloom, all-overlap") {
+      Dedup.contaminationPairsBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), minShared = 5L).count()
+    }
+    Dedup.uncacheAll()
+    // the operator's WIN CONDITION — low overlap, the real decontamination
+    // regime (web corpus vs a small benchmark suite): 5k eval docs of
+    // synthetic tokens disjoint from the corpus, plus 45 genuinely
+    // contaminated train texts planted in. The bloom drops ~99% of
+    // training shingles BEFORE any join; the exact form shuffles them all.
+    val evalLow = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(0, 39), i -> concat('ev', id, 'x', i)), ' ')")
+          .as("text"))
+      .unionAll(docs.filter(col("doc_id") % 1000 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    timed("contamination exact, low-overlap") {
+      Dedup.contaminationPairs(docs, evalLow, minShared = 5L).count()
+    }
+    Dedup.uncacheAll()
+    timed("contamination bloom, low-overlap") {
+      Dedup.contaminationPairsBloom(docs, evalLow, minShared = 5L).count()
+    }
+    Dedup.uncacheAll()
     timed("simhash pairs, collapse (50k docs)") {
       Dedup.simhashPairs(docs, tau = 0.6).count()
     }

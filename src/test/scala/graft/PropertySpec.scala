@@ -215,6 +215,41 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == again.toSet, "non-deterministic pair set")
   }
 
+  test("BPE encode is a lossless segmentation for any corpus and any trained merge count") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // random word corpora over a tiny alphabet — small vocab forces real
+    // merges (repeated pairs) instead of degenerate all-distinct streams
+    val wordGen = Gen.oneOf("aa", "bb", "ab", "cd", "a", "b")
+    val textGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = Gen.listOfN(40, textGen).sample.get
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // identity: with no merges, the token stream IS the whitespace split
+    val idTokens = TextAnalysis.bpeEncode(docs, Nil).orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(idTokens(i.toLong) == t.split(" ").toSeq, s"doc $i identity")
+    }
+    for (merges <- Seq(1, 3)) {
+      val m = TextAnalysis.bpeVocab(docs, merges = merges).orderBy("merge_round")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = TextAnalysis.bpeEncode(docs, m).orderBy("doc_id", "pos")
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        // LOSSLESS SEGMENTATION: re-splitting every (possibly merged)
+        // token on spaces reconstructs the original token stream exactly —
+        // encoding may only group adjacent tokens, never alter or drop
+        val flat = enc.getOrElse(i.toLong, Seq.empty).flatMap(_.split(" ").toSeq)
+        assert(flat == t.split(" ").toSeq, s"doc $i merges=$merges: $flat")
+      }
+    }
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

@@ -958,6 +958,26 @@ object SparkEntry {
       val delta = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 5 === 0)))
       DiskUsageOp.mergeSnapshots(history, delta).orderBy(col("address"))
     }),
+    "du_snapshot_delta" -> ((s, dir) => {
+      // operational drift report between two snapshots via FULL OUTER join
+      // (the join type the registry otherwise lacks): addresses appearing,
+      // disappearing, and growing. Keys are per-event so all three outer
+      // cases are exercised by the fixture (only-old, only-new, both).
+      val e = t(s, dir, "events")
+      def inv(f: DataFrame) = f.select(
+        slashKey(col("event_id"), col("event_type")).as("key"),
+        col("value").as("size"))
+      val old = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 3 =!= 0)))
+      val neu = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 3 =!= 1)))
+      old.as("y").join(neu.as("t"), col("y.address") === col("t.address"), "full_outer")
+        .select(
+          coalesce(col("t.address"), col("y.address")).as("address"),
+          (coalesce(col("t.size_bytes"), lit(0.0)) -
+            coalesce(col("y.size_bytes"), lit(0.0))).as("growth_bytes"),
+          (coalesce(col("t.number_files"), lit(0L)) -
+            coalesce(col("y.number_files"), lit(0L))).as("growth_files"))
+        .orderBy(col("address"))
+    }),
     "du_salted_agg" -> ((s, dir) => {
       // the skew-hardened two-phase aggregate; result-identical to the
       // plain form, so the oracle is the plain GROUP BY
@@ -1989,6 +2009,26 @@ object SparkEntry {
         |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_id,
         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
+    "du_snapshot_delta" ->
+      """WITH inv AS (
+        |  SELECT event_id,
+        |         CAST(event_id AS VARCHAR)||'/'||event_type AS key,
+        |         value AS size FROM events),
+        |y AS (
+        |  SELECT split_part(key,'/',1) AS address,
+        |         CAST(SUM(CAST(size AS DECIMAL(18,4))) AS DOUBLE) AS size_bytes,
+        |         COUNT(*) AS number_files
+        |  FROM inv WHERE key LIKE '%/%' AND event_id % 3 <> 0 GROUP BY 1),
+        |t AS (
+        |  SELECT split_part(key,'/',1) AS address,
+        |         CAST(SUM(CAST(size AS DECIMAL(18,4))) AS DOUBLE) AS size_bytes,
+        |         COUNT(*) AS number_files
+        |  FROM inv WHERE key LIKE '%/%' AND event_id % 3 <> 1 GROUP BY 1)
+        |SELECT COALESCE(t.address, y.address) AS address,
+        |       COALESCE(t.size_bytes, 0) - COALESCE(y.size_bytes, 0) AS growth_bytes,
+        |       COALESCE(t.number_files, 0) - COALESCE(y.number_files, 0) AS growth_files
+        |FROM y FULL OUTER JOIN t ON y.address = t.address
+        |ORDER BY address""".stripMargin,
     "du_incremental_merge" ->
       // the FULL recompute: the semantic claim is merge(partials) == this
       """WITH inv AS (

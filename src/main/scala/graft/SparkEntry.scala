@@ -512,6 +512,21 @@ object SparkEntry {
           col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
+    "q_lateral_topk" -> ((s, dir) => {
+      // correlated LATERAL table subquery (SQL surface the DataFrame API
+      // cannot express): each customer's two priciest orders via a
+      // per-row subquery with ORDER BY + LIMIT — Catalyst decorrelates it
+      // into a ranked join; DuckDB executes the same text natively
+      t(s, dir, "customer").createOrReplaceTempView("customer_lv")
+      t(s, dir, "orders").createOrReplaceTempView("orders_lv")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lv c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_lv
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
     "q_semi_join" -> ((s, dir) =>
       // EXISTS: customers that placed at least one order
       t(s, dir, "customer")
@@ -1525,6 +1540,13 @@ object SparkEntry {
         |                   AND p.purchase_us >= c.click_us - 86400000000
         |                   AND p.purchase_us <= c.click_us
         |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -16,6 +16,10 @@ Test / fork := true
 // spurious set-mismatch failures. Suites are independent, sessions aren't.
 Test / parallelExecution := false
 run / fork := true
+// The bench driver keeps only a stdout tail and parses the last JSON line;
+// sbt's default LoggedOutput prefixes forked stdout with "[info] ", which
+// breaks that parse. StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

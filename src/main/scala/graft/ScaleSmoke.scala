@@ -237,6 +237,22 @@ object ScaleSmoke {
     timed("ivf train k=64 iters=2 (20k)") {
       graft.operators.Similarity.trainCentroids(emb, k = 64, iters = 2).count()
     }
+    // sequence packing, ONE stratum × 2M docs — the adversarial shape for
+    // the per-stratum window (a single task sorts and cumsums everything;
+    // at 100 TB that task is "all of English"). The sharded form runs 32
+    // parallel (stratum, shard) windows plus a 32-row offset aggregate —
+    // same per-batch budget contract, wall time bounded by a shard.
+    val packDocs = spark.range(0, 2000000L)
+      .select(col("id"), lit("en").as("lang"), (lit(10L) + col("id") % 50L).as("n_tok"))
+    timed("pack 2M docs, 1 stratum, window") {
+      graft.operators.Splits.packBatches(packDocs, "lang", "id", "n_tok", budget = 2048L)
+        .groupBy(col("batch_id")).count().count()
+    }
+    timed("pack 2M docs, 32 shards") {
+      graft.operators.Splits
+        .packBatchesSharded(packDocs, "lang", "id", "n_tok", budget = 2048L, shards = 32)
+        .groupBy(col("batch_id")).count().count()
+    }
     spark.stop()
   }
 }

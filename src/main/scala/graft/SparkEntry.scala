@@ -950,13 +950,15 @@ object SparkEntry {
       Splits.negativePairs(t(s, dir, "documents"), "doc_id", k = 4)
         .orderBy(col("doc_id"), col("k_idx"))),
     "split_pack_batches" -> ((s, dir) =>
-      // token-budget sequence packing: contiguous greedy fill per language,
-      // 2048-token batches; emitted as per-batch stats
-      Splits.packBatches(
+      // token-budget sequence packing, two-level (shard-parallel) form:
+      // greedy fill per (language, md5-shard), shard-local batch ids made
+      // stratum-global by per-shard offsets — strata × shards parallel
+      // tasks instead of one task per language; emitted as per-batch stats
+      Splits.packBatchesSharded(
           t(s, dir, "documents")
             .select(col("doc_id"), col("lang"),
               size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
-          "lang", "doc_id", "n_tokens", budget = 2048L)
+          "lang", "doc_id", "n_tokens", budget = 2048L, shards = 8)
         .groupBy(col("lang"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
         .orderBy(col("lang"), col("batch_id"))),
@@ -2019,18 +2021,31 @@ object SparkEntry {
          |  AND neg_id IN (SELECT doc_id FROM documents)
          |ORDER BY doc_id, k_idx""".stripMargin,
     "split_pack_batches" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, lang,
-        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |         ${graft.operators.Splits.packShardSql("doc_id", 8)} AS shard
         |  FROM documents),
         |c AS (
-        |  SELECT lang, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |  SELECT lang, shard, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM d)
-        |SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_id,
-        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
-        |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
+        |  FROM d),
+        |lb AS (
+        |  SELECT lang, shard, n_tokens,
+        |         (cum - n_tokens) // 2048 AS local_batch
+        |  FROM c),
+        |offs AS (
+        |  SELECT lang, shard,
+        |         COALESCE(SUM(MAX(local_batch) + 1) OVER (PARTITION BY lang
+        |           ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS batch_offset
+        |  FROM lb GROUP BY lang, shard)
+        |SELECT lb.lang,
+        |       CAST(o.batch_offset + lb.local_batch AS BIGINT) AS batch_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(lb.n_tokens) AS BIGINT) AS batch_tokens
+        |FROM lb JOIN offs o ON lb.lang = o.lang AND lb.shard = o.shard
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "du_snapshot_delta" ->
       """WITH inv AS (
         |  SELECT event_id,

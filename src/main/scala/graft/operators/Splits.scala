@@ -209,11 +209,12 @@ object Splits {
     * standard greedy approximation; exact bin packing is NP-hard and
     * inherently sequential).
     *
-    * Scale: one window (hash exchange on the stratum + per-partition
-    * sort). The stratum key is what keeps this distributed — a single
-    * global packing order would funnel the corpus through one partition;
-    * partitioning by language/source shard is how packing is actually run
-    * at 100 TB.
+    * Scale: ONE TASK PER STRATUM — the window partitions by the stratum
+    * alone, so a single task sorts and cumsums each stratum's entire
+    * corpus. With ~20 language strata at 100 TB that is ~20 working tasks
+    * and an English-sized straggler. This form is kept as the sequential
+    * reference semantics (and for small strata); the scale path is
+    * [[packBatchesSharded]], which reduces to this exactly at shards = 1.
     */
   def packBatches(
       df: DataFrame, partCol: String, orderCol: String, tokensCol: String,
@@ -224,4 +225,65 @@ object Splits {
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("batch_id", expr(s"(cum_tokens - $tokensCol) div $budget"))
   }
+
+  /** Shard-parallel sequence packing — the 100 TB form of [[packBatches]].
+    * Two-level greedy fill:
+    *
+    *  1. each row is assigned a deterministic shard inside its stratum
+    *     (`md5(orderCol)` first 4 hex digits mod `shards` — the same
+    *     engine-portable, RNG-free hashing discipline as [[assign]]);
+    *  2. the greedy cumsum window runs per (stratum, shard) — so the unit
+    *     of sequential work is a shard, never a whole stratum, and the
+    *     stage runs `strata × shards` parallel tasks;
+    *  3. shard-local batch ids are made globally unique per stratum by
+    *     adding a per-shard offset = total batches in all lower-numbered
+    *     shards of the same stratum. The offsets come from a tiny
+    *     aggregate (`strata × shards` rows) windowed on the driver-scale
+    *     side and broadcast-joined back, so the big side sees exactly one
+    *     hash exchange (the packing window's own).
+    *
+    * The per-batch budget guarantee is unchanged — every batch is a
+    * contiguous run WITHIN ONE SHARD, overshooting by at most its one
+    * straddling document — and batch ids remain contiguous from 0 within
+    * each stratum. What two-level packing gives up is the single global
+    * document order per stratum (documents are contiguous per shard, not
+    * across shards), which is exactly the trade a distributed packer makes:
+    * budget-bounded batches and full parallelism, order within shards.
+    *
+    * `shards = 1` degenerates to a single shard per stratum and reproduces
+    * [[packBatches]]'s assignment bit-for-bit (pinned by PropertySpec).
+    */
+  def packBatchesSharded(
+      df: DataFrame, partCol: String, orderCol: String, tokensCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(shards >= 1, "shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol), col("pack_shard")).orderBy(col(orderCol))
+    val local = df
+      .withColumn("pack_shard",
+        conv(substring(md5(col(orderCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % shards)
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("local_batch", expr(s"(cum_tokens - $tokensCol) div $budget"))
+    // Tiny side: batches per shard, then the exclusive prefix sum over
+    // shard ids gives each shard its stratum-global batch-id offset.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col("pack_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col(partCol), col("pack_shard"))
+      .agg((max(col("local_batch")) + 1L).as("n_batches"))
+      .withColumn("batch_offset",
+        coalesce(sum(col("n_batches")).over(wOff), lit(0L)))
+      .select(col(partCol), col("pack_shard"), col("batch_offset"))
+    local
+      .join(broadcast(offsets), Seq(partCol, "pack_shard"))
+      .withColumn("batch_id", col("batch_offset") + col("local_batch"))
+      .drop("local_batch", "batch_offset")
+  }
+
+  /** The same 4-hex md5 shard assignment as SQL text, for oracle mirroring. */
+  def packShardSql(orderExpr: String, shards: Int): String =
+    s"CAST(('0x'||substring(md5(CAST($orderExpr AS VARCHAR)),1,4)) AS BIGINT) % $shards"
 }

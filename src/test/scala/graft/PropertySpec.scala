@@ -191,6 +191,42 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fullBatches.forall(_._2 >= 100L - 59), "non-final batch suspiciously empty")
   }
 
+  test("sharded pack batches: per-shard straddler bound, contiguous ids, shards=1 ≡ baseline") {
+    import spark.implicits._
+    import graft.operators.Splits
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val docs = (0L until 400L).map(i => (i, if (i % 3 == 0) "a" else "b", 10L + (i * 7) % 50))
+      .toDF("id", "g", "n_tok")
+    val packed = Splits.packBatchesSharded(docs, "g", "id", "n_tok", budget = 100L, shards = 4)
+    assert(packed.count() == 400L, "every doc must be assigned")
+    // budget contract holds PER BATCH (each batch lives inside one shard):
+    // overshoot bounded by the batch's one straddling document
+    val stats = packed.groupBy(col("g"), col("batch_id"))
+      .agg(sum(col("n_tok")).as("tok"), max(col("n_tok")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    stats.foreach { case (g, b, tok, mx) =>
+      assert(tok < 100L + mx, s"stratum $g batch $b overshoots beyond one straddler: tok=$tok mx=$mx")
+    }
+    // batch ids contiguous from 0 within each stratum (offsets stitch shards)
+    stats.groupBy(_._1).foreach { case (g, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"stratum $g batch ids not contiguous: ${ids.toSeq}")
+    }
+    // each batch is wholly inside one shard
+    val mixed = packed.groupBy(col("g"), col("batch_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("pack_shard")).as("n_sh"))
+      .filter(col("n_sh") > 1).count()
+    assert(mixed == 0L, "a batch crossed shard boundaries")
+    // degenerate case: one shard reproduces the sequential baseline exactly
+    val base = Splits.packBatches(docs, "g", "id", "n_tok", budget = 100L)
+      .select(col("id"), col("batch_id"))
+    val one = Splits.packBatchesSharded(docs, "g", "id", "n_tok", budget = 100L, shards = 1)
+      .select(col("id"), col("batch_id"))
+    assert(base.except(one).isEmpty && one.except(base).isEmpty,
+      "shards=1 must reproduce packBatches bit-for-bit")
+  }
+
   test("negative sampling: a dense id block near 2^62 still emits its full k negatives") {
     import spark.implicits._
     import graft.operators.Splits

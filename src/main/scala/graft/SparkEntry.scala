@@ -971,9 +971,12 @@ object SparkEntry {
       def inv(f: DataFrame) = f.select(
         slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         col("value").as("size"))
-      val history = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 5 =!= 0)))
-      val delta = DiskUsageOp.aggregateFractional(inv(e.filter(col("event_id") % 5 === 0)))
-      DiskUsageOp.mergeSnapshots(history, delta).orderBy(col("address"))
+      // partials stay DECIMAL end-to-end; double only at the serving edge
+      val history = DiskUsageOp.aggregateFractionalDecimal(inv(e.filter(col("event_id") % 5 =!= 0)))
+      val delta = DiskUsageOp.aggregateFractionalDecimal(inv(e.filter(col("event_id") % 5 === 0)))
+      DiskUsageOp.mergeSnapshots(history, delta)
+        .withColumn("size_bytes", col("size_bytes").cast("double"))
+        .orderBy(col("address"))
     }),
     "du_snapshot_delta" -> ((s, dir) => {
       // operational drift report between two snapshots via FULL OUTER join
@@ -1873,12 +1876,21 @@ object SparkEntry {
         |  FROM ss)
         |SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    // dot and norm-of-mean are ORDERED sequential folds (list_reduce over
+    // index-ordered lists), mirroring the Spark side's left-to-right double
+    // fold bit-for-bit — an unordered SUM(f.v*m.m) can flip the 4th rounded
+    // decimal on boundary values (non-associative double addition)
     "ann_centroid_outlier" -> (embCte +
       """, m AS (
         |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
         |  FROM f GROUP BY 1),
-        |mn AS (SELECT sqrt(SUM(m*m)) AS mnrm FROM m),
-        |d AS (SELECT f.vec_id, SUM(f.v*m.m) AS dot FROM f JOIN m USING (i) GROUP BY 1)
+        |mn AS (
+        |  SELECT sqrt(list_reduce(list(m*m ORDER BY i), (a,b) -> a+b)) AS mnrm
+        |  FROM m),
+        |d AS (
+        |  SELECT f.vec_id,
+        |         list_reduce(list(f.v*m.m ORDER BY f.i), (a,b) -> a+b) AS dot
+        |  FROM f JOIN m USING (i) GROUP BY 1)
         |SELECT d.vec_id, ROUND(d.dot/(nrm.nrm*mn.mnrm),4)+0.0 AS centroid_cosine
         |FROM d JOIN nrm USING (vec_id) CROSS JOIN mn
         |ORDER BY vec_id""".stripMargin),

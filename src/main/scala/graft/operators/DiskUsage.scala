@@ -46,9 +46,14 @@ object DiskUsageOp {
 
   /** Same shape for a fractional size column (fixtures use double `value`);
     * sums go through DECIMAL(18,4) so results are exact and order-insensitive
-    * (double summation order varies across partitions/engines).
+    * (double summation order varies across partitions/engines). `size_bytes`
+    * stays DECIMAL(28,4) — this is the PARTIALS CARRIER for
+    * [[mergeSnapshots]]: keeping the exact type end-to-end is what makes
+    * merge == full-recompute hold at any magnitude (a double carrier rounds
+    * per-address totals beyond 2^53 scaled units, i.e. ~0.9 TB at scale 4 —
+    * exactly the regime a 100 TB inventory lives in).
     */
-  def aggregateFractional(
+  def aggregateFractionalDecimal(
       inventory: DataFrame,
       keyCol: String = "key",
       sizeCol: String = "size"): DataFrame =
@@ -57,8 +62,20 @@ object DiskUsageOp {
       .filter(col("key").contains("/"))
       .groupBy(substring_index(col("key"), "/", 1).as("address"))
       .agg(
-        sum(col("size").cast(DecimalType(18, 4))).cast("double").as("size_bytes"),
+        sum(col("size").cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("size_bytes"),
         count(lit(1)).as("number_files"))
+
+  /** [[aggregateFractionalDecimal]] with `size_bytes` cast to double — the
+    * SERVING-EDGE form (the reference serves float64, handler.go:24-28).
+    * Snapshots that will be re-merged incrementally should use the decimal
+    * form and cast at the edge instead.
+    */
+  def aggregateFractional(
+      inventory: DataFrame,
+      keyCol: String = "key",
+      sizeCol: String = "size"): DataFrame =
+    aggregateFractionalDecimal(inventory, keyCol, sizeCol)
+      .withColumn("size_bytes", col("size_bytes").cast("double"))
 
   /** Skew-hardened two-phase variant for hot address prefixes at 100 TB scale:
     * salt the group key, partially aggregate per (address, salt), then combine.
@@ -92,18 +109,24 @@ object DiskUsageOp {
     * every cycle (handler.go:77-92), which this extension makes optional.
     *
     * Inputs are (address, size_bytes, number_files) snapshots
-    * ([[aggregate]]/[[aggregateFractional]] output); sums re-run through
-    * DECIMAL(28,4) so the merged totals are exact and order-insensitive
-    * regardless of how many snapshots combine. Result is value-identical
-    * to aggregating the concatenated inventories (EngineSpec asserts it;
-    * the registry row's oracle IS the full recompute).
+    * ([[aggregate]]/[[aggregateFractionalDecimal]] output); sums re-run
+    * through DECIMAL and the output KEEPS the DECIMAL(28,4) carrier type,
+    * so merges are exact, order-insensitive, and chainable (today's merge
+    * output is tomorrow's history input) at any magnitude below 10^24
+    * scaled units. Cast to double only at the serving edge. Feeding
+    * snapshots that already passed through a double edge works but caps
+    * exactness at 2^53 scaled units — keep the carrier decimal end-to-end.
+    * Result is value-identical to aggregating the concatenated inventories
+    * (EngineSpec asserts it; the registry row's oracle IS the full
+    * recompute).
     */
   def mergeSnapshots(snapshots: DataFrame*): DataFrame = {
     require(snapshots.nonEmpty, "need at least one snapshot")
     snapshots.reduce(_ unionAll _)
       .groupBy(col("address"))
       .agg(
-        sum(col("size_bytes").cast(DecimalType(28, 4))).cast("double").as("size_bytes"),
+        sum(col("size_bytes").cast(DecimalType(28, 4)))
+          .cast(DecimalType(28, 4)).as("size_bytes"),
         sum(col("number_files")).as("number_files"))
   }
 }

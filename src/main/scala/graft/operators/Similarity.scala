@@ -226,7 +226,20 @@ object Similarity {
     * DataFrame round-trip of centroids it already holds.
     */
   private[graft] def assignCellsLocal(
-      vecs: DataFrame, cents: Seq[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+      vecs: DataFrame, cents: Seq[(Long, Array[Double], Double)], nprobe: Int): DataFrame =
+    assignCellsLocalTracked(vecs, cents, nprobe)._1
+
+  /** [[assignCellsLocal]] returning the centroid-matrix broadcast handle
+    * alongside the plan, so callers that MATERIALIZE the assignment within
+    * a bounded scope (the Lloyd's loop: one assignment per round, consumed
+    * by that round's means aggregation) can `unpersist` it eagerly instead
+    * of leaking one broadcast per round to ContextCleaner GC. Callers that
+    * return the lazy plan (serving, [[ivfTopK]]) must NOT unpersist — the
+    * broadcast has to outlive every execution of the returned plan.
+    */
+  private[graft] def assignCellsLocalTracked(
+      vecs: DataFrame, cents: Seq[(Long, Array[Double], Double)], nprobe: Int)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix]) = {
     require(cents.nonEmpty, "centroids must be non-empty")
     require(cents.map(_._1).distinct.size == cents.size,
       s"centroid ids must be distinct, got ${cents.map(_._1)}")
@@ -237,8 +250,9 @@ object Similarity {
         sorted.map(_._2).toArray,
         sorted.map(_._3).toArray,
         nprobe))
-    vecs.select(col("id"), col("v"), col("nrm"),
-      explode(graft.functions.NearestCentroidCells(col("v"), col("nrm"), bc)).as("cell"))
+    (vecs.select(col("id"), col("v"), col("nrm"),
+      explode(graft.functions.NearestCentroidCells(col("v"), col("nrm"), bc)).as("cell")),
+      bc)
   }
 
   /** (cid, cv, cnrm) DataFrame from driver-held centroid rows. */
@@ -306,9 +320,13 @@ object Similarity {
     (2 to iters).foreach { _ =>
       // row-local re-assignment (assignCellsLocal): each Lloyd's round is
       // one narrow map over the corpus — the round's only exchange is the
-      // (cell, dim) mean aggregation, which IS the algorithm
-      assigned = assignCellsLocal(p, withNorms(cents), nprobe = 1)
+      // (cell, dim) mean aggregation, which IS the algorithm. The round's
+      // centroid broadcast is released as soon as the means materialize,
+      // so long-lived sessions don't accumulate one blob per iteration.
+      val (reassigned, bc) = assignCellsLocalTracked(p, withNorms(cents), nprobe = 1)
+      assigned = reassigned
       cents = means(assigned)
+      bc.unpersist(blocking = false)
     }
     p.unpersist(blocking = false)
     centroidFrame(spark, cents)

@@ -142,6 +142,15 @@ object Temporal {
       leftIdCol: String,
       rightIdCol: String,
       payload: Seq[String] = Nil): DataFrame = {
+    // loud failures instead of ambiguous output columns: duplicate payload
+    // names would emit two asof_<c> columns, and a payload literally named
+    // rid/rt would collide with the reserved asof_rid/asof_rt outputs
+    require(payload.distinct == payload,
+      s"asofJoin: duplicate payload columns: ${payload.mkString(", ")}")
+    payload.filter(Set("rid", "rt")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"asofJoin: payload column '$c' collides with the reserved asof_$c output column")
+    }
     val pTypes = payload.map(c => c -> right.schema(c).dataType)
     val l = left.select(
       (col(keyCol) +: col(timeCol).as("t") +: col(leftIdCol).as("lid") +:

@@ -291,13 +291,28 @@ object TextAnalysis {
     * The delimited form makes the merge engine-portable: any SQL engine's
     * literal `replace` applies the same vocabulary identically, which is
     * how the DuckDB oracle replays the full training loop. Tokens must not
-    * contain the `⟨⟩` delimiters (guaranteed for whitespace-split text).
+    * contain the `⟨⟩` delimiters — text carrying them raises a plan-side
+    * error rather than silently corrupting segmentation.
     */
+  /** Corpus text containing a literal ⟨ or ⟩ would inject token boundaries
+    * mid-token and silently corrupt the delimited representation (breaking
+    * the lossless-segmentation property the tests pin) — fail loudly
+    * instead. One contains-check per row, evaluated inside the same narrow
+    * projection that builds the representation.
+    */
+  private def delimiterChecked(c: Column, who: String): Column =
+    when(c.contains("⟨") || c.contains("⟩"),
+      raise_error(concat(
+        lit(s"$who: text contains the reserved delimiter characters ⟨/⟩ (U+27E8/U+27E9): "), c)))
+      .otherwise(c)
+
   def bpeVocab(docs: DataFrame, textCol: String = "text", merges: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var repr = docs.select(
-      concat(lit("⟨"), array_join(split(lower(col(textCol)), " "), "⟩⟨"), lit("⟩")).as("r"))
+      concat(lit("⟨"),
+        array_join(split(lower(delimiterChecked(col(textCol), "bpeVocab")), " "), "⟩⟨"),
+        lit("⟩")).as("r"))
       .persist(lvl)
     repr.count()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -389,7 +404,8 @@ object TextAnalysis {
     require(merges.forall { case (l, r) =>
       !l.contains("⟨") && !l.contains("⟩") && !r.contains("⟨") && !r.contains("⟩") },
       "merge tokens must not contain the ⟨⟩ delimiters")
-    val r0 = concat(lit("⟨"), array_join(tokens(col(textCol)), "⟩⟨"), lit("⟩"))
+    val r0 = concat(lit("⟨"),
+      array_join(tokens(delimiterChecked(col(textCol), "bpeEncode")), "⟩⟨"), lit("⟩"))
     val rFinal = merges.foldLeft(r0) { case (acc, (l, r)) =>
       call_function("replace", acc, lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩"))
     }

@@ -72,18 +72,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
     // split the inventory three ways, aggregate each slice independently,
     // merge the partials — decomposable SUM/COUNT must reproduce the full
-    // aggregate exactly (the incremental-refresh contract)
+    // aggregate exactly (the incremental-refresh contract). Partials ride
+    // the DECIMAL carrier; double appears only at the serving edge.
     val parts = (0 until 3).map(k =>
-      DiskUsageOp.aggregateFractional(
+      DiskUsageOp.aggregateFractionalDecimal(
         inv.filter(pmod(xxhash64(col("key")), lit(3)) === k)))
-    val merged = DiskUsageOp.mergeSnapshots(parts: _*).orderBy("address").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
-    assert(merged == full)
+    def edge(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("size_bytes", col("size_bytes").cast("double"))
+        .orderBy("address").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(edge(DiskUsageOp.mergeSnapshots(parts: _*)) == full)
     // merging a single snapshot is the identity
-    val single = DiskUsageOp.mergeSnapshots(DiskUsageOp.aggregateFractional(inv))
-      .orderBy("address").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
-    assert(single == full)
+    assert(edge(DiskUsageOp.mergeSnapshots(
+      DiskUsageOp.aggregateFractionalDecimal(inv))) == full)
+    // chainability: merge(merge(p0,p1), p2) == merge(p0,p1,p2) — the shape a
+    // daily incremental refresh actually runs (yesterday's MERGED snapshot
+    // is today's history input), exact because the carrier never leaves
+    // DECIMAL
+    assert(edge(DiskUsageOp.mergeSnapshots(
+      DiskUsageOp.mergeSnapshots(parts(0), parts(1)), parts(2))) == full)
   }
 
   test("salted aggregate equals plain aggregate") {
@@ -1168,6 +1175,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((top.getString(0), top.getString(1), top.getLong(2)) ==
       ((vocab(1)._2, vocab(1)._3, vocab(1)._4)),
       s"round-2 merge ${vocab(1)} != encoded-stream argmax $top")
+  }
+
+  test("guards fail loudly: BPE delimiter text, asofJoin payload collisions") {
+    import spark.implicits._
+    // corpus text carrying a literal ⟨/⟩ would silently corrupt the
+    // delimited segmentation — the plan must raise instead
+    val bad = Seq((1L, "a ⟨evil⟩ b")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.bpeEncode(bad, Seq(("a", "b"))).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // raised, not corrupted
+    val ex2 = intercept[Exception] {
+      TextAnalysis.bpeVocab(bad, merges = 1).collect()
+    }
+    assert(ex2 != null)
+    // asofJoin: duplicate payload names and reserved-name collisions are
+    // rejected up front (ambiguous asof_* output columns otherwise)
+    val l = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, 5L, 200L, 1.0)).toDF("k", "ts", "rid2", "price").withColumn("rid", lit(7L))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(l, r, "k", "ts", "lid", "rid2", payload = Seq("rid", "rid"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(l, r, "k", "ts", "lid", "rid2", payload = Seq("rid"))
+    }
   }
 
   test("asofJoin and sessionizeCapped plan ONE data exchange (no join node)") {

@@ -1094,6 +1094,19 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 40), m)
         .orderBy(col("doc_id"), col("pos"))
     }),
+    "text_bpe_sampled" -> ((s, dir) => {
+      // the PRODUCTION tokenizer shape: train the merge table on a
+      // deterministic md5-bucket sample (25% of docs — the Splits
+      // discipline, so the oracle re-draws the identical sample), then
+      // encode with the row-local fold. Training cost scales with the
+      // sample; the encode side is 100 TB-safe as-is.
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocabSampled(docs, merges = 4, sampleFrac = 0.25)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 40), m)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
     "dedup_chunk_scrub" -> ((s, dir) =>
@@ -1131,8 +1144,18 @@ object SparkEntry {
           round(col("mean_g")).cast("long").as("mean_g_int"),
           round(col("mean_b")).cast("long").as("mean_b_int"))
         .orderBy(col("doc_id"))),
+    "mm_audio_features" -> ((s, dir) =>
+      // REAL audio decode, oracle-checked: synthesize a RIFF/WAVE PCM clip
+      // per doc id (rate, sample count, every 16-bit sample closed-form in
+      // the id; every 10th payload corrupt), parse the container and emit
+      // EXACT integer sample stats. DuckDB recomputes the closed forms —
+      // the WAV encode → RIFF parse → sample-sum path is value-verified;
+      // corrupt rows surface as sample_rate=-1 on both sides.
+      Multimodal.extractAudioFeatures(
+          Multimodal.synthesizeAudioPayloads(t(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("doc_id"))),
     "mm_features" -> ((s, dir) =>
-      // mapPartitions decode stage (stubbed codec, real plumbing). The raw
+      // mapPartitions byte-lane profile stage (real byte math). The raw
       // array<double> output is not oracle-hashable, so the verified shape
       // explodes each feature lane and de-scales it to the exact integer it
       // accumulates (lane value = Σ bytes/255.0 → ×255 → byte sum): every
@@ -2188,6 +2211,11 @@ object SparkEntry {
       graft.operators.TextAnalysis.bpeVocabSql(4),
     "text_bpe_encode" ->
       graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L),
+    "text_bpe_sampled" ->
+      // replays training restricted to the SAME md5-bucket sample, then
+      // encodes the same slice with the sampled merges
+      graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L,
+        trainWhere = graft.operators.TextAnalysis.bpeSampleWhereSql("doc_id", 0.25)),
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |tri AS (
@@ -2362,8 +2390,28 @@ object SparkEntry {
         |       CASE WHEN doc_id % 10 = 0 THEN 0 ELSE (doc_id * 59) % 256 END AS mean_g_int,
         |       CASE WHEN doc_id % 10 = 0 THEN 0 ELSE (doc_id * 83) % 256 END AS mean_b_int
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_features" ->
+      // closed-form expectations of the synthesized PCM clips: the Spark
+      // side must reproduce these through a real WAV write + RIFF parse
+      """WITH s AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 50 + 10)) AS i
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |a AS (
+        |  SELECT doc_id,
+        |         SUM(((doc_id * 31 + i * 17) % 65536) - 32768) AS sum_amp,
+        |         MAX(ABS(((doc_id * 31 + i * 17) % 65536) - 32768)) AS peak_amp
+        |  FROM s GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(CASE WHEN d.doc_id % 10 = 0 THEN -1
+        |            ELSE 8000 + (d.doc_id % 3) * 4000 END AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN d.doc_id % 10 = 0 THEN -1
+        |            ELSE d.doc_id % 50 + 10 END AS BIGINT) AS n_samples,
+        |       CAST(COALESCE(a.sum_amp, 0) AS BIGINT) AS sum_amp,
+        |       CAST(COALESCE(a.peak_amp, 0) AS BIGINT) AS peak_amp
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "mm_features" ->
-      // recomputes the stub decode's byte math: lane i accumulates
+      // recomputes the byte-lane profile's math: lane i accumulates
       // byte/255.0 over payload positions ≡ i (mod 8), so lane×255 rounds to
       // the exact per-lane byte sum; ord() == byte value on the (verified)
       // pure-ASCII corpus. Empty texts still own 8 zero lanes (LEFT JOIN).

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / frame-sample
   * stages shaped for a real pipeline.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic stub ([[stubDecode]]) —
-  * but everything around it is real and load-bearing at scale: the schema
-  * (binary payload + metadata struct), the partition-preserving
-  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas`: one
-  * iterator per partition so a heavyweight decoder is initialized once per
-  * partition, not per row), and the narrow, shuffle-free plan.
+  * Two REAL decoders run behind the seam — `javax.imageio` for images
+  * ([[extractImageFeatures]]) and a full RIFF/WAVE container parse for
+  * audio ([[extractAudioFeatures]]) — both value-verified end to end by
+  * closed-form synthesized fixtures the DuckDB oracle recomputes. The
+  * generic [[extractFeatures]] lane computes a byte-lane content profile
+  * ([[byteLaneProfile]]) — a real byte-level feature, also oracle-checked.
+  * Everything shares the load-bearing scale design: the schema (binary
+  * payload + metadata struct), the partition-preserving `mapPartitions`
+  * batch shape (the Scala analogue of `mapInPandas`: one iterator per
+  * partition so a heavyweight decoder is initialized once per partition,
+  * not per row), and the narrow, shuffle-free plan.
   */
 object Multimodal {
 
@@ -77,12 +81,15 @@ object Multimodal {
         length(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
           .cast("long").as("frame_bytes"))
 
-  /** STUB — stands in for a real image/audio decoder (??? in spirit): derives
-    * a deterministic pseudo-feature vector from payload bytes. Replace the
-    * body with e.g. a JNI codec call; the partitioning, batching and schema
-    * around it are the real design.
+  /** Byte-lane content profile: lane `i` accumulates `byte/255` over payload
+    * positions ≡ i (mod dim) — a deterministic, decoder-free content
+    * fingerprint (cheap modality-agnostic screening/clustering signal),
+    * oracle-checked byte-for-byte by `mm_features`. Media-specific decoding
+    * lives in [[extractImageFeatures]]/[[extractAudioFeatures]]; swapping a
+    * heavier codec in means replacing this kernel inside the same
+    * `mapPartitions` seam.
     */
-  def stubDecode(payload: Array[Byte], dim: Int): Array[Double] = {
+  def byteLaneProfile(payload: Array[Byte], dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
     var i = 0
     while (i < payload.length) {
@@ -92,11 +99,12 @@ object Multimodal {
     out
   }
 
-  /** Resize stage (STUB codec, real plumbing): downsample the payload by
-    * keeping every `factor`-th byte — the byte-level stand-in for an image
-    * resize. Narrow, codegen-friendly when expressed over the binary column;
-    * kept as a plain function so [[extractFeatures]]-style partition stages
-    * can fuse it with decode.
+  /** Byte-decimation resize: downsample the payload by keeping every
+    * `factor`-th byte — the byte-level form of an image/audio downsample
+    * (a pixel-aware resize would swap this kernel inside the same seam).
+    * Narrow, codegen-friendly when expressed over the binary column; kept
+    * as a plain function so [[extractFeatures]]-style partition stages can
+    * fuse it with decode.
     */
   def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
@@ -181,7 +189,7 @@ object Multimodal {
     * scan and any decoder state initialize once per partition, not per row.
     * Emits width/height and per-channel byte means (exact integer sums, one
     * final division — deterministic). This is the template for swapping any
-    * real codec behind the stubbed stages: same input contract ((doc_id,
+    * real codec behind any of the byte-level stages: same input contract ((doc_id,
     * payload)), same narrow shuffle-free plan, same failure accounting.
     */
   def extractImageFeatures(withPayload: DataFrame): DataFrame = {
@@ -219,6 +227,148 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded audio clip: format header fields + exact integer sample
+    * stats. `sample_rate = -1` marks a payload the parser rejected (same
+    * corrupt-accounting contract as [[ImageFeatures]] — rows are never
+    * dropped silently).
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      sum_amp: Long,
+      peak_amp: Long)
+
+  /** A synthesized audio payload row (the fixture generator's output). */
+  final case class AudioPayload(doc_id: Long, payload: Array[Byte])
+
+  /** Deterministic audio-fixture generator: one RIFF/WAVE (PCM 16-bit mono)
+    * clip per id with every header field and sample closed-form in the id —
+    * `rate = 8000 + (id%3)·4000`, `n = id%50 + 10`,
+    * `s_i = ((id·31 + i·17) mod 65536) − 32768` — and every `id % 10 == 0`
+    * row a deliberately CORRUPT payload. Same design as
+    * [[synthesizeImagePayloads]]: DuckDB cannot parse a WAV container, but
+    * it can recompute the closed forms, so the WAV encode → RIFF parse →
+    * sample-sum path is value-verified by the standard harness (registry
+    * row `mm_audio_features`), corrupt rows surfacing as `sample_rate = -1`
+    * on both sides.
+    */
+  def synthesizeAudioPayloads(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[AudioPayload]
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 0) AudioPayload(id, Array[Byte](0x13, 0x37, 0x00, 0x42))
+        else {
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val n = (id % 50 + 10).toInt
+          val dataSize = n * 2
+          val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          buf.putShort(1) // PCM
+          buf.putShort(1) // mono
+          buf.putInt(rate)
+          buf.putInt(rate * 2) // byte rate
+          buf.putShort(2) // block align
+          buf.putShort(16) // bits per sample
+          buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var i = 0
+          while (i < n) {
+            buf.putShort((((id * 31 + i * 17) % 65536) - 32768).toShort)
+            i += 1
+          }
+          AudioPayload(id, buf.array())
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** REAL audio decode — a full RIFF/WAVE container parse (chunk walk, PCM
+    * format validation, 16-bit LE sample extraction), dependency-free and
+    * row-local — behind the same `mapPartitions` seam as
+    * [[extractImageFeatures]]. Emits the header's sample rate, the data
+    * chunk's sample count, and EXACT integer sample stats (sum + peak
+    * absolute amplitude), so both engines compare whole longs — no float
+    * tolerance anywhere. Any structural violation (bad magic, truncated
+    * chunk, non-PCM format, missing data chunk) lands the row in the
+    * corrupt-accounting lane (`sample_rate = -1`) instead of throwing: at
+    * 100 TB a single bad object must never kill the stage.
+    */
+  def extractAudioFeatures(withPayload: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          decodeWav(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, samples)) =>
+              var sum = 0L
+              var peak = 0L
+              var i = 0
+              while (i < samples.length) {
+                sum += samples(i)
+                val a = math.abs(samples(i).toLong)
+                if (a > peak) peak = a
+                i += 1
+              }
+              AudioFeatures(id, rate.toLong, samples.length.toLong, sum, peak)
+            case None => AudioFeatures(id, -1L, -1L, 0L, 0L)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** RIFF/WAVE parser: returns (sampleRate, samples) for PCM 16-bit mono
+    * clips, None for anything structurally invalid. Walks the chunk list
+    * rather than assuming the canonical 44-byte layout, so writers that
+    * emit extra chunks (LIST/INFO metadata) still decode.
+    */
+  private[operators] def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    def u16(off: Int): Int = (bytes(off) & 0xff) | (bytes(off + 1) & 0xff) << 8
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(off)
+      val size = u32(off + 4)
+      val body = off + 8
+      if (body + size > bytes.length) return None // truncated chunk
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = u16(body)
+        val channels = u16(body + 2)
+        val bits = u16(body + 14)
+        rate = u32(body + 4).toInt
+        fmtOk = audioFormat == 1 && channels == 1 && bits == 16
+      } else if (id == "data") {
+        if (size % 2 != 0) return None
+        val n = (size / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(body + 2 * i) & 0xff) |
+            (bytes(body + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        data = out
+      }
+      off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (fmtOk && rate > 0 && data != null) Some((rate, data)) else None
+  }
+
   /** Decode + feature-extract via `mapPartitions`: per-partition iterator so a
     * real decoder's init cost amortizes across the partition (the reason this
     * is `mapPartitions`, not `map`/UDF). Input must carry (doc_id, payload).
@@ -236,7 +386,7 @@ object Multimodal {
             doc_id = id,
             byte_len = payload.length.toLong,
             n_frames = math.max(1L, (payload.length + frameBytes - 1L) / frameBytes),
-            features = stubDecode(payload, dim))
+            features = byteLaneProfile(payload, dim))
         }
       }(enc)
       .toDF()

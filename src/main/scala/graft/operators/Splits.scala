@@ -53,7 +53,7 @@ object Splits {
   def assign(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits))
 
-  private def fractionThreshold(f: Double): String = {
+  private[operators] def fractionThreshold(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
     val bucket = (f * 256).toInt
     if (bucket >= 256) "zz" else f"$bucket%02x"

@@ -346,6 +346,34 @@ object TextAnalysis {
     learned.toSeq.toDF("merge_round", "lhs", "rhs", "n_occurrences")
   }
 
+  /** Sample-trained BPE — the production form of [[bpeVocab]] for real
+    * tokenizer merge counts. A 32k-merge tokenizer cannot run 32k
+    * full-corpus Spark jobs over 100 TB, and does not have to: merge
+    * statistics are frequency-dominated (Zipf), so the standard scale path
+    * trains on a corpus sample and applies the artifact everywhere with the
+    * row-local [[bpeEncode]]. The sample here is the engine-portable
+    * [[Splits]] md5-bucket discipline (2-hex threshold on the id, 1/256
+    * granularity): a pure function of the id, stable across runs, engines
+    * and partitionings — which is exactly what lets a SQL oracle re-draw
+    * the IDENTICAL sample and replay training on it. `sampleFrac = 1`
+    * keeps every row and reproduces [[bpeVocab]] bit-for-bit (EngineSpec
+    * pins it).
+    */
+  def bpeVocabSampled(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      merges: Int = 4, sampleFrac: Double = 0.25): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0,1], got $sampleFrac")
+    bpeVocab(
+      docs.filter(substring(md5(col(idCol).cast("string")), 1, 2)
+        < Splits.fractionThreshold(sampleFrac)),
+      textCol, merges)
+  }
+
+  /** The sampled-training predicate as SQL text, for oracle mirroring. */
+  def bpeSampleWhereSql(idExpr: String, sampleFrac: Double): String =
+    s"WHERE substring(md5(CAST($idExpr AS VARCHAR)),1,2) < '${Splits.fractionThreshold(sampleFrac)}'"
+
   /** The same `merges`-round training loop as SQL text (oracle mirroring):
     * unrolled CTE chain — each round derives the argmax pair of the
     * previous round's representation and applies it with the identical
@@ -428,10 +456,14 @@ object TextAnalysis {
     * stream of docs with `doc_id < maxDocId` and alphabetical dense-rank
     * token ids.
     */
-  def bpeEncodeSql(merges: Int, maxDocId: Long): String = {
+  def bpeEncodeSql(merges: Int, maxDocId: Long, trainWhere: String = ""): String = {
+    // trainWhere restricts PAIR COUNTING (the t_k/p_k CTEs) to the training
+    // sample; merge APPLICATION (r_k) still rewrites every doc so the final
+    // state encodes the full slice — train-on-sample, apply-everywhere
     val rounds = (1 to merges).map { k =>
       s"""t$k AS (
-         |  SELECT string_split(substr(r, 2, length(r) - 2), '⟩⟨') AS t FROM r${k - 1}),
+         |  SELECT string_split(substr(r, 2, length(r) - 2), '⟩⟨') AS t
+         |  FROM r${k - 1} $trainWhere),
          |p$k AS (
          |  SELECT t[i] AS lhs, t[i+1] AS rhs, COUNT(*) AS n
          |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t$k WHERE len(t) >= 2)

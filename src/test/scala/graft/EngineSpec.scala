@@ -829,7 +829,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(ap - ex).toDouble / ex < 0.05, s"approx=$ap exact=$ex")
   }
 
-  test("multimodal extractFeatures: schema, determinism, stub decode shape") {
+  test("multimodal extractFeatures: schema, determinism, byte-lane profile shape") {
     val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs), dim = 8)
     assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "n_frames", "features"))
     val rows = feats.orderBy("doc_id").limit(3).collect()
@@ -862,6 +862,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0) == ((1L, 4, 2, 10.0, 20.0, 30.0)), s"solid: ${got(0)}")
     assert(got(1) == ((2L, 4, 2, 60.0, 50.0, 50.0)), s"gradient: ${got(1)}")
     assert(got(2)._2 == -1, s"corrupt payload must be accounted, got ${got(2)}")
+  }
+
+  test("multimodal real audio decoder: RIFF/WAVE parse behind the mapPartitions seam") {
+    import spark.implicits._
+    // hand-built WAV with known samples → exact stats; a chunk-walk case
+    // (extra LIST chunk before data); and structural rejects (bad magic,
+    // truncated data chunk, stereo format) → accounting rows
+    def wav(rate: Int, samples: Seq[Short], extraChunk: Boolean = false,
+        channels: Short = 1, truncate: Int = 0): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val extra = if (extraChunk) 12 else 0
+      val buf = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataSize)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1).putShort(channels).putInt(rate).putInt(rate * 2)
+      buf.putShort(2).putShort(16)
+      if (extraChunk) buf.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(buf.putShort)
+      val all = buf.array()
+      if (truncate > 0) all.dropRight(truncate) else all
+    }
+    val clean = wav(8000, Seq[Short](100, -200, 300))
+    val chunky = wav(16000, Seq[Short](-32768, 32767), extraChunk = true)
+    val df = Seq(
+      (1L, clean),
+      (2L, chunky),
+      (3L, Array[Byte](1, 2, 3, 4)),                       // bad magic
+      (4L, wav(8000, Seq[Short](1, 2, 3), truncate = 2)),  // truncated data
+      (5L, wav(8000, Seq[Short](1, 2), channels = 2))      // non-mono
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.extractAudioFeatures(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, 8000L, 3L, 200L, 300L)), s"clean: ${got(0)}")
+    assert(got(1) == ((2L, 16000L, 2L, -1L, 32768L)), s"chunk-walk: ${got(1)}")
+    assert(got(2)._2 == -1L && got(3)._2 == -1L && got(4)._2 == -1L,
+      s"structural rejects must be accounted: ${got.toSeq}")
   }
 
   test("multimodal resize stage: 4x downsample preserves ids, shrinks payloads") {
@@ -1175,6 +1214,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((top.getString(0), top.getString(1), top.getLong(2)) ==
       ((vocab(1)._2, vocab(1)._3, vocab(1)._4)),
       s"round-2 merge ${vocab(1)} != encoded-stream argmax $top")
+  }
+
+  test("sampled BPE: sampleFrac=1 reproduces full training; fraction trains on the md5 sample") {
+    import spark.implicits._
+    val corpus = (0L until 60L)
+      .map(i => (i, s"tok${i % 5} tok${(i + 1) % 5} tok${i % 3} tok${(i + 2) % 7}"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // degenerate sample keeps every row → bit-identical to full training
+    assert(rows(TextAnalysis.bpeVocabSampled(corpus, merges = 3, sampleFrac = 1.0)) ==
+      rows(TextAnalysis.bpeVocab(corpus, merges = 3)))
+    // a real fraction trains on EXACTLY the md5-bucket sample: manually
+    // filtering with the same Splits threshold must reproduce it
+    val manual = corpus.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 2) < lit("80"))
+    assert(rows(TextAnalysis.bpeVocabSampled(corpus, merges = 3, sampleFrac = 0.5)) ==
+      rows(TextAnalysis.bpeVocab(manual, merges = 3)))
   }
 
   test("guards fail loudly: BPE delimiter text, asofJoin payload collisions") {

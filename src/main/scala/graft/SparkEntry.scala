@@ -798,6 +798,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ with refine: coarse cells bound what a query scans,
+      // product-quantized residual codes bound what each scanned candidate
+      // costs (m codeword ids + ADC table lookups — no per-candidate vector
+      // math), and exact L2 re-ranks only the ADC shortlist. All training
+      // (coarse Lloyd's + per-subspace codebook Lloyd's) is deterministic
+      // and replayed by the oracle as CTEs; corpus side stays narrow.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_centroid_outlier" -> ((s, dir) =>
       // embedding-sanity screen: rounded cosine of every vector to the
       // corpus's decimal-exact mean vector (one distributed aggregation +
@@ -1899,6 +1910,10 @@ object SparkEntry {
         |  FROM ss)
         |SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_ivfpq_topk" -> (embCte +
+      Similarity.ivfPqOracleSql(
+        k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
+        pqIters = 3, nprobe = 2, rerank = 50, maxQueryId = 10L)),
     // dot and norm-of-mean are ORDERED sequential folds (list_reduce over
     // index-ordered lists), mirroring the Spark side's left-to-right double
     // fold bit-for-bit — an unordered SUM(f.v*m.m) can flip the 4th rounded

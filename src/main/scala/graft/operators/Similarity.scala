@@ -482,6 +482,317 @@ object Similarity {
           .as("centroid_cosine"))
   }
 
+  /** IVF-PQ — the MEMORY leg of the 100 TB ANN story. [[ivfTopK]] bounds
+    * how much of the corpus a query scans (nprobe/k cells); product
+    * quantization bounds how many BYTES each scanned vector costs: every
+    * corpus vector is stored as `m` small codeword ids (here m codes into
+    * `ksub`-entry codebooks — 4 bytes/vector at the defaults vs 256 bytes
+    * of raw doubles), and queries rank candidates with asymmetric distance
+    * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): per probed cell the query builds an m×ksub
+    * lookup table of exact subvector distances ONCE, then each candidate
+    * costs m table lookups — no vector arithmetic per candidate.
+    *
+    * Residual quantization: codes quantize `v − centroid(cell(v))`, not the
+    * raw vector — residuals concentrate near 0 so the same codebook budget
+    * buys more precision (the IVF-PQ pairing from the paper).
+    *
+    * A PQ shortlist is approximate by construction (quantization error is
+    * in the SCORE, not just the candidate set), so the operator finishes
+    * with the production refine stage: ADC keeps the cheap top-`rerank`
+    * shortlist per query, then EXACT L2 on raw vectors ranks the final
+    * top-k — only `rerank` full vectors per query are ever touched, which
+    * is the whole point of carrying codes instead of vectors through the
+    * scan.
+    *
+    * Every training decision is deterministic and engine-replayable, the
+    * [[trainCentroids]] discipline throughout: coarse cells = Lloyd's
+    * rounds from md5-bucket init (decimal-exact means, rounded-cosine
+    * re-assignment); codebooks = per-subspace Lloyd's over residuals
+    * (md5-bucket init, decimal-exact means, rounded-L2 re-assignment with
+    * codeword-id tie-break, emptied codewords keep their previous value);
+    * encode = argmin of squared L2 built as the same left-assoc double
+    * fold in both engines; ADC sums tables in subspace order; refine is an
+    * ordered exact fold. The oracle replays all of it as CTEs
+    * ([[ivfPqOracleSql]]).
+    *
+    * Plan shape: corpus assignment + residual + encode are one narrow
+    * projection (centroids and codebooks ride in as literals — tiny by
+    * contract); the ADC tables live on the (queries × nprobe)-row side and
+    * broadcast into the candidate join, so the corpus side never
+    * exchanges before the per-query rank windows; the refine join
+    * broadcasts the (queries × rerank)-row shortlist back onto the raw
+    * vectors (EngineSpec pins the corpus side exchange-free). Codebook
+    * TRAINING runs `pqIters` aggregation jobs over the corpus — at real
+    * scale train on an md5 sample (the [[TextAnalysis.bpeVocabSampled]]
+    * discipline) and encode everything.
+    */
+  def ivfPqTopK(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      kCoarse: Int = 4, coarseIters: Int = 2,
+      m: Int = 8, ksub: Int = 8, pqIters: Int = 3,
+      nprobe: Int = 2, rerank: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kCoarse >= 1 && m >= 1 && ksub >= 2 && nprobe >= 1 &&
+      pqIters >= 1 && coarseIters >= 1 && rerank >= k,
+      s"bad IVF-PQ parameters: k=$k kCoarse=$kCoarse m=$m ksub=$ksub " +
+        s"pqIters=$pqIters nprobe=$nprobe rerank=$rerank")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = p.select(size(col("v"))).first().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+
+    val cents = collectCentroids(
+      trainCentroids(emb, kCoarse, iters = coarseIters, idCol, embCol))
+    val sorted = cents.sortBy(_._1)
+    val cellIdx = sorted.map(_._1).zipWithIndex.tail
+      .foldLeft(when(col("cell") === sorted.head._1, lit(0))) {
+        case (acc, (cid, idx)) => acc.when(col("cell") === cid, lit(idx))
+      }
+    val centMatrix = typedlit(sorted.map(_._2.toSeq))
+    def residCol: Column =
+      zip_with(col("v"), element_at(centMatrix, cellIdx + 1), (x, c) => x - c)
+
+    val assigned = assignCellsLocal(p, cents, nprobe = 1)
+
+    // residual elements, one row per (vector, subspace, within-subspace
+    // dim) — the codebook training representation. Centroid elements are
+    // kCoarse×dims rows, broadcast.
+    val centElems = sorted.flatMap { case (cid, cv, _) =>
+      cv.zipWithIndex.map { case (cm, i) => (cid, i, cm) }
+    }.toDF("cell", "i", "cm")
+    import org.apache.spark.sql.types.DecimalType
+    val resid = assigned
+      .select(col("id"), col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .join(broadcast(centElems), Seq("cell", "i"))
+      .select(col("id"),
+        expr(s"i div $dsub").cast("int").as("s"),
+        expr(s"i % $dsub").cast("int").as("j"),
+        (col("x") - col("cm")).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def decMean(df: DataFrame): Map[(Int, Int, Int), Double] = df
+      .groupBy(col("s"), col("cw"), col("j"))
+      .agg((sum(col("rv").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("cm"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    // round 1: md5-bucket init → decimal-exact means
+    var cbMap = decMean(resid.withColumn("cw",
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % ksub).cast("int")))
+    require((0 until m).forall(s => (0 until ksub).forall(cw =>
+      (0 until dsub).forall(j => cbMap.contains((s, cw, j))))),
+      "every (subspace, codeword) init bucket must be populated — corpus too small for ksub")
+    // Lloyd's rounds over residual subvectors: re-assign to the nearest
+    // codeword (rounded squared L2, codeword-id tie-break), re-average.
+    // The per-round codebook is collected (m·ksub·dsub values — tiny) and
+    // re-broadcast, which also cuts the iterative lineage.
+    (2 to pqIters).foreach { _ =>
+      val cbDF = cbMap.toSeq.map { case ((s, cw, j), v) => (s, cw, j, v) }
+        .toDF("s", "cw", "j", "cm")
+      val newAsn = resid.join(broadcast(cbDF), Seq("s", "j"))
+        .groupBy(col("id"), col("s"), col("cw"))
+        .agg(round(sum((col("rv") - col("cm")) * (col("rv") - col("cm"))), 6).as("d"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id"), col("s")).orderBy(col("d"), col("cw"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("s"), col("cw"))
+      val newMeans = decMean(resid.join(newAsn, Seq("id", "s")))
+      // a codeword that lost every member keeps its previous value — the
+      // deterministic rule a SQL oracle reproduces (vs a random re-seed)
+      cbMap = cbMap.map { case (key, prev) => key -> newMeans.getOrElse(key, prev) }
+    }
+    resid.unpersist(blocking = false)
+    def cb(s: Int, cw: Int, j: Int): Double = cbMap((s, cw, j))
+
+    // squared-L2 distance of a residual subvector to a codeword, built as
+    // the left-assoc fold both engines replay term-for-term
+    def sqDist(rv: Column, s: Int, cw: Int): Column =
+      (0 until dsub).map { j =>
+        val t = rv(s * dsub + j) - lit(cb(s, cw, j))
+        t * t
+      }.reduceLeft(_ + _)
+
+    // corpus side: narrow assignment + residual + PQ encode (code_s per
+    // subspace: nearest codeword, id tie-break via lexicographic struct min)
+    val encoded = (0 until m).foldLeft(
+      assigned.withColumn("rv", residCol)) { (df, s) =>
+        df.withColumn(s"code_$s",
+          least((0 until ksub).map(cw =>
+            struct(sqDist(col("rv"), s, cw).as("d"), lit(cw).as("c"))): _*)
+            .getField("c"))
+      }
+      .select(col("id") +: col("cell") +: (0 until m).map(s => col(s"code_$s")): _*)
+
+    // query side: nprobe probed cells, one ADC lookup table per (query,
+    // cell, subspace) — queries × nprobe rows, broadcast into the join
+    val qp = prepared(queries, idCol, embCol)
+    val qtab = (0 until m).foldLeft(
+      assignCellsLocal(qp, cents, nprobe).withColumn("rv", residCol)) { (df, s) =>
+        df.withColumn(s"tab_$s",
+          array((0 until ksub).map(cw => sqDist(col("rv"), s, cw)): _*))
+      }
+      .select(col("id").as("query_id") +: col("cell") +:
+        (0 until m).map(s => col(s"tab_$s")): _*)
+
+    val adc = (0 until m).map(s =>
+      element_at(col(s"tab_$s"), col(s"code_$s") + 1)).reduceLeft(_ + _)
+    val shortlist = encoded
+      .join(broadcast(qtab), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (round(adc, 6) + lit(0.0)).as("adc_dist"))
+      .withColumn("rn_adc",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rn_adc") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // refine: exact L2 on the raw vectors of the shortlist only — the
+    // shortlist (queries × rerank rows) broadcasts onto the corpus scan
+    val exact = p.select(col("id").as("neighbor_id"), col("v").as("nv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qp.select(col("id").as("query_id"), col("v").as("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (round(
+          aggregate(zip_with(col("qv"), col("nv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t), 6) + lit(0.0)).as("l2_dist"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("l2_dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+    p.unpersist(blocking = false)
+    exact
+  }
+
+  /** The full IVF-PQ pipeline as oracle SQL: coarse training + assignment
+    * (the [[kmeansOracleCtes]] skeleton), residuals, `pqIters` codebook
+    * Lloyd's rounds (keep-previous on emptied codewords), encode argmin,
+    * ADC tables, the shortlist rank, and the exact-L2 refine — scoring
+    * folds ordered (list_reduce) to match the Spark side bit-for-bit,
+    * training distances rounded to 6 like the Spark side. Expects the
+    * standard `f`/`nrm` embedding CTEs upstream.
+    */
+  def ivfPqOracleSql(
+      k: Int, kCoarse: Int, coarseIters: Int, m: Int, ksub: Int, dsub: Int,
+      pqIters: Int, nprobe: Int, rerank: Int, maxQueryId: Long): String = {
+    val cl = s"c$coarseIters"
+    val cnl = s"cn$coarseIters"
+    val pqRounds = (2 to pqIters).map { r =>
+      s""",
+         |pd${r - 1} AS (
+         |  SELECT resid.vec_id, resid.s, cb${r - 1}.cw,
+         |         ROUND(SUM((resid.rv-cb${r - 1}.m)*(resid.rv-cb${r - 1}.m)),6) AS d
+         |  FROM resid JOIN cb${r - 1} ON cb${r - 1}.s=resid.s AND cb${r - 1}.j=resid.j
+         |  GROUP BY 1,2,3),
+         |pa${r - 1} AS (
+         |  SELECT vec_id, s, cw FROM (
+         |    SELECT vec_id, s, cw,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw) AS rn
+         |    FROM pd${r - 1})
+         |  WHERE rn = 1),
+         |nm$r AS (
+         |  SELECT resid.s, pa${r - 1}.cw, resid.j,
+         |         CAST(SUM(CAST(resid.rv AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+         |  FROM resid JOIN pa${r - 1} ON pa${r - 1}.vec_id=resid.vec_id AND pa${r - 1}.s=resid.s
+         |  GROUP BY 1,2,3),
+         |cb$r AS (
+         |  SELECT cb${r - 1}.s, cb${r - 1}.cw, cb${r - 1}.j,
+         |         COALESCE(nm$r.m, cb${r - 1}.m) AS m
+         |  FROM cb${r - 1} LEFT JOIN nm$r
+         |    ON nm$r.s=cb${r - 1}.s AND nm$r.cw=cb${r - 1}.cw AND nm$r.j=cb${r - 1}.j)""".stripMargin
+    }.mkString
+    val cbl = s"cb$pqIters"
+    kmeansOracleCtes(kCoarse, iters = coarseIters) +
+      s""",
+        |dfin AS (
+        |  SELECT f.vec_id, $cl.cell, SUM(f.v*$cl.m) AS dot
+        |  FROM f JOIN $cl ON f.i=$cl.i GROUP BY 1,2),
+        |rfin AS (
+        |  SELECT dfin.vec_id, dfin.cell,
+        |         row_number() OVER (PARTITION BY dfin.vec_id
+        |           ORDER BY ROUND(dfin.dot/(nrm.nrm*$cnl.cnrm),4) DESC, dfin.cell) AS rn
+        |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
+        |            JOIN $cnl ON $cnl.cell=dfin.cell),
+        |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+        |qcell AS (SELECT vec_id, cell FROM rfin WHERE rn <= $nprobe AND vec_id < $maxQueryId),
+        |resid AS (
+        |  SELECT f.vec_id, (f.i-1) // $dsub AS s, (f.i-1) % $dsub AS j,
+        |         f.v - $cl.m AS rv
+        |  FROM f JOIN ncell USING (vec_id)
+        |         JOIN $cl ON $cl.cell=ncell.cell AND $cl.i=f.i),
+        |pw0 AS (
+        |  SELECT vec_id,
+        |         CAST(('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % $ksub AS cw
+        |  FROM embeddings),
+        |cb1 AS (
+        |  SELECT resid.s, pw0.cw, resid.j,
+        |         CAST(SUM(CAST(resid.rv AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+        |  FROM resid JOIN pw0 USING (vec_id) GROUP BY 1,2,3)""".stripMargin +
+      pqRounds +
+      s""",
+        |ed AS (
+        |  SELECT resid.vec_id, resid.s, $cbl.cw,
+        |         list_reduce(list((resid.rv-$cbl.m)*(resid.rv-$cbl.m) ORDER BY resid.j),
+        |                     (a,b) -> a+b) AS d
+        |  FROM resid JOIN $cbl ON $cbl.s=resid.s AND $cbl.j=resid.j
+        |  GROUP BY 1,2,3),
+        |code AS (
+        |  SELECT vec_id, s, cw FROM (
+        |    SELECT vec_id, s, cw,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw) AS rn
+        |    FROM ed)
+        |  WHERE rn = 1),
+        |qresid AS (
+        |  SELECT f.vec_id, qcell.cell, (f.i-1) // $dsub AS s, (f.i-1) % $dsub AS j,
+        |         f.v - $cl.m AS rv
+        |  FROM f JOIN qcell USING (vec_id)
+        |         JOIN $cl ON $cl.cell=qcell.cell AND $cl.i=f.i),
+        |qd AS (
+        |  SELECT qresid.vec_id AS query_id, qresid.cell, qresid.s, $cbl.cw,
+        |         list_reduce(list((qresid.rv-$cbl.m)*(qresid.rv-$cbl.m) ORDER BY qresid.j),
+        |                     (a,b) -> a+b) AS d
+        |  FROM qresid JOIN $cbl ON $cbl.s=qresid.s AND $cbl.j=qresid.j
+        |  GROUP BY 1,2,3,4),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.cell
+        |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
+        |adc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS dist
+        |  FROM cand c
+        |  JOIN code ON code.vec_id=c.neighbor_id
+        |  JOIN qd ON qd.query_id=c.query_id AND qd.cell=c.cell
+        |         AND qd.s=code.s AND qd.cw=code.cw
+        |  GROUP BY 1,2),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY ROUND(dist,6)+0.0, neighbor_id) AS rn
+        |    FROM adc)
+        |  WHERE rn <= $rerank),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         list_reduce(list((a.v-b.v)*(a.v-b.v) ORDER BY a.i), (x,y) -> x+y) AS dist
+        |  FROM short s
+        |  JOIN f a ON a.vec_id=s.query_id
+        |  JOIN f b ON b.vec_id=s.neighbor_id AND b.i=a.i
+        |  GROUP BY 1,2),
+        |fin AS (
+        |  SELECT query_id, neighbor_id, ROUND(dist,6)+0.0 AS l2_dist,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY ROUND(dist,6)+0.0, neighbor_id) AS BIGINT) AS rnk
+        |  FROM ex)
+        |SELECT query_id, neighbor_id, l2_dist, rnk FROM fin
+        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
     * use [[nearDupPairsBanded]]/[[nearDupPairsBucketed]] or
     * [[Dedup.minhashLshPairs]]-style banding over sign bits.

@@ -643,6 +643,47 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (final rank):\n$ivfPlan")
   }
 
+  test("IVF-PQ: high recall on clustered vectors, corpus side exchange-free") {
+    import spark.implicits._
+    // deterministic clustered fixture — the regime IVF-PQ exists for
+    // (coarse cells learn the clusters, residuals are small): 4 clusters
+    // × 100 vectors × 64 dims, closed-form centers and perturbations
+    val dims = 64
+    val vecs = (0L until 400L).map { i =>
+      val c = (i % 4).toInt
+      (i, (0 until dims).map { d =>
+        (((c * 37 + d * 11) % 17 - 8) / 4.0 + ((i * 13 + d * 7) % 9 - 4) / 100.0).toFloat
+      }.toArray)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.ivfPqTopK(emb, queries, k = 3,
+      kCoarse = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
+      nprobe = 1, rerank = 20)
+    // recall vs exact L2 top-3 (driver-side ground truth)
+    val V = vecs.map { case (_, a) => a.map(_.toDouble) }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, j) => acc + (a(j) - b(j)) * (a(j) - b(j)))
+    val truth = (0 until 8).map { q =>
+      q.toLong -> (0 until 400).filter(_ != q)
+        .sortBy(n => (l2(V(q), V(n)), n.toLong)).take(3).map(_.toLong).toSet
+    }.toMap
+    val picked = got.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recall = truth.map { case (q, t) =>
+      (t & picked.getOrElse(q, Set.empty)).size.toDouble / 3 }.sum / truth.size
+    assert(recall >= 0.8, s"IVF-PQ recall on clustered vectors too low: $recall")
+    // scale contract: the corpus side (assign + residual + encode + ADC
+    // join + refine scan) is exchange-free — every hash exchange in the
+    // plan partitions on query_id, i.e. lives on the (tiny) per-query
+    // candidate/shortlist side, never on corpus rows
+    val plan = got.queryExecution.executedPlan.toString
+    val exKeys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exKeys.nonEmpty && exKeys.forall(_.startsWith("query_id")),
+      s"exchange on a non-query-side key (corpus shuffle!): $exKeys\n$plan")
+  }
+
   test("banded near-dup pairs: superset of single-bucket, subset of brute force") {
     val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
       .select(col("id").as("plane_id"), col("v").as("pv"))

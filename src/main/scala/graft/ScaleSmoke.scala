@@ -237,21 +237,53 @@ object ScaleSmoke {
     timed("ivf train k=64 iters=2 (20k)") {
       graft.operators.Similarity.trainCentroids(emb, k = 64, iters = 2).count()
     }
-    // sequence packing, ONE stratum × 2M docs — the adversarial shape for
+    // sequence packing, ONE stratum × 30M docs — the adversarial shape for
     // the per-stratum window (a single task sorts and cumsums everything;
     // at 100 TB that task is "all of English"). The sharded form runs 32
     // parallel (stratum, shard) windows plus a 32-row offset aggregate —
-    // same per-batch budget contract, wall time bounded by a shard.
-    val packDocs = spark.range(0, 2000000L)
+    // same per-batch budget contract, wall time bounded by a shard. (At
+    // ~2M rows the single-task sort is ~1 s and the sharded form's extra
+    // aggregate only shows overhead — the win needs the sort to dominate,
+    // which is precisely the 100 TB regime this row stands in for.)
+    val packDocs = spark.range(0, 30000000L)
       .select(col("id"), lit("en").as("lang"), (lit(10L) + col("id") % 50L).as("n_tok"))
-    timed("pack 2M docs, 1 stratum, window") {
+    timed("pack 30M docs, 1 stratum, window") {
       graft.operators.Splits.packBatches(packDocs, "lang", "id", "n_tok", budget = 2048L)
         .groupBy(col("batch_id")).count().count()
     }
-    timed("pack 2M docs, 32 shards") {
+    timed("pack 30M docs, 32 shards") {
       graft.operators.Splits
         .packBatchesSharded(packDocs, "lang", "id", "n_tok", budget = 2048L, shards = 32)
         .groupBy(col("batch_id")).count().count()
+    }
+    // interval-join flash crowd: 1M cold events spread 20/bin over 50k
+    // bins, plus ONE bin holding 20k events at a single microsecond (the
+    // duplicate-timestamp burst shape — equal-ts pairs are excluded by the
+    // operator, so OUTPUT stays bounded while the join INPUT is violently
+    // skewed: that bin's hash partition carries ~6% of the whole stream
+    // and ~7×10⁹ probe×build pairs). The binned rewrite is a plain
+    // shuffle equi-join, which is exactly what lets AQE's skew-join split
+    // chop the hot partition's probe side across tasks — the A/B below is
+    // the evidence for the range-join doc comment's claim. Thresholds are
+    // lowered because the smoke's hot partition is megabytes, not the
+    // 256 MB production default.
+    val w = 1000000L
+    val coldEv = spark.range(0, 1000000L).select(
+      ((col("id") % 50000L) * w + (col("id") * 37L) % w).as("ts_us"),
+      col("id").as("eid"))
+    val hotEv = spark.range(0, 60000L).select(
+      lit(60000L * w + 123L).as("ts_us"), (col("id") + 10000000L).as("eid"))
+    val skewed = coldEv.unionAll(hotEv)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    timed("interval join hot bin, skew split OFF") {
+      graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid")).count()
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    timed("interval join hot bin, skew split ON") {
+      graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid")).count()
     }
     spark.stop()
   }

@@ -854,6 +854,18 @@ object SparkEntry {
       Dedup.components(
           Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6))
         .orderBy(col("doc_id"))),
+    "dedup_components_incremental" -> ((s, dir) => {
+      // the daily-refresh shape: yesterday's labels are a components()
+      // fixpoint of the base edge set; today's delta pairs merge in via a
+      // delta-sized label-graph closure + one broadcast-mapped scan —
+      // never relabeling the full graph. Value contract: identical to the
+      // full recompute, which IS the oracle (same SQL as dedup_components).
+      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
+      val base = pairs.filter((col("doc_a") + col("doc_b")) % 3 =!= 0)
+      val delta = pairs.filter((col("doc_a") + col("doc_b")) % 3 === 0)
+      Dedup.componentsIncremental(Dedup.components(base), delta)
+        .orderBy(col("doc_id"))
+    }),
     "dedup_best_rep" -> ((s, dir) => {
       // representative SELECTION policy over exact dup clusters: instead of
       // min-id-wins, keep each component's highest-QUALITY member (the
@@ -1250,6 +1262,24 @@ object SparkEntry {
       |               generate_subscripts(embedding,1) AS i FROM embeddings) u),
       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY 1)
       |""".stripMargin
+
+  /** Full-recompute reachability over ALL qualifying near-dup pairs —
+    * shared by `dedup_components` and `dedup_components_incremental` (the
+    * incremental merge's value contract is exact equality with this).
+    */
+  private lazy val componentsOracle =
+    shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,qp AS (
+        |  SELECT p.a, p.b FROM p
+        |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
+        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "du_by_address" ->
@@ -1955,18 +1985,10 @@ object SparkEntry {
         |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin),
-    "dedup_components" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-      """,qp AS (
-        |  SELECT p.a, p.b FROM p
-        |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
-        |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
-        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
-        |reach(node, lbl) AS (
-        |  SELECT DISTINCT src, src FROM e
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
-        |SELECT node AS doc_id, MIN(lbl) AS component
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    "dedup_components" -> componentsOracle,
+    // identical oracle BY DESIGN: the incremental merge must be
+    // value-identical to the full recompute over all pairs
+    "dedup_components_incremental" -> componentsOracle,
     "dedup_best_rep" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """,qp AS (
         |  SELECT p.a, p.b FROM p

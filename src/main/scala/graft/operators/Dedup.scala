@@ -666,4 +666,60 @@ object Dedup {
     require(converged, s"label propagation did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("component"))
   }
+
+  /** INCREMENTAL connected components — merge a delta pair-set into an
+    * existing labeling without relabeling the full graph: the dedup-side
+    * analogue of [[DiskUsageOp.mergeSnapshots]], and the operator a
+    * daily-refresh 100 TB dedup actually runs (yesterday's labels are a
+    * [[components]] fixpoint; today's crawl adds a delta of near-dup
+    * pairs).
+    *
+    * Delta-closure: each delta edge is first CONTRACTED onto the existing
+    * labeling (endpoint → its current component label; an endpoint not in
+    * `existing` is a new node labeling itself), giving a LABEL GRAPH whose
+    * size is O(delta) — one node per touched component or new document,
+    * regardless of corpus size. [[components]] closes that tiny graph, and
+    * the resulting old-label → new-label mapping (identity rows dropped,
+    * so it stays delta-sized) is broadcast onto one scan of the labels
+    * table. Total cost: the iterative joins run on O(delta) rows only; the
+    * corpus-sized work is a single narrow broadcast-mapped scan, vs the
+    * full recompute's O(log diameter) corpus-wide join rounds.
+    *
+    * Correct by the min-label algebra: an existing label is the min doc id
+    * of its base component, so the min over a merged group of labels and
+    * new-node ids IS the min doc id of the merged component — exactly the
+    * full recompute's answer (the registry row's oracle is that full
+    * recompute). New-node ids can never collide with existing labels
+    * (labels are existing doc ids).
+    *
+    * `existing` must be a components fixpoint (doc_id, component);
+    * `deltaPairs` is (doc_a, doc_b).
+    */
+  def componentsIncremental(
+      existing: DataFrame, deltaPairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lbl = existing.select(col("doc_id"), col("component"))
+    // contract delta endpoints onto current labels (new nodes label selves)
+    val contracted = deltaPairs
+      .join(lbl.select(col("doc_id").as("doc_a"), col("component").as("ca")),
+        Seq("doc_a"), "left")
+      .join(lbl.select(col("doc_id").as("doc_b"), col("component").as("cb")),
+        Seq("doc_b"), "left")
+      .select(
+        coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+    // close the delta-sized label graph; keep only labels that CHANGE
+    val mapping = components(contracted, maxIter)
+      .select(col("doc_id").as("old_lbl"), col("component").as("new_lbl"))
+      .filter(col("old_lbl") =!= col("new_lbl"))
+    // new documents appearing only in the delta join the labels table
+    val newNodes = deltaPairs.select(col("doc_a").as("doc_id"))
+      .unionAll(deltaPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(lbl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    lbl.unionAll(newNodes)
+      .join(broadcast(mapping), col("component") === col("old_lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lbl"), col("component")).as("component"))
+  }
 }

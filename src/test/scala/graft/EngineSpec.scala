@@ -1088,6 +1088,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("incremental components equals full recompute: merges, chains, new nodes") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    // delta merges comp{1,2,3} with comp{10,11}, attaches the brand-new
+    // chain 30–31 to comp{20,21}, and hangs new node 40 off comp 1 —
+    // existing-merge, new-subgraph, and new-leaf cases in one shot
+    val delta = Seq((3L, 10L), (30L, 31L), (21L, 30L), (40L, 1L)).toDF("doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = labels(Dedup.components(base.unionAll(delta)))
+    val inc = labels(Dedup.componentsIncremental(Dedup.components(base), delta))
+    assert(inc == full, s"incremental $inc vs full $full")
+    // untouched components keep their labels without any delta contact
+    assert(inc.contains((20L, 20L)) && inc.contains((31L, 20L)))
+    Dedup.uncacheAll()
+  }
+
   test("connected components: chains, cliques, isolated pairs label to the min id") {
     import spark.implicits._
     // a 4-chain (diameter 3 — needs multiple propagation rounds), an
@@ -1379,6 +1396,78 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"policy divergence: streaming $streamed vs batch $batch")
       assert(batch.size == 4, s"expected 3 cap splits + 1 lone session, got $batch")
     } finally q.stop()
+  }
+
+  test("streaming as-of join equals the batch sweep; watermark evicts settled rights") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.AsofStream
+    import graft.streaming.AsofStream.{AsofMatch, AsofState, Ev, LeftEvent, RightEvent}
+    import spark.implicits._
+    val base = 1700000000L
+    def t(sec: Long) = new Timestamp((base + sec) * 1000L)
+    def usOf(sec: Long) = (base + sec) * 1000000L
+    // ties at one (key, time) → LARGEST rid wins; t=5/t=20 lefts unmatched
+    val lefts = Seq((1L, 5L, 10L), (1L, 10L, 11L), (1L, 50L, 12L),
+      (2L, 20L, 20L), (2L, 35L, 21L))
+    val rights = Seq((1L, 10L, 100L), (1L, 10L, 101L), (1L, 40L, 102L),
+      (2L, 30L, 200L))
+    val lIn = MemoryStream[LeftEvent](spark)
+    val rIn = MemoryStream[RightEvent](spark)
+    val q = AsofStream.joined(lIn.toDS(), rIn.toDS(), watermarkDelay = "100 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("asof_stream_out")
+      .start()
+    try {
+      // shuffled arrival across micro-batches (within the lateness bound)
+      lIn.addData(LeftEvent(1L, t(50), 12L), LeftEvent(2L, t(20), 20L))
+      rIn.addData(RightEvent(1L, t(40), 102L))
+      q.processAllAvailable()
+      lIn.addData(LeftEvent(1L, t(5), 10L), LeftEvent(1L, t(10), 11L))
+      rIn.addData(RightEvent(1L, t(10), 100L), RightEvent(2L, t(30), 200L))
+      q.processAllAvailable()
+      lIn.addData(LeftEvent(2L, t(35), 21L))
+      rIn.addData(RightEvent(1L, t(10), 101L))
+      q.processAllAvailable()
+      // advance BOTH source watermarks far past every event → all flush
+      lIn.addData(LeftEvent(99L, t(100000), 999L))
+      rIn.addData(RightEvent(99L, t(100000), 999L))
+      q.processAllAvailable()
+      lIn.addData(LeftEvent(99L, t(100001), 998L))
+      rIn.addData(RightEvent(99L, t(100001), 998L))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_out").as[AsofMatch]
+        .filter(_.key != 99L).collect()
+        .map(m => (m.key, m.l_id, m.ts_us, m.asof_rid, m.asof_rt_us)).toSet
+      val batch = Temporal.asofJoin(
+          lefts.map { case (k, s, id) => (k, usOf(s), id) }.toDF("key", "ts_us", "l_id"),
+          rights.map { case (k, s, id) => (k, usOf(s), id) }.toDF("key", "ts_us", "r_id"),
+          "key", "ts_us", "l_id", "r_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+      assert(streamed == batch, s"streaming $streamed vs batch $batch")
+      assert(batch.exists(m => m._2 == 11L && m._4.contains(101L)),
+        "equal-time tie must resolve to the largest rid")
+      assert(batch.count(_._4.isEmpty) == 2, "two unmatched lefts expected")
+    } finally q.stop()
+    // eviction contract, driven directly on the pure transition: rights
+    // below the watermark collapse to the single best (max rt, then rid) —
+    // and that survivor still matches future lefts correctly
+    val st1 = AsofState(Nil, List((10L, 1L), (20L, 2L), (10L, 9L), (30L, 3L)))
+    val (out1, st2, _) = AsofStream.step(st1, Nil, wmUs = 25L)
+    assert(out1.isEmpty && st2.rights.toSet == Set((20L, 2L), (30L, 3L)),
+      s"settled rights must collapse to the max: ${st2.rights}")
+    val ts27 = new Timestamp(0L) // epoch-micros 27 via the nanos field
+    ts27.setNanos(27000)
+    val (out2, st3, timeout) = AsofStream.step(st2, Seq(Ev(1L, ts27, 1, 77L)), wmUs = 25L)
+    assert(out2.isEmpty && st3.lefts.nonEmpty && timeout.nonEmpty,
+      "a left above the watermark must stay pending with a timeout set")
+    val (out3, st4, _) = AsofStream.step(st3, Nil, wmUs = 40L)
+    assert(out3.map(m => (m.l_id, m.asof_rid, m.asof_rt_us)) ==
+      Seq((77L, Some(2L), Some(20L))),
+      s"pending left must match the kept survivor: $out3")
+    assert(st4.lefts.isEmpty && st4.rights.toSet == Set((30L, 3L)), s"state: $st4")
   }
 
   test("idempotent foreachBatch sink: batch replay replaces, never duplicates") {

@@ -257,33 +257,51 @@ object ScaleSmoke {
         .groupBy(col("batch_id")).count().count()
     }
     // interval-join flash crowd: 1M cold events spread 20/bin over 50k
-    // bins, plus ONE bin holding 20k events at a single microsecond (the
+    // bins, plus ONE bin holding 150k events at a single microsecond (the
     // duplicate-timestamp burst shape — equal-ts pairs are excluded by the
     // operator, so OUTPUT stays bounded while the join INPUT is violently
-    // skewed: that bin's hash partition carries ~6% of the whole stream
-    // and ~7×10⁹ probe×build pairs). The binned rewrite is a plain
-    // shuffle equi-join, which is exactly what lets AQE's skew-join split
-    // chop the hot partition's probe side across tasks — the A/B below is
-    // the evidence for the range-join doc comment's claim. Thresholds are
-    // lowered because the smoke's hot partition is megabytes, not the
-    // 256 MB production default.
+    // skewed: that bin's hash partition carries ~13% of the whole stream
+    // and ~2×10¹⁰ probe×build pairs enumerated inside one sort-merge
+    // group). The binned rewrite is a plain shuffle equi-join, which is
+    // exactly what lets AQE's skew-join split chop the hot partition
+    // across tasks — the A/B below is the evidence for the range-join doc
+    // comment's claim. Two traps make a naive version of this smoke
+    // silently measure nothing, both worth recording because they apply
+    // to any skew experiment:
+    //  1. At smoke scale the pruned build side fits under the broadcast
+    //     threshold, so AQE re-plans BOTH legs as BroadcastHashJoin and
+    //     the skew config is irrelevant. At 100 TB neither side
+    //     broadcasts — so the smoke forces the shuffle path to measure
+    //     the regime the claim is about.
+    //  2. Skew detection is BYTE-based (map output sizes). A `count()`
+    //     prunes every varying column, the hot partition's constant
+    //     (bin, ts) rows compress to almost nothing, and the 13%-of-rows
+    //     partition looks tiny — the consumer must keep a varying column
+    //     (here the eid payload) flowing through the shuffle for the
+    //     skew to be visible in bytes, exactly as a real pipeline would.
+    // Thresholds are lowered because the smoke's hot partition is
+    // megabytes, not the 256 MB production default.
     val w = 1000000L
     val coldEv = spark.range(0, 1000000L).select(
       ((col("id") % 50000L) * w + (col("id") * 37L) % w).as("ts_us"),
       col("id").as("eid"))
-    val hotEv = spark.range(0, 60000L).select(
+    val hotEv = spark.range(0, 150000L).select(
       lit(60000L * w + 123L).as("ts_us"), (col("id") + 10000000L).as("eid"))
     val skewed = coldEv.unionAll(hotEv)
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    timed("interval join hot bin, skew split OFF") {
-      graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid")).count()
-    }
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    timed("interval join hot bin, skew split ON") {
-      graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid")).count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    for (skew <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
+      val agg = graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid"))
+        .agg(sum(col("a_eid") + col("b_eid")))
+      val t0 = System.nanoTime()
+      val checksum = agg.collect().head.get(0)
+      val split = agg.queryExecution.executedPlan.toString.toLowerCase.contains("skew")
+      println(f"[scale-smoke] interval join hot bin, skew split $skew%-5s " +
+        f"checksum=$checksum split-fired=$split ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
   }

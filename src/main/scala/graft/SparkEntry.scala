@@ -1191,7 +1191,57 @@ object SparkEntry {
           col("doc_id"), col("byte_len"), col("n_frames"),
           col("i").cast("long").as("i"),
           round(col("feature") * 255.0).cast("long").as("lane_byte_sum"))
-        .orderBy(col("doc_id"), col("i")))
+        .orderBy(col("doc_id"), col("i"))),
+    "split_weighted_sample" -> ((s, dir) =>
+      // quality-weighted corpus cut: integer-exact Efraimidis–Spirakis
+      // (row's key = min of w md5 draws, the k smallest keys win); the
+      // weight is a deterministic 1..8 length bucket so both engines
+      // re-draw the IDENTICAL sample; global top-k compiles to
+      // TakeOrderedAndProject (per-partition heaps), never a full sort
+      Splits.weightedSample(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              (lit(1L) + col("n_chars") % 8).as("w")),
+          "doc_id", col("w"), k = 100, maxWeight = 8)
+        .select(col("doc_id"), col("lang"), col("weight"), col("sample_key"))
+        .orderBy(col("sample_key"), col("doc_id"))),
+    "split_global_order" -> ((s, dir) =>
+      // deterministic epoch shuffle: global rank in md5(id:seed) order via
+      // monotone leading-byte shards — per-shard ranks + broadcast prefix
+      // offsets compose to the exact global rank, no single-task sort
+      Splits.globalOrder(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", shards = 16)
+        .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))),
+    "text_c4_filter" -> ((s, dir) => {
+      // C4-style boilerplate removal (keep lines with terminal punctuation
+      // and ≥3 words; drop docs left with <3 lines). The fixture corpus has
+      // no newlines, so line structure is synthesized deterministically in
+      // BOTH engines: 'line ' ends a punctuated line, 'value ' an
+      // unpunctuated one — kept/dropped lines and surviving/culled docs all
+      // exercised (98 of 500 docs survive at sf0.01)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        replace(replace(col("text"), lit("line "), lit("line.\n")),
+          lit("value "), lit("value\n")).as("text"))
+      TextAnalysis.c4LineFilter(docs)
+        .select(col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_chunk_windows" -> ((s, dir) =>
+      // overlapping context-window chunking: 12-token windows at stride 8
+      // (4 tokens of overlap), every token in ≥1 window, short final window
+      // kept — the count + boundary tokens identify each chunk without
+      // duplicating its text through the pipeline
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), winSize = 12, stride = 8)
+        .select(col("doc_id"), col("win_id"),
+          col("win_tokens").cast("long").as("win_tokens"),
+          col("first_tok"), col("last_tok"))
+        .orderBy(col("doc_id"), col("win_id")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2467,6 +2517,57 @@ object SparkEntry {
         |SELECT d.doc_id, d.byte_len, d.n_frames, d.i,
         |       CAST(COALESCE(lane.s, 0) AS BIGINT) AS lane_byte_sum
         |FROM docs8 d LEFT JOIN lane ON lane.doc_id = d.doc_id AND lane.i = d.i
-        |ORDER BY d.doc_id, d.i""".stripMargin
+        |ORDER BY d.doc_id, d.i""".stripMargin,
+    "split_weighted_sample" ->
+      // re-draws the identical min-of-w-md5-draws key and takes the same
+      // global top-100 — pure string/integer math, engine-portable
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(1 + n_chars % 8 AS BIGINT) AS weight,
+         |         ${graft.operators.Splits.weightedKeySql("doc_id", "1 + n_chars % 8")} AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, lang, weight, sample_key FROM d
+         |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    "split_global_order" ->
+      // the oracle ranks with one global window (fine at oracle scale);
+      // the engine's two-level sharded rank must land on the same order
+      s"""SELECT doc_id,
+         |       ${graft.operators.Splits.shuffleKeySql("doc_id")} AS shuffle_key,
+         |       CAST(row_number() OVER (
+         |         ORDER BY ${graft.operators.Splits.shuffleKeySql("doc_id")}, doc_id) - 1
+         |         AS BIGINT) AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos""".stripMargin,
+    "text_c4_filter" ->
+      // identical line synthesis, then the same keep predicate via the
+      // shared lambda; kept lists re-joined with the same newline
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         string_split(replace(replace(text, 'line ', 'line.' || chr(10)),
+         |           'value ', 'value' || chr(10)), chr(10)) AS lines
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, len(lines) AS n_lines,
+         |         list_filter(lines, ${graft.operators.TextAnalysis.c4KeepLambdaSql()}) AS kept
+         |  FROM d)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       array_to_string(kept, chr(10)) AS clean_text
+         |FROM k WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin,
+    "text_chunk_windows" ->
+      // windows [i*8+1, i*8+12] over the whitespace token list, 1-based
+      // stop-inclusive list_slice ≡ Spark's slice(toks, start, 12)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, CAST((len(toks) - 1) // 8 AS BIGINT))) AS win_id
+        |  FROM t),
+        |sl AS (
+        |  SELECT doc_id, win_id,
+        |         list_slice(toks, win_id * 8 + 1, win_id * 8 + 12) AS win
+        |  FROM w)
+        |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+        |       CAST(len(win) AS BIGINT) AS win_tokens,
+        |       win[1] AS first_tok, win[-1] AS last_tok
+        |FROM sl ORDER BY doc_id, win_id""".stripMargin
   )
 }

@@ -286,4 +286,101 @@ object Splits {
   /** The same 4-hex md5 shard assignment as SQL text, for oracle mirroring. */
   def packShardSql(orderExpr: String, shards: Int): String =
     s"CAST(('0x'||substring(md5(CAST($orderExpr AS VARCHAR)),1,4)) AS BIGINT) % $shards"
+
+  /** Deterministic weighted sampling without replacement (top-k by minimum
+    * hash) — the quality-weighted corpus-cut step (sample k documents with
+    * probability increasing in an integer weight, e.g. a quality score or
+    * length bucket). The classic Efraimidis–Spirakis scheme ranks rows by
+    * `u^(1/w)` with u uniform — but `pow`/`ln` on doubles are libm-version
+    * territory and would make the sample engine- and platform-dependent.
+    * This is the integer-exact variant: a row with weight w simulates w
+    * independent md5 draws (`md5(id:i:seed)` for i < w) and keeps the
+    * MINIMUM as its sort key; the k smallest keys win. A row with twice
+    * the weight gets twice the draws, hence a stochastically smaller key —
+    * the same monotone-in-weight selection, in pure string/integer math
+    * that reproduces bit-for-bit in any engine (same discipline as
+    * [[assign]]).
+    *
+    * Plan: the draws are a row-local `transform` + `array_min` over a
+    * w-element generated array (no explode, no shuffle — weights are
+    * required ≤ maxWeight so the generated array is bounded), and the
+    * global top-k compiles to TakeOrderedAndProject: per-partition k-heaps
+    * merged on the driver, never a full sort. 100 TB cost = one scan.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: Column, k: Int,
+      maxWeight: Int = 64, seed: Long = 12345L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be positive")
+    // weights outside [1, maxWeight] indicate a broken upstream score —
+    // fail loudly (an unbounded weight would generate an unbounded array)
+    val w = when(weightCol.between(1, maxWeight), weightCol.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: weight out of [1, $maxWeight]: "), weightCol)))
+    df.withColumn("weight", w)
+      .withColumn("sample_key",
+        array_min(transform(
+          sequence(lit(0L), col("weight") - 1L),
+          i => md5(concat_ws(":", col(idCol), i, lit(seed))))))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+  }
+
+  /** The same min-of-w-draws key as SQL text, for oracle mirroring. */
+  def weightedKeySql(idExpr: String, weightExpr: String, seed: Long = 12345L): String =
+    s"list_min(list_transform(generate_series(0, CAST($weightExpr AS BIGINT) - 1), " +
+      s"i -> md5(CAST($idExpr AS VARCHAR)||':'||CAST(i AS VARCHAR)||':$seed')))"
+
+  /** Deterministic global shuffle order — the epoch-ordering step (every
+    * training run visits documents in a pseudo-random order that is a pure
+    * function of (id, seed): reproducible across runs, engines, and
+    * partitionings, re-drawable per epoch by changing the seed). Each row's
+    * shuffle key is `md5(id:seed)`; the emitted `shuffle_pos` is the row's
+    * rank in the global (key, id) order, 0-based and dense.
+    *
+    * A global rank is the textbook "needs one task" trap (a naive
+    * `row_number() OVER (ORDER BY key)` windows the entire corpus in a
+    * single partition). The scale form here is two-level, the same
+    * discipline as [[packBatchesSharded]] but RANGE-sharded: the shard is
+    * the key's leading byte bucket (`first 2 hex digits div (256/shards)`),
+    * which is MONOTONE in the key (lowercase-hex lexicographic order IS
+    * numeric order), so per-shard ranks + the count of all rows in
+    * lower-numbered shards compose to exactly the global rank. md5 keys are
+    * uniform, so the 256 buckets are balanced by construction — no skew
+    * handling needed, unlike range-partitioning user data. Shard counts are
+    * a tiny aggregate (≤ shards rows) windowed and broadcast back; the big
+    * side sees exactly one hash exchange (the per-shard rank's own).
+    */
+  def globalOrder(
+      df: DataFrame, idCol: String, seed: Long = 12345L, shards: Int = 32): DataFrame = {
+    require(shards >= 1 && shards <= 256 && 256 % shards == 0,
+      s"shards must divide 256, got $shards")
+    val keyed = df
+      .withColumn("shuffle_key", md5(concat_ws(":", col(idCol), lit(seed))))
+      .withColumn("order_shard",
+        (conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("long") /
+          (256 / shards)).cast("long"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("order_shard")).orderBy(col("shuffle_key"), col(idCol))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("order_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Tiny side: rows per shard → exclusive prefix sum = shard offset. The
+    // offsets frame is ≤ `shards` rows, so its global window is free.
+    val offsets = keyed.groupBy(col("order_shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("shard_offset", coalesce(sum(col("n_rows")).over(wOff), lit(0L)))
+      .select(col("order_shard"), col("shard_offset"))
+    keyed
+      .withColumn("local_rank", row_number().over(wRank).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("order_shard"))
+      .withColumn("shuffle_pos", col("shard_offset") + col("local_rank"))
+      .drop("order_shard", "local_rank", "shard_offset")
+  }
+
+  /** The same shuffle key as SQL text, for oracle mirroring (the oracle
+    * ranks with a single global window — tiny at oracle scale).
+    */
+  def shuffleKeySql(idExpr: String, seed: Long = 12345L): String =
+    s"md5(CAST($idExpr AS VARCHAR)||':$seed')"
 }

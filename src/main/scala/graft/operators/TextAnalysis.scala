@@ -521,4 +521,75 @@ object TextAnalysis {
         min(col("win_min")).as("min_fingerprint"),
         md5(min(col("norm"))).as("doc_md5"))
   }
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2's cleaning rules,
+    * the boilerplate-removal step of a web-scale corpus): split the
+    * document into lines, keep only lines that end in terminal punctuation
+    * AND carry at least `minWords` words, and drop documents left with
+    * fewer than `minLines` surviving lines. Navigation menus, cookie
+    * banners, and footer fragments are short and unpunctuated — the two
+    * rules together remove most page chrome with no model in the loop.
+    *
+    * Emits (id, n_lines, n_kept, clean_text) for surviving documents,
+    * `clean_text` = the kept lines re-joined with newlines in original
+    * order. Everything is a row-local higher-order-function chain
+    * (`filter` over the split array) — codegen'd, no shuffle, trivially
+    * 100 TB-safe.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 3, minLines: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("lines"))
+      .withColumn("kept", filter(col("lines"),
+        l => l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords))
+      .filter(size(col("kept")) >= minLines)
+      .select(
+        col(idCol),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), "\n").as("clean_text"))
+
+  /** The same line-keep predicate as DuckDB SQL text (lambda form), for
+    * oracle mirroring.
+    */
+  def c4KeepLambdaSql(minWords: Int = 3): String =
+    s"l -> regexp_matches(l, '[.!?\"]$$') AND len(string_split(l, ' ')) >= $minWords"
+
+  /** Overlapping context-window chunking — the step that turns variable
+    * length documents into fixed-budget training sequences (window `size`
+    * tokens, stride `stride` < size ⇒ `size − stride` tokens of overlap so
+    * no boundary context is lost). Window `i` of a document covers tokens
+    * `[i·stride, i·stride + size)`; windows start while `i·stride < n`, so
+    * every token lands in ≥ 1 window and the final window may be short.
+    *
+    * Emits (id, win_id, win_tokens, first_tok, last_tok) — the count and
+    * boundary tokens identify the chunk without duplicating its text
+    * through the pipeline (the caller slices the real payload by
+    * `win_id·stride` when materializing). Row-local generate + explode:
+    * the only cost is the output's own size, the unavoidable ~size/stride
+    * duplication factor of overlapped chunking. No shuffle.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", winSize: Int = 50, stride: Int = 40): DataFrame = {
+    require(winSize >= 1 && stride >= 1 && stride <= winSize,
+      s"need 1 <= stride <= winSize, got winSize=$winSize stride=$stride")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L),
+          floor((col("n_toks") - 1L) / stride).cast("long"))).as("win_id"))
+      .select(
+        col(idCol),
+        col("win_id"),
+        slice(col("toks"), (col("win_id") * stride + 1L).cast("int"), lit(winSize))
+          .as("win"))
+      .select(
+        col(idCol),
+        col("win_id"),
+        size(col("win")).as("win_tokens"),
+        element_at(col("win"), 1).as("first_tok"),
+        element_at(col("win"), -1).as("last_tok"))
+  }
 }

@@ -1088,6 +1088,74 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("sharded packing plan: exchanges keyed on (stratum, shard) only; offsets broadcast") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L + i % 7))
+      .toDF("id", "lang", "n_tok")
+    val plan = Splits.packBatchesSharded(docs, "lang", "id", "n_tok", budget = 100L, shards = 8)
+      .queryExecution.executedPlan.toString
+    // the scale contract: no exchange ever partitions on the document id —
+    // the big side moves once, keyed by (stratum, shard); the offset table
+    // (strata × shards rows) windows on the stratum and BROADCASTS back
+    val exKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exKeys.nonEmpty && exKeys.forall(k => k.contains("lang") && !k.contains("id#")),
+      s"unexpected exchange keys $exKeys:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"offsets must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"offset stitch must not sort-merge:\n$plan")
+  }
+
+  test("weighted sample plans a TakeOrderedAndProject; global order exchanges on shard only") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, 1 + (i % 5).toInt)).toDF("id", "w")
+    // top-k by key must compile to per-partition heaps merged on the driver
+    // (TakeOrderedAndProject) — a global Sort + Limit would shuffle the
+    // whole corpus to one task at 100 TB
+    val samplePlan = Splits.weightedSample(docs, "id", col("w"), k = 50, maxWeight = 8)
+      .queryExecution.executedPlan.toString
+    assert(samplePlan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan a TakeOrderedAndProject:\n$samplePlan")
+    assert(!samplePlan.contains("Exchange"),
+      s"weighted sample must not exchange (narrow scan + heaps):\n$samplePlan")
+    // global order: big side exchanges ONCE keyed by the shard bucket; the
+    // tiny offsets frame broadcasts back (same contract as sharded packing)
+    val orderPlan = Splits.globalOrder(docs, "id", shards = 16)
+      .queryExecution.executedPlan.toString
+    val exKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(orderPlan).map(_.group(1)).toList
+    assert(exKeys.nonEmpty && exKeys.forall(k => k.contains("order_shard") && !k.contains("id#")),
+      s"unexpected exchange keys $exKeys:\n$orderPlan")
+    assert(orderPlan.contains("BroadcastExchange"), s"offsets must broadcast back:\n$orderPlan")
+    assert(!orderPlan.contains("SortMergeJoin"), s"offset stitch must not sort-merge:\n$orderPlan")
+  }
+
+  test("C4 line filter: punctuation and word-count rules, doc culling, original order") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 keepable lines + chrome: survives, chrome dropped, order kept
+      (1L, "first line stays here.\nMenu\nsecond line also stays!\nCookie notice\nthird line stays too?"),
+      // only 2 keepable lines: culled by minLines
+      (2L, "one good line here.\nanother good line here.\nshort.\nno punct at all"),
+      // punctuated but too short / long but unpunctuated: culled
+      (3L, "a b.\nc d!\ne f?\nthis line has many words but no terminal punctuation"),
+      // exactly at the boundary: quoted line counts (terminal ")
+      (4L, "alpha beta gamma.\ndelta epsilon zeta!\n\"quoted line ends well\"")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, minWords = 3, minLines = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L), s"surviving docs: ${out.map(_._1).toSeq}")
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1._2 == 5 && d1._3 == 3)
+    assert(d1._4 ==
+      "first line stays here.\nsecond line also stays!\nthird line stays too?")
+    val d4 = out.find(_._1 == 4L).get
+    assert(d4._2 == 3 && d4._3 == 3 && d4._4.endsWith("\"quoted line ends well\""))
+    // the whole chain is row-local: no exchange anywhere
+    val plan = TextAnalysis.c4LineFilter(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
+  }
+
   test("incremental components equals full recompute: merges, chains, new nodes") {
     import spark.implicits._
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")

@@ -251,6 +251,96 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == again.toSet, "non-deterministic pair set")
   }
 
+  test("weighted sample: size, determinism, monotone weight advantage, loud bounds guard") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // two equal-sized groups, weight 8 vs weight 1: a weight-8 row's key is
+    // the min of 8 draws vs 1, so it wins a pairwise comparison with
+    // probability 8/9 — the sample must skew hard toward the heavy group.
+    // md5 makes the outcome a FIXED number, so the assert cannot flake.
+    val df = (0L until 2000L).map(i => (i, if (i < 1000L) 8 else 1)).toDF("id", "w")
+    val out = Splits.weightedSample(df, "id", col("w"), k = 200, maxWeight = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.length == 200, s"sample size ${rows.length}")
+    val heavy = rows.count(_._1 < 1000L)
+    assert(heavy > 140, s"heavy-weight group under-sampled: $heavy/200 (expect ~8/9)")
+    // pure function of (id, weight, k, seed): a re-run is identical, and the
+    // selection is exactly the k globally-smallest keys
+    val again = Splits.weightedSample(df, "id", col("w"), k = 200, maxWeight = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == again.toSeq, "non-deterministic sample")
+    val maxSampled = rows.map(_._3).max
+    val better = Splits.weightedSample(df, "id", col("w"), k = 2000, maxWeight = 8)
+      .collect().map(r => (r.getLong(0), r.getString(3))).filter(_._2 < maxSampled)
+    assert(better.length <= 200, "a smaller key exists outside the sample")
+    // k >= n degenerates to the full set; out-of-bounds weights fail loudly
+    assert(Splits.weightedSample(df, "id", col("w"), k = 5000, maxWeight = 8).count() == 2000L)
+    val bad = intercept[Exception] {
+      Splits.weightedSample(df, "id", col("w") * 100, k = 10, maxWeight = 8).collect()
+    }
+    assert(bad.getMessage.contains("weightedSample"), s"guard message: ${bad.getMessage}")
+  }
+
+  test("global order: dense permutation equal to the single-window rank for any shard count") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // sparse, unordered, duplicated-free ids across the long domain
+    val ids = ((0L until 500L).map(_ * 7919L) ++ (0L until 300L).map(Long.MaxValue / 3 + _))
+    val df = ids.toDF("doc_id")
+    val expected = {
+      // oracle form: one global window over the same md5 key
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      df.withColumn("shuffle_key", md5(concat_ws(":", col("doc_id"), lit(12345L))))
+        .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    for (shards <- Seq(1, 16, 256)) {
+      val got = Splits.globalOrder(df, "doc_id", shards = shards)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.map(_._2).sorted.toSeq == (0L until ids.length).toSeq,
+        s"shards=$shards: positions are not a dense 0..n-1 permutation")
+      assert(got.toMap == expected, s"shards=$shards: order differs from the global rank")
+    }
+  }
+
+  test("chunk windows: every token covered, stride geometry, short final window") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val wordGen = Gen.oneOf("x", "yy", "zzz", "w")
+    val docGen = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = Gen.listOfN(60, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val winSize = 7
+    val stride = 4
+    val got = TextAnalysis.chunkWindows(df, winSize = winSize, stride = stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val n = toks.length
+      val wins = got(id).sortBy(_._2)
+      assert(wins.length == (n - 1) / stride + 1, s"doc $id: window count")
+      wins.foreach { case (_, wid, wtok, first, last) =>
+        val start = (wid * stride).toInt
+        assert(wtok == math.min(winSize, n - start), s"doc $id win $wid: length")
+        assert(first == toks(start), s"doc $id win $wid: first token")
+        assert(last == toks(start + wtok - 1), s"doc $id win $wid: last token")
+      }
+      // coverage: the union of [start, start+len) is exactly [0, n)
+      val covered = wins.flatMap { case (_, wid, wtok, _, _) =>
+        (wid * stride).toInt until ((wid * stride).toInt + wtok) }.toSet
+      assert(covered == (0 until n).toSet, s"doc $id: coverage gap")
+    }
+  }
+
   test("BPE encode is a lossless segmentation for any corpus and any trained merge count") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -1241,7 +1241,22 @@ object SparkEntry {
         .select(col("doc_id"), col("win_id"),
           col("win_tokens").cast("long").as("win_tokens"),
           col("first_tok"), col("last_tok"))
-        .orderBy(col("doc_id"), col("win_id")))
+        .orderBy(col("doc_id"), col("win_id"))),
+    "text_bm25_topk" -> ((s, dir) => {
+      // BM25 lexical retrieval: top-10 docs per query through the custom
+      // TopKPerKey operator; corpus pruned to query terms by a broadcast
+      // semi-join BEFORE any shuffle (the inverted-index probe); query 5
+      // carries an out-of-vocabulary term that must contribute nothing
+      import s.implicits._
+      val qs = Seq(
+        (0L, "fast table scan"), (1L, "join query order"),
+        (2L, "stream window batch"), (3L, "slow merge"),
+        (4L, "customer value vector"), (5L, "zebra hash")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2568,6 +2583,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
         |       CAST(len(win) AS BIGINT) AS win_tokens,
         |       win[1] AS first_tok, win[-1] AS last_tok
-        |FROM sl ORDER BY doc_id, win_id""".stripMargin
+        |FROM sl ORDER BY doc_id, win_id""".stripMargin,
+    "text_bm25_topk" ->
+      // identical association order everywhere a double is touched; ln
+      // rounded to 6 dp per term, per-term contributions rounded then
+      // decimal-summed (the lmScore discipline)
+      """WITH q(query_id, q_text) AS (VALUES
+        |  (0, 'fast table scan'), (1, 'join query order'),
+        |  (2, 'stream window batch'), (3, 'slow merge'),
+        |  (4, 'customer value vector'), (5, 'zebra hash')),
+        |qt AS (SELECT query_id,
+        |              unnest(list_distinct(string_split(lower(q_text), ' '))) AS term
+        |       FROM q),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+        |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |         ROUND(ROUND(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6) *
+        |           (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |           (p.tf + 1.2 * (1.0 - 0.75 +
+        |             0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))), 6) AS c
+        |  FROM p
+        |  JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id,
+        |       ROUND(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        |       FROM contrib GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |       FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
   )
 }

@@ -592,4 +592,143 @@ object TextAnalysis {
         element_at(col("win"), 1).as("first_tok"),
         element_at(col("win"), -1).as("last_tok"))
   }
+
+  /** BM25 retrieval (Robertson–Walker Okapi form): top-k documents per
+    * query under score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the search-side
+    * complement of the ANN family (exact lexical retrieval over the same
+    * corpus the embedding queries cover semantically).
+    *
+    * Scale shape — the corpus NEVER shuffles on anything but pruned
+    * candidates: the token explode is pruned by a broadcast semi-join on
+    * the query-term set BEFORE any aggregation, so the only exchanges are
+    * over candidate postings (bounded by Σ_t df(t) of the query terms, not
+    * corpus size); per-term document frequencies over those candidates are
+    * a tiny aggregate broadcast back; corpus N/avgdl ride as a broadcast
+    * 1-row frame; the final top-k runs through the custom [[graft.plans.TopK]]
+    * physical operator (bounded per-query heaps, no per-query sort).
+    *
+    * Cross-engine determinism (same discipline as [[lmScore]]): the only
+    * libm call (ln) is rounded to 6 dp per term, each term's contribution
+    * is rounded to 6 dp, contributions decimal-sum, and every double
+    * expression is written in the identical association order the oracle
+    * uses.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qtextCol: String = "q_text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+    val qset = qterms.select(col("term")).distinct()
+    // prune the exploded corpus to query terms BEFORE aggregating — the
+    // broadcast semi-join is the inverted-index probe, done narrow
+    val postings = toks.join(broadcast(qset), Seq("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(tokens(col(textCol))).cast("long").as("d"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("total_dl"))
+    val contrib = postings
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col(qidCol), col(idCol),
+        round(
+          round(log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6) *
+          (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / (col("total_dl").cast("double") / col("n_docs")))),
+          6).as("c"))
+    import org.apache.spark.sql.types.DecimalType
+    val scored = contrib
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("c").cast(DecimalType(28, 12))).cast("double"), 6).as("score"))
+    graft.plans.TopK.perKey(scored, keyCols = Seq(qidCol),
+      orderCols = Seq("score" -> false, idCol -> true), k = k)
+  }
+
+  /** The md5 feature-hash bucket shared by [[perceptronQuality]] and its
+    * oracle (the hashing trick: term → one of `dims` integer buckets, same
+    * 4-hex discipline as `Splits.packShardSql`).
+    */
+  def featureBucketSql(termExpr: String, dims: Int): String =
+    s"CAST(('0x'||substring(md5($termExpr),1,4)) AS BIGINT) % $dims"
+
+  private def featureBucket(term: Column, dims: Int): Column =
+    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % dims
+
+  /** Model-in-the-loop quality filtering: a distributed batch perceptron
+    * over hashed bag-of-words features (the hashing trick, `dims` integer
+    * buckets) — the shape of a fastText-style linear quality classifier,
+    * in arithmetic every engine reproduces bit-for-bit. All features,
+    * weights, margins, and updates are INTEGERS: no learning rate, no
+    * float dot products, no platform-dependent math anywhere.
+    *
+    * Batch (not online) perceptron: epoch e scores every labeled doc with
+    * the current weights (margin_i = Σ_b w(b)·cnt_{i,b} + bias), then adds
+    * Σ over misclassified docs (label·margin ≤ 0) of label·x_i to the
+    * weights and Σ label to the bias. The per-epoch weight delta is one
+    * distributed aggregation; only the `dims`-row delta crosses to the
+    * driver (the update IS the algorithm's global decision — the Lloyd's /
+    * BPE pattern). Batch summation makes the result independent of row
+    * order and partitioning — a prerequisite for cross-engine replay.
+    *
+    * Returns per-doc (id, label, margin, correct) under the FINAL weights —
+    * the trained filter applied back to its corpus. The feature frame is
+    * persisted across epochs (each epoch reads it twice) and unpersisted
+    * before returning; at 100 TB each epoch is one scan of the cached
+    * features + a broadcast of 64 longs.
+    */
+  def perceptronQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: Column,
+      dims: Int = 64, epochs: Int = 3): DataFrame = {
+    require(dims >= 1 && epochs >= 1, s"need dims/epochs >= 1, got $dims/$epochs")
+    val feats = docs
+      .select(col(idCol), labelCol.cast("long").as("label"),
+        explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), col("label"),
+        featureBucket(col("term"), dims).as("bucket"))
+      .groupBy(col(idCol), col("label"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Map.empty[Long, Long].withDefaultValue(0L)
+      var bias = 0L
+      def margins: DataFrame = {
+        // weights ride as a literal map (≤ dims entries) inside the
+        // aggregation expression — zero joins, zero extra exchanges
+        val wCol =
+          if (w.isEmpty) lit(0L)
+          else coalesce(
+            element_at(
+              map(w.toSeq.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*),
+              col("bucket")),
+            lit(0L))
+        feats.groupBy(col(idCol), col("label"))
+          .agg((sum(wCol * col("cnt")) + bias).as("margin"))
+      }
+      for (_ <- 1 to epochs) {
+        val mis = margins.filter(col("label") * col("margin") <= 0)
+          .select(col(idCol), col("label"))
+        val deltas = feats.join(mis.withColumnRenamed("label", "mlabel"), Seq(idCol))
+          .groupBy(col("bucket"))
+          .agg(sum(col("mlabel") * col("cnt")).as("dw"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val biasDelta = mis.agg(coalesce(sum(col("label")), lit(0L)))
+          .collect().head.getLong(0)
+        w = deltas.foldLeft(w) { case (m, (b, dw)) => m.updated(b, m(b) + dw) }
+        bias += biasDelta
+      }
+      margins.select(col(idCol), col("label"), col("margin"),
+        (col("label") * col("margin") > 0).as("correct"))
+    } finally feats.unpersist(blocking = false)
+  }
 }

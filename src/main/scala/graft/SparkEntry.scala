@@ -1256,7 +1256,18 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
         .select(col("query_id"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
-    })
+    }),
+    "text_perceptron" -> ((s, dir) =>
+      // model-in-the-loop quality filtering: integer-exact batch perceptron
+      // over hashed bag-of-words, trained to separate English docs
+      // (label +1 iff lang='en' — the English-stopword hash buckets make
+      // the signal genuinely learnable). The oracle replays all 3 epochs
+      // as CTEs over the identical md5 feature hash; batch summation makes
+      // both sides independent of row order, so the margins match exactly.
+      TextAnalysis.perceptronQuality(t(s, dir, "documents"),
+          labelCol = when(col("lang") === "en", 1L).otherwise(-1L),
+          dims = 64, epochs = 3)
+        .orderBy(col("doc_id")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2618,6 +2629,54 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
         |       FROM sc)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
-        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin,
+    "text_perceptron" ->
+      // the 3 training epochs unrolled as CTEs over the same md5 feature
+      // hash (featureBucketSql). Epoch 1 starts from zero weights, so every
+      // margin is 0 and EVERY doc is misclassified — w1/b1 are whole-corpus
+      // sums; epochs 2-3 score under the previous weights, fold only the
+      // misclassified docs' deltas in. All integers — no float tolerance.
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS label, text
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, label,
+        |         CAST(('0x'||substring(md5(term),1,4)) AS BIGINT) % 64 AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, label, unnest(string_split(lower(text),' ')) AS term
+        |        FROM docs)
+        |  GROUP BY 1,2,3),
+        |dlab AS (SELECT DISTINCT doc_id, label FROM feats),
+        |w1 AS (SELECT bucket, SUM(label*cnt) AS wv FROM feats GROUP BY 1),
+        |b1 AS (SELECT SUM(label) AS bias FROM dlab),
+        |m2 AS (SELECT f.doc_id, f.label,
+        |              SUM(COALESCE(w.wv,0)*f.cnt) + (SELECT bias FROM b1) AS margin
+        |       FROM feats f LEFT JOIN w1 w USING (bucket) GROUP BY 1,2),
+        |mis2 AS (SELECT doc_id, label FROM m2 WHERE label*margin <= 0),
+        |d2 AS (SELECT f.bucket, SUM(m.label*f.cnt) AS dw
+        |       FROM feats f JOIN mis2 m USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bucket, SUM(v) AS wv FROM (
+        |         SELECT bucket, wv AS v FROM w1
+        |         UNION ALL SELECT bucket, dw AS v FROM d2) GROUP BY 1),
+        |b2 AS (SELECT (SELECT bias FROM b1) +
+        |              COALESCE((SELECT SUM(label) FROM mis2), 0) AS bias),
+        |m3 AS (SELECT f.doc_id, f.label,
+        |              SUM(COALESCE(w.wv,0)*f.cnt) + (SELECT bias FROM b2) AS margin
+        |       FROM feats f LEFT JOIN w2 w USING (bucket) GROUP BY 1,2),
+        |mis3 AS (SELECT doc_id, label FROM m3 WHERE label*margin <= 0),
+        |d3 AS (SELECT f.bucket, SUM(m.label*f.cnt) AS dw
+        |       FROM feats f JOIN mis3 m USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bucket, SUM(v) AS wv FROM (
+        |         SELECT bucket, wv AS v FROM w2
+        |         UNION ALL SELECT bucket, dw AS v FROM d3) GROUP BY 1),
+        |b3 AS (SELECT (SELECT bias FROM b2) +
+        |              COALESCE((SELECT SUM(label) FROM mis3), 0) AS bias),
+        |mf AS (SELECT f.doc_id, f.label,
+        |              SUM(COALESCE(w.wv,0)*f.cnt) + (SELECT bias FROM b3) AS margin
+        |       FROM feats f LEFT JOIN w3 w USING (bucket) GROUP BY 1,2)
+        |SELECT doc_id, CAST(label AS BIGINT) AS label,
+        |       CAST(margin AS BIGINT) AS margin,
+        |       (label*margin > 0) AS correct
+        |FROM mf ORDER BY doc_id""".stripMargin
   )
 }

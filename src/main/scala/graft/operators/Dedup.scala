@@ -722,4 +722,132 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("new_lbl"), col("component")).as("component"))
   }
+
+  /** (id, p, ts) every OVERLAPPING k-token window position whose window
+    * text occurs ≥ 2 times corpus-wide (counting within-document repeats —
+    * a self-repetitive document duplicates itself). Positions are 1-based
+    * token indexes. Shared by [[substringSpans]] and [[substringScrub]].
+    *
+    * Plan shape: one narrow projection (tokenize + row-local window
+    * assembly) into ONE window-count keyed on the window's md5 — a single
+    * hash exchange on the 128-bit gram hash, carrying one row per window
+    * position. No join, no all-pairs: the duplicated-position set that
+    * flows downstream is bounded by the corpus' actual repetition, which
+    * at 100 TB is the boilerplate minority, not the corpus.
+    */
+  private def dupWindowPositions(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "window width must be >= 2 tokens")
+    val wins = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(
+        col("id"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(ts) - $k + 1),
+             |          p -> md5(array_join(slice(ts, p, $k), ' ')))""".stripMargin))
+          .as(Seq("p0", "gh")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("gh"))
+    import org.apache.spark.sql.expressions.Window
+    wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("occ") >= 2)
+      .select(col("id"), col("p"), col("gh"))
+  }
+
+  /** Exact-substring duplicated spans — the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr granularity:
+    * every maximal span of ≥ k consecutive tokens whose every k-token
+    * window is repeated somewhere in the corpus. Unlike [[chunkStats]]'
+    * k-aligned chunks this catches repeated passages at ANY offset, and
+    * unlike document-level dedup it catches shared boilerplate inside
+    * otherwise-unique documents.
+    *
+    * Overlapping duplicated windows are merged per document into maximal
+    * intervals (interval-union via a running-max window — row-local per
+    * document after one exchange on the doc id). Emits
+    * (doc_id, span_start, span_end, n_tokens), token positions 1-based
+    * inclusive.
+    *
+    * Scale: [[dupWindowPositions]]' single gram-hash exchange dominates;
+    * the interval merge runs only over duplicated positions (boilerplate
+    * minority), partitioned by document — no skew beyond a document's own
+    * length, which the window never exceeds.
+    */
+  def substringSpans(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    dupWindowPositions(docs, idCol, textCol, k)
+      // intervals [p, p+k-1] merge iff p ≤ previous-max-p + k; running max
+      // of p over preceding rows finds the break points, cumulative sum of
+      // breaks numbers the islands
+      .withColumn("brk",
+        when(col("p") > coalesce(max(col("p")).over(prev), lit(Long.MinValue)) + k, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + k - 1).as("span_end"))
+      .select(
+        col("id").as(idCol),
+        col("span_start").cast("long"),
+        col("span_end").cast("long"),
+        (col("span_end") - col("span_start") + 1L).cast("long").as("n_tokens"))
+  }
+
+  /** Exact-substring scrub — the CURE to [[substringSpans]]' diagnosis,
+    * keeping ONE canonical occurrence of each repeated passage (Lee et
+    * al.'s remove-all-but-one policy): a token survives iff it is not
+    * covered by any duplicated k-window occurrence, OR it is covered by a
+    * CANONICAL occurrence (the corpus-wide first — min (doc_id, position)
+    * — occurrence of that window text). Canonical-by-window keeps the rule
+    * local and deterministic: the first occurrence of a repeated passage
+    * keeps all its tokens (each of its windows is its window-text's
+    * first), later occurrences lose exactly the repeated tokens.
+    *
+    * Emits (doc_id, scrubbed_text, n_tokens, n_removed) for EVERY document
+    * (docs shorter than k tokens pass through untouched).
+    *
+    * Plan shape: canonical selection is a row_number over the same
+    * gram-hash partition the duplicate count already exchanged on;
+    * coverage explodes k offsets per DUPLICATED occurrence only (bounded
+    * by repetition, not corpus), aggregates per token slot, and joins back
+    * to the token table on (doc, position) — one exchange each side.
+    * Reassembly is one row-local sorted fold per document.
+    */
+  def substringScrub(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = dupWindowPositions(docs, idCol, textCol, k)
+      .withColumn("canon",
+        row_number().over(Window.partitionBy(col("gh"))
+          .orderBy(col("id"), col("p"))) === 1)
+    // token slots covered by a duplicated window; canon_cover if ANY
+    // covering occurrence is its window's canonical one
+    val cover = dup
+      .select(col("id"), explode(sequence(col("p"), col("p") + (k - 1))).as("q"),
+        col("canon"))
+      .groupBy(col("id"), col("q"))
+      .agg(max(col("canon")).as("canon_cover"))
+    val toks = docs
+      .select(col(idCol).as("id"), posexplode(split(lower(col(textCol)), " "))
+        .as(Seq("q0", "tok")))
+      .select(col("id"), (col("q0") + 1).as("q"), col("tok"))
+    toks
+      .join(cover, Seq("id", "q"), "left")
+      .withColumn("keep", coalesce(col("canon_cover"), lit(true)))
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN keep THEN struct(q, tok) END)), x -> x.tok)"),
+          " ").as("scrubbed_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+      .select(col("id").as(idCol), col("scrubbed_text"),
+        col("n_tokens"), col("n_removed"))
+  }
 }

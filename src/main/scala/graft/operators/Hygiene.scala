@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for crawl-scale training pipelines: URL
+  * canonicalization, URL-exact deduplication, and domain-blocklist
+  * filtering — the passes a real crawl pipeline runs BEFORE any content
+  * pass, because they are row-local (or broadcast-joined) and prune the
+  * corpus at the cheapest possible point.
+  *
+  * Reference scope note: the reference handler ingests S3 object listings
+  * rather than crawls (`/root/reference/handler.go:77-130` walks bucket
+  * keys); these operators are part of the extension mandate, built on the
+  * same split/normalize discipline as its key parsing.
+  *
+  * Everything here is codegen'd built-ins — regexp_replace/regexp_extract
+  * chains and CASE logic, no UDFs — and every rule is deliberately
+  * engine-neutral (no lookbehind, no replacement backreferences) so the
+  * DuckDB oracle replays it verbatim.
+  */
+object Hygiene {
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]. */
+  val TrackedParams = "utm_[^=&]*|fbclid|gclid"
+
+  /** Canonical form of a URL, as one row-local expression chain (ZERO
+    * exchanges; at 100 TB this rides the ingest scan for free):
+    *
+    *  1. fragment dropped (`#...`);
+    *  2. scheme and host lowercased (path/query case preserved — path case
+    *     is significant per RFC 3986, host case is not);
+    *  3. default port stripped (`:80` for http, `:443` for https);
+    *  4. leading `www.` stripped;
+    *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`), with
+    *     separator cleanup so remaining params keep a valid `?a&b` shape;
+    *  6. trailing `?` and trailing `/` stripped (the root path
+    *     `scheme://host` form is the canonical one).
+    *
+    * Strings without a `scheme://` prefix pass through steps 1/5/6 only
+    * (scheme and host extract as empty, the remainder is the whole
+    * string).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val f = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(f, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(f, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = f.substr(length(scheme) + lit(3) + length(hostport) + lit(1), length(f))
+    val noPort = when(scheme === "http" && hostport.endsWith(":80"),
+        hostport.substr(lit(1), length(hostport) - 3))
+      .when(scheme === "https" && hostport.endsWith(":443"),
+        hostport.substr(lit(1), length(hostport) - 4))
+      .otherwise(hostport)
+    val host = when(noPort.startsWith("www."), noPort.substr(lit(5), length(noPort)))
+      .otherwise(noPort)
+    // three-step tracked-param scrub, no backreferences: (a) every
+    // '&'-separated tracked param drops with its separator; (b) a leading
+    // '?tracked=v&' hands '?' to the next param; (c) a lone '?tracked=v'
+    // tail drops entirely. Then a dangling '?' goes.
+    val r1 = regexp_replace(rest, s"&($TrackedParams)=[^&]*", "")
+    val r2 = regexp_replace(r1, s"\\?($TrackedParams)=[^&]*&", "?")
+    val r3 = regexp_replace(r2, s"\\?($TrackedParams)=[^&]*$$", "")
+    val r4 = regexp_replace(r3, "\\?$", "")
+    val joined = when(scheme === "", r4)
+      .otherwise(concat(scheme, lit("://"), host, r4))
+    when(joined.endsWith("/") && !joined.endsWith("://"),
+      joined.substr(lit(1), length(joined) - 1))
+      .otherwise(joined)
+  }
+
+  /** Registered domain of a canonical URL: the last two dot-labels of the
+    * host (`tracker.example.org` → `example.org`). A public-suffix list
+    * would refine multi-label TLDs; the two-label rule is the deterministic
+    * engine-neutral core.
+    */
+  def registeredDomain(canonicalUrl: Column): Column =
+    regexp_extract(
+      regexp_extract(canonicalUrl, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      "([^.]+\\.[^.]+)(:[0-9]+)?$", 1)
+
+  /** URL-exact dedup after canonicalization: one hash aggregation keyed on
+    * the canonical URL (single exchange, map-side partials — the A1
+    * aggregate shape). Emits (canonical_url, keep_id, n_dups) with the
+    * smallest id canonical, mirroring [[Dedup.exact]]'s policy.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Domain-blocklist filter: keep only rows whose registered domain is NOT
+    * on the blocklist. The blocklist (small by construction — even
+    * industrial blocklists are millions of rows, KBs–MBs against a 100 TB
+    * corpus) broadcasts, so the corpus side sees an exchange-free
+    * broadcast anti-join riding the ingest scan. Emits every surviving row
+    * as (idCol, canonical_url, domain).
+    */
+  def domainFilter(docs: DataFrame, blocked: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val canon = docs.select(
+      col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("domain", registeredDomain(col("canonical_url")))
+    canon.join(broadcast(blocked.select(col("domain"))), Seq("domain"), "left_anti")
+      .select(col(idCol), col("canonical_url"), col("domain"))
+  }
+}

@@ -594,9 +594,17 @@ object Similarity {
     (2 to pqIters).foreach { _ =>
       val cbDF = cbMap.toSeq.map { case ((s, cw, j), v) => (s, cw, j, v) }
         .toDF("s", "cw", "j", "cm")
+      // training distances fold in j order (sorted struct array → left-assoc
+      // double fold), the same association order the oracle's list_reduce
+      // replays — an unordered double SUM can flip the 6th rounded decimal
+      // on boundary values and cascade into a different codeword assignment
       val newAsn = resid.join(broadcast(cbDF), Seq("s", "j"))
         .groupBy(col("id"), col("s"), col("cw"))
-        .agg(round(sum((col("rv") - col("cm")) * (col("rv") - col("cm"))), 6).as("d"))
+        .agg(round(
+          aggregate(
+            array_sort(collect_list(struct(col("j"),
+              ((col("rv") - col("cm")) * (col("rv") - col("cm"))).as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")), 6).as("d"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("id"), col("s")).orderBy(col("d"), col("cw"))))
         .filter(col("rn") === 1)
@@ -687,7 +695,9 @@ object Similarity {
       s""",
          |pd${r - 1} AS (
          |  SELECT resid.vec_id, resid.s, cb${r - 1}.cw,
-         |         ROUND(SUM((resid.rv-cb${r - 1}.m)*(resid.rv-cb${r - 1}.m)),6) AS d
+         |         ROUND(list_reduce(
+         |           list((resid.rv-cb${r - 1}.m)*(resid.rv-cb${r - 1}.m) ORDER BY resid.j),
+         |           (a,b) -> a+b),6) AS d
          |  FROM resid JOIN cb${r - 1} ON cb${r - 1}.s=resid.s AND cb${r - 1}.j=resid.j
          |  GROUP BY 1,2,3),
          |pa${r - 1} AS (

@@ -271,6 +271,18 @@ object TextAnalysis {
         round(col("sum_logp") / col("n_bigrams"), 6).as("mean_logp"))
   }
 
+  /** Corpus text containing a literal ⟨ or ⟩ would inject token boundaries
+    * mid-token and silently corrupt the delimited representation (breaking
+    * the lossless-segmentation property the tests pin) — fail loudly
+    * instead. One contains-check per row, evaluated inside the same narrow
+    * projection that builds the representation.
+    */
+  private def delimiterChecked(c: Column, who: String): Column =
+    when(c.contains("⟨") || c.contains("⟩"),
+      raise_error(concat(
+        lit(s"$who: text contains the reserved delimiter characters ⟨/⟩ (U+27E8/U+27E9): "), c)))
+      .otherwise(c)
+
   /** BPE-style tokenizer vocabulary induction (word-level byte-pair
     * encoding): `merges` rounds of [count all adjacent token pairs across
     * the corpus → take the most frequent pair (count DESC, then
@@ -294,18 +306,6 @@ object TextAnalysis {
     * contain the `⟨⟩` delimiters — text carrying them raises a plan-side
     * error rather than silently corrupting segmentation.
     */
-  /** Corpus text containing a literal ⟨ or ⟩ would inject token boundaries
-    * mid-token and silently corrupt the delimited representation (breaking
-    * the lossless-segmentation property the tests pin) — fail loudly
-    * instead. One contains-check per row, evaluated inside the same narrow
-    * projection that builds the representation.
-    */
-  private def delimiterChecked(c: Column, who: String): Column =
-    when(c.contains("⟨") || c.contains("⟩"),
-      raise_error(concat(
-        lit(s"$who: text contains the reserved delimiter characters ⟨/⟩ (U+27E8/U+27E9): "), c)))
-      .otherwise(c)
-
   def bpeVocab(docs: DataFrame, textCol: String = "text", merges: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -686,13 +686,23 @@ object TextAnalysis {
     * persisted across epochs (each epoch reads it twice) and unpersisted
     * before returning; at 100 TB each epoch is one scan of the cached
     * features + a broadcast of 64 longs.
+    *
+    * Labels MUST be exactly −1 or +1: the misclassification predicate
+    * (label·margin ≤ 0) counts a 0-label as always wrong while its weight
+    * delta (label·x) contributes nothing — training would silently no-op
+    * for those rows. Any other value raises a plan-side error.
     */
   def perceptronQuality(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", labelCol: Column,
       dims: Int = 64, epochs: Int = 3): DataFrame = {
     require(dims >= 1 && epochs >= 1, s"need dims/epochs >= 1, got $dims/$epochs")
+    val lbl = labelCol.cast("long")
+    val checkedLabel = when(lbl === 1L || lbl === -1L, lbl)
+      .otherwise(raise_error(concat(
+        lit("perceptronQuality: label must be -1 or 1, got "),
+        coalesce(lbl.cast("string"), lit("NULL")))))
     val feats = docs
-      .select(col(idCol), labelCol.cast("long").as("label"),
+      .select(col(idCol), checkedLabel.as("label"),
         explode(tokens(col(textCol))).as("term"))
       .select(col(idCol), col("label"),
         featureBucket(col("term"), dims).as("bucket"))

@@ -1657,4 +1657,65 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(texts == Seq("alpha", "beta"), s"expected one alpha + one beta, got $texts")
     } finally q.stop()
   }
+
+  // ------------------------------------------------------------ perceptron
+
+  test("perceptron separates a separable corpus; margins are row-order independent") {
+    import spark.implicits._
+    // +1 docs speak 'good' vocabulary, -1 docs 'bad' — linearly separable
+    // under hashed bag-of-words (planted noisy shared tokens don't break it)
+    val corpus = ((1 to 20).map(i => (i.toLong, s"good fine great shared doc $i", 1L)) ++
+      (21 to 40).map(i => (i.toLong, s"bad awful poor shared doc $i", -1L)))
+      .toDF("doc_id", "text", "label_in")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.perceptronQuality(df, labelCol = col("label_in"),
+          dims = 32, epochs = 4)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val rows = run(corpus)
+    assert(rows.forall(_._4), s"misclassified after training: ${rows.filterNot(_._4)}")
+    // margins flip sign with the label: positive for +1 docs, negative for -1
+    assert(rows.forall(r => r._2 * r._3 > 0))
+    // batch summation ⇒ identical margins under any row order / partitioning
+    val shuffled = run(corpus.orderBy(rand(42)).repartition(7))
+    assert(rows == shuffled, "margins must not depend on row order or partitioning")
+  }
+
+  test("perceptron rejects labels outside {-1, +1} loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "some text here", 0L), (2L, "more text", 1L))
+      .toDF("doc_id", "text", "label_in")
+    val ex = intercept[Exception] {
+      TextAnalysis.perceptronQuality(bad, labelCol = col("label_in"),
+        dims = 8, epochs = 1).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      t.getMessage != null && t.getMessage.contains("label must be -1 or 1")),
+      s"expected the label guard to fire, got: $ex")
+  }
+
+  // ------------------------------------------------------------ BM25
+
+  test("bm25: identical docs tie-break on doc_id, OOV query matches nothing, k > candidates") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana"), (2L, "apple banana"), // identical ⇒ tied scores
+      (3L, "apple cherry date egg fig"),          // longer ⇒ lower BM25 for 'apple'
+      (4L, "melon kiwi")).toDF("doc_id", "text")
+    val qs = Seq((0L, "apple"), (1L, "zzzoov"), (2L, "banana fig"))
+      .toDF("query_id", "q_text")
+    val got = TextAnalysis.bm25TopK(corpus, qs, k = 10) // k > any candidate count
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q0 = got.filter(_._1 == 0L)
+    assert(q0.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      s"expected short docs first, doc_id tie-break for the twins: ${q0.toSeq}")
+    assert(q0(0)._3 == q0(1)._3 && q0(0)._3 > q0(2)._3)
+    // out-of-vocabulary query: no candidates, no rows — and never an error
+    assert(!got.exists(_._1 == 1L), s"OOV query must match nothing: ${got.toSeq}")
+    // multi-term query: both matching docs surface even with k > candidates
+    assert(got.filter(_._1 == 2L).map(_._2).toSet == Set(1L, 2L, 3L))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.operators.{Dedup, DiskUsageOp, Hygiene, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,35 @@ object SparkEntry {
     */
   private def slashKey(cols: Column*): Column =
     concat(cols.map(_.cast("string")).flatMap(c => Seq(c, lit("/"))).dropRight(1): _*)
+
+  /** The documents fixture carries no URL column, so the hygiene rows
+    * derive a deterministic MESSY url per doc — five variant families
+    * (clean / upper+www+trailing-slash / default-port+utm / id-param+utm+
+    * fragment / other-domain+port+fbclid) chosen so canonicalization
+    * genuinely merges cross-family (same path, different mess) and the
+    * domain filter has a blocked family. The oracle builds the identical
+    * CASE.
+    */
+  private def withSyntheticUrl(docs: DataFrame): DataFrame = {
+    val p = (col("doc_id") % 8).cast("string")
+    val q = (col("doc_id") % 7).cast("string")
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("https://example.com/articles/"), p))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTPS://WWW.EXAMPLE.COM/articles/"), p, lit("/")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://example.com:443/articles/"), p,
+            lit("?utm_source=feed&utm_medium=rss")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://example.com/articles/"), p, lit("?id="), q,
+            lit("&utm_campaign=x#frag")))
+        .otherwise(
+          concat(lit("http://tracker.example.org:80/articles/"), p,
+            lit("?fbclid=abc")))
+        .as("url"))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1132,6 +1161,28 @@ object SparkEntry {
     }),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
+    "dedup_substring" -> ((s, dir) =>
+      // Lee et al. 2022 ExactSubstr granularity: maximal spans whose every
+      // 4-token OVERLAPPING window repeats corpus-wide (any offset — what
+      // the k-aligned chunk pass cannot see)
+      Dedup.substringSpans(t(s, dir, "documents"), k = 4)
+        .orderBy(col("doc_id"), col("span_start"))),
+    "dedup_substring_scrub" -> ((s, dir) =>
+      // the remove-all-but-one application pass: canonical (corpus-first)
+      // occurrence keeps its tokens, later occurrences lose exactly the
+      // repeated ones
+      Dedup.substringScrub(t(s, dir, "documents"), k = 4)
+        .orderBy(col("doc_id"))),
+    "hygiene_url_dedup" -> ((s, dir) =>
+      Hygiene.urlDedup(withSyntheticUrl(t(s, dir, "documents")))
+        .orderBy(col("canonical_url"))),
+    "hygiene_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      Hygiene.domainFilter(
+        withSyntheticUrl(t(s, dir, "documents")),
+        Seq("example.org", "ads.invalid").toDF("domain"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_chunk_scrub" -> ((s, dir) =>
       // the APPLICATION pass over dedup_chunks' diagnosis: strip chunks
       // repeated across >1 distinct docs, reassemble the survivors in
@@ -2462,6 +2513,154 @@ object SparkEntry {
         |       CAST(b.n_chunks - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
         |FROM base b LEFT JOIN kept k USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    "dedup_substring" ->
+      // every OVERLAPPING 4-token window position whose window text repeats
+      // corpus-wide (COUNT over the window md5 ≥ 2), merged per doc into
+      // maximal intervals via running-max break detection — identical rule
+      // to Dedup.substringSpans. Positions 1-based; the -1000000000 break
+      // sentinel matches the Spark side (p ≥ 1 always)
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, p, md5(array_to_string(ts[p:p+3], ' ')) AS gh
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-3)) AS p
+        |        FROM toks WHERE len(ts) >= 4)),
+        |occ AS (
+        |  SELECT doc_id, p FROM
+        |    (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gh) AS c FROM g)
+        |  WHERE c >= 2),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN p > COALESCE(MAX(p) OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000000) + 4
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM occ),
+        |i2 AS (
+        |  SELECT doc_id, p,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |       CAST(MAX(p)+3 AS BIGINT) AS span_end,
+        |       CAST(MAX(p)+3-MIN(p)+1 AS BIGINT) AS n_tokens
+        |FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_scrub" ->
+      // same duplicated-window universe; canonical occurrence = row_number 1
+      // by (doc_id, p) within the window hash; a token survives iff not
+      // covered by any duplicated window OR covered by a canonical one
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS q FROM toks),
+        |g AS (
+        |  SELECT doc_id, p, md5(array_to_string(ts[p:p+3], ' ')) AS gh
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-3)) AS p
+        |        FROM toks WHERE len(ts) >= 4)),
+        |docc AS (
+        |  SELECT doc_id, p,
+        |         COUNT(*) OVER (PARTITION BY gh) AS c,
+        |         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+        |  FROM g),
+        |dup AS (SELECT doc_id, p, (rn = 1) AS canon FROM docc WHERE c >= 2),
+        |cover AS (
+        |  SELECT doc_id, p + off AS q, MAX(canon) AS canon_cover
+        |  FROM (SELECT doc_id, p, canon, unnest(generate_series(0, 3)) AS off FROM dup)
+        |  GROUP BY 1, 2),
+        |keepj AS (
+        |  SELECT t.doc_id, t.q, t.tok, COALESCE(c.canon_cover, TRUE) AS keep
+        |  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.q = t.q)
+        |SELECT doc_id,
+        |       COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY q), '') AS scrubbed_text,
+        |       COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM keepj GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "hygiene_url_dedup" ->
+      // the synthetic-url CASE mirrors withSyntheticUrl; the
+      // canonicalization CTE chain mirrors Hygiene.canonicalizeUrl step
+      // for step (fragment, lower scheme/host, default port, www,
+      // tracked params, trailing ?/). DuckDB regexp_replace needs the
+      // explicit 'g' flag where Spark replaces all matches
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://example.com/articles/' || CAST(doc_id % 8 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/articles/' || CAST(doc_id % 8 AS VARCHAR) || '/'
+        |      WHEN 2 THEN 'https://example.com:443/articles/' || CAST(doc_id % 8 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
+        |      WHEN 3 THEN 'https://example.com/articles/' || CAST(doc_id % 8 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x#frag'
+        |      ELSE 'http://tracker.example.org:80/articles/' || CAST(doc_id % 8 AS VARCHAR) || '?fbclid=abc'
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS f FROM raw),
+        |s2 AS (SELECT doc_id, f,
+        |       lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |       lower(regexp_extract(f, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, scheme,
+        |       CASE WHEN scheme = 'http' AND hostport LIKE '%:80' THEN substr(hostport, 1, length(hostport)-3)
+        |            WHEN scheme = 'https' AND hostport LIKE '%:443' THEN substr(hostport, 1, length(hostport)-4)
+        |            ELSE hostport END AS h1,
+        |       CASE WHEN scheme = '' THEN f
+        |            ELSE substr(f, length(scheme) + 3 + length(hostport) + 1) END AS rest
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, scheme,
+        |       CASE WHEN h1 LIKE 'www.%' THEN substr(h1, 5) ELSE h1 END AS host,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         rest, '&(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |         '\?(utm_[^=&]*|fbclid|gclid)=[^&]*&', '?'),
+        |         '\?(utm_[^=&]*|fbclid|gclid)=[^&]*$', ''),
+        |         '\?$', '') AS r
+        |       FROM s3),
+        |s5 AS (SELECT doc_id,
+        |       CASE WHEN scheme = '' THEN r ELSE scheme || '://' || host || r END AS j
+        |       FROM s4),
+        |canon AS (SELECT doc_id,
+        |       CASE WHEN j LIKE '%/' AND j NOT LIKE '%://' THEN substr(j, 1, length(j)-1) ELSE j END AS canonical_url
+        |       FROM s5)
+        |SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hygiene_domain_filter" ->
+      // same canonicalization chain; registered domain = last two
+      // dot-labels of the (port-stripped) host; blocklist anti-join
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://example.com/articles/' || CAST(doc_id % 8 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/articles/' || CAST(doc_id % 8 AS VARCHAR) || '/'
+        |      WHEN 2 THEN 'https://example.com:443/articles/' || CAST(doc_id % 8 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
+        |      WHEN 3 THEN 'https://example.com/articles/' || CAST(doc_id % 8 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x#frag'
+        |      ELSE 'http://tracker.example.org:80/articles/' || CAST(doc_id % 8 AS VARCHAR) || '?fbclid=abc'
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS f FROM raw),
+        |s2 AS (SELECT doc_id, f,
+        |       lower(regexp_extract(f, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |       lower(regexp_extract(f, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, scheme,
+        |       CASE WHEN scheme = 'http' AND hostport LIKE '%:80' THEN substr(hostport, 1, length(hostport)-3)
+        |            WHEN scheme = 'https' AND hostport LIKE '%:443' THEN substr(hostport, 1, length(hostport)-4)
+        |            ELSE hostport END AS h1,
+        |       CASE WHEN scheme = '' THEN f
+        |            ELSE substr(f, length(scheme) + 3 + length(hostport) + 1) END AS rest
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, scheme,
+        |       CASE WHEN h1 LIKE 'www.%' THEN substr(h1, 5) ELSE h1 END AS host,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         rest, '&(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |         '\?(utm_[^=&]*|fbclid|gclid)=[^&]*&', '?'),
+        |         '\?(utm_[^=&]*|fbclid|gclid)=[^&]*$', ''),
+        |         '\?$', '') AS r
+        |       FROM s3),
+        |s5 AS (SELECT doc_id,
+        |       CASE WHEN scheme = '' THEN r ELSE scheme || '://' || host || r END AS j
+        |       FROM s4),
+        |canon AS (SELECT doc_id,
+        |       CASE WHEN j LIKE '%/' AND j NOT LIKE '%://' THEN substr(j, 1, length(j)-1) ELSE j END AS canonical_url
+        |       FROM s5),
+        |dom AS (SELECT doc_id, canonical_url,
+        |       regexp_extract(regexp_replace(
+        |         regexp_extract(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |         ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |       FROM canon)
+        |SELECT doc_id, canonical_url, domain FROM dom
+        |WHERE domain NOT IN ('example.org', 'ads.invalid')
+        |ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),

@@ -785,7 +785,7 @@ object Dedup {
       // of p over preceding rows finds the break points, cumulative sum of
       // breaks numbers the islands
       .withColumn("brk",
-        when(col("p") > coalesce(max(col("p")).over(prev), lit(Long.MinValue)) + k, 1L)
+        when(col("p") > coalesce(max(col("p")).over(prev), lit(-1000000000L)) + k, 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("brk")).over(w))
       .groupBy(col("id"), col("island"))

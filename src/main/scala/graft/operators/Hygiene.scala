@@ -45,7 +45,8 @@ object Hygiene {
     val f = regexp_replace(u, "#.*", "")
     val scheme = lower(regexp_extract(f, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(f, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val rest = f.substr(length(scheme) + lit(3) + length(hostport) + lit(1), length(f))
+    val rest = when(scheme === "", f)
+      .otherwise(f.substr(length(scheme) + lit(3) + length(hostport) + lit(1), length(f)))
     val noPort = when(scheme === "http" && hostport.endsWith(":80"),
         hostport.substr(lit(1), length(hostport) - 3))
       .when(scheme === "https" && hostport.endsWith(":443"),
@@ -75,8 +76,10 @@ object Hygiene {
     */
   def registeredDomain(canonicalUrl: Column): Column =
     regexp_extract(
-      regexp_extract(canonicalUrl, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
-      "([^.]+\\.[^.]+)(:[0-9]+)?$", 1)
+      regexp_replace(
+        regexp_extract(canonicalUrl, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        ":[0-9]+$", ""),
+      "([^.]+\\.[^.]+)$", 1)
 
   /** URL-exact dedup after canonicalization: one hash aggregation keyed on
     * the canonical URL (single exchange, map-side partials — the A1

@@ -1718,4 +1718,99 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-term query: both matching docs surface even with k > candidates
     assert(got.filter(_._1 == 2L).map(_._2).toSet == Set(1L, 2L, 3L))
   }
+
+  // ------------------------------------------------------------ substring dedup
+
+  test("substring spans: planted repeated passage found at any offset, merged maximal") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta"  // 6 tokens
+    val corpus = Seq(
+      (1L, s"unique one two $passage tail1 tail2"),          // passage at pos 4
+      (2L, s"$passage other stuff here entirely"),           // same passage at pos 1
+      (3L, "totally different words nothing shared here ok"),
+      (4L, "self rep self rep self rep self rep end")        // within-doc repeat
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(corpus, k = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: passage tokens 4-9; doc 2: tokens 1-6; doc 3 absent;
+    // doc 4: "self rep" x4 — every 4-window inside 1..8 repeats → span 1-8
+    assert(spans == Seq((1L, 4L, 9L, 6L), (2L, 1L, 6L, 6L), (4L, 1L, 8L, 8L)),
+      s"got $spans")
+  }
+
+  test("substring scrub: canonical occurrence keeps its tokens, later ones lose exactly them") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, s"unique one two $passage tail1 tail2"),
+      (2L, s"$passage other stuff here entirely"),
+      (3L, "short doc")  // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(corpus, k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      // doc 1 holds the canonical (corpus-first) occurrence — fully kept
+      (1L, s"unique one two $passage tail1 tail2", 11L, 0L),
+      // doc 2's copy is scrubbed; its unique tail survives
+      (2L, "other stuff here entirely", 10L, 6L),
+      (3L, "short doc", 2L, 0L)), s"got $got")
+  }
+
+  // ------------------------------------------------------------ hygiene
+
+  test("url canonicalization: case/port/www/tracking/fragment/slash variants collapse") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://example.com/articles/7",
+      "HTTPS://WWW.EXAMPLE.COM/articles/7/",
+      "https://example.com:443/articles/7?utm_source=a&utm_medium=b",
+      "https://example.com/articles/7?utm_campaign=x#frag",
+      "http://example.com:80/articles/7",           // http default port
+      "https://example.com/articles/7?id=3&utm_campaign=x",  // real param kept
+      "not a url at all").toDF("url")
+    val got = urls.select(Hygiene.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "https://example.com/articles/7",
+      "https://example.com/articles/7",
+      "https://example.com/articles/7",
+      "https://example.com/articles/7",
+      "http://example.com/articles/7",   // scheme differs → distinct
+      "https://example.com/articles/7?id=3",
+      "not a url at all"), s"got $got")
+  }
+
+  test("url dedup groups canonical variants; domain filter blocks subdomains too") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "HTTPS://WWW.EXAMPLE.COM/a/"),
+      (3L, "https://example.com/b?utm_source=x"),
+      (4L, "http://tracker.ads.net/z"),       // registered domain ads.net
+      (5L, "https://ads.net/z2")).toDF("doc_id", "url")
+    val dd = Hygiene.urlDedup(rows).orderBy("canonical_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dd == Seq(
+      ("http://tracker.ads.net/z", 4L, 1L),
+      ("https://ads.net/z2", 5L, 1L),
+      ("https://example.com/a", 1L, 2L),
+      ("https://example.com/b", 3L, 1L)), s"got $dd")
+    val blocked = Seq("ads.net").toDF("domain")
+    val kept = Hygiene.domainFilter(rows, blocked).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(kept == Seq(
+      (1L, "https://example.com/a", "example.com"),
+      (2L, "https://example.com/a", "example.com"),
+      (3L, "https://example.com/b", "example.com")), s"got $kept")
+    // 100 TB contract: canonicalize+filter rides the scan — the blocklist
+    // anti-join broadcasts, the corpus side never exchanges
+    val plan = Hygiene.domainFilter(rows, blocked)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"domain filter must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"blocklist must broadcast:\n$plan")
+  }
 }

@@ -46,7 +46,13 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir/documents")
     }
 
-    def timed(name: String)(f: => Long): Unit = {
+    // SPARK_GRAFT_SMOKE_ONLY=<substring> runs only the sections whose label
+    // contains it (fixture prep still runs). The full sweep is ~6 min and
+    // single-shot ±2× host variance; re-measuring ONE section in a quiet
+    // window shouldn't pay for the other twenty.
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+    def enabled(name: String): Boolean = only.forall(name.contains)
+    def timed(name: String)(f: => Long): Unit = if (enabled(name)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"[scale-smoke] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -293,7 +299,7 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    for (skew <- Seq("false", "true")) {
+    for (skew <- Seq("false", "true") if enabled("interval join hot bin")) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
       val agg = graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid"))
         .agg(sum(col("a_eid") + col("b_eid")))

@@ -360,6 +360,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
   }
 
+  /** Persist an externally-composed DataFrame into the same session-tracked
+    * cache pool as the shingle indexes (released by [[uncacheAll]]): lets a
+    * query share ONE materialization of an expensive pair list across
+    * several consumers (e.g. a base/delta split that reads it three times)
+    * without leaking storage past the next uncache point.
+    */
+  def cached(df: DataFrame): DataFrame = {
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(c)
+    c
+  }
+
   /** Release exactly the shingle indexes this object has persisted — call
     * between dedup rounds in long-lived services so superseded indexes
     * don't accumulate in the block manager. Touches nothing else the

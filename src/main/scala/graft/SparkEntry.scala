@@ -1295,6 +1295,27 @@ object SparkEntry {
           col("clean_text"))
         .orderBy(col("doc_id"))
     }),
+    "text_gopher_filter" -> ((s, dir) => {
+      // Gopher document-level quality rules over a deterministically
+      // synthesized structure (the corpus has no newlines/bullets):
+      // 'customer' injects the required stopword 'with', 'line ' ends a
+      // punctuated line, 'slow ' an ellipsis line, 'value ' starts a
+      // bullet line. Thresholds sized so every discriminating rule fires
+      // on the fixture: word bounds (93 docs out), symbol ratio (6),
+      // ellipsis-line frac (210), bullet-line frac @40% (100), alpha-word
+      // frac @94% (53), stopword hits (189) — 120 of 500 keep=true. All
+      // verdicts are pure integer comparisons: no float in either engine.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        replace(replace(replace(replace(concat(col("text"), lit(" ")),
+          lit("customer "), lit("customer with ")),
+          lit("line "), lit("line.\n")),
+          lit("slow "), lit("slow...\n")),
+          lit("value "), lit("\n- value ")).as("text"))
+      TextAnalysis.gopherRules(docs, minWords = 30, maxWords = 120,
+          maxBulletLinePct = 40, minAlphaWordPct = 94)
+        .orderBy(col("doc_id"))
+    }),
     "text_chunk_windows" -> ((s, dir) =>
       // overlapping context-window chunking: 12-token windows at stride 8
       // (4 tokens of overlap), every token in ≥1 window, short final window
@@ -2789,6 +2810,42 @@ object SparkEntry {
          |       CAST(len(kept) AS BIGINT) AS n_kept,
          |       array_to_string(kept, chr(10)) AS clean_text
          |FROM k WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin,
+    "text_gopher_filter" ->
+      // identical synthesis, then the identical integer rule arithmetic —
+      // cross-multiplied thresholds, no ratio ever materializes
+      s"""WITH syn AS (
+         |  SELECT doc_id,
+         |         replace(replace(replace(replace(text || ' ',
+         |           'customer ', 'customer with '),
+         |           'line ', 'line.' || chr(10)),
+         |           'slow ', 'slow...' || chr(10)),
+         |           'value ', chr(10) || '- value ') AS text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[ \n]'), w -> w <> '') AS ws,
+         |    string_split(text, chr(10)) AS lines, text AS txt
+         |  FROM syn),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, w -> strlen(w))) AS BIGINT) AS sum_word_len,
+         |    CAST(strlen(txt) - strlen(replace(txt, '#', '')) AS BIGINT)
+         |      + CAST((strlen(txt) - strlen(replace(txt, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      w -> list_contains(ws, w))) AS BIGINT) AS stop_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines, n_bullet_lines,
+         |       n_ellipsis_lines, n_alpha_words, stop_hits,
+         |       (n_words BETWEEN 30 AND 120 AND sum_word_len BETWEEN 3*n_words AND 10*n_words
+         |        AND n_symbols*100 <= n_words*10 AND n_bullet_lines*100 <= n_lines*40
+         |        AND n_ellipsis_lines*100 <= n_lines*30 AND n_alpha_words*100 >= n_words*94
+         |        AND stop_hits >= 2) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_chunk_windows" ->
       // windows [i*8+1, i*8+12] over the whitespace token list, 1-based
       // stop-inclusive list_slice ≡ Spark's slice(toks, start, 12)

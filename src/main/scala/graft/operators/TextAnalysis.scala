@@ -555,6 +555,68 @@ object TextAnalysis {
   def c4KeepLambdaSql(minWords: Int = 3): String =
     s"l -> regexp_matches(l, '[.!?\"]$$') AND len(string_split(l, ' ')) >= $minWords"
 
+  /** Gopher-required stopwords (Rae et al. 2021 Appendix A1.2). */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, MassiveText
+    * filtering, Appendix A1.2): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, bullet-line and ellipsis-line
+    * fractions, alphabetic-word fraction, and a required-stopword count —
+    * the other public quality-rule family next to [[c4LineFilter]]'s
+    * line screen (C4 judges lines, Gopher judges whole documents).
+    *
+    * Every rule is evaluated in INTEGER arithmetic — ratio thresholds are
+    * cross-multiplied (mean word length in [3,10] is `3·n ≤ Σlen ≤ 10·n`,
+    * "≤ 10% symbols" is `100·sym ≤ 10·n`), so no float ever materializes
+    * and the verdicts replay bit-for-bit in any engine. Entirely
+    * row-local (splits + higher-order folds): zero exchanges at any
+    * corpus size.
+    *
+    * Emits per-rule counts plus the composite `keep`, so downstream can
+    * filter on `keep` or re-threshold the counts without a second scan.
+    * Words are `[ \n]`-separated non-empty runs of the lowercased text;
+    * symbols are `#` and non-overlapping `...` occurrences; bullet lines
+    * start `- ` or `* `; ellipsis lines end `...`.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10,
+      maxSymbolWordPct: Int = 10, maxBulletLinePct: Int = 90,
+      maxEllipsisLinePct: Int = 30, minAlphaWordPct: Int = 80,
+      minStopwordHits: Int = 2): DataFrame =
+    docs
+      .select(col(idCol),
+        expr(s"filter(split(lower($textCol), '[ \\n]'), w -> w <> '')").as("ws"),
+        split(col(textCol), "\n").as("lines"),
+        col(textCol).as("txt"))
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+          .as("sum_word_len"),
+        ((length(col("txt")) - length(replace(col("txt"), lit("#"), lit("")))).cast("long") +
+          ((length(col("txt")) -
+            length(replace(col("txt"), lit("..."), lit("")))) / lit(3)).cast("long"))
+          .as("n_symbols"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr("size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))")
+          .cast("long").as("n_bullet_lines"),
+        expr("size(filter(lines, l -> l LIKE '%...'))")
+          .cast("long").as("n_ellipsis_lines"),
+        expr("size(filter(ws, w -> w rlike '[a-z]'))")
+          .cast("long").as("n_alpha_words"),
+        expr(s"size(filter(array(${GopherStopwords.map(w => s"'$w'").mkString(",")}), " +
+          "w -> array_contains(ws, w)))").cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("sum_word_len") >= col("n_words") * minMeanWordLen &&
+          col("sum_word_len") <= col("n_words") * maxMeanWordLen &&
+          col("n_symbols") * 100 <= col("n_words") * maxSymbolWordPct &&
+          col("n_bullet_lines") * 100 <= col("n_lines") * maxBulletLinePct &&
+          col("n_ellipsis_lines") * 100 <= col("n_lines") * maxEllipsisLinePct &&
+          col("n_alpha_words") * 100 >= col("n_words") * minAlphaWordPct &&
+          col("stop_hits") >= minStopwordHits)
+
   /** Overlapping context-window chunking — the step that turns variable
     * length documents into fixed-budget training sequences (window `size`
     * tokens, stride `stride` < size ⇒ `size − stride` tokens of overlap so

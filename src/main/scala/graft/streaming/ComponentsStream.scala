@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Dedup
+
+/** Streaming incremental connected components — the daily-refresh dedup
+  * deployment shape, composed from two verified pieces: micro-batches of
+  * near-dup delta pairs drive [[graft.operators.Dedup.componentsIncremental]]
+  * against a labels table held across batches.
+  *
+  * Reference scope note: the reference engine has no graph or streaming
+  * surface at all (its whole pipeline is `handler.go:77-92`); this is part
+  * of the build's training-data-pipeline extension mandate.
+  *
+  * Why `foreachBatch` and not `flatMapGroupsWithState`: the label fixpoint
+  * is a GLOBAL structure — one delta edge can merge components whose
+  * members live under different grouping keys, so no per-key state
+  * partitioning is faithful. The standard Spark shape for cross-key
+  * incremental state is a batch-maintained table updated per micro-batch
+  * (the same pattern as [[DiskUsageStream]]'s snapshot), with the
+  * incremental-merge operator doing O(delta) work per batch.
+  *
+  * Scale shape per batch: exactly [[Dedup.componentsIncremental]] — the
+  * iterative closure runs on the O(delta) contracted label graph, the
+  * labels table is touched by ONE broadcast-mapped scan. The store cuts
+  * lineage each swap (checkpoint-free `createDataFrame(rdd, schema)`), so
+  * batch N's plan never re-derives batches 0..N-1, and persists the new
+  * labels BEFORE unpersisting the old so a concurrent reader never sees a
+  * cold table.
+  *
+  * Failure/replay contract (the `foreachBatch` at-least-once reality):
+  * merging is IDEMPOTENT — re-delivering a batch whose pairs are already
+  * reflected in the labels is a no-op, because the contracted delta graph
+  * then collapses onto existing labels and the min-label mapping is the
+  * identity (tested). A merge that THROWS leaves the previous labels
+  * intact (the swap happens only after the new table materializes) — same
+  * keep-old-snapshot semantics as the reference's fixed refresh loop.
+  */
+object ComponentsStream {
+
+  /** Labels fixpoint held across micro-batches. Constructed from an
+    * initial [[Dedup.components]] fixpoint (or an empty (doc_id,
+    * component) frame for a cold start).
+    */
+  final class LabelStore(spark: SparkSession, initial: DataFrame) {
+    private def materialize(df: DataFrame): DataFrame = {
+      val cut = spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count() // force now: a failed merge must fail BEFORE the swap
+      cut
+    }
+    private val ref = new AtomicReference[DataFrame](materialize(
+      initial.select(col("doc_id"), col("component"))))
+
+    /** The current labels fixpoint (doc_id, component) — always a fully
+      * materialized table, never a mid-merge view.
+      */
+    def current: DataFrame = ref.get()
+
+    /** Merge one micro-batch of delta pairs (doc_a, doc_b); O(delta)
+      * iterative work + one labels scan, then an atomic swap.
+      */
+    def merge(deltaPairs: DataFrame): Unit = {
+      val old = ref.get()
+      if (!deltaPairs.isEmpty) {
+        val next = materialize(Dedup.componentsIncremental(old, deltaPairs))
+        ref.set(next)
+        old.unpersist()
+      }
+    }
+  }
+
+  /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
+  def sink(store: LabelStore): (DataFrame, Long) => Unit =
+    (batch, _) => store.merge(batch)
+
+  /** Wire a streaming (doc_a, doc_b) pair source into `store` and start
+    * the query. Callers read `store.current` at any time.
+    */
+  def run(pairs: DataFrame, store: LabelStore,
+          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(store))
+      .outputMode("update")
+      .start()
+}

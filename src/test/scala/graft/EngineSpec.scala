@@ -1156,6 +1156,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
   }
 
+  test("Gopher rules: each rule culls its planted violator; verdicts integer-exact") {
+    import spark.implicits._
+    val good = "the cat and dog have come to sit with all of that fine crew " +
+      "here today because every word in this document is a normal one indeed"
+    val docs = Seq(
+      (1L, good),                                        // passes every rule
+      (2L, "the of and that short"),                     // too few words
+      (3L, good.replaceAll("\\b(cat|dog|sit|all|crew)\\b",
+        "extraordinarily")),                             // still fine (len 3-10)
+      (4L, good + " ### ## #"),                          // symbol-heavy
+      (5L, ("- bullet line one\n" * 9) + good),          // >50% bullet lines
+      (6L, ("trailing line...\n" * 9) + good),           // >30% ellipsis lines
+      (7L, good + " " + (1 to 12).mkString(" ")),        // digit words kill alpha frac
+      (8L, good.replace("the ", "xx ").replace("and ", "yy ")
+        .replace("that ", "zz ").replace("have ", "qq ")
+        .replace("with ", "rr ").replace("to ", "pp ").replace("of ", "oo "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 10, maxWords = 100,
+        maxBulletLinePct = 50, minAlphaWordPct = 80)
+      .collect().map(r => (r.getLong(0), r.getBoolean(9))).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false), s"verdicts: $out")
+    // the planted 15-char words push doc 3's mean over a tight max bound
+    val tight = TextAnalysis.gopherRules(docs.filter(col("doc_id") === 3L),
+      minWords = 10, maxMeanWordLen = 4).collect()
+    assert(!tight.head.getBoolean(9), "mean-word-length bound must fire")
+    // entirely row-local: no exchange anywhere in the rules pass
+    val plan = TextAnalysis.gopherRules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"Gopher rules must be narrow:\n$plan")
+  }
+
   test("incremental components equals full recompute: merges, chains, new nodes") {
     import spark.implicits._
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
@@ -1170,6 +1201,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc == full, s"incremental $inc vs full $full")
     // untouched components keep their labels without any delta contact
     assert(inc.contains((20L, 20L)) && inc.contains((31L, 20L)))
+    Dedup.uncacheAll()
+  }
+
+  test("streaming incremental components: multi-batch equals full recompute; replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.ComponentsStream
+    val dir = Files.createTempDirectory("ccstream").toString
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val store = new ComponentsStream.LabelStore(spark, Dedup.components(base))
+    val in = MemoryStream[(Long, Long)](spark)
+    val q = ComponentsStream.run(
+      in.toDF().toDF("doc_a", "doc_b"), store, s"$dir/ckpt")
+    def labels = store.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // batch 1 merges two existing components; batch 2 attaches a new
+      // chain to a third; arrival order is shuffled vs edge direction
+      in.addData((3L, 1L), (2L, 10L))
+      q.processAllAvailable()
+      in.addData((21L, 30L), (30L, 31L))
+      q.processAllAvailable()
+      val all = base.unionAll(
+        Seq((3L, 1L), (2L, 10L), (21L, 30L), (30L, 31L)).toDF("doc_a", "doc_b"))
+      val full = Dedup.components(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels == full, s"streamed $labels vs full recompute $full")
+    } finally q.stop()
+    // at-least-once replay: re-merging already-reflected pairs is a no-op
+    val before = labels
+    ComponentsStream.sink(store)(
+      Seq((21L, 30L), (30L, 31L)).toDF("doc_a", "doc_b"), 99L)
+    assert(labels == before, "replayed batch must not change the fixpoint")
+    // empty batch is a no-op and must not swap the table
+    val tbl = store.current
+    ComponentsStream.sink(store)(
+      spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b"), 100L)
+    assert(store.current eq tbl, "empty batch must keep the same table")
     Dedup.uncacheAll()
   }
 

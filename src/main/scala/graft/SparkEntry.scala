@@ -1094,6 +1094,28 @@ object SparkEntry {
           lit(" type "), col("event_type")).as("text"))
       TextAnalysis.scrub(raw, "event_id", "text").orderBy(col("event_id"))
     }),
+    "text_pii_stats" -> ((s, dir) => {
+      // deterministic PII planting (the corpus has none): emails on
+      // doc_id%3, TEST-NET IPs on %4, formatted phones on %5, a
+      // Luhn-VALID card on %7 and a Luhn-INVALID 16-digit run on %11 —
+      // candidate counts vs validated cards discriminate exactly on the
+      // integer mod-10 checksum
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.invalid"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, concat(lit(" from 203.0.113."),
+            (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call +1 555 010 "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" card 4111111111111111 ok")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" card 4111111111111112 bad")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.piiStats(docs).orderBy(col("doc_id"))
+    }),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
     "text_rarity" -> ((s, dir) =>
@@ -1268,6 +1290,16 @@ object SparkEntry {
           "doc_id", col("w"), k = 100, maxWeight = 8)
         .select(col("doc_id"), col("lang"), col("weight"), col("sample_key"))
         .orderBy(col("sample_key"), col("doc_id"))),
+    "split_dsir_weights" -> ((s, dir) =>
+      // importance weights toward the German slice as the target corpus:
+      // docs whose hashed-bucket distribution looks de-like score high —
+      // two dims-row collected count maps folded back as literals, the
+      // raw corpus scored in ONE narrow row-local pass (no explode, no
+      // exchange)
+      Splits.dsirWeights(
+        t(s, dir, "documents"),
+        t(s, dir, "documents").filter(col("lang") === "de"), dims = 64)
+        .orderBy(col("doc_id"))),
     "split_global_order" -> ((s, dir) =>
       // deterministic epoch shuffle: global rank in md5(id:seed) order via
       // monotone leading-byte shards — per-shard ranks + broadcast prefix
@@ -2404,6 +2436,40 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
          |FROM raw ORDER BY event_id""".stripMargin
     },
+    "text_pii_stats" -> {
+      // identical planting, identical patterns (interpolated from the
+      // shared constants), identical integer Luhn fold over the reversed
+      // digit string
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      val cd = TextAnalysis.CardPattern
+      s"""WITH syn AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.invalid' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' from 203.0.113.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 010 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111 ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' card 4111111111111112 bad' ELSE '' END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+         |    CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(text, '$cd')) AS BIGINT) AS n_card_candidates,
+         |    CAST(len(list_filter(regexp_extract_all(text, '$cd'),
+         |      d -> list_sum(list_transform(generate_series(1, strlen(d)),
+         |        i -> CASE WHEN i % 2 = 0
+         |          THEN 2 * (ascii(substring(reverse(d), i, 1)) - 48) -
+         |            CASE WHEN ascii(substring(reverse(d), i, 1)) - 48 > 4 THEN 9 ELSE 0 END
+         |          ELSE ascii(substring(reverse(d), i, 1)) - 48 END)) % 10 = 0))
+         |      AS BIGINT) AS n_cards_valid
+         |  FROM syn)
+         |SELECT doc_id, n_emails, n_ipv4, n_phones, n_card_candidates, n_cards_valid,
+         |       (n_emails + n_ipv4 + n_phones + n_cards_valid > 0) AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "text_bpe_vocab" ->
       graft.operators.TextAnalysis.bpeVocabSql(4),
     "text_bpe_encode" ->
@@ -2785,6 +2851,37 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, lang, weight, sample_key FROM d
          |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    "split_dsir_weights" ->
+      // identical md5 feature hash, Laplace-smoothed counts, 6-dp-rounded
+      // lns, and a decimal contribution sum (exact, so Spark's in-array
+      // fold order and SQL's SUM agree bit-for-bit)
+      """WITH tgt AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents WHERE lang = 'de'),
+        |cT AS (SELECT CAST(('0x'||substring(md5(t),1,4)) AS BIGINT) % 64 AS b,
+        |              COUNT(*) AS n FROM tgt GROUP BY 1),
+        |rawt AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |cR AS (SELECT CAST(('0x'||substring(md5(t),1,4)) AS BIGINT) % 64 AS b,
+        |              COUNT(*) AS n FROM rawt GROUP BY 1),
+        |tT AS (SELECT SUM(n) + 64 AS tot FROM cT),
+        |tR AS (SELECT SUM(n) + 64 AS tot FROM cR),
+        |d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS t FROM d),
+        |tb AS (SELECT doc_id,
+        |              CAST(('0x'||substring(md5(t),1,4)) AS BIGINT) % 64 AS b
+        |       FROM tok),
+        |ctr AS (
+        |  SELECT doc_id,
+        |    ROUND(ROUND(ln((COALESCE(cT.n, 0) + 1.0) / tT.tot), 6)
+        |        - ROUND(ln((COALESCE(cR.n, 0) + 1.0) / tR.tot), 6), 6) AS c
+        |  FROM tb
+        |  LEFT JOIN cT USING (b) LEFT JOIN cR USING (b)
+        |  CROSS JOIN tT CROSS JOIN tR),
+        |w AS (SELECT doc_id,
+        |             ROUND(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_weight
+        |      FROM ctr GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens, w.log_weight
+        |FROM d JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
     "split_global_order" ->
       // the oracle ranks with one global window (fine at oracle scale);
       // the engine's two-level sharded rank must land on the same order

@@ -381,6 +381,65 @@ object Splits {
   /** The same shuffle key as SQL text, for oracle mirroring (the oracle
     * ranks with a single global window — tiny at oracle scale).
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how much its hashed bag-of-words distribution looks like a TARGET
+    * corpus rather than the raw corpus — log weight = Σ over the doc's
+    * tokens of ln p̂_target(bucket) − ln p̂_raw(bucket), with Laplace
+    * smoothing (+1 per bucket, +dims on the total). High-weight docs are
+    * the ones importance resampling keeps when curating toward the
+    * target mix.
+    *
+    * Scale shape: both distributions are `dims`-row aggregates collected
+    * to the driver and folded back in as LITERAL maps (the Lloyd's/BPE
+    * global-decision pattern — dims ≤ a few thousand, a broadcast-scalar
+    * amount of state), so scoring is a ROW-LOCAL higher-order fold over
+    * each doc's token array: the raw corpus never exchanges, never
+    * explodes, and the pass is one narrow scan at any corpus size.
+    *
+    * Cross-engine determinism (the [[graft.operators.TextAnalysis.lmScore]]
+    * discipline): bucket counts are exact integers via the shared md5
+    * feature hash; each token's contribution rounds its two lns to 6 dp;
+    * per-doc contributions decimal-sum (exact, order-free) and round once
+    * at the edge.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, dims: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val bucket = (t: Column) =>
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long") % dims
+    def counts(df: DataFrame): Map[Long, Long] = df
+      .select(explode(split(lower(col(textCol)), " ")).as("t"))
+      .select(bucket(col("t")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cntT, cntR) = (counts(target), counts(raw))
+    val (totT, totR) = (cntT.values.sum + dims, cntR.values.sum + dims)
+    val mapT = typedLit(cntT)
+    val mapR = typedLit(cntR)
+    val contrib = (t: Column) => {
+      val b = bucket(t)
+      round(
+        round(log((coalesce(element_at(mapT, b), lit(0L)) + lit(1.0)) / totT), 6) -
+          round(log((coalesce(element_at(mapR, b), lit(0L)) + lit(1.0)) / totR), 6),
+        6)
+    }
+    raw.select(col(idCol),
+        split(lower(col(textCol)), " ").as("ws"))
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_tokens"),
+        round(
+          aggregate(col("ws"),
+            lit(BigDecimal(0)).cast(DecimalType(28, 12)),
+            // re-cast per step: decimal + widens precision, but aggregate's
+            // merge must return the zero element's exact type
+            (acc, t) => (acc + contrib(t).cast(DecimalType(28, 12)))
+              .cast(DecimalType(28, 12)))
+            .cast("double"),
+          6).as("log_weight"))
+  }
+
   def shuffleKeySql(idExpr: String, seed: Long = 12345L): String =
     s"md5(CAST($idExpr AS VARCHAR)||':$seed')"
 }

@@ -186,6 +186,53 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
         .cast("long").as("n_urls"))
 
+  /** IPv4-shaped dotted quad (no lookaround — Java regex and RE2 agree). */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** International-format phone: +CC then three space-separated groups. */
+  val PhonePattern = "\\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{3,4}"
+
+  /** Payment-card candidate: a 13-19 digit run on word boundaries. */
+  val CardPattern = "\\b[0-9]{13,19}\\b"
+
+  /** PII DETECTION counts — the audit-side complement of [[scrub]]'s
+    * redaction: emails, IPv4 addresses, international-format phone
+    * numbers, and payment-card numbers, where card candidates are
+    * validated with the Luhn mod-10 checksum so a random 16-digit run is
+    * not reported as a card. The Luhn fold is pure integer arithmetic
+    * over the reversed digit string (double every second digit, subtract
+    * 9 above 9, sum mod 10) — replayable bit-for-bit in any engine, no
+    * float anywhere. All patterns stick to syntax Java regex and RE2
+    * interpret identically. Row-local, codegen'd, zero exchanges.
+    */
+  def piiStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val luhnValid =
+      """d -> aggregate(sequence(1, length(d)), 0,
+        |  (acc, i) -> acc +
+        |    CASE WHEN i % 2 = 0
+        |      THEN 2 * (ascii(substring(reverse(d), i, 1)) - 48) -
+        |        CASE WHEN ascii(substring(reverse(d), i, 1)) - 48 > 4
+        |          THEN 9 ELSE 0 END
+        |      ELSE ascii(substring(reverse(d), i, 1)) - 48 END) % 10 = 0
+        |""".stripMargin.replace("\n", " ")
+    docs
+      .select(col(idCol),
+        regexp_extract_all(col(textCol), lit(CardPattern), lit(0)).as("cands"),
+        col(textCol).as("txt"))
+      .select(col(idCol),
+        size(regexp_extract_all(col("txt"), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(Ipv4Pattern), lit(0)))
+          .cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("txt"), lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        size(col("cands")).cast("long").as("n_card_candidates"),
+        expr(s"size(filter(cands, $luhnValid))").cast("long").as("n_cards_valid"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_phones") + col("n_cards_valid") > 0)
+  }
+
   /** TF-IDF over whitespace tokens: term frequency per (doc, word), document
     * frequency per word, weight = tf · ln(N/df). Corpus size joins in as a
     * broadcast scalar (no driver-side action, no global state) — two keyed

@@ -1156,6 +1156,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
   }
 
+  test("PII stats: Luhn separates valid cards from candidates; patterns count exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),            // classic Luhn-valid visa
+      (2L, "pay with 4111111111111112 now"),            // last digit off: invalid
+      (3L, "amex 378282246310005 works"),               // 15-digit Luhn-valid
+      (4L, "order 123456789012 is short"),              // 12 digits: not a candidate
+      (5L, "mail a.b+c@ex.example from 10.0.0.1 call +44 201 555 0199"),
+      (6L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(1L) == (0L, 0L, 0L, 1L, 1L, true), s"doc1: ${out(1L)}")
+    assert(out(2L) == (0L, 0L, 0L, 1L, 0L, false), s"doc2: ${out(2L)}")
+    assert(out(3L) == (0L, 0L, 0L, 1L, 1L, true), s"doc3: ${out(3L)}")
+    assert(out(4L) == (0L, 0L, 0L, 0L, 0L, false), s"doc4: ${out(4L)}")
+    assert(out(5L) == (1L, 1L, 1L, 0L, 0L, true), s"doc5: ${out(5L)}")
+    assert(out(6L) == (0L, 0L, 0L, 0L, 0L, false), s"doc6: ${out(6L)}")
+    val plan = TextAnalysis.piiStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PII stats must be narrow:\n$plan")
+  }
+
+  test("DSIR weights: target==raw is identically zero; target-like docs outrank") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta", "x"),
+      (2L, "gamma delta gamma delta", "y"),
+      (3L, "alpha beta gamma delta", "x")
+    ).toDF("doc_id", "text", "lang")
+    // target == raw: every bucket ratio is 1, every log weight exactly 0
+    val zero = Splits.dsirWeights(raw, raw).collect().map(_.getDouble(2))
+    assert(zero.forall(_ == 0.0), s"self-weights must be 0: ${zero.toSeq}")
+    // target = doc 1's vocabulary: doc 1 must outrank doc 2, doc 3 between
+    val w = Splits.dsirWeights(raw, raw.filter(col("doc_id") === 1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L), s"ordering: $w")
+    // the scoring pass is one narrow scan: no exchange, no explode-join
+    val plan = Splits.dsirWeights(raw, raw).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"DSIR scoring must be narrow:\n$plan")
+  }
+
   test("Gopher rules: each rule culls its planted violator; verdicts integer-exact") {
     import spark.implicits._
     val good = "the cat and dog have come to sit with all of that fine crew " +

@@ -1094,6 +1094,19 @@ object SparkEntry {
           lit(" type "), col("event_type")).as("text"))
       TextAnalysis.scrub(raw, "event_id", "text").orderBy(col("event_id"))
     }),
+    "text_repetition_lines" -> ((s, dir) => {
+      // Gopher A1.1 line-level repetition: four line-break injections give
+      // ~8 lines/doc and 77 of 500 docs a within-doc duplicated line —
+      // dup and clean paths both exercised; all outputs integers
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        replace(replace(replace(replace(col("text"),
+          lit("line "), lit("line\n")),
+          lit("value "), lit("value\n")),
+          lit("table "), lit("table\n")),
+          lit("scan "), lit("scan\n")).as("text"))
+      TextAnalysis.lineRepetitionStats(docs).orderBy(col("doc_id"))
+    }),
     "text_pii_stats" -> ((s, dir) => {
       // deterministic PII planting (the corpus has none): emails on
       // doc_id%3, TEST-NET IPs on %4, formatted phones on %5, a
@@ -2436,6 +2449,28 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
          |FROM raw ORDER BY event_id""".stripMargin
     },
+    "text_repetition_lines" ->
+      // relational replay of the run-length fold: group lines per doc,
+      // tally occurrences in groups of size >= 2 — different algorithm,
+      // same integers
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |         replace(replace(replace(replace(text,
+        |           'line ', 'line' || chr(10)),
+        |           'value ', 'value' || chr(10)),
+        |           'table ', 'table' || chr(10)),
+        |           'scan ', 'scan' || chr(10)) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM syn),
+        |g AS (SELECT doc_id, line, COUNT(*) AS c, strlen(line) AS len
+        |      FROM l GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_lines,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+        |       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_line_occurrences,
+        |       CAST(SUM(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS dup_line_chars,
+        |       CAST(SUM(c * len) AS BIGINT) AS total_line_chars
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii_stats" -> {
       // identical planting, identical patterns (interpolated from the
       // shared constants), identical integer Luhn fold over the reversed

@@ -167,6 +167,49 @@ object TextAnalysis {
           col("top_bigram_n").cast("double") / col("n_bigrams"))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
 
+  /** Line-level repetition signals (Rae et al. 2021 Appendix A1.1 — the
+    * duplicate-line and duplicate-line-character fractions that complement
+    * [[repetitionStats]]' n-gram measures): for each document, how many
+    * line occurrences belong to a line that appears ≥ 2 times in the SAME
+    * document, and how many characters those occurrences carry. All
+    * outputs are integers — callers threshold `dup·100 ≤ total·pct`
+    * without a float ever materializing (the [[gopherRules]] discipline).
+    *
+    * Row-local: the duplicate-group tally is one fold over the SORTED
+    * line array (run-length accounting, finalized in the finish lambda),
+    * O(n log n) per document, zero exchanges — never the O(n²)
+    * contains-scan a naive per-line count would do on a 10k-line page.
+    */
+  def lineRepetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), "\n").as("lines"))
+      .select(col(idCol), col("lines"),
+        expr(
+          """aggregate(
+            |  array_sort(lines),
+            |  struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+            |         CAST(0 AS BIGINT) AS dup_occ, CAST(0 AS BIGINT) AS dup_chars),
+            |  (acc, x) -> IF(x <=> acc.prev,
+            |    struct(x AS prev, acc.run + 1L AS run,
+            |           acc.dup_occ AS dup_occ, acc.dup_chars AS dup_chars),
+            |    struct(x AS prev, CAST(1 AS BIGINT) AS run,
+            |           acc.dup_occ + IF(acc.run >= 2L, acc.run, 0L) AS dup_occ,
+            |           acc.dup_chars + IF(acc.run >= 2L,
+            |             acc.run * CAST(length(acc.prev) AS BIGINT), 0L) AS dup_chars)),
+            |  acc -> struct(
+            |    acc.dup_occ + IF(acc.run >= 2L, acc.run, 0L) AS dup_occ,
+            |    acc.dup_chars + IF(acc.run >= 2L,
+            |      acc.run * CAST(length(acc.prev) AS BIGINT), 0L) AS dup_chars))
+            |""".stripMargin).as("d"))
+      .select(col(idCol),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(array_distinct(col("lines"))).cast("long").as("n_distinct_lines"),
+        col("d.dup_occ").as("dup_line_occurrences"),
+        col("d.dup_chars").as("dup_line_chars"),
+        expr("aggregate(lines, CAST(0 AS BIGINT), (a, l) -> a + length(l))")
+          .as("total_line_chars"))
+
   /** PII scrubbing: redact emails and URLs with placeholder tokens and
     * count the redactions — the privacy pass of a training-data pipeline.
     * Patterns stick to character classes both Java regex and RE2 interpret

@@ -1156,6 +1156,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
   }
 
+  test("line repetition: run-length fold matches hand counts, final run finalized") {
+    import spark.implicits._
+    val docs = Seq(
+      // "dup" x3 (9 chars) + "solo" x1; the dup run is LAST in sorted
+      // order only if > "solo" — use zz to pin the finish-lambda path
+      (1L, "zz\nsolo\nzz\nzz"),
+      (2L, "a\nb\nc"),                 // all distinct
+      (3L, "same\nsame"),              // everything duplicated
+      (4L, "x\n\n\nx")                 // empty lines duplicate too
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineRepetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == (4L, 2L, 3L, 6L, 10L), s"doc1: ${out(1L)}")
+    assert(out(2L) == (3L, 3L, 0L, 0L, 3L), s"doc2: ${out(2L)}")
+    assert(out(3L) == (2L, 1L, 2L, 8L, 8L), s"doc3: ${out(3L)}")
+    assert(out(4L) == (4L, 2L, 4L, 2L, 2L), s"doc4: ${out(4L)}")
+    val plan = TextAnalysis.lineRepetitionStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line repetition must be narrow:\n$plan")
+  }
+
   test("PII stats: Luhn separates valid cards from candidates; patterns count exactly") {
     import spark.implicits._
     val docs = Seq(

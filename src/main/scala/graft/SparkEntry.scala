@@ -1094,6 +1094,23 @@ object SparkEntry {
           lit(" type "), col("event_type")).as("text"))
       TextAnalysis.scrub(raw, "event_id", "text").orderBy(col("event_id"))
     }),
+    "text_encoding_stats" -> ((s, dir) => {
+      // mojibake screen over deterministic damage planting: U+FFFD pairs
+      // on doc_id%6, C0 controls on %9, legitimate accents on %5 —
+      // damaged/clean and ascii/non-ascii all exercised; counts are code
+      // points in both engines
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0,
+            lit(" damaged �� here")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" ctl  end")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" café naïve")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.encodingStats(docs).orderBy(col("doc_id"))
+    }),
     "text_repetition_lines" -> ((s, dir) => {
       // Gopher A1.1 line-level repetition: four line-break injections give
       // ~8 lines/doc and 77 of 500 docs a within-doc duplicated line —
@@ -2449,6 +2466,24 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
          |FROM raw ORDER BY event_id""".stripMargin
     },
+    "text_encoding_stats" ->
+      // identical planting (controls built via chr() so no raw control
+      // bytes ride in SQL text), identical regex classes, length() =
+      // code points on both engines
+      s"""WITH syn AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' damaged �� here' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN ' ctl ' || chr(1) || chr(7) || ' end' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' café naïve' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+         |       CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS BIGINT) AS n_control,
+         |       CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS n_non_ascii,
+         |       (len(regexp_extract_all(text, '�')) +
+         |        len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) = 0) AS clean
+         |FROM syn ORDER BY doc_id""".stripMargin,
     "text_repetition_lines" ->
       // relational replay of the run-length fold: group lines per doc,
       // tally occurrences in groups of size >= 2 — different algorithm,

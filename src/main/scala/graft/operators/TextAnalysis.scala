@@ -167,6 +167,39 @@ object TextAnalysis {
           col("top_bigram_n").cast("double") / col("n_bigrams"))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
 
+  /** U+FFFD — what a decoder emits where bytes failed to decode. */
+  val ReplacementCharPattern = "�"
+
+  /** C0 controls except \t\n\r, plus DEL — never legitimate in prose. */
+  val ControlCharPattern = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /** Non-ASCII code points (legitimate in most languages — a RATE signal,
+    * not a defect by itself).
+    */
+  val NonAsciiPattern = "[^\\x00-\\x7f]"
+
+  /** Encoding-damage stats — the mojibake screen every crawl pipeline
+    * runs before spending tokens on broken text: U+FFFD replacement
+    * characters (a decoder already gave up there), stray C0/DEL control
+    * characters, and the non-ASCII count (a rate signal for
+    * language/binary-contamination heuristics, not a defect). Counts are
+    * integers (code points, not bytes — both engines count characters);
+    * `clean` is their zero-test. Row-local regexp counting, codegen'd,
+    * zero exchanges.
+    */
+  def encodingStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(regexp_extract_all(col(textCol), lit(ReplacementCharPattern), lit(0)))
+        .cast("long").as("n_replacement"),
+      size(regexp_extract_all(col(textCol), lit(ControlCharPattern), lit(0)))
+        .cast("long").as("n_control"),
+      size(regexp_extract_all(col(textCol), lit(NonAsciiPattern), lit(0)))
+        .cast("long").as("n_non_ascii"))
+      .withColumn("clean", col("n_replacement") + col("n_control") === 0)
+
   /** Line-level repetition signals (Rae et al. 2021 Appendix A1.1 — the
     * duplicate-line and duplicate-line-character fractions that complement
     * [[repetitionStats]]' n-gram measures): for each document, how many

@@ -1156,6 +1156,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
   }
 
+  test("encoding stats: replacement/control/non-ascii counted as code points") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "bad � here �� end"),      // 3 replacement chars
+      (3L, "ctl mid"),             // 3 controls
+      (4L, "café naïve résumé"), // 4 accents, still clean
+      (5L, "tab\tand\nnewline ok")                   // \t\n are NOT controls here
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) == (16L, 0L, 0L, 0L, true), s"doc1: ${out(1L)}")
+    assert(out(2L) == (17L, 3L, 0L, 3L, false), s"doc2: ${out(2L)}")
+    assert(out(3L) == (10L, 0L, 3L, 0L, false), s"doc3: ${out(3L)}")
+    assert(out(4L) == (17L, 0L, 0L, 4L, true), s"doc4: ${out(4L)}")
+    assert(out(5L) == (18L, 0L, 0L, 0L, true), s"doc5: ${out(5L)}")
+    val plan = TextAnalysis.encodingStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encoding stats must be narrow:\n$plan")
+  }
+
   test("line repetition: run-length fold matches hand counts, final run finalized") {
     import spark.implicits._
     val docs = Seq(

@@ -1094,6 +1094,18 @@ object SparkEntry {
           lit(" type "), col("event_type")).as("text"))
       TextAnalysis.scrub(raw, "event_id", "text").orderBy(col("event_id"))
     }),
+    "text_cms_counts" -> ((s, dir) => {
+      // Count-Min Sketch estimates (64 buckets x 3 rows) for a probe set
+      // spanning hot template words, the top stopword, and an
+      // out-of-vocabulary token (its estimate is pure collision mass) —
+      // sketch build AND probe replayed by the oracle
+      import s.implicits._
+      val probes = Seq("table", "query", "the", "vector", "customer",
+        "scan", "merge", "zebra").toDF("token")
+      TextAnalysis.cmsTokenEstimates(t(s, dir, "documents"), probes,
+          width = 64, depth = 3)
+        .orderBy(col("token"))
+    }),
     "text_encoding_stats" -> ((s, dir) => {
       // mojibake screen over deterministic damage planting: U+FFFD pairs
       // on doc_id%6, C0 controls on %9, legitimate accents on %5 —
@@ -2466,6 +2478,27 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
          |FROM raw ORDER BY event_id""".stripMargin
     },
+    "text_cms_counts" ->
+      // full sketch replay: same per-row md5 bucket hash, same d x w
+      // counter build, same min-over-rows probe
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |cells AS (
+        |  SELECT js.j,
+        |         CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||t),1,4)) AS BIGINT) % 64 AS b,
+        |         COUNT(*) AS n
+        |  FROM tok CROSS JOIN js GROUP BY 1, 2),
+        |probes(token) AS (VALUES ('table'), ('query'), ('the'), ('vector'),
+        |                         ('customer'), ('scan'), ('merge'), ('zebra')),
+        |e AS (
+        |  SELECT p.token, js.j,
+        |         CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||p.token),1,4)) AS BIGINT) % 64 AS b
+        |  FROM probes p CROSS JOIN js),
+        |l AS (SELECT e.token, COALESCE(c.n, 0) AS n
+        |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
+        |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
+        |FROM l GROUP BY token ORDER BY token""".stripMargin,
     "text_encoding_stats" ->
       // identical planting (controls built via chr() so no raw control
       // bytes ride in SQL text), identical regex classes, length() =

@@ -309,6 +309,49 @@ object TextAnalysis {
         col("n_emails") + col("n_ipv4") + col("n_phones") + col("n_cards_valid") > 0)
   }
 
+  /** Count-Min Sketch token-frequency estimates (Cormode & Muthukrishnan
+    * 2005): `depth` hash rows × `width` counters, estimate = min over
+    * rows of the counter each row hashes the token into. Always an
+    * OVERestimate (collisions only add), exact when no collision — the
+    * EngineSpec property.
+    *
+    * Why a sketch when `groupBy(token).count()` exists: the exact count's
+    * hash-aggregation state grows with DISTINCT-key cardinality — at
+    * 100 TB of web tokens that state is what OOMs, not the data volume.
+    * The CMS aggregation state is d·w counters per task REGARDLESS of
+    * cardinality, so map-side partial aggregation collapses every
+    * partition to ≤ d·w rows before the exchange: shuffle volume is
+    * bounded by tasks × d·w, not by the token stream. The counter table
+    * (d·w longs) collects to the driver and folds back as a literal map;
+    * probe estimation is row-local.
+    *
+    * Hashes are the repo's engine-portable md5-prefix discipline
+    * (row j hashes `j || ':' || token`), so the oracle replays the whole
+    * sketch — build and probe — in SQL.
+    */
+  def cmsTokenEstimates(docs: DataFrame, probes: DataFrame,
+      width: Int = 64, depth: Int = 3,
+      textCol: String = "text", probeCol: String = "token"): DataFrame = {
+    require(width >= 2 && depth >= 1, s"need width>=2, depth>=1: $width/$depth")
+    val bucket = (j: Int, t: Column) =>
+      conv(substring(md5(concat(lit(s"$j:"), t)), 1, 4), 16, 10)
+        .cast("long") % width
+    val cells = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("t")).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val counters = cells.collect()
+      .map(r => (r.getInt(0).toLong * width + r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val mapLit = typedLit(counters)
+    probes.select(col(probeCol),
+      least((0 until depth).map(j =>
+        coalesce(element_at(mapLit, lit(j.toLong * width) + bucket(j, col(probeCol))),
+          lit(0L))): _*).as("est_count"))
+  }
+
   /** TF-IDF over whitespace tokens: term frequency per (doc, word), document
     * frequency per word, weight = tf · ln(N/df). Corpus size joins in as a
     * broadcast scalar (no driver-side action, no global state) — two keyed

@@ -1156,6 +1156,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
   }
 
+  test("CMS estimates: never undercount, exact without collisions, OOV is collision mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha delta delta beta"),
+      (3L, "epsilon alpha beta beta")
+    ).toDF("doc_id", "text")
+    val exact = Map("alpha" -> 4L, "beta" -> 4L, "gamma" -> 1L,
+      "delta" -> 2L, "epsilon" -> 1L, "zeta" -> 0L)
+    val probes = exact.keys.toSeq.toDF("token")
+    // wide sketch: 1024 buckets for 5 distinct tokens — no collisions,
+    // estimates are exact (incl. the absent token at 0)
+    val wide = TextAnalysis.cmsTokenEstimates(docs, probes, width = 1024, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact, s"wide sketch must be exact: $wide")
+    // crushed sketch: 4 buckets force collisions — estimates may only
+    // move UP, never below the true count
+    val tight = TextAnalysis.cmsTokenEstimates(docs, probes, width = 4, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(tight(t) >= n, s"CMS undercounted $t: ${tight(t)} < $n")
+    }
+    // deterministic: same corpus, same sketch, same estimates
+    val again = TextAnalysis.cmsTokenEstimates(docs, probes, width = 4, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == tight, "sketch must be deterministic")
+  }
+
   test("encoding stats: replacement/control/non-ascii counted as code points") {
     import spark.implicits._
     val docs = Seq(

@@ -473,6 +473,24 @@ object SparkEntry {
       Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id")
         .orderBy(col("user_id"), col("event_id"))
     }),
+    "q_asof_join_forward" -> ((s, dir) => {
+      // FORWARD as-of: each click joined to the user's EARLIEST
+      // at-or-after purchase (the next-delivery lookup) — the mirrored
+      // union-and-sweep, still one exchange, no join node
+      val ev = s.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Temporal.nanosToMicros("ts").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id",
+          direction = "forward")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     "q_asof_join_payload" -> ((s, dir) => {
       // as-of join WITH payload carry-through: the matched purchase's value
       // arrives on the same single-exchange sweep (struct-atomic last), not
@@ -1810,6 +1828,17 @@ object SparkEntry {
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_join_forward" ->
+      // DuckDB's native ASOF LEFT JOIN with the inequality REVERSED
+      // (c.us <= p.us) validates the mirrored sweep — again two different
+      // algorithms, one result set
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us <= p.us
         |ORDER BY c.user_id, c.event_id""".stripMargin,
     "q_asof_join_payload" ->
       // the payload-carrying form: DuckDB's native ASOF LEFT JOIN selects

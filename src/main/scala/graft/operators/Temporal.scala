@@ -141,7 +141,15 @@ object Temporal {
       timeCol: String,
       leftIdCol: String,
       rightIdCol: String,
-      payload: Seq[String] = Nil): DataFrame = {
+      payload: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
+    // "backward" (default): most recent right at-or-before the left
+    // (ties on rt → LARGEST rid). "forward": earliest right at-or-after
+    // the left (ties on rt → SMALLEST rid) — the next-reading /
+    // next-delivery lookup. Same union-and-sweep, the window frame and
+    // tie order mirror: both directions stay one exchange, no join node.
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got '$direction'")
     // loud failures instead of ambiguous output columns: duplicate payload
     // names would emit two asof_<c> columns, and a payload literally named
     // rid/rt would collide with the reserved asof_rid/asof_rt outputs
@@ -162,14 +170,24 @@ object Temporal {
         lit(0).as("side") +: col(rightIdCol).cast("long").as("rid") +:
         col(timeCol).as("rt") +:
         payload.map(c => col(c).as(s"p_$c"))): _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("t"), col("side"), col("rid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = struct(
       (col("rid") +: col("rt") +: payload.map(c => col(s"p_$c"))): _*)
+    // backward: rights sort BEFORE lefts at equal t (side 0 < 1) so an
+    // equal-ts right is inside [-inf, current]; `last` takes the largest
+    // rid among equal-rt rights. forward mirrors: lefts first at equal t
+    // (side desc), frame [current, +inf], `first` takes the smallest rid.
+    val base = Window.partitionBy(col(keyCol))
+    val sweep =
+      if (direction == "backward")
+        last(when(col("side") === 0, matched), ignoreNulls = true).over(
+          base.orderBy(col("t"), col("side"), col("rid"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(when(col("side") === 0, matched), ignoreNulls = true).over(
+          base.orderBy(col("t"), col("side").desc, col("rid"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     l.unionAll(r)
-      .withColumn("m",
-        last(when(col("side") === 0, matched), ignoreNulls = true).over(w))
+      .withColumn("m", sweep)
       .filter(col("side") === 1)
       .select(
         (col(keyCol) +: col("lid").as(leftIdCol) +: col("t").as(timeCol) +:

@@ -1567,6 +1567,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("forward asofJoin: earliest at-or-after match, smallest-rid ties, one exchange") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 10L, 103L)).toDF("k", "t", "lid")
+    // k=1: rights at 10, 20 (two rids: tie), 25; k=2 has only an EARLIER
+    // right — forward must leave it unmatched
+    val right = Seq((1L, 10L, 7L), (1L, 20L, 8L), (1L, 20L, 88L), (1L, 25L, 9L),
+      (2L, 5L, 50L)).toDF("k", "t", "rid")
+    val out = Temporal.asofJoin(left, right, "k", "t", "lid", "rid",
+        direction = "forward")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(100L -> Some(7L),  // t=5 → earliest later right t=10
+      101L -> Some(8L),                  // t=20 → equal-ts right, SMALLEST rid
+      102L -> None,                      // t=30 → nothing at-or-after
+      103L -> None),                     // k=2's right is earlier
+      s"forward matches: $out")
+    // mirrored sweep, same scale contract: no join node, ONE exchange
+    val plan = Temporal.asofJoin(left, right, "k", "t", "lid", "rid",
+        direction = "forward")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"forward asofJoin must not plan a join:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx == 1, s"forward asofJoin must shuffle exactly once, found $nEx:\n$plan")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "k", "t", "lid", "rid", direction = "sideways")
+    }
+  }
+
   test("asofJoin and sessionizeCapped plan ONE data exchange (no join node)") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (2L, 90L, 20L)).toDF("k", "t", "lid")

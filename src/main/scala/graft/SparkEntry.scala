@@ -1286,6 +1286,12 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+    "mm_frame_dedup" -> ((s, dir) =>
+      // repeated-frame diagnosis at 64-byte frames (97 dup groups in the
+      // fixture): the chunk-dedup shape on the binary lane — one frame
+      // explode, one hash agg on the frame hash
+      Multimodal.frameDupStats(t(s, dir, "documents"), frameBytes = 64)
+        .orderBy(col("frame_md5"))),
 
     "pipeline_prep" -> ((s, dir) =>
       // the composed corpus-prep flow: dedup → quality filter → splits
@@ -2917,6 +2923,24 @@ object SparkEntry {
         |       md5(substring(text, CAST(unnest(range(nf))*256 + 1 AS BIGINT), 256)) AS frame_md5,
         |       CAST(length(substring(text, CAST(unnest(range(nf))*256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes
         |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frame_dedup" ->
+      // same VARCHAR-slice equivalence note as mm_frames (pure-ASCII
+      // corpus); group the frame hashes, keep groups of >= 2
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         greatest(1, CAST(ceil(length(text)/64.0) AS BIGINT)) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, unnest(range(nf)) AS frame_idx,
+        |         md5(substring(text, CAST(unnest(range(nf))*64 + 1 AS BIGINT), 64)) AS frame_md5
+        |  FROM p)
+        |SELECT frame_md5,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       MIN(doc_id) AS first_doc,
+        |       CAST(MIN(frame_idx) AS BIGINT) AS min_frame_idx
+        |FROM f GROUP BY frame_md5 HAVING COUNT(*) >= 2
+        |ORDER BY frame_md5""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

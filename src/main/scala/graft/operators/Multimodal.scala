@@ -81,6 +81,26 @@ object Multimodal {
         length(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
           .cast("long").as("frame_bytes"))
 
+  /** Cross-payload repeated-frame diagnosis — [[graft.operators.Dedup]]'s
+    * chunk-dedup shape on the binary lane: frames whose content hash
+    * occurs ≥ 2 times (within one payload or across payloads — repeated
+    * intros, shared stock segments, re-encoded duplicates). One narrow
+    * frame explode into ONE hash aggregation keyed on the 128-bit frame
+    * hash; the duplicated-frame set flowing out is bounded by actual
+    * repetition, not corpus size — same scale contract as the text-side
+    * chunk pass.
+    */
+  def frameDupStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", frameBytes: Int = 256): DataFrame =
+    frameSample(docs, idCol, textCol, frameBytes)
+      .groupBy(col("frame_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+        min(col("frame_idx")).as("min_frame_idx"))
+      .filter(col("n_occurrences") >= 2)
+
   /** Byte-lane content profile: lane `i` accumulates `byte/255` over payload
     * positions ≡ i (mod dim) — a deterministic, decoder-free content
     * fingerprint (cheap modality-agnostic screening/clustering signal),

@@ -1156,6 +1156,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"C4 filter must be narrow:\n$plan")
   }
 
+  test("frame dedup: shared blocks collapse to one hash group, within-doc repeats count") {
+    import spark.implicits._
+    val block = "x" * 64
+    val other = "y" * 64
+    val docs = Seq(
+      (1L, block + other),        // frames: [x-block, y-block]
+      (2L, block + ("z" * 64)),   // shares the x-block with doc 1
+      (3L, block + block),        // the x-block TWICE within one doc
+      (4L, "w" * 64)              // unique frame: must not appear
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameDupStats(docs, frameBytes = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly one dup group (the x-block): 4 occurrences over docs 1,2,3,
+    // first seen in doc 1 at frame 0
+    assert(out.toSeq == Seq((4L, 3L, 1L, 0L)), s"dup groups: ${out.toSeq}")
+  }
+
   test("CMS estimates: never undercount, exact without collisions, OOV is collision mass") {
     import spark.implicits._
     val docs = Seq(

@@ -262,6 +262,25 @@ object ScaleSmoke {
         .packBatchesSharded(packDocs, "lang", "id", "n_tok", budget = 2048L, shards = 32)
         .groupBy(col("batch_id")).count().count()
     }
+    // CMS vs exact counting at HIGH DISTINCT CARDINALITY (the sketch's win
+    // regime): 20M tokens, all distinct — the exact count's hash-agg state
+    // and shuffle are 20M keys; the CMS collapses every task to <= d·w
+    // partials before the exchange (here 3×1024), so its cost is the scan
+    val cmsDocs = spark.range(0, 2000000L).select(
+      col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 9), j -> concat('tok', id * 10 + j)), ' ')")
+        .as("text"))
+    timed("exact token count 20M distinct") {
+      cmsDocs.select(explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy(col("t")).count().count()
+    }
+    timed("cms sketch 20M distinct (3x1024)") {
+      graft.operators.TextAnalysis.cmsTokenEstimates(
+        cmsDocs,
+        spark.createDataFrame(Seq(Tuple1("tok7"), Tuple1("tok42"), Tuple1("absent")))
+          .toDF("token"),
+        width = 1024, depth = 3).count()
+    }
     // interval-join flash crowd: 1M cold events spread 20/bin over 50k
     // bins, plus ONE bin holding 150k events at a single microsecond (the
     // duplicate-timestamp burst shape — equal-ts pairs are excluded by the

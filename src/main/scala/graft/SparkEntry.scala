@@ -1267,6 +1267,26 @@ object SparkEntry {
       // repeated ones
       Dedup.substringScrub(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
+    "dedup_line_scrub" -> ((s, dir) => {
+      // cross-document boilerplate: four line-break injections give ~8
+      // lines/doc; a planted newsletter footer on doc_id%4 and a copyright
+      // line on %6 repeat across ~125/~84 docs — scrubbed everywhere; any
+      // natural line repeating across >= 5 docs goes with them
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          replace(replace(replace(replace(col("text"),
+            lit("line "), lit("line\n")),
+            lit("value "), lit("value\n")),
+            lit("table "), lit("table\n")),
+            lit("scan "), lit("scan\n")),
+          when(col("doc_id") % 4 === 0,
+            lit("\nSubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit("\nCopyright 2026 Example Corp")).otherwise(lit("")))
+          .as("text"))
+      Dedup.lineScrub(docs).orderBy(col("doc_id"))
+    }),
     "hygiene_url_dedup" -> ((s, dir) =>
       Hygiene.urlDedup(withSyntheticUrl(t(s, dir, "documents")))
         .orderBy(col("canonical_url"))),
@@ -2807,6 +2827,33 @@ object SparkEntry {
         |       COUNT(*) AS n_tokens,
         |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM keepj GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_line_scrub" ->
+      // identical line-ification + boilerplate planting; the boilerplate
+      // set is a relational GROUP BY ... HAVING over distinct doc counts,
+      // the scrub a LEFT JOIN + ordered string_agg — same strings, same
+      // integers
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |         replace(replace(replace(replace(text,
+        |           'line ', 'line' || chr(10)),
+        |           'value ', 'value' || chr(10)),
+        |           'table ', 'table' || chr(10)),
+        |           'scan ', 'scan' || chr(10)) ||
+        |         CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'Copyright 2026 Example Corp' ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM syn),
+        |l AS (SELECT doc_id, unnest(la) AS line, generate_subscripts(la, 1) AS pos FROM ls),
+        |b AS (SELECT line FROM l WHERE strlen(trim(line)) > 0
+        |      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5),
+        |f AS (SELECT l.doc_id, l.pos, l.line, (b.line IS NULL) AS keep
+        |      FROM l LEFT JOIN b ON l.line = b.line)
+        |SELECT doc_id,
+        |       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE strlen(line) END) AS BIGINT) AS removed_chars
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "hygiene_url_dedup" ->
       // the synthetic-url CASE mirrors withSyntheticUrl; the
       // canonicalization CTE chain mirrors Hygiene.canonicalizeUrl step

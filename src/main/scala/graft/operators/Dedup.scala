@@ -862,4 +862,61 @@ object Dedup {
       .select(col("id").as(idCol), col("scrubbed_text"),
         col("n_tokens"), col("n_removed"))
   }
+
+  /** Corpus-wide duplicated-LINE scrub — the CCNet/RefinedWeb line-level
+    * hygiene pass (Wenzek et al. 2020 §3.1; Penedo et al. 2023 §4): a line
+    * that appears verbatim in ≥ `minDocs` DISTINCT documents is navigation
+    * chrome, a cookie banner, or a footer — not content — and every
+    * occurrence is removed. Complements [[TextAnalysis.lineRepetitionStats]]
+    * (within-document diagnosis) and [[substringScrub]] (any-offset token
+    * spans): this is the cheap cross-document pass real crawl pipelines run
+    * first, because boilerplate lines repeat millions of times while full
+    * spans repeat thousands.
+    *
+    * Blank/whitespace-only lines are never treated as boilerplate (they are
+    * structure, and removing them would degenerate most of the corpus).
+    * Emits (doc_id, clean_text, n_lines, n_removed, removed_chars) for
+    * EVERY document; a fully-boilerplate document keeps an empty string.
+    *
+    * Plan shape: one narrow line explode feeds ONE hash exchange on the
+    * line (the distinct-doc count); the surviving boilerplate set is
+    * bounded by lines that actually repeat across ≥ minDocs documents — at
+    * 100 TB the chrome/banner minority, typically ≪ broadcast budget, so
+    * the flagging join broadcasts and the corpus side never exchanges for
+    * it. Reassembly is one row-local sorted fold per document after one
+    * exchange on the doc id (the [[substringScrub]] contract). If a
+    * corpus' boilerplate set ever outgrew the broadcast budget, dropping
+    * the hint degrades gracefully to a shuffle join on the line — the
+    * operator stays correct either way.
+    */
+  def lineScrub(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2,
+      "a line must repeat across >= 2 documents to be boilerplate")
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines
+      .join(broadcast(boiler), Seq("line"), "left")
+      .withColumn("keep", coalesce(!col("is_boiler"), lit(true)))
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          expr("transform(filter(array_sort(collect_list(" +
+            "struct(pos, line, keep))), x -> x.keep), x -> x.line)"),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("keep"), 0L).otherwise(length(col("line")).cast("long")))
+          .as("removed_chars"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_lines"),
+        col("n_removed"), col("removed_chars"))
+  }
 }

@@ -1985,6 +1985,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "short doc", 2L, 0L)), s"got $got")
   }
 
+  test("line scrub: cross-doc boilerplate removed everywhere, blanks and rare lines kept") {
+    import spark.implicits._
+    val footer = "Subscribe to our newsletter"
+    // footer appears in 5 distinct docs (= minDocs) -> boilerplate; the
+    // blank line also appears in 5 docs but is structure, never removed;
+    // "shared twice" repeats across only 2 docs -> kept
+    val corpus = Seq(
+      (1L, s"unique alpha\n\n$footer\nunique beta"),
+      (2L, s"$footer\n\ncontent two"),
+      (3L, s"content three\n\n$footer"),
+      (4L, s"middle\n\n$footer\nend"),
+      (5L, footer), // fully-boilerplate doc -> empty string
+      (6L, "rare line\n\nshared twice"),
+      (7L, "shared twice\nother")
+    ).toDF("doc_id", "text")
+    val fl = footer.length.toLong
+    val got = Dedup.lineScrub(corpus, minDocs = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "unique alpha\n\nunique beta", 4L, 1L, fl),
+      (2L, "\ncontent two", 3L, 1L, fl),
+      (3L, "content three\n", 3L, 1L, fl),
+      (4L, "middle\n\nend", 4L, 1L, fl),
+      (5L, "", 1L, 1L, fl),
+      (6L, "rare line\n\nshared twice", 3L, 0L, 0L),
+      (7L, "shared twice\nother", 2L, 0L, 0L)), s"got $got")
+  }
+
   // ------------------------------------------------------------ hygiene
 
   test("url canonicalization: case/port/www/tracking/fragment/slash variants collapse") {

@@ -1124,6 +1124,11 @@ object SparkEntry {
           width = 64, depth = 3)
         .orderBy(col("token"))
     }),
+    "text_hll_distinct" -> ((s, dir) =>
+      // cardinality sketch over the corpus vocabulary: 256 registers,
+      // integer-exact harmonic sum; the exact-distinct column is the
+      // fixture-scale accuracy A/B
+      TextAnalysis.hllDistinct(t(s, dir, "documents"))),
     "text_encoding_stats" -> ((s, dir) => {
       // mojibake screen over deterministic damage planting: U+FFFD pairs
       // on doc_id%6, C0 controls on %9, legitimate accents on %5 —
@@ -2554,6 +2559,45 @@ object SparkEntry {
         |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
         |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
         |FROM l GROUP BY token ORDER BY token""".stripMargin,
+    "text_hll_distinct" ->
+      // full sketch replay: same md5 register/rank split (rank via binary-
+      // string length — integer, no log), same EXACT integer harmonic sum
+      // (2^62 >> rank summed wide), same one-shot rounded division and
+      // 6-dp-rounded-ln linear-counting branch
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |h AS (SELECT md5(t) AS h FROM tok),
+        |r AS (SELECT CAST(('0x'||substring(h, 1, 2)) AS BIGINT) AS reg,
+        |             CAST(('0x'||substring(h, 3, 15)) AS BIGINT) AS v
+        |      FROM h),
+        |r2 AS (SELECT reg,
+        |              CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rank
+        |       FROM r),
+        |mx AS (SELECT reg, MAX(rank) AS mr FROM r2 GROUP BY reg),
+        |agg AS (SELECT COUNT(*) AS present,
+        |               SUM(4611686018427387904 >> mr) AS ssum
+        |        FROM mx),
+        |st AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct_exact
+        |       FROM tok),
+        |x AS (SELECT n_tokens, n_distinct_exact,
+        |             CAST(256 - present AS BIGINT) AS zero_registers,
+        |             CAST(ssum + (256 - present) * CAST(4611686018427387904 AS HUGEINT)
+        |                  AS DOUBLE) AS sd
+        |      FROM agg CROSS JOIN st),
+        |e AS (SELECT n_tokens, n_distinct_exact, zero_registers,
+        |             round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |                     CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |                   * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |                   * CAST(4611686018427387904 AS DOUBLE) / sd, 6) AS raw_estimate
+        |      FROM x)
+        |SELECT 256 AS m, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_distinct_exact AS BIGINT) AS n_distinct_exact,
+        |       zero_registers, raw_estimate,
+        |       CASE WHEN raw_estimate <= 640.0 AND zero_registers > 0
+        |            THEN round(CAST(256.0 AS DOUBLE) *
+        |                   round(ln(CAST(256.0 AS DOUBLE) / zero_registers), 6), 6)
+        |            ELSE raw_estimate END AS estimate
+        |FROM e""".stripMargin,
     "text_encoding_stats" ->
       // identical planting (controls built via chr() so no raw control
       // bytes ride in SQL text), identical regex classes, length() =

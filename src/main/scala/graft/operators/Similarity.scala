@@ -414,6 +414,56 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
+  /** Mutual-kNN graph over the corpus — the structure semantic-dedup
+    * clustering, diversity sampling, and label propagation all start from
+    * (e.g. SemDeDup's cluster graphs, k-center coreset selection): each
+    * vector's k nearest neighbors by rounded cosine among its banded-LSH
+    * candidates, kept only where the relation is MUTUAL (a in kNN(b) and
+    * b in kNN(a)) — the standard symmetrization that prunes hub nodes'
+    * one-way edges. Emits canonical (id_a < id_b) edges with the cosine
+    * and both directed ranks.
+    *
+    * Scale shape: the self-join is band-bucketed (never all-pairs — the
+    * [[nearDupPairsBanded]] contract; bands × planes tune bucket
+    * granularity to keep collision lists bounded), the candidate distinct
+    * runs over the narrow id-pair projection, vectors join back only for
+    * scoring, and the per-node top-k is a rank window over candidate
+    * edges only (swap in [[graft.plans.TopKPerKey]] when candidate lists
+    * grow deep). The mutuality check is a self-join of the kNN edge list
+    * on the reversed pair — kNN output is |V|·k rows, so both sides are
+    * already k-bounded.
+    */
+  def knnGraph(
+      emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val bb = withBandBuckets(p, planes, bands)
+    val cand = bb.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(bb.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val scored = cand
+      .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b"))
+    val knn = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val rev = knn.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+      col("rnk").as("rank_ba"))
+    knn.join(rev, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        col("rnk").as("rank_ab"), col("rank_ba"))
+  }
+
   /** The same [[trainCentroids]] loop as SQL CTE text, for oracle mirroring
     * (unrolled like [[TextAnalysis.bpeVocabSql]]). Expects the caller's WITH
     * chain to already define `f` (vec_id, i, v: the flattened doubles) and

@@ -352,6 +352,75 @@ object TextAnalysis {
           lit(0L))): _*).as("est_count"))
   }
 
+  /** HyperLogLog distinct-token estimate (Flajolet et al. 2007) — the
+    * cardinality twin of [[cmsTokenEstimates]]' frequency sketch, and the
+    * same 100 TB argument: exact `COUNT(DISTINCT token)` carries the FULL
+    * distinct-key set through aggregation state (the thing that stops
+    * fitting at web-token cardinalities), while HLL state is m = 2^b
+    * register bytes per task partial, merged by element-wise max. Spark's
+    * own `approx_count_distinct` is HLL++ with an engine-internal sketch;
+    * this form is built from the engine-portable md5 primitives so the
+    * whole sketch — register assignment, rank, harmonic sum, small-range
+    * correction — replays bit-for-bit in any engine (the [[cmsTokenEstimates]]
+    * reason).
+    *
+    * Determinism: the register index is the first b md5 bits, the rank is
+    * leading-zeros+1 of the next 60 bits (via the binary-string length —
+    * integer, no log), and the harmonic sum Σ 2^−Mⱼ is EXACT INTEGER
+    * arithmetic — each term is `2^62 >> Mⱼ`, summed through a DECIMAL
+    * carrier, so there is no float-ordering hazard anywhere; floats appear
+    * only in the final one-shot estimate division (rounded 6 dp) and the
+    * 6-dp-rounded `ln` of the small-range linear-counting branch.
+    *
+    * Emits ONE row: (m, n_tokens, n_distinct_exact, zero_registers,
+    * raw_estimate, estimate). The exact-distinct column is the fixture-
+    * scale accuracy A/B (and the expensive thing the sketch replaces) —
+    * drop it at real scale. Plan: one narrow hash projection into a
+    * 2^b-key aggregate (map-side combined — the whole point), plus the
+    * demo-only exact aggregate.
+    */
+  def hllDistinct(docs: DataFrame, b: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(b % 4 == 0 && b >= 4 && b <= 16,
+      s"register bits must be 4, 8, 12, or 16 (whole hex chars): $b")
+    val m = 1 << b
+    val hexChars = b / 4
+    val scale = 4611686018427387904L // 2^62: rank <= 61 keeps 2^62 >> rank exact
+    val toks = docs.select(explode(tokens(col(textCol))).as("t"))
+    val regs = toks
+      .select(md5(col("t")).as("h"))
+      .select(
+        conv(substring(col("h"), 1, hexChars), 16, 10).cast("long").as("reg"),
+        conv(substring(col("h"), hexChars + 1, 15), 16, 10).cast("long").as("v"))
+      .select(col("reg"),
+        when(col("v") === 0L, lit(61))
+          .otherwise(lit(61) - length(bin(col("v")))).as("rank"))
+      .groupBy(col("reg"))
+      .agg(max(col("rank")).as("mr"))
+      .agg(
+        count(lit(1)).as("present"),
+        sum(expr(s"CAST(shiftright(${scale}L, mr) AS DECIMAL(28,0))")).as("ssum"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("t")).as("n_distinct_exact"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.crossJoin(broadcast(stats))
+      .withColumn("zero_registers", (lit(m) - col("present")).cast("long"))
+      .withColumn("sd",
+        (col("ssum") + col("zero_registers").cast("decimal(28,0)") * lit(scale))
+          .cast("double"))
+      .withColumn("raw_estimate",
+        round(alpha * lit(m.toDouble) * lit(m.toDouble) * lit(scale.toDouble)
+          / col("sd"), 6))
+      .withColumn("estimate",
+        when(col("raw_estimate") <= lit(2.5 * m) && col("zero_registers") > 0,
+          round(lit(m.toDouble) *
+            round(log(lit(m.toDouble) / col("zero_registers")), 6), 6))
+          .otherwise(col("raw_estimate")))
+      .select(lit(m).as("m"), col("n_tokens"), col("n_distinct_exact"),
+        col("zero_registers"), col("raw_estimate"), col("estimate"))
+  }
+
   /** TF-IDF over whitespace tokens: term frequency per (doc, word), document
     * frequency per word, weight = tf · ln(N/df). Corpus size joins in as a
     * broadcast scalar (no driver-side action, no global state) — two keyed

@@ -1201,6 +1201,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == tight, "sketch must be deterministic")
   }
 
+  test("HLL distinct: LC branch on tiny vocab, 20% band at 4k, shuffle-invariant") {
+    import spark.implicits._
+    // 4 distinct tokens hit <= 4 of 256 registers -> the small-range
+    // linear-counting branch fires
+    val small = Seq((1L, "alpha beta gamma alpha"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    val r1 = TextAnalysis.hllDistinct(small).collect()(0)
+    assert(r1.getAs[Long]("n_distinct_exact") == 4L)
+    val v = r1.getAs[Long]("zero_registers")
+    assert(v >= 252L && v <= 256L, s"v=$v")
+    assert(math.abs(r1.getAs[Double]("estimate") -
+      256.0 * math.log(256.0 / v)) < 1e-3)
+
+    // 4000 distinct tokens saturate every register -> raw harmonic branch;
+    // HLL std error at m=256 is ~6.5%, a 20% band is a 3-sigma-safe pin
+    // (deterministic anyway: fixed hash, fixed corpus)
+    val big = Seq((1L, Seq.tabulate(2000)(i => s"tok$i word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.hllDistinct(big).collect()(0)
+    assert(r2.getAs[Long]("n_distinct_exact") == 4000L)
+    val est = r2.getAs[Double]("estimate")
+    assert(est > 3200 && est < 4800, s"est=$est")
+
+    // register maxes and the integer harmonic sum are order-independent
+    val again = TextAnalysis.hllDistinct(big.repartition(7)).collect()(0)
+    assert(again == r2, s"shuffle changed the sketch: $again vs $r2")
+  }
+
   test("encoding stats: replacement/control/non-ascii counted as code points") {
     import spark.implicits._
     val docs = Seq(

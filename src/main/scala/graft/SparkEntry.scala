@@ -867,6 +867,14 @@ object SparkEntry {
       // a broadcast narrow scoring map)
       Similarity.centroidOutliers(t(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
+      // the pair space (Σ|cell|²/2, never corpus²); a vector is a semantic
+      // dup when a lower-id same-cluster vector has rounded cosine ≥ tau.
+      // The oracle replays the full Lloyd's training + final assignment +
+      // in-cluster pair scan as CTEs — train→cluster→prune value-checked.
+      Similarity.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2, tau = 0.4)
+        .orderBy(col("vec_id"))),
     "dedup_survivors" -> ((s, dir) => {
       // rides the banded-LSH path (the 100 TB shape); output is proven equal
       // to the exact quadratic form at these parameters (EngineSpec), so the
@@ -2242,6 +2250,40 @@ object SparkEntry {
     // index-ordered lists), mirroring the Spark side's left-to-right double
     // fold bit-for-bit — an unordered SUM(f.v*m.m) can flip the 4th rounded
     // decimal on boundary values (non-associative double addition)
+    // pair dots fold in index order (list_reduce over i-ordered lists),
+    // mirroring the Spark side's left-assoc ArrayDotProduct fold
+    "dedup_semantic" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 8, iters = 2) +
+      """,
+        |dfin AS (
+        |  SELECT f.vec_id, c2.cell, SUM(f.v*c2.m) AS dot
+        |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
+        |rfin AS (
+        |  SELECT dfin.vec_id, dfin.cell,
+        |         row_number() OVER (PARTITION BY dfin.vec_id
+        |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
+        |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
+        |            JOIN cn2 ON cn2.cell=dfin.cell),
+        |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+        |pd AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+        |  FROM f a
+        |  JOIN f b ON a.i=b.i AND b.vec_id < a.vec_id
+        |  JOIN ncell ca ON ca.vec_id=a.vec_id
+        |  JOIN ncell cb ON cb.vec_id=b.vec_id AND cb.cell=ca.cell
+        |  GROUP BY 1,2),
+        |sc AS (
+        |  SELECT pd.id_a, pd.id_b, ROUND(pd.dot/(na.nrm*nb.nrm),4)+0.0 AS cosine
+        |  FROM pd JOIN nrm na ON na.vec_id=pd.id_a
+        |          JOIN nrm nb ON nb.vec_id=pd.id_b),
+        |dup AS (
+        |  SELECT id_a, MIN(id_b) AS dup_of, MAX(cosine) AS max_cosine
+        |  FROM sc WHERE cosine >= 0.4 GROUP BY 1)
+        |SELECT n.vec_id, n.cell, (dup.id_a IS NULL) AS keep,
+        |       dup.dup_of, dup.max_cosine
+        |FROM ncell n LEFT JOIN dup ON dup.id_a = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin),
     "ann_centroid_outlier" -> (embCte +
       """, m AS (
         |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m

@@ -180,6 +180,10 @@ object Multimodal {
   def synthesizeImagePayloads(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     implicit val enc = Encoders.product[ImagePayload]
     ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      // In-memory payloads: the default file-backed ImageIO stream cache
+      // writes a temp file per encode — pure I/O overhead here and the
+      // first thing to collapse under host contention.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         if (id % 10 == 0) ImagePayload(id, Array[Byte](0x13, 0x37, 0x00, 0x42))
@@ -216,6 +220,7 @@ object Multimodal {
     implicit val enc = Encoders.product[ImageFeatures]
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory decode, no temp files
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)

@@ -869,4 +869,50 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= tau)
   }
+
+  /** SemDeDup — SEMANTIC deduplication via cluster-bounded cosine pruning
+    * (Abbas, Tirumala, Simig, Ganguli, Morcos, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embedding space with the deterministic [[trainCentroids]] Lloyd's
+    * loop, then compare vectors ONLY within their cluster — a row is a
+    * semantic duplicate when some lower-id vector in the same cluster has
+    * rounded cosine ≥ tau (the library's keep-lowest-id survivor rule,
+    * same as [[Dedup.survivors]]).
+    *
+    * This is the embedding-space answer to MinHash banding: the quadratic
+    * pair space is bounded per CLUSTER (k knobs the bound), never corpus² —
+    * at 100 TB the pair join's exchange is keyed on the cell id, candidate
+    * volume is Σ|cell|²/2 ≈ N²/(2k), and the final survivor flag is one
+    * left join keyed on the vector id. Assignment itself is the
+    * zero-exchange broadcast-matrix map ([[assignCellsLocal]]).
+    *
+    * Returns one row PER INPUT VECTOR (nothing silently dropped):
+    * (idCol, cell, keep, dup_of, max_cosine) — `dup_of` the smallest
+    * same-cell lower id at ≥ tau (null when keep), `max_cosine` the
+    * strongest such lower-id similarity.
+    */
+  def semDedup(
+      emb: DataFrame, k: Int, iters: Int, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(emb, k, iters, idCol, embCol)
+    val p = prepared(emb, idCol, embCol)
+    val assigned = assignCells(p, cents, nprobe = 1)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .select(col("id_a"),
+        col("id_b"),
+        (round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4) + lit(0.0))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+    assigned.select(col("id"), col("cell"))
+      .join(dups.withColumnRenamed("id_a", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"), col("max_cosine"))
+  }
 }

@@ -376,17 +376,15 @@ object SparkEntry {
           element_at(col("embedding"), 1).cast("double").as("first_val"))
         .orderBy(col("vec_id"))),
     "q_sessionize" -> ((s, dir) => {
-      // event-time sessionization over the nanos ts column (read as long —
-      // Spark's reader refuses TIMESTAMP(NANOS) without the legacy
-      // `spark.sql.legacy.parquet.nanosAsLong` flag, which is a DECLARED
-      // SESSION CONFIG of every harness builder: Verify, Bench, TimeQueries,
-      // PlanAudit, and the test suites. It is deliberately NOT set here —
-      // a conf.set inside a registry closure would be a global, permanent
-      // side effect of merely BUILDING the query plan.)
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"), Temporal.nanosToMicros("ts").as("ts_us"))
+      // event-time sessionization. The ts column's PHYSICAL unit is the
+      // export's choice (fixtures have shipped both timestamp[ns] and
+      // timestamp[us]), so extraction is type-driven: Temporal.eventsMicros
+      // reads without a forced schema and picks unix_micros (TimestampType)
+      // vs div-1000 (LongType, the nanosAsLong legacy path — that flag
+      // remains a declared session config of every harness builder, only
+      // exercised if the fixture regenerates as ns again).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
       Temporal.sessionize(ev, "user_id", "ts_us", "event_id", gapMicros = 30L * 60 * 1000000)
         .orderBy(col("user_id"), col("session_idx"))
     }),
@@ -395,12 +393,10 @@ object SparkEntry {
       // streaming one) checked against the same DuckDB lag/cumsum oracle
       // formulation as q_sessionize — two independent sessionization
       // implementations (built-in merge-windows vs window-function
-      // composition) pinned to one oracle. nanosAsLong: harness session
-      // config (see q_sessionize).
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-        .select(col("user_id"), timestamp_micros(Temporal.nanosToMicros("ts")).as("ts"))
+      // composition) pinned to one oracle. ts unit: type-driven (see
+      // q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
       ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .select(
@@ -420,11 +416,9 @@ object SparkEntry {
       // the cap path is exercised by the data, not just the unit test) —
       // this row gives the POLICY itself a DuckDB oracle; EngineSpec
       // separately asserts streaming output equals this operator's.
-      // nanosAsLong: harness session config (see q_sessionize).
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"), Temporal.nanosToMicros("ts").as("ts_us"))
+      // ts unit: type-driven (see q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
       Temporal.sessionizeCapped(ev, "user_id", "ts_us", "event_id",
           gapMicros = 30L * 60 * 1000000, maxEvents = 2L)
         .orderBy(col("user_id"), col("session_start_us"))
@@ -443,12 +437,10 @@ object SparkEntry {
       // interval/theta join done scale-safe: the binned equi-join rewrite
       // (Temporal.pairsWithin) instead of the O(n²) nested-loop the naive
       // BETWEEN formulation plans to. Co-occurrence counts of event-type
-      // pairs within a 60-second window. nanosAsLong: harness session
-      // config (see q_sessionize).
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
-        .select(col("event_type"), Temporal.nanosToMicros("ts").as("us"))
+      // pairs within a 60-second window. ts unit: type-driven (see
+      // q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("event_type"), col("ts_us").as("us"))
       Temporal.pairsWithin(ev, "us", 60L * 1000000L, Seq("event_type"))
         .groupBy(col("a_event_type").as("type_a"), col("b_event_type").as("type_b"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -459,12 +451,10 @@ object SparkEntry {
       // each click joined to the user's most recent at-or-before purchase.
       // The purchase side is pre-aggregated to unique (user, time) so tie
       // resolution is well-defined in both engines; DuckDB's native ASOF
-      // LEFT JOIN is the oracle. nanosAsLong: harness session config.
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
+      // LEFT JOIN is the oracle. ts unit: type-driven (Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          Temporal.nanosToMicros("ts").as("us"))
+          col("ts_us").as("us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("us"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -477,11 +467,9 @@ object SparkEntry {
       // FORWARD as-of: each click joined to the user's EARLIEST
       // at-or-after purchase (the next-delivery lookup) — the mirrored
       // union-and-sweep, still one exchange, no join node
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
+      val ev = Temporal.eventsMicros(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          Temporal.nanosToMicros("ts").as("us"))
+          col("ts_us").as("us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("us"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -497,12 +485,10 @@ object SparkEntry {
       // via a second join back on asof_rid. Purchase side pre-aggregated to
       // unique (user, time) with MAX id/value so tie resolution is
       // well-defined in both engines; DuckDB native ASOF LEFT JOIN oracle.
-      // nanosAsLong: harness session config (see q_sessionize).
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
+      // ts unit: type-driven (see q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
-          Temporal.nanosToMicros("ts").as("us"))
+          col("ts_us").as("us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("us"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -518,12 +504,10 @@ object SparkEntry {
       // the two-stream policy has its own DuckDB range-join oracle row
       // (EngineSpec separately asserts streaming output equals this batch
       // form on the same rows; the watermark is a no-op on batch plans).
-      // nanosAsLong: harness session config (see q_sessionize).
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
+      // ts unit: type-driven (see q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          timestamp_micros(Temporal.nanosToMicros("ts")).as("ts"))
+          timestamp_micros(col("ts_us")).as("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -540,12 +524,10 @@ object SparkEntry {
       // the LEFT OUTER form: clicks with no in-window purchase survive with
       // NULL purchase columns — on a stream these rows emit once both
       // watermarks prove no match can still arrive; this batch plan is the
-      // identical join. nanosAsLong: harness session config.
-      val ev = s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/events.parquet")
+      // identical join. ts unit: type-driven (Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          timestamp_micros(Temporal.nanosToMicros("ts")).as("ts"))
+          timestamp_micros(col("ts_us")).as("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")

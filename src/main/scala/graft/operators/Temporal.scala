@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
 
 /** Temporal / event-time operators over per-key ordered history — the
   * batch forms of the classic event-pipeline primitives.
@@ -245,4 +246,41 @@ object Temporal {
     * 1e18 magnitudes.
     */
   def nanosToMicros(colName: String): Column = expr(s"$colName div 1000")
+
+  /** Unit-agnostic epoch-microsecond extraction: decide by the type Spark's
+    * reader actually produced, not by an assumed physical unit. Inventory
+    * exports vary in timestamp physical type (the reference consumes
+    * TIMESTAMP_MILLIS natively — `/root/reference/types.go:17`), and the
+    * fixtures have shipped both `timestamp[ns]` and `timestamp[us]`:
+    *   - `TimestampType` — parquet ms/us, tz-adjusted → `unix_micros`;
+    *   - `TimestampNTZType` — parquet ms/us with isAdjustedToUTC=false (what
+    *     pandas/arrow write) → cast to `TimestampType` first (`unix_micros`
+    *     rejects NTZ). The cast interprets the naive wall clock in the
+    *     SESSION timezone — every harness builder pins
+    *     `spark.sql.session.timeZone=UTC`, which matches how DuckDB's
+    *     `epoch_us` reads the same naive column;
+    *   - `LongType` — raw int64 nanos (the `parquet.nanosAsLong` legacy read
+    *     path for TIMESTAMP(NANOS)) → exact `div 1000`.
+    * Anything else fails loudly rather than computing 1000×-off gaps.
+    */
+  def microsOf(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case TimestampType    => unix_micros(col(colName))
+      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+      case LongType         => nanosToMicros(colName)
+      case other => throw new IllegalArgumentException(
+        s"$colName: expected TimestampType (ms/us parquet) or LongType " +
+          s"(raw-nanos legacy read), got $other")
+    }
+
+  /** The events table read WITHOUT a forced schema — the physical timestamp
+    * unit is whatever the export shipped — with `ts_us` (epoch-micros)
+    * appended via the type-driven rule above. All event-time registry
+    * queries go through this one seam so a fixture unit change is absorbed
+    * (or rejected loudly) in exactly one place.
+    */
+  def eventsMicros(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", microsOf(raw, "ts"))
+  }
 }

@@ -1441,6 +1441,98 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pair sets differ")
   }
 
+  test("fixture tripwire: events.ts physical unit is handled by the type-driven seam") {
+    // The driver regenerates /root/testdata fixtures between rounds and has
+    // ALREADY changed events.ts's physical unit once (timestamp[ns] →
+    // timestamp[us], round 8 — broke 9 registry rows silently because the
+    // suite never read the fixture ts). This test reads the REAL fixture
+    // footer-driven schema and pins two things so the next unit drift fails
+    // loudly here instead of silently in CORRECTNESS:
+    //  1. the arriving Spark type is one Temporal.microsOf handles
+    //     (TimestampType for ms/us parquet, LongType for the nanosAsLong
+    //     legacy ns read) — anything else throws;
+    //  2. the extracted epoch-micros land in a sane wall-clock range
+    //     [2000-01-01, 2100-01-01] — catches a drift that still type-checks
+    //     but changes magnitude (e.g. raw int64 millis would type as
+    //     LongType, divide to epoch-seconds, and fail this band).
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val tsType = raw.schema("ts").dataType
+    assert(
+      tsType == TimestampType || tsType == TimestampNTZType || tsType == LongType,
+      s"events.ts arrived as $tsType — Temporal.microsOf has no rule for it; " +
+        "the fixture's physical timestamp unit drifted again (see FIXTURES.md)")
+    val ev = Temporal.eventsMicros(spark, sf)
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val y2000Us = 946684800000000L   // 2000-01-01T00:00:00Z in epoch-micros
+    val y2100Us = 4102444800000000L  // 2100-01-01T00:00:00Z
+    assert(lo >= y2000Us && hi < y2100Us,
+      s"ts_us out of sane band [$y2000Us, $y2100Us): min=$lo max=$hi — " +
+        "extraction divisor no longer matches the fixture's physical unit")
+    // and the LongType branch itself stays correct: a synthetic raw-nanos
+    // column must extract to the same micros as the fixture path
+    val synth = ev.select((col("ts_us") * 1000L).as("ts_ns"), col("ts_us"))
+    assert(synth.filter(
+      Temporal.microsOf(synth.select(col("ts_ns")), "ts_ns") =!= col("ts_us")
+    ).isEmpty, "LongType (raw nanos) branch of microsOf diverged")
+  }
+
+  test("semDedup: k=1 equals brute pairs; tau boundary; keep-lowest-id; row per input") {
+    import spark.implicits._
+    // Planted geometry (tau = 0.9): id 1 is a scaled exact duplicate of
+    // id 0 (cosine 1.0), id 2 a near-dup above tau (≈0.995), id 3 BELOW
+    // tau vs everything (≈0.7071 to cluster A) — the boundary case; ids
+    // 10/11 scaled exact dups in an orthogonal direction; id 20 alone.
+    val rows = Seq(
+      (0L,  Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L,  Array(2.0f, 0.0f, 0.0f, 0.0f)),          // cos(0,1)=1.0  → dup_of 0
+      (2L,  Array(1.0f, 0.1f, 0.0f, 0.0f)),          // cos≈0.995     → dup_of 0
+      (3L,  Array(1.0f, 1.0f, 0.0f, 0.0f)),          // cos≈0.7071 < tau, keep
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 3.0f, 0.0f)),          // cos(10,11)=1.0 → dup_of 10
+      (20L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // k=1 DEGENERATES to nearDupPairs semantics (one cell = all pairs
+    // compared): verdicts are fully determined by the brute-force oracle,
+    // independent of the Lloyd's init
+    val k1 = Similarity.semDedup(rows, k = 1, iters = 1, tau = 0.9)
+    assert(k1.count() == 7 && k1.select("vec_id").distinct().count() == 7,
+      "one row per input vector")
+    val byId = k1.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(byId(0L) == ((true, None)), "lowest id of a dup group must keep")
+    assert(byId(1L) == ((false, Some(0L))), "exact dup points at lowest id")
+    assert(byId(2L) == ((false, Some(0L))), "near-dup above tau points at lowest id")
+    assert(byId(3L)._1, "below-tau row must keep (tau boundary)")
+    assert(byId(10L) == ((true, None)) && byId(11L) == ((false, Some(10L))))
+    assert(byId(20L)._1, "orthogonal singleton keeps")
+    val brute = Similarity.nearDupPairs(rows, tau = 0.9)
+      .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("oracle_dup"))
+    assert(k1.join(brute, Seq("vec_id"), "left").filter(
+      coalesce(col("dup_of"), lit(-1L)) =!= coalesce(col("oracle_dup"), lit(-1L))
+    ).isEmpty, "k=1 semDedup dup_of diverges from brute-force pair oracle")
+    // k=3: clustering may place near-dups across cells (that recall loss is
+    // the documented contract — k must scale with N, not with cluster
+    // tightness), but invariants that hold for ANY cell assignment:
+    //  - still one row per input;
+    //  - IDENTICAL-direction vectors always share a cell (argmax over the
+    //    same similarity vector) → scaled exact dups are always caught;
+    //  - every emitted dup_of is a genuine >= tau lower-id brute pair
+    //    (cell bounding can only SHRINK the pair set, never invent pairs).
+    val k3 = Similarity.semDedup(rows, k = 3, iters = 4, tau = 0.9)
+    assert(k3.count() == 7 && k3.select("vec_id").distinct().count() == 7)
+    val k3ById = k3.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(!k3ById(1L)._1 && k3ById(1L)._2.contains(0L), "scaled dup caught at k=3")
+    assert(!k3ById(11L)._1 && k3ById(11L)._2.contains(10L), "scaled dup caught at k=3")
+    val bruteAll = Similarity.nearDupPairs(rows, tau = 0.9)
+      .select(col("id_b").as("vec_id"), col("id_a").as("dup_of"))
+    assert(k3.filter(col("dup_of").isNotNull)
+      .join(bruteAll, Seq("vec_id", "dup_of"), "left_anti").isEmpty,
+      "k=3 emitted a dup_of pair the brute-force oracle does not contain")
+  }
+
   test("custom-state streaming sessionize: gap, cap, and watermark-timeout closes") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -855,8 +855,33 @@ object SparkEntry {
       // dup when a lower-id same-cluster vector has rounded cosine ≥ tau.
       // The oracle replays the full Lloyd's training + final assignment +
       // in-cluster pair scan as CTEs — train→cluster→prune value-checked.
-      Similarity.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2, tau = 0.4)
+      Similarity.semDedup(t(s, dir, "embeddings"),
+          k = semDedupK, iters = semDedupIters, tau = semDedupTau)
         .orderBy(col("vec_id"))),
+    "dedup_semantic_rep" -> ((s, dir) => {
+      // keep-policy COMPOSITION for the semantic family: semDedup's dup
+      // verdicts become edges into the same components × quality-argmax
+      // pipeline every other dedup family uses (dedup_best_rep) — each
+      // semantic dup cluster keeps its highest-QUALITY aligned document
+      // (embeddings are vec_id-aligned with documents), not its lowest id.
+      // Scale shape: the edge set is ≤ one edge per non-keep vector (tiny
+      // vs the corpus), components runs on that graph only, and the
+      // quality join is keyed on the doc id.
+      val sem = Similarity.semDedup(t(s, dir, "embeddings"),
+        k = semDedupK, iters = semDedupIters, tau = semDedupTau)
+      val pairs = sem.filter(col("dup_of").isNotNull)
+        .select(col("dup_of").as("doc_a"), col("vec_id").as("doc_b"))
+      val comp = Dedup.components(pairs)
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      comp.join(q, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("rep_id"), col("quality_score"))
+        .orderBy(col("component"))
+    }),
     "dedup_survivors" -> ((s, dir) => {
       // rides the banded-LSH path (the 100 TB shape); output is proven equal
       // to the exact quadratic form at these parameters (EngineSpec), so the
@@ -1207,6 +1232,13 @@ object SparkEntry {
       // probability under the corpus's own MLE bigram model — per-term
       // ln over an exact integer ratio, rounded, decimal-summed
       TextAnalysis.lmScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail quality buckets: per-LANGUAGE score-quantile
+      // thresholds (approx_percentile — bounded mergeable buffer, rank-exact
+      // at accuracy ≥ group size) broadcast back onto a row-local bucket
+      // comparison — never a per-language ntile window, which would
+      // serialize each language's corpus onto one task chain
+      TextAnalysis.ccnetBuckets(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition screen: duplicate-trigram fraction +
       // top-bigram share, computed entirely row-locally (zero exchanges)
@@ -1527,6 +1559,14 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** SemDeDup knobs, shared by the `dedup_semantic*` Spark calls AND their
+    * oracle SQL — hoisted so op/oracle parity cannot drift on a constant
+    * edit (the oracle interpolates these; nothing is hard-coded twice).
+    */
+  private val semDedupK = 8
+  private val semDedupIters = 2
+  private val semDedupTau = 0.4
+
   /** Shared DuckDB CTE: embeddings flattened to (vec_id, i, v) + L2 norms. */
   private val embCte =
     """WITH f AS (
@@ -1534,6 +1574,46 @@ object SparkEntry {
       |  FROM (SELECT vec_id, unnest(embedding) AS e,
       |               generate_subscripts(embedding,1) AS i FROM embeddings) u),
       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY 1)
+      |""".stripMargin
+
+  /** Shared oracle CTE chain for the SEMANTIC dedup family (appended after
+    * `embCte` + `kmeansOracleCtes`): final cluster assignment with ordered
+    * dot folds → in-cluster pair scan → per-row min-lower-id dup verdicts
+    * (`ncell`, `dup`). All dots are ordered `list_reduce` folds mirroring
+    * the Spark side's left-assoc ArrayDotProduct / NearestCentroidCells
+    * fold bit-for-bit — an unordered SUM can flip the 4th rounded decimal
+    * on boundary values and cascade into different keep/dup_of flags.
+    * Ends WITHOUT a trailing comma: consumers append either the final
+    * SELECT (`dedup_semantic`) or `,e AS …` (`dedup_semantic_rep`).
+    */
+  private lazy val semDedupPairCtes =
+    s""",
+      |dfin AS (
+      |  SELECT f.vec_id, c2.cell,
+      |         list_reduce(list(f.v*c2.m ORDER BY f.i), (x,y) -> x+y) AS dot
+      |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
+      |rfin AS (
+      |  SELECT dfin.vec_id, dfin.cell,
+      |         row_number() OVER (PARTITION BY dfin.vec_id
+      |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
+      |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
+      |            JOIN cn2 ON cn2.cell=dfin.cell),
+      |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+      |pd AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+      |  FROM f a
+      |  JOIN f b ON a.i=b.i AND b.vec_id < a.vec_id
+      |  JOIN ncell ca ON ca.vec_id=a.vec_id
+      |  JOIN ncell cb ON cb.vec_id=b.vec_id AND cb.cell=ca.cell
+      |  GROUP BY 1,2),
+      |sc AS (
+      |  SELECT pd.id_a, pd.id_b, ROUND(pd.dot/(na.nrm*nb.nrm),4)+0.0 AS cosine
+      |  FROM pd JOIN nrm na ON na.vec_id=pd.id_a
+      |          JOIN nrm nb ON nb.vec_id=pd.id_b),
+      |dup AS (
+      |  SELECT id_a, MIN(id_b) AS dup_of, MAX(cosine) AS max_cosine
+      |  FROM sc WHERE cosine >= $semDedupTau GROUP BY 1)
       |""".stripMargin
 
   /** Full-recompute reachability over ALL qualifying near-dup pairs —
@@ -2228,44 +2308,49 @@ object SparkEntry {
       Similarity.ivfPqOracleSql(
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
         pqIters = 2, nprobe = 2, rerank = 50, maxQueryId = 10L)),
+    // all dots (final assignment AND pair scan) are ORDERED sequential
+    // folds (list_reduce over i-ordered lists), mirroring the Spark side's
+    // left-assoc ArrayDotProduct / NearestCentroidCells fold bit-for-bit —
+    // an unordered SUM can flip the 4th rounded decimal on boundary values
+    // (non-associative double addition), which here could flip a cluster
+    // assignment and cascade into different keep/dup_of flags
+    "dedup_semantic" -> (embCte +
+      Similarity.kmeansOracleCtes(k = semDedupK, iters = semDedupIters) +
+      semDedupPairCtes +
+      """SELECT n.vec_id, n.cell, (dup.id_a IS NULL) AS keep,
+        |       dup.dup_of, dup.max_cosine
+        |FROM ncell n LEFT JOIN dup ON dup.id_a = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin),
+    // keep-policy composition: semDedup dup edges → recursive reachability
+    // (the componentsOracle discipline) → quality argmax (the best_rep
+    // discipline) — the oracle composes the two EXISTING verified shapes
+    "dedup_semantic_rep" -> ((embCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      Similarity.kmeansOracleCtes(k = semDedupK, iters = semDedupIters) +
+      semDedupPairCtes +
+      """,e AS (SELECT dup_of AS src, id_a AS dst FROM dup
+        |       UNION ALL SELECT id_a, dup_of FROM dup),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+        |q AS (
+        |  SELECT doc_id,
+        |         ROUND(least(1.0, CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0)*0.5 +
+        |               CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT)*0.5,
+        |               6) AS quality_score
+        |  FROM documents),
+        |r AS (
+        |  SELECT comp.component, comp.doc_id, q.quality_score,
+        |         row_number() OVER (PARTITION BY comp.component
+        |                            ORDER BY q.quality_score DESC, comp.doc_id) AS rn
+        |  FROM comp JOIN q USING (doc_id))
+        |SELECT component, doc_id AS rep_id, quality_score
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
     // dot and norm-of-mean are ORDERED sequential folds (list_reduce over
     // index-ordered lists), mirroring the Spark side's left-to-right double
     // fold bit-for-bit — an unordered SUM(f.v*m.m) can flip the 4th rounded
     // decimal on boundary values (non-associative double addition)
-    // pair dots fold in index order (list_reduce over i-ordered lists),
-    // mirroring the Spark side's left-assoc ArrayDotProduct fold
-    "dedup_semantic" -> (embCte +
-      Similarity.kmeansOracleCtes(k = 8, iters = 2) +
-      """,
-        |dfin AS (
-        |  SELECT f.vec_id, c2.cell, SUM(f.v*c2.m) AS dot
-        |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
-        |rfin AS (
-        |  SELECT dfin.vec_id, dfin.cell,
-        |         row_number() OVER (PARTITION BY dfin.vec_id
-        |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
-        |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
-        |            JOIN cn2 ON cn2.cell=dfin.cell),
-        |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
-        |pd AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
-        |  FROM f a
-        |  JOIN f b ON a.i=b.i AND b.vec_id < a.vec_id
-        |  JOIN ncell ca ON ca.vec_id=a.vec_id
-        |  JOIN ncell cb ON cb.vec_id=b.vec_id AND cb.cell=ca.cell
-        |  GROUP BY 1,2),
-        |sc AS (
-        |  SELECT pd.id_a, pd.id_b, ROUND(pd.dot/(na.nrm*nb.nrm),4)+0.0 AS cosine
-        |  FROM pd JOIN nrm na ON na.vec_id=pd.id_a
-        |          JOIN nrm nb ON nb.vec_id=pd.id_b),
-        |dup AS (
-        |  SELECT id_a, MIN(id_b) AS dup_of, MAX(cosine) AS max_cosine
-        |  FROM sc WHERE cosine >= 0.4 GROUP BY 1)
-        |SELECT n.vec_id, n.cell, (dup.id_a IS NULL) AS keep,
-        |       dup.dup_of, dup.max_cosine
-        |FROM ncell n LEFT JOIN dup ON dup.id_a = n.vec_id
-        |ORDER BY n.vec_id""".stripMargin),
     "ann_centroid_outlier" -> (embCte +
       """, m AS (
         |  SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
@@ -2793,6 +2878,35 @@ object SparkEntry {
         |       CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) AS sum_logp,
         |       ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean_logp
         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // same bigram-LM CTEs as text_lm_score, then per-language rank-exact
+    // order-statistic thresholds (quantile_disc ≡ approx_percentile at
+    // accuracy ≥ group size — the q_percentile_approx contract) and the
+    // identical strict-greater bucket rule
+    "text_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t WHERE len(w) >= 2)),
+        |c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT bg.doc_id, ROUND(ln(CAST(c2t.c2 AS DOUBLE)/c1t.c1), 6) AS lp
+        |  FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)),
+        |sc AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean_logp
+        |  FROM lp GROUP BY 1),
+        |sl AS (SELECT sc.doc_id, d.lang, sc.mean_logp
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang, quantile_disc(mean_logp, 1.0/3) AS t_low,
+        |              quantile_disc(mean_logp, 2.0/3) AS t_high
+        |       FROM sl GROUP BY 1)
+        |SELECT sl.doc_id, sl.lang, sl.mean_logp,
+        |       CASE WHEN sl.mean_logp > th.t_high THEN 'head'
+        |            WHEN sl.mean_logp > th.t_low THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sl JOIN th USING (lang)
+        |ORDER BY sl.doc_id""".stripMargin,
     "dedup_chunks" ->
       // non-overlapping 16-token chunks aligned at multiples of 16;
       // trailing partial chunks skipped (same universe as Dedup.chunkStats)

@@ -886,6 +886,15 @@ object Similarity {
     * left join keyed on the vector id. Assignment itself is the
     * zero-exchange broadcast-matrix map ([[assignCellsLocal]]).
     *
+    * SCALE CONTRACT — k must scale with N: the cell id is BOTH the pair
+    * join's shuffle key (k is the effective parallelism — k=8 means 8
+    * productive shuffle partitions no matter the cluster size) and the
+    * per-cell candidate bound (mean |cell| = N/k, per-cell work
+    * (N/k)²/2). Pick k ∝ N (SemDeDup used k≈110k for its 5B-embedding
+    * corpus, N/k ≈ 45k); a small fixed k on a large corpus serializes the
+    * pair scan onto a handful of tasks AND blows up per-task candidate
+    * volume. The tiny fixture k here is valid only because N is tiny.
+    *
     * Returns one row PER INPUT VECTOR (nothing silently dropped):
     * (idCol, cell, keep, dup_of, max_cosine) — `dup_of` the smallest
     * same-cell lower id at ≥ tau (null when keep), `max_cosine` the

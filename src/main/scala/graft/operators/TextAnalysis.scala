@@ -506,6 +506,51 @@ object TextAnalysis {
         round(col("sum_logp") / col("n_bigrams"), 6).as("mean_logp"))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2019, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data",
+    * §"quality buckets"): score every document with the corpus bigram LM
+    * ([[lmScore]]), then split each LANGUAGE's score distribution at the
+    * `lowQ`/`highQ` quantiles into `tail` / `middle` / `head` — the
+    * standard head-middle-tail partitioning a web-scale pretraining
+    * pipeline uses to stage data quality (CCNet buckets on LM perplexity;
+    * our score is mean log-probability, so HIGHER = better = head).
+    *
+    * Scale shape — deliberately NOT a per-language ntile window (a window
+    * sorts each language's full history in one task chain; languages are
+    * few, so that serializes the corpus onto a handful of tasks): per-lang
+    * thresholds come from `approx_percentile`, whose Greenwald–Khanna
+    * summary is a BOUNDED, mergeable aggregation buffer (the
+    * `q_percentile_approx`-row contract: rank-exact while accuracy ≥
+    * group cardinality, graceful ≤ n/accuracy rank error beyond), the tiny
+    * (lang, t_low, t_high) table broadcasts, and bucketing is one
+    * row-local comparison. Two exchanges total (the per-doc score agg
+    * inside lmScore + the threshold agg); nothing global-sorts.
+    *
+    * Bucket rule (mirrored exactly in the oracle): `score > t_high` →
+    * head; `score > t_low` → middle; else tail. Thresholds are rank-exact
+    * order statistics (the smallest value with ≥ q·n at or below — DuckDB
+    * `quantile_disc`), so documents AT a threshold fall in the lower
+    * bucket on both engines. Documents with < 2 tokens have no bigrams,
+    * hence no score and no row (the [[lmScore]] convention).
+    */
+  def ccnetBuckets(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", lowQ: Double = 1.0 / 3, highQ: Double = 2.0 / 3,
+      accuracy: Int = 1000000): DataFrame = {
+    require(lowQ > 0 && highQ < 1 && lowQ <= highQ,
+      s"quantiles must satisfy 0 < lowQ <= highQ < 1, got ($lowQ, $highQ)")
+    val scored = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val th = scored.groupBy(col(langCol)).agg(
+      percentile_approx(col("mean_logp"), lit(lowQ), lit(accuracy)).as("t_low"),
+      percentile_approx(col("mean_logp"), lit(highQ), lit(accuracy)).as("t_high"))
+    scored.join(broadcast(th), Seq(langCol))
+      .select(col(idCol), col(langCol), col("mean_logp"),
+        when(col("mean_logp") > col("t_high"), lit("head"))
+          .when(col("mean_logp") > col("t_low"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Corpus text containing a literal ⟨ or ⟩ would inject token boundaries
     * mid-token and silently corrupt the delimited representation (breaking
     * the lossless-segmentation property the tests pin) — fail loudly

@@ -1441,6 +1441,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pair sets differ")
   }
 
+  test("ccnet buckets: coverage, strict cross-bucket score ordering, ~n/3 balance") {
+    import spark.implicits._
+    val out = TextAnalysis.ccnetBuckets(docs).cache()
+    // one row per scoreable doc (>= 2 tokens — the lmScore convention)
+    val scoreable = docs.filter(size(split(lower(col("text")), " ")) >= 2).count()
+    assert(out.count() == scoreable && out.select("doc_id").distinct().count() == scoreable)
+    // the bucket rule is a partition by two thresholds: every tail score
+    // <= t_low < every middle score, every middle <= t_high < every head —
+    // so cross-bucket score ranges must be STRICTLY ordered per language
+    val ranges = out.groupBy(col("lang"), col("bucket"))
+      .agg(min(col("mean_logp")).as("lo"), max(col("mean_logp")).as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val langs = out.select("lang").distinct().as[String].collect()
+    langs.foreach { l =>
+      for (Seq(loB, hiB) <- Seq("tail", "middle", "head").sliding(2))
+        (ranges.get((l, loB)), ranges.get((l, hiB))) match {
+          case (Some((_, hiOfLower, _)), Some((loOfUpper, _, _))) =>
+            assert(hiOfLower < loOfUpper,
+              s"$l: max($loB)=$hiOfLower !< min($hiB)=$loOfUpper")
+          case _ => // a bucket may be empty only under heavy ties; checked below
+        }
+      // rank-exact thresholds on (essentially) distinct natural-text scores
+      // ⇒ each bucket holds n/3 ± rounding; allow ±2 for boundary ties
+      val n = Seq("tail", "middle", "head").flatMap(b => ranges.get((l, b)).map(_._3)).sum
+      val nDistinct = out.filter(col("lang") === l)
+        .select("mean_logp").distinct().count()
+      if (nDistinct == n) // no ties: the balance property must hold exactly-ish
+        Seq("tail", "middle", "head").foreach { b =>
+          val c = ranges.get((l, b)).map(_._3).getOrElse(0L)
+          assert(math.abs(c - n / 3.0) <= 2.0, s"$l/$b: $c of $n not ~n/3")
+        }
+    }
+    out.unpersist()
+  }
+
   test("fixture tripwire: events.ts physical unit is handled by the type-driven seam") {
     // The driver regenerates /root/testdata fixtures between rounds and has
     // ALREADY changed events.ts's physical unit once (timestamp[ns] →

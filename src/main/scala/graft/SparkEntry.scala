@@ -901,6 +901,18 @@ object SparkEntry {
           n = 3, minShared = 5L)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    "dedup_cross_jaccard" -> ((s, dir) => {
+      // FUZZY decontamination: whole-document Jaccard across the
+      // train/eval boundary — catches paraphrased/re-wrapped eval docs the
+      // absolute shared-count screen isn't aimed at; same two-sided
+      // inverted-index join, eval side broadcast-small
+      val docs = t(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 3, tau = 0.5)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
     "dedup_contamination_bloom" -> ((s, dir) => {
       // the scale form: eval shingles fold into ONE broadcast Bloom filter
       // that pre-filters the (huge) training side before any join; the
@@ -1248,6 +1260,12 @@ object SparkEntry {
       // 40/20/20/20 en/de/fr/es mix (down-sample only, weight capped at 1)
       Splits.mixWeights(t(s, dir, "documents"), "lang",
           Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .orderBy(col("lang"))),
+    "split_temperature_mix" -> ((s, dir) =>
+      // temperature-smoothed mix (mT5's alpha=0.3): target shares DERIVED
+      // from the corpus (q ∝ p^α) instead of hand-written; sample_rate is
+      // the down-sample-only realization (most up-weighted stratum = 1)
+      Splits.temperatureMix(t(s, dir, "documents"), "lang", alpha = 0.3)
         .orderBy(col("lang"))),
     "text_bpe_vocab" -> ((s, dir) =>
       // tokenizer training: 4 BPE merge rounds — distributed pair counting,
@@ -2379,6 +2397,18 @@ object SparkEntry {
         |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin),
+    // the pair CTE keeps doc_a < doc_b, so a cross pair's orientation is
+    // recovered by which side is the eval residue (exactly one is, by the
+    // WHERE xor); jaccard is the same single exact double division
+    "dedup_cross_jaccard" -> (shingleCte +
+      """,cj AS (
+        |  SELECT CASE WHEN p.a % 10 <> 0 THEN p.a ELSE p.b END AS train_id,
+        |         CASE WHEN p.a % 10 = 0 THEN p.a ELSE p.b END AS eval_id,
+        |         CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) AS jaccard
+        |  FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |  WHERE (p.a % 10 = 0) <> (p.b % 10 = 0))
+        |SELECT train_id, eval_id, jaccard FROM cj WHERE jaccard >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin),
     // identical oracle by design: the Bloom pre-filter must never change
     // the emitted pair set, only the join's input volume
     "dedup_contamination_bloom" -> (shingleCte +
@@ -2828,6 +2858,25 @@ object SparkEntry {
          |       ROUND(LEAST(1.0, $tcase * CAST(n_total AS DOUBLE) / n_docs), 6) AS weight
          |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin
     },
+    // the identical rounding chain as Splits.temperatureMix: exact p, powers
+    // ROUNDED to 6 before anything downstream, DECIMAL normalizer sum,
+    // single rounded divisions for q and sample_rate
+    "split_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |pp AS (
+        |  SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n_total AS p,
+        |         ROUND(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3), 6) AS pw
+        |  FROM c CROSS JOIN tot),
+        |z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM pp),
+        |qq AS (
+        |  SELECT lang, n_docs, p, ROUND(pw / z, 6) AS q,
+        |         ROUND(pw / z, 6) / p AS boost
+        |  FROM pp CROSS JOIN z),
+        |mb AS (SELECT MAX(boost) AS max_boost FROM qq)
+        |SELECT lang, n_docs, ROUND(p, 6) AS p, q,
+        |       ROUND(boost / max_boost, 6) AS sample_rate
+        |FROM qq CROSS JOIN mb ORDER BY lang""".stripMargin,
     "text_rarity" ->
       // mean_freq is ONE int64/int64 division on both engines (no float
       // summation anywhere), so the double compares bit-exact

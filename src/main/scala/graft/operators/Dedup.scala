@@ -520,6 +520,39 @@ object Dedup {
     * about whole-document similarity — a 13-gram quote inside an otherwise
     * unrelated document must flag.
     */
+  /** FUZZY benchmark decontamination: cross-corpus NEAR-duplicate pairs by
+    * n-gram Jaccard ≥ `tau`. [[contaminationPairs]] flags absolute shared-
+    * shingle counts (any verbatim leak long enough to matter);  this is its
+    * whole-document-similarity sibling — a lightly paraphrased or
+    * re-wrapped eval document hiding in the training mix crosses a Jaccard
+    * threshold without necessarily sharing many literal 13-gram runs.
+    * Real decontamination stacks run BOTH screens.
+    *
+    * Same two-sided inverted-index shape as [[contaminationPairs]] (join
+    * keyed on the shingle hash between corpora, cost Σ_h df_train·df_eval —
+    * linear in the training corpus for a fixed eval set, eval index
+    * broadcast-small by contract), then the per-pair Jaccard from the two
+    * per-doc distinct-shingle counts, one exact double division
+    * (cross-engine bit-stable).
+    */
+  def crossJaccardPairs(
+      train: DataFrame, probe: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val a = sh(train, idCol, textCol, n).select(col("id").as("train_id"), col("h"))
+    val b = sh(probe, idCol, textCol, n).select(col("id").as("eval_id"), col("h"))
+    val inter = a.join(b, Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("common"))
+    val na = a.groupBy(col("train_id")).agg(count(lit(1)).as("n_train"))
+    val nb = b.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+    inter.join(na, Seq("train_id")).join(nb, Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"),
+        (col("common").cast("double") /
+          (col("n_train") + col("n_eval") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   def contaminationPairs(
       train: DataFrame, probe: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",

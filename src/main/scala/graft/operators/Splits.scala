@@ -192,6 +192,51 @@ object Splits {
           6).as("weight"))
   }
 
+  /** Temperature-smoothed sampling mix (the multilingual-pretraining
+    * standard: Conneau et al. 2020 XLM-R §3.1 / Xue et al. 2021 mT5 §3.2):
+    * instead of a hand-written target mix ([[mixWeights]]), the target is
+    * DERIVED from the corpus itself — `q_i ∝ p_i^alpha` with `p_i` the
+    * stratum's corpus share. `alpha = 1` keeps the natural mix; `alpha → 0`
+    * approaches uniform; the usual 0.2–0.7 band up-weights tail languages
+    * without letting head languages drown them.
+    *
+    * Emits (stratum, n_docs, p, q, sample_rate) where `sample_rate` is the
+    * per-document inclusion probability realizing mix `q` under the
+    * down-sample-only constraint (largest rate = 1 — the most up-weighted
+    * stratum keeps everything; epoch repetition is a trainer policy, not a
+    * corpus cut): `rate_i = (q_i/p_i) / max_j(q_j/p_j)`.
+    *
+    * Cross-engine determinism: `p` is one exact division; `pow(p, alpha)`
+    * is rounded to 6 immediately (pow is the one libm call — both engines
+    * agree far beyond 6 dp; every downstream value derives from the
+    * ROUNDED powers), the normalizer is a DECIMAL sum, and each emitted
+    * fraction is a single rounded division — the oracle replays the
+    * identical rounding chain.
+    *
+    * Plan: one stratum-cardinality hash aggregation + two broadcast
+    * one-row aggregates (total, max boost) — output is stratum-sized at
+    * any corpus scale.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.types.DecimalType
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val withP = counts
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+      .select(col(stratumCol), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total")).as("p"))
+      .withColumn("pw", round(pow(col("p"), lit(alpha)), 6))
+    val z = withP.agg(
+      sum(col("pw").cast(DecimalType(28, 12))).cast("double").as("z"))
+    val withQ = withP.crossJoin(broadcast(z))
+      .withColumn("q", round(col("pw") / col("z"), 6))
+      .withColumn("boost", col("q") / col("p"))
+    withQ.crossJoin(broadcast(withQ.agg(max(col("boost")).as("max_boost"))))
+      .select(col(stratumCol), col("n_docs"),
+        round(col("p"), 6).as("p"), col("q"),
+        round(col("boost") / col("max_boost"), 6).as("sample_rate"))
+  }
+
   /** The same target-share CASE as SQL text, for oracle mirroring. */
   def mixTargetCaseSql(stratumExpr: String, targets: Map[String, Double]): String = {
     val whens = targets.toSeq.sortBy(_._1)

@@ -438,6 +438,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("cross-corpus jaccard: planted paraphrase flags; within-corpus pairs never emit") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text")
+    val out = Dedup.crossJaccardPairs(train, eval_, tau = 0.5)
+      .orderBy(col("train_id"), col("eval_id")).collect()
+    // 8 tokens → 6 shingles per doc. train1 ≡ eval10 → J = 1; train2 differs
+    // in the last token only → 5 shared of 7 union → J = 5/7 ≥ tau; the
+    // highly similar WITHIN-train pair (1,2) must not emit — this operator
+    // only crosses the corpus boundary
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (2L, 10L)))
+    assert(out(0).getDouble(2) == 1.0)
+    assert(math.abs(out(1).getDouble(2) - 5.0 / 7.0) < 1e-12)
+    // below-tau cross pairs stay out
+    assert(Dedup.crossJaccardPairs(train, eval_, tau = 0.5)
+      .filter(col("eval_id") === 11L).isEmpty)
+  }
+
   test("bloom-prefiltered decontamination equals the exact two-sided join") {
     val train = docs.filter(col("doc_id") % 10 =!= 0)
     val eval = docs.filter(col("doc_id") % 10 === 0)

@@ -149,6 +149,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fracs.values.sum == 500L && fracs("train") > 350 && fracs("train") < 450, s"got $fracs")
   }
 
+  test("temperature mix: alpha=1 identity, tail up-weighting monotone, max rate 1, guard") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // skewed 4-stratum corpus: 600/250/100/50
+    val docs = ((1 to 600).map(i => (i.toLong, "en")) ++
+      (601 to 850).map(i => (i.toLong, "de")) ++
+      (851 to 950).map(i => (i.toLong, "fr")) ++
+      (951 to 1000).map(i => (i.toLong, "es"))).toDF("doc_id", "lang")
+    // alpha = 1: q must equal p (both rounded 6) and every rate is 1 —
+    // the natural mix needs no resampling
+    val id = Splits.temperatureMix(docs, "lang", alpha = 1.0).collect()
+    id.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 2e-6,
+        s"alpha=1: q != p for ${r.getString(0)}")
+      assert(r.getDouble(4) == 1.0, s"alpha=1: rate != 1 for ${r.getString(0)}")
+    }
+    // alpha < 1: shares still sum to ~1; boost (q/p) strictly rises as the
+    // stratum shrinks (tail languages up-weighted); the SMALLEST stratum
+    // anchors rate = 1 and rates fall monotonically with stratum size
+    val sm = Splits.temperatureMix(docs, "lang", alpha = 0.3)
+      .orderBy(col("n_docs").desc).collect()
+    assert(math.abs(sm.map(_.getDouble(3)).sum - 1.0) < 1e-4, "q must sum to ~1")
+    val boosts = sm.map(r => r.getDouble(3) / r.getDouble(2)) // q/p, size-desc
+    assert(boosts.zip(boosts.tail).forall { case (b, s) => b < s },
+      s"boost must rise as strata shrink: ${boosts.toSeq}")
+    val rates = sm.map(_.getDouble(4))
+    assert(rates.last == 1.0 && rates.zip(rates.tail).forall { case (a, b) => a < b },
+      s"rates must rise to 1 at the smallest stratum: ${rates.toSeq}")
+    // expected head-language rate in closed form: (q_en/p_en)/(q_es/p_es)
+    // with q from 6-rounded powers — replay the operator's own chain
+    val n = Map("en" -> 600.0, "de" -> 250.0, "fr" -> 100.0, "es" -> 50.0)
+    val pw = n.map { case (k, v) => k -> BigDecimal(math.pow(v / 1000.0, 0.3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val z = pw.values.sum
+    def q(k: String) = BigDecimal(pw(k) / z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val boost = n.keys.map(k => k -> q(k) / (n(k) / 1000.0)).toMap
+    val expectEn = BigDecimal(boost("en") / boost("es"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(sm.head.getDouble(4) - expectEn) <= 1e-6,
+      s"en rate ${sm.head.getDouble(4)} != closed-form $expectEn")
+    intercept[IllegalArgumentException](Splits.temperatureMix(docs, "lang", 0.0))
+    intercept[IllegalArgumentException](Splits.temperatureMix(docs, "lang", 1.5))
+  }
+
   test("stratified sample: degenerate fractions, stability, and stratum isolation") {
     import spark.implicits._
     import graft.operators.Splits

@@ -1239,6 +1239,19 @@ object SparkEntry {
             .as("last_div3"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+    "q_window_dist" -> ((s, dir) => {
+      // distribution window functions: percent_rank ((rank-1)/(n-1)) and
+      // cume_dist (ties share the value) — both exact integer-ratio
+      // divisions, bit-stable cross-engine even with double order keys
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
     "text_lm_score" -> ((s, dir) =>
       // bigram-LM quality scoring (CCNet lineage): mean log conditional
       // probability under the corpus's own MLE bigram model — per-term
@@ -1251,6 +1264,11 @@ object SparkEntry {
       // comparison — never a per-language ntile window, which would
       // serialize each language's corpus onto one task chain
       TextAnalysis.ccnetBuckets(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_gram_novelty" -> ((s, dir) =>
+      // corpus-duplicated shingle mass per doc: inverted-index df (distinct
+      // per doc ⇒ count == df) joined back on the shingle key — linear in
+      // shingle volume, never a pair join
+      TextAnalysis.gramNovelty(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition screen: duplicate-trigram fraction +
       // top-bigram share, computed entirely row-locally (zero exchanges)
@@ -2418,6 +2436,12 @@ object SparkEntry {
         |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin),
+    "text_gram_novelty" -> (shingleCte +
+      """,df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |       SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS shared_frac
+        |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY sh.doc_id""".stripMargin),
     "dedup_components" -> componentsOracle,
     // identical oracle BY DESIGN: the incremental merge must be
     // value-identical to the full recompute over all pairs
@@ -2913,6 +2937,12 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_div3
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_dist" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, c_acctbal,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |bg AS (

@@ -116,6 +116,39 @@ object TextAnalysis {
             (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
         ))).as("shingle"))
 
+  /** Per-document n-gram NOVELTY: how much of a document's distinct shingle
+    * set also appears in OTHER documents (corpus document frequency > 1) —
+    * the memorization/boilerplate mass signal that decides whether a doc
+    * contributes new text or re-treads the corpus (the diagnosis side of
+    * [[Dedup.substringSpans]]' span surgery, at shingle granularity:
+    * cheap enough to run on everything, every screen pass).
+    *
+    * Emits (doc_id, n_shingles, n_shared, shared_frac) — `n_shared` the
+    * doc's shingles with corpus df ≥ 2, `shared_frac` one exact double
+    * division (1.0 = pure boilerplate, 0.0 = fully novel). Docs shorter
+    * than `n` words emit no row (the [[shingles]] convention).
+    *
+    * Plan: the inverted-index discipline — shingles are distinct per doc,
+    * so `count(*)` per shingle IS document frequency; one hash aggregation
+    * on the shingle key, the df table joins back on the same key (AQE
+    * broadcasts when the vocabulary fits), one per-doc aggregation. Never
+    * a pair join: cost is linear in total shingle volume at any corpus
+    * size.
+    */
+  def gramNovelty(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val s = shingles(docs, idCol, textCol, n)
+    val df = s.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    s.join(df, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
+  }
+
   /** Repetition quality signals (the Gopher/MassiveText repetition filters):
     * duplicate word-trigram fraction and most-frequent-bigram share per
     * document — high values flag boilerplate loops, keyboard mash, and

@@ -1047,6 +1047,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == events.filter(col("event_type") === "click").count())
   }
 
+  test("round-9 op plan pins: no window in ccnet, broadcast-only joins in mix/novelty") {
+    // ccnetBuckets' whole point is avoiding the per-language ntile window
+    // (few languages ⇒ a window serializes the corpus onto a handful of
+    // task chains); thresholds must come back as a broadcast join
+    val ccn = TextAnalysis.ccnetBuckets(docs).queryExecution.executedPlan.toString
+    assert(!ccn.contains("Window"), s"ccnetBuckets planned a window:\n$ccn")
+    assert(ccn.contains("BroadcastHashJoin") || ccn.contains("BroadcastNestedLoopJoin"),
+      s"ccnetBuckets thresholds not broadcast:\n$ccn")
+    // temperatureMix: stratum-sized frames only — every join broadcast,
+    // no sort-merge join anywhere
+    val tm = graft.operators.Splits.temperatureMix(docs, "lang", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!tm.contains("SortMergeJoin"), s"temperatureMix sort-merge join:\n$tm")
+    // gramNovelty: no pair join — exactly the shingle-key join-back and the
+    // two aggregations; a cartesian/nested-loop anywhere is a regression
+    val gn = TextAnalysis.gramNovelty(docs).queryExecution.executedPlan.toString
+    assert(!gn.contains("CartesianProduct") && !gn.contains("BroadcastNestedLoopJoin"),
+      s"gramNovelty planned a pair join:\n$gn")
+  }
+
   test("dimension join is broadcast") {
     val plan = SparkEntry.queries("q_join_broadcast_nation")(spark, sf)
       .queryExecution.executedPlan.toString
@@ -1462,6 +1482,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "negative-timestamp pair cardinality differs")
     assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty,
       "pair sets differ")
+  }
+
+  test("gram novelty: planted boilerplate mass, fully-novel doc, short-doc exclusion") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),                  // 3 shingles, all duplicated by doc 2
+      (2L, "a b c d e"),                  // exact dup → shared_frac 1.0 both
+      (3L, "x y z w a b c"),              // 5 shingles, only "a b c" shared → 1/5
+      (4L, "p q"),                        // < n tokens → no row
+      (5L, "u v w2 x2 y2")                // all df = 1 → fully novel, 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gramNovelty(corpus).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 5L, 1L, 1.0 / 5.0), (5L, 3L, 0L, 0.0)))
   }
 
   test("ccnet buckets: coverage, strict cross-bucket score ordering, ~n/3 balance") {

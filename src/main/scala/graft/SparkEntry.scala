@@ -827,6 +827,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_recall_eval" -> ((s, dir) => {
+      // the ANN TUNING measurement as a first-class operator: per-query
+      // recall of the trained-IVF serving path against exact brute force —
+      // the number a deployment sweeps nprobe/k' against. Both sides are
+      // the registry's own verified operators; the oracle replays both
+      // chains and the same recall join.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+      val approx = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 2)
+      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ with refine: coarse cells bound what a query scans,
       // product-quantized residual codes bound what each scanned candidate
@@ -1612,6 +1625,46 @@ object SparkEntry {
       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY 1)
       |""".stripMargin
 
+  /** Shared oracle CTE chain for the trained-IVF SERVING path (appended
+    * after `embCte` + `kmeansOracleCtes(4, 2)`): final cell assignment,
+    * nprobe=2 query cells (vec_id < 10), cell-join candidates, exact
+    * rescoring, rank (`rr`). Ends WITHOUT a trailing comma: consumers
+    * append the final SELECT (`ann_ivf_trained_topk`) or `,bd AS …`
+    * (`ann_recall_eval`'s brute chain + recall join).
+    */
+  private lazy val ivfTrainedServeCtes =
+    """,
+      |dfin AS (
+      |  SELECT f.vec_id, c2.cell, SUM(f.v*c2.m) AS dot
+      |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
+      |rfin AS (
+      |  SELECT dfin.vec_id, dfin.cell,
+      |         row_number() OVER (PARTITION BY dfin.vec_id
+      |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
+      |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
+      |            JOIN cn2 ON cn2.cell=dfin.cell),
+      |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+      |qcell AS (SELECT vec_id, cell FROM rfin WHERE rn <= 2 AND vec_id < 10),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
+      |dd AS (
+      |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+      |  FROM cand c
+      |  JOIN f a ON a.vec_id=c.query_id
+      |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+      |  GROUP BY 1,2),
+      |ss AS (
+      |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+      |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+      |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+      |rr AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM ss)
+      |""".stripMargin
+
   /** Shared oracle CTE chain for the SEMANTIC dedup family (appended after
     * `embCte` + `kmeansOracleCtes`): final cluster assignment with ordered
     * dot folds → in-cluster pair scan → per-row min-lower-id dup verdicts
@@ -2308,38 +2361,36 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
     "ann_ivf_trained_topk" -> (embCte +
       Similarity.kmeansOracleCtes(k = 4, iters = 2) +
-      """,
-        |dfin AS (
-        |  SELECT f.vec_id, c2.cell, SUM(f.v*c2.m) AS dot
-        |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
-        |rfin AS (
-        |  SELECT dfin.vec_id, dfin.cell,
-        |         row_number() OVER (PARTITION BY dfin.vec_id
-        |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
-        |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
-        |            JOIN cn2 ON cn2.cell=dfin.cell),
-        |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
-        |qcell AS (SELECT vec_id, cell FROM rfin WHERE rn <= 2 AND vec_id < 10),
-        |cand AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
-        |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
-        |dd AS (
-        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
-        |  FROM cand c
-        |  JOIN f a ON a.vec_id=c.query_id
-        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
-        |  GROUP BY 1,2),
-        |ss AS (
-        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
-        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
-        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
-        |rr AS (
-        |  SELECT query_id, neighbor_id, score,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
-        |  FROM ss)
-        |SELECT query_id, neighbor_id, score, rnk FROM rr
+      ivfTrainedServeCtes +
+      """SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    // both chains replayed (the trained-IVF serving CTEs + a fresh-named
+    // brute-force chain over the same queries), then the identical
+    // exact-set left join and per-query hit count
+    "ann_recall_eval" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 4, iters = 2) +
+      ivfTrainedServeCtes +
+      """,bd AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(q.v*n.v) AS dot
+        |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+        |  GROUP BY 1,2),
+        |bs AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM bd JOIN nrm nq ON nq.vec_id=bd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=bd.neighbor_id),
+        |br AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM bs)
+        |SELECT e.query_id, COUNT(*) AS k_exact,
+        |       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS recall
+        |FROM (SELECT query_id, neighbor_id FROM br WHERE rnk <= 3) e
+        |LEFT JOIN (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 3) a
+        |       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY 1 ORDER BY e.query_id""".stripMargin),
     "ann_ivfpq_topk" -> (embCte +
       Similarity.ivfPqOracleSql(
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,

@@ -853,6 +853,33 @@ object Similarity {
         |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ANN quality evaluation — per-query recall of an approximate top-k
+    * result against the exact one: `|approx ∩ exact| / |exact|` per query.
+    * The tuning loop every production ANN deployment runs (sweep nprobe /
+    * bands / k' on a query sample, read the recall curve, pick the knee);
+    * here it is itself a first-class distributed operator instead of a
+    * test-only assertion.
+    *
+    * Both inputs are (queryCol, neighborCol, …) top-k frames — any of
+    * [[ivfTopK]], [[ivfPqTopK]], [[lshTopK]], [[lshTopKBanded]] against
+    * [[bruteForceTopK]], or any two of them against each other. One keyed
+    * left join + one per-query aggregation; cost is |queries|·k rows —
+    * negligible next to either input's own computation at any scale.
+    */
+  def recallAt(
+      approx: DataFrame, exact: DataFrame,
+      queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame =
+    exact.select(col(queryCol), col(neighborCol))
+      .join(
+        approx.select(col(queryCol), col(neighborCol)).withColumn("hit", lit(1L)),
+        Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col(queryCol), col("k_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k_exact")).as("recall"))
+
   /** All pairs (a<b) with rounded cosine ≥ tau. Brute-force form; at scale,
     * use [[nearDupPairsBanded]]/[[nearDupPairsBucketed]] or
     * [[Dedup.minhashLshPairs]]-style banding over sign bits.

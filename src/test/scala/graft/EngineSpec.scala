@@ -549,6 +549,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("recallAt: hit accounting exact, extra approx rows ignored, absent query = 0") {
+    import spark.implicits._
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 99L),         // 2 of q1's exact set + 1 miss
+      (2L, 20L), (2L, 21L), (2L, 22L),         // all of q2's
+      (9L, 1L)                                  // query not in exact → no output row
+    ).toDF("query_id", "neighbor_id")
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L)                      // q3 absent from approx → recall 0
+    ).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAt(approx, exact).orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 2.0 / 3.0), (2L, 3L, 3L, 1.0), (3L, 2L, 0L, 0.0)))
+  }
+
   test("banded LSH top-k recall >= 0.9 vs brute force on the fixture") {
     val q = emb.filter(col("vec_id") < 10)
     val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")

@@ -366,22 +366,50 @@ object TextAnalysis {
       width: Int = 64, depth: Int = 3,
       textCol: String = "text", probeCol: String = "token"): DataFrame = {
     require(width >= 2 && depth >= 1, s"need width>=2, depth>=1: $width/$depth")
-    val bucket = (j: Int, t: Column) =>
-      conv(substring(md5(concat(lit(s"$j:"), t)), 1, 4), 16, 10)
-        .cast("long") % width
-    val cells = docs
+    cmsProbe(cmsCollect(cmsCells(docs, width, depth, textCol), width),
+      probes, width, depth, probeCol)
+  }
+
+  /** The CMS row hash: `md5(j || ':' || token)` 4-hex prefix mod width —
+    * engine-portable (the oracle replays it in SQL).
+    */
+  private[graft] def cmsBucket(j: Int, t: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), t)), 1, 4), 16, 10)
+      .cast("long") % width
+
+  /** The distributed build half of the sketch: token stream → (j, b, n)
+    * counter cells, map-side combined to ≤ d·w rows per task partial.
+    */
+  private[graft] def cmsCells(
+      docs: DataFrame, width: Int, depth: Int, textCol: String): DataFrame =
+    docs
       .select(explode(tokens(col(textCol))).as("t"))
       .select(explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"), bucket(j, col("t")).as("b"))): _*)).as("jb"))
+        struct(lit(j).as("j"), cmsBucket(j, col("t"), width).as("b"))): _*)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("n"))
-    val counters = cells.collect()
+
+  /** Collect the (bounded, d·w) counter table as the flat driver map keyed
+    * `j·width + b`. Counter maps from different corpora/batches MERGE by
+    * key-wise addition — the property the streaming twin
+    * ([[graft.streaming.CmsStream]]) is built on.
+    */
+  private[graft] def cmsCollect(cells: DataFrame, width: Int): Map[Long, Long] =
+    cells.collect()
       .map(r => (r.getInt(0).toLong * width + r.getLong(1)) -> r.getLong(2))
       .toMap
+
+  /** The row-local probe half: estimate = min over rows of the addressed
+    * counter (absent counter = 0).
+    */
+  private[graft] def cmsProbe(
+      counters: Map[Long, Long], probes: DataFrame,
+      width: Int, depth: Int, probeCol: String): DataFrame = {
     val mapLit = typedLit(counters)
     probes.select(col(probeCol),
       least((0 until depth).map(j =>
-        coalesce(element_at(mapLit, lit(j.toLong * width) + bucket(j, col(probeCol))),
+        coalesce(
+          element_at(mapLit, lit(j.toLong * width) + cmsBucket(j, col(probeCol), width)),
           lit(0L))): _*).as("est_count"))
   }
 

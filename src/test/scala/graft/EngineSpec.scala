@@ -2093,6 +2093,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming CMS: multi-batch estimates equal the batch sketch; replay never double-counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.CmsStream
+    val dir = Files.createTempDirectory("cmsstream").toString
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    val b2 = Seq((3L, "alpha delta delta delta"))
+    val probes = Seq("alpha", "beta", "delta", "nosuchtoken").toDF("token")
+    val store = new CmsStream.SketchStore(width = 64, depth = 3)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = CmsStream.run(in.toDF().toDF("doc_id", "text"), store, s"$dir/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // counter additivity: the streamed store's estimates must equal the
+    // batch operator's over the union of all delivered batches
+    val batchEst = TextAnalysis.cmsTokenEstimates(
+      (b1 ++ b2).toDF("doc_id", "text"), probes, width = 64, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamEst = store.estimates(probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamEst == batchEst, s"streamed $streamEst vs batch $batchEst")
+    // never-undercount holds through the stream (exactness is the
+    // no-collision case, separately pinned in the batch test)
+    assert(streamEst("alpha") >= 3L && streamEst("beta") >= 2L && streamEst("delta") >= 3L)
+    // at-least-once replay: a re-delivered batch id must be dropped —
+    // counting is not idempotent, the monotone batch guard makes it so
+    val before = store.counters
+    assert(!store.add(0L, Map(0L -> 100L)), "stale batch id must be rejected")
+    assert(store.counters == before, "replayed batch must not change counters")
+    // and a NEW batch id still merges (the guard is monotone, not sticky)
+    assert(store.add(1000L, Map(0L -> 2L)))
+    assert(store.counters.getOrElse(0L, 0L) == before.getOrElse(0L, 0L) + 2L)
+  }
+
   test("streaming dedup: duplicates within the watermark window are dropped") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -318,6 +318,45 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // ccnet bucket stage A/B (round 9): per-language quantile bucketing
+    // over 8M pre-scored docs with a REALISTIC language skew (a web corpus
+    // is ~90% head language: en 90%, three tails) — the shipped
+    // threshold-broadcast path (approx_percentile agg + broadcast join +
+    // row-local compare) vs the per-language ntile window. The window's
+    // structural problem: each language's FULL history sorts inside one
+    // task chain, so effective parallelism = #languages and the head
+    // language's partition = 90% of the corpus in ONE task (at 100 TB
+    // that partition is tens of TB — not slow, impossible). The smoke
+    // uses the production accuracy regime (1e4 ⇒ rank error ≤ n/1e4 =
+    // 0.01%, buffer bounded), not the registry row's rank-exact 1e6 —
+    // exactness there exists for the DuckDB oracle, not for scale.
+    // Scores are synthetic: the A/B isolates the bucketing stage, which
+    // is where the design choice lives.
+    val scored = spark.range(0, 8000000L).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 7, lit("en"))
+        .when(col("id") % 10 === 7, lit("de"))
+        .when(col("id") % 10 === 8, lit("fr"))
+        .otherwise(lit("es")).as("lang"),
+      ((col("id") * 2654435761L) % 1000003L).cast("double").as("score"))
+    timed("ccnet 8M skewed: threshold") {
+      val th = scored.groupBy(col("lang")).agg(
+        percentile_approx(col("score"), lit(1.0 / 3), lit(10000)).as("t_low"),
+        percentile_approx(col("score"), lit(2.0 / 3), lit(10000)).as("t_high"))
+      scored.join(broadcast(th), Seq("lang"))
+        .select(
+          when(col("score") > col("t_high"), "head")
+            .when(col("score") > col("t_low"), "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy(col("bucket")).count().count()
+    }
+    timed("ccnet 8M skewed: ntile window") {
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("nt", ntile(3).over(
+          Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))))
+        .groupBy(col("nt")).count().count()
+    }
     for (skew <- Seq("false", "true") if enabled("interval join hot bin")) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
       val agg = graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid"))

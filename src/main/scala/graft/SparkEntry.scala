@@ -1277,6 +1277,19 @@ object SparkEntry {
       // comparison — never a per-language ntile window, which would
       // serialize each language's corpus onto one task chain
       TextAnalysis.ccnetBuckets(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_markup_strip" -> ((s, dir) => {
+      // markup hygiene with DETERMINISTIC planting (the pii-stats
+      // discipline): docs get tag/entity wrapping by doc_id residue in
+      // BOTH engines, then the strip chain runs — tags out, entities
+      // decoded, whitespace collapsed, removal counts auditable
+      val marked = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<p class=\"c\"> "), col("text"), lit(" </p><br/>")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("<div id=\"d\">&nbsp;"), col("text"), lit(" &amp; more</div>")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripMarkup(marked).orderBy(col("doc_id"))
+    }),
     "text_gram_novelty" -> ((s, dir) =>
       // corpus-duplicated shingle mass per doc: inverted-index df (distinct
       // per doc ⇒ count == df) joined back on the shingle key — linear in
@@ -2487,6 +2500,26 @@ object SparkEntry {
         |WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin),
+    // identical planting by residue, then the identical strip chain: regex
+    // tag removal with 'g', exact-string entity replaces in the same
+    // order, ASCII whitespace collapse, trim
+    "text_markup_strip" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN '<p class="c"> '||text||' </p><br/>'
+        |              WHEN doc_id % 5 = 1 THEN '<div id="d">&nbsp;'||text||' &amp; more</div>'
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(
+        |         replace(replace(replace(replace(replace(
+        |           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |           '&quot;', '"'), '&nbsp;', ' '),
+        |         '[ \t\n\r]+', ' ', 'g')) AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |       CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp);')) AS BIGINT) AS n_entities
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_gram_novelty" -> (shingleCte +
       """,df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
         |SELECT sh.doc_id, COUNT(*) AS n_shingles,

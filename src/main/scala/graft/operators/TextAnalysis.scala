@@ -116,6 +116,35 @@ object TextAnalysis {
             (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
         ))).as("shingle"))
 
+  /** HTML/markup stripping — the WET-extraction cleanup pass run before any
+    * tokenizer sees crawled text: tags removed, the five ubiquitous
+    * entities decoded, whitespace collapsed. Emits (id, clean_text,
+    * n_tags, n_entities) so the removal is auditable, not silent.
+    * Entirely row-local (one regexp chain per row, zero exchanges).
+    *
+    * Cross-engine notes: the tag pattern `<[^>]*>` and the entity
+    * alternation use only RE2/Java-common syntax (no lookaround); entity
+    * DECODING is exact-string `replace` (not regex), and whitespace
+    * collapse is the explicit ASCII class `[ \t\n\r]+` — every step
+    * replays identically in the oracle.
+    */
+  def stripMarkup(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val entities = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ")
+    val noTags = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    docs.select(
+      col(idCol),
+      trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")).as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"),
+      size(regexp_extract_all(col(textCol), lit("&(amp|lt|gt|quot|nbsp);"), lit(0)))
+        .cast("long").as("n_entities"))
+  }
+
   /** Per-document n-gram NOVELTY: how much of a document's distinct shingle
     * set also appears in OTHER documents (corpus document frequency > 1) —
     * the memorization/boilerplate mass signal that decides whether a doc

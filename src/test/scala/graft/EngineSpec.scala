@@ -1502,6 +1502,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pair sets differ")
   }
 
+  test("markup strip: tags out, entities decode single-pass, whitespace collapsed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<a href=\"x\">link</a> text"),
+      (2L, "a &amp; b &lt;tag&gt;"),
+      (3L, "plain   text\twith\nspace"),
+      (4L, "<br/><br/>"),
+      (5L, "&amp;amp;")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(rows).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "link text", 2L, 0L),
+      (2L, "a & b <tag>", 0L, 3L),
+      (3L, "plain text with space", 0L, 0L),
+      (4L, "", 2L, 0L),
+      // single-pass, non-recursive decode: "&amp;amp;" → "&amp;" and STOPS —
+      // recursive decoding is an injection hazard (crafted text smuggling
+      // markup through the stripper), so one pass is the contract
+      (5L, "&amp;", 0L, 1L)))
+  }
+
   test("gram novelty: planted boilerplate mass, fully-novel doc, short-doc exclusion") {
     import spark.implicits._
     val corpus = Seq(

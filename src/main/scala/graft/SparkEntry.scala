@@ -345,6 +345,19 @@ object SparkEntry {
           |         FROM customer_v c3 WHERE c3.c_nationkey = c.c_nationkey)
           |ORDER BY c_custkey""".stripMargin)
     }),
+    "q_try_arith" -> ((s, dir) =>
+      // NULL-on-error ingestion semantics (the robust-ETL surface):
+      // try_divide's divide-by-zero → NULL matches DuckDB's x/0 → NULL;
+      // try_cast failure → NULL, whitespace-trimmed success round-trips —
+      // dirty numeric columns degrade to NULLs instead of killing the job
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          try_divide(col("c_acctbal"), col("c_custkey") % 7).as("div7"),
+          expr("try_cast(c_mktsegment AS BIGINT)").as("seg_num"),
+          expr("try_cast(concat(' ', CAST(c_custkey AS STRING), ' ') AS BIGINT)")
+            .as("key_roundtrip"))
+        .orderBy(col("c_custkey"))),
     "q_string_funcs" -> ((s, dir) =>
       t(s, dir, "customer")
         .select(
@@ -1930,6 +1943,14 @@ object SparkEntry {
         |      > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
         |         FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    // DuckDB's x/0 is NULL natively (= Spark's try_divide); TRY_CAST
+    // matches try_cast including whitespace-trimmed numeric parses
+    "q_try_arith" ->
+      """SELECT c_custkey,
+        |       c_acctbal / (c_custkey % 7) AS div7,
+        |       TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+        |       TRY_CAST(' '||CAST(c_custkey AS VARCHAR)||' ' AS BIGINT) AS key_roundtrip
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |       upper(c_name) AS upper_name,

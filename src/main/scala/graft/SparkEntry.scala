@@ -21,9 +21,14 @@ import graft.operators.{Dedup, DiskUsageOp, Hygiene, Multimodal, Similarity, Spl
   */
 object SparkEntry {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects at
-    * schema inference; no query here needs it, so events reads carry an
-    * explicit projected schema (which also skips footer schema merging).
+  /** `events.ts`'s PHYSICAL unit is the driver's choice and has changed
+    * between fixture regenerations (timestamp[ns] rounds 1–7 — which
+    * Spark's reader rejects at schema inference without the nanosAsLong
+    * flag — then timestamp[us]/NTZ). No query using this helper needs
+    * `ts`, so events reads carry an explicit projected schema omitting it
+    * (which also skips footer schema merging). Queries that DO need event
+    * time go through [[graft.operators.Temporal.eventsMicros]], the
+    * type-driven seam.
     */
   private val eventsSchema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"

@@ -1666,6 +1666,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "k=3 emitted a dup_of pair the brute-force oracle does not contain")
   }
 
+  test("semantic best-rep: cluster keeps the highest-quality aligned doc, not the lowest id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ids 1/2 are scaled exact dups (one semantic cluster); 3 orthogonal
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // aligned docs: id 2's text scores strictly higher quality (longer,
+    // all-alpha) than id 1's (short, symbol-heavy)
+    val docs = Seq(
+      (1L, "x@# 1!"),
+      (2L, "a perfectly ordinary long clean sentence of plain words"),
+      (3L, "whatever")).toDF("doc_id", "text")
+    val sem = Similarity.semDedup(emb, k = 1, iters = 1, tau = 0.9)
+    val pairs = sem.filter(col("dup_of").isNotNull)
+      .select(col("dup_of").as("doc_a"), col("vec_id").as("doc_b"))
+    val comp = Dedup.components(pairs)
+    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val reps = comp.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one dup cluster {1,2}, labeled by min id 1 — but the REP is doc 2
+    // (quality argmax), exactly the policy difference vs keep-lowest-id
+    assert(reps.toSeq == Seq((1L, 2L)), s"got ${reps.toSeq}")
+    Dedup.uncacheAll()
+  }
+
   test("custom-state streaming sessionize: gap, cap, and watermark-timeout closes") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

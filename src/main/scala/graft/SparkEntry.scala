@@ -1428,6 +1428,22 @@ object SparkEntry {
     // -------- multimodal plumbing (SURVEY §2.12)
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "mm_phash_dup" -> ((s, dir) => {
+      // PERCEPTUAL image dedup: gradient PNGs whose per-id brightness shift
+      // changes every byte but cancels in the average-hash comparison —
+      // byte-distinct payloads collapse into hash-equal groups (what
+      // byte-exact frame hashing cannot do). DuckDB replays the pixel
+      // closed forms, the integer bit rule, and the grouping.
+      val hashed = Multimodal.imageAHash(
+        Multimodal.synthesizeGradientPayloads(t(s, dir, "documents").select(col("doc_id"))))
+      val groups = hashed.filter(col("ahash_hi") >= 0)
+        .groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+      hashed.join(groups, Seq("ahash_hi", "ahash_lo"), "left")
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+          col("rep_id"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
     "mm_image_features" -> ((s, dir) =>
       // REAL codec, oracle-checked: synthesize a solid-color PNG per doc id
       // (dims + channels closed-form in the id; every 10th payload corrupt),
@@ -3365,6 +3381,44 @@ object SparkEntry {
         |       sha256(text) AS sha256,
         |       greatest(1, CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT)) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form replay of the gradient fixtures + the exact integer
+    // average-hash bit rule: SQL pixel g-values scale the Spark side's
+    // r+g+b by exactly 3, which cancels in the cross-multiplied
+    // comparison (cs·64 > ts at 16×16/8×8 ⇔ cellSum·W·H > totalSum·n);
+    // the brightness term cancels the same way — only structure decides
+    // bits, exactly the perceptual-collapse claim under test
+    "mm_phash_dup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |         ((x*13*(doc_id % 4 + 1) + y*29) % 64) + (doc_id % 128) AS g
+        |  FROM ids, generate_series(0, 15) t1(x), generate_series(0, 15) t2(y)
+        |  WHERE doc_id % 10 <> 0),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS ci, y // 2 AS cj, SUM(g) AS cs
+        |  FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, SUM(g) AS ts FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, (cj*8 + ci) AS idx,
+        |         CASE WHEN c.cs*64 > t.ts THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |hsh AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN idx < 32 THEN b * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |         CAST(SUM(CASE WHEN idx >= 32 THEN b * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |allh AS (
+        |  SELECT doc_id, ahash_hi, ahash_lo FROM hsh
+        |  UNION ALL
+        |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |  FROM ids WHERE doc_id % 10 = 0),
+        |grp AS (
+        |  SELECT ahash_hi, ahash_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+        |  FROM allh WHERE ahash_hi >= 0 GROUP BY 1, 2)
+        |SELECT a.doc_id, a.ahash_hi, a.ahash_lo, g.rep_id, g.n_dups
+        |FROM allh a
+        |LEFT JOIN grp g ON g.ahash_hi = a.ahash_hi AND g.ahash_lo = a.ahash_lo
+        |ORDER BY a.doc_id""".stripMargin,
     "mm_image_features" ->
       // closed-form expectations of the synthesized solid-color PNGs: the
       // Spark side must reproduce these through a real encode/decode

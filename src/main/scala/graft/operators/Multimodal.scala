@@ -252,6 +252,118 @@ object Multimodal {
       .toDF()
   }
 
+  /** One perceptual hash per image: 64 average-hash bits split into two
+    * non-negative 32-bit halves (`hi` = bits 0–31, `lo` = 32–63 — two
+    * BIGINTs instead of one so neither engine touches the sign bit).
+    * `(-1, -1)` marks a payload the decoder rejected.
+    */
+  final case class ImageAHashRow(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** Deterministic GRADIENT image fixtures for the perceptual-hash lane:
+    * 16×16 grayscale PNGs with every pixel closed-form in the id —
+    * `g(x,y) = ((x·13·(id%4+1) + y·29) mod 64) + (id mod 128)`. The first
+    * term is the STRUCTURE (four classes by `id % 4`); the second is a
+    * per-id global brightness shift that changes every byte but CANCELS in
+    * the average-hash comparison (shifts cell means and the image mean
+    * equally, no clipping by construction: 63 + 127 < 256) — so the
+    * corpus contains byte-DISTINCT, perceptually-IDENTICAL groups, which
+    * is precisely what [[imageAHash]] must collapse and byte-exact frame
+    * hashing cannot. Every `id % 10 == 0` payload is corrupt (the
+    * standard accounting contract).
+    */
+  def synthesizeGradientPayloads(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[ImagePayload]
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 0) ImagePayload(id, Array[Byte](0x13, 0x37, 0x00, 0x42))
+        else {
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val k = (id % 4 + 1).toInt
+          val bright = (id % 128).toInt
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val g = ((x * 13 * k + y * 29) % 64) + bright
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImagePayload(id, bos.toByteArray)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Perceptual (average) hash over the decoded raster — the multimodal
+    * near-dup key byte-exact frame hashing cannot provide: re-encodes,
+    * metadata changes, and global brightness shifts of the same content
+    * land on the SAME 64-bit hash. Grid-cell mean vs whole-image mean,
+    * compared in EXACT integer cross-multiplication (`cellSum·W·H >
+    * totalSum·cellPixels` — no division, no float, engine-replayable);
+    * pixel value is the channel sum r+g+b (scale cancels in the
+    * comparison). Cells follow the floor-boundary grid (`ci = x·grid/W`),
+    * so any W×H decodes to the same bit layout; bit index `cj·grid+ci`,
+    * packed into two non-negative 32-bit halves. Row-local behind the
+    * same `mapPartitions` seam as [[extractImageFeatures]]; corrupt
+    * payloads surface as `(-1, -1)`, never dropped or thrown.
+    */
+  def imageAHash(withPayload: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid <= 8, s"grid must be in [2, 8] (64-bit hash): $grid")
+    implicit val enc = Encoders.product[ImageAHashRow]
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageAHashRow(id, -1L, -1L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val cellSum = Array.ofDim[Long](grid * grid)
+            val cellN = Array.ofDim[Long](grid * grid)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val cj = (y.toLong * grid / h).toInt
+              var x = 0
+              while (x < w) {
+                val ci = (x.toLong * grid / w).toInt
+                val rgb = img.getRGB(x, y)
+                val p = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+                cellSum(cj * grid + ci) += p
+                cellN(cj * grid + ci) += 1
+                total += p
+                x += 1
+              }
+              y += 1
+            }
+            val wh = w.toLong * h
+            var hi = 0L
+            var lo = 0L
+            var idx = 0
+            while (idx < grid * grid) {
+              if (cellSum(idx) * wh > total * cellN(idx)) {
+                if (idx < 32) hi |= 1L << idx else lo |= 1L << (idx - 32)
+              }
+              idx += 1
+            }
+            ImageAHashRow(id, hi, lo)
+          }
+        }
+      }(enc).toDF()
+  }
+
   /** One decoded audio clip: format header fields + exact integer sample
     * stats. `sample_rate = -1` marks a payload the parser rejected (same
     * corrupt-accounting contract as [[ImageFeatures]] — rows are never

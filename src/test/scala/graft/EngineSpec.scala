@@ -985,6 +985,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"structural rejects must be accounted: ${got.toSeq}")
   }
 
+  test("perceptual aHash: brightness shifts collapse, structures separate, bytes differ") {
+    import spark.implicits._
+    val ids = (1L to 40L).toDF("doc_id")
+    val payloads = Multimodal.synthesizeGradientPayloads(ids).cache()
+    val hashed = Multimodal.imageAHash(payloads).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // corrupt rows accounted, never dropped
+    (1L to 40L).filter(_ % 10 == 0).foreach(id =>
+      assert(hashed(id) == ((-1L, -1L)), s"corrupt $id must be (-1,-1)"))
+    // same structure class (id % 4), different brightness (id % 128) →
+    // different bytes, SAME hash: the perceptual-collapse property
+    val good = (1L to 40L).filterNot(_ % 10 == 0)
+    good.groupBy(_ % 4).values.foreach { cls =>
+      assert(cls.map(hashed).toSet.size == 1,
+        s"class ${cls.head % 4}: expected one hash, got ${cls.map(hashed).toSet}")
+    }
+    // and the four structure classes land on four DISTINCT hashes
+    assert(good.map(id => hashed(id)).toSet.size == 4,
+      "structure classes must separate")
+    // prove the collapse is perceptual, not byte equality: two same-class
+    // ids have different payload bytes (different brightness)
+    val bytes = payloads.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(bytes(1L), bytes(5L)),
+      "same-class payloads must differ at the byte level")
+    assert(hashed(1L) == hashed(5L), "…but share the perceptual hash")
+    payloads.unpersist()
+  }
+
   test("multimodal resize stage: 4x downsample preserves ids, shrinks payloads") {
     val src = Multimodal.withBinaryPayload(docs)
     val resized = Multimodal.resize(src, factor = 4)

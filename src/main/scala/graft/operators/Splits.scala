@@ -213,28 +213,39 @@ object Splits {
     * fraction is a single rounded division — the oracle replays the
     * identical rounding chain.
     *
-    * Plan: one stratum-cardinality hash aggregation + two broadcast
-    * one-row aggregates (total, max boost) — output is stratum-sized at
-    * any corpus scale.
+    * Plan: ONE corpus scan — the stratum histogram (map-side combined)
+    * is the only distributed work; the normalization chain runs as
+    * driver math over the stratum-cardinality rows (the Lloyd's/BPE
+    * bounded-global-decision pattern). The earlier all-DataFrame form
+    * re-derived the corpus aggregation through every crossJoin branch —
+    * four scans where one suffices. Stratum values are read as strings
+    * (the [[mixWeights]] convention).
     */
   def temperatureMix(df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
-    val withP = counts
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
-      .select(col(stratumCol), col("n_docs"),
-        (col("n_docs").cast("double") / col("n_total")).as("p"))
-      .withColumn("pw", round(pow(col("p"), lit(alpha)), 6))
-    val z = withP.agg(
-      sum(col("pw").cast(DecimalType(28, 12))).cast("double").as("z"))
-    val withQ = withP.crossJoin(broadcast(z))
-      .withColumn("q", round(col("pw") / col("z"), 6))
-      .withColumn("boost", col("q") / col("p"))
-    withQ.crossJoin(broadcast(withQ.agg(max(col("boost")).as("max_boost"))))
-      .select(col(stratumCol), col("n_docs"),
-        round(col("p"), 6).as("p"), col("q"),
-        round(col("boost") / col("max_boost"), 6).as("sample_rate"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum.toDouble
+    // p exact single division; pow rounded to 6 IMMEDIATELY (the one libm
+    // call); z the exact decimal sum of the rounded powers — identical
+    // arithmetic to the oracle's SQL chain, value for value
+    val withPw = counts.map { case (k, n) =>
+      (k, n, n / total, r6(math.pow(n / total, alpha)))
+    }
+    val z = withPw.map { case (_, _, _, pw) => BigDecimal(pw) }.sum.toDouble
+    val withBoost = withPw.map { case (k, n, p, pw) =>
+      val q = r6(pw / z)
+      (k, n, p, q, q / p)
+    }
+    val maxBoost = withBoost.map(_._5).max
+    val rows = withBoost.map { case (k, n, p, q, boost) =>
+      (k, n, r6(p), q, r6(boost / maxBoost))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF(stratumCol, "n_docs", "p", "q", "sample_rate")
   }
 
   /** The same target-share CASE as SQL text, for oracle mirroring. */

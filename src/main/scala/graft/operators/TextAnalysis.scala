@@ -157,26 +157,26 @@ object TextAnalysis {
     * division (1.0 = pure boilerplate, 0.0 = fully novel). Docs shorter
     * than `n` words emit no row (the [[shingles]] convention).
     *
-    * Plan: the inverted-index discipline — shingles are distinct per doc,
-    * so `count(*)` per shingle IS document frequency; one hash aggregation
-    * on the shingle key, the df table joins back on the same key (AQE
-    * broadcasts when the vocabulary fits), one per-doc aggregation. Never
-    * a pair join: cost is linear in total shingle volume at any corpus
-    * size.
+    * Plan: shingles are distinct per doc, so a partition-count window
+    * over the shingle key IS document frequency — ONE explode pass over
+    * the corpus, one exchange on the shingle key (the window), one on the
+    * doc id (the final agg). The df-table-join formulation costs a second
+    * full explode scan plus the join's own exchanges (at corpus scale the
+    * vocabulary doesn't broadcast, so that join sort-merges BOTH sides —
+    * strictly more work than the window's one sort). Never a pair join:
+    * cost is linear in total shingle volume at any corpus size.
     */
   def gramNovelty(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3): DataFrame = {
-    val s = shingles(docs, idCol, textCol, n)
-    val df = s.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    s.join(df, Seq("shingle"))
+      n: Int = 3): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
       .select(col(idCol), col("n_shingles"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
-  }
 
   /** Repetition quality signals (the Gopher/MassiveText repetition filters):
     * duplicate word-trigram fraction and most-frequent-bigram share per

@@ -1101,16 +1101,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ccn.contains("Window"), s"ccnetBuckets planned a window:\n$ccn")
     assert(ccn.contains("BroadcastHashJoin") || ccn.contains("BroadcastNestedLoopJoin"),
       s"ccnetBuckets thresholds not broadcast:\n$ccn")
-    // temperatureMix: stratum-sized frames only — every join broadcast,
-    // no sort-merge join anywhere
+    // temperatureMix: the corpus scan happens ONCE at build time (driver
+    // math on the collected stratum histogram); the returned plan is pure
+    // local rows — any Exchange/join here means the crossJoin-chain
+    // regression (4 corpus scans) came back
     val tm = graft.operators.Splits.temperatureMix(docs, "lang", 0.3)
       .queryExecution.executedPlan.toString
-    assert(!tm.contains("SortMergeJoin"), s"temperatureMix sort-merge join:\n$tm")
-    // gramNovelty: no pair join — exactly the shingle-key join-back and the
-    // two aggregations; a cartesian/nested-loop anywhere is a regression
+    assert(tm.contains("LocalTableScan") && !tm.contains("Exchange"),
+      s"temperatureMix must be driver-computed local rows:\n$tm")
+    // gramNovelty: ONE explode pass, exactly two hash exchanges (shingle-key
+    // window + doc-id agg) — a third exchange or any join node means the
+    // two-scan df-table join-back regression came back
     val gn = TextAnalysis.gramNovelty(docs).queryExecution.executedPlan.toString
-    assert(!gn.contains("CartesianProduct") && !gn.contains("BroadcastNestedLoopJoin"),
-      s"gramNovelty planned a pair join:\n$gn")
+    assert(!gn.contains("Join"), s"gramNovelty planned a join:\n$gn")
+    val gnEx = "Exchange hashpartitioning".r.findAllIn(gn).size
+    assert(gnEx == 2, s"gramNovelty: expected 2 hash exchanges, got $gnEx:\n$gn")
   }
 
   test("dimension join is broadcast") {

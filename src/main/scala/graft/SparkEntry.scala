@@ -1669,7 +1669,8 @@ object SparkEntry {
       |  SELECT vec_id, CAST(u.e AS DOUBLE) AS v, u.i AS i
       |  FROM (SELECT vec_id, unnest(embedding) AS e,
       |               generate_subscripts(embedding,1) AS i FROM embeddings) u),
-      |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY 1)
+      |nrm AS (SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
+      |        FROM f GROUP BY 1)
       |""".stripMargin
 
   /** Shared oracle CTE chain for the trained-IVF SERVING path (appended
@@ -1682,7 +1683,7 @@ object SparkEntry {
   private lazy val ivfTrainedServeCtes =
     """,
       |dfin AS (
-      |  SELECT f.vec_id, c2.cell, SUM(f.v*c2.m) AS dot
+      |  SELECT f.vec_id, c2.cell, list_reduce(list(f.v*c2.m ORDER BY f.i), (x,y) -> x+y) AS dot
       |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
       |rfin AS (
       |  SELECT dfin.vec_id, dfin.cell,
@@ -1696,7 +1697,7 @@ object SparkEntry {
       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
       |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
       |dd AS (
-      |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+      |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
       |  FROM cand c
       |  JOIN f a ON a.vec_id=c.query_id
       |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
@@ -2256,7 +2257,7 @@ object SparkEntry {
     "dedup_simhash_collapse" -> simhashOracle(0.6, 6),
     "dedup_embedding_cosine" -> (embCte +
       """, d AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v*b.v) AS dot
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
         |  FROM f a JOIN f b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2)
         |SELECT id_a, id_b, ROUND(dot/(x.nrm*y.nrm),4)+0.0 AS cosine
         |FROM d JOIN nrm x ON x.vec_id=id_a JOIN nrm y ON y.vec_id=id_b
@@ -2265,7 +2266,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (embCte +
       """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
         |pd AS (
-        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
         |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
         |bk AS (
         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1<<plane_id ELSE 0 END) AS BIGINT) AS bucket
@@ -2274,7 +2275,7 @@ object SparkEntry {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bk a JOIN bk b ON a.bucket=b.bucket AND a.vec_id<b.vec_id),
         |d AS (
-        |  SELECT c.id_a, c.id_b, SUM(x.v*y.v) AS dot
+        |  SELECT c.id_a, c.id_b, list_reduce(list(x.v*y.v ORDER BY x.i), (p,q) -> p+q) AS dot
         |  FROM cand c
         |  JOIN f x ON x.vec_id=c.id_a
         |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
@@ -2286,7 +2287,7 @@ object SparkEntry {
     "dedup_embedding_lsh_banded" -> (embCte +
       """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
         |pd AS (
-        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
         |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
         |bkb AS (
         |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
@@ -2296,7 +2297,7 @@ object SparkEntry {
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bkb a JOIN bkb b ON a.band=b.band AND a.bucket=b.bucket AND a.vec_id<b.vec_id),
         |d AS (
-        |  SELECT c.id_a, c.id_b, SUM(x.v*y.v) AS dot
+        |  SELECT c.id_a, c.id_b, list_reduce(list(x.v*y.v ORDER BY x.i), (p,q) -> p+q) AS dot
         |  FROM cand c
         |  JOIN f x ON x.vec_id=c.id_a
         |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
@@ -2307,7 +2308,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin),
     "ann_cosine_topk" -> (embCte +
       """, d AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(q.v*n.v) AS dot
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
         |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
         |  GROUP BY 1,2),
         |s AS (
@@ -2324,7 +2325,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (embCte +
       """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
         |pd AS (
-        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
         |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
         |bk AS (
         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1<<plane_id ELSE 0 END) AS BIGINT) AS bucket
@@ -2333,7 +2334,7 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM bk q JOIN bk n ON q.bucket=n.bucket AND q.vec_id<10 AND q.vec_id<>n.vec_id),
         |dd AS (
-        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
         |  FROM cand c
         |  JOIN f a ON a.vec_id=c.query_id
         |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
@@ -2352,7 +2353,7 @@ object SparkEntry {
     "ann_lsh_banded_topk" -> (embCte +
       """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
         |pd AS (
-        |  SELECT f.vec_id, hp.plane_id, SUM(f.v*hp.v) AS d
+        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
         |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
         |bkb AS (
         |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
@@ -2363,7 +2364,7 @@ object SparkEntry {
         |  FROM bkb q JOIN bkb n ON q.band=n.band AND q.bucket=n.bucket
         |  WHERE q.vec_id<10 AND q.vec_id<>n.vec_id),
         |dd AS (
-        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
         |  FROM cand c
         |  JOIN f a ON a.vec_id=c.query_id
         |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
@@ -2382,7 +2383,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (embCte +
       """, cd AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 4),
         |cdot AS (
-        |  SELECT f.vec_id, cd.cid, SUM(f.v*cd.v) AS d
+        |  SELECT f.vec_id, cd.cid, list_reduce(list(f.v*cd.v ORDER BY f.i), (x,y) -> x+y) AS d
         |  FROM f JOIN cd ON f.i=cd.i GROUP BY 1,2),
         |cscore AS (
         |  SELECT cdot.vec_id, cdot.cid, ROUND(d/(nv.nrm*nc.nrm),4) AS cs
@@ -2398,7 +2399,7 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM cell q JOIN cell n ON q.cell=n.cell AND q.vec_id<10 AND q.vec_id<>n.vec_id),
         |dd AS (
-        |  SELECT c.query_id, c.neighbor_id, SUM(a.v*b.v) AS dot
+        |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
         |  FROM cand c
         |  JOIN f a ON a.vec_id=c.query_id
         |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
@@ -2426,7 +2427,7 @@ object SparkEntry {
       Similarity.kmeansOracleCtes(k = 4, iters = 2) +
       ivfTrainedServeCtes +
       """,bd AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(q.v*n.v) AS dot
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
         |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
         |  GROUP BY 1,2),
         |bs AS (
@@ -2439,7 +2440,7 @@ object SparkEntry {
         |                            ORDER BY score DESC, neighbor_id) AS rnk
         |  FROM bs)
         |SELECT e.query_id, COUNT(*) AS k_exact,
-        |       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |         / COUNT(*) AS recall
         |FROM (SELECT query_id, neighbor_id FROM br WHERE rnk <= 3) e
@@ -2565,7 +2566,7 @@ object SparkEntry {
     "text_gram_novelty" -> (shingleCte +
       """,df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
         |SELECT sh.doc_id, COUNT(*) AS n_shingles,
-        |       SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS shared_frac
         |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY sh.doc_id""".stripMargin),
     "dedup_components" -> componentsOracle,

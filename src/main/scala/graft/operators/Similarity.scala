@@ -485,11 +485,13 @@ object Similarity {
                 |  SELECT a${r - 1}.cell, f.i,
                 |         CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
                 |  FROM f JOIN a${r - 1} USING (vec_id) GROUP BY 1,2),
-                |cn$r AS (SELECT cell, sqrt(SUM(m*m)) AS cnrm FROM c$r GROUP BY 1)""".stripMargin
+                |cn$r AS (SELECT cell, sqrt(list_reduce(list(m*m ORDER BY i), (x,y) -> x+y)) AS cnrm
+                |         FROM c$r GROUP BY 1)""".stripMargin
       if (r < iters) {
         sb ++= s""",
                   |d$r AS (
-                  |  SELECT f.vec_id, c$r.cell, SUM(f.v*c$r.m) AS dot
+                  |  SELECT f.vec_id, c$r.cell,
+                  |         list_reduce(list(f.v*c$r.m ORDER BY f.i), (x,y) -> x+y) AS dot
                   |  FROM f JOIN c$r ON f.i=c$r.i GROUP BY 1,2),
                   |a$r AS (
                   |  SELECT vec_id, cell FROM (
@@ -771,7 +773,8 @@ object Similarity {
     kmeansOracleCtes(kCoarse, iters = coarseIters) +
       s""",
         |dfin AS (
-        |  SELECT f.vec_id, $cl.cell, SUM(f.v*$cl.m) AS dot
+        |  SELECT f.vec_id, $cl.cell,
+        |         list_reduce(list(f.v*$cl.m ORDER BY f.i), (x,y) -> x+y) AS dot
         |  FROM f JOIN $cl ON f.i=$cl.i GROUP BY 1,2),
         |rfin AS (
         |  SELECT dfin.vec_id, dfin.cell,

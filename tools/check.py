@@ -14,6 +14,41 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Driver-faithful dtype gate. The driver hashes each side's pandas frame
+# dtype-aware (DuckDB result via .df(), Spark result via read_parquet), so
+# the gate compares the same post-coercion dtype CLASSES. r9 evidence pins
+# the semantics: an uncast SUM(CASE...) arrives as HUGEINT -> pandas float64
+# against Spark's int64 and the driver FAILED it, while a DECIMAL(2,1)
+# oracle column against Spark's double both coerce to float64 and PASSED,
+# and date32-vs-DATE (object vs datetime64) also PASSED. So: int-vs-float
+# (or any numeric/bool class split) fails; object-vs-datetime is tolerated.
+def dtype_class(dtype) -> str:
+    if dtype.kind in "iu":
+        return "int"
+    if dtype.kind == "f":
+        return "float"
+    if dtype.kind == "b":
+        return "bool"
+    return "timeish-or-object"  # dates/timestamps/strings/lists
+
+
+def dtype_gate(rel, exp: pd.DataFrame, got: pd.DataFrame) -> str:
+    if not len(exp) or not len(got):
+        return ""  # empty frames carry no reliable coerced dtypes
+    duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    for c in exp.columns:
+        if c not in got.columns:
+            continue  # column-set mismatch reported by compare()
+        ec, gc = dtype_class(exp[c].dtype), dtype_class(got[c].dtype)
+        if ec != gc:
+            return (f"DTYPE col={c} oracle={exp[c].dtype} ({duck_types.get(c)}) "
+                    f"spark={got[c].dtype} — driver's dtype-aware hash fails "
+                    f"this even when values match (cast the oracle column)")
+        if duck_types.get(c) == "HUGEINT":
+            print(f"warn {c}: oracle column is HUGEINT (bare SUM?) — "
+                  f"CAST it to BIGINT per the house discipline")
+    return ""
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -62,7 +97,8 @@ def main() -> int:
     fails = 0
     for name in sorted(oracle):
         try:
-            exp = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            exp = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: ORACLE ERROR {e}")
             fails += 1
@@ -73,7 +109,7 @@ def main() -> int:
             fails += 1
             continue
         got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
-        msg = compare(name, exp, got)
+        msg = dtype_gate(rel, exp, got) or compare(name, exp, got)
         if msg:
             print(f"FAIL {name}: {msg}")
             fails += 1

@@ -176,6 +176,57 @@ object ScaleSmoke {
       Dedup.ngramJaccardPairs(planted.filter(col("doc_id") % 50 === 0), tau = 0.6).count()
     }
     Dedup.uncacheAll()
+    // gram-novelty skew A/B on the same viral corpus: every doc carries the
+    // planted boilerplate shingles (df = 50k) plus marker-tail shingles
+    // (df = 5k). The shipped form's df aggregation combines MAP-SIDE, so
+    // each hot shingle collapses to one row per task before its exchange;
+    // the rejected count-over-window form lands all 50k occurrences of
+    // each viral shingle in ONE window partition (no partial aggregation,
+    // and AQE skew-splitting applies to joins, not windows).
+    timed("gram novelty agg+join, viral (50k)") {
+      graft.operators.TextAnalysis.gramNovelty(planted).count()
+    }
+    timed("gram novelty window, viral (50k)") {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.TextAnalysis.shingles(planted, "doc_id", "text", 3)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+        .count()
+    }
+    // the contested STAGE in isolation: 2M docs each carrying one
+    // corpus-wide shingle (df = 2M — a third of all exploded rows on ONE
+    // key), one mid-df shingle, and one unique; the exploded input is
+    // cached so both
+    // forms pay identical upstream cost. The window must move all 500k
+    // occurrences of the hot key into one task's sort; the agg form
+    // collapses them map-side to one row per task before the exchange.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val skewDocs = spark.range(2000000).select(col("id").as("doc_id"),
+        concat(lit("xviral yviral zviral w"), col("id") % 1000, lit(" u"), col("id"))
+          .as("text"))
+      val sk = graft.operators.TextAnalysis
+        .shingles(skewDocs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (enabled("novelty df stage")) sk.count()
+      timed("novelty df stage, window (6M, hot 2M)") {
+        sk.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+          .count()
+      }
+      timed("novelty df stage, agg (6M, hot 2M)") {
+        sk.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+          .filter(col("df") === 1)
+          .groupBy(col("only_doc")).agg(count(lit(1)).as("n_unique"))
+          .count()
+      }
+      sk.unpersist(blocking = false)
+    }
     // custom TopKPerKey vs the window form on the same 5M-row input
     timed("top-3/user via window (5M)") {
       import org.apache.spark.sql.expressions.Window

@@ -1309,9 +1309,10 @@ object SparkEntry {
       TextAnalysis.stripMarkup(marked).orderBy(col("doc_id"))
     }),
     "text_gram_novelty" -> ((s, dir) =>
-      // corpus-duplicated shingle mass per doc: inverted-index df (distinct
-      // per doc ⇒ count == df) joined back on the shingle key — linear in
-      // shingle volume, never a pair join
+      // corpus-duplicated shingle mass per doc. Skew-safe shape: row-local
+      // n_shingles + the df-1 complement trick (unique shingles name their
+      // owner via min(doc_id) inside the map-side-combining df agg), so no
+      // shingle-keyed window/join ever sees a viral key's full row set
       TextAnalysis.gramNovelty(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       // Gopher-style repetition screen: duplicate-trigram fraction +

@@ -109,12 +109,17 @@ object TextAnalysis {
     docs
       .select(col(idCol), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
-      .select(
-        col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(0, size(w) - $n), i -> " +
-            (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
-        ))).as("shingle"))
+      .select(col(idCol), explode(shingleArray(n)).as("shingle"))
+
+  /** The doc's DISTINCT word-n-gram array from its token array `w` —
+    * row-local; shared by [[shingles]] (which explodes it) and
+    * [[gramNovelty]] (which also uses its size directly).
+    */
+  private def shingleArray(n: Int) =
+    array_distinct(expr(
+      s"transform(sequence(0, size(w) - $n), i -> " +
+        (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+    ))
 
   /** HTML/markup stripping — the WET-extraction cleanup pass run before any
     * tokenizer sees crawled text: tags removed, the five ubiquitous
@@ -157,26 +162,51 @@ object TextAnalysis {
     * division (1.0 = pure boilerplate, 0.0 = fully novel). Docs shorter
     * than `n` words emit no row (the [[shingles]] convention).
     *
-    * Plan: shingles are distinct per doc, so a partition-count window
-    * over the shingle key IS document frequency — ONE explode pass over
-    * the corpus, one exchange on the shingle key (the window), one on the
-    * doc id (the final agg). The df-table-join formulation costs a second
-    * full explode scan plus the join's own exchanges (at corpus scale the
-    * vocabulary doesn't broadcast, so that join sort-merges BOTH sides —
-    * strictly more work than the window's one sort). Never a pair join:
-    * cost is linear in total shingle volume at any corpus size.
+    * Plan (the skew-safe 100 TB shape): `n_shingles` is ROW-LOCAL — the
+    * size of the doc's distinct-shingle array, no explode, no exchange —
+    * and `n_shared` is recovered from its COMPLEMENT: a shingle with
+    * corpus df = 1 belongs to exactly one document, so `min(doc_id)` in
+    * the df aggregation already names the owner of every unique shingle,
+    * and n_shared = n_shingles − n_unique. That keeps every shuffle
+    * partial-aggregated: the df groupBy combines MAP-SIDE, so a viral
+    * boilerplate shingle ("all rights reserved" in 10% of the corpus)
+    * collapses to one row per task before the exchange — where a
+    * count-over-window on the shingle key would land every occurrence of
+    * the hot key in ONE window partition (nothing splits a window
+    * partition; AQE skew handling applies to joins, not windows). The
+    * join-back is keyed on the DOC id over two |docs|-sized operands —
+    * never on the shingle — so it can't skew either (a doc's shingle
+    * count is bounded by its length). Cost: one explode pass, two
+    * combining exchanges, one doc-keyed join; the documents scan runs
+    * twice (both branches tokenize), each a column-pruned narrow map —
+    * cheaper at corpus scale than materializing the exploded shingle
+    * volume to avoid it. ScaleSmoke A/Bs this against the window form on
+    * a corpus where every doc carries the same viral shingles.
     */
   def gramNovelty(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3): DataFrame =
-    shingles(docs, idCol, textCol, n)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
-      .select(col(idCol), col("n_shingles"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
+      n: Int = 3): DataFrame = {
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), shingleArray(n).as("sh"))
+    val perDoc = base.select(col(idCol), size(col("sh")).cast("long").as("n_shingles"))
+    val uniquePerDoc = base
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("only_doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("only_doc"))
+      .agg(count(lit(1)).as("n_unique"))
+      .withColumnRenamed("only_doc", idCol)
+    perDoc.join(uniquePerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_unique"), lit(0L))).as("n_shared"),
+        ((col("n_shingles") - coalesce(col("n_unique"), lit(0L))).cast("double") /
+          col("n_shingles")).as("shared_frac"))
+  }
 
   /** Repetition quality signals (the Gopher/MassiveText repetition filters):
     * duplicate word-trigram fraction and most-frequent-bigram share per

@@ -1109,13 +1109,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(tm.contains("LocalTableScan") && !tm.contains("Exchange"),
       s"temperatureMix must be driver-computed local rows:\n$tm")
-    // gramNovelty: ONE explode pass, exactly two hash exchanges (shingle-key
-    // window + doc-id agg) — a third exchange or any join node means the
-    // two-scan df-table join-back regression came back
+    // gramNovelty: NO window on the shingle key — a viral boilerplate
+    // shingle would land every one of its occurrences in a single window
+    // partition with no partial aggregation (nothing splits a window
+    // partition; AQE skew handling applies to joins only). The df
+    // aggregation must instead combine MAP-SIDE (partial_count/partial_min
+    // before the shingle exchange collapse hot keys to one row per task);
+    // the only join is doc-keyed over |docs|-sized operands.
     val gn = TextAnalysis.gramNovelty(docs).queryExecution.executedPlan.toString
-    assert(!gn.contains("Join"), s"gramNovelty planned a join:\n$gn")
-    val gnEx = "Exchange hashpartitioning".r.findAllIn(gn).size
-    assert(gnEx == 2, s"gramNovelty: expected 2 hash exchanges, got $gnEx:\n$gn")
+    assert(!gn.contains("Window"), s"gramNovelty planned a shingle-key window:\n$gn")
+    assert(gn.contains("partial_count") && gn.contains("partial_min"),
+      s"gramNovelty df aggregation lost map-side combine:\n$gn")
   }
 
   test("dimension join is broadcast") {

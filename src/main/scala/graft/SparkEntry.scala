@@ -2546,7 +2546,8 @@ object SparkEntry {
         |ORDER BY train_id, eval_id""".stripMargin),
     // identical planting by residue, then the identical strip chain: regex
     // tag removal with 'g', exact-string entity replaces in the same
-    // order, ASCII whitespace collapse, trim
+    // order (&amp; LAST — the non-cascading decode, mirroring the Spark
+    // fold), ASCII whitespace collapse, trim
     "text_markup_strip" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -2558,8 +2559,8 @@ object SparkEntry {
         |       trim(regexp_replace(
         |         replace(replace(replace(replace(replace(
         |           regexp_replace(text, '<[^>]*>', ' ', 'g'),
-        |           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |           '&quot;', '"'), '&nbsp;', ' '),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&nbsp;', ' '), '&amp;', '&'),
         |         '[ \t\n\r]+', ' ', 'g')) AS clean_text,
         |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
         |       CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp);')) AS BIGINT) AS n_entities

@@ -132,11 +132,18 @@ object TextAnalysis {
     * DECODING is exact-string `replace` (not regex), and whitespace
     * collapse is the explicit ASCII class `[ \t\n\r]+` — every step
     * replays identically in the oracle.
+    *
+    * `&amp;` decodes LAST: each replace's output is re-scanned by the
+    * replaces after it, so decoding `&amp;` first would cascade —
+    * `&amp;lt;` → `&lt;` → `<`, re-introducing markup characters after
+    * tag stripping (double-encoded text smuggling a tag through the
+    * stripper). With `&amp;` last, `&amp;lt;` decodes to the literal
+    * text `&lt;` and stops — the single-pass, non-recursive contract.
     */
   def stripMarkup(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val entities = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
     val noTags = regexp_replace(col(textCol), "<[^>]*>", " ")
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r))

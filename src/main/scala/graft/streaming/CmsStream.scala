@@ -33,7 +33,25 @@ import graft.operators.TextAnalysis
   */
 object CmsStream {
 
-  /** Running counter map (key `j·width + b`), merged per micro-batch. */
+  /** Running counter map (key `j·width + b`), merged per micro-batch.
+    *
+    * Concurrency contract: [[add]] is `synchronized` — the batch-id guard
+    * plus the read-modify-write merge must be one atomic step, or two
+    * writers (e.g. two queries wired to one store) could both pass the
+    * guard and double-count, or interleave merges and lose one. The
+    * expected topology is still ONE streaming query per store
+    * (`foreachBatch` invokes the sink serially); the lock makes the
+    * multi-writer misuse safe instead of silently wrong. Reads
+    * ([[counters]], [[estimates]]) stay lock-free on the immutable map.
+    *
+    * Restart limitation (by design, documented not hidden): the merged
+    * counters live in driver memory only. If the driver restarts, the
+    * checkpoint marks delivered batches as committed, so they are NOT
+    * replayed into the fresh empty store — counts before the restart are
+    * lost, and estimates undercount until the store is rebuilt (re-run
+    * over the retained source, or periodically snapshot `counters` — the
+    * d·w table is bounded — and seed a new store from the snapshot).
+    */
   final class SketchStore(val width: Int, val depth: Int) {
     require(width >= 2 && depth >= 1, s"need width>=2, depth>=1: $width/$depth")
     private val ref = new AtomicReference[Map[Long, Long]](Map.empty)
@@ -43,9 +61,10 @@ object CmsStream {
 
     /** Key-wise add one batch's collected cells; re-delivered batch ids
       * (≤ the last applied) are dropped, so replay never double-counts.
-      * Returns whether the batch was applied.
+      * Returns whether the batch was applied. Atomic w.r.t. concurrent
+      * `add` calls (see class note).
       */
-    def add(batchId: Long, cells: Map[Long, Long]): Boolean = {
+    def add(batchId: Long, cells: Map[Long, Long]): Boolean = synchronized {
       if (batchId <= lastBatch.get()) return false
       val cur = ref.get()
       ref.set(cells.foldLeft(cur) { case (m, (k, n)) =>

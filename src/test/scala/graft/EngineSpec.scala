@@ -1546,7 +1546,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "a &amp; b &lt;tag&gt;"),
       (3L, "plain   text\twith\nspace"),
       (4L, "<br/><br/>"),
-      (5L, "&amp;amp;")).toDF("doc_id", "text")
+      (5L, "&amp;amp;"),
+      (6L, "&amp;lt;script&amp;gt;")).toDF("doc_id", "text")
     val got = TextAnalysis.stripMarkup(rows).orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
@@ -1557,7 +1558,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // single-pass, non-recursive decode: "&amp;amp;" → "&amp;" and STOPS —
       // recursive decoding is an injection hazard (crafted text smuggling
       // markup through the stripper), so one pass is the contract
-      (5L, "&amp;", 0L, 1L)))
+      (5L, "&amp;", 0L, 1L),
+      // the cascade case the contract exists for: &amp; decodes LAST, so
+      // double-encoded "&amp;lt;" yields the literal text "&lt;" — never
+      // "<", which would re-introduce markup after tag stripping
+      (6L, "&lt;script&gt;", 0L, 2L)))
   }
 
   test("gram novelty: planted boilerplate mass, fully-novel doc, short-doc exclusion") {

@@ -858,6 +858,19 @@ object SparkEntry {
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
+    "ann_recall_eval_lsh" -> ((s, dir) => {
+      // the same recall measurement swept over a SECOND approximate
+      // family: banded-LSH serving vs the identical exact baseline.
+      // recallAt takes any two top-k frames — this row keeps its oracle
+      // honest about that (not coupled to the trained-IVF chain alone).
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      val approx = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 3)
+      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ with refine: coarse cells bound what a query scans,
       // product-quantized residual codes bound what each scanned candidate
@@ -1714,6 +1727,74 @@ object SparkEntry {
       |  FROM ss)
       |""".stripMargin
 
+  /** Shared oracle CTE chain for the banded-LSH SERVING path (appended
+    * after `embCte`): sign-bit plane dots, 2 bands × 2 bits buckets,
+    * band-OR candidates (vec_id < 10 queries), exact rescoring, rank
+    * (`rr`). Ends WITHOUT a trailing comma — consumers append the top-k
+    * SELECT (`ann_lsh_banded_topk`) or [[recallTailCtes]]
+    * (`ann_recall_eval_lsh`).
+    */
+  private lazy val lshBandedServeCtes =
+    """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+      |pd AS (
+      |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
+      |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
+      |bkb AS (
+      |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
+      |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pd GROUP BY 1,2),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      |  FROM bkb q JOIN bkb n ON q.band=n.band AND q.bucket=n.bucket
+      |  WHERE q.vec_id<10 AND q.vec_id<>n.vec_id),
+      |dd AS (
+      |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+      |  FROM cand c
+      |  JOIN f a ON a.vec_id=c.query_id
+      |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+      |  GROUP BY 1,2),
+      |ss AS (
+      |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+      |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+      |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+      |rr AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM ss)
+      |""".stripMargin
+
+  /** Shared oracle recall tail (appended after any serving chain that
+    * defines `rr` with a `rnk` column): a fresh-named brute-force exact
+    * chain over the same queries (`bd`/`bs`/`br`, ordered dot folds),
+    * then the exact-set left join and per-query hit count — the
+    * [[graft.operators.Similarity.recallAt]] semantics. Family-agnostic
+    * by construction: `ann_recall_eval` appends it to the trained-IVF
+    * chain, `ann_recall_eval_lsh` to the banded-LSH chain.
+    */
+  private lazy val recallTailCtes =
+    """,bd AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
+      |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+      |  GROUP BY 1,2),
+      |bs AS (
+      |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+      |  FROM bd JOIN nrm nq ON nq.vec_id=bd.query_id
+      |          JOIN nrm nn2 ON nn2.vec_id=bd.neighbor_id),
+      |br AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, neighbor_id) AS rnk
+      |  FROM bs)
+      |SELECT e.query_id, COUNT(*) AS k_exact,
+      |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS recall
+      |FROM (SELECT query_id, neighbor_id FROM br WHERE rnk <= 3) e
+      |LEFT JOIN (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 3) a
+      |       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+
   /** Shared oracle CTE chain for the SEMANTIC dedup family (appended after
     * `embCte` + `kmeansOracleCtes`): final cluster assignment with ordered
     * dot folds → in-cluster pair scan → per-row min-lower-id dup verdicts
@@ -2351,35 +2432,8 @@ object SparkEntry {
         |  FROM ss)
         |SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
-    "ann_lsh_banded_topk" -> (embCte +
-      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
-        |pd AS (
-        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
-        |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
-        |bkb AS (
-        |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
-        |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM pd GROUP BY 1,2),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
-        |  FROM bkb q JOIN bkb n ON q.band=n.band AND q.bucket=n.bucket
-        |  WHERE q.vec_id<10 AND q.vec_id<>n.vec_id),
-        |dd AS (
-        |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
-        |  FROM cand c
-        |  JOIN f a ON a.vec_id=c.query_id
-        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
-        |  GROUP BY 1,2),
-        |ss AS (
-        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
-        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
-        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
-        |rr AS (
-        |  SELECT query_id, neighbor_id, score,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
-        |  FROM ss)
-        |SELECT query_id, neighbor_id, score, rnk FROM rr
+    "ann_lsh_banded_topk" -> (embCte + lshBandedServeCtes +
+      """SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
     "ann_ivf_topk" -> (embCte +
       """, cd AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 4),
@@ -2427,27 +2481,11 @@ object SparkEntry {
     "ann_recall_eval" -> (embCte +
       Similarity.kmeansOracleCtes(k = 4, iters = 2) +
       ivfTrainedServeCtes +
-      """,bd AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
-        |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
-        |  GROUP BY 1,2),
-        |bs AS (
-        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
-        |  FROM bd JOIN nrm nq ON nq.vec_id=bd.query_id
-        |          JOIN nrm nn2 ON nn2.vec_id=bd.neighbor_id),
-        |br AS (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, neighbor_id) AS rnk
-        |  FROM bs)
-        |SELECT e.query_id, COUNT(*) AS k_exact,
-        |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |         / COUNT(*) AS recall
-        |FROM (SELECT query_id, neighbor_id FROM br WHERE rnk <= 3) e
-        |LEFT JOIN (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 3) a
-        |       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        |GROUP BY 1 ORDER BY e.query_id""".stripMargin),
+      recallTailCtes),
+    // same recall tail over a DIFFERENT serving family: the banded-LSH
+    // chain defines `rr`, the tail replays brute force + the hit join —
+    // proving the recall operator is family-agnostic, not IVF-coupled
+    "ann_recall_eval_lsh" -> (embCte + lshBandedServeCtes + recallTailCtes),
     "ann_ivfpq_topk" -> (embCte +
       Similarity.ivfPqOracleSql(
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,

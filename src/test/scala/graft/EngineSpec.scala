@@ -1497,6 +1497,91 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("streaming perceptual dedup: multi-batch equals batch registry; replay guarded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.PhashStream
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("phstream").toString
+    val store = new PhashStream.HashGroupStore(spark, PhashStream.emptyGroups(spark))
+    val in = MemoryStream[Long](spark)
+    val q = PhashStream.run(
+      Multimodal.synthesizeGradientPayloads(in.toDF().toDF("doc_id")),
+      store, s"$dir/ckpt")
+    def groups = store.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // batch 1 includes a corrupt payload (id 10) that must be excluded;
+      // batch 2 adds byte-distinct but hash-equal dups of batch-1 content
+      in.addData(1L to 10L: _*)
+      q.processAllAvailable()
+      in.addData(11L to 19L: _*)
+      q.processAllAvailable()
+      val expected = Multimodal.imageAHash(
+          Multimodal.synthesizeGradientPayloads(
+            spark.range(1, 20).toDF("doc_id")))
+        .filter(col("ahash_hi") >= 0)
+        .groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(groups == expected, s"streamed $groups vs batch registry $expected")
+    } finally q.stop()
+    // at-least-once replay: a re-delivered batch id must not double-count
+    val before = groups
+    PhashStream.sink(store)(
+      Multimodal.synthesizeGradientPayloads(Seq(11L, 12L).toDF("doc_id")), 0L)
+    assert(groups == before, "replayed batch must not change the registry")
+    // an all-corrupt batch is a no-op and must not swap the table
+    val tbl = store.current
+    PhashStream.sink(store)(
+      Multimodal.synthesizeGradientPayloads(Seq(20L).toDF("doc_id")), 999L)
+    assert(store.current eq tbl, "all-corrupt batch must keep the same table")
+  }
+
+  test("streaming decontamination: multi-batch equals batch operator; replay guarded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.ContaminationStream
+    val dir = Files.createTempDirectory("decontstream").toString
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val store = new ContaminationStream.PairStore(
+      spark, ContaminationStream.emptyPairs(spark))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = ContaminationStream.run(
+      in.toDF().toDF("doc_id", "text"), evalDocs, store, s"$dir/ckpt")
+    def pairs = store.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 100
+      (2L, "completely unrelated text about distributed engines and planning"))
+    val batch2 = Seq(
+      (3L, "pack my box with five dozen liquor jugs"),           // exact dup of 200
+      (4L, "another unrelated training document with novel words entirely"))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val expected = Dedup.crossJaccardPairs(
+          (batch1 ++ batch2).toDF("doc_id", "text"), evalDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs == expected, s"streamed $pairs vs batch operator $expected")
+      assert(pairs.map(_._1) == Set(1L, 3L), "exactly the planted dups flag")
+    } finally q.stop()
+    // at-least-once replay: a re-delivered batch id must not duplicate rows
+    val before = pairs
+    ContaminationStream.sink(store, evalDocs)(batch2.toDF("doc_id", "text"), 0L)
+    assert(pairs == before, "replayed batch must not change the pair table")
+    // a clean batch flags nothing and must not swap the table
+    val tbl = store.current
+    ContaminationStream.sink(store, evalDocs)(
+      Seq((5L, "nothing shared with any held out document at all")).toDF("doc_id", "text"), 999L)
+    assert(store.current eq tbl, "clean batch must keep the same table")
+    Dedup.uncacheAll()
+  }
+
   test("connected components: chains, cliques, isolated pairs label to the min id") {
     import spark.implicits._
     // a 4-chain (diameter 3 — needs multiple propagation rounds), an

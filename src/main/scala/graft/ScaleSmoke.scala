@@ -408,6 +408,25 @@ object ScaleSmoke {
           Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))))
         .groupBy(col("nt")).count().count()
     }
+    // per-stratum k-sample A/B (round 10) on the SAME 8M skewed corpus
+    // (en = 70%): the shipped two-level TopKPerKey merge (hot stratum
+    // split 32 ways into bounded heaps, then a tiny second-level merge)
+    // vs the per-stratum row_number window, whose head-language partition
+    // sorts 5.6M rows in ONE task (at 100 TB: tens of TB, unsplittable).
+    timed("sample-k 8M skewed: 2-level topk") {
+      graft.operators.Splits
+        .samplePerStratum(scored, "doc_id", "lang", k = 1000, shards = 32)
+        .count()
+    }
+    timed("sample-k 8M skewed: window") {
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("sample_key", md5(concat_ws(":", col("doc_id"), lit(12345L))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("sample_key"), col("doc_id"))))
+        .filter(col("rn") <= 1000).count()
+    }
     for (skew <- Seq("false", "true") if enabled("interval join hot bin")) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
       val agg = graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid"))

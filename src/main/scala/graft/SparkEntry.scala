@@ -1532,6 +1532,15 @@ object SparkEntry {
           "doc_id", shards = 16)
         .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
         .orderBy(col("shuffle_pos"))),
+    "split_sample_per_stratum" -> ((s, dir) =>
+      // fixed k-per-language sample: two-level TopKPerKey (bounded heaps,
+      // md5-uniform shard split for hot strata) — bit-identical to the
+      // oracle's single per-stratum window at any shard count
+      Splits.samplePerStratum(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", k = 20, shards = 4, seed = 7)
+        .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy(col("lang"), col("sample_key"), col("doc_id"))),
     "text_c4_filter" -> ((s, dir) => {
       // C4-style boilerplate removal (keep lines with terminal punctuation
       // and ≥3 words; drop docs left with <3 lines). The fixture corpus has
@@ -3560,6 +3569,18 @@ object SparkEntry {
          |         ORDER BY ${graft.operators.Splits.shuffleKeySql("doc_id")}, doc_id) - 1
          |         AS BIGINT) AS shuffle_pos
          |FROM documents ORDER BY shuffle_pos""".stripMargin,
+    "split_sample_per_stratum" ->
+      // the oracle keeps each language's 20 smallest md5(id:7) keys with
+      // one per-stratum window (fine at oracle scale); the engine's
+      // two-level bounded-heap merge must select the identical set
+      s"""SELECT doc_id, lang, sample_key FROM (
+         |  SELECT doc_id, lang,
+         |         ${graft.operators.Splits.shuffleKeySql("doc_id", 7)} AS sample_key,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${graft.operators.Splits.shuffleKeySql("doc_id", 7)}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20 ORDER BY lang, sample_key, doc_id""".stripMargin,
     "text_c4_filter" ->
       // identical line synthesis, then the same keep predicate via the
       // shared lambda; kept lists re-joined with the same newline

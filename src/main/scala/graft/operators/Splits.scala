@@ -498,4 +498,47 @@ object Splits {
 
   def shuffleKeySql(idExpr: String, seed: Long = 12345L): String =
     s"md5(CAST($idExpr AS VARCHAR)||':$seed')"
+
+  /** Deterministic FIXED-SIZE per-stratum sample — the "k docs per
+    * language/source for eval or inspection" step. [[stratifiedSample]]
+    * keeps a FRACTION per stratum; this keeps exactly `min(k, |stratum|)`
+    * rows: the k smallest `md5(id:seed)` keys within each stratum (a
+    * reservoir sample's distribution, but a pure function of (id, seed) —
+    * stable across runs, engines, partitionings, and retries, re-drawable
+    * per epoch by changing the seed).
+    *
+    * Scale shape: the declarative form —
+    * `row_number() OVER (PARTITION BY stratum ORDER BY key)` — sorts every
+    * stratum's ENTIRE history inside one task (a 70%-of-corpus language is
+    * tens of TB in one unsplittable window partition; the
+    * [[graft.operators.TextAnalysis.ccnetBuckets]] hazard). This uses the
+    * [[graft.plans.TopKPerKey]] physical operator (O(n log k) bounded
+    * heaps) TWO-LEVEL: level 1 takes top-k per (stratum, shard) — the
+    * md5-uniform shard splits a hot stratum `shards` ways — and level 2
+    * merges the ≤ shards·k survivors per stratum. Top-k is a mergeable
+    * aggregate (merging per-shard top-k heaps yields exactly the global
+    * top-k under the total (key, id) order), so the output is
+    * bit-identical to shards = 1 while no task ever holds more than a
+    * heap. The oracle replays the single window form — tiny at oracle
+    * scale — and the EngineSpec pins shards-invariance.
+    */
+  def samplePerStratum(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int,
+      shards: Int = 1, seed: Long = 12345L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(shards >= 1 && shards <= 256, s"shards must be in [1,256], got $shards")
+    val keyed = df.withColumn("sample_key",
+      md5(concat_ws(":", col(idCol), lit(seed))))
+    val order = Seq(("sample_key", true), (idCol, true))
+    if (shards == 1) {
+      graft.plans.TopK.perKey(keyed, Seq(stratumCol), order, k)
+    } else {
+      val sharded = keyed.withColumn("sample_shard",
+        (conv(substring(col("sample_key"), 1, 2), 16, 10).cast("long") % shards))
+      val level1 = graft.plans.TopK.perKey(
+        sharded, Seq(stratumCol, "sample_shard"), order, k)
+      graft.plans.TopK.perKey(
+        level1.drop("sample_shard"), Seq(stratumCol), order, k)
+    }
+  }
 }

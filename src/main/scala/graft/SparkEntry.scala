@@ -893,6 +893,47 @@ object SparkEntry {
       // a broadcast narrow scoring map)
       Similarity.centroidOutliers(t(s, dir, "embeddings"))
         .orderBy(col("vec_id"))),
+    "emb_int8_quant" -> ((s, dir) =>
+      // scalar int8 storage audit: per-dim max-abs scales (collected as a
+      // bounded dims-length global decision, folded back as ONE literal
+      // array), then a single narrow row-local coding pass — integer sums
+      // and an order-independent max error, so no ordered float folds
+      Similarity.int8Quantize(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
+    "emb_cluster_stats" -> ((s, dir) =>
+      // the k-tuning audit for the IVF/SemDeDup family: per-cell size
+      // (skew = the unsplittable probe/pair-scan unit) and coherence
+      // (integer-summed rounded cosine + min/max spread); same trained
+      // quantizer as ann_ivf_trained_topk, so the oracle replays the
+      // identical Lloyd's CTEs plus a k-row aggregation
+      Similarity.clusterStats(t(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy(col("cell"))),
+    "ann_knn_graph" -> ((s, dir) => {
+      // mutual-kNN graph: each vector's top-4 among its banded-LSH
+      // candidates, kept only where the relation is mutual (hub one-way
+      // edges pruned) — the structure semantic clustering / diversity
+      // sampling starts from; candidates are band-bucketed, never
+      // all-pairs, and both mutuality sides are k-bounded
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      Similarity.knnGraph(emb, planes, bands = 2, k = 4)
+        .select(col("id_a"), col("id_b"),
+          (col("cosine") + lit(0.0)).as("cosine"),
+          col("rank_ab"), col("rank_ba"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "ann_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: nearest different-LABEL vectors
+      // per query — the label constraint applies before ranking. Brute
+      // form over the sampled query set is the verified baseline; the
+      // banded-LSH form (EngineSpec) is the 100 TB candidate path.
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+          col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
       // the pair space (Σ|cell|²/2, never corpus²); a vector is a semantic
@@ -2556,6 +2597,98 @@ object SparkEntry {
         |SELECT d.vec_id, ROUND(d.dot/(nrm.nrm*mn.mnrm),4)+0.0 AS centroid_cosine
         |FROM d JOIN nrm USING (vec_id) CROSS JOIN mn
         |ORDER BY vec_id""".stripMargin),
+    "emb_int8_quant" -> (embCte +
+      // identical IEEE-double expression order (abs(v)/s*127 + 0.5) and
+      // explicit half-away-from-zero floor — no reliance on either
+      // engine's round() tie rule; sums are integer, error is MAX
+      """, sc AS (SELECT i, MAX(abs(v)) AS s FROM f GROUP BY 1),
+        |cq AS (
+        |  SELECT f.vec_id, f.v, sc.s,
+        |         CASE WHEN sc.s = 0 THEN 0
+        |              ELSE CAST(sign(f.v) * floor(abs(f.v)/sc.s*127 + 0.5) AS BIGINT)
+        |         END AS code
+        |  FROM f JOIN sc USING (i))
+        |SELECT vec_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |       CAST(SUM(code) AS BIGINT) AS sum_code,
+        |       CAST(SUM(abs(code)) AS BIGINT) AS sum_abs_code,
+        |       CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_saturated,
+        |       ROUND(MAX(abs(v - code*s/127)), 6)+0.0 AS max_abs_err
+        |FROM cq GROUP BY 1 ORDER BY vec_id""".stripMargin),
+    "emb_cluster_stats" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 4, iters = 2) + ivfTrainedServeCtes +
+      // dfin/cn2 from the shared serving chain: per-(vec, cell) dots under
+      // the final centroids; rn = 1 is the assignment, its rounded cosine
+      // the audited coherence (summed as exact integers ×10⁴)
+      """, vcs AS (
+        |  SELECT dfin.vec_id, dfin.cell,
+        |         ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4)+0.0 AS cosine,
+        |         row_number() OVER (PARTITION BY dfin.vec_id
+        |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
+        |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
+        |            JOIN cn2 ON cn2.cell=dfin.cell)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CAST(ROUND(cosine*10000) AS BIGINT)) AS BIGINT) AS sum_cos_e4,
+        |       MIN(cosine)+0.0 AS min_cos, MAX(cosine)+0.0 AS max_cos
+        |FROM vcs WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin),
+    "ann_knn_graph" -> (embCte +
+      // the banded-bucket candidate CTEs (the lsh_banded discipline),
+      // DIRECTED candidate pairs, per-node rank window, then the mutual
+      // self-join on the reversed pair with both ranks k-bounded
+      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+        |pd AS (
+        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
+        |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
+        |bkb AS (
+        |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1,2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkb a JOIN bkb b ON a.band=b.band AND a.bucket=b.bucket AND a.vec_id<>b.vec_id),
+        |d AS (
+        |  SELECT c.id_a, c.id_b, list_reduce(list(x.v*y.v ORDER BY x.i), (p,q) -> p+q) AS dot
+        |  FROM cand c
+        |  JOIN f x ON x.vec_id=c.id_a
+        |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
+        |  GROUP BY 1,2),
+        |sc AS (
+        |  SELECT id_a, id_b, ROUND(dot/(nx.nrm*ny.nrm),4)+0.0 AS cosine
+        |  FROM d JOIN nrm nx ON nx.vec_id=id_a JOIN nrm ny ON ny.vec_id=id_b),
+        |kn AS (
+        |  SELECT id_a, id_b, cosine,
+        |         CAST(row_number() OVER (PARTITION BY id_a
+        |                                 ORDER BY cosine DESC, id_b) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT k1.id_a, k1.id_b, k1.cosine, k1.rnk AS rank_ab, k2.rnk AS rank_ba
+        |FROM kn k1 JOIN kn k2 ON k2.id_a=k1.id_b AND k2.id_b=k1.id_a
+        |WHERE k1.rnk <= 4 AND k2.rnk <= 4 AND k1.id_a < k1.id_b
+        |ORDER BY k1.id_a, k1.id_b""".stripMargin),
+    "ann_hard_negatives" -> (embCte +
+      // the brute chain with the label inequality applied BEFORE the
+      // per-query window — ordered dot folds, rounded scores, id tie-break
+      """, lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |hd AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |         list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
+        |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+        |  GROUP BY 1,2),
+        |hs AS (
+        |  SELECT hd.query_id, hd.neighbor_id, ln2.label AS neg_label,
+        |         ROUND(hd.dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM hd JOIN nrm nq ON nq.vec_id=hd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=hd.neighbor_id
+        |          JOIN lb lq ON lq.vec_id=hd.query_id
+        |          JOIN lb ln2 ON ln2.vec_id=hd.neighbor_id
+        |  WHERE lq.label <> ln2.label),
+        |hr AS (
+        |  SELECT query_id, neighbor_id, neg_label, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM hs)
+        |SELECT query_id, neighbor_id, neg_label, score, rnk
+        |FROM hr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "dedup_survivors" -> (shingleCte +
       """SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (

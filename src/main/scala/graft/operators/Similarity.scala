@@ -193,6 +193,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training data step (DPR /
+    * SimCSE practice): for each query vector, the k most semantically
+    * similar vectors whose LABEL differs (class, source, or cluster id —
+    * whatever the `labelCol` encodes). Random negatives
+    * ([[graft.operators.Splits.negativePairs]]) are easy; the negatives
+    * that actually move a contrastive loss are the near-misses this
+    * operator surfaces. Output: (query_id, neighbor_id, neg_label, score,
+    * rank), rank 1-based within query over (rounded score desc,
+    * neighbor_id) — the [[bruteForceTopK]] determinism contract with the
+    * label constraint applied BEFORE ranking.
+    *
+    * `planes = None` is the exact brute form (the verified baseline, right
+    * for sampled query sets). `planes = Some(...)` + `bands` rides the
+    * banded sign-LSH candidate join ([[lshTopKBanded]]) with the same
+    * label filter — the 100 TB form: candidates come from band-bucket
+    * collisions instead of the cross product, labels travel on the narrow
+    * candidate frame, and scores/ranks agree with brute wherever the
+    * candidate set contains the true top-k (the usual LSH recall
+    * contract, measurable with [[recallAt]]).
+    */
+  def hardNegatives(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      planes: Option[DataFrame] = None, bands: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val n = emb.select(col(idCol).as("neighbor_id"),
+        toDouble(col(embCol)).as("v"), col(labelCol).cast("long").as("neg_label"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDouble(col(embCol)).as("qv"), col(labelCol).cast("long").as("qlabel"))
+      .withColumn("qn", norm(col("qv")))
+    val paired = planes match {
+      case None =>
+        q.join(n, col("query_id") =!= col("neighbor_id") &&
+          col("qlabel") =!= col("neg_label"))
+      case Some(pl) =>
+        val qb = withBandBuckets(prepared(queries, idCol, embCol), pl, bands)
+          .select(col("id").as("query_id"), col("band"), col("bucket"))
+        val nb = withBandBuckets(prepared(emb, idCol, embCol), pl, bands)
+          .select(col("id").as("neighbor_id"), col("band"), col("bucket"))
+        qb.join(nb, Seq("band", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"))
+          .distinct()
+          .join(q, Seq("query_id"))
+          .join(n, Seq("neighbor_id"))
+          .filter(col("qlabel") =!= col("neg_label"))
+    }
+    paired
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
+      .withColumn("rank", row_number().over(rankWindow).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Collect the (small by contract — k×dims) centroid table to the driver
     * once, sorted by cid. EAGER like [[collectPlanes]]: building an
     * IVF-probed plan executes the (tiny) centroid query immediately.
@@ -532,6 +587,99 @@ object Similarity {
         // any sign, unlike the tau-thresholded pair queries)
         (round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4) + lit(0.0))
           .as("centroid_cosine"))
+  }
+
+  /** Per-dimension symmetric int8 quantization audit — the STORAGE leg of
+    * the embedding pipeline next to [[ivfPqTopK]]'s codebook leg: scalar
+    * int8 (code = round(v/scale·127), scale = per-dim max |v|) is what
+    * production vector stores ship when 4× compression with near-lossless
+    * cosine is enough and codebook training is not wanted. The operator
+    * emits the per-vector audit a curation run needs before committing to
+    * the format: code mass, saturation count, and the worst per-element
+    * reconstruction error.
+    *
+    * Determinism contract (engine-portable, no ordered float folds
+    * needed): scales are per-dim MAX of |v| (max is exact and
+    * order-independent, unlike a float sum); codes are integers via
+    * explicit half-away-from-zero rounding `sgn(v)·⌊|v|/s·127 + 0.5⌋`
+    * (both engines evaluate the identical IEEE-double expression — no
+    * reliance on either engine's round() tie rule); per-vector outputs are
+    * integer sums and an order-independent MAX error, rounded once at the
+    * edge. An all-zero dimension has scale 0 and codes 0 (its elements are
+    * all 0, so the formula's 0/0 is guarded to 0).
+    *
+    * Scale shape: the scale pass is one explode + (dim → max) hash
+    * aggregation — map-side combine collapses every task to ≤ dims rows
+    * before the exchange — and `dims` doubles cross to the driver (the
+    * bounded-global-decision pattern: centroids/BPE/CMS precedent), folded
+    * back as ONE array literal. Coding + auditing is then a single narrow
+    * row-local pass: at 100 TB the corpus is scanned twice and never
+    * exchanged beyond dims-row partials.
+    */
+  def int8Quantize(
+      emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val scales = p.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(max(abs(col("x"))).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    require(scales.nonEmpty, "int8Quantize: empty corpus or empty vectors")
+    require(scales.map(_._1).toSeq == scales.indices.toSeq,
+      s"int8Quantize: ragged dimension index set ${scales.map(_._1).mkString(",")}")
+    val sArr = array(scales.map(s => lit(s._2)): _*)
+    val code = (x: Column, sc: Column) =>
+      when(sc === 0.0, lit(0L))
+        .otherwise((signum(x) * floor(abs(x) / sc * lit(127.0) + lit(0.5))).cast("long"))
+    val zs = zip_with(col("v"), sArr, (x, sc) => struct(x.as("x"), sc.as("s")))
+    p.select(
+      col("id").as(idCol),
+      size(col("v")).cast("long").as("n_dims"),
+      aggregate(zs, lit(0L), (acc, t) =>
+        acc + code(t.getField("x"), t.getField("s"))).as("sum_code"),
+      aggregate(zs, lit(0L), (acc, t) =>
+        acc + abs(code(t.getField("x"), t.getField("s")))).as("sum_abs_code"),
+      aggregate(zs, lit(0L), (acc, t) =>
+        acc + when(abs(code(t.getField("x"), t.getField("s"))) === 127L, 1L)
+          .otherwise(0L)).as("n_saturated"),
+      (round(
+        aggregate(zs, lit(0.0), (acc, t) => greatest(acc,
+          abs(t.getField("x") -
+            code(t.getField("x"), t.getField("s")).cast("double") *
+              t.getField("s") / lit(127.0)))),
+        6) + lit(0.0)).as("max_abs_err"))
+  }
+
+  /** Per-cell quality/balance audit of a trained coarse quantizer — the
+    * measurement that decides k before committing an [[ivfTopK]] index or
+    * a [[semDedup]] run: cell SIZE skew bounds both of them (a cell is an
+    * unsplittable probe/pair-scan unit — [[semDedup]]'s cost is
+    * Σ|cell|²/2), and cell COHERENCE (the member→centroid cosine spread)
+    * tells whether k is large enough for the corpus. Emits one row per
+    * surviving cell: member count, integer-summed rounded cosine (÷10⁴ =
+    * mean coherence; summed as integers so the aggregate is
+    * order-independent and engine-exact — the per-member cosine is already
+    * rounded to 4 dp, so ×10⁴ is integral), and the min/max member cosine.
+    *
+    * Scale shape: training is [[trainCentroids]] (its documented
+    * contract); the audit itself is one zero-exchange assignment pass
+    * ([[graft.functions.NearestCentroidCells]]), a broadcast join against
+    * the k-row centroid table for scoring, and a k-row hash aggregation —
+    * map-side combine collapses every task to ≤ k rows, so the audit adds
+    * one narrow scan at any corpus size.
+    */
+  def clusterStats(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(emb, k, iters, idCol, embCol)
+    val assigned = assignCells(prepared(emb, idCol, embCol), cents, nprobe = 1)
+    assigned.join(broadcast(cents), col("cell") === col("cid"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4) + lit(0.0))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(col("cosine") * 10000).cast("long")).as("sum_cos_e4"),
+        (min(col("cosine")) + lit(0.0)).as("min_cos"),
+        (max(col("cosine")) + lit(0.0)).as("max_cos"))
   }
 
   /** IVF-PQ — the MEMORY leg of the 100 TB ANN story. [[ivfTopK]] bounds

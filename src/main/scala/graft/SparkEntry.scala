@@ -749,6 +749,25 @@ object SparkEntry {
     // -------- dedup (SURVEY §2.12)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy(col("text_hash"))),
+    "dedup_exact_normalized" -> ((s, dir) => {
+      // normalization-robust exact dedup: the fixture corpus is ASCII, so
+      // the Unicode variant surface is PLANTED deterministically in BOTH
+      // engines (the pii-stats residue discipline) — residues 0/1/2 of
+      // each 4-block render the same text as precomposed, combining-mark,
+      // and uppercase+extra-space variants (collapsing to one key via
+      // lower → ws-collapse → NFC), residue 3 stays unique
+      val docs = t(s, dir, "documents")
+      val g = ((col("doc_id") - pmod(col("doc_id"), lit(4))) / 4).cast("long")
+      val variant = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("Café   doc "), g))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("Café doc "), g))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("CAFÉ doc "), g))
+        .otherwise(concat(lit("unique "), col("doc_id")))
+      Dedup.exactNormalized(docs.select(col("doc_id"), variant.as("text")))
+        .orderBy(col("text_key"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -996,6 +1015,18 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
           n = 3, tau = 0.5)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+    "dedup_containment" -> ((s, dir) => {
+      // ASYMMETRIC decontamination: |train ∩ eval| / |eval| — fires on an
+      // eval doc QUOTED INSIDE a larger training doc where symmetric
+      // Jaccard is diluted by the training doc's own size; same two-sided
+      // inverted-index join as the other two cross-corpus screens
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairs(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          n = 3, tau = 0.6)
         .orderBy(col("train_id"), col("eval_id"))
     }),
     "dedup_contamination_bloom" -> ((s, dir) => {
@@ -2370,6 +2401,25 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_exact_normalized" ->
+      // identical residue planting via chr() (233 = precomposed é, 769 =
+      // combining acute, 201 = É), then the identical key chain: lower →
+      // explicit-class ws collapse → NFC → md5 (DuckDB's nfc_normalize
+      // and the JDK normalizer both implement UAX #15 NFC)
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0
+        |                THEN 'Caf'||chr(233)||'   doc '||CAST(doc_id//4 AS VARCHAR)
+        |              WHEN doc_id % 4 = 1
+        |                THEN 'Cafe'||chr(769)||' doc '||CAST(doc_id//4 AS VARCHAR)
+        |              WHEN doc_id % 4 = 2
+        |                THEN 'CAF'||chr(201)||' doc '||CAST(doc_id//4 AS VARCHAR)
+        |              ELSE 'unique '||CAST(doc_id AS VARCHAR) END AS text
+        |  FROM documents)
+        |SELECT md5(nfc_normalize(regexp_replace(trim(lower(text)), '[ \t\n\r]+', ' ', 'g')))
+        |         AS text_key,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM v GROUP BY 1 ORDER BY text_key""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(0.6),
     "dedup_ngram_jaccard_pruned" -> (shingleCte +
       """, keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 10),
@@ -2714,6 +2764,19 @@ object SparkEntry {
         |  FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
         |  WHERE (p.a % 10 = 0) <> (p.b % 10 = 0))
         |SELECT train_id, eval_id, jaccard FROM cj WHERE jaccard >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin),
+    "dedup_containment" -> (shingleCte +
+      // orientation recovered as in cj; the denominator is the EVAL side's
+      // own distinct-shingle count (p carries a < b, so pick whichever of
+      // na/nb sits on the eval residue)
+      """,ct AS (
+        |  SELECT CASE WHEN p.a % 10 <> 0 THEN p.a ELSE p.b END AS train_id,
+        |         CASE WHEN p.a % 10 = 0 THEN p.a ELSE p.b END AS eval_id,
+        |         CAST(p.c AS DOUBLE) /
+        |           (CASE WHEN p.a % 10 = 0 THEN na.n ELSE nb.n END) AS containment
+        |  FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |  WHERE (p.a % 10 = 0) <> (p.b % 10 = 0))
+        |SELECT train_id, eval_id, containment FROM ct WHERE containment >= 0.6
         |ORDER BY train_id, eval_id""".stripMargin),
     // identical oracle by design: the Bloom pre-filter must never change
     // the emitted pair set, only the join's input volume

@@ -35,6 +35,37 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** The normalized dedup key under [[exactNormalized]]'s equivalence:
+    * md5(NFC(collapse(trim(lower(text))))), each stage mirrored exactly by
+    * the oracle SQL. The whitespace class is the EXPLICIT `[ \t\n\r]` —
+    * Java's `\s` and RE2's `\s` disagree on U+000B, so neither engine's
+    * shorthand is trusted.
+    */
+  def normalizedKey(textCol: Column): Column =
+    md5(graft.functions.NfcNormalize(
+      regexp_replace(trim(lower(textCol)), "[ \\t\\n\\r]+", " ")))
+
+  /** Normalization-robust exact dedup — [[exact]] under the equivalence
+    * real crawled text needs: the SAME rendered document arrives from
+    * different extractors as precomposed vs decomposed Unicode (é as
+    * U+00E9 vs e+U+0301), different letter case, and different whitespace
+    * runs, and byte-level md5 treats every variant as a distinct document.
+    * The key here is md5 of `NFC(collapse_ws(trim(lower(text))))` —
+    * canonical equivalence only (NFC via the codegen'd
+    * [[graft.functions.NfcNormalize]]), deliberately NOT the lossier NFKC
+    * compatibility folding.
+    *
+    * Same output shape and scale story as [[exact]]: one map-side-combined
+    * hash aggregation on the computed key (the normalization chain is
+    * row-local and rides the scan); cost identical to exact dedup at any
+    * corpus size.
+    */
+  def exactNormalized(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(normalizedKey(col(textCol)).as("text_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** (id, shingle, h) distinct word-n-grams — see [[TextAnalysis.shingles]]
     * — with `h = xxhash64(shingle)`. All self-joins key on the fixed-width
     * 64-bit hash (cheaper shuffle + comparison than variable-length
@@ -551,6 +582,36 @@ object Dedup {
         (col("common").cast("double") /
           (col("n_train") + col("n_eval") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
+  }
+
+  /** ASYMMETRIC decontamination: eval-side n-gram CONTAINMENT
+    * `|train ∩ eval| / |eval|` ≥ tau across the corpus boundary — the
+    * screen for an eval document QUOTED INSIDE a larger training document,
+    * where symmetric Jaccard is diluted by the training doc's own size
+    * (a benchmark question embedded in a long forum page has containment
+    * ≈ 1 but Jaccard ≈ |eval|/|train| → 0, so [[crossJaccardPairs]] never
+    * fires). Together the three cross-corpus screens cover the leak
+    * spectrum: absolute shared mass ([[contaminationPairs]]), symmetric
+    * near-dup ([[crossJaccardPairs]]), and one-sided inclusion (this).
+    *
+    * Same plan as the other two: the two-sided inverted-index join (cost
+    * Σ_h df_train·df_eval, eval side broadcast-small by contract), one
+    * pair aggregation, per-doc size joins — never an all-pairs product.
+    */
+  def containmentPairs(
+      train: DataFrame, probe: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6): DataFrame = {
+    val a = sh(train, idCol, textCol, n).select(col("id").as("train_id"), col("h"))
+    val b = sh(probe, idCol, textCol, n).select(col("id").as("eval_id"), col("h"))
+    val inter = a.join(b, Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("common"))
+    val nb = b.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+    inter.join(nb, Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"),
+        (col("common").cast("double") / col("n_eval")).as("containment"))
+      .filter(col("containment") >= tau)
   }
 
   def contaminationPairs(

@@ -2518,4 +2518,198 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"blocklist must broadcast:\n$plan")
   }
+
+  test("samplePerStratum: sharded merge ≡ shards=1 ≡ window form; exact per-stratum sizes") {
+    val base = docs.select(col("doc_id"), col("lang"))
+    def sampled(shards: Int) =
+      Splits.samplePerStratum(base, "doc_id", "lang", k = 7, shards = shards, seed = 3)
+        .select("doc_id", "lang", "sample_key")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val one = sampled(1)
+    assert(sampled(4) == one, "two-level shard merge must be bit-identical to direct top-k")
+    assert(sampled(16) == one)
+    // reference: the declarative window form the oracle uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    val ref = base
+      .withColumn("sample_key", md5(concat_ws(":", col("doc_id"), lit(3))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("doc_id", "lang", "sample_key")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(one == ref, "bounded-heap operator must equal the window form")
+    // exactly min(k, |stratum|) rows per stratum
+    val sizes = one.groupBy(_._2).view.mapValues(_.size).toMap
+    val pops = base.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pops.foreach { case (lang, n) =>
+      assert(sizes.getOrElse(lang, 0) == math.min(7L, n), s"stratum $lang")
+    }
+    // re-seeding re-draws: a different seed must not pick the same set
+    // (astronomically unlikely to collide on this fixture)
+    val reseeded = Splits.samplePerStratum(base, "doc_id", "lang", k = 7, seed = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reseeded != one.map(_._1), "seed must re-draw the sample")
+  }
+
+  test("int8Quantize: code bounds, saturation, zero-dim guard, half-step error bound") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f, 0.25f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f, -0.125f)),
+      (3L, Array(0.5f, 0.25f, 0.0f, 0.5f)), // dim 2 all-zero -> scale 0
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(rows).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // scales: dim0 = 1.0, dim1 = 0.5, dim2 = 0 (all-zero), dim3 = 0.5
+    // vec 1 codes: 127, -127, 0, 64 (0.25/0.5*127 = 63.5 -> half-away 64)
+    assert(got(0).copy(_6 = 0.0) == ((1L, 4L, 64L, 318L, 2L, 0.0)))
+    assert(math.abs(got(0)._6 - math.abs(0.25 - 64.0 * 0.5 / 127)) < 1e-6)
+    // vec 2: -127, 127, 0, -32 (0.125/0.5*127 = 31.75 -> 32)
+    assert(got(1)._3 == -32L && got(1)._5 == 2L)
+    // vec 4: all-zero vector -> all-zero codes, zero error
+    assert(got(3) == ((4L, 4L, 0L, 0L, 0L, 0.0)))
+    // error never exceeds half a quantization step of the widest dim
+    val maxScale = 1.0
+    got.foreach { g =>
+      assert(g._6 <= maxScale / 254 + 1e-12, s"err bound violated: $g")
+    }
+    // corpus-level invariant on the fixture: n_dims constant, errors bounded
+    // by each vector's own worst step (cheap sanity over real data)
+    val fx = Similarity.int8Quantize(emb)
+    assert(fx.select(countDistinct(col("n_dims"))).head.getLong(0) == 1L)
+    assert(fx.filter(col("max_abs_err") < 0.0).isEmpty)
+  }
+
+  test("clusterStats: partition of the corpus, bounded coherence, spread ordering") {
+    val stats = Similarity.clusterStats(emb, k = 4, iters = 2).collect()
+    val n = emb.count()
+    assert(stats.map(_.getLong(1)).sum == n, "cells must partition the corpus")
+    assert(stats.nonEmpty && stats.length <= 4)
+    stats.foreach { r =>
+      val (nv, sum4, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi && lo >= -1.0 && hi <= 1.0, s"cosine spread broken: $r")
+      assert(sum4 >= math.round(lo * 10000) * nv && sum4 <= math.round(hi * 10000) * nv,
+        s"integer cosine mass outside [min,max]·n: $r")
+    }
+  }
+
+  test("hardNegatives: labels always differ, banded candidates agree with brute scores") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.hardNegatives(emb, queries, k = 5).collect()
+    assert(brute.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    brute.foreach { r =>
+      assert(labels(r.getLong(0)) != r.getLong(2),
+        s"same-label vector mined as negative: $r")
+      assert(r.getLong(2) == labels(r.getLong(1)), s"neg_label must be the neighbor's")
+    }
+    // per-query: ranks dense from 1, scores non-increasing
+    brute.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0).getDouble(3) >= p(1).getDouble(3)))
+    }
+    // banded path: every mined pair must carry the identical brute score
+    // (banding prunes candidates, never changes scoring), labels differ
+    val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    val banded = Similarity.hardNegatives(emb, queries, k = 5,
+      planes = Some(planes), bands = 2).collect()
+    val bruteAll = Similarity.hardNegatives(emb, queries, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    banded.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteAll.contains(key), s"banded pair outside the label-filtered universe: $r")
+      assert(bruteAll(key) == r.getDouble(3), s"banded score differs from brute: $r")
+    }
+  }
+
+  test("exactNormalized: NFC/case/whitespace variants collapse, NFKC does not, codegen'd") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "Café au lait"),        // precomposed
+      (11L, "café   au\tlait "),   // decomposed + ws runs + trail
+      (12L, "CAFÉ AU LAIT"),        // case
+      (13L, "ﬁne print"),           // fi-ligature: NFKC-only, must NOT
+      (14L, "fine print"),               //   collapse with the spelled form
+      (15L, "unrelated")).toDF("doc_id", "text")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // NfcNormalize must codegen
+    try {
+      val got = Dedup.exactNormalized(rows).orderBy("keep_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((10L, 3L), (13L, 1L), (14L, 1L), (15L, 1L)), s"got $got")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // byte-level exact dedup sees 6 distinct docs — the operator's reason to exist
+    assert(Dedup.exact(rows).count() == 6L)
+    // plan shape: same single hash-agg exchange as exact (key rides the scan)
+    val plan = Dedup.exactNormalized(rows).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("containmentPairs: quoted-inside eval fires containment but not jaccard") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta" // 4 trigrams
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$filler $evalDoc"),  // eval quoted inside a much larger doc
+      (3L, filler)).toDF("doc_id", "text")
+    val eval_ = Seq((2L, evalDoc)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(train, eval_, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"got $cont")
+    Dedup.uncacheAll()
+    // symmetric Jaccard over the same pair is diluted far below any
+    // sensible tau — the screen this operator exists to complement
+    val j = Dedup.crossJaccardPairs(train, eval_, tau = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(j.exists { case (a, b, jac) => a == 1L && b == 2L && jac < 0.15 }, s"got $j")
+    Dedup.uncacheAll()
+  }
+
+  test("knnGraph: canonical mutual edges, ranks k-bounded, scores match brute force") {
+    val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    val k = 4
+    val edges = Similarity.knnGraph(emb, planes, bands = 2, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b, _, rab, rba) =>
+      assert(a < b, "edges must be canonical")
+      assert(rab >= 1 && rab <= k && rba >= 1 && rba <= k, "mutuality is k-bounded")
+    }
+    assert(edges.map(e => (e._1, e._2)).distinct.length == edges.length)
+    // every emitted cosine equals the exact rounded brute-force cosine
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+      .filter(col("id").isin(ids.toSeq: _*))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
+    edges.foreach { case (a, b, cos, _, _) =>
+      val (va, na) = p(a); val (vb, nb) = p(b)
+      val dot = va.zip(vb).foldLeft(0.0)((acc, t) => acc + t._1 * t._2)
+      val want = BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cos == want, s"edge ($a,$b): $cos != $want")
+    }
+  }
+
+  test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
+    val base = docs.select(col("doc_id"), col("lang"))
+    val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2,
+      s"expected two bounded-heap levels:\n$plan")
+    // level 1 clusters by (stratum, shard) — the hot-stratum split; level 2
+    // by stratum alone over the ≤ shards·k survivors
+    assert("Exchange hashpartitioning\\(lang[^)]*sample_shard".r.findFirstIn(plan).isDefined,
+      s"level-1 exchange must key on (stratum, shard):\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      s"no per-stratum window sort may appear:\n$plan")
+  }
 }

@@ -2699,6 +2699,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming per-stratum sample: multi-batch equals batch operator; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.SampleStream
+    val dir = Files.createTempDirectory("samplestream").toString
+    val k = 3
+    val store = new SampleStream.SampleStore(
+      spark, SampleStream.emptySample(spark, "lang", "doc_id"), "lang", "doc_id", k)
+    val in = MemoryStream[(String, Long)](spark)
+    val q = SampleStream.run(in.toDF().toDF("lang", "doc_id"), store, s"$dir/ckpt")
+    def sample = store.current.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val batch1 = Seq.tabulate(20)(i => ("en", i.toLong)) ++ Seq(("de", 100L))
+    val batch2 = Seq.tabulate(20)(i => ("en", (50 + i).toLong)) ++
+      Seq(("de", 101L), ("fr", 200L))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val expected = Splits.samplePerStratum(
+          (batch1 ++ batch2).toDF("lang", "doc_id"), "doc_id", "lang", k)
+        .select("lang", "doc_id", "sample_key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(sample == expected, s"streamed $sample vs batch operator $expected")
+      assert(sample.count(_._1 == "en") == k && sample.count(_._1 == "de") == 2)
+    } finally q.stop()
+    // idempotence + monotone guard: a re-delivered batch changes nothing
+    val before = sample
+    SampleStream.sink(store)(batch1.toDF("lang", "doc_id"), 0L)
+    assert(sample == before, "replayed batch must not change the sample")
+    // an empty batch keeps the very same table (no swap)
+    val tbl = store.current
+    SampleStream.sink(store)(Seq.empty[(String, Long)].toDF("lang", "doc_id"), 999L)
+    assert(store.current eq tbl, "empty batch must keep the same table")
+  }
+
   test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
     val base = docs.select(col("doc_id"), col("lang"))
     val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)

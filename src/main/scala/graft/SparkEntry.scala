@@ -1368,6 +1368,23 @@ object SparkEntry {
           cume_dist().over(w).as("cd"))
         .orderBy(col("c_custkey"))
     }),
+    "q_rollup" -> ((s, dir) =>
+      // ROLLUP subtotal lattice (beyond-reference SQL breadth, the q_
+      // series): grouping keys COALESCE to a sentinel so NULL ordering
+      // never differs cross-engine; grouping_id disambiguates levels
+      // (leftmost key = most significant bit in BOTH engines); measures
+      // are COUNT and an integer sum (exact, order-free)
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("long").as("lvl"),
+          count(lit(1)).as("n_orders"),
+          sum((col("o_orderkey") % 1000).cast("long")).as("sum_key"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("lvl"), col("n_orders"), col("sum_key"))
+        .orderBy(col("lvl"), col("status"), col("priority"))),
     "text_lm_score" -> ((s, dir) =>
       // bigram-LM quality scoring (CCNet lineage): mean log conditional
       // probability under the corpus's own MLE bigram model — per-term
@@ -1612,6 +1629,17 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("lang")),
           "doc_id", "lang", k = 20, shards = 4, seed = 7)
         .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy(col("lang"), col("sample_key"), col("doc_id"))),
+    "split_weighted_sample_stratum" -> ((s, dir) =>
+      // quality-weighted k-per-language cut: the Efraimidis–Spirakis
+      // min-of-w-draws key (split_weighted_sample's rule) selected through
+      // the same two-level bounded-heap merge as the unweighted form
+      Splits.weightedSamplePerStratum(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              (lit(1L) + col("n_chars") % 8).as("w")),
+          "doc_id", "lang", col("w"), k = 10, maxWeight = 8, shards = 4)
+        .select(col("doc_id"), col("lang"), col("weight"), col("sample_key"))
         .orderBy(col("lang"), col("sample_key"), col("doc_id"))),
     "text_c4_filter" -> ((s, dir) => {
       // C4-style boilerplate removal (keep lines with terminal punctuation
@@ -3315,6 +3343,17 @@ object SparkEntry {
         |       cume_dist() OVER w AS cd
         |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
         |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      // GROUPING(a, b) bitmask: leftmost key = most significant bit, the
+      // same convention as Spark's grouping_id; the integer-sum measure
+      // is CAST back from DuckDB's HUGEINT
+      """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+        |       COALESCE(o_orderpriority, '<all>') AS priority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(o_orderkey % 1000) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, status, priority""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |bg AS (
@@ -3777,6 +3816,18 @@ object SparkEntry {
          |           ORDER BY ${graft.operators.Splits.shuffleKeySql("doc_id", 7)}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 20 ORDER BY lang, sample_key, doc_id""".stripMargin,
+    "split_weighted_sample_stratum" ->
+      // re-draws the identical min-of-w-md5-draws key, then one
+      // per-stratum window (oracle scale); the engine's two-level
+      // bounded-heap merge must select the identical per-language sets
+      s"""SELECT doc_id, lang, weight, sample_key FROM (
+         |  SELECT doc_id, lang, CAST(1 + n_chars % 8 AS BIGINT) AS weight,
+         |         ${graft.operators.Splits.weightedKeySql("doc_id", "1 + n_chars % 8")} AS sample_key,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${graft.operators.Splits.weightedKeySql("doc_id", "1 + n_chars % 8")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10 ORDER BY lang, sample_key, doc_id""".stripMargin,
     "text_c4_filter" ->
       // identical line synthesis, then the same keep predicate via the
       // shared lambda; kept lists re-joined with the same newline

@@ -526,9 +526,20 @@ object Splits {
       df: DataFrame, idCol: String, stratumCol: String, k: Int,
       shards: Int = 1, seed: Long = 12345L): DataFrame = {
     require(k >= 1, "k must be positive")
-    require(shards >= 1 && shards <= 256, s"shards must be in [1,256], got $shards")
     val keyed = df.withColumn("sample_key",
       md5(concat_ws(":", col(idCol), lit(seed))))
+    topKPerStratum(keyed, idCol, stratumCol, k, shards)
+  }
+
+  /** The shared two-level bounded-heap selection: top `k` per stratum by
+    * (`sample_key`, id) — directly at shards = 1, or per (stratum,
+    * md5-uniform shard) then merged (bit-identical: top-k under a total
+    * order is mergeable, see [[samplePerStratum]]).
+    */
+  private def topKPerStratum(
+      keyed: DataFrame, idCol: String, stratumCol: String,
+      k: Int, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 256, s"shards must be in [1,256], got $shards")
     val order = Seq(("sample_key", true), (idCol, true))
     if (shards == 1) {
       graft.plans.TopK.perKey(keyed, Seq(stratumCol), order, k)
@@ -540,5 +551,37 @@ object Splits {
       graft.plans.TopK.perKey(
         level1.drop("sample_shard"), Seq(stratumCol), order, k)
     }
+  }
+
+  /** WEIGHTED sampling without replacement, PER STRATUM — the
+    * quality-weighted "k docs per language/source" cut: within each
+    * stratum, higher-weight rows win proportionally more often
+    * ([[weightedSample]]'s integer-exact Efraimidis–Spirakis rule: a
+    * weight-w row's key is the MIN of w md5 draws), and exactly
+    * `min(k, |stratum|)` rows survive per stratum. The same engine-portable
+    * determinism contract as both parents: keys are pure functions of
+    * (id, seed), draws are a bounded row-local `transform`+`array_min`,
+    * out-of-bounds weights `raise_error` loudly.
+    *
+    * Scale shape: [[weightedSample]]'s global TakeOrderedAndProject cannot
+    * key by stratum, and the per-stratum window sorts a hot stratum in one
+    * task — so this rides [[samplePerStratum]]'s two-level `TopKPerKey`
+    * merge (bit-identical at any shard count, bounded heaps throughout).
+    */
+  def weightedSamplePerStratum(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: Column,
+      k: Int, maxWeight: Int = 64, shards: Int = 1,
+      seed: Long = 12345L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be positive")
+    val w = when(weightCol.between(1, maxWeight), weightCol.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSamplePerStratum: weight out of [1, $maxWeight]: "), weightCol)))
+    val keyed = df.withColumn("weight", w)
+      .withColumn("sample_key",
+        array_min(transform(
+          sequence(lit(0L), col("weight") - 1L),
+          i => md5(concat_ws(":", col(idCol), i, lit(seed))))))
+    topKPerStratum(keyed, idCol, stratumCol, k, shards)
   }
 }

@@ -2736,6 +2736,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.current eq tbl, "empty batch must keep the same table")
   }
 
+  test("weightedSamplePerStratum: shard-invariant, per-stratum sizes, weight advantage") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("lang"),
+      (lit(1L) + col("n_chars") % 8).as("w"))
+    def sampled(shards: Int) =
+      Splits.weightedSamplePerStratum(base, "doc_id", "lang", col("w"),
+          k = 5, maxWeight = 8, shards = shards)
+        .select("doc_id", "lang", "weight", "sample_key")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val one = sampled(1)
+    assert(sampled(8).toSet == one.toSet, "two-level merge must be bit-identical")
+    val pops = base.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = one.groupBy(_._2).view.mapValues(_.size).toMap
+    pops.foreach { case (lang, n) =>
+      assert(sizes.getOrElse(lang, 0) == math.min(5L, n), s"stratum $lang")
+    }
+    // weight monotonicity IN DISTRIBUTION: weight-8 rows must be
+    // over-represented vs their base rate within each selected stratum
+    // sample on aggregate (same fixture property PropertySpec pins for
+    // the global form); here assert the deterministic selection draws a
+    // mean weight above the corpus mean
+    val meanSel = one.map(_._3).sum.toDouble / one.length
+    val meanAll = base.agg(avg(col("w"))).head.getDouble(0)
+    assert(meanSel > meanAll, s"selected mean $meanSel <= corpus mean $meanAll")
+    // out-of-range weight fails loudly
+    val boom = intercept[Exception] {
+      Splits.weightedSamplePerStratum(
+        Seq((1L, "en", 9L)).toDF("doc_id", "lang", "w"),
+        "doc_id", "lang", col("w"), k = 1, maxWeight = 8).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
     val base = docs.select(col("doc_id"), col("lang"))
     val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)

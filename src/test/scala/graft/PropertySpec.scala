@@ -421,6 +421,82 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-stratum sample: window-form equality for any shard count; k saturation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Splits
+    val data = Gen.listOfN(2000,
+        for { s <- Gen.choose(0, 6); id <- Gen.choose(0L, 1000000L) } yield (s, id))
+      .sample.get.distinct
+      .map { case (s, id) => (s"s$s", id) }
+    val df = data.toDF("stratum", "doc_id").dropDuplicates("doc_id")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    for (k <- Seq(1, 5); shards <- Seq(1, 3, 16)) {
+      val got = Splits.samplePerStratum(df, "doc_id", "stratum", k, shards, seed = 9)
+        .select("stratum", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = df
+        .withColumn("sample_key", md5(concat_ws(":", col("doc_id"), lit(9))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("stratum", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"k=$k shards=$shards")
+    }
+    // k beyond every stratum's population returns the whole corpus
+    val all = Splits.samplePerStratum(df, "doc_id", "stratum", k = 100000, shards = 4)
+      .count()
+    assert(all == df.count())
+  }
+
+  test("weighted stratum sample: raising one row's weight never evicts it; sizes hold") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val rows = Gen.listOfN(800,
+        for { s <- Gen.choose(0, 3); id <- Gen.choose(0L, 500000L); w <- Gen.choose(1L, 6L) }
+          yield (s, id, w))
+      .sample.get.map { case (s, id, w) => (s"s$s", id, w) }
+    val df = rows.toDF("stratum", "doc_id", "w").dropDuplicates("doc_id").cache()
+    val k = 4
+    def pick(wc: org.apache.spark.sql.Column) =
+      Splits.weightedSamplePerStratum(df, "doc_id", "stratum", wc, k, maxWeight = 12)
+        .select("stratum", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val base = pick(col("w"))
+    // doubling every weight only ADDS draws per row — a selected row's key
+    // can only shrink relative to others' keys shrinking too; the clean
+    // invariant is on a SINGLE row: raise one selected row's weight, all
+    // else equal, and it must stay selected (its key is min over a
+    // superset of its previous draws, others' keys are unchanged)
+    val (st, id) = base.head
+    val boosted = pick(when(col("doc_id") === id, col("w") + 6L).otherwise(col("w")))
+    assert(boosted.contains((st, id)), s"boosted row ($st,$id) was evicted")
+    val pops = df.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = base.groupBy(_._1).view.mapValues(_.size).toMap
+    pops.foreach { case (s, n) =>
+      assert(sizes.getOrElse(s, 0) == math.min(k.toLong, n), s"stratum $s")
+    }
+    df.unpersist()
+  }
+
+  test("int8 quantization: audit bounds hold for adversarial vectors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Gen.listOfN(200, Gen.listOfN(8,
+        Gen.oneOf(Gen.choose(-4.0, 4.0), Gen.const(0.0), Gen.const(1e-30), Gen.const(-3.5))))
+      .sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scales = vecs.flatMap(_._2.zipWithIndex.map { case (x, i) => (i, math.abs(x.toDouble)) })
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).max }
+    val worstStep = (if (scales.isEmpty) 0.0 else scales.max) / 254
+    Similarity.int8Quantize(df).collect().foreach { r =>
+      val (n, sum, sabs, sat, err) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(n == 8)
+      assert(math.abs(sum) <= sabs && sabs <= 127L * n, s"code mass out of range: $r")
+      assert(sat >= 0 && sat <= n)
+      assert(err >= 0.0 && err <= worstStep + 1e-9, s"error above half a step: $r")
+    }
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

@@ -1390,6 +1390,11 @@ object SparkEntry {
       // probability under the corpus's own MLE bigram model — per-term
       // ln over an exact integer ratio, rounded, decimal-summed
       TextAnalysis.lmScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_entropy" -> ((s, dir) =>
+      // within-doc token-distribution entropy: the quality screen for
+      // keyword-stuffed/templated text that never literally repeats an
+      // n-gram — 6-dp-fenced lns, decimal-summed terms, edge rounding
+      TextAnalysis.entropyStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail quality buckets: per-LANGUAGE score-quantile
       // thresholds (approx_percentile — bounded mergeable buffer, rank-exact
@@ -3368,6 +3373,24 @@ object SparkEntry {
         |       CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) AS sum_logp,
         |       ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean_logp
         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      // identical term chain: integer counts, each ln fenced at 6 dp, one
+      // rounded double product per (doc, token), decimal sum, edge round;
+      // +0.0 normalizes the single-token doc's -0.0
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w
+        |             FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1,2),
+        |nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |tm AS (
+        |  SELECT wc.doc_id, nd.n,
+        |         ROUND(CAST(wc.c AS DOUBLE) *
+        |           (ROUND(ln(CAST(wc.c AS DOUBLE)),6) - ROUND(ln(CAST(nd.n AS DOUBLE)),6)),
+        |           6) AS term
+        |  FROM wc JOIN nd USING (doc_id))
+        |SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_distinct,
+        |       ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)/MAX(n), 6)+0.0
+        |         AS entropy
+        |FROM tm GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // same bigram-LM CTEs as text_lm_score, then per-language rank-exact
     // order-statistic thresholds (quantile_disc ≡ approx_percentile at
     // accuracy ≥ group size — the q_percentile_approx contract) and the

@@ -613,6 +613,49 @@ object TextAnalysis {
     * corpus — AQE broadcasts when it fits, exactly the [[tokenRarity]]
     * frequency-join contract), then one per-doc aggregation.
     */
+  /** Token-distribution (Shannon) entropy per document — the
+    * distribution-level quality screen next to [[repetitionStats]]'
+    * surface-level one: keyword-stuffed, templated, or spam text
+    * concentrates probability mass on few tokens and scores LOW even when
+    * no literal n-gram repeats (what the duplicate-trigram fraction
+    * cannot see); natural prose over the same length scores near the
+    * ln(n_distinct) ceiling. H = −Σ (c/n)·ln(c/n) over the doc's
+    * whitespace-token counts.
+    *
+    * Cross-engine determinism (the [[lmScore]] discipline): each
+    * (doc, token) term is `round(c · (round(ln c, 6) − round(ln n, 6)), 6)`
+    * — integer counts, both lns individually 6-dp-fenced (the
+    * [[graft.operators.Splits.dsirWeights]] subtraction rule), one double
+    * product rounded once — then per-doc terms DECIMAL-sum (exact,
+    * order-free) and the final division rounds at the edge. `+0.0`
+    * normalizes the −0.0 a zero-entropy (single-token) document would
+    * otherwise emit.
+    *
+    * Scale shape: one explode into a (doc, token) map-side-combined hash
+    * agg, a doc-keyed join of doc-sized operands, one doc agg — no
+    * window, no token-keyed join (nothing moves a hot TOKEN's row set
+    * anywhere; both exchanges key on the doc or combine first).
+    */
+  def entropyStats(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val wc = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val nd = wc.groupBy(col(idCol)).agg(sum(col("c")).as("n"))
+    wc.join(nd, Seq(idCol))
+      .select(col(idCol), col("n"),
+        round(col("c").cast("double") *
+          (round(log(col("c").cast("double")), 6) -
+            round(log(col("n").cast("double")), 6)),
+          6).as("term"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (round(-sum(col("term").cast(DecimalType(28, 12))).cast("double") /
+          max(col("n")), 6) + lit(0.0)).as("entropy"))
+  }
+
   def lmScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val bg = docs.select(col(idCol), tokens(col(textCol)).as("w"))

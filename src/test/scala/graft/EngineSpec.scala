@@ -2770,6 +2770,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(boom.getMessage != null)
   }
 
+  test("entropyStats: uniform ceiling, zero floor without -0.0, stuffing scores lower") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c d"),                    // uniform over 4 -> ln 4
+      (2L, "spam spam spam spam"),        // single token -> 0.0
+      (3L, "buy buy buy buy buy buy now"),// stuffed, same-ish length as 4
+      (4L, "one two three four five six seven")).toDF("doc_id", "text")
+    val got = TextAnalysis.entropyStats(rows).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(math.abs(got(0)._4 - math.log(4.0)) < 2e-6, s"got ${got(0)}")
+    val zero = got(1)
+    assert(zero == ((2L, 4L, 1L, 0.0)))
+    assert(!(1.0 / zero._4).isNegInfinity, "zero entropy must not be -0.0")
+    assert(got(2)._4 < got(3)._4, "keyword stuffing must score below diverse prose")
+    assert(got(3)._4 > math.log(7.0) - 0.01, "distinct-token doc near its ceiling")
+  }
+
   test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
     val base = docs.select(col("doc_id"), col("lang"))
     val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)

@@ -393,6 +393,22 @@ object SparkEntry {
           array_min(col("embedding")).cast("double").as("arr_min"),
           element_at(col("embedding"), 1).cast("double").as("first_val"))
         .orderBy(col("vec_id"))),
+    "q_rolling" -> ((s, dir) => {
+      // rolling event-time aggregate per user (beyond-reference window
+      // breadth): a RANGE frame over the µs long — equal-ts peers share
+      // the frame in BOTH engines — with integer-only measures; the
+      // per-user partition is the same bounded-key discipline as
+      // q_sessionize (user activity, never corpus-keyed)
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("event_id") % 100).cast("long").as("m"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, 0L)
+      ev.select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_window"),
+          sum(col("m")).over(w).as("sum_m"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // event-time sessionization. The ts column's PHYSICAL unit is the
       // export's choice (fixtures have shipped both timestamp[ns] and
@@ -2193,6 +2209,17 @@ object SparkEntry {
         |       CAST(list_min(embedding) AS DOUBLE) AS arr_min,
         |       CAST(embedding[1] AS DOUBLE) AS first_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_rolling" ->
+      // the identical RANGE frame (peers included at equal ts); measures
+      // CAST back from DuckDB's wider window-SUM type
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                  CAST(event_id % 100 AS BIGINT) AS m FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+        |       CAST(SUM(m) OVER w AS BIGINT) AS sum_m
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |                    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |f AS (

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Similarity
+
+/** Streaming ANN serving — the ONLINE half of the IVF story: the index is
+  * built once offline ([[graft.operators.Similarity.trainCentroids]] +
+  * the corpus, exactly the batch `ann_ivf_trained_topk` pieces), and
+  * query vectors then ARRIVE as a stream, each micro-batch probing the
+  * fixed index with the verified batch serving operator
+  * ([[Similarity.ivfTopK]]). This is the deployment shape an ANN index
+  * actually runs in — train nightly, serve continuously — expressed as a
+  * stream-against-static composition of two already-verified pieces.
+  *
+  * Reference scope note: the reference engine has no streaming surface
+  * (`handler.go:77-92` is a fixed refresh loop); this is part of the
+  * build's training-data-pipeline extension mandate.
+  *
+  * Why this shape: per-query results are INDEPENDENT — a query's top-k
+  * against a fixed index does not depend on any other query — so the
+  * streamed union of per-batch results equals the batch operator over the
+  * union of all queries (the [[ContaminationStream]] argument, applied to
+  * serving). Per batch: one [[Similarity.ivfTopK]] run (zero-exchange
+  * cell assignment on both sides, candidates bounded by the probed
+  * cells), results appended to the answer table. Accumulated state is
+  * answer-sized (|queries|·k), never corpus-sized; the corpus-side cell
+  * assignment is computed ONCE at index build and reused by every batch.
+  *
+  * Append is not idempotent under `foreachBatch`'s at-least-once replay,
+  * so the store keeps the last applied batch id and drops re-deliveries
+  * at or below it (the [[CmsStream.SketchStore]] monotone-guard
+  * discipline); the swap is atomic and lineage-cut
+  * ([[ComponentsStream.LabelStore]]'s materialize-before-swap).
+  */
+object AnnServeStream {
+
+  /** The immutable serving index: trained centroids plus the pinned
+    * corpus. `k`/`nprobe` are fixed at build time — they are index-shape
+    * decisions, not per-query ones. `centroids` is exposed read-only so a
+    * caller can audit the quantizer ([[Similarity.clusterStats]] takes
+    * the same shape) or verify serving against the batch operator with
+    * the IDENTICAL trained quantizer.
+    */
+  final class Index private[AnnServeStream] (
+      private[AnnServeStream] val emb: DataFrame,
+      val centroids: DataFrame,
+      val k: Int, val nprobe: Int)
+
+  /** Build the index: train the deterministic coarse quantizer and pin the
+    * corpus (cached — every batch rescans it).
+    */
+  def buildIndex(
+      emb: DataFrame, kCentroids: Int, iters: Int, k: Int,
+      nprobe: Int = 1): Index = {
+    val cents = Similarity.trainCentroids(emb, kCentroids, iters)
+    val pinned = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    new Index(pinned, cents, k, nprobe)
+  }
+
+  /** (query_id, neighbor_id, score, rank) answers accumulated across
+    * batches.
+    */
+  final class AnswerStore(spark: SparkSession, initial: DataFrame) {
+    private def materialize(df: DataFrame): DataFrame = {
+      val cut = spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count() // force now: a failed serve must fail BEFORE the swap
+      cut
+    }
+    private val ref = new AtomicReference[DataFrame](materialize(
+      initial.select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))))
+    private val lastBatch = new AtomicLong(-1L)
+
+    /** The current answer table — always fully materialized. */
+    def current: DataFrame = ref.get()
+
+    /** Serve one micro-batch of query vectors (vec_id, embedding) against
+      * the index and append the answers; re-delivered batch ids are
+      * dropped. Returns whether the batch was applied.
+      */
+    def serve(batchId: Long, index: Index, queries: DataFrame): Boolean = synchronized {
+      if (batchId <= lastBatch.get()) return false
+      val old = ref.get()
+      if (!queries.isEmpty) {
+        val answers = Similarity.ivfTopK(
+          index.emb, queries, index.centroids, index.k, index.nprobe)
+        val next = materialize(old.unionByName(
+          answers.select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))))
+        ref.set(next)
+        old.unpersist()
+      }
+      lastBatch.set(batchId)
+      true
+    }
+  }
+
+  /** An empty cold-start answer table with the store's schema. */
+  def emptyAnswers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double, Long)]
+      .toDF("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
+  def sink(store: AnswerStore, index: Index): (DataFrame, Long) => Unit =
+    (batch, batchId) => store.serve(batchId, index, batch)
+
+  /** Wire a streaming (vec_id, embedding) query source into `store` and
+    * start the query; callers read `store.current` at any time.
+    */
+  def run(queries: DataFrame, store: AnswerStore, index: Index,
+          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(store, index))
+      .outputMode("update")
+      .start()
+}

@@ -2787,6 +2787,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3)._4 > math.log(7.0) - 0.01, "distinct-token doc near its ceiling")
   }
 
+  test("streaming ANN serving: streamed batches equal the batch operator; replay dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.AnnServeStream
+    val dir = Files.createTempDirectory("annserve").toString
+    val index = AnnServeStream.buildIndex(emb, kCentroids = 4, iters = 2, k = 3, nprobe = 2)
+    val store = new AnnServeStream.AnswerStore(spark, AnnServeStream.emptyAnswers(spark))
+    val queryRows = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = AnnServeStream.run(
+      in.toDF().toDF("vec_id", "embedding"), store, index, s"$dir/ckpt")
+    def answers = store.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    try {
+      in.addData(queryRows.take(4).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(queryRows.drop(4).toSeq: _*)
+      q.processAllAvailable()
+      val expected = Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 10), index.centroids, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(answers == expected, s"streamed ${answers.size} vs batch ${expected.size}")
+      assert(answers.map(_._1) == queryRows.map(_._1).toSet, "every query answered")
+    } finally q.stop()
+    // replay guard: re-delivering an old batch id must not append again
+    val before = answers
+    AnnServeStream.sink(store, index)(queryRows.take(4).toSeq.toDF("vec_id", "embedding"), 0L)
+    assert(answers == before, "replayed batch must not duplicate answers")
+    // an empty batch keeps the very same table
+    val tbl = store.current
+    AnnServeStream.sink(store, index)(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), 999L)
+    assert(store.current eq tbl, "empty batch must keep the same table")
+  }
+
   test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
     val base = docs.select(col("doc_id"), col("lang"))
     val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)

@@ -1651,6 +1651,19 @@ object SparkEntry {
           "doc_id", "lang", k = 20, shards = 4, seed = 7)
         .select(col("doc_id"), col("lang"), col("sample_key"))
         .orderBy(col("lang"), col("sample_key"), col("doc_id"))),
+    "split_mix_order" -> ((s, dir) => {
+      // the COMPOSED mixing pipeline: temperature-smoothed rates derived
+      // from the corpus (alpha = 0.3) → data-derived stratified sample →
+      // deterministic global epoch order — train-ready, reproducible
+      // corpus mixing in three verified pieces and one oracle
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val rates = Splits.temperatureMix(docs, "lang", alpha = 0.3)
+        .select(col("lang"), col("sample_rate"))
+      val sampled = Splits.stratifiedSampleByRates(docs, "doc_id", "lang", rates)
+      Splits.globalOrder(sampled, "doc_id", shards = 16)
+        .select(col("doc_id"), col("lang"), col("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))
+    }),
     "split_weighted_sample_stratum" -> ((s, dir) =>
       // quality-weighted k-per-language cut: the Efraimidis–Spirakis
       // min-of-w-draws key (split_weighted_sample's rule) selected through
@@ -3317,6 +3330,30 @@ object SparkEntry {
     // the identical rounding chain as Splits.temperatureMix: exact p, powers
     // ROUNDED to 6 before anything downstream, DECIMAL normalizer sum,
     // single rounded divisions for q and sample_rate
+    "split_mix_order" ->
+      // the temperature CTE chain (shared arithmetic with
+      // split_temperature_mix), the numeric 256-bucket keep test, then
+      // one global shuffle-order window (oracle scale)
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |pp AS (
+        |  SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n_total AS p,
+        |         ROUND(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3), 6) AS pw
+        |  FROM c CROSS JOIN tot),
+        |z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM pp),
+        |qq AS (SELECT lang, p, ROUND(pw / z, 6) / p AS boost FROM pp CROSS JOIN z),
+        |mb AS (SELECT MAX(boost) AS max_boost FROM qq),
+        |rr AS (SELECT lang, ROUND(boost / max_boost, 6) AS sample_rate
+        |       FROM qq CROSS JOIN mb),
+        |keep AS (
+        |  SELECT d.doc_id, d.lang FROM documents d JOIN rr USING (lang)
+        |  WHERE CAST(('0x'||substring(md5(CAST(d.doc_id AS VARCHAR)),1,2)) AS BIGINT)
+        |        < CAST(floor(rr.sample_rate * 256) AS BIGINT))
+        |SELECT doc_id, lang,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)||':12345'), doc_id) - 1
+        |         AS BIGINT) AS shuffle_pos
+        |FROM keep ORDER BY shuffle_pos""".stripMargin,
     "split_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS n_total FROM documents),

@@ -79,6 +79,29 @@ object Splits {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 2) < thr)
   }
 
+  /** [[stratifiedSample]] with DATA-DERIVED per-stratum rates — the form
+    * that composes with [[temperatureMix]] (whose rates are computed from
+    * the corpus, not known to the caller as literals): `rates` is a tiny
+    * (stratum, rate∈[0,1]) frame, broadcast onto a row-local keep test.
+    * The decision rule is EXACTLY [[stratifiedSample]]'s 256-bucket
+    * threshold, evaluated numerically (`hex2(md5(id)) < ⌊rate·256⌋` —
+    * zero-padded 2-hex lexicographic compare IS the numeric compare, so
+    * the two forms select identical rows for identical fractions; a rate
+    * of 1.0 yields 256, above every hex value, keeping everything).
+    * Strata absent from `rates` are dropped (an inner join — the
+    * down-sample-only mixing contract).
+    */
+  def stratifiedSampleByRates(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: DataFrame, rateCol: String = "sample_rate"): DataFrame =
+    df.join(
+        broadcast(rates.select(col(stratumCol), col(rateCol).as("__rate"))),
+        Seq(stratumCol))
+      .filter(
+        conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10).cast("long") <
+          floor(col("__rate") * 256).cast("long"))
+      .select(df.columns.map(col): _*)
+
   /** The same stratum-threshold predicate as SQL text, for oracle mirroring. */
   def stratifiedSampleSql(
       idExpr: String, stratumExpr: String,

@@ -2824,6 +2824,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.current eq tbl, "empty batch must keep the same table")
   }
 
+  test("stratifiedSampleByRates: equals the literal-map form; missing strata drop; rate 1 keeps all") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("lang"))
+    val langs = base.select("lang").distinct().collect().map(_.getString(0)).toSeq
+    val fracs = langs.zipWithIndex.map { case (l, i) =>
+      l -> Seq(0.25, 0.5, 1.0)(i % 3) }.toMap
+    val rates = fracs.toSeq.toDF("lang", "sample_rate")
+    val byRates = Splits.stratifiedSampleByRates(base, "doc_id", "lang", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val byMap = Splits.stratifiedSample(base, "doc_id", "lang", fracs, defaultFraction = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byRates == byMap, "numeric 256-bucket test must equal the hex-threshold form")
+    // rate-1.0 strata keep every row
+    val full = langs.filter(l => fracs(l) == 1.0).toSet
+    val pops = base.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { l =>
+      assert(byRates.count(_._2 == l).toLong == pops(l), s"rate-1.0 stratum $l truncated")
+    }
+    // a stratum absent from the rates frame is dropped entirely
+    val partial = Splits.stratifiedSampleByRates(
+      base, "doc_id", "lang", rates.filter(col("lang") === langs.head))
+    assert(partial.select("lang").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq(langs.head))
+    // the corpus side must not exchange: broadcast join + row-local filter
+    val plan = Splits.stratifiedSampleByRates(base, "doc_id", "lang", rates)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+  }
+
   test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
     val base = docs.select(col("doc_id"), col("lang"))
     val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)

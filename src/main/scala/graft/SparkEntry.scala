@@ -393,21 +393,6 @@ object SparkEntry {
           array_min(col("embedding")).cast("double").as("arr_min"),
           element_at(col("embedding"), 1).cast("double").as("first_val"))
         .orderBy(col("vec_id"))),
-    "q_json_extract" -> ((s, dir) =>
-      // semi-structured lane (beyond-reference function breadth): JSON
-      // property extraction riding the scan row-locally into a
-      // map-side-combined aggregate — the events.props payload parsed
-      // with get_json_object (null on malformed, the robust-ETL default)
-      t(s, dir, "events")
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"),
-          max(col("k")).as("max_k"))
-        .orderBy(col("event_type"))),
     "q_rolling" -> ((s, dir) => {
       // rolling event-time aggregate per user (beyond-reference window
       // breadth): a RANGE frame over the µs long — equal-ts peers share
@@ -2237,16 +2222,6 @@ object SparkEntry {
         |       CAST(list_min(embedding) AS DOUBLE) AS arr_min,
         |       CAST(embedding[1] AS DOUBLE) AS first_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q_json_extract" ->
-      // identical JSON-path extraction; DuckDB's HUGEINT SUM CAST back
-      """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        |         AS sum_k,
-        |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        |         AS min_k,
-        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        |         AS max_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_rolling" ->
       // the identical RANGE frame (peers included at equal ts); measures
       // CAST back from DuckDB's wider window-SUM type

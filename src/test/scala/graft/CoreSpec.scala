@@ -94,4 +94,31 @@ class CoreSpec extends AnyFunSuite {
     val inv = Manifest.parseInventory("""{"sourceBucket":"b"}""")
     assert(inv.sourceBucket == "b" && inv.files.isEmpty)
   }
+
+  test("registry tripwire: no duplicate keys in either map; queries and oracles align") {
+    // Scala Map literals keep the LAST duplicate key silently — a re-added
+    // registry name would shadow the original verified definition with no
+    // compile error and no runtime signal (it happened in round 10). The
+    // runtime maps can't reveal duplicates, so this reads the SOURCE:
+    // top-level registry entries are exactly the 4-space-indented
+    // '"name" ->' lines.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val entry = """(?m)^    "([a-z0-9_]+)" ->""".r
+    val oi = src.indexOf("def oracleSql")
+    assert(oi > 0, "oracleSql marker not found")
+    def keys(span: String): Seq[String] = entry.findAllMatchIn(span).map(_.group(1)).toSeq
+    val q = keys(src.substring(0, oi))
+    val o = keys(src.substring(oi))
+    def dups(xs: Seq[String]) = xs.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups(q).isEmpty, s"duplicate queries keys: ${dups(q).mkString(",")}")
+    assert(dups(o).isEmpty, s"duplicate oracleSql keys: ${dups(o).mkString(",")}")
+    assert(q.toSet == o.toSet,
+      s"queries/oracle mismatch: only-queries=${(q.toSet -- o.toSet).mkString(",")} " +
+        s"only-oracle=${(o.toSet -- q.toSet).mkString(",")}")
+    // the source census must agree with the runtime maps (indentation
+    // drift in a refactor would silently blind this tripwire otherwise)
+    assert(q.size == SparkEntry.queries.size, s"${q.size} source vs runtime map")
+    assert(o.size == SparkEntry.oracleSql.size)
+  }
 }

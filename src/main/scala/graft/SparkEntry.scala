@@ -1651,6 +1651,25 @@ object SparkEntry {
           "doc_id", "lang", k = 20, shards = 4, seed = 7)
         .select(col("doc_id"), col("lang"), col("sample_key"))
         .orderBy(col("lang"), col("sample_key"), col("doc_id"))),
+    "pipeline_curate" -> ((s, dir) => {
+      // the round-10 curation chain COMPOSED: normalization-robust exact
+      // dedup (keep each normalized group's min id) → within-doc entropy
+      // screen (≥ 2.8, the fixture's discriminating tail cut) → fixed
+      // k-per-language sample via the two-level bounded-heap merge —
+      // dedup → quality → sample, every stage independently verified,
+      // the whole chain value-checked by ONE oracle. Entropy is
+      // within-doc, so scoring the full corpus and intersecting with the
+      // dedup keeps is identical to scoring the deduped set.
+      val docs = t(s, dir, "documents")
+      val keep = Dedup.exactNormalized(docs).select(col("keep_id").as("doc_id"))
+      val kept = TextAnalysis.entropyStats(docs.join(keep, Seq("doc_id")))
+        .filter(col("entropy") >= 2.8).select(col("doc_id"))
+      val screened = docs.join(keep, Seq("doc_id")).join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+      Splits.samplePerStratum(screened, "doc_id", "lang", k = 25, shards = 4, seed = 11)
+        .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy(col("lang"), col("sample_key"), col("doc_id"))
+    }),
     "split_mix_order" -> ((s, dir) => {
       // the COMPOSED mixing pipeline: temperature-smoothed rates derived
       // from the corpus (alpha = 0.3) → data-derived stratified sample →
@@ -3330,6 +3349,40 @@ object SparkEntry {
     // the identical rounding chain as Splits.temperatureMix: exact p, powers
     // ROUNDED to 6 before anything downstream, DECIMAL normalizer sum,
     // single rounded divisions for q and sample_rate
+    "pipeline_curate" ->
+      // replays the three verified stages as one chain: the normalized
+      // dedup key, the fenced-ln entropy (computed corpus-wide —
+      // within-doc, so intersecting with the keeps is identical), and
+      // the per-stratum sample window
+      """WITH nk AS (
+        |  SELECT doc_id,
+        |         md5(nfc_normalize(regexp_replace(trim(lower(text)), '[ \t\n\r]+', ' ', 'g'))) AS k
+        |  FROM documents),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM nk GROUP BY k),
+        |tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1,2),
+        |nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |tm AS (
+        |  SELECT wc.doc_id, nd.n,
+        |         ROUND(CAST(wc.c AS DOUBLE) *
+        |           (ROUND(ln(CAST(wc.c AS DOUBLE)),6) - ROUND(ln(CAST(nd.n AS DOUBLE)),6)),
+        |           6) AS term
+        |  FROM wc JOIN nd USING (doc_id)),
+        |ent AS (
+        |  SELECT doc_id FROM tm GROUP BY doc_id
+        |  HAVING ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)/MAX(n), 6)+0.0
+        |         >= 2.8),
+        |sel AS (
+        |  SELECT d.doc_id, d.lang FROM documents d
+        |  JOIN keep USING (doc_id) JOIN ent USING (doc_id))
+        |SELECT doc_id, lang, sample_key FROM (
+        |  SELECT doc_id, lang,
+        |         md5(CAST(doc_id AS VARCHAR)||':11') AS sample_key,
+        |         row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)||':11'), doc_id) AS rn
+        |  FROM sel)
+        |WHERE rn <= 25 ORDER BY lang, sample_key, doc_id""".stripMargin,
     "split_mix_order" ->
       // the temperature CTE chain (shared arithmetic with
       // split_temperature_mix), the numeric 256-bucket keep test, then

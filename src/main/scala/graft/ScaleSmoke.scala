@@ -418,6 +418,15 @@ object ScaleSmoke {
         .samplePerStratum(scored, "doc_id", "lang", k = 1000, shards = 32)
         .count()
     }
+    // round-10 row-local passes at volume: the int8 audit's coding pass
+    // (after the dims-bounded scale decision) and the entropy screen over
+    // the replica corpus — both must stay near scan throughput
+    timed("int8 quantize audit (replica emb)") {
+      graft.operators.Similarity.int8Quantize(emb).count()
+    }
+    timed("entropy screen (50k docs)") {
+      graft.operators.TextAnalysis.entropyStats(docs).count()
+    }
     timed("sample-k 8M skewed: window") {
       import org.apache.spark.sql.expressions.Window
       scored

@@ -2854,6 +2854,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
   }
 
+  test("plan pins: int8 audit is exchange-free after the scale decision; entropy has no window") {
+    // int8Quantize's returned frame is the CODING pass only — the scale
+    // aggregation already ran eagerly (bounded global decision) and came
+    // back as one literal array, so the audited plan must be a pure
+    // narrow scan+project: zero Exchange of any kind
+    val int8Plan = Similarity.int8Quantize(emb).queryExecution.executedPlan.toString
+    assert(!int8Plan.contains("Exchange"),
+      s"int8 coding pass must be narrow:\n$int8Plan")
+    // entropyStats: deliberately NO window and no token-keyed join-back —
+    // its exchanges are the (doc, token) and doc aggregations plus the
+    // doc-keyed join only (the gramNovelty skew lesson applied at design
+    // time); a Window node would mean a hot token's rows serialize
+    val entPlan = TextAnalysis.entropyStats(docs).queryExecution.executedPlan.toString
+    assert(!entPlan.toLowerCase.contains("window"),
+      s"entropy must not window:\n$entPlan")
+    assert(entPlan.contains("partial_count") || entPlan.contains("partial_sum"),
+      s"entropy aggregations must combine map-side:\n$entPlan")
+  }
+
   test("samplePerStratum plan: two TopKPerKey levels, exchanges keyed shard-then-stratum") {
     val base = docs.select(col("doc_id"), col("lang"))
     val plan = Splits.samplePerStratum(base, "doc_id", "lang", k = 5, shards = 16)

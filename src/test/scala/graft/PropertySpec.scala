@@ -497,6 +497,26 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("entropy: 0 ≤ H ≤ ln(n_distinct) within fencing slack for random corpora") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("a", "b", "c", "dd", "eee", "zq")
+    val docsGen = Gen.listOfN(150, Gen.choose(1, 40).flatMap(Gen.listOfN(_, word)))
+      .sample.get.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val out = TextAnalysis.entropyStats(docsGen.toDF("doc_id", "text")).collect()
+    assert(out.length == docsGen.length)
+    out.foreach { r =>
+      val (nTok, nDist, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // fencing rounds each ln to 6 dp and each term once more, so the
+      // theoretical bounds hold up to n_tokens · 1.5e-6 of accumulated slack
+      val slack = nTok * 1.5e-6
+      assert(h >= -slack, s"negative entropy: $r")
+      assert(h <= math.log(nDist.toDouble.max(1.0)) + slack ||
+        nDist == 1L && h == 0.0, s"above the ln(n_distinct) ceiling: $r")
+      assert(nDist <= nTok)
+    }
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

@@ -1288,6 +1288,12 @@ object SparkEntry {
       // integer-exact harmonic sum; the exact-distinct column is the
       // fixture-scale accuracy A/B
       TextAnalysis.hllDistinct(t(s, dir, "documents"))),
+    "text_heavy_hitters" -> ((s, dir) =>
+      // two-pass Misra–Gries: bounded-state candidate pass (≤ s counters
+      // per task, cardinality-independent), then an exact recount of the
+      // tiny candidate set — output identical to the brute groupBy+HAVING
+      // the oracle runs, by the MG superset guarantee
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), s = heavyHitterS)),
     "text_encoding_stats" -> ((s, dir) => {
       // mojibake screen over deterministic damage planting: U+FFFD pairs
       // on doc_id%6, C0 controls on %9, legitimate accents on %5 —
@@ -1838,6 +1844,12 @@ object SparkEntry {
   private val semDedupK = 8
   private val semDedupIters = 2
   private val semDedupTau = 0.4
+
+  /** Heavy-hitter support denominator: emit tokens with freq ≥ n_total/s.
+    * Shared by the `text_heavy_hitters` operator call and its oracle's
+    * HAVING clause so the threshold can't drift between engines.
+    */
+  private val heavyHitterS = 40
 
   /** Shared DuckDB CTE: embeddings flattened to (vec_id, i, v) + L2 norms. */
   private val embCte =
@@ -3186,6 +3198,19 @@ object SparkEntry {
         |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
         |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
         |FROM l GROUP BY token ORDER BY token""".stripMargin,
+    "text_heavy_hitters" ->
+      // brute-force form of the same statistic: the MG candidate pass is
+      // output-invisible (superset + exact recount), so the oracle needs
+      // no sketch replay — just the exact counts and the shared threshold
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+         |SELECT token, COUNT(*) AS n_occurrences,
+         |       CAST((COUNT(*) * 1000000) // MIN(tot.n_total) AS BIGINT) AS share_ppm
+         |FROM tok CROSS JOIN tot
+         |GROUP BY token
+         |HAVING COUNT(*) * $heavyHitterS >= MIN(tot.n_total)
+         |ORDER BY n_occurrences DESC, token""".stripMargin,
     "text_hll_distinct" ->
       // full sketch replay: same md5 register/rank split (rank via binary-
       // string length — integer, no log), same EXACT integer harmonic sum

@@ -1253,4 +1253,84 @@ object TextAnalysis {
         (col("label") * col("margin") > 0).as("correct"))
     } finally feats.unpersist(blocking = false)
   }
+
+  /** One Misra–Gries pass (Misra & Gries 1982, "Finding repeated
+    * elements"): at most `k` counters, decrement-all on overflow.
+    * Guarantee used by [[heavyHitters]]: every item with frequency
+    * > n/(k+1) in the stream survives with a positive counter (each
+    * decrement round removes k+1 occurrences — one per live counter plus
+    * the arriving item — so at most n/(k+1) rounds happen, and an item's
+    * counter absorbs at most that many decrements). Amortized O(1) per
+    * element: the total decrement work is bounded by elements inserted.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): collection.Map[String, Long] = {
+    val counters = collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val t = it.next()
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None if counters.size < k => counters.update(t, 1L)
+        case None =>
+          // decrement-all; O(k) but at most once per k+1 arrivals overall
+          val dead = collection.mutable.ArrayBuffer.empty[String]
+          counters.foreach { case (w, c) =>
+            if (c == 1L) dead += w else counters.update(w, c - 1) }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters
+  }
+
+  /** Corpus heavy hitters — every token with frequency ≥ n_total/`s` —
+    * via the two-pass Misra–Gries pattern (candidates, then exact
+    * recount).
+    *
+    * Why not a plain `groupBy(token).count().filter(...)`: that plan's
+    * hash-aggregation state and exchange volume grow with DISTINCT-token
+    * cardinality — on web-scale text the keyspace is unique-heavy (URLs,
+    * ids, typos), so the exact plan builds billions of singleton counters
+    * and shuffles all of them to answer a question whose output is at most
+    * `s` rows. Here pass 1 holds ≤ `s` counters per task regardless of
+    * cardinality (the same state-bounding argument as
+    * [[cmsTokenEstimates]], but with a DETERMINISTIC superset guarantee
+    * instead of probabilistic estimates), and pass 2's aggregation keyspace
+    * is the candidate set (≤ `s` × tasks before distinct, ≤ `s` distinct
+    * survivors possible in the output).
+    *
+    * Correctness does not depend on partitioning or MG internals: if
+    * freq(t) ≥ n/s globally then by averaging some partition has
+    * freq_p(t) ≥ n_p/s > n_p/(s+1), so MG(k = s) retains t there
+    * (superset); pass 2 recounts candidates EXACTLY and applies the
+    * threshold, so the emitted set is exactly the tokens with
+    * freq ≥ n/s — deterministic, partitioning-independent, and equal to
+    * what the brute-force oracle computes. `share_ppm` is integer floor
+    * division (engine-portable).
+    *
+    * `mapPartitions` is justified here the same way as the Multimodal
+    * codecs: the published algorithm IS bounded imperative per-stream
+    * state, and no Catalyst aggregate expresses "decrement all counters".
+    * Scale shape: two scans of the token stream (recount is a broadcast
+    * semi-join — candidates are tiny — into a map-side-combined agg over
+    * a ≤ s·tasks keyspace), one scan for the n_total scalar; no exchange
+    * ever carries more than candidate-set-sized data.
+    */
+  def heavyHitters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", s: Int = 200): DataFrame = {
+    require(s >= 2, s"support denominator must be >= 2: $s")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    val cand = tok.as[String]
+      .mapPartitions(it => misraGries(it, s).keysIterator)
+      .toDF("token").distinct()
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_occurrences") * s >= col("n_total"))
+      .select(col("token"), col("n_occurrences"),
+        expr("CAST((n_occurrences * 1000000) DIV n_total AS BIGINT)").as("share_ppm"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
 }

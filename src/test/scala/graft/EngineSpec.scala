@@ -2886,4 +2886,51 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("window"),
       s"no per-stratum window sort may appear:\n$plan")
   }
+
+  test("misra-gries: state never exceeds k; heavy items always survive") {
+    // 10k-element stream: 'hot' at 6% and 'warm' at 1.5% among unique
+    // filler, deterministically interleaved (no contiguous hot run)
+    val elems = Seq.fill(600)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 9250).map(i => s"u$i")
+    val mixed = elems.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 9973 }.map(_._1)
+    val k = 20
+    val mg = TextAnalysis.misraGries(mixed.iterator, k)
+    assert(mg.size <= k, s"MG must hold at most $k counters, had ${mg.size}")
+    // 6% > 1/(k+1) = 4.76% ⇒ guaranteed retained; 1.5% < 1/(k+1) carries
+    // no guarantee either way (that's what pass 2's exact recount is for)
+    assert(mg.contains("hot"), s"guaranteed heavy item evicted: $mg")
+    // counters never overcount: c(t) <= freq(t)
+    assert(mg("hot") <= 600L)
+    // degenerate streams
+    assert(TextAnalysis.misraGries(Iterator.empty, 4).isEmpty)
+    assert(TextAnalysis.misraGries(Iterator("x", "x", "x"), 1) ==
+      Map("x" -> 3L))
+  }
+
+  test("heavyHitters equals the brute-force threshold count, any partitioning") {
+    import spark.implicits._
+    // 'common' in every doc (heavy), 'spark' in a third of docs (heavy at
+    // s=25 ⇔ 4%), filler mostly unique — the unique-heavy keyspace the
+    // operator exists for
+    val docs = (0 until 400).map { i =>
+      val hot = if (i % 3 == 0) " spark spark" else ""
+      (i.toLong, s"common w$i w${i * 7 % 997} w${i * 13 % 991}$hot")
+    }.toDF("doc_id", "text")
+    val tok = docs.select(explode(split(lower(col("text")), " ")).as("token"))
+    val n = tok.count()
+    val exact = tok.groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (_, c) => c * 25 >= n }
+      .map { case (t, c) => (t, c, c * 1000000L / n) }
+      .sortBy { case (t, c, _) => (-c, t) }.toSeq
+    assert(exact.map(_._1).contains("spark"), "fixture must plant a mid-band hitter")
+    // the MG candidate pass runs per-partition, so the output must be
+    // invariant to how the token stream is split (superset + exact recount)
+    for (parts <- Seq(1, 7)) {
+      val out = TextAnalysis.heavyHitters(docs.repartition(parts), s = 25)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(out == exact, s"parts=$parts: $out vs $exact")
+    }
+  }
 }

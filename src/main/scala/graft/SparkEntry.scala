@@ -812,6 +812,12 @@ object SparkEntry {
       // the pigeonhole join's hot keys), expand groups back afterwards
       Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash_recall" -> ((s, dir) =>
+      // prefilter-quality audit at the SHIPPED simhash config: recall of
+      // the Hamming-6 pair set vs the exact-Jaccard truth at the same tau
+      // (emitted ⊆ truth because simhash pairs are Jaccard-verified)
+      Dedup.simhashRecallEval(t(s, dir, "documents"), n = 3, tau = 0.6,
+        maxHamming = 6)),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1806,10 +1812,13 @@ object SparkEntry {
   /** SimHash oracle: recomputes the md5-hex 32-bit SimHash in SQL, so the
     * result set (Hamming ≤ 7 AND Jaccard ≥ tau) is exact by definition.
     */
-  private def simhashOracle(tau: Double, maxHamming: Int): String = {
-    // 64-bit fingerprint, two bits per md5 hex digit — bit 2k from digit
-    // bit 3 (≥ '8'), bit 2k+1 from digit bit 2 (4-7 or c-f); mirrors
-    // Dedup.simhashCore.digitBit exactly
+  /** Shared simhash CTE chain (appended after [[shingleCte]]): recomputes
+    * the 64-bit md5-hex SimHash digit-by-digit — bit 2k from digit bit 3
+    * (≥ '8'), bit 2k+1 from digit bit 2 (4-7 or c-f), mirroring
+    * Dedup.simhashCore exactly — ending in `ham` (all-pairs Hamming) and
+    * `jac` (all-pairs exact Jaccard).
+    */
+  private lazy val simhashCtes: String = {
     def bitPred(k: Int): String = {
       val d = s"substring(md5(s),${k / 2 + 1},1)"
       if (k % 2 == 0) s"$d >= '8'"
@@ -1824,18 +1833,39 @@ object SparkEntry {
     val hamExpr = (0 until 64)
       .map(k => s"CASE WHEN x.t$k <> y.t$k THEN 1 ELSE 0 END")
       .mkString(" + ")
-    shingleCte +
-      s""", sig AS (SELECT doc_id, $bsums FROM sh GROUP BY doc_id),
-         |bits AS (SELECT doc_id, $bits FROM sig),
-         |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST($hamExpr AS BIGINT) AS hamming
-         |        FROM bits x JOIN bits y ON x.doc_id < y.doc_id),
-         |jac AS (SELECT p.a, p.b, CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) AS jaccard
-         |        FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b)
-         |SELECT jac.a AS doc_a, jac.b AS doc_b, jac.jaccard, ham.hamming
+    s""", sig AS (SELECT doc_id, $bsums FROM sh GROUP BY doc_id),
+       |bits AS (SELECT doc_id, $bits FROM sig),
+       |ham AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST($hamExpr AS BIGINT) AS hamming
+       |        FROM bits x JOIN bits y ON x.doc_id < y.doc_id),
+       |jac AS (SELECT p.a, p.b, CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) AS jaccard
+       |        FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b)
+       |""".stripMargin
+  }
+
+  private def simhashOracle(tau: Double, maxHamming: Int): String =
+    shingleCte + simhashCtes +
+      s"""SELECT jac.a AS doc_a, jac.b AS doc_b, jac.jaccard, ham.hamming
          |FROM jac JOIN ham ON ham.a=jac.a AND ham.b=jac.b
          |WHERE jac.jaccard >= $tau AND ham.hamming <= $maxHamming
          |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Recall audit oracle: truth = exact Jaccard ≥ tau pairs, emitted =
+    * those also within the Hamming radius (the simhash operator's
+    * Jaccard-verified output is a subset of truth by construction).
+    */
+  private def simhashRecallOracle(tau: Double, maxHamming: Int): String =
+    shingleCte + simhashCtes +
+      s""", truth AS (
+         |  SELECT ham.hamming
+         |  FROM jac JOIN ham ON ham.a=jac.a AND ham.b=jac.b
+         |  WHERE jac.jaccard >= $tau)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COALESCE(SUM(CASE WHEN hamming <= $maxHamming THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_emitted,
+         |       CAST(COALESCE(SUM(CASE WHEN hamming > $maxHamming THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_missed,
+         |       CAST(CASE WHEN COUNT(*) = 0 THEN 1000000
+         |            ELSE (SUM(CASE WHEN hamming <= $maxHamming THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+         |            END AS BIGINT) AS recall_ppm
+         |FROM truth""".stripMargin
 
   /** SemDeDup knobs, shared by the `dedup_semantic*` Spark calls AND their
     * oracle SQL — hoisted so op/oracle parity cannot drift on a constant
@@ -2538,6 +2568,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
     "dedup_simhash" -> simhashOracle(0.6, 6),
+    "dedup_simhash_recall" -> simhashRecallOracle(0.6, 6),
     // identical oracle by design: the collapse rewrite must never change
     // the emitted pair set, only the plan shape
     "dedup_simhash_collapse" -> simhashOracle(0.6, 6),

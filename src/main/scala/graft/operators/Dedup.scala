@@ -308,6 +308,41 @@ object Dedup {
     cross.unionAll(within)
   }
 
+  /** Fingerprint-prefilter quality audit: recall of [[simhashPairs]]'
+    * Hamming-bounded pair set against the exact-Jaccard truth set at the
+    * SAME tau — the statistic that justifies (or indicts) shipping the
+    * Hamming prefilter for a given corpus. Because the simhash set is
+    * Jaccard-verified, it is a subset of the truth set by construction, so
+    * the single-row output (n_truth, n_emitted, n_missed, recall_ppm) is
+    * deterministic and both sides replay exactly in the oracle (md5
+    * fingerprints). recall_ppm is integer floor division; an empty truth
+    * set reads as full recall.
+    *
+    * Scale shape: this is the audit companion of
+    * [[graft.operators.Similarity.recallAt]] — the truth side runs the
+    * exact all-shingle operator, so at 100 TB the audit runs on a sampled
+    * slice (the statistic is a per-corpus quality estimate, not a per-doc
+    * output); the final comparison join is pair-keyed and bounded by the
+    * truth pair count.
+    */
+  def simhashRecallEval(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6): DataFrame = {
+    val truth = ngramJaccardPairs(docs, idCol, textCol, n, tau)
+      .select(col("doc_a"), col("doc_b"))
+    val emitted = simhashPairs(docs, idCol, textCol, n, tau, maxHamming)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(emitted, Seq("doc_a", "doc_b"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_emitted"))
+      .select(col("n_truth"), col("n_emitted"),
+        (col("n_truth") - col("n_emitted")).as("n_missed"),
+        expr("""CAST(CASE WHEN n_truth = 0 THEN 1000000
+               |     ELSE (n_emitted * 1000000) DIV n_truth END AS BIGINT)
+               |""".stripMargin.replace("\n", " ")).as("recall_ppm"))
+  }
+
   /** The SimHash fingerprint → pair-of-blocks candidates → Hamming filter →
     * exact-Jaccard verify pipeline over an (assumed mostly-distinct) corpus.
     */

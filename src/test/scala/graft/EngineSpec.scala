@@ -420,6 +420,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("simhashRecallEval equals set arithmetic over its two verified operators") {
+    val truth = Dedup.ngramJaccardPairs(docs, tau = 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emitted = Dedup.simhashPairs(docs, tau = 0.6, maxHamming = 6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.subsetOf(truth), "verified simhash pairs must be a truth subset")
+    assert(truth.nonEmpty, "fixture must exercise the audit with real pairs")
+    val row = Dedup.simhashRecallEval(docs, tau = 0.6, maxHamming = 6).collect().head
+    assert(row.getAs[Long]("n_truth") == truth.size.toLong)
+    assert(row.getAs[Long]("n_emitted") == emitted.size.toLong)
+    assert(row.getAs[Long]("n_missed") == (truth.size - emitted.size).toLong)
+    assert(row.getAs[Long]("recall_ppm") ==
+      emitted.size.toLong * 1000000L / truth.size)
+    Dedup.uncacheAll()
+  }
+
   test("df-pruning drops viral shingles from the Jaccard universe") {
     import spark.implicits._
     // viral1..3 appear in every doc (df = 3); with cap 2 they are pruned,

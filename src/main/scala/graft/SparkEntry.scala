@@ -912,6 +912,23 @@ object SparkEntry {
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      // truncated-dimension serving audit (the Matryoshka representation
+      // trade: serve on a prefix of the embedding, pay with recall):
+      // cosine top-k over the first 48 of 64 dims — prefix norms, prefix
+      // dots, nothing renormalized ahead of time — measured by the same
+      // recallAt operator against the full-dim exact top-k. At 100 TB a
+      // prefix scan cuts vector bytes read, shuffled, and multiplied
+      // proportionally; this row is the number that decides whether that
+      // trade is safe for a given corpus.
+      val emb = t(s, dir, "embeddings")
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, matryoshkaDims).as("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 10), k = 3)
+      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ with refine: coarse cells bound what a query scans,
       // product-quantized residual codes bound what each scanned candidate
@@ -1881,6 +1898,15 @@ object SparkEntry {
     */
   private val heavyHitterS = 40
 
+  /** Matryoshka audit prefix width — shared by the
+    * `ann_matryoshka_recall` Spark call and its oracle CTEs. 48 of 64 on
+    * the RANDOM fixture vectors sits mid-curve (mean recall ≈ 0.4, spread
+    * across queries) — random embeddings decorrelate prefixes far faster
+    * than trained Matryoshka ones, so smaller prefixes pin recall to 0
+    * and audit nothing.
+    */
+  private val matryoshkaDims = 48
+
   /** Shared DuckDB CTE: embeddings flattened to (vec_id, i, v) + L2 norms. */
   private val embCte =
     """WITH f AS (
@@ -2721,6 +2747,27 @@ object SparkEntry {
     // chain defines `rr`, the tail replays brute force + the hit join —
     // proving the recall operator is family-agnostic, not IVF-coupled
     "ann_recall_eval_lsh" -> (embCte + lshBandedServeCtes + recallTailCtes),
+    // a THIRD serving family through the same tail: prefix-dim brute
+    // force (ordered prefix folds for dots AND norms) defines `rr`
+    "ann_matryoshka_recall" -> (embCte +
+      s""",td AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
+         |  FROM f q JOIN f n ON q.i=n.i AND q.i<=$matryoshkaDims
+         |   AND q.vec_id<10 AND q.vec_id<>n.vec_id
+         |  GROUP BY 1,2),
+         |nrmt AS (SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
+         |         FROM f WHERE i<=$matryoshkaDims GROUP BY 1),
+         |ts AS (
+         |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+         |  FROM td JOIN nrmt nq ON nq.vec_id=td.query_id
+         |          JOIN nrmt nn2 ON nn2.vec_id=td.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM ts)
+         |""".stripMargin + recallTailCtes),
     "ann_ivfpq_topk" -> (embCte +
       Similarity.ivfPqOracleSql(
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,

@@ -2903,6 +2903,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("matryoshka prefix serving: full-width prefix reproduces exact top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 3)
+    // slicing to the FULL width must be a no-op end-to-end (prefix norms
+    // and prefix dots degrade to the exact computation), so recall == 1
+    // for every query — the self-consistency anchor of the audit row
+    val w = emb.select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
+    val viaSlice = Similarity.bruteForceTopK(w, w.filter(col("vec_id") < 5), k = 3)
+    val r = Similarity.recallAt(viaSlice, exact).collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Double]("recall") == 1.0), r.mkString(","))
+    // a strict prefix stays well-formed: k_exact intact, recall in [0,1]
+    val t16 = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val r16 = Similarity.recallAt(
+      Similarity.bruteForceTopK(t16, t16.filter(col("vec_id") < 5), k = 3), exact).collect()
+    assert(r16.forall(x => x.getAs[Long]("k_exact") == 3L &&
+      x.getAs[Double]("recall") >= 0.0 && x.getAs[Double]("recall") <= 1.0))
+  }
+
   test("misra-gries: state never exceeds k; heavy items always survive") {
     // 10k-element stream: 'hot' at 6% and 'warm' at 1.5% among unique
     // filler, deterministically interleaved (no contiguous hot run)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Hygiene, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.operators.{Dedup, DiskUsageOp, Hygiene, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,6 +168,17 @@ object SparkEntry {
         .limit(100)),
 
     // -------- relational breadth (engine library beyond the reference)
+    "q_zorder_layout" -> ((s, dir) =>
+      // data-layout audit: Morton-interleave (l_orderkey, l_partkey),
+      // bucket by the key's top bits (each bucket = one would-be file of
+      // a clustered write) and emit the per-bucket min/max rectangle —
+      // the zone-map statistics two-column file skipping runs on. The
+      // oracle's Morton arithmetic comes from Layout.zOrderSql with the
+      // same parameters; an EngineSpec pin holds the column fold and the
+      // SQL string value-identical.
+      Layout.zOrderStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bits = 16, bucketShift = 20)
+        .orderBy(col("z_bucket"))),
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
@@ -2146,6 +2157,15 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT ${graft.operators.Layout.zOrderSql("l_orderkey", "l_partkey", 16)} AS zkey,
+         |         l_orderkey AS x, l_partkey AS y
+         |  FROM lineitem)
+         |SELECT zkey >> 20 AS z_bucket, COUNT(*) AS n_rows,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -2903,6 +2903,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("zOrderKey: Morton interleave matches a bit-twiddled reference; SQL form identical") {
+    import spark.implicits._
+    def mortonRef(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)) }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (1L << 20, 7L)) // x beyond `bits` folds modularly
+    val df = pts.toDF("x", "y")
+      .withColumn("zk", Layout.zOrderKey(col("x"), col("y"), 16))
+      .withColumn("zs", expr(Layout.zOrderSql("x", "y", 16)))
+    df.collect().foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == mortonRef(x & 0xFFFF, y & 0xFFFF, 16),
+        s"column fold wrong for ($x,$y)")
+      assert(r.getLong(3) == r.getLong(2),
+        s"zOrderSql must be value-identical to zOrderKey for ($x,$y)")
+    }
+  }
+
+  test("zOrderStats buckets bound both columns; clusterByZ is one range exchange") {
+    import spark.implicits._
+    // a 64×64 grid: every z_bucket at shift 6 covers a 8×... rectangle —
+    // assert each bucket's ranges are strictly tighter than the global
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val stats = Layout.zOrderStats(grid, "x", "y", bits = 6, bucketShift = 6)
+      .collect()
+    assert(stats.length == 64) // 4096 points / 2^6 per bucket
+    stats.foreach { r =>
+      // top 6 of 12 Morton bits fix 3 high bits of each coordinate →
+      // every bucket is an exact 8×8 tile
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") == 7L, r.toString)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") == 7L, r.toString)
+      assert(r.getAs[Long]("n_rows") == 64L)
+    }
+    // the clustering write plan: exactly one RangePartitioning exchange
+    // and a partition-local sort — the cost model of any clustered write
+    val plan = Layout.clusterByZ(grid, "x", "y", bits = 6, numFiles = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning\\(zkey".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Sort [zkey"), plan)
+  }
+
   test("matryoshka prefix serving: full-width prefix reproduces exact top-k") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)

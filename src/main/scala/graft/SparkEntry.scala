@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Hygiene, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.operators.{Dedup, DiskUsageOp, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1282,6 +1282,22 @@ object SparkEntry {
         slashKey(col("user_id"), col("event_type"), col("event_id")).as("key"),
         floor(col("value") * 100).as("size"))
       DiskUsageOp.aggregateSalted(inv).orderBy(col("address"))
+    }),
+
+    "q_skew_join_salted" -> ((s, dir) => {
+      // the skew-hardened JOIN companion of du_salted_agg: an equi-join
+      // on a ~5-value key (the canonical hot-key shape) where each key
+      // splits across 8 salted tasks instead of serializing in one.
+      // Result-identical to the plain join, which IS the oracle.
+      val e = t(s, dir, "events")
+      val dim = e.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("type_even_n"))
+      Joins.saltedEquiJoin(e, dim, "event_type", salts = 8, col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          min(col("type_even_n")).as("type_even_n"))
+        .orderBy(col("event_type"))
     }),
 
     // -------- text analysis (SURVEY §2.12)
@@ -3296,6 +3312,15 @@ object SparkEntry {
         |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
         |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
         |FROM l GROUP BY token ORDER BY token""".stripMargin,
+    "q_skew_join_salted" ->
+      """WITH dim AS (
+        |  SELECT event_type, COUNT(*) AS type_even_n
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |       MIN(d.type_even_n) AS type_even_n
+        |FROM events e JOIN dim d ON d.event_type = e.event_type
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
     "text_heavy_hitters" ->
       // brute-force form of the same statistic: the MG candidate pass is
       // output-invisible (superset + exact recount), so the oracle needs

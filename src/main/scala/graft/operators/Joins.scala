@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-shape operators for skewed keys.
+  *
+  * Spark's first answers to join skew are (in order): broadcast the small
+  * side (no shuffle at all), and AQE's skew-join splitting (runtime
+  * re-plan of oversized sort-merge partitions). Manual salting is the
+  * remaining tool for the case both miss: a LARGE-large equi-join whose
+  * key histogram is so hot that even a split partition serializes — the
+  * classic "join everything to the per-key dim on a 6-value key" shape of
+  * web-corpus pipelines (domain, language, event type). Salting trades a
+  * `salts`× replication of the smaller side for splitting every hot key
+  * into `salts` independent tasks — bounded, planner-independent, and
+  * result-identical to the plain join.
+  */
+object Joins {
+
+  /** Skew-hardened inner equi-join on `key`: the large side derives a
+    * salt in [0, salts) from `saltSource` (any roughly-uniform column —
+    * a row id; the VALUES never affect the result, only task balance),
+    * the small side is replicated once per salt value, and the join key
+    * becomes (key, salt) — so one hot key spreads over `salts` tasks
+    * instead of one. The merge hint keeps the demonstration honest on
+    * small fixtures (a tiny dim would otherwise broadcast and no salted
+    * exchange would exist to observe); at the target large-large scale
+    * the planner picks the shuffle join on its own.
+    *
+    * Result contract: exactly the plain `large.join(small, key)` row set
+    * — every large row meets every same-key small row exactly once
+    * (its one salt value × that salt's single replica). EngineSpec pins
+    * both the result identity and the (key, salt)-keyed exchange.
+    */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+      salts: Int, saltSource: Column): DataFrame = {
+    require(salts >= 2, s"salts must be >= 2: $salts")
+    val l = large.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val r = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    l.hint("merge").join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -2903,6 +2903,60 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("saltedEquiJoin: result identical to the plain join; exchange keyed (key, salt)") {
+    import spark.implicits._
+    // 3 hot keys, multiple rows per key on BOTH sides of the same key —
+    // the replication-correctness trap (each large row must meet each
+    // same-key small row exactly once, not `salts` times)
+    val large = (0L until 300L).map(i => (i, s"k${i % 3}", i * 2)).toDF("rid", "key", "v")
+    val small = Seq(("k0", 10L), ("k1", 20L), ("k2", 30L), ("k2", 31L)).toDF("key", "w")
+    val plain = large.join(small, Seq("key"))
+      .select("key", "rid", "v", "w").collect().map(_.toSeq).toSet
+    val salted = Joins.saltedEquiJoin(large, small, "key", salts = 8, col("rid"))
+      .select("key", "rid", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    val plan = Joins.saltedEquiJoin(large, small, "key", salts = 8, col("rid"))
+      .queryExecution.executedPlan.toString
+    // the de-skew evidence: the big side's exchange keys on (key, __salt),
+    // so one hot key spreads over 8 partitions
+    assert("Exchange hashpartitioning\\(key[^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"expected a (key, salt)-keyed exchange:\n$plan")
+  }
+
+  test("bucketed tables co-locate: the join plan has no Exchange at all") {
+    val dir = Files.createTempDirectory("bucketed").toString
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal")
+    try {
+      // pre-partitioned layout: both sides bucketed AND sorted by the join
+      // key — at 100 TB this is how a repeatedly-joined pair of tables
+      // amortizes its shuffle to zero (pay one clustered write, join free
+      // forever after)
+      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/o").saveAsTable("bkt_orders")
+      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/c").saveAsTable("bkt_customer")
+      // merge hint: at fixture size the planner would broadcast the tiny
+      // side (and rightly so); the pin is about the LARGE-large regime,
+      // where the hinted sort-merge is what the planner picks unaided
+      val joined = spark.table("bkt_orders").hint("merge")
+        .join(spark.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed-by-join-key tables must join with zero shuffle:\n$plan")
+      // and it still computes the right thing
+      val expected = o.join(c, col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
+
   test("zOrderKey: Morton interleave matches a bit-twiddled reference; SQL form identical") {
     import spark.implicits._
     def mortonRef(x: Long, y: Long, bits: Int): Long =

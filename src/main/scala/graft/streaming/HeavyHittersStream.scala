@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming heavy hitters — a running Misra–Gries summary over an
+  * unbounded document stream, the streaming twin of
+  * [[graft.operators.TextAnalysis.heavyHitters]]' candidate pass.
+  *
+  * Reference scope note: the reference engine has no streaming surface
+  * (`handler.go:77-92` is a fixed refresh loop); this is part of the
+  * build's training-data-pipeline extension mandate.
+  *
+  * Why this shape: MG summaries are MERGEABLE (Agarwal, Cormode, Huang,
+  * Phillips, Wei, Yi, "Mergeable Summaries", PODS'12): combining two
+  * k-counter summaries by key-wise addition and then subtracting the
+  * (k+1)-th largest count from every counter yields a k-counter summary
+  * of the CONCATENATED stream with the same error bound — so the
+  * micro-batch is the unit of merge exactly as in [[CmsStream]]. Each
+  * batch runs the bounded per-partition MG pass, collects the ≤ k·tasks
+  * candidate pairs, folds them into one batch summary, and MG-merges that
+  * into the driver-held running summary. The invariant served at any
+  * point in the stream: freq(t) − N/(k+1) ≤ ĉ(t) ≤ freq(t) over all N
+  * tokens delivered so far — every token above the N/(k+1) support line
+  * is guaranteed present. (The batch operator's second exact-recount pass
+  * has no streaming form without reprocessing the corpus; the summary IS
+  * the streaming deliverable, and a periodic batch recount of its ≤ k
+  * candidates hardens it when the source is retained.)
+  *
+  * Exactly-once accounting under `foreachBatch`'s at-least-once replay:
+  * MG-merge is not idempotent, so the store keeps the last applied batch
+  * id and drops re-deliveries — the same monotone-batch-id discipline as
+  * [[CmsStream.SketchStore]], with the same single-store-per-query
+  * topology and the same documented driver-restart undercount limitation.
+  */
+object HeavyHittersStream {
+
+  /** The mergeable-summaries combine step: key-wise add, then, if over
+    * `k` counters, subtract the (k+1)-th largest count from every
+    * counter and drop the non-positive — at most k survive and every
+    * counter absorbed the same offset (preserving the MG error bound).
+    */
+  private[graft] def mgMerge(
+      a: Map[String, Long], b: collection.Map[String, Long], k: Int): Map[String, Long] = {
+    val combined = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (combined.size <= k) combined
+    else {
+      val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+      combined.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+  }
+
+  /** One micro-batch's MG(k) summary: the bounded per-partition pass
+    * (≤ k counters per task), collected (≤ k·tasks pairs) and folded
+    * through [[mgMerge]] on the driver.
+    */
+  private[graft] def batchSummary(
+      batch: DataFrame, k: Int, textCol: String): Map[String, Long] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val parts = batch
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .as[String]
+      .mapPartitions(it => TextAnalysis.misraGries(it, k).iterator)
+      .collect()
+    mgMerge(Map.empty, parts.groupMapReduce(_._1)(_._2)(_ + _), k)
+  }
+
+  /** Running MG summary, merged per micro-batch. Same concurrency
+    * contract as [[CmsStream.SketchStore]]: `add` is one atomic
+    * guard+merge step; reads are lock-free on the immutable map.
+    */
+  final class MgStore(val k: Int) {
+    require(k >= 2, s"k must be >= 2: $k")
+    private val ref = new AtomicReference[Map[String, Long]](Map.empty)
+    private val lastBatch = new AtomicLong(-1L)
+
+    /** Current summary: ≤ k (token, lower-bound count) pairs. */
+    def summary: Map[String, Long] = ref.get()
+
+    /** MG-merge one batch summary; re-delivered batch ids are dropped. */
+    def add(batchId: Long, batch: Map[String, Long]): Boolean = synchronized {
+      if (batchId <= lastBatch.get()) return false
+      ref.set(mgMerge(ref.get(), batch, k))
+      lastBatch.set(batchId)
+      true
+    }
+  }
+
+  /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
+  def sink(store: MgStore, textCol: String = "text"): (DataFrame, Long) => Unit =
+    (batch, batchId) => store.add(batchId, batchSummary(batch, store.k, textCol))
+
+  /** Wire a streaming document source into `store` and start the query;
+    * callers read `store.summary` at any time.
+    */
+  def run(docs: DataFrame, store: MgStore, checkpointDir: String,
+          textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(store, textCol))
+      .outputMode("update")
+      .start()
+}

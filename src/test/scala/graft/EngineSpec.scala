@@ -2325,6 +2325,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.counters.getOrElse(0L, 0L) == before.getOrElse(0L, 0L) + 2L)
   }
 
+  test("streaming heavy hitters: MG merge keeps the support guarantee across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hhstream").toString
+    // three batches whose UNION carries 'hot' far above the support line
+    // among unique filler — the per-batch summaries individually disagree
+    // about the tail, so only a sound merge keeps the bounds
+    val b1 = (0 until 40).map(i => (i.toLong, s"hot u$i x$i"))
+    val b2 = (40 until 80).map(i => (i.toLong, s"hot u$i y$i"))
+    val b3 = (80 until 100).map(i => (i.toLong, s"u$i z$i hot hot"))
+    val store = new graft.streaming.HeavyHittersStream.MgStore(k = 20)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.HeavyHittersStream.run(
+      in.toDF().toDF("doc_id", "text"), store, s"$dir/ckpt")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (b1 ++ b2 ++ b3).flatMap(_._2.split(" "))
+    val n = all.size.toLong
+    val freq = all.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val s = store.summary
+    assert(s.size <= 20)
+    // the mergeable-summaries invariant over the WHOLE stream:
+    // freq − N/(k+1) ≤ ĉ ≤ freq for every retained counter …
+    s.foreach { case (t, c) =>
+      assert(c <= freq(t), s"$t overcounts: $c > ${freq(t)}")
+      assert(c >= freq(t) - n / 21, s"$t below error bound: $c vs ${freq(t)}")
+    }
+    // … and every token above the support line is guaranteed retained
+    freq.filter { case (_, f) => f * 21 > n }.keys
+      .foreach(t => assert(s.contains(t), s"heavy '$t' evicted"))
+    // replay guard: a re-delivered batch id must not merge again
+    val before = store.summary
+    assert(!store.add(0L, Map("bogus" -> 100L)))
+    assert(store.summary == before)
+    assert(store.add(1000L, Map("hot" -> 2L)))
+  }
+
   test("streaming dedup: duplicates within the watermark window are dropped") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -332,6 +332,26 @@ object ScaleSmoke {
           .toDF("token"),
         width = 1024, depth = 3).count()
     }
+    // heavy hitters on the same unique-heavy regime (round 11): one
+    // planted token at ~9% of 22M tokens among 20M singletons. The exact
+    // plan shuffles a 20M-key aggregation to answer a <= s-row question;
+    // the two-pass MG holds s counters per task and shuffles only the
+    // candidate recount. Both timed; PLANS.md records where the constants
+    // land locally vs what bounds at 100 TB.
+    val mgDocs = spark.range(0, 2000000L).select(
+      col("id").as("doc_id"),
+      expr("concat('common ', array_join(transform(sequence(0, 9), j -> concat('tok', id * 10 + j)), ' '))")
+        .as("text"))
+    timed("heavy hitters 22M toks: exact agg") {
+      val tok = mgDocs.select(explode(split(lower(col("text")), " ")).as("token"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * 40 >= col("n_total")).count()
+    }
+    timed("heavy hitters 22M toks: 2-pass MG") {
+      graft.operators.TextAnalysis.heavyHitters(mgDocs, s = 40).count()
+    }
     // interval-join flash crowd: 1M cold events spread 20/bin over 50k
     // bins, plus ONE bin holding 150k events at a single microsecond (the
     // duplicate-timestamp burst shape — equal-ts pairs are excluded by the

@@ -1237,6 +1237,14 @@ object SparkEntry {
         .groupBy(col("lang"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
         .orderBy(col("lang"), col("batch_id"))),
+    "split_kfold" -> ((s, dir) =>
+      // cross-validation folds as a pure function of the id (md5 bucket
+      // mod k): row-local, no shuffle, stable across engines and
+      // partitionings; emitted as the fold × language balance audit
+      Splits.kfold(t(s, dir, "documents"), "doc_id", k = 5)
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("fold"), col("lang"))),
     "du_incremental_merge" -> ((s, dir) => {
       // incremental refresh: history snapshot + delta snapshot merged by
       // re-aggregating partials (decomposable SUM/COUNT) — value-identical
@@ -1298,6 +1306,60 @@ object SparkEntry {
           dsum(col("value")).as("total_value"),
           min(col("type_even_n")).as("type_even_n"))
         .orderBy(col("event_type"))
+    }),
+
+    "q_merge_upsert" -> ((s, dir) => {
+      // lakehouse MERGE semantics without a table format: base FULL OUTER
+      // delta on the key, op ∈ insert/update/keep, merged value prefers
+      // the delta — the compaction step every incremental snapshot store
+      // runs. Deterministic event_id splits stand in for the snapshots.
+      val e = t(s, dir, "events")
+      val base = e.filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id"), col("value").as("base_value"))
+      val delta = e.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("value") * 2).as("delta_value"))
+      base.join(delta, Seq("event_id"), "full_outer")
+        .select(
+          col("event_id"),
+          when(col("base_value").isNull, "insert")
+            .when(col("delta_value").isNull, "keep")
+            .otherwise("update").as("op"),
+          coalesce(col("delta_value"), col("base_value")).as("value"))
+        .orderBy(col("event_id"))
+    }),
+    "q_gap_fill" -> ((s, dir) => {
+      // time-series gap filling: hourly activity with EXPLICIT zero rows
+      // for silent hours (the densified grid downstream joins need) —
+      // grid exploded from a one-row bounds agg (the bounded
+      // global-decision pattern), counts left-joined back on the hour key
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("hour_idx"), col("value"))
+      val byHour = ev.groupBy(col("hour_idx"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      val grid = byHour.agg(min("hour_idx").as("lo"), max("hour_idx").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+      grid.join(byHour, Seq("hour_idx"), "left")
+        .select(col("hour_idx"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+        .orderBy(col("hour_idx"))
+    }),
+    "q_cdc_compact" -> ((s, dir) => {
+      // CDC log compaction: latest record per key WITHOUT a window —
+      // argmax as max(struct(ts, tiebreak, payload)), which is map-side
+      // combinable, so a hot key collapses to one row per task before the
+      // exchange (a window would sort the key's whole history inside ONE
+      // task; nothing splits a window partition)
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+      ev.groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
     }),
 
     // -------- text analysis (SURVEY §2.12)
@@ -3312,6 +3374,42 @@ object SparkEntry {
         |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
         |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
         |FROM l GROUP BY token ORDER BY token""".stripMargin,
+    "split_kfold" ->
+      s"""SELECT ${graft.operators.Splits.kfoldSql("doc_id", 5)} AS fold, lang,
+         |       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT event_id, value AS base_value FROM events WHERE event_id % 3 <> 0),
+        |delta AS (
+        |  SELECT event_id, value * 2 AS delta_value FROM events WHERE event_id % 5 = 0)
+        |SELECT COALESCE(b.event_id, d.event_id) AS event_id,
+        |       CASE WHEN b.event_id IS NULL THEN 'insert'
+        |            WHEN d.event_id IS NULL THEN 'keep'
+        |            ELSE 'update' END AS op,
+        |       COALESCE(d.delta_value, b.base_value) AS value
+        |FROM base b FULL OUTER JOIN delta d ON d.event_id = b.event_id
+        |ORDER BY event_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, value FROM events),
+        |b AS (SELECT hour_idx, COUNT(*) AS n_events,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT unnest(generate_series((SELECT MIN(hour_idx) FROM b),
+        |                                    (SELECT MAX(hour_idx) FROM b))) AS hour_idx)
+        |SELECT g.hour_idx, COALESCE(b.n_events, 0) AS n_events,
+        |       COALESCE(b.total_value, 0.0) AS total_value
+        |FROM g LEFT JOIN b ON b.hour_idx = g.hour_idx
+        |ORDER BY g.hour_idx""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, event_type, ts_us AS last_ts_us,
+        |       event_id AS last_event_id, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_skew_join_salted" ->
       """WITH dim AS (
         |  SELECT event_type, COUNT(*) AS type_even_n

@@ -112,6 +112,25 @@ object Splits {
     s"substring(md5(CAST($idExpr AS VARCHAR)),1,2) < (CASE $whens ELSE '${fractionThreshold(defaultFraction)}' END)"
   }
 
+  /** Deterministic k-fold assignment — cross-validation folds as a pure
+    * function of the id (the [[assign]] discipline at fold granularity):
+    * fold = first-4-hex md5 bucket mod k. Row-local, RNG-free, stable
+    * across engines/partitionings/retries; folds are balanced to the
+    * md5's uniformity (±O(√n) per fold). Train/holdout for fold i is a
+    * FILTER (`fold =!= i` / `fold === i`) — no shuffle, no materialized
+    * copies, so running all k rotations costs k narrow scans, not k
+    * corpus rewrites.
+    */
+  def kfold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    df.withColumn("fold",
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long") % k)
+  }
+
+  /** The same fold derivation as SQL text, for oracle mirroring. */
+  def kfoldSql(idExpr: String, k: Int): String =
+    s"CAST(('0x'||substring(md5(CAST($idExpr AS VARCHAR)),1,4)) AS BIGINT) % $k"
+
   /** Deterministic negative sampling — the contrastive-pair generation step
     * (k pseudo-random "negative" partners per document, e.g. for embedding
     * or reranker training). The candidate for (id, i) is

@@ -2943,6 +2943,70 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("kfold: partition of the corpus, filter-only rotation, no shuffle") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("doc_id")
+    val folded = Splits.kfold(ids, "doc_id", k = 5)
+    val counts = folded.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 5L).toSet, s"all folds present: $counts")
+    assert(counts.values.sum == 1000L, "folds partition the corpus")
+    // md5-uniform balance: no fold degenerate at n=1000
+    assert(counts.values.forall(n => n > 100 && n < 300), counts.toString)
+    // fold rotation is a FILTER on a row-local column: the plan must not
+    // exchange (the whole point of fold-as-pure-function-of-id)
+    val plan = folded.filter(col("fold") =!= 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kfold rotation must be narrow:\n$plan")
+    // determinism across partitionings
+    val a = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Splits.kfold(ids.repartition(7), "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("cdc compaction: struct-argmax equals the window form; combines map-side") {
+    import spark.implicits._
+    // ties on ts within a key exercise the (ts, event_id) tiebreak
+    val ev = Seq(
+      (1L, "a", 100L, 7L, 1.0), (1L, "a", 200L, 3L, 2.0), (1L, "a", 200L, 9L, 3.0),
+      (2L, "a", 50L, 1L, 4.0), (2L, "b", 60L, 2L, 5.0))
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    val compact = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"), col("last.ts_us"),
+        col("last.event_id"), col("last.value"))
+      .collect().map(_.toSeq).toSet
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().map(_.toSeq).toSet
+    assert(compact == viaWindow)
+    assert(compact.contains(Seq(1L, "a", 200L, 9L, 3.0)), "tiebreak by event_id")
+    // the scale claim: a partial (map-side) max must exist before the
+    // exchange, and no Window node anywhere
+    val plan = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial_"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
+  test("gap fill: silent buckets appear as explicit zeros; span is closed") {
+    import spark.implicits._
+    val ev = Seq((0L, 1.0), (1L, 2.0), (4L, 3.0)).toDF("hour_idx", "value")
+    val byHour = ev.groupBy(col("hour_idx"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+    val grid = byHour.agg(min("hour_idx").as("lo"), max("hour_idx").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+    val filled = grid.join(byHour, Seq("hour_idx"), "left")
+      .select(col("hour_idx"), coalesce(col("n_events"), lit(0L)).as("n"))
+      .orderBy("hour_idx").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(filled.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
   test("saltedEquiJoin: result identical to the plain join; exchange keyed (key, salt)") {
     import spark.implicits._
     // 3 hot keys, multiple rows per key on BOTH sides of the same key —

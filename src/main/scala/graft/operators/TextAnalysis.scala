@@ -1297,32 +1297,34 @@ object TextAnalysis {
     * is the candidate set (≤ `s` × tasks before distinct, ≤ `s` distinct
     * survivors possible in the output).
     *
-    * Correctness does not depend on partitioning or MG internals: if
-    * freq(t) ≥ n/s globally then by averaging some partition has
-    * freq_p(t) ≥ n_p/s > n_p/(s+1), so MG(k = s) retains t there
-    * (superset); pass 2 recounts candidates EXACTLY and applies the
-    * threshold, so the emitted set is exactly the tokens with
-    * freq ≥ n/s — deterministic, partitioning-independent, and equal to
-    * what the brute-force oracle computes. `share_ppm` is integer floor
-    * division (engine-portable).
+    * Correctness does not depend on partitioning or MG internals: the
+    * merged global summary retains every token with freq > n/(s+1) (the
+    * mergeable-summaries bound — [[graft.functions.MisraGriesAgg]]), so
+    * every freq ≥ n/s token is a candidate; pass 2 recounts candidates
+    * EXACTLY and applies the threshold, so the emitted set is exactly the
+    * tokens with freq ≥ n/s — deterministic, partitioning-independent,
+    * and equal to what the brute-force oracle computes. `share_ppm` is
+    * integer floor division (engine-portable).
     *
-    * `mapPartitions` is justified here the same way as the Multimodal
-    * codecs: the published algorithm IS bounded imperative per-stream
-    * state, and no Catalyst aggregate expresses "decrement all counters".
-    * Scale shape: two scans of the token stream (recount is a broadcast
-    * semi-join — candidates are tiny — into a map-side-combined agg over
-    * a ≤ s·tasks keyspace), one scan for the n_total scalar; no exchange
-    * ever carries more than candidate-set-sized data.
+    * The candidate pass is the [[graft.functions.MisraGriesAgg]]
+    * `TypedImperativeAggregate` — one `agg` whose partials are ≤ s
+    * entries per task and whose exchange carries one serialized buffer
+    * per partial (the sketch shape; round 11 upgraded this from a
+    * `mapPartitions` pass, removing the object-serde hop and the
+    * per-partition candidate union/distinct). Scale shape: two scans of
+    * the token stream (recount is a broadcast semi-join against the ≤ s
+    * exploded candidates into a map-side-combined agg over a
+    * candidate-sized keyspace), one scan for the n_total scalar; no
+    * exchange ever carries more than candidate-set-sized data.
     */
   def heavyHitters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", s: Int = 200): DataFrame = {
     require(s >= 2, s"support denominator must be >= 2: $s")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val tok = docs.select(explode(tokens(col(textCol))).as("token"))
-    val cand = tok.as[String]
-      .mapPartitions(it => misraGries(it, s).keysIterator)
-      .toDF("token").distinct()
+    val cand = tok
+      .agg(graft.functions.MisraGriesSketch(col("token"), s).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.token").as("token"))
     val tot = tok.agg(count(lit(1)).as("n_total"))
     tok.join(broadcast(cand), Seq("token"), "left_semi")
       .groupBy(col("token"))

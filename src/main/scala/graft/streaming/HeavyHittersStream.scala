@@ -21,9 +21,9 @@ import graft.operators.TextAnalysis
   * (k+1)-th largest count from every counter yields a k-counter summary
   * of the CONCATENATED stream with the same error bound — so the
   * micro-batch is the unit of merge exactly as in [[CmsStream]]. Each
-  * batch runs the bounded per-partition MG pass, collects the ≤ k·tasks
-  * candidate pairs, folds them into one batch summary, and MG-merges that
-  * into the driver-held running summary. The invariant served at any
+  * batch runs the [[graft.functions.MisraGriesAgg]] aggregate (bounded
+  * ≤ k partials, buffer-merged distributedly), collects the single ≤ k
+  * summary row, and MG-merges it into the driver-held running summary. The invariant served at any
   * point in the stream: freq(t) − N/(k+1) ≤ ĉ(t) ≤ freq(t) over all N
   * tokens delivered so far — every token above the N/(k+1) support line
   * is guaranteed present. (The batch operator's second exact-recount pass
@@ -56,20 +56,19 @@ object HeavyHittersStream {
     }
   }
 
-  /** One micro-batch's MG(k) summary: the bounded per-partition pass
-    * (≤ k counters per task), collected (≤ k·tasks pairs) and folded
-    * through [[mgMerge]] on the driver.
+  /** One micro-batch's MG(k) summary via the
+    * [[graft.functions.MisraGriesAgg]] aggregate (bounded partials,
+    * buffer-merged distributedly): ONE collected row of ≤ k pairs.
     */
   private[graft] def batchSummary(
       batch: DataFrame, k: Int, textCol: String): Map[String, Long] = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val parts = batch
+    val row = batch
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .as[String]
-      .mapPartitions(it => TextAnalysis.misraGries(it, k).iterator)
+      .agg(graft.functions.MisraGriesSketch(col("token"), k).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.token"), col("c.count"))
       .collect()
-    mgMerge(Map.empty, parts.groupMapReduce(_._1)(_._2)(_ + _), k)
+    row.map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Running MG summary, merged per micro-batch. Same concurrency

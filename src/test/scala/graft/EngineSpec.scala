@@ -3145,6 +3145,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("x" -> 3L))
   }
 
+  test("MisraGriesAgg: bounded summary, superset guarantee, serde round-trip") {
+    import spark.implicits._
+    // 'hot' at 6% among unique filler, multiple partitions so partial
+    // buffers genuinely merge via the mergeable-summaries combine
+    val elems = Seq.fill(600)("hot") ++ (0 until 9400).map(i => s"u$i")
+    val mixed = elems.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 9973 }.map(_._1)
+    val df = mixed.toDF("token").repartition(8)
+    val summary = df.agg(graft.functions.MisraGriesSketch(col("token"), 20).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.token"), col("c.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.size <= 20, s"merged summary must stay <= k: ${summary.size}")
+    assert(summary.contains("hot"), s"6% > 1/(k+1): $summary")
+    assert(summary("hot") <= 600L, "counters never overcount")
+    assert(summary("hot") >= 600L - 10000L / 21, "mergeable-summaries error bound")
+    // serde round-trip (the partial-shuffle path)
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("token")), 4)
+    val buf = scala.collection.mutable.HashMap("a" -> 3L, "ü" -> 1L, "" -> 2L)
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+    // merge shrink: combining two full buffers keeps <= k and offsets all
+    val m = agg.merge(
+      scala.collection.mutable.HashMap("a" -> 5L, "b" -> 4L, "c" -> 3L, "d" -> 2L),
+      scala.collection.mutable.HashMap("e" -> 5L, "f" -> 1L, "g" -> 1L, "h" -> 1L))
+    assert(m.size <= 4, m.toString)
+    assert(m("a") == 3L && m("e") == 3L && !m.contains("d"), m.toString)
+  }
+
   test("heavyHitters equals the brute-force threshold count, any partitioning") {
     import spark.implicits._
     // 'common' in every doc (heavy), 'spark' in a third of docs (heavy at

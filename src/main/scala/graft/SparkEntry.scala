@@ -508,6 +508,23 @@ object SparkEntry {
       Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id")
         .orderBy(col("user_id"), col("event_id"))
     }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // as-of with MAX STALENESS (pandas merge_asof tolerance): a matched
+      // purchase older than one day reads as no match — the sweep already
+      // found the nearest, so the tolerance is a row-local null-out, not
+      // a re-sweep. Mix at sf0.01: ~700 kept / ~1100 stale / ~140 bare.
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id",
+          toleranceMicros = Some(86400000000L))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     "q_asof_join_forward" -> ((s, dir) => {
       // FORWARD as-of: each click joined to the user's EARLIEST
       // at-or-after purchase (the next-delivery lookup) — the mirrored
@@ -2494,6 +2511,18 @@ object SparkEntry {
         |p AS (SELECT user_id, us, MAX(event_id) AS p_id
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      // the native ASOF match post-filtered by staleness: nearest-too-far
+      // ⟺ nothing within tolerance, so the CASE null-out is exact
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us,
+        |       CASE WHEN c.us - p.us > 86400000000 THEN NULL ELSE p.p_id END AS asof_rid,
+        |       CASE WHEN c.us - p.us > 86400000000 THEN NULL ELSE p.us END AS asof_rt
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
         |ORDER BY c.user_id, c.event_id""".stripMargin,
     "q_asof_join_forward" ->

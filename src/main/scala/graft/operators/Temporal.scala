@@ -143,7 +143,8 @@ object Temporal {
       leftIdCol: String,
       rightIdCol: String,
       payload: Seq[String] = Nil,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
     // "backward" (default): most recent right at-or-before the left
     // (ties on rt → LARGEST rid). "forward": earliest right at-or-after
     // the left (ties on rt → SMALLEST rid) — the next-reading /
@@ -187,13 +188,27 @@ object Temporal {
         first(when(col("side") === 0, matched), ignoreNulls = true).over(
           base.orderBy(col("t"), col("side").desc, col("rid"))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    l.unionAll(r)
+    val swept = l.unionAll(r)
       .withColumn("m", sweep)
       .filter(col("side") === 1)
       .select(
         (col(keyCol) +: col("lid").as(leftIdCol) +: col("t").as(timeCol) +:
           col("m.rid").as("asof_rid") +: col("m.rt").as("asof_rt") +:
           payload.map(c => col(s"m.p_$c").as(s"asof_$c"))): _*)
+    // tolerance (pandas merge_asof semantics): a sweep match farther than
+    // `toleranceMicros` from the left row reads as NO match — every asof_*
+    // column nulls together. Correctness needs no re-sweep: the sweep
+    // already picked the NEAREST eligible right, so "nearest is too far"
+    // ⟺ "nothing within tolerance". Row-local post-map, plan unchanged.
+    toleranceMicros.fold(swept) { tol =>
+      val stale = (if (direction == "backward") col(timeCol) - col("asof_rt")
+                   else col("asof_rt") - col(timeCol)) > tol
+      val fixed = Set(keyCol, leftIdCol, timeCol)
+      swept.select(swept.columns.toIndexedSeq.map { c =>
+        if (fixed(c)) col(c)
+        else when(stale, lit(null)).otherwise(col(c)).as(c)
+      }: _*)
+    }
   }
 
   /** Range (interval) self-join via time-binning — all ordered pairs (a, b)

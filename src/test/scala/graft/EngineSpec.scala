@@ -2943,6 +2943,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("asof tolerance: stale matches null out; nothing else changes") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 1000L), (1L, 11L, 5000L), (2L, 12L, 100L))
+      .toDF("k", "lid", "t")
+    val quotes = Seq((1L, 900L, 7L), (1L, 4000L, 8L)).toDF("k", "t", "rid")
+    val plain = Temporal.asofJoin(clicks, quotes, "k", "t", "lid", "rid")
+      .collect().map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    // sanity: click 10 matches rid 7 at 900 (gap 100), click 11 matches
+    // rid 8 at 4000 (gap 1000), click 12 has no right at all
+    assert(plain(10L) == (Some(7L), Some(900L)))
+    assert(plain(11L) == (Some(8L), Some(4000L)))
+    assert(plain(12L) == (None, None))
+    val tol = Temporal.asofJoin(clicks, quotes, "k", "t", "lid", "rid",
+        toleranceMicros = Some(500L))
+      .collect().map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    // gap 100 ≤ 500 survives; gap 1000 > 500 nulls BOTH asof columns;
+    // the bare-miss row is untouched (null staleness → stays null)
+    assert(tol(10L) == (Some(7L), Some(900L)))
+    assert(tol(11L) == (None, None))
+    assert(tol(12L) == (None, None))
+    // forward direction mirrors: click 10 → next right at 4000, gap 3000
+    val fwd = Temporal.asofJoin(clicks, quotes, "k", "t", "lid", "rid",
+        direction = "forward", toleranceMicros = Some(3000L))
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(fwd(10L) == Some(8L))   // gap 3000 ≤ 3000 kept
+    assert(fwd(11L) == None)       // nothing at-or-after 5000
+  }
+
   test("kfold: partition of the corpus, filter-only rotation, no shuffle") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("doc_id")

@@ -1679,6 +1679,16 @@ object SparkEntry {
       Multimodal.frameDupStats(t(s, dir, "documents"), frameBytes = 64)
         .orderBy(col("frame_md5"))),
 
+    "mm_scene_cuts" -> ((s, dir) =>
+      // frame-lane change-point detection: per-frame mean-byte level
+      // (per-mille, integer floor) + a payload-partitioned lag window —
+      // cuts are jumps > 4000 between consecutive frames (≈11% of the
+      // fixture's transitions; the window partition is bounded by
+      // frames-per-payload, never corpus-keyed)
+      Multimodal.sceneCuts(t(s, dir, "documents"), frameBytes = 64,
+          jumpThreshold = 4000L)
+        .orderBy(col("doc_id"))),
+
     "pipeline_prep" -> ((s, dir) =>
       // the composed corpus-prep flow: dedup → quality filter → splits
       graft.operators.Pipeline.prepareCorpus(t(s, dir, "documents"))
@@ -4044,6 +4054,30 @@ object SparkEntry {
         |       ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf
         |FROM tf JOIN dfreq USING (word) CROSS JOIN nd
         |ORDER BY doc_id, word""".stripMargin,
+    "mm_scene_cuts" ->
+      // same VARCHAR≡BINARY ASCII contract as mm_frames; the level is an
+      // exact integer fold, the cut rule an integer compare — replayed
+      // with generate_series + a lag window
+      """WITH fr AS (
+        |  SELECT doc_id, u.i AS frame_idx,
+        |         substring(text, CAST(u.i*64+1 AS INT), 64) AS f
+        |  FROM documents,
+        |       unnest(generate_series(0,
+        |         GREATEST(1, CAST(ceil(length(text)/64.0) AS BIGINT))-1)) AS u(i)),
+        |sums AS (
+        |  SELECT fr.doc_id, fr.frame_idx,
+        |         CAST(COALESCE(SUM(ascii(substring(fr.f, CAST(v.j AS INT), 1))), 0) * 1000
+        |              // length(fr.f) AS BIGINT) AS lvl
+        |  FROM fr, unnest(generate_series(1, length(fr.f))) AS v(j)
+        |  GROUP BY 1, 2, length(fr.f)),
+        |d AS (
+        |  SELECT doc_id, frame_idx, lvl,
+        |         lag(lvl) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM sums)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |       CAST(COALESCE(SUM(CASE WHEN abs(lvl - prev) > 4000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+        |       CAST(COALESCE(MAX(abs(lvl - prev)), 0) AS BIGINT) AS max_jump
+        |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       // NOTE: the oracle slices the VARCHAR where Spark slices the BINARY
       // payload — equivalent because the fixture corpus is pure ASCII

@@ -101,6 +101,52 @@ object Multimodal {
         min(col("frame_idx")).as("min_frame_idx"))
       .filter(col("n_occurrences") >= 2)
 
+  /** Scene-cut detection on the frame lane — change-points in a cheap
+    * per-frame content LEVEL, the multimodal segmentation primitive
+    * (where does one shot/segment end?) that frame-hash dedup cannot see
+    * (consecutive frames of one scene hash differently but sit at similar
+    * levels). The level is the frame's mean byte value in per-mille
+    * (integer floor — engine-portable), the decoder-free stand-in for a
+    * real per-frame luminance/histogram signal: swapping a codec in means
+    * replacing the level kernel inside the same shape, exactly like
+    * [[byteLaneProfile]] vs [[extractImageFeatures]]. A cut is a jump >
+    * `jumpThreshold` between CONSECUTIVE frames of the same payload.
+    *
+    * Shape: one frame explode, a row-local integer fold per frame, one
+    * lag window PARTITIONED BY PAYLOAD (frames-per-payload bounds the
+    * partition — the q_sessionize bounded-key discipline, never
+    * corpus-keyed), one per-payload agg. Operates on the documents
+    * fixture's ASCII text lane under the same VARCHAR≡BINARY contract the
+    * `mm_frames` oracle documents.
+    */
+  def sceneCuts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", frameBytes: Int = 64,
+      jumpThreshold: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = docs
+      .select(col(idCol), col(textCol).as("txt"),
+        length(col(textCol)).cast("long").as("len"))
+      .select(col(idCol), col("txt"),
+        explode(sequence(lit(0L), frameCount(col("len"), frameBytes) - 1))
+          .as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        expr(s"substring(txt, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)")
+          .as("f"))
+    val lvl = fr.select(col(idCol), col("frame_idx"),
+      expr("""CAST(aggregate(transform(sequence(1, length(f)),
+             |  i -> CAST(ascii(substring(f, i, 1)) AS BIGINT)), 0L,
+             |  (a, x) -> a + x) * 1000 DIV length(f) AS BIGINT)
+             |""".stripMargin.replace("\n", " ")).as("lvl"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    lvl.withColumn("prev", lag(col("lvl"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(abs(col("lvl") - col("prev")) > jumpThreshold, 1L).otherwise(0L))
+          .as("n_cuts"),
+        coalesce(max(abs(col("lvl") - col("prev"))), lit(0L)).as("max_jump"))
+  }
+
   /** Byte-lane content profile: lane `i` accumulates `byte/255` over payload
     * positions ≡ i (mod dim) — a deterministic, decoder-free content
     * fingerprint (cheap modality-agnostic screening/clustering signal),

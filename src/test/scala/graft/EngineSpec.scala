@@ -2943,6 +2943,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("sceneCuts: planted level shift is the only cut; flat payloads are cut-free") {
+    import spark.implicits._
+    // doc 1: 128 bytes of 'a' (lvl 97000‰... per-mille of mean 97) then
+    // 128 bytes of 'z' (mean 122): one level shift of 25000 per-mille
+    // at the frame boundary; doc 2: flat content, zero cuts
+    val docs = Seq(
+      (1L, "a" * 128 + "z" * 128),
+      (2L, "m" * 256)).toDF("doc_id", "text")
+    val out = Multimodal.sceneCuts(docs, frameBytes = 64, jumpThreshold = 4000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 1L, 25000L)), out.toString) // one cut, jump = (122-97)*1000
+    assert(out(2L) == ((4L, 0L, 0L)), out.toString)
+    // a single-frame payload has no transitions and must not crash or cut
+    val one = Multimodal.sceneCuts(Seq((3L, "abc")).toDF("doc_id", "text"),
+      frameBytes = 64).collect().head
+    assert(one.getLong(1) == 1L && one.getLong(2) == 0L && one.getLong(3) == 0L)
+  }
+
   test("asof tolerance: stale matches null out; nothing else changes") {
     import spark.implicits._
     val clicks = Seq((1L, 10L, 1000L), (1L, 11L, 5000L), (2L, 12L, 100L))

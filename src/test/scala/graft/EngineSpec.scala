@@ -2943,6 +2943,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("AnnIndex: build/load/serve equals in-memory ivfTopK; probe prunes partitions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("annindex").toString
+    graft.sources.AnnIndex.build(emb, k = 4, iters = 2, dir)
+    val idx = graft.sources.AnnIndex.load(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    // identical trained quantizer (deterministic training) → identical serving
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+    val mem = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    val served = graft.sources.AnnIndex.topK(idx, q, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(served == mem, "persisted-index serving must equal in-memory serving")
+    // low-fan-out probe: restricting the read to the query's own cells
+    // must land as PartitionFilters on the parquet scan (the IVF probe
+    // AS partition pruning) and change nothing about the answer
+    val q1 = emb.filter(col("vec_id") === 0)
+    val qCells = Similarity.assignCellsLocal(
+        Similarity.prepared(q1, "vec_id", "embedding"),
+        Similarity.collectCentroids(idx.centroids), nprobe = 2)
+      .select(col("cell")).collect().map(_.getLong(0)).toSeq
+    val probed = graft.sources.AnnIndex.probe(idx, q1, k = 3, qCells)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe must prune cell partitions at the scan:\n$plan")
+    assert(probed.collect().map(_.toSeq).toSet ==
+      graft.sources.AnnIndex.topK(idx, q1, k = 3, nprobe = 2)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("sceneCuts: planted level shift is the only cut; flat payloads are cut-free") {
     import spark.implicits._
     // doc 1: 128 bytes of 'a' (lvl 97000‰... per-mille of mean 97) then

@@ -517,6 +517,67 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("heavy hitters: MG two-pass equals the brute threshold for random skewed corpora") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // random corpora with a zipf-ish head: a few planted hot tokens at
+    // random rates + unique tail; s chosen so the threshold cuts inside
+    // the head sometimes and above it sometimes
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val hot = (0 until 3).map(i => s"hot$i" -> (50 + rng.nextInt(400)))
+      val toks = hot.flatMap { case (t, n) => Seq.fill(n)(t) } ++
+        (0 until 2000 + rng.nextInt(3000)).map(i => s"u${trial}_$i")
+      val docs = rng.shuffle(toks).grouped(25).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val s = 20 + rng.nextInt(60)
+      val tok = docs.select(explode(split(lower(col("text")), " ")).as("token"))
+      val n = tok.count()
+      val brute = tok.groupBy("token").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .filter { case (_, c) => c * s >= n }.toMap
+      val got = TextAnalysis.heavyHitters(docs, s = s).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == brute, s"trial=$trial s=$s n=$n: $got vs $brute")
+    }
+  }
+
+  test("z-order: same-bucket points share their high coordinate bits for random points") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val rng = new scala.util.Random(7)
+    val pts = (0 until 3000).map(_ =>
+      (rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong))
+    // bucket = top 8 Morton bits = top 4 bits of EACH coordinate: every
+    // bucket is exactly a 4096×4096 tile, for ANY point distribution
+    val rows = pts.toDF("x", "y")
+      .select(Layout.zOrderKey(col("x"), col("y"), 16).as("zk"), col("x"), col("y"))
+      .select(shiftright(col("zk"), 24).as("b"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (b, grp) =>
+      assert(grp.map(_._2 >> 12).distinct.size == 1, s"bucket $b mixes x tiles")
+      assert(grp.map(_._3 >> 12).distinct.size == 1, s"bucket $b mixes y tiles")
+    }
+  }
+
+  test("kfold: folds partition any id set and are stable under re-derivation") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val ids = Gen.listOfN(800, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+      .sample.get.distinct
+    for (k <- Seq(2, 5, 9)) {
+      val folded = Splits.kfold(ids.toDF("doc_id"), "doc_id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(folded.length == ids.length, "no row gained or lost")
+      assert(folded.forall { case (_, f) => f >= 0 && f < k }, "fold in range")
+      // derivation is pure: the same ids map to the same folds again
+      val again = Splits.kfold(ids.toDF("doc_id"), "doc_id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(folded.toMap == again.toMap)
+    }
+  }
+
   test("date formatter: layout shape, 01:00 pin, and one-day arithmetic hold for any instant") {
     val layout = """\d{4}-\d{2}-\d{2}T01-00Z""".r
     Gen.listOfN(500, Gen.choose(0L, 4102444800L)).sample.get.foreach { epochSec =>

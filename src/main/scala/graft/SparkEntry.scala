@@ -1387,6 +1387,29 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
         .orderBy(col("doc_id"))),
+    "text_lang_confusion" -> ((s, dir) =>
+      // language-ID evaluation as a confusion matrix: one map-side-
+      // combined agg over the row-local predictions — the per-language
+      // shippability number for the heuristic
+      TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
+        .groupBy(col("actual_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual_lang"), col("predicted_lang"))),
+    "text_corpus_datasheet" -> ((s, dir) =>
+      // the corpus data card in one row: doc/lang/source cardinalities and
+      // integer-exact size stats (mean in basis points to stay integer) —
+      // one map-side-combined global agg, no shuffle wider than one row
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(lower(col("text")), " ")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_tokens"), col("total_chars"), col("min_chars"), col("max_chars"),
+          expr("CAST(total_chars * 100 DIV n_docs AS BIGINT)").as("mean_chars_x100"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_scrub" -> ((s, dir) => {
@@ -1917,6 +1940,28 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------ oracle SQL
+
+  /** Shared DuckDB CTE chain for language ID: per-doc stopword hit counts
+    * (`c`) and the argmax/tie-break prediction (`p`) — consumed by both
+    * the per-doc `text_langid` row and the `text_lang_confusion` matrix.
+    */
+  private val langidCtes =
+    """WITH c AS (
+      |  SELECT doc_id, lang AS actual_lang,
+      |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS c_de,
+      |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS c_en,
+      |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('el','los','y','es','una','en'))) AS BIGINT) AS c_es,
+      |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('le','les','et','est','une','dans'))) AS BIGINT) AS c_fr
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, c_de, c_en, c_es, c_fr, actual_lang,
+      |         CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und'
+      |              WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
+      |              WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
+      |              WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
+      |              ELSE 'fr' END AS predicted_lang
+      |  FROM c)
+      |""".stripMargin
 
   /** Shared DuckDB CTE: distinct word-3-gram shingles of documents. */
   private val shingleCte =
@@ -3324,21 +3369,24 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, alpha_ratio, ws_ratio, stopword_ratio,
         |       ROUND(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 + alpha_ratio*0.5, 6) AS quality_score
         |FROM q ORDER BY doc_id""".stripMargin,
-    "text_langid" ->
-      """WITH c AS (
-        |  SELECT doc_id, lang AS actual_lang,
-        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS c_de,
-        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS c_en,
-        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('el','los','y','es','una','en'))) AS BIGINT) AS c_es,
-        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('le','les','et','est','une','dans'))) AS BIGINT) AS c_fr
-        |  FROM documents)
-        |SELECT doc_id, c_de, c_en, c_es, c_fr, actual_lang,
-        |       CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und'
-        |            WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
-        |            WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
-        |            WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
-        |            ELSE 'fr' END AS predicted_lang
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_langid" -> (langidCtes +
+      """SELECT doc_id, c_de, c_en, c_es, c_fr, actual_lang, predicted_lang
+        |FROM p ORDER BY doc_id""".stripMargin),
+    "text_lang_confusion" -> (langidCtes +
+      // the language-ID EVALUATION: actual × predicted cell counts — the
+      // number that says whether the heuristic is shippable per language
+      """SELECT actual_lang, predicted_lang, COUNT(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY actual_lang, predicted_lang""".stripMargin),
+    "text_corpus_datasheet" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |       CAST((SUM(n_chars) * 100) // COUNT(*) AS BIGINT) AS mean_chars_x100
+        |FROM documents""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS norm, string_split(lower(text),' ') AS w

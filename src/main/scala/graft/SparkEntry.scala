@@ -1262,6 +1262,20 @@ object SparkEntry {
         .groupBy(col("fold"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("fold"), col("lang"))),
+    "split_curriculum" -> ((s, dir) => {
+      // curriculum construction from two verified pieces: difficulty
+      // bucket = decile floor of the quality score (row-local), then
+      // token-budget batches packed WITHIN each bucket by the sharded
+      // two-level packer — batches served easiest (highest score) first.
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("quality_score") * 10).cast("long").as("difficulty"))
+      Splits.packBatchesSharded(q, "difficulty", "doc_id", "n_tokens",
+          budget = 2048L, shards = 8)
+        .groupBy(col("difficulty"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+        .orderBy(col("difficulty").desc, col("batch_id"))
+    }),
     "du_incremental_merge" -> ((s, dir) => {
       // incremental refresh: history snapshot + delta snapshot merged by
       // re-aggregating partials (decomposable SUM/COUNT) — value-identical
@@ -3311,6 +3325,39 @@ object SparkEntry {
         |       COUNT(*) AS n_docs, CAST(SUM(lb.n_tokens) AS BIGINT) AS batch_tokens
         |FROM lb JOIN offs o ON lb.lang = o.lang AND lb.shard = o.shard
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "split_curriculum" ->
+      // the text_quality score chain (identical expression order) feeding
+      // the split_pack_batches window replay, stratified by difficulty
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens,
+         |         CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT) AS alpha_ratio
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(FLOOR(ROUND(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 + alpha_ratio*0.5, 6) * 10) AS BIGINT) AS difficulty,
+         |         ${graft.operators.Splits.packShardSql("doc_id", 8)} AS shard
+         |  FROM q),
+         |c AS (
+         |  SELECT difficulty, shard, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY difficulty, shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |lb AS (
+         |  SELECT difficulty, shard, n_tokens,
+         |         (cum - n_tokens) // 2048 AS local_batch
+         |  FROM c),
+         |offs AS (
+         |  SELECT difficulty, shard,
+         |         COALESCE(SUM(MAX(local_batch) + 1) OVER (PARTITION BY difficulty
+         |           ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS batch_offset
+         |  FROM lb GROUP BY difficulty, shard)
+         |SELECT lb.difficulty,
+         |       CAST(o.batch_offset + lb.local_batch AS BIGINT) AS batch_id,
+         |       COUNT(*) AS n_docs, CAST(SUM(lb.n_tokens) AS BIGINT) AS batch_tokens
+         |FROM lb JOIN offs o ON lb.difficulty = o.difficulty AND lb.shard = o.shard
+         |GROUP BY 1, 2 ORDER BY lb.difficulty DESC, batch_id""".stripMargin,
     "du_snapshot_delta" ->
       """WITH inv AS (
         |  SELECT event_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.operators.{Dedup, DiskUsageOp, Graph, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1339,6 +1339,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_pagerank" -> ((s, dir) => {
+      // PageRank over the undirected order—part incidence graph (parts
+      // offset into a disjoint id space): 3 damped iterations, each one
+      // edge-keyed join + one decimal-fenced map-side-combined agg; top
+      // 100 by (rank, node). The oracle unrolls the same three
+      // iterations with the identical rounding fences.
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.pageRank(edges, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    }),
     "q_merge_upsert" -> ((s, dir) => {
       // lakehouse MERGE semantics without a table format: base FULL OUTER
       // delta on the key, op ∈ insert/update/keep, merged value prefers
@@ -3512,6 +3526,34 @@ object SparkEntry {
       s"""SELECT ${graft.operators.Splits.kfoldSql("doc_id", 5)} AS fold, lang,
          |       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+    "q_pagerank" -> {
+      // one iteration of the decimal-fenced update as a SQL template:
+      // contributions round(r/deg, 14) summed in DECIMAL(28,14), update
+      // round(round(0.15/n,14) + 0.85*sum, 12) — mirroring Graph.pageRank
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT e.dst AS node,
+           |         ROUND(ROUND(0.15/MIN(nn.n), 14) +
+           |               0.85 * CAST(SUM(CAST(ROUND($prev.r/deg.deg, 14) AS DECIMAL(28,14))) AS DOUBLE),
+           |               12) AS r
+           |  FROM e JOIN $prev ON $prev.node = e.src
+           |         JOIN deg ON deg.src = e.src
+           |         CROSS JOIN nn
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT deg.src AS node, ROUND(1.0/nn.n, 12) AS r
+         |       FROM deg CROSS JOIN nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, r AS rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+    },
     "q_merge_upsert" ->
       """WITH base AS (
         |  SELECT event_id, value AS base_value FROM events WHERE event_id % 3 <> 0),

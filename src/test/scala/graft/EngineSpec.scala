@@ -2943,6 +2943,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("pageRank: uniform on regular graphs, star center wins, mass conserved") {
+    import spark.implicits._
+    // a 2-regular cycle is PageRank's fixed point: every iteration maps
+    // the uniform vector to itself, so ranks stay exactly 1/N
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val cr = Graph.pageRank(cycle, iters = 3).collect().map(_.getDouble(1))
+    assert(cr.length == 4 && cr.distinct.length == 1 &&
+      math.abs(cr.head - 0.25) < 1e-9, cr.mkString(","))
+    // a star concentrates mass on the hub; leaves stay symmetric
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)).toDF("a", "b")
+    val sr = Graph.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sr(0L) > sr(1L), sr.toString)
+    assert((1L to 5L).map(sr).distinct.size == 1, "leaves must tie")
+    // undirected ⇒ no dangling mass: total rank holds 1 within the
+    // 12-dp rounding fences
+    assert(math.abs(sr.values.sum - 1.0) < 1e-6, sr.values.sum.toString)
+  }
+
   test("AnnIndex: build/load/serve equals in-memory ivfTopK; probe prunes partitions") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindex").toString

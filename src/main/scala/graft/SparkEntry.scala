@@ -1353,6 +1353,20 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     }),
+    "q_triangle_counts" -> ((s, dir) => {
+      // per-node triangle participation over the part co-occurrence
+      // graph (parts sharing an order) via degree-oriented wedge
+      // closing — each triangle counted exactly once, wedge volume
+      // bounded by the orientation; top 50 by (count, node)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      Graph.triangleCounts(edges)
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(50)
+    }),
     "q_merge_upsert" -> ((s, dir) => {
       // lakehouse MERGE semantics without a table format: base FULL OUTER
       // delta on the key, op ∈ insert/update/keep, merged value prefers
@@ -3554,6 +3568,27 @@ object SparkEntry {
          |SELECT node, r AS rank FROM r3
          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
     },
+    "q_triangle_counts" ->
+      // the same orientation + wedge-close replayed relationally; each
+      // triangle's orientation-minimal vertex fans out to the other two,
+      // so COUNT(*) per exploded corner is exact with no /3
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+        |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+        |             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+        |      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |tri AS (SELECT u, v, w2 FROM w
+        |        JOIN e0 ON e0.a = least(w.v, w.w2) AND e0.b = greatest(w.v, w.w2)),
+        |corners AS (SELECT unnest([u, v, w2]) AS node FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (
         |  SELECT event_id, value AS base_value FROM events WHERE event_id % 3 <> 0),

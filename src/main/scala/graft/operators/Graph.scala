@@ -56,4 +56,49 @@ object Graph {
     }
     r.select(col("node"), col("r").as("rank"))
   }
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge closing (Cohen,
+    * "Graph Twiddling in a MapReduce World", 2009 / the Schank–Wagner
+    * orientation): canonicalize the undirected edge list, orient every
+    * edge from its (degree, id)-smaller endpoint to the larger, generate
+    * wedges only from pairs of OUT-edges, close each wedge against the
+    * canonical edge set. Each triangle forms exactly one wedge (its
+    * orientation-minimal vertex fans out to the other two), so counts
+    * are exact with no division-by-3 or dedup.
+    *
+    * Why the orientation is the scale story: wedge volume is
+    * Σ_u outdeg(u)², and degree-ordering bounds outdeg by O(√|E|)
+    * (a hub's edges point INTO it, so the hub fans out almost nothing) —
+    * without it a single celebrity node with degree d contributes d²
+    * wedges and its partition serializes. All joins are node- or
+    * edge-keyed equi-joins (AQE-splittable); arithmetic is integer-only.
+    */
+  def triangleCounts(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(und,
+      least(col("v"), col("w")) === col("a") &&
+        greatest(col("v"), col("w")) === col("b"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -2962,6 +2962,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sr.values.sum - 1.0) < 1e-6, sr.values.sum.toString)
   }
 
+  test("triangleCounts: exact on K4, zero on trees, canonicalizes dup/reversed edges") {
+    import spark.implicits._
+    val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")
+    val r = Graph.triangleCounts(k4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // K4 has 4 triangles; every node sits in C(3,2) = 3 of them
+    assert(r == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), r.toString)
+    assert(Graph.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")).count() == 0)
+    // duplicate and reversed inputs must canonicalize, not double-count
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("a", "b")
+    val rm = Graph.triangleCounts(messy).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), rm.toString)
+  }
+
   test("AnnIndex: build/load/serve equals in-memory ivfTopK; probe prunes partitions") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindex").toString

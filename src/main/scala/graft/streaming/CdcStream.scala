@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Streaming CDC compaction — latest record per key over an unbounded
+  * change stream, the streaming twin of the `q_cdc_compact` batch row.
+  *
+  * Reference scope note: the reference engine has no streaming surface
+  * (`handler.go:77-92` is a fixed refresh loop); this is part of the
+  * build's training-data-pipeline extension mandate.
+  *
+  * The whole design rides one algebraic fact: "latest record" is
+  * `max(struct(ts, tiebreak, payload))` per key, and max is IDEMPOTENT,
+  * commutative, and associative. That buys three things the counting
+  * stores ([[CmsStream]], [[HeavyHittersStream]]) cannot have:
+  * no batch-id replay guard at all (re-applying a delivered batch
+  * re-takes a max that cannot move), batch boundaries that don't matter
+  * (any partition of the stream into batches compacts to the same
+  * table), and a merge that is the SAME map-side-combinable aggregate
+  * the batch operator uses — per batch: argmax within the batch (hot
+  * keys collapse per task before the exchange), then a keyed FULL OUTER
+  * against the held table taking the struct-greatest side.
+  *
+  * State is one row per live key held as a lineage-cut table (the
+  * [[ComponentsStream.LabelStore]] discipline: materialize fully, swap
+  * atomically, failed merges keep the old snapshot) — corpus-scale state
+  * lives in a table, never in driver collections.
+  */
+object CdcStream {
+
+  /** Compacted (key → latest struct) table held across micro-batches.
+    * Schema: keyCols ++ (last: struct(ts, tiebreak, payload...)).
+    */
+  final class CompactStore(spark: SparkSession, keyCols: Seq[String], initial: DataFrame) {
+    require(keyCols.nonEmpty, "need at least one key column")
+    private def materialize(df: DataFrame): DataFrame = {
+      val cut = spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count() // force now: a failed merge must fail BEFORE the swap
+      cut
+    }
+    private val ref = new AtomicReference[DataFrame](materialize(initial))
+
+    /** The current compacted table — always fully materialized. */
+    def current: DataFrame = ref.get()
+
+    /** Merge one micro-batch of per-batch argmaxes; idempotent, so
+      * at-least-once replay needs no guard.
+      */
+    def merge(batchCompact: DataFrame): Unit = {
+      val old = ref.get()
+      if (!batchCompact.isEmpty) {
+        val merged = old.as("o")
+          .join(batchCompact.as("b"),
+            keyCols.map(k => col(s"o.$k") === col(s"b.$k")).reduce(_ && _),
+            "full_outer")
+          .select(
+            keyCols.map(k => coalesce(col(s"o.$k"), col(s"b.$k")).as(k)) :+
+              greatest(col("o.last"), col("b.last")).as("last"): _*)
+        val next = materialize(merged)
+        ref.set(next)
+        old.unpersist()
+      }
+    }
+  }
+
+  /** The batch-local compaction (shared with the batch operator's shape):
+    * argmax per key as `max(struct(orderCols..., payloadCols...))`.
+    */
+  def compact(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((orderCols ++ payloadCols).map(col): _*)).as("last"))
+
+  /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
+  def sink(store: CompactStore, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, _) => store.merge(compact(batch, keyCols, orderCols, payloadCols))
+
+  /** Wire a streaming change source into `store` and start the query;
+    * callers read `store.current` at any time.
+    */
+  def run(changes: DataFrame, store: CompactStore, checkpointDir: String,
+      keyCols: Seq[String], orderCols: Seq[String],
+      payloadCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(store, keyCols, orderCols, payloadCols))
+      .outputMode("update")
+      .start()
+}

@@ -2365,6 +2365,52 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.add(1000L, Map("hot" -> 2L)))
   }
 
+  test("streaming CDC compaction: batch-split-invariant, replay-idempotent, no guard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.CdcStream
+    val dir = Files.createTempDirectory("cdcstream").toString
+    val keys = Seq("user_id", "event_type")
+    val order = Seq("ts_us", "event_id")
+    val payload = Seq("value")
+    // batch 2 carries an OLDER change for (1, a) — it must not override
+    val b1 = Seq((1L, "a", 100L, 7L, 1.0), (2L, "a", 50L, 1L, 4.0))
+    val b2 = Seq((1L, "a", 90L, 9L, 9.0), (2L, "b", 60L, 2L, 5.0))
+    val b3 = Seq((1L, "a", 200L, 3L, 2.0))
+    def emptyInit = CdcStream.compact(
+      Seq.empty[(Long, String, Long, Long, Double)]
+        .toDF("user_id", "event_type", "ts_us", "event_id", "value"),
+      keys, order, payload)
+    val store = new CdcStream.CompactStore(spark, keys, emptyInit)
+    val in = MemoryStream[(Long, String, Long, Long, Double)](spark)
+    val q = CdcStream.run(
+      in.toDF().toDF("user_id", "event_type", "ts_us", "event_id", "value"),
+      store, s"$dir/ckpt", keys, order, payload)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_type"), col("last.ts_us"),
+        col("last.event_id"), col("last.value"))
+      .collect().map(_.toSeq).toSet
+    val streamed = flat(store.current)
+    // batch-split invariance: the union compacted in one shot must match
+    val batch = flat(CdcStream.compact(
+      (b1 ++ b2 ++ b3).toDF("user_id", "event_type", "ts_us", "event_id", "value"),
+      keys, order, payload))
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(streamed.contains(Seq(1L, "a", 200L, 3L, 2.0)), "latest wins")
+    assert(streamed.contains(Seq(2L, "b", 60L, 2L, 5.0)))
+    // replay idempotence WITHOUT any batch-id guard: re-merging an old
+    // batch's compact is a no-op because max cannot move backwards
+    store.merge(CdcStream.compact(
+      b1.toDF("user_id", "event_type", "ts_us", "event_id", "value"),
+      keys, order, payload))
+    assert(flat(store.current) == streamed, "replay must not change the table")
+  }
+
   test("streaming dedup: duplicates within the watermark window are dropped") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

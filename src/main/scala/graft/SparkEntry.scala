@@ -1482,6 +1482,13 @@ object SparkEntry {
       // integer-exact harmonic sum; the exact-distinct column is the
       // fixture-scale accuracy A/B
       TextAnalysis.hllDistinct(t(s, dir, "documents"))),
+    "text_collocations" -> ((s, dir) =>
+      // PMI collocation mining: window-5 co-occurrence, support >= 20,
+      // fenced-ln scoring — top 50 strongest associations
+      TextAnalysis.collocations(t(s, dir, "documents"), window = 5,
+          minCount = 20)
+        .orderBy(col("pmi").desc, col("w_a"), col("w_b"))
+        .limit(50)),
     "text_heavy_hitters" -> ((s, dir) =>
       // two-pass Misra–Gries: bounded-state candidate pass (≤ s counters
       // per task, cardinality-independent), then an exact recount of the
@@ -3630,6 +3637,32 @@ object SparkEntry {
         |       MIN(d.type_even_n) AS type_even_n
         |FROM events e JOIN dim d ON d.event_type = e.event_type
         |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+    "text_collocations" ->
+      // the identical fenced-ln chain in the identical left-assoc order;
+      // positions are 1-based here vs 0-based in Spark — the window
+      // condition uses differences, so the offset cancels
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |         generate_subscripts(string_split(lower(text),' '),1) AS i
+        |  FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM tok),
+        |pairs AS (
+        |  SELECT least(x.w, y.w) AS w_a, greatest(x.w, y.w) AS w_b
+        |  FROM tok x JOIN tok y
+        |    ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + 5),
+        |ptot AS (SELECT COUNT(*) AS p FROM pairs),
+        |pc AS (SELECT w_a, w_b, COUNT(*) AS c_ab
+        |       FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT pc.w_a, pc.w_b, CAST(pc.c_ab AS BIGINT) AS c_ab,
+        |       ua.cw AS c_a, ub.cw AS c_b,
+        |       ROUND(ROUND(ln(pc.c_ab), 6) - ROUND(ln(ptot.p), 6) -
+        |             ROUND(ln(ua.cw), 6) - ROUND(ln(ub.cw), 6) +
+        |             ROUND(ln(tot.t), 6) + ROUND(ln(tot.t), 6), 6) + 0.0 AS pmi
+        |FROM pc JOIN uni ua ON ua.w = pc.w_a
+        |        JOIN uni ub ON ub.w = pc.w_b
+        |CROSS JOIN tot CROSS JOIN ptot
+        |ORDER BY pmi DESC, w_a, w_b LIMIT 50""".stripMargin,
     "text_heavy_hitters" ->
       // brute-force form of the same statistic: the MG candidate pass is
       // output-invisible (superset + exact recount), so the oracle needs

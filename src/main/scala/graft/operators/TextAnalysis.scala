@@ -656,6 +656,53 @@ object TextAnalysis {
           max(col("n")), 6) + lit(0.0)).as("entropy"))
   }
 
+  /** PMI collocations (Church & Hanks 1990, "Word Association Norms,
+    * Mutual Information, and Lexicography"): unordered token pairs
+    * co-occurring within a `window`-token span, scored by pointwise
+    * mutual information — the collocation/phrase-mining statistic
+    * (tokenizer vocab candidates, multi-word entities).
+    *
+    * PMI = ln(p(a,b) / (p(a)·p(b))) expanded to the all-integer-input
+    * form ln c_ab − ln P − ln c_a − ln c_b + ln T + ln T and computed as
+    * a FIXED-ORDER chain of 6-dp-rounded `ln` terms (the [[entropyStats]]
+    * fencing discipline) so the oracle replays it bit-for-bit; `+0.0`
+    * normalizes a rounded −0.0.
+    *
+    * Scale shape: the pair generator is a position self-join per doc with
+    * fan-out ≤ `window` per token (never doc-length²); pair and unigram
+    * counts are map-side-combined aggs; the `minCount` support filter
+    * cuts the pair table BEFORE the unigram joins (both token-keyed
+    * equi-joins, AQE-splittable); T and P ride broadcast 1-row frames.
+    * The unigram agg is an exact token-keyed count — at 100 TB reuse the
+    * precomputed df/count table the tf-idf lane already maintains rather
+    * than re-aggregating per call.
+    */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 5, minCount: Long = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val pos = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("i", "w")))
+    val uni = pos.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = pos.agg(count(lit(1)).as("t"))
+    val pairs = pos.as("x").join(pos.as("y"),
+        col(s"x.$idCol") === col(s"y.$idCol") &&
+          col("y.i") > col("x.i") && col("y.i") <= col("x.i") + window)
+      .select(least(col("x.w"), col("y.w")).as("w_a"),
+        greatest(col("x.w"), col("y.w")).as("w_b"))
+    val ptot = pairs.agg(count(lit(1)).as("p"))
+    pairs.groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w_a"), col("cw").as("c_a")), Seq("w_a"))
+      .join(uni.select(col("w").as("w_b"), col("cw").as("c_b")), Seq("w_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+        (round(
+          round(log(col("c_ab")), 6) - round(log(col("p")), 6) -
+            round(log(col("c_a")), 6) - round(log(col("c_b")), 6) +
+            round(log(col("t")), 6) + round(log(col("t")), 6),
+          6) + lit(0.0)).as("pmi"))
+  }
+
   def lmScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val bg = docs.select(col(idCol), tokens(col(textCol)).as("w"))

@@ -2989,6 +2989,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("collocations: exclusive pairs beat promiscuous ones; window bounds pairs") {
+    import spark.implicits._
+    // 'san francisco' always adjacent and exclusive; 'the' co-occurs with
+    // everything (promiscuous → low PMI); 'far apart' separated beyond
+    // the window must yield NO pair at window 2
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"san francisco the w$i the far x y z q apart")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, window = 2, minCount = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("pmi")).toMap
+    assert(out.contains(("francisco", "san")), out.keys.toString)
+    assert(!out.keys.exists { case (a, b) => Set(a, b) == Set("far", "apart") },
+      "beyond-window pair must not exist")
+    // the exclusive pair's association dominates any pair involving 'the'
+    val sf = out(("francisco", "san"))
+    out.collect { case ((a, b), p) if a == "the" || b == "the" => p }
+      .foreach(p => assert(sf > p, s"exclusive pair must out-score 'the' pairs"))
+    // pair counting respects the window: exactly one (san, francisco) per
+    // doc → c_ab = 30
+    val row = TextAnalysis.collocations(docs, window = 2, minCount = 10)
+      .filter(col("w_a") === "francisco" && col("w_b") === "san").collect().head
+    assert(row.getAs[Long]("c_ab") == 30L)
+  }
+
   test("pageRank: uniform on regular graphs, star center wins, mass conserved") {
     import spark.implicits._
     // a 2-regular cycle is PageRank's fixed point: every iteration maps

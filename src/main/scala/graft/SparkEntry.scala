@@ -1367,6 +1367,18 @@ object SparkEntry {
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
     }),
+    "q_funnel" -> ((s, dir) =>
+      // ordered conversion funnel view → click → purchase: one user-keyed
+      // filter+join+agg per step (greedy earliest-completion chain — no
+      // window, no per-user history in one task)
+      Temporal.funnel(Temporal.eventsMicros(s, dir),
+          steps = Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))),
+    "q_retention_cohorts" -> ((s, dir) =>
+      // the retention triangle: first-activity epoch-week cohorts ×
+      // weeks-since-cohort distinct-user counts; integer week arithmetic
+      Temporal.retentionCohorts(Temporal.eventsMicros(s, dir))
+        .orderBy(col("cohort_week"), col("age_weeks"))),
     "q_merge_upsert" -> ((s, dir) => {
       // lakehouse MERGE semantics without a table format: base FULL OUTER
       // delta on the key, op ∈ insert/update/keep, merged value prefers
@@ -3596,6 +3608,28 @@ object SparkEntry {
         |SELECT node, COUNT(*) AS n_triangles
         |FROM corners GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+        |       FROM e JOIN s1 ON s1.user_id = e.user_id AND e.ts_us > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+        |       FROM e JOIN s2 ON s2.user_id = e.user_id AND e.ts_us > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |       (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS age_weeks,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON c.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, age_weeks""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (
         |  SELECT event_id, value AS base_value FROM events WHERE event_id % 3 <> 0),

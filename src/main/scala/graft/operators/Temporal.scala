@@ -298,4 +298,58 @@ object Temporal {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.withColumn("ts_us", microsOf(raw, "ts"))
   }
+
+  /** Ordered funnel analysis — how many users progress through `steps`
+    * IN ORDER (each step strictly after the previous one's first
+    * completion): the product-analytics conversion query. Step i's
+    * reached-set is "earliest step-i event after the user's step-(i−1)
+    * completion time", so a user converts exactly when a strictly
+    * increasing event chain exists, computed greedily (earliest-possible
+    * times — greedy is optimal here: taking the earliest valid event at
+    * every step only ever widens what later steps can match).
+    *
+    * Shape: one user-keyed filter+join+agg PER STEP (no windows, no
+    * per-user event sorting — a user's whole history is never collected
+    * in one task); emitted as one (step_idx, step, n_users) row per step
+    * via tiny 1-row aggregates.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts_us"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"duplicate funnel steps: $steps")
+    val e = events.select(col(userCol), col(typeCol), col(tsCol))
+    var reached = e.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step_idx"), lit(steps.head).as("step"), col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      reached = e.filter(col(typeCol) === step)
+        .join(reached, Seq(userCol))
+        .filter(col(tsCol) > col("t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+      out = out.unionAll(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(step).as("step"),
+          col("n_users")))
+    }
+    out
+  }
+
+  /** Cohort retention — the (cohort, age) activity triangle: users
+    * bucketed by their FIRST-activity epoch week, counted distinct in
+    * every later week they return, keyed by weeks-since-cohort. Two
+    * user-keyed aggregations and one user-keyed join; integer epoch-week
+    * arithmetic only.
+    */
+  def retentionCohorts(events: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = events.select(col(userCol),
+      expr(s"$tsCol DIV $weekUs").as("week"))
+    val cohort = e.groupBy(col(userCol)).agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -2989,6 +2989,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("funnel: order and strictness enforced; retention triangle exact") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // u2's click precedes its first view → stops at step 1
+      (2L, "click", 50L), (2L, "view", 100L),
+      // u3's click ties the view timestamp → strictly-after excludes it
+      (3L, "view", 100L), (3L, "click", 100L),
+      // u4 re-views then converts late: the greedy earliest chain still
+      // catches the later click
+      (4L, "view", 10L), (4L, "view", 500L), (4L, "click", 600L))
+      .toDF("user_id", "event_type", "ts_us")
+    val f = Temporal.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(f == Map(1L -> 4L, 2L -> 2L, 3L -> 1L), f.toString)
+    // retention: two cohorts, one returning user
+    val wk = 7L * 86400L * 1000000L
+    val re = Seq(
+      (1L, 0L), (1L, wk), (1L, 2 * wk), // cohort 0, ages 0,1,2
+      (2L, wk), (2L, 2 * wk),           // cohort 1, ages 0,1
+      (3L, 0L))                         // cohort 0, age 0 only
+      .toDF("user_id", "ts_us")
+    val r = Temporal.retentionCohorts(re).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
+  }
+
   test("collocations: exclusive pairs beat promiscuous ones; window bounds pairs") {
     import spark.implicits._
     // 'san francisco' always adjacent and exclusive; 'the' co-occurs with

@@ -1501,6 +1501,20 @@ object SparkEntry {
           minCount = 20)
         .orderBy(col("pmi").desc, col("w_a"), col("w_b"))
         .limit(50)),
+    "text_textrank" -> ((s, dir) => {
+      // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+      // over the support-bounded word co-occurrence graph — two verified
+      // operators composed; the ≥ 20 support filter bounds the graph
+      // BEFORE any iteration touches it
+      val edges = TextAnalysis.collocations(t(s, dir, "documents"),
+          window = 5, minCount = 20)
+        .filter(col("w_a") =!= col("w_b"))
+        .select(col("w_a").as("a"), col("w_b").as("b"))
+      Graph.pageRank(edges, iters = 3)
+        .select(col("node").as("token"), col("rank"))
+        .orderBy(col("rank").desc, col("token"))
+        .limit(30)
+    }),
     "text_heavy_hitters" -> ((s, dir) =>
       // two-pass Misra–Gries: bounded-state candidate pass (≤ s counters
       // per task, cardinality-independent), then an exact recount of the
@@ -2001,6 +2015,38 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------ oracle SQL
+
+  /** Shared PageRank oracle CTE chain — appended after a `WITH`-block
+    * defining `e0(a, b)` (the undirected distinct edge list, ANY node
+    * type): symmetrized edges, degrees, node count, uniform start, and
+    * THREE unrolled decimal-fenced iterations ending in `r3(node, r)` —
+    * mirroring Graph.pageRank's fencing exactly (contributions
+    * round(r/deg, 14) summed in DECIMAL(28,14), update
+    * round(round(0.15/n,14) + 0.85·sum, 12)). Ends with a newline so
+    * consumers append their final SELECT.
+    */
+  private lazy val pageRankOracleIters: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.dst AS node,
+         |         ROUND(ROUND(0.15/MIN(nn.n), 14) +
+         |               0.85 * CAST(SUM(CAST(ROUND($prev.r/deg.deg, 14) AS DECIMAL(28,14))) AS DOUBLE),
+         |               12) AS r
+         |  FROM e JOIN $prev ON $prev.node = e.src
+         |         JOIN deg ON deg.src = e.src
+         |         CROSS JOIN nn
+         |  GROUP BY 1)""".stripMargin
+    s""",e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT deg.src AS node, ROUND(1.0/nn.n, 12) AS r
+       |       FROM deg CROSS JOIN nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain for language ID: per-doc stopword hit counts
     * (`c`) and the argmax/tie-break prediction (`p`) — consumed by both
@@ -3559,34 +3605,12 @@ object SparkEntry {
       s"""SELECT ${graft.operators.Splits.kfoldSql("doc_id", 5)} AS fold, lang,
          |       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
-    "q_pagerank" -> {
-      // one iteration of the decimal-fenced update as a SQL template:
-      // contributions round(r/deg, 14) summed in DECIMAL(28,14), update
-      // round(round(0.15/n,14) + 0.85*sum, 12) — mirroring Graph.pageRank
-      def iter(prev: String, out: String): String =
-        s"""$out AS (
-           |  SELECT e.dst AS node,
-           |         ROUND(ROUND(0.15/MIN(nn.n), 14) +
-           |               0.85 * CAST(SUM(CAST(ROUND($prev.r/deg.deg, 14) AS DECIMAL(28,14))) AS DOUBLE),
-           |               12) AS r
-           |  FROM e JOIN $prev ON $prev.node = e.src
-           |         JOIN deg ON deg.src = e.src
-           |         CROSS JOIN nn
-           |  GROUP BY 1)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
-         |e AS (SELECT a AS src, b AS dst FROM e0
-         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-         |nn AS (SELECT COUNT(*) AS n FROM deg),
-         |r0 AS (SELECT deg.src AS node, ROUND(1.0/nn.n, 12) AS r
-         |       FROM deg CROSS JOIN nn),
-         |${iter("r0", "r1")},
-         |${iter("r1", "r2")},
-         |${iter("r2", "r3")}
-         |SELECT node, r AS rank FROM r3
-         |ORDER BY rank DESC, node LIMIT 100""".stripMargin
-    },
+    "q_pagerank" -> (
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem)
+        |""".stripMargin + pageRankOracleIters +
+      """SELECT node, r AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 100""".stripMargin),
     "q_triangle_counts" ->
       // the same orientation + wedge-close replayed relationally; each
       // triangle's orientation-minimal vertex fans out to the other two,
@@ -3697,6 +3721,21 @@ object SparkEntry {
         |        JOIN uni ub ON ub.w = pc.w_b
         |CROSS JOIN tot CROSS JOIN ptot
         |ORDER BY pmi DESC, w_a, w_b LIMIT 50""".stripMargin,
+    "text_textrank" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |         generate_subscripts(string_split(lower(text),' '),1) AS i
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT least(x.w, y.w) AS w_a, greatest(x.w, y.w) AS w_b
+        |  FROM tok x JOIN tok y
+        |    ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + 5),
+        |pc AS (SELECT w_a, w_b, COUNT(*) AS c_ab
+        |       FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        |e0 AS (SELECT w_a AS a, w_b AS b FROM pc WHERE w_a <> w_b)
+        |""".stripMargin + pageRankOracleIters +
+      """SELECT node AS token, r AS rank FROM r3
+        |ORDER BY rank DESC, token LIMIT 30""".stripMargin),
     "text_heavy_hitters" ->
       // brute-force form of the same statistic: the MG candidate pass is
       // output-invisible (superset + exact recount), so the oracle needs

@@ -1323,6 +1323,23 @@ object SparkEntry {
       DiskUsageOp.aggregateSalted(inv).orderBy(col("address"))
     }),
 
+    "q_skew_report" -> ((s, dir) => {
+      // the "should I salt this key?" measurement: per-key frequency
+      // stats for a prospective join/agg key — key cardinality, max and
+      // mean (basis points) per-key mass, and the skew ratio max/mean in
+      // percent (integer floor). One map-side-combined agg + a one-row
+      // summary; the operational companion of q_skew_join_salted.
+      val counts = t(s, dir, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_key_rows"))
+        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+          expr("CAST(n_rows * 100 DIV n_keys AS BIGINT)").as("mean_key_rows_x100"),
+          expr("CAST(max_key_rows * n_keys * 100 DIV n_rows AS BIGINT)")
+            .as("skew_ratio_pct"))
+    }),
     "q_skew_join_salted" -> ((s, dir) => {
       // the skew-hardened JOIN companion of du_salted_agg: an equi-join
       // on a ~5-value key (the canonical hot-key shape) where each key
@@ -3686,6 +3703,14 @@ object SparkEntry {
         |SELECT user_id, event_type, ts_us AS last_ts_us,
         |       event_id AS last_event_id, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |       CAST((SUM(c) * 100) // COUNT(*) AS BIGINT) AS mean_key_rows_x100,
+        |       CAST((MAX(c) * COUNT(*) * 100) // SUM(c) AS BIGINT) AS skew_ratio_pct
+        |FROM c""".stripMargin,
     "q_skew_join_salted" ->
       """WITH dim AS (
         |  SELECT event_type, COUNT(*) AS type_even_n

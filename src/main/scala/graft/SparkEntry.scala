@@ -1449,6 +1449,21 @@ object SparkEntry {
           col("last.value").as("last_value"))
         .orderBy(col("user_id"), col("event_type"))
     }),
+    "q_scd2" -> ((s, dir) =>
+      // SCD2 dimension build: per-user event_type runs compressed to
+      // validity intervals with version numbers and an is_current flag —
+      // one key exchange + one sort shared by all three window functions
+      Temporal.scd2History(Temporal.eventsMicros(s, dir))
+        .orderBy(col("user_id"), col("version"))),
+    "q_ewma" -> ((s, dir) =>
+      // rolling EWMA over each user's last 8 values as an ORDERED fold
+      // (list_reduce-compatible: init = frame's first element) — fenced
+      // rounding, no unordered float SUM; keyed window, O(span) per row
+      // (the user_id pre-filter keeps the registry row small; per-user
+      // windows are independent so pre- and post-filter agree)
+      Temporal.ewmaSmooth(
+          Temporal.eventsMicros(s, dir).filter(col("user_id") % 20 === 0))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))),
 
     // -------- text analysis (SURVEY §2.12)
     "text_tokens" -> ((s, dir) =>
@@ -3703,6 +3718,42 @@ object SparkEntry {
         |SELECT user_id, event_type, ts_us AS last_ts_us,
         |       event_id AS last_event_id, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_scd2" ->
+      // the identical change-detect → version → close-bound window chain;
+      // row_number cast to BIGINT per the house integer discipline
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type, ts_us, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       event_type AS attr,
+        |       ts_us AS valid_from_us,
+        |       lead(ts_us) OVER w AS valid_to_us,
+        |       lead(ts_us) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_ewma" ->
+      // the same fixed-point ordered fold: DuckDB's list_reduce seeds
+      // from the first element, matching the Spark side's slice-tail
+      // fold with element_at(lst, 1) as init; /4 is a power of two so
+      // floor((3·acc+x)/4) is the exact integer floor-div on both sides
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS value_u6
+        |           FROM events WHERE user_id % 20 = 0),
+        |l AS (SELECT user_id, ts_us, event_id, value_u6,
+        |             list(value_u6) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |      FROM e)
+        |SELECT user_id, ts_us, event_id, value_u6,
+        |       list_reduce(lst,
+        |         (acc, x) -> CAST(floor((acc * 3 + x) / 4) AS BIGINT)) AS ewma_u6
+        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
         |SELECT COUNT(*) AS n_keys,

@@ -335,6 +335,73 @@ object Temporal {
     out
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build from an event
+    * log — the dimension-table form every warehouse derives from CDC
+    * feeds: per key, CONSECUTIVE equal attribute values are compressed to
+    * one validity interval, each interval carrying `[valid_from, valid_to)`
+    * bounds, a per-key version number, and an `is_current` flag on the
+    * open-ended last interval (Kimball's type-2 dimension, The Data
+    * Warehouse Toolkit ch. 5 — public methodology, no code).
+    *
+    * Shape: ONE exchange on the key + one per-partition sort shared by all
+    * three window functions (lag for change detection, row_number for the
+    * version, lead for the closing bound — the filter between them
+    * preserves both the partitioning and the sort order, so Catalyst
+    * plans a single Exchange/Sort pair). A key's partition holds only
+    * that key's history — bounded by per-entity event volume, never by
+    * corpus size, exactly like [[sessionize]].
+    *
+    * Determinism: ties in the timestamp are broken by `tieCol`, so the
+    * change sequence — and therefore every interval bound — is a pure
+    * function of the data on both engines.
+    */
+  def scd2History(events: DataFrame, keyCol: String = "user_id",
+      attrCol: String = "event_type", tsUsCol: String = "ts_us",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    val changes = events
+      .select(col(keyCol), col(attrCol), col(tsUsCol), col(tieCol))
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead(col(tsUsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(attrCol).as("attr"),
+        col(tsUsCol).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Rolling exponentially-weighted moving average (α = 1/4) over each
+    * key's last `span` observations — the classic smoothing signal
+    * (monitoring, trend features) computed in FIXED-POINT micro-units so
+    * the result is a pure integer function of the data on any engine:
+    * values scale to `round(v·10⁶)` longs, and the frame's values are
+    * folded left-to-right with `acc ← ⌊(3·acc + x)/4⌋` seeded from the
+    * frame's FIRST value — exactly DuckDB's `list_reduce` contract
+    * (first element is the init), so the oracle replays the identical
+    * fold. The /4 is a power of two, so the double division inside
+    * `floor` is exact for any sum below 2⁵³ — no float round-off exists
+    * anywhere in the chain (a double fold was measurably half-ulp flaky
+    * at the final rounding boundary; integers cannot be).
+    *
+    * Shape: one exchange on the key + per-partition sort; the frame is
+    * `span` rows, so the collected list is O(span) per row regardless of
+    * key cardinality or history length.
+    */
+  def ewmaSmooth(events: DataFrame, keyCol: String = "user_id",
+      tsUsCol: String = "ts_us", tieCol: String = "event_id",
+      valCol: String = "value", span: Int = 8): DataFrame = {
+    require(span >= 1, s"span must be >= 1: $span")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    val lst = collect_list(col("value_u6")).over(w)
+    val ew = aggregate(slice(lst, 2, span), element_at(lst, 1),
+      (acc, x) => floor((acc * lit(3L) + x) / lit(4L)).cast("long"))
+    events.select(col(keyCol), col(tsUsCol), col(tieCol),
+      round(col(valCol) * lit(1000000L), 0).cast("long").as("value_u6"))
+      .withColumn("ewma_u6", ew)
+  }
+
   /** Cohort retention — the (cohort, age) activity triangle: users
     * bucketed by their FIRST-activity epoch week, counted distinct in
     * every later week they return, keyed by weeks-since-cohort. Two

@@ -3018,6 +3018,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("scd2: runs compress, intervals tile, one exchange; ewma fixed-point fold") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: A A B A → three intervals (the second A run starts a NEW
+      // version — SCD2 compresses CONSECUTIVE equals only)
+      (1L, "A", 100L, 1L), (1L, "A", 200L, 2L), (1L, "B", 300L, 3L),
+      (1L, "A", 400L, 4L),
+      // u2: timestamp tie broken by event_id → B is the later state
+      (2L, "A", 100L, 10L), (2L, "B", 100L, 11L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val h = Temporal.scd2History(ev)
+    val rows = h.orderBy(col("user_id"), col("version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "A", 100L, Some(300L), false),
+      (1L, 2L, "B", 300L, Some(400L), false),
+      (1L, 3L, "A", 400L, None, true),
+      (2L, 1L, "A", 100L, Some(100L), false),
+      (2L, 2L, "B", 100L, None, true)), rows.mkString(", "))
+    // intervals tile per key: every non-current valid_to equals the next
+    // version's valid_from (asserted by the literal expectation above) and
+    // the three window functions share ONE exchange + ONE sort
+    val plan = h.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("(?m)^\\s*\\+?-? ?Sort ".r.findAllIn(plan).size <= 2, plan)
+
+    // ewma: integer fold in micro-units — floor((3*acc+x)/4) seeded from
+    // the frame's first element; span bounds the frame
+    val vals = Seq.tabulate(10)(i => (1L, 100L + i, i.toLong, 4.0))
+      .updated(1, (1L, 101L, 1L, 8.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val e = Temporal.ewmaSmooth(vals, span = 8)
+      .orderBy(col("ts_us")).select(col("ewma_u6")).as[Long].collect()
+    assert(e(0) == 4000000L, e.mkString(","))
+    assert(e(1) == 5000000L, e.mkString(","))           // (3*4M + 8M)/4
+    assert(e(2) == 4750000L, e.mkString(","))           // (3*5M + 4M)/4
+    // row 9's frame (rows 2..9) holds only 4.0s → the 8.0 has aged out
+    assert(e(9) == 4000000L, e.mkString(","))
+    // but row 8's frame (rows 1..8) STARTS at the 8.0 seed
+    assert(e(8) != 4000000L, e.mkString(","))
+  }
+
   test("collocations: exclusive pairs beat promiscuous ones; window bounds pairs") {
     import spark.implicits._
     // 'san francisco' always adjacent and exclusive; 'the' co-occurs with

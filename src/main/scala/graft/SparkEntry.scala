@@ -1384,6 +1384,18 @@ object SparkEntry {
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
     }),
+    "q_kcore" -> ((s, dir) => {
+      // k-core of the part co-occurrence graph by synchronous peeling:
+      // k=80 cascades for 5 rounds on this fixture (108821 → 105232
+      // edges) and round 5 IS the fixpoint — the oracle replays the
+      // identical 5 peels; per round one degree agg + two semi-joins
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      Graph.kCore(edges, k = 80, rounds = 5).orderBy(col("node"))
+    }),
     "q_funnel" -> ((s, dir) =>
       // ordered conversion funnel view → click → purchase: one user-keyed
       // filter+join+agg per step (greedy earliest-completion chain — no
@@ -1449,6 +1461,12 @@ object SparkEntry {
           col("last.value").as("last_value"))
         .orderBy(col("user_id"), col("event_type"))
     }),
+    "q_mad_outliers" -> ((s, dir) =>
+      // robust per-type outlier screen: median/MAD (Hampel) carried as
+      // DOUBLED micro-unit integers so the 3·MAD test is pure int64 —
+      // no float compare can straddle an engine boundary
+      Hygiene.madOutliers(t(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension build: per-user event_type runs compressed to
       // validity intervals with version numbers and an is_current flag —
@@ -2079,6 +2097,28 @@ object SparkEntry {
        |${iter("r2", "r3")}
        |""".stripMargin
   }
+
+  /** DuckDB CTE chain replaying [[graft.operators.Graph.kCore]]'s
+    * synchronous peel: each round recomputes degrees over the surviving
+    * edge set and keeps only edges whose BOTH endpoints have degree ≥ k.
+    * Expects `e0(a, b)` (canonical distinct undirected edges); emits
+    * `e1..e{rounds}`. Ends without a trailing comma so consumers append
+    * their final SELECT over `e{rounds}`.
+    */
+  private def kCoreOracleRounds(k: Int, rounds: Int): String =
+    // AS MATERIALIZED pins each round to compute ONCE: every round
+    // references its predecessor five times, so an inlining planner
+    // otherwise re-expands the chain 5^rounds times — the exact
+    // exponential the Spark side cuts with per-round localCheckpoint
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""kp$i AS MATERIALIZED (SELECT n FROM (
+         |    SELECT n, COUNT(*) AS d
+         |    FROM (SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev)
+         |    GROUP BY 1) WHERE d >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |  JOIN kp$i x ON x.n = e.a JOIN kp$i y ON y.n = e.b)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared DuckDB CTE chain for language ID: per-doc stopword hit counts
     * (`c`) and the argmax/tie-break prediction (`p`) — consumed by both
@@ -3718,6 +3758,33 @@ object SparkEntry {
         |SELECT user_id, event_type, ts_us AS last_ts_us,
         |       event_id AS last_event_id, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_kcore" -> (
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |       SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+        |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |""".stripMargin + kCoreOracleRounds(k = 80, rounds = 5) + "\n" +
+      """SELECT n AS node, COUNT(*) AS core_deg
+        |FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
+        |GROUP BY 1 ORDER BY node""".stripMargin),
+    "q_mad_outliers" ->
+      // identical doubled-median integer algebra: med2 = 2·median is an
+      // exact integer even when an even-count median interpolates, so
+      // the Hampel test 2·|2v − med2| > 3·dmed2 is pure int64
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |           FROM events),
+        |m AS (SELECT k, CAST(median(v) * 2 AS BIGINT) AS med2 FROM v GROUP BY 1),
+        |d AS (SELECT v.k, v.v, m.med2, abs(v.v * 2 - m.med2) AS d
+        |      FROM v JOIN m ON m.k = v.k),
+        |dm AS (SELECT k, CAST(median(d) * 2 AS BIGINT) AS dmed2 FROM d GROUP BY 1)
+        |SELECT d.k AS event_type, COUNT(*) AS n,
+        |       MIN(d.med2) AS med2_u6,
+        |       MIN(dm.dmed2) AS dmed2_u6,
+        |       CAST(SUM(CASE WHEN d.d * 2 > dm.dmed2 * 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN dm ON dm.k = d.k
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_scd2" ->
       // the identical change-detect → version → close-bound window chain;
       // row_number cast to BIGINT per the house integer discipline

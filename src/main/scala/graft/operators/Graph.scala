@@ -110,4 +110,58 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition by synchronous peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik peel expressed as fixed-round distributed
+    * passes): each round drops every node whose CURRENT degree is < k,
+    * then re-derives the induced edge set. After enough rounds the
+    * surviving subgraph is exactly the k-core (every node has ≥ k
+    * neighbors inside it). `rounds` pins the pass count so the oracle
+    * can replay the identical computation; the fixpoint is reached once
+    * a round removes nothing (the spec asserts rounds vs rounds+1
+    * equality on the fixtures — at production scale run with a
+    * convergence check on the per-round survivor count, a 1-row agg).
+    *
+    * Shape per round: one map-side-combined degree agg (O(|E|) rows in,
+    * node-keyed) + two LEFT SEMI joins keying the edge list on each
+    * endpoint — all equi-joins AQE can size and skew-split; survivor
+    * degrees only shrink, so every round's volume is bounded by the
+    * previous round's. No per-node adjacency list is ever materialized
+    * in one task.
+    *
+    * Lineage discipline: each round references the previous edge set
+    * FIVE times (degree union ×2, itself, two semi-join builds), so an
+    * un-truncated logical plan grows 5^rounds subtrees — analysis and
+    * canonicalization explode long before any data moves (observed:
+    * rounds=5 hung the PLANNER for 17+ minutes on a 115k-edge fixture;
+    * `persist` does NOT help because cache substitution happens after
+    * the exponential analyzed tree is already built). Every round
+    * therefore `localCheckpoint`s its survivors — the GraphX/Pregel
+    * iteration-checkpoint pattern — keeping the plan O(1) per round; on
+    * a cluster with executor churn swap in reliable `checkpoint` with a
+    * checkpoint dir (same call shape).
+    *
+    * Returns the post-peel nodes as (node, core_deg) — degree WITHIN the
+    * surviving subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 3,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    def degOf(ed: DataFrame): DataFrame =
+      ed.select(col("a").as("n")).unionAll(ed.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      val keep = degOf(e).filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    degOf(e).select(col("n").as("node"), col("d").as("core_deg"))
+  }
 }

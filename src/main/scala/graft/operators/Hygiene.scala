@@ -108,4 +108,45 @@ object Hygiene {
     canon.join(broadcast(blocked.select(col("domain"))), Seq("domain"), "left_anti")
       .select(col(idCol), col("canonical_url"), col("domain"))
   }
+
+  /** Robust per-group outlier screening via the median/MAD rule (Hampel's
+    * identifier — Hampel 1974, public statistics): a value is an outlier
+    * when |v − median| > 3·MAD, with MAD = median(|v − median|). Unlike
+    * mean/stddev z-scores, one wild value cannot drag the threshold (50%
+    * breakdown point) — the screen a training-data pipeline wants before
+    * trusting numeric telemetry.
+    *
+    * Everything is INTEGER-EXACT: values scale to micro-unit longs, and
+    * both medians are carried DOUBLED (`med2 = 2·median`, an exact
+    * integer even when an even-count median interpolates to a half) so
+    * the outlier test `2·|2v − med2| > 3·dmed2` is pure int64 arithmetic
+    * — no float compare can straddle an engine boundary.
+    *
+    * Shape: two keyed medians and one keyed count-agg, each one exchange
+    * on the group key. Exact `percentile` buffers a group's values inside
+    * its aggregation state — right for grouping columns with bounded
+    * per-group cardinality or diagnostic corpus slices (this is a
+    * statistics row, not a per-doc output); at open-ended group sizes the
+    * scale path swaps in `approx_percentile` exactly like the CCNet
+    * bucket thresholds ([[TextAnalysis]]).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val v = df.select(col(keyCol).as("k"),
+      round(col(valCol) * lit(1000000L), 0).cast("long").as("v"))
+    val med = v.groupBy(col("k"))
+      .agg((expr("percentile(v, 0.5)") * 2).cast("long").as("med2"))
+    val d = v.join(med, Seq("k"))
+      .select(col("k"), col("v"), col("med2"),
+        abs(col("v") * 2 - col("med2")).as("d"))
+    val dmed = d.groupBy(col("k"))
+      .agg((expr("percentile(d, 0.5)") * 2).cast("long").as("dmed2"))
+    d.join(dmed, Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med2_u6"),
+        min(col("dmed2")).as("dmed2_u6"),
+        sum(when(col("d") * 2 > col("dmed2") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("k", keyCol)
+  }
 }

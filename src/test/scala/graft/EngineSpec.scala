@@ -3018,6 +3018,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("kcore: cascade peels to fixpoint; mad outliers integer-exact") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3—4: k=2 drops the tail in round 1 and
+    // nothing else ever (the triangle IS the 2-core, core_deg 2 each)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val core = Graph.kCore(g, k = 2, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    // path 1—2—3—4: k=2 CASCADES — endpoints drop in round 1, which
+    // exposes the middle pair (now degree 1) for round 2 → empty core.
+    // One round is NOT enough: synchronous peeling needs the cascade.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.kCore(path, k = 2, rounds = 1).count() == 2L)
+    assert(Graph.kCore(path, k = 2, rounds = 2).count() == 0L)
+    assert(Graph.kCore(path, k = 2, rounds = 3).count() == 0L) // fixpoint
+
+    // Hampel screen: one wild value among tight ones; doubled-median
+    // integer algebra (hand-computed: med2=2050000, dmed2=300000)
+    val vals = Seq(("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 1.05),
+      ("a", 0.95), ("a", 100.0), ("b", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("grp", "x")
+    val m = Hygiene.madOutliers(vals, "grp", "x").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(m("a") == ((2050000L, 300000L, 1L)), m.toString)
+    // constant group: MAD = 0 → nothing strictly exceeds 3·MAD
+    assert(m("b") == ((10000000L, 0L, 0L)), m.toString)
+  }
+
   test("scd2: runs compress, intervals tile, one exchange; ewma fixed-point fold") {
     import spark.implicits._
     val ev = Seq(

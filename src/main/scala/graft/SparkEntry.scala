@@ -1694,6 +1694,11 @@ object SparkEntry {
       // keyword-stuffed/templated text that never literally repeats an
       // n-gram — 6-dp-fenced lns, decimal-summed terms, edge rounding
       TextAnalysis.entropyStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_zipf_fit" -> ((s, dir) =>
+      // Zipf slope of the corpus rank–frequency curve: one map-side-
+      // combined token count + a 500-row take-ordered head; regression
+      // sums decimal-fenced — the corpus-datasheet naturalness signal
+      TextAnalysis.zipfFit(t(s, dir, "documents"), topN = 500)),
     "text_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail quality buckets: per-LANGUAGE score-quantile
       // thresholds (approx_percentile — bounded mergeable buffer, rank-exact
@@ -4214,6 +4219,37 @@ object SparkEntry {
         |       ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)/MAX(n), 6)+0.0
         |         AS entropy
         |FROM tm GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_zipf_fit" ->
+      // identical bounded regression: ln of exact integers fenced at 8,
+      // products at 12, all four sums in DECIMAL(38,12) (order-free),
+      // slope/intercept as fixed-order double ops rounded to 6; the
+      // intercept reuses the ROUNDED slope exactly as the Spark side does
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |             FROM documents),
+        |tc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |top AS (SELECT w, c FROM tc ORDER BY c DESC, w LIMIT 500),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+        |               AS rank FROM top),
+        |xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 8) AS x,
+        |              round(ln(CAST(c AS DOUBLE)), 8) AS y FROM r),
+        |s AS (SELECT COUNT(*) AS n,
+        |             SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+        |             SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+        |             SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+        |             SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx
+        |      FROM xy)
+        |SELECT n AS n_top,
+        |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) -
+        |              round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |                    (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+        |              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s""".stripMargin,
     // same bigram-LM CTEs as text_lm_score, then per-language rank-exact
     // order-statistic thresholds (quantile_disc ≡ approx_percentile at
     // accuracy ≥ group size — the q_percentile_approx contract) and the

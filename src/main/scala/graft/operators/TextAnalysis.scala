@@ -1382,4 +1382,56 @@ object TextAnalysis {
         expr("CAST((n_occurrences * 1000000) DIV n_total AS BIGINT)").as("share_ppm"))
       .orderBy(col("n_occurrences").desc, col("token"))
   }
+
+  /** Zipf's-law fit over the corpus token-frequency distribution (Zipf
+    * 1949; the log–log rank-frequency regression every corpus datasheet
+    * reports): slope ≈ −1 signals natural language, a flat slope signals
+    * boilerplate/templated text, a cliff signals truncated vocabularies.
+    * Fits ln(freq) = intercept + slope·ln(rank) by least squares over the
+    * top `topN` tokens.
+    *
+    * Shape: ONE map-side-combined token count over the corpus, then a
+    * `topN`-row take-ordered head — the bounded global-decision pattern
+    * (the regression itself runs on ≤ topN rows; ranks come from a
+    * window over that bounded set, never over the corpus). Determinism:
+    * ln inputs are exact integers (rank, count), each ln is rounded to 8
+    * before use, products to 12, and all four regression sums run in
+    * DECIMAL(38,12) — exact and order-free — with the final
+    * slope/intercept division as fixed-order double ops rounded to 6
+    * (the [[Graph.pageRank]] fencing discipline).
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+      topN: Int = 500): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val top = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")), 8).as("x"),
+      round(log(col("c").cast("double")), 8).as("y"))
+    val dec = DecimalType(38, 12)
+    val sums = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(round(col("x") * col("y"), 12).cast(dec)).as("sxy"),
+      sum(round(col("x") * col("x"), 12).cast(dec)).as("sxx"))
+    sums.select(
+      col("n").as("n_top"),
+      round((col("n").cast("double") * col("sxy").cast("double") -
+             col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+             col("sx").cast("double") * col("sx").cast("double")), 6)
+        .as("slope"),
+      round((col("sy").cast("double") -
+             round((col("n").cast("double") * col("sxy").cast("double") -
+                    col("sx").cast("double") * col("sy").cast("double")) /
+                   (col("n").cast("double") * col("sxx").cast("double") -
+                    col("sx").cast("double") * col("sx").cast("double")), 6) *
+             col("sx").cast("double")) / col("n").cast("double"), 6)
+        .as("intercept"))
+  }
 }

@@ -3018,6 +3018,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("zipf fit: uniform corpus is flat, 1/rank corpus slopes to -1") {
+    import spark.implicits._
+    // uniform frequencies → ln(c) constant → slope exactly 0
+    val uniform = Seq.tabulate(10)(i => s"tok$i " * 5).map(_.trim)
+      .map(Tuple1(_)).toDF("text")
+    val fu = TextAnalysis.zipfFit(uniform, topN = 10).collect().head
+    assert(fu.getLong(0) == 10L, fu.toString)
+    assert(fu.getDouble(1) == 0.0, fu.toString)
+    // freq(rank) = 240/rank for ranks 1..5 (240 divisible by each) →
+    // ln–ln relation is EXACTLY linear with slope −1
+    val zipf = (1 to 5).map(r => (s"w$r " * (240 / r)).trim)
+      .map(Tuple1(_)).toDF("text")
+    val fz = TextAnalysis.zipfFit(zipf, topN = 5).collect().head
+    assert(fz.getLong(0) == 5L, fz.toString)
+    assert(math.abs(fz.getDouble(1) - (-1.0)) < 1e-4, fz.toString)
+  }
+
   test("kcore: cascade peels to fixpoint; mad outliers integer-exact") {
     import spark.implicits._
     // triangle {1,2,3} + tail 3—4: k=2 drops the tail in round 1 and

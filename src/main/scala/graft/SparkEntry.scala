@@ -1384,6 +1384,18 @@ object SparkEntry {
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
     }),
+    "q_neighbor_jaccard" -> ((s, dir) => {
+      // link-prediction scores over the order—part bipartite graph:
+      // common neighbors counted through wedges, union by inclusion–
+      // exclusion, integer-exact ppm; top 100 by (score, pair)
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.neighborJaccard(edges)
+        .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
+        .limit(100)
+    }),
     "q_kcore" -> ((s, dir) => {
       // k-core of the part co-occurrence graph by synchronous peeling:
       // k=80 cascades for 5 rounds on this fixture (108821 → 105232
@@ -3763,6 +3775,23 @@ object SparkEntry {
         |SELECT user_id, event_type, ts_us AS last_ts_us,
         |       event_id AS last_event_id, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_neighbor_jaccard" ->
+      // wedge-counted intersections + inclusion–exclusion unions,
+      // integer ppm — the bipartite ids are disjoint so a < b holds by
+      // construction and canonicalization is a no-op
+      """WITH e0 AS (SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b
+        |            FROM lineitem),
+        |adj AS (SELECT a AS n, b AS m FROM e0
+        |        UNION ALL SELECT b AS n, a AS m FROM e0),
+        |deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY 1),
+        |w AS (SELECT x.m AS u, y.m AS v FROM adj x JOIN adj y
+        |      ON x.n = y.n AND x.m < y.m),
+        |cn AS (SELECT u, v, COUNT(*) AS n_common FROM w GROUP BY 1, 2)
+        |SELECT cn.u, cn.v, cn.n_common,
+        |       CAST((cn.n_common * 1000000) //
+        |            (du.d + dv.d - cn.n_common) AS BIGINT) AS jaccard_ppm
+        |FROM cn JOIN deg du ON du.n = cn.u JOIN deg dv ON dv.n = cn.v
+        |ORDER BY jaccard_ppm DESC, u, v LIMIT 100""".stripMargin,
     "q_kcore" -> (
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS MATERIALIZED (

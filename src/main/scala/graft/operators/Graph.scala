@@ -164,4 +164,48 @@ object Graph {
     }
     degOf(e).select(col("n").as("node"), col("d").as("core_deg"))
   }
+
+  /** Neighbor-set Jaccard similarity for node pairs sharing at least one
+    * neighbor — the classic link-prediction / entity-resolution score
+    * (Liben-Nowell & Kleinberg 2003): J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|.
+    * Intersections are counted through WEDGES (each common neighbor w of
+    * (u,v) emits exactly one wedge row), union sizes come from the
+    * inclusion–exclusion identity |N(u)|+|N(v)|−|∩| — no per-node
+    * neighbor list is ever collected. Scores are integer-exact ppm
+    * (`c·10⁶ DIV (du+dv−c)`), so no float crosses the oracle boundary.
+    *
+    * Scale: wedge volume is Σ_w deg(w)², so a celebrity center explodes
+    * quadratically — `maxCenterDeg` drops hub CENTERS above the cap
+    * before wedge generation (u and v keep their FULL degrees in the
+    * union term). With the cap this under-counts intersections routed
+    * through dropped hubs — the documented approximation trade, same
+    * contract as [[Dedup.ngramJaccardPairs]]' df cap: hub centers are
+    * precisely the promiscuous neighbors that carry the least similarity
+    * signal. Pass None for the exact form (the oracle replays either).
+    */
+  def neighborJaccard(edges: DataFrame, maxCenterDeg: Option[Long] = None,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = Dedup.cached(edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val adj = und.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("n"), col("a").as("m")))
+    val deg = Dedup.cached(
+      adj.groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val centerOk = maxCenterDeg match {
+      case Some(cap) => deg.filter(col("d") <= cap).select(col("n"))
+      case None      => deg.select(col("n"))
+    }
+    val adjC = adj.join(centerOk, Seq("n"), "left_semi")
+    val wedges = adjC.as("x").join(adjC.as("y"),
+        col("x.n") === col("y.n") && col("x.m") < col("y.m"))
+      .select(col("x.m").as("u"), col("y.m").as("v"))
+    wedges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"),
+        expr("CAST((n_common * 1000000) DIV (du + dv - n_common) AS BIGINT)")
+          .as("jaccard_ppm"))
+  }
 }

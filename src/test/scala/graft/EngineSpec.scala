@@ -3018,6 +3018,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("neighbor jaccard: wedge counts exact; hub cap drops only hub-routed pairs") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: opposite corners share BOTH neighbors → J = 1
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val j = Graph.neighborJaccard(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(j == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))),
+      j.toString)
+    // star 0—{1..5} plus edge 1—2: (3,4) is connected ONLY through the
+    // hub 0 (deg 5) — a center cap of 3 drops every hub-routed pair but
+    // keeps the (0,*) pairs routed through the degree-2 leaves 1 and 2
+    val star = (1L to 5L).map(i => (0L, i)) :+ ((1L, 2L))
+    val sdf = star.toDF("a", "b")
+    val exact = Graph.neighborJaccard(sdf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Graph.neighborJaccard(sdf, maxCenterDeg = Some(3L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((3L, 4L)) && !capped.contains((3L, 4L)),
+      s"exact=$exact capped=$capped")
+    // leaf-routed pairs survive the cap: 0 and 2 share neighbor 1 (deg 2)
+    assert(capped.contains((0L, 2L)), capped.toString)
+  }
+
   test("zipf fit: uniform corpus is flat, 1/rank corpus slopes to -1") {
     import spark.implicits._
     // uniform frequencies → ln(c) constant → slope exactly 0

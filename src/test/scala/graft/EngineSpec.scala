@@ -3018,6 +3018,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    val rnd = new scala.util.Random(42)
+    val attrs = Array("A", "B", "C")
+    val all = (1L to 5L).flatMap { k =>
+      (0 until 12).map(i => (k, attrs(rnd.nextInt(3)), 1000L * (i + 1), k * 100 + i))
+    }
+    val allDf = all.toDF("user_id", "event_type", "ts_us", "event_id")
+    val expect = Temporal.scd2History(allDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)), r.getBoolean(5))).toSet
+    for (nBatches <- Seq(1, 3, 4)) {
+      val store = new Scd2Stream.Scd2Store(spark, "user_id", "event_type",
+        "ts_us", "event_id")
+      // split by event index — per-key ts order preserved across batches
+      val sorted = all.sortBy(e => (e._3, e._4))
+      val per = math.ceil(sorted.size.toDouble / nBatches).toInt
+      sorted.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("user_id", "event_type", "ts_us", "event_id"), i.toLong)
+      }
+      val got = store.history.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          Option(r.get(4)), r.getBoolean(5))).toSet
+      assert(got == expect,
+        s"nBatches=$nBatches:\n missing=${(expect -- got).mkString("\n")}\n extra=${(got -- expect).mkString("\n")}")
+      // replay of a delivered batch id is a no-op
+      assert(!store.merge(allDf, 0L))
+      // a stale row (ts before its key's open interval) is counted+dropped
+      val before = store.history.count()
+      store.merge(Seq((1L, "Z", 1L, 999L)).toDF("user_id", "event_type",
+        "ts_us", "event_id"), 100L)
+      assert(store.lateDropped >= 1L)
+      assert(store.history.count() == before)
+    }
+  }
+
   test("neighbor jaccard: wedge counts exact; hub cap drops only hub-routed pairs") {
     import spark.implicits._
     // 4-cycle 1-2-3-4-1: opposite corners share BOTH neighbors → J = 1

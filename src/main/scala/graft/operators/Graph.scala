@@ -156,11 +156,24 @@ object Graph {
     def degOf(ed: DataFrame): DataFrame =
       ed.select(col("a").as("n")).unionAll(ed.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    for (_ <- 1 to rounds) {
+    // early exit when a round removes nothing: peeling a converged graph
+    // is the identity, so stopping early is OUTPUT-IDENTICAL to running
+    // all `rounds` — the check is one scalar count per round on the
+    // already-materialized checkpoint (the bounded global-decision
+    // pattern), and it turns the over-provisioned round budget from a
+    // paid cost into a cap (a k far below the degree floor converges in
+    // one round instead of `rounds`)
+    var nEdges = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val keep = degOf(e).filter(col("d") >= k).select(col("n"))
-      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      val next = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nEdges
+      nEdges = nNext
+      e = next
     }
     degOf(e).select(col("n").as("node"), col("d").as("core_deg"))
   }
@@ -197,13 +210,22 @@ object Graph {
       case Some(cap) => deg.filter(col("d") <= cap).select(col("n"))
       case None      => deg.select(col("n"))
     }
-    val adjC = adj.join(centerOk, Seq("n"), "left_semi")
-    val wedges = adjC.as("x").join(adjC.as("y"),
+    // the endpoints' degrees ride THROUGH the wedge (one node-keyed join
+    // on the O(|E|) adjacency, constant per endpoint so a min() in the
+    // pair agg recovers them) instead of two joins against the pair
+    // table — the pair table is the Σ deg² blow-up side (measured 10M+
+    // rows at sf0.1 vs 1.2M adjacency rows), so joining before the
+    // wedge is the strictly smaller plan
+    val adjD = adj
+      .join(deg.select(col("n").as("m"), col("d").as("dm")), Seq("m"))
+      .join(centerOk, Seq("n"), "left_semi")
+    val wedges = adjD.as("x").join(adjD.as("y"),
         col("x.n") === col("y.n") && col("x.m") < col("y.m"))
-      .select(col("x.m").as("u"), col("y.m").as("v"))
-    wedges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
-      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("x.m").as("u"), col("y.m").as("v"),
+        col("x.dm").as("xdu"), col("y.dm").as("xdv"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("xdu")).as("du"), min(col("xdv")).as("dv"))
       .select(col("u"), col("v"), col("n_common"),
         expr("CAST((n_common * 1000000) DIV (du + dv - n_common) AS BIGINT)")
           .as("jaccard_ppm"))

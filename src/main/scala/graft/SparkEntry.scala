@@ -1478,6 +1478,28 @@ object SparkEntry {
           col("last.value").as("last_value"))
         .orderBy(col("user_id"), col("event_type"))
     }),
+    "q_event_transitions" -> ((s, dir) =>
+      // first-order Markov matrix over per-user event sequences: one lag
+      // window + one map-side-combined pair count; probabilities are
+      // integer ppm of the FROM state's outgoing mass
+      Temporal.eventTransitions(Temporal.eventsMicros(s, dir))
+        .orderBy(col("prev_type"), col("next_type"))),
+    "q_kanon_audit" -> ((s, dir) =>
+      // k-anonymity release audit on the (event_type, hour-of-day)
+      // quasi-identifier: one QI-keyed agg + a one-row summary — the
+      // suppression-cost number a privacy review wants
+      Hygiene.kAnonAudit(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          expr("(ts_us DIV 3600000000) % 24").as("hour_of_day")),
+        Seq("event_type", "hour_of_day"), k = 50)),
+    "q_fuzzy_blocked" -> ((s, dir) =>
+      // entity-resolution candidates: (nation, segment)-blocked customer
+      // self-join scored by exact Levenshtein ≤ 2 — candidate volume is
+      // Σ block², never all-pairs
+      Joins.blockedFuzzyJoin(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
+          maxDist = 2)
+        .orderBy(col("u_key"), col("v_key"))),
     "q_mad_outliers" -> ((s, dir) =>
       // robust per-type outlier screen: median/MAD (Hampel) carried as
       // DOUBLED micro-unit integers so the 3·MAD test is pure int64 —
@@ -3808,6 +3830,47 @@ object SparkEntry {
       """SELECT n AS node, COUNT(*) AS core_deg
         |FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
         |GROUP BY 1 ORDER BY node""".stripMargin),
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |p AS (SELECT user_id, event_type AS next_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       CAST((c.n * 1000000) // f.n_from AS BIGINT) AS p_ppm
+        |FROM c JOIN f ON f.prev_type = c.prev_type
+        |ORDER BY c.prev_type, next_type""".stripMargin,
+    "q_kanon_audit" ->
+      """WITH e AS (SELECT event_type,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day
+        |           FROM events),
+        |g AS (SELECT event_type, hour_of_day, COUNT(*) AS n
+        |      FROM e GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |       CAST(SUM(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_groups,
+        |       CAST(SUM(CASE WHEN n < 50 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_suppressed_rows
+        |FROM g""".stripMargin,
+    "q_fuzzy_blocked" ->
+      // exact Levenshtein is integer and engine-identical; the block
+      // equi-keys bound candidate volume to Σ block²
+      """SELECT x.c_custkey AS u_key, y.c_custkey AS v_key,
+        |       x.c_name AS u_str, y.c_name AS v_str,
+        |       CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+        |FROM customer x JOIN customer y
+        |  ON x.c_nationkey = y.c_nationkey
+        | AND x.c_mktsegment = y.c_mktsegment
+        | AND x.c_custkey < y.c_custkey
+        |WHERE levenshtein(x.c_name, y.c_name) <= 2
+        |ORDER BY u_key, v_key""".stripMargin,
     "q_mad_outliers" ->
       // identical doubled-median integer algebra: med2 = 2·median is an
       // exact integer even when an even-count median interpolates, so

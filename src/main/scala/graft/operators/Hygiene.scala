@@ -149,4 +149,27 @@ object Hygiene {
           .as("n_outliers"))
       .withColumnRenamed("k", keyCol)
   }
+
+  /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
+    * — public privacy methodology): a row is k-anonymous when at least
+    * `k` rows share its full quasi-identifier tuple; releasing groups
+    * below k re-identifies. Emits ONE summary row — group cardinality,
+    * total rows, the minimum group size, how many groups violate k, and
+    * how many rows those groups hold (= the suppression cost of
+    * publishing the rest) — the go/no-go number a release review wants.
+    *
+    * Shape: one map-side-combined agg on the QI tuple, then a one-row
+    * summary agg over the group table. All integers.
+    */
+  def kAnonAudit(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2: $k")
+    val groups = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n")).as("n_rows"),
+      min(col("n")).as("min_group_size"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed_rows"))
+  }
 }

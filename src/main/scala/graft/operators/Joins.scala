@@ -41,4 +41,38 @@ object Joins {
       explode(array((0 until salts).map(i => lit(i)): _*)))
     l.hint("merge").join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Blocked fuzzy self-join — the entity-resolution candidate generator
+    * (Fellegi–Sunter record-linkage blocking, 1969; the standard "never
+    * all-pairs" discipline): rows pair ONLY within equal `blockCols`
+    * values, candidate volume is Σ_blocks size², and each candidate is
+    * scored by exact Levenshtein edit distance on `strCol` (integer —
+    * identical in every engine), kept when ≤ `maxDist`.
+    *
+    * Scale contract: the block keys ARE the plan — the self-join is a
+    * plain equi-join on `blockCols` (one exchange, AQE-splittable), so
+    * block-size skew is the thing to watch: pick keys whose biggest
+    * block is task-sized (the [[Graph.neighborJaccard]] hub-cap
+    * rationale applies — add a block-size cap upstream if the key can
+    * go viral). Recall lost to blocking is the documented trade; union
+    * several blocked passes with different keys to recover it (each
+    * pass is this same operator).
+    *
+    * Emits (u_key, v_key, u_str, v_str, dist) with u_key < v_key.
+    */
+  def blockedFuzzyJoin(df: DataFrame, blockCols: Seq[String],
+      keyCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val x = df.select(
+      (blockCols.map(col) :+ col(keyCol).as("u_key") :+ col(strCol).as("u_str")): _*)
+    val y = df.select(
+      (blockCols.map(col) :+ col(keyCol).as("v_key") :+ col(strCol).as("v_str")): _*)
+    x.join(y, blockCols)
+      .filter(col("u_key") < col("v_key"))
+      .withColumn("dist", levenshtein(col("u_str"), col("v_str")))
+      .filter(col("dist") <= maxDist)
+      .select(col("u_key"), col("v_key"), col("u_str"), col("v_str"),
+        col("dist").cast("long").as("dist"))
+  }
 }

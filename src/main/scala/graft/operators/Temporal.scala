@@ -402,6 +402,32 @@ object Temporal {
       .withColumn("ewma_u6", ew)
   }
 
+  /** First-order Markov transition counts over each key's ordered event
+    * sequence — the product-analytics "what happens next" matrix and the
+    * sanity screen for synthetic event streams (a transition matrix far
+    * from the marginals exposes generator bugs). One lag window per key
+    * (single exchange + sort, the [[sessionize]] bounded-partition
+    * discipline) feeding one map-side-combined pair count; probabilities
+    * are integer-exact ppm of the FROM-state's outgoing mass
+    * (`n·10⁶ DIV n_from`), so nothing floats across the oracle boundary.
+    */
+  def eventTransitions(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type", tsUsCol: String = "ts_us",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(typeCol), col(tsUsCol), col(tieCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(fromTotals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("CAST((n * 1000000) DIV n_from AS BIGINT)").as("p_ppm"))
+  }
+
   /** Cohort retention — the (cohort, age) activity triangle: users
     * bucketed by their FIRST-activity epoch week, counted distinct in
     * every later week they return, keyed by weeks-since-cohort. Two

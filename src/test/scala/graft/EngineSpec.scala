@@ -3018,6 +3018,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("event transitions, k-anon audit, blocked fuzzy join: hand cases") {
+    import spark.implicits._
+    // u1: A B A B, u2: A A → A→B:2, A→A:1 (from-A mass 3), B→A:1
+    val ev = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (1L, "B", 40L, 4L), (2L, "A", 10L, 5L), (2L, "A", 20L, 6L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val tr = Temporal.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(tr == Map(
+      ("A", "B") -> ((2L, 666666L)), ("A", "A") -> ((1L, 333333L)),
+      ("B", "A") -> ((1L, 1000000L))), tr.toString)
+
+    // QI groups of sizes 3, 1, 2 at k=2: one violating group, one
+    // suppressed row
+    val qi = Seq(("x", 1L), ("x", 1L), ("x", 1L), ("y", 1L),
+      ("z", 1L), ("z", 1L)).toDF("qa", "qb")
+    val a = Hygiene.kAnonAudit(qi, Seq("qa", "qb"), k = 2).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3),
+      a.getLong(4)) == ((3L, 6L, 1L, 1L, 1L)), a.toString)
+
+    // blocking: near-identical names pair only INSIDE a block
+    val ents = Seq((1L, 10L, "abc"), (2L, 10L, "abd"), (3L, 10L, "xyz"),
+      (4L, 20L, "abc")).toDF("id", "blk", "name")
+    val fz = Joins.blockedFuzzyJoin(ents, Seq("blk"), "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(fz.toSeq == Seq((1L, 2L, 1L)), fz.mkString(","))
+  }
+
   test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream

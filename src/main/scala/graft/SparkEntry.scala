@@ -1254,6 +1254,37 @@ object SparkEntry {
         .groupBy(col("lang"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
         .orderBy(col("lang"), col("batch_id"))),
+    "split_leakage_audit" -> ((s, dir) => {
+      // train/eval contamination THROUGH DUPLICATES: a doc's near-twin
+      // landing in a different split leaks training signal into eval —
+      // the audit every split pipeline should ship with. Composition of
+      // two verified pieces (normalized dedup keys × md5 split assign);
+      // the fixture corpus is dup-free, so twin pairs are PLANTED
+      // deterministically in both engines (residue-0 docs of each
+      // 10-block share text pairwise — the dedup_exact_normalized
+      // discipline). One key-agg + a one-row summary, all integers.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val w = Splits.assign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val groups = w
+        .select(Dedup.normalizedKey(col("text")).as("k"), col("split"))
+        .groupBy(col("k")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("split")).as("n_splits"),
+          max(when(col("split") === "train", 1L).otherwise(0L)).as("has_train"),
+          sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval"))
+      groups.agg(
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("n") >= 2 && col("n_splits") >= 2, 1L).otherwise(0L))
+          .as("n_cross_split_groups"),
+        sum(when(col("n") >= 2 && col("n_splits") >= 2, col("n")).otherwise(0L))
+          .as("n_leaky_docs"),
+        sum(when(col("n") >= 2 && col("has_train") === 1L, col("n_eval"))
+          .otherwise(0L)).as("n_eval_contaminated"))
+    }),
     "split_kfold" -> ((s, dir) =>
       // cross-validation folds as a pure function of the id (md5 bucket
       // mod k): row-local, no shuffle, stable across engines and
@@ -3717,6 +3748,34 @@ object SparkEntry {
         |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
         |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
         |FROM l GROUP BY token ORDER BY token""".stripMargin,
+    "split_leakage_audit" -> {
+      val sc = graft.operators.Splits.splitCaseSql("doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0
+         |              THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+         |              ELSE text END AS text
+         |  FROM documents),
+         |a AS (
+         |  SELECT md5(nfc_normalize(regexp_replace(trim(lower(text)),
+         |           '[ \t\n\r]+', ' ', 'g'))) AS k,
+         |         $sc AS split
+         |  FROM v),
+         |g AS (SELECT k, COUNT(*) AS n, COUNT(DISTINCT split) AS n_splits,
+         |             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+         |             SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS n_eval
+         |      FROM a GROUP BY 1)
+         |SELECT CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_groups,
+         |       CAST(SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_cross_split_groups,
+         |       CAST(SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN n ELSE 0 END)
+         |         AS BIGINT) AS n_leaky_docs,
+         |       CAST(SUM(CASE WHEN n >= 2 AND has_train = 1 THEN n_eval ELSE 0 END)
+         |         AS BIGINT) AS n_eval_contaminated
+         |FROM g""".stripMargin
+    },
     "split_kfold" ->
       s"""SELECT ${graft.operators.Splits.kfoldSql("doc_id", 5)} AS fold, lang,
          |       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -3289,6 +3289,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("TextIndex: build/load/serve equals in-memory bm25TopK; buckets prune partitions") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Files.createTempDirectory("textindex").toString
+    graft.sources.TextIndex.build(docs, dir, nBuckets = 16)
+    val idx = graft.sources.TextIndex.load(spark, dir, nBuckets = 16)
+    val qs = Seq((0L, "fast table scan"), (1L, "join query order"),
+      (2L, "zebra hash")).toDF("query_id", "q_text")
+    val mem = TextAnalysis.bm25TopK(docs, qs, k = 5)
+      .select("query_id", "doc_id", "score")
+      .collect().map(_.toSeq).toSet
+    val served = graft.sources.TextIndex.bm25TopK(idx, qs, k = 5)
+      .select("query_id", "doc_id", "score")
+      .collect().map(_.toSeq).toSet
+    assert(served == mem,
+      s"index serving must equal in-memory BM25: missing=${mem -- served} extra=${served -- mem}")
+    // the postings read must prune to the query terms' hash buckets at
+    // the storage layer
+    val plan = graft.sources.TextIndex.bm25TopK(idx, qs, k = 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"serving must prune bucket partitions at the scan:\n$plan")
+  }
+
   test("sceneCuts: planted level shift is the only cut; flat payloads are cut-free") {
     import spark.implicits._
     // doc 1: 128 bytes of 'a' (lvl 97000‰... per-mille of mean 97) then

@@ -3047,6 +3047,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fz.toSeq == Seq((1L, 2L, 1L)), fz.mkString(","))
   }
 
+  test("transitions stream: any ordered batch split equals the batch operator") {
+    import spark.implicits._
+    import graft.streaming.TransitionsStream
+    val rnd = new scala.util.Random(7)
+    val types = Array("view", "click", "buy")
+    val all = (1L to 6L).flatMap { k =>
+      (0 until 10).map(i => (k, types(rnd.nextInt(3)), 100L * (i + 1), k * 1000 + i))
+    }
+    val expect = Temporal.eventTransitions(
+        all.toDF("user_id", "event_type", "ts_us", "event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    for (nBatches <- Seq(1, 4)) {
+      val store = new TransitionsStream.TransitionStore(
+        spark, "user_id", "event_type", "ts_us", "event_id")
+      val sorted = all.sortBy(e => (e._3, e._4))
+      val per = math.ceil(sorted.size.toDouble / nBatches).toInt
+      sorted.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("user_id", "event_type", "ts_us", "event_id"),
+          i.toLong)
+      }
+      val got = store.current.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      // boundary pairs recovered → counts AND ppm identical to batch
+      assert(got == expect, s"nBatches=$nBatches: got=$got exp=$expect")
+      assert(!store.merge(all.toDF("user_id", "event_type", "ts_us", "event_id"), 0L))
+    }
+  }
+
   test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream

@@ -591,4 +591,80 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         Manifest.pinTo0100Utc(ts.minus(java.time.Duration.ofDays(1))))
     }
   }
+
+  test("scd2 invariants on random histories: tiling, versions, run compression") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    val rng = new scala.util.Random(11)
+    val events = (1L to 20L).flatMap { k =>
+      (0 until 1 + rng.nextInt(15)).map(i =>
+        (k, ('A' + rng.nextInt(3)).toChar.toString, 100L * (i + 1), k * 100 + i))
+    }
+    val h = Temporal.scd2History(
+        events.toDF("user_id", "event_type", "ts_us", "event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .groupBy(_._1)
+    h.foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // versions are 1..n dense
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"key $k")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals tile: each valid_to equals the successor's valid_from
+          assert(a._5.contains(b._4), s"key $k: $a !tile $b")
+          // run compression: consecutive intervals never share the attr
+          assert(a._3 != b._3, s"key $k: uncompressed run $a $b")
+        case _ => ()
+      }
+      // exactly the last interval is open
+      assert(sorted.last._5.isEmpty && sorted.init.forall(_._5.nonEmpty), s"key $k")
+    }
+  }
+
+  test("ewma stays within its window's min/max for random series") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    val rng = new scala.util.Random(13)
+    val span = 8
+    val rows = (1L to 10L).flatMap { k =>
+      (0 until 30).map(i => (k, 10L + i, k * 100 + i, rng.nextDouble() * 400))
+    }
+    val out = Temporal.ewmaSmooth(
+        rows.toDF("user_id", "ts_us", "event_id", "value"), span = span)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    out.foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, _, ew), i) =>
+        val frame = sorted.slice(math.max(0, i - span + 1), i + 1).map(_._3)
+        // a convex fold of frame values (floor-div loses < 1 per step)
+        assert(ew >= frame.min - span && ew <= frame.max, s"key $k idx $i")
+      }
+      // first row's ewma IS its value
+      assert(sorted.head._4 == sorted.head._3, s"key $k")
+    }
+  }
+
+  test("transition ppm masses: per-prev sums land in (1e6 - fanout, 1e6]") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    val rng = new scala.util.Random(17)
+    val rows = (1L to 25L).flatMap { k =>
+      (0 until 1 + rng.nextInt(12)).map(i =>
+        (k, s"t${rng.nextInt(5)}", 100L * (i + 1), k * 100 + i))
+    }
+    val tr = Temporal.eventTransitions(
+        rows.toDF("user_id", "event_type", "ts_us", "event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    tr.groupBy(_._1).foreach { case (prev, rs) =>
+      val mass = rs.map(_._3).sum
+      // each DIV floors away < 1 ppm unit per next-state
+      assert(mass <= 1000000L && mass > 1000000L - rs.length,
+        s"$prev: mass $mass over ${rs.length} states")
+      rs.foreach { case (_, n, p) => assert(n >= 1 && p >= 0) }
+    }
+  }
 }

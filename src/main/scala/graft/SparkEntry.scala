@@ -1531,6 +1531,11 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
           maxDist = 2)
         .orderBy(col("u_key"), col("v_key"))),
+    "q_median_scalable" -> ((s, dir) =>
+      // exact global median WITHOUT percentile's value buffer: iterated
+      // 4096-bin histogram selection (≤ 3 bounded passes for any int64
+      // range) + a per-value exact walk — the corpus-scale median path
+      Hygiene.median2Pass(t(s, dir, "lineitem"), "l_extendedprice")),
     "q_mad_outliers" -> ((s, dir) =>
       // robust per-type outlier screen: median/MAD (Hampel) carried as
       // DOUBLED micro-unit integers so the 3·MAD test is pure int64 —
@@ -3930,6 +3935,13 @@ object SparkEntry {
         | AND x.c_custkey < y.c_custkey
         |WHERE levenshtein(x.c_name, y.c_name) <= 2
         |ORDER BY u_key, v_key""".stripMargin,
+    "q_median_scalable" ->
+      // the doubled-median integer contract: 2·median is k1th + k2th,
+      // exact in both engines regardless of interpolation
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS v
+        |           FROM lineitem)
+        |SELECT COUNT(*) AS n, CAST(2 * median(v) AS BIGINT) AS med2_u6
+        |FROM v""".stripMargin,
     "q_mad_outliers" ->
       // identical doubled-median integer algebra: med2 = 2·median is an
       // exact integer even when an even-count median interpolates, so

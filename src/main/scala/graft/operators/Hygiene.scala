@@ -150,6 +150,86 @@ object Hygiene {
       .withColumnRenamed("k", keyCol)
   }
 
+  /** Exact GLOBAL median WITHOUT buffering values in aggregation state —
+    * the scale path [[madOutliers]]' scaladoc promises: exact
+    * `percentile` holds the whole group in its buffer (fine for bounded
+    * groups, fatal for a corpus-wide median at 100 TB), while this is
+    * the classic iterated histogram selection (Blum et al.'s
+    * median-of-medians lineage as distributed passes; the standard
+    * BigData exact-quantile recipe): each pass is ONE map-side-combined
+    * 4096-bin histogram over the current [lo, hi) range, the driver
+    * walks the cumulative counts to the bin holding each middle rank
+    * (a ≤ 4096-row bounded global decision), and the range narrows
+    * 4096× per pass — ⌈log₄₀₉₆ range⌉ passes total (≤ 3 for any int64
+    * micro-unit range), then exact rank selection over the final range's
+    * per-VALUE counts (≤ exactThreshold rows — duplicate-proof where a
+    * row limit would overflow on a value repeated ~n times).
+    *
+    * Returns ONE row (n, med2_u6): the median DOUBLED in micro-units
+    * (`k1th + k2th` order statistics — exact integer even when an
+    * even count interpolates, the [[madOutliers]] discipline).
+    */
+  def median2Pass(df: DataFrame, valCol: String,
+      binsPerPass: Int = 4096, exactThreshold: Long = 262144L): DataFrame = {
+    require(binsPerPass >= 2, s"binsPerPass must be >= 2: $binsPerPass")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v0 = df.select(
+      round(col(valCol) * lit(1000000L), 0).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    v0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = v0.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi")).collect().head
+      val n = head.getLong(0)
+      require(n > 0, "median of an empty frame")
+      val (k1, k2) = ((n - 1) / 2, n / 2) // 0-indexed middle ranks
+      // single-rank selection: narrowing on ONE rank shrinks the range
+      // to one bin (4096×) every pass unconditionally — narrowing on
+      // both middle ranks at once can stall when they straddle a wide
+      // empty gap (the range then never shrinks)
+      def selectRank(k: Long): Long = {
+        var lo = head.getLong(1)
+        var hi = head.getLong(2)
+        var below = 0L
+        while (hi - lo >= exactThreshold) {
+          val width = (hi - lo) / binsPerPass + 1
+          val hist = v0.filter(col("v") >= lo && col("v") <= hi)
+            .groupBy(((col("v") - lo) / width).cast("long").as("bin"))
+            .agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+          var cum = below
+          var b = -1L
+          hist.foreach { case (bin, c) =>
+            if (b < 0) { if (cum + c > k) b = bin else cum += c }
+          }
+          below = cum
+          hi = math.min(hi, lo + (b + 1) * width - 1)
+          lo = lo + b * width
+        }
+        // exact step: per-VALUE counts — distinct values in the final
+        // range are bounded by its width (< exactThreshold), and the
+        // cumulative walk is duplicate-proof where a row limit would
+        // overflow on a value repeated ~n times
+        val counts = v0.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum = below
+        var res = Long.MinValue
+        counts.foreach { case (value, c) =>
+          if (res == Long.MinValue) {
+            if (cum + c > k) res = value else cum += c
+          }
+        }
+        res
+      }
+      val med2 =
+        if (k1 == k2) 2 * selectRank(k1)
+        else selectRank(k1) + selectRank(k2)
+      Seq((n, med2)).toDF("n", "med2_u6")
+    } finally v0.unpersist()
+  }
+
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
     * — public privacy methodology): a row is k-anonymous when at least
     * `k` rows share its full quasi-identifier tuple; releasing groups

@@ -592,6 +592,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("median2Pass equals sorted-middle selection under forced multi-pass narrowing") {
+    import spark.implicits._
+    import graft.operators.Hygiene
+    val rng = new scala.util.Random(19)
+    for (trial <- 0 until 4) {
+      // wide-range values + heavy duplicates + odd/even counts; a tiny
+      // exactThreshold forces several histogram passes
+      val n = 51 + trial * 100 + rng.nextInt(50)
+      val vals = (0 until n).map { _ =>
+        if (rng.nextBoolean()) rng.nextInt(5).toDouble // dup cluster
+        else rng.nextDouble() * 1e6 - 5e5
+      }
+      val got = Hygiene.median2Pass(vals.map(Tuple1(_)).toDF("x"), "x",
+          binsPerPass = 16, exactThreshold = 64L)
+        .collect().head
+      val u6 = vals.map(v => math.round(v * 1e6)).sorted
+      val exp2 = u6((n - 1) / 2) + u6(n / 2)
+      assert(got.getLong(0) == n.toLong, got.toString)
+      assert(got.getLong(1) == exp2, s"trial $trial: got $got expected $exp2")
+    }
+  }
+
   test("scd2 invariants on random histories: tiling, versions, run compression") {
     import spark.implicits._
     import graft.operators.Temporal

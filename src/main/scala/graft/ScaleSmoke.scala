@@ -466,6 +466,28 @@ object ScaleSmoke {
       println(f"[scale-smoke] interval join hot bin, skew split $skew%-5s " +
         f"checksum=$checksum split-fired=$split ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // round-11 additions: the windowed temporal pair (one exchange + one
+    // sort each) and the buffer-free median A/B'd against percentile
+    val ev5 = spark.read.parquet(s"$dir/events")
+      .withColumn("ts_us", col("event_id"))
+    timed("scd2 history (5M events)") {
+      graft.operators.Temporal.scd2History(ev5).count()
+    }
+    timed("event transitions (5M)") {
+      graft.operators.Temporal.eventTransitions(ev5).count()
+    }
+    if (enabled("median 2pass vs percentile")) {
+      val t0 = System.nanoTime()
+      val m2 = graft.operators.Hygiene.median2Pass(ev5, "value")
+        .collect().head.getLong(1)
+      val t1 = System.nanoTime()
+      val p = ev5.agg(
+        (expr("percentile(CAST(round(value * 1000000, 0) AS BIGINT), 0.5)") * 2)
+          .cast("long")).collect().head.getLong(0)
+      val t2 = System.nanoTime()
+      println(f"[scale-smoke] median 2pass vs percentile (5M): equal=${m2 == p} " +
+        f"2pass=${(t1 - t0) / 1e9}%.1f s percentile=${(t2 - t1) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

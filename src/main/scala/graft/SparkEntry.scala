@@ -1531,6 +1531,21 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
           maxDist = 2)
         .orderBy(col("u_key"), col("v_key"))),
+    "q_churn_labels" -> ((s, dir) =>
+      // leakage-free churn labels: features from ≤ cutoff only, label
+      // from > cutoff only (cutoff = max ts − 7 days, a broadcast 1-row
+      // bounds agg); one keyed agg + one keyed left join
+      Temporal.churnLabels(Temporal.eventsMicros(s, dir),
+          horizonUs = 7L * 86400L * 1000000L)
+        .orderBy(col("user_id"))),
+    "split_target_encode" -> ((s, dir) =>
+      // leave-one-out target encoding (Micci-Barreca 2001): category agg
+      // joined back row-local, own row excluded — integer micro-units,
+      // singletons NULL; sampled to keep the registry row small
+      Splits.looTargetEncode(
+          t(s, dir, "events").filter(col("event_id") % 20 === 0),
+          "event_type", "value", "event_id")
+        .orderBy(col("event_id"))),
     "q_median_scalable" -> ((s, dir) =>
       // exact global median WITHOUT percentile's value buffer: iterated
       // 4096-bin histogram selection (≤ 3 bounded passes for any int64
@@ -3935,6 +3950,32 @@ object SparkEntry {
         | AND x.c_custkey < y.c_custkey
         |WHERE levenshtein(x.c_name, y.c_name) <= 2
         |ORDER BY u_key, v_key""".stripMargin,
+    "q_churn_labels" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT MAX(ts_us) - 604800000000 AS cutoff FROM e),
+        |f AS (SELECT user_id, COUNT(*) AS n_before,
+        |             ((SELECT cutoff FROM c) - MAX(ts_us)) // 3600000000
+        |               AS hours_since_last
+        |      FROM e WHERE ts_us <= (SELECT cutoff FROM c) GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id FROM e
+        |      WHERE ts_us > (SELECT cutoff FROM c))
+        |SELECT f.user_id, f.n_before, f.hours_since_last,
+        |       a.user_id IS NULL AS churned
+        |FROM f LEFT JOIN a ON a.user_id = f.user_id
+        |ORDER BY f.user_id""".stripMargin,
+    "split_target_encode" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS t_u6
+        |           FROM events WHERE event_id % 20 = 0),
+        |g AS (SELECT event_type, CAST(SUM(t_u6) AS BIGINT) AS cat_sum,
+        |             COUNT(*) AS cat_n
+        |      FROM v GROUP BY 1)
+        |SELECT v.event_id, v.event_type, v.t_u6, g.cat_n,
+        |       CASE WHEN g.cat_n > 1
+        |            THEN (g.cat_sum - v.t_u6) // (g.cat_n - 1)
+        |            ELSE NULL END AS loo_u6
+        |FROM v JOIN g ON g.event_type = v.event_type
+        |ORDER BY v.event_id""".stripMargin,
     "q_median_scalable" ->
       // the doubled-median integer contract: 2·median is k1th + k2th,
       // exact in both engines regardless of interpolation

@@ -53,6 +53,31 @@ object Splits {
   def assign(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits))
 
+  /** Leave-one-out target encoding — the leakage-free categorical
+    * feature (Micci-Barreca 2001): each row's encoding is the mean
+    * target of its CATEGORY EXCLUDING THE ROW ITSELF, so a category's
+    * own label never flows into its own feature (plain mean encoding
+    * leaks the target and overfits singleton categories). Computed as
+    * one map-side-combined category agg (sum, n) joined back row-local:
+    * `loo = (sum − own) / (n − 1)`; singleton categories get NULL (no
+    * peer information exists — the honest answer, callers impute with
+    * the global prior).
+    *
+    * Integer-exact: targets scale to micro-unit longs, the division is
+    * integer floor-div — nothing floats across the oracle boundary.
+    */
+  def looTargetEncode(df: DataFrame, catCol: String, targetCol: String,
+      idCol: String): DataFrame = {
+    val v = df.select(col(idCol), col(catCol),
+      round(col(targetCol) * lit(1000000L), 0).cast("long").as("t_u6"))
+    val agg = v.groupBy(col(catCol))
+      .agg(sum(col("t_u6")).as("cat_sum"), count(lit(1)).as("cat_n"))
+    v.join(agg, Seq(catCol))
+      .select(col(idCol), col(catCol), col("t_u6"), col("cat_n"),
+        when(col("cat_n") > 1,
+          expr("(cat_sum - t_u6) DIV (cat_n - 1)")).as("loo_u6"))
+  }
+
   private[operators] def fractionThreshold(f: Double): String = {
     require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
     val bucket = (f * 256).toInt

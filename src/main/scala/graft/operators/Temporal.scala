@@ -402,6 +402,40 @@ object Temporal {
       .withColumn("ewma_u6", ew)
   }
 
+  /** Churn-label construction — the leakage-free supervised-label builder
+    * for retention models: split time at `cutoff = max(ts) − horizon`,
+    * build features ONLY from events at or before the cutoff, and label
+    * each user churned iff they have NO event after it. Features and
+    * label never read the same rows, so the label cannot leak into the
+    * features by construction.
+    *
+    * Shape: the cutoff is a broadcast 1-row bounds agg (the gap-fill
+    * pattern — no driver-formatted literal); then one user-keyed agg on
+    * the feature side and one LEFT ANTI/semi-style join against the
+    * post-cutoff user set. Integer hours; no floats.
+    */
+  def churnLabels(events: DataFrame, horizonUs: Long,
+      keyCol: String = "user_id", tsUsCol: String = "ts_us",
+      valCol: String = "value"): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be > 0: $horizonUs")
+    val bounds = events.agg(max(col(tsUsCol)).as("max_ts"))
+      .select((col("max_ts") - horizonUs).as("cutoff"))
+    val withCut = events.crossJoin(broadcast(bounds))
+    val feats = withCut.filter(col(tsUsCol) <= col("cutoff"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_before"),
+        max(col(tsUsCol)).as("last_ts"),
+        min(col("cutoff")).as("cutoff"))
+      .select(col(keyCol), col("n_before"),
+        expr(s"(cutoff - last_ts) DIV 3600000000").as("hours_since_last"))
+    val active = withCut.filter(col(tsUsCol) > col("cutoff"))
+      .select(col(keyCol)).distinct()
+      .withColumn("active", lit(1L))
+    feats.join(active, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_before"), col("hours_since_last"),
+        col("active").isNull.as("churned"))
+  }
+
   /** First-order Markov transition counts over each key's ordered event
     * sequence — the product-analytics "what happens next" matrix and the
     * sanity screen for synthetic event streams (a transition matrix far

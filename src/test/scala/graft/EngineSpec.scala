@@ -3018,6 +3018,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("churn labels leak-free split; loo encoding excludes own row") {
+    import spark.implicits._
+    // max ts 900, horizon 200 → cutoff 700. u1 active after, u2
+    // churned, u3 appears ONLY after the cutoff (no feature row at all)
+    val ev = Seq((1L, 100L, 5.0), (1L, 900L, 5.0), (2L, 650L, 5.0),
+      (3L, 800L, 5.0))
+      .toDF("user_id", "ts_us", "value")
+    val ch = Temporal.churnLabels(ev, horizonUs = 200L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(ch == Map(1L -> ((1L, 0L, false)), 2L -> ((1L, 0L, true))),
+      ch.toString)
+
+    // category A targets [2, 4, 6]: each row's loo is the mean of the
+    // OTHER two; singleton B is NULL (no peers — not zero, not itself)
+    val rows = Seq((1L, "A", 2.0), (2L, "A", 4.0), (3L, "A", 6.0),
+      (4L, "B", 9.0)).toDF("id", "cat", "y")
+    val loo = Splits.looTargetEncode(rows, "cat", "y", "id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(loo == Map(1L -> Some(5000000L), 2L -> Some(4000000L),
+      3L -> Some(3000000L), 4L -> None), loo.toString)
+  }
+
   test("event transitions, k-anon audit, blocked fuzzy join: hand cases") {
     import spark.implicits._
     // u1: A B A B, u2: A A → A→B:2, A→A:1 (from-A mass 3), B→A:1

@@ -455,9 +455,12 @@ object Temporal {
       .filter(col("prev_type").isNotNull)
     val counts = pairs.groupBy(col("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val fromTotals = counts.groupBy(col("prev_type"))
-      .agg(sum(col("n")).as("n_from"))
-    counts.join(fromTotals, Seq("prev_type"))
+    // from-state mass via a window over the AGGREGATED counts (bounded:
+    // ≤ |types|² rows, ≤ |types| per partition) — a groupBy+self-join
+    // would recompute the whole lag-window chain a second time (the plan
+    // audit showed two full parquet scans + two Window passes)
+    val wf = Window.partitionBy(col("prev_type"))
+    counts.withColumn("n_from", sum(col("n")).over(wf))
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * 1000000) DIV n_from AS BIGINT)").as("p_ppm"))
   }

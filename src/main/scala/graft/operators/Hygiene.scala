@@ -131,8 +131,10 @@ object Hygiene {
     * bucket thresholds ([[TextAnalysis]]).
     */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
-    val v = df.select(col(keyCol).as("k"),
-      round(col(valCol) * lit(1000000L), 0).cast("long").as("v"))
+    // cached: (k, v) feeds the median, the deviation frame, AND the final
+    // recount — uncached the source is re-scanned four times
+    val v = Dedup.cached(df.select(col(keyCol).as("k"),
+      round(col(valCol) * lit(1000000L), 0).cast("long").as("v")))
     val med = v.groupBy(col("k"))
       .agg((expr("percentile(v, 0.5)") * 2).cast("long").as("med2"))
     val d = v.join(med, Seq("k"))

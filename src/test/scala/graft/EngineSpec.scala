@@ -3344,6 +3344,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("Ingest: jsonl/csv round-trip losslessly; corrupt lines land in the lane") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val dir = Files.createTempDirectory("ingest").toString
+    docs.write.mode("overwrite").json(s"$dir/jsonl")
+    // plant two corrupt lines as an extra file in the directory (editing
+    // a Spark-written part file in place trips its .crc sidecar)
+    JFiles.write(Paths.get(s"$dir/jsonl/extra-corrupt.json"),
+      "{\"doc_id\": 1, \"text\": truncated\nnot json at all\n".getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("lang", "string")
+    val in = graft.sources.Ingest.readJsonl(spark, s"$dir/jsonl", schema)
+    val audit = graft.sources.Ingest.corruptAudit(in).collect().head
+    val nDocs = docs.count()
+    assert(audit.getLong(0) == nDocs + 2, audit.toString)
+    assert(audit.getLong(1) == nDocs && audit.getLong(2) == 2L, audit.toString)
+    // clean rows round-trip exactly (newline-bearing text included)
+    val back = graft.sources.Ingest.clean(in)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val orig = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == orig, s"missing=${(orig -- back).take(2)} extra=${(back -- orig).take(2)}")
+    in.unpersist()
+
+    // csv: a row with a non-numeric id lands in the lane, not in doc_id
+    JFiles.write(Paths.get(s"$dir/bad.csv"),
+      "doc_id,text,lang\n1,hello,en\nnotanumber,broken,xx\n".getBytes)
+    val c = graft.sources.Ingest.readCsv(spark, s"$dir/bad.csv", schema)
+    val ca = graft.sources.Ingest.corruptAudit(c).collect().head
+    assert((ca.getLong(0), ca.getLong(1), ca.getLong(2)) == ((2L, 1L, 1L)), ca.toString)
+    c.unpersist()
+  }
+
   test("TextIndex: build/load/serve equals in-memory bm25TopK; buckets prune partitions") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -1546,6 +1546,25 @@ object SparkEntry {
           t(s, dir, "events").filter(col("event_id") % 20 === 0),
           "event_type", "value", "event_id")
         .orderBy(col("event_id"))),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // the ingestion contract under the oracle gate: documents written
+      // as JSONL and read back through the corrupt-lane reader must
+      // round-trip EVERY row losslessly (the oracle computes the same
+      // integrity row straight from parquet — any lossy line breaks the
+      // hash); deterministic /tmp path, overwrite-idempotent
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val path = "/tmp/graft_jsonl_roundtrip"
+      docs.write.mode("overwrite").json(path)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+      val in = graft.sources.Ingest.readJsonl(s, path, schema)
+      graft.sources.Ingest.clean(in).agg(
+        count(lit(1)).as("n_clean"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
     "q_median_scalable" -> ((s, dir) =>
       // exact global median WITHOUT percentile's value buffer: iterated
       // 4096-bin histogram selection (≤ 3 bounded passes for any int64
@@ -3976,6 +3995,14 @@ object SparkEntry {
         |            ELSE NULL END AS loo_u6
         |FROM v JOIN g ON g.event_type = v.event_type
         |ORDER BY v.event_id""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      // straight from parquet: equal ⟺ the jsonl write→read preserved
+      // every row, char, and hash
+      """SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
     "q_median_scalable" ->
       // the doubled-median integer contract: 2·median is k1th + k2th,
       // exact in both engines regardless of interpolation

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * Spark disallows queries whose referenced columns are ONLY the
   * internal corrupt-record column on the raw file relation (SPARK-21610:
   * the lazily-parsed raw line would otherwise be gone by the time the
-  * filter runs), and materializing first is the documented pattern.
+  * filter runs), and materializing first is the documented pattern
+  * (registered in the shared [[graft.operators.Dedup.cached]] pool so
+  * the harness's uncacheAll releases it between queries).
   *
   * Scale: both readers are splittable line formats — partitioned by
   * byte ranges exactly like any text source, schema projection pushes
@@ -41,7 +43,7 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.cached(df)
   }
 
   /** Read headered CSV under `schema` with the corrupt lane. */
@@ -52,7 +54,7 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.cached(df)
   }
 
   /** The go/no-go ingestion row: total lines, clean lines, corrupt

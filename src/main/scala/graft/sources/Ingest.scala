@@ -73,4 +73,20 @@ object Ingest {
   /** Only the rows that parsed clean, with the lane column dropped. */
   def clean(df: DataFrame): DataFrame =
     df.filter(col("_corrupt").isNull).drop("_corrupt")
+
+  /** Streaming form of [[readJsonl]] — the drop-directory topology: new
+    * JSONL files land in `path`, each micro-batch carries clean rows +
+    * the corrupt lane, and downstream foreachBatch stores fold audits or
+    * content exactly like the batch frame (the corrupt lane is row-local
+    * so streamed union ≡ batch read — no state, no watermark needed).
+    * `maxFilesPerTrigger` bounds batch size for backfill bursts.
+    */
+  def streamJsonl(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
 }

@@ -3379,6 +3379,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.unpersist()
   }
 
+  test("Ingest stream: drop-directory jsonl folds to the batch audit") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("ingest-stream").toString
+    JFiles.createDirectories(Paths.get(s"$dir/drop"))
+    JFiles.write(Paths.get(s"$dir/drop/a.json"),
+      "{\"doc_id\": 1, \"text\": \"hello\", \"lang\": \"en\"}\nbroken line\n".getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("lang", "string")
+    val nClean = new java.util.concurrent.atomic.AtomicLong()
+    val nCorrupt = new java.util.concurrent.atomic.AtomicLong()
+    val q = graft.sources.Ingest.streamJsonl(spark, s"$dir/drop", schema)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val a = graft.sources.Ingest.corruptAudit(
+          graft.operators.Dedup.cached(batch)).collect().head
+        nClean.addAndGet(a.getLong(1)); nCorrupt.addAndGet(a.getLong(2)); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert((nClean.get(), nCorrupt.get()) == ((1L, 1L)), s"$nClean/$nCorrupt")
+      // a late file lands in a later batch; totals fold like the batch read
+      JFiles.write(Paths.get(s"$dir/drop/b.json"),
+        "{\"doc_id\": 2, \"text\": \"world\", \"lang\": \"fr\"}\n".getBytes)
+      q.processAllAvailable()
+      assert((nClean.get(), nCorrupt.get()) == ((2L, 1L)), s"$nClean/$nCorrupt")
+    } finally q.stop()
+  }
+
   test("TextIndex: build/load/serve equals in-memory bm25TopK; buckets prune partitions") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -1546,6 +1546,24 @@ object SparkEntry {
           t(s, dir, "events").filter(col("event_id") % 20 === 0),
           "event_type", "value", "event_id")
         .orderBy(col("event_id"))),
+    "q_attribution" -> ((s, dir) => {
+      // first-touch conversion attribution: sessions from the shared
+      // gap-flag chain (one exchange + sort), the session's first event
+      // as a struct-min (map-side combinable, no second window), then
+      // purchases credited to their session's first touch
+      val sess = Temporal.withSessionIds(Temporal.eventsMicros(s, dir),
+        "user_id", "ts_us", "event_id", gapMicros = 1800000000L)
+      val first = sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("user_id"), col("session_idx"),
+          col("f.event_type").as("first_touch"))
+      sess.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id", "session_idx"))
+        .groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+        .orderBy(col("first_touch"))
+    }),
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion contract under the oracle gate: documents written
       // as JSONL and read back through the corrupt-lane reader must
@@ -3995,6 +4013,27 @@ object SparkEntry {
         |            ELSE NULL END AS loo_u6
         |FROM v JOIN g ON g.event_type = v.event_type
         |ORDER BY v.event_id""".stripMargin,
+    "q_attribution" ->
+      // identical gap-flag → running-sum session chain; DuckDB's ordered
+      // first() is the struct-min's (ts, id) order
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |                  event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM f),
+        |ft AS (SELECT user_id, session_idx,
+        |              first(event_type ORDER BY ts_us, event_id) AS first_touch
+        |       FROM s GROUP BY 1, 2)
+        |SELECT ft.first_touch, COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s p JOIN ft ON ft.user_id = p.user_id
+        |                AND ft.session_idx = p.session_idx
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jsonl_roundtrip" ->
       // straight from parquet: equal ⟺ the jsonl write→read preserved
       // every row, char, and hash

@@ -27,23 +27,38 @@ object Temporal {
       keyCol: String,
       tsUsCol: String,
       idCol: String,
-      gapMicros: Long): DataFrame = {
-    val order = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
-    val flagged = events.withColumn(
-      "is_new",
-      when(
-        lag(col(tsUsCol), 1).over(order).isNull ||
-          col(tsUsCol) - lag(col(tsUsCol), 1).over(order) > gapMicros,
-        lit(1L)).otherwise(lit(0L)))
-    flagged
-      .withColumn("session_idx",
-        sum(col("is_new")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapMicros: Long): DataFrame =
+    withSessionIds(events, keyCol, tsUsCol, idCol, gapMicros)
       .groupBy(col(keyCol), col("session_idx"))
       .agg(
         min(col(tsUsCol)).as("session_start_us"),
         max(col(tsUsCol)).as("session_end_us"),
         count(lit(1)).as("n_events"))
       .withColumn("duration_us", col("session_end_us") - col("session_start_us"))
+
+  /** The per-EVENT form of [[sessionize]]: every input row plus its
+    * `session_idx` (per-key session ordinal from the gap-flag →
+    * running-sum trick; both windows share one exchange + sort). This is
+    * the composition surface — attribution, per-session paths, session
+    * feature joins all start from events carrying their session id.
+    */
+  def withSessionIds(
+      events: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      idCol: String,
+      gapMicros: Long): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
+    events.withColumn(
+        "is_new",
+        when(
+          lag(col(tsUsCol), 1).over(order).isNull ||
+            col(tsUsCol) - lag(col(tsUsCol), 1).over(order) > gapMicros,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("is_new")
   }
 
   /** Gap-AND-cap sessionization — the batch form of

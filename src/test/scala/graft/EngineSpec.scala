@@ -3018,6 +3018,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), r.toString)
   }
 
+  test("attribution: purchases credit their session's first touch only") {
+    import spark.implicits._
+    // u1 session 1: ad → purchase (credits 'ad'); after a gap, session 2:
+    // search → purchase (credits 'search'); u2: purchase with no prior
+    // event credits itself
+    val ev = Seq(
+      (1L, "ad", 100L, 1L, 10.0), (1L, "purchase", 200L, 2L, 50.0),
+      (1L, "search", 10000L, 3L, 0.0), (1L, "purchase", 10100L, 4L, 70.0),
+      (2L, "purchase", 500L, 5L, 30.0))
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    val sess = Temporal.withSessionIds(ev, "user_id", "ts_us", "event_id",
+      gapMicros = 1000L)
+    val first = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("user_id"), col("session_idx"),
+        col("f.event_type").as("first_touch"))
+    val att = sess.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id", "session_idx"))
+      .groupBy(col("first_touch")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(att == Map("ad" -> 1L, "search" -> 1L, "purchase" -> 1L), att.toString)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

@@ -1564,6 +1564,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
         .orderBy(col("first_touch"))
     }),
+    "q_session_paths" -> ((s, dir) => {
+      // session path mining: each session's first-3-event path (ordered
+      // struct sort inside a per-session collect — bounded by session
+      // length, never a corpus-ordered window), counted corpus-wide;
+      // the "how do users start" product question
+      val sess = Temporal.withSessionIds(Temporal.eventsMicros(s, dir),
+        "user_id", "ts_us", "event_id", gapMicros = 1800000000L)
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(
+          transform(
+            slice(sort_array(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))), 1, 3),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion contract under the oracle gate: documents written
       // as JSONL and read back through the corrupt-lane reader must
@@ -4034,6 +4051,25 @@ object SparkEntry {
         |                AND ft.session_idx = p.session_idx
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_paths" ->
+      // same session chain as q_attribution; DuckDB's ordered list + a
+      // [1:3] slice is the struct-sorted collect's first three
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |                  event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM f),
+        |g AS (SELECT user_id, session_idx,
+        |             array_to_string(
+        |               (list(event_type ORDER BY ts_us, event_id))[1:3], '>')
+        |               AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_jsonl_roundtrip" ->
       // straight from parquet: equal ⟺ the jsonl write→read preserved
       // every row, char, and hash

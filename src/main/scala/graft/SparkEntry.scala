@@ -1581,6 +1581,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_delete_closure" -> ((s, dir) => {
+      // deletion-closure audit: a right-to-be-forgotten delete that
+      // removes only the named doc leaves its near-twins serving the
+      // same content — the closure is every doc sharing a normalized
+      // dedup key with a tombstoned doc. Planted twin groups (the
+      // leakage-audit surface) + a deterministic tombstone set; one
+      // key-agg + a semi-join-shaped max flag + a one-row summary.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+        .withColumn("tombstoned", (col("doc_id") % 40 === 0).cast("int"))
+      val groups = docs
+        .select(Dedup.normalizedKey(col("text")).as("k"), col("tombstoned"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("tombstoned")).as("n_tomb"))
+      groups.agg(
+        sum(col("n_tomb")).as("n_tombstones"),
+        sum(when(col("n_tomb") > 0, col("n")).otherwise(0L)).as("n_closure_docs"),
+        sum(when(col("n_tomb") > 0, col("n") - col("n_tomb")).otherwise(0L))
+          .as("n_extra_deletes"))
+    }),
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // the ingestion contract under the oracle gate: documents written
       // as JSONL and read back through the corrupt-lane reader must
@@ -4070,6 +4092,24 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_delete_closure" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+        |              ELSE text END AS text,
+        |         CASE WHEN doc_id % 40 = 0 THEN 1 ELSE 0 END AS tombstoned
+        |  FROM documents),
+        |g AS (SELECT md5(nfc_normalize(regexp_replace(trim(lower(text)),
+        |               '[ \t\n\r]+', ' ', 'g'))) AS k,
+        |             COUNT(*) AS n, CAST(SUM(tombstoned) AS BIGINT) AS n_tomb
+        |      FROM v GROUP BY 1)
+        |SELECT CAST(SUM(n_tomb) AS BIGINT) AS n_tombstones,
+        |       CAST(SUM(CASE WHEN n_tomb > 0 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_closure_docs,
+        |       CAST(SUM(CASE WHEN n_tomb > 0 THEN n - n_tomb ELSE 0 END)
+        |         AS BIGINT) AS n_extra_deletes
+        |FROM g""".stripMargin,
     "q_jsonl_roundtrip" ->
       // straight from parquet: equal ⟺ the jsonl write→read preserved
       // every row, char, and hash

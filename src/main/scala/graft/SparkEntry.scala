@@ -1581,6 +1581,15 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_join_size_estimate" -> ((s, dir) => {
+      // join cardinality from d×w sketch integers BEFORE any exchange:
+      // CMS inner product, a deterministic upper bound on the exact size
+      val e = t(s, dir, "events")
+      Joins.cmsJoinSizeEstimate(
+        e.filter(col("user_id") % 3 =!= 0),
+        e.filter(col("user_id") % 5 === 0),
+        "user_id", width = 256, depth = 3)
+    }),
     "q_delete_closure" -> ((s, dir) => {
       // deletion-closure audit: a right-to-be-forgotten delete that
       // removes only the named doc leaves its near-twins serving the
@@ -4092,6 +4101,33 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_join_size_estimate" ->
+      // identical sketch replay (the text_cms_counts hash chain) + the
+      // exact group-count product for verification
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events
+        |           WHERE user_id % 3 <> 0),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events
+        |      WHERE user_id % 5 = 0),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |lc AS (SELECT js.j,
+        |              CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||t),1,4))
+        |                   AS BIGINT) % 256 AS b,
+        |              COUNT(*) AS n
+        |       FROM l CROSS JOIN js GROUP BY 1, 2),
+        |rc AS (SELECT js.j,
+        |              CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||t),1,4))
+        |                   AS BIGINT) % 256 AS b,
+        |              COUNT(*) AS m
+        |       FROM r CROSS JOIN js GROUP BY 1, 2),
+        |e AS (SELECT lc.j, CAST(SUM(lc.n * rc.m) AS BIGINT) AS e
+        |      FROM lc JOIN rc ON rc.j = lc.j AND rc.b = lc.b GROUP BY 1),
+        |x AS (SELECT CAST(COALESCE(SUM(cl.n * cr.n), 0) AS BIGINT) AS exact_size
+        |      FROM (SELECT t, COUNT(*) AS n FROM l GROUP BY 1) cl
+        |      JOIN (SELECT t, COUNT(*) AS n FROM r GROUP BY 1) cr ON cr.t = cl.t)
+        |SELECT x.exact_size,
+        |       (SELECT MIN(e) FROM e) AS cms_estimate,
+        |       (SELECT MIN(e) FROM e) >= x.exact_size AS upper_bound_holds
+        |FROM x""".stripMargin,
     "q_delete_closure" ->
       """WITH v AS (
         |  SELECT doc_id,

@@ -42,6 +42,45 @@ object Joins {
     l.hint("merge").join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** CMS join-size estimation (Alon–Matias–Szegedy 1996 lineage; the
+    * Count-Min inner-product estimator, Cormode & Muthukrishnan 2005
+    * §4.2) — answer "how big is this join" WITHOUT running it: build a
+    * d×w Count-Min sketch of the join key on each side (one bounded
+    * map-side-combined agg per side — d·w counter rows, never the key
+    * set), then estimate |A ⋈ B| = min over rows j of Σ_b cA[j][b]·cB[j][b].
+    * Collisions only ADD mass, so the estimate is a deterministic UPPER
+    * BOUND on the exact size (emitted alongside, with the bound flag) —
+    * the pre-shuffle blow-up detector for the skew toolkit: a quadratic
+    * hot-key join announces itself in d·w integers before any exchange
+    * is paid.
+    *
+    * Everything is integer; the same md5 bucket hash as
+    * [[TextAnalysis.cmsTokenEstimates]], so the oracle replays the whole
+    * sketch. The exact size here is computed for VERIFICATION — at scale
+    * the sketches alone are the product.
+    */
+  def cmsJoinSizeEstimate(left: DataFrame, right: DataFrame, keyCol: String,
+      width: Int = 256, depth: Int = 3): DataFrame = {
+    require(width >= 2 && depth >= 1, s"need width>=2, depth>=1: $width/$depth")
+    def cells(df: DataFrame): DataFrame = df
+      .select(col(keyCol).cast("string").as("t"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          TextAnalysis.cmsBucket(j, col("t"), width).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val est = cells(left)
+      .join(cells(right).withColumnRenamed("n", "m"), Seq("j", "b"))
+      .groupBy(col("j")).agg(sum(col("n") * col("m")).as("e"))
+      .agg(min(col("e")).as("cms_estimate"))
+    val exact = left.groupBy(col(keyCol)).agg(count(lit(1)).as("cl"))
+      .join(right.groupBy(col(keyCol)).agg(count(lit(1)).as("cr")), Seq(keyCol))
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("exact_size"))
+    exact.crossJoin(est)
+      .select(col("exact_size"), col("cms_estimate"),
+        (col("cms_estimate") >= col("exact_size")).as("upper_bound_holds"))
+  }
+
   /** Blocked fuzzy self-join — the entity-resolution candidate generator
     * (Fellegi–Sunter record-linkage blocking, 1969; the standard "never
     * all-pairs" discipline): rows pair ONLY within equal `blockCols`

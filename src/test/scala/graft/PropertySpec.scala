@@ -592,6 +592,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cms join-size estimate: always an upper bound; exact when collision-free") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val rng = new scala.util.Random(23)
+    for (_ <- 0 until 3) {
+      val l = (0 until 400).map(_ => rng.nextInt(30).toLong).map(Tuple1(_)).toDF("k")
+      val r = (0 until 300).map(_ => rng.nextInt(30).toLong).map(Tuple1(_)).toDF("k")
+      val row = Joins.cmsJoinSizeEstimate(l, r, "k", width = 64, depth = 3)
+        .collect().head
+      val exact = l.join(r, "k").count()
+      assert(row.getLong(0) == exact, row.toString)
+      assert(row.getLong(1) >= exact && row.getBoolean(2), row.toString)
+    }
+    // 8 distinct keys in a 4096-wide sketch: collision odds negligible in
+    // EVERY row → the min-row estimate is exact
+    val l8 = (0 until 100).map(i => (i % 8).toLong).map(Tuple1(_)).toDF("k")
+    val row = Joins.cmsJoinSizeEstimate(l8, l8, "k", width = 4096, depth = 3)
+      .collect().head
+    assert(row.getLong(0) == row.getLong(1), row.toString)
+  }
+
   test("median2Pass equals sorted-middle selection under forced multi-pass narrowing") {
     import spark.implicits._
     import graft.operators.Hygiene

@@ -1581,6 +1581,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_table_profile" -> ((s, dir) =>
+      // ANALYZE surface: null/NDV/min/max per column in ONE pass (Expand
+      // for the multi-column distincts, native-type min/max stringified
+      // after, stack pivot) — CBO inputs + the dump-drift numbers
+      Hygiene.tableProfile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"))
+        .orderBy(col("col_name"))),
     "q_join_size_estimate" -> ((s, dir) => {
       // join cardinality from d×w sketch integers BEFORE any exchange:
       // CMS inner product, a deterministic upper bound on the exact size
@@ -4101,6 +4108,17 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_table_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |       CAST(MIN($c) AS VARCHAR) AS min_value,
+           |       CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_join_size_estimate" ->
       // identical sketch replay (the text_cms_counts hash chain) + the
       // exact group-count product for verification

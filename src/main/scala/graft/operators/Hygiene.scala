@@ -232,6 +232,32 @@ object Hygiene {
     } finally v0.unpersist()
   }
 
+  /** Column-statistics profile — the ANALYZE TABLE surface as one
+    * catalog-free operator: per column, null count, exact NDV, and
+    * min/max (computed on the NATIVE type, stringified after — casting
+    * first would compare "10" < "9"). ONE pass over the table: the
+    * multi-column distinct counts plan through Spark's Expand (grouping
+    * per distinct-column), everything map-side combinable; the pivot to
+    * one row per column is a `stack` over the single aggregate row.
+    * These are exactly the stats a CBO join-reorder / broadcast decision
+    * wants, and the drift numbers a pipeline compares between dumps.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__ndv"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val a = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
+    a.select(col("n_rows"), expr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, ndv, min_value, max_value)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_value"), col("max_value"))
+  }
+
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
     * — public privacy methodology): a row is k-anonymous when at least
     * `k` rows share its full quasi-identifier tuple; releasing groups

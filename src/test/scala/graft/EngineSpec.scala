@@ -3041,6 +3041,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(att == Map("ad" -> 1L, "search" -> 1L, "purchase" -> 1L), att.toString)
   }
 
+  test("table profile: nulls, ndv, native-order min/max in one pass") {
+    import spark.implicits._
+    val df = Seq((Some(9L), "b"), (Some(10L), "a"), (None, "a"))
+      .toDF("num", "s")
+    val p = Hygiene.tableProfile(df, Seq("num", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // min/max computed on the NATIVE type: 9 < 10 numerically even
+    // though "10" < "9" as strings; nulls excluded from min/max and ndv
+    assert(p("num") == ((3L, 1L, 2L, "9", "10")), p.toString)
+    assert(p("s") == ((3L, 0L, 2L, "a", "b")), p.toString)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

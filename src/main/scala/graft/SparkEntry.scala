@@ -1581,6 +1581,27 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_histogram_equidepth" -> ((s, dir) => {
+      // equi-depth histogram: quartile edges from the mergeable
+      // approx_percentile sketch (rank-exact at accuracy ≥ n — the
+      // q_percentile_approx contract), broadcast onto a row-local bucket
+      // test, one map-side-combined count agg; micro-unit integers
+      val v = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * lit(1000000L), 0)
+          .cast("long").as("v"))
+      val e = v.agg(expr(
+        "approx_percentile(v, array(0.25D, 0.5D, 0.75D), 1000000)").as("es"))
+      v.crossJoin(broadcast(e))
+        .select(col("v"),
+          when(col("v") <= element_at(col("es"), 1), 0L)
+            .when(col("v") <= element_at(col("es"), 2), 1L)
+            .when(col("v") <= element_at(col("es"), 3), 2L)
+            .otherwise(3L).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(col("bucket"))
+    }),
     "q_table_profile" -> ((s, dir) =>
       // ANALYZE surface: null/NDV/min/max per column in ONE pass (Expand
       // for the multi-column distincts, native-type min/max stringified
@@ -4108,6 +4129,21 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_histogram_equidepth" ->
+      // quantile_disc ≡ approx_percentile at accuracy ≥ n (the
+      // q_percentile_approx equivalence), then the identical bucket rule
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |e AS (SELECT quantile_disc(v, [0.25, 0.5, 0.75]) AS es FROM v)
+        |SELECT CAST(CASE WHEN v <= es[1] THEN 0
+        |                 WHEN v <= es[2] THEN 1
+        |                 WHEN v <= es[3] THEN 2
+        |                 ELSE 3 END AS BIGINT) AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(MIN(v) AS BIGINT) AS min_v,
+        |       CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM v CROSS JOIN e
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_table_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

@@ -1581,6 +1581,11 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_time_weighted_avg" -> ((s, dir) =>
+      // step-function integral mean per user — burst-proof telemetry
+      // averaging in overflow-safe centi-unit × millisecond int64
+      Temporal.timeWeightedAvg(Temporal.eventsMicros(s, dir))
+        .orderBy(col("user_id"))),
     "q_histogram_equidepth" -> ((s, dir) => {
       // equi-depth histogram: quartile edges from the mergeable
       // approx_percentile sketch (rank-exact at accuracy ≥ n — the
@@ -4129,6 +4134,18 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 100, 0) AS BIGINT) AS v_u2
+        |           FROM events),
+        |l AS (SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS next_ts FROM e),
+        |iv AS (SELECT user_id, v_u2, (next_ts - ts_us) // 1000 AS dt_ms
+        |       FROM l WHERE next_ts IS NOT NULL AND (next_ts - ts_us) // 1000 > 0)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       CAST(CAST(SUM(v_u2 * dt_ms) AS BIGINT)
+        |            // CAST(SUM(dt_ms) AS BIGINT) AS BIGINT) AS twa_u2
+        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_histogram_equidepth" ->
       // quantile_disc ≡ approx_percentile at accuracy ≥ n (the
       // q_percentile_approx equivalence), then the identical bucket rule

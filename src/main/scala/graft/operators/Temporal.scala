@@ -417,6 +417,39 @@ object Temporal {
       .withColumn("ewma_u6", ew)
   }
 
+  /** Time-weighted average per key over IRREGULARLY sampled values — the
+    * telemetry mean that refuses to over-weight chatty periods: each
+    * sample holds until the next one, so the mean is
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₀) (the step-function integral; standard
+    * monitoring math). A plain AVG of the same rows over-counts bursts —
+    * the spec pins a case where the two disagree.
+    *
+    * Overflow-safe integer algebra: values in CENTI-units (≤ ~5·10⁴ for
+    * the fixture range), durations in MILLISECONDS — a per-interval
+    * product ≤ ~10¹⁴, so int64 sums survive ~10⁴-sample histories with
+    * four orders of magnitude to spare; the final floor-div is pure
+    * int64. One lag-window exchange + one keyed agg.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String = "user_id",
+      tsUsCol: String = "ts_us", tieCol: String = "event_id",
+      valCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsUsCol), col(tieCol),
+        round(col(valCol) * lit(100L), 0).cast("long").as("v_u2"))
+      .withColumn("next_ts", lead(col(tsUsCol), 1).over(w))
+      .filter(col("next_ts").isNotNull) // the last sample has no span
+      .select(col(keyCol), col("v_u2"),
+        expr(s"(next_ts - $tsUsCol) DIV 1000").as("dt_ms"))
+      .filter(col("dt_ms") > 0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_ms")).as("total_ms"),
+        sum(col("v_u2") * col("dt_ms")).as("vdt"))
+      .select(col(keyCol), col("n_intervals"),
+        expr("CAST(vdt DIV total_ms AS BIGINT)").as("twa_u2"))
+  }
+
   /** Churn-label construction — the leakage-free supervised-label builder
     * for retention models: split time at `cutoff = max(ts) − horizon`,
     * build features ONLY from events at or before the cutoff, and label

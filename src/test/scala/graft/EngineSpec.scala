@@ -3041,6 +3041,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(att == Map("ad" -> 1L, "search" -> 1L, "purchase" -> 1L), att.toString)
   }
 
+  test("time-weighted avg: bursts don't over-weight; plain avg disagrees") {
+    import spark.implicits._
+    // value 100 held for 9 s, then a 1 s burst of ten 0-valued samples:
+    // TWA = (100·9000 + 0·1000)/10000 ms = 90 — plain AVG of rows ~8
+    val ev = ((Seq((1L, 0L, 0L, 100.0)) ++
+      (0 until 10).map(i => (1L, 9000000L + i * 100000L, 1L + i, 0.0))) :+
+      (1L, 10000000L, 100L, 0.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val r = Temporal.timeWeightedAvg(ev).collect().head
+    assert(r.getLong(2) == 9000L, r.toString) // 90.00 in centi-units
+    val plainAvg = ev.agg(avg(col("value"))).collect().head.getDouble(0)
+    assert(plainAvg < 10.0, s"plain avg $plainAvg should under-report")
+  }
+
   test("table profile: nulls, ndv, native-order min/max in one pass") {
     import spark.implicits._
     val df = Seq((Some(9L), "b"), (Some(10L), "a"), (None, "a"))

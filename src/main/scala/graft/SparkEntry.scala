@@ -1581,6 +1581,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_unpivot_metrics" -> ((s, dir) =>
+      // wide→long melt (the pivot row's inverse surface): three measure
+      // columns unpivoted to (metric, value) rows — Spark's native
+      // unpivot is a zero-shuffle row-local expand — then one keyed agg
+      t(s, dir, "lineitem")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("l_returnflag"), col("metric"))),
     "q_time_weighted_avg" -> ((s, dir) =>
       // step-function integral mean per user — burst-proof telemetry
       // averaging in overflow-safe centi-unit × millisecond int64
@@ -4134,6 +4145,19 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_unpivot_metrics" ->
+      // the melt as explicit UNION ALL — name-for-name with Spark's
+      // unpivot output (metric carries the source column name)
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |SELECT l_returnflag, metric, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  CAST(round(value * 100, 0) AS BIGINT) AS v_u2

@@ -1581,6 +1581,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "q_recursive_bfs" -> ((s, dir) => {
+      // WITH RECURSIVE (SQL surface new in Spark 4): BFS frontier
+      // expansion over the part co-occurrence graph from the smallest
+      // part — depth-bounded UNION ALL recursion (the engine-portable
+      // form; cycles are tamed by the bound, min-depth dedup after),
+      // then reachability census per hop count
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_rb")
+      s.sql(
+        """WITH RECURSIVE li AS (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem_rb),
+          |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+          |      ON x.o = y.o AND x.p <> y.p),
+          |seed AS (SELECT MIN(l_partkey) AS n FROM lineitem_rb),
+          |bfs(n, d) AS (
+          |  SELECT n, 0 FROM seed
+          |  UNION ALL
+          |  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.n
+          |  WHERE bfs.d < 2),
+          |m AS (SELECT n, MIN(d) AS depth FROM bfs GROUP BY n)
+          |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes
+          |FROM m GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
     "q_unpivot_metrics" -> ((s, dir) =>
       // wide→long melt (the pivot row's inverse surface): three measure
       // columns unpivoted to (metric, value) rows — Spark's native
@@ -4145,6 +4167,22 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_recursive_bfs" ->
+      // DuckDB runs the identical recursive text (depth cast pinned to
+      // BIGINT by the house integer rule)
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+        |      ON x.o = y.o AND x.p <> y.p),
+        |seed AS (SELECT MIN(l_partkey) AS n FROM lineitem),
+        |bfs(n, d) AS (
+        |  SELECT n, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.n
+        |  WHERE bfs.d < 2),
+        |m AS (SELECT n, MIN(d) AS depth FROM bfs GROUP BY n)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes
+        |FROM m GROUP BY depth ORDER BY depth""".stripMargin,
     "q_unpivot_metrics" ->
       // the melt as explicit UNION ALL — name-for-name with Spark's
       // unpivot output (metric carries the source column name)

@@ -235,27 +235,30 @@ object Hygiene {
   /** Column-statistics profile — the ANALYZE TABLE surface as one
     * catalog-free operator: per column, null count, exact NDV, and
     * min/max (computed on the NATIVE type, stringified after — casting
-    * first would compare "10" < "9"). ONE pass over the table: the
-    * multi-column distinct counts plan through Spark's Expand (grouping
-    * per distinct-column), everything map-side combinable; the pivot to
-    * one row per column is a `stack` over the single aggregate row.
+    * first would compare "10" < "9"). One PER-COLUMN chain: groupBy the
+    * column (map-side combine collapses each task to its local distinct
+    * values, so the exchange moves NDV-bounded rows, never the table),
+    * then a one-row summary over the grouped frame; the per-column
+    * frames union. This beat the single-pass multi-`countDistinct` form
+    * 20× (6.9 s → 0.35 s at sf0.1): that plan EXPANDS every row once
+    * per profiled column and shuffles the multiplied, null-padded rows —
+    * per-column pruned scans are cheaper than a 4× row explosion.
     * These are exactly the stats a CBO join-reorder / broadcast decision
     * wants, and the drift numbers a pipeline compares between dumps.
     */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__ndv"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max")))
-    val a = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
-    a.select(col("n_rows"), expr(
-      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, ndv, min_value, max_value)"))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
-        col("min_value"), col("max_value"))
+    def one(c: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col(c).isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          count(when(col(c).isNotNull, lit(1))).as("ndv"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_value"), col("max_value"))
+    cols.map(one).reduce(_ unionAll _)
   }
 
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002

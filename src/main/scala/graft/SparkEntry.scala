@@ -1581,6 +1581,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     }),
+    "ann_mmr_rerank" -> ((s, dir) =>
+      // diversity-aware serving (Carbonell & Goldstein MMR, λ=½ as pure
+      // int64 rel−maxsim): distributed shortlist + pairwise sims, then
+      // the bounded driver greedy; oracle unrolls the identical k picks
+      Similarity.mmrRerank(t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").filter(col("vec_id") < 6),
+          shortlist = 12, k = 4)
+        .orderBy(col("query_id"), col("mmr_step"))),
     "q_recursive_bfs" -> ((s, dir) => {
       // WITH RECURSIVE (SQL surface new in Spark 4): BFS frontier
       // expansion over the part co-occurrence graph from the smallest
@@ -2365,6 +2373,39 @@ object SparkEntry {
          |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
          |  JOIN kp$i x ON x.n = e.a JOIN kp$i y ON y.n = e.b)""".stripMargin
     }.mkString(",\n")
+
+  /** DuckDB CTE chain unrolling [[graft.operators.Similarity.mmrRerank]]'s
+    * greedy picks: step 1 is the pure-relevance argmax; each later step
+    * excludes already-picked ids, computes max-sim-to-picked from the
+    * `pairs` CTE, and argmaxes `rel − maxsim` with the id tie-break.
+    * Expects `cand(qid, nid, rel)` and `pairs(qid, cid, oid, sim)`; emits
+    * `s1..s{k}` (qid, nid, step, obj).
+    */
+  private def mmrOracleSteps(k: Int): String = {
+    val first =
+      """r1 AS (SELECT qid, nid, rel AS obj,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY rel DESC, nid) AS rn
+        |      FROM cand),
+        |s1 AS (SELECT qid, nid, 1 AS step, obj FROM r1 WHERE rn = 1)""".stripMargin
+    val rest = (2 to k).map { j =>
+      val selPrev = (1 until j).map(i => s"SELECT qid, nid FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel${j - 1} AS ($selPrev),
+         |m$j AS (SELECT p.qid, p.cid AS nid, MAX(p.sim) AS ms
+         |        FROM pairs p JOIN sel${j - 1} s
+         |          ON s.qid = p.qid AND s.nid = p.oid
+         |        GROUP BY 1, 2),
+         |r$j AS (SELECT c.qid, c.nid, c.rel - m.ms AS obj,
+         |               row_number() OVER (PARTITION BY c.qid
+         |                 ORDER BY (c.rel - m.ms) DESC, c.nid) AS rn
+         |        FROM cand c JOIN m$j m ON m.qid = c.qid AND m.nid = c.nid
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s
+         |                          WHERE s.qid = c.qid AND s.nid = c.nid)),
+         |s$j AS (SELECT qid, nid, $j AS step, obj FROM r$j WHERE rn = 1)""".stripMargin
+    }
+    (first +: rest).mkString(",\n")
+  }
 
   /** Shared DuckDB CTE chain for language ID: per-doc stopword hit counts
     * (`c`) and the argmax/tie-break prediction (`p`) — consumed by both
@@ -4167,6 +4208,43 @@ object SparkEntry {
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "ann_mmr_rerank" -> (
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i),
+        |               (x,y) -> x+y)) AS nrm
+        |        FROM u GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |                list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+        |         FROM u a JOIN u b ON b.i = a.i AND b.vec_id <> a.vec_id
+        |         WHERE a.vec_id < 6 GROUP BY 1, 2),
+        |c0 AS (SELECT d.qid, d.nid,
+        |              CAST(round(10000 * d.dot / (qn.nrm * nn.nrm), 0) AS BIGINT)
+        |                AS rel,
+        |              row_number() OVER (PARTITION BY d.qid
+        |                ORDER BY round(10000 * d.dot / (qn.nrm * nn.nrm), 0) DESC,
+        |                         d.nid) AS rnk
+        |       FROM dots d JOIN nrm qn ON qn.vec_id = d.qid
+        |                   JOIN nrm nn ON nn.vec_id = d.nid),
+        |cand AS (SELECT qid, nid, rel FROM c0 WHERE rnk <= 12),
+        |pd AS (SELECT c1.qid, c1.nid AS cid, c2.nid AS oid,
+        |              list_reduce(list(x.v*y.v ORDER BY x.i), (a,b) -> a+b) AS dot
+        |       FROM cand c1 JOIN cand c2
+        |         ON c2.qid = c1.qid AND c2.nid <> c1.nid
+        |       JOIN u x ON x.vec_id = c1.nid
+        |       JOIN u y ON y.vec_id = c2.nid AND y.i = x.i
+        |       GROUP BY 1, 2, 3),
+        |pairs AS (SELECT pd.qid, pd.cid, pd.oid,
+        |                 CAST(round(10000 * pd.dot / (na.nrm * nb.nrm), 0) AS BIGINT)
+        |                   AS sim
+        |          FROM pd JOIN nrm na ON na.vec_id = pd.cid
+        |                  JOIN nrm nb ON nb.vec_id = pd.oid),
+        |""".stripMargin + mmrOracleSteps(4) + "\n" +
+      """SELECT qid AS query_id, nid AS neighbor_id,
+        |       CAST(step AS BIGINT) AS mmr_step, obj AS objective
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        |ORDER BY query_id, mmr_step""".stripMargin),
     "q_recursive_bfs" ->
       // DuckDB runs the identical recursive text (depth cast pinned to
       // BIGINT by the house integer rule)

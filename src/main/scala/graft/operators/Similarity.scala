@@ -1102,4 +1102,72 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"), col("max_cosine"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * diversity-aware serving: from each query's relevance-ranked
+    * shortlist, greedily pick items maximizing
+    * `λ·rel − (1−λ)·max-sim-to-already-picked`; at λ = ½ the ordering is
+    * exactly `rel − maxsim`, kept here as pure int64 (similarities in
+    * 10⁻⁴ cosine units), so every pick is a deterministic integer argmax
+    * with an id tie-break. This is the serving-side answer to the
+    * near-dup problem the dedup family measures: a top-k full of
+    * one document's variants carries one document of information.
+    *
+    * Scale shape: the DISTRIBUTED work is the shortlist build (brute
+    * per-query scores + a per-query rank window — swap in any verified
+    * ANN chain at scale) and the shortlist² pairwise similarities; the
+    * greedy loop itself runs on the driver over nq·s² COLLECTED integers
+    * — bounded by contract (s = `shortlist`), the Lloyd's/BPE
+    * bounded-global-decision pattern: each pick IS a global decision
+    * over a tiny frame, and unrolling it as k distributed joins would
+    * grow a 3^k lineage for no data-parallel gain.
+    */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, shortlist: Int = 12,
+      k: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist/$k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = prepared(emb, idCol, embCol)
+    val q = prepared(queries, idCol, embCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = Dedup.cached(q.join(n, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 10000, 0)
+          .cast("long").as("rel"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))))
+      .filter(col("rnk") <= shortlist).drop("rnk"))
+    val withV = cand.join(
+      n.select(col("id").as("nid"), col("v"), col("nrm")), Seq("nid"))
+    val pairs = withV.as("x").join(withV.as("y"),
+        col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
+      .select(col("x.qid").as("qid"), col("x.nid").as("cid"),
+        col("y.nid").as("oid"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) * 10000, 0)
+          .cast("long").as("sim"))
+    val cs = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sims = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    cs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, rows) =>
+      var rem = rows.map(c => (c._2, c._3)).toVector
+      var sel = List.empty[Long]
+      var step = 1L
+      while (step <= k && rem.nonEmpty) {
+        val scored = rem.map { case (nid, rel) =>
+          val obj =
+            if (sel.isEmpty) rel
+            else rel - sel.map(o => sims((qid, nid, o))).max
+          (nid, obj)
+        }
+        val best = scored.minBy { case (nid, obj) => (-obj, nid) }
+        out += ((qid, best._1, step, best._2))
+        sel = best._1 :: sel
+        rem = rem.filterNot(_._1 == best._1)
+        step += 1
+      }
+    }
+    out.toSeq.toDF("query_id", "neighbor_id", "mmr_step", "objective")
+  }
 }

@@ -3041,6 +3041,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(att == Map("ad" -> 1L, "search" -> 1L, "purchase" -> 1L), att.toString)
   }
 
+  test("mmr rerank: second pick crosses to the other cluster") {
+    import spark.implicits._
+    // cluster A hugs [1,0] (ids 1-4), cluster B hugs [0,1] (ids 5-6);
+    // the query leans A — pure relevance would fill the list with A
+    // variants, MMR's second pick must cross to B
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.02f)),
+      (3L, Seq(0.998f, 0.03f)), (4L, Seq(0.997f, 0.04f)),
+      (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.02f, 0.999f)),
+      (100L, Seq(1.0f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(vecs,
+        vecs.filter(col("vec_id") === 100L), shortlist = 6, k = 3)
+      .orderBy(col("mmr_step")).collect()
+      .map(r => (r.getLong(2), r.getLong(1)))
+    assert(Set(1L, 2L, 3L, 4L).contains(picks(0)._2), picks.mkString(","))
+    assert(Set(5L, 6L).contains(picks(1)._2),
+      s"second pick must diversify: ${picks.mkString(",")}")
+    // third pick returns to A (B is now covered)
+    assert(Set(1L, 2L, 3L, 4L).contains(picks(2)._2), picks.mkString(","))
+  }
+
   test("time-weighted avg: bursts don't over-weight; plain avg disagrees") {
     import spark.implicits._
     // value 100 held for 9 s, then a 1 s burst of ten 0-valued samples:

@@ -1943,6 +1943,11 @@ object SparkEntry {
       // keyword-stuffed/templated text that never literally repeats an
       // n-gram — 6-dp-fenced lns, decimal-summed terms, edge rounding
       TextAnalysis.entropyStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_readability" -> ((s, dir) =>
+      // Flesch reading ease in milli-points — three row-local counts +
+      // integer floor-div formula, zero exchanges
+      TextAnalysis.readability(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "text_zipf_fit" -> ((s, dir) =>
       // Zipf slope of the corpus rank–frequency curve: one map-side-
       // combined token count + a 500-row take-ordered head; regression
@@ -4819,6 +4824,20 @@ object SparkEntry {
         |       ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)/MAX(n), 6)+0.0
         |         AS entropy
         |FROM tm GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """SELECT doc_id,
+        |       greatest(len(string_split(lower(text), ' ')), 1) AS n_words,
+        |       greatest(len(regexp_extract_all(lower(text), '[.!?]')), 1)
+        |         AS n_sentences,
+        |       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |         AS n_syllables,
+        |       206835
+        |         - (1015 * greatest(len(string_split(lower(text), ' ')), 1))
+        |           // greatest(len(regexp_extract_all(lower(text), '[.!?]')), 1)
+        |         - (84600 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+        |           // greatest(len(string_split(lower(text), ' ')), 1)
+        |         AS flesch_m3
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_zipf_fit" ->
       // identical bounded regression: ln of exact integers fenced at 8,
       // products at 12, all four sums in DECIMAL(38,12) (order-free),

@@ -1383,6 +1383,33 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
   }
 
+  /** Readability scoring — the Flesch reading-ease formula (Flesch 1948;
+    * public psycholinguistics) in ALL-INTEGER milli-point arithmetic:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` scaled
+    * ×1000 with floor-divs, so the score is a pure int64 function of
+    * three row-local counts. Syllables are the standard vowel-group
+    * heuristic (runs of `[aeiouy]+` per token); sentences count
+    * terminal punctuation with a floor of 1. Training pipelines use the
+    * band as a quality/audience feature next to [[qualityScore]] —
+    * wildly negative scores flag run-on garbage, very high ones flag
+    * telegraphic fragments. Entirely row-local: zero exchanges.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lower = org.apache.spark.sql.functions.lower(col(textCol))
+    val words = greatest(size(split(lower, " ")).cast("long"), lit(1L))
+    val sentences = greatest(
+      size(regexp_extract_all(lower, lit("[.!?]"), lit(0))).cast("long"), lit(1L))
+    val syllables = size(regexp_extract_all(lower, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.select(col(idCol),
+      words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"))
+      .withColumn("flesch_m3",
+        lit(206835L) - expr("(1015 * n_words) DIV n_sentences") -
+          expr("(84600 * n_syllables) DIV n_words"))
+  }
+
   /** Zipf's-law fit over the corpus token-frequency distribution (Zipf
     * 1949; the log–log rank-frequency regression every corpus datasheet
     * reports): slope ≈ −1 signals natural language, a flat slope signals

@@ -3041,6 +3041,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(att == Map("ad" -> 1L, "search" -> 1L, "purchase" -> 1L), att.toString)
   }
 
+  test("readability: hand Flesch; sentence floor guards fragments") {
+    import spark.implicits._
+    // "see spot run." → 3 words, 1 sentence, 3 syllable groups ("ee",
+    // "o", "u"): 206835 − 1015·3 − 84600·3/3 = 119190
+    val docs = Seq((1L, "see spot run."), (2L, "no terminal punctuation"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(r(1L) == ((3L, 1L, 3L, 119190L)), r.toString)
+    // sentence floor of 1: no [.!?] must not divide by zero
+    assert(r(2L)._2 == 1L, r.toString)
+  }
+
   test("mmr rerank: second pick crosses to the other cluster") {
     import spark.implicits._
     // cluster A hugs [1,0] (ids 1-4), cluster B hugs [0,1] (ids 5-6);

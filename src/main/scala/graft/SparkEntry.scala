@@ -1432,6 +1432,18 @@ object SparkEntry {
         .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
         .limit(100)
     }),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank from part 0 over the order—part incidence
+      // graph: the random-walk-with-restart proximity ranking — same
+      // fenced iteration as q_pagerank, teleport mass pinned to the seed
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.personalizedPageRank(edges, seed = 1000000000L, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(50)
+    }),
     "q_kcore" -> ((s, dir) => {
       // k-core of the part co-occurrence graph by synchronous peeling:
       // k=80 cascades for 5 rounds on this fixture (108821 → 105232
@@ -2354,6 +2366,34 @@ object SparkEntry {
        |${iter("r0", "r1")},
        |${iter("r1", "r2")},
        |${iter("r2", "r3")}
+       |""".stripMargin
+  }
+
+  /** DuckDB CTE chain unrolling
+    * [[graft.operators.Graph.personalizedPageRank]]: contributions with
+    * the identical ROUND/DECIMAL fences, then the union-agg that adds
+    * the 0.15 restart mass on the seed. Expects `e0(a, b)`; emits
+    * `pr0..pr{iters}`.
+    */
+  private def pprOracleIters(seed: Long, iters: Int): String = {
+    def iter(prev: String, c: String, out: String): String =
+      s"""$c AS (
+         |  SELECT e.dst AS node,
+         |         ROUND(0.85 * CAST(SUM(CAST(ROUND($prev.r/deg.deg, 14)
+         |               AS DECIMAL(28,14))) AS DOUBLE), 12) AS r
+         |  FROM e JOIN $prev ON $prev.node = e.src
+         |         JOIN deg ON deg.src = e.src
+         |  GROUP BY 1),
+         |$out AS (
+         |  SELECT node, ROUND(CAST(SUM(CAST(r AS DECIMAL(28,14))) AS DOUBLE), 12) AS r
+         |  FROM (SELECT * FROM $c UNION ALL
+         |        SELECT src AS node, 0.15 AS r FROM deg WHERE src = $seed)
+         |  GROUP BY 1)""".stripMargin
+    s"""e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |pr0 AS (SELECT src AS node, 1.0 AS r FROM deg WHERE src = $seed),
+       |${(1 to iters).map(i => iter(s"pr${i - 1}", s"c$i", s"pr$i")).mkString(",\n")}
        |""".stripMargin
   }
 
@@ -4097,6 +4137,12 @@ object SparkEntry {
         |            (du.d + dv.d - cn.n_common) AS BIGINT) AS jaccard_ppm
         |FROM cn JOIN deg du ON du.n = cn.u JOIN deg dv ON dv.n = cn.v
         |ORDER BY jaccard_ppm DESC, u, v LIMIT 100""".stripMargin,
+    "q_ppr" -> (
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
+        |""".stripMargin + pprOracleIters(seed = 1000000000L, iters = 3) +
+      """SELECT node, r AS rank FROM pr3
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin),
     "q_kcore" -> (
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS MATERIALIZED (

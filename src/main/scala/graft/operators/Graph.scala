@@ -67,6 +67,45 @@ object Graph {
     r.select(col("node"), col("r").as("rank"))
   }
 
+  /** Personalized PageRank (Haveliwala 2002; the random-walk-with-restart
+    * similarity behind graph recommendations): identical iteration shape
+    * to [[pageRank]] — one edge-keyed join + one decimal-fenced
+    * map-side-combined agg per round — but ALL teleport mass restarts at
+    * `seed`, so ranks measure proximity to the seed instead of global
+    * centrality. Nodes never reached carry no row (sparse by nature —
+    * the output is seed-local). Same determinism fencing: rounded
+    * contributions summed in DECIMAL, fixed-order IEEE update, no
+    * driver-formatted literals beyond the seed id itself (an input).
+    */
+  def personalizedPageRank(edges: DataFrame, seed: Long, iters: Int = 3,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = Dedup.cached(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val ed = Dedup.cached(e.join(deg, Seq("src")))
+    var r = deg.filter(col("src") === seed)
+      .select(col("src").as("node"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), round(col("r") / col("deg"), 14).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(28, 14))).as("s"))
+        .select(col("dst").as("node"),
+          round(lit(0.85) * col("s").cast("double"), 12).as("r"))
+      // the restart mass lands ONLY on the seed: add 0.15 there (the
+      // seed may be absent from contribs — a FULL OUTER-free union +
+      // agg keeps the plan one exchange)
+      r = contribs
+        .unionAll(deg.filter(col("src") === seed)
+          .select(col("src").as("node"), lit(0.15).as("r")))
+        .groupBy(col("node"))
+        .agg(round(sum(col("r").cast(DecimalType(28, 14))).cast("double"), 12)
+          .as("r"))
+    }
+    r.select(col("node"), col("r").as("rank"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORIENTED wedge closing (Cohen,
     * "Graph Twiddling in a MapReduce World", 2009 / the Schank–Wagner
     * orientation): canonicalize the undirected edge list, orient every

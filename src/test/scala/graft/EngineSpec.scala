@@ -3055,6 +3055,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L)._2 == 1L, r.toString)
   }
 
+  test("personalized pagerank: restart mass makes ranks seed-asymmetric") {
+    import spark.implicits._
+    // path 1—2—3 with seed 1: globally the graph is symmetric in 1 and 3,
+    // but the restart pins probability near the seed — node 1 must
+    // strictly outrank its mirror node 3
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.personalizedPageRank(path, seed = 1L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(3L), r.toString)
+    assert(math.abs(r(1L) - 0.2041875) < 1e-9, r.toString) // hand-computed
+    assert(r.values.sum <= 1.0 + 1e-9, r.toString)         // walk mass bound
+  }
+
   test("mmr rerank: second pick crosses to the other cluster") {
     import spark.implicits._
     // cluster A hugs [1,0] (ids 1-4), cluster B hugs [0,1] (ids 5-6);

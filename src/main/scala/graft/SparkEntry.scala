@@ -1432,6 +1432,19 @@ object SparkEntry {
         .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
         .limit(100)
     }),
+    "q_label_propagation" -> ((s, dir) => {
+      // LPA communities over the order—part incidence graph, 3 sync
+      // rounds with the deterministic min-label tie-break; emitted as
+      // the community census (top 50 by size)
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.labelPropagation(edges, rounds = 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label"))
+        .limit(50)
+    }),
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank from part 0 over the order—part incidence
       // graph: the random-walk-with-restart proximity ranking — same
@@ -4137,6 +4150,25 @@ object SparkEntry {
         |            (du.d + dv.d - cn.n_common) AS BIGINT) AS jaccard_ppm
         |FROM cn JOIN deg du ON du.n = cn.u JOIN deg dv ON dv.n = cn.v
         |ORDER BY jaccard_ppm DESC, u, v LIMIT 100""".stripMargin,
+    "q_label_propagation" -> (
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
+        |adj AS MATERIALIZED (SELECT a AS n, b AS m FROM e0
+        |       UNION ALL SELECT b AS n, a AS m FROM e0),
+        |l0 AS (SELECT DISTINCT n, n AS label FROM adj),
+        |""".stripMargin +
+      (1 to 3).map { i =>
+        s"""c$i AS (SELECT adj.n, l.label, COUNT(*) AS cnt
+           |       FROM adj JOIN l${i - 1} l ON l.n = adj.m
+           |       GROUP BY 1, 2),
+           |r$i AS (SELECT n, label,
+           |              row_number() OVER (PARTITION BY n
+           |                ORDER BY cnt DESC, label) AS rn
+           |       FROM c$i),
+           |l$i AS MATERIALIZED (SELECT n, label FROM r$i WHERE rn = 1)""".stripMargin
+      }.mkString(",\n") + "\n" +
+      """SELECT label, COUNT(*) AS n_members FROM l3
+        |GROUP BY 1 ORDER BY n_members DESC, label LIMIT 50""".stripMargin),
     "q_ppr" -> (
       """WITH e0 AS (
         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),

@@ -165,6 +165,48 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Label-propagation community detection (Raghavan, Albert & Kumara
+    * 2007) — synchronous variant with a DETERMINISTIC tie-break: every
+    * node starts as its own label; each round it adopts the label most
+    * frequent among its neighbors (ties → smallest label, the
+    * engine-portable substitute for the paper's random choice). `rounds`
+    * pins the pass count so the oracle replays it; sync LPA can
+    * oscillate on bipartite structure, which fixed rounds + the pinned
+    * tie-break make reproducible rather than flaky.
+    *
+    * Shape per round: one edge-keyed join (labels onto neighbors) + one
+    * map-side-combined (node, label) count + one struct-argmax per node
+    * — all O(|E|) keyed exchanges, AQE-splittable. Each round references
+    * the previous labels ONCE, so lineage grows linearly — but
+    * `localCheckpoint` still cuts per round ([[kCore]]'s discipline)
+    * because optimizer time over a rounds-deep join chain is pure waste
+    * when each round's output is task-trivial to hold.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("n"), col("a").as("m")))
+      .localCheckpoint()
+    var labels = adj.select(col("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("n").as("m"), col("label")), Seq("m"))
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("n"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("top"))
+        .select(col("n"), (-col("top.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** k-core decomposition by synchronous peeling (Seidman 1983; the
     * Batagelj–Zaveršnik peel expressed as fixed-round distributed
     * passes): each round drops every node whose CURRENT degree is < k,

@@ -3055,6 +3055,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L)._2 == 1L, r.toString)
   }
 
+  test("label propagation: two cliques bridge-separated; tie-break deterministic") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {7,8,9} joined by one bridge 3—7: LPA
+    // must settle each triangle on its own min label without bleeding
+    // across the bridge
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L), (8L, 9L), (7L, 9L),
+      (3L, 7L)).toDF("a", "b")
+    val l = Graph.labelPropagation(g, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l(1L) == l(2L) && l(2L) == l(3L), l.toString)
+    assert(l(7L) == l(8L) && l(8L) == l(9L), l.toString)
+    assert(l(1L) != l(7L), s"bridge must not merge the cliques: $l")
+  }
+
   test("personalized pagerank: restart mass makes ranks seed-asymmetric") {
     import spark.implicits._
     // path 1—2—3 with seed 1: globally the graph is symmetric in 1 and 3,

@@ -1741,6 +1741,32 @@ object SparkEntry {
       // no float compare can straddle an engine boundary
       Hygiene.madOutliers(t(s, dir, "events"), "event_type", "value")
         .orderBy(col("event_type"))),
+    "q_anomaly_flags" -> ((s, dir) => {
+      // leak-free anomaly screen: each point is judged against the
+      // PREVIOUS row's EWMA (a forecast from strictly-past data), and
+      // the alert threshold is the Hampel 3·MAD rule over the residual
+      // distribution in doubled-integer algebra — ewmaSmooth ∘ lag ∘
+      // madOutliers' test, three verified pieces composed
+      val e = Temporal.ewmaSmooth(
+        Temporal.eventsMicros(s, dir).filter(col("user_id") % 20 === 0))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val res = e.withColumn("pred", lag(col("ewma_u6"), 1).over(w))
+        .filter(col("pred").isNotNull)
+        .select((col("value_u6") - col("pred")).as("r"))
+      val med = res.agg(
+        (expr("percentile(r, 0.5)") * 2).cast("long").as("med2")).collect()
+        .head.getLong(0)
+      val d = res.select(col("r"), abs(col("r") * 2 - med).as("d"))
+      val dmed = d.agg(
+        (expr("percentile(d, 0.5)") * 2).cast("long").as("dmed2")).collect()
+        .head.getLong(0)
+      d.agg(count(lit(1)).as("n_scored"),
+        sum(when(col("d") * 2 > lit(dmed) * 3, 1L).otherwise(0L))
+          .as("n_flagged"))
+        .select(col("n_scored"), col("n_flagged"),
+          lit(med).as("med2"), lit(dmed).as("dmed2"))
+    }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 dimension build: per-user event_type runs compressed to
       // validity intervals with version numbers and an is_current flag —
@@ -4473,6 +4499,34 @@ object SparkEntry {
         |            AS BIGINT) AS n_outliers
         |FROM d JOIN dm ON dm.k = d.k
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_anomaly_flags" ->
+      // the q_ewma fold + a strictly-past lag forecast + the doubled-
+      // median Hampel test — exact-integer medians survive negatives
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS value_u6
+        |           FROM events WHERE user_id % 20 = 0),
+        |l AS (SELECT user_id, ts_us, event_id, value_u6,
+        |             list(value_u6) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |      FROM e),
+        |w AS (SELECT user_id, ts_us, event_id, value_u6,
+        |             list_reduce(lst,
+        |               (acc, x) -> CAST(floor((acc * 3 + x) / 4) AS BIGINT))
+        |               AS ewma_u6
+        |      FROM l),
+        |p AS (SELECT value_u6, lag(ewma_u6) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS pred FROM w),
+        |res AS (SELECT value_u6 - pred AS r FROM p WHERE pred IS NOT NULL),
+        |m AS (SELECT CAST(median(r) * 2 AS BIGINT) AS med2 FROM res),
+        |d AS (SELECT r, abs(r * 2 - (SELECT med2 FROM m)) AS d FROM res),
+        |dm AS (SELECT CAST(median(d) * 2 AS BIGINT) AS dmed2 FROM d)
+        |SELECT COUNT(*) AS n_scored,
+        |       CAST(SUM(CASE WHEN d.d * 2 > (SELECT dmed2 FROM dm) * 3
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       (SELECT med2 FROM m) AS med2,
+        |       (SELECT dmed2 FROM dm) AS dmed2
+        |FROM d""".stripMargin,
     "q_scd2" ->
       // the identical change-detect → version → close-bound window chain;
       // row_number cast to BIGINT per the house integer discipline

@@ -3184,6 +3184,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fz.toSeq == Seq((1L, 2L, 1L)), fz.mkString(","))
   }
 
+  test("ewma stream: tail-carry makes any ordered split equal the batch fold") {
+    import spark.implicits._
+    import graft.streaming.EwmaStream
+    val rnd = new scala.util.Random(31)
+    val all = (1L to 4L).flatMap { k =>
+      (0 until 20).map(i => (k, 1000L * (i + 1), k * 100 + i,
+        rnd.nextDouble() * 100))
+    }
+    val expect = Temporal.ewmaSmooth(
+        all.toDF("user_id", "ts_us", "event_id", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    for (nBatches <- Seq(1, 3, 5)) {
+      val store = new EwmaStream.SmoothStore(spark, "user_id", "ts_us",
+        "event_id", "value")
+      val sorted = all.sortBy(e => (e._2, e._3))
+      val per = math.ceil(sorted.size.toDouble / nBatches).toInt
+      sorted.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("user_id", "ts_us", "event_id", "value"),
+          i.toLong)
+      }
+      val got = store.scored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"nBatches=$nBatches: " +
+        s"diff=${(expect.toSet -- got.toSet).take(3)} / ${(got.toSet -- expect.toSet).take(3)}")
+      assert(!store.merge(all.toDF("user_id", "ts_us", "event_id", "value"), 0L))
+    }
+  }
+
   test("transitions stream: any ordered batch split equals the batch operator") {
     import spark.implicits._
     import graft.streaming.TransitionsStream

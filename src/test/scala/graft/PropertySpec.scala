@@ -592,6 +592,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kcore at fixpoint: every survivor keeps >= k neighbors, removed nodes don't") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val g = edges.toDF("a", "b")
+      val core = Graph.kCore(g, k = 3, rounds = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // at fixpoint the k-core property holds: every surviving node has
+      // >= k neighbors INSIDE the surviving set
+      assert(core.values.forall(_ >= 3L), s"trial $trial: $core")
+      // and the survivor set is consistent: recomputing degrees over the
+      // induced subgraph reproduces core_deg exactly
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      val induced = und.filter(e => core.contains(e._1) && core.contains(e._2))
+      val degs = induced.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+      assert(core == degs, s"trial $trial: core=$core degs=$degs")
+    }
+  }
+
   test("cms join-size estimate: always an upper bound; exact when collision-free") {
     import spark.implicits._
     import graft.operators.Joins

@@ -1571,6 +1571,38 @@ object SparkEntry {
           t(s, dir, "events").filter(col("event_id") % 20 === 0),
           "event_type", "value", "event_id")
         .orderBy(col("event_id"))),
+    "q_rfm_scores" -> ((s, dir) => {
+      // RFM segmentation (the classic CRM scoring): per customer,
+      // recency days from the corpus max date (one-row bounds agg),
+      // order frequency, monetary total in cents — each bucketed 1-4 by
+      // rank-exact sketch quartiles broadcast row-local (the equi-depth
+      // discipline; never a corpus-ordered ntile window); rfm_code
+      // summarizes, emitted as the segment census
+      val o = t(s, dir, "orders")
+      val bounds = o.agg(max(col("o_orderdate")).as("max_d"))
+      val cust = o.crossJoin(broadcast(bounds))
+        .groupBy(col("o_custkey"))
+        .agg(min(datediff(col("max_d"), col("o_orderdate"))).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_c"))
+      val edges = cust.agg(
+        expr("approx_percentile(recency_days, array(0.25D,0.5D,0.75D), 1000000)").as("re"),
+        expr("approx_percentile(frequency,    array(0.25D,0.5D,0.75D), 1000000)").as("fe"),
+        expr("approx_percentile(monetary_c,   array(0.25D,0.5D,0.75D), 1000000)").as("me"))
+      def bucket(c: Column, e: Column): Column =
+        when(c <= element_at(e, 1), 1L).when(c <= element_at(e, 2), 2L)
+          .when(c <= element_at(e, 3), 3L).otherwise(4L)
+      cust.crossJoin(broadcast(edges))
+        .select(
+          // low recency_days = GOOD → invert the bucket for the R score
+          (lit(5L) - bucket(col("recency_days"), col("re"))).as("r_score"),
+          bucket(col("frequency"), col("fe")).as("f_score"),
+          bucket(col("monetary_c"), col("me")).as("m_score"))
+        .select((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_code"))
+        .groupBy(col("rfm_code")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("rfm_code"))
+    }),
     "q_attribution" -> ((s, dir) => {
       // first-touch conversion attribution: sessions from the shared
       // gap-flag chain (one exchange + sort), the session's first event
@@ -4277,6 +4309,35 @@ object SparkEntry {
         |            ELSE NULL END AS loo_u6
         |FROM v JOIN g ON g.event_type = v.event_type
         |ORDER BY v.event_id""".stripMargin,
+    "q_rfm_scores" ->
+      // identical bounds agg + rank-exact quartile edges + bucket rules;
+      // date_diff('day') ≡ Spark's date-truncated datediff
+      """WITH b AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+        |c AS (SELECT o_custkey,
+        |             MIN(date_diff('day', o_orderdate, (SELECT max_d FROM b)))
+        |               AS recency_days,
+        |             COUNT(*) AS frequency,
+        |             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |               AS BIGINT) AS monetary_c
+        |      FROM orders GROUP BY 1),
+        |e AS (SELECT quantile_disc(recency_days, [0.25, 0.5, 0.75]) AS re,
+        |             quantile_disc(frequency,    [0.25, 0.5, 0.75]) AS fe,
+        |             quantile_disc(monetary_c,   [0.25, 0.5, 0.75]) AS me
+        |      FROM c),
+        |s AS (SELECT
+        |        5 - (CASE WHEN recency_days <= re[1] THEN 1
+        |                  WHEN recency_days <= re[2] THEN 2
+        |                  WHEN recency_days <= re[3] THEN 3 ELSE 4 END) AS r_score,
+        |        CASE WHEN frequency <= fe[1] THEN 1
+        |             WHEN frequency <= fe[2] THEN 2
+        |             WHEN frequency <= fe[3] THEN 3 ELSE 4 END AS f_score,
+        |        CASE WHEN monetary_c <= me[1] THEN 1
+        |             WHEN monetary_c <= me[2] THEN 2
+        |             WHEN monetary_c <= me[3] THEN 3 ELSE 4 END AS m_score
+        |      FROM c CROSS JOIN e)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code,
+        |       COUNT(*) AS n_customers
+        |FROM s GROUP BY 1 ORDER BY rfm_code""".stripMargin,
     "q_attribution" ->
       // identical gap-flag → running-sum session chain; DuckDB's ordered
       // first() is the struct-min's (ts, id) order

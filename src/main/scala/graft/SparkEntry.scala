@@ -1721,6 +1721,27 @@ object SparkEntry {
         e.filter(col("user_id") % 5 === 0),
         "user_id", width = 256, depth = 3)
     }),
+    "dedup_rate_by_source" -> ((s, dir) => {
+      // the dedup DASHBOARD cut: duplicate mass per source over the
+      // planted-twin corpus (the leakage-audit surface) — per source:
+      // docs, docs whose normalized key repeats anywhere, integer ppm;
+      // the number that tells you WHICH feed to fix
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val keyed = docs.select(col("doc_id"), col("source"),
+        Dedup.normalizedKey(col("text")).as("k"))
+      val groups = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      keyed.join(groups, Seq("k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          expr("CAST((n_dup_docs * 1000000) DIV n_docs AS BIGINT)")
+            .as("dup_ppm"))
+        .orderBy(col("source"))
+    }),
     "q_delete_closure" -> ((s, dir) => {
       // deletion-closure audit: a right-to-be-forgotten delete that
       // removes only the named doc leaves its near-twins serving the
@@ -4509,6 +4530,25 @@ object SparkEntry {
         |       (SELECT MIN(e) FROM e) AS cms_estimate,
         |       (SELECT MIN(e) FROM e) >= x.exact_size AS upper_bound_holds
         |FROM x""".stripMargin,
+    "dedup_rate_by_source" ->
+      """WITH v AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |kk AS (SELECT doc_id, source,
+        |              md5(nfc_normalize(regexp_replace(trim(lower(text)),
+        |                '[ \t\n\r]+', ' ', 'g'))) AS k
+        |       FROM v),
+        |g AS (SELECT k, COUNT(*) AS n FROM kk GROUP BY 1)
+        |SELECT kk.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN g.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_docs,
+        |       CAST((CAST(SUM(CASE WHEN g.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |             * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM kk JOIN g ON g.k = kk.k
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     "q_delete_closure" ->
       """WITH v AS (
         |  SELECT doc_id,

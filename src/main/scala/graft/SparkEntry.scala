@@ -1769,10 +1769,14 @@ object SparkEntry {
       // as JSONL and read back through the corrupt-lane reader must
       // round-trip EVERY row losslessly (the oracle computes the same
       // integrity row straight from parquet — any lossy line breaks the
-      // hash); deterministic /tmp path, overwrite-idempotent
+      // hash); per-PROCESS scratch path (pid-keyed, overwrite-idempotent
+      // across this JVM's iterations) so concurrent harness runs on one
+      // machine — bench + verify, parallel CI checkouts — cannot race on
+      // a shared fixed path
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
-      val path = "/tmp/graft_jsonl_roundtrip"
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_jsonl_roundtrip_${ProcessHandle.current().pid()}"
       docs.write.mode("overwrite").json(path)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", "long").add("text", "string").add("lang", "string")

@@ -245,20 +245,46 @@ object Hygiene {
     * per-column pruned scans are cheaper than a 4× row explosion.
     * These are exactly the stats a CBO join-reorder / broadcast decision
     * wants, and the drift numbers a pipeline compares between dumps.
+    *
+    * The exact-NDV groupBy plan is right when NDV ≪ N (enum-ish columns:
+    * flags, languages, sources). On a NEAR-UNIQUE column (a key: NDV ≈ N)
+    * the exchange moves the whole table — list such columns in
+    * `approxCols` and they take the APPROX lane instead: a single-row
+    * `approx_count_distinct` agg (HyperLogLog++, the same sketch family
+    * verified in the `text_hll_distinct` row), whose exchange is one
+    * sketch per task regardless of cardinality. `ndv` is then the HLL
+    * estimate (±~2.3%); every other stat stays exact. Sums are
+    * `coalesce`d to 0 so an EMPTY table profiles as zeros, matching
+    * `COUNT(*)` semantics, instead of null-over-zero-groups.
     */
-  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def tableProfile(df: DataFrame, cols: Seq[String],
+      approxCols: Set[String] = Set.empty): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    def one(c: String): DataFrame =
+    require(approxCols.subsetOf(cols.toSet),
+      s"approxCols not in cols: ${approxCols.diff(cols.toSet).mkString(",")}")
+    def exactOne(c: String): DataFrame =
       df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         .agg(
-          sum(col("cnt")).as("n_rows"),
-          sum(when(col(c).isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("cnt")).otherwise(0L)), lit(0L))
+            .as("n_nulls"),
           count(when(col(c).isNotNull, lit(1))).as("ndv"),
           min(col(c)).cast("string").as("min_value"),
           max(col(c)).cast("string").as("max_value"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
           col("ndv"), col("min_value"), col("max_value"))
-    cols.map(one).reduce(_ unionAll _)
+    def approxOne(c: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_nulls"),
+        approx_count_distinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_value"), col("max_value"))
+    cols.map(c => if (approxCols(c)) approxOne(c) else exactOne(c))
+      .reduce(_ unionAll _)
   }
 
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002

@@ -59,8 +59,17 @@ object EwmaStream {
       if (batchId <= lastBatch) return false
       val tail = tailRef.get()
       val b = batch.select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      // duplicate-delivery guard: a triple already held in the tail (or
+      // repeated within the batch) must not multiply output rows — dedup
+      // the union on the key triple, struct-max preferring the TAIL copy,
+      // so a redelivered event is dropped rather than re-scored and the
+      // is_tail re-attach join below stays 1:1
       val combined = tail.withColumn("is_tail", lit(true))
         .unionAll(b.withColumn("is_tail", lit(false)))
+        .groupBy(col(keyCol), col(tsCol), col(tieCol))
+        .agg(max(struct(col("is_tail"), col(valCol))).as("m"))
+        .select(col(keyCol), col(tsCol), col(tieCol),
+          col("m." + valCol).as(valCol), col("m.is_tail").as("is_tail"))
       val scoredAll = Temporal.ewmaSmooth(combined, keyCol, tsCol, tieCol,
         valCol, span)
       // ewmaSmooth drops extra columns; re-attach is_tail by key join

@@ -25,10 +25,14 @@ import org.apache.spark.storage.StorageLevel
   * the batch's first run EXTENDS the open interval when attrs match
   * (SCD2 compresses consecutive equals across the batch boundary too),
   * otherwise closes it at the run's start; versions continue from the
-  * open row's. Late rows (ts before the open interval's start) violate
-  * the ordered-arrival contract and are DROPPED with a counted column
-  * rather than silently rewriting shipped history — the same visible-
-  * policy stance as the multimodal corrupt-payload sentinels.
+  * open row's. Late rows — (ts, tie) at or before the key's LAST FOLDED
+  * event, tracked per key like [[TransitionsStream]]'s last-event table
+  * (not merely before the open interval's start: an open interval
+  * compressed from several equal-attr events starts well before its last
+  * consumed event) — violate the ordered-arrival contract and are
+  * DROPPED with a counted column rather than silently rewriting shipped
+  * history — the same visible-policy stance as the multimodal
+  * corrupt-payload sentinels.
   *
   * State: `open` is one row per live key (key-bounded); `closed` grows
   * with the number of CHANGES — it is the operator's output, not
@@ -61,6 +65,10 @@ object Scd2Stream {
 
     private val closedRef = new AtomicReference[DataFrame](materialize(emptyIntervals))
     private val openRef = new AtomicReference[DataFrame](materialize(emptyIntervals))
+    // per-key high-water mark of the last FOLDED (ts, tie) — the late
+    // guard's anchor (the TransitionsStream lastRef discipline)
+    private val lastSeenRef = new AtomicReference[DataFrame](materialize(
+      Seq.empty[(Long, Long, Long)].toDF(keyCol, "last_ts", "last_tie")))
     @volatile private var lastBatch = -1L
     @volatile private var droppedLate = 0L
 
@@ -78,15 +86,20 @@ object Scd2Stream {
     def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
       if (batchId <= lastBatch) return false
       val open = openRef.get()
-      // late-data policy: a row at or before its key's open-interval
-      // start cannot extend history monotonically — count and drop
+      val lastSeen = lastSeenRef.get()
+      // late-data policy: a row at or before its key's LAST FOLDED
+      // (ts, tie) cannot extend history monotonically — count and drop.
+      // Guarding only on the open interval's start would let a row slip
+      // between an equal-attr-compressed interval's start and the last
+      // event that extended it (fold A@100,A@900 then B@500 must drop).
       val b0 = batch.select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
-        .join(open.select(col(keyCol), col("valid_from_us").as("open_from")),
-          Seq(keyCol), "left")
-      val late = b0.filter(col("open_from").isNotNull && col(tsCol) <= col("open_from"))
-        .count()
-      val b = b0.filter(col("open_from").isNull || col(tsCol) > col("open_from"))
-        .drop("open_from")
+        .join(lastSeen, Seq(keyCol), "left")
+      val isLate = col("last_ts").isNotNull &&
+        (col(tsCol) < col("last_ts") ||
+          (col(tsCol) === col("last_ts") && col(tieCol) <= col("last_tie")))
+      val late = b0.filter(isLate).count()
+      val b = b0.filter(!isLate || col("last_ts").isNull)
+        .drop("last_ts", "last_tie")
       // batch-local runs: the batch operator's change-detect chain
       val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
       val runs = b.withColumn("prev_attr", lag(col(attrCol), 1).over(w))
@@ -128,12 +141,22 @@ object Scd2Stream {
         .unionAll(closedFromOpen)
         .unionAll(intervals.filter(!col("is_current")))
       val newOpen = stillOpen.unionAll(intervals.filter(col("is_current")))
-      val (nc, no) = (materialize(newClosed), materialize(newOpen))
-      val (oc, oo) = (closedRef.get(), openRef.get())
-      closedRef.set(nc); openRef.set(no)
+      // advance the high-water mark: struct-argmax over held ∪ kept rows
+      // (max is idempotent — the TransitionsStream discipline)
+      val newLastSeen = lastSeen
+        .unionAll(b.select(col(keyCol), col(tsCol).as("last_ts"),
+          col(tieCol).as("last_tie")))
+        .groupBy(col(keyCol))
+        .agg(max(struct(col("last_ts"), col("last_tie"))).as("l"))
+        .select(col(keyCol), col("l.last_ts").as("last_ts"),
+          col("l.last_tie").as("last_tie"))
+      val (nc, no, nl) =
+        (materialize(newClosed), materialize(newOpen), materialize(newLastSeen))
+      val (oc, oo, ol) = (closedRef.get(), openRef.get(), lastSeenRef.get())
+      closedRef.set(nc); openRef.set(no); lastSeenRef.set(nl)
       droppedLate += late
       lastBatch = batchId
-      oc.unpersist(); oo.unpersist()
+      oc.unpersist(); oo.unpersist(); ol.unpersist()
       true
     }
   }

@@ -3131,6 +3131,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p("s") == ((3L, 0L, 2L, "a", "b")), p.toString)
   }
 
+  test("table profile: empty table pins zeros; approx lane matches exact on small NDV") {
+    import spark.implicits._
+    // empty input: n_rows/n_nulls must be 0 (COUNT(*) semantics), not
+    // null-over-zero-groups — the DuckDB-oracle parity edge
+    val empty = Seq.empty[(Option[Long], String)].toDF("num", "s")
+    val ep = Hygiene.tableProfile(empty, Seq("num", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(ep == Map("num" -> ((0L, 0L, 0L)), "s" -> ((0L, 0L, 0L))),
+      ep.toString)
+    // approx lane: single-row HLL agg instead of a table-sized exchange
+    // on a near-unique column; at tiny NDV the HLL estimate is exact, so
+    // the full row matches the exact lane
+    val df = Seq((Some(9L), "b"), (Some(10L), "a"), (None, "a"))
+      .toDF("num", "s")
+    val ap = Hygiene.tableProfile(df, Seq("num", "s"), approxCols = Set("num"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(ap("num") == ((3L, 1L, 2L, "9", "10")), ap.toString)
+    assert(ap("s") == ((3L, 0L, 2L, "a", "b")), ap.toString)
+    intercept[IllegalArgumentException] {
+      Hygiene.tableProfile(df, Seq("num"), approxCols = Set("nope"))
+    }
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2
@@ -3281,6 +3307,65 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(store.lateDropped >= 1L)
       assert(store.history.count() == before)
     }
+  }
+
+  test("scd2 stream: a row between a compressed interval's start and the last folded event is late") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    // fold A@100 then A@900 (same attr — the open interval compresses to
+    // valid_from=100); B@500 is BEFORE the last folded event and must be
+    // dropped as late, not close the open interval at 500 and rewrite
+    // shipped history (the open-interval-start guard alone lets it slip)
+    val store = new Scd2Stream.Scd2Store(spark, "user_id", "event_type",
+      "ts_us", "event_id")
+    store.merge(Seq((1L, "A", 100L, 1L), (1L, "A", 900L, 2L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 0L)
+    val before = store.history.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)), r.getBoolean(5))).toSet
+    assert(before == Set((1L, 1L, "A", 100L, None, true)), before.toString)
+    store.merge(Seq((1L, "B", 500L, 3L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 1L)
+    val after = store.history.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)), r.getBoolean(5))).toSet
+    assert(after == before, s"history rewritten: $after")
+    assert(store.lateDropped == 1L)
+    // a genuinely in-order B@950 still closes the interval normally
+    store.merge(Seq((1L, "B", 950L, 4L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 2L)
+    val closed = store.history.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)), r.getBoolean(5))).toSet
+    assert(closed == Set(
+      (1L, 1L, "A", 100L, Some(950L), false),
+      (1L, 2L, "B", 950L, None, true)), closed.toString)
+  }
+
+  test("ewma stream: a redelivered event triple is dropped, not re-scored") {
+    import spark.implicits._
+    import graft.streaming.EwmaStream
+    val store = new EwmaStream.SmoothStore(spark, "user_id", "ts_us",
+      "event_id", "value", span = 4)
+    val b0 = Seq((1L, 100L, 1L, 10.0), (1L, 200L, 2L, 20.0))
+    store.merge(b0.toDF("user_id", "ts_us", "event_id", "value"), 0L)
+    // batch 1 redelivers (1,200,2) — already held in the tail — plus one
+    // new event; the duplicate must neither re-emit nor fan out the
+    // is_tail re-attach join
+    store.merge(Seq((1L, 200L, 2L, 20.0), (1L, 300L, 3L, 30.0))
+      .toDF("user_id", "ts_us", "event_id", "value"), 1L)
+    val got = store.scored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val expect = Temporal.ewmaSmooth(
+        (b0 :+ ((1L, 300L, 3L, 30.0)))
+          .toDF("user_id", "ts_us", "event_id", "value"), "user_id",
+        "ts_us", "event_id", "value", span = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(store.scored.count() == 3L)
+    assert(got == expect, s"got=$got expect=$expect")
   }
 
   test("neighbor jaccard: wedge counts exact; hub cap drops only hub-routed pairs") {

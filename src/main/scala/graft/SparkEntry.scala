@@ -1646,6 +1646,24 @@ object SparkEntry {
           t(s, dir, "embeddings").filter(col("vec_id") < 6),
           shortlist = 12, k = 4)
         .orderBy(col("query_id"), col("mmr_step"))),
+    "ann_mmr_rerank_lsh" -> ((s, dir) => {
+      // MMR's SCALE form: the shortlist is FED from the banded sign-LSH
+      // serving chain (rel = round(score·10⁴) int64) instead of the brute
+      // queries×corpus θ-join — no BroadcastNestedLoopJoin anywhere in
+      // the plan (EngineSpec-pinned); the oracle replays the identical
+      // LSH chain, trim, pair sims, and greedy picks
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      val short = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 12)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score") * 10000, 0).cast("long").as("rel"))
+      Similarity.mmrRerank(emb, q, shortlist = 12, k = 4,
+          candidates = Some(short))
+        .orderBy(col("query_id"), col("mmr_step"))
+    }),
     "q_recursive_bfs" -> ((s, dir) => {
       // WITH RECURSIVE (SQL surface new in Spark 4): BFS frontier
       // expansion over the part co-occurrence graph from the smallest
@@ -2519,28 +2537,31 @@ object SparkEntry {
     * greedy picks: step 1 is the pure-relevance argmax; each later step
     * excludes already-picked ids, computes max-sim-to-picked from the
     * `pairs` CTE, and argmaxes `rel − maxsim` with the id tie-break.
-    * Expects `cand(qid, nid, rel)` and `pairs(qid, cid, oid, sim)`; emits
-    * `s1..s{k}` (qid, nid, step, obj).
+    * Expects `cand(qid, nid, rel)` and `pairs(qid, cid, oid, sim)` —
+    * names overridable so a consumer whose serving chain already binds
+    * `cand` (the banded-LSH CTEs) can feed differently-named frames;
+    * emits `s1..s{k}` (qid, nid, step, obj).
     */
-  private def mmrOracleSteps(k: Int): String = {
+  private def mmrOracleSteps(k: Int, cand: String = "cand",
+      pairs: String = "pairs"): String = {
     val first =
-      """r1 AS (SELECT qid, nid, rel AS obj,
-        |             row_number() OVER (PARTITION BY qid
-        |               ORDER BY rel DESC, nid) AS rn
-        |      FROM cand),
-        |s1 AS (SELECT qid, nid, 1 AS step, obj FROM r1 WHERE rn = 1)""".stripMargin
+      s"""r1 AS (SELECT qid, nid, rel AS obj,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY rel DESC, nid) AS rn
+         |      FROM $cand),
+         |s1 AS (SELECT qid, nid, 1 AS step, obj FROM r1 WHERE rn = 1)""".stripMargin
     val rest = (2 to k).map { j =>
       val selPrev = (1 until j).map(i => s"SELECT qid, nid FROM s$i")
         .mkString(" UNION ALL ")
       s"""sel${j - 1} AS ($selPrev),
          |m$j AS (SELECT p.qid, p.cid AS nid, MAX(p.sim) AS ms
-         |        FROM pairs p JOIN sel${j - 1} s
+         |        FROM $pairs p JOIN sel${j - 1} s
          |          ON s.qid = p.qid AND s.nid = p.oid
          |        GROUP BY 1, 2),
          |r$j AS (SELECT c.qid, c.nid, c.rel - m.ms AS obj,
          |               row_number() OVER (PARTITION BY c.qid
          |                 ORDER BY (c.rel - m.ms) DESC, c.nid) AS rn
-         |        FROM cand c JOIN m$j m ON m.qid = c.qid AND m.nid = c.nid
+         |        FROM $cand c JOIN m$j m ON m.qid = c.qid AND m.nid = c.nid
          |        WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s
          |                          WHERE s.qid = c.qid AND s.nid = c.nid)),
          |s$j AS (SELECT qid, nid, $j AS step, obj FROM r$j WHERE rn = 1)""".stripMargin
@@ -4435,6 +4456,29 @@ object SparkEntry {
         |          FROM pd JOIN nrm na ON na.vec_id = pd.cid
         |                  JOIN nrm nb ON nb.vec_id = pd.oid),
         |""".stripMargin + mmrOracleSteps(4) + "\n" +
+      """SELECT qid AS query_id, nid AS neighbor_id,
+        |       CAST(step AS BIGINT) AS mmr_step, obj AS objective
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        |ORDER BY query_id, mmr_step""".stripMargin),
+    "ann_mmr_rerank_lsh" -> (embCte + lshBandedServeCtes +
+      """,
+        |mcand AS (SELECT query_id AS qid, neighbor_id AS nid,
+        |                 CAST(round(score * 10000, 0) AS BIGINT) AS rel
+        |          FROM rr WHERE rnk <= 12),
+        |mpd AS (SELECT c1.qid, c1.nid AS cid, c2.nid AS oid,
+        |               list_reduce(list(x.v*y.v ORDER BY x.i), (a,b) -> a+b) AS dot
+        |        FROM mcand c1 JOIN mcand c2
+        |          ON c2.qid = c1.qid AND c2.nid <> c1.nid
+        |        JOIN f x ON x.vec_id = c1.nid
+        |        JOIN f y ON y.vec_id = c2.nid AND y.i = x.i
+        |        GROUP BY 1, 2, 3),
+        |mpairs AS (SELECT mpd.qid, mpd.cid, mpd.oid,
+        |                  CAST(round(10000 * mpd.dot / (na.nrm * nb.nrm), 0) AS BIGINT)
+        |                    AS sim
+        |           FROM mpd JOIN nrm na ON na.vec_id = mpd.cid
+        |                    JOIN nrm nb ON nb.vec_id = mpd.oid),
+        |""".stripMargin + mmrOracleSteps(4, "mcand", "mpairs") + "\n" +
       """SELECT qid AS query_id, nid AS neighbor_id,
         |       CAST(step AS BIGINT) AS mmr_step, obj AS objective
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2

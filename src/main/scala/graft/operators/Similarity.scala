@@ -1113,39 +1113,36 @@ object Similarity {
     * near-dup problem the dedup family measures: a top-k full of
     * one document's variants carries one document of information.
     *
-    * Scale shape: the DISTRIBUTED work is the shortlist build (brute
-    * per-query scores + a per-query rank window — swap in any verified
-    * ANN chain at scale) and the shortlist² pairwise similarities; the
-    * greedy loop itself runs on the driver over nq·s² COLLECTED integers
-    * — bounded by contract (s = `shortlist`), the Lloyd's/BPE
-    * bounded-global-decision pattern: each pick IS a global decision
-    * over a tiny frame, and unrolling it as k distributed joins would
-    * grow a 3^k lineage for no data-parallel gain.
+    * Scale shape: the DISTRIBUTED work is the shortlist build and the
+    * shortlist² pairwise similarities; the greedy loop itself runs on
+    * the driver over nq·s² COLLECTED integers — bounded by contract
+    * (s = `shortlist`), the Lloyd's/BPE bounded-global-decision pattern:
+    * each pick IS a global decision over a tiny frame, and unrolling it
+    * as k distributed joins would grow a 3^k lineage for no
+    * data-parallel gain.
+    *
+    * CANDIDATE SOURCE — the scale knob: with `candidates = None` the
+    * shortlist is the brute per-query score of EVERY corpus vector (a
+    * queries×corpus nested-loop θ-join — the 100%-recall oracle
+    * baseline, right only for sampled query sets). At corpus scale pass
+    * `candidates = Some(frame)` with a pre-computed
+    * `(query_id, neighbor_id, rel)` relevance frame from any verified
+    * ANN chain — [[lshTopKBanded]] / [[ivfTopK]] / [[ivfPqTopK]] with
+    * `rel = round(score·10⁴)` — and NO θ-join appears anywhere in the
+    * plan: the frame is trimmed to the top-`shortlist` per query by
+    * (rel desc, id) and only the s² pair scoring (an equi-join on the
+    * query id) touches vectors. Diversity quality of the fed form is
+    * measurable with [[recallAt]] against the brute form's picks.
     */
   def mmrRerank(emb: DataFrame, queries: DataFrame, shortlist: Int = 12,
       k: Int = 4, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist/$k")
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = prepared(emb, idCol, embCol)
-    val q = prepared(queries, idCol, embCol)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val cand = Dedup.cached(q.join(n, col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 10000, 0)
-          .cast("long").as("rel"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))))
-      .filter(col("rnk") <= shortlist).drop("rnk"))
-    val withV = cand.join(
-      n.select(col("id").as("nid"), col("v"), col("nrm")), Seq("nid"))
-    val pairs = withV.as("x").join(withV.as("y"),
-        col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
-      .select(col("x.qid").as("qid"), col("x.nid").as("cid"),
-        col("y.nid").as("oid"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) * 10000, 0)
-          .cast("long").as("sim"))
+    val (cand, pairs) =
+      mmrFrames(emb, queries, shortlist, idCol, embCol, candidates)
     val cs = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val sims = pairs.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
@@ -1169,5 +1166,43 @@ object Similarity {
       }
     }
     out.toSeq.toDF("query_id", "neighbor_id", "mmr_step", "objective")
+  }
+
+  /** [[mmrRerank]]'s two distributed frames, exposed for plan audits:
+    * `cand(qid, nid, rel)` — the per-query shortlist (brute θ-join when
+    * `candidates` is None, a rank-trim of the supplied ANN frame
+    * otherwise) — and `pairs(qid, cid, oid, sim)` — the shortlist²
+    * pairwise similarities, an EQUI-join on qid in both modes.
+    */
+  private[graft] def mmrFrames(
+      emb: DataFrame, queries: DataFrame, shortlist: Int,
+      idCol: String, embCol: String,
+      candidates: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val n = prepared(emb, idCol, embCol)
+    val base = candidates match {
+      case Some(c) =>
+        c.select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
+          col("rel").cast("long").as("rel"))
+      case None =>
+        val q = prepared(queries, idCol, embCol)
+          .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        q.join(n, col("qid") =!= col("id"))
+          .select(col("qid"), col("id").as("nid"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 10000, 0)
+              .cast("long").as("rel"))
+    }
+    val cand = Dedup.cached(base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))))
+      .filter(col("rnk") <= shortlist).drop("rnk"))
+    val withV = cand.join(
+      n.select(col("id").as("nid"), col("v"), col("nrm")), Seq("nid"))
+    val pairs = withV.as("x").join(withV.as("y"),
+        col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
+      .select(col("x.qid").as("qid"), col("x.nid").as("cid"),
+        col("y.nid").as("oid"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) * 10000, 0)
+          .cast("long").as("sim"))
+    (cand, pairs)
   }
 }

@@ -3104,6 +3104,52 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Set(1L, 2L, 3L, 4L).contains(picks(2)._2), picks.mkString(","))
   }
 
+  test("mmr rerank fed candidates: no theta-join in the plan; brute-fed equals brute") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.02f)),
+      (3L, Seq(0.998f, 0.03f)), (4L, Seq(0.997f, 0.04f)),
+      (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.02f, 0.999f)),
+      (100L, Seq(1.0f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 100L)
+    // feeding the brute top-k back through the candidate port must
+    // reproduce the brute picks exactly (same rel units, same trim)
+    val bruteShort = Similarity.bruteForceTopK(vecs, q, k = 6)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score") * 10000, 0).cast("long").as("rel"))
+    val fed = Similarity.mmrRerank(vecs, q, shortlist = 6, k = 3,
+        candidates = Some(bruteShort))
+      .orderBy(col("mmr_step")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = Similarity.mmrRerank(vecs, q, shortlist = 6, k = 3)
+      .orderBy(col("mmr_step")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fed.toSeq == brute.toSeq, s"fed=${fed.toSeq} brute=${brute.toSeq}")
+    // THE SCALE PIN: with an ANN-fed candidate frame, NOTHING in either
+    // distributed stage's lineage may plan a BroadcastNestedLoopJoin —
+    // the LSH shortlist is band-bucket equi-joins, the trim is a rank
+    // window, and the pair sims are an equi-join on qid. (Feeding the
+    // brute top-k would smuggle its θ-join into the lineage — the pin
+    // must ride a chain that is equi-join end to end.)
+    val planes = Similarity.prepared(vecs.filter(col("vec_id") < 3),
+        "vec_id", "embedding")
+      .select(col("id").as("plane_id"), col("v").as("pv"))
+    val lshShort = Similarity.lshTopKBanded(vecs, q, planes, bands = 2, k = 6)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score") * 10000, 0).cast("long").as("rel"))
+    val (fc, fp) = Similarity.mmrFrames(vecs, q, 6, "vec_id", "embedding",
+      Some(lshShort))
+    assert(!fc.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "fed cand plans a θ-join")
+    assert(!fp.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "fed pairs plan a θ-join")
+    val (bc, _) = Similarity.mmrFrames(vecs, q, 6, "vec_id", "embedding", None)
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "brute baseline should be the θ-join (pin the contrast)")
+  }
+
   test("time-weighted avg: bursts don't over-weight; plain avg disagrees") {
     import spark.implicits._
     // value 100 held for 9 s, then a 1 s burst of ten 0-valued samples:

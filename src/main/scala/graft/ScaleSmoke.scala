@@ -488,6 +488,31 @@ object ScaleSmoke {
       println(f"[scale-smoke] median 2pass vs percentile (5M): equal=${m2 == p} " +
         f"2pass=${(t1 - t0) / 1e9}%.1f s percentile=${(t2 - t1) / 1e9}%.1f s")
     }
+    // round-12: grouped Hampel screen with ONE HOT GROUP — 5M events
+    // remapped to 6 groups where one holds ~2.6M rows (the per-domain
+    // web-scale shape). The exact form buffers that group's 2.6M values
+    // inside a single percentile aggregation state ON ONE TASK (twice —
+    // values then deviations); the scalable form's biggest single-task
+    // structure is a ≤4096-row histogram partition regardless of group
+    // size. Equality is asserted, not assumed.
+    if (enabled("mad hot-group")) {
+      val hot = ev5.select(
+        when(col("event_id") % 2 === 0, "hot")
+          .otherwise(concat(lit("g"), col("event_id") % 5)).as("grp"),
+        col("value"))
+      def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val t0 = System.nanoTime()
+      val exact = graft.operators.Hygiene.madOutliers(hot, "grp", "value")
+        .collect().map(key).toMap
+      val t1 = System.nanoTime()
+      val scal = graft.operators.Hygiene
+        .madOutliersScalable(hot, "grp", "value")
+        .collect().map(key).toMap
+      val t2 = System.nanoTime()
+      println(f"[scale-smoke] mad hot-group (5M, hot 2.6M): equal=${exact == scal} " +
+        f"exact=${(t1 - t0) / 1e9}%.1f s scalable=${(t2 - t1) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -1816,6 +1816,13 @@ object SparkEntry {
       // no float compare can straddle an engine boundary
       Hygiene.madOutliers(t(s, dir, "events"), "event_type", "value")
         .orderBy(col("event_type"))),
+    "q_mad_outliers_scalable" -> ((s, dir) =>
+      // the SAME Hampel screen with both keyed medians selected by
+      // distributed histogram narrowing (groupedSelectRanks) — no
+      // aggregation buffer ever holds a group; oracle = the exact
+      // form's SQL, row-for-row
+      Hygiene.madOutliersScalable(t(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))),
     "q_anomaly_flags" -> ((s, dir) => {
       // leak-free anomaly screen: each point is judged against the
       // PREVIOUS row's EWMA (a forecast from strictly-past data), and
@@ -4634,6 +4641,23 @@ object SparkEntry {
       // identical doubled-median integer algebra: med2 = 2·median is an
       // exact integer even when an even-count median interpolates, so
       // the Hampel test 2·|2v − med2| > 3·dmed2 is pure int64
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |           FROM events),
+        |m AS (SELECT k, CAST(median(v) * 2 AS BIGINT) AS med2 FROM v GROUP BY 1),
+        |d AS (SELECT v.k, v.v, m.med2, abs(v.v * 2 - m.med2) AS d
+        |      FROM v JOIN m ON m.k = v.k),
+        |dm AS (SELECT k, CAST(median(d) * 2 AS BIGINT) AS dmed2 FROM d GROUP BY 1)
+        |SELECT d.k AS event_type, COUNT(*) AS n,
+        |       MIN(d.med2) AS med2_u6,
+        |       MIN(dm.dmed2) AS dmed2_u6,
+        |       CAST(SUM(CASE WHEN d.d * 2 > dm.dmed2 * 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN dm ON dm.k = d.k
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_mad_outliers_scalable" ->
+      // the scalable operator's CONTRACT: identical output to the exact
+      // form — the oracle is the exact form's SQL, verbatim
       """WITH v AS (SELECT event_type AS k,
         |                  CAST(round(value * 1000000, 0) AS BIGINT) AS v
         |           FROM events),

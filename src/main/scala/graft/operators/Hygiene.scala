@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators for crawl-scale training pipelines: URL
@@ -230,6 +231,122 @@ object Hygiene {
         else selectRank(k1) + selectRank(k2)
       Seq((n, med2)).toDF("n", "med2_u6")
     } finally v0.unpersist()
+  }
+
+  /** Exact per-(group, rank) order statistics WITHOUT buffering any
+    * group — [[median2Pass]]'s iterated histogram narrowing run for
+    * EVERY (group, rank) unit SIMULTANEOUSLY, with the selection state
+    * kept DISTRIBUTED (one row per unit) instead of on the driver:
+    *
+    *  - `v` is `(k, v)` (long micro-units); `ranks` is one row per
+    *    selection unit `(k, rid, target, lo, hi)` — 0-indexed target
+    *    rank within the group's non-null values, initial range =
+    *    the group's [min, max];
+    *  - each pass joins `v` to the still-active units on the group key
+    *    (the only corpus-sized exchange, map-side-combined into
+    *    ≤ units·binsPerPass histogram rows), walks each unit's
+    *    cumulative bin counts with a bounded window
+    *    (partition = one unit, ≤ binsPerPass rows), and narrows that
+    *    unit's range to the bin holding its rank — a binsPerPass×
+    *    shrink per pass, so ⌈log₄₀₉₆ range⌉ passes total, each pass
+    *    `localCheckpoint`ed (the [[Graph]] lineage-cut discipline);
+    *  - once every unit's range is narrower than `exactThreshold`, one
+    *    final pass groups per VALUE and rank-walks exactly — the window
+    *    partition is bounded by the range width, duplicate-proof the
+    *    same way as [[median2Pass]]'s exact step.
+    *
+    * Nothing here buffers a group: aggregation states are counts, the
+    * widest window partition is min(range width, binsPerPass) rows, and
+    * driver state is zero (the loop condition is a COUNT on the
+    * unit-sized ranges frame). Returns `(k, rid, sel)`.
+    */
+  private[graft] def groupedSelectRanks(v: DataFrame, ranks: DataFrame,
+      binsPerPass: Int = 4096, exactThreshold: Long = 262144L): DataFrame = {
+    require(binsPerPass >= 2, s"binsPerPass must be >= 2: $binsPerPass")
+    require(exactThreshold >= 1, s"exactThreshold must be >= 1: $exactThreshold")
+    val widthE = expr(s"(hi - lo) DIV $binsPerPass + 1")
+    var ranges = ranks.select(col("k"), col("rid"), col("target"),
+      col("lo"), col("hi"), lit(0L).as("below")).localCheckpoint()
+    val isActive = col("hi") - col("lo") >= exactThreshold
+    while (ranges.filter(isActive).limit(1).count() > 0) {
+      val active = ranges.filter(isActive)
+      val hist = v.join(active, Seq("k"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .withColumn("w", widthE)
+        .groupBy(col("k"), col("rid"), col("target"), col("lo"), col("hi"),
+          col("below"), col("w"), expr("(v - lo) DIV w").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy(col("k"), col("rid")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val narrowed = hist
+        .withColumn("cum", coalesce(sum(col("c")).over(cumW), lit(0L)) + col("below"))
+        .filter(col("cum") <= col("target") &&
+          col("target") < col("cum") + col("c"))
+        .select(col("k"), col("rid"), col("target"),
+          (col("lo") + col("bin") * col("w")).as("lo"),
+          least(col("hi"), col("lo") + (col("bin") + 1) * col("w") - 1).as("hi"),
+          col("cum").as("below"))
+      ranges = ranges.filter(!isActive).unionByName(narrowed).localCheckpoint()
+    }
+    val fin = v.join(ranges, Seq("k"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("k"), col("rid"), col("target"), col("below"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val valW = Window.partitionBy(col("k"), col("rid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fin.withColumn("cum", coalesce(sum(col("c")).over(valW), lit(0L)) + col("below"))
+      .filter(col("cum") <= col("target") && col("target") < col("cum") + col("c"))
+      .select(col("k"), col("rid"), col("v").as("sel"))
+  }
+
+  /** [[madOutliers]] at UNBOUNDED group sizes — the Hampel screen a real
+    * pipeline runs per-domain/per-source at web scale, where the exact
+    * form's `percentile` buffers each group inside one aggregation
+    * state. Same output row-for-row (same doubled-integer algebra, same
+    * schema — the exact operator's SQL IS this operator's oracle), but
+    * both keyed medians come from [[groupedSelectRanks]]: per group, the
+    * two middle order statistics (`(n−1) DIV 2` and `n DIV 2`, summed =
+    * the exact doubled median) selected by distributed histogram
+    * narrowing — no aggregation buffer, window partition, or driver
+    * structure ever holds a group.
+    *
+    * Cost shape: ≤ ⌈log₄₀₉₆ range⌉ + 1 scans of the cached values frame
+    * per median (2 medians: values, then deviations) vs the exact form's
+    * one-exchange-per-median — the classic rows-moved-vs-passes trade,
+    * won by this form as soon as a group stops fitting in an executor.
+    */
+  def madOutliersScalable(df: DataFrame, keyCol: String, valCol: String,
+      binsPerPass: Int = 4096, exactThreshold: Long = 262144L): DataFrame = {
+    val vAll = Dedup.cached(df.select(col(keyCol).as("k"),
+      round(col(valCol) * lit(1000000L), 0).cast("long").as("v")))
+    val v = vAll.filter(col("v").isNotNull)
+    def middleRanks(vals: DataFrame): DataFrame =
+      vals.groupBy(col("k"))
+        .agg(count(lit(1)).as("nn"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        .select(col("k"), col("lo"), col("hi"),
+          explode(array(
+            struct(lit(1L).as("rid"), expr("(nn - 1) DIV 2").as("target")),
+            struct(lit(2L).as("rid"), expr("nn DIV 2").as("target")))).as("r"))
+        .select(col("k"), col("r.rid").as("rid"), col("r.target").as("target"),
+          col("lo"), col("hi"))
+    val med = groupedSelectRanks(v, middleRanks(v), binsPerPass, exactThreshold)
+      .groupBy(col("k")).agg(sum(col("sel")).as("med2"))
+    val dev = Dedup.cached(v.join(med, Seq("k"))
+      .select(col("k"), abs(col("v") * 2 - col("med2")).as("v")))
+    val dmed = groupedSelectRanks(dev, middleRanks(dev), binsPerPass,
+        exactThreshold)
+      .groupBy(col("k")).agg(sum(col("sel")).as("dmed2"))
+    // left joins: a group whose values are ALL null has no selection
+    // unit — it still emits (n, null, null, 0), the exact form's row
+    vAll.join(med, Seq("k"), "left").join(dmed, Seq("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med2_u6"),
+        min(col("dmed2")).as("dmed2_u6"),
+        sum(when(abs(col("v") * 2 - col("med2")) * 2 > col("dmed2") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumnRenamed("k", keyCol)
   }
 
   /** Column-statistics profile — the ANALYZE TABLE surface as one

@@ -660,6 +660,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("madOutliersScalable equals exact madOutliers under forced multi-pass narrowing") {
+    import spark.implicits._
+    import graft.operators.Hygiene
+    val rng = new scala.util.Random(23)
+    // mixed group shapes: wide-range, duplicate-heavy, constant,
+    // singleton, odd/even counts — tiny bins/threshold force several
+    // distributed narrowing passes per (group, rank) unit
+    val rows = Seq.newBuilder[(String, Double)]
+    for (g <- 0 until 6) {
+      val n = 1 + rng.nextInt(40) + (if (g % 2 == 0) 1 else 0)
+      for (_ <- 0 until n) rows += (s"g$g" -> (g match {
+        case 0 => 7.25 // constant group → MAD 0
+        case 1 => rng.nextInt(3).toDouble // heavy dups
+        case _ => rng.nextDouble() * 1e5 - 5e4
+      }))
+    }
+    val df = rows.result().toDF("grp", "x")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val exact = Hygiene.madOutliers(df, "grp", "x").collect().map(key).toMap
+    val scal = Hygiene.madOutliersScalable(df, "grp", "x",
+      binsPerPass = 8, exactThreshold = 32L).collect().map(key).toMap
+    assert(scal == exact, s"scal=$scal\nexact=$exact")
+  }
+
   test("scd2 invariants on random histories: tiling, versions, run compression") {
     import spark.implicits._
     import graft.operators.Temporal

@@ -973,6 +973,18 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 3, pqIters = 2)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_ivfpq_sampled" -> ((s, dir) => {
+      // the PRODUCTION IVF-PQ training economics: codebooks trained on a
+      // 50% md5-bucket sample of the corpus (the bpe_sampled discipline —
+      // pure function of the id, so the oracle re-draws the identical
+      // sample), everything ENCODED and served full-corpus. The pqIters
+      // training aggregations now scan the sample, not the corpus — at
+      // 100 TB that is the entire feasibility of in-pipeline PQ training
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+          pqIters = 2, trainFrac = 0.5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_centroid_outlier" -> ((s, dir) =>
       // embedding-sanity screen: rounded cosine of every vector to the
       // corpus's decimal-exact mean vector (one distributed aggregation +
@@ -3589,6 +3601,11 @@ object SparkEntry {
       Similarity.ivfPqOracleSql(
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
         pqIters = 2, nprobe = 2, rerank = 50, maxQueryId = 10L)),
+    "ann_ivfpq_sampled" -> (embCte +
+      Similarity.ivfPqOracleSql(
+        k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
+        pqIters = 2, nprobe = 2, rerank = 50, maxQueryId = 10L,
+        trainFrac = 0.5)),
     // all dots (final assignment AND pair scan) are ORDERED sequential
     // folds (list_reduce over i-ordered lists), mirroring the Spark side's
     // left-assoc ArrayDotProduct / NearestCentroidCells fold bit-for-bit —

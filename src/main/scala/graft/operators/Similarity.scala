@@ -731,12 +731,52 @@ object Similarity {
       emb: DataFrame, queries: DataFrame, k: Int,
       kCoarse: Int = 4, coarseIters: Int = 2,
       m: Int = 8, ksub: Int = 8, pqIters: Int = 3,
-      nprobe: Int = 2, rerank: Int = 50,
+      nprobe: Int = 2, rerank: Int = 50, trainFrac: Double = 1.0,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && kCoarse >= 1 && m >= 1 && ksub >= 2 && nprobe >= 1 &&
-      pqIters >= 1 && coarseIters >= 1 && rerank >= k,
-      s"bad IVF-PQ parameters: k=$k kCoarse=$kCoarse m=$m ksub=$ksub " +
-        s"pqIters=$pqIters nprobe=$nprobe rerank=$rerank")
+    require(k >= 1 && nprobe >= 1 && rerank >= k,
+      s"bad IVF-PQ parameters: k=$k nprobe=$nprobe rerank=$rerank")
+    val model = trainPq(emb, kCoarse, coarseIters, m, ksub, pqIters,
+      trainFrac, idCol, embCol)
+    val encoded = encodePq(emb, model, idCol, embCol)
+    val qtab = pqQueryTables(queries, model, nprobe, idCol, embCol)
+    pqServe(encoded, qtab, prepared(emb, idCol, embCol), queries, k, rerank,
+      model, idCol, embCol)
+  }
+
+  /** Trained IVF-PQ model — coarse centroids, embedding geometry, and the
+    * codebook map keyed (subspace, codeword, within-subspace dim). Tiny
+    * by contract (kCoarse·dims + m·ksub·dsub doubles): it travels into
+    * plans as literals/broadcast, and persists as two small parquet
+    * tables in [[graft.sources.AnnIndex]]'s PQ artifact.
+    */
+  final case class PqModel(cents: Seq[(Long, Array[Double], Double)],
+      dims: Int, m: Int, ksub: Int, cb: Map[(Int, Int, Int), Double]) {
+    def dsub: Int = dims / m
+  }
+
+  /** The TRAINING half of [[ivfPqTopK]]: coarse Lloyd's + per-subspace
+    * codebook Lloyd's over residuals, all deterministic (md5-bucket init,
+    * decimal-exact means, rounded re-assignment, keep-previous on emptied
+    * codewords). `trainFrac < 1` trains the CODEBOOKS on an md5-bucket
+    * sample of the corpus (the [[TextAnalysis.bpeVocabSampled]]
+    * discipline — a pure function of the id, so a SQL oracle re-draws the
+    * identical sample): codebook statistics are distribution-dominated,
+    * so the production path is "train on a sample, ENCODE everywhere",
+    * cutting the `pqIters` corpus-sized training aggregations to
+    * sample-sized while the encode/serve math is unchanged.
+    * `trainFrac = 1` keeps every row and reproduces the full training
+    * bit-for-bit.
+    */
+  def trainPq(
+      emb: DataFrame, kCoarse: Int = 4, coarseIters: Int = 2,
+      m: Int = 8, ksub: Int = 8, pqIters: Int = 3, trainFrac: Double = 1.0,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
+    require(kCoarse >= 1 && m >= 1 && ksub >= 2 &&
+      pqIters >= 1 && coarseIters >= 1,
+      s"bad IVF-PQ parameters: kCoarse=$kCoarse m=$m ksub=$ksub " +
+        s"pqIters=$pqIters")
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      s"trainFrac must be in (0,1], got $trainFrac")
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb, idCol, embCol)
@@ -748,24 +788,23 @@ object Similarity {
     val cents = collectCentroids(
       trainCentroids(emb, kCoarse, iters = coarseIters, idCol, embCol))
     val sorted = cents.sortBy(_._1)
-    val cellIdx = sorted.map(_._1).zipWithIndex.tail
-      .foldLeft(when(col("cell") === sorted.head._1, lit(0))) {
-        case (acc, (cid, idx)) => acc.when(col("cell") === cid, lit(idx))
-      }
-    val centMatrix = typedlit(sorted.map(_._2.toSeq))
-    def residCol: Column =
-      zip_with(col("v"), element_at(centMatrix, cellIdx + 1), (x, c) => x - c)
 
     val assigned = assignCellsLocal(p, cents, nprobe = 1)
 
     // residual elements, one row per (vector, subspace, within-subspace
-    // dim) — the codebook training representation. Centroid elements are
-    // kCoarse×dims rows, broadcast.
+    // dim) — the codebook training representation, restricted to the
+    // md5-bucket training sample. Centroid elements are kCoarse×dims
+    // rows, broadcast.
     val centElems = sorted.flatMap { case (cid, cv, _) =>
       cv.zipWithIndex.map { case (cm, i) => (cid, i, cm) }
     }.toDF("cell", "i", "cm")
+    val sampled =
+      if (trainFrac >= 1.0) lit(true)
+      else substring(md5(col("id").cast("string")), 1, 2) <
+        lit(Splits.fractionThreshold(trainFrac))
     import org.apache.spark.sql.types.DecimalType
     val resid = assigned
+      .filter(sampled)
       .select(col("id"), col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .join(broadcast(centElems), Seq("cell", "i"))
       .select(col("id"),
@@ -815,38 +854,84 @@ object Similarity {
       cbMap = cbMap.map { case (key, prev) => key -> newMeans.getOrElse(key, prev) }
     }
     resid.unpersist(blocking = false)
-    def cb(s: Int, cw: Int, j: Int): Double = cbMap((s, cw, j))
+    p.unpersist(blocking = false)
+    PqModel(cents, dims, m, ksub, cbMap)
+  }
 
-    // squared-L2 distance of a residual subvector to a codeword, built as
-    // the left-assoc fold both engines replay term-for-term
-    def sqDist(rv: Column, s: Int, cw: Int): Column =
-      (0 until dsub).map { j =>
-        val t = rv(s * dsub + j) - lit(cb(s, cw, j))
-        t * t
-      }.reduceLeft(_ + _)
+  /** The coarse-cell residual of `v` under the model's centroids, as one
+    * row-local projection (centroid matrix rides as a plan literal —
+    * kCoarse·dims doubles, tiny by contract).
+    */
+  private def pqResidCol(model: PqModel): Column = {
+    val sorted = model.cents.sortBy(_._1)
+    val cellIdx = sorted.map(_._1).zipWithIndex.tail
+      .foldLeft(when(col("cell") === sorted.head._1, lit(0))) {
+        case (acc, (cid, idx)) => acc.when(col("cell") === cid, lit(idx))
+      }
+    val centMatrix = typedlit(sorted.map(_._2.toSeq))
+    zip_with(col("v"), element_at(centMatrix, cellIdx + 1), (x, c) => x - c)
+  }
 
-    // corpus side: narrow assignment + residual + PQ encode (code_s per
-    // subspace: nearest codeword, id tie-break via lexicographic struct min)
-    val encoded = (0 until m).foldLeft(
-      assigned.withColumn("rv", residCol)) { (df, s) =>
+  /** Squared-L2 distance of a residual subvector to a codeword, built as
+    * the left-assoc fold both engines replay term-for-term.
+    */
+  private def pqSqDist(model: PqModel, rv: Column, s: Int, cw: Int): Column =
+    (0 until model.dsub).map { j =>
+      val t = rv(s * model.dsub + j) - lit(model.cb((s, cw, j)))
+      t * t
+    }.reduceLeft(_ + _)
+
+  /** The ENCODE half of [[ivfPqTopK]]: narrow assignment + residual + PQ
+    * code per subspace (nearest codeword, id tie-break via lexicographic
+    * struct min) — one row-local projection per vector, `(id, cell,
+    * code_0..code_{m-1})`. This is the representation the PQ artifact
+    * persists: m small ints per vector instead of dims doubles.
+    */
+  def encodePq(emb: DataFrame, model: PqModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = assignCellsLocal(prepared(emb, idCol, embCol),
+      model.cents, nprobe = 1)
+    (0 until model.m).foldLeft(
+      assigned.withColumn("rv", pqResidCol(model))) { (df, s) =>
         df.withColumn(s"code_$s",
-          least((0 until ksub).map(cw =>
-            struct(sqDist(col("rv"), s, cw).as("d"), lit(cw).as("c"))): _*)
+          least((0 until model.ksub).map(cw =>
+            struct(pqSqDist(model, col("rv"), s, cw).as("d"), lit(cw).as("c"))): _*)
             .getField("c"))
       }
-      .select(col("id") +: col("cell") +: (0 until m).map(s => col(s"code_$s")): _*)
+      .select(col("id") +: col("cell") +:
+        (0 until model.m).map(s => col(s"code_$s")): _*)
+  }
 
-    // query side: nprobe probed cells, one ADC lookup table per (query,
-    // cell, subspace) — queries × nprobe rows, broadcast into the join
+  /** The query side of [[ivfPqTopK]] serving: nprobe probed cells, one
+    * ADC lookup table per (query, cell, subspace) — queries × nprobe
+    * rows, meant to broadcast into the candidate join.
+    */
+  def pqQueryTables(queries: DataFrame, model: PqModel, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val qp = prepared(queries, idCol, embCol)
-    val qtab = (0 until m).foldLeft(
-      assignCellsLocal(qp, cents, nprobe).withColumn("rv", residCol)) { (df, s) =>
+    (0 until model.m).foldLeft(
+      assignCellsLocal(qp, model.cents, nprobe)
+        .withColumn("rv", pqResidCol(model))) { (df, s) =>
         df.withColumn(s"tab_$s",
-          array((0 until ksub).map(cw => sqDist(col("rv"), s, cw)): _*))
+          array((0 until model.ksub).map(cw =>
+            pqSqDist(model, col("rv"), s, cw)): _*))
       }
       .select(col("id").as("query_id") +: col("cell") +:
-        (0 until m).map(s => col(s"tab_$s")): _*)
+        (0 until model.m).map(s => col(s"tab_$s")): _*)
+  }
 
+  /** The SERVE half of [[ivfPqTopK]]: ADC shortlist over the encoded
+    * corpus (codes join broadcast query tables — the corpus side never
+    * exchanges), then exact-L2 refine over the raw vectors of the
+    * shortlist only. `encoded` is [[encodePq]]'s output (in memory or
+    * read back from the persisted artifact); `vectors` is the raw-vector
+    * frame `(id, v, …)` the refine stage scans.
+    */
+  def pqServe(encoded: DataFrame, qtab: DataFrame, vectors: DataFrame,
+      queries: DataFrame, k: Int, rerank: Int, model: PqModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank/$k")
+    val m = model.m
     val adc = (0 until m).map(s =>
       element_at(col(s"tab_$s"), col(s"code_$s") + 1)).reduceLeft(_ + _)
     val shortlist = encoded
@@ -862,7 +947,8 @@ object Similarity {
 
     // refine: exact L2 on the raw vectors of the shortlist only — the
     // shortlist (queries × rerank rows) broadcasts onto the corpus scan
-    val exact = p.select(col("id").as("neighbor_id"), col("v").as("nv"))
+    val qp = prepared(queries, idCol, embCol)
+    vectors.select(col("id").as("neighbor_id"), col("v").as("nv"))
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(qp.select(col("id").as("query_id"), col("v").as("qv"))),
         Seq("query_id"))
@@ -874,8 +960,6 @@ object Similarity {
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("l2_dist"), col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= k)
-    p.unpersist(blocking = false)
-    exact
   }
 
   /** The full IVF-PQ pipeline as oracle SQL: coarse training + assignment
@@ -884,13 +968,25 @@ object Similarity {
     * ADC tables, the shortlist rank, and the exact-L2 refine — scoring
     * folds ordered (list_reduce) to match the Spark side bit-for-bit,
     * training distances rounded to 6 like the Spark side. Expects the
-    * standard `f`/`nrm` embedding CTEs upstream.
+    * standard `f`/`nrm` embedding CTEs upstream. `trainFrac < 1` re-draws
+    * the Spark side's md5-bucket codebook-training sample (`residT`) and
+    * restricts every TRAINING CTE to it; assignment, encode, and serving
+    * stay full-corpus, exactly like [[trainPq]].
     */
   def ivfPqOracleSql(
       k: Int, kCoarse: Int, coarseIters: Int, m: Int, ksub: Int, dsub: Int,
-      pqIters: Int, nprobe: Int, rerank: Int, maxQueryId: Long): String = {
+      pqIters: Int, nprobe: Int, rerank: Int, maxQueryId: Long,
+      trainFrac: Double = 1.0): String = {
     val cl = s"c$coarseIters"
     val cnl = s"cn$coarseIters"
+    val trainSrc = if (trainFrac >= 1.0) "resid" else "residT"
+    val residTCte =
+      if (trainFrac >= 1.0) ""
+      else
+        s""",
+           |residT AS (
+           |  SELECT * FROM resid
+           |  WHERE substring(md5(CAST(vec_id AS VARCHAR)),1,2) < '${Splits.fractionThreshold(trainFrac)}')""".stripMargin
     val pqRounds = (2 to pqIters).map { r =>
       s""",
          |pd${r - 1} AS (
@@ -898,7 +994,7 @@ object Similarity {
          |         ROUND(list_reduce(
          |           list((resid.rv-cb${r - 1}.m)*(resid.rv-cb${r - 1}.m) ORDER BY resid.j),
          |           (a,b) -> a+b),6) AS d
-         |  FROM resid JOIN cb${r - 1} ON cb${r - 1}.s=resid.s AND cb${r - 1}.j=resid.j
+         |  FROM $trainSrc resid JOIN cb${r - 1} ON cb${r - 1}.s=resid.s AND cb${r - 1}.j=resid.j
          |  GROUP BY 1,2,3),
          |pa${r - 1} AS (
          |  SELECT vec_id, s, cw FROM (
@@ -909,7 +1005,7 @@ object Similarity {
          |nm$r AS (
          |  SELECT resid.s, pa${r - 1}.cw, resid.j,
          |         CAST(SUM(CAST(resid.rv AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
-         |  FROM resid JOIN pa${r - 1} ON pa${r - 1}.vec_id=resid.vec_id AND pa${r - 1}.s=resid.s
+         |  FROM $trainSrc resid JOIN pa${r - 1} ON pa${r - 1}.vec_id=resid.vec_id AND pa${r - 1}.s=resid.s
          |  GROUP BY 1,2,3),
          |cb$r AS (
          |  SELECT cb${r - 1}.s, cb${r - 1}.cw, cb${r - 1}.j,
@@ -940,11 +1036,13 @@ object Similarity {
         |pw0 AS (
         |  SELECT vec_id,
         |         CAST(('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % $ksub AS cw
-        |  FROM embeddings),
+        |  FROM embeddings)""".stripMargin +
+      residTCte +
+      s""",
         |cb1 AS (
         |  SELECT resid.s, pw0.cw, resid.j,
         |         CAST(SUM(CAST(resid.rv AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
-        |  FROM resid JOIN pw0 USING (vec_id) GROUP BY 1,2,3)""".stripMargin +
+        |  FROM $trainSrc resid JOIN pw0 USING (vec_id) GROUP BY 1,2,3)""".stripMargin +
       pqRounds +
       s""",
         |ed AS (

@@ -94,4 +94,102 @@ object AnnIndex {
     topK(index.copy(corpus = pruned), queries, k,
       nprobe = cells.length, idCol = idCol, embCol = embCol)
   }
+
+  // ───────────────────────── IVF-PQ artifact ─────────────────────────
+
+  /** Build the IVF-PQ artifact: train ([[Similarity.trainPq]], with the
+    * md5-sample `trainFrac` knob — the production "train on a sample,
+    * encode everywhere" path), then persist FOUR tables under `dir`:
+    *
+    *   - `centroids/` — coarse quantizer (kCoarse rows; tiny);
+    *   - `codebooks/` — `(s, cw, j, cm)` PQ codewords (m·ksub·dsub rows;
+    *     tiny — the geometry m/ksub/dsub is implied by its key ranges,
+    *     so no separate metadata file);
+    *   - `codes/` — `(id, code_0..code_{m-1})` PARTITIONED BY `cell`:
+    *     m small ints per vector instead of dims doubles — the table the
+    *     ADC scan reads, ~dims·8/m× fewer value bytes than raw vectors
+    *     (64-dim × m=8 here → 64×8B vs 8×4B, a 16× cut; spec-pinned as
+    *     an on-disk byte ratio);
+    *   - `vectors/` — raw compute vectors, also cell-partitioned; ONLY
+    *     the exact-refine stage touches it, for `rerank` rows per query.
+    *
+    * Serving reads codes for the scan and vectors for the shortlist —
+    * at 100 TB the ADC pass streams the small table and the big one is
+    * touched rerank-deep, which is the entire economics of PQ.
+    */
+  def buildPq(emb: DataFrame, dir: String,
+      kCoarse: Int = 4, coarseIters: Int = 2,
+      m: Int = 8, ksub: Int = 8, pqIters: Int = 3, trainFrac: Double = 1.0,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = Similarity.trainPq(emb, kCoarse, coarseIters, m, ksub,
+      pqIters, trainFrac, idCol, embCol)
+    model.cents.map { case (cid, cv, cnrm) => (cid, cv.toSeq, cnrm) }
+      .toDF("cid", "cv", "cnrm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.cb.toSeq.map { case ((s, cw, j), cm) => (s, cw, j, cm) }
+      .toDF("s", "cw", "j", "cm")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    Similarity.encodePq(emb, model, idCol, embCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    Similarity.assignCellsLocal(
+        Similarity.prepared(emb, idCol, embCol), model.cents, nprobe = 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** The loaded PQ artifact: reconstructed model (centroids + codebooks
+    * collected — tiny by contract; geometry derived from the codebook
+    * key ranges) plus the two cell-partitioned frames.
+    */
+  final case class LoadedPq(model: Similarity.PqModel,
+      codes: DataFrame, vectors: DataFrame)
+
+  def loadPq(spark: SparkSession, dir: String): LoadedPq = {
+    val cents = Similarity.collectCentroids(
+      spark.read.parquet(s"$dir/centroids"))
+    val cb = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val ksub = cb.keys.map(_._2).max + 1
+    val dsub = cb.keys.map(_._3).max + 1
+    LoadedPq(
+      Similarity.PqModel(cents, dims = m * dsub, m = m, ksub = ksub, cb = cb),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"))
+  }
+
+  /** Batch IVF-PQ serving against the artifact — result-identical to
+    * [[Similarity.ivfPqTopK]] with the same training params
+    * (spec-asserted): the ADC scan reads the CODES table (the ~16×
+    * smaller one), the refine reads `rerank` rows per query from the
+    * vectors table.
+    */
+  def topKPq(index: LoadedPq, queries: DataFrame, k: Int,
+      nprobe: Int = 2, rerank: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    Similarity.pqServe(
+      index.codes,
+      Similarity.pqQueryTables(queries, index.model, nprobe, idCol, embCol),
+      index.vectors, queries, k, rerank, index.model, idCol, embCol)
+
+  /** Low-fan-out PQ serving: restrict BOTH artifact reads to the probed
+    * cells — the filters land as `PartitionFilters` on both parquet
+    * scans (spec-pinned), so an nprobe-cell lookup reads nprobe/kCoarse
+    * of the code bytes and only shortlisted cells' vector files.
+    */
+  def probePq(index: LoadedPq, queries: DataFrame, k: Int, cells: Seq[Long],
+      rerank: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(cells.nonEmpty, "probe cells must be non-empty")
+    val cellVals = cells.map(java.lang.Long.valueOf)
+    topKPq(
+      index.copy(
+        codes = index.codes.filter(col("cell").isin(cellVals: _*)),
+        vectors = index.vectors.filter(col("cell").isin(cellVals: _*))),
+      queries, k, nprobe = cells.length, rerank = rerank,
+      idCol = idCol, embCol = embCol)
+  }
 }

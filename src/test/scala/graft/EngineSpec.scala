@@ -3619,6 +3619,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("annindexpq").toString
+    graft.sources.AnnIndex.buildPq(emb, dir, pqIters = 2, trainFrac = 0.5)
+    val idx = graft.sources.AnnIndex.loadPq(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    // deterministic training → the artifact round-trip (centroids +
+    // codebooks + codes through parquet) serves the IDENTICAL result the
+    // in-memory chain computes with the same params
+    val mem = Similarity.ivfPqTopK(emb, q, k = 3, pqIters = 2,
+        trainFrac = 0.5)
+      .select("query_id", "neighbor_id", "l2_dist", "rnk")
+      .collect().map(_.toSeq).toSet
+    val served = graft.sources.AnnIndex.topKPq(idx, q, k = 3)
+      .select("query_id", "neighbor_id", "l2_dist", "rnk")
+      .collect().map(_.toSeq).toSet
+    assert(served == mem, "PQ artifact serving must equal in-memory IVF-PQ")
+    // the artifact's economics: the ADC-scanned codes table must be a
+    // small fraction of the raw-vector bytes (m ints vs dims doubles)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    val (cb, vb) = (bytes(s"$dir/codes"), bytes(s"$dir/vectors"))
+    assert(cb * 3 < vb, s"codes=$cb vectors=$vb — codes must be the small table")
+    // low-fan-out probe: both artifact reads prune to the probed cells
+    val q1 = emb.filter(col("vec_id") === 0)
+    val qCells = Similarity.assignCellsLocal(
+        Similarity.prepared(q1, "vec_id", "embedding"), idx.model.cents,
+        nprobe = 2)
+      .select(col("cell")).collect().map(_.getLong(0)).toSeq
+    val probed = graft.sources.AnnIndex.probePq(idx, q1, k = 3, qCells)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).size >= 2,
+      s"probePq must prune cell partitions on BOTH scans:\n$plan")
+    assert(probed.select("query_id", "neighbor_id", "l2_dist", "rnk")
+      .collect().map(_.toSeq).toSet ==
+      graft.sources.AnnIndex.topKPq(idx, q1, k = 3)
+        .select("query_id", "neighbor_id", "l2_dist", "rnk")
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("Ingest: jsonl/csv round-trip losslessly; corrupt lines land in the lane") {
     import java.nio.file.{Files => JFiles, Paths}
     import scala.jdk.CollectionConverters._

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.TextAnalysis
 
@@ -44,32 +44,53 @@ object CmsStream {
     * multi-writer misuse safe instead of silently wrong. Reads
     * ([[counters]], [[estimates]]) stay lock-free on the immutable map.
     *
-    * Restart limitation (by design, documented not hidden): the merged
-    * counters live in driver memory only. If the driver restarts, the
-    * checkpoint marks delivered batches as committed, so they are NOT
-    * replayed into the fresh empty store — counts before the restart are
-    * lost, and estimates undercount until the store is rebuilt (re-run
-    * over the retained source, or periodically snapshot `counters` — the
-    * d·w table is bounded — and seed a new store from the snapshot).
+    * Restart durability: with `durable = Some((spark, dir))`, every
+    * applied batch writes the MERGED counter table (d·w rows — bounded,
+    * so the write is a few KB) plus the applied batch id to
+    * `dir/upto=<batchId>` BEFORE the in-memory swap and before the sink
+    * returns — i.e. before Structured Streaming's checkpoint commits the
+    * batch. A driver restart therefore cannot lose an acknowledged
+    * batch: [[SketchStore.restore]] rebuilds the store from the newest
+    * complete snapshot (its `_SUCCESS` marker gates completeness), and
+    * any batch the checkpoint replays at or below the restored id is
+    * dropped by the monotone guard — the counters and the checkpoint can
+    * never disagree. Older snapshots are pruned to the last two. Without
+    * `durable` the store is memory-only (the previous behavior, fine for
+    * probes over a replayable source).
     */
-  final class SketchStore(val width: Int, val depth: Int) {
+  final class SketchStore(val width: Int, val depth: Int,
+      durable: Option[(SparkSession, String)] = None) {
     require(width >= 2 && depth >= 1, s"need width>=2, depth>=1: $width/$depth")
     private val ref = new AtomicReference[Map[Long, Long]](Map.empty)
     private val lastBatch = new AtomicLong(-1L)
 
     def counters: Map[Long, Long] = ref.get()
 
+    /** The last applied batch id (−1 when nothing applied yet). */
+    def lastApplied: Long = lastBatch.get()
+
+    private[streaming] def seed(counters: Map[Long, Long], upto: Long): Unit = {
+      ref.set(counters)
+      lastBatch.set(upto)
+    }
+
     /** Key-wise add one batch's collected cells; re-delivered batch ids
       * (≤ the last applied) are dropped, so replay never double-counts.
       * Returns whether the batch was applied. Atomic w.r.t. concurrent
-      * `add` calls (see class note).
+      * `add` calls (see class note). When durable, the snapshot write
+      * happens FIRST — a failed write fails the batch (so the checkpoint
+      * does not commit it and it replays), never the other way around.
       */
     def add(batchId: Long, cells: Map[Long, Long]): Boolean = synchronized {
       if (batchId <= lastBatch.get()) return false
       val cur = ref.get()
-      ref.set(cells.foldLeft(cur) { case (m, (k, n)) =>
+      val merged = cells.foldLeft(cur) { case (m, (k, n)) =>
         m.updated(k, m.getOrElse(k, 0L) + n)
-      })
+      }
+      durable.foreach { case (spark, dir) =>
+        SketchStore.writeSnapshot(spark, dir, merged, batchId)
+      }
+      ref.set(merged)
       lastBatch.set(batchId)
       true
     }
@@ -80,6 +101,49 @@ object CmsStream {
       */
     def estimates(probes: DataFrame, probeCol: String = "token"): DataFrame =
       TextAnalysis.cmsProbe(counters, probes, width, depth, probeCol)
+  }
+
+  object SketchStore {
+    private def snapshotIds(dir: String): Seq[(Long, java.io.File)] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("upto=") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(f => f.getName.stripPrefix("upto=").toLong -> f)
+        .toSeq.sortBy(_._1)
+    }
+
+    private[streaming] def writeSnapshot(spark: SparkSession, dir: String,
+        counters: Map[Long, Long], batchId: Long): Unit = {
+      import spark.implicits._
+      counters.toSeq.toDF("cell", "n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/upto=$batchId")
+      // prune to the last two complete snapshots — the newest serves
+      // restore, the previous survives a torn newest write
+      snapshotIds(dir).dropRight(2).foreach { case (_, f) =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
+        }
+        rm(f)
+      }
+    }
+
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path. The restored store keeps writing snapshots to
+      * the same `dir`; checkpoint-replayed batches at or below the
+      * restored id are dropped by the monotone guard. A missing or empty
+      * `dir` restores a cold store (first run).
+      */
+    def restore(spark: SparkSession, dir: String,
+        width: Int, depth: Int): SketchStore = {
+      val store = new SketchStore(width, depth, Some((spark, dir)))
+      snapshotIds(dir).lastOption.foreach { case (upto, f) =>
+        val counters = spark.read.parquet(f.getPath).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        store.seed(counters, upto)
+      }
+      store
+    }
   }
 
   /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`: run the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
@@ -35,7 +35,10 @@ import graft.operators.TextAnalysis
   * MG-merge is not idempotent, so the store keeps the last applied batch
   * id and drops re-deliveries — the same monotone-batch-id discipline as
   * [[CmsStream.SketchStore]], with the same single-store-per-query
-  * topology and the same documented driver-restart undercount limitation.
+  * topology and the same durable-snapshot restart path (`durable` +
+  * [[MgStore.restore]]): the ≤ k summary writes to the snapshot table
+  * before the batch is acknowledged, so a driver restart rebuilds the
+  * exact summary and replayed batches are dropped by the guard.
   */
 object HeavyHittersStream {
 
@@ -75,7 +78,8 @@ object HeavyHittersStream {
     * contract as [[CmsStream.SketchStore]]: `add` is one atomic
     * guard+merge step; reads are lock-free on the immutable map.
     */
-  final class MgStore(val k: Int) {
+  final class MgStore(val k: Int,
+      durable: Option[(SparkSession, String)] = None) {
     require(k >= 2, s"k must be >= 2: $k")
     private val ref = new AtomicReference[Map[String, Long]](Map.empty)
     private val lastBatch = new AtomicLong(-1L)
@@ -83,12 +87,68 @@ object HeavyHittersStream {
     /** Current summary: ≤ k (token, lower-bound count) pairs. */
     def summary: Map[String, Long] = ref.get()
 
-    /** MG-merge one batch summary; re-delivered batch ids are dropped. */
+    /** The last applied batch id (−1 when nothing applied yet). */
+    def lastApplied: Long = lastBatch.get()
+
+    private[streaming] def seed(s: Map[String, Long], upto: Long): Unit = {
+      ref.set(s)
+      lastBatch.set(upto)
+    }
+
+    /** MG-merge one batch summary; re-delivered batch ids are dropped.
+      * When durable, the merged ≤ k summary writes to the snapshot table
+      * FIRST ([[CmsStream.SketchStore]]'s ordering: a failed write fails
+      * the batch so it replays — never a committed batch with lost
+      * counts).
+      */
     def add(batchId: Long, batch: Map[String, Long]): Boolean = synchronized {
       if (batchId <= lastBatch.get()) return false
-      ref.set(mgMerge(ref.get(), batch, k))
+      val merged = mgMerge(ref.get(), batch, k)
+      durable.foreach { case (spark, dir) =>
+        MgStore.writeSnapshot(spark, dir, merged, batchId)
+      }
+      ref.set(merged)
       lastBatch.set(batchId)
       true
+    }
+  }
+
+  object MgStore {
+    private def snapshotIds(dir: String): Seq[(Long, java.io.File)] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("upto=") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(f => f.getName.stripPrefix("upto=").toLong -> f)
+        .toSeq.sortBy(_._1)
+    }
+
+    private[streaming] def writeSnapshot(spark: SparkSession, dir: String,
+        summary: Map[String, Long], batchId: Long): Unit = {
+      import spark.implicits._
+      summary.toSeq.toDF("token", "count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/upto=$batchId")
+      snapshotIds(dir).dropRight(2).foreach { case (_, f) =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
+        }
+        rm(f)
+      }
+    }
+
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path ([[CmsStream.SketchStore.restore]] semantics:
+      * `_SUCCESS`-gated newest snapshot, replays below the restored id
+      * dropped, cold start on a missing dir).
+      */
+    def restore(spark: SparkSession, dir: String, k: Int): MgStore = {
+      val store = new MgStore(k, Some((spark, dir)))
+      snapshotIds(dir).lastOption.foreach { case (upto, f) =>
+        val summary = spark.read.parquet(f.getPath).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        store.seed(summary, upto)
+      }
+      store
     }
   }
 

@@ -2325,6 +2325,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.counters.getOrElse(0L, 0L) == before.getOrElse(0L, 0L) + 2L)
   }
 
+  test("durable sketch stores: restart rebuilds from the snapshot table, replays drop") {
+    import graft.streaming.{CmsStream, HeavyHittersStream}
+    import spark.implicits._
+    // CMS: batches 0..1 into a durable store, then a SIMULATED DRIVER
+    // RESTART (restore a fresh store from the table), then batch 2 —
+    // final counters must equal one uninterrupted store fed 0..2
+    val dir = Files.createTempDirectory("cmsdur").toString
+    val cells = Seq(Map(1L -> 3L, 2L -> 1L), Map(1L -> 2L, 9L -> 4L),
+      Map(2L -> 5L))
+    val d1 = new CmsStream.SketchStore(64, 3, Some((spark, s"$dir/cms")))
+    assert(d1.add(0L, cells(0)) && d1.add(1L, cells(1)))
+    val d2 = CmsStream.SketchStore.restore(spark, s"$dir/cms", 64, 3)
+    assert(d2.lastApplied == 1L, "restore must carry the applied batch id")
+    // the checkpoint may replay an acknowledged batch after restart —
+    // the restored guard must drop it (no double count)
+    assert(!d2.add(1L, cells(1)))
+    assert(d2.add(2L, cells(2)))
+    val ref = new CmsStream.SketchStore(64, 3)
+    cells.zipWithIndex.foreach { case (c, i) => ref.add(i.toLong, c) }
+    assert(d2.counters == ref.counters,
+      s"restored ${d2.counters} vs uninterrupted ${ref.counters}")
+    // a second restore sees batch 2's snapshot (pruned to the newest two)
+    assert(CmsStream.SketchStore.restore(spark, s"$dir/cms", 64, 3)
+      .counters == ref.counters)
+    // cold start on an empty dir
+    assert(CmsStream.SketchStore.restore(spark, s"$dir/nothing", 64, 3)
+      .lastApplied == -1L)
+
+    // heavy hitters: same restart contract on the MG summary
+    val h1 = new HeavyHittersStream.MgStore(4, Some((spark, s"$dir/mg")))
+    assert(h1.add(0L, Map("a" -> 5L, "b" -> 2L)))
+    assert(h1.add(1L, Map("a" -> 1L, "c" -> 3L)))
+    val h2 = HeavyHittersStream.MgStore.restore(spark, s"$dir/mg", 4)
+    assert(h2.lastApplied == 1L && h2.summary == h1.summary)
+    assert(!h2.add(0L, Map("bogus" -> 100L)))
+    assert(h2.add(2L, Map("d" -> 7L)))
+    val href = new HeavyHittersStream.MgStore(4)
+    href.add(0L, Map("a" -> 5L, "b" -> 2L))
+    href.add(1L, Map("a" -> 1L, "c" -> 3L))
+    href.add(2L, Map("d" -> 7L))
+    assert(h2.summary == href.summary,
+      s"restored ${h2.summary} vs uninterrupted ${href.summary}")
+  }
+
   test("streaming heavy hitters: MG merge keeps the support guarantee across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

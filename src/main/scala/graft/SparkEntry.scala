@@ -2307,6 +2307,22 @@ object SparkEntry {
           col("i").cast("long").as("i"),
           round(col("feature") * 255.0).cast("long").as("lane_byte_sum"))
         .orderBy(col("doc_id"), col("i"))),
+    "mm_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunk dedup over a SHIFTED-duplicate fixture,
+      // closed-form in the id: each payload = an id-varying prefix (0-9
+      // bytes, id-varying char) + a group-shared segment body (ids DIV
+      // 10). Fixed-offset frames can never match across the group (every
+      // frame straddles the shift); the rolling-hash boundaries re-sync
+      // inside the shared body, so its chunks dedup at DIFFERENT offsets
+      // — the oracle replays the identical polynomial boundary selection
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          expr("repeat(chr(CAST(97 + doc_id % 5 AS INT)), CAST(doc_id % 10 AS INT))"),
+          expr("repeat(concat('segment', CAST(doc_id DIV 10 AS STRING), ' '), 20)"))
+          .as("text"))
+      Multimodal.cdcDupStats(payloads)
+        .orderBy(col("chunk_md5"))
+    }),
     "split_weighted_sample" -> ((s, dir) =>
       // quality-weighted corpus cut: integer-exact Efraimidis–Spirakis
       // (row's key = min of w md5 draws, the k smallest keys win); the
@@ -5602,6 +5618,48 @@ object SparkEntry {
         |       CAST(COALESCE(lane.s, 0) AS BIGINT) AS lane_byte_sum
         |FROM docs8 d LEFT JOIN lane ON lane.doc_id = d.doc_id AND lane.i = d.i
         |ORDER BY d.doc_id, d.i""".stripMargin,
+    "mm_cdc_chunks" -> {
+      // the identical rolling polynomial: h(i) = Σ_{j<8} byte(i−j)·31^j,
+      // boundary iff 64 | h(i) or i = len — term list generated so both
+      // engines share the exact coefficients
+      val hTerms = (0 until 8).map { j =>
+        val coef = BigInt(31).pow(j).toLong
+        if (j == 0) s"CAST(ord(substring(txt, CAST(i AS INT), 1)) AS BIGINT) * $coef"
+        else s"CAST(CASE WHEN i >= ${j + 1} THEN ord(substring(txt, CAST(i - $j AS INT), 1)) ELSE 0 END AS BIGINT) * $coef"
+      }.mkString("\n        |         + ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         repeat(chr(CAST(97 + doc_id % 5 AS INT)), CAST(doc_id % 10 AS INT)) ||
+         |         repeat('segment' || CAST(doc_id // 10 AS VARCHAR) || ' ', 20) AS txt
+         |  FROM documents),
+         |b AS (SELECT doc_id, txt, CAST(length(txt) AS BIGINT) AS len FROM p),
+         |pos AS (SELECT doc_id, txt, len,
+         |               CAST(unnest(range(1, len + 1)) AS BIGINT) AS i FROM b),
+         |hp AS (
+         |  SELECT doc_id, txt, len, i,
+         |         $hTerms AS h
+         |  FROM pos),
+         |bnd AS (
+         |  SELECT doc_id, txt, i AS end_pos FROM hp
+         |  WHERE i = len OR (i >= 8 AND h % 64 = 0)),
+         |sp AS (
+         |  SELECT doc_id, txt, end_pos,
+         |         COALESCE(lag(end_pos) OVER (PARTITION BY doc_id ORDER BY end_pos), 0) + 1
+         |           AS start_pos
+         |  FROM bnd),
+         |ch AS (
+         |  SELECT doc_id,
+         |         md5(substring(txt, CAST(start_pos AS INT),
+         |                       CAST(end_pos - start_pos + 1 AS INT))) AS chunk_md5,
+         |         end_pos - start_pos + 1 AS cb
+         |  FROM sp)
+         |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       MIN(doc_id) AS first_doc,
+         |       MIN(cb) AS chunk_bytes
+         |FROM ch GROUP BY 1 HAVING COUNT(*) >= 2
+         |ORDER BY chunk_md5""".stripMargin
+    },
     "split_weighted_sample" ->
       // re-draws the identical min-of-w-md5-draws key and takes the same
       // global top-100 — pure string/integer math, engine-portable

@@ -147,6 +147,95 @@ object Multimodal {
         coalesce(max(abs(col("lvl") - col("prev"))), lit(0L)).as("max_jump"))
   }
 
+  /** Content-defined chunking on the payload lane — the rolling-hash
+    * (Rabin/Gear family; Muthitacharoen, Chen, Mazières' LBFS chunking,
+    * SOSP'01) answer to [[frameSample]]'s fixed offsets: a chunk boundary
+    * is declared wherever a polynomial hash of the LAST `window` bytes
+    * hits `≡ 0 (mod divisor)` — a pure function of local CONTENT, so a
+    * payload that reappears behind a shifted prefix re-synchronizes to
+    * the identical chunk boundaries after at most one chunk, and its
+    * chunks dedup across payloads exactly like [[graft.operators.Dedup]]'s
+    * text `substringSpans`. Fixed frames can never see such a duplicate
+    * (every frame straddles the shift); EngineSpec pins the A/B.
+    *
+    * The hash is deliberately the engine-portable basic form —
+    * `h(i) = Σ_{j<window} byte(i−j)·base^j`, boundary iff
+    * `divisor | h(i)` — STATELESS per position (no min/max chunk clamps,
+    * which need running state), so a SQL oracle replays boundary
+    * selection verbatim. Expected chunk length ≈ `divisor` bytes.
+    * The final position always closes the last chunk.
+    *
+    * Shape: one narrow explode to `(id, pos, byte)` rows (txt dropped in
+    * the same codegen stage), the hash as `window` lags over ONE
+    * per-payload position window (doc-length-bounded partitions — the
+    * [[sceneCuts]] discipline), a second bounded window for chunk spans
+    * (chunks-per-payload ≈ len/divisor rows), then one id-keyed join
+    * back to the payload for the chunk hash. Emits one row per chunk:
+    * `(idCol, chunk_idx, start_pos, chunk_bytes, chunk_md5)` (1-based
+    * positions). Runs on the ASCII text lane under the same
+    * VARCHAR≡BINARY contract as the other `mm_*` rows; empty payloads
+    * emit no chunks.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 8, divisor: Int = 64,
+      hashBase: Int = 31): DataFrame = {
+    require(window >= 1 && divisor >= 2 && hashBase >= 2,
+      s"bad CDC parameters: window=$window divisor=$divisor base=$hashBase")
+    require(BigInt(255) * BigInt(hashBase).pow(window - 1) * window <
+      BigInt(Long.MaxValue), s"hash overflows int64: $window × base $hashBase")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(textCol).as("txt"),
+      length(col(textCol)).cast("long").as("len"))
+    val pos = base
+      // empty payloads emit no chunks — and Spark's sequence(1, 0) would
+      // otherwise DESCEND, smuggling a phantom position-0 row in
+      .filter(col("len") >= 1)
+      .select(col(idCol), col("txt"), col("len"),
+        explode(sequence(lit(1L), col("len"))).as("i"))
+      .select(col(idCol), col("len"), col("i"),
+        expr("CAST(ascii(substring(txt, CAST(i AS INT), 1)) AS BIGINT)")
+          .as("bv"))
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val h = (0 until window).map(j =>
+        coalesce(lag(col("bv"), j).over(wp), lit(0L)) *
+          lit(BigInt(hashBase).pow(j).toLong))
+      .reduceLeft(_ + _)
+    val bounds = pos.withColumn("h", h)
+      .filter(col("i") === col("len") ||
+        (col("i") >= window && col("h") % divisor === 0))
+      .select(col(idCol), col("i").as("end_pos"))
+    val wb = Window.partitionBy(col(idCol)).orderBy(col("end_pos"))
+    bounds
+      .withColumn("start_pos",
+        coalesce(lag(col("end_pos"), 1).over(wb), lit(0L)) + 1)
+      .withColumn("chunk_idx", row_number().over(wb).cast("long") - 1)
+      .join(base.select(col(idCol), col("txt")), Seq(idCol))
+      .select(col(idCol), col("chunk_idx"), col("start_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("chunk_bytes"),
+        md5(expr("substring(txt, CAST(start_pos AS INT), " +
+          "CAST(end_pos - start_pos + 1 AS INT))")).as("chunk_md5"))
+  }
+
+  /** Cross-payload repeated-CHUNK diagnosis — [[frameDupStats]]' shape on
+    * [[cdcChunks]]' content-defined boundaries: one hash aggregation on
+    * the 128-bit chunk hash, duplicated-chunk output bounded by actual
+    * repetition. This is the binary-lane form that catches SHIFTED
+    * duplicate segments (re-encoded media with new headers, repeated
+    * intros at varying offsets) that fixed-frame hashing structurally
+    * misses.
+    */
+  def cdcDupStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 8, divisor: Int = 64,
+      hashBase: Int = 31): DataFrame =
+    cdcChunks(docs, idCol, textCol, window, divisor, hashBase)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+        min(col("chunk_bytes")).as("chunk_bytes"))
+      .filter(col("n_occurrences") >= 2)
+
   /** Byte-lane content profile: lane `i` accumulates `byte/255` over payload
     * positions ≡ i (mod dim) — a deterministic, decoder-free content
     * fingerprint (cheap modality-agnostic screening/clustering signal),

@@ -1287,6 +1287,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((4L, 3L, 1L, 0L)), s"dup groups: ${out.toSeq}")
   }
 
+  test("cdc chunks: boundaries re-sync behind a shifted prefix; fixed frames cannot") {
+    import spark.implicits._
+    // a long shared body behind prefixes of DIFFERENT lengths — every
+    // fixed-offset frame straddles the shift, but content-defined
+    // boundaries depend only on the local window, so the body's chunks
+    // re-align after at most one chunk
+    val body = (1 to 40).map(i => s"word$i piece").mkString(" ")
+    val docs = Seq((1L, body), (2L, "zzz" + body), (3L, "qq" + body))
+      .toDF("doc_id", "text")
+    val fixed = Multimodal.frameDupStats(docs, frameBytes = 64)
+      .filter(col("n_docs") >= 2).count()
+    assert(fixed == 0L, "fixed frames must NOT match across the shift")
+    val cdc = Multimodal.cdcDupStats(docs, divisor = 16)
+      .filter(col("n_docs") === 3).count()
+    assert(cdc >= 2L, s"CDC must dedup the shared body across all 3 docs ($cdc groups)")
+    // structural invariants: chunks TILE each payload — contiguous
+    // 1-based spans whose lengths sum to the payload length
+    val chunks = Multimodal.cdcChunks(docs, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    docs.collect().map(r => (r.getLong(0), r.getString(1))).foreach {
+      case (id, txt) =>
+        val own = chunks.filter(_._1 == id).sortBy(_._2)
+        assert(own.map(_._4).sum == txt.length.toLong, s"doc $id tiling")
+        assert(own.head._3 == 1L, s"doc $id first chunk start")
+        own.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._3 == a._3 + a._4, s"doc $id gap between chunks")
+          case _ => ()
+        }
+    }
+    // empty payloads emit no chunks; sub-window payloads emit exactly one
+    assert(Multimodal.cdcChunks(Seq((9L, "")).toDF("doc_id", "text")).count() == 0L)
+    val tiny = Multimodal.cdcChunks(Seq((9L, "abc")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(tiny.toSeq == Seq((1L, 3L)), tiny.toSeq.toString)
+  }
+
   test("CMS estimates: never undercount, exact without collisions, OOV is collision mass") {
     import spark.implicits._
     val docs = Seq(

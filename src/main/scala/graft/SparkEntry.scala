@@ -1065,6 +1065,35 @@ object SparkEntry {
         .select(col("component"), col("doc_id").as("rep_id"), col("quality_score"))
         .orderBy(col("component"))
     }),
+    "q_crossmodal_agreement" -> ((s, dir) => {
+      // CROSS-MODAL dedup agreement audit — the id-aligned embeddings ↔
+      // documents contract (the one dedup_semantic_rep already exploits)
+      // priced on one verified surface: per aligned id, would LEXICAL
+      // dedup remove it (a lower-id doc shares its normalized key within
+      // the aligned population, planted-twin corpus) vs would SEMANTIC
+      // dedup remove it (semDedup keep = false)? The 2×2 agreement
+      // matrix is the number that says whether embedding dedup can
+      // replace — or must complement — the lexical pass on a corpus.
+      // Shape: one key-agg + one id-keyed join on the lexical side, the
+      // verified cluster-bounded semDedup on the semantic side.
+      val sem = Similarity.semDedup(t(s, dir, "embeddings"),
+          k = semDedupK, iters = semDedupIters, tau = semDedupTau)
+        .select(col("vec_id").as("doc_id"), (!col("keep")).as("sem_removed"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val aligned = docs.join(sem, Seq("doc_id"))
+        .select(col("doc_id"), Dedup.normalizedKey(col("text")).as("k"),
+          col("sem_removed"))
+      val groups = aligned.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id"))
+      aligned.join(groups, Seq("k"))
+        .select(col("sem_removed"),
+          (col("doc_id") =!= col("keep_id")).as("lex_removed"))
+        .groupBy(col("lex_removed"), col("sem_removed"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lex_removed"), col("sem_removed"))
+    }),
     "dedup_survivors" -> ((s, dir) => {
       // rides the banded-LSH path (the 100 TB shape); output is proven equal
       // to the exact quadratic form at these parameters (EngineSpec), so the
@@ -3661,6 +3690,31 @@ object SparkEntry {
         |  FROM comp JOIN q USING (doc_id))
         |SELECT component, doc_id AS rep_id, quality_score
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
+    // semantic verdict = the dedup_semantic chain verbatim; lexical
+    // verdict = the dedup_rate_by_source normalized-key discipline over
+    // the id-aligned population; agree/disagree counted on the 2×2
+    "q_crossmodal_agreement" -> (embCte +
+      Similarity.kmeansOracleCtes(k = semDedupK, iters = semDedupIters) +
+      semDedupPairCtes +
+      """,
+        |sem AS (SELECT n.vec_id AS doc_id,
+        |               (dup.id_a IS NOT NULL) AS sem_removed
+        |        FROM ncell n LEFT JOIN dup ON dup.id_a = n.vec_id),
+        |v AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 10 = 0
+        |                  THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+        |                  ELSE text END AS text
+        |      FROM documents),
+        |kk AS (SELECT v.doc_id,
+        |              md5(nfc_normalize(regexp_replace(trim(lower(v.text)),
+        |                '[ \t\n\r]+', ' ', 'g'))) AS k,
+        |              sem.sem_removed
+        |       FROM v JOIN sem USING (doc_id)),
+        |g AS (SELECT k, MIN(doc_id) AS keep_id FROM kk GROUP BY 1)
+        |SELECT (kk.doc_id <> g.keep_id) AS lex_removed, kk.sem_removed,
+        |       COUNT(*) AS n
+        |FROM kk JOIN g ON g.k = kk.k
+        |GROUP BY 1, 2 ORDER BY lex_removed, sem_removed""".stripMargin),
     // dot and norm-of-mean are ORDERED sequential folds (list_reduce over
     // index-ordered lists), mirroring the Spark side's left-to-right double
     // fold bit-for-bit — an unordered SUM(f.v*m.m) can flip the 4th rounded

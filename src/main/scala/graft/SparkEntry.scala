@@ -1705,6 +1705,26 @@ object SparkEntry {
           candidates = Some(short))
         .orderBy(col("query_id"), col("mmr_step"))
     }),
+    "ann_mmr_recall" -> ((s, dir) => {
+      // the QUALITY number for the fed form: per-query recall of the
+      // LSH-fed MMR picks against the brute-shortlist MMR picks — the
+      // same recallAt measurement every other approximate family carries
+      // (the tuning read: how much diversity-aware serving quality the
+      // θ-join-free shortlist costs). Oracle composes BOTH greedy chains
+      // (namespaced step CTEs) with the recall join.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      val short = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 12)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score") * 10000, 0).cast("long").as("rel"))
+      val fed = Similarity.mmrRerank(emb, q, shortlist = 12, k = 4,
+        candidates = Some(short))
+      val brute = Similarity.mmrRerank(emb, q, shortlist = 12, k = 4)
+      Similarity.recallAt(fed, brute).orderBy(col("query_id"))
+    }),
     "q_recursive_bfs" -> ((s, dir) => {
       // WITH RECURSIVE (SQL surface new in Spark 4): BFS frontier
       // expansion over the part co-occurrence graph from the smallest
@@ -2604,31 +2624,37 @@ object SparkEntry {
     * Expects `cand(qid, nid, rel)` and `pairs(qid, cid, oid, sim)` —
     * names overridable so a consumer whose serving chain already binds
     * `cand` (the banded-LSH CTEs) can feed differently-named frames;
-    * emits `s1..s{k}` (qid, nid, step, obj).
+    * emits `{prefix}s1..{prefix}s{k}` (qid, nid, step, obj). `prefix`
+    * namespaces every step CTE so TWO greedy chains (brute + fed, the
+    * recall row) can coexist in one WITH clause. Step CTEs are
+    * MATERIALIZED: DuckDB inlines plain CTEs, and the sel_j unions
+    * reference earlier steps multiply — un-materialized, the re-derived
+    * upstream grows exponentially in k (the label-propagation oracle's
+    * lesson; composing two chains OOM'd without this).
     */
   private def mmrOracleSteps(k: Int, cand: String = "cand",
-      pairs: String = "pairs"): String = {
+      pairs: String = "pairs", prefix: String = ""): String = {
     val first =
-      s"""r1 AS (SELECT qid, nid, rel AS obj,
+      s"""${prefix}r1 AS MATERIALIZED (SELECT qid, nid, rel AS obj,
          |             row_number() OVER (PARTITION BY qid
          |               ORDER BY rel DESC, nid) AS rn
          |      FROM $cand),
-         |s1 AS (SELECT qid, nid, 1 AS step, obj FROM r1 WHERE rn = 1)""".stripMargin
+         |${prefix}s1 AS MATERIALIZED (SELECT qid, nid, 1 AS step, obj FROM ${prefix}r1 WHERE rn = 1)""".stripMargin
     val rest = (2 to k).map { j =>
-      val selPrev = (1 until j).map(i => s"SELECT qid, nid FROM s$i")
+      val selPrev = (1 until j).map(i => s"SELECT qid, nid FROM ${prefix}s$i")
         .mkString(" UNION ALL ")
-      s"""sel${j - 1} AS ($selPrev),
-         |m$j AS (SELECT p.qid, p.cid AS nid, MAX(p.sim) AS ms
-         |        FROM $pairs p JOIN sel${j - 1} s
+      s"""${prefix}sel${j - 1} AS MATERIALIZED ($selPrev),
+         |${prefix}m$j AS MATERIALIZED (SELECT p.qid, p.cid AS nid, MAX(p.sim) AS ms
+         |        FROM $pairs p JOIN ${prefix}sel${j - 1} s
          |          ON s.qid = p.qid AND s.nid = p.oid
          |        GROUP BY 1, 2),
-         |r$j AS (SELECT c.qid, c.nid, c.rel - m.ms AS obj,
+         |${prefix}r$j AS MATERIALIZED (SELECT c.qid, c.nid, c.rel - m.ms AS obj,
          |               row_number() OVER (PARTITION BY c.qid
          |                 ORDER BY (c.rel - m.ms) DESC, c.nid) AS rn
-         |        FROM $cand c JOIN m$j m ON m.qid = c.qid AND m.nid = c.nid
-         |        WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} s
+         |        FROM $cand c JOIN ${prefix}m$j m ON m.qid = c.qid AND m.nid = c.nid
+         |        WHERE NOT EXISTS (SELECT 1 FROM ${prefix}sel${j - 1} s
          |                          WHERE s.qid = c.qid AND s.nid = c.nid)),
-         |s$j AS (SELECT qid, nid, $j AS step, obj FROM r$j WHERE rn = 1)""".stripMargin
+         |${prefix}s$j AS MATERIALIZED (SELECT qid, nid, $j AS step, obj FROM ${prefix}r$j WHERE rn = 1)""".stripMargin
     }
     (first +: rest).mkString(",\n")
   }
@@ -4557,17 +4583,17 @@ object SparkEntry {
         |ORDER BY query_id, mmr_step""".stripMargin),
     "ann_mmr_rerank_lsh" -> (embCte + lshBandedServeCtes +
       """,
-        |mcand AS (SELECT query_id AS qid, neighbor_id AS nid,
+        |mcand AS MATERIALIZED (SELECT query_id AS qid, neighbor_id AS nid,
         |                 CAST(round(score * 10000, 0) AS BIGINT) AS rel
         |          FROM rr WHERE rnk <= 12),
-        |mpd AS (SELECT c1.qid, c1.nid AS cid, c2.nid AS oid,
+        |mpd AS MATERIALIZED (SELECT c1.qid, c1.nid AS cid, c2.nid AS oid,
         |               list_reduce(list(x.v*y.v ORDER BY x.i), (a,b) -> a+b) AS dot
         |        FROM mcand c1 JOIN mcand c2
         |          ON c2.qid = c1.qid AND c2.nid <> c1.nid
         |        JOIN f x ON x.vec_id = c1.nid
         |        JOIN f y ON y.vec_id = c2.nid AND y.i = x.i
         |        GROUP BY 1, 2, 3),
-        |mpairs AS (SELECT mpd.qid, mpd.cid, mpd.oid,
+        |mpairs AS MATERIALIZED (SELECT mpd.qid, mpd.cid, mpd.oid,
         |                  CAST(round(10000 * mpd.dot / (na.nrm * nb.nrm), 0) AS BIGINT)
         |                    AS sim
         |           FROM mpd JOIN nrm na ON na.vec_id = mpd.cid
@@ -4578,6 +4604,62 @@ object SparkEntry {
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
         |ORDER BY query_id, mmr_step""".stripMargin),
+    "ann_mmr_recall" -> (embCte + lshBandedServeCtes +
+      """,
+        |mcand AS MATERIALIZED (SELECT query_id AS qid, neighbor_id AS nid,
+        |                 CAST(round(score * 10000, 0) AS BIGINT) AS rel
+        |          FROM rr WHERE rnk <= 12),
+        |mpd AS MATERIALIZED (SELECT c1.qid, c1.nid AS cid, c2.nid AS oid,
+        |               list_reduce(list(x.v*y.v ORDER BY x.i), (a,b) -> a+b) AS dot
+        |        FROM mcand c1 JOIN mcand c2
+        |          ON c2.qid = c1.qid AND c2.nid <> c1.nid
+        |        JOIN f x ON x.vec_id = c1.nid
+        |        JOIN f y ON y.vec_id = c2.nid AND y.i = x.i
+        |        GROUP BY 1, 2, 3),
+        |mpairs AS MATERIALIZED (SELECT mpd.qid, mpd.cid, mpd.oid,
+        |                  CAST(round(10000 * mpd.dot / (na.nrm * nb.nrm), 0) AS BIGINT)
+        |                    AS sim
+        |           FROM mpd JOIN nrm na ON na.vec_id = mpd.cid
+        |                    JOIN nrm nb ON nb.vec_id = mpd.oid),
+        |bdot AS MATERIALIZED (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |                list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
+        |         FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+        |         GROUP BY 1, 2),
+        |bc0 AS MATERIALIZED (SELECT d.qid, d.nid,
+        |               CAST(round(10000 * d.dot / (qn.nrm * nn.nrm), 0) AS BIGINT)
+        |                 AS rel,
+        |               row_number() OVER (PARTITION BY d.qid
+        |                 ORDER BY round(10000 * d.dot / (qn.nrm * nn.nrm), 0) DESC,
+        |                          d.nid) AS rnk
+        |        FROM bdot d JOIN nrm qn ON qn.vec_id = d.qid
+        |                    JOIN nrm nn ON nn.vec_id = d.nid),
+        |bcand AS MATERIALIZED (SELECT qid, nid, rel FROM bc0 WHERE rnk <= 12),
+        |bpd AS MATERIALIZED (SELECT c1.qid, c1.nid AS cid, c2.nid AS oid,
+        |               list_reduce(list(x.v*y.v ORDER BY x.i), (a,b) -> a+b) AS dot
+        |        FROM bcand c1 JOIN bcand c2
+        |          ON c2.qid = c1.qid AND c2.nid <> c1.nid
+        |        JOIN f x ON x.vec_id = c1.nid
+        |        JOIN f y ON y.vec_id = c2.nid AND y.i = x.i
+        |        GROUP BY 1, 2, 3),
+        |bpairs AS MATERIALIZED (SELECT bpd.qid, bpd.cid, bpd.oid,
+        |                  CAST(round(10000 * bpd.dot / (na.nrm * nb.nrm), 0) AS BIGINT)
+        |                    AS sim
+        |           FROM bpd JOIN nrm na ON na.vec_id = bpd.cid
+        |                    JOIN nrm nb ON nb.vec_id = bpd.oid),
+        |""".stripMargin +
+      mmrOracleSteps(4, "mcand", "mpairs", prefix = "a") + ",\n" +
+      mmrOracleSteps(4, "bcand", "bpairs", prefix = "b") + "\n" +
+      """SELECT e.qid AS query_id, COUNT(*) AS k_exact,
+        |       CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hits,
+        |       CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS recall
+        |FROM (SELECT qid, nid FROM bs1 UNION ALL SELECT qid, nid FROM bs2
+        |      UNION ALL SELECT qid, nid FROM bs3 UNION ALL SELECT qid, nid FROM bs4) e
+        |LEFT JOIN (SELECT qid, nid FROM as1 UNION ALL SELECT qid, nid FROM as2
+        |           UNION ALL SELECT qid, nid FROM as3 UNION ALL SELECT qid, nid FROM as4) a
+        |       ON a.qid = e.qid AND a.nid = e.nid
+        |GROUP BY 1 ORDER BY query_id""".stripMargin),
     "q_recursive_bfs" ->
       // DuckDB runs the identical recursive text (depth cast pinned to
       // BIGINT by the house integer rule)

@@ -1884,6 +1884,14 @@ object SparkEntry {
       // form's SQL, row-for-row
       Hygiene.madOutliersScalable(t(s, dir, "events"), "event_type", "value")
         .orderBy(col("event_type"))),
+    "q_group_quantiles_scalable" -> ((s, dir) =>
+      // the GENERAL surface over the distributed rank selector: exact
+      // per-group p25/p50/p75/p90 as lower order statistics at rank
+      // ⌊q·(n−1)⌋ — engine-exact by construction (the oracle indexes a
+      // sorted list at the same rank), no group ever buffered
+      Hygiene.groupedQuantiles(t(s, dir, "events"), "event_type", "value",
+          qPpms = Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy(col("event_type"), col("q_ppm"))),
     "q_anomaly_flags" -> ((s, dir) => {
       // leak-free anomaly screen: each point is judged against the
       // PREVIOUS row's EWMA (a forecast from strictly-past data), and
@@ -4841,6 +4849,21 @@ object SparkEntry {
         |            AS BIGINT) AS n_outliers
         |FROM d JOIN dm ON dm.k = d.k
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_group_quantiles_scalable" ->
+      // exact lower order statistic at rank ⌊q·(n−1)⌋, 1-based list
+      // index — the identical rank formula the Spark selector targets
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT k, list(v ORDER BY v) AS lst, COUNT(*) AS n
+        |      FROM v GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([250000, 500000, 750000, 900000]) AS BIGINT)
+        |         AS q_ppm)
+        |SELECT s.k AS event_type, qs.q_ppm,
+        |       lst[CAST(floor((qs.q_ppm / 1000000.0) * (s.n - 1)) AS BIGINT) + 1]
+        |         AS value_u6
+        |FROM s CROSS JOIN qs
+        |ORDER BY event_type, q_ppm""".stripMargin,
     "q_anomaly_flags" ->
       // the q_ewma fold + a strictly-past lag forecast + the doubled-
       // median Hampel test — exact-integer medians survive negatives

@@ -349,6 +349,44 @@ object Hygiene {
       .withColumnRenamed("k", keyCol)
   }
 
+  /** Exact per-group quantiles at UNBOUNDED group sizes — the general
+    * surface over [[groupedSelectRanks]] (of which [[madOutliersScalable]]
+    * is the median/MAD composition): for each group and each requested
+    * quantile `q`, the 0-indexed LOWER order statistic at rank
+    * `⌊q·(n−1)⌋` over the group's non-null micro-unit values — a
+    * deterministic, engine-exact definition (no interpolation, no
+    * engine-specific quantile semantics), selected by distributed
+    * histogram narrowing: no aggregation buffer, window partition, or
+    * driver structure ever holds a group, vs `percentile`'s
+    * whole-group buffer (and `approx_percentile`'s error bound — this
+    * is EXACT). Quantiles are labeled in integer ppm
+    * (`q_ppm = q·10⁶`). Emits `(keyCol, q_ppm, value_u6)`.
+    */
+  def groupedQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      qPpms: Seq[Long], binsPerPass: Int = 4096,
+      exactThreshold: Long = 262144L): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q >= 0L && q <= 1000000L),
+      s"q_ppm values must be in [0, 1000000]: $qPpms")
+    require(qPpms.distinct.size == qPpms.size, s"duplicate quantiles: $qPpms")
+    val v = Dedup.cached(df.select(col(keyCol).as("k"),
+      round(col(valCol) * lit(1000000L), 0).cast("long").as("v"))
+      .filter(col("v").isNotNull))
+    val ranks = v.groupBy(col("k"))
+      .agg(count(lit(1)).as("nn"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .select(col("k"), col("lo"), col("hi"),
+        explode(array(qPpms.map { qPpm =>
+          struct(lit(qPpm).as("rid"),
+            floor((lit(qPpm) / lit(1000000.0)) * (col("nn") - 1))
+              .cast("long").as("target"))
+        }: _*)).as("r"))
+      .select(col("k"), col("r.rid").as("rid"), col("r.target").as("target"),
+        col("lo"), col("hi"))
+    groupedSelectRanks(v, ranks, binsPerPass, exactThreshold)
+      .select(col("k").as(keyCol), col("rid").as("q_ppm"),
+        col("sel").as("value_u6"))
+  }
+
   /** Column-statistics profile — the ANALYZE TABLE surface as one
     * catalog-free operator: per column, null count, exact NDV, and
     * min/max (computed on the NATIVE type, stringified after — casting

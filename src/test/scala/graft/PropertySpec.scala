@@ -683,6 +683,21 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val scal = Hygiene.madOutliersScalable(df, "grp", "x",
       binsPerPass = 8, exactThreshold = 32L).collect().map(key).toMap
     assert(scal == exact, s"scal=$scal\nexact=$exact")
+
+    // the general quantile surface over the same selector: every
+    // (group, q) equals the sorted-middle lower order statistic at
+    // rank ⌊q·(n−1)⌋, still under forced multi-pass narrowing
+    val qPpms = Seq(0L, 250000L, 500000L, 900000L, 1000000L)
+    val got = Hygiene.groupedQuantiles(df, "grp", "x", qPpms,
+        binsPerPass = 8, exactThreshold = 32L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byGrp = rows.result().groupBy(_._1)
+      .view.mapValues(_.map(t => math.round(t._2 * 1e6)).sorted).toMap
+    val expQ = (for {
+      (g, vs) <- byGrp; qp <- qPpms
+    } yield (g, qp) -> vs(math.floor((qp / 1000000.0) * (vs.size - 1)).toInt))
+      .toMap
+    assert(got == expQ, s"got=$got\nexp=$expQ")
   }
 
   test("scd2 invariants on random histories: tiling, versions, run compression") {

@@ -1892,6 +1892,20 @@ object SparkEntry {
       Hygiene.groupedQuantiles(t(s, dir, "events"), "event_type", "value",
           qPpms = Seq(250000L, 500000L, 750000L, 900000L))
         .orderBy(col("event_type"), col("q_ppm"))),
+    "q_drift_report" -> ((s, dir) => {
+      // between-dumps drift audit: lineitem split by orderkey parity as
+      // two crawl dumps, with drift PLANTED in dump B (half its 'R'
+      // returns dropped) — floor-share ppm total-variation distance per
+      // column, pure int64 (no float TVD can straddle the engines).
+      // l_returnflag reads high; the undrifted columns read near zero
+      val li = t(s, dir, "lineitem")
+      val dumpA = li.filter(col("l_orderkey") % 2 === 0)
+      val dumpB = li.filter(col("l_orderkey") % 2 === 1 &&
+        !(col("l_returnflag") === "R" && col("l_orderkey") % 4 === 1))
+      Hygiene.driftReport(dumpA, dumpB,
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_name"))
+    }),
     "q_anomaly_flags" -> ((s, dir) => {
       // leak-free anomaly screen: each point is judged against the
       // PREVIOUS row's EWMA (a forecast from strictly-past data), and
@@ -4864,6 +4878,34 @@ object SparkEntry {
         |         AS value_u6
         |FROM s CROSS JOIN qs
         |ORDER BY event_type, q_ppm""".stripMargin,
+    "q_drift_report" -> {
+      // identical floor-share integer TVD per column — generated so the
+      // three per-column subqueries can't drift from each other
+      val per = Seq("l_returnflag", "l_linestatus", "l_linenumber").map { c =>
+        s"""SELECT '$c' AS col_name, MIN(t.n_a) AS n_a, MIN(t.n_b) AS n_b,
+           |       CAST(COUNT(*) AS BIGINT) AS ndv_union,
+           |       CAST(SUM(ABS(
+           |         CASE WHEN t.n_a > 0 THEN j.na_v * 1000000 // t.n_a ELSE 0 END -
+           |         CASE WHEN t.n_b > 0 THEN j.nb_v * 1000000 // t.n_b ELSE 0 END)) // 2
+           |         AS BIGINT) AS tvd_ppm
+           |FROM (
+           |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1) a
+           |  FULL OUTER JOIN
+           |       (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1) b
+           |  USING (v)) j
+           |CROSS JOIN (SELECT (SELECT COUNT(*) FROM da) AS n_a,
+           |                   (SELECT COUNT(*) FROM db) AS n_b) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH da AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+         |db AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
+         |       AND NOT (l_returnflag = 'R' AND l_orderkey % 4 = 1))
+         |SELECT * FROM (
+         |$per
+         |) ORDER BY col_name""".stripMargin
+    },
     "q_anomaly_flags" ->
       // the q_ewma fold + a strictly-past lag forecast + the doubled-
       // median Hampel test — exact-integer medians survive negatives

@@ -442,6 +442,52 @@ object Hygiene {
       .reduce(_ unionAll _)
   }
 
+  /** Distribution drift between two dumps of the same table — the
+    * between-crawls comparison a pipeline runs before trusting a new
+    * dump: per categorical column, both dumps' value distributions and
+    * their total-variation distance. TVD is carried as FLOOR-SHARE ppm
+    * integers (each value's share = `cnt·10⁶ DIV n`, tvd = `Σ|pa−pb|
+    * DIV 2`) — deterministic pure-int64 cross-engine algebra, the
+    * [[madOutliers]] doubled-integer stance applied to drift (a float
+    * TVD can differ in the last ulp across engines; a floor-share one
+    * cannot). Numeric columns: bucket them first (the equi-depth
+    * histogram rule) and drift the bucket label — composition, not a
+    * second code path.
+    *
+    * Shape per column: one NDV-bounded hash agg per dump, a full-outer
+    * join on the value (NDV-bounded exchange), the totals as a
+    * broadcast 1-row frame, one summary agg. Emits one row per column:
+    * `(col_name, n_a, n_b, ndv_union, tvd_ppm)`.
+    */
+  def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to drift-check")
+    def one(c: String): DataFrame = {
+      val ca = a.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("na_v"))
+      val cb = b.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("nb_v"))
+      val j = ca.join(cb, Seq("v"), "full_outer")
+        .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
+          coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+      val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+      j.crossJoin(broadcast(tot))
+        .select(col("na_v"), col("nb_v"), col("n_a"), col("n_b"),
+          expr("CASE WHEN n_a > 0 THEN na_v * 1000000 DIV n_a ELSE 0 END")
+            .as("pa_ppm"),
+          expr("CASE WHEN n_b > 0 THEN nb_v * 1000000 DIV n_b ELSE 0 END")
+            .as("pb_ppm"))
+        .agg(
+          coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+          coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+          count(lit(1)).as("ndv_union"),
+          coalesce(sum(abs(col("pa_ppm") - col("pb_ppm"))), lit(0L))
+            .as("sad_ppm"))
+        .select(lit(c).as("col_name"), col("n_a"), col("n_b"),
+          col("ndv_union"), expr("sad_ppm DIV 2").as("tvd_ppm"))
+    }
+    cols.map(one).reduce(_ unionAll _)
+  }
+
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
     * — public privacy methodology): a row is k-anonymous when at least
     * `k` rows share its full quasi-identifier tuple; releasing groups

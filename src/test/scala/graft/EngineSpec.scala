@@ -3284,6 +3284,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("drift report: identical dumps read zero; disjoint dumps read full TVD; empty side safe") {
+    import spark.implicits._
+    val a = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("cat", "id")
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // same dump twice: every share identical → TVD exactly 0
+    val same = row(Hygiene.driftReport(a, a, Seq("cat")))
+    assert(same("cat") == ((3L, 3L, 2L, 0L)), same.toString)
+    // disjoint value sets: floor-share TVD reads ~full drift
+    // (999999 not 10⁶: floor(2/3·10⁶) + floor(1/3·10⁶) = 999999 —
+    // the documented floor-share semantics, deterministic over exact)
+    val b = Seq(("z", 9L)).toDF("cat", "id")
+    val disj = row(Hygiene.driftReport(a, b, Seq("cat")))
+    assert(disj("cat") == ((3L, 1L, 3L, 999999L)), disj.toString)
+    // an EMPTY dump must produce a row, not a crash or nulls
+    val empty = Seq.empty[(String, Long)].toDF("cat", "id")
+    val e = row(Hygiene.driftReport(a, empty, Seq("cat")))
+    assert(e("cat") == ((3L, 0L, 2L, 499999L)), e.toString)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

@@ -127,9 +127,10 @@ object Hygiene {
     * on the group key. Exact `percentile` buffers a group's values inside
     * its aggregation state — right for grouping columns with bounded
     * per-group cardinality or diagnostic corpus slices (this is a
-    * statistics row, not a per-doc output); at open-ended group sizes the
-    * scale path swaps in `approx_percentile` exactly like the CCNet
-    * bucket thresholds ([[TextAnalysis]]).
+    * statistics row, not a per-doc output); at open-ended group sizes use
+    * [[madOutliersScalable]] — the EXACT-same output computed by
+    * distributed histogram rank selection with no per-group buffer
+    * anywhere (this form is its oracle).
     */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     // cached: (k, v) feeds the median, the deviation frame, AND the final

@@ -724,8 +724,11 @@ object Similarity {
     * broadcasts the (queries × rerank)-row shortlist back onto the raw
     * vectors (EngineSpec pins the corpus side exchange-free). Codebook
     * TRAINING runs `pqIters` aggregation jobs over the corpus — at real
-    * scale train on an md5 sample (the [[TextAnalysis.bpeVocabSampled]]
-    * discipline) and encode everything.
+    * scale set `trainFrac < 1` to train on an md5-bucket sample and
+    * encode everything (see [[trainPq]]; the `ann_ivfpq_sampled` row
+    * oracle-verifies it), and persist the artifact with
+    * [[graft.sources.AnnIndex.buildPq]] so serving scans codes, not
+    * vectors.
     */
   def ivfPqTopK(
       emb: DataFrame, queries: DataFrame, k: Int,

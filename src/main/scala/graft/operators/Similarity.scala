@@ -794,69 +794,76 @@ object Similarity {
 
     val assigned = assignCellsLocal(p, cents, nprobe = 1)
 
-    // residual elements, one row per (vector, subspace, within-subspace
-    // dim) — the codebook training representation, restricted to the
-    // md5-bucket training sample. Centroid elements are kCoarse×dims
-    // rows, broadcast.
-    val centElems = sorted.flatMap { case (cid, cv, _) =>
-      cv.zipWithIndex.map { case (cm, i) => (cid, i, cm) }
-    }.toDF("cell", "i", "cm")
+    // training representation: one row per SAMPLED vector carrying its
+    // full residual ARRAY. Re-assignment is then a ROW-LOCAL argmin per
+    // subspace (the encode stage's least(struct) over the identical
+    // left-assoc j-ascending fold), and only the means aggregation
+    // explodes to (s, cw, j) rows. The previous form exploded residuals
+    // up front and paid a broadcast join + collect_list re-sort per
+    // Lloyd's round just to rebuild this fold order; row-local distances
+    // make each round one narrow projection + one map-side-combined mean
+    // agg over the SAME values in the SAME association order, with the
+    // same round(·,6) + codeword-id tie-break — assignments and means
+    // are value-identical, so the oracle replay is unchanged (the full
+    // gate re-verified bit-exact after this rewrite).
     val sampled =
       if (trainFrac >= 1.0) lit(true)
       else substring(md5(col("id").cast("string")), 1, 2) <
         lit(Splits.fractionThreshold(trainFrac))
     import org.apache.spark.sql.types.DecimalType
-    val resid = assigned
+    val cellIdx = sorted.map(_._1).zipWithIndex.tail
+      .foldLeft(when(col("cell") === sorted.head._1, lit(0))) {
+        case (acc, (cid, idx)) => acc.when(col("cell") === cid, lit(idx))
+      }
+    val centMatrix = typedlit(sorted.map(_._2.toSeq))
+    val base = assigned
       .filter(sampled)
-      .select(col("id"), col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-      .join(broadcast(centElems), Seq("cell", "i"))
       .select(col("id"),
-        expr(s"i div $dsub").cast("int").as("s"),
-        expr(s"i % $dsub").cast("int").as("j"),
-        (col("x") - col("cm")).as("rv"))
+        zip_with(col("v"), element_at(centMatrix, cellIdx + 1),
+          (x, c) => x - c).as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // decimal-exact per-(subspace, codeword, dim) means of a frame
+    // carrying `cws` (assigned codeword per subspace, array<int>)
     def decMean(df: DataFrame): Map[(Int, Int, Int), Double] = df
-      .groupBy(col("s"), col("cw"), col("j"))
-      .agg((sum(col("rv").cast(DecimalType(28, 12))).cast("double") /
+      .select(col("cws"), posexplode(col("rv")).as(Seq("i", "x")))
+      .groupBy(
+        expr(s"i div $dsub").cast("int").as("s"),
+        element_at(col("cws"), expr(s"i div $dsub").cast("int") + 1).as("cw"),
+        expr(s"i % $dsub").cast("int").as("j"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
         count(lit(1))).as("cm"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
       .toMap
-    // round 1: md5-bucket init → decimal-exact means
-    var cbMap = decMean(resid.withColumn("cw",
-      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % ksub).cast("int")))
+    // round 1: md5-bucket init (one bucket per VECTOR, every subspace) →
+    // decimal-exact means
+    var cbMap = decMean(base.withColumn("cws",
+      array_repeat(
+        (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % ksub).cast("int"), m)))
     require((0 until m).forall(s => (0 until ksub).forall(cw =>
       (0 until dsub).forall(j => cbMap.contains((s, cw, j))))),
       "every (subspace, codeword) init bucket must be populated — corpus too small for ksub")
     // Lloyd's rounds over residual subvectors: re-assign to the nearest
-    // codeword (rounded squared L2, codeword-id tie-break), re-average.
-    // The per-round codebook is collected (m·ksub·dsub values — tiny) and
-    // re-broadcast, which also cuts the iterative lineage.
+    // codeword (rounded squared L2, codeword-id tie-break — the round's
+    // codebook rides as plan literals, m·ksub·dsub doubles), re-average.
     (2 to pqIters).foreach { _ =>
-      val cbDF = cbMap.toSeq.map { case ((s, cw, j), v) => (s, cw, j, v) }
-        .toDF("s", "cw", "j", "cm")
-      // training distances fold in j order (sorted struct array → left-assoc
-      // double fold), the same association order the oracle's list_reduce
-      // replays — an unordered double SUM can flip the 6th rounded decimal
-      // on boundary values and cascade into a different codeword assignment
-      val newAsn = resid.join(broadcast(cbDF), Seq("s", "j"))
-        .groupBy(col("id"), col("s"), col("cw"))
-        .agg(round(
-          aggregate(
-            array_sort(collect_list(struct(col("j"),
-              ((col("rv") - col("cm")) * (col("rv") - col("cm"))).as("t")))),
-            lit(0.0), (acc, x) => acc + x.getField("t")), 6).as("d"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id"), col("s")).orderBy(col("d"), col("cw"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("s"), col("cw"))
-      val newMeans = decMean(resid.join(newAsn, Seq("id", "s")))
+      def sqd(rv: Column, s: Int, cw: Int): Column =
+        (0 until dsub).map { j =>
+          val t = rv(s * dsub + j) - lit(cbMap((s, cw, j)))
+          t * t
+        }.reduceLeft(_ + _)
+      val asn = base.withColumn("cws", array((0 until m).map { s =>
+        least((0 until ksub).map(cw =>
+          struct(round(sqd(col("rv"), s, cw), 6).as("d"), lit(cw).as("c"))): _*)
+          .getField("c")
+      }: _*))
+      val newMeans = decMean(asn)
       // a codeword that lost every member keeps its previous value — the
       // deterministic rule a SQL oracle reproduces (vs a random re-seed)
       cbMap = cbMap.map { case (key, prev) => key -> newMeans.getOrElse(key, prev) }
     }
-    resid.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     p.unpersist(blocking = false)
     PqModel(cents, dims, m, ksub, cbMap)
   }

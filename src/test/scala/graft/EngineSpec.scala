@@ -3305,6 +3305,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e("cat") == ((3L, 0L, 2L, 499999L)), e.toString)
   }
 
+  test("drift stream: folded counts serve the batch operator's exact drift, any split") {
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    val ref = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("z", 4L))
+      .toDF("cat", "grp")
+    val all = Seq(("x", 10L), ("y", 11L), ("y", 12L), ("w", 13L),
+      ("y", 14L), ("x", 15L))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val expect = key(graft.operators.Hygiene.driftReport(
+      ref, all.toDF("cat", "grp"), Seq("cat", "grp")))
+    for (nBatches <- Seq(1, 3)) {
+      val store = new DriftStream.DriftStore(spark, Seq("cat", "grp"), ref)
+      val per = math.ceil(all.size.toDouble / nBatches).toInt
+      all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("cat", "grp"), i.toLong)
+      }
+      // the served drift row must equal the BATCH operator over the
+      // union of all delivered rows — same floor-share integer algebra
+      assert(key(store.current) == expect,
+        s"nBatches=$nBatches: ${key(store.current)} vs $expect")
+      // replay guard: re-delivering a folded batch must not move counts
+      assert(!store.merge(all.toDF("cat", "grp"), 0L))
+      assert(key(store.current) == expect)
+    }
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

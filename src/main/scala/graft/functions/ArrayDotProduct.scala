@@ -94,23 +94,47 @@ object ArrayDotProduct {
 }
 
 /** Session extension registering graft's SQL functions, so
-  * `SELECT array_dot(a, b)` works from plain SQL:
+  * `SELECT array_dot(a, b)`, `nfc_normalize(s)`, and
+  * `sorted_array_intersect_count(a, b)` work from plain SQL:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  * (`nfc_normalize` deliberately matches DuckDB's function of the same
+  * name — the dedup normalization chain is then the same TEXT on both
+  * engines.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+    GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }
 
 object GraftExtensions {
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
+  /** The SQL-exposed scalar functions (codegen'd Catalyst expressions). */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "array_dot" -> arity("array_dot", 2)(e => ArrayDotProduct(e(0), e(1))),
+      "nfc_normalize" -> arity("nfc_normalize", 1)(e => NfcNormalize(e(0))),
+      "sorted_array_intersect_count" ->
+        arity("sorted_array_intersect_count", 2)(e =>
+          SortedArrayIntersectCount(e(0), e(1))))
+
   /** Register graft's SQL functions on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    ColumnBridge.registerFunction(spark, "array_dot",
-      exprs => ArrayDotProduct(exprs(0), exprs(1)))
+    sqlFunctions.foreach { case (name, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
 }

@@ -849,6 +849,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(r == 11.0)
+    // the whole SQL surface registers: nfc_normalize matches DuckDB's
+    // function of the same name (the dedup chain is the same TEXT on
+    // both engines), and the sorted-intersect verifier is callable too
+    val nfc = spark.sql("SELECT nfc_normalize('e\u0301cole') AS s")
+      .collect()(0).getString(0) // decomposed e + U+0301 in, composed out
+    assert(nfc == "\u00e9cole", s"NFC compose failed: ${nfc.toList.map(_.toInt)}")
+    val sic = spark.sql(
+      "SELECT sorted_array_intersect_count(array(1L,3L,5L), array(3L,4L,5L)) AS n")
+      .collect()(0).getLong(0)
+    assert(sic == 2L)
   }
 
   test("TopKPerKey physical operator equals the window form and plans with one exchange") {

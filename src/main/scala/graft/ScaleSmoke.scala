@@ -456,6 +456,17 @@ object ScaleSmoke {
             .orderBy(col("sample_key"), col("doc_id"))))
         .filter(col("rn") <= 1000).count()
     }
+    //  3. (round-12 lesson) Skew is relative to the MEDIAN partition, so
+    //     the A/B only measures something when partitions ≫ bins-per-
+    //     partition — at shuffle.partitions = 8 the hot bin lands in a
+    //     partition already carrying ~6k cold bins and reads ~2× median
+    //     bytes, under the detection factor, and NEITHER leg splits (the
+    //     r12 sweep caught exactly this). Production is always in the
+    //     many-partitions regime (thousands of partitions, one hot bin),
+    //     so the section pins partitions = 64 and restores after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (enabled("interval join hot bin"))
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
     for (skew <- Seq("false", "true") if enabled("interval join hot bin")) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
       val agg = graft.operators.Temporal.pairsWithin(skewed, "ts_us", w, Seq("eid"))
@@ -466,6 +477,7 @@ object ScaleSmoke {
       println(f"[scale-smoke] interval join hot bin, skew split $skew%-5s " +
         f"checksum=$checksum split-fired=$split ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // round-11 additions: the windowed temporal pair (one exchange + one
     // sort each) and the buffer-free median A/B'd against percentile
     val ev5 = spark.read.parquet(s"$dir/events")

@@ -204,6 +204,77 @@ object Multimodal {
       .filter(col("i") === col("len") ||
         (col("i") >= window && col("h") % divisor === 0))
       .select(col(idCol), col("i").as("end_pos"))
+    spansToChunks(bounds, base, idCol)
+  }
+
+  /** [[cdcChunks]] with the PRODUCTION min-chunk clamp: boundary
+    * candidates come from the identical rolling hash, then a GREEDY
+    * left-to-right thinning keeps a candidate only when it lies at least
+    * `minChunk` bytes past the last kept boundary (the LBFS min-size
+    * rule; the final tail chunk may be shorter — it is closed by the
+    * payload end, the standard CDC convention). This closes the
+    * stateless form's adversarial hole: on repetitive content whose
+    * window hash happens to satisfy the boundary test, EVERY position
+    * becomes a boundary and a payload shatters into ~len one-byte chunks
+    * (spec-demonstrated); the clamp caps chunk count at ⌈len/minChunk⌉.
+    *
+    * The thinning is stateful but PER-PAYLOAD, so it runs as a row-local
+    * `aggregate` fold over the doc's sorted candidate array (bounded by
+    * payload length — the [[sceneCuts]] bounded-partition discipline,
+    * here bounded-array). `minChunk = 1` keeps every candidate and
+    * reproduces [[cdcChunks]] exactly (spec-pinned), which is also why
+    * the stateless form remains the ORACLE surface: the clamp is pure
+    * composition on top of verified boundary selection.
+    */
+  def cdcChunksClamped(docs: DataFrame, minChunk: Int,
+      idCol: String = "doc_id", textCol: String = "text", window: Int = 8,
+      divisor: Int = 64, hashBase: Int = 31): DataFrame = {
+    require(minChunk >= 1, s"minChunk must be >= 1: $minChunk")
+    require(window >= 1 && divisor >= 2 && hashBase >= 2,
+      s"bad CDC parameters: window=$window divisor=$divisor base=$hashBase")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(textCol).as("txt"),
+      length(col(textCol)).cast("long").as("len"))
+    val pos = base
+      .filter(col("len") >= 1)
+      .select(col(idCol), col("txt"), col("len"),
+        explode(sequence(lit(1L), col("len"))).as("i"))
+      .select(col(idCol), col("len"), col("i"),
+        expr("CAST(ascii(substring(txt, CAST(i AS INT), 1)) AS BIGINT)")
+          .as("bv"))
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val h = (0 until window).map(j =>
+        coalesce(lag(col("bv"), j).over(wp), lit(0L)) *
+          lit(BigInt(hashBase).pow(j).toLong))
+      .reduceLeft(_ + _)
+    val cands = pos.withColumn("h", h)
+      .filter(col("i") >= window && col("h") % divisor === 0)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i"))).as("cs"))
+    val bounds = base
+      .filter(col("len") >= 1)
+      .join(cands, Seq(idCol), "left")
+      .select(col(idCol), col("len"),
+        coalesce(col("cs"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("cs"))
+      .select(col(idCol),
+        explode(array_distinct(concat(
+          expr(s"""aggregate(cs,
+                  |  struct(CAST(0 AS BIGINT) AS last,
+                  |         CAST(array() AS ARRAY<BIGINT>) AS ks),
+                  |  (acc, c) -> IF(c - acc.last >= $minChunk,
+                  |    struct(c AS last, array_append(acc.ks, c) AS ks), acc),
+                  |  acc -> acc.ks)""".stripMargin.replace("\n", " ")),
+          array(col("len"))))).as("end_pos"))
+    spansToChunks(bounds, base, idCol)
+  }
+
+  /** Shared chunk materialization: `(id, end_pos)` boundary rows →
+    * contiguous 1-based spans (bounded per-payload window) → chunk rows
+    * with content hashes via one id-keyed join back to the payload.
+    */
+  private def spansToChunks(bounds: DataFrame, base: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(col(idCol)).orderBy(col("end_pos"))
     bounds
       .withColumn("start_pos",

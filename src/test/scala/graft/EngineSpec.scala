@@ -1334,6 +1334,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.toSeq == Seq((1L, 3L)), tiny.toSeq.toString)
   }
 
+  test("clamped cdc chunks: min-size holds, adversarial shatter capped, minChunk=1 = stateless") {
+    import spark.implicits._
+    // adversarial repetitive content: a constant byte makes the window
+    // hash constant, and Σ31^j ≡ 0 (mod 64), so EVERY position ≥ 8 is a
+    // boundary — the stateless form shatters into ~len one-byte chunks
+    val shatter = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+    val nStateless = Multimodal.cdcChunks(shatter).count()
+    assert(nStateless > 90L, s"expected ~93 shattered chunks, got $nStateless")
+    val clamped = Multimodal.cdcChunksClamped(shatter, minChunk = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(clamped.length <= 6, s"clamp failed: ${clamped.length} chunks")
+    // tiling still holds, and every chunk except the tail ≥ minChunk
+    assert(clamped.map(_._3).sum == 100L)
+    clamped.dropRight(1).foreach { case (_, _, n) =>
+      assert(n >= 20L, s"chunk under minChunk: $clamped") }
+    // minChunk = 1 keeps every candidate: identical to the stateless form
+    val rng = new scala.util.Random(53)
+    val docs = (1L to 6L).map { id =>
+      (id, (0 until 150 + rng.nextInt(150))
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(rows(Multimodal.cdcChunksClamped(docs, minChunk = 1)) ==
+      rows(Multimodal.cdcChunks(docs)),
+      "minChunk=1 must reproduce the stateless chunking exactly")
+  }
+
   test("CMS estimates: never undercount, exact without collisions, OOV is collision mass") {
     import spark.implicits._
     val docs = Seq(

@@ -2394,6 +2394,21 @@ object SparkEntry {
       Multimodal.cdcDupStats(payloads)
         .orderBy(col("chunk_md5"))
     }),
+    "mm_cdc_chunks_clamped" -> ((s, dir) => {
+      // the PRODUCTION chunker (min-chunk greedy thinning over the same
+      // rolling-hash candidates — shatter-proof on repetitive content)
+      // over the same shifted-duplicate fixture, emitting the full chunk
+      // table; the oracle replays the greedy fold via list_reduce over
+      // transformed candidate structs (prefix-filter ≥ minChunk makes
+      // DuckDB's first-element init equal Spark's fold-from-zero)
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          expr("repeat(chr(CAST(97 + doc_id % 5 AS INT)), CAST(doc_id % 10 AS INT))"),
+          expr("repeat(concat('segment', CAST(doc_id DIV 10 AS STRING), ' '), 20)"))
+          .as("text"))
+      Multimodal.cdcChunksClamped(payloads, minChunk = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     "split_weighted_sample" -> ((s, dir) =>
       // quality-weighted corpus cut: integer-exact Efraimidis–Spirakis
       // (row's key = min of w md5 draws, the k smallest keys win); the
@@ -5860,6 +5875,55 @@ object SparkEntry {
          |       MIN(cb) AS chunk_bytes
          |FROM ch GROUP BY 1 HAVING COUNT(*) >= 2
          |ORDER BY chunk_md5""".stripMargin
+    },
+    "mm_cdc_chunks_clamped" -> {
+      val hTerms = (0 until 8).map { j =>
+        val coef = BigInt(31).pow(j).toLong
+        if (j == 0) s"CAST(ord(substring(txt, CAST(i AS INT), 1)) AS BIGINT) * $coef"
+        else s"CAST(CASE WHEN i >= ${j + 1} THEN ord(substring(txt, CAST(i - $j AS INT), 1)) ELSE 0 END AS BIGINT) * $coef"
+      }.mkString("\n        |         + ")
+      // the greedy thinning replays as RECURSIVE reachability — next
+      // kept boundary = MIN candidate ≥ last + minChunk, provably the
+      // same rule as Spark's left fold. (A list_reduce struct-
+      // accumulator fold was the first attempt; DuckDB 1.0 CLOBBERS the
+      // accumulator when the keep branch fires twice in a row —
+      // [24,54,84] folds to [84] — so the oracle avoids struct lambdas.)
+      s"""WITH RECURSIVE p AS (
+         |  SELECT doc_id,
+         |         repeat(chr(CAST(97 + doc_id % 5 AS INT)), CAST(doc_id % 10 AS INT)) ||
+         |         repeat('segment' || CAST(doc_id // 10 AS VARCHAR) || ' ', 20) AS txt
+         |  FROM documents),
+         |b AS (SELECT doc_id, txt, CAST(length(txt) AS BIGINT) AS len FROM p),
+         |pos AS (SELECT doc_id, txt, len,
+         |               CAST(unnest(range(1, len + 1)) AS BIGINT) AS i FROM b),
+         |hp AS (
+         |  SELECT doc_id, len, i,
+         |         $hTerms AS h
+         |  FROM pos),
+         |cand AS (SELECT doc_id, i FROM hp WHERE i >= 8 AND h % 64 = 0),
+         |keep(doc_id, kb) AS (
+         |  SELECT doc_id, MIN(i) FROM cand WHERE i >= 24 GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT k.doc_id,
+         |         (SELECT MIN(c.i) FROM cand c
+         |          WHERE c.doc_id = k.doc_id AND c.i >= k.kb + 24)
+         |  FROM keep k
+         |  WHERE EXISTS (SELECT 1 FROM cand c
+         |                WHERE c.doc_id = k.doc_id AND c.i >= k.kb + 24)),
+         |bd AS (SELECT doc_id, kb AS end_pos FROM keep
+         |       UNION SELECT doc_id, len AS end_pos FROM b),
+         |sp AS (SELECT bd.doc_id, b.txt, bd.end_pos,
+         |              COALESCE(lag(bd.end_pos) OVER (PARTITION BY bd.doc_id
+         |                ORDER BY bd.end_pos), 0) + 1 AS start_pos,
+         |              row_number() OVER (PARTITION BY bd.doc_id
+         |                ORDER BY bd.end_pos) - 1 AS chunk_idx
+         |       FROM bd JOIN b USING (doc_id))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(start_pos AS BIGINT) AS start_pos,
+         |       CAST(end_pos - start_pos + 1 AS BIGINT) AS chunk_bytes,
+         |       md5(substring(txt, CAST(start_pos AS INT),
+         |                     CAST(end_pos - start_pos + 1 AS INT))) AS chunk_md5
+         |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin
     },
     "split_weighted_sample" ->
       // re-draws the identical min-of-w-md5-draws key and takes the same

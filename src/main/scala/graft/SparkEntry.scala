@@ -2409,6 +2409,21 @@ object SparkEntry {
       Multimodal.cdcChunksClamped(payloads, minChunk = 24)
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    "mm_cdc_chunks_maxclamp" -> ((s, dir) => {
+      // BOTH LBFS clamps: wherever no acceptable candidate lies within
+      // maxChunk of the last boundary, boundaries are FORCED every 64
+      // bytes — candidate-free payloads (whole fixture groups hash past
+      // the divisor class) slice fixed-size instead of one giant chunk,
+      // and every chunk obeys ≤ 64 B; the oracle's recursion picks
+      // MIN(candidate in [last+24, last+64]) or forces last+64
+      val payloads = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          expr("repeat(chr(CAST(97 + doc_id % 5 AS INT)), CAST(doc_id % 10 AS INT))"),
+          expr("repeat(concat('segment', CAST(doc_id DIV 10 AS STRING), ' '), 20)"))
+          .as("text"))
+      Multimodal.cdcChunksClamped(payloads, minChunk = 24, maxChunk = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     "split_weighted_sample" -> ((s, dir) =>
       // quality-weighted corpus cut: integer-exact Efraimidis–Spirakis
       // (row's key = min of w md5 draws, the k smallest keys win); the
@@ -5910,6 +5925,62 @@ object SparkEntry {
          |  FROM keep k
          |  WHERE EXISTS (SELECT 1 FROM cand c
          |                WHERE c.doc_id = k.doc_id AND c.i >= k.kb + 24)),
+         |bd AS (SELECT doc_id, kb AS end_pos FROM keep
+         |       UNION SELECT doc_id, len AS end_pos FROM b),
+         |sp AS (SELECT bd.doc_id, b.txt, bd.end_pos,
+         |              COALESCE(lag(bd.end_pos) OVER (PARTITION BY bd.doc_id
+         |                ORDER BY bd.end_pos), 0) + 1 AS start_pos,
+         |              row_number() OVER (PARTITION BY bd.doc_id
+         |                ORDER BY bd.end_pos) - 1 AS chunk_idx
+         |       FROM bd JOIN b USING (doc_id))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(start_pos AS BIGINT) AS start_pos,
+         |       CAST(end_pos - start_pos + 1 AS BIGINT) AS chunk_bytes,
+         |       md5(substring(txt, CAST(start_pos AS INT),
+         |                     CAST(end_pos - start_pos + 1 AS INT))) AS chunk_md5
+         |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "mm_cdc_chunks_maxclamp" -> {
+      val hTerms = (0 until 8).map { j =>
+        val coef = BigInt(31).pow(j).toLong
+        if (j == 0) s"CAST(ord(substring(txt, CAST(i AS INT), 1)) AS BIGINT) * $coef"
+        else s"CAST(CASE WHEN i >= ${j + 1} THEN ord(substring(txt, CAST(i - $j AS INT), 1)) ELSE 0 END AS BIGINT) * $coef"
+      }.mkString("\n        |         + ")
+      // the next boundary from `last` is the smallest candidate inside
+      // [last+minChunk, last+maxChunk] — or FORCED at last+maxChunk when
+      // that range holds none; recursion emits boundaries strictly
+      // before the payload end, which always closes the final chunk
+      s"""WITH RECURSIVE p AS (
+         |  SELECT doc_id,
+         |         repeat(chr(CAST(97 + doc_id % 5 AS INT)), CAST(doc_id % 10 AS INT)) ||
+         |         repeat('segment' || CAST(doc_id // 10 AS VARCHAR) || ' ', 20) AS txt
+         |  FROM documents),
+         |b AS (SELECT doc_id, txt, CAST(length(txt) AS BIGINT) AS len FROM p),
+         |pos AS (SELECT doc_id, txt, len,
+         |               CAST(unnest(range(1, len + 1)) AS BIGINT) AS i FROM b),
+         |hp AS (
+         |  SELECT doc_id, len, i,
+         |         $hTerms AS h
+         |  FROM pos),
+         |cand AS (SELECT doc_id, i FROM hp WHERE i >= 8 AND h % 64 = 0),
+         |keep(doc_id, kb) AS (
+         |  SELECT doc_id, nb FROM (
+         |    SELECT bb.doc_id, bb.len,
+         |           COALESCE((SELECT MIN(c.i) FROM cand c
+         |                     WHERE c.doc_id = bb.doc_id
+         |                       AND c.i BETWEEN 24 AND 64),
+         |                    CAST(64 AS BIGINT)) AS nb
+         |    FROM b bb) t0
+         |  WHERE nb < len
+         |  UNION ALL
+         |  SELECT doc_id, nb FROM (
+         |    SELECT k.doc_id, bb.len,
+         |           COALESCE((SELECT MIN(c.i) FROM cand c
+         |                     WHERE c.doc_id = k.doc_id
+         |                       AND c.i BETWEEN k.kb + 24 AND k.kb + 64),
+         |                    k.kb + 64) AS nb
+         |    FROM keep k JOIN b bb ON bb.doc_id = k.doc_id) t1
+         |  WHERE nb < len),
          |bd AS (SELECT doc_id, kb AS end_pos FROM keep
          |       UNION SELECT doc_id, len AS end_pos FROM b),
          |sp AS (SELECT bd.doc_id, b.txt, bd.end_pos,

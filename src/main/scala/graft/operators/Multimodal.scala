@@ -218,18 +218,32 @@ object Multimodal {
     * becomes a boundary and a payload shatters into ~len one-byte chunks
     * (spec-demonstrated); the clamp caps chunk count at ⌈len/minChunk⌉.
     *
+    * `maxChunk` completes the LBFS clamp pair: whenever the next
+    * acceptable candidate lies MORE than `maxChunk` bytes past the last
+    * boundary (or no candidate remains), boundaries are FORCED every
+    * `maxChunk` bytes until one is in reach — so candidate-free content
+    * (common on compressed/binary payloads whose hashes never hit the
+    * divisor class) degrades gracefully to fixed-size slicing instead of
+    * one giant chunk, and every chunk obeys `chunk_bytes ≤ maxChunk`.
+    * The default (`Int.MaxValue`) disables forcing.
+    *
     * The thinning is stateful but PER-PAYLOAD, so it runs as a row-local
     * `aggregate` fold over the doc's sorted candidate array (bounded by
     * payload length — the [[sceneCuts]] bounded-partition discipline,
-    * here bounded-array). `minChunk = 1` keeps every candidate and
-    * reproduces [[cdcChunks]] exactly (spec-pinned), which is also why
-    * the stateless form remains the ORACLE surface: the clamp is pure
-    * composition on top of verified boundary selection.
+    * here bounded-array). `minChunk = 1` with the default `maxChunk`
+    * keeps every candidate and reproduces [[cdcChunks]] exactly
+    * (spec-pinned), which is also why the stateless form remains the
+    * ORACLE surface: the clamps are pure composition on top of verified
+    * boundary selection (and the clamped rows carry their own recursive
+    * oracles).
     */
   def cdcChunksClamped(docs: DataFrame, minChunk: Int,
+      maxChunk: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text", window: Int = 8,
       divisor: Int = 64, hashBase: Int = 31): DataFrame = {
     require(minChunk >= 1, s"minChunk must be >= 1: $minChunk")
+    require(maxChunk >= minChunk,
+      s"maxChunk ($maxChunk) must be >= minChunk ($minChunk)")
     require(window >= 1 && divisor >= 2 && hashBase >= 2,
       s"bad CDC parameters: window=$window divisor=$divisor base=$hashBase")
     import org.apache.spark.sql.expressions.Window
@@ -251,19 +265,37 @@ object Multimodal {
       .filter(col("i") >= window && col("h") % divisor === 0)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("i"))).as("cs"))
+    // the greedy fold: per candidate c, first emit every FORCED boundary
+    // (full maxChunk steps strictly before c — nf of them), then keep c
+    // iff it lies >= minChunk past the last (possibly forced) boundary.
+    // nf and the forced array are inlined twice (SQL lambdas have no
+    // lets); sequence(1, 0) DESCENDS in Spark, hence the nf < 1 guards.
+    val mc = s"CAST($maxChunk AS BIGINT)"
+    def nf(from: String, upto: String) =
+      s"greatest(CAST(0 AS BIGINT), ($upto - 1 - $from) DIV $mc)"
+    def forced(from: String, upto: String) =
+      s"""IF(${nf(from, upto)} < 1, CAST(array() AS ARRAY<BIGINT>),
+         |   transform(sequence(1, ${nf(from, upto)}), j -> $from + j * $mc))"""
+        .stripMargin
+    val foldExpr =
+      s"""aggregate(cs,
+         |  struct(CAST(0 AS BIGINT) AS last,
+         |         CAST(array() AS ARRAY<BIGINT>) AS ks),
+         |  (acc, c) -> IF(c - (acc.last + ${nf("acc.last", "c")} * $mc) >= $minChunk,
+         |    struct(c AS last,
+         |           concat(acc.ks, ${forced("acc.last", "c")}, array(c)) AS ks),
+         |    struct(acc.last + ${nf("acc.last", "c")} * $mc AS last,
+         |           concat(acc.ks, ${forced("acc.last", "c")}) AS ks)),
+         |  acc -> acc)""".stripMargin.replace("\n", " ")
     val bounds = base
       .filter(col("len") >= 1)
       .join(cands, Seq(idCol), "left")
       .select(col(idCol), col("len"),
         coalesce(col("cs"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("cs"))
+      .select(col(idCol), col("len"), expr(foldExpr).as("fs"))
       .select(col(idCol),
-        explode(array_distinct(concat(
-          expr(s"""aggregate(cs,
-                  |  struct(CAST(0 AS BIGINT) AS last,
-                  |         CAST(array() AS ARRAY<BIGINT>) AS ks),
-                  |  (acc, c) -> IF(c - acc.last >= $minChunk,
-                  |    struct(c AS last, array_append(acc.ks, c) AS ks), acc),
-                  |  acc -> acc.ks)""".stripMargin.replace("\n", " ")),
+        explode(array_distinct(concat(col("fs.ks"),
+          expr(forced("fs.last", "len").replace("\n", " ")),
           array(col("len"))))).as("end_pos"))
     spansToChunks(bounds, base, idCol)
   }

@@ -1362,6 +1362,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Multimodal.cdcChunksClamped(docs, minChunk = 1)) ==
       rows(Multimodal.cdcChunks(docs)),
       "minChunk=1 must reproduce the stateless chunking exactly")
+    // maxChunk: forced boundaries cap every chunk, and a CANDIDATE-FREE
+    // payload degrades to fixed-size slicing instead of one giant chunk
+    val noCand = Seq((7L, "segment1 " * 20)).toDF("doc_id", "text") // 180 B
+    assert(Multimodal.cdcChunks(noCand).count() == 1L, "fixture must be candidate-free")
+    val sliced = Multimodal.cdcChunksClamped(noCand, minChunk = 24, maxChunk = 64)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(sliced.toSeq == Seq((1L, 64L), (65L, 64L), (129L, 52L)),
+      sliced.toSeq.toString)
+    // with both clamps on real content: sizes live in [minChunk, maxChunk]
+    // except the per-doc tail, and tiling still holds
+    val both = Multimodal.cdcChunksClamped(docs, minChunk = 24, maxChunk = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    both.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.dropRight(1).foreach { case (_, _, n) =>
+        assert(n >= 24L && n <= 48L, s"doc $id chunk size $n out of clamp") }
+      assert(sorted.last._3 <= 48L, s"doc $id tail exceeds maxChunk")
+    }
+    // a huge maxChunk is the min-only form
+    assert(rows(Multimodal.cdcChunksClamped(docs, minChunk = 20,
+        maxChunk = 1000000)) ==
+      rows(Multimodal.cdcChunksClamped(docs, minChunk = 20)),
+      "maxChunk >= len must reduce to the min-only clamp")
   }
 
   test("CMS estimates: never undercount, exact without collisions, OOV is collision mass") {

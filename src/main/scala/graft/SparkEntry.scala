@@ -1906,6 +1906,23 @@ object SparkEntry {
           Seq("l_returnflag", "l_linestatus", "l_linenumber"))
         .orderBy(col("col_name"))
     }),
+    "q_drift_numeric" -> ((s, dir) => {
+      // the documented NUMERIC seam of the drift report, oracled:
+      // bucket first (closed-form fixed-width floor bins — engine-exact,
+      // unlike sketch quantiles), then drift the bucket label. Dump B
+      // carries a planted 10% price inflation on half its rows — the
+      // upward mass shift the bucket drift must read
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_orderkey") % 2 === 0)
+        .select(expr("CAST(floor(l_extendedprice / 5000) AS BIGINT)")
+          .as("price_bucket"))
+      val b = li.filter(col("l_orderkey") % 2 === 1)
+        .select((col("l_extendedprice") *
+          when(col("l_linenumber") % 2 === 0, lit(1.1)).otherwise(lit(1.0)))
+          .as("p"))
+        .select(expr("CAST(floor(p / 5000) AS BIGINT)").as("price_bucket"))
+      Hygiene.driftReport(a, b, Seq("price_bucket"))
+    }),
     "q_anomaly_flags" -> ((s, dir) => {
       // leak-free anomaly screen: each point is judged against the
       // PREVIOUS row's EWMA (a forecast from strictly-past data), and
@@ -4935,6 +4952,39 @@ object SparkEntry {
          |SELECT * FROM (
          |$per
          |) ORDER BY col_name""".stripMargin
+    },
+    "q_drift_numeric" -> {
+      // single-column drift over the closed-form floor buckets; 1.1/1.0
+      // CAST AS DOUBLE — DuckDB would otherwise parse them as DECIMAL
+      // and diverge from Spark's double arithmetic at bucket edges
+      val per = Seq("price_bucket").map { c =>
+        s"""SELECT '$c' AS col_name, MIN(t.n_a) AS n_a, MIN(t.n_b) AS n_b,
+           |       CAST(COUNT(*) AS BIGINT) AS ndv_union,
+           |       CAST(SUM(ABS(
+           |         CASE WHEN t.n_a > 0 THEN j.na_v * 1000000 // t.n_a ELSE 0 END -
+           |         CASE WHEN t.n_b > 0 THEN j.nb_v * 1000000 // t.n_b ELSE 0 END)) // 2
+           |         AS BIGINT) AS tvd_ppm
+           |FROM (
+           |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1) a
+           |  FULL OUTER JOIN
+           |       (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1) b
+           |  USING (v)) j
+           |CROSS JOIN (SELECT (SELECT COUNT(*) FROM da) AS n_a,
+           |                   (SELECT COUNT(*) FROM db) AS n_b) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH da AS (
+         |  SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS price_bucket
+         |  FROM lineitem WHERE l_orderkey % 2 = 0),
+         |db AS (
+         |  SELECT CAST(floor((l_extendedprice *
+         |           CASE WHEN l_linenumber % 2 = 0 THEN CAST(1.1 AS DOUBLE)
+         |                ELSE CAST(1.0 AS DOUBLE) END) / 5000) AS BIGINT)
+         |           AS price_bucket
+         |  FROM lineitem WHERE l_orderkey % 2 = 1)
+         |$per""".stripMargin
     },
     "q_anomaly_flags" ->
       // the q_ewma fold + a strictly-past lag forecast + the doubled-

@@ -139,6 +139,27 @@ object AnnIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Append new vectors to an existing PQ artifact WITHOUT retraining:
+    * encode them with the artifact's FROZEN model (the production
+    * index-growth path — a nightly build, continuous appends; codebook
+    * drift is monitored separately, e.g. with the centroid/cluster
+    * audits, and handled by a rebuild) and add the rows to the
+    * cell-partitioned codes and vectors tables. Spark's dynamic
+    * partition append only touches the cells the new vectors land in.
+    * Serving a grown index is spec-pinned identical to building against
+    * the union corpus with the same frozen model.
+    */
+  def appendPq(spark: SparkSession, dir: String, emb: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val model = loadPq(spark, dir).model
+    Similarity.encodePq(emb, model, idCol, embCol)
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+    Similarity.assignCellsLocal(
+        Similarity.prepared(emb, idCol, embCol), model.cents, nprobe = 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/vectors")
+  }
+
   /** The loaded PQ artifact: reconstructed model (centroids + codebooks
     * collected — tiny by contract; geometry derived from the codebook
     * key ranges) plus the two cell-partitioned frames.

@@ -3856,6 +3856,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("AnnIndex PQ append: a grown index serves like a full build with the frozen model") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = Files.createTempDirectory("annindexpqapp").toString
+    // build on HALF the corpus, append the other half with the frozen
+    // model — the nightly-build / continuous-append lifecycle
+    graft.sources.AnnIndex.buildPq(first, dir, pqIters = 2)
+    graft.sources.AnnIndex.appendPq(spark, dir, rest)
+    val grown = graft.sources.AnnIndex.loadPq(spark, dir)
+    assert(grown.codes.count() == emb.count() &&
+      grown.vectors.count() == emb.count())
+    // reference: the same frozen model (trained on `first`) encoding and
+    // serving the FULL corpus in memory
+    val model = Similarity.trainPq(first, pqIters = 2)
+    val q = emb.filter(col("vec_id") < 5)
+    val mem = Similarity.pqServe(
+        Similarity.encodePq(emb, model),
+        Similarity.pqQueryTables(q, model, nprobe = 2),
+        Similarity.prepared(emb, "vec_id", "embedding"), q,
+        k = 3, rerank = 50, model)
+      .select("query_id", "neighbor_id", "l2_dist", "rnk")
+      .collect().map(_.toSeq).toSet
+    val served = graft.sources.AnnIndex.topKPq(grown, q, k = 3)
+      .select("query_id", "neighbor_id", "l2_dist", "rnk")
+      .collect().map(_.toSeq).toSet
+    assert(served == mem, "grown artifact must serve the frozen-model full-corpus answer")
+  }
+
   test("Ingest: jsonl/csv round-trip losslessly; corrupt lines land in the lane") {
     import java.nio.file.{Files => JFiles, Paths}
     import scala.jdk.CollectionConverters._

@@ -4937,12 +4937,14 @@ object SparkEntry {
            |         AS BIGINT) AS tvd_ppm
            |FROM (
            |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
-           |  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS na_v
-           |        FROM da GROUP BY 1) a
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1, 2) a
            |  FULL OUTER JOIN
-           |       (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS nb_v
-           |        FROM db GROUP BY 1) b
-           |  USING (v)) j
+           |       (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1, 2) b
+           |  USING (v, vn)) j
            |CROSS JOIN (SELECT (SELECT COUNT(*) FROM da) AS n_a,
            |                   (SELECT COUNT(*) FROM db) AS n_b) t""".stripMargin
       }.mkString("\nUNION ALL\n")
@@ -4966,12 +4968,14 @@ object SparkEntry {
            |         AS BIGINT) AS tvd_ppm
            |FROM (
            |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
-           |  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS na_v
-           |        FROM da GROUP BY 1) a
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1, 2) a
            |  FULL OUTER JOIN
-           |       (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS nb_v
-           |        FROM db GROUP BY 1) b
-           |  USING (v)) j
+           |       (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1, 2) b
+           |  USING (v, vn)) j
            |CROSS JOIN (SELECT (SELECT COUNT(*) FROM da) AS n_a,
            |                   (SELECT COUNT(*) FROM db) AS n_b) t""".stripMargin
       }.mkString("\nUNION ALL\n")

@@ -315,6 +315,13 @@ object Hygiene {
     * per median (2 medians: values, then deviations) vs the exact form's
     * one-exchange-per-median — the classic rows-moved-vs-passes trade,
     * won by this form as soon as a group stops fitting in an executor.
+    *
+    * Parity boundary: the row-for-row contract against [[madOutliers]]
+    * (and the oracle's `median(v)·2`) holds while micro-unit magnitudes
+    * stay double-exact (|v·10⁶| < 2⁵³ ≈ values < 9·10⁹) — beyond that,
+    * `percentile`'s DOUBLE interpolation rounds the middle values while
+    * this form's k1th+k2th integer sum stays exact, i.e. past the
+    * boundary the SCALABLE side is the more correct one.
     */
   def madOutliersScalable(df: DataFrame, keyCol: String, valCol: String,
       binsPerPass: Int = 4096, exactThreshold: Long = 262144L): DataFrame = {
@@ -462,12 +469,19 @@ object Hygiene {
     */
   def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to drift-check")
+    // null categories are REAL categories: key on (coalesced value,
+    // is-null flag) so the full-outer join matches a NULL bucket across
+    // dumps — a raw NULL key never matches itself in either engine, and
+    // two dumps that are 50% NULL each would otherwise read ~500000 ppm
+    // of phantom drift on identical distributions
+    def nullSafeKeys(df: DataFrame, c: String): DataFrame = df
+      .groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
+        col(c).isNull.as("vn"))
+      .agg(count(lit(1)).as("n"))
     def one(c: String): DataFrame = {
-      val ca = a.groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("na_v"))
-      val cb = b.groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("nb_v"))
-      val j = ca.join(cb, Seq("v"), "full_outer")
+      val ca = nullSafeKeys(a, c).withColumnRenamed("n", "na_v")
+      val cb = nullSafeKeys(b, c).withColumnRenamed("n", "nb_v")
+      val j = ca.join(cb, Seq("v", "vn"), "full_outer")
         .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
           coalesce(col("nb_v"), lit(0L)).as("nb_v"))
       val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))

@@ -179,6 +179,26 @@ object Multimodal {
   def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", window: Int = 8, divisor: Int = 64,
       hashBase: Int = 31): DataFrame = {
+    val (base, hashed) = cdcHashedPositions(docs, idCol, textCol, window,
+      divisor, hashBase)
+    val bounds = hashed
+      .filter(col("i") === col("len") ||
+        (col("i") >= window && col("h") % divisor === 0))
+      .select(col(idCol), col("i").as("end_pos"))
+    spansToChunks(bounds, base, idCol)
+  }
+
+  /** The shared rolling-hash derivation both chunkers build on — THE
+    * definition the SQL oracles replay bit-for-bit, so it exists exactly
+    * once: `(base(id, txt, len), hashed(id, len, i, h))` with
+    * `h(i) = Σ_{j<window} byte(i−j)·base^j` over a per-payload position
+    * window. Empty payloads are dropped here (no chunks — and Spark's
+    * `sequence(1, 0)` would otherwise DESCEND, smuggling a phantom
+    * position-0 row in).
+    */
+  private def cdcHashedPositions(docs: DataFrame, idCol: String,
+      textCol: String, window: Int, divisor: Int,
+      hashBase: Int): (DataFrame, DataFrame) = {
     require(window >= 1 && divisor >= 2 && hashBase >= 2,
       s"bad CDC parameters: window=$window divisor=$divisor base=$hashBase")
     require(BigInt(255) * BigInt(hashBase).pow(window - 1) * window <
@@ -187,8 +207,6 @@ object Multimodal {
     val base = docs.select(col(idCol), col(textCol).as("txt"),
       length(col(textCol)).cast("long").as("len"))
     val pos = base
-      // empty payloads emit no chunks — and Spark's sequence(1, 0) would
-      // otherwise DESCEND, smuggling a phantom position-0 row in
       .filter(col("len") >= 1)
       .select(col(idCol), col("txt"), col("len"),
         explode(sequence(lit(1L), col("len"))).as("i"))
@@ -200,11 +218,7 @@ object Multimodal {
         coalesce(lag(col("bv"), j).over(wp), lit(0L)) *
           lit(BigInt(hashBase).pow(j).toLong))
       .reduceLeft(_ + _)
-    val bounds = pos.withColumn("h", h)
-      .filter(col("i") === col("len") ||
-        (col("i") >= window && col("h") % divisor === 0))
-      .select(col(idCol), col("i").as("end_pos"))
-    spansToChunks(bounds, base, idCol)
+    (base, pos.withColumn("h", h))
   }
 
   /** [[cdcChunks]] with the PRODUCTION min-chunk clamp: boundary
@@ -244,24 +258,9 @@ object Multimodal {
     require(minChunk >= 1, s"minChunk must be >= 1: $minChunk")
     require(maxChunk >= minChunk,
       s"maxChunk ($maxChunk) must be >= minChunk ($minChunk)")
-    require(window >= 1 && divisor >= 2 && hashBase >= 2,
-      s"bad CDC parameters: window=$window divisor=$divisor base=$hashBase")
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol), col(textCol).as("txt"),
-      length(col(textCol)).cast("long").as("len"))
-    val pos = base
-      .filter(col("len") >= 1)
-      .select(col(idCol), col("txt"), col("len"),
-        explode(sequence(lit(1L), col("len"))).as("i"))
-      .select(col(idCol), col("len"), col("i"),
-        expr("CAST(ascii(substring(txt, CAST(i AS INT), 1)) AS BIGINT)")
-          .as("bv"))
-    val wp = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    val h = (0 until window).map(j =>
-        coalesce(lag(col("bv"), j).over(wp), lit(0L)) *
-          lit(BigInt(hashBase).pow(j).toLong))
-      .reduceLeft(_ + _)
-    val cands = pos.withColumn("h", h)
+    val (base, hashed) = cdcHashedPositions(docs, idCol, textCol, window,
+      divisor, hashBase)
+    val cands = hashed
       .filter(col("i") >= window && col("h") % divisor === 0)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("i"))).as("cs"))

@@ -740,10 +740,17 @@ object Similarity {
       s"bad IVF-PQ parameters: k=$k nprobe=$nprobe rerank=$rerank")
     val model = trainPq(emb, kCoarse, coarseIters, m, ksub, pqIters,
       trainFrac, idCol, embCol)
-    val encoded = encodePq(emb, model, idCol, embCol)
+    // one prepared corpus frame shared by the encode pass AND the exact
+    // refine (training caches its own internally) — without the persist
+    // each stage would re-derive and re-scan the corpus
+    val p = prepared(emb, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encoded = encodePqPrepared(p, model)
     val qtab = pqQueryTables(queries, model, nprobe, idCol, embCol)
-    pqServe(encoded, qtab, prepared(emb, idCol, embCol), queries, k, rerank,
+    val out = pqServe(encoded, qtab, p, queries, k, rerank,
       model, idCol, embCol)
+    p.unpersist(blocking = false)
+    out
   }
 
   /** Trained IVF-PQ model — coarse centroids, embedding geometry, and the
@@ -898,9 +905,15 @@ object Similarity {
     * persists: m small ints per vector instead of dims doubles.
     */
   def encodePq(emb: DataFrame, model: PqModel,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val assigned = assignCellsLocal(prepared(emb, idCol, embCol),
-      model.cents, nprobe = 1)
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    encodePqPrepared(prepared(emb, idCol, embCol), model)
+
+  /** [[encodePq]] over an already-prepared `(id, v, nrm)` frame — lets
+    * [[ivfPqTopK]] share one persisted corpus frame across encode and
+    * refine instead of re-deriving it per stage.
+    */
+  private[graft] def encodePqPrepared(p: DataFrame, model: PqModel): DataFrame = {
+    val assigned = assignCellsLocal(p, model.cents, nprobe = 1)
     (0 until model.m).foldLeft(
       assigned.withColumn("rv", pqResidCol(model))) { (df, s) =>
         df.withColumn(s"code_$s",
@@ -1289,8 +1302,17 @@ object Similarity {
     val n = prepared(emb, idCol, embCol)
     val base = candidates match {
       case Some(c) =>
+        // candidates whose id is no longer in the corpus (a stale or
+        // grown ANN artifact serving against a newer emb) are DROPPED
+        // before ranking: they could win a shortlist slot but have no
+        // vector for the pairwise stage, and the greedy's sims lookup
+        // would throw on the driver mid-loop otherwise
         c.select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
-          col("rel").cast("long").as("rel"))
+            col("rel").cast("long").as("rel"))
+          .join(n.select(col("id").as("nid")), Seq("nid"), "left_semi")
+          // Seq-key joins move the key FIRST; the greedy's positional
+          // collect needs (qid, nid, rel) — re-pin the order
+          .select(col("qid"), col("nid"), col("rel"))
       case None =>
         val q = prepared(queries, idCol, embCol)
           .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))

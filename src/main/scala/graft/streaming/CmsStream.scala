@@ -104,43 +104,26 @@ object CmsStream {
   }
 
   object SketchStore {
-    private def snapshotIds(dir: String): Seq[(Long, java.io.File)] = {
-      val d = new java.io.File(dir)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("upto=") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .map(f => f.getName.stripPrefix("upto=").toLong -> f)
-        .toSeq.sortBy(_._1)
-    }
-
     private[streaming] def writeSnapshot(spark: SparkSession, dir: String,
         counters: Map[Long, Long], batchId: Long): Unit = {
       import spark.implicits._
-      counters.toSeq.toDF("cell", "n")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/upto=$batchId")
-      // prune to the last two complete snapshots — the newest serves
-      // restore, the previous survives a torn newest write
-      snapshotIds(dir).dropRight(2).foreach { case (_, f) =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
-        }
-        rm(f)
-      }
+      SnapshotStore.write(spark, dir, counters.toSeq.toDF("cell", "n"),
+        batchId)
     }
 
     /** Rebuild a durable store from `dir`'s newest complete snapshot —
       * the restart path. The restored store keeps writing snapshots to
       * the same `dir`; checkpoint-replayed batches at or below the
       * restored id are dropped by the monotone guard. A missing or empty
-      * `dir` restores a cold store (first run).
+      * `dir` restores a cold store (first run). `dir` may be any
+      * Spark-writable scheme ([[SnapshotStore]]).
       */
     def restore(spark: SparkSession, dir: String,
         width: Int, depth: Int): SketchStore = {
       val store = new SketchStore(width, depth, Some((spark, dir)))
-      snapshotIds(dir).lastOption.foreach { case (upto, f) =>
-        val counters = spark.read.parquet(f.getPath).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        store.seed(counters, upto)
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+          upto)
       }
       store
     }

@@ -48,22 +48,28 @@ object DriftStream {
       cut
     }
 
+    // the batch operator's null-safe key discipline: (coalesced value,
+    // is-null flag), so a NULL category matches itself across the
+    // reference and the stream instead of double-counting
     private def colCounts(df: DataFrame): DataFrame = cols.map { c =>
-      df.groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("n"))
-        .select(lit(c).as("col_name"), col("v"), col("n"))
+      df.groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
+          col(c).isNull.as("vn"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(c).as("col_name"), col("v"), col("vn"), col("n"))
     }.reduce(_ unionAll _)
 
     // the reference side is counted ONCE at construction
     private val refCounts = materialize(colCounts(reference))
     private val runRef = new AtomicReference[DataFrame](materialize(
-      Seq.empty[(String, String, Long)].toDF("col_name", "v", "n")))
+      Seq.empty[(String, String, Boolean, Long)].toDF("col_name", "v", "vn", "n")))
     @volatile private var lastBatch = -1L
 
     /** Fold one micro-batch's counts in; replays drop on the guard. */
     def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
       if (batchId <= lastBatch) return false
       val merged = runRef.get().unionAll(colCounts(batch))
-        .groupBy(col("col_name"), col("v")).agg(sum(col("n")).as("n"))
+        .groupBy(col("col_name"), col("v"), col("vn"))
+        .agg(sum(col("n")).as("n"))
       val next = materialize(merged)
       val old = runRef.get()
       runRef.set(next)
@@ -79,9 +85,11 @@ object DriftStream {
       * read time so the served row is always consistent with the counts.
       */
     def current: DataFrame = {
-      val a = refCounts.select(col("col_name"), col("v"), col("n").as("na_v"))
-      val b = runRef.get().select(col("col_name"), col("v"), col("n").as("nb_v"))
-      val j = a.join(b, Seq("col_name", "v"), "full_outer")
+      val a = refCounts.select(col("col_name"), col("v"), col("vn"),
+        col("n").as("na_v"))
+      val b = runRef.get().select(col("col_name"), col("v"), col("vn"),
+        col("n").as("nb_v"))
+      val j = a.join(b, Seq("col_name", "v", "vn"), "full_outer")
         .select(col("col_name"),
           coalesce(col("na_v"), lit(0L)).as("na_v"),
           coalesce(col("nb_v"), lit(0L)).as("nb_v"))

@@ -114,39 +114,24 @@ object HeavyHittersStream {
   }
 
   object MgStore {
-    private def snapshotIds(dir: String): Seq[(Long, java.io.File)] = {
-      val d = new java.io.File(dir)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("upto=") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .map(f => f.getName.stripPrefix("upto=").toLong -> f)
-        .toSeq.sortBy(_._1)
-    }
-
     private[streaming] def writeSnapshot(spark: SparkSession, dir: String,
         summary: Map[String, Long], batchId: Long): Unit = {
       import spark.implicits._
-      summary.toSeq.toDF("token", "count")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/upto=$batchId")
-      snapshotIds(dir).dropRight(2).foreach { case (_, f) =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
-        }
-        rm(f)
-      }
+      SnapshotStore.write(spark, dir, summary.toSeq.toDF("token", "count"),
+        batchId)
     }
 
     /** Rebuild a durable store from `dir`'s newest complete snapshot —
       * the restart path ([[CmsStream.SketchStore.restore]] semantics:
       * `_SUCCESS`-gated newest snapshot, replays below the restored id
-      * dropped, cold start on a missing dir).
+      * dropped, cold start on a missing dir; any Spark-writable scheme
+      * via [[SnapshotStore]]).
       */
     def restore(spark: SparkSession, dir: String, k: Int): MgStore = {
       val store = new MgStore(k, Some((spark, dir)))
-      snapshotIds(dir).lastOption.foreach { case (upto, f) =>
-        val summary = spark.read.parquet(f.getPath).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        store.seed(summary, upto)
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          upto)
       }
       store
     }

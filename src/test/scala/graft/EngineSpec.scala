@@ -3292,6 +3292,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bc.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"),
       "brute baseline should be the θ-join (pin the contrast)")
+    // ORPHAN candidates (an id absent from emb — a stale/grown artifact
+    // serving against a newer corpus) must be dropped before ranking,
+    // not crash the greedy's similarity lookup mid-loop
+    val stale = bruteShort.unionByName(
+      Seq((100L, 999L, 9000L)).toDF("query_id", "neighbor_id", "rel"))
+    val fedStale = Similarity.mmrRerank(vecs, q, shortlist = 6, k = 3,
+        candidates = Some(stale))
+      .orderBy(col("mmr_step")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fedStale.toSeq == brute.toSeq,
+      s"orphan candidate must drop cleanly: ${fedStale.toSeq}")
   }
 
   test("time-weighted avg: bursts don't over-weight; plain avg disagrees") {
@@ -3366,6 +3377,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = Seq.empty[(String, Long)].toDF("cat", "id")
     val e = row(Hygiene.driftReport(a, empty, Seq("cat")))
     assert(e("cat") == ((3L, 0L, 2L, 499999L)), e.toString)
+    // NULL is a real category: identical half-null dumps must read ZERO
+    // drift (a raw null join key never matches itself — the null-safe
+    // (value, is-null) key is what makes this hold), and null must not
+    // collapse into the empty string
+    val withNulls = Seq((Some("x"), 1L), (None, 2L), (None, 3L),
+      (Some(""), 4L)).toDF("cat", "id")
+    val nn = row(Hygiene.driftReport(withNulls, withNulls, Seq("cat")))
+    assert(nn("cat") == ((4L, 4L, 3L, 0L)), nn.toString)
   }
 
   test("drift stream: folded counts serve the batch operator's exact drift, any split") {

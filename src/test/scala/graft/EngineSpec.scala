@@ -3390,10 +3390,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("drift stream: folded counts serve the batch operator's exact drift, any split") {
     import spark.implicits._
     import graft.streaming.DriftStream
-    val ref = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("z", 4L))
-      .toDF("cat", "grp")
-    val all = Seq(("x", 10L), ("y", 11L), ("y", 12L), ("w", 13L),
-      ("y", 14L), ("x", 15L))
+    // null categories included on BOTH sides — the stream must match
+    // them across reference and feed exactly like the batch operator
+    val ref = Seq((Some("x"), 1L), (Some("x"), 2L), (Some("y"), 3L),
+      (Some("z"), 4L), (None, 5L))
+      .map { case (c, g) => (c.orNull, g) }.toDF("cat", "grp")
+    val all = Seq((Some("x"), 10L), (Some("y"), 11L), (Some("y"), 12L),
+      (Some("w"), 13L), (None, 14L), (Some("x"), 15L))
+      .map { case (c, g) => (c.orNull, g) }
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))).toMap

@@ -957,6 +957,21 @@ object SparkEntry {
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
+    "ann_rp_recall" -> ((s, dir) => {
+      // the MODEL-FREE dimension-reduction trade (Johnson–Lindenstrauss
+      // ±1 projection, 64 → 32): signs are md5("rp:j:i") parity — a pure
+      // function of the coordinate pair, so the oracle re-derives the
+      // identical sign matrix and the projection needs no trained model,
+      // no stored planes, and no data pass before the rewrite. Serving on
+      // the projected vectors is measured by the same recallAt operator
+      // against the full-dim exact top-k (the matryoshka row's prefix
+      // trade, without requiring matryoshka-trained embeddings).
+      val emb = t(s, dir, "embeddings")
+      val proj = Similarity.rpProject(emb, outDims = rpDims, inDims = rpInDims)
+      val approx = Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 10), k = 3)
+      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ with refine: coarse cells bound what a query scans,
       // product-quantized residual codes bound what each scanned candidate
@@ -1006,6 +1021,14 @@ object SparkEntry {
       // identical Lloyd's CTEs plus a k-row aggregation
       Similarity.clusterStats(t(s, dir, "embeddings"), k = 4, iters = 2)
         .orderBy(col("cell"))),
+    "emb_dim_stats" -> ((s, dir) =>
+      // per-DIMENSION health audit: collapsed/dead coordinates and scale
+      // drift, caught before an index is built. Values are fenced to
+      // micro-unit integers first (explicit half-away-from-zero — the
+      // int8 idiom), so every aggregate is an order-independent integer
+      // fold; one explode + one dims-bounded map-side-combined agg
+      Similarity.dimStats(t(s, dir, "embeddings"))
+        .orderBy(col("i"))),
     "ann_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph: each vector's top-4 among its banded-LSH
       // candidates, kept only where the relation is mutual (hub one-way
@@ -2855,6 +2878,18 @@ object SparkEntry {
     */
   private val matryoshkaDims = 48
 
+  /** Random-projection audit widths — shared by the `ann_rp_recall` Spark
+    * call and its oracle CTEs. 48 of 64 matches the matryoshka row's
+    * mid-curve intent on the random fixture (at 32 the measured recall
+    * pins near 0 and audits nothing — random vectors decorrelate under
+    * sign mixing even faster than under prefix truncation); `rpInDims`
+    * must equal the fixture vector width —
+    * [[graft.operators.Similarity.rpProject]] fixes the literal plane
+    * length at plan time.
+    */
+  private val rpDims = 48
+  private val rpInDims = 64
+
   /** Shared DuckDB CTE: embeddings flattened to (vec_id, i, v) + L2 norms. */
   private val embCte =
     """WITH f AS (
@@ -3737,6 +3772,40 @@ object SparkEntry {
          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
          |  FROM ts)
          |""".stripMargin + recallTailCtes),
+    // a FOURTH serving family through the same recall tail: ±1
+    // random-projection brute force. `sgn` re-derives the identical
+    // md5-parity sign matrix (pure function of (j, i) — no model, no
+    // plane table), `fp` replays the projection as ordered folds (±1.0
+    // products are exact IEEE sign flips, so projected values match the
+    // Spark side bit-for-bit), then projected-space norms/dots/rank feed
+    // the shared brute-force-vs-rr tail
+    "ann_rp_recall" -> (embCte +
+      s""",sgn AS (
+         |  SELECT j.j, i.i,
+         |         CASE WHEN CAST(('0x'||substring(md5('rp:'||CAST(j.j AS VARCHAR)||':'||CAST(i.i AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END AS s
+         |  FROM range(0,$rpDims) j(j), range(1,${rpInDims + 1}) i(i)),
+         |fp AS (
+         |  SELECT f.vec_id, sgn.j AS i,
+         |         list_reduce(list(f.v*sgn.s ORDER BY f.i), (x,y) -> x+y) AS v
+         |  FROM f JOIN sgn ON f.i=sgn.i GROUP BY 1,2),
+         |nrmp AS (SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
+         |         FROM fp GROUP BY 1),
+         |td AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
+         |  FROM fp q JOIN fp n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+         |  GROUP BY 1,2),
+         |ts AS (
+         |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+         |  FROM td JOIN nrmp nq ON nq.vec_id=td.query_id
+         |          JOIN nrmp nn2 ON nn2.vec_id=td.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM ts)
+         |""".stripMargin + recallTailCtes),
     "ann_ivfpq_topk" -> (embCte +
       Similarity.ivfPqOracleSql(
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
@@ -3863,6 +3932,20 @@ object SparkEntry {
         |       CAST(SUM(CAST(ROUND(cosine*10000) AS BIGINT)) AS BIGINT) AS sum_cos_e4,
         |       MIN(cosine)+0.0 AS min_cos, MAX(cosine)+0.0 AS max_cos
         |FROM vcs WHERE rn = 1 GROUP BY 1 ORDER BY cell""".stripMargin),
+    "emb_dim_stats" -> (embCte +
+      // identical IEEE-double fencing expression on both sides
+      // (sign(v)·floor(|v|·10⁶ + 0.5) — no engine round() tie rule), then
+      // pure integer aggregates; sums CAST from DuckDB's HUGEINT
+      """, g AS (
+        |  SELECT CAST(i AS BIGINT) AS i,
+        |         CAST(sign(v) * floor(abs(v)*1000000 + 0.5) AS BIGINT) AS v6
+        |  FROM f)
+        |SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN v6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+        |       CAST(SUM(v6) AS BIGINT) AS sum_e6,
+        |       CAST(SUM(v6*v6) AS BIGINT) AS sum_sq_e12,
+        |       MIN(v6) AS min_e6, MAX(v6) AS max_e6
+        |FROM g GROUP BY 1 ORDER BY i""".stripMargin),
     "ann_knn_graph" -> (embCte +
       // the banded-bucket candidate CTEs (the lsh_banded discipline),
       // DIRECTED candidate pairs, per-node rank window, then the mutual

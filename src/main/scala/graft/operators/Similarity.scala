@@ -648,6 +648,89 @@ object Similarity {
         6) + lit(0.0)).as("max_abs_err"))
   }
 
+  /** Deterministic ±1 random projection (the Achlioptas-style
+    * Johnson–Lindenstrauss sketch): output dimension j of `outDims` is the
+    * signed sum Σᵢ s(j,i)·vᵢ with s(j,i) ∈ {+1,−1} drawn from the md5
+    * parity of "rp:j:i" — a pure function of the coordinate pair, so both
+    * engines (and any later re-run) derive the identical projection with
+    * NO trained model, no stored plane table, and no data pass before the
+    * rewrite. Cosine in the projected space concentrates around the
+    * original cosine, so a projected serve is the model-free counterpart
+    * of the matryoshka prefix trade (`ann_matryoshka_recall`), measured
+    * the same way with [[recallAt]] (`ann_rp_recall`).
+    *
+    * Scale shape: the sign matrix is outDims×inDims literals built on the
+    * driver from the md5 formula alone (nothing collected from data); the
+    * projection is ONE row-local narrow map — outDims sequential-fold dots
+    * via the codegen'd [[graft.functions.ArrayDotProduct]] — with zero
+    * exchanges, so at 100 TB it rewrites vector bytes ∝ outDims/inDims at
+    * scan throughput. Fold order is i ascending per output dim, mirrored
+    * by the oracle's ordered `list_reduce`, and ±1.0 products are exact
+    * IEEE sign flips, so projected values are bit-identical across
+    * engines. `inDims` must equal the stored vector width (the literal
+    * plane length is fixed at plan time).
+    */
+  def rpProject(
+      emb: DataFrame, outDims: Int, inDims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(outDims > 0 && inDims > 0, "rpProject: dims must be positive")
+    val v = toDouble(col(embCol))
+    val planes = (0 until outDims).map { j =>
+      array((1 to inDims).map(i => lit(rpSign(j, i).toDouble)): _*)
+    }
+    emb.select(col(idCol), array(planes.map(p => dot(v, p)): _*).as(embCol))
+  }
+
+  /** ±1 sign for projection cell (j, i): md5("rp:j:i") 15-hex-digit parity
+    * — the [[trainCentroids]] md5-bucket discipline applied to a coordinate
+    * pair (i is 1-based to match SQL `generate_subscripts`). The oracle
+    * replays it as `CAST(('0x'||substring(md5(…),1,15)) AS BIGINT) % 2`.
+    */
+  private[graft] def rpSign(j: Int, i: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.map(b => f"$b%02x").mkString.take(15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) 1 else -1
+  }
+
+  /** Per-DIMENSION embedding health audit: for each coordinate i — row
+    * count, dead-coordinate count (value rounds to 0 at micro-unit
+    * precision), micro-unit sum and square sum, and min/max. This is the
+    * screen that catches collapsed dimensions (variance ≈ 0: the dim
+    * carries no information yet costs bytes and FLOPs in every dot
+    * product, and misleads [[int8Quantize]] scales) and scale drift
+    * between embedding batches BEFORE an index is built on them. Mean and
+    * variance are exact integer arithmetic downstream:
+    * mean = sum_e6/n·10⁻⁶, var = (n·sum_sq_e12 − sum_e6²)/n²·10⁻¹².
+    *
+    * Determinism: values are fenced to micro-unit integers FIRST (explicit
+    * half-away-from-zero — the [[int8Quantize]] idiom), so every aggregate
+    * is an order-independent integer fold, engine-exact with no ordered
+    * float folds. Overflow boundary: sum_sq_e12 sums ≤10¹² addends in
+    * int64 — exact past 9·10⁶ rows/dim at |v| ≤ 1; wider corpora lift the
+    * two sums to DECIMAL(38,0) (the aggregateFractional carrier) with the
+    * same shape.
+    *
+    * Scale shape: one explode + one (dim → stats) hash aggregation —
+    * map-side combine collapses every task to ≤ dims rows before the
+    * single exchange; output is dims-bounded.
+    */
+  def dimStats(
+      emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val v6 = (signum(col("v")) * floor(abs(col("v")) * lit(1e6) + lit(0.5))).cast("long")
+    p.select(posexplode(col("v")).as(Seq("i0", "v")))
+      .select((col("i0") + 1).cast("long").as("i"), v6.as("v6"))
+      .groupBy(col("i"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v6") === 0L, 1L).otherwise(0L)).as("n_dead"),
+        sum(col("v6")).as("sum_e6"),
+        sum(col("v6") * col("v6")).as("sum_sq_e12"),
+        min(col("v6")).as("min_e6"),
+        max(col("v6")).as("max_e6"))
+  }
+
   /** Per-cell quality/balance audit of a trained coarse quantizer — the
     * measurement that decides k before committing an [[ivfTopK]] index or
     * a [[semDedup]] run: cell SIZE skew bounds both of them (a cell is an

@@ -525,6 +525,34 @@ object ScaleSmoke {
       println(f"[scale-smoke] mad hot-group (5M, hot 2.6M): equal=${exact == scal} " +
         f"exact=${(t1 - t0) / 1e9}%.1f s scalable=${(t2 - t1) / 1e9}%.1f s")
     }
+    // round-12: all-pairs dimension cross-moments, 500k rows × 32 dims —
+    // GramMatrixAgg folds each row into one 561-long task buffer (the
+    // exchange carries one buffer per task); the compositional form
+    // explodes each row into 528 pair rows BEFORE aggregating (264M rows
+    // through the agg — the shape that multiplies a 100 TB corpus ~2000×
+    // at d=64). Equality of every cell is asserted, not assumed.
+    if (enabled("dim covariance gram")) {
+      val d = 32
+      val base = spark.range(500000).select(
+        transform(sequence(lit(1), lit(d)),
+          j => pmod(xxhash64(col("id") * lit(37) + j), lit(2000001L)) - lit(1000000L))
+          .as("v6"))
+      val t0 = System.nanoTime()
+      val gram = base.select(concat(col("v6"), array(lit(1L))).as("v6"))
+        .agg(graft.functions.GramMatrix(col("v6"), d + 1)).head.getSeq[Long](0)
+      val t1 = System.nanoTime()
+      val exploded = base
+        .select(col("v6"), posexplode(col("v6")).as(Seq("i", "x")))
+        .select(col("i"), col("x"), posexplode(col("v6")).as(Seq("j", "y")))
+        .filter(col("i") <= col("j"))
+        .groupBy("i", "j").agg(sum(col("x") * col("y")).as("s"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      val t2 = System.nanoTime()
+      val equal = (0 until d).forall(i => (i until d).forall(j =>
+        gram(graft.functions.GramMatrix.flatIndex(i, j, d + 1)) == exploded((i, j))))
+      println(f"[scale-smoke] dim covariance gram (500k x 32): equal=$equal " +
+        f"gram=${(t1 - t0) / 1e9}%.1f s explode=${(t2 - t1) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -1029,6 +1029,14 @@ object SparkEntry {
       // fold; one explode + one dims-bounded map-side-combined agg
       Similarity.dimStats(t(s, dir, "embeddings"))
         .orderBy(col("i"))),
+    "emb_dim_covariance" -> ((s, dir) =>
+      // pairwise dimension redundancy screen: ONE corpus pass through the
+      // bounded-buffer GramMatrixAgg (homogeneous coordinate carries the
+      // first moments and n in the same 17 KB triangle — no explode, no
+      // per-pair row blowup), then dims²-bounded local arithmetic; exact
+      // integer covariance numerators, fenced-chain Pearson corr at 4 dp
+      Similarity.dimCovariance(t(s, dir, "embeddings"), dims = 64)
+        .orderBy(col("i"), col("j"))),
     "ann_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph: each vector's top-4 among its banded-LSH
       // candidates, kept only where the relation is mutual (hub one-way
@@ -3946,6 +3954,37 @@ object SparkEntry {
         |       CAST(SUM(v6*v6) AS BIGINT) AS sum_sq_e12,
         |       MIN(v6) AS min_e6, MAX(v6) AS max_e6
         |FROM g GROUP BY 1 ORDER BY i""".stripMargin),
+    "emb_dim_covariance" -> (embCte +
+      // the same micro-unit fencing as emb_dim_stats, then per-dim moments
+      // and the i<j cross-moment self-join (the oracle CAN afford the pair
+      // blowup at fixture scale — the Spark side's GramMatrixAgg exists
+      // precisely so production never pays it); covariance numerators in
+      // HUGEINT cast to BIGINT, corr as the identical fixed-order IEEE
+      // chain (int→double casts correctly rounded in both engines),
+      // ROUND(…,4)+0.0
+      """, g AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |         CAST(sign(v) * floor(abs(v)*1000000 + 0.5) AS BIGINT) AS v6
+        |  FROM f),
+        |st AS (
+        |  SELECT i, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(v6) AS HUGEINT) AS s1,
+        |         CAST(SUM(v6*v6) AS HUGEINT) AS s2
+        |  FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.v6*b.v6) AS HUGEINT) AS s_ij
+        |  FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i, p.j, CAST(si.n AS BIGINT) AS n,
+        |       CAST(p.s_ij AS BIGINT) AS sum_ij_e12,
+        |       CAST(si.n*p.s_ij - si.s1*sj.s1 AS BIGINT) AS cov_e12,
+        |       CASE WHEN si.n*si.s2 - si.s1*si.s1 = 0 OR sj.n*sj.s2 - sj.s1*sj.s1 = 0
+        |            THEN NULL
+        |            ELSE ROUND(CAST(si.n*p.s_ij - si.s1*sj.s1 AS DOUBLE) /
+        |                 sqrt(CAST(si.n*si.s2 - si.s1*si.s1 AS DOUBLE) *
+        |                      CAST(sj.n*sj.s2 - sj.s1*sj.s1 AS DOUBLE)), 4) + 0.0
+        |       END AS corr
+        |FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin),
     "ann_knn_graph" -> (embCte +
       // the banded-bucket candidate CTEs (the lsh_banded discipline),
       // DIRECTED candidate pairs, per-node rank window, then the mutual

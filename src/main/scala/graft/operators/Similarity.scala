@@ -731,6 +731,71 @@ object Similarity {
         max(col("v6")).as("max_e6"))
   }
 
+  /** Pairwise dimension covariance/correlation audit — the REDUNDANCY
+    * screen completing [[dimStats]]'s per-dim view: a near-±1 correlated
+    * dimension pair means the corpus pays bytes, FLOPs, and index quality
+    * for a coordinate carrying (almost) no independent information (and a
+    * candidate for [[rpProject]]/matryoshka-style width reduction). For
+    * every pair i < j: n, the micro-unit cross-moment Σvᵢvⱼ, the exact
+    * integer covariance numerator n·Σvᵢvⱼ − Σvᵢ·Σvⱼ, and Pearson
+    * correlation rounded at 4 dp (NULL where either variance is 0 — a dead
+    * dim correlates with nothing).
+    *
+    * Scale shape: ONE corpus pass, zero explodes — the fenced vector gets
+    * a constant-1 homogeneous coordinate and folds through
+    * [[graft.functions.GramMatrixAgg]], whose task-local buffer
+    * ((d+1)(d+2)/2 longs ≈ 17 KB at d=64) carries ALL sufficient
+    * statistics (cross-moments, first moments at cells (i, d), n at
+    * (d, d)); the exchange moves one buffer per task. The compositional
+    * alternative explodes each row into d(d+1)/2 pair rows before
+    * aggregating — the corpus multiplied ~2000× at d=64 (A/B'd in
+    * ScaleSmoke). Everything downstream of the 1-row agg result is
+    * dims²-bounded local arithmetic.
+    *
+    * Determinism: micro-unit fencing first (the [[dimStats]] idiom), so
+    * every sum is an order-free integer fold; covariance numerators in
+    * DECIMAL(38,0) (n·Σvᵢvⱼ nears int64 at the fixture already); corr is
+    * a fixed-order IEEE chain (int→double casts are correctly rounded in
+    * both engines) rounded at 4 with `+0.0`. Int64 Gram-cell boundary:
+    * exact past 9·10⁶ rows at |v| ≤ 1 (the GramMatrixAgg contract).
+    *
+    * Eager like [[trainCentroids]]: the Gram buffer is collected (ONE
+    * action, ONE corpus pass — re-deriving per-pair frames from the lazy
+    * agg would replan the corpus aggregation once per consumer), and the
+    * dims²-bounded tail is local arithmetic over literal rows.
+    */
+  def dimCovariance(
+      emb: DataFrame, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dims > 0, "dimCovariance: dims must be positive")
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val bigD = dims + 1
+    val v6 = transform(toDouble(col(embCol)),
+      x => (signum(x) * floor(abs(x) * lit(1e6) + lit(0.5))).cast("long"))
+    val gramArr = emb.select(concat(v6, array(lit(1L))).as("v6"))
+      .agg(graft.functions.GramMatrix(col("v6"), bigD).as("g"))
+      .head.getSeq[Long](0)
+    def cell(i: Int, j: Int): Long =
+      gramArr(graft.functions.GramMatrix.flatIndex(i, j, bigD))
+    val n = cell(dims, dims)
+    val rows = for { i <- 0 until dims; j <- (i + 1) until dims }
+      yield (i + 1L, j + 1L, cell(i, j), cell(i, dims), cell(i, i), cell(j, dims), cell(j, j))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nd = dec(lit(n))
+    val cov = nd * dec(col("s_ij")) - dec(col("s1_i")) * dec(col("s1_j"))
+    val vri = nd * dec(col("s2_i")) - dec(col("s1_i")) * dec(col("s1_i"))
+    val vrj = nd * dec(col("s2_j")) - dec(col("s1_j")) * dec(col("s1_j"))
+    rows.toDF("i", "j", "s_ij", "s1_i", "s2_i", "s1_j", "s2_j")
+      .select(
+        col("i"), col("j"), lit(n).as("n"), col("s_ij").as("sum_ij_e12"),
+        cov.cast("long").as("cov_e12"),
+        when(vri === dec(lit(0)) || vrj === dec(lit(0)), lit(null).cast("double"))
+          .otherwise(round(cov.cast("double") /
+            sqrt(vri.cast("double") * vrj.cast("double")), 4) + lit(0.0))
+          .as("corr"))
+  }
+
   /** Per-cell quality/balance audit of a trained coarse quantizer — the
     * measurement that decides k before committing an [[ivfTopK]] index or
     * a [[semDedup]] run: cell SIZE skew bounds both of them (a cell is an

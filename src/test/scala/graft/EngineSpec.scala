@@ -4264,6 +4264,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning\\(i#".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("gram matrix agg: exact triangle sums, merge-order invariant, shape guard") {
+    import spark.implicits._
+    val vecs = Seq(Seq(1L, 2L, 3L), Seq(-1L, 0L, 2L), Seq(4L, -2L, 1L))
+    val d = 3
+    // expected upper triangle row-major: G[i][j] = Σ_rows v(i)·v(j)
+    val exp = for { i <- 0 until d; j <- i until d }
+      yield vecs.map(v => v(i) * v(j)).sum
+    def run(parts: Int) = vecs.toDF("v").repartition(parts)
+      .agg(graft.functions.GramMatrix(col("v"), d)).head.getSeq[Long](0)
+    assert(run(1) == exp)
+    // partial buffers merge by elementwise addition — partitioning-invariant
+    assert(run(4) == exp)
+    // a wrong-length vector throws (silent skip would desync the
+    // homogeneous n from the caller's row count)
+    intercept[org.apache.spark.SparkException] {
+      Seq(Seq(1L, 2L)).toDF("v").agg(graft.functions.GramMatrix(col("v"), 3)).head
+    }
+  }
+
+  test("dimCovariance: anti-correlated pair −1, zero-variance dim NULL corr, exact integers") {
+    import spark.implicits._
+    // dim2 = −dim1 (perfect anti-correlation); dim3 constant (variance 0)
+    val vecs = Seq(
+      (1L, Seq(0.1, -0.1, 0.2)),
+      (2L, Seq(0.3, -0.3, 0.2)),
+      (3L, Seq(0.5, -0.5, 0.2))).toDF("vec_id", "embedding")
+    val got = Similarity.dimCovariance(vecs, dims = 3).orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // micro-units: dim1 = (1e5, 3e5, 5e5); Σv1v2 = −3.5e11,
+    // cov12 = 3·(−3.5e11) − 9e5·(−9e5) = −2.4e11, var1 = var2 = 2.4e11
+    // ⇒ corr exactly −1.0; dim3 pairs: cov 0 and var3 = 0 ⇒ NULL corr
+    assert(got.toSeq == Seq(
+      (1L, 2L, 3L, -350000000000L, -240000000000L, Some(-1.0)),
+      (1L, 3L, 3L, 180000000000L, 0L, None),
+      (2L, 3L, 3L, -180000000000L, 0L, None)))
+  }
+
   test("misra-gries: state never exceeds k; heavy items always survive") {
     // 10k-element stream: 'hot' at 6% and 'warm' at 1.5% among unique
     // filler, deterministically interleaved (no contiguous hot run)

@@ -1037,6 +1037,15 @@ object SparkEntry {
       // integer covariance numerators, fenced-chain Pearson corr at 4 dp
       Similarity.dimCovariance(t(s, dir, "embeddings"), dims = 64)
         .orderBy(col("i"), col("j"))),
+    "emb_pca_top" -> ((s, dir) =>
+      // anisotropy screen: top-principal-component loadings + variance
+      // share by fixed-round power iteration over the INTEGER-SCALED
+      // covariance (sign·(|cov| DIV covDiv) — the float seam fenced away
+      // before any float op); same single Gram pass as emb_dim_covariance,
+      // then a d²-bounded driver decision; oracle unrolls the identical
+      // three iterations with ordered list_reduce norms
+      Similarity.pcaTop(t(s, dir, "embeddings"), dims = 64, covDiv = pcaCovDiv)
+        .orderBy(col("i"))),
     "ann_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph: each vector's top-4 among its banded-LSH
       // candidates, kept only where the relation is mutual (hub one-way
@@ -2908,6 +2917,54 @@ object SparkEntry {
       |        FROM f GROUP BY 1)
       |""".stripMargin
 
+  /** Shared oracle CTEs for the dimension-moment family (appended after
+    * `embCte`; consumed by `emb_dim_covariance` and `emb_pca_top`): the
+    * emb_dim_stats micro-unit fencing, per-dim moments `st`, and the i<j
+    * cross-moment self-join `p` — the oracle CAN afford the pair blowup at
+    * fixture scale; the Spark side's GramMatrixAgg exists precisely so
+    * production never pays it. Ends with a trailing newline, no comma.
+    */
+  /** Covariance scale divisor for `emb_pca_top` — shared by the Spark call
+    * and the oracle's `//` CTE. 10⁹ keeps the fixture's off-diagonal mass
+    * (|cov| down to ~7·10⁸ at n = 500) while every scaled entry stays far
+    * below the 2⁵³ exactness boundary (max |covS| ≈ 4·10⁶ here; the
+    * operator default 10¹² is the conservative large-corpus setting).
+    */
+  private val pcaCovDiv = 1000000000L
+
+  /** Unrolled power-iteration oracle CTEs (appended after `covfull` and a
+    * seed `v0`): each round is one exact integer mat-vec (`SUM(cv·x)`
+    * HUGEINT, cast to DOUBLE only once the value is exactly
+    * representable), an ORDERED list_reduce norm, and the micro-unit
+    * re-fence — the identical fixed-order IEEE chain the Spark driver
+    * loop runs. Emits trailing commas; consumers append the tail.
+    */
+  private def pcaIterCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""c$r AS (SELECT cf.i, CAST(SUM(cf.cv * v.x) AS DOUBLE) AS comp
+         |        FROM covfull cf JOIN v${r - 1} v ON v.i = cf.j GROUP BY 1),
+         |n$r AS (SELECT sqrt(list_reduce(list(comp*comp ORDER BY i), (a,b) -> a+b)) AS nrm
+         |        FROM c$r),
+         |v$r AS (SELECT i, CAST(sign(comp) * floor(abs(comp / nrm) * 1000000 + 0.5) AS HUGEINT) AS x
+         |        FROM c$r, n$r),
+         |""".stripMargin
+    }.mkString
+
+  private val dimMomentCtes =
+    """, g AS (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+      |         CAST(sign(v) * floor(abs(v)*1000000 + 0.5) AS BIGINT) AS v6
+      |  FROM f),
+      |st AS (
+      |  SELECT i, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(v6) AS HUGEINT) AS s1,
+      |         CAST(SUM(v6*v6) AS HUGEINT) AS s2
+      |  FROM g GROUP BY 1),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.v6*b.v6) AS HUGEINT) AS s_ij
+      |  FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i < b.i
+      |  GROUP BY 1, 2)
+      |""".stripMargin
+
   /** Shared oracle CTE chain for the trained-IVF SERVING path (appended
     * after `embCte` + `kmeansOracleCtes(4, 2)`): final cell assignment,
     * nprobe=2 query cells (vec_id < 10), cell-join candidates, exact
@@ -3954,27 +4011,11 @@ object SparkEntry {
         |       CAST(SUM(v6*v6) AS BIGINT) AS sum_sq_e12,
         |       MIN(v6) AS min_e6, MAX(v6) AS max_e6
         |FROM g GROUP BY 1 ORDER BY i""".stripMargin),
-    "emb_dim_covariance" -> (embCte +
-      // the same micro-unit fencing as emb_dim_stats, then per-dim moments
-      // and the i<j cross-moment self-join (the oracle CAN afford the pair
-      // blowup at fixture scale — the Spark side's GramMatrixAgg exists
-      // precisely so production never pays it); covariance numerators in
-      // HUGEINT cast to BIGINT, corr as the identical fixed-order IEEE
-      // chain (int→double casts correctly rounded in both engines),
-      // ROUND(…,4)+0.0
-      """, g AS (
-        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
-        |         CAST(sign(v) * floor(abs(v)*1000000 + 0.5) AS BIGINT) AS v6
-        |  FROM f),
-        |st AS (
-        |  SELECT i, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(v6) AS HUGEINT) AS s1,
-        |         CAST(SUM(v6*v6) AS HUGEINT) AS s2
-        |  FROM g GROUP BY 1),
-        |p AS (
-        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.v6*b.v6) AS HUGEINT) AS s_ij
-        |  FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i < b.i
-        |  GROUP BY 1, 2)
-        |SELECT p.i, p.j, CAST(si.n AS BIGINT) AS n,
+    "emb_dim_covariance" -> (embCte + dimMomentCtes +
+      // covariance numerators in HUGEINT cast to BIGINT, corr as the
+      // identical fixed-order IEEE chain (int→double casts correctly
+      // rounded in both engines), ROUND(…,4)+0.0
+      """SELECT p.i, p.j, CAST(si.n AS BIGINT) AS n,
         |       CAST(p.s_ij AS BIGINT) AS sum_ij_e12,
         |       CAST(si.n*p.s_ij - si.s1*sj.s1 AS BIGINT) AS cov_e12,
         |       CASE WHEN si.n*si.s2 - si.s1*si.s1 = 0 OR sj.n*sj.s2 - sj.s1*sj.s1 = 0
@@ -3985,6 +4026,37 @@ object SparkEntry {
         |       END AS corr
         |FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
         |ORDER BY p.i, p.j""".stripMargin),
+    "emb_pca_top" -> (embCte + dimMomentCtes +
+      // full scaled-integer covariance (both triangles + diagonal; `//` on
+      // the non-negative abs = truncation toward zero in both engines),
+      // deterministic non-uniform seed, three unrolled power-iteration
+      // rounds, then Rayleigh/trace as an ordered (i, j) double fold
+      s""",covfull AS (
+         |  SELECT i, j,
+         |         CASE WHEN c < 0 THEN -((-c) // $pcaCovDiv) ELSE c // $pcaCovDiv END AS cv
+         |  FROM (
+         |    SELECT p.i AS i, p.j AS j, si.n*p.s_ij - si.s1*sj.s1 AS c
+         |    FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
+         |    UNION ALL
+         |    SELECT p.j, p.i, si.n*p.s_ij - si.s1*sj.s1
+         |    FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
+         |    UNION ALL
+         |    SELECT i, i, n*s2 - s1*s1 FROM st) raw),
+         |v0 AS (SELECT CAST(r.i AS BIGINT) AS i, CAST(1000000 + 1000*r.i AS HUGEINT) AS x
+         |       FROM range(1, ${rpInDims + 1}) r(i)),
+         |""".stripMargin + pcaIterCtes(3) +
+      """ray AS (SELECT list_reduce(
+        |          list(CAST(cf.cv AS DOUBLE) * CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+        |               ORDER BY cf.i, cf.j), (x,y) -> x+y) AS num
+        |        FROM covfull cf JOIN v3 a ON a.i = cf.i JOIN v3 b ON b.i = cf.j),
+        |dn AS (SELECT CAST(SUM(x*x) AS DOUBLE) AS den FROM v3),
+        |tr AS (SELECT CAST(SUM(CASE WHEN i = j THEN cv ELSE 0 END) AS DOUBLE) AS t FROM covfull)
+        |SELECT CAST(v3.i AS BIGINT) AS i, CAST(v3.x AS BIGINT) AS loading_e6,
+        |       CASE WHEN dn.den = 0 OR tr.t = 0 THEN NULL
+        |            ELSE CAST(sign(ray.num / dn.den / tr.t) *
+        |                 floor(abs(ray.num / dn.den / tr.t) * 1000000 + 0.5) AS BIGINT)
+        |       END AS var_top_ppm
+        |FROM v3, ray, dn, tr ORDER BY i""".stripMargin),
     "ann_knn_graph" -> (embCte +
       // the banded-bucket candidate CTEs (the lsh_banded discipline),
       // DIRECTED candidate pairs, per-node rank window, then the mutual

@@ -764,20 +764,31 @@ object Similarity {
     * agg would replan the corpus aggregation once per consumer), and the
     * dims²-bounded tail is local arithmetic over literal rows.
     */
-  def dimCovariance(
-      emb: DataFrame, dims: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(dims > 0, "dimCovariance: dims must be positive")
-    val sp = emb.sparkSession
-    import sp.implicits._
+  /** One corpus pass: micro-unit fencing + homogeneous coordinate through
+    * [[graft.functions.GramMatrixAgg]], collected (a (d+1)(d+2)/2-long
+    * bounded global decision — the [[trainCentroids]] discipline). Returns
+    * the cell accessor over the (d+1)-triangle: (i, j) for i ≤ j ≤ dims,
+    * where column `dims` is the homogeneous coordinate (first moments at
+    * (i, dims), n at (dims, dims)).
+    */
+  private def gramCells(
+      emb: DataFrame, dims: Int, embCol: String): (Int, Int) => Long = {
     val bigD = dims + 1
     val v6 = transform(toDouble(col(embCol)),
       x => (signum(x) * floor(abs(x) * lit(1e6) + lit(0.5))).cast("long"))
     val gramArr = emb.select(concat(v6, array(lit(1L))).as("v6"))
       .agg(graft.functions.GramMatrix(col("v6"), bigD).as("g"))
       .head.getSeq[Long](0)
-    def cell(i: Int, j: Int): Long =
-      gramArr(graft.functions.GramMatrix.flatIndex(i, j, bigD))
+    (i: Int, j: Int) => gramArr(graft.functions.GramMatrix.flatIndex(i, j, bigD))
+  }
+
+  def dimCovariance(
+      emb: DataFrame, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dims > 0, "dimCovariance: dims must be positive")
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val cell = gramCells(emb, dims, embCol)
     val n = cell(dims, dims)
     val rows = for { i <- 0 until dims; j <- (i + 1) until dims }
       yield (i + 1L, j + 1L, cell(i, j), cell(i, dims), cell(i, i), cell(j, dims), cell(j, j))
@@ -794,6 +805,95 @@ object Similarity {
           .otherwise(round(cov.cast("double") /
             sqrt(vri.cast("double") * vrj.cast("double")), 4) + lit(0.0))
           .as("corr"))
+  }
+
+  /** Top-principal-component audit (fixed-round power iteration over the
+    * integer covariance): per dimension the micro-unit loading of the
+    * dominant eigenvector, plus the ppm share of total variance that
+    * component explains (Rayleigh quotient / trace). This is the
+    * ANISOTROPY screen completing the embedding-health suite
+    * ([[dimStats]]: per-dim, [[dimCovariance]]: pairwise): a high
+    * `var_top_ppm` means the corpus collapses toward one direction (the
+    * common-direction pathology that wrecks cosine contrast and IVF cell
+    * balance) and the loadings name the dimensions carrying it — the
+    * go/no-go before trusting an index or a [[semDedup]] threshold on
+    * these vectors.
+    *
+    * Scale shape: the SAME single corpus pass as [[dimCovariance]] (the
+    * collected Gram triangle); everything after is driver arithmetic on
+    * the d×d integer matrix — a bounded global decision (d² longs), never
+    * touching the corpus again. Output is a dims-row local frame.
+    *
+    * Determinism: the covariance is scaled by integer division
+    * `sign·(|cov| / covDiv)` FIRST (exact in both engines — the float
+    * seam is fenced away before any float op), and every subsequent step
+    * is either exact integer arithmetic (mat-vec products in big-integer
+    * space) or a fixed-order IEEE chain on exactly-representable doubles:
+    * component sums stay below 2⁵³ when d·(n²·10¹²/covDiv)·10⁶ < 2⁵³ —
+    * covDiv is the knob, 10¹² holds past n = 3·10⁵ rows and larger
+    * corpora raise it; norms/Rayleigh fold in ascending (i, j) order
+    * (mirrored by the oracle's ordered `list_reduce`); loadings re-fence
+    * to micro-units each round. Seed 10⁶ + 1000·i (deterministic,
+    * non-uniform so data axes orthogonal to a flat seed don't zero the
+    * iteration). Degenerate inputs (zero scaled covariance) yield zero
+    * loadings and NULL `var_top_ppm` rather than NaN.
+    */
+  def pcaTop(
+      emb: DataFrame, dims: Int, iters: Int = 3,
+      covDiv: Long = 1000000000000L,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dims > 0 && iters > 0 && covDiv > 0, "pcaTop: positive args required")
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val cell = gramCells(emb, dims, embCol)
+    val nB = BigInt(cell(dims, dims))
+    def s1(i: Int) = BigInt(cell(i, dims))
+    def rawCov(i: Int, j: Int) =
+      nB * BigInt(if (i <= j) cell(i, j) else cell(j, i)) - s1(i) * s1(j)
+    // scaled integer covariance: sign·(|cov| / covDiv) — truncation toward
+    // zero in both engines (DuckDB // on the non-negative abs)
+    val covS = Array.tabulate(dims, dims) { (i, j) =>
+      val c = rawCov(i, j)
+      (c.sign, c.abs / covDiv) match { case (s, m) => s * m }
+    }
+    var v = Array.tabulate(dims)(i => BigInt(1000000L + 1000L * (i + 1)))
+    var degenerate = false
+    var it = 0
+    while (it < iters && !degenerate) {
+      val comp = Array.tabulate(dims) { i =>
+        (0 until dims).foldLeft(BigInt(0))((acc, j) => acc + covS(i)(j) * v(j))
+      }
+      val compD = comp.map(_.toDouble)
+      val nrm = math.sqrt(compD.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (nrm == 0.0) degenerate = true
+      else v = compD.map(x =>
+        BigInt((math.signum(x) * math.floor(math.abs(x / nrm) * 1e6 + 0.5)).toLong))
+      it += 1
+    }
+    val loadings = if (degenerate) Array.fill(dims)(0L) else v.map(_.toLong)
+    val varTop: Option[Long] = if (degenerate) None else {
+      // Rayleigh/trace in a fixed-order double fold over (i, j) ascending —
+      // each product one IEEE op on exact inputs, mirrored by the oracle
+      var num = 0.0
+      var i = 0
+      while (i < dims) {
+        var j = 0
+        while (j < dims) {
+          num += covS(i)(j).toDouble * loadings(i).toDouble * loadings(j).toDouble
+          j += 1
+        }
+        i += 1
+      }
+      val den = loadings.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      val trace = (0 until dims).foldLeft(BigInt(0))((acc, i) => acc + covS(i)(i))
+      if (den == 0 || trace == 0) None
+      else {
+        val ve = num / den.toDouble / trace.toDouble
+        Some((math.signum(ve) * math.floor(math.abs(ve) * 1e6 + 0.5)).toLong)
+      }
+    }
+    (1 to dims).map(i => (i.toLong, loadings(i - 1), varTop))
+      .toDF("i", "loading_e6", "var_top_ppm")
   }
 
   /** Per-cell quality/balance audit of a trained coarse quantizer — the

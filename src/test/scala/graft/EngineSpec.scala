@@ -4302,6 +4302,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("pcaTop: dominant direction recovered, dead dim zero, degenerate NULL") {
+    import spark.implicits._
+    // dim2 = −dim1 (dominant direction (1,−1)/√2), dim3 constant (dead):
+    // micro-units give var numerator 2.4e11, so covDiv = 1e9 scales the
+    // integer covariance to ±240 — small, exact, hand-checkable
+    val vecs = Seq(
+      (1L, Seq(0.1, -0.1, 0.2)),
+      (2L, Seq(0.3, -0.3, 0.2)),
+      (3L, Seq(0.5, -0.5, 0.2))).toDF("vec_id", "embedding")
+    val got = Similarity.pcaTop(vecs, dims = 3, covDiv = 1000000000L)
+      .orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // loadings ±floor(1e6/√2 + 0.5) = ±707107 (sign from the seed's first
+    // mat-vec: comp1 < 0), dead dim exactly 0; rank-1 spectrum ⇒ the top
+    // component carries ALL the variance: var_top_ppm = 1e6 exactly
+    assert(got.toSeq == Seq(
+      (1L, -707107L, Some(1000000L)),
+      (2L, 707107L, Some(1000000L)),
+      (3L, 0L, Some(1000000L))))
+    // degenerate: identical vectors ⇒ zero covariance ⇒ zero loadings,
+    // NULL variance share (never NaN)
+    val const = Seq((1L, Seq(0.2, 0.2)), (2L, Seq(0.2, 0.2)))
+      .toDF("vec_id", "embedding")
+    val deg = Similarity.pcaTop(const, dims = 2, covDiv = 1L)
+      .orderBy("i").collect()
+    assert(deg.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
+
   test("misra-gries: state never exceeds k; heavy items always survive") {
     // 10k-element stream: 'hot' at 6% and 'warm' at 1.5% among unique
     // filler, deterministically interleaved (no contiguous hot run)

@@ -2629,6 +2629,30 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     }),
+    "ret_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical top-10 ∪ brute-cosine semantic
+      // top-10 (queries 0-5: the q_text frame lexically, the id-aligned
+      // embedding semantically), fused by integer reciprocal-rank —
+      // rewards docs surfacing in EITHER modality without comparing
+      // incomparable scores; fusion moves only queries × k × 2 rows
+      import s.implicits._
+      val qs = Seq(
+        (0L, "fast table scan"), (1L, "join query order"),
+        (2L, "stream window batch"), (3L, "slow merge"),
+        (4L, "customer value vector"), (5L, "zebra hash")
+      ).toDF("query_id", "q_text")
+      val lexW = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+        .withColumn("rank", row_number().over(lexW).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 6), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      TextAnalysis.rrfFuse(Seq(lex, sem), k = 5)
+        .orderBy(col("query_id"), col("rrf_ppb").desc, col("doc_id"))
+    }),
     "text_perceptron" -> ((s, dir) =>
       // model-in-the-loop quality filtering: integer-exact batch perceptron
       // over hashed bag-of-words, trained to separate English docs
@@ -6421,6 +6445,64 @@ object SparkEntry {
         |       FROM sc)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
         |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin,
+    "ret_rrf_fusion" -> (embCte +
+      // hybrid fusion oracle: the text_bm25_topk chain (same query VALUES,
+      // same 6-dp ln/contrib fences) ranked to top-10, the ann_cosine_topk
+      // chain restricted to queries 0-5 ranked to top-10, then INTEGER
+      // reciprocal-rank fusion (10⁹ // (60+rank), BIGINT sums — no float
+      // in the fusion anywhere) cut to top-5 per query
+      """, q(query_id, q_text) AS (VALUES
+        |  (0, 'fast table scan'), (1, 'join query order'),
+        |  (2, 'stream window batch'), (3, 'slow merge'),
+        |  (4, 'customer value vector'), (5, 'zebra hash')),
+        |qt AS (SELECT query_id,
+        |              unnest(list_distinct(string_split(lower(q_text), ' '))) AS term
+        |       FROM q),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+        |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |         ROUND(ROUND(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6) *
+        |           (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |           (p.tf + 1.2 * (1.0 - 0.75 +
+        |             0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))), 6) AS c
+        |  FROM p
+        |  JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id,
+        |       ROUND(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+        |       FROM contrib GROUP BY 1, 2),
+        |lexr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |                CAST(row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |         FROM sc),
+        |lex AS (SELECT query_id, doc_id, rnk FROM lexr WHERE rnk <= 10),
+        |semd AS (SELECT qf.vec_id AS query_id, nf.vec_id AS doc_id,
+        |                list_reduce(list(qf.v*nf.v ORDER BY qf.i), (x,y) -> x+y) AS dot
+        |         FROM f qf JOIN f nf ON qf.i=nf.i AND qf.vec_id<6 AND qf.vec_id<>nf.vec_id
+        |         GROUP BY 1,2),
+        |sems AS (SELECT query_id, doc_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |         FROM semd JOIN nrm nq ON nq.vec_id=semd.query_id
+        |                   JOIN nrm nn2 ON nn2.vec_id=semd.doc_id),
+        |semr AS (SELECT query_id, doc_id,
+        |                CAST(row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |         FROM sems),
+        |sem AS (SELECT query_id, doc_id, rnk FROM semr WHERE rnk <= 10),
+        |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rnk) AS c
+        |      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+        |fz AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppb,
+        |              CAST(COUNT(*) AS BIGINT) AS n_lists
+        |       FROM u GROUP BY 1,2),
+        |rrk AS (SELECT fz.*, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY rrf_ppb DESC, doc_id) AS rr FROM fz)
+        |SELECT query_id, doc_id, rrf_ppb, n_lists
+        |FROM rrk WHERE rr <= 5 ORDER BY query_id, rrf_ppb DESC, doc_id""".stripMargin),
     "text_perceptron" ->
       // the 3 training epochs unrolled as CTEs over the same md5 feature
       // hash (featureBucketSql). Epoch 1 starts from zero weights, so every

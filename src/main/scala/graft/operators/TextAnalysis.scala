@@ -1214,6 +1214,43 @@ object TextAnalysis {
       orderCols = Seq("score" -> false, idCol -> true), k = k)
   }
 
+  /** Reciprocal-rank fusion (RRF, Cormack et al.'s 1/(k0+rank) form) —
+    * the standard hybrid-retrieval combiner: N ranked candidate lists for
+    * the same query set (e.g. [[bm25TopK]] lexical ∪ an ANN semantic
+    * top-k over id-aligned embeddings) fuse into one ranking, rewarding
+    * documents that rank well in ANY list without comparing incomparable
+    * scores. Each input frame carries (`qidCol`, `idCol`, `rankCol`) with
+    * rank 1-based; a document's fused score is Σ_lists ⌊10⁹/(k0+rank)⌋.
+    *
+    * Scale shape: every input list is already top-k-bounded PER QUERY
+    * (that is what a retrieval stage emits), so the union + fuse moves at
+    * most queries × k × lists rows — the fusion cost is independent of
+    * corpus size, and the one exchange is on (query, doc) over that
+    * bounded candidate set. The final cut runs through the custom
+    * [[graft.plans.TopK]] operator (bounded heaps, no per-query sort).
+    *
+    * Cross-engine determinism: the reciprocal is INTEGER — `10⁹ div
+    * (k0+r)` per contribution (integral `div`, no float anywhere), summed
+    * as BIGINT, ties broken by id ascending. `n_lists` counts how many
+    * lists surfaced the doc (the agreement diagnostic hybrid evaluations
+    * report).
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, k0: Int = 60,
+      qidCol: String = "query_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(k >= 1 && k0 >= 0, s"need k >= 1, k0 >= 0, got k=$k k0=$k0")
+    val normalized = lists.map(_.select(
+      col(qidCol), col(idCol),
+      (lit(k0.toLong) + col(rankCol).cast("long")).as("d"))
+      .select(col(qidCol), col(idCol), expr("1000000000L div d").as("c")))
+    val fused = normalized.reduce(_ unionAll _)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("c")).as("rrf_ppb"), count(lit(1)).as("n_lists"))
+    graft.plans.TopK.perKey(fused, keyCols = Seq(qidCol),
+      orderCols = Seq("rrf_ppb" -> false, idCol -> true), k = k)
+  }
+
   /** The md5 feature-hash bucket shared by [[perceptronQuality]] and its
     * oracle (the hashing trick: term → one of `dims` integer buckets, same
     * 4-hex discipline as `Splits.packShardSql`).

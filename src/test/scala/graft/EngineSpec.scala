@@ -4302,6 +4302,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("rrfFuse: integer reciprocal fusion, cross-list agreement wins, top-k cut") {
+    import spark.implicits._
+    // lexical surfaces d1 > d2; semantic surfaces d2 > d3 — the doc both
+    // lists agree on (d2) must fuse on top even though neither ranks it #1
+    val lex = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 2L, 1L), (0L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(lex, sem), k = 2)
+      .orderBy(col("rrf_ppb").desc, col("doc_id")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10⁹ div 61 = 16393442, 10⁹ div 62 = 16129032 — exact integer div
+    assert(got.toSeq == Seq(
+      (2L, 16393442L + 16129032L, 2L), // both lists
+      (1L, 16393442L, 1L)))            // k = 2 cuts d3
+    // single-list fusion degenerates to the list itself (rank order kept)
+    val one = TextAnalysis.rrfFuse(Seq(lex), k = 5)
+      .orderBy(col("rrf_ppb").desc).collect().map(_.getLong(1))
+    assert(one.toSeq == Seq(1L, 2L))
+  }
+
   test("pcaTop: dominant direction recovered, dead dim zero, degenerate NULL") {
     import spark.implicits._
     // dim2 = −dim1 (dominant direction (1,−1)/√2), dim3 constant (dead):

@@ -1268,6 +1268,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_addresses"), sum(col("number_files")).as("n_files"))
         .orderBy(col("band"))
     }),
+    "du_compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning over the object inventory: key-
+      // contiguous target-size bins per prefix (event_type as the
+      // directory, event_id as the unique file key) — one prefix exchange
+      // + window pass, integral-div bin ids
+      val inv = t(s, dir, "events").select(
+        col("event_type").as("prefix"),
+        col("event_id").as("key"),
+        floor(col("value") * 100).cast("long").as("size"))
+      Layout.compactionPlan(inv, targetBytes = 1000000L)
+        .orderBy(col("prefix"), col("bin_id"))
+    }),
     "dedup_stats" -> ((s, dir) => {
       // one-row corpus summary of the dedup pass — banded-LSH hot path,
       // exact-Jaccard oracle (outputs proven equal at these parameters)
@@ -4269,6 +4281,22 @@ object SparkEntry {
         |       COUNT(*) AS n_addresses,
         |       CAST(SUM(number_files) AS BIGINT) AS n_files
         |FROM agg GROUP BY 1 ORDER BY band""".stripMargin,
+    "du_compaction_plan" ->
+      // exclusive window prefix-sum (ROWS ... 1 PRECEDING) then integer
+      // // by the byte target — the identical single-pass binning rule;
+      // bin ids and sums exact integers end to end
+      """WITH inv AS (
+        |  SELECT event_type AS prefix, event_id AS fkey,
+        |         CAST(floor(value * 100) AS BIGINT) AS sz FROM events),
+        |c AS (
+        |  SELECT prefix, fkey, sz,
+        |         COALESCE(SUM(sz) OVER (PARTITION BY prefix ORDER BY fkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM inv)
+        |SELECT prefix, CAST(bef // 1000000 AS BIGINT) AS bin_id,
+        |       COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
+        |       MIN(fkey) AS first_key, MAX(fkey) AS last_key
+        |FROM c GROUP BY 1, 2 ORDER BY prefix, bin_id""".stripMargin,
     "dedup_stats" -> (shingleCte +
       """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
         |       (SELECT COUNT(*) FROM p

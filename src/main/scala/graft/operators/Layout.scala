@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: Z-order (Morton) clustering keys and the
@@ -61,6 +62,48 @@ object Layout {
         count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+
+  /** Small-file compaction plan: group a file inventory (one row per
+    * file: `prefixCol` directory/partition, `keyCol` sort key unique
+    * within its prefix, `sizeCol` bytes) into target-sized output bins,
+    * preserving key contiguity — each bin is one rewrite task producing
+    * one near-target-size file whose key range never interleaves with a
+    * sibling bin's. This is the planning half of the OPTIMIZE/compaction
+    * loop every large parquet lake runs continuously: billions of small
+    * files are the #1 operational scan-cost pathology at 100 TB (per-file
+    * open cost, tiny rowgroups, starved readers).
+    *
+    * Binning rule: files walk in key order per prefix; a file's bin is
+    * ⌊exclusive-prefix-sum(size) / targetBytes⌋ — the single-window-pass
+    * form of greedy packing. It is deterministic and SQL-portable;
+    * compared to a stateful greedy packer it differs only around files
+    * larger than the target (such a file overfills its bin and SKIPS the
+    * following bin ids, so ids can be sparse). Only a prefix's last bin —
+    * or one adjacent to an oversized file — can be undersized.
+    *
+    * Scale shape: ONE exchange (hash on the prefix), a per-prefix sort
+    * whose width is files-per-directory (bounded by lake layout fan-out,
+    * not corpus size), and a map-side-combinable final aggregation; no
+    * self-join, no driver state. Integral `div` keeps the bin id exact —
+    * no float seam even past 2⁵³ cumulative bytes.
+    */
+  def compactionPlan(inv: DataFrame, targetBytes: Long,
+      prefixCol: String = "prefix", keyCol: String = "key",
+      sizeCol: String = "size"): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    val w = Window.partitionBy(col(prefixCol)).orderBy(col("fkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inv.select(col(prefixCol), col(keyCol).as("fkey"),
+        col(sizeCol).cast("long").as("sz"))
+      .withColumn("bef", coalesce(sum(col("sz")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"bef div ${targetBytes}L"))
+      .groupBy(col(prefixCol), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("sz")).as("bytes"),
+        min(col("fkey")).as("first_key"),
+        max(col("fkey")).as("last_key"))
+  }
 
   /** Cluster a frame for writing in Z order: one range exchange on the
     * Morton key plus a partition-local sort — after `.write`, every

@@ -4302,6 +4302,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("compactionPlan: key-contiguous bins, oversized file skips ids, prefixes isolated") {
+    import spark.implicits._
+    val inv = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L), // bef 0,4,8 → bin 0
+      ("a", 4L, 25L),                              // bef 12 → bin 1 (oversized)
+      ("a", 5L, 3L),                               // bef 37 → bin 3 (bin 2 SKIPPED)
+      ("b", 1L, 1L)                                // own prefix, own bin 0
+    ).toDF("prefix", "key", "size")
+    val got = Layout.compactionPlan(inv, targetBytes = 10L)
+      .orderBy(col("prefix"), col("bin_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 3L, 12L, 1L, 3L),
+      ("a", 1L, 1L, 25L, 4L, 4L),
+      ("a", 3L, 1L, 3L, 5L, 5L),
+      ("b", 0L, 1L, 1L, 1L, 1L)))
+  }
+
   test("rrfFuse: integer reciprocal fusion, cross-list agreement wins, top-k cut") {
     import spark.implicits._
     // lexical surfaces d1 > d2; semantic surfaces d2 > d3 — the doc both

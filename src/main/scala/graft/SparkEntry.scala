@@ -2311,6 +2311,16 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 40), m)
         .orderBy(col("doc_id"), col("pos"))
     }),
+    "text_fertility" -> ((s, dir) => {
+      // tokenizer fairness across languages: tokens-per-byte (ppm,
+      // integral div) under the trained 4-merge vocabulary, per lang —
+      // row-local merge fold + one lang-keyed map-side-combined agg
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocab(docs, merges = 4)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
+    }),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
     "dedup_substring" -> ((s, dir) =>
@@ -5493,6 +5503,9 @@ object SparkEntry {
       // encodes the same slice with the sampled merges
       graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L,
         trainWhere = graft.operators.TextAnalysis.bpeSampleWhereSql("doc_id", 0.25)),
+    "text_fertility" ->
+      // same unrolled training rounds, per-language integer fertility
+      graft.operators.TextAnalysis.fertilitySql(merges = 4),
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |tri AS (

@@ -923,17 +923,26 @@ object TextAnalysis {
     * the same scale discipline as [[bpeVocab]]'s argmax; the id join back
     * to the token stream is vocabulary-sized and AQE-broadcastable.
     */
-  def bpeEncode(
-      docs: DataFrame, merges: Seq[(String, String)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The trained-merge fold over one document's delimited representation —
+    * shared by [[bpeEncode]] and [[tokenizerFertility]] so the apply side
+    * cannot drift between them. Row-local, codegen'd `replace` chain.
+    */
+  private def bpeMergedRepr(textCol: String, merges: Seq[(String, String)],
+      caller: String): Column = {
     require(merges.forall { case (l, r) =>
       !l.contains("⟨") && !l.contains("⟩") && !r.contains("⟨") && !r.contains("⟩") },
       "merge tokens must not contain the ⟨⟩ delimiters")
     val r0 = concat(lit("⟨"),
-      array_join(tokens(delimiterChecked(col(textCol), "bpeEncode")), "⟩⟨"), lit("⟩"))
-    val rFinal = merges.foldLeft(r0) { case (acc, (l, r)) =>
+      array_join(tokens(delimiterChecked(col(textCol), caller)), "⟩⟨"), lit("⟩"))
+    merges.foldLeft(r0) { case (acc, (l, r)) =>
       call_function("replace", acc, lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩"))
     }
+  }
+
+  def bpeEncode(
+      docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rFinal = bpeMergedRepr(textCol, merges, "bpeEncode")
     val enc = docs
       .select(col(idCol), rFinal.as("r"))
       .select(col(idCol),
@@ -953,7 +962,11 @@ object TextAnalysis {
     * stream of docs with `doc_id < maxDocId` and alphabetical dense-rank
     * token ids.
     */
-  def bpeEncodeSql(merges: Int, maxDocId: Long, trainWhere: String = ""): String = {
+  /** The unrolled-training WITH prefix shared by [[bpeEncodeSql]] and
+    * [[fertilitySql]] — ends at `r<merges>` (every doc's fully-merged
+    * representation), no trailing comma.
+    */
+  private def bpeRoundsSql(merges: Int, trainWhere: String): String = {
     // trainWhere restricts PAIR COUNTING (the t_k/p_k CTEs) to the training
     // sample; merge APPLICATION (r_k) still rewrites every doc so the final
     // state encodes the full slice — train-on-sample, apply-everywhere
@@ -975,7 +988,11 @@ object TextAnalysis {
        |  SELECT doc_id,
        |         '⟨'||array_to_string(string_split(lower(text), ' '), '⟩⟨')||'⟩' AS r
        |  FROM documents),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  def bpeEncodeSql(merges: Int, maxDocId: Long, trainWhere: String = ""): String = {
+    s"""${bpeRoundsSql(merges, trainWhere)},
        |enc AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tok AS token
        |  FROM (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
@@ -987,6 +1004,65 @@ object TextAnalysis {
        |SELECT enc.doc_id, enc.pos, enc.token, vocab.token_id
        |FROM enc JOIN vocab USING (token)
        |ORDER BY enc.doc_id, enc.pos""".stripMargin
+  }
+
+  /** Tokenizer FERTILITY audit: per group (default: the corpus's language
+    * column) the token count the trained BPE vocabulary produces against
+    * the bytes it covers — tokens-per-byte in ppm. This is the number that
+    * decides whether a tokenizer is fair across languages before training
+    * on a multilingual mix: a language whose fertility is 2× another's
+    * pays 2× the sequence length for the same content, skewing both
+    * compute cost and effective mixture weights. The go/no-go audit run
+    * after every vocabulary retrain.
+    *
+    * Scale shape: the merge fold is the SAME row-local `replace` chain as
+    * [[bpeEncode]] ([[bpeMergedRepr]] — shared code, cannot drift), the
+    * token count is a row-local `size(split(...))` (the stream is never
+    * exploded), and the only exchange is the group-by on the language key
+    * — map-side combined, group-cardinality rows.
+    *
+    * Determinism: counts and byte lengths are integers; fertility is an
+    * integral `div` of 10⁶·tokens by bytes (no float), NULL on an
+    * empty-byte group rather than an error.
+    */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[(String, String)],
+      byCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val rFinal = bpeMergedRepr(textCol, merges, "tokenizerFertility")
+    docs
+      .select(col(byCol),
+        size(split(regexp_replace(rFinal, "^⟨|⟩$", ""), "⟩⟨"))
+          .cast("long").as("n_tokens"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"))
+      .groupBy(col(byCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .withColumn("fert_ppm",
+        when(col("total_bytes") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * total_tokens) div total_bytes")))
+  }
+
+  /** [[tokenizerFertility]]'s oracle: the same unrolled training rounds as
+    * [[bpeEncodeSql]], then the per-language integer fertility aggregate.
+    */
+  def fertilitySql(merges: Int, trainWhere: String = ""): String = {
+    s"""${bpeRoundsSql(merges, trainWhere)},
+       |tokc AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(substr(r, 2, length(r) - 2), '⟩⟨')) AS BIGINT) AS n_tokens
+       |  FROM r$merges),
+       |j AS (
+       |  SELECT d.lang, tokc.n_tokens,
+       |         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+       |  FROM tokc JOIN documents d USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |       CASE WHEN SUM(n_bytes) = 0 THEN NULL
+       |            ELSE CAST((1000000 * SUM(n_tokens)) // SUM(n_bytes) AS BIGINT)
+       |       END AS fert_ppm
+       |FROM j GROUP BY 1 ORDER BY lang""".stripMargin
   }
 
   /** Rolling-hash document fingerprinting (winnowing): md5 each word-`n`-gram

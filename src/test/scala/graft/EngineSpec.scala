@@ -4302,6 +4302,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("tokenizerFertility: merge fold shrinks token count, integral ppm per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a b c"), // merge (a,b) fires → 2 tokens over 5 bytes
+      (2L, "y", "a a")    // no pair matches → 2 tokens over 3 bytes
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, Seq(("a", "b")))
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("x", 1L, 2L, 5L, 400000L),  // 10⁶·2 div 5
+      ("y", 1L, 2L, 3L, 666666L))) // 10⁶·2 div 3 — floor, not round
+  }
+
   test("compactionPlan: key-contiguous bins, oversized file skips ids, prefixes isolated") {
     import spark.implicits._
     val inv = Seq(

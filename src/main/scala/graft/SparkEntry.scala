@@ -914,6 +914,26 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_index_upsert" -> ((s, dir) => {
+      // index GROWTH: build the persisted artifact on the base corpus
+      // (quantizer trained on vec_id < 400 only), append the delta with
+      // the FROZEN quantizer, serve off the grown artifact. The oracle
+      // restricts training to the same base predicate and serves the full
+      // corpus — grown-index serving is value-pinned ≡ a union rebuild
+      // under the same centroids. Per-process scratch path; build's
+      // overwrite resets the corpus dir each invocation, so bench
+      // iterations cannot double-append.
+      val emb = t(s, dir, "embeddings")
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_ann_upsert_${ProcessHandle.current().pid()}"
+      graft.sources.AnnIndex.build(
+        emb.filter(col("vec_id") < 400), k = 4, iters = 2, path)
+      graft.sources.AnnIndex.append(s, path, emb.filter(col("vec_id") >= 400))
+      val idx = graft.sources.AnnIndex.load(s, path)
+      graft.sources.AnnIndex.topK(idx, emb.filter(col("vec_id") < 10), k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_recall_eval" -> ((s, dir) => {
       // the ANN TUNING measurement as a first-class operator: per-query
       // recall of the trained-IVF serving path against exact brute force —
@@ -3848,6 +3868,14 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
     "ann_ivf_trained_topk" -> (embCte +
       Similarity.kmeansOracleCtes(k = 4, iters = 2) +
+      ivfTrainedServeCtes +
+      """SELECT query_id, neighbor_id, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_index_upsert" -> (embCte +
+      // training (init + every re-assignment round) restricted to the
+      // base; serving assigns the FULL corpus under the frozen centroids
+      // — exactly build(base) + append(delta) + topK
+      Similarity.kmeansOracleCtes(k = 4, iters = 2, trainPred = "vec_id < 400") +
       ivfTrainedServeCtes +
       """SELECT query_id, neighbor_id, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),

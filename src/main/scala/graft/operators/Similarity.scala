@@ -526,14 +526,21 @@ object Similarity {
     * per-dimension decimal-exact means `c{r}` (cell, i, m), centroid norms
     * `cn{r}`, and (before the last round) the rounded-cosine re-assignment
     * `a{r}`. The final centroid tables are `c{iters}`/`cn{iters}`.
+    *
+    * `trainPred` (a predicate over `vec_id`, e.g. `"vec_id < 400"`)
+    * restricts TRAINING — init and every re-assignment round — to a base
+    * subset, mirroring an index built on the base and grown by appends
+    * with the frozen quantizer; serving chains appended afterwards still
+    * range over the full corpus.
     */
-  def kmeansOracleCtes(k: Int, iters: Int): String = {
+  def kmeansOracleCtes(k: Int, iters: Int, trainPred: String = ""): String = {
     require(k >= 1 && iters >= 1)
+    val where = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
     val sb = new StringBuilder
     sb ++= s""", a0 AS (
               |  SELECT vec_id,
               |         CAST(('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % $k AS cell
-              |  FROM embeddings)""".stripMargin
+              |  FROM embeddings$where)""".stripMargin
     (1 to iters).foreach { r =>
       sb ++= s""",
                 |c$r AS (
@@ -547,7 +554,7 @@ object Similarity {
                   |d$r AS (
                   |  SELECT f.vec_id, c$r.cell,
                   |         list_reduce(list(f.v*c$r.m ORDER BY f.i), (x,y) -> x+y) AS dot
-                  |  FROM f JOIN c$r ON f.i=c$r.i GROUP BY 1,2),
+                  |  FROM f JOIN c$r ON f.i=c$r.i$where GROUP BY 1,2),
                   |a$r AS (
                   |  SELECT vec_id, cell FROM (
                   |    SELECT d$r.vec_id, d$r.cell,

@@ -44,6 +44,25 @@ object AnnIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/corpus")
   }
 
+  /** Append new vectors to an existing IVF artifact WITHOUT retraining:
+    * assign them with the artifact's FROZEN quantizer (the same
+    * zero-exchange broadcast assignment [[build]] runs) and append to the
+    * cell-partitioned corpus — dynamic partition append touches only the
+    * cells the new vectors land in. The production index-growth path
+    * (nightly build, continuous appends); quantizer drift is monitored
+    * separately (the centroid/cluster audits) and handled by a rebuild.
+    * Serving a grown index is oracle- and spec-pinned identical to
+    * building against the union corpus with the same frozen quantizer.
+    */
+  def append(spark: SparkSession, dir: String, emb: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Similarity.assignCells(
+        Similarity.prepared(emb, idCol, embCol), cents, nprobe = 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/corpus")
+  }
+
   /** The loaded artifact: `centroids` (cid, cv, cnrm) and `corpus`
     * (id, v, nrm, cell — cell is the partition column).
     */

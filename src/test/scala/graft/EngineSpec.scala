@@ -3835,6 +3835,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("AnnIndex append: grown index serves identically to a union rebuild") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 30)
+    val delta = emb.filter(col("vec_id") >= 30)
+    val dir = Files.createTempDirectory("annupsert").toString
+    graft.sources.AnnIndex.build(base, k = 4, iters = 2, dir)
+    graft.sources.AnnIndex.append(spark, dir, delta)
+    val idx = graft.sources.AnnIndex.load(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val served = graft.sources.AnnIndex.topK(idx, q, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    // the reference semantics: full corpus under the SAME frozen quantizer
+    val cents = Similarity.trainCentroids(base, k = 4, iters = 2)
+    val mem = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(served == mem, "grown-index serving must equal a union rebuild")
+    // the grown corpus holds every row exactly once
+    assert(idx.corpus.count() == emb.count())
+  }
+
   test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindexpq").toString

@@ -2646,6 +2646,33 @@ object SparkEntry {
           maxBulletLinePct = 40, minAlphaWordPct = 94)
         .orderBy(col("doc_id"))
     }),
+    "text_filter_kappa" -> ((s, dir) => {
+      // filter-swap calibration: Cohen's kappa between the Gopher and C4
+      // verdicts over the same corpus (each under its own synthesized
+      // structure, verbatim from its row) — chance-corrected, so two
+      // filters that both keep most docs can't fake agreement; one
+      // 5-counter aggregation, integer-exact kappa
+      val raw = t(s, dir, "documents")
+      val g = TextAnalysis.gopherRules(
+          raw.select(col("doc_id"),
+            replace(replace(replace(replace(concat(col("text"), lit(" ")),
+              lit("customer "), lit("customer with ")),
+              lit("line "), lit("line.\n")),
+              lit("slow "), lit("slow...\n")),
+              lit("value "), lit("\n- value ")).as("text")),
+          minWords = 30, maxWords = 120,
+          maxBulletLinePct = 40, minAlphaWordPct = 94)
+        .select(col("doc_id"), col("keep").as("a"))
+      val c = TextAnalysis.c4LineFilter(
+          raw.select(col("doc_id"),
+            replace(replace(col("text"), lit("line "), lit("line.\n")),
+              lit("value "), lit("value\n")).as("text")))
+        .select(col("doc_id"), lit(true).as("b"))
+      Hygiene.agreementKappa(
+        g.join(c, Seq("doc_id"), "left")
+          .select(col("a"), coalesce(col("b"), lit(false)).as("b")),
+        "a", "b")
+    }),
     "text_chunk_windows" -> ((s, dir) =>
       // overlapping context-window chunking: 12-token windows at stride 8
       // (4 tokens of overlap), every token in ≥1 window, short final window
@@ -2974,6 +3001,62 @@ object SparkEntry {
   private val rpInDims = 64
 
   /** Shared DuckDB CTE: embeddings flattened to (vec_id, i, v) + L2 norms. */
+  /** Shared C4 oracle CTEs (`d` line synthesis, `k` kept lists) — opens
+    * the WITH block; consumed by `text_c4_filter` and `text_filter_kappa`.
+    */
+  private lazy val c4OracleCtes =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         string_split(replace(replace(text, 'line ', 'line.' || chr(10)),
+       |           'value ', 'value' || chr(10)), chr(10)) AS lines
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, len(lines) AS n_lines,
+       |         list_filter(lines, ${TextAnalysis.c4KeepLambdaSql()}) AS kept
+       |  FROM d)""".stripMargin
+
+  /** Shared Gopher oracle CTEs (`syn` structure synthesis, `m` token/line
+    * lists, `c` integer rule counters) — NO leading `WITH`/comma, so the
+    * standalone row prefixes `WITH ` and `text_filter_kappa` appends it
+    * after the C4 chain.
+    */
+  private lazy val gopherOracleCtes =
+    """syn AS (
+      |  SELECT doc_id,
+      |         replace(replace(replace(replace(text || ' ',
+      |           'customer ', 'customer with '),
+      |           'line ', 'line.' || chr(10)),
+      |           'slow ', 'slow...' || chr(10)),
+      |           'value ', chr(10) || '- value ') AS text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[ \n]'), w -> w <> '') AS ws,
+      |    string_split(text, chr(10)) AS lines, text AS txt
+      |  FROM syn),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ws, w -> strlen(w))) AS BIGINT) AS sum_word_len,
+      |    CAST(strlen(txt) - strlen(replace(txt, '#', '')) AS BIGINT)
+      |      + CAST((strlen(txt) - strlen(replace(txt, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet_lines,
+      |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+      |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      w -> list_contains(ws, w))) AS BIGINT) AS stop_hits
+      |  FROM m)""".stripMargin
+
+  /** The Gopher keep predicate over `c`'s counters — shared by the
+    * standalone row and the kappa row's verdict CTE.
+    */
+  private val gopherKeepSql =
+    """(n_words BETWEEN 30 AND 120 AND sum_word_len BETWEEN 3*n_words AND 10*n_words
+      |        AND n_symbols*100 <= n_words*10 AND n_bullet_lines*100 <= n_lines*40
+      |        AND n_ellipsis_lines*100 <= n_lines*30 AND n_alpha_words*100 >= n_words*94
+      |        AND stop_hits >= 2)""".stripMargin
+
   private val embCte =
     """WITH f AS (
       |  SELECT vec_id, CAST(u.e AS DOUBLE) AS v, u.i AS i
@@ -6413,55 +6496,49 @@ object SparkEntry {
     "text_c4_filter" ->
       // identical line synthesis, then the same keep predicate via the
       // shared lambda; kept lists re-joined with the same newline
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |         string_split(replace(replace(text, 'line ', 'line.' || chr(10)),
-         |           'value ', 'value' || chr(10)), chr(10)) AS lines
-         |  FROM documents),
-         |k AS (
-         |  SELECT doc_id, len(lines) AS n_lines,
-         |         list_filter(lines, ${graft.operators.TextAnalysis.c4KeepLambdaSql()}) AS kept
-         |  FROM d)
-         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
-         |       CAST(len(kept) AS BIGINT) AS n_kept,
-         |       array_to_string(kept, chr(10)) AS clean_text
-         |FROM k WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin,
+      (c4OracleCtes +
+      """
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, chr(10)) AS clean_text
+        |FROM k WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin),
     "text_gopher_filter" ->
       // identical synthesis, then the identical integer rule arithmetic —
       // cross-multiplied thresholds, no ratio ever materializes
-      s"""WITH syn AS (
-         |  SELECT doc_id,
-         |         replace(replace(replace(replace(text || ' ',
-         |           'customer ', 'customer with '),
-         |           'line ', 'line.' || chr(10)),
-         |           'slow ', 'slow...' || chr(10)),
-         |           'value ', chr(10) || '- value ') AS text
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[ \n]'), w -> w <> '') AS ws,
-         |    string_split(text, chr(10)) AS lines, text AS txt
-         |  FROM syn),
-         |c AS (
-         |  SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(ws, w -> strlen(w))) AS BIGINT) AS sum_word_len,
-         |    CAST(strlen(txt) - strlen(replace(txt, '#', '')) AS BIGINT)
-         |      + CAST((strlen(txt) - strlen(replace(txt, '...', ''))) / 3 AS BIGINT) AS n_symbols,
-         |    CAST(len(lines) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet_lines,
-         |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
-         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
-         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |      w -> list_contains(ws, w))) AS BIGINT) AS stop_hits
-         |  FROM m)
+      (s"WITH $gopherOracleCtes" +
+      s"""
          |SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines, n_bullet_lines,
          |       n_ellipsis_lines, n_alpha_words, stop_hits,
-         |       (n_words BETWEEN 30 AND 120 AND sum_word_len BETWEEN 3*n_words AND 10*n_words
-         |        AND n_symbols*100 <= n_words*10 AND n_bullet_lines*100 <= n_lines*40
-         |        AND n_ellipsis_lines*100 <= n_lines*30 AND n_alpha_words*100 >= n_words*94
-         |        AND stop_hits >= 2) AS keep
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |       $gopherKeepSql AS keep
+         |FROM c ORDER BY doc_id""".stripMargin),
+    "text_filter_kappa" ->
+      // the two filter chains verbatim (shared CTE vals — cannot drift),
+      // verdicts joined per doc, then the exact-integer kappa: num/den
+      // are count rationals, ppm is sign·(10⁶·|num| // den) — the same
+      // truncation-toward-zero both engines land on
+      (c4OracleCtes + s",\n$gopherOracleCtes" +
+      s"""
+         |,ga AS (SELECT doc_id, $gopherKeepSql AS a FROM c),
+         |cb AS (SELECT doc_id FROM k WHERE len(kept) >= 3),
+         |v AS (SELECT ga.a, (cb.doc_id IS NOT NULL) AS b
+         |      FROM ga LEFT JOIN cb USING (doc_id)),
+         |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |       CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |       CAST(SUM(CASE WHEN (NOT a) AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+         |       CAST(SUM(CASE WHEN (NOT a) AND (NOT b) THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |       FROM v),
+         |kp AS (SELECT *,
+         |       (n_both+n_only_a)*(n_both+n_only_b)
+         |         + (n_only_b+n_neither)*(n_only_a+n_neither) AS chance
+         |       FROM cm)
+         |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+         |       CASE WHEN n*n - chance = 0 THEN NULL
+         |            ELSE CAST(sign(n*(n_both+n_neither) - chance) *
+         |                 ((1000000 * abs(n*(n_both+n_neither) - chance))
+         |                   // (n*n - chance)) AS BIGINT)
+         |       END AS kappa_ppm
+         |FROM kp""".stripMargin),
     "text_chunk_windows" ->
       // windows [i*8+1, i*8+12] over the whitespace token list, 1-based
       // stop-inclusive list_slice ≡ Spark's slice(toks, start, 12)

@@ -525,4 +525,43 @@ object Hygiene {
       sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
       sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed_rows"))
   }
+
+  /** Inter-filter agreement (Cohen's kappa) over two boolean verdict
+    * columns — the calibration audit run before SWAPPING one quality
+    * filter for another in a pipeline: raw agreement (the confusion
+    * counts) plus chance-corrected kappa, so "both filters keep 90%"
+    * cannot masquerade as agreement when their overlap is coincidental.
+    *
+    * Scale shape: one map-side-combined aggregation to five counters —
+    * no exchange wider than one row, any corpus size.
+    *
+    * Determinism: kappa is a RATIONAL of the counts — num = n·(n₁₁+n₀₀) −
+    * [(n₁₁+n₁₀)(n₁₁+n₀₁) + (n₀₁+n₀₀)(n₁₀+n₀₀)], den = n² − [...] — so the
+    * ppm form is sign·(10⁶·|num| div den), exact integers end to end
+    * (truncation toward zero in BOTH engines: DuckDB `//` floors, so the
+    * oracle mirrors the sign·abs form, not a bare signed `//`). NULL when
+    * den = 0 (a constant verdict on either side — kappa undefined).
+    */
+  def agreementKappa(verdicts: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    verdicts
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("chance",
+        (col("n_both") + col("n_only_a")) * (col("n_both") + col("n_only_b")) +
+          (col("n_only_b") + col("n_neither")) * (col("n_only_a") + col("n_neither")))
+      .withColumn("num", col("n") * (col("n_both") + col("n_neither")) - col("chance"))
+      .withColumn("den", col("n") * col("n") - col("chance"))
+      .withColumn("kappa_ppm",
+        when(col("den") === 0L, lit(null).cast("long"))
+          .otherwise(signum(col("num")).cast("long") *
+            expr("(1000000L * abs(num)) div den")))
+      .select(col("n"), col("n_both"), col("n_only_a"), col("n_only_b"),
+        col("n_neither"), col("kappa_ppm"))
+  }
 }

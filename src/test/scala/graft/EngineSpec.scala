@@ -4324,6 +4324,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("agreementKappa: chance-corrected, signed, NULL on constant verdicts") {
+    import spark.implicits._
+    def kappa(rows: Seq[(Boolean, Boolean)]) =
+      Hygiene.agreementKappa(rows.toDF("a", "b"), "a", "b").head
+    // mixed: n=10, both=4, onlyA=1, onlyB=2, neither=3 →
+    // chance=50, num=20, den=50 → 0.4 exactly
+    val m = kappa(Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false)))
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+      m.getLong(4), m.getLong(5)) == (10L, 4L, 1L, 2L, 3L, 400000L))
+    // perfect disagreement → −1 (sign·abs div, not floor — must be exact)
+    assert(kappa(Seq((true, false), (false, true))).getLong(5) == -1000000L)
+    // perfect agreement with variation → +1
+    assert(kappa(Seq((true, true), (false, false))).getLong(5) == 1000000L)
+    // constant verdicts → kappa undefined → NULL, counts still real
+    val c = kappa(Seq((true, true), (true, true)))
+    assert(c.isNullAt(5) && c.getLong(1) == 2L)
+  }
+
   test("tokenizerFertility: merge fold shrinks token count, integral ppm per group") {
     import spark.implicits._
     val docs = Seq(

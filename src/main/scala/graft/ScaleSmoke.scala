@@ -553,6 +553,21 @@ object ScaleSmoke {
       println(f"[scale-smoke] dim covariance gram (500k x 32): equal=$equal " +
         f"gram=${(t1 - t0) / 1e9}%.1f s explode=${(t2 - t1) / 1e9}%.1f s")
     }
+
+    // compaction planning at lake shape: 10M files over 5k prefixes
+    // (2k files/prefix — directory fan-out, not corpus scale, bounds the
+    // per-prefix window sort). One prefix exchange + window + agg; the
+    // bin count must land at ⌈Σsize/target⌉-ish, never at file count.
+    if (enabled("compaction plan")) {
+      timed("compaction plan (10M files)") {
+        val inv = spark.range(10000000L).select(
+          (col("id") % 5000L).cast("string").as("prefix"),
+          col("id").as("key"),
+          (pmod(xxhash64(col("id")), lit(200000L)) + 1L).as("size"))
+        graft.operators.Layout.compactionPlan(inv, targetBytes = 128L * 1024 * 1024)
+          .count()
+      }
+    }
     spark.stop()
   }
 }

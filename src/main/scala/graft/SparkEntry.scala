@@ -1300,6 +1300,20 @@ object SparkEntry {
       Layout.compactionPlan(inv, targetBytes = 1000000L)
         .orderBy(col("prefix"), col("bin_id"))
     }),
+    "du_growth_forecast" -> ((s, dir) => {
+      // capacity planning on the reference domain: per-address
+      // least-squares slope of DAILY usage totals (micro-units/day) —
+      // which address grows fast enough to page someone. Day index
+      // rebased to the fixture window start (2024-01-01 = epoch day
+      // 19723) so the integer moments stay small; slope is
+      // shift-invariant so the rebase is free.
+      val ev = Temporal.eventsMicros(s, dir).select(
+        col("user_id"), col("ts_us"),
+        floor(col("value") * 100).cast("long").as("size"))
+      Temporal.linearTrend(ev, keyCol = "user_id", valCol = "size",
+          rebaseDay = 19723L)
+        .orderBy(col("user_id"))
+    }),
     "dedup_stats" -> ((s, dir) => {
       // one-row corpus summary of the dedup pass — banded-LSH hot path,
       // exact-Jaccard oracle (outputs proven equal at these parameters)
@@ -1932,6 +1946,24 @@ object SparkEntry {
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", "long").add("text", "string").add("lang", "string")
       val in = graft.sources.Ingest.readJsonl(s, path, schema)
+      graft.sources.Ingest.clean(in).agg(
+        count(lit(1)).as("n_clean"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // the CSV lane of the same ingestion contract: headered CSV write
+      // (quoting handled by the writer) → corrupt-lane read → the same
+      // integrity row the oracle computes straight from parquet
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_csv_roundtrip_${ProcessHandle.current().pid()}"
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+      val in = graft.sources.Ingest.readCsv(s, path, schema)
       graft.sources.Ingest.clean(in).agg(
         count(lit(1)).as("n_clean"),
         sum(length(col("text"))).as("total_chars"),
@@ -4418,6 +4450,31 @@ object SparkEntry {
         |       COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
         |       MIN(fkey) AS first_key, MAX(fkey) AS last_key
         |FROM c GROUP BY 1, 2 ORDER BY prefix, bin_id""".stripMargin,
+    "du_growth_forecast" ->
+      // daily totals then the five integer regression moments; slope as
+      // sign·(10⁶·|num| // den) — the identical truncation-toward-zero
+      // both engines land on; den = 0 (one active day) → NULL
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS x,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |d AS (SELECT user_id, x, CAST(SUM(v) AS BIGINT) AS y
+        |      FROM e GROUP BY 1, 2),
+        |m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |             MIN(x) AS first_day, MAX(x) AS last_day,
+        |             CAST(SUM(y) AS BIGINT) AS total,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x*x) AS BIGINT) AS sxx
+        |      FROM d GROUP BY 1)
+        |SELECT user_id, n_days, first_day, last_day, total,
+        |       CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL
+        |            ELSE CAST(sign(n_days*sxy - sx*total) *
+        |                 ((1000000 * abs(n_days*sxy - sx*total))
+        |                   // (n_days*sxx - sx*sx)) AS BIGINT)
+        |       END AS slope_e6
+        |FROM m ORDER BY user_id""".stripMargin,
     "dedup_stats" -> (shingleCte +
       """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
         |       (SELECT COUNT(*) FROM p
@@ -5230,6 +5287,14 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       // straight from parquet: equal ⟺ the jsonl write→read preserved
       // every row, char, and hash
+      """SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+    "q_csv_roundtrip" ->
+      // same integrity row — equal ⟺ the CSV write→read (quoting and
+      // all) preserved every row, char, and hash
       """SELECT COUNT(*) AS n_clean,
         |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,

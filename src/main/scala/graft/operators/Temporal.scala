@@ -530,4 +530,52 @@ object Temporal {
         (col("week") - col("cohort_week")).as("age_weeks"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Per-key linear usage trend — least-squares slope of DAILY totals
+    * over the day index: the capacity-planning forecast on top of the
+    * reference's usage aggregate (which address grows how fast, before
+    * it pages someone). Output per key: (n_days, first_day, last_day,
+    * total, slope_e6) with slope in micro-units of `valCol` per day.
+    *
+    * Scale shape: two map-side-combined aggregations — (key, day) daily
+    * totals, then the five regression moments per key; the second
+    * exchange moves only key × active-days rows. No window, no driver
+    * state, no per-key buffering.
+    *
+    * Determinism: every moment is an exact integer; the slope closed
+    * form num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² stays integral, and
+    * the ppm form is sign·(10⁶·|num| div den) — truncation toward zero
+    * in both engines (never a bare signed floor-div). NULL slope on a
+    * single active day (den = 0). `rebaseDay` (days since epoch of the
+    * observation window's start) keeps x small so 10⁶·|num| stays far
+    * from 2⁶³ — slope is shift-invariant, so any in-window constant is
+    * correct; pick the window start.
+    */
+  def linearTrend(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", valCol: String = "value",
+      rebaseDay: Long = 0L): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    events
+      .select(col(keyCol),
+        (expr(s"$tsCol DIV ${dayUs}L") - rebaseDay).as("x"),
+        col(valCol).cast("long").as("v"))
+      .groupBy(col(keyCol), col("x"))
+      .agg(sum(col("v")).as("y"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        min(col("x")).as("first_day"), max(col("x")).as("last_day"),
+        sum(col("y")).as("total"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("total"))
+      .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_e6",
+        when(col("den") === 0L, lit(null).cast("long"))
+          .otherwise(signum(col("num")).cast("long") *
+            expr("(1000000L * abs(num)) div den")))
+      .select(col(keyCol), col("n_days"), col("first_day"), col("last_day"),
+        col("total"), col("slope_e6"))
+  }
 }

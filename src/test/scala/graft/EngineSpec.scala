@@ -4324,6 +4324,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("linearTrend: daily fold, exact slope, signed, NULL on one active day") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      // key a: daily totals 10, 20, 30 → slope exactly +10/day
+      ("a", 0L * day + 5L, 4L), ("a", 0L * day + 9L, 6L), // same day folds
+      ("a", 1L * day + 1L, 20L), ("a", 2L * day + 1L, 30L),
+      // key b: one active day → den = 0 → NULL slope
+      ("b", 0L * day + 1L, 7L), ("b", 0L * day + 2L, 8L),
+      // key c: 30 then 20 → slope exactly −10/day (sign·abs div, not floor)
+      ("c", 0L * day + 1L, 30L), ("c", 1L * day + 1L, 20L)
+    ).toDF("user_id", "ts_us", "value")
+    val got = Temporal.linearTrend(ev).orderBy(col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.toSeq == Seq(
+      ("a", 3L, 0L, 2L, 60L, Some(10000000L)),
+      ("b", 1L, 0L, 0L, 15L, None),
+      ("c", 2L, 0L, 1L, 50L, Some(-10000000L))))
+  }
+
   test("agreementKappa: chance-corrected, signed, NULL on constant verdicts") {
     import spark.implicits._
     def kappa(rows: Seq[(Boolean, Boolean)]) =

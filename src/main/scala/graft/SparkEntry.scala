@@ -179,6 +179,22 @@ object SparkEntry {
       Layout.zOrderStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
           bits = 16, bucketShift = 20)
         .orderBy(col("z_bucket"))),
+    "q_hilbert_layout" -> ((s, dir) =>
+      // the same zone-map audit on the HILBERT key: one row-local
+      // bit-round fold per bit (linear chained projections, one codegen
+      // stage), then the per-bucket rectangle agg; oracle replays the
+      // identical fold as a generated CTE chain
+      Layout.hilbertStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bits = 16, bucketShift = 20)
+        .orderBy(col("h_bucket"))),
+    "q_curve_locality" -> ((s, dir) =>
+      // measured Morton-vs-Hilbert locality on real keys: per curve the
+      // bucket count + summed/max bounding-rectangle areas — the evidence
+      // for choosing a clustering key instead of taking the Hilbert
+      // guarantee on faith
+      Layout.curveLocality(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bits = 16, numFiles = 32)
+        .orderBy(col("curve"))),
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
@@ -3384,6 +3400,48 @@ object SparkEntry {
          |       MIN(x) AS x_min, MAX(x) AS x_max,
          |       MIN(y) AS y_min, MAX(y) AS y_max
          |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+    "q_hilbert_layout" ->
+      // the generated per-bit CTE chain IS the operator's arithmetic
+      // (hilbertSqlCtes — spec-pinned value-identical by running the
+      // chain in Spark itself)
+      s"""WITH base AS (SELECT l_orderkey AS x, l_partkey AS y FROM lineitem),
+         |${graft.operators.Layout.hilbertSqlCtes("base", "x", "y", 16, keep = Seq("x", "y"))}
+         |SELECT hkey >> 20 AS h_bucket, COUNT(*) AS n_rows,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM hfin GROUP BY 1 ORDER BY h_bucket""".stripMargin,
+    "q_curve_locality" ->
+      // equal-count range files (rank·32 // n) — the oracle affords ONE
+      // global window; the operator composes the same total order from
+      // sharded ranks + offsets (identical (ckey, x, y) tiebreak)
+      s"""WITH base AS (SELECT l_orderkey AS x, l_partkey AS y FROM lineitem),
+         |${graft.operators.Layout.hilbertSqlCtes("base", "x", "y", 16, keep = Seq("x", "y"))},
+         |hr AS (SELECT x, y,
+         |              CAST(row_number() OVER (ORDER BY hkey, x, y) AS BIGINT) - 1 AS rn,
+         |              CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |       FROM hfin),
+         |hst AS (SELECT (rn * 32) // n AS file,
+         |               MIN(x) AS x_min, MAX(x) AS x_max,
+         |               MIN(y) AS y_min, MAX(y) AS y_max
+         |        FROM hr GROUP BY 1),
+         |z AS (SELECT ${graft.operators.Layout.zOrderSql("x", "y", 16)} AS ckey, x, y
+         |      FROM base),
+         |zr AS (SELECT x, y,
+         |              CAST(row_number() OVER (ORDER BY ckey, x, y) AS BIGINT) - 1 AS rn,
+         |              CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |       FROM z),
+         |zst AS (SELECT (rn * 32) // n AS file,
+         |               MIN(x) AS x_min, MAX(x) AS x_max,
+         |               MIN(y) AS y_min, MAX(y) AS y_max
+         |        FROM zr GROUP BY 1),
+         |ha AS (SELECT (x_max - x_min + 1) * (y_max - y_min + 1) AS area FROM hst),
+         |za AS (SELECT (x_max - x_min + 1) * (y_max - y_min + 1) AS area FROM zst)
+         |SELECT 'morton' AS curve, COUNT(*) AS n_files,
+         |       CAST(SUM(area) AS BIGINT) AS sum_area, MAX(area) AS max_area
+         |FROM za
+         |UNION ALL
+         |SELECT 'hilbert', COUNT(*), CAST(SUM(area) AS BIGINT), MAX(area) FROM ha
+         |ORDER BY curve""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

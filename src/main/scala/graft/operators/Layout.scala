@@ -63,6 +63,139 @@ object Layout {
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
 
+  /** Hilbert-curve key: map non-negative (x, y) (each < 2^bits) to their
+    * distance along the order-`bits` Hilbert curve — the space-filling
+    * curve with strictly better LOCALITY than Morton (consecutive curve
+    * positions are always grid neighbors, so clustered-write buckets get
+    * tighter (x, y) rectangles and zone-map skipping prunes more files;
+    * `q_curve_locality` measures the gap on real keys rather than
+    * asserting it). Backed by the codegen'd
+    * [[graft.functions.HilbertIndex]] expression — a `bits`-iteration
+    * primitive loop inside whole-stage codegen (the Column-composition
+    * alternatives are either an exponential expression tree or a
+    * bits-deep projection chain CollapseProject can re-expand into one —
+    * a measured planner hang). Row-local, zero shuffle, like
+    * [[zOrderKey]]. Callers guarantee non-negative inputs.
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column =
+    graft.functions.HilbertIndex(x.cast("long"), y.cast("long"), bits)
+
+  /** The identical Hilbert fold as a SQL CTE chain (both engines parse
+    * it), generated from the same parameters — the [[zOrderSql]]
+    * discipline, one CTE per bit round. `h0` selects from `from` and
+    * carries `keep` columns through untouched; the final CTE
+    * `h<bits>` exposes them plus `hkey`. Spec-pinned value-identical to
+    * [[hilbertKey]] by running the chain in Spark itself.
+    */
+  def hilbertSqlCtes(from: String, xCol: String, yCol: String, bits: Int,
+      keep: Seq[String]): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val keepSel = keep.map(k => s"$k, ").mkString
+    val sb = new StringBuilder
+    sb ++= s"h0 AS (SELECT $keepSel$xCol AS hx, $yCol AS hy, CAST(0 AS BIGINT) AS hd FROM $from)"
+    var k = 0
+    for (r <- (bits - 1) to 0 by -1) {
+      val s = 1L << r
+      sb ++= s""",
+                |h${k + 1} AS (
+                |  SELECT $keepSel
+                |    hd + ${s * s} * (3*((hx >> $r) & 1) + ((hy >> $r) & 1)
+                |         - 2*((hx >> $r) & 1)*((hy >> $r) & 1)) AS hd,
+                |    CASE WHEN ((hy >> $r) & 1) = 1 THEN hx & ${s - 1}
+                |         WHEN ((hx >> $r) & 1) = 1 THEN ${s - 1} - (hy & ${s - 1})
+                |         ELSE hy & ${s - 1} END AS hx,
+                |    CASE WHEN ((hy >> $r) & 1) = 1 THEN hy & ${s - 1}
+                |         WHEN ((hx >> $r) & 1) = 1 THEN ${s - 1} - (hx & ${s - 1})
+                |         ELSE hx & ${s - 1} END AS hy
+                |  FROM h$k)""".stripMargin
+      k += 1
+    }
+    sb ++= s""",
+              |hfin AS (SELECT ${keepSel}hd AS hkey FROM h$k)""".stripMargin
+    sb.toString
+  }
+
+  /** [[zOrderStats]] for the Hilbert key: per-bucket rectangles of a
+    * would-be Hilbert-clustered write — the apples-to-apples zone-map
+    * audit against the Morton layout.
+    */
+  def hilbertStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, bucketShift: Int = 24): DataFrame =
+    df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .withColumn("hkey", hilbertKey(col("x"), col("y"), bits))
+      .groupBy(shiftright(col("hkey"), bucketShift).as("h_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+
+  /** Equal-count range-file assignment along a curve key — the file
+    * boundaries a `repartitionByRange(numFiles).write` actually produces,
+    * made DETERMINISTIC: global rank by (ckey, x, y) via the sharded-rank
+    * composition ([[graft.operators.Splits.globalOrder]]'s discipline —
+    * curve-key HIGH BITS are range-aligned, so sharding on them preserves
+    * order), then file = rank·numFiles div n. One hash exchange on the
+    * shard; the offsets/total frames are ≤ 2^(bits·2−shardShift)+1 rows.
+    */
+  private def rangeFileId(keyed: DataFrame, numFiles: Int,
+      shardShift: Int): DataFrame = {
+    val wRank = Window.partitionBy(col("_shard"))
+      .orderBy(col("ckey"), col("x"), col("y"))
+    val wOff = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sharded = keyed.withColumn("_shard", shiftright(col("ckey"), shardShift))
+    val offsets = sharded.groupBy(col("_shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("_off", coalesce(sum(col("n_rows")).over(wOff), lit(0L)))
+    val total = offsets.agg(sum(col("n_rows")).as("n_total"))
+    sharded
+      .withColumn("_lr", row_number().over(wRank).cast("long") - 1L)
+      .join(broadcast(offsets.select(col("_shard"), col("_off"))), Seq("_shard"))
+      .crossJoin(broadcast(total))
+      .withColumn("file", expr(s"((_off + _lr) * ${numFiles}L) div n_total"))
+      .drop("_shard", "_lr", "_off", "n_total")
+  }
+
+  /** Measured curve-locality comparison — the evidence for CHOOSING a
+    * clustering key: split the same (x, y) population into `numFiles`
+    * equal-count RANGE files along its Morton key and along its Hilbert
+    * key (the boundaries a clustered write actually produces — bit-
+    * aligned power-of-4 buckets are perfect squares under BOTH curves
+    * and cannot discriminate), and emit per curve the file count plus
+    * the summed and maximal bounding-rectangle areas (exact integers).
+    * Smaller areas = tighter zone maps = more files skipped by a
+    * two-column predicate; Hilbert's adjacency guarantee (consecutive
+    * curve positions are grid neighbors) is what keeps an unaligned file
+    * span compact where a Morton span straddling a quadrant seam goes
+    * wide — measured here rather than taken on faith.
+    *
+    * Determinism: rows tie-broken by (ckey, x, y); rows with identical
+    * triples are interchangeable, so every engine produces the same
+    * per-file rectangles.
+    */
+  def curveLocality(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, numFiles: Int = 32, shardShift: Int = 24): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    def summarize(keyed: DataFrame, curve: String): DataFrame =
+      rangeFileId(keyed, numFiles, shardShift)
+        .groupBy(col("file"))
+        .agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .select(
+          ((col("x_max") - col("x_min") + 1L) *
+            (col("y_max") - col("y_min") + 1L)).as("area"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("area")).as("sum_area"),
+          max(col("area")).as("max_area"))
+        .select(lit(curve).as("curve"), col("n_files"),
+          col("sum_area"), col("max_area"))
+    val z = base.withColumn("ckey", zOrderKey(col("x"), col("y"), bits))
+    val h = base.withColumn("ckey", hilbertKey(col("x"), col("y"), bits))
+    summarize(z, "morton").unionAll(summarize(h, "hilbert"))
+  }
+
   /** Small-file compaction plan: group a file inventory (one row per
     * file: `prefixCol` directory/partition, `keyCol` sort key unique
     * within its prefix, `sizeCol` bytes) into target-sized output bins,
@@ -118,4 +251,13 @@ object Layout {
     keyed.repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
   }
+
+  /** [[clusterByZ]] on the Hilbert key — same one-range-exchange write
+    * plan, tighter per-file rectangles (measured by [[curveLocality]]).
+    */
+  def clusterByH(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, numFiles: Int = 32): DataFrame =
+    df.withColumn("hkey", hilbertKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("hkey"))
+      .sortWithinPartitions(col("hkey"))
 }

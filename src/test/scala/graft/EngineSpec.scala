@@ -4324,6 +4324,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("hilbertKey: grid bijection, consecutive positions adjacent, SQL chain identical") {
+    import spark.implicits._
+    // full 8×8 grid at bits=3: the key must be a bijection onto 0..63 and
+    // consecutive curve positions must be GRID NEIGHBORS (|dx|+|dy| = 1) —
+    // the locality property itself, convention-free
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keyed = grid.withColumn("hkey", Layout.hilbertKey(col("x"), col("y"), 3))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    assert(keyed.map(_._1).toSeq == (0L until 64L), "hilbert key must biject onto 0..4^bits")
+    keyed.sliding(2).foreach { case Array((_, (x1, y1)), (d, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve positions ${d - 1},$d map to non-adjacent cells ($x1,$y1)/($x2,$y2)")
+    }
+    // the generated SQL chain (the oracle's arithmetic) is value-identical
+    // when run by Spark itself
+    grid.createOrReplaceTempView("hilbert_grid")
+    val viaSql = spark.sql(
+      s"""WITH ${Layout.hilbertSqlCtes("hilbert_grid", "x", "y", 3, keep = Seq("x", "y"))}
+         |SELECT x, y, hkey FROM hfin""".stripMargin)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(keyed.forall { case (d, xy) => viaSql(xy) == d },
+      "hilbertSqlCtes must reproduce the expression exactly")
+  }
+
   test("linearTrend: daily fold, exact slope, signed, NULL on one active day") {
     import spark.implicits._
     val day = 86400000000L

@@ -2571,6 +2571,28 @@ object SparkEntry {
       Multimodal.cdcChunksClamped(payloads, minChunk = 24, maxChunk = 64)
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    "split_dedup_reweighted" -> ((s, dir) => {
+      // the dedup → reweight → sample pipeline as one verified row: LSH
+      // pair graph → components (singletons label themselves) → one
+      // REPRESENTATIVE per cluster carrying weight = min(cluster_size, 16)
+      // → Efraimidis–Spirakis weighted draw. Training on the sample
+      // preserves the pre-dedup distribution in expectation while storing
+      // each text once — the reweight step real dedup pipelines need and
+      // usually skip.
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.components(
+        Dedup.minhashLshPairs(docs, n = 3, tau = 0.6))
+      val clusters = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      Splits.weightedSample(clusters, "doc_id",
+          least(col("cluster_size"), lit(16L)), k = 100, maxWeight = 16)
+        .select(col("doc_id"), col("cluster_size"), col("weight"),
+          col("sample_key"))
+        .orderBy(col("sample_key"), col("doc_id"))
+    }),
     "split_weighted_sample" -> ((s, dir) =>
       // quality-weighted corpus cut: integer-exact Efraimidis–Spirakis
       // (row's key = min of w md5 draws, the k smallest keys win); the
@@ -3314,7 +3336,7 @@ object SparkEntry {
     * shared by `dedup_components` and `dedup_components_incremental` (the
     * incremental merge's value contract is exact equality with this).
     */
-  private lazy val componentsOracle =
+  private lazy val componentsOracleCtes =
     shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """,qp AS (
         |  SELECT p.a, p.b FROM p
@@ -3324,7 +3346,11 @@ object SparkEntry {
         |reach(node, lbl) AS (
         |  SELECT DISTINCT src, src FROM e
         |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)""".stripMargin
+
+  private lazy val componentsOracle =
+    componentsOracleCtes +
+      """
         |SELECT node AS doc_id, MIN(lbl) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
@@ -6543,6 +6569,24 @@ object SparkEntry {
          |                     CAST(end_pos - start_pos + 1 AS INT))) AS chunk_md5
          |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin
     },
+    "split_dedup_reweighted" ->
+      // reachability labels (shared componentsOracleCtes), singletons
+      // self-labeled via the documents left join, then the identical
+      // min-of-w-md5-draws key over capped cluster sizes
+      (componentsOracleCtes +
+      s""",lbl AS (SELECT node AS doc_id, MIN(lbl) AS component
+         |         FROM reach GROUP BY node),
+         |alld AS (SELECT COALESCE(l.component, d.doc_id) AS doc_id
+         |         FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM alld GROUP BY 1),
+         |wk AS (SELECT doc_id, cluster_size,
+         |              CAST(LEAST(cluster_size, 16) AS BIGINT) AS weight,
+         |              ${graft.operators.Splits.weightedKeySql(
+                           "doc_id", "LEAST(cluster_size, 16)")} AS sample_key
+         |       FROM cl)
+         |SELECT doc_id, cluster_size, weight, sample_key FROM wk
+         |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin),
     "split_weighted_sample" ->
       // re-draws the identical min-of-w-md5-draws key and takes the same
       // global top-100 — pure string/integer math, engine-portable

@@ -553,6 +553,16 @@ object Temporal {
     */
   def linearTrend(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts_us", valCol: String = "value",
+      rebaseDay: Long = 0L): DataFrame =
+    trendFromDaily(dailyTotals(events, keyCol, tsCol, valCol, rebaseDay), keyCol)
+
+  /** [[linearTrend]]'s first half: per-(key, day) totals — ADDITIVE
+    * across any batching, which is what lets
+    * [[graft.streaming.TrendStream]] fold an unbounded feed into the
+    * identical regression input.
+    */
+  def dailyTotals(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", valCol: String = "value",
       rebaseDay: Long = 0L): DataFrame = {
     val dayUs = 86400L * 1000000L
     events
@@ -561,6 +571,15 @@ object Temporal {
         col(valCol).cast("long").as("v"))
       .groupBy(col(keyCol), col("x"))
       .agg(sum(col("v")).as("y"))
+  }
+
+  /** [[linearTrend]]'s second half: the five integer regression moments
+    * and the slope over a (key, x, y) daily-totals frame — shared by the
+    * batch operator and the streaming twin's read path so the algebra
+    * cannot drift.
+    */
+  def trendFromDaily(daily: DataFrame, keyCol: String): DataFrame = {
+    daily
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_days"),

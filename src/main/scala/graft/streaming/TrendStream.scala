@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Temporal
+
+/** Streaming usage-growth monitor — the unbounded twin of
+  * [[Temporal.linearTrend]]: an event stream folds into running
+  * per-(key, day) totals, and at ANY point the served row per key is the
+  * exact least-squares slope of its daily totals — the live capacity
+  * dashboard over the reference's usage domain (which address is growing
+  * fast enough to page someone, as of now).
+  *
+  * Reference scope note: the reference engine has no streaming surface
+  * (`handler.go:77-92` is a fixed refresh loop); extension-mandate
+  * operator.
+  *
+  * Why this shape: daily totals are ADDITIVE across any batching (the
+  * [[CmsStream]]/[[DriftStream]] argument), and the state table is
+  * bounded by keys × active-days — the regression input, not the event
+  * stream. Per batch: one map-side-combined [[Temporal.dailyTotals]]
+  * pass, merged into the lineage-cut running table (union + re-group,
+  * the [[DriftStream.DriftStore]] swap discipline). The served trend is
+  * DERIVED at read time via [[Temporal.trendFromDaily]] — the SAME
+  * moments-and-slope code as the batch operator, so the two cannot
+  * drift; EngineSpec pins `current` ≡ `linearTrend(all delivered
+  * events)` row-for-row under arbitrary batch splits.
+  *
+  * Exactly-once accounting: count merge is not idempotent, so the
+  * monotone batch-id guard drops re-deliveries
+  * ([[CmsStream.SketchStore]] discipline).
+  */
+object TrendStream {
+
+  /** Running per-(key, day) totals; trends derived at read time. */
+  final class TrendStore(spark: SparkSession, keyCol: String = "user_id",
+      tsCol: String = "ts_us", valCol: String = "value",
+      rebaseDay: Long = 0L) {
+    import spark.implicits._
+
+    private def materialize(df: DataFrame): DataFrame = {
+      val cut = spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count() // force now: a failed merge must fail BEFORE the swap
+      cut
+    }
+
+    private val runRef = new AtomicReference[DataFrame](materialize(
+      Seq.empty[(Long, Long, Long)].toDF(keyCol, "x", "y")))
+    @volatile private var lastBatch = -1L
+
+    /** Fold one micro-batch's daily totals in; replays drop on the
+      * guard.
+      */
+    def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
+      if (batchId <= lastBatch) return false
+      val merged = runRef.get()
+        .unionAll(Temporal.dailyTotals(batch, keyCol, tsCol, valCol, rebaseDay))
+        .groupBy(col(keyCol), col("x"))
+        .agg(sum(col("y")).as("y"))
+      val next = materialize(merged)
+      val old = runRef.get()
+      runRef.set(next)
+      lastBatch = batchId
+      old.unpersist()
+      true
+    }
+
+    /** Per-key trend of everything delivered so far — exactly
+      * [[Temporal.linearTrend]] over the concatenated stream.
+      */
+    def current: DataFrame = Temporal.trendFromDaily(runRef.get(), keyCol)
+  }
+
+  /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
+  def sink(store: TrendStore): (DataFrame, Long) => Unit =
+    (batch, id) => { store.merge(batch, id); () }
+
+  /** Wire a streaming event source into `store` and start the query;
+    * callers read `store.current` at any time.
+    */
+  def run(events: DataFrame, store: TrendStore, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(store))
+      .outputMode("update")
+      .start()
+}

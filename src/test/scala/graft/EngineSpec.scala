@@ -4324,6 +4324,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
+  test("trend stream: folded daily totals serve the batch operator's exact trend, any split") {
+    import spark.implicits._
+    import graft.streaming.TrendStream
+    val day = 86400000000L
+    // same (key, day) appears in DIFFERENT batches → the fold must add,
+    // not overwrite; key 2 stays single-day (NULL slope) throughout
+    val all = Seq(
+      (1L, 0L * day + 5L, 4L), (1L, 1L * day + 1L, 20L),
+      (1L, 0L * day + 9L, 6L), (1L, 2L * day + 1L, 30L),
+      (2L, 0L * day + 1L, 7L), (2L, 0L * day + 2L, 8L),
+      (3L, 0L * day + 1L, 30L), (3L, 1L * day + 1L, 20L))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    val expect = key(Temporal.linearTrend(all.toDF("user_id", "ts_us", "value")))
+    for (nBatches <- Seq(1, 4)) {
+      val store = new TrendStream.TrendStore(spark)
+      val per = math.ceil(all.size.toDouble / nBatches).toInt
+      all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("user_id", "ts_us", "value"), i.toLong)
+      }
+      assert(key(store.current) == expect,
+        s"nBatches=$nBatches: ${key(store.current)} vs $expect")
+      // replay guard: re-delivering a folded batch must not move totals
+      assert(!store.merge(all.toDF("user_id", "ts_us", "value"), 0L))
+      assert(key(store.current) == expect)
+    }
+  }
+
   test("hilbertKey: grid bijection, consecutive positions adjacent, SQL chain identical") {
     import spark.implicits._
     // full 8×8 grid at bits=3: the key must be a bijection onto 0..63 and

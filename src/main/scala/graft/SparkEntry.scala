@@ -950,6 +950,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_recall_eval_pq" -> ((s, dir) => {
+      // completes the recall suite (ivf/lsh/matryoshka/rp/pq): per-query
+      // recall of the IVF-PQ serving path against the exact-L2 brute
+      // baseline — L2, not cosine, because that is the metric PQ serves
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfPqTopK(emb, q, k = 3, pqIters = 2)
+      Similarity.recallAt(approx, Similarity.bruteForceTopKL2(emb, q, k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_recall_eval" -> ((s, dir) => {
       // the ANN TUNING measurement as a first-class operator: per-query
       // recall of the trained-IVF serving path against exact brute force —
@@ -4153,6 +4163,10 @@ object SparkEntry {
         k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
         pqIters = 2, nprobe = 2, rerank = 50, maxQueryId = 10L,
         trainFrac = 0.5)),
+    "ann_recall_eval_pq" -> (embCte +
+      Similarity.ivfPqRecallOracleSql(
+        k = 3, kCoarse = 4, coarseIters = 2, m = 8, ksub = 8, dsub = 8,
+        pqIters = 2, nprobe = 2, rerank = 50, maxQueryId = 10L)),
     // all dots (final assignment AND pair scan) are ORDERED sequential
     // folds (list_reduce over i-ordered lists), mirroring the Spark side's
     // left-assoc ArrayDotProduct / NearestCentroidCells fold bit-for-bit —

@@ -68,6 +68,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact L2 top-k — the metric-matched brute baseline for the IVF-PQ
+    * family ([[ivfPqTopK]] serves L2 distances, so a cosine baseline
+    * would mis-score its recall). Same θ-join shape and same 100%-recall
+    * oracle-baseline role as [[bruteForceTopK]]; the identical
+    * left-assoc `aggregate(zip_with(...))` fold and 6-dp fencing as the
+    * PQ refine stage, so ties break the same way on both sides.
+    */
+  def bruteForceTopKL2(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val n = prepared(emb, idCol, embCol).select(col("id"), col("v"))
+    val q = prepared(queries, idCol, embCol)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    q.join(n, col("query_id") =!= col("id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        (round(
+          aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t), 6) + lit(0.0)).as("l2_dist"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("l2_dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Collect the (small by contract) hyperplane table to the driver once —
     * note this is EAGER: building a bucketed plan executes the (tiny)
     * planes query immediately. `pv` may be array<float> or array<double>;
@@ -1254,7 +1280,48 @@ object Similarity {
   def ivfPqOracleSql(
       k: Int, kCoarse: Int, coarseIters: Int, m: Int, ksub: Int, dsub: Int,
       pqIters: Int, nprobe: Int, rerank: Int, maxQueryId: Long,
-      trainFrac: Double = 1.0): String = {
+      trainFrac: Double = 1.0): String =
+    ivfPqServeSql(kCoarse, coarseIters, m, ksub, dsub, pqIters, nprobe,
+      rerank, maxQueryId, trainFrac) +
+      s"""
+         |SELECT query_id, neighbor_id, l2_dist, rnk FROM fin
+         |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** The serving chain with a RECALL tail instead of the top-k select:
+    * exact-L2 brute ranking (the metric-matched baseline — PQ serves L2,
+    * so cosine brute would mis-score it) + the hit join; the oracle for
+    * `ann_recall_eval_pq`.
+    */
+  def ivfPqRecallOracleSql(
+      k: Int, kCoarse: Int, coarseIters: Int, m: Int, ksub: Int, dsub: Int,
+      pqIters: Int, nprobe: Int, rerank: Int, maxQueryId: Long,
+      trainFrac: Double = 1.0): String =
+    ivfPqServeSql(kCoarse, coarseIters, m, ksub, dsub, pqIters, nprobe,
+      rerank, maxQueryId, trainFrac) +
+      s""",
+         |bd AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         list_reduce(list((q.v-n.v)*(q.v-n.v) ORDER BY q.i), (x,y) -> x+y) AS dist
+         |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<$maxQueryId AND q.vec_id<>n.vec_id
+         |  GROUP BY 1,2),
+         |br AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ROUND(dist,6)+0.0, neighbor_id) AS rnk
+         |  FROM bd)
+         |SELECT e.query_id, COUNT(*) AS k_exact,
+         |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS recall
+         |FROM (SELECT query_id, neighbor_id FROM br WHERE rnk <= $k) e
+         |LEFT JOIN (SELECT query_id, neighbor_id FROM fin WHERE rnk <= $k) a
+         |       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+
+  private def ivfPqServeSql(
+      kCoarse: Int, coarseIters: Int, m: Int, ksub: Int, dsub: Int,
+      pqIters: Int, nprobe: Int, rerank: Int, maxQueryId: Long,
+      trainFrac: Double): String = {
     val cl = s"c$coarseIters"
     val cnl = s"cn$coarseIters"
     val trainSrc = if (trainFrac >= 1.0) "resid" else "residT"
@@ -1375,9 +1442,7 @@ object Similarity {
         |  SELECT query_id, neighbor_id, ROUND(dist,6)+0.0 AS l2_dist,
         |         CAST(row_number() OVER (PARTITION BY query_id
         |           ORDER BY ROUND(dist,6)+0.0, neighbor_id) AS BIGINT) AS rnk
-        |  FROM ex)
-        |SELECT query_id, neighbor_id, l2_dist, rnk FROM fin
-        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+        |  FROM ex)""".stripMargin
   }
 
   /** ANN quality evaluation — per-query recall of an approximate top-k

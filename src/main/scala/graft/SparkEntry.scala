@@ -2726,6 +2726,11 @@ object SparkEntry {
           maxBulletLinePct = 40, minAlphaWordPct = 94)
         .orderBy(col("doc_id"))
     }),
+    "text_source_concentration" -> ((s, dir) =>
+      // the datasheet concentration row: top-1/top-5 source shares + HHI
+      // in exact ppm integers — catches the three-domain "web-scale"
+      // corpus before it skews every downstream audit
+      Hygiene.sourceConcentration(t(s, dir, "documents"))),
     "text_filter_kappa" -> ((s, dir) => {
       // filter-swap calibration: Cohen's kappa between the Gopher and C4
       // verdicts over the same corpus (each under its own synthesized
@@ -6692,6 +6697,19 @@ object SparkEntry {
          |       n_ellipsis_lines, n_alpha_words, stop_hits,
          |       $gopherKeepSql AS keep
          |FROM c ORDER BY doc_id""".stripMargin),
+    "text_source_concentration" ->
+      // identical integral-div shares and HHI over the bounded counts
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_sources FROM c),
+        |r AS (SELECT c.n, (c.n * 1000000) // t.n_docs AS share_ppm,
+        |             row_number() OVER (ORDER BY c.n DESC, c.source) AS rn
+        |      FROM c, t)
+        |SELECT t.n_docs, t.n_sources,
+        |       CAST((SUM(CASE WHEN rn = 1 THEN n ELSE 0 END) * 1000000) // t.n_docs AS BIGINT) AS top1_ppm,
+        |       CAST((SUM(CASE WHEN rn <= 5 THEN n ELSE 0 END) * 1000000) // t.n_docs AS BIGINT) AS topk_ppm,
+        |       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM r, t GROUP BY t.n_docs, t.n_sources""".stripMargin,
     "text_filter_kappa" ->
       // the two filter chains verbatim (shared CTE vals — cannot drift),
       // verdicts joined per doc, then the exact-integer kappa: num/den

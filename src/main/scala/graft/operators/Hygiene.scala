@@ -526,6 +526,42 @@ object Hygiene {
       sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed_rows"))
   }
 
+  /** Source-concentration audit — the datasheet number that catches a
+    * "web-scale" corpus that is secretly three domains: per-source doc
+    * shares, top-1/top-k shares, and the Herfindahl–Hirschman index
+    * (Σ share², the standard concentration measure), all in exact ppm
+    * integers. High HHI ⇒ dedup/contamination/bias findings from the big
+    * sources dominate every downstream metric.
+    *
+    * Scale shape: one map-side-combined count per source, then all
+    * arithmetic on the SOURCE-BOUNDED counts frame (cardinality =
+    * distinct sources by contract — the [[graft.streaming.DriftStream]]
+    * watched-column argument); the ranking window orders that bounded
+    * frame, never the corpus. Shares are integral `div`s; HHI sums
+    * share_ppm² then divides once — order-free integer arithmetic.
+    */
+  def sourceConcentration(docs: DataFrame, srcCol: String = "source",
+      topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_sources"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("(n * 1000000L) div n_docs"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n").desc, col(srcCol))))
+      .agg(
+        min(col("n_docs")).as("n_docs"),
+        min(col("n_sources")).as("n_sources"),
+        sum(when(col("rn") === 1, col("n")).otherwise(0L)).as("n_top1"),
+        sum(when(col("rn") <= topK, col("n")).otherwise(0L)).as("n_topk"),
+        sum(col("share_ppm") * col("share_ppm")).as("hsum"))
+      .select(col("n_docs"), col("n_sources"),
+        expr("(n_top1 * 1000000L) div n_docs").as("top1_ppm"),
+        expr("(n_topk * 1000000L) div n_docs").as("topk_ppm"),
+        expr("hsum div 1000000L").as("hhi_ppm"))
+  }
+
   /** Inter-filter agreement (Cohen's kappa) over two boolean verdict
     * columns — the calibration audit run before SWAPPING one quality
     * filter for another in a pipeline: raw agreement (the confusion

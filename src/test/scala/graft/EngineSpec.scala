@@ -4399,6 +4399,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", 2L, 0L, 1L, 50L, Some(-10000000L))))
   }
 
+  test("sourceConcentration: exact ppm shares and HHI on a skewed corpus") {
+    import spark.implicits._
+    // 8/1/1 split: top1 = 0.8, top5 covers all, HHI = 0.8² + 2·0.1² = 0.66
+    val docs = (Seq.fill(8)("a") ++ Seq("b", "c")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val r = Hygiene.sourceConcentration(docs).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (10L, 3L, 800000L, 1000000L, 660000L))
+  }
+
   test("agreementKappa: chance-corrected, signed, NULL on constant verdicts") {
     import spark.implicits._
     def kappa(rows: Seq[(Boolean, Boolean)]) =

@@ -1326,6 +1326,32 @@ object SparkEntry {
       Layout.compactionPlan(inv, targetBytes = 1000000L)
         .orderBy(col("prefix"), col("bin_id"))
     }),
+    "du_orphan_audit" -> ((s, dir) => {
+      // storage-reconciliation audit on the reference domain: usage rows
+      // whose address has no registered account (orphans — a storage
+      // leak) vs registered accounts with no usage (idle — candidate
+      // cleanup). Both directions as ONE full-outer aggregate join on
+      // the key — never two separate anti-join scans of the big side.
+      val usage = t(s, dir, "events")
+        .groupBy(col("user_id").as("addr"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(floor(col("value") * 100).cast("long")).as("bytes"))
+      val accounts = t(s, dir, "customer")
+        .select(col("c_custkey").as("addr")).distinct()
+        .withColumn("registered", lit(true))
+      usage.join(accounts, Seq("addr"), "full_outer")
+        .agg(
+          sum(when(col("registered").isNull, 1L).otherwise(0L)).as("n_orphan_addrs"),
+          sum(when(col("registered").isNull, col("bytes")).otherwise(0L)).as("orphan_bytes"),
+          sum(when(col("n_objects").isNull, 1L).otherwise(0L)).as("n_idle_accounts"),
+          sum(when(col("registered").isNotNull && col("n_objects").isNotNull, 1L)
+            .otherwise(0L)).as("n_active_accounts"))
+        .select(
+          coalesce(col("n_orphan_addrs"), lit(0L)).as("n_orphan_addrs"),
+          coalesce(col("orphan_bytes"), lit(0L)).as("orphan_bytes"),
+          coalesce(col("n_idle_accounts"), lit(0L)).as("n_idle_accounts"),
+          coalesce(col("n_active_accounts"), lit(0L)).as("n_active_accounts"))
+    }),
     "du_growth_forecast" -> ((s, dir) => {
       // capacity planning on the reference domain: per-address
       // least-squares slope of DAILY usage totals (micro-units/day) —
@@ -4553,6 +4579,18 @@ object SparkEntry {
         |       COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
         |       MIN(fkey) AS first_key, MAX(fkey) AS last_key
         |FROM c GROUP BY 1, 2 ORDER BY prefix, bin_id""".stripMargin,
+    "du_orphan_audit" ->
+      """WITH u AS (SELECT user_id AS addr, COUNT(*) AS n_objects,
+        |                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS bytes
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT c_custkey AS addr, TRUE AS registered FROM customer),
+        |j AS (SELECT u.addr AS uaddr, u.bytes, a.registered
+        |      FROM u FULL OUTER JOIN a USING (addr))
+        |SELECT CAST(COALESCE(SUM(CASE WHEN registered IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan_addrs,
+        |       CAST(COALESCE(SUM(CASE WHEN registered IS NULL THEN bytes ELSE 0 END), 0) AS BIGINT) AS orphan_bytes,
+        |       CAST(COALESCE(SUM(CASE WHEN uaddr IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_idle_accounts,
+        |       CAST(COALESCE(SUM(CASE WHEN registered IS NOT NULL AND uaddr IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_active_accounts
+        |FROM j""".stripMargin,
     "du_growth_forecast" ->
       // daily totals then the five integer regression moments; slope as
       // sign·(10⁶·|num| // den) — the identical truncation-toward-zero

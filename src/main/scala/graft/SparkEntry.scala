@@ -1235,6 +1235,22 @@ object SparkEntry {
           n = 3, minShared = 5L)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    "dedup_incremental_probe" -> ((s, dir) => {
+      // the daily-dedup economics as an artifact: build the persisted
+      // band/sets index on the BASE corpus (doc_id >= 50), then probe
+      // the delta (doc_id < 50) against it — only the delta is shingled;
+      // oracle = the exact-Jaccard batch pairs restricted to cross
+      // (delta, base) pairs, so probe ≡ full batch run is value-pinned.
+      // Per-process scratch path; build's overwrite resets the artifact
+      // each invocation so bench iterations cannot double-append.
+      val docs = t(s, dir, "documents")
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_dedup_index_${ProcessHandle.current().pid()}"
+      graft.sources.DedupIndex.build(docs.filter(col("doc_id") >= 50), path)
+      val idx = graft.sources.DedupIndex.load(s, path)
+      graft.sources.DedupIndex.probe(idx, docs.filter(col("doc_id") < 50))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "dedup_components" -> ((s, dir) =>
       // exact dup-cluster canonicalization: min-label propagation to a
       // fixpoint over the near-dup pair graph (LSH-generated pairs, proven
@@ -3968,6 +3984,16 @@ object SparkEntry {
         |WHERE CAST(p2.c AS DOUBLE)/(na.n+nb.n-p2.c) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
+    "dedup_incremental_probe" -> (shingleCte +
+      // the same exact-Jaccard pair universe, restricted to cross
+      // (delta < 50, base >= 50) pairs — canonical a < b makes the split
+      // predicate one-sided
+      """SELECT p.a AS doc_a, p.b AS doc_b,
+        |       CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) AS jaccard
+        |FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+        |WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6
+        |  AND p.a < 50 AND p.b >= 50
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_simhash" -> simhashOracle(0.6, 6),
     "dedup_simhash_recall" -> simhashRecallOracle(0.6, 6),
     // identical oracle by design: the collapse rewrite must never change

@@ -199,21 +199,62 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, tau: Double = 0.6, bands: Int = 32, rows: Int = 2): DataFrame = {
-    val numHashes = bands * rows
-    val shingled = sh(docs, idCol, textCol, n)
-    val sig = shingled
-      .groupBy(col("id"))
-      .agg(graft.functions.MinHashSketch(col("h"), numHashes).as("sig"))
-    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val (banded, sets) = bandedSignatures(docs, idCol, textCol, n, bands, rows)
     val cand = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
-    verifyJaccard(shingled, cand, tau)
+    jaccardOverSets(cand, sets, sets, tau)
   }
+
+  /** (id, band, sig) banded minhash signatures and (id, hs) sorted
+    * shingle-hash sets — [[minhashLshPairs]]'s two internal tables,
+    * exposed for [[graft.sources.DedupIndex]] to persist: probing an
+    * index built from these emits exactly the pairs a batch run over the
+    * union corpus would (same shingles, same xxhash64/MinHash machinery,
+    * same band slicing). The sets frame is persisted and registered in
+    * the shared pool (both verify legs read it).
+    */
+  private[graft] def bandedSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rows: Int): (DataFrame, DataFrame) = {
+    val shingled = sh(docs, idCol, textCol, n)
+    val sig = shingled
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashSketch(col("h"), bands * rows).as("sig"))
+    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val sets = shingled.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(sets)
+    (banded, sets)
+  }
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidates over two
+    * precomputed (id, hs) sets frames — the cross-corpus form of the
+    * [[minhashLshPairs]] verify stage (doc_a resolved against `setsA`,
+    * doc_b against `setsB`); candidate-bounded joins, sorted-array
+    * intersection counts, identical jaccard arithmetic.
+    */
+  private[graft] def jaccardOverSets(
+      cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      tau: Double): DataFrame =
+    cand
+      .join(setsA.select(col("id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(setsB.select(col("id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        graft.functions.SortedArrayIntersectCount(col("ha"), col("hb")).as("common"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
 
   /** 64-bit SimHash per doc (the fingerprint width of Manku/Jain/Sarma,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07): bit 2k is the

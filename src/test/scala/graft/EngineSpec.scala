@@ -3857,6 +3857,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.corpus.count() == emb.count())
   }
 
+  test("DedupIndex: probe equals batch cross pairs; append-grown index identical") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val delta = docs.filter(col("doc_id") < 20)
+    val dir = Files.createTempDirectory("dedupindex").toString
+    graft.sources.DedupIndex.build(docs.filter(col("doc_id") >= 20), dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probed = pairs(graft.sources.DedupIndex.probe(
+      graft.sources.DedupIndex.load(spark, dir), delta))
+    // the reference semantics: the full batch run's cross pairs
+    val full = pairs(Dedup.minhashLshPairs(docs)
+      .filter(col("doc_a") < 20 && col("doc_b") >= 20))
+    assert(probed == full, s"probe must equal batch cross pairs: $probed vs $full")
+    assert(full.nonEmpty, "fixture must exercise cross pairs")
+    // growth path: base built in two installments probes identically
+    val dir2 = Files.createTempDirectory("dedupindex2").toString
+    graft.sources.DedupIndex.build(docs.filter(col("doc_id") >= 35), dir2)
+    graft.sources.DedupIndex.append(spark, dir2,
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 35))
+    assert(pairs(graft.sources.DedupIndex.probe(
+      graft.sources.DedupIndex.load(spark, dir2), delta)) == full,
+      "append-grown index must probe identically to a one-shot build")
+  }
+
   test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindexpq").toString

@@ -554,6 +554,30 @@ object ScaleSmoke {
         f"gram=${(t1 - t0) / 1e9}%.1f s explode=${(t2 - t1) / 1e9}%.1f s")
     }
 
+    // daily-dedup economics: probing a 45k-doc persisted index with a 5k
+    // delta vs re-running the full batch pairs over all 50k — the delta
+    // path must win by roughly corpus/delta on the shingle+sign stages
+    // (identical output on the cross pairs is spec-pinned; this prices it)
+    if (enabled("dedup index probe")) {
+      val docs = spark.read.parquet(s"$dir/documents")
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idxDir = s"$dir/dedup_index"
+      graft.sources.DedupIndex.build(base, idxDir)
+      graft.operators.Dedup.uncacheAll()
+      val t0 = System.nanoTime()
+      val idx = graft.sources.DedupIndex.load(spark, idxDir)
+      val nProbe = graft.sources.DedupIndex.probe(idx, delta).count()
+      val t1 = System.nanoTime()
+      graft.operators.Dedup.uncacheAll()
+      val nFull = graft.operators.Dedup.minhashLshPairs(docs)
+        .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0)).count()
+      val t2 = System.nanoTime()
+      graft.operators.Dedup.uncacheAll()
+      println(f"[scale-smoke] dedup index probe (45k+5k): cross=$nProbe full=$nFull " +
+        f"equal=${nProbe == nFull} probe=${(t1 - t0) / 1e9}%.1f s recompute=${(t2 - t1) / 1e9}%.1f s")
+    }
+
     // compaction planning at lake shape: 10M files over 5k prefixes
     // (2k files/prefix — directory fan-out, not corpus scale, bounds the
     // per-prefix window sort). One prefix exchange + window + agg; the

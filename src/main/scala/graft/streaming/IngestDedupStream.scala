@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Dedup
+import graft.sources.DedupIndex
+
+/** Self-maintaining ingest dedup — the production daily-ingest loop as a
+  * streaming twin: each micro-batch of new documents (a) PROBES the
+  * persisted [[DedupIndex]] for near-dup pairs against everything
+  * ingested before it, (b) runs the batch-local pair pass for duplicates
+  * WITHIN the batch, then (c) APPENDS itself to the index. Only the
+  * batch is ever shingled; the corpus side stays pre-signed parquet.
+  *
+  * Reference scope note: the reference engine has no streaming surface
+  * (`handler.go:77-92` is a fixed refresh loop); extension-mandate
+  * operator.
+  *
+  * Batch-split invariance (the spec's contract): every qualifying pair
+  * (a, b) of the union corpus is either intra-batch (caught by the local
+  * pass of the batch carrying both) or cross-batch (caught when the
+  * later doc's batch probes an index already containing the earlier
+  * doc) — so the accumulated pair set equals
+  * [[Dedup.minhashLshPairs]] over ALL delivered documents, for ANY
+  * batching. Ids must be unique across the stream (the usual ingest
+  * contract); pairs are canonicalized to doc_a < doc_b.
+  *
+  * Exactly-once: the index append is not idempotent, so the monotone
+  * batch-id guard drops re-deliveries ([[CmsStream.SketchStore]]
+  * discipline) BEFORE any artifact write. Cache note: each merge
+  * releases the shared shingle-cache pool after materializing its pairs
+  * (the store assumes single-tenant use of [[Dedup]]'s pool during a
+  * merge — concurrent batch queries stay correct, they just lose a
+  * persist hint).
+  */
+object IngestDedupStream {
+
+  /** Accumulated near-dup pairs + the growing on-disk index at `dir`. */
+  final class IngestStore(spark: SparkSession, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6, bands: Int = 32, rows: Int = 2) {
+    import spark.implicits._
+
+    private def materialize(df: DataFrame): DataFrame = {
+      val cut = spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cut.count() // force now: a failed merge must fail BEFORE the swap
+      cut
+    }
+
+    private val pairsRef = new AtomicReference[DataFrame](materialize(
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")))
+    @volatile private var lastBatch = -1L
+    @volatile private var indexed = false
+
+    /** Near-dup pairs among everything delivered so far — spec-pinned
+      * ≡ [[Dedup.minhashLshPairs]] over the concatenated stream.
+      */
+    def pairs: DataFrame = pairsRef.get()
+
+    /** Fold one micro-batch in; replays drop on the guard. */
+    def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
+      if (batchId <= lastBatch) return false
+      val within = Dedup.minhashLshPairs(batch, idCol, textCol, n, tau, bands, rows)
+      val cross =
+        if (!indexed) within.limit(0)
+        else {
+          val raw = DedupIndex.probe(DedupIndex.load(spark, dir), batch,
+            tau, idCol, textCol, n, bands, rows)
+          // probe orients (new, indexed); canonicalize to doc_a < doc_b
+          raw.select(
+            least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("jaccard"))
+        }
+      val next = materialize(pairsRef.get().unionAll(within).unionAll(cross))
+      // grow the artifact only after the pair fold is safely materialized:
+      // a failure above leaves both the pairs AND the index at the old
+      // batch, so the checkpoint replays the whole batch consistently
+      if (!indexed) {
+        DedupIndex.build(batch, dir, idCol, textCol, n, bands, rows)
+        indexed = true
+      } else {
+        DedupIndex.append(spark, dir, batch, idCol, textCol, n, bands, rows)
+      }
+      val old = pairsRef.get()
+      pairsRef.set(next)
+      lastBatch = batchId
+      old.unpersist()
+      Dedup.uncacheAll()
+      true
+    }
+  }
+
+  /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
+  def sink(store: IngestStore): (DataFrame, Long) => Unit =
+    (batch, id) => { store.merge(batch, id); () }
+
+  /** Wire a streaming document source into `store` and start the query;
+    * callers read `store.pairs` at any time.
+    */
+  def run(docs: DataFrame, store: IngestStore, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(store))
+      .outputMode("update")
+      .start()
+}

@@ -3881,6 +3881,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append-grown index must probe identically to a one-shot build")
   }
 
+  test("ingest dedup stream: accumulated pairs equal the batch run, any split") {
+    import graft.streaming.IngestDedupStream
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = pairsOf(Dedup.minhashLshPairs(docs))
+    Dedup.uncacheAll()
+    assert(expect.nonEmpty, "fixture must exercise pairs")
+    for (nBatches <- Seq(1, 3)) {
+      val dir = Files.createTempDirectory("ingestdedup").toString
+      val store = new IngestDedupStream.IngestStore(spark, dir)
+      val step = math.ceil(500.0 / nBatches).toInt
+      (0 until nBatches).foreach { i =>
+        store.merge(docs.filter(
+          col("doc_id") >= i * step && col("doc_id") < (i + 1) * step), i.toLong)
+      }
+      // intra-batch pairs come from the local pass, cross-batch pairs
+      // from the probe — together exactly the batch operator's output
+      assert(pairsOf(store.pairs) == expect,
+        s"nBatches=$nBatches: ${pairsOf(store.pairs).size} vs ${expect.size}")
+      // replay guard: re-delivering batch 0 must not double-append
+      assert(!store.merge(docs.filter(col("doc_id") < step), 0L))
+      assert(pairsOf(store.pairs) == expect)
+    }
+  }
+
   test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindexpq").toString

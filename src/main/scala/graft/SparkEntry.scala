@@ -1235,6 +1235,24 @@ object SparkEntry {
           n = 3, minShared = 5L)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    "text_hash_audit" -> ((s, dir) => {
+      // the no-collision audit under the dedup stack: every shingle-hash
+      // equality the LSH/exact-substring/chunk families treat as string
+      // identity is verified here — n_collisions counts distinct shingle
+      // STRINGS that share an xxhash64. The oracle pins 0 (string-side
+      // counts recomputed independently): a real collision fails this
+      // row loudly instead of silently merging two unrelated documents.
+      // One distinct + one agg over the shingle universe.
+      val shingled = TextAnalysis.shingles(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+      shingled.select(col("shingle")).distinct()
+        .agg(
+          count(lit(1)).as("n_distinct_shingles"),
+          countDistinct(xxhash64(col("shingle"))).as("n_distinct_hashes"))
+        .select(col("n_distinct_shingles"), col("n_distinct_hashes"),
+          (col("n_distinct_shingles") - col("n_distinct_hashes"))
+            .as("n_collisions"))
+    }),
     "dedup_incremental_probe" -> ((s, dir) => {
       // the daily-dedup economics as an artifact: build the persisted
       // band/sets index on the BASE corpus (doc_id >= 50), then probe
@@ -3984,6 +4002,15 @@ object SparkEntry {
         |WHERE CAST(p2.c AS DOUBLE)/(na.n+nb.n-p2.c) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
+    "text_hash_audit" -> (shingleCte +
+      // the oracle counts shingle STRINGS only (DuckDB has no xxhash64)
+      // and pins n_collisions to 0 — the exact claim under audit; a real
+      // collision makes the Spark side's hash count fall short and the
+      // row fail loudly
+      """SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_shingles,
+        |       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_hashes,
+        |       CAST(0 AS BIGINT) AS n_collisions
+        |FROM sh""".stripMargin),
     "dedup_incremental_probe" -> (shingleCte +
       // the same exact-Jaccard pair universe, restricted to cross
       // (delta < 50, base >= 50) pairs — canonical a < b makes the split

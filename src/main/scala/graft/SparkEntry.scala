@@ -1761,6 +1761,16 @@ object SparkEntry {
         Temporal.eventsMicros(s, dir).select(col("event_type"),
           expr("(ts_us DIV 3600000000) % 24").as("hour_of_day")),
         Seq("event_type", "hour_of_day"), k = 50)),
+    "q_ldiversity_audit" -> ((s, dir) =>
+      // the homogeneity-attack audit on the same release shape: per
+      // (event_type, hour) group, how DIVERSE is the sensitive user set —
+      // a 50-row group with one user leaks that user to anyone who can
+      // name the group, which k-anonymity alone never catches
+      Hygiene.lDiversityAudit(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          expr("(ts_us DIV 3600000000) % 24").as("hour_of_day"),
+          col("user_id")),
+        Seq("event_type", "hour_of_day"), "user_id", l = 10)),
     "q_fuzzy_blocked" -> ((s, dir) =>
       // entity-resolution candidates: (nation, segment)-blocked customer
       // self-join scored by exact Levenshtein ≤ 2 — candidate volume is
@@ -2663,6 +2673,17 @@ object SparkEntry {
           col("sample_key"))
         .orderBy(col("sample_key"), col("doc_id"))
     }),
+    "split_time_embargo" -> ((s, dir) =>
+      // leakage-safe temporal split: train < day 19743, 3-day embargo
+      // (labeled, never dropped), test from day 19746 — the split audit
+      // (counts + day ranges per side) a time-series pipeline ships
+      Splits.timeSplit(Temporal.eventsMicros(s, dir),
+          cutDay = 19743L, embargoDays = 3L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(MIN(ts_us DIV 86400000000) AS BIGINT)").as("first_day"),
+          expr("CAST(MAX(ts_us DIV 86400000000) AS BIGINT)").as("last_day"))
+        .orderBy(col("split"))),
     "split_weighted_sample" -> ((s, dir) =>
       // quality-weighted corpus cut: integer-exact Efraimidis–Spirakis
       // (row's key = min of w md5 draws, the k smallest keys win); the
@@ -5124,6 +5145,22 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n < 50 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_suppressed_rows
         |FROM g""".stripMargin,
+    "q_ldiversity_audit" ->
+      """WITH e AS (SELECT event_type,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |                  user_id
+        |           FROM events),
+        |g AS (SELECT event_type, hour_of_day, COUNT(*) AS n,
+        |             COUNT(DISTINCT user_id) AS n_sensitive
+        |      FROM e GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       CAST(MIN(n_sensitive) AS BIGINT) AS min_l,
+        |       CAST(SUM(CASE WHEN n_sensitive < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_groups,
+        |       CAST(SUM(CASE WHEN n_sensitive < 10 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_exposed_rows
+        |FROM g""".stripMargin,
     "q_fuzzy_blocked" ->
       // exact Levenshtein is integer and engine-identical; the block
       // equi-keys bound candidate volume to Σ block²
@@ -6679,6 +6716,17 @@ object SparkEntry {
          |                     CAST(end_pos - start_pos + 1 AS INT))) AS chunk_md5
          |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin
     },
+    "split_time_embargo" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN epoch_us(ts) // 86400000000 < 19743 THEN 'train'
+        |              WHEN epoch_us(ts) // 86400000000 >= 19746 THEN 'test'
+        |              ELSE 'embargo' END AS split,
+        |         epoch_us(ts) // 86400000000 AS d
+        |  FROM events)
+        |SELECT split, COUNT(*) AS n_events,
+        |       CAST(MIN(d) AS BIGINT) AS first_day,
+        |       CAST(MAX(d) AS BIGINT) AS last_day
+        |FROM e GROUP BY 1 ORDER BY split""".stripMargin,
     "split_dedup_reweighted" ->
       // reachability labels (shared componentsOracleCtes), singletons
       // self-labeled via the documents left join, then the identical

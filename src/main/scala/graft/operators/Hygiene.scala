@@ -526,6 +526,30 @@ object Hygiene {
       sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed_rows"))
   }
 
+  /** l-diversity audit — [[kAnonAudit]]'s stronger sibling: k-anonymity
+    * bounds group SIZE, but a group whose sensitive attribute is
+    * constant still leaks it to anyone who can name the group
+    * (homogeneity attack). Per quasi-identifier group this measures the
+    * DISTINCT sensitive values; the audit row counts groups below `l`
+    * and the rows they expose. Same scale shape as the parent: one
+    * two-level aggregation (distinct-sensitive per group rides the
+    * first), one-row output.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2: $l")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n")).as("n_rows"),
+      min(col("n_sensitive")).as("min_l"),
+      sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("n_sensitive") < l, col("n")).otherwise(0L)).as("n_exposed_rows"))
+  }
+
   /** Source-concentration audit — the datasheet number that catches a
     * "web-scale" corpus that is secretly three domains: per-source doc
     * shares, top-1/top-k shares, and the Herfindahl–Hirschman index

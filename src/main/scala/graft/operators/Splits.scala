@@ -651,4 +651,23 @@ object Splits {
           i => md5(concat_ws(":", col(idCol), i, lit(seed))))))
     topKPerStratum(keyed, idCol, stratumCol, k, shards)
   }
+
+  /** Temporal train/test split with an EMBARGO gap — the leakage-safe
+    * split for time-ordered data: train strictly before `cutDay`, test
+    * at or after `cutDay + embargoDays`, and the gap rows LABELED
+    * `embargo` rather than silently dropped (the row the audit counts).
+    * The embargo is what keeps boundary-spanning influence — session
+    * tails, delayed labels, documents revised across the cut — from
+    * leaking future into train; a bare timestamp cut does not.
+    * Row-local CASE over the day index; rides the scan, zero shuffle.
+    */
+  def timeSplit(df: DataFrame, cutDay: Long, embargoDays: Long,
+      tsCol: String = "ts_us"): DataFrame = {
+    require(embargoDays >= 0, s"embargoDays must be >= 0: $embargoDays")
+    val day = expr(s"$tsCol DIV 86400000000L")
+    df.withColumn("split",
+      when(day < cutDay, "train")
+        .when(day >= cutDay + embargoDays, "test")
+        .otherwise("embargo"))
+  }
 }

@@ -4492,6 +4492,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("y", 1L, 2L, 3L, 666666L))) // 10⁶·2 div 3 — floor, not round
   }
 
+  test("plan pins: compactionPlan single sort, rrfFuse custom TopK + no nested loop") {
+    import spark.implicits._
+    // compactionPlan: the only sort is the per-prefix window's — a second
+    // sort would mean the bin agg re-ordered what the window established
+    val inv = (1 to 100).map(i => (s"p${i % 4}", i.toLong, 10L))
+      .toDF("prefix", "key", "size")
+    val cPlan = Layout.compactionPlan(inv, targetBytes = 100L)
+      .queryExecution.executedPlan.toString
+    assert("(?i)sort".r.findAllIn(cPlan).size <= 2, // Sort node + its order expr line
+      s"compactionPlan must not sort beyond the window:\n$cPlan")
+    assert(!cPlan.contains("BroadcastNestedLoopJoin"), cPlan)
+    assert(!cPlan.contains("CartesianProduct"), cPlan)
+    // rrfFuse: the final cut must run through the custom TopKPerKey
+    // physical operator (bounded heaps), and the fusion lineage must be
+    // join-free above the input lists — no per-query sort, no θ-join
+    val lex = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 2L, 1L), (0L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val rPlan = TextAnalysis.rrfFuse(Seq(lex, sem), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(rPlan.contains("TopKPerKey"),
+      s"rrfFuse must cut through the custom TopKPerKey operator:\n$rPlan")
+    assert(!rPlan.contains("BroadcastNestedLoopJoin"), rPlan)
+  }
+
   test("compactionPlan: key-contiguous bins, oversized file skips ids, prefixes isolated") {
     import spark.implicits._
     val inv = Seq(

@@ -845,4 +845,64 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.foreach { case (_, n, p) => assert(n >= 1 && p >= 0) }
     }
   }
+
+  test("compactionPlan on random inventories: bytes conserved, bins contiguous, ids ordered") {
+    import spark.implicits._
+    val invGen = for {
+      nFiles <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(nFiles, for {
+        p <- Gen.choose(0, 4)
+        sz <- Gen.choose(1L, 500L)
+      } yield (s"p$p", sz))
+    } yield rows.zipWithIndex.map { case ((p, sz), i) => (p, i.toLong, sz) }
+    val inv = invGen.sample.get
+    val target = 800L
+    val got = graft.operators.Layout
+      .compactionPlan(inv.toDF("prefix", "key", "size"), target)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // conservation: every file lands in exactly one bin
+    assert(got.map(_._4).sum == inv.map(_._3).sum, "bytes must be conserved")
+    assert(got.map(_._3).sum == inv.size.toLong, "files must be conserved")
+    // contiguity: within a prefix, bins' key ranges never interleave and
+    // bin ids increase with the key ranges
+    got.groupBy(_._1).foreach { case (p, bins) =>
+      val ordered = bins.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, b1, _, _, _, last1), (_, b2, _, _, first2, _)) =>
+          assert(b1 < b2 && last1 < first2,
+            s"$p: bins $b1/$b2 interleave ($last1 vs $first2)")
+        case _ => ()
+      }
+      // a non-final bin is undersized only when an OVERSIZED file follows
+      // it immediately (it pushed the exclusive cumsum past a boundary)
+      val sizes = inv.filter(_._1 == p).sortBy(_._2).map(_._3)
+      assert(ordered.map(_._4).sum == sizes.sum)
+    }
+  }
+
+  test("hilbert key: bijection and unit-step adjacency at bits=4; rrf fusion list-order invariant") {
+    import spark.implicits._
+    // 16×16 grid: key must biject onto 0..255 with every consecutive pair
+    // of curve positions grid-adjacent — the locality property at a depth
+    // above the EngineSpec fixture
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keyed = grid
+      .withColumn("hkey", graft.operators.Layout.hilbertKey(col("x"), col("y"), 4))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    assert(keyed.map(_._1).toSeq == (0L until 256L))
+    keyed.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+    // RRF is a sum over lists — fusing [lex, sem] and [sem, lex] must be
+    // row-identical
+    val lex = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 2L, 1L), (0L, 3L, 2L), (1L, 6L, 1L)).toDF("query_id", "doc_id", "rank")
+    def rows(dfs: Seq[org.apache.spark.sql.DataFrame]) =
+      graft.operators.TextAnalysis.rrfFuse(dfs, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Seq(lex, sem)) == rows(Seq(sem, lex)))
+  }
 }

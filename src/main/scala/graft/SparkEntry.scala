@@ -1386,6 +1386,17 @@ object SparkEntry {
           coalesce(col("n_idle_accounts"), lit(0L)).as("n_idle_accounts"),
           coalesce(col("n_active_accounts"), lit(0L)).as("n_active_accounts"))
     }),
+    "du_top_objects_per_prefix" -> ((s, dir) => {
+      // "which objects eat each directory": per-prefix top-3 by size
+      // through the custom TopKPerKey physical operator — bounded heaps
+      // per task, no per-prefix sort, no global window
+      val inv = t(s, dir, "events").select(
+        col("event_type").as("prefix"), col("event_id").as("key"),
+        floor(col("value") * 100).cast("long").as("size"))
+      graft.plans.TopK.perKey(inv, keyCols = Seq("prefix"),
+          orderCols = Seq("size" -> false, "key" -> true), k = 3)
+        .orderBy(col("prefix"), col("size").desc, col("key"))
+    }),
     "du_growth_forecast" -> ((s, dir) => {
       // capacity planning on the reference domain: per-address
       // least-squares slope of DAILY usage totals (micro-units/day) —
@@ -4665,6 +4676,17 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN uaddr IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_idle_accounts,
         |       CAST(COALESCE(SUM(CASE WHEN registered IS NOT NULL AND uaddr IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_active_accounts
         |FROM j""".stripMargin,
+    "du_top_objects_per_prefix" ->
+      """WITH inv AS (
+        |  SELECT event_type AS prefix, event_id AS key,
+        |         CAST(floor(value * 100) AS BIGINT) AS size
+        |  FROM events),
+        |r AS (SELECT prefix, key, size,
+        |             row_number() OVER (PARTITION BY prefix
+        |               ORDER BY size DESC, key) AS rn
+        |      FROM inv)
+        |SELECT prefix, key, size FROM r WHERE rn <= 3
+        |ORDER BY prefix, size DESC, key""".stripMargin,
     "du_growth_forecast" ->
       // daily totals then the five integer regression moments; slope as
       // sign·(10⁶·|num| // den) — the identical truncation-toward-zero

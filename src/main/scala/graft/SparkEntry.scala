@@ -2059,6 +2059,21 @@ object SparkEntry {
         countDistinct(md5(col("text"))).as("n_distinct_texts"),
         countDistinct(col("lang")).as("n_langs"))
     }),
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // the columnar-sibling lane: ORC write → native vectorized read →
+      // the same integrity row (the oracle computes it straight from
+      // parquet, so any lossy column breaks the hash)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_orc_roundtrip_${ProcessHandle.current().pid()}"
+      docs.write.mode("overwrite").orc(path)
+      s.read.orc(path).agg(
+        count(lit(1)).as("n_clean"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
     "q_csv_roundtrip" -> ((s, dir) => {
       // the CSV lane of the same ingestion contract: headered CSV write
       // (quoting handled by the writer) → corrupt-lane read → the same
@@ -5540,6 +5555,12 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       // straight from parquet: equal ⟺ the jsonl write→read preserved
       // every row, char, and hash
+      """SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+    "q_orc_roundtrip" ->
       """SELECT COUNT(*) AS n_clean,
         |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,

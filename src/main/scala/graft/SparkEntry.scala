@@ -2495,6 +2495,17 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
     }),
+    "text_fertility_sampled" -> ((s, dir) => {
+      // the production pairing: fertility audited under the SAMPLED-
+      // training vocabulary (the tokenizer a real pipeline actually
+      // ships) — same md5-bucket sample as text_bpe_sampled, so the
+      // oracle re-draws it exactly
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocabSampled(docs, merges = 4, sampleFrac = 0.25)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
+    }),
     "dedup_chunks" -> ((s, dir) =>
       Dedup.chunkStats(t(s, dir, "documents")).orderBy(col("chunk_hash"))),
     "dedup_substring" -> ((s, dir) =>
@@ -2833,6 +2844,12 @@ object SparkEntry {
           maxBulletLinePct = 40, minAlphaWordPct = 94)
         .orderBy(col("doc_id"))
     }),
+    "q_source_lang_chi2" -> ((s, dir) =>
+      // mixture-design independence check: is language independent of
+      // source in this corpus? Full-table chi² (unobserved cells folded
+      // via Σe = n), exact ppm integers — a high value means per-source
+      // language skew that temperature mixing must account for
+      Hygiene.chiSquareAudit(t(s, dir, "documents"), "source", "lang")),
     "text_source_concentration" -> ((s, dir) =>
       // the datasheet concentration row: top-1/top-5 source shares + HHI
       // in exact ppm integers — catches the three-domain "web-scale"
@@ -5956,6 +5973,10 @@ object SparkEntry {
     "text_fertility" ->
       // same unrolled training rounds, per-language integer fertility
       graft.operators.TextAnalysis.fertilitySql(merges = 4),
+    "text_fertility_sampled" ->
+      // training rounds restricted to the identical md5-bucket sample
+      graft.operators.TextAnalysis.fertilitySql(merges = 4,
+        trainWhere = graft.operators.TextAnalysis.bpeSampleWhereSql("doc_id", 0.25)),
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
         |tri AS (
@@ -6879,6 +6900,25 @@ object SparkEntry {
          |       n_ellipsis_lines, n_alpha_words, stop_hits,
          |       $gopherKeepSql AS keep
          |FROM c ORDER BY doc_id""".stripMargin),
+    "q_source_lang_chi2" ->
+      // identical positive-floor arithmetic: per observed cell
+      // (10⁶·dev²) // (n·ra·cb) and (10⁶·ra·cb) // n, then 10⁶·n + Σ−Σ
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |t AS (SELECT cells.source, cells.lang, cells.o, ra.ra, cb.cb, tot.n,
+        |             cells.o * tot.n - ra.ra * cb.cb AS dev
+        |      FROM cells JOIN ra USING (source) JOIN cb USING (lang) CROSS JOIN tot)
+        |SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_a,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_b,
+        |       COUNT(*) AS n_observed_cells,
+        |       CAST(1000000 * MIN(n)
+        |            + SUM((1000000 * dev * dev) // (n * ra * cb))
+        |            - SUM((1000000 * ra * cb) // n) AS BIGINT) AS chi2_ppm
+        |FROM t""".stripMargin,
     "text_source_concentration" ->
       // identical integral-div shares and HHI over the bounded counts
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

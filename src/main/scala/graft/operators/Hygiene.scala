@@ -526,6 +526,46 @@ object Hygiene {
       sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed_rows"))
   }
 
+  /** Chi-square independence audit between two categorical columns —
+    * the mixture-design check (is language independent of source? is
+    * label independent of shard?) behind every "balanced corpus" claim.
+    * Full-table chi²: observed cells contribute (o−e)²/e, UNOBSERVED
+    * (a, b) combinations contribute e (the term naive observed-only
+    * sums silently drop), folded via Σ_all e = n so only observed cells
+    * are ever materialized: chi² = Σ_obs[(o−e)²/e − e] + n.
+    *
+    * Scale shape: one map-side-combined count to the (a × b)-bounded
+    * cells frame (watched-column cardinality contract), two tiny
+    * marginal aggs broadcast back, one-row output.
+    *
+    * Determinism: with e = ra·cb/n, each observed cell's two terms are
+    * the positive integral floors (10⁶·(o·n−ra·cb)²) div (n·ra·cb) and
+    * (10⁶·ra·cb) div n — truncation = floor on positives in both
+    * engines; chi2_ppm = 10⁶·n + Σterm1 − Σterm2, exact integers
+    * throughout.
+    */
+  def chiSquareAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col(aCol)).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col(bCol)).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(ra), Seq(aCol))
+      .join(broadcast(cb), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("o") * col("n") - col("ra") * col("cb"))
+      .withColumn("t1", expr("(1000000L * dev * dev) div (n * ra * cb)"))
+      .withColumn("t2", expr("(1000000L * ra * cb) div n"))
+      .agg(
+        min(col("n")).as("n_rows"),
+        countDistinct(col(aCol)).as("n_a"),
+        countDistinct(col(bCol)).as("n_b"),
+        count(lit(1)).as("n_observed_cells"),
+        sum(col("t1")).as("s1"), sum(col("t2")).as("s2"))
+      .select(col("n_rows"), col("n_a"), col("n_b"), col("n_observed_cells"),
+        (lit(1000000L) * col("n_rows") + col("s1") - col("s2")).as("chi2_ppm"))
+  }
+
   /** l-diversity audit — [[kAnonAudit]]'s stronger sibling: k-anonymity
     * bounds group SIZE, but a group whose sensitive attribute is
     * constant still leaks it to anyone who can name the group

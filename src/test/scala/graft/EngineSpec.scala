@@ -4449,6 +4449,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", 2L, 0L, 1L, 50L, Some(-10000000L))))
   }
 
+  test("chiSquareAudit: missing cells contribute e; hand-computed chi2 exact") {
+    import spark.implicits._
+    // cells: (x,p)=4, (x,q)=MISSING, (y,p)=2, (y,q)=2 → e = 3,1,3,1 and
+    // chi2 = 1/3 + 1 + 1/3 + 1 = 8/3; the (x,q) term exists ONLY via the
+    // Σe = n fold — an observed-cells-only sum would report 5/3
+    val rows = Seq.fill(4)(("x", "p")) ++ Seq.fill(2)(("y", "p")) ++
+      Seq.fill(2)(("y", "q"))
+    val r = Hygiene.chiSquareAudit(rows.toDF("a", "b"), "a", "b").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (8L, 2L, 2L, 3L, 2666666L))
+    // perfect independence → chi2 exactly 0 (every dev = 0, floors align)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+    val r2 = Hygiene.chiSquareAudit(ind.toDF("a", "b"), "a", "b").head
+    assert(r2.getLong(4) == 0L, s"independent table must score 0: ${r2.getLong(4)}")
+  }
+
   test("sourceConcentration: exact ppm shares and HHI on a skewed corpus") {
     import spark.implicits._
     // 8/1/1 split: top1 = 0.8, top5 covers all, HHI = 0.8² + 2·0.1² = 0.66

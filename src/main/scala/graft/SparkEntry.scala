@@ -1083,6 +1083,12 @@ object SparkEntry {
       // integer covariance numerators, fenced-chain Pearson corr at 4 dp
       Similarity.dimCovariance(t(s, dir, "embeddings"), dims = 64)
         .orderBy(col("i"), col("j"))),
+    "emb_effective_rank" -> ((s, dir) =>
+      // participation ratio trace²/Σcov²: the one-number effective-
+      // dimensionality screen (1 = collapsed, dims = isotropic) from the
+      // same single Gram pass — read before pcaTop's loadings
+      Similarity.effectiveRank(t(s, dir, "embeddings"), dims = 64,
+        covDiv = pcaCovDiv)),
     "emb_pca_top" -> ((s, dir) =>
       // anisotropy screen: top-principal-component loadings + variance
       // share by fixed-round power iteration over the INTEGER-SCALED
@@ -4461,6 +4467,31 @@ object SparkEntry {
         |       END AS corr
         |FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
         |ORDER BY p.i, p.j""".stripMargin),
+    "emb_effective_rank" -> (embCte + dimMomentCtes +
+      // upper triangle + diagonal of the SCALED integer covariance (the
+      // pcaTop sign·(|c| // covDiv) fence — raw numerators square past
+      // INT128); the Frobenius fold counts off-diagonal cells twice; one
+      // positive HUGEINT floor at the end
+      s""",cvr AS (
+         |  SELECT p.i AS i, p.j AS j, si.n*p.s_ij - si.s1*sj.s1 AS c
+         |  FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
+         |  UNION ALL
+         |  SELECT i, i, n*s2 - s1*s1 FROM st),
+         |cv AS (
+         |  SELECT i, j,
+         |         CASE WHEN c < 0 THEN -((-c) // $pcaCovDiv) ELSE c // $pcaCovDiv END AS c
+         |  FROM cvr),
+         |""".stripMargin +
+      """aggm AS (SELECT
+        |    SUM(CASE WHEN i = j THEN c ELSE 0 END) AS tr,
+        |    SUM(CASE WHEN i = j THEN c*c ELSE 2*c*c END) AS ss
+        |  FROM cv),
+        |n1 AS (SELECT CAST(MIN(n) AS BIGINT) AS nv FROM st)
+        |SELECT CAST(64 AS BIGINT) AS dims, n1.nv AS n_vecs,
+        |       CASE WHEN aggm.ss = 0 THEN NULL
+        |            ELSE CAST((1000000 * aggm.tr * aggm.tr) // aggm.ss AS BIGINT)
+        |       END AS eff_rank_ppm
+        |FROM aggm, n1""".stripMargin),
     "emb_pca_top" -> (embCte + dimMomentCtes +
       // full scaled-integer covariance (both triangles + diagonal; `//` on
       // the non-negative abs = truncation toward zero in both engines),

@@ -929,6 +929,49 @@ object Similarity {
       .toDF("i", "loading_e6", "var_top_ppm")
   }
 
+  /** Effective rank (participation ratio) of the embedding covariance —
+    * (Σλ)² / Σλ² = trace(C)² / Σᵢⱼ Cᵢⱼ², the standard "how many
+    * dimensions actually carry variance" number, computed WITHOUT any
+    * eigendecomposition: both trace and the squared Frobenius norm are
+    * exact integer functionals of the covariance numerators. Ranges from
+    * 1 (rank-collapsed — the [[pcaTop]] pathology at its extreme) to
+    * dims (isotropic); the one-number screen read before the loadings.
+    *
+    * Scale shape: the SAME single [[graft.functions.GramMatrixAgg]]
+    * corpus pass as [[dimCovariance]]/[[pcaTop]]; everything after is
+    * exact BigInt driver arithmetic on the d² integers — a bounded
+    * global decision. Output is one row.
+    *
+    * Determinism: covariance numerators are scaled FIRST by integer
+    * division — sign·(|n·Sᵢⱼ − sᵢsⱼ| div covDiv), the [[pcaTop]] fence —
+    * which also keeps the oracle's squares inside HUGEINT (the raw
+    * numerators square past 2¹²⁷); then eff_rank_ppm = (10⁶·trace²) div
+    * Σcov² — one positive integral floor, mirrored exactly. NULL on a
+    * zero scaled covariance (no variance anywhere at this covDiv).
+    */
+  def effectiveRank(
+      emb: DataFrame, dims: Int, covDiv: Long = 1000000000L,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(dims > 0 && covDiv > 0, "effectiveRank: positive args required")
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val cell = gramCells(emb, dims, embCol)
+    val nB = BigInt(cell(dims, dims))
+    def s1(i: Int) = BigInt(cell(i, dims))
+    def cov(i: Int, j: Int) = {
+      val c = nB * BigInt(if (i <= j) cell(i, j) else cell(j, i)) - s1(i) * s1(j)
+      c.sign * (c.abs / covDiv)
+    }
+    val trace = (0 until dims).foldLeft(BigInt(0))((a, i) => a + cov(i, i))
+    val sumSq = (for { i <- 0 until dims; j <- 0 until dims } yield cov(i, j))
+      .foldLeft(BigInt(0))((a, c) => a + c * c)
+    val effPpm: Option[Long] =
+      if (sumSq == 0) None
+      else Some(((trace * trace * 1000000L) / sumSq).toLong)
+    Seq((dims.toLong, nB.toLong, effPpm))
+      .toDF("dims", "n_vecs", "eff_rank_ppm")
+  }
+
   /** Per-cell quality/balance audit of a trained coarse quantizer — the
     * measurement that decides k before committing an [[ivfTopK]] index or
     * a [[semDedup]] run: cell SIZE skew bounds both of them (a cell is an

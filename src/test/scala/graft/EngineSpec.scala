@@ -4570,6 +4570,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.toSeq == Seq(1L, 2L))
   }
 
+  test("effectiveRank: rank-1 scores 1.0, isotropic 2-dim scores 2.0, degenerate NULL") {
+    import spark.implicits._
+    def eff(rows: Seq[(Long, Seq[Double])]) =
+      Similarity.effectiveRank(rows.toDF("vec_id", "embedding"), dims = 2,
+        covDiv = 1000000000L).head
+    // dim2 = −dim1: one direction carries everything → exactly 1.0
+    val r1 = eff(Seq((1L, Seq(0.1, -0.1)), (2L, Seq(0.3, -0.3)), (3L, Seq(0.5, -0.5))))
+    assert(r1.getLong(2) == 1000000L, s"rank-1 must score 1.0: $r1")
+    // equal-variance orthogonal dims (zero cross-covariance) → exactly 2.0
+    val r2 = eff(Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.3, 0.2)),
+      (3L, Seq(0.1, 0.4)), (4L, Seq(0.3, 0.4))))
+    assert(r2.getLong(2) == 2000000L, s"isotropic must score dims: $r2")
+    // constant vectors → zero scaled covariance → NULL, never NaN
+    val r3 = eff(Seq((1L, Seq(0.2, 0.2)), (2L, Seq(0.2, 0.2))))
+    assert(r3.isNullAt(2))
+  }
+
   test("pcaTop: dominant direction recovered, dead dim zero, degenerate NULL") {
     import spark.implicits._
     // dim2 = −dim1 (dominant direction (1,−1)/√2), dim3 constant (dead):

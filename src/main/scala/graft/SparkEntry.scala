@@ -1241,6 +1241,10 @@ object SparkEntry {
           n = 3, minShared = 5L)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      // the tau-tuning read before committing a dedup threshold: pairs
+      // at or above each Jaccard decile, one pass, exact integer deciles
+      Dedup.thresholdSweep(t(s, dir, "documents")).orderBy(col("tau_e1"))),
     "text_hash_audit" -> ((s, dir) => {
       // the no-collision audit under the dedup stack: every shingle-hash
       // equality the LSH/exact-substring/chunk families treat as string
@@ -4072,6 +4076,16 @@ object SparkEntry {
         |WHERE CAST(p2.c AS DOUBLE)/(na.n+nb.n-p2.c) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(0.6),
+    "dedup_threshold_sweep" -> (shingleCte +
+      // integer decile: (10·c) // union ≥ k ⟺ J ≥ k/10 exactly; fixed
+      // 6-row spine so empty deciles emit 0
+      """,bk AS (
+        |  SELECT (10*p.c) // (na.n+nb.n-p.c) AS b
+        |  FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b)
+        |SELECT CAST(sp.t AS BIGINT) AS tau_e1,
+        |       CAST((SELECT COUNT(*) FROM bk WHERE bk.b >= sp.t) AS BIGINT)
+        |         AS n_pairs_ge
+        |FROM range(5, 11) sp(t) ORDER BY tau_e1""".stripMargin),
     "text_hash_audit" -> (shingleCte +
       // the oracle counts shingle STRINGS only (DuckDB has no xxhash64)
       // and pins n_collisions to 0 — the exact claim under audit; a real

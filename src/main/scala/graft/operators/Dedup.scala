@@ -160,6 +160,17 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, tau: Double = 0.6, maxDf: Option[Long] = None): DataFrame = {
+    val (inter, sizes) = intersections(docs, idCol, textCol, n, maxDf)
+    jaccardFromIntersections(inter, sizes, tau)
+  }
+
+  /** The exact inverted-index pair machinery shared by
+    * [[ngramJaccardPairs]] and [[thresholdSweep]]: per-pair intersection
+    * counts (doc_a, doc_b, common) and per-doc universe sizes (id, n),
+    * over the (optionally df-capped) shingle universe.
+    */
+  private def intersections(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Option[Long]): (DataFrame, DataFrame) = {
     val all = sh(docs, idCol, textCol, n)
     val shingled = maxDf match {
       case Some(cap) =>
@@ -175,7 +186,38 @@ object Dedup {
       .join(shingled.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    jaccardFromIntersections(inter, sizes, tau)
+    (inter, sizes)
+  }
+
+  /** Threshold-tuning surface: for each Jaccard decile τ = tau_e1/10
+    * (tau_e1 ∈ 5..10) the number of pairs at or above it — the sweep a
+    * pipeline reads before committing a dedup tau, as ONE pass over the
+    * exact pair frame instead of six runs. Deciles come from INTEGER
+    * arithmetic ((10·common) div union ≥ k ⟺ J ≥ k/10 exactly) — a
+    * float `floor(j·10)` misbuckets exact rationals like 3/5, whose
+    * double is below 0.6. Empty deciles emit 0 (the spine is fixed);
+    * output is 6 rows at any corpus size.
+    */
+  def thresholdSweep(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs.sparkSession
+    val (inter, sizes) = intersections(docs, idCol, textCol, n, maxDf)
+    val buckets = inter
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(expr("(10L * common) div (na + nb - common)").as("b"))
+      .filter(col("b") >= 5L)
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val spine = sp.range(5, 11).select(col("id").as("tau_e1"))
+    val w = Window.orderBy(col("tau_e1").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the cumulative window runs over the fixed 6-row spine — free
+    spine.join(buckets.withColumnRenamed("b", "tau_e1"), Seq("tau_e1"), "left")
+      .withColumn("n_pairs_ge",
+        sum(coalesce(col("c"), lit(0L))).over(w))
+      .select(col("tau_e1"), col("n_pairs_ge"))
   }
 
   /** MinHash signatures (numHashes = bands × rows) via the

@@ -986,6 +986,22 @@ object SparkEntry {
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
+    "ann_nprobe_sweep" -> ((s, dir) => {
+      // the IVF TUNING SURFACE as one verified frame: recall vs candidate
+      // volume swept over the probe knob (nprobe = 1..3) against the exact
+      // brute baseline — the dedup_threshold_sweep discipline applied to
+      // the ANN serving family. Exact scoring is paid ONCE at maxNprobe;
+      // each sweep point re-ranks the probe_rank-filtered candidates
+      // (exactly ivfTopK at that nprobe — EngineSpec pins the equivalence
+      // per point). The oracle replays training, the ranked probe
+      // assignment, the shared-scoring fan-out, and the micro-averaged
+      // recall tail.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+      Similarity.nprobeSweep(emb, q, cents, k = 3, maxNprobe = 3)
+        .orderBy(col("nprobe"))
+    }),
     "ann_matryoshka_recall" -> ((s, dir) => {
       // truncated-dimension serving audit (the Matryoshka representation
       // trade: serve on a prefix of the embedding, pay with recall):
@@ -3441,6 +3457,73 @@ object SparkEntry {
       |       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
       |GROUP BY 1 ORDER BY e.query_id""".stripMargin
 
+  /** Oracle tail for `ann_nprobe_sweep` (appended after `embCte` +
+    * `kmeansOracleCtes` + [[ivfTrainedServeCtes]], reusing its `rfin` /
+    * `ncell`; DuckDB inlines CTEs, so the serve chain's unreferenced
+    * `qcell`/`cand`/`dd`/`ss`/`rr` are never executed): ranked probe
+    * assignment (`rn` IS the probe rank), shared scoring paid once at
+    * maxNprobe = 3, `range(1,4)` sweep fan-out, per-point re-rank, and
+    * the micro-averaged recall tail against the brute baseline — the
+    * [[graft.operators.Similarity.nprobeSweep]] semantics, value-exact.
+    */
+  private lazy val nprobeSweepTailCtes =
+    """,qcellp AS (
+      |  SELECT vec_id, cell, CAST(rn AS BIGINT) AS probe_rank
+      |  FROM rfin WHERE rn <= 3 AND vec_id < 10),
+      |candp AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.probe_rank
+      |  FROM qcellp q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
+      |ddp AS (
+      |  SELECT c.query_id, c.neighbor_id, c.probe_rank,
+      |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+      |  FROM candp c
+      |  JOIN f a ON a.vec_id=c.query_id
+      |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+      |  GROUP BY 1,2,3),
+      |ssp AS (
+      |  SELECT query_id, neighbor_id, probe_rank,
+      |         ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+      |  FROM ddp JOIN nrm nq ON nq.vec_id=ddp.query_id
+      |           JOIN nrm nn2 ON nn2.vec_id=ddp.neighbor_id),
+      |sw AS (SELECT np.np AS nprobe, s.query_id, s.neighbor_id, s.score
+      |       FROM range(1,4) np(np) JOIN ssp s ON s.probe_rank <= np.np),
+      |rrp AS (
+      |  SELECT nprobe, query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY nprobe, query_id
+      |                            ORDER BY score DESC, neighbor_id) AS rnk
+      |  FROM sw),
+      |topa AS (SELECT nprobe, query_id, neighbor_id FROM rrp WHERE rnk <= 3),
+      |bd AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
+      |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
+      |  GROUP BY 1,2),
+      |bs AS (
+      |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+      |  FROM bd JOIN nrm nq ON nq.vec_id=bd.query_id
+      |          JOIN nrm nn2 ON nn2.vec_id=bd.neighbor_id),
+      |br AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, neighbor_id) AS rnk
+      |  FROM bs),
+      |ex AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 3),
+      |cn AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cands FROM sw GROUP BY 1),
+      |hv AS (
+      |  SELECT np.np AS nprobe, e.query_id,
+      |         CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM range(1,4) np(np) CROSS JOIN ex e
+      |  LEFT JOIN topa a ON a.nprobe=np.np AND a.query_id=e.query_id
+      |                  AND a.neighbor_id=e.neighbor_id)
+      |SELECT h.nprobe,
+      |       CAST(COUNT(DISTINCT h.query_id) AS BIGINT) AS n_queries,
+      |       cn.n_cands,
+      |       CAST(SUM(h.hit) AS BIGINT) AS sum_hits,
+      |       CAST(COUNT(*) AS BIGINT) AS sum_exact,
+      |       ROUND(CAST(SUM(h.hit) AS DOUBLE)/COUNT(*),4)+0.0 AS recall
+      |FROM hv h JOIN cn ON cn.nprobe=h.nprobe
+      |GROUP BY 1, cn.n_cands ORDER BY 1""".stripMargin
+
   /** Shared oracle CTE chain for the SEMANTIC dedup family (appended after
     * `embCte` + `kmeansOracleCtes`): final cluster assignment with ordered
     * dot folds → in-cluster pair scan → per-row min-lower-id dup verdicts
@@ -4267,6 +4350,11 @@ object SparkEntry {
     // chain defines `rr`, the tail replays brute force + the hit join —
     // proving the recall operator is family-agnostic, not IVF-coupled
     "ann_recall_eval_lsh" -> (embCte + lshBandedServeCtes + recallTailCtes),
+    // sweep over the probe knob: training + the serve chain's rfin/ncell
+    // reused, then the ranked-probe shared-scoring sweep tail
+    "ann_nprobe_sweep" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 4, iters = 2) +
+      ivfTrainedServeCtes + nprobeSweepTailCtes),
     // a THIRD serving family through the same tail: prefix-dim brute
     // force (ordered prefix folds for dots AND norms) defines `rr`
     "ann_matryoshka_recall" -> (embCte +

@@ -446,6 +446,93 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[assignCellsLocal]] keeping the PROBE RANK: one (id, v, nrm, cell,
+    * probe_rank) row per probed cell, probe_rank 1-based in nearest-first
+    * order ([[graft.functions.NearestCentroidCells]] emits ids in rank
+    * order, so `posexplode` recovers the rank the plain `explode` drops).
+    * Same zero-exchange shape — a narrow projection + explode, no shuffle.
+    */
+  private[graft] def assignCellsLocalRanked(
+      vecs: DataFrame, cents: Seq[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+    require(cents.nonEmpty, "centroids must be non-empty")
+    require(cents.map(_._1).distinct.size == cents.size,
+      s"centroid ids must be distinct, got ${cents.map(_._1)}")
+    val sorted = cents.sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(
+      graft.functions.CentroidMatrix(
+        sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray,
+        sorted.map(_._3).toArray,
+        nprobe))
+    vecs.select(col("id"), col("v"), col("nrm"),
+      posexplode(graft.functions.NearestCentroidCells(col("v"), col("nrm"), bc)))
+      .select(col("id"), col("v"), col("nrm"), col("col").as("cell"),
+        (col("pos") + 1L).cast("long").as("probe_rank"))
+  }
+
+  /** The IVF tuning surface as ONE verified frame: recall vs candidate
+    * volume, swept over the probe knob (nprobe = 1..`maxNprobe`) against
+    * the exact brute-force baseline — the `dedup_threshold_sweep`
+    * discipline applied to the ANN serving family. Emits one row per
+    * sweep point: `(nprobe, n_queries, n_cands, sum_hits, sum_exact,
+    * recall)` where `n_cands` is the candidate-pair count actually scored
+    * at that nprobe (the COST axis a deployment trades against recall)
+    * and `recall` is micro-averaged (`sum_hits / sum_exact` — one integer
+    * division, engine-portable; never a mean of per-query doubles).
+    *
+    * Scale shape: exact scoring is paid ONCE, at `maxNprobe` — each
+    * candidate pair meets on exactly one cell (a neighbor lives in one
+    * cell, a query's probed cells are distinct), carries the rank of the
+    * probe that found it, and fans out only as narrow
+    * (nprobe, query, neighbor, score) rows via `sequence`+`explode`.
+    * Re-ranking candidates restricted to `probe_rank <= n` is exactly
+    * [[ivfTopK]] at nprobe = n (spec-pinned), so the sweep never re-runs
+    * the serving join per point. The brute baseline is |Q|-bounded, and
+    * the final per-point aggregate moves maxNprobe × |Q| × k rows.
+    */
+  def nprobeSweep(
+      emb: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      maxNprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(maxNprobe >= 1, "maxNprobe must be >= 1")
+    val cents = collectCentroids(centroids)
+    val n = assignCellsLocal(prepared(emb, idCol, embCol), cents, nprobe = 1)
+    val q = assignCellsLocalRanked(prepared(queries, idCol, embCol), cents, maxNprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("qcell"), col("probe_rank"))
+    val scored = q.join(n, col("query_id") =!= col("id") && col("qcell") === col("cell"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"),
+        col("probe_rank"))
+    // a candidate found at probe rank r participates in every sweep point
+    // n >= r — narrow fan-out of the already-scored rows, never a rescore
+    val swept = scored.withColumn(
+      "nprobe", explode(sequence(col("probe_rank"), lit(maxNprobe.toLong))))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val approx = swept
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = bruteForceTopK(emb, queries, k, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val nps = emb.sparkSession.range(1, maxNprobe + 1).select(col("id").as("nprobe"))
+    val cands = swept.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cands"))
+    nps.crossJoin(exact)
+      .join(approx, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("sum_hits"),
+        count(lit(1)).as("sum_exact"))
+      .join(cands, Seq("nprobe"))
+      .select(col("nprobe"), col("n_queries"), col("n_cands"),
+        col("sum_hits"), col("sum_exact"),
+        round(col("sum_hits").cast("double") / col("sum_exact"), 4).as("recall"))
+  }
+
   /** Bucketed near-dup pairs: only same-hyperplane-bucket pairs are scored —
     * the scale form of [[nearDupPairs]]: candidate count drops by ~2^planes
     * while sign-LSH keeps high-cosine pairs co-bucketed with high

@@ -700,6 +700,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (final rank):\n$ivfPlan")
   }
 
+  test("nprobeSweep: each point equals ivfTopK at that nprobe + recallAt; cost axis pinned") {
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") < 10)
+    val sweep = Similarity.nprobeSweep(emb, q, cents, k = 3, maxNprobe = 3)
+      .orderBy("nprobe").collect()
+    assert(sweep.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+    (1 to 3).foreach { np =>
+      val row = sweep(np - 1)
+      // the sweep point IS ivfTopK at that nprobe, measured by recallAt —
+      // shared-scoring + re-rank must never drift from the real serving call
+      val rec = Similarity.recallAt(
+        Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = np), brute)
+        .agg(sum(col("n_hits")).cast("long").as("h"),
+          sum(col("k_exact")).cast("long").as("e"))
+        .collect()(0)
+      assert(row.getLong(3) == rec.getLong(0), s"np=$np sum_hits")
+      assert(row.getLong(4) == rec.getLong(1), s"np=$np sum_exact")
+      // the cost axis: n_cands == the probe join's actual candidate count
+      val cell1 = Similarity
+        .assignCells(Similarity.prepared(emb, "vec_id", "embedding"), cents, nprobe = 1)
+        .select(col("id"), col("cell"))
+      val qc = Similarity
+        .assignCells(Similarity.prepared(q, "vec_id", "embedding"), cents, np)
+        .select(col("id").as("qid"), col("cell"))
+      val nCands = qc.join(cell1, "cell").filter(col("qid") =!= col("id")).count()
+      assert(row.getLong(2) == nCands, s"np=$np n_cands")
+      // micro recall is one integer division, rounded — never a double mean
+      assert(row.getDouble(5) ==
+        BigDecimal(row.getLong(3).toDouble / row.getLong(4))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"np=$np recall")
+    }
+    // probing every cell IS brute force — the sweep's last point pins it
+    val full = Similarity.nprobeSweep(emb, q, cents, k = 3, maxNprobe = 4)
+      .orderBy("nprobe").collect()
+    assert(full(3).getDouble(5) == 1.0, "nprobe=k must reach full recall")
+  }
+
   test("IVF-PQ: high recall on clustered vectors, corpus side exchange-free") {
     import spark.implicits._
     // deterministic clustered fixture — the regime IVF-PQ exists for

@@ -1261,6 +1261,13 @@ object SparkEntry {
       // the tau-tuning read before committing a dedup threshold: pairs
       // at or above each Jaccard decile, one pass, exact integer deciles
       Dedup.thresholdSweep(t(s, dir, "documents")).orderBy(col("tau_e1"))),
+    "dedup_minhash_calibration" -> ((s, dir) =>
+      // the ESTIMATOR audit under the minhash stack: per exact-Jaccard
+      // decile, integer-ppm error of the 16-permutation md5 minhash
+      // estimate vs the exact value — the signature-length pricing read.
+      // The oracle replays the md5 permutation minima bit-for-bit, so
+      // the estimator itself is value-verified, never self-compared.
+      Dedup.minhashCalibration(t(s, dir, "documents")).orderBy(col("j_e1"))),
     "text_hash_audit" -> ((s, dir) => {
       // the no-collision audit under the dedup stack: every shingle-hash
       // equality the LSH/exact-substring/chunk families treat as string
@@ -4169,6 +4176,31 @@ object SparkEntry {
         |       CAST((SELECT COUNT(*) FROM bk WHERE bk.b >= sp.t) AS BIGINT)
         |         AS n_pairs_ge
         |FROM range(5, 11) sp(t) ORDER BY tau_e1""".stripMargin),
+    "dedup_minhash_calibration" -> (shingleCte + {
+      // the md5 permutation minima replayed over the shingle STRING
+      // universe; integer ppm everywhere (est: matches × 62500 exact;
+      // exact: (1e6·c) // union), sums CAST to BIGINT per the HUGEINT
+      // discipline
+      val sigCols = (0 until 16).map(p =>
+        s"MIN(CAST(('0x'||substring(md5('mh$p:'||s),1,15)) AS BIGINT)) AS sig$p")
+        .mkString(", ")
+      val matchSum = (0 until 16).map(p =>
+        s"CASE WHEN sa.sig$p = sb.sig$p THEN 1 ELSE 0 END").mkString(" + ")
+      s""",sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |sc AS (
+         |  SELECT (10*p.c) // (na.n+nb.n-p.c) AS j_e1,
+         |         (1000000*p.c) // (na.n+nb.n-p.c) AS exact_ppm,
+         |         CAST(($matchSum) * 62500 AS BIGINT) AS est_ppm
+         |  FROM p JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
+         |         JOIN sig sa ON sa.doc_id=p.a JOIN sig sb ON sb.doc_id=p.b)
+         |SELECT CAST(j_e1 AS BIGINT) AS j_e1,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(exact_ppm) AS BIGINT) AS sum_exact_ppm,
+         |       CAST(SUM(est_ppm) AS BIGINT) AS sum_est_ppm,
+         |       CAST(SUM(abs(est_ppm - exact_ppm)) AS BIGINT) AS sum_abs_err_ppm,
+         |       CAST(MAX(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
     "text_hash_audit" -> (shingleCte +
       // the oracle counts shingle STRINGS only (DuckDB has no xxhash64)
       // and pins n_collisions to 0 — the exact claim under audit; a real

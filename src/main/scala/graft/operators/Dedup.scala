@@ -220,6 +220,70 @@ object Dedup {
       .select(col("tau_e1"), col("n_pairs_ge"))
   }
 
+  /** MinHash ESTIMATOR calibration audit — the measurement a deployment
+    * reads before trusting minhash-banded candidates as a Jaccard proxy
+    * (signature length, like nprobe or tau, is a knob someone must price):
+    * per exact-Jaccard decile, how far the `perms`-permutation minhash
+    * estimate sits from the exact value, in exact integer ppm.
+    *
+    * The audited estimator uses md5-derived permutation hashes over the
+    * shingle STRING (`min over shingles of md5("mh<p>:" ++ s)` per
+    * permutation p) — the engine-portable [[Splits]] md5 discipline, NOT
+    * the production xxhash64 [[graft.functions.MinHashSketch]] — so the
+    * DuckDB oracle replays the estimator bit-for-bit and the row is
+    * value-exact, not a self-comparison. Calibration transfers: both are
+    * uniform 60-bit families, and the match probability being audited
+    * (P[min_a = min_b] = J) is a property of min-hashing itself.
+    *
+    * Arithmetic is integer-fenced end to end: est_ppm = matches ·
+    * (10⁶/perms) (exact — perms must divide 10⁶), exact_ppm =
+    * (10⁶·common) div union, errors are |integer − integer|, and the
+    * per-decile outputs are integer SUMs/MAX — one engine-identical hash
+    * away from the driver gate, no double means anywhere.
+    *
+    * Scale shape: pairs come from the same persisted inverted shingle
+    * index as [[ngramJaccardPairs]] (cost bounded by Σ df², `maxDf`-style
+    * pruning applies upstream); signatures are one narrow `perms`-column
+    * aggregate per doc; the audit output is ≤ 11 integer rows. At 100 TB
+    * this runs on a document SAMPLE — the statistic is an estimator
+    * property, not a corpus property, so a sample calibrates it.
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, perms: Int = 16): DataFrame = {
+    require(perms >= 1 && 1000000 % perms == 0,
+      s"perms must divide 1e6 for exact ppm arithmetic, got $perms")
+    val shingled = sh(docs, idCol, textCol, n)
+    val permCols = (0 until perms).map { p =>
+      min(conv(substring(md5(concat_ws(":", lit(s"mh$p"), col("shingle"))), 1, 15), 16, 10)
+        .cast("long")).as(s"sig$p")
+    }
+    val sigs = shingled.groupBy(col("id")).agg(permCols.head, permCols.tail: _*)
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = shingled.as("l")
+      .join(shingled.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val matches = (0 until perms).map(p =>
+      when(col(s"a.sig$p") === col(s"b.sig$p"), 1L).otherwise(0L)).reduce(_ + _)
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(sigs.as("a"), col("doc_a") === col("a.id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.id"))
+      .select(
+        expr("(10L * common) div (na + nb - common)").as("j_e1"),
+        expr("(1000000L * common) div (na + nb - common)").as("exact_ppm"),
+        (matches * lit((1000000 / perms).toLong)).as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .groupBy(col("j_e1"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("sum_exact_ppm"),
+        sum(col("est_ppm")).as("sum_est_ppm"),
+        sum(col("abs_err_ppm")).as("sum_abs_err_ppm"),
+        max(col("abs_err_ppm")).as("max_abs_err_ppm"))
+  }
+
   /** MinHash signatures (numHashes = bands × rows) via the
     * [[graft.functions.MinHashSketch]] `TypedImperativeAggregate` — one
     * sketch buffer per group instead of numHashes independent min()

@@ -420,6 +420,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("minhashCalibration: identical pair calibrates exactly; ppm arithmetic fenced") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // J(1,2) = 1 exactly
+      (3L, "alpha beta gamma other words here")    // J(1,3) = 1/7
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(fixture).orderBy("j_e1").collect()
+    // J = 1 pair: every permutation min matches by construction — the
+    // estimator must be EXACT there (est = exact = 1e6 ppm, zero error)
+    val top = got.last
+    assert(top.getLong(0) == 10L, "identical pair lands in the j_e1=10 bucket")
+    assert(top.getLong(1) == 1L)
+    assert(top.getLong(2) == 1000000L && top.getLong(3) == 1000000L)
+    assert(top.getLong(4) == 0L && top.getLong(5) == 0L)
+    // the partial-overlap pairs (1,3)/(2,3): common=1 of union=7 — integer
+    // deciles and ppm are exact rationals, never float-bucketed
+    val low = got.head
+    assert(low.getLong(0) == 1L, "1/7 lands in the j_e1=1 bucket")
+    assert(low.getLong(1) == 2L)
+    assert(low.getLong(2) == 2L * (1000000L / 7L))
+    // est is a multiple of 1e6/perms, bounded to [0, 1e6] per pair; the
+    // two (identical-text) estimates agree, so the sum is one value × 2
+    assert(low.getLong(3) % 62500L == 0L && low.getLong(3) <= 2000000L)
+    Dedup.uncacheAll()
+  }
+
   test("simhashRecallEval equals set arithmetic over its two verified operators") {
     val truth = Dedup.ngramJaccardPairs(docs, tau = 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

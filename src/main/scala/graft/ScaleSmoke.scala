@@ -294,6 +294,25 @@ object ScaleSmoke {
     timed("ivf train k=64 iters=2 (20k)") {
       graft.operators.Similarity.trainCentroids(emb, k = 64, iters = 2).count()
     }
+    // nprobe tuning surface at 64 cells × 20k corpus × 200 queries: the
+    // shared-scoring sweep pays the probe join + exact scoring ONCE at
+    // maxNprobe=4 and the brute baseline once; the naive per-point loop —
+    // what a deployment without the operator actually runs — re-executes
+    // the probe join, the scoring, AND the brute baseline per point. The
+    // gap widens with sweep depth (the saved cost is ~(points-1) serving
+    // passes + (points-1) brute passes).
+    val sweepQ = emb.filter(col("vec_id") % 100 === 0)
+    timed("nprobe sweep 1..4, shared scoring") {
+      graft.operators.Similarity
+        .nprobeSweep(emb, sweepQ, cents64, k = 5, maxNprobe = 4).count()
+    }
+    timed("nprobe sweep 1..4, per-point loop") {
+      (1 to 4).map { np =>
+        graft.operators.Similarity.recallAt(
+          graft.operators.Similarity.ivfTopK(emb, sweepQ, cents64, k = 5, nprobe = np),
+          graft.operators.Similarity.bruteForceTopK(emb, sweepQ, k = 5)).count()
+      }.sum
+    }
     // sequence packing, ONE stratum × 30M docs — the adversarial shape for
     // the per-stratum window (a single task sorts and cumsums everything;
     // at 100 TB that task is "all of English"). The sharded form runs 32

@@ -561,6 +561,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nprobe sweep: points are maxNprobe-invariant prefixes; hits bounded by exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 120L).map(i =>
+      (i, Seq.fill(8)(rng.nextDouble().toFloat * 2f - 1f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+    def rowsOf(maxNp: Int) =
+      Similarity.nprobeSweep(emb, q, cents, k = 3, maxNprobe = maxNp)
+        .orderBy("nprobe").collect().map(_.toSeq).toSeq
+    val s3 = rowsOf(3)
+    // a sweep point depends only on its own nprobe, never on maxNprobe:
+    // shallower sweeps are exact prefixes of deeper ones (shared scoring
+    // fans out rows, it never changes a point's candidate set)
+    assert(rowsOf(1) == s3.take(1), "maxNprobe=1 must be the 3-deep prefix")
+    assert(rowsOf(2) == s3.take(2), "maxNprobe=2 must be the 3-deep prefix")
+    // the cost axis is non-decreasing in nprobe; hits never exceed exact
+    val cands = s3.map(_(2).asInstanceOf[Long])
+    assert(cands == cands.sorted, s"candidate volume must be monotone: $cands")
+    s3.foreach { r =>
+      assert(r(3).asInstanceOf[Long] <= r(4).asInstanceOf[Long], s"hits>exact in $r")
+    }
+  }
+
   test("kfold: folds partition any id set and are stable under re-derivation") {
     import spark.implicits._
     import graft.operators.Splits

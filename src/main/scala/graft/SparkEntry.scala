@@ -1689,6 +1689,19 @@ object SparkEntry {
         .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
         .limit(100)
     }),
+    "q_degree_assortativity" -> ((s, dir) => {
+      // Newman degree-mixing audit over the order—part incidence graph:
+      // one row of integer sufficient statistics (directed edge count,
+      // Σd, Σd·d', Σd²) + the 6-dp coefficient — the structural read
+      // before hub caps / skew salting. Bipartite incidence graphs mix
+      // disassortatively, which the sign pins. The oracle replays the
+      // identical degree joins and the same fixed-order expression.
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.degreeAssortativity(edges)
+    }),
     "q_label_propagation" -> ((s, dir) => {
       // LPA communities over the order—part incidence graph, 3 sync
       // rounds with the deterministic min-label tie-break; emitted as
@@ -5301,6 +5314,29 @@ object SparkEntry {
         |            (du.d + dv.d - cn.n_common) AS BIGINT) AS jaccard_ppm
         |FROM cn JOIN deg du ON du.n = cn.u JOIN deg dv ON dv.n = cn.v
         |ORDER BY jaccard_ppm DESC, u, v LIMIT 100""".stripMargin,
+    "q_degree_assortativity" ->
+      // both-orientations edge list, degrees joined onto each endpoint,
+      // integer moment sums (CAST from HUGEINT), and the identical
+      // fixed-order double expression rounded at 6 dp
+      """WITH e0 AS (SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b
+        |            FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |ed AS (SELECT ds.deg AS dsrc, dd.deg AS ddst
+        |       FROM e JOIN d ds ON ds.src = e.src JOIN d dd ON dd.src = e.dst),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |             CAST(SUM(dsrc) AS BIGINT) AS s1,
+        |             CAST(SUM(dsrc*ddst) AS BIGINT) AS s11,
+        |             CAST(SUM(dsrc*dsrc) AS BIGINT) AS s2
+        |      FROM ed)
+        |SELECT m2, s1, s11, s2,
+        |       ROUND((CAST(s11 AS DOUBLE)/m2
+        |              - (CAST(s1 AS DOUBLE)/m2)*(CAST(s1 AS DOUBLE)/m2))
+        |           / (CAST(s2 AS DOUBLE)/m2
+        |              - (CAST(s1 AS DOUBLE)/m2)*(CAST(s1 AS DOUBLE)/m2)), 6)+0.0
+        |         AS assortativity
+        |FROM s""".stripMargin,
     "q_label_propagation" -> (
       """WITH e0 AS (
         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),

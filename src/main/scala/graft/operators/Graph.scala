@@ -326,4 +326,47 @@ object Graph {
         expr("CAST((n_common * 1000000) DIV (du + dv - n_common) AS BIGINT)")
           .as("jaccard_ppm"))
   }
+
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * 2002) — the one-row structural audit read before trusting any
+    * degree-driven plan choice (hub caps, skew salting, sampling by
+    * degree): do high-degree nodes attach to high-degree nodes (r > 0,
+    * social-graph-like) or to low-degree ones (r < 0, hub-and-spoke /
+    * bipartite-incidence-like)? Emits the INTEGER sufficient statistics
+    * alongside the coefficient, so the gate compares exact BIGINTs and
+    * the double is one fixed-order expression over them:
+    * `(m2, s1, s11, s2, assortativity)` with m2 = directed edge count
+    * (2|E|), s1 = Σ d(src), s11 = Σ d(src)·d(dst), s2 = Σ d(src)² over
+    * the both-orientations edge list (symmetric by construction, so the
+    * src-side moments ARE the dst-side moments), and
+    * r = (s11/m2 − (s1/m2)²) / (s2/m2 − (s1/m2)²) rounded to 6 dp.
+    * A degree-regular graph has zero variance: r is NULL there
+    * (spec-pinned — such graphs have no mixing to measure, and ANSI
+    * engines reject the raw 0/0 instead of yielding NaN).
+    *
+    * Scale shape: one degree aggregation + two |E|-keyed joins riding
+    * the same edge frame, then a single global 4-sum aggregate — no
+    * windows, no pair blow-up; the output is ONE row at any graph size.
+    */
+  def degreeAssortativity(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = Dedup.cached(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val ed = e
+      .join(deg, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("degd")), Seq("dst"))
+    val sums = ed.agg(
+      count(lit(1)).as("m2"),
+      sum(col("deg")).as("s1"),
+      sum(col("deg") * col("degd")).as("s11"),
+      sum(col("deg") * col("deg")).as("s2"))
+    val mean = sums("s1").cast("double") / sums("m2")
+    val den = sums("s2").cast("double") / sums("m2") - mean * mean
+    sums.select(col("m2"), col("s1"), col("s11"), col("s2"),
+      when(den =!= 0.0,
+        round(
+          (sums("s11").cast("double") / sums("m2") - mean * mean) / den, 6))
+        .as("assortativity"))
+  }
 }

@@ -3868,6 +3868,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), rm.toString)
   }
 
+  test("degreeAssortativity: closed-form graphs — star -1, mixed -5/7, regular NULL") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]) =
+      Graph.degreeAssortativity(edges.toDF("a", "b")).collect().head
+    // star K(1,3): every edge joins the hub (deg 3) to a leaf (deg 1) —
+    // perfectly disassortative. Hand moments: m2=6, s1=12, s11=18, s2=30.
+    val star = r(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star.getLong(0) == 6L && star.getLong(1) == 12L)
+    assert(star.getLong(2) == 18L && star.getLong(3) == 30L)
+    assert(star.getDouble(4) == -1.0, s"star must be -1: $star")
+    // triangle + pendant: degrees (3,2,2,1) → r = -5/7 exactly
+    val mixed = r(Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)))
+    assert(mixed.getDouble(4) ==
+      BigDecimal(-5.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"triangle+pendant must be -5/7: $mixed")
+    // degree-regular graph (cycle): zero degree variance — no mixing to
+    // measure; the operator emits NULL (ANSI engines reject the raw 0/0)
+    val cycle = r(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    assert(cycle.isNullAt(4), s"regular graph must be NULL: $cycle")
+    Dedup.uncacheAll()
+  }
+
   test("AnnIndex: build/load/serve equals in-memory ivfTopK; probe prunes partitions") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindex").toString

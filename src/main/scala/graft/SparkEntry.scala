@@ -2688,6 +2688,27 @@ object SparkEntry {
           col("i").cast("long").as("i"),
           round(col("feature") * 255.0).cast("long").as("lane_byte_sum"))
         .orderBy(col("doc_id"), col("i"))),
+    "mm_container_sniff" -> ((s, dir) => {
+      // the binary-lane ROUTER: payloads synthesized with a closed-form
+      // magic prefix (doc_id % 9 picks RIFF/WAVE, RIFF/AVI, RIFF/other,
+      // GIF, PDF, Ogg, ID3, ISO-BMFF ftyp, or none), sniffed at the BYTE
+      // level, summarized per container. ASCII-expressible magics only so
+      // the VARCHAR-lane oracle replays the same first-match CASE; the
+      // non-ASCII branches (png/jpeg) are spec-pinned with real bytes.
+      val magic = element_at(array(
+        lit("RIFF0000WAVE"), lit("RIFF0000AVI "), lit("RIFF0000XXXX"),
+        lit("GIF89a"), lit("%PDF-1.4"), lit("OggS"), lit("ID3v"),
+        lit("0000ftypisom"), lit("")),
+        (col("doc_id") % 9 + 1).cast("int"))
+      val payloads = Multimodal.withBinaryPayload(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(magic, col("text")).as("text")))
+      Multimodal.sniffContainer(payloads)
+        .groupBy(col("container"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nbytes")).as("sum_bytes"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("container"))
+    }),
     "mm_cdc_chunks" -> ((s, dir) => {
       // content-defined chunk dedup over a SHIFTED-duplicate fixture,
       // closed-form in the id: each payload = an id-varying prefix (0-9
@@ -6834,6 +6855,37 @@ object SparkEntry {
         |       CAST(COALESCE(lane.s, 0) AS BIGINT) AS lane_byte_sum
         |FROM docs8 d LEFT JOIN lane ON lane.doc_id = d.doc_id AND lane.i = d.i
         |ORDER BY d.doc_id, d.i""".stripMargin,
+    "mm_container_sniff" ->
+      // same closed-form magic synthesis, same first-match CASE order as
+      // the operator (RIFF family first, offset-5 ftyp probe last);
+      // ASCII magics make octet-level sniffing ≡ char-level here
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         (CASE doc_id % 9
+        |            WHEN 0 THEN 'RIFF0000WAVE' WHEN 1 THEN 'RIFF0000AVI '
+        |            WHEN 2 THEN 'RIFF0000XXXX' WHEN 3 THEN 'GIF89a'
+        |            WHEN 4 THEN '%PDF-1.4' WHEN 5 THEN 'OggS'
+        |            WHEN 6 THEN 'ID3v' WHEN 7 THEN '0000ftypisom'
+        |            ELSE '' END) || text AS txt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN substring(txt,1,4) = 'RIFF' THEN
+        |                CASE WHEN substring(txt,9,4) = 'WAVE' THEN 'riff_wave'
+        |                     WHEN substring(txt,9,4) = 'AVI ' THEN 'riff_avi'
+        |                     ELSE 'riff_other' END
+        |              WHEN substring(txt,1,4) = 'GIF8' THEN 'gif'
+        |              WHEN substring(txt,1,4) = '%PDF' THEN 'pdf'
+        |              WHEN substring(txt,1,4) = 'OggS' THEN 'ogg'
+        |              WHEN substring(txt,1,3) = 'ID3' THEN 'mp3_id3'
+        |              WHEN substring(txt,5,4) = 'ftyp' THEN 'mp4'
+        |              ELSE 'unknown' END AS container,
+        |         CAST(octet_length(encode(txt)) AS BIGINT) AS nbytes
+        |  FROM p)
+        |SELECT container, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nbytes) AS BIGINT) AS sum_bytes,
+        |       MIN(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_cdc_chunks" -> {
       // the identical rolling polynomial: h(i) = Σ_{j<8} byte(i−j)·31^j,
       // boundary iff 64 | h(i) or i = len — term list generated so both

@@ -338,6 +338,46 @@ object Multimodal {
         min(col("chunk_bytes")).as("chunk_bytes"))
       .filter(col("n_occurrences") >= 2)
 
+  /** Container sniffing by magic bytes — the router at the head of every
+    * binary-lane pipeline (decode kernels are per-container; mis-routed
+    * payloads are the corrupt-row class [[extractFeatures]] accounts
+    * for): classify each payload by its leading bytes into
+    * riff_wave / riff_avi / riff_other (RIFF fourcc at offset 9),
+    * png / jpeg / gif / pdf / ogg / mp3_id3, mp4 (`ftyp` at offset 5 —
+    * the ISO-BMFF box layout), else unknown. Pure byte comparisons on
+    * the BINARY column (never a UTF-8 decode — png/jpeg magics are not
+    * valid text), one narrow codegen'd projection, no shuffle; emits
+    * `(idCol, container, nbytes)`.
+    *
+    * First-match-wins order is part of the contract (RIFF before the
+    * generic prefixes, offset probes last) — the SQL oracle replays the
+    * identical CASE order over the ASCII-expressible magics, and the
+    * non-ASCII branches (png/jpeg) are spec-pinned with real bytes.
+    */
+  def sniffContainer(payloads: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    def pre(off: Int, s: String) =
+      substring(p, off, s.length) === lit(s.getBytes("US-ASCII"))
+    def preBytes(off: Int, bs: Array[Byte]) =
+      substring(p, off, bs.length) === lit(bs)
+    payloads.select(
+      col(idCol),
+      when(pre(1, "RIFF"),
+        when(pre(9, "WAVE"), "riff_wave")
+          .when(pre(9, "AVI "), "riff_avi")
+          .otherwise("riff_other"))
+        .when(preBytes(1, Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)), "png")
+        .when(preBytes(1, Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
+        .when(pre(1, "GIF8"), "gif")
+        .when(pre(1, "%PDF"), "pdf")
+        .when(pre(1, "OggS"), "ogg")
+        .when(pre(1, "ID3"), "mp3_id3")
+        .when(pre(5, "ftyp"), "mp4")
+        .otherwise("unknown").as("container"),
+      octet_length(p).cast("long").as("nbytes"))
+  }
+
   /** Byte-lane content profile: lane `i` accumulates `byte/255` over payload
     * positions ≡ i (mod dim) — a deterministic, decoder-free content
     * fingerprint (cheap modality-agnostic screening/clustering signal),

@@ -3868,6 +3868,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), rm.toString)
   }
 
+  test("sniffContainer: real magic bytes on the binary lane, first-match order") {
+    import spark.implicits._
+    def b(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    def a(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // the branches the VARCHAR-lane fixture cannot express: png (0x89)
+    // and jpeg (0xFF 0xD8 0xFF) really are invalid UTF-8, plus the size
+    // bytes of a real ISO-BMFF box and RIFF header, truncated/empty edges
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> (b(0x89) ++ a("PNG\r\n")),
+      2L -> b(0xFF, 0xD8, 0xFF, 0xE0, 0x00),
+      3L -> (a("RIFF") ++ b(1, 2, 3, 4) ++ a("WAVE data")),
+      4L -> (a("RIFF") ++ b(0, 0, 0, 0) ++ a("AVI LIST")),
+      5L -> (a("RIFF") ++ b(0, 0, 0, 0) ++ a("XXXX")),
+      6L -> (b(0, 0, 0, 0x20) ++ a("ftypisom")),
+      7L -> a("plain text"),
+      8L -> Array.empty[Byte],
+      9L -> a("ID3")) // exactly the 3 magic bytes, nothing after
+    val got = Multimodal.sniffContainer(rows.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("png", 6L)))
+    assert(got(2L) == (("jpeg", 5L)))
+    assert(got(3L) == (("riff_wave", 17L)))
+    assert(got(4L) == (("riff_avi", 16L)))
+    assert(got(5L) == (("riff_other", 12L)))
+    assert(got(6L) == (("mp4", 12L)))
+    assert(got(7L) == (("unknown", 10L)))
+    assert(got(8L) == (("unknown", 0L)), "empty payload must sniff as unknown, not throw")
+    assert(got(9L) == (("mp3_id3", 3L)), "a payload of exactly the magic still classifies")
+  }
+
   test("degreeAssortativity: closed-form graphs — star -1, mixed -5/7, regular NULL") {
     import spark.implicits._
     def r(edges: Seq[(Long, Long)]) =

@@ -2974,6 +2974,20 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     }),
+    "ret_phrase_topk" -> ((s, dir) => {
+      // positional retrieval: exact occurrence counts of CONSECUTIVE
+      // token sequences (what bag-of-words scoring cannot express), two
+      // phrase lengths in one call, one query phrase absent from the
+      // corpus (emits nothing — exact semantics). The oracle rebuilds
+      // positional 2-/3-gram postings and replays the count + cut.
+      import s.implicits._
+      val qs = Seq(
+        (0L, "fast table"), (1L, "table table"), (2L, "batch window spark"),
+        (3L, "value fast merge"), (4L, "zebra hash stripe")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.phraseTopK(t(s, dir, "documents"), qs, k = 10)
+        .orderBy(col("query_id"), col("n_occurrences").desc, col("doc_id"))
+    }),
     "ret_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical top-10 ∪ brute-cosine semantic
       // top-10 (queries 0-5: the q_text frame lexically, the id-aligned
@@ -7265,6 +7279,32 @@ object SparkEntry {
         |       FROM sc)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
         |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin,
+    "ret_phrase_topk" ->
+      // positional postings from token subscripts; 2- and 3-gram lanes
+      // unioned (phrase equality cannot cross lengths — the space counts
+      // differ); integer occurrence counts, rank cut at 10
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |         generate_subscripts(string_split(lower(text),' '),1) AS i
+        |  FROM documents),
+        |g2 AS (SELECT a.doc_id, a.w||' '||b.w AS phrase
+        |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1),
+        |g3 AS (SELECT a.doc_id, a.w||' '||b.w||' '||c.w AS phrase
+        |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+        |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+        |q(query_id, phrase) AS (VALUES
+        |  (0, 'fast table'), (1, 'table table'), (2, 'batch window spark'),
+        |  (3, 'value fast merge'), (4, 'zebra hash stripe')),
+        |h AS (SELECT q.query_id, g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) g
+        |      JOIN q ON q.phrase = g.phrase GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, n_occurrences,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY n_occurrences DESC, doc_id) AS rn
+        |      FROM h)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_occurrences
+        |FROM r WHERE rn <= 10
+        |ORDER BY query_id, n_occurrences DESC, doc_id""".stripMargin,
     "ret_rrf_fusion" -> (embCte +
       // hybrid fusion oracle: the text_bm25_topk chain (same query VALUES,
       // same 6-dp ln/contrib fences) ranked to top-10, the ann_cosine_topk

@@ -1290,6 +1290,53 @@ object TextAnalysis {
       orderCols = Seq("score" -> false, idCol -> true), k = k)
   }
 
+  /** Exact-PHRASE retrieval — the positional complement of [[bm25TopK]]'s
+    * bag-of-words scoring (quoted-phrase search, boilerplate locating,
+    * contamination forensics all need CONSECUTIVE terms, which tf×idf
+    * structurally cannot express): top-k documents per query by exact
+    * occurrence count of the query's token sequence, ties broken by doc
+    * id. A phrase of length m occurs at position i iff the document's
+    * m-gram at i equals it, so matching is m-gram equality — the
+    * [[shingles]] positional-postings idea, kept NON-distinct because
+    * occurrences are the ranking signal.
+    *
+    * Scale shape: the only driver decision is the distinct phrase
+    * LENGTHS present (a query set is small by contract — bounded
+    * O(#lengths), never corpus data); the corpus streams once per
+    * length as a narrow gram explode, the query join is broadcast (no
+    * corpus exchange), and the only shuffle is the (query, doc) HIT
+    * aggregation — bounded by actual matches, not corpus size. The
+    * final cut runs through the custom [[graft.plans.TopK]] operator.
+    * Queries whose phrase never occurs emit no rows (exact semantics,
+    * same contract as an empty posting list).
+    *
+    * Occurrence counts are integers end to end — nothing to fence.
+    */
+  def phraseTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qtextCol: String = "q_text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(qidCol),
+      array_join(tokens(col(qtextCol)), " ").as("phrase"),
+      size(tokens(col(qtextCol))).as("m"))
+    val ms = q.select(col("m")).distinct().collect().map(_.getInt(0)).sorted
+    require(ms.nonEmpty && ms.head >= 1, s"queries must carry >= 1 token: $ms")
+    val grams = ms.map { m =>
+      docs.select(col(idCol), tokens(col(textCol)).as("w"))
+        .filter(size(col("w")) >= m)
+        .select(col(idCol),
+          explode(expr(
+            s"transform(sequence(1, size(w) - ${m - 1}), " +
+              s"i -> array_join(slice(w, i, $m), ' '))"))
+            .as("phrase"))
+    }.reduce(_ unionAll _)
+    val hits = grams.join(broadcast(q.select(col(qidCol), col("phrase"))), Seq("phrase"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+    graft.plans.TopK.perKey(hits, keyCols = Seq(qidCol),
+      orderCols = Seq("n_occurrences" -> false, idCol -> true), k = k)
+  }
+
   /** Reciprocal-rank fusion (RRF, Cormack et al.'s 1/(k0+rank) form) —
     * the standard hybrid-retrieval combiner: N ranked candidate lists for
     * the same query set (e.g. [[bm25TopK]] lexical ∪ an ANN semantic

@@ -3868,6 +3868,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), rm.toString)
   }
 
+  test("phraseTopK: overlapping occurrences counted, OOV empty, broadcast probe") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a a b"),          // "a a" occurs 3× (overlapping grams)
+      (2L, "x a a y a a z"),      // 2×
+      (3L, "b c d"),              // phrase "b c d" once; no "a a"
+      (4L, "a b a b a")).toDF("doc_id", "text")
+    val qs = Seq(
+      (0L, "a a"), (1L, "b c d"), (2L, "zz qq")).toDF("query_id", "q_text")
+    val plan = TextAnalysis.phraseTopK(corpus, qs, k = 10)
+    val got = plan.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 1L) -> 3L, (0L, 2L) -> 2L, (1L, 3L) -> 1L),
+      s"wrong hits: $got") // query 2 (OOV phrase) emits nothing
+    // the probe stays broadcast — the corpus gram stream must never
+    // sort-merge against the query side
+    val p = plan.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // k cuts per query with the (count desc, doc asc) order
+    val top1 = TextAnalysis.phraseTopK(corpus, qs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(0L -> 1L, 1L -> 3L), s"wrong top-1: $top1")
+  }
+
   test("sniffContainer: real magic bytes on the binary lane, first-match order") {
     import spark.implicits._
     def b(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray

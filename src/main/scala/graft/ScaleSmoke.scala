@@ -301,6 +301,18 @@ object ScaleSmoke {
     // the probe join, the scoring, AND the brute baseline per point. The
     // gap widens with sweep depth (the saved cost is ~(points-1) serving
     // passes + (points-1) brute passes).
+    // binary-quantization shortlist at 20k vectors × 200 queries: the
+    // Hamming stage compares 16-byte codes (integer xor+popcount) where
+    // the float brute force folds 64-dim double dots — the memory-tier
+    // trade as wall time; both end in identical exact top-5 semantics
+    // only when rerank covers the corpus (spec-pinned), here rerank=50
+    val binQ = emb.filter(col("vec_id") % 100 === 0)
+    timed("binary hamming top-5 (20k)") {
+      graft.operators.Similarity.binaryHammingTopK(emb, binQ, k = 5, rerank = 50).count()
+    }
+    timed("float brute top-5 (20k)") {
+      graft.operators.Similarity.bruteForceTopK(emb, binQ, k = 5).count()
+    }
     val sweepQ = emb.filter(col("vec_id") % 100 === 0)
     timed("nprobe sweep 1..4, shared scoring") {
       graft.operators.Similarity

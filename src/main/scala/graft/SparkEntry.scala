@@ -986,6 +986,28 @@ object SparkEntry {
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
+    "ann_binary_topk" -> ((s, dir) => {
+      // binary-quantization serving: 16-byte sign codes, integer Hamming
+      // shortlist (top-20), exact cosine rerank to top-3 — the memory-
+      // tier ANN trade, oracle-replayed bit-for-bit (codes, xor
+      // bit_count, both rank stages)
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 3, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("score"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "ann_recall_eval_binary" -> ((s, dir) => {
+      // the binary family through the same recall tail as ivf/lsh/
+      // matryoshka/rp/pq — every approximate family ships with its
+      // measured recall row
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.binaryHammingTopK(emb, q, k = 3, rerank = 20)
+      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_nprobe_sweep" -> ((s, dir) => {
       // the IVF TUNING SURFACE as one verified frame: recall vs candidate
       // volume swept over the probe knob (nprobe = 1..3) against the exact
@@ -3512,6 +3534,51 @@ object SparkEntry {
       |       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
       |GROUP BY 1 ORDER BY e.query_id""".stripMargin
 
+  /** Shared oracle CTE chain for the BINARY-quantization serving path
+    * (appended after `embCte`): sign-bit code packing into two BIGINT
+    * halves (1-based `i` — bit i−1; the hi/lo split keeps bit 63 out of
+    * the long sign position), integer Hamming via per-half
+    * `bit_count(xor(...))`, top-20 Hamming shortlist, exact-cosine
+    * rerank, rank (`rr`). Ends WITHOUT a trailing comma — consumers
+    * append the final SELECT (`ann_binary_topk`) or [[recallTailCtes]]
+    * (`ann_recall_eval_binary`).
+    */
+  private lazy val binaryServeCtes =
+    """,bc AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN i <= 32 AND v > 0 THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END) AS BIGINT) AS code_lo,
+      |         CAST(SUM(CASE WHEN i >= 33 AND v > 0 THEN (CAST(1 AS BIGINT) << (i-33)) ELSE 0 END) AS BIGINT) AS code_hi
+      |  FROM f GROUP BY 1),
+      |hm AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         CAST(bit_count(xor(q.code_lo, n.code_lo)) AS BIGINT)
+      |         + CAST(bit_count(xor(q.code_hi, n.code_hi)) AS BIGINT) AS hamming
+      |  FROM bc q JOIN bc n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+      |shb AS (
+      |  SELECT query_id, neighbor_id, hamming,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY hamming, neighbor_id) AS hrnk
+      |  FROM hm),
+      |cnb AS (SELECT query_id, neighbor_id, hamming FROM shb WHERE hrnk <= 20),
+      |ddb AS (
+      |  SELECT c.query_id, c.neighbor_id, c.hamming,
+      |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+      |  FROM cnb c
+      |  JOIN f a ON a.vec_id=c.query_id
+      |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+      |  GROUP BY 1,2,3),
+      |ssb AS (
+      |  SELECT query_id, neighbor_id, hamming,
+      |         ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+      |  FROM ddb JOIN nrm nq ON nq.vec_id=ddb.query_id
+      |           JOIN nrm nn2 ON nn2.vec_id=ddb.neighbor_id),
+      |rr AS (
+      |  SELECT query_id, neighbor_id, hamming, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM ssb)
+      |""".stripMargin
+
   /** Oracle tail for `ann_nprobe_sweep` (appended after `embCte` +
     * `kmeansOracleCtes` + [[ivfTrainedServeCtes]], reusing its `rfin` /
     * `ncell`; DuckDB inlines CTEs, so the serve chain's unreferenced
@@ -4430,6 +4497,12 @@ object SparkEntry {
     // chain defines `rr`, the tail replays brute force + the hit join —
     // proving the recall operator is family-agnostic, not IVF-coupled
     "ann_recall_eval_lsh" -> (embCte + lshBandedServeCtes + recallTailCtes),
+    "ann_binary_topk" -> (embCte + binaryServeCtes +
+      """SELECT query_id, neighbor_id, hamming, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    // the binary-quantization family through the same family-agnostic
+    // recall tail as ivf/lsh/matryoshka/rp
+    "ann_recall_eval_binary" -> (embCte + binaryServeCtes + recallTailCtes),
     // sweep over the probe knob: training + the serve chain's rfin/ncell
     // reused, then the ranked-probe shared-scoring sweep tail
     "ann_nprobe_sweep" -> (embCte +

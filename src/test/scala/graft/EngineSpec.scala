@@ -727,6 +727,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (final rank):\n$ivfPlan")
   }
 
+  test("binary codes pack sign bits exactly; full-rerank serving equals brute force") {
+    import spark.implicits._
+    // hand-checked packing: bits are 0-based dimension indices, lo holds
+    // 0–31, hi holds 32–63 (bit 63 stays positive via the hi/lo split)
+    val vecs = Seq(
+      (1L, (0 until 64).map(i => if (i == 0 || i == 3) 1.0f else -1.0f)),
+      (2L, (0 until 64).map(i => if (i == 32) 1.0f else 0.0f)),
+      (3L, (0 until 64).map(i => if (i == 63) 2.0f else -0.5f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.binaryCodes(
+      Similarity.prepared(vecs, "vec_id", "embedding"))
+      .select("id", "code_lo", "code_hi").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(codes(1L) == ((9L, 0L)), s"bits 0+3 -> lo 9: $codes") // 1 + 8
+    assert(codes(2L) == ((0L, 1L)), s"bit 32 -> hi bit 0: $codes")
+    assert(codes(3L) == ((0L, 1L << 31)), s"bit 63 -> hi bit 31, positive: $codes")
+    // zero is NOT a set bit (strict > 0): doc 2's other dims contribute nothing
+    // rerank >= corpus: the Hamming shortlist passes everything through,
+    // so serving degrades to exactly the float brute force — the same
+    // "probe everything IS brute" pin the IVF family carries
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val nCorpus = emb.count().toInt
+    val full = Similarity.binaryHammingTopK(emb, q, k = 3, rerank = nCorpus)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(_.toSeq).toSet
+    assert(full == brute, "full-rerank binary serving must equal exact brute force")
+  }
+
   test("nprobeSweep: each point equals ivfTopK at that nprobe + recallAt; cost axis pinned") {
     val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
     val q = emb.filter(col("vec_id") < 10)

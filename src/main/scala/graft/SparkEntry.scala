@@ -986,6 +986,19 @@ object SparkEntry {
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
+    "emb_cluster_drift" -> ((s, dir) => {
+      // embedding-space drift between two dumps (even vec_ids = the
+      // reference dump, odd = the new one): quantizer trained on A only,
+      // both assigned under the FROZEN centroids, per-cell occupancy
+      // shares in exact integer ppm — the semantic twin of
+      // q_drift_report. The oracle reuses the trainPred k-means CTEs
+      // (the ann_index_upsert form) + the full-corpus assignment chain.
+      val emb = t(s, dir, "embeddings")
+      Similarity.clusterDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), k = 4, iters = 2)
+        .orderBy(col("cell"))
+    }),
     "ann_binary_topk" -> ((s, dir) => {
       // binary-quantization serving: 16-byte sign codes, integer Hamming
       // shortlist (top-20), exact cosine rerank to top-3 — the memory-
@@ -4497,6 +4510,26 @@ object SparkEntry {
     // chain defines `rr`, the tail replays brute force + the hit join —
     // proving the recall operator is family-agnostic, not IVF-coupled
     "ann_recall_eval_lsh" -> (embCte + lshBandedServeCtes + recallTailCtes),
+    // training restricted to the even-parity reference dump (the
+    // ann_index_upsert trainPred form); the serve chain's rfin/ncell
+    // assign the FULL corpus under the frozen centroids, then parity
+    // splits the per-cell counts and integer ppm shares compare them
+    "emb_cluster_drift" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 4, iters = 2, trainPred = "vec_id % 2 = 0") +
+      ivfTrainedServeCtes +
+      """,pcounts AS (
+        |  SELECT ncell.cell,
+        |         CAST(SUM(CASE WHEN ncell.vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN ncell.vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ncell GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+        |       FROM pcounts)
+        |SELECT p.cell, p.n_a, p.n_b,
+        |       CAST((1000000 * p.n_a) // tt.ta AS BIGINT) AS share_a_ppm,
+        |       CAST((1000000 * p.n_b) // tt.tb AS BIGINT) AS share_b_ppm,
+        |       CAST(abs((1000000 * p.n_a) // tt.ta - (1000000 * p.n_b) // tt.tb) AS BIGINT)
+        |         AS abs_drift_ppm
+        |FROM pcounts p, tt ORDER BY p.cell""".stripMargin),
     "ann_binary_topk" -> (embCte + binaryServeCtes +
       """SELECT query_id, neighbor_id, hamming, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),

@@ -533,6 +533,45 @@ object Similarity {
         round(col("sum_hits").cast("double") / col("sum_exact"), 4).as("recall"))
   }
 
+  /** Embedding-space distribution drift between two corpora (dump A vs
+    * dump B — the semantic twin of the token-level `q_drift_report`):
+    * train the deterministic quantizer on the REFERENCE corpus A, assign
+    * both corpora under the frozen centroids, and compare per-cell
+    * occupancy shares in exact integer ppm — the read that catches an
+    * embedding-model change, a source-mix shift, or a topic drift before
+    * an index built on A serves B badly. Emits one row per occupied
+    * cell: `(cell, n_a, n_b, share_a_ppm, share_b_ppm, abs_drift_ppm)`
+    * (Σ abs_drift_ppm / 2 is the total-variation distance over cells,
+    * derivable by the caller in one k-row sum).
+    *
+    * Both corpora must be non-empty (drift needs two sides; integer
+    * shares divide by each total). Scale shape: training reads A
+    * (Lloyd's — the usual per-round mean exchanges), both assignments
+    * are zero-exchange broadcast-matrix maps, and everything after is
+    * k-bounded: two k-row aggregates, a k-row full-outer join, a 1-row
+    * totals broadcast. Integer ppm end to end — nothing to fence.
+    */
+  def clusterDrift(embA: DataFrame, embB: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cs = collectCentroids(trainCentroids(embA, k, iters, idCol, embCol))
+    def cellCounts(df: DataFrame, out: String) =
+      assignCellsLocal(prepared(df, idCol, embCol), cs, nprobe = 1)
+        .groupBy(col("cell")).agg(count(lit(1)).as(out))
+    val joined = cellCounts(embA, "n_a")
+      .join(cellCounts(embB, "n_b"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        expr("(1000000L * n_a) div ta").as("share_a_ppm"),
+        expr("(1000000L * n_b) div tb").as("share_b_ppm"),
+        abs(expr("(1000000L * n_a) div ta") - expr("(1000000L * n_b) div tb"))
+          .as("abs_drift_ppm"))
+  }
+
   /** Sign-bit binary codes: dimension i sets bit i iff v[i] > 0, packed
     * into two BIGINT halves `(code_lo` = bits 0–31, `code_hi` = bits
     * 32–63`)` — the [[Multimodal.imageAHash]] hi/lo packing precedent,

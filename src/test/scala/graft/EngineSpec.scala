@@ -727,6 +727,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (final rank):\n$ivfPlan")
   }
 
+  test("clusterDrift: identical dumps drift zero; a planted mix shift is measured exactly") {
+    import spark.implicits._
+    // planted two-cluster corpus (the IVF recall fixture discipline):
+    // orthogonal 32-dim blocks + deterministic perturbation
+    def mk(ids: Seq[Long], clusterOf: Long => Int) = ids.map { i =>
+      val c = clusterOf(i)
+      (i, Array.tabulate(64) { j =>
+        (if (j / 32 == c) 1.0f else 0.0f) +
+          (((i * 131 + j * 17) % 29) - 14).toFloat / 29.0f * 0.2f
+      }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val a = mk(0L until 120L, i => (i % 2).toInt) // 60 / 60
+    // identical dumps: every cell's counts match — drift exactly zero
+    val same = Similarity.clusterDrift(a, a, k = 2, iters = 2).collect()
+    assert(same.nonEmpty && same.forall(r => r.getAs[Long]("abs_drift_ppm") == 0L), same.toSeq)
+    assert(same.forall(r => r.getAs[Long]("n_a") == r.getAs[Long]("n_b")))
+    // B shifts the mix to 30/90: shares 500000/500000 → 250000/750000,
+    // so BOTH cells drift exactly 250000 ppm
+    val b = mk(1000L until 1120L, i => if (i % 4 == 0) 0 else 1)
+    val drift = Similarity.clusterDrift(a, b, k = 2, iters = 2).collect()
+    assert(drift.length == 2, drift.toSeq)
+    assert(drift.forall(r => r.getAs[Long]("abs_drift_ppm") == 250000L), drift.toSeq)
+    assert(drift.map(r => r.getAs[Long]("n_b")).sorted.toSeq == Seq(30L, 90L), drift.toSeq)
+  }
+
   test("binary codes pack sign bits exactly; full-rerank serving equals brute force") {
     import spark.implicits._
     // hand-checked packing: bits are 0-based dimension indices, lo holds

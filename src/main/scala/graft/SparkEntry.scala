@@ -1011,6 +1011,18 @@ object SparkEntry {
           col("score"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_binary_banded_topk" -> ((s, dir) => {
+      // the binary family's SCALE path: byte-slice band collisions (8
+      // bands × 8 bits, the simhash pigeonhole — Hamming < 8 is
+      // candidate-guaranteed) replace the full code scan; shared
+      // shortlist/rerank tail, value-pinned by the banded oracle chain
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryHammingTopKBanded(emb, emb.filter(col("vec_id") < 10),
+          k = 3, rerank = 20, bands = 8)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("score"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_recall_eval_binary" -> ((s, dir) => {
       // the binary family through the same recall tail as ivf/lsh/
       // matryoshka/rp/pq — every approximate family ships with its
@@ -3556,18 +3568,21 @@ object SparkEntry {
     * append the final SELECT (`ann_binary_topk`) or [[recallTailCtes]]
     * (`ann_recall_eval_binary`).
     */
-  private lazy val binaryServeCtes =
+  private lazy val binaryCodesCte =
     """,bc AS (
       |  SELECT vec_id,
       |         CAST(SUM(CASE WHEN i <= 32 AND v > 0 THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END) AS BIGINT) AS code_lo,
       |         CAST(SUM(CASE WHEN i >= 33 AND v > 0 THEN (CAST(1 AS BIGINT) << (i-33)) ELSE 0 END) AS BIGINT) AS code_hi
-      |  FROM f GROUP BY 1),
-      |hm AS (
-      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-      |         CAST(bit_count(xor(q.code_lo, n.code_lo)) AS BIGINT)
-      |         + CAST(bit_count(xor(q.code_hi, n.code_hi)) AS BIGINT) AS hamming
-      |  FROM bc q JOIN bc n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
-      |shb AS (
+      |  FROM f GROUP BY 1)
+      |""".stripMargin
+
+  /** Tail of the binary serving oracles (consumes any `hm` of
+    * (query_id, neighbor_id, hamming)): Hamming shortlist (top-20),
+    * exact-cosine rerank, rank (`rr`) — shared by the exhaustive
+    * (`ann_binary_topk`) and banded (`ann_binary_banded_topk`) chains.
+    */
+  private lazy val binaryTailCtes =
+    """,shb AS (
       |  SELECT query_id, neighbor_id, hamming,
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY hamming, neighbor_id) AS hrnk
@@ -3591,6 +3606,37 @@ object SparkEntry {
       |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
       |  FROM ssb)
       |""".stripMargin
+
+  /** Exhaustive binary chain: codes + all-pairs Hamming + shared tail. */
+  private lazy val binaryServeCtes = binaryCodesCte +
+    """,hm AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |         CAST(bit_count(xor(q.code_lo, n.code_lo)) AS BIGINT)
+      |         + CAST(bit_count(xor(q.code_hi, n.code_hi)) AS BIGINT) AS hamming
+      |  FROM bc q JOIN bc n ON q.vec_id < 10 AND q.vec_id <> n.vec_id)
+      |""".stripMargin + binaryTailCtes
+
+  /** Banded binary chain: codes + byte-slice band collisions (8 bands ×
+    * 8 bits — the simhash pigeonhole) restrict the Hamming stage to
+    * candidates, then the shared tail.
+    */
+  private lazy val binaryBandedServeCtes = binaryCodesCte +
+    """,sl AS (
+      |  SELECT vec_id, j.j AS band,
+      |         CASE WHEN j.j < 4 THEN (code_lo >> (j.j*8)) & 255
+      |              ELSE (code_hi >> ((j.j-4)*8)) & 255 END AS bval
+      |  FROM bc, range(0,8) j(j)),
+      |cdb AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      |  FROM sl q JOIN sl n ON q.band=n.band AND q.bval=n.bval
+      |  WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+      |hm AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         CAST(bit_count(xor(q.code_lo, n.code_lo)) AS BIGINT)
+      |         + CAST(bit_count(xor(q.code_hi, n.code_hi)) AS BIGINT) AS hamming
+      |  FROM cdb c JOIN bc q ON q.vec_id=c.query_id
+      |             JOIN bc n ON n.vec_id=c.neighbor_id)
+      |""".stripMargin + binaryTailCtes
 
   /** Oracle tail for `ann_nprobe_sweep` (appended after `embCte` +
     * `kmeansOracleCtes` + [[ivfTrainedServeCtes]], reusing its `rfin` /
@@ -4531,6 +4577,9 @@ object SparkEntry {
         |         AS abs_drift_ppm
         |FROM pcounts p, tt ORDER BY p.cell""".stripMargin),
     "ann_binary_topk" -> (embCte + binaryServeCtes +
+      """SELECT query_id, neighbor_id, hamming, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_binary_banded_topk" -> (embCte + binaryBandedServeCtes +
       """SELECT query_id, neighbor_id, hamming, score, rnk FROM rr
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
     // the binary-quantization family through the same family-agnostic

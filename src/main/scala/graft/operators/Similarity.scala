@@ -630,6 +630,16 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"),
         (expr("CAST(bit_count(q_lo ^ code_lo) AS BIGINT)") +
           expr("CAST(bit_count(q_hi ^ code_hi) AS BIGINT)")).as("hamming"))
+    hammingRerank(ham, np, qp, k, rerank)
+  }
+
+  /** Shared Hamming-shortlist → exact-cosine rerank tail of the binary
+    * family: rank the narrow (query_id, neighbor_id, hamming) frame,
+    * keep `rerank` per query, join vectors back for those alone, exact
+    * rounded-cosine final rank to `k`.
+    */
+  private def hammingRerank(ham: DataFrame, np: DataFrame, qp: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
     val wH = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("neighbor_id"))
     val short = ham.withColumn("hrnk", row_number().over(wH))
@@ -644,6 +654,57 @@ object Similarity {
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("score"))
       .withColumn("rnk", row_number().over(rankWindow).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** The SCALE path of [[binaryHammingTopK]]: candidates come from
+    * band collisions over the code itself (split the 64 bits into
+    * `bands` equal slices; a pair is a candidate iff ANY slice matches
+    * exactly) instead of a full code scan per query — the
+    * [[Dedup.simhashPairs]] pigeonhole: a pair within Hamming <
+    * `bands` corrupts at most Hamming slices, so at least one stays
+    * intact and the pair is GUARANTEED a candidate (spec-pinned);
+    * farther pairs are found with probability falling in their
+    * distance, which is the standard banding trade. Candidate
+    * generation is an equi-join on (band, slice-value) over narrow
+    * (id, band, bval) rows — at corpus scale the exchange is keyed and
+    * bounded by collision volume, never |Q|·|N|. The shortlist/rerank
+    * tail is shared with the exhaustive form.
+    *
+    * `bands` ∈ {2, 4, 8, 16, 32} (slices must tile the two 32-bit
+    * halves). bands=8 → byte slices: 256-way selectivity per band.
+    */
+  def binaryHammingTopKBanded(
+      emb: DataFrame, queries: DataFrame, k: Int, rerank: Int = 20,
+      bands: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(Set(2, 4, 8, 16, 32)(bands), s"bands must tile 32-bit halves, got $bands")
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    val half = bands / 2
+    val np = prepared(emb, idCol, embCol)
+    val qp = prepared(queries, idCol, embCol)
+    val nc = binaryCodes(np).select(col("id"), col("code_lo"), col("code_hi"))
+    val qc = binaryCodes(qp).select(col("id").as("query_id"),
+      col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    def slices(df: DataFrame, idc: String, lo: String, hi: String) =
+      df.select(col(idc), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> " +
+          s"CASE WHEN j < $half THEN shiftright($lo, j * $w) & $mask " +
+          s"ELSE shiftright($hi, (j - $half) * $w) & $mask END)"))
+        .as(Seq("band", "bval")))
+    val cand = slices(qc, "query_id", "q_lo", "q_hi")
+      .join(slices(nc, "id", "code_lo", "code_hi"), Seq("band", "bval"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val ham = cand
+      .join(qc, Seq("query_id"))
+      .join(nc.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("CAST(bit_count(q_lo ^ code_lo) AS BIGINT)") +
+          expr("CAST(bit_count(q_hi ^ code_hi) AS BIGINT)")).as("hamming"))
+    hammingRerank(ham, np, qp, k, rerank)
   }
 
   /** Bucketed near-dup pairs: only same-hyperplane-bucket pairs are scored —

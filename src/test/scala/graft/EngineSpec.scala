@@ -784,6 +784,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == brute, "full-rerank binary serving must equal exact brute force")
   }
 
+  test("banded binary serving: Hamming<bands pairs candidate-guaranteed, all-bands-hit pairs dropped") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f)
+    def flipped(dims: Set[Int]): Seq[Float] =
+      base.zipWithIndex.map { case (x, j) => if (dims(j)) -x else x }.toSeq
+    val vecs = Seq(
+      (0L, base.toSeq),
+      (1L, flipped(Set(0))),          // code Hamming 1 — ≥7 intact bands
+      (2L, flipped(Set(0, 1))),       // Hamming 2
+      (3L, flipped(Set(0, 1, 2))),    // Hamming 3
+      (4L, base.map(-_).toSeq),       // Hamming 64 — every band corrupted
+      (5L, flipped((0 until 64 by 8).toSet)) // Hamming 8, one flip PER band
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // pigeonhole: Hamming < 8 corrupts < 8 byte-slices, so ids 1–3 are
+    // guaranteed candidates and surface exactly as the full form ranks them
+    val banded = Similarity.binaryHammingTopKBanded(vecs, q, k = 5, rerank = 5, bands = 8)
+    assert(ids(banded) == Set(1L, 2L, 3L),
+      s"banded must keep the <8-Hamming neighbors and ONLY them here: ${ids(banded)}")
+    // the documented trade: ids 4 (all bits) and 5 (one flip in EVERY
+    // band) corrupt all 8 slices — no intact band, dropped from the
+    // candidate set — while the exhaustive scan still surfaces them
+    val full = Similarity.binaryHammingTopK(vecs, q, k = 5, rerank = 5)
+    assert(ids(full) == Set(1L, 2L, 3L, 4L, 5L), s"full scan sees all: ${ids(full)}")
+    // on the guaranteed set the two forms agree row-for-row
+    val bRows = banded.select("query_id", "neighbor_id", "hamming", "score")
+      .collect().map(_.toSeq).toSet
+    val fRows = full.filter(col("neighbor_id") < 4L)
+      .select("query_id", "neighbor_id", "hamming", "score")
+      .collect().map(_.toSeq).toSet
+    assert(bRows == fRows)
+  }
+
   test("nprobeSweep: each point equals ivfTopK at that nprobe + recallAt; cost axis pinned") {
     val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
     val q = emb.filter(col("vec_id") < 10)

@@ -1023,6 +1023,17 @@ object SparkEntry {
           col("score"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_recall_eval_binary_banded" -> ((s, dir) => {
+      // the banded form's own recall row: prices BOTH trades at once
+      // (sign-code quantization + band-collision candidate loss) against
+      // the exact float baseline — the number that decides whether the
+      // scale path is safe for a given corpus
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.binaryHammingTopKBanded(emb, q, k = 3, rerank = 20, bands = 8)
+      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+        .orderBy(col("query_id"))
+    }),
     "ann_recall_eval_binary" -> ((s, dir) => {
       // the binary family through the same recall tail as ivf/lsh/
       // matryoshka/rp/pq — every approximate family ships with its
@@ -4585,6 +4596,7 @@ object SparkEntry {
     // the binary-quantization family through the same family-agnostic
     // recall tail as ivf/lsh/matryoshka/rp
     "ann_recall_eval_binary" -> (embCte + binaryServeCtes + recallTailCtes),
+    "ann_recall_eval_binary_banded" -> (embCte + binaryBandedServeCtes + recallTailCtes),
     // sweep over the probe knob: training + the serve chain's rfin/ncell
     // reused, then the ranked-probe shared-scoring sweep tail
     "ann_nprobe_sweep" -> (embCte +

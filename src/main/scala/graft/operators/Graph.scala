@@ -350,8 +350,11 @@ object Graph {
     */
   def degreeAssortativity(edges: DataFrame,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // cached (the pageRank discipline): the degree aggregation AND the
+    // edge-keyed joins all read the oriented edge list — uncached, each
+    // consumer re-derives the union + distinct from the source scan
+    val e = Dedup.cached(edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
     val deg = Dedup.cached(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val ed = e
       .join(deg, Seq("src"))

@@ -598,6 +598,22 @@ object SparkEntry {
           col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
+    "q_interval_coalesce" -> ((s, dir) => {
+      // the interval-algebra primitive: per-customer order spans (start =
+      // order date as epoch days, length = orderkey-derived 1..10 days)
+      // merged into maximal disjoint spans; touching spans merge (closed
+      // intervals — the documented contract). Oracle replays the running-
+      // max flag, the span cumsum, and the aggregation verbatim.
+      val iv = t(s, dir, "orders").select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("s"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") +
+          col("o_orderkey") % 10 + 1).as("e"))
+      Temporal.coalesceIntervals(iv, "o_custkey", "s", "e")
+        .select(col("o_custkey"), col("span_idx"),
+          col("span_start"), col("span_end"), col("n_intervals"))
+        .orderBy(col("o_custkey"), col("span_idx"))
+    }),
     "q_interval_join_outer" -> ((s, dir) => {
       // the LEFT OUTER form: clicks with no in-window purchase survive with
       // NULL purchase columns — on a stream these rows emit once both
@@ -4190,6 +4206,31 @@ object SparkEntry {
         |              AND p.purchase_us >= c.click_us - 86400000000
         |              AND p.purchase_us <= c.click_us
         |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+    "q_interval_coalesce" ->
+      // identical running-max flag / cumsum / span aggregation; ROWS
+      // frames pin the same peer semantics as the Spark windows
+      """WITH iv AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS s,
+        |         CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+        |              + o_orderkey % 10 + 1 AS BIGINT) AS e
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |g AS (
+        |  SELECT o_custkey, s, e,
+        |         CAST(SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx
+        |  FROM w)
+        |SELECT o_custkey, span_idx, MIN(s) AS span_start, MAX(e) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_interval_join_outer" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
         |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),

@@ -61,6 +61,43 @@ object Temporal {
       .drop("is_new")
   }
 
+  /** Interval coalescing — merge overlapping/touching spans per key into
+    * maximal disjoint spans (time-coverage measurement, span dedup,
+    * outage/window union — the interval-algebra primitive
+    * [[intervalJoin]] consumes but nothing so far produced): a span is
+    * NEW iff its start lies strictly past the running max end of every
+    * earlier interval (ordered by (start, end)); touching intervals
+    * (start == previous max end) therefore MERGE — closed-interval
+    * semantics, documented contract. Emits one row per coalesced span:
+    * `(keyCol, span_idx, span_start, span_end, n_intervals)`.
+    *
+    * Plan shape — the [[sessionize]] discipline: the new-span flag and
+    * its running sum share ONE (key) exchange + (start, end) sort (the
+    * running-max window is the same partitioning/ordering, so Spark
+    * plans a single Window node chain), then the span aggregation keys
+    * on (key, span_idx). Per-key partitions are key-bounded, never
+    * corpus-ordered. Equal (start, end) duplicates are
+    * permutation-invariant under the frame (a twin's running max
+    * already covers its sibling), so the output is deterministic for
+    * any input order.
+    */
+  def coalesceIntervals(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      order.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("is_new",
+        when(prevMax.isNull || col(startCol) > prevMax, lit(1L)).otherwise(lit(0L)))
+      .withColumn("span_idx", sum(col("is_new")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("span_idx"))
+      .agg(
+        min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** Gap-AND-cap sessionization — the batch form of
     * [[graft.streaming.SessionizeStream]]'s policy: sessions split on a
     * silence gap (like [[sessionize]]) AND after `maxEvents` rows (a bot

@@ -3290,6 +3290,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("coalesceIntervals: overlap merges, touch merges, gaps split, nested absorbed") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L), // overlap → one span
+      (1L, 12L, 15L),               // touches the running end → merges (closed intervals)
+      (1L, 16L, 20L),               // strict gap → new span
+      (2L, 0L, 2L),                 // other key isolated
+      (1L, 1L, 3L)                  // nested inside the first span
+    ).toDF("k", "s", "e")
+    val plan = Temporal.coalesceIntervals(iv, "k", "s", "e")
+    val got = plan.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 15L, 4L), (1L, 2L, 16L, 20L, 1L), (2L, 1L, 0L, 2L, 1L)), got)
+    // the flag window and its cumsum share one (key) exchange + sort; the
+    // span aggregation adds at most one more — never a third
+    val p = plan.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"extra exchange:\n$p")
+  }
+
   test("funnel: order and strictness enforced; retention triangle exact") {
     import spark.implicits._
     val ev = Seq(

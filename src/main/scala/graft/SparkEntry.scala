@@ -1902,6 +1902,19 @@ object SparkEntry {
           expr("(ts_us DIV 3600000000) % 24").as("hour_of_day"),
           col("user_id")),
         Seq("event_type", "hour_of_day"), "user_id", l = 10)),
+    "q_spatial_radius_join" -> ((s, dir) => {
+      // grid-blocked proximity self-join (the 2D analog of banding):
+      // synthetic integer coordinates from the customer key, exact
+      // integer dist² ≤ r², 3×3 stencil with cell ≥ radius so the
+      // blocking is a guarantee. The ORACLE is the all-pairs brute
+      // force — the gate itself proves blocked ≡ exhaustive.
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 2000).as("x"),
+        (col("c_custkey") * 104729 % 2000).as("y"))
+      Joins.radiusJoinBlocked(pts, radius = 60, cell = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_fuzzy_blocked" -> ((s, dir) =>
       // entity-resolution candidates: (nation, segment)-blocked customer
       // self-join scored by exact Levenshtein ≤ 2 — candidate volume is
@@ -5659,6 +5672,18 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_sensitive < 10 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_exposed_rows
         |FROM g""".stripMargin,
+    "q_spatial_radius_join" ->
+      // the brute-force all-pairs form — deliberately NOT the stencil:
+      // the gate proves the blocked plan emits exactly the exhaustive set
+      """WITH p AS (
+        |  SELECT c_custkey AS id, (c_custkey * 7919) % 2000 AS x,
+        |         (c_custkey * 104729) % 2000 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_fuzzy_blocked" ->
       // exact Levenshtein is integer and engine-identical; the block
       // equi-keys bound candidate volume to Σ block²

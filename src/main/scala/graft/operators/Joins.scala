@@ -114,4 +114,47 @@ object Joins {
       .select(col("u_key"), col("v_key"), col("u_str"), col("v_str"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** Spatial radius self-join via grid blocking — the 2D analog of LSH
+    * banding (proximity joins over point data: store co-location,
+    * sensor neighborhoods, embedding-projection neighborhoods): all
+    * pairs within `radius` (Euclidean, CLOSED ball, exact INTEGER
+    * dist² ≤ radius² — no floating point, no trig), found via the
+    * classic 3×3 stencil: one side explodes its 9 neighboring grid
+    * cells, the other keeps its home cell, the join keys on the cell.
+    * With `cell >= radius` the stencil is a GUARANTEE, not a
+    * heuristic: any pair within radius differs by < cell per axis, so
+    * b's home cell is among a's 9 (spec-pinned ≡ the all-pairs brute
+    * force). Each pair meets at most ONCE (b has one home cell; a's 9
+    * stencil cells are distinct) — no candidate dedup anywhere.
+    *
+    * Scale shape: the exchange keys on the grid cell — candidate
+    * volume is Σ_cells 9·|cell|², bounded by density, never N²; a hot
+    * cell is a data-skew fact (AQE-splittable), not a plan defect.
+    * Coordinates must be non-negative (integer `div` grid snapping).
+    *
+    * Emits (id_a, id_b, dist2) with id_a < id_b.
+    */
+  def radiusJoinBlocked(pts: DataFrame, radius: Long, cell: Long,
+      idCol: String = "id", xCol: String = "x", yCol: String = "y"): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0: $radius")
+    require(cell >= math.max(radius, 1L),
+      s"cell ($cell) must be >= radius ($radius) for the 3x3 stencil guarantee")
+    val home = pts.select(col(idCol).as("id_b"),
+      col(xCol).as("xb"), col(yCol).as("yb"),
+      expr(s"$xCol div $cell").as("cx"), expr(s"$yCol div $cell").as("cy"))
+    val stencil = pts.select(col(idCol).as("id_a"),
+        col(xCol).as("xa"), col(yCol).as("ya"),
+        expr(s"$xCol div $cell").as("hx"), expr(s"$yCol div $cell").as("hy"))
+      .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+      .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("hx") + col("dx")).as("cx"), (col("hy") + col("dy")).as("cy"))
+    stencil.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+      .filter(col("dist2") <= radius * radius)
+  }
 }

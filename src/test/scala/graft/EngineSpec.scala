@@ -3290,6 +3290,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no per-stratum window sort may appear:\n$plan")
   }
 
+  test("radiusJoinBlocked: 3x3 stencil equals the all-pairs brute force; cell guard") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val pts = (1L to 400L).map(_ =>
+      (rng.nextLong().abs % 100000, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong))
+      .distinct.map { case (i, x, y) => (i, x, y) }.toDF("id", "x", "y")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = pairs(Joins.radiusJoinBlocked(pts, radius = 50, cell = 64))
+    // brute force: every pair, exact integer distance — the guarantee's
+    // ground truth (cell >= radius makes the stencil exhaustive)
+    val a = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"))
+    val brute = pairs(a.crossJoin(
+        pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+      .filter(col("dist2") <= 2500L))
+    assert(brute.nonEmpty, "fixture must exercise real pairs")
+    assert(blocked == brute, s"blocked must equal brute: ${blocked.size} vs ${brute.size}")
+    // boundary: dist2 == radius² is INSIDE the closed ball
+    assert(pairs(Joins.radiusJoinBlocked(
+      Seq((1L, 0L, 0L), (2L, 3L, 4L)).toDF("id", "x", "y"),
+      radius = 5, cell = 8)) == Set((1L, 2L, 25L)))
+    // cell < radius voids the stencil guarantee — refused loudly
+    intercept[IllegalArgumentException](
+      Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
+  }
+
   test("coalesceIntervals: overlap merges, touch merges, gaps split, nested absorbed") {
     import spark.implicits._
     val iv = Seq(

@@ -1789,6 +1789,30 @@ object SparkEntry {
         .orderBy(col("n_members").desc, col("label"))
         .limit(50)
     }),
+    "q_hits" -> ((s, dir) => {
+      // HITS over the DIRECTED order→part incidence graph: 3 iterations
+      // of fenced half-steps (decimal-exact contribution sums, broadcast
+      // 1-row L1 normalizers); orders surface as hubs, parts as
+      // authorities — top 100 by (auth, hub, node)
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.hits(edges, iters = 3)
+        .orderBy(col("auth").desc, col("hub").desc, col("node"))
+        .limit(100)
+    }),
+    "q_modularity" -> ((s, dir) => {
+      // community-quality audit of the LPA labeling: Newman–Girvan Q
+      // from integer sufficient statistics (intra edges, Σd_c²) — the
+      // one-row read that decides whether q_label_propagation's
+      // communities are structure or noise
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("a"),
+          (col("l_partkey") + 1000000000L).as("b"))
+        .distinct()
+      Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 3))
+    }),
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank from part 0 over the order—part incidence
       // graph: the random-walk-with-restart proximity ranking — same
@@ -3173,6 +3197,56 @@ object SparkEntry {
        |${(1 to iters).map(i => iter(s"pr${i - 1}", s"c$i", s"pr$i")).mkString(",\n")}
        |""".stripMargin
   }
+
+  /** DuckDB CTE chain replaying [[graft.operators.Graph.labelPropagation]]
+    * (3 sync rounds, min-label tie-break). Expects `e0(a, b)`; emits
+    * `adj`, `l0..l3`. Shared by the LPA census row and the modularity
+    * audit so both replay the identical labeling. No trailing comma.
+    */
+  private lazy val lpOracleCtes: String =
+    """adj AS MATERIALIZED (SELECT a AS n, b AS m FROM e0
+      |       UNION ALL SELECT b AS n, a AS m FROM e0),
+      |l0 AS (SELECT DISTINCT n, n AS label FROM adj),
+      |""".stripMargin +
+    (1 to 3).map { i =>
+      s"""c$i AS (SELECT adj.n, l.label, COUNT(*) AS cnt
+         |       FROM adj JOIN l${i - 1} l ON l.n = adj.m
+         |       GROUP BY 1, 2),
+         |r$i AS (SELECT n, label,
+         |              row_number() OVER (PARTITION BY n
+         |                ORDER BY cnt DESC, label) AS rn
+         |       FROM c$i),
+         |l$i AS MATERIALIZED (SELECT n, label FROM r$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB CTE chain unrolling [[graft.operators.Graph.hits]]: per
+    * iteration an authority half-step (contributions from hubs over
+    * in-edges, decimal-exact sum, one-scalar L1 normalize) then the
+    * mirror hub half-step — every ROUND/DECIMAL fence identical to the
+    * Spark side. Expects `e0(a, b)` directed a→b; emits `eh`, `h0`,
+    * `a1..a{iters}`, `h1..h{iters}`. Ends WITHOUT a trailing comma.
+    */
+  private def hitsOracleIters(iters: Int): String =
+    """eh AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0),
+      |h0 AS (SELECT DISTINCT node, 1.0 AS h
+      |       FROM (SELECT src AS node FROM eh UNION ALL SELECT dst FROM eh)),
+      |""".stripMargin +
+    (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node,
+         |             CAST(SUM(CAST(h.h AS DECIMAL(28,14))) AS DOUBLE) AS v
+         |       FROM eh e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |at$i AS (SELECT CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) AS t
+         |       FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT node, ROUND(v / t, 12) AS a
+         |       FROM ar$i CROSS JOIN at$i),
+         |hr$i AS (SELECT e.src AS node,
+         |             CAST(SUM(CAST(a.a AS DECIMAL(28,14))) AS DOUBLE) AS v
+         |       FROM eh e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |ht$i AS (SELECT CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) AS t
+         |       FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT node, ROUND(v / t, 12) AS h
+         |       FROM hr$i CROSS JOIN ht$i)""".stripMargin
+    }.mkString(",\n")
 
   /** DuckDB CTE chain replaying [[graft.operators.Graph.kCore]]'s
     * synchronous peel: each round recomputes degrees over the surviving
@@ -5596,22 +5670,45 @@ object SparkEntry {
     "q_label_propagation" -> (
       """WITH e0 AS (
         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
-        |adj AS MATERIALIZED (SELECT a AS n, b AS m FROM e0
-        |       UNION ALL SELECT b AS n, a AS m FROM e0),
-        |l0 AS (SELECT DISTINCT n, n AS label FROM adj),
-        |""".stripMargin +
-      (1 to 3).map { i =>
-        s"""c$i AS (SELECT adj.n, l.label, COUNT(*) AS cnt
-           |       FROM adj JOIN l${i - 1} l ON l.n = adj.m
-           |       GROUP BY 1, 2),
-           |r$i AS (SELECT n, label,
-           |              row_number() OVER (PARTITION BY n
-           |                ORDER BY cnt DESC, label) AS rn
-           |       FROM c$i),
-           |l$i AS MATERIALIZED (SELECT n, label FROM r$i WHERE rn = 1)""".stripMargin
-      }.mkString(",\n") + "\n" +
+        |""".stripMargin + lpOracleCtes + "\n" +
       """SELECT label, COUNT(*) AS n_members FROM l3
         |GROUP BY 1 ORDER BY n_members DESC, label LIMIT 50""".stripMargin),
+    "q_modularity" -> (
+      // LPA labels replayed (the shared l3 chain), then the Newman–Girvan
+      // integer sufficient statistics: intra edges via two label joins on
+      // the canonical edge list, Σd_c² via the community-keyed degree agg,
+      // and ONE fixed-order double over exact BIGINTs
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
+        |""".stripMargin + lpOracleCtes + "," + """
+        |ed AS (SELECT la.label AS la, lb.label AS lb
+        |       FROM e0 JOIN l3 la ON la.n = e0.a JOIN l3 lb ON lb.n = e0.b),
+        |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |              CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS intra_edges
+        |       FROM ed),
+        |dc AS (SELECT c, COUNT(*) AS dc
+        |       FROM (SELECT la AS c FROM ed UNION ALL SELECT lb FROM ed)
+        |       GROUP BY 1),
+        |s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |              CAST(SUM(dc*dc) AS BIGINT) AS sum_dc2
+        |       FROM dc)
+        |SELECT m, intra_edges, n_communities, sum_dc2,
+        |       ROUND(CAST(4*m*intra_edges - sum_dc2 AS DOUBLE)
+        |           / CAST(4*m*m AS DOUBLE), 6)+0.0 AS modularity
+        |FROM s1 CROSS JOIN s2""".stripMargin),
+    "q_hits" -> (
+      // three fenced half-step pairs replayed: decimal-exact contribution
+      // sums, one-scalar L1 normalizers, ROUND(v/t, 12) — then the full
+      // outer hub/auth stitch with zeros for the side a node never scores
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
+        |""".stripMargin + hitsOracleIters(3) + """
+        |SELECT COALESCE(h.node, a.node) AS node,
+        |       COALESCE(h.h, 0.0)+0.0 AS hub,
+        |       COALESCE(a.a, 0.0)+0.0 AS auth
+        |FROM h3 h FULL OUTER JOIN a3 a ON a.node = h.node
+        |ORDER BY auth DESC, hub DESC, node LIMIT 100""".stripMargin),
     "q_ppr" -> (
       """WITH e0 AS (
         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),

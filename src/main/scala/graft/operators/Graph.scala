@@ -327,6 +327,109 @@ object Graph {
           .as("jaccard_ppm"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", 1999) over a DIRECTED edge list — the
+    * link-analysis complement of [[pageRank]]: authority(v) = Σ hub(u)
+    * over in-edges, hub(u) = Σ auth(v) over out-edges, each L1-normalized
+    * per half-step. On a bipartite incidence graph (orders → parts) the
+    * sides separate cleanly: sources score as hubs, targets as
+    * authorities — the "good collector / good content" split a curation
+    * pipeline reads to find catalog-spanning orders and
+    * universally-demanded parts.
+    *
+    * Same iteration shape as [[pageRank]]: each half-step is ONE
+    * edge-keyed join feeding ONE map-side-combined aggregation; the L1
+    * total is a broadcast 1-row frame (the bounded-global pattern — at
+    * any graph size the normalizer is one scalar). Same determinism
+    * fencing: scores are rounded to 12 dp before the next half-step
+    * consumes them, sums run in DECIMAL(28,14) (order-free), and the
+    * normalize is a single IEEE divide of two decimal-exact doubles —
+    * so the oracle replays every half-step bit-identically.
+    *
+    * Returns (node, hub, auth) with 0.0 for a side the node never
+    * scores on (a pure source has auth 0; a pure sink hub 0).
+    */
+  def hits(edges: DataFrame, iters: Int = 3,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = Dedup.cached(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct())
+    def l1Norm(scores: DataFrame, vCol: String): DataFrame = {
+      val tot = scores.agg(
+        sum(col(vCol).cast(DecimalType(28, 14))).cast("double").as("t"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("node"), round(col(vCol) / col("t"), 12).as(vCol))
+    }
+    var h = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().select(col("node"), lit(1.0).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = l1Norm(
+        e.join(h, e("src") === h("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("h").cast(DecimalType(28, 14))).cast("double").as("a"))
+          .select(col("dst").as("node"), col("a")),
+        "a")
+      h = l1Norm(
+        e.join(a, e("dst") === a("node"))
+          .groupBy(col("src"))
+          .agg(sum(col("a").cast(DecimalType(28, 14))).cast("double").as("h"))
+          .select(col("src").as("node"), col("h")),
+        "h")
+    }
+    h.join(a, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("auth"))
+  }
+
+  /** Newman–Girvan modularity (Newman & Girvan 2004) of a community
+    * assignment — the one-row quality audit run AFTER
+    * [[labelPropagation]] (or any labeling) before trusting its
+    * communities: Q = Σ_c [e_c/m − (d_c/2m)²], where m = |E| undirected,
+    * e_c = intra-community edges and d_c = total degree of community c.
+    * Q ≈ 0 means the labeling is no better than random wiring; the
+    * emitted INTEGER sufficient statistics (m, Σe_c, Σd_c²) make the
+    * gate exact and the 6-dp double one fixed-order expression over
+    * them: Q = (4·m·intra − Σd_c²) / (4·m²) — the
+    * [[degreeAssortativity]] discipline.
+    *
+    * Scale shape: two label joins riding the canonical edge list (the
+    * intra test), one degree agg, one community-keyed agg over ≤ |C|
+    * rows, one global 3-sum — no windows, no pair blow-up, one output
+    * row at any graph size. Integer overflow fence: 4·m·intra and Σd_c²
+    * are < 2⁶³ up to m ≈ 10⁹ undirected edges; beyond that swap the
+    * final sums to DECIMAL(38,0) (same plan).
+    *
+    * `labels` must carry one (n, label) row per node covering every
+    * edge endpoint (LPA's output contract).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = Dedup.cached(edges.select(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val lab = Dedup.cached(labels.select(col("n"), col("label")))
+    val ed = und
+      .join(lab.select(col("n").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("n").as("b"), col("label").as("lb")), Seq("b"))
+    val intra = ed.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra"))
+    // community degree sums: each edge contributes 1 to both endpoints'
+    // communities — Σ_c d_c² through one community-keyed agg
+    val dc = ed.select(col("la").as("c")).unionAll(ed.select(col("lb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    val sums = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("dc") * col("dc")).as("sum_dc2"))
+    intra.crossJoin(broadcast(sums))
+      .select(col("m"), col("intra").as("intra_edges"),
+        col("n_communities"), col("sum_dc2"),
+        round((lit(4L) * col("m") * col("intra") - col("sum_dc2"))
+          .cast("double") / (lit(4L) * col("m") * col("m")).cast("double"), 6)
+          .as("modularity"))
+  }
+
   /** Degree assortativity (Newman, "Assortative mixing in networks",
     * 2002) — the one-row structural audit read before trusting any
     * degree-driven plan choice (hub caps, skew salting, sampling by

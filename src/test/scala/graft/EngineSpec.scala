@@ -3995,6 +3995,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sr.values.sum - 1.0) < 1e-6, sr.values.sum.toString)
   }
 
+  test("hits: closed-form star, L1 mass 1 per side, pure sources score auth 0") {
+    import spark.implicits._
+    // directed star 1→10, 2→10, 1→11 after ONE iteration:
+    //   a_raw = {10: 2, 11: 1}, tot 3 → auth = {2/3, 1/3}
+    //   h_raw = {1: 2/3+1/3 = 1, 2: 2/3}, tot 5/3 → hub = {0.6, 0.4}
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L)).toDF("a", "b")
+    val r1 = Graph.hits(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(r1(10L)._2 - 2.0 / 3) < 1e-9 &&
+      math.abs(r1(11L)._2 - 1.0 / 3) < 1e-9, r1.toString)
+    assert(math.abs(r1(1L)._1 - 0.6) < 1e-9 &&
+      math.abs(r1(2L)._1 - 0.4) < 1e-9, r1.toString)
+    // bipartite: pure sources never receive, pure sinks never send
+    assert(r1(1L)._2 == 0.0 && r1(2L)._2 == 0.0, "sources must score auth 0")
+    assert(r1(10L)._1 == 0.0 && r1(11L)._1 == 0.0, "sinks must score hub 0")
+    // both sides stay L1-normalized through further iterations
+    val r3 = Graph.hits(e, iters = 3).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(r3.map(_._1).sum - 1.0) < 1e-6, "hub mass must be 1")
+    assert(math.abs(r3.map(_._2).sum - 1.0) < 1e-6, "auth mass must be 1")
+  }
+
+  test("modularity: two clean triangles score 5/14, one-community labeling scores 0") {
+    import spark.implicits._
+    // two triangles bridged by one edge, labeled by triangle: m = 7,
+    // intra = 6, d_c = 7 per side → Q = (4·7·6 − 98)/196 = 70/196
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("n", "label")
+    val r = Graph.modularity(e, lab).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 6L, 2L, 98L)), r.toString)
+    assert(math.abs(r.getDouble(4) - 70.0 / 196) < 1e-6, r.toString)
+    // degenerate labeling (everything one community): intra = m and
+    // sum_dc2 = (2m)², so Q is exactly 0 — no structure credit
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 9L)).toDF("n", "label")
+    assert(Graph.modularity(e, one).collect().head.getDouble(4) == 0.0)
+  }
+
   test("triangleCounts: exact on K4, zero on trees, canonicalizes dup/reversed edges") {
     import spark.implicits._
     val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")

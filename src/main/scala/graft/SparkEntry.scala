@@ -1203,6 +1203,18 @@ object SparkEntry {
           col("rank_ab"), col("rank_ba"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "ann_label_noise" -> ((s, dir) => {
+      // kNN-disagreement label audit: a label is suspect when a strict
+      // majority of the vector's top-4 banded-LSH neighbors carry one
+      // other label (count-plurality, smallest-label tie-break) — the
+      // confident-learning-style screen run before trusting `label` as
+      // supervision; candidates band-bucketed, never all-pairs
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      Similarity.labelNoise(emb, planes, bands = 2, k = 4)
+        .orderBy(col("vec_id"))
+    }),
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: nearest different-LABEL vectors
       // per query — the label constraint applies before ranking. Brute
@@ -5033,6 +5045,57 @@ object SparkEntry {
         |FROM kn k1 JOIN kn k2 ON k2.id_a=k1.id_b AND k2.id_b=k1.id_a
         |WHERE k1.rnk <= 4 AND k2.rnk <= 4 AND k1.id_a < k1.id_b
         |ORDER BY k1.id_a, k1.id_b""".stripMargin),
+    "ann_label_noise" -> (embCte +
+      // the knn_graph banded candidate chain (hp/pd/bkb/cand), directed
+      // top-4 window, then label joins + plurality argmax replayed with
+      // the identical (count DESC, label) tie-break
+      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+        |pd AS (
+        |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
+        |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
+        |bkb AS (
+        |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pd GROUP BY 1,2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkb a JOIN bkb b ON a.band=b.band AND a.bucket=b.bucket AND a.vec_id<>b.vec_id),
+        |d AS (
+        |  SELECT c.id_a, c.id_b, list_reduce(list(x.v*y.v ORDER BY x.i), (p,q) -> p+q) AS dot
+        |  FROM cand c
+        |  JOIN f x ON x.vec_id=c.id_a
+        |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
+        |  GROUP BY 1,2),
+        |sc AS (
+        |  SELECT id_a, id_b, ROUND(dot/(nx.nrm*ny.nrm),4)+0.0 AS cosine
+        |  FROM d JOIN nrm nx ON nx.vec_id=id_a JOIN nrm ny ON ny.vec_id=id_b),
+        |kn AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |           row_number() OVER (PARTITION BY id_a
+        |                              ORDER BY cosine DESC, id_b) AS rnk
+        |    FROM sc) WHERE rnk <= 4),
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |wl AS (SELECT kn.id_a, lo.label AS own_label, ln2.label AS nbr_lbl
+        |       FROM kn JOIN lb lo ON lo.vec_id = kn.id_a
+        |               JOIN lb ln2 ON ln2.vec_id = kn.id_b),
+        |cts AS (SELECT id_a, own_label, nbr_lbl, COUNT(*) AS c
+        |        FROM wl GROUP BY 1,2,3),
+        |pl AS (SELECT id_a, nbr_lbl AS plurality_label, c AS plurality_n,
+        |              row_number() OVER (PARTITION BY id_a
+        |                                 ORDER BY c DESC, nbr_lbl) AS rn
+        |       FROM cts),
+        |ag AS (SELECT id_a, own_label,
+        |              CAST(SUM(c) AS BIGINT) AS n_nbrs,
+        |              CAST(SUM(CASE WHEN nbr_lbl <> own_label THEN c ELSE 0 END) AS BIGINT)
+        |                AS n_disagree
+        |       FROM cts GROUP BY 1,2)
+        |SELECT ag.id_a AS vec_id, ag.own_label AS label, ag.n_nbrs, ag.n_disagree,
+        |       pl.plurality_label, CAST(pl.plurality_n AS BIGINT) AS plurality_n,
+        |       (pl.plurality_label <> ag.own_label AND pl.plurality_n * 2 > ag.n_nbrs)
+        |         AS suspect
+        |FROM ag JOIN pl ON pl.id_a = ag.id_a AND pl.rn = 1
+        |ORDER BY vec_id""".stripMargin),
     "ann_hard_negatives" -> (embCte +
       // the brute chain with the label inequality applied BEFORE the
       // per-query window — ordered dot folds, rounded scores, id tie-break

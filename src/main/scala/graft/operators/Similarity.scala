@@ -806,6 +806,67 @@ object Similarity {
         col("rnk").as("rank_ab"), col("rank_ba"))
   }
 
+  /** kNN-disagreement label-noise audit (the kernel of confident
+    * learning, Northcutt et al. 2021, and of classic edited-NN cleaning,
+    * Wilson 1972): a label is SUSPECT when a STRICT MAJORITY of the
+    * vector's k nearest neighbors carry one other label — mislabeled
+    * points sit inside another class's neighborhood, so the k-ball vote
+    * flags them without training a model. The row a curation pipeline
+    * reads before trusting `label` as supervision.
+    *
+    * Per vector: neighbor count among its banded-LSH candidates (≤ k —
+    * LSH sparsity may yield fewer), disagreement count, the PLURALITY
+    * neighbor label (count-majority, smallest-label tie-break — the
+    * [[graft.operators.Graph.labelPropagation]] determinism), and the
+    * suspect flag `plurality ≠ own ∧ 2·plurality_n > n_nbrs`.
+    *
+    * Scale shape identical to [[knnGraph]] (whose candidate stage this
+    * reuses): band-bucketed self-join — never all-pairs — vectors join
+    * back only for scoring, per-node top-k is a window over candidate
+    * edges only, and everything after is k-bounded label counting on
+    * |V|·k rows. Integer/boolean output; no float crosses the gate.
+    */
+  def labelNoise(
+      emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val lab = emb.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl"))
+    val bb = withBandBuckets(p, planes, bands)
+    val cand = bb.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(bb.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val scored = cand
+      .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b"))
+    val knn = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val withLbl = knn
+      .join(lab.select(col("id").as("id_a"), col("lbl").as("own_label")), Seq("id_a"))
+      .join(lab.select(col("id").as("id_b"), col("lbl").as("nbr_lbl")), Seq("id_b"))
+    withLbl.groupBy(col("id_a"), col("own_label"), col("nbr_lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id_a"), col("own_label"))
+      .agg(sum(col("c")).as("n_nbrs"),
+        sum(when(col("nbr_lbl") =!= col("own_label"), col("c")).otherwise(0L))
+          .as("n_disagree"),
+        max(struct(col("c").as("c"), (-col("nbr_lbl")).as("nl"))).as("top"))
+      .select(col("id_a").as("vec_id"), col("own_label").as("label"),
+        col("n_nbrs"), col("n_disagree"),
+        (-col("top.nl")).as("plurality_label"), col("top.c").as("plurality_n"))
+      .withColumn("suspect",
+        col("plurality_label") =!= col("label") &&
+          col("plurality_n") * 2 > col("n_nbrs"))
+  }
+
   /** The same [[trainCentroids]] loop as SQL CTE text, for oracle mirroring
     * (unrolled like [[TextAnalysis.bpeVocabSql]]). Expects the caller's WITH
     * chain to already define `f` (vec_id, i, v: the flattened doubles) and

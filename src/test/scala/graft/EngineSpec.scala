@@ -3102,6 +3102,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("labelNoise: majority-disagreement flags the planted mislabel only") {
+    import spark.implicits._
+    // cluster A (label 1) along axis 0, cluster B (label 2) along axis 1,
+    // one planted mislabel (id 10: sits in B, labeled 1). All-positive
+    // planes collapse every vector into one bucket per band, so the
+    // banded candidates ARE the brute pairs and the vote is exact.
+    val vecs =
+      (1 to 5).map(i => (i.toLong, Array(100f, i.toFloat, 0f, 0f), 1)) ++
+      (6 to 9).map(j => (j.toLong, Array(j.toFloat, 100f, 0f, 0f), 2)) ++
+      Seq((10L, Array(5f, 100f, 0f, 0f), 1))
+    val embDf = vecs.toDF("vec_id", "embedding", "label")
+    val planes = Seq.tabulate(4)(i => (i.toLong, Array(1.0, 1.0, 1.0, 1.0)))
+      .toDF("plane_id", "pv")
+    val r = Similarity.labelNoise(embDf, planes, bands = 2, k = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getBoolean(6)))).toMap
+    assert(r.size == 10)
+    // the planted mislabel: all 4 neighbors are B → unanimous suspect
+    assert(r(10L) == ((1L, 4L, 4L, 2L, 4L, true)), r(10L).toString)
+    // a true B member sees the mislabel in its top-4 but keeps a clean
+    // 3-of-4 plurality of its own label → disagreement without suspicion
+    assert(r(6L) == ((2L, 4L, 1L, 2L, 3L, false)), r(6L).toString)
+    // cluster A is untouched: zero disagreement
+    (1L to 5L).foreach(i => assert(r(i) == ((1L, 4L, 0L, 1L, 4L, false)), s"$i: ${r(i)}"))
+    Dedup.uncacheAll()
+  }
+
   test("streaming per-stratum sample: multi-batch equals batch operator; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -1849,6 +1849,20 @@ object SparkEntry {
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
       Graph.kCore(edges, k = 80, rounds = 5).orderBy(col("node"))
     }),
+    "q_cusum_changepoints" -> ((s, dir) => {
+      // WHERE does the event-value level shift? hourly decimal-fenced
+      // bucket sums first (the series is bounded by the time range,
+      // never the event count), then the integer-exact scaled CUSUM
+      // n·S_i = n·cum_i − i·T with max-|·| argmax flagged (smallest
+      // bucket on ties) — drift located on a timeline, the continuous
+      // companion of q_drift_report's two-snapshot compare
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumChangepoints(ev).orderBy(col("bucket"))
+    }),
     "q_funnel" -> ((s, dir) =>
       // ordered conversion funnel view → click → purchase: one user-keyed
       // filter+join+agg per step (greedy earliest-completion chain — no
@@ -5679,6 +5693,28 @@ object SparkEntry {
         |       COALESCE(b.total_value, 0.0) AS total_value
         |FROM g LEFT JOIN b ON b.hour_idx = g.hour_idx
         |ORDER BY g.hour_idx""".stripMargin,
+    "q_cusum_changepoints" ->
+      // the identical decimal-fenced hourly sums, integer scaled CUSUM
+      // over the bucketed series, two one-row globals for the peak pick
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |                  CAST(value AS DECIMAL(18,4)) AS dv
+        |           FROM events),
+        |b AS (SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+        |      FROM e GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(v) AS BIGINT) AS t
+        |       FROM b),
+        |st AS (SELECT bucket, v,
+        |              n * SUM(v) OVER (ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - row_number() OVER (ORDER BY bucket) * t AS cusum_n
+        |       FROM b CROSS JOIN tt),
+        |mx AS (SELECT MAX(abs(cusum_n)) AS mx FROM st),
+        |pb AS (SELECT MIN(bucket) AS pb
+        |       FROM st CROSS JOIN mx WHERE abs(cusum_n) = mx)
+        |SELECT bucket, v, CAST(cusum_n AS BIGINT) AS cusum_n,
+        |       (bucket = pb) AS is_changepoint
+        |FROM st CROSS JOIN pb ORDER BY bucket""".stripMargin,
     "q_cdc_compact" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |           FROM events),

@@ -610,6 +610,49 @@ object Temporal {
       .agg(sum(col("v")).as("y"))
   }
 
+  /** CUSUM mean-shift changepoint scan (Page 1954; the offline
+    * max-|CUSUM| form of Hinkley 1971) over a BUCKETED series — the
+    * drift question q_drift_report answers for two named snapshots,
+    * asked of a continuous timeline: WHERE did the level shift? The
+    * statistic S_i = Σ_{j≤i}(x_j − x̄) peaks at the shift point; to keep
+    * it integer-exact across engines it is scaled by n:
+    * n·S_i = n·cum_i − i·T (cum/T/n all BIGINT), so the argmax is an
+    * exact integer comparison and no float crosses the gate.
+    *
+    * Input is (bucket, v) — one BIGINT value per time bucket (the
+    * caller aggregates raw events first; [[dailyTotals]]' shape).
+    * Emits every bucket with its scaled statistic and an
+    * `is_changepoint` flag on the max-|n·S_i| row (smallest bucket on
+    * ties).
+    *
+    * Scale shape: the prefix sum is a single GLOBAL ordered window —
+    * correct here because the input is the BUCKETED series, bounded by
+    * the time range (hours-per-year class, the q_gap_fill contract),
+    * never the raw event count; the peak pick is two broadcast 1-row
+    * globals. Raw-event inputs must bucket first.
+    */
+  def cusumChangepoints(series: DataFrame,
+      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+    val s = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
+    val tot = s.agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
+    val w = Window.orderBy(col("bucket"))
+    val st = graft.operators.Dedup.cached(
+      s.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cusum_n",
+          col("n") * sum(col("v")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+            col("i") * col("t"))
+        .select(col("bucket"), col("v"), col("cusum_n")))
+    val peak = st.agg(max(abs(col("cusum_n"))).as("mx"))
+    val pb = st.crossJoin(broadcast(peak))
+      .filter(abs(col("cusum_n")) === col("mx"))
+      .agg(min(col("bucket")).as("pb"))
+    st.crossJoin(broadcast(pb))
+      .withColumn("is_changepoint", col("bucket") === col("pb"))
+      .drop("pb")
+  }
+
   /** [[linearTrend]]'s second half: the five integer regression moments
     * and the slope over a (key, x, y) daily-totals frame — shared by the
     * batch operator and the streaming twin's read path so the algebra

@@ -3347,6 +3347,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
   }
 
+  test("cusumChangepoints: level shift peaks at the last pre-shift bucket; ties flag once") {
+    import spark.implicits._
+    // 10,10,10 → 50,50,50: T = 180, n = 6; n·S_i = −120,−240,−360,−240,
+    // −120,0 — |peak| at bucket 3, the last pre-shift point
+    val s = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 50L), (5L, 50L), (6L, 50L)).toDF("bucket", "v")
+    val r = Temporal.cusumChangepoints(s).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r.map { case (b, (c, _)) => b -> c } ==
+      Map(1L -> -120L, 2L -> -240L, 3L -> -360L, 4L -> -240L, 5L -> -120L, 6L -> 0L),
+      r.toString)
+    assert(r.filter(_._2._2).keySet == Set(3L), r.toString)
+    Dedup.uncacheAll()
+    // a constant series has S ≡ 0 everywhere: the tie flags only the
+    // smallest bucket, never many
+    val flat = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("bucket", "v")
+    val rf = Temporal.cusumChangepoints(flat).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getBoolean(3)))
+    assert(rf.forall(_._2 == 0L) && rf.filter(_._3).map(_._1).toSeq == Seq(1L), rf.mkString(","))
+    Dedup.uncacheAll()
+  }
+
   test("coalesceIntervals: overlap merges, touch merges, gaps split, nested absorbed") {
     import spark.implicits._
     val iv = Seq(

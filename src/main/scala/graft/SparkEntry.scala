@@ -1952,6 +1952,17 @@ object SparkEntry {
           expr("(ts_us DIV 3600000000) % 24").as("hour_of_day"),
           col("user_id")),
         Seq("event_type", "hour_of_day"), "user_id", l = 10)),
+    "q_tcloseness_audit" -> ((s, dir) =>
+      // the skew-leak audit completing the privacy ladder: per QI group,
+      // ordered-EMD between the group's sensitive-level distribution and
+      // the corpus-wide one, integer-exact ppm via cleared denominators —
+      // a group can pass k-anonymity AND l-diversity and still flag here
+      Hygiene.tClosenessAudit(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          expr("(ts_us DIV 3600000000) % 24").as("hour_of_day"),
+          (col("user_id") % 10).as("lvl")),
+        Seq("event_type", "hour_of_day"), "lvl", tPpm = 20000)
+        .orderBy(col("event_type"), col("hour_of_day"))),
     "q_spatial_radius_join" -> ((s, dir) => {
       // grid-blocked proximity self-join (the 2D analog of banding):
       // synthetic integer coordinates from the customer key, exact
@@ -5868,6 +5879,45 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_sensitive < 10 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_exposed_rows
         |FROM g""".stripMargin,
+    "q_tcloseness_audit" ->
+      // dense (group × level) grid so absent levels count as zeros, the
+      // same cleared-denominator integer EMD, one cumulative window per
+      // side — all BIGINT until the final ppm div
+      """WITH e AS (SELECT event_type,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |                  user_id % 10 AS lvl
+        |           FROM events),
+        |cells AS (SELECT event_type, hour_of_day, lvl, COUNT(*) AS c
+        |          FROM e GROUP BY 1,2,3),
+        |lv AS (SELECT DISTINCT lvl FROM cells),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lv),
+        |g AS (SELECT event_type, hour_of_day, CAST(SUM(c) AS BIGINT) AS ng
+        |      FROM cells GROUP BY 1,2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+        |gac AS (SELECT lvl, CAST(SUM(SUM(c)) OVER (ORDER BY lvl) AS BIGINT) AS cuma
+        |        FROM cells GROUP BY lvl),
+        |grid AS (SELECT g.event_type, g.hour_of_day, g.ng, lv.lvl
+        |         FROM g CROSS JOIN lv),
+        |cum AS (SELECT grid.event_type, grid.hour_of_day, grid.ng, grid.lvl,
+        |               SUM(COALESCE(c.c, 0)) OVER (
+        |                 PARTITION BY grid.event_type, grid.hour_of_day
+        |                 ORDER BY grid.lvl) AS cumg
+        |        FROM grid LEFT JOIN cells c
+        |          ON c.event_type = grid.event_type
+        |         AND c.hour_of_day = grid.hour_of_day AND c.lvl = grid.lvl),
+        |agg AS (SELECT cum.event_type, cum.hour_of_day, MIN(cum.ng) AS n,
+        |               CAST(SUM(abs(tot.nn * cum.cumg - cum.ng * gac.cuma))
+        |                 AS BIGINT) AS sd,
+        |               MIN(tot.nn) AS nn
+        |        FROM cum JOIN gac ON gac.lvl = cum.lvl CROSS JOIN tot
+        |        GROUP BY 1,2),
+        |fin AS (SELECT event_type, hour_of_day, CAST(n AS BIGINT) AS n,
+        |               CAST((1000000 * sd) // ((mm.m - 1) * n * nn) AS BIGINT)
+        |                 AS emd_ppm
+        |        FROM agg CROSS JOIN mm)
+        |SELECT event_type, hour_of_day, n, emd_ppm,
+        |       emd_ppm > 20000 AS violating
+        |FROM fin ORDER BY event_type, hour_of_day""".stripMargin,
     "q_spatial_radius_join" ->
       // the brute-force all-pairs form — deliberately NOT the stencil:
       // the gate proves the blocked plan emits exactly the exhaustive set

@@ -590,6 +590,63 @@ object Hygiene {
       sum(when(col("n_sensitive") < l, col("n")).otherwise(0L)).as("n_exposed_rows"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder after [[kAnonAudit]] (group size) and
+    * [[lDiversityAudit]] (distinct sensitive values): a group can pass
+    * both and still leak via SKEW — if a group's sensitive-value
+    * distribution differs sharply from the corpus-wide one, naming the
+    * group reveals information. Distance is the ordered-attribute Earth
+    * Mover's Distance, EMD = (1/(m−1))·Σᵢ|cumP(i) − cumQ(i)| over the m
+    * sensitive levels, kept integer-exact by clearing denominators:
+    * dᵢ = |N·cum_g(i) − n_g·cum_all(i)| and
+    * emd_ppm = 10⁶·Σdᵢ DIV ((m−1)·n_g·N) — no float crosses the gate.
+    *
+    * Per-group rows (not a one-row audit): EMD is the diagnostic a
+    * suppression pass consumes group by group.
+    *
+    * Scale shape: one (group, level) aggregation; everything after runs
+    * on the |G|·m dense grid (groups × broadcast level list — levels
+    * ABSENT from a group count as zeros, which the sparse counts alone
+    * would silently skip); the cumulative windows partition by group
+    * over m levels (bounded by contract — a sensitive attribute with
+    * unbounded levels is a different problem). Overflow fence: 10⁶·Σd
+    * needs n_g·N·m < ~10¹² — beyond that cast the three sum columns to
+    * DECIMAL(38,0) (same plan).
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], lvlCol: String,
+      tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tPpm >= 0, s"tPpm must be >= 0: $tPpm")
+    val qi = qiCols.map(col)
+    val cells = Dedup.cached(
+      df.groupBy(qi :+ col(lvlCol).cast("long").as("lvl"): _*)
+        .agg(count(lit(1)).as("c")))
+    val levels = Dedup.cached(cells.select(col("lvl")).distinct())
+    val groups = cells.groupBy(qi: _*).agg(sum(col("c")).as("ng"))
+    val mDf = levels.agg(count(lit(1)).as("m"))
+    val nDf = cells.agg(sum(col("c")).as("nn"))
+    // global cumulative level counts: a window over the m-row level frame
+    val globCum = cells.groupBy(col("lvl")).agg(sum(col("c")).as("gc"))
+      .withColumn("cuma", sum(col("gc")).over(Window.orderBy(col("lvl"))))
+      .select(col("lvl"), col("cuma"))
+    val grid = groups.crossJoin(broadcast(levels))
+    val cum = grid.join(cells, qiCols :+ "lvl", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cumg", sum(col("c")).over(
+        Window.partitionBy(qi: _*).orderBy(col("lvl"))))
+    cum.join(broadcast(globCum), Seq("lvl"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("d", abs(col("nn") * col("cumg") - col("ng") * col("cuma")))
+      .groupBy(qi: _*)
+      .agg(min(col("ng")).as("n"), sum(col("d")).as("sd"), min(col("nn")).as("nn"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("emd_ppm",
+        when(col("m") > 1L,
+          expr("(1000000 * sd) DIV ((m - 1) * n * nn)")).otherwise(0L))
+      .withColumn("violating", col("emd_ppm") > tPpm)
+      .select(qi ++ Seq(col("n"), col("emd_ppm"), col("violating")): _*)
+  }
+
   /** Source-concentration audit — the datasheet number that catches a
     * "web-scale" corpus that is secretly three domains: per-source doc
     * shares, top-1/top-k shares, and the Herfindahl–Hirschman index

@@ -3347,6 +3347,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
   }
 
+  test("tClosenessAudit: pure groups hit EMD 1/2, balanced group 0, zeros via dense grid") {
+    import spark.implicits._
+    // global is 50/50 over levels {0,1}; A and B are pure (EMD = 1/2 →
+    // 500000 ppm, each via a level ABSENT from its cells — the dense-grid
+    // zero), C mirrors the global mix (EMD 0)
+    val rows = Seq.fill(4)(("A", 0L)) ++ Seq.fill(4)(("B", 1L)) ++
+      Seq(("C", 0L), ("C", 0L), ("C", 1L), ("C", 1L))
+    val r = Hygiene.tClosenessAudit(
+        rows.toDF("g", "lvl"), Seq("g"), "lvl", tPpm = 400000)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      "A" -> ((4L, 500000L, true)),
+      "B" -> ((4L, 500000L, true)),
+      "C" -> ((4L, 0L, false))), r.toString)
+    Dedup.uncacheAll()
+  }
+
   test("cusumChangepoints: level shift peaks at the last pre-shift bucket; ties flag once") {
     import spark.implicits._
     // 10,10,10 → 50,50,50: T = 180, n = 6; n·S_i = −120,−240,−360,−240,

@@ -1564,6 +1564,18 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
+    "split_sampled_agg_ht" -> ((s, dir) =>
+      // AQP priced: group sums from a deterministic 1/8 md5 sample with
+      // the Horvitz–Thompson 1/p inflation, exact side and realized
+      // err_ppm alongside — one conditional-agg scan computes both
+      Splits.sampledAggHt(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+          col("l_returnflag"), col("l_linestatus"),
+          (col("l_quantity").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("qty_x10k")),
+        "rid", Seq("l_returnflag", "l_linestatus"), "qty_x10k", num = 32)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "split_stats" -> ((s, dir) =>
       // stratification check: split × language counts
       Splits.assign(t(s, dir, "documents"), "doc_id",
@@ -5373,6 +5385,35 @@ object SparkEntry {
          |       lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
+    "split_sampled_agg_ht" ->
+      // the identical md5-bucket membership predicate feeding conditional
+      // sums, then the integer 256/32 Horvitz–Thompson inflation and the
+      // realized error — all BIGINT
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+        |         substring(md5(CAST(l_orderkey*10+l_linenumber AS VARCHAR)),1,2) < '20'
+        |           AS in_sample
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |         CAST(SUM(v) AS BIGINT) AS sum_exact,
+        |         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_sampled,
+        |         CAST(SUM(CASE WHEN in_sample THEN v ELSE 0 END) AS BIGINT)
+        |           AS sum_sampled
+        |  FROM l GROUP BY 1, 2),
+        |e AS (
+        |  SELECT *, (n_sampled * 256) // 32 AS est_n,
+        |         (sum_sampled * 256) // 32 AS est_sum
+        |  FROM g)
+        |SELECT l_returnflag, l_linestatus, n_exact, sum_exact, n_sampled,
+        |       est_n, est_sum,
+        |       CASE WHEN sum_exact <> 0
+        |            THEN (1000000 * abs(est_sum - sum_exact)) // abs(sum_exact)
+        |            END AS err_ppm
+        |FROM e ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "split_stratified" -> {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${graft.operators.Splits.stratifiedSampleSql("doc_id", "lang", Map("en" -> 0.5))}

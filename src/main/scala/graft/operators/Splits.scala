@@ -53,6 +53,45 @@ object Splits {
   def assign(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), splits))
 
+  /** Sampled GROUP-BY with the Horvitz–Thompson correction — the AQP
+    * (approximate query processing, BlinkDB / Agarwal et al. 2013)
+    * pattern priced on one verified surface: rows enter the sample iff
+    * their id's 2-hex md5 bucket < `num` (inclusion probability
+    * p = num/256 — deterministic, so reruns and the oracle see the SAME
+    * sample), and each sampled group's count/sum inflate by 1/p
+    * (integer `·256 DIV num`). The row emits the exact side alongside
+    * the estimate with its realized `err_ppm`, because an AQP knob you
+    * haven't measured is a guess — the [[graft.operators.Similarity]]
+    * recall-row discipline applied to aggregation.
+    *
+    * Scale shape: ONE map-side-combined aggregation computes both sides
+    * (the sample membership is a row-local predicate feeding conditional
+    * aggs — no second scan, no join); at 100 TB the production form
+    * drops the exact columns and the scan reads p of the corpus, which
+    * is the entire point. `valCol` must already be an exact long
+    * (decimal-scaled upstream).
+    */
+  def sampledAggHt(df: DataFrame, idCol: String, keyCols: Seq[String],
+      valCol: String, num: Int): DataFrame = {
+    require(num >= 1 && num <= 256, s"num must be in [1,256]: $num")
+    val hex = f"$num%02x"
+    val keys = keyCols.map(col)
+    df.withColumn("in_sample",
+        substring(md5(col(idCol).cast("string")), 1, 2) < lit(hex))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col(valCol)).as("sum_exact"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("in_sample"), col(valCol)).otherwise(0L)).as("sum_sampled"))
+      .withColumn("est_n", expr(s"(n_sampled * 256) DIV $num"))
+      .withColumn("est_sum", expr(s"(sum_sampled * 256) DIV $num"))
+      .withColumn("err_ppm",
+        when(col("sum_exact") =!= 0L,
+          expr("(1000000 * abs(est_sum - sum_exact)) DIV abs(sum_exact)")))
+      .select(keys ++ Seq(col("n_exact"), col("sum_exact"), col("n_sampled"),
+        col("est_n"), col("est_sum"), col("err_ppm")): _*)
+  }
+
   /** Leave-one-out target encoding — the leakage-free categorical
     * feature (Micci-Barreca 2001): each row's encoding is the mean
     * target of its CATEGORY EXCLUDING THE ROW ITSELF, so a category's

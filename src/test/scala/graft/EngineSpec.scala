@@ -3347,6 +3347,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
   }
 
+  test("sampledAggHt: HT inflation is exactly 1/p over the deterministic md5 sample") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 10))
+      .toDF("rid", "grp", "v")
+    val r = Splits.sampledAggHt(df, "rid", Seq("grp"), "v", num = 32).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // recompute the membership from the same contract predicate and fold
+    // the expected estimates by hand
+    val inSample = df.filter(expr("substring(md5(CAST(rid AS STRING)),1,2) < '20'"))
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(inSample.nonEmpty && inSample.size < 400, s"fixture must sample strictly: ${inSample.size}")
+    Seq("even", "odd").foreach { g =>
+      val all = (1L to 400L).filter(i => (i % 2 == 0) == (g == "even"))
+      val s = all.filter(inSample)
+      val (ne, se) = (all.size.toLong, all.map(_ * 10).sum)
+      val (ns, ss) = (s.size.toLong, s.map(_ * 10).sum)
+      val (estN, estSum) = (ns * 256 / 32, ss * 256 / 32)
+      val err = 1000000 * math.abs(estSum - se) / se
+      assert(r(g) == ((ne, se, ns, estN, estSum, err)), s"$g: ${r(g)}")
+    }
+    // determinism: a second run reproduces the identical estimates
+    val r2 = Splits.sampledAggHt(df, "rid", Seq("grp"), "v", num = 32).collect()
+      .map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(Seq("even", "odd").forall(g => r2(g) == r(g)._4))
+  }
+
   test("tClosenessAudit: pure groups hit EMD 1/2, balanced group 0, zeros via dense grid") {
     import spark.implicits._
     // global is 50/50 over levels {0,1}; A and B are pure (EMD = 1/2 →

@@ -2402,6 +2402,17 @@ object SparkEntry {
       TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_score_calibrate" -> ((s, dir) =>
+      // cross-source score calibration: each doc's n_chars re-expressed
+      // as its integer percentile WITHIN its source (ties share — equal
+      // scores must calibrate identically) + the calibrated decile, so
+      // one global "top X%" predicate means the same thing on every
+      // source; two windows share one source-keyed exchange
+      Hygiene.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("score")),
+        "source", "score", Seq("doc_id"))
+        .orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
         .orderBy(col("doc_id"))),
@@ -5584,6 +5595,21 @@ object SparkEntry {
         |       MIN(win_min) AS min_fingerprint,
         |       md5(MIN(norm)) AS doc_md5
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_score_calibrate" ->
+      // the identical per-source rank window (ties share), integer
+      // percentile, derived decile
+      """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |             rank() OVER (PARTITION BY source ORDER BY score) AS rk,
+        |             COUNT(*) OVER (PARTITION BY source) AS n
+        |      FROM d),
+        |p AS (SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+        |             CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+        |                       ELSE 0 END AS BIGINT) AS pct_ppm
+        |      FROM r)
+        |SELECT doc_id, source, score, pct_ppm,
+        |       CAST(least(9, pct_ppm // 100000) AS BIGINT) AS calib_decile
+        |FROM p ORDER BY doc_id""".stripMargin,
     "pipeline_prep" -> (shingleCte + {
       val splitCase = graft.operators.Splits.splitCaseSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -590,6 +590,40 @@ object Hygiene {
       sum(when(col("n_sensitive") < l, col("n")).otherwise(0L)).as("n_exposed_rows"))
   }
 
+  /** Per-group quantile normalization of a score column — the
+    * cross-source calibration step run before ANY global threshold on a
+    * heterogeneous corpus: a quality score of 120 means different things
+    * on Wikipedia and on Common Crawl, so each row is re-expressed as
+    * its percentile WITHIN its source, pct_ppm = (rank−1)·10⁶ DIV (n−1)
+    * (rank() semantics: equal scores share a percentile — ties must
+    * calibrate identically), plus the derived calibrated decile
+    * (`least(9, pct DIV 10⁵)`). After this, "keep the top 20% of each
+    * source" is one global predicate.
+    *
+    * Scale shape: two windows over ONE (group)-partitioned exchange
+    * (rank + partition count share the sort); a group's rows sort
+    * together — the [[graft.operators.Splits]] global-order contract
+    * per source, fine while no single source dwarfs executor spill
+    * capacity. At extreme per-source cardinality swap the rank for an
+    * equi-depth-histogram lookup (the q_histogram_equidepth shape):
+    * boundaries from a bounded agg, the percentile then a row-local
+    * binary search — same output within histogram resolution.
+    * A 1-row group has no spread: pct_ppm pins to 0.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      idCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wn = Window.partitionBy(col(groupCol))
+    df.select(idCols.map(col) ++ Seq(col(groupCol), col(scoreCol)): _*)
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("pct_ppm",
+        when(col("n") > 1L, expr("((rk - 1) * 1000000) DIV (n - 1)"))
+          .otherwise(0L))
+      .withColumn("calib_decile", least(lit(9L), expr("pct_ppm DIV 100000")))
+      .drop("rk", "n")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * rung of the privacy ladder after [[kAnonAudit]] (group size) and
     * [[lDiversityAudit]] (distinct sensitive values): a group can pass

@@ -3347,6 +3347,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
   }
 
+  test("quantileNormalize: per-source percentiles, shared ties, 1-row source pins 0") {
+    import spark.implicits._
+    // source A: scores 10,20,20,40 — ranks 1,2,2,4 over n=4 → pct 0,
+    // 333333, 333333, 1000000; source B: single row → 0
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 20L),
+      (4L, "A", 40L), (5L, "B", 99L)).toDF("doc_id", "source", "score")
+    val r = Hygiene.quantileNormalize(df, "source", "score", Seq("doc_id"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      1L -> ((0L, 0L)), 2L -> ((333333L, 3L)), 3L -> ((333333L, 3L)),
+      4L -> ((1000000L, 9L)), 5L -> ((0L, 0L))), r.toString)
+  }
+
   test("sampledAggHt: HT inflation is exactly 1/p over the deterministic md5 sample") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 10))

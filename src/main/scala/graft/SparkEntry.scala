@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, DiskUsageOp, Graph, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.operators.{Assoc, Dedup, DiskUsageOp, Graph, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1964,6 +1964,20 @@ object SparkEntry {
           expr("(ts_us DIV 3600000000) % 24").as("hour_of_day"),
           col("user_id")),
         Seq("event_type", "hour_of_day"), "user_id", l = 10)),
+    "q_assoc_rules" -> ((s, dir) => {
+      // which part brands co-occur in orders beyond chance: A-priori
+      // pairwise rules over (order, brand) baskets — within-basket pair
+      // expansion bounded by basket size, support prune before the
+      // per-item joins, integer-ppm support/confidence/lift; top 100 by
+      // (lift, pair)
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Assoc.pairRules(baskets, minPairN = 20)
+        .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
     "q_tcloseness_audit" -> ((s, dir) =>
       // the skew-leak audit completing the privacy ladder: per QI group,
       // ordered-EMD between the group's sensitive-level distribution and
@@ -5946,6 +5960,29 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_sensitive < 10 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_exposed_rows
         |FROM g""".stripMargin,
+    "q_assoc_rules" ->
+      // the same dedup'd incidence, canonical within-basket pair join,
+      // support prune, and integer-ppm scores
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+        |itn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY 1),
+        |pr AS (SELECT x.item AS item_a, y.item AS item_b,
+        |              CAST(COUNT(*) AS BIGINT) AS n_pair
+        |       FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+        |       GROUP BY 1, 2
+        |       HAVING COUNT(*) >= 20)
+        |SELECT pr.item_a, pr.item_b, pr.n_pair,
+        |       na.n_item AS n_a, nb2.n_item AS n_b,
+        |       (pr.n_pair * 1000000) // nb.n_baskets AS support_ppm,
+        |       (pr.n_pair * 1000000) // na.n_item AS conf_ab_ppm,
+        |       (pr.n_pair * 1000000) // nb2.n_item AS conf_ba_ppm,
+        |       (pr.n_pair * nb.n_baskets * 1000000) // (na.n_item * nb2.n_item)
+        |         AS lift_ppm
+        |FROM pr JOIN itn na ON na.item = pr.item_a
+        |        JOIN itn nb2 ON nb2.item = pr.item_b
+        |        CROSS JOIN nb
+        |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 100""".stripMargin,
     "q_tcloseness_audit" ->
       // dense (group × level) grid so absent levels count as zeros, the
       // same cleared-denominator integer EMD, one cumulative window per

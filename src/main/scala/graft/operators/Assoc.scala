@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining (Agrawal & Srikant, A-priori, 1994)
+  * — pairwise rules with support / confidence / lift, the co-occurrence
+  * read behind "orders containing X also contain Y" and, in a corpus
+  * pipeline, "documents tagged A are also tagged B".
+  *
+  * Scale notes: the only quadratic step is the within-basket pair
+  * expansion, Σ_baskets |basket|² — bounded by the basket-size contract
+  * (an order's items, a doc's tags), never corpus². Everything else is
+  * map-side-combined counting plus one broadcast scalar. All ratios are
+  * exact integer ppm — no float crosses an engine boundary.
+  */
+object Assoc {
+
+  /** Pairwise association rules over a (basket, item) incidence frame.
+    * Dedups incidence first (a basket lists an item once), counts pair
+    * co-occurrence via the canonical within-basket self-join
+    * (item_a < item_b — each unordered pair once), then scores:
+    *
+    *  - `support_ppm`  = n_pair / n_baskets
+    *  - `conf_ab_ppm`  = n_pair / n_a   (a ⇒ b)
+    *  - `conf_ba_ppm`  = n_pair / n_b   (b ⇒ a)
+    *  - `lift_ppm`     = n_pair · n_baskets / (n_a · n_b)
+    *    (1e6 = independence; above = positive association)
+    *
+    * `minPairN` is the A-priori support prune applied BEFORE the
+    * per-item joins — at scale the pair table is the big side and the
+    * prune is where the algorithm earns its keep.
+    *
+    * Overflow fence: lift's numerator n_pair·n_baskets·10⁶ needs
+    * n_baskets² < ~9·10¹² (n_baskets < 3M); beyond that cast the three
+    * count columns to DECIMAL(38,0) (same plan).
+    */
+  def pairRules(bi: DataFrame, basketCol: String = "basket",
+      itemCol: String = "item", minPairN: Long = 1L): DataFrame = {
+    require(minPairN >= 1, s"minPairN must be >= 1: $minPairN")
+    val b = Dedup.cached(bi.select(
+      col(basketCol).as("basket"), col(itemCol).as("item")).distinct())
+    val nB = b.agg(countDistinct(col("basket")).as("n_baskets"))
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairN)
+    pairs
+      .join(itemN.select(col("item").as("item_a"), col("n_item").as("n_a")),
+        Seq("item_a"))
+      .join(itemN.select(col("item").as("item_b"), col("n_item").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+        col("n_b"),
+        expr("(n_pair * 1000000) DIV n_baskets").as("support_ppm"),
+        expr("(n_pair * 1000000) DIV n_a").as("conf_ab_ppm"),
+        expr("(n_pair * 1000000) DIV n_b").as("conf_ba_ppm"),
+        expr("(n_pair * n_baskets * 1000000) DIV (n_a * n_b)").as("lift_ppm"))
+  }
+}

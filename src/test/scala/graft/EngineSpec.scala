@@ -3347,6 +3347,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
   }
 
+  test("pairRules: closed-form support/confidence/lift; incidence dedup; prune") {
+    import spark.implicits._
+    // 4 baskets: {a,b}, {a,b}, {a,c}, {b} (with a duplicated incidence
+    // row that must dedup) — n_a=3, n_b=3, n_c=1, pair ab=2, ac=1
+    val bi = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("basket", "item")
+    val r = Assoc.pairRules(bi).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6), x.getLong(7), x.getLong(8)))).toMap
+    // ab: support 2/4, conf a→b 2/3, conf b→a 2/3, lift 2·4/(3·3)
+    assert(r(("a", "b")) ==
+      ((2L, 3L, 3L, 500000L, 666666L, 666666L, 888888L)), r(("a", "b")).toString)
+    // ac: support 1/4, conf a→c 1/3, conf c→a 1/1, lift 1·4/(3·1)
+    assert(r(("a", "c")) ==
+      ((1L, 3L, 1L, 250000L, 333333L, 1000000L, 1333333L)), r(("a", "c")).toString)
+    assert(r.size == 2, s"bc never co-occurs: $r")
+    Dedup.uncacheAll()
+    // the A-priori prune drops the singleton pair before scoring
+    val pruned = Assoc.pairRules(bi, minPairN = 2).collect()
+    assert(pruned.length == 1 && pruned.head.getString(0) == "a"
+      && pruned.head.getString(1) == "b")
+    Dedup.uncacheAll()
+  }
+
   test("quantileNormalize: per-source percentiles, shared ties, 1-row source pins 0") {
     import spark.implicits._
     // source A: scores 10,20,20,40 — ranks 1,2,2,4 over n=4 → pct 0,

@@ -1770,6 +1770,17 @@ object SparkEntry {
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(50)
     }),
+    "q_clustering_coeff" -> ((s, dir) => {
+      // local cohesion per part: triangles / C(deg,2) in exact ppm over
+      // the part co-occurrence graph — composes the degree-oriented
+      // wedge closing with one degree agg; deg<2 nodes emit NULL
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      Graph.clusteringCoefficient(edges).orderBy(col("node"))
+    }),
     "q_neighbor_jaccard" -> ((s, dir) => {
       // link-prediction scores over the order—part bipartite graph:
       // common neighbors counted through wedges, union by inclusion–
@@ -5740,6 +5751,31 @@ object SparkEntry {
         |SELECT node, COUNT(*) AS n_triangles
         |FROM corners GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
+    "q_clustering_coeff" ->
+      // the triangle chain (orientation + sorted wedge close) plus the
+      // degree frame, left-joined so zero-triangle nodes keep their row
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+        |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+        |             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+        |      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |tri AS (SELECT u, v, w2 FROM w
+        |        JOIN e0 ON e0.a = least(w.v, w.w2) AND e0.b = greatest(w.v, w.w2)),
+        |corners AS (SELECT unnest([u, v, w2]) AS node FROM tri),
+        |tc AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS deg,
+        |       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN deg.d >= 2
+        |            THEN (2000000 * COALESCE(tc.n_triangles, 0))
+        |                 // (deg.d * (deg.d - 1)) END AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN tc ON tc.node = deg.n
+        |ORDER BY node""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e

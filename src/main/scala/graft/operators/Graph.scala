@@ -383,6 +383,34 @@ object Graph {
         coalesce(col("a"), lit(0.0)).as("auth"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * c(v) = triangles(v) / C(deg(v), 2) — how close v's neighborhood is
+    * to a clique, THE local cohesion read (near 1 = tight community,
+    * near 0 = star/bridge). Exact integer ppm:
+    * `2·10⁶·t DIV (d·(d−1))`; degree-0/1 nodes have no neighbor pair to
+    * close and emit NULL (0/0 is "no answer", not "0 cohesion").
+    *
+    * Composes [[triangleCounts]] (degree-oriented wedge closing — the
+    * scale story lives there) with one degree aggregation and a left
+    * join for the zero-triangle nodes; all node-keyed equi-exchanges.
+    */
+  def clusteringCoefficient(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(und), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc_ppm",
+        when(col("deg") >= 2L,
+          expr("(2000000 * n_triangles) DIV (deg * (deg - 1))")))
+      .select(col("node"), col("deg"), col("n_triangles"), col("cc_ppm"))
+  }
+
   /** Newman–Girvan modularity (Newman & Girvan 2004) of a community
     * assignment — the one-row quality audit run AFTER
     * [[labelPropagation]] (or any labeling) before trusting its

@@ -4167,6 +4167,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graph.modularity(e, one).collect().head.getDouble(4) == 0.0)
   }
 
+  test("clusteringCoefficient: K4 is 1, star center 0, leaves NULL") {
+    import spark.implicits._
+    // K4 + a pendant leaf off node 0: K4 members keep cc below 1 only
+    // where the leaf dilutes the pair count
+    val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)) :+ ((0L, 9L))
+    val r = Graph.clusteringCoefficient(k4.toDF("a", "b")).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    // node 0: deg 4, 3 triangles → 2·3/(4·3) = 1/2
+    assert(r(0L) == ((4L, 3L, 500000L)), r(0L).toString)
+    // nodes 1-3: deg 3, 3 triangles → 2·3/(3·2) = 1
+    (1L to 3L).foreach(i => assert(r(i) == ((3L, 3L, 1000000L)), s"$i: ${r(i)}"))
+    // the leaf: deg 1 → cc NULL (no neighbor pair exists to close)
+    assert(r(9L) == ((1L, 0L, -1L)), r(9L).toString)
+    Dedup.uncacheAll()
+  }
+
   test("triangleCounts: exact on K4, zero on trees, canonicalizes dup/reversed edges") {
     import spark.implicits._
     val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")

@@ -2021,6 +2021,30 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
           maxDist = 2)
         .orderBy(col("u_key"), col("v_key"))),
+    "q_entity_resolution" -> ((s, dir) => {
+      // record linkage end-to-end: blocked Levenshtein candidates →
+      // connected components (transitive closure — A≈B, B≈C ⇒ one
+      // entity) → canonical min-key entity ids with singletons kept as
+      // their own entity; the census a dedupe-merge pipeline ships.
+      // Every stage is its verified operator (q_fuzzy_blocked,
+      // dedup_components) — this row pins the composition.
+      val cust = t(s, dir, "customer")
+      val pairs = Joins.blockedFuzzyJoin(cust,
+          Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
+          maxDist = 2)
+        .select(col("u_key").as("doc_a"), col("v_key").as("doc_b"))
+      val comp = Dedup.components(pairs)
+        .withColumnRenamed("doc_id", "c_custkey")
+      cust.select(col("c_custkey"))
+        .join(comp, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("component"), col("c_custkey")).as("entity"))
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("c_custkey")).as("min_member"),
+          max(col("c_custkey")).as("max_member"))
+        .orderBy(col("entity"))
+    }),
     "q_churn_labels" -> ((s, dir) =>
       // leakage-free churn labels: features from ≤ cutoff only, label
       // from > cutoff only (cutoff = max ts − 7 days, a broadcast 1-row
@@ -6070,6 +6094,28 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_entity_resolution" ->
+      // the same blocked candidates, then recursive reachability with
+      // min-label canonicalization and a left join keeping singletons
+      """WITH RECURSIVE qp AS (
+        |  SELECT x.c_custkey AS a, y.c_custkey AS b
+        |  FROM customer x JOIN customer y
+        |    ON x.c_nationkey = y.c_nationkey
+        |   AND x.c_mktsegment = y.c_mktsegment
+        |   AND x.c_custkey < y.c_custkey
+        |  WHERE levenshtein(x.c_name, y.c_name) <= 2),
+        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(lbl) AS entity FROM reach GROUP BY 1),
+        |asg AS (SELECT c.c_custkey, COALESCE(comp.entity, c.c_custkey) AS entity
+        |        FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey)
+        |SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(MIN(c_custkey) AS BIGINT) AS min_member,
+        |       CAST(MAX(c_custkey) AS BIGINT) AS max_member
+        |FROM asg GROUP BY 1 ORDER BY entity""".stripMargin,
     "q_fuzzy_blocked" ->
       // exact Levenshtein is integer and engine-identical; the block
       // equi-keys bound candidate volume to Σ block²

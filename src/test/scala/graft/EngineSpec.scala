@@ -3347,6 +3347,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
   }
 
+  test("entity resolution composition: transitive closure merges a Levenshtein chain") {
+    import spark.implicits._
+    // a dist-1 chain whose ENDS are dist 4 apart — only the closure
+    // makes them one entity; a same-name row in another block must NOT
+    // merge (blocking is the contract), and singletons survive
+    val df = Seq(
+      (1L, "blk1", "aaaa"), (2L, "blk1", "aaab"), (3L, "blk1", "aabb"),
+      (4L, "blk1", "abbb"), (5L, "blk1", "bbbb"),
+      (6L, "blk2", "aaaa"), (7L, "blk2", "zzzz")).toDF("id", "blk", "name")
+    val pairs = Joins.blockedFuzzyJoin(df, Seq("blk"), "id", "name", maxDist = 1)
+      .select(col("u_key").as("doc_a"), col("v_key").as("doc_b"))
+    val comp = Dedup.components(pairs).withColumnRenamed("doc_id", "id")
+    val ent = df.select(col("id")).join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).map(ent).toSet == Set(1L), ent.toString)
+    assert(ent(6L) == 6L && ent(7L) == 7L, ent.toString)
+    Dedup.uncacheAll()
+  }
+
   test("pairRules: closed-form support/confidence/lift; incidence dedup; prune") {
     import spark.implicits._
     // 4 baskets: {a,b}, {a,b}, {a,c}, {b} (with a duplicated incidence

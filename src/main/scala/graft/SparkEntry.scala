@@ -1479,6 +1479,31 @@ object SparkEntry {
       Layout.compactionPlan(inv, targetBytes = 1000000L)
         .orderBy(col("prefix"), col("bin_id"))
     }),
+    "du_tiering_plan" -> ((s, dir) => {
+      // lifecycle-policy simulation on the object inventory: age each
+      // object against the newest write (broadcast 1-row bounds agg),
+      // route hot <7d / warm <21d / cold, and price the move — per-tier
+      // object and byte census plus the per-tier monthly cost under a
+      // 100/40/10 micro-unit rate card; one row-local tier expression +
+      // one map-side-combined agg
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("ts_us"), floor(col("value") * 100).cast("long").as("size"))
+      val mx = ev.agg(max(col("ts_us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_days", expr("(mx - ts_us) DIV 86400000000"))
+        .withColumn("tier",
+          when(col("age_days") < 7L, "hot")
+            .when(col("age_days") < 21L, "warm").otherwise("cold"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(col("size")).as("total_bytes"),
+          min(col("age_days")).as("min_age_days"),
+          max(col("age_days")).as("max_age_days"))
+        .withColumn("monthly_cost_micro",
+          col("total_bytes") * when(col("tier") === "hot", 100L)
+            .when(col("tier") === "warm", 40L).otherwise(10L))
+        .orderBy(col("tier"))
+    }),
     "du_orphan_audit" -> ((s, dir) => {
       // storage-reconciliation audit on the reference domain: usage rows
       // whose address has no registered account (orphans — a storage
@@ -5364,6 +5389,28 @@ object SparkEntry {
         |       COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
         |       MIN(fkey) AS first_key, MAX(fkey) AS last_key
         |FROM c GROUP BY 1, 2 ORDER BY prefix, bin_id""".stripMargin,
+    "du_tiering_plan" ->
+      // the identical age routing against the newest write and the same
+      // 100/40/10 rate card
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us,
+        |                  CAST(floor(value * 100) AS BIGINT) AS size
+        |           FROM events),
+        |mx AS (SELECT MAX(ts_us) AS mx FROM e),
+        |tiers AS (SELECT CASE WHEN (mx - ts_us) // 86400000000 < 7 THEN 'hot'
+        |                      WHEN (mx - ts_us) // 86400000000 < 21 THEN 'warm'
+        |                      ELSE 'cold' END AS tier,
+        |                 (mx - ts_us) // 86400000000 AS age_days, size
+        |          FROM e CROSS JOIN mx),
+        |g AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_objects,
+        |             CAST(SUM(size) AS BIGINT) AS total_bytes,
+        |             CAST(MIN(age_days) AS BIGINT) AS min_age_days,
+        |             CAST(MAX(age_days) AS BIGINT) AS max_age_days
+        |      FROM tiers GROUP BY 1)
+        |SELECT tier, n_objects, total_bytes, min_age_days, max_age_days,
+        |       total_bytes * (CASE WHEN tier = 'hot' THEN 100
+        |                           WHEN tier = 'warm' THEN 40 ELSE 10 END)
+        |         AS monthly_cost_micro
+        |FROM g ORDER BY tier""".stripMargin,
     "du_orphan_audit" ->
       """WITH u AS (SELECT user_id AS addr, COUNT(*) AS n_objects,
         |                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS bytes

@@ -2014,6 +2014,20 @@ object SparkEntry {
         .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
         .limit(100)
     }),
+    "q_jackknife_ci" -> ((s, dir) =>
+      // the error bar the per-type value means should ship with:
+      // delete-one-md5-fold jackknife variance, deterministic folds,
+      // exact integer moments — two keyed aggs + one keyed join, no
+      // window, no group buffered anywhere
+      Hygiene.jackknifeVariance(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("event_id"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v")),
+        // v already carries 10⁴: the residual 10² makes the means
+        // micro-units of the ORIGINAL value and keeps Σm² ≪ 2⁶³
+        "event_type", "v", "event_id", scale = 100L)
+        .orderBy(col("event_type"))),
     "q_tcloseness_audit" -> ((s, dir) =>
       // the skew-leak audit completing the privacy ladder: per QI group,
       // ordered-EMD between the group's sensitive-level distribution and
@@ -6090,6 +6104,37 @@ object SparkEntry {
         |        JOIN itn nb2 ON nb2.item = pr.item_b
         |        CROSS JOIN nb
         |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 100""".stripMargin,
+    "q_jackknife_ci" ->
+      // identical md5 fold assignment (one hex digit % 8), micro-unit
+      // replicate means, exact integer variance expansion
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+        |         CAST(('0x'||substring(md5(CAST(event_id AS VARCHAR)),1,1)) AS BIGINT) % 8
+        |           AS bkt
+        |  FROM events),
+        |cell AS (SELECT event_type, bkt, CAST(SUM(v) AS BIGINT) AS tb,
+        |                CAST(COUNT(*) AS BIGINT) AS nb
+        |         FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(tb) AS BIGINT) AS t,
+        |               CAST(SUM(nb) AS BIGINT) AS n
+        |        FROM cell GROUP BY 1),
+        |rep AS (SELECT cell.event_type, (100 * (t - tb)) // (n - nb) AS m
+        |        FROM cell JOIN tot ON tot.event_type = cell.event_type
+        |        WHERE n > nb),
+        |st AS (SELECT rep.event_type,
+        |              CAST(COUNT(*) AS BIGINT) AS n_replicas,
+        |              CAST(SUM(m) AS BIGINT) AS sm,
+        |              CAST(SUM(m*m) AS BIGINT) AS smm
+        |       FROM rep GROUP BY 1),
+        |fin AS (SELECT st.event_type, tot.n, (100 * tot.t) // tot.n AS mean_u6,
+        |               st.n_replicas, sm // n_replicas AS mbar, sm, smm
+        |        FROM st JOIN tot ON tot.event_type = st.event_type)
+        |SELECT event_type, n, CAST(mean_u6 AS BIGINT) AS mean_u6, n_replicas,
+        |       CAST(CASE WHEN n_replicas > 1 THEN
+        |         ((n_replicas - 1) * (smm - 2*mbar*sm + n_replicas*mbar*mbar))
+        |           // n_replicas END AS BIGINT) AS jk_var_u12
+        |FROM fin ORDER BY event_type""".stripMargin,
     "q_tcloseness_audit" ->
       // dense (group × level) grid so absent levels count as zeros, the
       // same cleared-denominator integer EMD, one cumulative window per

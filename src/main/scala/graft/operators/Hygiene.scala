@@ -681,6 +681,65 @@ object Hygiene {
       .select(qi ++ Seq(col("n"), col("emd_ppm"), col("violating")): _*)
   }
 
+  /** Delete-one-bucket jackknife variance of per-group means (Quenouille
+    * 1956 / Tukey 1958; the delete-d form Efron & Stein 1981 analyze) —
+    * the error bar an aggregate SHOULD ship with: rows hash into
+    * `buckets` deterministic md5 folds, each replicate mean leaves one
+    * fold out, and the spread of the replicates estimates the mean's
+    * sampling variance with NO distributional assumption and NO second
+    * pass. Deterministic buckets ⇒ reruns and the oracle reproduce the
+    * identical error bar.
+    *
+    * Integer contract: `valCol` is already an exact long; replicate
+    * means are integer divs at `scale` (pick scale so valCol·scale is
+    * micro-units of the ORIGINAL quantity — a pre-scaled valCol needs
+    * only the residual factor, keeping the squared moments under 2⁶³),
+    * the variance is the exact
+    * integer expansion Σm² − 2·m̄·Σm + B·m̄² (m̄ itself an integer div —
+    * part of the estimator's definition here, not a rounding
+    * afterthought), scaled (B−1)/B. A replicate whose complement is
+    * empty (the whole group hashed into one fold) is skipped and
+    * `n_replicas` says so.
+    *
+    * Scale shape: one (group, bucket) map-side-combined agg, one
+    * group-keyed rollup, one group-keyed join back over the
+    * B-rows-per-group frame — never a window, never a buffer holding a
+    * group. Overflow fence: Σm² needs B·mean_u6² < 2⁶³ (mean below
+    * ~10⁹ micro-units at B=8); beyond that cast the moment columns to
+    * DECIMAL(38,0).
+    */
+  def jackknifeVariance(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, buckets: Int = 8, scale: Long = 1000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= 16,
+      s"buckets must be in [2,16] (one hex digit): $buckets")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val cell = df.select(col(keyCol), col(valCol).as("v"),
+        (conv(substring(md5(col(idCol).cast("string")), 1, 1), 16, 10)
+          .cast("long") % buckets).as("bkt"))
+      .groupBy(col(keyCol), col("bkt"))
+      .agg(sum(col("v")).as("tb"), count(lit(1)).as("nb"))
+    val tot = cell.groupBy(col(keyCol))
+      .agg(sum(col("tb")).as("t"), sum(col("nb")).as("n"))
+    val rep = cell.join(tot, Seq(keyCol))
+      .withColumn("m_u6",
+        when(col("n") > col("nb"),
+          expr(s"($scale * (t - tb)) DIV (n - nb)")))
+      .filter(col("m_u6").isNotNull)
+    rep.groupBy(col(keyCol))
+      .agg(min(col("n")).as("n"), min(col("t")).as("t"),
+        count(lit(1)).as("n_replicas"),
+        sum(col("m_u6")).as("sm"),
+        sum(col("m_u6") * col("m_u6")).as("smm"))
+      .withColumn("mean_u6", expr(s"($scale * t) DIV n"))
+      .withColumn("mbar", expr("sm DIV n_replicas"))
+      .withColumn("jk_var_u12",
+        when(col("n_replicas") > 1L,
+          expr("((n_replicas - 1) * (smm - 2*mbar*sm + n_replicas*mbar*mbar))" +
+            " DIV n_replicas")))
+      .select(col(keyCol), col("n"), col("mean_u6"), col("n_replicas"),
+        col("jk_var_u12"))
+  }
+
   /** Source-concentration audit — the datasheet number that catches a
     * "web-scale" corpus that is secretly three domains: per-source doc
     * shares, top-1/top-k shares, and the Herfindahl–Hirschman index

@@ -3392,6 +3392,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("jackknifeVariance: replicate means match the hand fold; 1-row groups vanish") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => ("a", i, i * 1000L)) :+ (("solo", 99L, 5L))
+    val df = rows.toDF("k", "id", "v")
+    val r = Hygiene.jackknifeVariance(df, "k", "v", "id", buckets = 4, scale = 10L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) -1L else x.getLong(4)))).toMap
+    // recompute the folds from the contract hash and fold by hand
+    val bkt = df.filter(col("k") === "a")
+      .select(col("id"),
+        expr("CAST(conv(substring(md5(CAST(id AS STRING)),1,1),16,10) AS BIGINT) % 4"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val vs = (1L to 40L).map(i => (bkt(i), i * 1000L))
+    val (t, n) = (vs.map(_._2).sum, 40L)
+    val ms = (0L to 3L).flatMap { b =>
+      val (tb, nb) = (vs.filter(_._1 == b).map(_._2).sum, vs.count(_._1 == b).toLong)
+      if (n > nb) Some(10L * (t - tb) / (n - nb)) else None
+    }
+    val (bN, sm, smm) = (ms.size.toLong, ms.sum, ms.map(m => m * m).sum)
+    val mbar = sm / bN
+    val wantVar = (bN - 1) * (smm - 2 * mbar * sm + bN * mbar * mbar) / bN
+    assert(r("a") == ((n, 10L * t / n, bN, wantVar)), s"${r("a")} vs var $wantVar")
+    assert(bN == 4L, "fixture must populate all folds")
+    // the 1-row group has no valid leave-one-out replicate: absent by contract
+    assert(!r.contains("solo"), r.toString)
+  }
+
   test("quantileNormalize: per-source percentiles, shared ties, 1-row source pins 0") {
     import spark.implicits._
     // source A: scores 10,20,20,40 — ranks 1,2,2,4 over n=4 → pct 0,

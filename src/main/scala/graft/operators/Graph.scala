@@ -354,10 +354,16 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = Dedup.cached(
       edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct())
+    // each half-step's raw scores are referenced TWICE (the L1 total and
+    // the normalized output) — uncut, the duplicated subtree compounds
+    // 2^(2·iters)× across half-steps (measured: 132 s vs 13 s at sf0.1
+    // for iters=3 — the kCore 5^rounds lesson in its 2^n form), so the
+    // raw frame localCheckpoints per half-step; |V| rows per cut
     def l1Norm(scores: DataFrame, vCol: String): DataFrame = {
-      val tot = scores.agg(
+      val s = scores.localCheckpoint()
+      val tot = s.agg(
         sum(col(vCol).cast(DecimalType(28, 14))).cast("double").as("t"))
-      scores.crossJoin(broadcast(tot))
+      s.crossJoin(broadcast(tot))
         .select(col("node"), round(col(vCol) / col("t"), 12).as(vCol))
     }
     var h = e.select(col("src").as("node"))

@@ -5527,7 +5527,8 @@ object SparkEntry {
         |  FROM l GROUP BY 1, 2),
         |e AS (
         |  SELECT *, (n_sampled * 256) // 32 AS est_n,
-        |         (sum_sampled * 256) // 32 AS est_sum
+        |         CAST(sign(sum_sampled) AS BIGINT)
+        |           * ((abs(sum_sampled) * 256) // 32) AS est_sum
         |  FROM g)
         |SELECT l_returnflag, l_linestatus, n_exact, sum_exact, n_sampled,
         |       est_n, est_sum,
@@ -6119,7 +6120,9 @@ object SparkEntry {
         |tot AS (SELECT event_type, CAST(SUM(tb) AS BIGINT) AS t,
         |               CAST(SUM(nb) AS BIGINT) AS n
         |        FROM cell GROUP BY 1),
-        |rep AS (SELECT cell.event_type, (100 * (t - tb)) // (n - nb) AS m
+        |rep AS (SELECT cell.event_type,
+        |               CAST(sign(t - tb) AS BIGINT)
+        |                 * ((100 * abs(t - tb)) // (n - nb)) AS m
         |        FROM cell JOIN tot ON tot.event_type = cell.event_type
         |        WHERE n > nb),
         |st AS (SELECT rep.event_type,
@@ -6127,8 +6130,12 @@ object SparkEntry {
         |              CAST(SUM(m) AS BIGINT) AS sm,
         |              CAST(SUM(m*m) AS BIGINT) AS smm
         |       FROM rep GROUP BY 1),
-        |fin AS (SELECT st.event_type, tot.n, (100 * tot.t) // tot.n AS mean_u6,
-        |               st.n_replicas, sm // n_replicas AS mbar, sm, smm
+        |fin AS (SELECT st.event_type, tot.n,
+        |               CAST(sign(tot.t) AS BIGINT)
+        |                 * ((100 * abs(tot.t)) // tot.n) AS mean_u6,
+        |               st.n_replicas,
+        |               CAST(sign(sm) AS BIGINT) * (abs(sm) // n_replicas) AS mbar,
+        |               sm, smm
         |        FROM st JOIN tot ON tot.event_type = st.event_type)
         |SELECT event_type, n, CAST(mean_u6 AS BIGINT) AS mean_u6, n_replicas,
         |       CAST(CASE WHEN n_replicas > 1 THEN

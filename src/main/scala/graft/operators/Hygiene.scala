@@ -723,15 +723,18 @@ object Hygiene {
     val rep = cell.join(tot, Seq(keyCol))
       .withColumn("m_u6",
         when(col("n") > col("nb"),
-          expr(s"($scale * (t - tb)) DIV (n - nb)")))
+          expr(s"sign(t - tb) * (($scale * abs(t - tb)) DIV (n - nb))")
+            .cast("long")))
       .filter(col("m_u6").isNotNull)
     rep.groupBy(col(keyCol))
       .agg(min(col("n")).as("n"), min(col("t")).as("t"),
         count(lit(1)).as("n_replicas"),
         sum(col("m_u6")).as("sm"),
         sum(col("m_u6") * col("m_u6")).as("smm"))
-      .withColumn("mean_u6", expr(s"($scale * t) DIV n"))
-      .withColumn("mbar", expr("sm DIV n_replicas"))
+      .withColumn("mean_u6",
+        expr(s"sign(t) * (($scale * abs(t)) DIV n)").cast("long"))
+      .withColumn("mbar",
+        expr("sign(sm) * (abs(sm) DIV n_replicas)").cast("long"))
       .withColumn("jk_var_u12",
         when(col("n_replicas") > 1L,
           expr("((n_replicas - 1) * (smm - 2*mbar*sm + n_replicas*mbar*mbar))" +

@@ -131,7 +131,10 @@ object Joins {
     * Scale shape: the exchange keys on the grid cell — candidate
     * volume is Σ_cells 9·|cell|², bounded by density, never N²; a hot
     * cell is a data-skew fact (AQE-splittable), not a plan defect.
-    * Coordinates must be non-negative (integer `div` grid snapping).
+    * Grid snapping is FLOOR division (`(x − pmod(x, cell)) div cell`,
+    * exact integers), so negative coordinates snap correctly — plain
+    * `div` truncates toward zero and would merge the cells on either
+    * side of each axis, silently over-widening the stencil there.
     *
     * Emits (id_a, id_b, dist2) with id_a < id_b.
     */
@@ -140,12 +143,13 @@ object Joins {
     require(radius >= 0, s"radius must be >= 0: $radius")
     require(cell >= math.max(radius, 1L),
       s"cell ($cell) must be >= radius ($radius) for the 3x3 stencil guarantee")
+    def snap(c: String) = expr(s"($c - pmod($c, $cell)) div $cell")
     val home = pts.select(col(idCol).as("id_b"),
       col(xCol).as("xb"), col(yCol).as("yb"),
-      expr(s"$xCol div $cell").as("cx"), expr(s"$yCol div $cell").as("cy"))
+      snap(xCol).as("cx"), snap(yCol).as("cy"))
     val stencil = pts.select(col(idCol).as("id_a"),
         col(xCol).as("xa"), col(yCol).as("ya"),
-        expr(s"$xCol div $cell").as("hx"), expr(s"$yCol div $cell").as("hy"))
+        snap(xCol).as("hx"), snap(yCol).as("hy"))
       .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
       .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
       .select(col("id_a"), col("xa"), col("ya"),

@@ -84,7 +84,12 @@ object Splits {
         sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
         sum(when(col("in_sample"), col(valCol)).otherwise(0L)).as("sum_sampled"))
       .withColumn("est_n", expr(s"(n_sampled * 256) DIV $num"))
-      .withColumn("est_sum", expr(s"(sum_sampled * 256) DIV $num"))
+      // sign·abs form (the house signed-div rule): Spark DIV truncates
+      // while the oracle's // floors — they agree only on non-negative
+      // operands, and a value column may legally sum negative
+      .withColumn("est_sum",
+        signum(col("sum_sampled")).cast("long") *
+          expr(s"(abs(sum_sampled) * 256) DIV $num"))
       .withColumn("err_ppm",
         when(col("sum_exact") =!= 0L,
           expr("(1000000 * abs(est_sum - sum_exact)) DIV abs(sum_exact)")))

@@ -3345,6 +3345,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cell < radius voids the stencil guarantee — refused loudly
     intercept[IllegalArgumentException](
       Joins.radiusJoinBlocked(pts, radius = 100, cell = 64))
+    // NEGATIVE coordinates: floor snapping keeps the guarantee across
+    // the axes (truncating div would fold cells −1 and 0 together and
+    // a straddling pair could still be found, but a pair entirely in
+    // the negative quadrant at cell distance would be missed — this
+    // fixture puts pairs across zero and deep in the negative quadrant)
+    val neg = Seq((1L, -3L, -4L), (2L, 3L, 4L), (3L, -200L, -200L),
+      (4L, -205L, -195L), (5L, -90L, -90L)).toDF("id", "x", "y")
+    assert(pairs(Joins.radiusJoinBlocked(neg, radius = 10, cell = 16)) ==
+      Set((1L, 2L, 100L), (3L, 4L, 50L)))
   }
 
   test("entity resolution composition: transitive closure merges a Levenshtein chain") {
@@ -3458,6 +3467,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = Splits.sampledAggHt(df, "rid", Seq("grp"), "v", num = 32).collect()
       .map(x => x.getString(0) -> x.getLong(4)).toMap
     assert(Seq("even", "odd").forall(g => r2(g) == r(g)._4))
+    // NEGATIVE sums: the sign·abs form truncates toward zero exactly
+    // like Scala integer division — a bare DIV/floor split would differ
+    val neg = (1L to 400L).map(i => (i, "all", -i * 10)).toDF("rid", "grp", "v")
+    val rn = Splits.sampledAggHt(neg, "rid", Seq("grp"), "v", num = 32)
+      .collect().map(x => x.getString(0) -> x.getLong(5)).toMap
+    val ss = (1L to 400L).filter(inSample).map(-_ * 10L).sum
+    assert(rn("all") == ss * 256 / 32, s"${rn("all")} vs ${ss * 256 / 32}")
   }
 
   test("tClosenessAudit: pure groups hit EMD 1/2, balanced group 0, zeros via dense grid") {

@@ -1911,6 +1911,18 @@ object SparkEntry {
         .agg((sum(col("dv")) * 10000).cast("long").as("v"))
       Temporal.cusumChangepoints(ev).orderBy(col("bucket"))
     }),
+    "q_mase_eval" -> ((s, dir) => {
+      // is the hourly value series worth forecasting? persistence vs
+      // 24h-seasonal-naive MAE + their ratio over the bucketed series —
+      // the MASE go/no-go read before building anything fancier; same
+      // decimal-fenced hourly sums as q_cusum_changepoints
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.forecastBaselines(ev, season = 24)
+    }),
     "q_funnel" -> ((s, dir) =>
       // ordered conversion funnel view → click → purchase: one user-keyed
       // filter+join+agg per step (greedy earliest-completion chain — no
@@ -5907,6 +5919,29 @@ object SparkEntry {
         |       COALESCE(b.total_value, 0.0) AS total_value
         |FROM g LEFT JOIN b ON b.hour_idx = g.hour_idx
         |ORDER BY g.hour_idx""".stripMargin,
+    "q_mase_eval" ->
+      // identical hourly sums, row lags over the ordered buckets, and
+      // the same integer MAE/ratio forms on the both-defined support
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |                  CAST(value AS DECIMAL(18,4)) AS dv
+        |           FROM events),
+        |b AS (SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+        |      FROM e GROUP BY 1),
+        |l AS (SELECT bucket, v,
+        |             lag(v, 1) OVER (ORDER BY bucket) AS p,
+        |             lag(v, 24) OVER (ORDER BY bucket) AS sn
+        |      FROM b),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |             CAST(SUM(abs(v - p)) AS BIGINT) AS sae_persist,
+        |             CAST(SUM(abs(v - sn)) AS BIGINT) AS sae_seasonal
+        |      FROM l WHERE sn IS NOT NULL)
+        |SELECT n_eval,
+        |       CAST(sae_persist // n_eval AS BIGINT) AS mae_persist,
+        |       CAST(sae_seasonal // n_eval AS BIGINT) AS mae_seasonal,
+        |       CAST(CASE WHEN sae_seasonal <> 0
+        |            THEN (1000000 * sae_persist) // sae_seasonal END AS BIGINT)
+        |         AS mase_ppm
+        |FROM s""".stripMargin,
     "q_cusum_changepoints" ->
       // the identical decimal-fenced hourly sums, integer scaled CUSUM
       // over the bucketed series, two one-row globals for the peak pick

@@ -653,6 +653,42 @@ object Temporal {
       .drop("pb")
   }
 
+  /** Forecast-baseline audit over a bucketed series — persistence
+    * (ŷ_t = y_{t−1}) vs seasonal-naïve (ŷ_t = y_{t−season}), with their
+    * MAE ratio: the MASE denominator discipline (Hyndman & Koehler
+    * 2006) says any forecasting investment must beat these, so this row
+    * is the go/no-go read BEFORE building anything fancier; mase-like
+    * ratio < 10⁶ ppm means persistence already beats the seasonal
+    * pattern (or vice versa). Evaluation restricted to buckets where
+    * BOTH baselines exist (t > season), so the two MAEs average the
+    * same support.
+    *
+    * Integer-exact: input values are exact longs; MAEs emit as
+    * `Σ|d| DIV n` in the value's own scale and the ratio as
+    * `10⁶·Σ|d₁| DIV Σ|d_s|` — all non-negative, no float. Lags are
+    * ROW lags over the ordered buckets: gap-fill a holey series first
+    * (q_gap_fill's operator) or the season offset slips. Scale shape:
+    * one global ordered window over the BUCKETED series (time-bounded,
+    * the [[cusumChangepoints]] contract) + one 1-row agg.
+    */
+  def forecastBaselines(series: DataFrame, season: Int,
+      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+    require(season >= 2, s"season must be >= 2: $season")
+    val w = Window.orderBy(col(bucketCol))
+    series.select(col(bucketCol), col(valCol).as("v"))
+      .withColumn("p", lag(col("v"), 1).over(w))
+      .withColumn("sn", lag(col("v"), season).over(w))
+      .filter(col("sn").isNotNull)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("v") - col("p"))).as("sae_persist"),
+        sum(abs(col("v") - col("sn"))).as("sae_seasonal"))
+      .select(col("n_eval"),
+        expr("sae_persist DIV n_eval").as("mae_persist"),
+        expr("sae_seasonal DIV n_eval").as("mae_seasonal"),
+        when(col("sae_seasonal") =!= 0L,
+          expr("(1000000 * sae_persist) DIV sae_seasonal")).as("mase_ppm"))
+  }
+
   /** [[linearTrend]]'s second half: the five integer regression moments
     * and the slope over a (key, x, y) daily-totals frame — shared by the
     * batch operator and the streaming twin's read path so the algebra

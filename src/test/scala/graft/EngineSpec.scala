@@ -3494,6 +3494,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("forecastBaselines: seasonal pattern beats persistence; support is both-defined") {
+    import spark.implicits._
+    // a clean period-3 pattern (10,20,30 repeating): the seasonal-naive
+    // is perfect (MAE 0 → ratio NULL guard exercised by... no: sae_s=0
+    // so mase is NULL); persistence errs |10|,|10|,|20| per cycle
+    val s = (1L to 12L).map(i => (i, Seq(10L, 20L, 30L)((i % 3).toInt)))
+      .toDF("bucket", "v")
+    val r = Temporal.forecastBaselines(s, season = 3).collect().head
+    // eval support = buckets 4..12 (9 rows — the first `season` drop)
+    assert(r.getLong(0) == 9L, r.toString)
+    // persistence diffs per step on this pattern: 10,10,20 repeating → 120/9
+    assert(r.getLong(1) == 13L && r.getLong(2) == 0L, r.toString)
+    assert(r.isNullAt(3), "perfect seasonal fit must NULL the ratio, not div0")
+    // a trend series flips it: persistence wins, ratio < 1e6
+    val t = (1L to 12L).map(i => (i, i * 10L)).toDF("bucket", "v")
+    val rt = Temporal.forecastBaselines(t, season = 3).collect().head
+    assert(rt.getLong(1) == 10L && rt.getLong(2) == 30L, rt.toString)
+    assert(rt.getLong(3) == 333333L, rt.toString)
+  }
+
   test("cusumChangepoints: level shift peaks at the last pre-shift bucket; ties flag once") {
     import spark.implicits._
     // 10,10,10 → 50,50,50: T = 180, n = 6; n·S_i = −120,−240,−360,−240,

@@ -3958,6 +3958,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cusum stream: any batch split (even out-of-order) equals the batch operator") {
+    import spark.implicits._
+    import graft.streaming.CusumStream
+    val rnd = new scala.util.Random(13)
+    // raw events: (bucket, v) with repeats — the store folds sums
+    val all = (1 to 120).map(_ => (rnd.nextInt(20).toLong + 1L,
+      rnd.nextInt(100).toLong - 20L))
+    val expect = Temporal.cusumChangepoints(
+        all.toDF("bucket", "v").groupBy(col("bucket"))
+          .agg(sum(col("v")).as("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    Dedup.uncacheAll()
+    for (nBatches <- Seq(1, 5)) {
+      val store = new CusumStream.CusumStore(spark)
+      // deliberately UNSORTED split: addition has no order, so even
+      // out-of-order arrival must fold to the identical statistic
+      val per = math.ceil(all.size.toDouble / nBatches).toInt
+      all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("bucket", "v"), i.toLong)
+      }
+      val got = store.current.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(got == expect, s"nBatches=$nBatches")
+      Dedup.uncacheAll()
+      // replay of a delivered batch id is a no-op
+      assert(!store.merge(all.toDF("bucket", "v"), 0L))
+    }
+  }
+
   test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream

@@ -3354,6 +3354,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, -205L, -195L), (5L, -90L, -90L)).toDF("id", "x", "y")
     assert(pairs(Joins.radiusJoinBlocked(neg, radius = 10, cell = 16)) ==
       Set((1L, 2L, 100L), (3L, 4L, 50L)))
+    // PLAN PIN: the stencil is an EQUI-join on the grid cell — a θ-join
+    // plan (BNLJ/cartesian) would mean the blocking never reached the key
+    val plan = Joins.radiusJoinBlocked(pts, radius = 50, cell = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"radius join must key on the cell:\n$plan")
   }
 
   test("entity resolution composition: transitive closure merges a Levenshtein chain") {
@@ -3398,6 +3404,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = Assoc.pairRules(bi, minPairN = 2).collect()
     assert(pruned.length == 1 && pruned.head.getString(0) == "a"
       && pruned.head.getString(1) == "b")
+    // PLAN PIN: the pair expansion is an EQUI-join on the basket id
+    val plan = Assoc.pairRules(bi).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"pair join must key on the basket:\n$plan")
     Dedup.uncacheAll()
   }
 

@@ -931,4 +931,66 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(rows(Seq(lex, sem)) == rows(Seq(sem, lex)))
   }
+
+  test("radius join: blocked equals brute over random geometries, radii, and cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // three geometry regimes: dense positive, sparse signed, clustered
+    val regimes = Seq(
+      (1 to 300).map(i => (i.toLong, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)),
+      (1 to 200).map(i => (i.toLong, rnd.nextInt(2000).toLong - 1000L,
+        rnd.nextInt(2000).toLong - 1000L)),
+      (1 to 200).map(i => (i.toLong,
+        (i % 4) * 500L + rnd.nextInt(30), (i % 4) * 500L + rnd.nextInt(30))))
+    for ((pts, idx) <- regimes.zipWithIndex; (radius, cell) <- Seq((25L, 25L), (40L, 64L))) {
+      val df = pts.toDF("id", "x", "y")
+      val blocked = graft.operators.Joins.radiusJoinBlocked(df, radius, cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pts.flatMap { case (i, xi, yi) =>
+        pts.collect { case (j, xj, yj)
+          if i < j && (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) <= radius * radius =>
+          (i, j)
+        }
+      }.toSet
+      assert(blocked == brute,
+        s"regime $idx r=$radius cell=$cell: ${blocked.size} vs ${brute.size}")
+    }
+  }
+
+  test("cusum: last statistic is exactly zero and total is split-invariant") {
+    import spark.implicits._
+    // Σ(x − x̄) telescopes to 0 — scaled: n·cum_n − n·T ≡ 0 for ANY series
+    val rnd = new scala.util.Random(5)
+    val s = (1L to 50L).map(i => (i, rnd.nextInt(1000).toLong - 300L)).toDF("bucket", "v")
+    val rows = graft.operators.Temporal.cusumChangepoints(s)
+      .orderBy(col("bucket")).collect()
+    assert(rows.last.getLong(2) == 0L, "CUSUM must telescope to zero")
+    assert(rows.count(_.getBoolean(3)) == 1, "exactly one flagged changepoint")
+    graft.operators.Dedup.uncacheAll()
+  }
+
+  test("t-closeness: the corpus as one group scores EMD exactly zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 200).map(_ => ("all", rnd.nextInt(7).toLong)).toDF("g", "lvl")
+    val r = graft.operators.Hygiene.tClosenessAudit(df, Seq("g"), "lvl", tPpm = 0)
+      .collect()
+    assert(r.length == 1 && r.head.getLong(2) == 0L, r.mkString(","))
+    graft.operators.Dedup.uncacheAll()
+  }
+
+  test("association rules: lift identity and support symmetry on random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bi = (1 to 400).map(_ => (rnd.nextInt(60).toLong, s"i${rnd.nextInt(8)}"))
+      .toDF("basket", "item")
+    val nB = bi.select(col("basket")).distinct().count()
+    graft.operators.Assoc.pairRules(bi).collect().foreach { r =>
+      val (np, na, nb2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np <= math.min(na, nb2), "pair count bounded by either item")
+      assert(r.getLong(5) == np * 1000000L / nB, "support identity")
+      assert(r.getLong(8) == np * nB * 1000000L / (na * nb2), "lift identity")
+    }
+    graft.operators.Dedup.uncacheAll()
+  }
 }

@@ -3404,10 +3404,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = Assoc.pairRules(bi, minPairN = 2).collect()
     assert(pruned.length == 1 && pruned.head.getString(0) == "a"
       && pruned.head.getString(1) == "b")
-    // PLAN PIN: the pair expansion is an EQUI-join on the basket id
+    // PLAN PIN: the pair expansion is an EQUI-join on the basket id —
+    // the ONLY nested-loop allowed is the deliberate 1-row n_baskets
+    // scalar cross (the broadcast-bounded-global pattern)
     val plan = Assoc.pairRules(bi).queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"), s"pair join must key on the basket:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the 1-row scalar cross may nested-loop:\n$plan")
     Dedup.uncacheAll()
   }
 

@@ -2513,6 +2513,17 @@ object SparkEntry {
           col("n_chars").as("score")),
         "source", "score", Seq("doc_id"))
         .orderBy(col("doc_id"))),
+    "text_score_calibrate_hist" -> ((s, dir) =>
+      // the SCALE form of text_score_calibrate: per-source equi-depth
+      // decile boundaries via distributed histogram narrowing (no
+      // per-source sort or window anywhere), then a row-local
+      // boundaries-≤-score count against the broadcast (source × 9)
+      // frame — the path to take when one source outgrows spill
+      Hygiene.quantileNormalizeHist(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("score")),
+        "source", "score", Seq("doc_id"))
+        .orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
         .orderBy(col("doc_id"))),
@@ -5733,6 +5744,27 @@ object SparkEntry {
         |SELECT doc_id, source, score, pct_ppm,
         |       CAST(least(9, pct_ppm // 100000) AS BIGINT) AS calib_decile
         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_score_calibrate_hist" ->
+      // the identical lower-order-statistic boundaries (the
+      // q_group_quantiles_scalable rank formula) and the same
+      // boundaries-≤-score decile count
+      """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+        |v AS (SELECT source, CAST(round(n_chars * 1000000, 0) AS BIGINT) AS v
+        |      FROM documents),
+        |s AS (SELECT source, list(v ORDER BY v) AS lst, COUNT(*) AS n
+        |      FROM v GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([100000,200000,300000,400000,500000,
+        |                           600000,700000,800000,900000]) AS BIGINT)
+        |         AS q_ppm),
+        |bounds AS (SELECT s.source,
+        |                  lst[CAST(floor((qs.q_ppm / 1000000.0) * (s.n - 1))
+        |                      AS BIGINT) + 1] AS bv
+        |           FROM s CROSS JOIN qs)
+        |SELECT d.doc_id, d.source, CAST(d.score AS BIGINT) AS score,
+        |       CAST(SUM(CASE WHEN b.bv <= CAST(round(d.score * 1000000, 0) AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS calib_decile
+        |FROM d JOIN bounds b ON b.source = d.source
+        |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "pipeline_prep" -> (shingleCte + {
       val splitCase = graft.operators.Splits.splitCaseSql(
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

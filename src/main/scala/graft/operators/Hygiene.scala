@@ -624,6 +624,33 @@ object Hygiene {
       .drop("rk", "n")
   }
 
+  /** [[quantileNormalize]]'s documented scale swap, as a REAL code path:
+    * calibrated deciles from per-group equi-depth boundaries instead of
+    * a per-group rank window. Boundaries are the nine exact decile order
+    * statistics via [[groupedQuantiles]] (distributed histogram
+    * narrowing — no window, no buffer, no per-group sort anywhere), and
+    * each row's decile is then the ROW-LOCAL count of boundaries ≤ its
+    * score against the broadcast (group × 9) boundary frame. Use this
+    * form when a single group outgrows executor spill capacity; the
+    * trade is resolution (deciles, not ppm percentiles) and estimator
+    * convention (#boundaries ≤ score vs rank-derived — they agree as
+    * n grows, differ at tiny n; both are deterministic and ties still
+    * calibrate identically).
+    */
+  def quantileNormalizeHist(df: DataFrame, groupCol: String,
+      scoreCol: String, idCols: Seq[String]): DataFrame = {
+    val bounds = groupedQuantiles(df, groupCol, scoreCol,
+        (1L to 9L).map(_ * 100000L))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("value_u6"))).as("bounds"))
+    df.select(idCols.map(col) ++ Seq(col(groupCol), col(scoreCol)): _*)
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("calib_decile",
+        expr(s"size(filter(bounds, b -> b <= CAST(round($scoreCol * 1000000, 0) AS BIGINT)))")
+          .cast("long"))
+      .drop("bounds")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * rung of the privacy ladder after [[kAnonAudit]] (group size) and
     * [[lDiversityAudit]] (distinct sensitive values): a group can pass

@@ -3455,6 +3455,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> ((1000000L, 9L)), 5L -> ((0L, 0L))), r.toString)
   }
 
+  test("quantileNormalizeHist: decile = boundaries <= score; no window in the plan") {
+    import spark.implicits._
+    // source A: 1..10 — boundaries at q=0.1..0.9 are ranks ⌊q·9⌋ →
+    // values 1,2,3,4,5,6,7,8,9 (0-based); score s counts boundaries ≤ s
+    val df = (1L to 10L).map(i => (i, "A", i.toLong)).toDF("doc_id", "source", "score")
+    val op = Hygiene.quantileNormalizeHist(df, "source", "score", Seq("doc_id"))
+    // join on the group key moves it first: (source, doc_id, score, decile)
+    val r = op.collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 9L), r.toString)
+    // ties still calibrate identically (pure function of the score)
+    val t2 = Seq((1L, "B", 5L), (2L, "B", 5L), (3L, "B", 9L), (4L, "B", 1L))
+      .toDF("doc_id", "source", "score")
+    val rt = Hygiene.quantileNormalizeHist(t2, "source", "score", Seq("doc_id"))
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(rt(1L) == rt(2L), rt.toString)
+    // PLAN PIN: the scale claim — no per-ROW rank/percent window over
+    // the corpus frame (the rank form's signature). groupedSelectRanks'
+    // internal cumulative over its ≤4096 histogram BINS is allowed:
+    // that window moves bounded bin rows, never the group's rows.
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("rank(") && !plan.contains("row_number("),
+      s"hist form must not rank rows:\n$plan")
+    Dedup.uncacheAll()
+  }
+
   test("sampledAggHt: HT inflation is exactly 1/p over the deterministic md5 sample") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 10))

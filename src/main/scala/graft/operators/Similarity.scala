@@ -775,10 +775,14 @@ object Similarity {
     * on the reversed pair — kNN output is |V|·k rows, so both sides are
     * already k-bounded.
     */
-  def knnGraph(
-      emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val p = prepared(emb, idCol, embCol)
+  /** The banded directed-candidate scoring stage [[knnGraph]] and
+    * [[labelNoise]] share — band-bucketed self-join (never all-pairs),
+    * vectors joined back only for scoring: (id_a, id_b, cosine) over
+    * DIRECTED candidate pairs. Factored so the two consumers cannot
+    * drift.
+    */
+  private def bandedScoredCandidates(
+      p: DataFrame, planes: DataFrame, bands: Int): DataFrame = {
     val bb = withBandBuckets(p, planes, bands)
     val cand = bb.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(bb.select(col("id").as("id_b"), col("band"), col("bucket")),
@@ -786,13 +790,20 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val scored = cand
+    cand
       .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
         Seq("id_a"))
       .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+  }
+
+  def knnGraph(
+      emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val scored = bandedScoredCandidates(p, planes, bands)
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b"))
     val knn = scored
@@ -832,20 +843,7 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     val p = prepared(emb, idCol, embCol)
     val lab = emb.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl"))
-    val bb = withBandBuckets(p, planes, bands)
-    val cand = bb.select(col("id").as("id_a"), col("band"), col("bucket"))
-      .join(bb.select(col("id").as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val scored = cand
-      .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
-        Seq("id_a"))
-      .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+    val scored = bandedScoredCandidates(p, planes, bands)
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b"))
     val knn = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

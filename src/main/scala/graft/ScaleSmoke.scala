@@ -623,6 +623,41 @@ object ScaleSmoke {
           .count()
       }
     }
+    // spatial radius join at point-cloud scale: 2M points over a 1M×1M
+    // grid, cell 1024 → ~1M cells at ~2 points each — candidate volume
+    // rides density (Σ 9·|cell|²), never N²; blocked ≡ brute is
+    // property-pinned at test scale, this section prices the plan
+    if (enabled("radius join")) {
+      timed("radius join (2M pts)") {
+        val pts = spark.range(2000000L).select(
+          col("id"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("x"),
+          pmod(xxhash64(col("id") + 7L), lit(1000000L)).as("y"))
+        graft.operators.Joins.radiusJoinBlocked(pts, radius = 512, cell = 1024)
+          .count()
+      }
+    }
+
+    // score calibration on a HOT source: 5M rows, 98% in one source —
+    // the rank form sorts the hot source's 4.9M rows in one partition
+    // chain; the histogram form never ranks rows (bounded bins only).
+    // This is the measured basis for quantileNormalizeHist's contract.
+    if (enabled("calibrate")) {
+      val scored = spark.range(5000000L).select(
+        col("id").as("doc_id"),
+        when(col("id") % 50L === 0L, lit("rare")).otherwise(lit("hot")).as("source"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("score"))
+      timed("calibrate rank (5M, hot src)") {
+        graft.operators.Hygiene.quantileNormalize(
+          scored, "source", "score", Seq("doc_id")).count()
+      }
+      timed("calibrate hist (5M, hot src)") {
+        val n = graft.operators.Hygiene.quantileNormalizeHist(
+          scored, "source", "score", Seq("doc_id")).count()
+        graft.operators.Dedup.uncacheAll()
+        n
+      }
+    }
     spark.stop()
   }
 }

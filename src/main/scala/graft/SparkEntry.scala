@@ -1203,6 +1203,16 @@ object SparkEntry {
           col("rank_ab"), col("rank_ba"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "emb_mean_pool" -> ((s, dir) =>
+      // chunk→document pooling: 5 consecutive vecs per synthetic doc,
+      // exact-decimal per-dimension means rounded at 6 dp, emitted
+      // exploded (doc_id, i, v) — one explode + one keyed agg
+      Similarity.meanPool(
+        t(s, dir, "embeddings").select(
+          expr("vec_id DIV 5").as("doc_id"), col("embedding")),
+        "doc_id")
+        .select(col("doc_id"), col("i"), (col("v") + lit(0.0)).as("v"))
+        .orderBy(col("doc_id"), col("i"))),
     "ann_label_noise" -> ((s, dir) => {
       // kNN-disagreement label audit: a label is suspect when a strict
       // majority of the vector's top-4 banded-LSH neighbors carry one
@@ -5204,6 +5214,13 @@ object SparkEntry {
         |FROM kn k1 JOIN kn k2 ON k2.id_a=k1.id_b AND k2.id_b=k1.id_a
         |WHERE k1.rnk <= 4 AND k2.rnk <= 4 AND k1.id_a < k1.id_b
         |ORDER BY k1.id_a, k1.id_b""".stripMargin),
+    "emb_mean_pool" -> (embCte +
+      // the kmeans c{r} per-dimension decimal-mean formula applied to
+      // the DIV-5 grouping; i is 1-based on both sides
+      """SELECT vec_id // 5 AS doc_id, i,
+        |       ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6)+0.0
+        |         AS v
+        |FROM f GROUP BY 1, 2 ORDER BY doc_id, i""".stripMargin),
     "ann_label_noise" -> (embCte +
       // the knn_graph banded candidate chain (hp/pd/bkb/cand), directed
       // top-4 window, then label joins + plurality argmax replayed with

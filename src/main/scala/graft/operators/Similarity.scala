@@ -775,6 +775,34 @@ object Similarity {
     * on the reversed pair — kNN output is |V|·k rows, so both sides are
     * already k-bounded.
     */
+  /** Chunk-to-document mean pooling — the aggregation step of every
+    * long-document embedding pipeline (chunks are what the encoder can
+    * eat; ONE vector per document is what dedup/ANN/clustering
+    * consume): per (group, dimension), the exact-decimal mean of the
+    * member vectors' coordinates, rounded at 6 dp. Emitted EXPLODED as
+    * (group, i, v) — the relational form downstream dimension audits
+    * ([[dimStats]]' shape) read directly; re-assemble with
+    * `sort_array(collect_list(struct(i, v)))` when an array is needed.
+    *
+    * Determinism fencing: coordinates cast to DECIMAL(28,12) BEFORE the
+    * sum (order-free addition — the [[trainCentroids]] per-dimension
+    * mean discipline), one IEEE divide by the member count, ROUND at 6.
+    * Scale shape: one explode + one (group, dim)-keyed map-side-combined
+    * agg — dims are bounded, groups shard freely; no vector is ever
+    * materialized whole in an aggregation buffer.
+    */
+  def meanPool(emb: DataFrame, keyCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    emb.select(col(keyCol), posexplode(col(embCol)).as(Seq("p", "x")))
+      .select(col(keyCol), (col("p") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+      .groupBy(col(keyCol), col("i"))
+      .agg(round(
+        sum(col("x").cast(DecimalType(28, 12))).cast("double") / count(lit(1)),
+        6).as("v"))
+  }
+
   /** The banded directed-candidate scoring stage [[knnGraph]] and
     * [[labelNoise]] share — band-bucketed self-join (never all-pairs),
     * vectors joined back only for scoring: (id_a, id_b, cosine) over

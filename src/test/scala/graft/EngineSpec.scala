@@ -3102,6 +3102,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("meanPool: exact per-dimension means, 1-based dims, singleton identity") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1f, 2f, 3f)), (1L, Array(3f, 2f, 1f)),
+      (2L, Array(0.5f, 0.25f, -1f))).toDF("doc_id", "embedding")
+    val r = Similarity.meanPool(e, "doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r == Map(
+      (1L, 1L) -> 2.0, (1L, 2L) -> 2.0, (1L, 3L) -> 2.0,
+      (2L, 1L) -> 0.5, (2L, 2L) -> 0.25, (2L, 3L) -> -1.0), r.toString)
+  }
+
   test("labelNoise: majority-disagreement flags the planted mislabel only") {
     import spark.implicits._
     // cluster A (label 1) along axis 0, cluster B (label 2) along axis 1,

@@ -1514,6 +1514,22 @@ object SparkEntry {
             .when(col("tier") === "warm", 40L).otherwise(10L))
         .orderBy(col("tier"))
     }),
+    "du_prefix_rollup" -> ((s, dir) =>
+      // THE disk-usage treemap query: hierarchical directory sizes over
+      // the path levels (address / address+type), one ROLLUP lattice —
+      // sentinel-coalesced keys, grouping_id levels, integer byte sums
+      t(s, dir, "events")
+        .select(col("user_id").cast("string").as("address"),
+          col("event_type").as("prefix2"),
+          floor(col("value") * 100).cast("long").as("size"))
+        .rollup(col("address"), col("prefix2"))
+        .agg(grouping_id().cast("long").as("lvl"),
+          count(lit(1)).as("n_objects"),
+          sum(col("size")).as("total_bytes"))
+        .select(coalesce(col("address"), lit("<all>")).as("address"),
+          coalesce(col("prefix2"), lit("<all>")).as("prefix2"),
+          col("lvl"), col("n_objects"), col("total_bytes"))
+        .orderBy(col("lvl"), col("address"), col("prefix2"))),
     "du_orphan_audit" -> ((s, dir) => {
       // storage-reconciliation audit on the reference domain: usage rows
       // whose address has no registered account (orphans — a storage
@@ -5443,6 +5459,19 @@ object SparkEntry {
         |       COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
         |       MIN(fkey) AS first_key, MAX(fkey) AS last_key
         |FROM c GROUP BY 1, 2 ORDER BY prefix, bin_id""".stripMargin,
+    "du_prefix_rollup" ->
+      // the q_rollup GROUPING-bitmask idiom over the inventory path levels
+      """WITH inv AS (SELECT CAST(user_id AS VARCHAR) AS address,
+        |                    event_type AS prefix2,
+        |                    CAST(floor(value * 100) AS BIGINT) AS size
+        |             FROM events)
+        |SELECT COALESCE(address, '<all>') AS address,
+        |       COALESCE(prefix2, '<all>') AS prefix2,
+        |       CAST(GROUPING(address, prefix2) AS BIGINT) AS lvl,
+        |       COUNT(*) AS n_objects,
+        |       CAST(SUM(size) AS BIGINT) AS total_bytes
+        |FROM inv GROUP BY ROLLUP (address, prefix2)
+        |ORDER BY lvl, address, prefix2""".stripMargin,
     "du_tiering_plan" ->
       // the identical age routing against the newest write and the same
       // 100/40/10 rate card

@@ -29,8 +29,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object CusumStream {
 
-  /** Per-bucket value sums across micro-batches. */
-  final class CusumStore(spark: SparkSession) {
+  /** Per-bucket value sums across micro-batches. When `durable` carries
+    * a snapshot directory, every applied batch writes the merged table
+    * (time-bounded by contract) BEFORE the batch is acknowledged, so a
+    * driver restart rebuilds the exact folded state via [[restore]] and
+    * checkpoint-replayed batches drop on the monotone guard — the
+    * [[CmsStream.SketchStore]] durability shape.
+    */
+  final class CusumStore(spark: SparkSession, durable: Option[String] = None) {
     import spark.implicits._
 
     private def materialize(df: DataFrame): DataFrame = {
@@ -43,6 +49,14 @@ object CusumStream {
     private val sumsRef = new AtomicReference[DataFrame](materialize(
       Seq.empty[(Long, Long)].toDF("bucket", "v")))
     @volatile private var lastBatch = -1L
+
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val nc = materialize(df.select(col("bucket"), col("v")))
+      val oc = sumsRef.get()
+      sumsRef.set(nc)
+      lastBatch = upto
+      oc.unpersist()
+    }
 
     /** The monitor read: the batch operator over the folded sums. */
     def current: DataFrame =
@@ -64,11 +78,27 @@ object CusumStream {
           coalesce(col("o.bucket"), col("b.bucket")).as("bucket"),
           (coalesce(col("o.v"), lit(0L)) + coalesce(col("b.bv"), lit(0L))).as("v"))
       val nc = materialize(merged)
+      // durable: snapshot BEFORE acknowledging, so a crash between write
+      // and ack only re-folds a batch the guard then drops
+      durable.foreach(dir => SnapshotStore.write(spark, dir, nc, batchId))
       val oc = sumsRef.get()
       sumsRef.set(nc)
       lastBatch = batchId
       oc.unpersist()
       true
+    }
+  }
+
+  object CusumStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String): CusumStore = {
+      val store = new CusumStore(spark, Some(dir))
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
     }
   }
 

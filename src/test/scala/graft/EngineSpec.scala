@@ -4040,6 +4040,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cusum stream durability: restore rebuilds the folded sums; replays drop") {
+    import spark.implicits._
+    import graft.streaming.CusumStream
+    val dir = Files.createTempDirectory("cusumstream").toString
+    val s1 = new CusumStream.CusumStore(spark, durable = Some(dir))
+    s1.merge(Seq((1L, 10L), (2L, 5L)).toDF("bucket", "v"), 0L)
+    s1.merge(Seq((2L, 5L), (3L, 30L)).toDF("bucket", "v"), 1L)
+    val want = s1.current.collect().map(_.toSeq).toSet
+    // a fresh process restores the exact folded state from the snapshot
+    val s2 = CusumStream.CusumStore.restore(spark, dir)
+    assert(s2.current.collect().map(_.toSeq).toSet == want)
+    // checkpoint-replayed batches at or below the restored id drop
+    assert(!s2.merge(Seq((9L, 99L)).toDF("bucket", "v"), 1L))
+    assert(s2.current.collect().map(_.toSeq).toSet == want)
+    // a cold dir restores an empty store
+    assert(CusumStream.CusumStore.restore(spark, s"$dir-cold").sums.count() == 0)
+    Dedup.uncacheAll()
+  }
+
   test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream

@@ -2325,6 +2325,30 @@ object SparkEntry {
         e.filter(col("user_id") % 5 === 0),
         "user_id", width = 256, depth = 3)
     }),
+    "dedup_cross_source_matrix" -> ((s, dir) => {
+      // the PAIRWISE companion of dedup_rate_by_source: which source
+      // pairs share duplicated content (the "does CC overlap C4" read
+      // that decides which feed is redundant). Exact normalized-key
+      // groups sized [2, 1000] pair within the group (bounded blow-up:
+      // the df-cap discipline — a boilerplate key above the cap is a
+      // cleanup finding, not a pair source), source pair canonicalized.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val keyed = Dedup.cached(docs.select(col("doc_id"), col("source"),
+        Dedup.normalizedKey(col("text")).as("k")))
+      val groups = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("n") <= 1000).select(col("k"))
+      val in2 = keyed.join(groups, Seq("k"))
+      in2.as("x").join(in2.as("y"),
+          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+        .select(least(col("x.source"), col("y.source")).as("src_a"),
+          greatest(col("x.source"), col("y.source")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
     "dedup_rate_by_source" -> ((s, dir) => {
       // the dedup DASHBOARD cut: duplicate mass per source over the
       // planted-twin corpus (the leakage-audit surface) — per source:
@@ -6645,6 +6669,27 @@ object SparkEntry {
         |       (SELECT MIN(e) FROM e) AS cms_estimate,
         |       (SELECT MIN(e) FROM e) >= x.exact_size AS upper_bound_holds
         |FROM x""".stripMargin,
+    "dedup_cross_source_matrix" ->
+      // same normalized key, [2,1000]-sized groups, canonical source
+      // pair over within-group doc pairs
+      """WITH v AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |kk AS (SELECT doc_id, source,
+        |              md5(nfc_normalize(regexp_replace(trim(lower(text)),
+        |                '[ \t\n\r]+', ' ', 'g'))) AS k
+        |       FROM v),
+        |g AS (SELECT k FROM (SELECT k, COUNT(*) AS n FROM kk GROUP BY 1)
+        |      WHERE n >= 2 AND n <= 1000),
+        |in2 AS (SELECT kk.doc_id, kk.source, kk.k FROM kk JOIN g ON g.k = kk.k)
+        |SELECT least(x.source, y.source) AS src_a,
+        |       greatest(x.source, y.source) AS src_b,
+        |       COUNT(*) AS n_dup_pairs
+        |FROM in2 x JOIN in2 y ON x.k = y.k AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "dedup_rate_by_source" ->
       """WITH v AS (
         |  SELECT doc_id, source,

@@ -3729,13 +3729,19 @@ object SparkEntry {
       |        AND n_ellipsis_lines*100 <= n_lines*30 AND n_alpha_words*100 >= n_words*94
       |        AND stop_hits >= 2)""".stripMargin
 
+  // f/nrm are MATERIALIZED: DuckDB inlines plain CTEs and re-derives the
+  // full unnest per consumer — ann_* chains consume f three to five times
+  // each, and the r12 driver gate OOMed on cumulative transient peak
+  // (ann_lsh_topk / ann_lsh_banded_topk / ann_matryoshka_recall). Pinning
+  // them to compute once bounds each oracle's footprint to one unnest.
   private val embCte =
-    """WITH f AS (
+    """WITH f AS MATERIALIZED (
       |  SELECT vec_id, CAST(u.e AS DOUBLE) AS v, u.i AS i
       |  FROM (SELECT vec_id, unnest(embedding) AS e,
       |               generate_subscripts(embedding,1) AS i FROM embeddings) u),
-      |nrm AS (SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
-      |        FROM f GROUP BY 1)
+      |nrm AS MATERIALIZED (
+      |  SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
+      |  FROM f GROUP BY 1)
       |""".stripMargin
 
   /** Shared oracle CTEs for the dimension-moment family (appended after
@@ -3760,27 +3766,38 @@ object SparkEntry {
     * re-fence — the identical fixed-order IEEE chain the Spark driver
     * loop runs. Emits trailing commas; consumers append the tail.
     */
+  // Every level here is MATERIALIZED: c_r is consumed by BOTH n_r and
+  // v_r, so plain CTEs re-derive the full upstream chain (covfull → p's
+  // 1M-row self-join) 2^r times — the DuckDB inline-per-consumer trap
+  // that turned a 64-row-per-level power iteration into the gate's
+  // worst memory hog. Pinned, each level is one 64-row table.
   private def pcaIterCtes(rounds: Int): String =
     (1 to rounds).map { r =>
-      s"""c$r AS (SELECT cf.i, CAST(SUM(cf.cv * v.x) AS DOUBLE) AS comp
+      s"""c$r AS MATERIALIZED (
+         |        SELECT cf.i, CAST(SUM(cf.cv * v.x) AS DOUBLE) AS comp
          |        FROM covfull cf JOIN v${r - 1} v ON v.i = cf.j GROUP BY 1),
-         |n$r AS (SELECT sqrt(list_reduce(list(comp*comp ORDER BY i), (a,b) -> a+b)) AS nrm
+         |n$r AS MATERIALIZED (
+         |        SELECT sqrt(list_reduce(list(comp*comp ORDER BY i), (a,b) -> a+b)) AS nrm
          |        FROM c$r),
-         |v$r AS (SELECT i, CAST(sign(comp) * floor(abs(comp / nrm) * 1000000 + 0.5) AS HUGEINT) AS x
+         |v$r AS MATERIALIZED (
+         |        SELECT i, CAST(sign(comp) * floor(abs(comp / nrm) * 1000000 + 0.5) AS HUGEINT) AS x
          |        FROM c$r, n$r),
          |""".stripMargin
     }.mkString
 
+  // st and p are MATERIALIZED: covfull's three-way UNION references each
+  // twice-plus, and p is the d²·N-row moment self-join — re-deriving it
+  // per consumer is the transient-peak shape the r12 driver OOM taught.
   private val dimMomentCtes =
     """, g AS (
       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
       |         CAST(sign(v) * floor(abs(v)*1000000 + 0.5) AS BIGINT) AS v6
       |  FROM f),
-      |st AS (
+      |st AS MATERIALIZED (
       |  SELECT i, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(v6) AS HUGEINT) AS s1,
       |         CAST(SUM(v6*v6) AS HUGEINT) AS s2
       |  FROM g GROUP BY 1),
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.v6*b.v6) AS HUGEINT) AS s_ij
       |  FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i < b.i
       |  GROUP BY 1, 2)
@@ -3798,15 +3815,15 @@ object SparkEntry {
       |dfin AS (
       |  SELECT f.vec_id, c2.cell, list_reduce(list(f.v*c2.m ORDER BY f.i), (x,y) -> x+y) AS dot
       |  FROM f JOIN c2 ON f.i=c2.i GROUP BY 1,2),
-      |rfin AS (
+      |rfin AS MATERIALIZED (
       |  SELECT dfin.vec_id, dfin.cell,
       |         row_number() OVER (PARTITION BY dfin.vec_id
       |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
       |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
       |            JOIN cn2 ON cn2.cell=dfin.cell),
-      |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
-      |qcell AS (SELECT vec_id, cell FROM rfin WHERE rn <= 2 AND vec_id < 10),
-      |cand AS (
+      |ncell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+      |qcell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn <= 2 AND vec_id < 10),
+      |cand AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
       |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
       |dd AS (
@@ -3834,15 +3851,15 @@ object SparkEntry {
     * (`ann_recall_eval_lsh`).
     */
   private lazy val lshBandedServeCtes =
-    """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+    """, hp AS MATERIALIZED (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
       |pd AS (
       |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
       |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
-      |bkb AS (
+      |bkb AS MATERIALIZED (
       |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
       |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM pd GROUP BY 1,2),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
       |  FROM bkb q JOIN bkb n ON q.band=n.band AND q.bucket=n.bucket
       |  WHERE q.vec_id<10 AND q.vec_id<>n.vec_id),
@@ -3856,7 +3873,7 @@ object SparkEntry {
       |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
       |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
       |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
-      |rr AS (
+      |rr AS MATERIALIZED (
       |  SELECT query_id, neighbor_id, score,
       |         CAST(row_number() OVER (PARTITION BY query_id
       |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
@@ -3872,7 +3889,7 @@ object SparkEntry {
     * chain, `ann_recall_eval_lsh` to the banded-LSH chain.
     */
   private lazy val recallTailCtes =
-    """,bd AS (
+    """,bd AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
       |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
       |  GROUP BY 1,2),
@@ -3983,10 +4000,10 @@ object SparkEntry {
     * [[graft.operators.Similarity.nprobeSweep]] semantics, value-exact.
     */
   private lazy val nprobeSweepTailCtes =
-    """,qcellp AS (
+    """,qcellp AS MATERIALIZED (
       |  SELECT vec_id, cell, CAST(rn AS BIGINT) AS probe_rank
       |  FROM rfin WHERE rn <= 3 AND vec_id < 10),
-      |candp AS (
+      |candp AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.probe_rank
       |  FROM qcellp q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
       |ddp AS (
@@ -4008,8 +4025,8 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY nprobe, query_id
       |                            ORDER BY score DESC, neighbor_id) AS rnk
       |  FROM sw),
-      |topa AS (SELECT nprobe, query_id, neighbor_id FROM rrp WHERE rnk <= 3),
-      |bd AS (
+      |topa AS MATERIALIZED (SELECT nprobe, query_id, neighbor_id FROM rrp WHERE rnk <= 3),
+      |bd AS MATERIALIZED (
       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
       |         list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
       |  FROM f q JOIN f n ON q.i=n.i AND q.vec_id<10 AND q.vec_id<>n.vec_id
@@ -4062,16 +4079,18 @@ object SparkEntry {
       |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
       |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
       |            JOIN cn2 ON cn2.cell=dfin.cell),
-      |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
-      |pd AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |ncell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+      |prs AS MATERIALIZED (
+      |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+      |  FROM ncell ca JOIN ncell cb ON cb.cell=ca.cell AND cb.vec_id < ca.vec_id),
+      |pd AS MATERIALIZED (
+      |  SELECT prs.id_a, prs.id_b,
       |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
-      |  FROM f a
-      |  JOIN f b ON a.i=b.i AND b.vec_id < a.vec_id
-      |  JOIN ncell ca ON ca.vec_id=a.vec_id
-      |  JOIN ncell cb ON cb.vec_id=b.vec_id AND cb.cell=ca.cell
+      |  FROM prs
+      |  JOIN f a ON a.vec_id=prs.id_a
+      |  JOIN f b ON b.vec_id=prs.id_b AND b.i=a.i
       |  GROUP BY 1,2),
-      |sc AS (
+      |sc AS MATERIALIZED (
       |  SELECT pd.id_a, pd.id_b, ROUND(pd.dot/(na.nrm*nb.nrm),4)+0.0 AS cosine
       |  FROM pd JOIN nrm na ON na.vec_id=pd.id_a
       |          JOIN nrm nb ON nb.vec_id=pd.id_b),
@@ -4084,13 +4103,26 @@ object SparkEntry {
     * shared by `dedup_components` and `dedup_components_incremental` (the
     * incremental merge's value contract is exact equality with this).
     */
+  /** [[shingleCte]] with its three consumed-more-than-once stages pinned
+    * MATERIALIZED — `sh` feeds nn AND both sides of p's self-join, and
+    * the recursive `reach` re-reads `e` every iteration, so plain CTEs
+    * re-derive the shingle self-join per fixpoint round (the r12
+    * oracle-OOM shape). Applied only where every stage IS consumed:
+    * DuckDB evaluates MATERIALIZED CTEs even when unreferenced, so the
+    * shared [[shingleCte]] itself stays plain for the single-pass rows.
+    */
+  private lazy val shingleCteMat = shingleCte
+    .replace("sh AS (", "sh AS MATERIALIZED (")
+    .replace("nn AS (SELECT", "nn AS MATERIALIZED (SELECT")
+    .replace("p AS (SELECT x.doc_id", "p AS MATERIALIZED (SELECT x.doc_id")
+
   private lazy val componentsOracleCtes =
-    shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-      """,qp AS (
+    shingleCteMat.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,qp AS MATERIALIZED (
         |  SELECT p.a, p.b FROM p
         |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
-        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
         |reach(node, lbl) AS (
         |  SELECT DISTINCT src, src FROM e
         |  UNION
@@ -4827,14 +4859,14 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, score, rnk FROM r
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "ann_lsh_topk" -> (embCte +
-      """, hp AS (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
+      """, hp AS MATERIALIZED (SELECT vec_id AS plane_id, i, v FROM f WHERE vec_id < 4),
         |pd AS (
         |  SELECT f.vec_id, hp.plane_id, list_reduce(list(f.v*hp.v ORDER BY f.i), (x,y) -> x+y) AS d
         |  FROM f JOIN hp ON f.i=hp.i GROUP BY 1,2),
-        |bk AS (
+        |bk AS MATERIALIZED (
         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1<<plane_id ELSE 0 END) AS BIGINT) AS bucket
         |  FROM pd GROUP BY 1),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM bk q JOIN bk n ON q.bucket=n.bucket AND q.vec_id<10 AND q.vec_id<>n.vec_id),
         |dd AS (
@@ -4954,19 +4986,20 @@ object SparkEntry {
     // a THIRD serving family through the same tail: prefix-dim brute
     // force (ordered prefix folds for dots AND norms) defines `rr`
     "ann_matryoshka_recall" -> (embCte +
-      s""",td AS (
+      s""",td AS MATERIALIZED (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |         list_reduce(list(q.v*n.v ORDER BY q.i), (x,y) -> x+y) AS dot
          |  FROM f q JOIN f n ON q.i=n.i AND q.i<=$matryoshkaDims
          |   AND q.vec_id<10 AND q.vec_id<>n.vec_id
          |  GROUP BY 1,2),
-         |nrmt AS (SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
-         |         FROM f WHERE i<=$matryoshkaDims GROUP BY 1),
+         |nrmt AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(list_reduce(list(v*v ORDER BY i), (x,y) -> x+y)) AS nrm
+         |  FROM f WHERE i<=$matryoshkaDims GROUP BY 1),
          |ts AS (
          |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
          |  FROM td JOIN nrmt nq ON nq.vec_id=td.query_id
          |          JOIN nrmt nn2 ON nn2.vec_id=td.neighbor_id),
-         |rr AS (
+         |rr AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, score,
          |         CAST(row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
@@ -5195,7 +5228,7 @@ object SparkEntry {
       // the non-negative abs = truncation toward zero in both engines),
       // deterministic non-uniform seed, three unrolled power-iteration
       // rounds, then Rayleigh/trace as an ordered (i, j) double fold
-      s""",covfull AS (
+      s""",covfull AS MATERIALIZED (
          |  SELECT i, j,
          |         CASE WHEN c < 0 THEN -((-c) // $pcaCovDiv) ELSE c // $pcaCovDiv END AS cv
          |  FROM (
@@ -5206,7 +5239,8 @@ object SparkEntry {
          |    FROM p JOIN st si ON si.i = p.i JOIN st sj ON sj.i = p.j
          |    UNION ALL
          |    SELECT i, i, n*s2 - s1*s1 FROM st) raw),
-         |v0 AS (SELECT CAST(r.i AS BIGINT) AS i, CAST(1000000 + 1000*r.i AS HUGEINT) AS x
+         |v0 AS MATERIALIZED (
+         |       SELECT CAST(r.i AS BIGINT) AS i, CAST(1000000 + 1000*r.i AS HUGEINT) AS x
          |       FROM range(1, ${rpInDims + 1}) r(i)),
          |""".stripMargin + pcaIterCtes(3) +
       """ray AS (SELECT list_reduce(
@@ -5233,19 +5267,19 @@ object SparkEntry {
         |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
         |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM pd GROUP BY 1,2),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bkb a JOIN bkb b ON a.band=b.band AND a.bucket=b.bucket AND a.vec_id<>b.vec_id),
+        |vl AS MATERIALIZED (SELECT vec_id, list(v ORDER BY i) AS vl FROM f GROUP BY 1),
         |d AS (
-        |  SELECT c.id_a, c.id_b, list_reduce(list(x.v*y.v ORDER BY x.i), (p,q) -> p+q) AS dot
-        |  FROM cand c
-        |  JOIN f x ON x.vec_id=c.id_a
-        |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
-        |  GROUP BY 1,2),
+        |  SELECT c.id_a, c.id_b,
+        |         list_reduce(list_transform(list_zip(a.vl, b.vl), s -> s[1] * s[2]),
+        |                     (p,q) -> p+q) AS dot
+        |  FROM cand c JOIN vl a ON a.vec_id=c.id_a JOIN vl b ON b.vec_id=c.id_b),
         |sc AS (
         |  SELECT id_a, id_b, ROUND(dot/(nx.nrm*ny.nrm),4)+0.0 AS cosine
         |  FROM d JOIN nrm nx ON nx.vec_id=id_a JOIN nrm ny ON ny.vec_id=id_b),
-        |kn AS (
+        |kn AS MATERIALIZED (
         |  SELECT id_a, id_b, cosine,
         |         CAST(row_number() OVER (PARTITION BY id_a
         |                                 ORDER BY cosine DESC, id_b) AS BIGINT) AS rnk
@@ -5273,15 +5307,15 @@ object SparkEntry {
         |  SELECT vec_id, CAST(floor(plane_id/2.0) AS BIGINT) AS band,
         |         CAST(SUM(CASE WHEN d > 0 THEN 1<<(plane_id % 2) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM pd GROUP BY 1,2),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bkb a JOIN bkb b ON a.band=b.band AND a.bucket=b.bucket AND a.vec_id<>b.vec_id),
+        |vl AS MATERIALIZED (SELECT vec_id, list(v ORDER BY i) AS vl FROM f GROUP BY 1),
         |d AS (
-        |  SELECT c.id_a, c.id_b, list_reduce(list(x.v*y.v ORDER BY x.i), (p,q) -> p+q) AS dot
-        |  FROM cand c
-        |  JOIN f x ON x.vec_id=c.id_a
-        |  JOIN f y ON y.vec_id=c.id_b AND x.i=y.i
-        |  GROUP BY 1,2),
+        |  SELECT c.id_a, c.id_b,
+        |         list_reduce(list_transform(list_zip(a.vl, b.vl), s -> s[1] * s[2]),
+        |                     (p,q) -> p+q) AS dot
+        |  FROM cand c JOIN vl a ON a.vec_id=c.id_a JOIN vl b ON b.vec_id=c.id_b),
         |sc AS (
         |  SELECT id_a, id_b, ROUND(dot/(nx.nrm*ny.nrm),4)+0.0 AS cosine
         |  FROM d JOIN nrm nx ON nx.vec_id=id_a JOIN nrm ny ON ny.vec_id=id_b),
@@ -5295,7 +5329,7 @@ object SparkEntry {
         |wl AS (SELECT kn.id_a, lo.label AS own_label, ln2.label AS nbr_lbl
         |       FROM kn JOIN lb lo ON lo.vec_id = kn.id_a
         |               JOIN lb ln2 ON ln2.vec_id = kn.id_b),
-        |cts AS (SELECT id_a, own_label, nbr_lbl, COUNT(*) AS c
+        |cts AS MATERIALIZED (SELECT id_a, own_label, nbr_lbl, COUNT(*) AS c
         |        FROM wl GROUP BY 1,2,3),
         |pl AS (SELECT id_a, nbr_lbl AS plurality_label, c AS plurality_n,
         |              row_number() OVER (PARTITION BY id_a
@@ -5415,12 +5449,12 @@ object SparkEntry {
     // identical oracle BY DESIGN: the incremental merge must be
     // value-identical to the full recompute over all pairs
     "dedup_components_incremental" -> componentsOracle,
-    "dedup_best_rep" -> (shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-      """,qp AS (
+    "dedup_best_rep" -> (shingleCteMat.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """,qp AS MATERIALIZED (
         |  SELECT p.a, p.b FROM p
         |  JOIN nn na ON na.doc_id=p.a JOIN nn nb ON nb.doc_id=p.b
         |  WHERE CAST(p.c AS DOUBLE)/(na.n+nb.n-p.c) >= 0.6),
-        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
         |reach(node, lbl) AS (
         |  SELECT DISTINCT src, src FROM e
         |  UNION
@@ -5934,13 +5968,13 @@ object SparkEntry {
       // the same orientation + wedge-close replayed relationally; each
       // triangle's orientation-minimal vertex fans out to the other two,
       // so COUNT(*) per exploded corner is exact with no /3
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
         |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-        |deg AS (SELECT n, COUNT(*) AS d
+        |deg AS MATERIALIZED (SELECT n, COUNT(*) AS d
         |        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
         |        GROUP BY 1),
-        |o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+        |o AS MATERIALIZED (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
         |             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
         |      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
         |w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
@@ -5954,13 +5988,13 @@ object SparkEntry {
     "q_clustering_coeff" ->
       // the triangle chain (orientation + sorted wedge close) plus the
       // degree frame, left-joined so zero-triangle nodes keep their row
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
         |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-        |deg AS (SELECT n, COUNT(*) AS d
+        |deg AS MATERIALIZED (SELECT n, COUNT(*) AS d
         |        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
         |        GROUP BY 1),
-        |o AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+        |o AS MATERIALIZED (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
         |             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
         |      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
         |w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2

@@ -553,9 +553,21 @@ object Hygiene {
       .join(broadcast(ra), Seq(aCol))
       .join(broadcast(cb), Seq(bCol))
       .crossJoin(broadcast(tot))
-      .withColumn("dev", col("o") * col("n") - col("ra") * col("cb"))
-      .withColumn("t1", expr("(1000000L * dev * dev) div (n * ra * cb)"))
-      .withColumn("t2", expr("(1000000L * ra * cb) div n"))
+      // DECIMAL(38,0) fence: |dev| = |o·n − ra·cb| reaches ~n²/4 on
+      // strongly dependent tables, so 10⁶·dev² overflows int64 already at
+      // |dev| > ~3·10⁶ (thousands of rows), and n·ra·cb alone passes 2⁶³
+      // near n ≈ 2M even under independence. The decimal carrier holds
+      // 10⁶·dev² to |dev| ≈ 10¹⁶, i.e. n up to ~2·10⁸ rows per audited
+      // pair — the corpus-scale regime the operator documents. `div` on
+      // decimals still yields BIGINT, so the output schema is unchanged.
+      .withColumn("dev",
+        col("o").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+          - col("ra").cast("decimal(38,0)") * col("cb").cast("decimal(38,0)"))
+      .withColumn("t1", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * dev * dev) div " +
+          "(CAST(n AS DECIMAL(38,0)) * CAST(ra AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))"))
+      .withColumn("t2", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(ra AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) div CAST(n AS DECIMAL(38,0))"))
       .agg(
         min(col("n")).as("n_rows"),
         countDistinct(col(aCol)).as("n_a"),
@@ -687,8 +699,20 @@ object Hygiene {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     require(tPpm >= 0, s"tPpm must be >= 0: $tPpm")
     val qi = qiCols.map(col)
+    // Loud-failure fence on the sensitive column: t-closeness is usually
+    // run on a CATEGORICAL sensitive attribute, and a bare cast("long")
+    // would turn every non-integral value into NULL — collapsing all
+    // levels into one NULL bucket and reporting EMD 0 / no violations,
+    // i.e. a silently PASSING privacy audit on garbage input. A non-null
+    // value that casts to NULL raises instead; genuinely NULL sensitive
+    // values keep their own group as before.
+    val lvlChecked = when(col(lvlCol).isNull, lit(null).cast("long"))
+      .otherwise(coalesce(expr(s"try_cast(`$lvlCol` AS BIGINT)"),
+        expr("CAST(raise_error(CONCAT('tClosenessAudit: sensitive column '," +
+          s" '$lvlCol', ' is not integral — level-encode categorical'," +
+          " ' sensitive attributes to integers first')) AS BIGINT)")))
     val cells = Dedup.cached(
-      df.groupBy(qi :+ col(lvlCol).cast("long").as("lvl"): _*)
+      df.groupBy(qi :+ lvlChecked.as("lvl"): _*)
         .agg(count(lit(1)).as("c")))
     val levels = Dedup.cached(cells.select(col("lvl")).distinct())
     val groups = cells.groupBy(qi: _*).agg(sum(col("c")).as("ng"))

@@ -577,16 +577,23 @@ object Similarity {
     * 32–63`)` — the [[Multimodal.imageAHash]] hi/lo packing precedent,
     * which also keeps every value inside non-overflowing positive-long
     * arithmetic (a single long's bit 63 is the sign bit). Requires
-    * dims ≤ 64. One narrow row-local fold per half; no shuffle.
+    * dims ≤ 64 — ENFORCED row-local via `assert_true` folded into each
+    * half's initial accumulator (shiftleft past the width would wrap mod
+    * 64 and silently alias high dimensions onto low bits, corrupting
+    * every downstream Hamming distance with no error). One narrow
+    * row-local fold per half; no shuffle.
     */
-  private[graft] def binaryCodes(p: DataFrame): DataFrame =
+  private[graft] def binaryCodes(p: DataFrame): DataFrame = {
+    val fence = "coalesce(CAST(assert_true(size(v) <= 64, " +
+      "'binaryCodes requires dims <= 64') AS BIGINT), 0L)"
     p.select(col("id"), col("v"), col("nrm"),
       expr("aggregate(filter(sequence(0, size(v)-1), " +
-        "i -> i < 32 AND element_at(v, i+1) > 0d), 0L, " +
+        s"i -> i < 32 AND element_at(v, i+1) > 0d), $fence, " +
         "(acc, i) -> acc + shiftleft(1L, i))").as("code_lo"),
       expr("aggregate(filter(sequence(0, size(v)-1), " +
-        "i -> i >= 32 AND element_at(v, i+1) > 0d), 0L, " +
+        s"i -> i >= 32 AND element_at(v, i+1) > 0d), $fence, " +
         "(acc, i) -> acc + shiftleft(1L, i - 32))").as("code_hi"))
+  }
 
   /** Binary-quantization ANN serving — the memory-tier trade every large
     * vector deployment prices (Hamming over sign-bit codes, then exact
@@ -911,17 +918,17 @@ object Similarity {
     require(k >= 1 && iters >= 1)
     val where = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
     val sb = new StringBuilder
-    sb ++= s""", a0 AS (
+    sb ++= s""", a0 AS MATERIALIZED (
               |  SELECT vec_id,
               |         CAST(('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % $k AS cell
               |  FROM embeddings$where)""".stripMargin
     (1 to iters).foreach { r =>
       sb ++= s""",
-                |c$r AS (
+                |c$r AS MATERIALIZED (
                 |  SELECT a${r - 1}.cell, f.i,
                 |         CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
                 |  FROM f JOIN a${r - 1} USING (vec_id) GROUP BY 1,2),
-                |cn$r AS (SELECT cell, sqrt(list_reduce(list(m*m ORDER BY i), (x,y) -> x+y)) AS cnrm
+                |cn$r AS MATERIALIZED (SELECT cell, sqrt(list_reduce(list(m*m ORDER BY i), (x,y) -> x+y)) AS cnrm
                 |         FROM c$r GROUP BY 1)""".stripMargin
       if (r < iters) {
         sb ++= s""",
@@ -929,7 +936,7 @@ object Similarity {
                   |  SELECT f.vec_id, c$r.cell,
                   |         list_reduce(list(f.v*c$r.m ORDER BY f.i), (x,y) -> x+y) AS dot
                   |  FROM f JOIN c$r ON f.i=c$r.i$where GROUP BY 1,2),
-                  |a$r AS (
+                  |a$r AS MATERIALIZED (
                   |  SELECT vec_id, cell FROM (
                   |    SELECT d$r.vec_id, d$r.cell,
                   |           row_number() OVER (PARTITION BY d$r.vec_id
@@ -1756,15 +1763,15 @@ object Similarity {
         |  SELECT f.vec_id, $cl.cell,
         |         list_reduce(list(f.v*$cl.m ORDER BY f.i), (x,y) -> x+y) AS dot
         |  FROM f JOIN $cl ON f.i=$cl.i GROUP BY 1,2),
-        |rfin AS (
+        |rfin AS MATERIALIZED (
         |  SELECT dfin.vec_id, dfin.cell,
         |         row_number() OVER (PARTITION BY dfin.vec_id
         |           ORDER BY ROUND(dfin.dot/(nrm.nrm*$cnl.cnrm),4) DESC, dfin.cell) AS rn
         |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
         |            JOIN $cnl ON $cnl.cell=dfin.cell),
-        |ncell AS (SELECT vec_id, cell FROM rfin WHERE rn = 1),
-        |qcell AS (SELECT vec_id, cell FROM rfin WHERE rn <= $nprobe AND vec_id < $maxQueryId),
-        |resid AS (
+        |ncell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+        |qcell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn <= $nprobe AND vec_id < $maxQueryId),
+        |resid AS MATERIALIZED (
         |  SELECT f.vec_id, (f.i-1) // $dsub AS s, (f.i-1) % $dsub AS j,
         |         f.v - $cl.m AS rv
         |  FROM f JOIN ncell USING (vec_id)
@@ -1781,33 +1788,33 @@ object Similarity {
         |  FROM $trainSrc resid JOIN pw0 USING (vec_id) GROUP BY 1,2,3)""".stripMargin +
       pqRounds +
       s""",
-        |ed AS (
+        |ed AS MATERIALIZED (
         |  SELECT resid.vec_id, resid.s, $cbl.cw,
         |         list_reduce(list((resid.rv-$cbl.m)*(resid.rv-$cbl.m) ORDER BY resid.j),
         |                     (a,b) -> a+b) AS d
         |  FROM resid JOIN $cbl ON $cbl.s=resid.s AND $cbl.j=resid.j
         |  GROUP BY 1,2,3),
-        |code AS (
+        |code AS MATERIALIZED (
         |  SELECT vec_id, s, cw FROM (
         |    SELECT vec_id, s, cw,
         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw) AS rn
         |    FROM ed)
         |  WHERE rn = 1),
-        |qresid AS (
+        |qresid AS MATERIALIZED (
         |  SELECT f.vec_id, qcell.cell, (f.i-1) // $dsub AS s, (f.i-1) % $dsub AS j,
         |         f.v - $cl.m AS rv
         |  FROM f JOIN qcell USING (vec_id)
         |         JOIN $cl ON $cl.cell=qcell.cell AND $cl.i=f.i),
-        |qd AS (
+        |qd AS MATERIALIZED (
         |  SELECT qresid.vec_id AS query_id, qresid.cell, qresid.s, $cbl.cw,
         |         list_reduce(list((qresid.rv-$cbl.m)*(qresid.rv-$cbl.m) ORDER BY qresid.j),
         |                     (a,b) -> a+b) AS d
         |  FROM qresid JOIN $cbl ON $cbl.s=qresid.s AND $cbl.j=qresid.j
         |  GROUP BY 1,2,3,4),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.cell
         |  FROM qcell q JOIN ncell n ON q.cell=n.cell AND q.vec_id<>n.vec_id),
-        |adc AS (
+        |adc AS MATERIALIZED (
         |  SELECT c.query_id, c.neighbor_id,
         |         list_reduce(list(qd.d ORDER BY qd.s), (a,b) -> a+b) AS dist
         |  FROM cand c
@@ -1815,7 +1822,7 @@ object Similarity {
         |  JOIN qd ON qd.query_id=c.query_id AND qd.cell=c.cell
         |         AND qd.s=code.s AND qd.cw=code.cw
         |  GROUP BY 1,2),
-        |short AS (
+        |short AS MATERIALIZED (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |           row_number() OVER (PARTITION BY query_id

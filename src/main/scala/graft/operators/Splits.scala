@@ -74,7 +74,10 @@ object Splits {
   def sampledAggHt(df: DataFrame, idCol: String, keyCols: Seq[String],
       valCol: String, num: Int): DataFrame = {
     require(num >= 1 && num <= 256, s"num must be in [1,256]: $num")
-    val hex = f"$num%02x"
+    // num=256 means p=1 (sample everything), but f"$num%02x" would give
+    // the 3-char "100" which sorts BELOW "ff" lexicographically — the
+    // same trap fractionThreshold clamps: use "zz" (> every 2-hex value).
+    val hex = if (num >= 256) "zz" else f"$num%02x"
     val keys = keyCols.map(col)
     df.withColumn("in_sample",
         substring(md5(col(idCol).cast("string")), 1, 2) < lit(hex))

@@ -653,6 +653,44 @@ object Temporal {
       .drop("pb")
   }
 
+  /** Per-key CUSUM mean-shift scan — [[cusumChangepoints]] asked the way
+    * production asks it: not "where did the GLOBAL level shift" but
+    * "which KEY's usage shifted, and when". Identical integer algebra
+    * per key (n_k·S_i = n_k·cum_i − i·T_k, argmax |·|, smallest bucket
+    * on ties), so each key's flagged row equals what the global operator
+    * would flag on that key's series alone.
+    *
+    * Scale shape: ONE exchange — `partitionBy(key)` carries every stage
+    * (per-key totals, the ordered prefix sum, the peak max, and the
+    * tie-broken peak bucket are all windows over the same partitioning;
+    * the q_rolling bounded-key discipline). Input is the per-key
+    * BUCKETED series (time-bounded per key — raw events bucket first,
+    * [[dailyTotals]]' shape), so a partition is one key's timeline,
+    * never its event count. No join, no second shuffle, no driver
+    * collect; skewed key cardinality is irrelevant because the window
+    * state is O(1) per row.
+    */
+  def cusumChangepointsByKey(series: DataFrame, keyCol: String = "key",
+      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+    val wk = Window.partitionBy(col("key"))
+    val w = wk.orderBy(col("bucket"))
+    series
+      .select(col(keyCol).as("key"), col(bucketCol).as("bucket"),
+        col(valCol).as("v"))
+      .withColumn("n", count(lit(1)).over(wk))
+      .withColumn("t", sum(col("v")).over(wk))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cusum_n",
+        col("n") * sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("i") * col("t"))
+      .withColumn("mx", max(abs(col("cusum_n"))).over(wk))
+      .withColumn("pb",
+        min(when(abs(col("cusum_n")) === col("mx"), col("bucket"))).over(wk))
+      .select(col("key"), col("bucket"), col("v"), col("cusum_n"),
+        (col("bucket") === col("pb")).as("is_changepoint"))
+  }
+
   /** Forecast-baseline audit over a bucketed series — persistence
     * (ŷ_t = y_{t−1}) vs seasonal-naïve (ŷ_t = y_{t−season}), with their
     * MAE ratio: the MASE denominator discipline (Hyndman & Koehler

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicReference
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -52,10 +53,32 @@ object IngestDedupStream {
       cut
     }
 
+    // Restart durability (the SketchStore discipline one rung up): the
+    // on-disk index under `dir` survives a driver restart but an
+    // in-memory-only `indexed` flag would not — a rebuilt store would
+    // call DedupIndex.build with mode("overwrite"), DESTROYING the
+    // accumulated bands/sets this loop exists to grow, while the
+    // checkpoint already marks earlier batches committed (never
+    // re-probed). So: (a) `indexed` initializes from the artifact itself
+    // (bands/_SUCCESS present), and (b) the accumulated pair table +
+    // lastBatch persist as `pairs_snap/upto=<batchId>` snapshots
+    // ([[SnapshotStore]]: write-before-commit, newest-two retention), so
+    // a rebuilt store resumes where the artifact is and replayed batches
+    // drop on the monotone guard instead of double-appending.
+    private def artifactExists: Boolean = {
+      val p = new Path(s"$dir/bands/_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    private val snapDir = s"$dir/pairs_snap"
+
+    private val restored = SnapshotStore.newest(spark, snapDir)
+
     private val pairsRef = new AtomicReference[DataFrame](materialize(
-      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")))
-    @volatile private var lastBatch = -1L
-    @volatile private var indexed = false
+      restored.map(_._2.select(col("doc_a"), col("doc_b"), col("jaccard")))
+        .getOrElse(Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard"))))
+    @volatile private var lastBatch = restored.map(_._1).getOrElse(-1L)
+    @volatile private var indexed = artifactExists
 
     /** Near-dup pairs among everything delivered so far — spec-pinned
       * ≡ [[Dedup.minhashLshPairs]] over the concatenated stream.
@@ -71,13 +94,24 @@ object IngestDedupStream {
         else {
           val raw = DedupIndex.probe(DedupIndex.load(spark, dir), batch,
             tau, idCol, textCol, n, bands, rows)
-          // probe orients (new, indexed); canonicalize to doc_a < doc_b
-          raw.select(
+          // probe orients (new, indexed); canonicalize to doc_a < doc_b.
+          // The self-pair filter matters only in the torn-replay window
+          // (crash between index append and snapshot commit): the replay
+          // then probes a batch already IN the index, matching each doc
+          // to itself.
+          raw.filter(col("doc_a") =!= col("doc_b")).select(
             least(col("doc_a"), col("doc_b")).as("doc_a"),
             greatest(col("doc_a"), col("doc_b")).as("doc_b"),
             col("jaccard"))
         }
-      val next = materialize(pairsRef.get().unionAll(within).unionAll(cross))
+      // distinct over the batch's new pairs: in the torn-replay window the
+      // probe re-derives intra-batch pairs (the batch collides with its
+      // own appended signatures) that `within` also carries, and
+      // double-appended signatures duplicate candidate rows — jaccard is
+      // a pure function of the two shingle sets, so exact-row distinct
+      // collapses both. Outside that window it is a no-op on unique pairs.
+      val next = materialize(
+        pairsRef.get().unionAll(within.unionAll(cross).distinct()))
       // grow the artifact only after the pair fold is safely materialized:
       // a failure above leaves both the pairs AND the index at the old
       // batch, so the checkpoint replays the whole batch consistently
@@ -87,6 +121,8 @@ object IngestDedupStream {
       } else {
         DedupIndex.append(spark, dir, batch, idCol, textCol, n, bands, rows)
       }
+      // durable commit point: pairs + lastBatch survive a driver restart
+      SnapshotStore.write(spark, snapDir, next, batchId)
       val old = pairsRef.get()
       pairsRef.set(next)
       lastBatch = batchId

@@ -784,6 +784,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == brute, "full-rerank binary serving must equal exact brute force")
   }
 
+  test("binaryCodes: dims > 64 fails loudly instead of aliasing bits mod 64") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}|${chain(t.getCause)}"
+    // shiftleft wraps its shift mod 64 in Spark, so a 65-dim vector would
+    // silently fold dimension 64 onto bit 0 — the guard must raise instead
+    val wide = Seq((0L, Array.fill(65)(1.0f)), (1L, Array.fill(65)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.binaryHammingTopK(wide, wide.filter(col("vec_id") === 0L),
+        k = 1, rerank = 1).collect()
+    }
+    assert(chain(ex).contains("binaryCodes requires dims <= 64"), chain(ex))
+  }
+
   test("banded binary serving: Hamming<bands pairs candidate-guaranteed, all-bands-hit pairs dropped") {
     import spark.implicits._
     val base = Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f)
@@ -3525,6 +3540,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => x.getString(0) -> x.getLong(5)).toMap
     val ss = (1L to 400L).filter(inSample).map(-_ * 10L).sum
     assert(rn("all") == ss * 256 / 32, s"${rn("all")} vs ${ss * 256 / 32}")
+    // num=256 is p=1 (sample everything): estimates must equal the exact
+    // side with zero error. Guards the lexicographic trap where the
+    // threshold f"$num%02x" would yield "100" < "ff" and silently sample
+    // only buckets 00..0f while inflating by 1 — clamped to "zz".
+    val rf = Splits.sampledAggHt(df, "rid", Seq("grp"), "v", num = 256).collect()
+    rf.foreach { x =>
+      assert(x.getLong(3) == x.getLong(1), s"p=1 must sample all rows: $x")
+      assert(x.getLong(4) == x.getLong(1) && x.getLong(5) == x.getLong(2),
+        s"p=1 estimates must be exact: $x")
+      assert(x.getLong(6) == 0L, s"p=1 err_ppm must be 0: $x")
+    }
   }
 
   test("tClosenessAudit: pure groups hit EMD 1/2, balanced group 0, zeros via dense grid") {
@@ -3542,6 +3568,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "A" -> ((4L, 500000L, true)),
       "B" -> ((4L, 500000L, true)),
       "C" -> ((4L, 0L, false))), r.toString)
+    Dedup.uncacheAll()
+  }
+
+  test("tClosenessAudit: a non-integral sensitive column fails loudly, not EMD 0") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}|${chain(t.getCause)}"
+    // the common mistake: a CATEGORICAL sensitive attribute passed raw.
+    // A silent cast-to-NULL would collapse every level into one bucket
+    // and report EMD 0 — a PASSING privacy audit on garbage input.
+    val bad = Seq(("g1", "cancer"), ("g1", "flu"), ("g2", "flu"))
+      .toDF("g", "diag")
+    val ex = intercept[Exception] {
+      Hygiene.tClosenessAudit(bad, Seq("g"), "diag", tPpm = 0).collect()
+    }
+    assert(chain(ex).contains("not integral"), chain(ex))
+    Dedup.uncacheAll()
+    // integral-encoded strings still cast per the contract; genuine NULLs
+    // keep their own level group as before
+    val ok = Seq(("g1", "0"), ("g1", "1"), ("g2", null)).toDF("g", "lvl")
+    assert(Hygiene.tClosenessAudit(ok, Seq("g"), "lvl", tPpm = 0)
+      .count() == 2L)
     Dedup.uncacheAll()
   }
 
@@ -4567,6 +4615,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ingest dedup stream: a rebuilt store resumes instead of destroying the index") {
+    import graft.streaming.IngestDedupStream
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expectHalf = pairsOf(Dedup.minhashLshPairs(docs.filter(col("doc_id") < 300)))
+    val expectFull = pairsOf(Dedup.minhashLshPairs(docs))
+    Dedup.uncacheAll()
+    assert(expectHalf.nonEmpty && expectFull.size > expectHalf.size,
+      "fixture must exercise pairs on both sides of the restart")
+    val dir = Files.createTempDirectory("ingestrestart").toString
+    val store = new IngestDedupStream.IngestStore(spark, dir)
+    store.merge(docs.filter(col("doc_id") < 150), 0L)
+    store.merge(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), 1L)
+    assert(pairsOf(store.pairs) == expectHalf)
+    // driver restart: a NEW store on the same dir. Before the durable
+    // restore, its in-memory indexed=false would make the next batch
+    // DedupIndex.build(mode=overwrite) — destroying the accumulated
+    // bands/sets — and its pairs table would cold-start empty while the
+    // checkpoint marks batches 0..1 delivered.
+    val store2 = new IngestDedupStream.IngestStore(spark, dir)
+    assert(pairsOf(store2.pairs) == expectHalf,
+      "restored pairs must equal the pre-restart state")
+    // checkpoint re-delivery after restart drops on the restored guard
+    assert(!store2.merge(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), 1L))
+    assert(pairsOf(store2.pairs) == expectHalf)
+    // a genuinely new batch probes the SURVIVING index: cross pairs
+    // against docs 0..299 prove the artifact was appended, not rebuilt
+    assert(store2.merge(docs.filter(col("doc_id") >= 300), 2L))
+    assert(pairsOf(store2.pairs) == expectFull,
+      "post-restart merge must see cross pairs against the pre-restart corpus")
+    Dedup.uncacheAll()
+  }
+
   test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindexpq").toString
@@ -5123,6 +5205,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
     val r2 = Hygiene.chiSquareAudit(ind.toDF("a", "b"), "a", "b").head
     assert(r2.getLong(4) == 0L, s"independent table must score 0: ${r2.getLong(4)}")
+    // int64-overflow fence: a perfectly dependent 2×2 table of 4000 rows
+    // has dev = 4·10⁶ per cell, so 10⁶·dev² = 1.6·10¹⁹ > Long.MaxValue —
+    // the bare-int64 form silently wraps; the DECIMAL(38,0) carrier must
+    // deliver the exact chi² = n → chi2_ppm = 4000·10⁶.
+    val dep = Seq.fill(2000)(("x", "p")) ++ Seq.fill(2000)(("y", "q"))
+    val r3 = Hygiene.chiSquareAudit(dep.toDF("a", "b"), "a", "b").head
+    assert(r3.getLong(4) == 4000000000L,
+      s"dependent 4000-row table must score chi2_ppm = 4e9: ${r3.getLong(4)}")
   }
 
   test("sourceConcentration: exact ppm shares and HHI on a skewed corpus") {

@@ -5,11 +5,21 @@ graft.Verify. Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+# GRAFT_DUCKDB_MEMLIMIT (e.g. "500MB"): pin DuckDB's memory_limit with
+# spill-to-disk disabled, so the gate proves each oracle fits the margin
+# locally instead of discovering a squeeze in the driver's run (the r12
+# lesson: 3 green oracles went red from driver-side cumulative memory).
+# GRAFT_DUCKDB_MEMSTATS=1: report DuckDB's resident buffer bytes after
+# each oracle, naming the hogs before a squeeze does.
+MEMLIMIT = os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "")
+MEMSTATS = os.environ.get("GRAFT_DUCKDB_MEMSTATS", "") == "1"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -88,6 +98,9 @@ def compare(name: str, exp: pd.DataFrame, got: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    if MEMLIMIT:
+        con.sql(f"SET memory_limit='{MEMLIMIT}'")
+        con.sql("SET temp_directory=''")  # no spill: the limit is the limit
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -110,11 +123,16 @@ def main() -> int:
             continue
         got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
         msg = dtype_gate(rel, exp, got) or compare(name, exp, got)
+        mem = ""
+        if MEMSTATS:
+            b = con.sql("SELECT CAST(COALESCE(SUM(memory_usage_bytes),0) AS BIGINT)"
+                        " FROM duckdb_memory()").fetchone()[0]
+            mem = f" mem={b // (1 << 20)}MB"
         if msg:
             print(f"FAIL {name}: {msg}")
             fails += 1
         else:
-            print(f"ok   {name} ({len(got)} rows)")
+            print(f"ok   {name} ({len(got)} rows){mem}")
     print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
     return 1 if fails else 0
 

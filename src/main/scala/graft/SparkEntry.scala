@@ -1937,6 +1937,31 @@ object SparkEntry {
         .agg((sum(col("dv")) * 10000).cast("long").as("v"))
       Temporal.cusumChangepoints(ev).orderBy(col("bucket"))
     }),
+    "q_cusum_by_key" -> ((s, dir) => {
+      // the production form of the question: WHICH user's usage level
+      // shifted, and when — per-user daily decimal-fenced totals, then
+      // the same integer n_k·S_i algebra per key with a per-key argmax,
+      // all windows sharing ONE partitionBy(key) exchange
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id").as("key"),
+          expr("ts_us DIV 86400000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("key"), col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumChangepointsByKey(ev)
+        .orderBy(col("key"), col("bucket"))
+    }),
+    "q_cusum_segments" -> ((s, dir) => {
+      // how many TIMES did the level shift? binary segmentation (depth 2
+      // → up to 4 segments) over the same integer n·S_i statistic and
+      // the same hourly decimal-fenced series as q_cusum_changepoints
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumSegments(ev, depth = 2).orderBy(col("bucket"))
+    }),
     "q_mase_eval" -> ((s, dir) => {
       // is the hourly value series worth forecasting? persistence vs
       // 24h-seasonal-naive MAE + their ratio over the bucketed series —
@@ -3766,6 +3791,32 @@ object SparkEntry {
     * re-fence — the identical fixed-order IEEE chain the Spark driver
     * loop runs. Emits trailing commas; consumers append the tail.
     */
+  /** One binary-segmentation level for the `q_cusum_segments` oracle:
+    * `src`(bucket, v, seg) → `out` with the per-segment n·S_i peak split
+    * applied — the exact algebra of [[graft.operators.Temporal
+    * .cusumSegments]]'s loop body. MATERIALIZED per level (each level is
+    * consumed by the next's four stacked windows).
+    */
+  private def cusumSegLevelSql(src: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT bucket, v,
+       |         CASE WHEN mx > 0 AND bucket > pb THEN pb + 1 ELSE seg END AS seg
+       |  FROM (
+       |    SELECT bucket, v, seg, mx,
+       |           MIN(CASE WHEN abs(cusum_n) = mx THEN bucket END)
+       |             OVER (PARTITION BY seg) AS pb
+       |    FROM (
+       |      SELECT bucket, v, seg, cusum_n,
+       |             MAX(abs(cusum_n)) OVER (PARTITION BY seg) AS mx
+       |      FROM (
+       |        SELECT bucket, v, seg,
+       |               (COUNT(*) OVER (PARTITION BY seg)) *
+       |               (SUM(v) OVER (PARTITION BY seg ORDER BY bucket
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |               - (row_number() OVER (PARTITION BY seg ORDER BY bucket)) *
+       |                 (SUM(v) OVER (PARTITION BY seg)) AS cusum_n
+       |        FROM $src))))""".stripMargin
+
   // Every level here is MATERIALIZED: c_r is consumed by BOTH n_r and
   // v_r, so plain CTEs re-derive the full upstream chain (covfull → p's
   // 1M-row self-join) 2^r times — the DuckDB inline-per-consumer trap
@@ -6100,6 +6151,56 @@ object SparkEntry {
         |SELECT bucket, v, CAST(cusum_n AS BIGINT) AS cusum_n,
         |       (bucket = pb) AS is_changepoint
         |FROM st CROSS JOIN pb ORDER BY bucket""".stripMargin,
+    "q_cusum_segments" ->
+      // the same hourly series, two unrolled binary-segmentation levels
+      // (each: keyed n·S_i windows → per-segment peak → split at pb),
+      // then the final relabel/stat windows — [[cusumSegLevelSql]]
+      ("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+         |                  CAST(value AS DECIMAL(18,4)) AS dv
+         |           FROM events),
+         |s0 AS MATERIALIZED (
+         |      SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v,
+         |             CAST(0 AS BIGINT) AS seg
+         |      FROM e GROUP BY 1),
+         |""".stripMargin +
+        cusumSegLevelSql("s0", "s1") + ",\n" +
+        cusumSegLevelSql("s1", "s2") + """
+         |SELECT bucket, v, segment, seg_n, CAST(seg_sum AS BIGINT) AS seg_sum,
+         |       (bucket = segment) AS is_boundary
+         |FROM (SELECT bucket, v,
+         |             MIN(bucket) OVER (PARTITION BY seg) AS segment,
+         |             COUNT(*) OVER (PARTITION BY seg) AS seg_n,
+         |             SUM(v) OVER (PARTITION BY seg) AS seg_sum
+         |      FROM s2)
+         |ORDER BY bucket""".stripMargin),
+    "q_cusum_by_key" ->
+      // the same n·S_i algebra replayed PER KEY: per-user daily
+      // decimal-fenced totals, per-key totals join, keyed prefix windows,
+      // keyed max-|·| and smallest-bucket tie-break
+      """WITH e AS (SELECT user_id AS key,
+        |                  epoch_us(ts) // 86400000000 AS bucket,
+        |                  CAST(value AS DECIMAL(18,4)) AS dv
+        |           FROM events),
+        |b AS MATERIALIZED (
+        |      SELECT key, bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+        |      FROM e GROUP BY 1, 2),
+        |tt AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(v) AS BIGINT) AS t
+        |       FROM b GROUP BY 1),
+        |st AS MATERIALIZED (
+        |       SELECT b.key, b.bucket, b.v,
+        |              tt.n * SUM(b.v) OVER (PARTITION BY b.key ORDER BY b.bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - row_number() OVER (PARTITION BY b.key ORDER BY b.bucket) * tt.t
+        |                AS cusum_n
+        |       FROM b JOIN tt USING (key)),
+        |mx AS (SELECT key, MAX(abs(cusum_n)) AS mx FROM st GROUP BY 1),
+        |pb AS (SELECT st.key, MIN(st.bucket) AS pb
+        |       FROM st JOIN mx ON mx.key = st.key AND abs(st.cusum_n) = mx.mx
+        |       GROUP BY 1)
+        |SELECT st.key, st.bucket, st.v, CAST(st.cusum_n AS BIGINT) AS cusum_n,
+        |       (st.bucket = pb.pb) AS is_changepoint
+        |FROM st JOIN pb USING (key) ORDER BY key, bucket""".stripMargin,
     "q_cdc_compact" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |           FROM events),

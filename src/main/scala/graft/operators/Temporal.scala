@@ -691,6 +691,61 @@ object Temporal {
         (col("bucket") === col("pb")).as("is_changepoint"))
   }
 
+  /** Multi-changepoint binary segmentation (Scott & Knott 1974 /
+    * Vostrikova 1981 — the standard next step after a single-peak scan):
+    * [[cusumChangepoints]] flags exactly one shift, but real timelines
+    * shift more than once. Each of `depth` levels re-runs the SAME
+    * integer n·S_i peak pick WITHIN every current segment and splits at
+    * the peak (right child starts after the peak bucket), so after d
+    * levels the series holds up to 2^d segments. A flat segment
+    * (max |n·S_i| = 0) never splits — the deterministic stopping rule.
+    *
+    * Output: every bucket with its final `segment` label (= the
+    * segment's first bucket), the segment's row count and value sum
+    * (callers derive means without a float crossing the gate), and
+    * `is_boundary` on each segment's first row.
+    *
+    * Scale shape: the [[Hygiene.median2Pass]] multi-pass discipline —
+    * `depth` is a small constant, each level is ONE keyed-window pass
+    * over the BUCKETED series (`partitionBy(segment)`; all five stats
+    * share the exchange, the [[cusumChangepointsByKey]] shape), plus a
+    * final relabel window. No recursion in the plan, no driver
+    * collect; lineage grows linearly in `depth` (each level reads only
+    * the previous level's columns — no twice-referenced frame, the
+    * q_hits 2^n lesson does not bite).
+    */
+  def cusumSegments(series: DataFrame, depth: Int,
+      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+    require(depth >= 1 && depth <= 5, s"depth must be in [1,5]: $depth")
+    var cur = series.select(col(bucketCol).as("bucket"),
+      col(valCol).as("v"), lit(0L).as("seg"))
+    (1 to depth).foreach { _ =>
+      val wk = Window.partitionBy(col("seg"))
+      val w = wk.orderBy(col("bucket"))
+      cur = cur
+        .withColumn("cusum_n",
+          count(lit(1)).over(wk) * sum(col("v")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+            row_number().over(w).cast("long") * sum(col("v")).over(wk))
+        .withColumn("mx", max(abs(col("cusum_n"))).over(wk))
+        .withColumn("pb",
+          min(when(abs(col("cusum_n")) === col("mx"), col("bucket"))).over(wk))
+        // right child's label pb+1 is unique (strictly inside the parent
+        // range) and engine-portable even over sparse buckets
+        .withColumn("seg",
+          when(col("mx") > lit(0L) && col("bucket") > col("pb"),
+            col("pb") + 1L).otherwise(col("seg")))
+        .select(col("bucket"), col("v"), col("seg"))
+    }
+    val ws = Window.partitionBy(col("seg"))
+    cur
+      .withColumn("segment", min(col("bucket")).over(ws))
+      .withColumn("seg_n", count(lit(1)).over(ws))
+      .withColumn("seg_sum", sum(col("v")).over(ws))
+      .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
+        col("seg_sum"), (col("bucket") === col("segment")).as("is_boundary"))
+  }
+
   /** Forecast-baseline audit over a bucketed series — persistence
     * (ŷ_t = y_{t−1}) vs seasonal-naïve (ŷ_t = y_{t−season}), with their
     * MAE ratio: the MASE denominator discipline (Hyndman & Koehler

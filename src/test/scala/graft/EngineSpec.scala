@@ -3635,6 +3635,72 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("cusumSegments: two planted shifts recovered at depth 2; flat never splits") {
+    import spark.implicits._
+    // 10×4 → 50×4 → 10×4: level 1 splits once at a shift, level 2 finds
+    // the other inside a child — three final segments, means 10/50/10
+    val s = ((1L to 4L).map((_, 10L)) ++ (5L to 8L).map((_, 50L)) ++
+      (9L to 12L).map((_, 10L))).toDF("bucket", "v")
+    val r = Temporal.cusumSegments(s, depth = 2).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5))))
+      .toMap
+    val segs = r.values.map(_._1).toSet
+    assert(r.keySet == (1L to 12L).toSet)
+    assert(segs.size == 3, s"expected 3 segments: $r")
+    // segment membership follows the planted levels exactly
+    assert((1L to 4L).map(r(_)._1).toSet.size == 1)
+    assert((5L to 8L).map(r(_)._1).toSet.size == 1)
+    assert((9L to 12L).map(r(_)._1).toSet.size == 1)
+    assert(r(1L)._1 != r(5L)._1 && r(5L)._1 != r(9L)._1 && r(1L)._1 != r(9L)._1)
+    // per-segment stats: 4 rows each, sums 40/200/40; one boundary per segment
+    assert(Seq(1L, 5L, 9L).map(b => (r(b)._2, r(b)._3)) ==
+      Seq((4L, 40L), (4L, 200L), (4L, 40L)), r.toString)
+    assert(r.count(_._2._4) == 3)
+    // a flat series never splits: one segment at any depth
+    val flat = (1L to 6L).map((_, 7L)).toDF("bucket", "v")
+    val rf = Temporal.cusumSegments(flat, depth = 3).collect()
+    assert(rf.map(_.getLong(2)).toSet.size == 1 &&
+      rf.forall(x => x.getLong(3) == 6L && x.getLong(4) == 42L))
+    // depth 1 ≡ the single-peak operator's split: exactly 2 segments
+    val one = Temporal.cusumSegments(s, depth = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(one.values.toSet.size == 2)
+    Dedup.uncacheAll()
+  }
+
+  test("cusumChangepointsByKey: per-key shifts flag independently; equals global per key") {
+    import spark.implicits._
+    // key A shifts after bucket 3 (10→50), key B after bucket 2 (100→20),
+    // key C is flat — three different answers from one frame
+    val s = (Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 50L), (5L, 50L), (6L, 50L))
+        .map { case (b, v) => ("A", b, v) } ++
+      Seq((1L, 100L), (2L, 100L), (3L, 20L), (4L, 20L))
+        .map { case (b, v) => ("B", b, v) } ++
+      Seq((1L, 7L), (2L, 7L), (3L, 7L)).map { case (b, v) => ("C", b, v) })
+      .toDF("key", "bucket", "v")
+    val r = Temporal.cusumChangepointsByKey(s).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> ((x.getLong(3), x.getBoolean(4))))
+      .toMap
+    // each key's statistic and flag must equal the GLOBAL operator run on
+    // that key's series alone — the contract the scaladoc states
+    Seq("A", "B", "C").foreach { k =>
+      val solo = Temporal.cusumChangepoints(
+          s.filter(col("key") === k).select("bucket", "v")).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+      Dedup.uncacheAll()
+      val mine = r.collect { case ((`k`, b), cv) => b -> cv }.toMap
+      assert(mine == solo, s"key $k: $mine vs $solo")
+    }
+    // spot values: B's peak is bucket 2 (last pre-shift), C ties to bucket 1
+    assert(r(("B", 2L))._2 && !r(("B", 3L))._2)
+    assert(r(("C", 1L)) == ((0L, true)))
+    // the whole thing is ONE exchange: a single hash-partitioning on key
+    val plan = Temporal.cusumChangepointsByKey(s).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"per-key cusum must reuse one keyed exchange:\n$plan")
+  }
+
   test("coalesceIntervals: overlap merges, touch merges, gaps split, nested absorbed") {
     import spark.implicits._
     val iv = Seq(

@@ -2115,6 +2115,23 @@ object SparkEntry {
       Joins.radiusJoinBlocked(pts, radius = 60, cell = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_radius_join_2table" -> ((s, dir) => {
+      // the cross-frame form of the proximity question — which SITES
+      // (suppliers) are near each point (customer)? Both frames span all
+      // four quadrants (offset −1000) so the floor-snap discipline is
+      // exercised in the gate, not just the spec; oracle = all-pairs
+      // brute force, proving blocked ≡ exhaustive cross-frame too
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 2000 - 1000).as("x"),
+        (col("c_custkey") * 104729 % 2000 - 1000).as("y"))
+      val sites = t(s, dir, "supplier").select(
+        col("s_suppkey").as("id"),
+        (col("s_suppkey") * 12007 % 2000 - 1000).as("x"),
+        (col("s_suppkey") * 30011 % 2000 - 1000).as("y"))
+      Joins.radiusJoin2(pts, sites, radius = 80, cell = 96)
+        .orderBy(col("point_id"), col("site_id"))
+    }),
     "q_fuzzy_blocked" -> ((s, dir) =>
       // entity-resolution candidates: (nation, segment)-blocked customer
       // self-join scored by exact Levenshtein ≤ 2 — candidate volume is
@@ -6465,6 +6482,22 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_radius_join_2table" ->
+      // cross-frame brute force — every (point, site) pair tested
+      // exhaustively; negative-quadrant coordinates included
+      """WITH p AS (
+        |  SELECT c_custkey AS id, (c_custkey * 7919) % 2000 - 1000 AS x,
+        |         (c_custkey * 104729) % 2000 - 1000 AS y
+        |  FROM customer),
+        |st AS (
+        |  SELECT s_suppkey AS id, (s_suppkey * 12007) % 2000 - 1000 AS x,
+        |         (s_suppkey * 30011) % 2000 - 1000 AS y
+        |  FROM supplier)
+        |SELECT p.id AS point_id, st.id AS site_id,
+        |       CAST((p.x-st.x)*(p.x-st.x) + (p.y-st.y)*(p.y-st.y) AS BIGINT) AS dist2
+        |FROM p JOIN st
+        |  ON (p.x-st.x)*(p.x-st.x) + (p.y-st.y)*(p.y-st.y) <= 6400
+        |ORDER BY point_id, site_id""".stripMargin,
     "q_entity_resolution" ->
       // the same blocked candidates, then recursive reachability with
       // min-label canonicalization and a left join keeping singletons

@@ -161,4 +161,49 @@ object Joins {
           (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
       .filter(col("dist2") <= radius * radius)
   }
+
+  /** Two-frame grid-blocked radius join — [[radiusJoinBlocked]]'s
+    * cross-frame form, the shape the production question actually takes
+    * (points × sites: which STORES are near each customer, which
+    * SENSORS cover each reading): the query side explodes the 3×3
+    * stencil, the site side keeps its home cell, and the `id_a < id_b`
+    * self-join canonicalization is dropped — (point, site) is already
+    * an ordered pair, every qualifying one emits exactly once (a site
+    * has one home cell; a point's 9 stencil cells are distinct).
+    *
+    * Same guarantee as the parent: with `cell >= radius`, any pair
+    * within radius differs by < cell per axis, so the site's home cell
+    * is among the point's 9 — blocked ≡ the all-pairs brute force, and
+    * the registry oracle IS that brute force. Floor-snap (not `div`
+    * truncation) keeps negative coordinates on their own side of each
+    * axis. Exchange keys on the grid cell: candidate volume is
+    * Σ_cells 9·|cellP|·|cellS| — density-bounded, never |P|·|S|; the
+    * usual asymmetry (|sites| ≪ |points|) makes the site side the
+    * small build side of the cell join, which AQE picks up at runtime.
+    *
+    * Emits (point_id, site_id, dist2), exact integers.
+    */
+  def radiusJoin2(points: DataFrame, sites: DataFrame, radius: Long,
+      cell: Long, idCol: String = "id", xCol: String = "x",
+      yCol: String = "y"): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0: $radius")
+    require(cell >= math.max(radius, 1L),
+      s"cell ($cell) must be >= radius ($radius) for the 3x3 stencil guarantee")
+    def snap(c: String) = expr(s"($c - pmod($c, $cell)) div $cell")
+    val home = sites.select(col(idCol).as("site_id"),
+      col(xCol).as("xb"), col(yCol).as("yb"),
+      snap(xCol).as("cx"), snap(yCol).as("cy"))
+    val stencil = points.select(col(idCol).as("point_id"),
+        col(xCol).as("xa"), col(yCol).as("ya"),
+        snap(xCol).as("hx"), snap(yCol).as("hy"))
+      .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+      .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+      .select(col("point_id"), col("xa"), col("ya"),
+        (col("hx") + col("dx")).as("cx"), (col("hy") + col("dy")).as("cy"))
+    stencil.join(home, Seq("cx", "cy"))
+      .select(col("point_id"), col("site_id"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+      .filter(col("dist2") <= radius * radius)
+  }
 }

@@ -3389,6 +3389,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), s"radius join must key on the cell:\n$plan")
   }
 
+  test("radiusJoin2: cross-frame stencil equals brute force; negative quadrant; no self pairs lost") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    // points and sites both span all four quadrants
+    val pts = (1L to 300L).map(i =>
+      (i, rng.nextInt(1000).toLong - 500, rng.nextInt(1000).toLong - 500))
+      .toDF("id", "x", "y")
+    val sites = (1L to 40L).map(i =>
+      (i, rng.nextInt(1000).toLong - 500, rng.nextInt(1000).toLong - 500))
+      .toDF("id", "x", "y")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = pairs(Joins.radiusJoin2(pts, sites, radius = 60, cell = 64))
+    val brute = pairs(
+      pts.select(col("id").as("point_id"), col("x").as("xa"), col("y").as("ya"))
+        .crossJoin(sites.select(col("id").as("site_id"),
+          col("x").as("xb"), col("y").as("yb")))
+        .select(col("point_id"), col("site_id"),
+          ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+        .filter(col("dist2") <= 3600L))
+    assert(brute.nonEmpty, "fixture must exercise real pairs")
+    assert(blocked == brute, s"cross-frame blocked must equal brute: ${blocked.size} vs ${brute.size}")
+    // unlike the self-join, SAME id on both frames is a legitimate pair
+    // (they are different entities), and coincident coordinates emit
+    // with dist2 = 0 — no id_a < id_b canonicalization may drop them
+    val p1 = Seq((7L, -10L, -10L)).toDF("id", "x", "y")
+    val s1 = Seq((7L, -10L, -10L), (3L, -13L, -14L)).toDF("id", "x", "y")
+    assert(pairs(Joins.radiusJoin2(p1, s1, radius = 5, cell = 8)) ==
+      Set((7L, 7L, 0L), (7L, 3L, 25L)))
+    // deep-negative-quadrant pair at cell distance: floor snap keeps it
+    val pn = Seq((1L, -200L, -200L)).toDF("id", "x", "y")
+    val sn = Seq((2L, -205L, -195L), (3L, 180L, 180L)).toDF("id", "x", "y")
+    assert(pairs(Joins.radiusJoin2(pn, sn, radius = 10, cell = 16)) ==
+      Set((1L, 2L, 50L)))
+    intercept[IllegalArgumentException](
+      Joins.radiusJoin2(pts, sites, radius = 100, cell = 64))
+    val plan = Joins.radiusJoin2(pts, sites, radius = 60, cell = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"cross-frame radius join must key on the cell:\n$plan")
+  }
+
   test("entity resolution composition: transitive closure merges a Levenshtein chain") {
     import spark.implicits._
     // a dist-1 chain whose ENDS are dist 4 apart — only the closure

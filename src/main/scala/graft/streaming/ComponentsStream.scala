@@ -46,16 +46,32 @@ object ComponentsStream {
   /** Labels fixpoint held across micro-batches. Constructed from an
     * initial [[Dedup.components]] fixpoint (or an empty (doc_id,
     * component) frame for a cold start).
+    *
+    * Durability: with `snapshotDir` set, every applied batch persists the
+    * labels table as an `upto=<batchId>` [[SnapshotStore]] snapshot
+    * (write-before-commit, newest-two retention — the sketch-store
+    * discipline one rung up), and a rebuilt store restores the newest
+    * snapshot instead of cold-starting from `initial` while the
+    * checkpoint marks earlier batches delivered. Replayed batches drop
+    * on the restored monotone guard; a replay that slips the guard
+    * (torn write) is still a NO-OP by the merge idempotence below.
     */
-  final class LabelStore(spark: SparkSession, initial: DataFrame) {
+  final class LabelStore(spark: SparkSession, initial: DataFrame,
+      snapshotDir: Option[String] = None) {
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       cut.count() // force now: a failed merge must fail BEFORE the swap
       cut
     }
+
+    private val restored =
+      snapshotDir.flatMap(d => SnapshotStore.newest(spark, d))
+
     private val ref = new AtomicReference[DataFrame](materialize(
-      initial.select(col("doc_id"), col("component"))))
+      restored.map(_._2.select(col("doc_id"), col("component")))
+        .getOrElse(initial.select(col("doc_id"), col("component")))))
+    @volatile private var lastBatch = restored.map(_._1).getOrElse(-1L)
 
     /** The current labels fixpoint (doc_id, component) — always a fully
       * materialized table, never a mid-merge view.
@@ -63,21 +79,32 @@ object ComponentsStream {
     def current: DataFrame = ref.get()
 
     /** Merge one micro-batch of delta pairs (doc_a, doc_b); O(delta)
-      * iterative work + one labels scan, then an atomic swap.
+      * iterative work + one labels scan, then an atomic swap. `batchId`
+      * (when >= 0) drives the durable snapshot id and the replay guard;
+      * unidentified merges stay supported for ad-hoc callers.
       */
-    def merge(deltaPairs: DataFrame): Unit = {
+    def merge(deltaPairs: DataFrame, batchId: Long = -1L): Unit = synchronized {
+      if (batchId >= 0 && batchId <= lastBatch) return
       val old = ref.get()
       if (!deltaPairs.isEmpty) {
         val next = materialize(Dedup.componentsIncremental(old, deltaPairs))
+        if (batchId >= 0) snapshotDir.foreach(d =>
+          SnapshotStore.write(spark, d, next, batchId))
         ref.set(next)
+        if (batchId >= 0) lastBatch = batchId
         old.unpersist()
+      } else if (batchId >= 0) {
+        // an empty batch still advances the durable guard so its replay
+        // after a restart does not re-run later batches' guard window
+        snapshotDir.foreach(d => SnapshotStore.write(spark, d, old, batchId))
+        lastBatch = batchId
       }
     }
   }
 
   /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
   def sink(store: LabelStore): (DataFrame, Long) => Unit =
-    (batch, _) => store.merge(batch)
+    (batch, id) => store.merge(batch, id)
 
   /** Wire a streaming (doc_a, doc_b) pair source into `store` and start
     * the query. Callers read `store.current` at any time.

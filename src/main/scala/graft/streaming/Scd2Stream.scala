@@ -50,7 +50,7 @@ object Scd2Stream {
     * is_current).
     */
   final class Scd2Store(spark: SparkSession, keyCol: String, attrCol: String,
-      tsCol: String, tieCol: String) {
+      tsCol: String, tieCol: String, snapshotDir: Option[String] = None) {
     import spark.implicits._
 
     private def materialize(df: DataFrame): DataFrame = {
@@ -63,14 +63,36 @@ object Scd2Stream {
     private val emptyIntervals = Seq.empty[(Long, Long, String, Long, Option[Long], Boolean)]
       .toDF(keyCol, "version", "attr", "valid_from_us", "valid_to_us", "is_current")
 
-    private val closedRef = new AtomicReference[DataFrame](materialize(emptyIntervals))
-    private val openRef = new AtomicReference[DataFrame](materialize(emptyIntervals))
+    // Durability (the SketchStore discipline one rung up): the four state
+    // pieces — closed history, open intervals, the per-key late-guard
+    // high-water mark, and the dropped-late counter — persist per applied
+    // batch as `<sub>/upto=<batchId>` [[SnapshotStore]] snapshots. A
+    // rebuilt store restores at the NEWEST id COMMON to all four
+    // sub-stores: a crash between sub-writes leaves the newest id partial
+    // in some sub-store, and restoring a mixed-batch state would corrupt
+    // shipped history — the common id is the last full commit, and the
+    // newest-two retention guarantees it survives exactly one torn write.
+    private val subs = Seq("closed", "open", "last_seen", "meta")
+    private val restoredId: Option[Long] = snapshotDir.flatMap { d =>
+      subs.map(s => SnapshotStore.snapshotIds(spark, s"$d/$s").map(_._1).toSet)
+        .reduce(_ intersect _).reduceOption(_ max _)
+    }
+    private def restore(sub: String): Option[DataFrame] = for {
+      d <- snapshotDir; id <- restoredId
+    } yield spark.read.parquet(s"$d/$sub/upto=$id")
+
+    private val closedRef = new AtomicReference[DataFrame](materialize(
+      restore("closed").getOrElse(emptyIntervals)))
+    private val openRef = new AtomicReference[DataFrame](materialize(
+      restore("open").getOrElse(emptyIntervals)))
     // per-key high-water mark of the last FOLDED (ts, tie) — the late
     // guard's anchor (the TransitionsStream lastRef discipline)
     private val lastSeenRef = new AtomicReference[DataFrame](materialize(
-      Seq.empty[(Long, Long, Long)].toDF(keyCol, "last_ts", "last_tie")))
-    @volatile private var lastBatch = -1L
-    @volatile private var droppedLate = 0L
+      restore("last_seen").getOrElse(
+        Seq.empty[(Long, Long, Long)].toDF(keyCol, "last_ts", "last_tie"))))
+    @volatile private var lastBatch = restoredId.getOrElse(-1L)
+    @volatile private var droppedLate =
+      restore("meta").map(_.head.getLong(0)).getOrElse(0L)
 
     /** Closed intervals ∪ open intervals — the full SCD2 table so far. */
     def history: DataFrame = closedRef.get().unionAll(openRef.get())
@@ -152,6 +174,16 @@ object Scd2Stream {
           col("l.last_tie").as("last_tie"))
       val (nc, no, nl) =
         (materialize(newClosed), materialize(newOpen), materialize(newLastSeen))
+      // durable commit point BEFORE the in-memory swap: all four
+      // sub-stores at batchId, `meta` last (the restore takes the newest
+      // COMMON id, so a crash mid-sequence restores the previous batch)
+      snapshotDir.foreach { d =>
+        SnapshotStore.write(spark, s"$d/closed", nc, batchId)
+        SnapshotStore.write(spark, s"$d/open", no, batchId)
+        SnapshotStore.write(spark, s"$d/last_seen", nl, batchId)
+        SnapshotStore.write(spark, s"$d/meta",
+          Seq(droppedLate + late).toDF("dropped_late"), batchId)
+      }
       val (oc, oo, ol) = (closedRef.get(), openRef.get(), lastSeenRef.get())
       closedRef.set(nc); openRef.set(no); lastSeenRef.set(nl)
       droppedLate += late

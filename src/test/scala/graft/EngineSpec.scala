@@ -1785,6 +1785,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("streaming components: a rebuilt durable store restores the labels fixpoint") {
+    import spark.implicits._
+    import graft.streaming.ComponentsStream
+    val dir = Files.createTempDirectory("ccdur").toString
+    val base = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val store = new ComponentsStream.LabelStore(spark,
+      Dedup.components(base), Some(dir))
+    ComponentsStream.sink(store)(Seq((2L, 10L)).toDF("doc_a", "doc_b"), 0L)
+    ComponentsStream.sink(store)(Seq((20L, 21L)).toDF("doc_a", "doc_b"), 1L)
+    def labels(s: ComponentsStream.LabelStore) = s.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = labels(store)
+    assert(expect.nonEmpty)
+    // driver restart: the rebuilt store gets a COLD initial frame — the
+    // snapshot must win, or downstream dedup silently resets while the
+    // checkpoint marks batches 0..1 delivered
+    val store2 = new ComponentsStream.LabelStore(spark,
+      Seq.empty[(Long, Long)].toDF("doc_id", "component"), Some(dir))
+    assert(labels(store2) == expect, "restored labels must equal pre-restart state")
+    // checkpoint re-delivery after restart drops on the restored guard
+    ComponentsStream.sink(store2)(Seq((20L, 21L)).toDF("doc_a", "doc_b"), 1L)
+    assert(labels(store2) == expect)
+    // the fixpoint continues: a post-restart edge merging two components
+    ComponentsStream.sink(store2)(Seq((21L, 1L)).toDF("doc_a", "doc_b"), 2L)
+    val full = Dedup.components(Seq((1L, 2L), (10L, 11L), (2L, 10L),
+        (20L, 21L), (21L, 1L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels(store2) == full,
+      "post-restart merge must continue the accumulated fixpoint")
+    Dedup.uncacheAll()
+  }
+
   test("streaming perceptual dedup: multi-batch equals batch registry; replay guarded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -4284,6 +4316,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closed == Set(
       (1L, 1L, "A", 100L, Some(950L), false),
       (1L, 2L, "B", 950L, None, true)), closed.toString)
+  }
+
+  test("scd2 stream: a rebuilt durable store resumes history, versions, and the late guard") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    val dir = Files.createTempDirectory("scd2dur").toString
+    def hist(s: Scd2Stream.Scd2Store) = s.history.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)), r.getBoolean(5))).toSet
+    val store = new Scd2Stream.Scd2Store(spark, "user_id", "event_type",
+      "ts_us", "event_id", Some(dir))
+    store.merge(Seq((1L, "A", 100L, 1L), (1L, "A", 900L, 2L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 0L)
+    store.merge(Seq((1L, "B", 500L, 3L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 1L) // late → drop
+    val expect = hist(store)
+    // driver restart: history, the open interval, the per-key late-guard
+    // high-water mark, AND the dropped counter all restore
+    val store2 = new Scd2Stream.Scd2Store(spark, "user_id", "event_type",
+      "ts_us", "event_id", Some(dir))
+    assert(hist(store2) == expect, "restored history must equal pre-restart state")
+    assert(store2.lateDropped == 1L, "dropped-late counter must survive the restart")
+    // checkpoint re-delivery of batch 1 drops on the restored guard —
+    // the late row must not be double-counted
+    assert(!store2.merge(Seq((1L, "B", 500L, 3L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 1L))
+    assert(store2.lateDropped == 1L)
+    // the late guard itself restored: B@500 as a NEW batch still drops
+    // (last folded event is A@900 — without the restored high-water mark
+    // it would close the open interval at 500 and rewrite shipped history)
+    assert(store2.merge(Seq((1L, "B", 500L, 4L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 2L))
+    assert(hist(store2) == expect && store2.lateDropped == 2L)
+    // versions chain across the restart exactly as uninterrupted
+    store2.merge(Seq((1L, "B", 950L, 5L))
+      .toDF("user_id", "event_type", "ts_us", "event_id"), 3L)
+    assert(hist(store2) == Set(
+      (1L, 1L, "A", 100L, Some(950L), false),
+      (1L, 2L, "B", 950L, None, true)), hist(store2).toString)
   }
 
   test("ewma stream: a redelivered event triple is dropped, not re-scored") {

@@ -888,8 +888,14 @@ object Dedup {
     */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both directions via ONE explode over one scan: the unionAll form
+    // would compute the (possibly expensive — Levenshtein join, LSH
+    // banding) pairs plan TWICE when the persist materializes its two
+    // branches
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
     // `cached` is the DataFrame actually holding this round's storage (the
     // thing unpersist must target); `labels` is its (node, lbl) view
@@ -930,8 +936,13 @@ object Dedup {
             col("a.lbl") === col("b.jn"))
           .select(col("a.node").as("node"), col("jlbl").as("lbl"), col("a.prev").as("prev"))
       val next = jumped.persist(lvl)
-      next.count() // materialize before the old round is released
-      converged = next.filter(col("lbl") < col("prev")).isEmpty // labels only decrease
+      // ONE action materializes AND decides convergence: the filtered
+      // count computes (hence caches) every partition of the persisted
+      // frame, so the old count()+isEmpty pair was two full job rounds
+      // where one suffices — at fixed per-job cost this halves the
+      // fixpoint's scheduling overhead (labels only decrease, so
+      // "no row decreased" IS the fixpoint)
+      converged = next.filter(col("lbl") < col("prev")).count() == 0L
       cached.unpersist(blocking = false)
       cached = next
       // CUT THE LOGICAL LINEAGE before the next round: the jump self-join

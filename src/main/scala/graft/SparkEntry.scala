@@ -2102,6 +2102,19 @@ object SparkEntry {
         .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
         .limit(100)
     }),
+    "q_dp_sensitivity" -> ((s, dir) =>
+      // the pre-release read for a user-level DP aggregate: per
+      // event_type, how hard can ONE user move the count (max_user_rows)
+      // or the sum (max_user_abs_sum), and does any single user dominate
+      // the group (top_user_share_ppm) — two stacked keyed aggs, exact
+      // integers on the decimal-scaled value
+      Hygiene.dpSensitivityAudit(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("user_id"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v")),
+        "user_id", Seq("event_type"), "v")
+        .orderBy(col("event_type"))),
     "q_jackknife_ci" -> ((s, dir) =>
       // the error bar the per-type value means should ship with:
       // delete-one-md5-fold jackknife variance, deterministic folds,
@@ -3373,6 +3386,35 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     }),
+    "ret_eval" -> ((s, dir) => {
+      // the ranking scorecard: BM25 top-10 per query evaluated against a
+      // deterministic relevance set (docs sharing >= 2 distinct query
+      // terms), integer MRR / precision@10 / recall@10; query 5's
+      // relevance set is empty (zebra is OOV) — recall NULLs, not lies
+      import s.implicits._
+      val qs = Seq(
+        (0L, "fast table scan"), (1L, "join query order"),
+        (2L, "stream window batch"), (3L, "slow merge"),
+        (4L, "customer value vector"), (5L, "zebra hash")
+      ).toDF("query_id", "q_text")
+      val docs = t(s, dir, "documents")
+      val results = TextAnalysis.bm25TopK(docs, qs, k = 10)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val qt = qs.select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("q_text")))).as("term"))
+      val qrels = docs
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .join(broadcast(qt), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(countDistinct(col("term")).as("nt"))
+        .filter(col("nt") >= 2L)
+        .select(col("query_id"), col("doc_id"))
+      TextAnalysis.retrievalEval(results, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
     "ret_phrase_topk" -> ((s, dir) => {
       // positional retrieval: exact occurrence counts of CONSECUTIVE
       // token sequences (what bag-of-words scoring cannot express), two
@@ -3833,6 +3875,44 @@ object SparkEntry {
     * re-fence — the identical fixed-order IEEE chain the Spark driver
     * loop runs. Emits trailing commas; consumers append the tail.
     */
+  /** The BM25 ranking chain shared by `text_bm25_topk` (final cut) and
+    * `ret_eval` (evaluation tail): identical association order everywhere
+    * a double is touched; ln rounded to 6 dp per term, per-term
+    * contributions rounded then decimal-summed (the lmScore discipline).
+    * Ends at `rk` (per-query row_number), no trailing comma.
+    */
+  private lazy val bm25OracleCtes =
+    """WITH q(query_id, q_text) AS (VALUES
+      |  (0, 'fast table scan'), (1, 'join query order'),
+      |  (2, 'stream window batch'), (3, 'slow merge'),
+      |  (4, 'customer value vector'), (5, 'zebra hash')),
+      |qt AS (SELECT query_id,
+      |              unnest(list_distinct(string_split(lower(q_text), ' '))) AS term
+      |       FROM q),
+      |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      |contrib AS (
+      |  SELECT qt.query_id, p.doc_id,
+      |         ROUND(ROUND(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6) *
+      |           (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |           (p.tf + 1.2 * (1.0 - 0.75 +
+      |             0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))), 6) AS c
+      |  FROM p
+      |  JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats s),
+      |sc AS (SELECT query_id, doc_id,
+      |       ROUND(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+      |       FROM contrib GROUP BY 1, 2),
+      |rk AS MATERIALIZED (
+      |       SELECT query_id, doc_id, score,
+      |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |       FROM sc)""".stripMargin
+
   /** One binary-segmentation level for the `q_cusum_segments` oracle:
     * `src`(bucket, v, seg) → `out` with the per-segment n·S_i peak split
     * applied — the exact algebra of [[graft.operators.Temporal
@@ -6419,6 +6499,25 @@ object SparkEntry {
         |        JOIN itn nb2 ON nb2.item = pr.item_b
         |        CROSS JOIN nb
         |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 100""".stripMargin,
+    "q_dp_sensitivity" ->
+      // the same two-level aggregation: per-(type, user) exact moments,
+      // then the per-type maxima and the dominance share
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |pu AS (
+        |  SELECT event_type, user_id, COUNT(*) AS u_rows,
+        |         CAST(SUM(v) AS BIGINT) AS u_sum
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(SUM(u_rows) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MAX(u_rows) AS BIGINT) AS max_user_rows,
+        |       CAST(MAX(abs(u_sum)) AS BIGINT) AS max_user_abs_sum,
+        |       CAST((1000000 * MAX(abs(u_sum))) // SUM(abs(u_sum)) AS BIGINT)
+        |         AS top_user_share_ppm
+        |FROM pu GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_jackknife_ci" ->
       // identical md5 fold assignment (one hex digit % 8), micro-unit
       // replicate means, exact integer variance expansion
@@ -8359,41 +8458,49 @@ object SparkEntry {
         |       CAST(len(win) AS BIGINT) AS win_tokens,
         |       win[1] AS first_tok, win[-1] AS last_tok
         |FROM sl ORDER BY doc_id, win_id""".stripMargin,
-    "text_bm25_topk" ->
-      // identical association order everywhere a double is touched; ln
-      // rounded to 6 dp per term, per-term contributions rounded then
-      // decimal-summed (the lmScore discipline)
-      """WITH q(query_id, q_text) AS (VALUES
-        |  (0, 'fast table scan'), (1, 'join query order'),
-        |  (2, 'stream window batch'), (3, 'slow merge'),
-        |  (4, 'customer value vector'), (5, 'zebra hash')),
-        |qt AS (SELECT query_id,
-        |              unnest(list_distinct(string_split(lower(q_text), ' '))) AS term
-        |       FROM q),
-        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
-        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
-        |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
-        |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
-        |contrib AS (
-        |  SELECT qt.query_id, p.doc_id,
-        |         ROUND(ROUND(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6) *
-        |           (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |           (p.tf + 1.2 * (1.0 - 0.75 +
-        |             0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))), 6) AS c
-        |  FROM p
-        |  JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats s),
-        |sc AS (SELECT query_id, doc_id,
-        |       ROUND(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
-        |       FROM contrib GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score,
-        |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
-        |       FROM sc)
+    "text_bm25_topk" -> (bm25OracleCtes +
+      """
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
-        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin,
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin),
+    "ret_eval" -> (bm25OracleCtes +
+      // the eval tail: relevance = docs sharing >= 2 distinct query
+      // terms, then the integer MRR / precision@10 / recall@10 algebra
+      // over the full outer of per-query relevance and result aggs
+      """,
+        |res AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rnk
+        |        FROM rk WHERE rn <= 10),
+        |dt AS (SELECT doc_id,
+        |              unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |       FROM documents),
+        |qr AS (SELECT qt.query_id, dt.doc_id
+        |       FROM dt JOIN qt USING (term)
+        |       GROUP BY 1, 2 HAVING COUNT(DISTINCT term) >= 2),
+        |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        |       FROM qr GROUP BY 1),
+        |mk AS (SELECT res.query_id, res.rnk,
+        |              CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        |       FROM res LEFT JOIN qr ON qr.query_id = res.query_id
+        |                            AND qr.doc_id = res.doc_id),
+        |pq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_results,
+        |              CAST(MIN(CASE WHEN is_rel = 1 THEN rnk END) AS BIGINT)
+        |                AS first_rel_rank,
+        |              CAST(SUM(CASE WHEN is_rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS hits_at_k
+        |       FROM mk GROUP BY 1)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       COALESCE(pq.n_results, 0) AS n_results,
+        |       COALESCE(nr.n_rel, 0) AS n_rel,
+        |       pq.first_rel_rank,
+        |       CAST(CASE WHEN pq.first_rel_rank IS NOT NULL
+        |            THEN 1000000 // pq.first_rel_rank END AS BIGINT) AS mrr_ppm,
+        |       COALESCE(pq.hits_at_k, 0) AS hits_at_k,
+        |       CAST((1000000 * COALESCE(pq.hits_at_k, 0)) // 10 AS BIGINT)
+        |         AS precision_at_k_ppm,
+        |       CAST(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+        |            THEN (1000000 * COALESCE(pq.hits_at_k, 0)) // nr.n_rel
+        |            END AS BIGINT) AS recall_at_k_ppm
+        |FROM nr FULL OUTER JOIN pq USING (query_id)
+        |ORDER BY query_id""".stripMargin),
     "ret_phrase_topk" ->
       // positional postings from token subscripts; 2- and 3-gram lanes
       // unioned (phrase equality cannot cross lengths — the space counts

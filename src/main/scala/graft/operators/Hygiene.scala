@@ -767,6 +767,48 @@ object Hygiene {
     * ~10⁹ micro-units at B=8); beyond that cast the moment columns to
     * DECIMAL(38,0).
     */
+  /** User-level differential-privacy sensitivity audit (Dwork et al.
+    * 2006's sensitivity calculus applied at the USER grain — the unit
+    * that matters for training-data releases; Amin et al. 2019 on the
+    * clipping bias–variance trade): before any DP release of per-group
+    * counts/sums, the mechanism designer needs, PER GROUP, how hard one
+    * user can move the answer — `max_user_rows` (L∞/L0: adding or
+    * removing one user changes the count by at most this) and
+    * `max_user_abs_sum` (L1: ditto for the sum). The noise scale is
+    * proportional to these; the audit also emits
+    * `top_user_share_ppm` = 10⁶·max|user sum| DIV Σ|user sums| — a group
+    * a single user dominates stays identifiable under any clip that
+    * keeps the group's signal, which is a suppress-the-group read, not a
+    * clip-harder read.
+    *
+    * `valCol` must already be an exact long (decimal-scaled upstream —
+    * the house [[graft.operators.Splits.sampledAggHt]] contract).
+    *
+    * Scale shape: two stacked map-side-combined aggregations
+    * ((keys, user) then (keys)) — no window, no join, no driver
+    * decision; both exchanges are the natural keyed shuffles and the
+    * second rides the first's partitioning prefix.
+    */
+  def dpSensitivityAudit(df: DataFrame, userCol: String,
+      keyCols: Seq[String], valCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one aggregation key column")
+    val per = df.groupBy((keyCols :+ userCol).map(col): _*)
+      .agg(count(lit(1)).as("u_rows"), sum(col(valCol)).as("u_sum"))
+    per.groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("u_rows")).as("n_rows"),
+        count(lit(1)).as("n_users"),
+        max(col("u_rows")).as("max_user_rows"),
+        max(abs(col("u_sum"))).as("max_user_abs_sum"),
+        sum(abs(col("u_sum"))).as("sum_user_abs_sum"))
+      .withColumn("top_user_share_ppm",
+        when(col("sum_user_abs_sum") =!= 0L,
+          expr("(1000000 * max_user_abs_sum) DIV sum_user_abs_sum")))
+      .select(keyCols.map(col) ++ Seq(col("n_rows"), col("n_users"),
+        col("max_user_rows"), col("max_user_abs_sum"),
+        col("top_user_share_ppm")): _*)
+  }
+
   def jackknifeVariance(df: DataFrame, keyCol: String, valCol: String,
       idCol: String, buckets: Int = 8, scale: Long = 1000000L): DataFrame = {
     require(buckets >= 2 && buckets <= 16,

@@ -1290,6 +1290,54 @@ object TextAnalysis {
       orderCols = Seq("score" -> false, idCol -> true), k = k)
   }
 
+  /** Retrieval-quality evaluation — the scorecard every ranking change
+    * ([[bm25TopK]] parameter, fusion weight, index swap) must pass
+    * before shipping: per query, MRR and precision/recall@k of a ranked
+    * result list against a relevance set, kept integer-exact
+    * (`mrr_ppm = 10⁶ DIV first_rel_rank`, the reciprocal-rank fusion
+    * integer discipline — no float crosses the gate; nDCG's log₂ is
+    * deliberately NOT emitted for that reason).
+    *
+    * `results` is (query, doc, rank) with 1-based ranks; `qrels` is the
+    * (query, doc) relevant set. Queries appear if they have results OR
+    * relevance rows (full outer), so "relevant docs exist but none
+    * retrieved" reads as recall 0 — the failure this audit exists to
+    * catch — rather than vanishing.
+    *
+    * Scale shape: one keyed left join (results × qrels — both bounded
+    * by k·|queries| and the relevance set, never the corpus) and two
+    * map-side-combined keyed aggs; no window, no driver decision.
+    */
+  def retrievalEval(results: DataFrame, qrels: DataFrame, k: Int,
+      qidCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rnk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = qrels.select(col(qidCol), col(docCol)).distinct()
+    val nRel = rel.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    val marked = results
+      .select(col(qidCol), col(docCol), col(rankCol).cast("long").as("rnk"))
+      .join(rel.withColumn("is_rel", lit(1L)), Seq(qidCol, docCol), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+    val perQ = marked.groupBy(col(qidCol)).agg(
+      count(lit(1)).as("n_results"),
+      min(when(col("is_rel") === 1L, col("rnk"))).as("first_rel_rank"),
+      sum(when(col("is_rel") === 1L && col("rnk") <= k, 1L).otherwise(0L))
+        .as("hits_at_k"))
+    nRel.join(perQ, Seq(qidCol), "full_outer")
+      .select(col(qidCol),
+        coalesce(col("n_results"), lit(0L)).as("n_results"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          expr("1000000 DIV first_rel_rank")).as("mrr_ppm"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        expr(s"(1000000 * coalesce(hits_at_k, 0L)) DIV $k")
+          .as("precision_at_k_ppm"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          expr("(1000000 * coalesce(hits_at_k, 0)) DIV n_rel"))
+          .as("recall_at_k_ppm"))
+  }
+
   /** Exact-PHRASE retrieval — the positional complement of [[bm25TopK]]'s
     * bag-of-words scoring (quoted-phrase search, boilerplate locating,
     * contamination forensics all need CONSECUTIVE terms, which tf×idf

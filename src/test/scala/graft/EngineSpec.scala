@@ -2823,6 +2823,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------ BM25
 
+  test("retrievalEval: integer MRR/P@k/R@k; a query with unretrieved relevants surfaces") {
+    import spark.implicits._
+    val results = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq((0L, 11L), (0L, 12L), (0L, 99L), (1L, 55L), (2L, 7L))
+      .toDF("query_id", "doc_id")
+    val r = TextAnalysis.retrievalEval(results, qrels, k = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Long]),
+        x.getLong(5), x.getLong(6),
+        Option(x.get(7)).map(_.asInstanceOf[Long])))).toMap
+    // q0: first relevant at rank 2 (mrr 500000); only doc 11 makes the
+    // k=2 cut (doc 12 sits at rank 3) → P@2 = 1/2, R@2 = 1/3 truncated
+    assert(r(0L) == ((3L, 3L, Some(2L), Some(500000L), 1L, 500000L, Some(333333L))), r(0L).toString)
+    // q1: relevant doc never retrieved → recall 0, MRR NULL — not absent
+    assert(r(1L) == ((2L, 1L, None, None, 0L, 0L, Some(0L))), r(1L).toString)
+    // q2: NO results at all but a relevance row exists — the failure the
+    // full-outer spine exists to surface (n_results 0, recall 0)
+    assert(r(2L) == ((0L, 1L, None, None, 0L, 0L, Some(0L))), r(2L).toString)
+  }
+
   test("bm25: identical docs tie-break on doc_id, OOV query matches nothing, k > candidates") {
     import spark.implicits._
     val corpus = Seq(
@@ -5393,6 +5415,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r3 = Hygiene.chiSquareAudit(dep.toDF("a", "b"), "a", "b").head
     assert(r3.getLong(4) == 4000000000L,
       s"dependent 4000-row table must score chi2_ppm = 4e9: ${r3.getLong(4)}")
+  }
+
+  test("dpSensitivityAudit: per-group user maxima, dominance share, sign-safe sums") {
+    import spark.implicits._
+    // group A: user 1 contributes 3 rows summing 60; user 2 one row of
+    // -40 (|.|=40). L∞=3, L1=60, share = 60/(60+40) = 600000 ppm.
+    // group B: one user only — share pins to 1000000 (the suppress read).
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 1L, 20L), ("A", 1L, 30L), ("A", 2L, -40L),
+      ("B", 9L, 5L), ("B", 9L, 7L)).toDF("g", "uid", "v")
+    val r = Hygiene.dpSensitivityAudit(df, "uid", Seq("g"), "v").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r == Map(
+      "A" -> ((4L, 2L, 3L, 60L, 600000L)),
+      "B" -> ((2L, 1L, 2L, 12L, 1000000L))), r.toString)
+    // a user whose contributions cancel (sum 0) still counts rows but
+    // adds nothing to L1 — and a group of only such users NULLs the share
+    val z = Seq(("C", 1L, 5L), ("C", 1L, -5L)).toDF("g", "uid", "v")
+    val rz = Hygiene.dpSensitivityAudit(z, "uid", Seq("g"), "v").head
+    assert(rz.getLong(4) == 0L && rz.isNullAt(5), rz.toString)
   }
 
   test("sourceConcentration: exact ppm shares and HHI on a skewed corpus") {

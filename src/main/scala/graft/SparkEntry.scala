@@ -1987,6 +1987,30 @@ object SparkEntry {
         .agg((sum(col("dv")) * 10000).cast("long").as("v"))
       Temporal.cusumSegments(ev, depth = 2).orderBy(col("bucket"))
     }),
+    "q_seasonal_decompose" -> ((s, dir) => {
+      // trend / 24h-seasonal / residual split of the hourly value series
+      // (the same decimal-fenced buckets as q_cusum_changepoints) —
+      // anomaly detection should scan residual_e6, not raw v
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.seasonalDecompose(ev, season = 24).orderBy(col("bucket"))
+    }),
+    "q_cusum_segments_by_key" -> ((s, dir) => {
+      // how many times did EACH user's level shift? per-user daily
+      // totals (the q_cusum_by_key input), depth-2 binary segmentation
+      // per key — every window shares the (key, seg) exchange
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id").as("key"),
+          expr("ts_us DIV 86400000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("key"), col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumSegmentsByKey(ev, depth = 2)
+        .orderBy(col("key"), col("bucket"))
+    }),
     "q_mase_eval" -> ((s, dir) => {
       // is the hourly value series worth forecasting? persistence vs
       // 24h-seasonal-naive MAE + their ratio over the bucketed series —
@@ -3919,25 +3943,29 @@ object SparkEntry {
     * .cusumSegments]]'s loop body. MATERIALIZED per level (each level is
     * consumed by the next's four stacked windows).
     */
-  private def cusumSegLevelSql(src: String, out: String): String =
+  private def cusumSegLevelSql(src: String, out: String,
+      keyCols: Seq[String] = Nil): String = {
+    val ks = keyCols.map(_ + ", ").mkString
+    val part = (keyCols :+ "seg").mkString(", ")
     s"""$out AS MATERIALIZED (
-       |  SELECT bucket, v,
+       |  SELECT ${ks}bucket, v,
        |         CASE WHEN mx > 0 AND bucket > pb THEN pb + 1 ELSE seg END AS seg
        |  FROM (
-       |    SELECT bucket, v, seg, mx,
+       |    SELECT ${ks}bucket, v, seg, mx,
        |           MIN(CASE WHEN abs(cusum_n) = mx THEN bucket END)
-       |             OVER (PARTITION BY seg) AS pb
+       |             OVER (PARTITION BY $part) AS pb
        |    FROM (
-       |      SELECT bucket, v, seg, cusum_n,
-       |             MAX(abs(cusum_n)) OVER (PARTITION BY seg) AS mx
+       |      SELECT ${ks}bucket, v, seg, cusum_n,
+       |             MAX(abs(cusum_n)) OVER (PARTITION BY $part) AS mx
        |      FROM (
-       |        SELECT bucket, v, seg,
-       |               (COUNT(*) OVER (PARTITION BY seg)) *
-       |               (SUM(v) OVER (PARTITION BY seg ORDER BY bucket
+       |        SELECT ${ks}bucket, v, seg,
+       |               (COUNT(*) OVER (PARTITION BY $part)) *
+       |               (SUM(v) OVER (PARTITION BY $part ORDER BY bucket
        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |               - (row_number() OVER (PARTITION BY seg ORDER BY bucket)) *
-       |                 (SUM(v) OVER (PARTITION BY seg)) AS cusum_n
+       |               - (row_number() OVER (PARTITION BY $part ORDER BY bucket)) *
+       |                 (SUM(v) OVER (PARTITION BY $part)) AS cusum_n
        |        FROM $src))))""".stripMargin
+  }
 
   // Every level here is MATERIALIZED: c_r is consumed by BOTH n_r and
   // v_r, so plain CTEs re-derive the full upstream chain (covfull → p's
@@ -6295,6 +6323,59 @@ object SparkEntry {
          |             SUM(v) OVER (PARTITION BY seg) AS seg_sum
          |      FROM s2)
          |ORDER BY bucket""".stripMargin),
+    "q_seasonal_decompose" ->
+      // the same hourly buckets; centered 24-row window (12 preceding,
+      // 11 following), sign·abs divisions everywhere a value is signed,
+      // per-phase means of the detrended series joined back
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |                  CAST(value AS DECIMAL(18,4)) AS dv
+        |           FROM events),
+        |b AS MATERIALIZED (
+        |      SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+        |      FROM e GROUP BY 1),
+        |base AS MATERIALIZED (
+        |  SELECT bucket, v, bucket % 24 AS phase,
+        |         COUNT(*) OVER win AS wn, SUM(v) OVER win AS wsum
+        |  FROM b WINDOW win AS (ORDER BY bucket
+        |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |t3 AS MATERIALIZED (
+        |  SELECT bucket, v, phase, trend_e6, v * 1000000 - trend_e6 AS det_e6
+        |  FROM (SELECT bucket, v, phase,
+        |               CASE WHEN wn = 24 THEN CAST(sign(wsum) AS BIGINT) *
+        |                    ((1000000 * abs(wsum)) // 24) END AS trend_e6
+        |        FROM base)),
+        |seas AS (
+        |  SELECT phase, CAST(sign(SUM(det_e6)) AS BIGINT) *
+        |         (abs(SUM(det_e6)) // COUNT(*)) AS seasonal_e6
+        |  FROM t3 WHERE det_e6 IS NOT NULL GROUP BY 1)
+        |SELECT bucket, v, CAST(phase AS BIGINT) AS phase,
+        |       CAST(trend_e6 AS BIGINT) AS trend_e6,
+        |       CAST(seasonal_e6 AS BIGINT) AS seasonal_e6,
+        |       CAST(det_e6 - seasonal_e6 AS BIGINT) AS residual_e6
+        |FROM t3 LEFT JOIN seas USING (phase) ORDER BY bucket""".stripMargin,
+    "q_cusum_segments_by_key" ->
+      // per-user daily totals seeded seg=0, two unrolled per-(key, seg)
+      // segmentation levels, keyed relabel/stat windows
+      ("""WITH e AS (SELECT user_id AS key,
+         |                  epoch_us(ts) // 86400000000 AS bucket,
+         |                  CAST(value AS DECIMAL(18,4)) AS dv
+         |           FROM events),
+         |s0 AS MATERIALIZED (
+         |      SELECT key, bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v,
+         |             CAST(0 AS BIGINT) AS seg
+         |      FROM e GROUP BY 1, 2),
+         |""".stripMargin +
+        cusumSegLevelSql("s0", "s1", Seq("key")) + ",\n" +
+        cusumSegLevelSql("s1", "s2", Seq("key")) + """
+         |SELECT key, bucket, v, segment, seg_n,
+         |       CAST(seg_sum AS BIGINT) AS seg_sum,
+         |       (bucket = segment) AS is_boundary
+         |FROM (SELECT key, bucket, v,
+         |             MIN(bucket) OVER (PARTITION BY key, seg) AS segment,
+         |             COUNT(*) OVER (PARTITION BY key, seg) AS seg_n,
+         |             SUM(v) OVER (PARTITION BY key, seg) AS seg_sum
+         |      FROM s2)
+         |ORDER BY key, bucket""".stripMargin),
     "q_cusum_by_key" ->
       // the same n·S_i algebra replayed PER KEY: per-user daily
       // decimal-fenced totals, per-key totals join, keyed prefix windows,

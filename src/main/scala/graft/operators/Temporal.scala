@@ -717,10 +717,34 @@ object Temporal {
   def cusumSegments(series: DataFrame, depth: Int,
       bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
     require(depth >= 1 && depth <= 5, s"depth must be in [1,5]: $depth")
-    var cur = series.select(col(bucketCol).as("bucket"),
-      col(valCol).as("v"), lit(0L).as("seg"))
+    cusumSegLoop(series.select(col(bucketCol).as("bucket"),
+      col(valCol).as("v"), lit(0L).as("seg")), depth, Nil)
+  }
+
+  /** Per-key binary segmentation — [[cusumSegments]] composed with the
+    * [[cusumChangepointsByKey]] discipline: every window partitions by
+    * (key, segment), so each key's timeline segments independently in
+    * the same passes (which USERS shifted, how many times, and when).
+    * Same algebra, same stopping rule, labels per key.
+    */
+  def cusumSegmentsByKey(series: DataFrame, depth: Int,
+      keyCol: String = "key", bucketCol: String = "bucket",
+      valCol: String = "v"): DataFrame = {
+    require(depth >= 1 && depth <= 5, s"depth must be in [1,5]: $depth")
+    cusumSegLoop(series.select(col(keyCol).as("key"),
+      col(bucketCol).as("bucket"), col(valCol).as("v"), lit(0L).as("seg")),
+      depth, Seq("key"))
+  }
+
+  /** The shared level loop: `depth` passes of per-(keys, seg) n·S_i peak
+    * split, then the relabel/stat windows. One keyed-window exchange per
+    * level (all five stats share it), linear lineage.
+    */
+  private def cusumSegLoop(start: DataFrame, depth: Int,
+      keys: Seq[String]): DataFrame = {
+    var cur = start
     (1 to depth).foreach { _ =>
-      val wk = Window.partitionBy(col("seg"))
+      val wk = Window.partitionBy((keys :+ "seg").map(col): _*)
       val w = wk.orderBy(col("bucket"))
       cur = cur
         .withColumn("cusum_n",
@@ -735,15 +759,66 @@ object Temporal {
         .withColumn("seg",
           when(col("mx") > lit(0L) && col("bucket") > col("pb"),
             col("pb") + 1L).otherwise(col("seg")))
-        .select(col("bucket"), col("v"), col("seg"))
+        .select(keys.map(col) ++ Seq(col("bucket"), col("v"), col("seg")): _*)
     }
-    val ws = Window.partitionBy(col("seg"))
+    val ws = Window.partitionBy((keys :+ "seg").map(col): _*)
     cur
       .withColumn("segment", min(col("bucket")).over(ws))
       .withColumn("seg_n", count(lit(1)).over(ws))
       .withColumn("seg_sum", sum(col("v")).over(ws))
-      .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
-        col("seg_sum"), (col("bucket") === col("segment")).as("is_boundary"))
+      .select(keys.map(col) ++ Seq(col("bucket"), col("v"), col("segment"),
+        col("seg_n"), col("seg_sum"),
+        (col("bucket") === col("segment")).as("is_boundary")): _*)
+  }
+
+  /** Additive seasonal decomposition over a bucketed series — the
+    * classical decomposition (Macaulay 1931; the "decompose first, then
+    * judge anomalies" step [[cusumChangepoints]] and [[forecastBaselines]]
+    * assume has happened when a series has a known period): per bucket,
+    * `trend_e6` = the centered `season`-bucket moving average (defined
+    * only where the full window exists — honest NULL edges, no padding),
+    * `seasonal_e6` = the per-phase mean of the detrended series
+    * (phase = bucket mod season), `residual_e6` = what neither explains
+    * — the column anomaly detection should actually scan.
+    *
+    * Integer-exact: everything scaled to e6 with the house sign·abs
+    * division (Spark DIV truncates, DuckDB // floors — they agree only
+    * on non-negative operands, and detrended values are signed).
+    * Seasonal indexes are deliberately UNCENTERED (their mean rides the
+    * trend estimate; centering would re-divide and double the
+    * truncation surface — documented, mirrored in the oracle).
+    *
+    * Scale shape: one global ordered window over the BUCKETED series
+    * (time-bounded, the [[cusumChangepoints]] contract — raw events
+    * bucket first, gaps filled first or the row-based window slips) +
+    * one season-bounded phase agg broadcast back. Even seasons use the
+    * deterministic asymmetric window [−⌈m/2⌉, +(m−1−⌈m/2⌉)].
+    */
+  def seasonalDecompose(series: DataFrame, season: Int,
+      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+    require(season >= 2 && season <= 100000, s"season must be in [2,100000]: $season")
+    val h1 = season / 2
+    val h2 = season - 1 - h1
+    val w = Window.orderBy(col("bucket")).rowsBetween(-h1, h2)
+    val base = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
+      .withColumn("phase", pmod(col("bucket"), lit(season.toLong)))
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("wsum", sum(col("v")).over(w))
+      .withColumn("trend_e6",
+        when(col("wn") === season.toLong,
+          signum(col("wsum")).cast("long") *
+            expr(s"(1000000 * abs(wsum)) DIV $season")))
+      .withColumn("det_e6", col("v") * 1000000L - col("trend_e6"))
+    val seas = base.filter(col("det_e6").isNotNull)
+      .groupBy(col("phase"))
+      .agg(sum(col("det_e6")).as("ds"), count(lit(1)).as("dn"))
+      .select(col("phase"),
+        (signum(col("ds")).cast("long") * expr("abs(ds) DIV dn"))
+          .as("seasonal_e6"))
+    base.join(broadcast(seas), Seq("phase"), "left")
+      .select(col("bucket"), col("v"), col("phase"), col("trend_e6"),
+        col("seasonal_e6"),
+        (col("det_e6") - col("seasonal_e6")).as("residual_e6"))
   }
 
   /** Forecast-baseline audit over a bucketed series — persistence

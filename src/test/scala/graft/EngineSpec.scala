@@ -3732,6 +3732,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("seasonalDecompose: exact trend/seasonal/residual recovery; honest NULL edges") {
+    import spark.implicits._
+    // v = 3b + p(b mod 3) with p = (0, 30, 60): the centered 3-window MA
+    // is exactly 3b + 30, the detrended series is exactly p − 30, so the
+    // decomposition recovers everything with ZERO residual — any
+    // truncation slip shows up as a nonzero residual integer
+    val s = (1L to 9L).map(b => (b, 3 * b + Seq(0L, 30L, 60L)((b % 3).toInt)))
+      .toDF("bucket", "v")
+    val r = Temporal.seasonalDecompose(s, season = 3).collect()
+      .map(x => x.getLong(0) -> ((Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Long]),
+        Option(x.get(5)).map(_.asInstanceOf[Long])))).toMap
+    (2L to 8L).foreach { b =>
+      val exp = ((3 * b + 30) * 1000000L,
+        (Seq(0L, 30L, 60L)((b % 3).toInt) - 30L) * 1000000L)
+      assert(r(b) == ((Some(exp._1), Some(exp._2), Some(0L))), s"b=$b: ${r(b)}")
+    }
+    // edge buckets: no full centered window → trend and residual NULL,
+    // the phase's seasonal index still attaches
+    assert(r(1L) == ((None, Some(0L), None)), r(1L).toString)
+    assert(r(9L) == ((None, Some(-30000000L), None)), r(9L).toString)
+  }
+
   test("cusumSegments: two planted shifts recovered at depth 2; flat never splits") {
     import spark.implicits._
     // 10×4 → 50×4 → 10×4: level 1 splits once at a shift, level 2 finds
@@ -3764,6 +3787,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(one.values.toSet.size == 2)
     Dedup.uncacheAll()
+  }
+
+  test("cusumSegmentsByKey: each key segments exactly as the global operator would") {
+    import spark.implicits._
+    // key A: the two-shift series (3 segments at depth 2); key B: one
+    // shift (2 segments); key C: flat (never splits)
+    val sA = (1L to 4L).map((_, 10L)) ++ (5L to 8L).map((_, 50L)) ++
+      (9L to 12L).map((_, 10L))
+    val sB = Seq((1L, 100L), (2L, 100L), (3L, 20L), (4L, 20L))
+    val sC = (1L to 5L).map((_, 7L))
+    val all = (sA.map { case (b, v) => ("A", b, v) } ++
+      sB.map { case (b, v) => ("B", b, v) } ++
+      sC.map { case (b, v) => ("C", b, v) }).toDF("key", "bucket", "v")
+    val r = Temporal.cusumSegmentsByKey(all, depth = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5), x.getBoolean(6)))).toMap
+    Seq("A" -> sA, "B" -> sB.toSeq, "C" -> sC).foreach { case (k, s) =>
+      val solo = Temporal.cusumSegments(s.toDF("bucket", "v"), depth = 2)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+      val mine = r.collect { case ((`k`, b), t) => b -> t }.toMap
+      assert(mine == solo, s"key $k: $mine vs $solo")
+    }
+    // the composite: 3 + 2 + 1 = 6 segments over the whole frame
+    assert(r.toSeq.map { case ((k, _), (seg, _, _, _)) => (k, seg) }
+      .toSet.size == 6)
   }
 
   test("cusumChangepointsByKey: per-key shifts flag independently; equals global per key") {

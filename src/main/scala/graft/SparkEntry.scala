@@ -2967,6 +2967,19 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 40), m)
         .orderBy(col("doc_id"), col("pos"))
     }),
+    "text_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-fit audit per source: OOV rate against the corpus' own
+      // top-200 term vocabulary (count desc, term asc — deterministic),
+      // plus the distinct-OOV driver count; the broadcast-vocab explode
+      // is the plan a real 10^5-term vocab would use unchanged
+      val docs = t(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(200)
+        .select(col("term"))
+      TextAnalysis.vocabCoverage(docs, vocab).orderBy(col("source"))
+    }),
     "text_fertility" -> ((s, dir) => {
       // tokenizer fairness across languages: tokens-per-byte (ppm,
       // integral div) under the trained 4-merge vocabulary, per lang —
@@ -7501,6 +7514,26 @@ object SparkEntry {
       // encodes the same slice with the sampled merges
       graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L,
         trainWhere = graft.operators.TextAnalysis.bpeSampleWhereSql("doc_id", 0.25)),
+    "text_vocab_coverage" ->
+      // the same top-200 vocab (count desc, term asc) and the same
+      // left-join coverage fold, truncating ppm on non-negatives
+      """WITH tok AS MATERIALIZED (
+        |  SELECT source, doc_id, unnest(string_split(lower(text),' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+        |vocab AS MATERIALIZED (
+        |  SELECT term FROM tf ORDER BY c DESC, term LIMIT 200),
+        |mk AS (SELECT tok.source, tok.doc_id, tok.term,
+        |              CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |       FROM tok LEFT JOIN vocab v ON v.term = tok.term)
+        |SELECT source,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(1 - iv) AS BIGINT) AS n_oov,
+        |       CAST(COUNT(DISTINCT CASE WHEN iv = 0 THEN term END) AS BIGINT)
+        |         AS n_oov_terms,
+        |       CAST((1000000 * SUM(1 - iv)) // COUNT(*) AS BIGINT) AS oov_ppm
+        |FROM mk GROUP BY 1 ORDER BY source""".stripMargin,
     "text_fertility" ->
       // same unrolled training rounds, per-language integer fertility
       graft.operators.TextAnalysis.fertilitySql(merges = 4),

@@ -109,8 +109,12 @@ object Joins {
       (blockCols.map(col) :+ col(keyCol).as("v_key") :+ col(strCol).as("v_str")): _*)
     x.join(y, blockCols)
       .filter(col("u_key") < col("v_key"))
-      .withColumn("dist", levenshtein(col("u_str"), col("v_str")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: the banded DP early-exits once the distance
+      // provably exceeds maxDist (returns -1), turning the O(|s|·|t|)
+      // matrix into an O(maxDist·|s|) band per pair — same kept rows and
+      // distances as the unbounded form filtered to <= maxDist
+      .withColumn("dist", levenshtein(col("u_str"), col("v_str"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("u_key"), col("v_key"), col("u_str"), col("v_str"),
         col("dist").cast("long").as("dist"))
   }

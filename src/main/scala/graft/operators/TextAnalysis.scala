@@ -1338,6 +1338,39 @@ object TextAnalysis {
           .as("recall_at_k_ppm"))
   }
 
+  /** Tokenizer-vocabulary coverage audit — the pre-training read that
+    * prices a vocabulary against a corpus (Rust et al. 2021 on tokenizer
+    * fit): per source, how many tokens fall OUTSIDE the vocab (`oov_ppm`
+    * — each becomes an UNK or a byte-fallback blowup downstream) and how
+    * many DISTINCT out-of-vocab terms drive it (a handful of hot terms →
+    * extend the vocab; a long tail → the tokenizer is wrong for the
+    * source). Run per source because coverage is a mixture property —
+    * a 2% corpus-wide OOV can hide a 40% source.
+    *
+    * Scale shape: one token explode streamed against a BROADCAST vocab
+    * (vocabularies are bounded by contract — 10⁴-10⁶ terms), one
+    * map-side-combined source agg. The distinct-OOV count rides the
+    * same agg as a countDistinct (partial aggregation applies); no
+    * second scan.
+    */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+      srcCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text", termCol: String = "term"): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"), col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val v = vocab.select(col(termCol).as("term")).distinct()
+      .withColumn("in_vocab", lit(1L))
+    toks.join(broadcast(v), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("term")))
+          .as("n_oov_terms"))
+      .withColumn("oov_ppm", expr("(1000000 * n_oov) DIV n_tokens"))
+  }
+
   /** Exact-PHRASE retrieval — the positional complement of [[bm25TopK]]'s
     * bag-of-words scoring (quoted-phrase search, boilerplate locating,
     * contamination forensics all need CONSECUTIVE terms, which tf×idf

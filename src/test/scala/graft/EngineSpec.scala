@@ -2823,6 +2823,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------ BM25
 
+  test("vocabCoverage: per-source OOV rate and distinct drivers; mixture hiding exposed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "a b c a"), (2L, "srcA", "a b x"),
+      (3L, "srcB", "x y y z")).toDF("doc_id", "source", "text")
+    val vocab = Seq("a", "b", "c").toDF("term")
+    val r = TextAnalysis.vocabCoverage(docs, vocab).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    // srcA: 7 tokens, one OOV occurrence of one term → 142857 ppm;
+    // srcB: fully out-of-vocab (x, y, z) → 10⁶ ppm — the 40%-source the
+    // corpus-wide average would have hidden
+    assert(r == Map(
+      "srcA" -> ((2L, 7L, 1L, 1L, 142857L)),
+      "srcB" -> ((1L, 4L, 4L, 3L, 1000000L))), r.toString)
+  }
+
   test("retrievalEval: integer MRR/P@k/R@k; a query with unretrieved relevants surfaces") {
     import spark.implicits._
     val results = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),

@@ -2126,6 +2126,29 @@ object SparkEntry {
         .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
         .limit(100)
     }),
+    "q_ess_weights" -> ((s, dir) =>
+      // is the reweighted "sample" real? Kish effective sample size per
+      // event_type over the decimal-scaled values-as-weights — ESS
+      // collapsing toward 1 means a few rows carry all the weight
+      Splits.effectiveSampleSize(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("w")),
+        Seq("event_type"), "w")
+        .orderBy(col("event_type"))),
+    "q_reliability_curve" -> ((s, dir) => {
+      // is the quality score CALIBRATED? decile reliability curve of the
+      // score (ppm) against the is-English label — gap_ppm per bin is
+      // the signed miscalibration a score-threshold corpus cut inherits
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(
+          round(col("quality_score") * 1000000, 0).cast("long").as("s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      Hygiene.reliabilityCurve(scored, "s", "y", buckets = 10)
+        .orderBy(col("bin"))
+    }),
     "q_dp_sensitivity" -> ((s, dir) =>
       // the pre-release read for a user-level DP aggregate: per
       // event_type, how hard can ONE user move the count (max_user_rows)
@@ -6593,6 +6616,39 @@ object SparkEntry {
         |        JOIN itn nb2 ON nb2.item = pr.item_b
         |        CROSS JOIN nb
         |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 100""".stripMargin,
+    "q_ess_weights" ->
+      // the same Kish fold: HUGEINT carries (Σw)² natively in DuckDB,
+      // mirroring Spark's DECIMAL(38,0) fence; div on non-negatives
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS w
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(w) AS BIGINT) AS sum_w,
+        |       CAST(SUM(w*w) AS BIGINT) AS sum_w2,
+        |       CAST((1000 * SUM(w) * SUM(w)) // SUM(w*w) AS BIGINT) AS ess_e3,
+        |       CAST((1000000 * SUM(w) * SUM(w)) // (COUNT(*) * SUM(w*w)) AS BIGINT)
+        |         AS ess_ratio_ppm
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_reliability_curve" ->
+      // the text_quality score formula as ppm, is-English labels, ten
+      // equal-width bins, truncating means on non-negatives
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |         CAST(ROUND(ROUND(least(1.0,
+        |                CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0)*0.5 +
+        |              CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)
+        |                / CAST(length(text) AS BIGINT) * 0.5, 6) * 1000000, 0) AS BIGINT)
+        |           AS s,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT least(9, (s * 10) // 1000000) AS bin, s, y FROM q)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+        |       CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS frac_pos_ppm,
+        |       CAST((1000000 * SUM(y)) // COUNT(*) - SUM(s) // COUNT(*) AS BIGINT)
+        |         AS gap_ppm
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_dp_sensitivity" ->
       // the same two-level aggregation: per-(type, user) exact moments,
       // then the per-type maxima and the dominance share

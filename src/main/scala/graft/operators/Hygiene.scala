@@ -767,6 +767,34 @@ object Hygiene {
     * ~10⁹ micro-units at B=8); beyond that cast the moment columns to
     * DECIMAL(38,0).
     */
+  /** Reliability curve (calibration audit — DeGroot & Fienberg 1983;
+    * the quality-classifier check run before trusting any score-based
+    * corpus cut): scores bucket into `buckets` equal-width bins, and
+    * each bin reports its mean predicted score against the realized
+    * positive rate — `gap_ppm` = frac_pos − mean_score is the signed
+    * miscalibration that says "a 0.9 from this scorer means 0.7".
+    *
+    * `scorePpmCol` is the score as an exact ppm long in [0, 10⁶]
+    * (decimal-scaled upstream); `labelCol` is 0/1 long. Integer
+    * end-to-end: bin = least(buckets−1, score·buckets DIV 10⁶), means
+    * as truncating DIV on non-negatives. One map-side-combined agg on
+    * the bounded bin key; no window, no join.
+    */
+  def reliabilityCurve(df: DataFrame, scorePpmCol: String,
+      labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets must be in [2,1000]: $buckets")
+    df.select(col(scorePpmCol).as("s"), col(labelCol).cast("long").as("y"))
+      .withColumn("bin",
+        least(lit(buckets - 1L), expr(s"(s * $buckets) DIV 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
+        sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("ss DIV n").as("mean_score_ppm"),
+        expr("(1000000 * n_pos) DIV n").as("frac_pos_ppm"),
+        (expr("(1000000 * n_pos) DIV n") - expr("ss DIV n")).as("gap_ppm"))
+  }
+
   /** User-level differential-privacy sensitivity audit (Dwork et al.
     * 2006's sensitivity calculus applied at the USER grain — the unit
     * that matters for training-data releases; Amin et al. 2019 on the

@@ -682,6 +682,35 @@ object Splits {
     * task — so this rides [[samplePerStratum]]'s two-level `TopKPerKey`
     * merge (bit-identical at any shard count, bounded heaps throughout).
     */
+  /** Effective sample size of an importance-weighted frame (Kish 1965;
+    * the diagnostic every reweighted-training recipe — [[dsirWeights]],
+    * the dedup-reweighted [[weightedSample]] — should ship):
+    * ESS = (Σw)²/Σw² collapses toward 1 when a few rows carry all the
+    * weight, i.e. the "1M-example dataset" is effectively a handful of
+    * documents. Emitted per key as `ess_e3` (ESS in milli-units) and
+    * `ess_ratio_ppm` = 10⁶·ESS/n — the fraction of the nominal sample
+    * that is real.
+    *
+    * Integer contract: `wCol` is an exact non-negative long
+    * (decimal-scaled upstream). (Σw)² needs the DECIMAL(38,0) carrier
+    * (Σw up to ~10¹⁵ squares past int64 — the chiSquareAudit fence);
+    * `div` on decimals still emits BIGINT. One map-side-combined keyed
+    * agg; no window, no join.
+    */
+  def effectiveSampleSize(df: DataFrame, keyCols: Seq[String],
+      wCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(wCol)).as("sum_w"),
+        sum(col(wCol) * col(wCol)).as("sum_w2"))
+      .withColumn("ess_e3",
+        when(col("sum_w2") > 0L, expr(
+          "(CAST(1000 AS DECIMAL(38,0)) * CAST(sum_w AS DECIMAL(38,0)) * CAST(sum_w AS DECIMAL(38,0))) div CAST(sum_w2 AS DECIMAL(38,0))")))
+      .withColumn("ess_ratio_ppm",
+        when(col("sum_w2") > 0L, expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * CAST(sum_w AS DECIMAL(38,0)) * CAST(sum_w AS DECIMAL(38,0))) div (CAST(n AS DECIMAL(38,0)) * CAST(sum_w2 AS DECIMAL(38,0)))")))
+  }
+
   def weightedSamplePerStratum(
       df: DataFrame, idCol: String, stratumCol: String, weightCol: Column,
       k: Int, maxWeight: Int = 64, shards: Int = 1,

@@ -5483,6 +5483,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dependent 4000-row table must score chi2_ppm = 4e9: ${r3.getLong(4)}")
   }
 
+  test("effectiveSampleSize: equal weights give ESS = n; a dominating row collapses it") {
+    import spark.implicits._
+    val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L)).toDF("k", "w")
+    val re = Splits.effectiveSampleSize(eq, Seq("k"), "w").head
+    // (Σw)²/Σw² = 400/100 = 4 exactly: ess_e3 = 4000, ratio = 10⁶
+    assert((re.getLong(1), re.getLong(4), re.getLong(5)) == ((4L, 4000L, 1000000L)), re.toString)
+    val dom = Seq(("g", 1000L), ("g", 1L), ("g", 1L), ("g", 1L)).toDF("k", "w")
+    val rd = Splits.effectiveSampleSize(dom, Seq("k"), "w").head
+    // 1003²/1000003 ≈ 1.006 — the nominal 4-row sample is ~1 real row
+    assert(rd.getLong(4) == 1006L && rd.getLong(5) < 300000L, rd.toString)
+    // all-zero weights: honest NULL, not div0
+    val z = Seq(("g", 0L), ("g", 0L)).toDF("k", "w")
+    val rz = Splits.effectiveSampleSize(z, Seq("k"), "w").head
+    assert(rz.isNullAt(4) && rz.isNullAt(5), rz.toString)
+  }
+
+  test("reliabilityCurve: per-bin mean score vs positive rate; top edge clamps") {
+    import spark.implicits._
+    val df = Seq((950000L, 1L), (950000L, 1L), (150000L, 1L), (100000L, 0L),
+      (1000000L, 1L)).toDF("s", "y")
+    val r = Hygiene.reliabilityCurve(df, "s", "y", buckets = 10).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    // s = 10⁶ exactly lands in the TOP bin (least clamp), not bin 10
+    assert(r.keySet == Set(1L, 9L), r.toString)
+    assert(r(1L) == ((2L, 125000L, 500000L, 375000L)), r(1L).toString)
+    assert(r(9L) == ((3L, 966666L, 1000000L, 33334L)), r(9L).toString)
+  }
+
   test("dpSensitivityAudit: per-group user maxima, dominance share, sign-safe sums") {
     import spark.implicits._
     // group A: user 1 contributes 3 rows summing 60; user 2 one row of

@@ -4286,6 +4286,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("keyed cusum stream: any split equals both batch reads; durable restore; replays drop") {
+    import spark.implicits._
+    import graft.streaming.CusumByKeyStream
+    val rnd = new scala.util.Random(29)
+    val all = (1 to 150).map(_ => (s"u${rnd.nextInt(4)}",
+      rnd.nextInt(12).toLong + 1L, rnd.nextInt(100).toLong - 20L))
+    val folded = all.toDF("key", "bucket", "v")
+      .groupBy(col("key"), col("bucket")).agg(sum(col("v")).as("v"))
+    val expectPeaks = Temporal.cusumChangepointsByKey(folded).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val expectSegs = Temporal.cusumSegmentsByKey(folded, depth = 2).collect()
+      .map(_.toSeq).toSet
+    Dedup.uncacheAll()
+    val dir = Files.createTempDirectory("cusumbykey").toString
+    val store = new CusumByKeyStream.KeyedCusumStore(spark, Some(dir))
+    // unsorted 4-way split: addition has no order
+    val per = math.ceil(all.size / 4.0).toInt
+    all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      store.merge(chunk.toDF("key", "bucket", "v"), i.toLong)
+    }
+    assert(store.current.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet == expectPeaks)
+    assert(store.segments(2).collect().map(_.toSeq).toSet == expectSegs)
+    // replay drops; a restarted process restores the identical fold
+    assert(!store.merge(all.take(5).toDF("key", "bucket", "v"), 0L))
+    val s2 = CusumByKeyStream.KeyedCusumStore.restore(spark, dir)
+    assert(s2.current.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet == expectPeaks)
+    assert(!s2.merge(all.take(5).toDF("key", "bucket", "v"), 3L))
+    Dedup.uncacheAll()
+  }
+
   test("cusum stream: any batch split (even out-of-order) equals the batch operator") {
     import spark.implicits._
     import graft.streaming.CusumStream

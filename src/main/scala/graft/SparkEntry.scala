@@ -1998,6 +1998,18 @@ object SparkEntry {
         .agg((sum(col("dv")) * 10000).cast("long").as("v"))
       Temporal.seasonalDecompose(ev, season = 24).orderBy(col("bucket"))
     }),
+    "q_seasonal_anomalies" -> ((s, dir) => {
+      // which hours are REALLY odd? Hampel flags on the decomposition's
+      // residual — a nightly dip never false-alarms, a strange bucket
+      // inside a normal level does; edge buckets are absent, not
+      // silently normal
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.seasonalAnomalies(ev, season = 24).orderBy(col("bucket"))
+    }),
     "q_cusum_segments_by_key" -> ((s, dir) => {
       // how many times did EACH user's level shift? per-user daily
       // totals (the q_cusum_by_key input), depth-2 binary segmentation
@@ -2148,6 +2160,18 @@ object SparkEntry {
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       Hygiene.reliabilityCurve(scored, "s", "y", buckets = 10)
         .orderBy(col("bin"))
+    }),
+    "q_score_auc" -> ((s, dir) => {
+      // does the quality score DISCRIMINATE at all? exact Mann–Whitney
+      // AUC of the same (score, is-English) frame — the companion
+      // number to q_reliability_curve's calibration read
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(
+          round(col("quality_score") * 1000000, 0).cast("long").as("s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      Hygiene.scoreAuc(scored, "s", "y")
     }),
     "q_dp_sensitivity" -> ((s, dir) =>
       // the pre-release read for a user-level DP aggregate: per
@@ -3972,6 +3996,35 @@ object SparkEntry {
       |       SELECT query_id, doc_id, score,
       |       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
       |       FROM sc)""".stripMargin
+
+  /** The seasonal-decomposition chain shared by `q_seasonal_decompose`
+    * (final select) and `q_seasonal_anomalies` (Hampel tail): hourly
+    * decimal-fenced buckets, centered 24-row trend window (12 preceding,
+    * 11 following), sign·abs divisions everywhere a value is signed,
+    * per-phase detrended means. Ends at `seas`, no trailing comma.
+    */
+  private lazy val seasonalOracleCtes =
+    """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+      |                  CAST(value AS DECIMAL(18,4)) AS dv
+      |           FROM events),
+      |b AS MATERIALIZED (
+      |      SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+      |      FROM e GROUP BY 1),
+      |base AS MATERIALIZED (
+      |  SELECT bucket, v, bucket % 24 AS phase,
+      |         COUNT(*) OVER win AS wn, SUM(v) OVER win AS wsum
+      |  FROM b WINDOW win AS (ORDER BY bucket
+      |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+      |t3 AS MATERIALIZED (
+      |  SELECT bucket, v, phase, trend_e6, v * 1000000 - trend_e6 AS det_e6
+      |  FROM (SELECT bucket, v, phase,
+      |               CASE WHEN wn = 24 THEN CAST(sign(wsum) AS BIGINT) *
+      |                    ((1000000 * abs(wsum)) // 24) END AS trend_e6
+      |        FROM base)),
+      |seas AS MATERIALIZED (
+      |  SELECT phase, CAST(sign(SUM(det_e6)) AS BIGINT) *
+      |         (abs(SUM(det_e6)) // COUNT(*)) AS seasonal_e6
+      |  FROM t3 WHERE det_e6 IS NOT NULL GROUP BY 1)""".stripMargin
 
   /** One binary-segmentation level for the `q_cusum_segments` oracle:
     * `src`(bucket, v, seg) → `out` with the per-segment n·S_i peak split
@@ -6359,36 +6412,31 @@ object SparkEntry {
          |             SUM(v) OVER (PARTITION BY seg) AS seg_sum
          |      FROM s2)
          |ORDER BY bucket""".stripMargin),
-    "q_seasonal_decompose" ->
-      // the same hourly buckets; centered 24-row window (12 preceding,
-      // 11 following), sign·abs divisions everywhere a value is signed,
-      // per-phase means of the detrended series joined back
-      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
-        |                  CAST(value AS DECIMAL(18,4)) AS dv
-        |           FROM events),
-        |b AS MATERIALIZED (
-        |      SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
-        |      FROM e GROUP BY 1),
-        |base AS MATERIALIZED (
-        |  SELECT bucket, v, bucket % 24 AS phase,
-        |         COUNT(*) OVER win AS wn, SUM(v) OVER win AS wsum
-        |  FROM b WINDOW win AS (ORDER BY bucket
-        |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
-        |t3 AS MATERIALIZED (
-        |  SELECT bucket, v, phase, trend_e6, v * 1000000 - trend_e6 AS det_e6
-        |  FROM (SELECT bucket, v, phase,
-        |               CASE WHEN wn = 24 THEN CAST(sign(wsum) AS BIGINT) *
-        |                    ((1000000 * abs(wsum)) // 24) END AS trend_e6
-        |        FROM base)),
-        |seas AS (
-        |  SELECT phase, CAST(sign(SUM(det_e6)) AS BIGINT) *
-        |         (abs(SUM(det_e6)) // COUNT(*)) AS seasonal_e6
-        |  FROM t3 WHERE det_e6 IS NOT NULL GROUP BY 1)
+    "q_seasonal_decompose" -> (seasonalOracleCtes +
+      """
         |SELECT bucket, v, CAST(phase AS BIGINT) AS phase,
         |       CAST(trend_e6 AS BIGINT) AS trend_e6,
         |       CAST(seasonal_e6 AS BIGINT) AS seasonal_e6,
         |       CAST(det_e6 - seasonal_e6 AS BIGINT) AS residual_e6
-        |FROM t3 LEFT JOIN seas USING (phase) ORDER BY bucket""".stripMargin,
+        |FROM t3 LEFT JOIN seas USING (phase) ORDER BY bucket""".stripMargin),
+    "q_seasonal_anomalies" -> (seasonalOracleCtes +
+      // the decompose chain + the q_mad_outliers doubled-median Hampel
+      // algebra on the residuals (edge buckets have no residual — not
+      // judged, absent by contract)
+      """,
+        |r AS MATERIALIZED (
+        |  SELECT t3.bucket, t3.v,
+        |         CAST(t3.det_e6 - seas.seasonal_e6 AS BIGINT) AS residual_e6
+        |  FROM t3 JOIN seas USING (phase) WHERE t3.det_e6 IS NOT NULL),
+        |m AS (SELECT CAST(median(residual_e6) * 2 AS BIGINT) AS med2 FROM r),
+        |dd AS MATERIALIZED (
+        |  SELECT r.bucket, r.v, r.residual_e6, m.med2,
+        |         abs(r.residual_e6 * 2 - m.med2) AS dev
+        |  FROM r, m),
+        |dm AS (SELECT CAST(median(dev) * 2 AS BIGINT) AS dmed2 FROM dd)
+        |SELECT dd.bucket, dd.v, dd.residual_e6, dd.med2, dm.dmed2,
+        |       (dd.dev * 2 > dm.dmed2 * 3) AS is_anomaly
+        |FROM dd, dm ORDER BY bucket""".stripMargin),
     "q_cusum_segments_by_key" ->
       // per-user daily totals seeded seg=0, two unrolled per-(key, seg)
       // segmentation levels, keyed relabel/stat windows
@@ -6649,6 +6697,27 @@ object SparkEntry {
         |       CAST((1000000 * SUM(y)) // COUNT(*) - SUM(s) // COUNT(*) AS BIGINT)
         |         AS gap_ppm
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_score_auc" ->
+      // the same ppm score + label, folded per DISTINCT score value:
+      // u2 = Σ np·(2·cum_nn_below + nn) carries 2U so ties stay integral
+      """WITH q AS (
+        |  SELECT CAST(ROUND(ROUND(least(1.0,
+        |                CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0)*0.5 +
+        |              CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)
+        |                / CAST(length(text) AS BIGINT) * 0.5, 6) * 1000000, 0) AS BIGINT)
+        |           AS s,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |c AS (SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM q GROUP BY 1),
+        |u AS (SELECT s, np, nn,
+        |             COALESCE(SUM(nn) OVER (ORDER BY s
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+        |      FROM c)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |       CAST(SUM(np * (2 * cumnn + nn)) AS BIGINT) AS u2,
+        |       CAST((1000000 * SUM(np * (2 * cumnn + nn)))
+        |            // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_ppm
+        |FROM u""".stripMargin,
     "q_dp_sensitivity" ->
       // the same two-level aggregation: per-(type, user) exact moments,
       // then the per-type maxima and the dominance share

@@ -795,6 +795,39 @@ object Hygiene {
         (expr("(1000000 * n_pos) DIV n") - expr("ss DIV n")).as("gap_ppm"))
   }
 
+  /** ROC-AUC as the exact Mann–Whitney rank statistic (Mann & Whitney
+    * 1947; Hanley & McNeil 1982 for the AUC identity) — the
+    * DISCRIMINATION metric to [[reliabilityCurve]]'s calibration: does
+    * the score rank positives above negatives at all, independent of any
+    * threshold. Computed without a corpus-wide rank window:
+    * U = Σ_{pos,neg} [s⁺ > s⁻] + ½·ties folds per DISTINCT score value
+    * (u2 = Σ_s np(s)·(2·cum_nn_below + nn(s)) carries 2U so ties stay
+    * integral), and auc_ppm = 10⁶·u2 DIV (2·n_pos·n_neg),
+    * DECIMAL(38,0)-fenced.
+    *
+    * Scale shape: one map-side-combined agg onto the distinct-score
+    * frame, one ordered window over THAT frame (bounded by the score's
+    * ppm codomain — ≤ 10⁶+1 rows, never the corpus), one 1-row agg.
+    */
+  def scoreAuc(df: DataFrame, scorePpmCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .select(col(scorePpmCol).as("s"), col(labelCol).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L, expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * CAST(u2 AS DECIMAL(38,0))) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0)) * CAST(n_neg AS DECIMAL(38,0)))"))
+          .as("auc_ppm"))
+  }
+
   /** User-level differential-privacy sensitivity audit (Dwork et al.
     * 2006's sensitivity calculus applied at the USER grain — the unit
     * that matters for training-data releases; Amin et al. 2019 on the

@@ -736,6 +736,36 @@ object Temporal {
       depth, Seq("key"))
   }
 
+  /** Season-aware anomaly flags — [[seasonalDecompose]] composed with
+    * the Hampel identifier ([[Hygiene.madOutliers]]' doubled-median
+    * integer algebra): anomalies are judged on the RESIDUAL (what
+    * neither trend nor season explains), so a nightly dip or a weekly
+    * peak never false-alarms, and a genuinely odd bucket inside a
+    * normal-looking level does. Flags `2·|2r − med2| > 3·dmed2` —
+    * |r − median| > 3·MAD in exact integers (med2 = 2·median stays
+    * integral when an even-count median interpolates).
+    *
+    * Edge buckets (no full trend window) have no residual and are NOT
+    * judged — they are absent from the output, not silently normal.
+    * The exact `percentile` buffers the residual series: bounded by the
+    * bucketed-series contract (the [[cusumChangepoints]] shape).
+    */
+  def seasonalAnomalies(series: DataFrame, season: Int,
+      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+    val resid = graft.operators.Dedup.cached(
+      seasonalDecompose(series, season, bucketCol, valCol)
+        .filter(col("residual_e6").isNotNull)
+        .select(col("bucket"), col("v"), col("residual_e6")))
+    val med = resid.agg(
+      (expr("percentile(residual_e6, 0.5)") * 2).cast("long").as("med2"))
+    val d = resid.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("residual_e6") * 2 - col("med2")))
+    val dmed = d.agg((expr("percentile(dev, 0.5)") * 2).cast("long").as("dmed2"))
+    d.crossJoin(broadcast(dmed))
+      .select(col("bucket"), col("v"), col("residual_e6"), col("med2"),
+        col("dmed2"), (col("dev") * 2 > col("dmed2") * 3).as("is_anomaly"))
+  }
+
   /** The shared level loop: `depth` passes of per-(keys, seg) n·S_i peak
     * split, then the relabel/stat windows. One keyed-window exchange per
     * level (all five stats share it), linear lineage.

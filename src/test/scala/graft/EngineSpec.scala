@@ -3772,6 +3772,57 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(9L) == ((None, Some(-30000000L), None)), r(9L).toString)
   }
 
+  test("seasonalAnomalies: a spike flags; a clean seasonal series flags nothing") {
+    import spark.implicits._
+    def series(spike: Boolean) = (1L to 18L).map { b =>
+      val base = Seq(0L, 30L, 60L)((b % 3).toInt)
+      (b, if (spike && b == 9L) base + 3000L else base)
+    }.toDF("bucket", "v")
+    // clean periodic series: every residual is exactly 0 → dmed2 = 0 and
+    // the strict > means NOTHING flags (a zero-MAD series is not "all
+    // anomalous")
+    val clean = Temporal.seasonalAnomalies(series(spike = false), season = 3)
+      .collect()
+    assert(clean.nonEmpty && clean.forall(!_.getBoolean(5)), clean.mkString(","))
+    Dedup.uncacheAll()
+    // spiked series: the operator must equal the hand-computed Hampel
+    // algebra over its own decomposition's residuals (percentile(0.5)
+    // interpolation replicated exactly), and the spike bucket must flag
+    val dec = Temporal.seasonalDecompose(series(spike = true), season = 3)
+      .filter(col("residual_e6").isNotNull)
+      .collect().map(x => x.getLong(0) -> x.getLong(5)).toMap
+    def med2Of(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) 2 * s(s.size / 2)
+      else s(s.size / 2 - 1) + s(s.size / 2)
+    }
+    val med2 = med2Of(dec.values.toSeq)
+    val devs = dec.map { case (b, r) => b -> math.abs(2 * r - med2) }
+    val dmed2 = med2Of(devs.values.toSeq)
+    val expect = devs.map { case (b, d) => b -> (d * 2 > dmed2 * 3) }
+    val got = Temporal.seasonalAnomalies(series(spike = true), season = 3)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(5)).toMap
+    assert(got == expect, s"$got vs $expect")
+    assert(got(9L), "the spiked bucket must flag")
+    Dedup.uncacheAll()
+  }
+
+  test("scoreAuc: exact Mann–Whitney with ties; perfect separation; one-class NULL") {
+    import spark.implicits._
+    // pos {10, 20}, neg {5, 10}: U = 3.5 of 4 pairs (one tie at 10)
+    val df = Seq((10L, 1L), (20L, 1L), (5L, 0L), (10L, 0L)).toDF("s", "y")
+    val r = Hygiene.scoreAuc(df, "s", "y").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 7L, 875000L)), r.toString)
+    // perfect separation → exactly 10⁶
+    val p = Hygiene.scoreAuc(
+      Seq((10L, 1L), (20L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y"), "s", "y").head
+    assert(p.getLong(3) == 1000000L, p.toString)
+    // a single class has no ranking question: NULL, not div0
+    val o = Hygiene.scoreAuc(Seq((10L, 1L), (20L, 1L)).toDF("s", "y"), "s", "y").head
+    assert(o.isNullAt(3), o.toString)
+  }
+
   test("cusumSegments: two planted shifts recovered at depth 2; flat never splits") {
     import spark.implicits._
     // 10×4 → 50×4 → 10×4: level 1 splits once at a shift, level 2 finds

@@ -658,6 +658,56 @@ object ScaleSmoke {
         n
       }
     }
+
+    // round-13 additions priced at scale:
+    // (a) cross-frame radius join — 2M points × 100k sites, same grid
+    //     discipline: candidate volume Σ 9·|cellP|·|cellS| rides density
+    //     of BOTH clouds, and the small site side is the natural build
+    //     side of the cell join;
+    // (b) per-key CUSUM over 200k keys × 100 buckets (20M rows): ONE
+    //     (key)-partitioned exchange carries totals + prefix + argmax —
+    //     the claim the operator's scaladoc makes, priced;
+    // (c) per-key depth-2 segmentation over the same frame (each level
+    //     one (key, seg) exchange);
+    // (d) exact Mann–Whitney AUC over 20M rows with a full 10⁶-value
+    //     score codomain — the window runs over the DISTINCT-score
+    //     frame, never the corpus.
+    if (enabled("r13")) {
+      timed("r13 radius join 2M x 100k") {
+        val pts = spark.range(2000000L).select(
+          col("id"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("x"),
+          pmod(xxhash64(col("id") + 7L), lit(1000000L)).as("y"))
+        val sites = spark.range(100000L).select(
+          col("id"),
+          pmod(xxhash64(col("id") + 13L), lit(1000000L)).as("x"),
+          pmod(xxhash64(col("id") + 29L), lit(1000000L)).as("y"))
+        graft.operators.Joins.radiusJoin2(pts, sites, radius = 512, cell = 1024)
+          .count()
+      }
+      val keyed = spark.range(20000000L).select(
+        (col("id") % 200000L).as("key"),
+        (col("id") / 200000L).as("bucket"),
+        (pmod(xxhash64(col("id")), lit(1000L)) +
+          when(col("id") / 200000L >= 50L, 5000L).otherwise(0L)).as("v"))
+      // filter on the computed flag so Catalyst cannot prune the window
+      // chain out of a bare count (a cardinality-only read would)
+      timed("r13 cusum by key 200k x 100") {
+        graft.operators.Temporal.cusumChangepointsByKey(keyed)
+          .filter(col("is_changepoint")).count()
+      }
+      timed("r13 segments by key depth 2") {
+        graft.operators.Temporal.cusumSegmentsByKey(keyed, depth = 2)
+          .filter(col("is_boundary")).count()
+      }
+      timed("r13 auc 20M rows 1e6 scores") {
+        val sc = spark.range(20000000L).select(
+          pmod(xxhash64(col("id")), lit(1000001L)).as("s"),
+          (col("id") % 3L === 0L).cast("long").as("y"))
+        graft.operators.Hygiene.scoreAuc(sc, "s", "y")
+          .select(col("auc_ppm")).collect().head.getLong(0)
+      }
+    }
     spark.stop()
   }
 }

@@ -2639,6 +2639,18 @@ object SparkEntry {
           Seq("l_returnflag", "l_linestatus", "l_linenumber"))
         .orderBy(col("col_name"))
     }),
+    "q_psi_drift" -> ((s, dir) => {
+      // the PSI read over the same planted-drift dumps as
+      // q_drift_report: TVD weights categories equally, PSI blows up on
+      // appearing/vanishing ones — the model-monitoring number
+      val li = t(s, dir, "lineitem")
+      val dumpA = li.filter(col("l_orderkey") % 2 === 0)
+      val dumpB = li.filter(col("l_orderkey") % 2 === 1 &&
+        !(col("l_returnflag") === "R" && col("l_orderkey") % 4 === 1))
+      Hygiene.psiDrift(dumpA, dumpB,
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_name"))
+    }),
     "q_drift_numeric" -> ((s, dir) => {
       // the documented NUMERIC seam of the drift report, oracled:
       // bucket first (closed-form fixed-width floor bins — engine-exact,
@@ -7342,6 +7354,49 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"""WITH da AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
          |db AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
+         |       AND NOT (l_returnflag = 'R' AND l_orderkey % 4 = 1))
+         |SELECT * FROM (
+         |$per
+         |) ORDER BY col_name""".stripMargin
+    },
+    "q_psi_drift" -> {
+      // the same Laplace-smoothed shares and the same 6-dp ln/product
+      // fences, decimal-summed — generated per column like q_drift_report
+      val per = Seq("l_returnflag", "l_linestatus", "l_linenumber").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(MIN(t.n_a) AS BIGINT) AS n_a,
+           |       CAST(MIN(t.n_b) AS BIGINT) AS n_b,
+           |       CAST(COUNT(*) AS BIGINT) AS ndv_union,
+           |       ROUND(CAST(SUM(CAST(ROUND(
+           |         (CAST(j.na_v + 1 AS DOUBLE) / (t.n_a + t.ndv) -
+           |          CAST(j.nb_v + 1 AS DOUBLE) / (t.n_b + t.ndv)) *
+           |         ROUND(ln((CAST(j.na_v + 1 AS DOUBLE) / (t.n_a + t.ndv)) /
+           |                  (CAST(j.nb_v + 1 AS DOUBLE) / (t.n_b + t.ndv))), 6),
+           |         6) AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
+           |FROM (
+           |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1, 2) a
+           |  FULL OUTER JOIN
+           |       (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1, 2) b
+           |  USING (v, vn)) j
+           |CROSS JOIN (
+           |  SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b, COUNT(*) AS ndv
+           |  FROM (
+           |    SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
+           |    FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |                 ($c IS NULL) AS vn, COUNT(*) AS na_v
+           |          FROM da GROUP BY 1, 2) a
+           |    FULL OUTER JOIN
+           |         (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |                 ($c IS NULL) AS vn, COUNT(*) AS nb_v
+           |          FROM db GROUP BY 1, 2) b
+           |    USING (v, vn))) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH da AS MATERIALIZED (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+         |db AS MATERIALIZED (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
          |       AND NOT (l_returnflag = 'R' AND l_orderkey % 4 = 1))
          |SELECT * FROM (
          |$per

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-hygiene operators for crawl-scale training pipelines: URL
   * canonicalization, URL-exact deduplication, and domain-blocklist
@@ -499,6 +500,55 @@ object Hygiene {
             .as("sad_ppm"))
         .select(lit(c).as("col_name"), col("n_a"), col("n_b"),
           col("ndv_union"), expr("sad_ppm DIV 2").as("tvd_ppm"))
+    }
+    cols.map(one).reduce(_ unionAll _)
+  }
+
+  /** Population stability index — [[driftReport]]'s industry-standard
+    * companion (the credit-scoring monitoring statistic; PSI > 0.25 is
+    * the conventional "re-examine the model" line): where TVD weights
+    * every category equally, PSI's (p_a − p_b)·ln(p_a/p_b) term blows up
+    * on categories that appear or vanish — exactly the drift shape that
+    * breaks a trained model. Zero cells are handled by Laplace +1
+    * smoothing on BOTH sides (deterministic — no tunable epsilon to
+    * mirror): p = (count + 1)/(n + ndv_union).
+    *
+    * Float discipline: ln fenced at 6 dp, the product re-rounded at
+    * 6 dp, contributions DECIMAL-summed, final ROUND(·, 6) + 0.0 — the
+    * collocations/lmScore chain, replayed identically by the oracle.
+    * Same scale shape as the parent: per column one full-outer of two
+    * map-side-combined counts on the (value, is-null) key, one 1-row
+    * totals broadcast, one fold.
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to drift-check")
+    def nullSafeKeys(df: DataFrame, c: String): DataFrame = df
+      .groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
+        col(c).isNull.as("vn"))
+      .agg(count(lit(1)).as("n"))
+    def one(c: String): DataFrame = {
+      val ca = nullSafeKeys(a, c).withColumnRenamed("n", "na_v")
+      val cb = nullSafeKeys(b, c).withColumnRenamed("n", "nb_v")
+      val j = ca.join(cb, Seq("v", "vn"), "full_outer")
+        .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
+          coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+      val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+        count(lit(1)).as("ndv_union"))
+      j.crossJoin(broadcast(tot))
+        .withColumn("pa",
+          (col("na_v") + 1L).cast("double") / (col("n_a") + col("ndv_union")))
+        .withColumn("pb",
+          (col("nb_v") + 1L).cast("double") / (col("n_b") + col("ndv_union")))
+        .withColumn("contrib",
+          round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6), 6))
+        .agg(
+          coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+          coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+          count(lit(1)).as("ndv_union"),
+          (round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6)
+            + lit(0.0)).as("psi"))
+        .select(lit(c).as("col_name"), col("n_a"), col("n_b"),
+          col("ndv_union"), col("psi"))
     }
     cols.map(one).reduce(_ unionAll _)
   }

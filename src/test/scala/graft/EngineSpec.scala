@@ -5598,6 +5598,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(9L) == ((3L, 966666L, 1000000L, 33334L)), r(9L).toString)
   }
 
+  test("psiDrift: hand-computed smoothed PSI; identical dumps read zero") {
+    import spark.implicits._
+    // A: x×3, y×1; B: x×1, y×3 — Laplace-smoothed shares 2/3 vs 1/3 each
+    // way: per-category contrib = round((2/3−1/3)·round(ln 2, 6), 6)
+    // = 0.231049, PSI = 0.462098
+    val a = Seq("x", "x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "y").toDF("c")
+    val r = Hygiene.psiDrift(a, b, Seq("c")).head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("c", 4L, 4L, 2L)), r.toString)
+    assert(r.getDouble(4) == 0.462098, r.toString)
+    // identical dumps: every ln(1) = 0 → exactly 0.0 (no −0.0 leak)
+    val same = Hygiene.psiDrift(a, a, Seq("c")).head
+    assert(same.getDouble(4) == 0.0 &&
+      !(1.0 / same.getDouble(4) < 0), same.toString)
+    // a vanished category dominates PSI (the blow-up TVD flattens):
+    // A all z, B all w → each side's share swings 3/4 vs 1/4
+    val gone = Hygiene.psiDrift(
+      Seq("z", "z").toDF("c"), Seq("w", "w").toDF("c"), Seq("c")).head
+    assert(gone.getDouble(4) > 1.0, gone.toString)
+  }
+
   test("dpSensitivityAudit: per-group user maxima, dominance share, sign-safe sums") {
     import spark.implicits._
     // group A: user 1 contributes 3 rows summing 60; user 2 one row of

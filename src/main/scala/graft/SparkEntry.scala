@@ -2173,6 +2173,19 @@ object SparkEntry {
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       Hygiene.scoreAuc(scored, "s", "y")
     }),
+    "q_score_auc_by_source" -> ((s, dir) => {
+      // the mixture read: the same AUC per SOURCE — a scorer that only
+      // discriminates on the easy source reads fine corpus-wide and
+      // useless on the one that matters
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          Seq("doc_id"))
+        .select(col("source").as("key"),
+          round(col("quality_score") * 1000000, 0).cast("long").as("s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      Hygiene.scoreAucByKey(scored, "key", "s", "y").orderBy(col("key"))
+    }),
     "q_dp_sensitivity" -> ((s, dir) =>
       // the pre-release read for a user-level DP aggregate: per
       // event_type, how hard can ONE user move the count (max_user_rows)
@@ -6730,6 +6743,30 @@ object SparkEntry {
         |       CAST((1000000 * SUM(np * (2 * cumnn + nn)))
         |            // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_ppm
         |FROM u""".stripMargin,
+    "q_score_auc_by_source" ->
+      // the keyed fold: every stage PARTITION BY the source key
+      """WITH q AS (
+        |  SELECT source AS key,
+        |         CAST(ROUND(ROUND(least(1.0,
+        |                CAST(len(string_split(lower(text),' ')) AS DOUBLE)/100.0)*0.5 +
+        |              CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)
+        |                / CAST(length(text) AS BIGINT) * 0.5, 6) * 1000000, 0) AS BIGINT)
+        |           AS s,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |c AS (SELECT key, s, SUM(y) AS np, SUM(1 - y) AS nn
+        |      FROM q GROUP BY 1, 2),
+        |u AS (SELECT key, s, np, nn,
+        |             COALESCE(SUM(nn) OVER (PARTITION BY key ORDER BY s
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+        |      FROM c)
+        |SELECT key, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |       CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |       CAST(SUM(np * (2 * cumnn + nn)) AS BIGINT) AS u2,
+        |       CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+        |            THEN (1000000 * SUM(np * (2 * cumnn + nn)))
+        |                 // (2 * SUM(np) * SUM(nn)) END AS BIGINT) AS auc_ppm
+        |FROM u GROUP BY 1 ORDER BY key""".stripMargin,
     "q_dp_sensitivity" ->
       // the same two-level aggregation: per-(type, user) exact moments,
       // then the per-type maxima and the dominance share

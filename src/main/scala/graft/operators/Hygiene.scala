@@ -878,6 +878,34 @@ object Hygiene {
           .as("auc_ppm"))
   }
 
+  /** [[scoreAuc]] per key — the mixture read (does the scorer
+    * discriminate on EVERY source, or only on the easy one the corpus
+    * average reflects): identical Mann–Whitney fold with every stage
+    * partitioned by the key; the ordered window still runs over the
+    * per-key distinct-score frame (codomain-bounded), sharing one
+    * (key)-keyed exchange with the final agg.
+    */
+  def scoreAucByKey(df: DataFrame, keyCol: String, scorePpmCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .select(col(keyCol).as("key"), col(scorePpmCol).as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("key"), col("s"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = Window.partitionBy(col("key")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("key"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumnn") + col("nn"))).as("u2"))
+      .select(col("key"), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L, expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * CAST(u2 AS DECIMAL(38,0))) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0)) * CAST(n_neg AS DECIMAL(38,0)))"))
+          .as("auc_ppm"))
+  }
+
   /** User-level differential-privacy sensitivity audit (Dwork et al.
     * 2006's sensitivity calculus applied at the USER grain — the unit
     * that matters for training-data releases; Amin et al. 2019 on the

@@ -3823,6 +3823,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o.isNullAt(3), o.toString)
   }
 
+  test("scoreAucByKey: each key equals the global operator on its slice") {
+    import spark.implicits._
+    // key A: the tie fixture (AUC 0.875); key B: perfect separation;
+    // key C: one class (NULL) — three answers from one frame
+    val df = (Seq((10L, 1L), (20L, 1L), (5L, 0L), (10L, 0L)).map(("A", _)) ++
+      Seq((10L, 1L), (20L, 1L), (1L, 0L), (2L, 0L)).map(("B", _)) ++
+      Seq((10L, 1L), (20L, 1L)).map(("C", _)))
+      .map { case (k, (s, y)) => (k, s, y) }.toDF("k", "s", "y")
+    val r = Hygiene.scoreAucByKey(df, "k", "s", "y").collect()
+      .map(x => x.getString(0) -> Option(x.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(r == Map("A" -> Some(875000L), "B" -> Some(1000000L), "C" -> None),
+      r.toString)
+    Seq("A", "B", "C").foreach { k =>
+      val solo = Hygiene.scoreAuc(
+        df.filter(col("k") === k).select("s", "y"), "s", "y").head
+      val mine = Hygiene.scoreAucByKey(df, "k", "s", "y")
+        .filter(col("key") === k).head
+      assert(mine.toSeq.drop(1) == solo.toSeq, s"key $k: $mine vs $solo")
+    }
+  }
+
   test("cusumSegments: two planted shifts recovered at depth 2; flat never splits") {
     import spark.implicits._
     // 10×4 → 50×4 → 10×4: level 1 splits once at a shift, level 2 finds

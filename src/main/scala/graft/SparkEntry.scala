@@ -2023,6 +2023,15 @@ object SparkEntry {
       Temporal.cusumSegmentsByKey(ev, depth = 2)
         .orderBy(col("key"), col("bucket"))
     }),
+    "q_survival_curve" -> ((s, dir) =>
+      // what fraction of users survive past day t? Kaplan–Meier over
+      // last-activity churn days, survival e6-floored at every step —
+      // the retention curve q_retention_cohorts' triangle summarizes
+      Temporal.kaplanMeier(
+        Temporal.eventsMicros(s, dir)
+          .select(col("user_id"), expr("ts_us DIV 86400000000").as("day")),
+        "user_id", "day")
+        .orderBy(col("day"))),
     "q_mase_eval" -> ((s, dir) => {
       // is the hourly value series worth forecasting? persistence vs
       // 24h-seasonal-naive MAE + their ratio over the bucketed series —
@@ -6415,6 +6424,30 @@ object SparkEntry {
         |SELECT bucket, v, CAST(cusum_n AS BIGINT) AS cusum_n,
         |       (bucket = pb) AS is_changepoint
         |FROM st CROSS JOIN pb ORDER BY bucket""".stripMargin,
+    "q_survival_curve" ->
+      // identical packed-factor folds: list elements are BIGINT
+      // (n·2³² + (n−d)), the prepended 1000000 seeds the accumulator,
+      // every step floors exactly like Spark's DIV
+      """WITH lastd AS (
+        |  SELECT user_id, MAX(epoch_us(ts) // 86400000000) AS d
+        |  FROM events GROUP BY 1),
+        |dt AS (SELECT d, COUNT(*) AS di FROM lastd GROUP BY 1),
+        |risk AS MATERIALIZED (
+        |  SELECT d, di,
+        |         SUM(di) OVER (ORDER BY d DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ni,
+        |         row_number() OVER (ORDER BY d) AS k
+        |  FROM dt),
+        |arr AS (SELECT list(CAST(ni * 4294967296 + (ni - di) AS BIGINT)
+        |                    ORDER BY d) AS a
+        |        FROM risk)
+        |SELECT risk.d AS day, CAST(risk.ni AS BIGINT) AS n_risk,
+        |       CAST(risk.di AS BIGINT) AS n_events,
+        |       CAST(list_reduce(
+        |         list_prepend(CAST(1000000 AS BIGINT), a[1:CAST(risk.k AS INT)]),
+        |         (acc, x) -> (acc * (x % 4294967296)) // (x // 4294967296))
+        |         AS BIGINT) AS surv_ppm
+        |FROM risk, arr ORDER BY day""".stripMargin,
     "q_cusum_segments" ->
       // the same hourly series, two unrolled binary-segmentation levels
       // (each: keyed n·S_i windows → per-segment peak → split at pb),

@@ -736,6 +736,45 @@ object Temporal {
       depth, Seq("key"))
   }
 
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) over
+    * last-activity churn — the retention read "what fraction of users
+    * survive past day t": each user's churn day is their LAST observed
+    * activity day (the uncensored event model — a right-censored
+    * variant adds an observation-cutoff flag, same algebra), the
+    * at-risk count n_t is everyone churning at or after t, and
+    * S(t) = Π_{s ≤ t}(1 − d_s/n_s) with the product kept INTEGER: the
+    * running survival is e6-scaled and floors at every step,
+    * S ← (S·(n−d)) DIV n — deterministic in both engines (the ewma
+    * fixed-point fold discipline applied to a product), no float chain.
+    *
+    * Scale shape: one keyed last-day agg (corpus-sized, map-side
+    * combined), then everything runs on the DAY series (time-bounded,
+    * the [[cusumChangepoints]] contract): a descending cumulative
+    * window for at-risk counts, and the prefix products as bounded
+    * O(m²) folds over a broadcast packed-factor array (m = distinct
+    * churn days; each factor packs (n, n−d) into one long so the fold's
+    * accumulator stays a plain BIGINT both engines share).
+    */
+  def kaplanMeier(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val last = df.groupBy(col(keyCol)).agg(max(col(dayCol)).as("d"))
+    val dt = last.groupBy(col("d")).agg(count(lit(1)).as("di"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = dt
+      .withColumn("ni", sum(col("di")).over(w))
+      .withColumn("k", row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val packed = risk.agg(sort_array(collect_list(
+        struct(col("d"), (col("ni") * lit(4294967296L) + (col("ni") - col("di")))
+          .as("p")))).as("a"))
+      .select(expr("transform(a, s -> s.p)").as("a"))
+    risk.crossJoin(broadcast(packed))
+      .select(col("d").as("day"), col("ni").as("n_risk"),
+        col("di").as("n_events"),
+        expr("aggregate(slice(a, 1, CAST(k AS INT)), 1000000L, " +
+          "(acc, x) -> (acc * pmod(x, 4294967296L)) DIV (x DIV 4294967296L))")
+          .as("surv_ppm"))
+  }
+
   /** Season-aware anomaly flags — [[seasonalDecompose]] composed with
     * the Hampel identifier ([[Hygiene.madOutliers]]' doubled-median
     * integer algebra): anomalies are judged on the RESIDUAL (what

@@ -3823,6 +3823,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o.isNullAt(3), o.toString)
   }
 
+  test("kaplanMeier: exact stepwise-floored survival; last day hits zero") {
+    import spark.implicits._
+    // churn days from last activity: u1,u2 → day 1; u3 → day 2; u4 →
+    // day 4 (u1's day-0 event is not churn — last day wins).
+    // S(1) = ⌊10⁶·2/4⌋ = 500000; S(2) = ⌊500000·1/2⌋ = 250000;
+    // S(4) = ⌊250000·0/1⌋ = 0 — everyone eventually churns in the
+    // uncensored model
+    val ev = Seq((1L, 0L), (1L, 1L), (2L, 1L), (3L, 2L), (4L, 4L))
+      .toDF("user_id", "day")
+    val r = Temporal.kaplanMeier(ev, "user_id", "day").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((4L, 2L, 500000L)),
+      2L -> ((2L, 1L, 250000L)),
+      4L -> ((1L, 1L, 0L))), r.toString)
+    // a single churn day: the curve is one step from 10⁶·0
+    val one = Temporal.kaplanMeier(
+      Seq((1L, 5L), (2L, 5L)).toDF("user_id", "day"), "user_id", "day")
+      .collect()
+    assert(one.map(x => (x.getLong(0), x.getLong(3))).toSeq == Seq((5L, 0L)))
+  }
+
   test("scoreAucByKey: each key equals the global operator on its slice") {
     import spark.implicits._
     // key A: the tie fixture (AUC 0.875); key B: perfect separation;

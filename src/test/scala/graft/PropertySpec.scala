@@ -979,6 +979,84 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.operators.Dedup.uncacheAll()
   }
 
+  test("scoreAuc equals the brute pairwise count on random scored labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // heavy ties on purpose: 12 distinct scores over 300 rows
+    val rows = (1 to 300).map(_ => (rnd.nextInt(12).toLong * 7L,
+      if (rnd.nextInt(3) == 0) 1L else 0L))
+    val r = graft.operators.Hygiene.scoreAuc(rows.toDF("s", "y"), "s", "y").head
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    // brute 2U: every (pos, neg) pair contributes 2, 1 on ties, 0
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((pos.size.toLong, neg.size.toLong, u2)), r.toString)
+    assert(r.getLong(3) ==
+      (BigInt(1000000) * u2 / (2L * pos.size * neg.size)).toLong)
+  }
+
+  test("cusum by key: every key telescopes to zero and flags exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val s = (for (k <- 1 to 8; b <- 1L to 40L)
+      yield (s"k$k", b, rnd.nextInt(1000).toLong - 300L))
+      .toDF("key", "bucket", "v")
+    val rows = graft.operators.Temporal.cusumChangepointsByKey(s).collect()
+      .groupBy(_.getString(0))
+    assert(rows.size == 8)
+    rows.foreach { case (k, rs) =>
+      val last = rs.maxBy(_.getLong(1))
+      assert(last.getLong(3) == 0L, s"$k: per-key CUSUM must telescope to zero")
+      assert(rs.count(_.getBoolean(4)) == 1, s"$k: exactly one flagged changepoint")
+    }
+  }
+
+  test("radiusJoin2 equals brute force across random geometry regimes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // mixed quadrants, coincident points, and a cluster tighter than one cell
+    val pts = ((1 to 150).map(i => (i.toLong,
+      rnd.nextInt(400).toLong - 200L, rnd.nextInt(400).toLong - 200L)) ++
+      Seq((900L, -33L, -33L), (901L, -33L, -33L))).toDF("id", "x", "y")
+    val sites = (1 to 30).map(i => (i.toLong,
+      rnd.nextInt(400).toLong - 200L, rnd.nextInt(400).toLong - 200L))
+      .toDF("id", "x", "y")
+    for (radius <- Seq(0L, 7L, 40L)) {
+      val cell = math.max(radius, 1L) * 2
+      val blocked = graft.operators.Joins.radiusJoin2(pts, sites, radius, cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = pts.select(col("id").as("point_id"), col("x").as("xa"), col("y").as("ya"))
+        .crossJoin(sites.select(col("id").as("site_id"), col("x").as("xb"), col("y").as("yb")))
+        .select(col("point_id"), col("site_id"),
+          ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+        .filter(col("dist2") <= radius * radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == brute, s"radius=$radius: ${blocked.size} vs ${brute.size}")
+    }
+  }
+
+  test("kaplanMeier: survival is non-increasing, starts below 1e6, ends at 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val ev = (1 to 120).map(i => (i.toLong, rnd.nextInt(15).toLong))
+      .toDF("user_id", "day")
+    val rows = graft.operators.Temporal.kaplanMeier(ev, "user_id", "day")
+      .orderBy(col("day")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(rows.head._4 <= 1000000L)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._4 <= a._4; case _ => true
+    }, "survival must be non-increasing")
+    assert(rows.last._4 == 0L, "uncensored model: everyone eventually churns")
+    // at-risk counts are the descending cumulative of events
+    assert(rows.map(_._3).sum == 120L)
+    assert(rows.head._2 == 120L)
+  }
+
   test("association rules: lift identity and support symmetry on random baskets") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

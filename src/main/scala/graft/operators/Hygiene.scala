@@ -451,6 +451,46 @@ object Hygiene {
       .reduce(_ unionAll _)
   }
 
+  /** Null-safe category cells (v, vn, n) — the drift family's shared
+    * input grain. Null categories are REAL categories: keying on the
+    * (coalesced value, is-null flag) pair lets a full outer join match a
+    * NULL bucket across dumps — a raw NULL key never matches itself in
+    * either engine, and two dumps that are 50% NULL each would otherwise
+    * read ~500000 ppm of phantom drift on identical distributions.
+    */
+  def categoryCells(df: DataFrame, c: String): DataFrame = df
+    .groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
+      col(c).isNull.as("vn"))
+    .agg(count(lit(1)).as("n"))
+
+  /** The TVD fold over two pre-counted cell frames — shared by
+    * [[driftReport]] and the streaming monitor so the algebra cannot
+    * drift between them.
+    */
+  private[graft] def tvdFromCells(caIn: DataFrame, cbIn: DataFrame,
+      name: String): DataFrame = {
+    val ca = caIn.withColumnRenamed("n", "na_v")
+    val cb = cbIn.withColumnRenamed("n", "nb_v")
+    val j = ca.join(cb, Seq("v", "vn"), "full_outer")
+      .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
+        coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+    val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+    j.crossJoin(broadcast(tot))
+      .select(col("na_v"), col("nb_v"), col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a > 0 THEN na_v * 1000000 DIV n_a ELSE 0 END")
+          .as("pa_ppm"),
+        expr("CASE WHEN n_b > 0 THEN nb_v * 1000000 DIV n_b ELSE 0 END")
+          .as("pb_ppm"))
+      .agg(
+        coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+        count(lit(1)).as("ndv_union"),
+        coalesce(sum(abs(col("pa_ppm") - col("pb_ppm"))), lit(0L))
+          .as("sad_ppm"))
+      .select(lit(name).as("col_name"), col("n_a"), col("n_b"),
+        col("ndv_union"), expr("sad_ppm DIV 2").as("tvd_ppm"))
+  }
+
   /** Distribution drift between two dumps of the same table — the
     * between-crawls comparison a pipeline runs before trusting a new
     * dump: per categorical column, both dumps' value distributions and
@@ -470,38 +510,37 @@ object Hygiene {
     */
   def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to drift-check")
-    // null categories are REAL categories: key on (coalesced value,
-    // is-null flag) so the full-outer join matches a NULL bucket across
-    // dumps — a raw NULL key never matches itself in either engine, and
-    // two dumps that are 50% NULL each would otherwise read ~500000 ppm
-    // of phantom drift on identical distributions
-    def nullSafeKeys(df: DataFrame, c: String): DataFrame = df
-      .groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
-        col(c).isNull.as("vn"))
-      .agg(count(lit(1)).as("n"))
-    def one(c: String): DataFrame = {
-      val ca = nullSafeKeys(a, c).withColumnRenamed("n", "na_v")
-      val cb = nullSafeKeys(b, c).withColumnRenamed("n", "nb_v")
-      val j = ca.join(cb, Seq("v", "vn"), "full_outer")
-        .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
-          coalesce(col("nb_v"), lit(0L)).as("nb_v"))
-      val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
-      j.crossJoin(broadcast(tot))
-        .select(col("na_v"), col("nb_v"), col("n_a"), col("n_b"),
-          expr("CASE WHEN n_a > 0 THEN na_v * 1000000 DIV n_a ELSE 0 END")
-            .as("pa_ppm"),
-          expr("CASE WHEN n_b > 0 THEN nb_v * 1000000 DIV n_b ELSE 0 END")
-            .as("pb_ppm"))
-        .agg(
-          coalesce(min(col("n_a")), lit(0L)).as("n_a"),
-          coalesce(min(col("n_b")), lit(0L)).as("n_b"),
-          count(lit(1)).as("ndv_union"),
-          coalesce(sum(abs(col("pa_ppm") - col("pb_ppm"))), lit(0L))
-            .as("sad_ppm"))
-        .select(lit(c).as("col_name"), col("n_a"), col("n_b"),
-          col("ndv_union"), expr("sad_ppm DIV 2").as("tvd_ppm"))
-    }
-    cols.map(one).reduce(_ unionAll _)
+    cols.map(c => tvdFromCells(categoryCells(a, c), categoryCells(b, c), c))
+      .reduce(_ unionAll _)
+  }
+
+  /** The PSI fold over two pre-counted cell frames — shared by
+    * [[psiDrift]] and the streaming monitor.
+    */
+  private[graft] def psiFromCells(caIn: DataFrame, cbIn: DataFrame,
+      name: String): DataFrame = {
+    val ca = caIn.withColumnRenamed("n", "na_v")
+    val cb = cbIn.withColumnRenamed("n", "nb_v")
+    val j = ca.join(cb, Seq("v", "vn"), "full_outer")
+      .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
+        coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+    val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+      count(lit(1)).as("ndv_union"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("pa",
+        (col("na_v") + 1L).cast("double") / (col("n_a") + col("ndv_union")))
+      .withColumn("pb",
+        (col("nb_v") + 1L).cast("double") / (col("n_b") + col("ndv_union")))
+      .withColumn("contrib",
+        round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6), 6))
+      .agg(
+        coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+        count(lit(1)).as("ndv_union"),
+        (round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6)
+          + lit(0.0)).as("psi"))
+      .select(lit(name).as("col_name"), col("n_a"), col("n_b"),
+        col("ndv_union"), col("psi"))
   }
 
   /** Population stability index — [[driftReport]]'s industry-standard
@@ -522,35 +561,8 @@ object Hygiene {
     */
   def psiDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to drift-check")
-    def nullSafeKeys(df: DataFrame, c: String): DataFrame = df
-      .groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
-        col(c).isNull.as("vn"))
-      .agg(count(lit(1)).as("n"))
-    def one(c: String): DataFrame = {
-      val ca = nullSafeKeys(a, c).withColumnRenamed("n", "na_v")
-      val cb = nullSafeKeys(b, c).withColumnRenamed("n", "nb_v")
-      val j = ca.join(cb, Seq("v", "vn"), "full_outer")
-        .select(coalesce(col("na_v"), lit(0L)).as("na_v"),
-          coalesce(col("nb_v"), lit(0L)).as("nb_v"))
-      val tot = j.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
-        count(lit(1)).as("ndv_union"))
-      j.crossJoin(broadcast(tot))
-        .withColumn("pa",
-          (col("na_v") + 1L).cast("double") / (col("n_a") + col("ndv_union")))
-        .withColumn("pb",
-          (col("nb_v") + 1L).cast("double") / (col("n_b") + col("ndv_union")))
-        .withColumn("contrib",
-          round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6), 6))
-        .agg(
-          coalesce(min(col("n_a")), lit(0L)).as("n_a"),
-          coalesce(min(col("n_b")), lit(0L)).as("n_b"),
-          count(lit(1)).as("ndv_union"),
-          (round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6)
-            + lit(0.0)).as("psi"))
-        .select(lit(c).as("col_name"), col("n_a"), col("n_b"),
-          col("ndv_union"), col("psi"))
-    }
-    cols.map(one).reduce(_ unionAll _)
+    cols.map(c => psiFromCells(categoryCells(a, c), categoryCells(b, c), c))
+      .reduce(_ unionAll _)
   }
 
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002

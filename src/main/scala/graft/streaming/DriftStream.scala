@@ -25,9 +25,12 @@ import org.apache.spark.storage.StorageLevel
   * map-side-combined count per column, merged into the lineage-cut
   * running table (union + re-group, the [[PhashStream]] swap
   * discipline). The served TVD is DERIVED at read time from the folded
-  * counts with the IDENTICAL integer algebra as the batch operator —
-  * EngineSpec pins `current` ≡ `Hygiene.driftReport(reference, all
-  * delivered rows)` row-for-row, under any batch split.
+  * counts through the batch operator's OWN fold
+  * ([[graft.operators.Hygiene.tvdFromCells]] — shared code, not a
+  * re-implementation) — EngineSpec pins `current` ≡
+  * `Hygiene.driftReport(reference, all delivered rows)` row-for-row,
+  * under any batch split; [[DriftStore.currentPsi]] serves
+  * [[graft.operators.Hygiene.psiDrift]] the same way off the same state.
   *
   * Exactly-once accounting: count merge is not idempotent, so the
   * monotone batch-id guard drops re-deliveries ([[CmsStream.SketchStore]]
@@ -48,13 +51,12 @@ object DriftStream {
       cut
     }
 
-    // the batch operator's null-safe key discipline: (coalesced value,
-    // is-null flag), so a NULL category matches itself across the
-    // reference and the stream instead of double-counting
+    // the batch operators' null-safe cell grain ([[graft.operators
+    // .Hygiene.categoryCells]]): (coalesced value, is-null flag), so a
+    // NULL category matches itself across the reference and the stream
+    // instead of double-counting
     private def colCounts(df: DataFrame): DataFrame = cols.map { c =>
-      df.groupBy(coalesce(col(c).cast("string"), lit("")).as("v"),
-          col(c).isNull.as("vn"))
-        .agg(count(lit(1)).as("n"))
+      graft.operators.Hygiene.categoryCells(df, c)
         .select(lit(c).as("col_name"), col("v"), col("vn"), col("n"))
     }.reduce(_ unionAll _)
 
@@ -78,35 +80,36 @@ object DriftStream {
       true
     }
 
+    private def cells(counts: DataFrame, c: String): DataFrame = counts
+      .where(col("col_name") === lit(c)).select(col("v"), col("vn"), col("n"))
+
     /** Per-column drift of everything delivered so far vs the reference:
-      * `(col_name, n_a, n_b, ndv_union, tvd_ppm)` — the EXACT
-      * [[graft.operators.Hygiene.driftReport]] floor-share integer
-      * algebra over the folded counts (spec-pinned equal), derived at
-      * read time so the served row is always consistent with the counts.
+      * `(col_name, n_a, n_b, ndv_union, tvd_ppm)` — SHARED fold with the
+      * batch operator ([[graft.operators.Hygiene.tvdFromCells]] — the
+      * exact floor-share integer algebra of `driftReport`, spec-pinned
+      * equal), derived at read time from the folded counts so the served
+      * row is always consistent with them. Cheap per column: both cell
+      * frames filter the persisted NDV-bounded counts tables.
       */
     def current: DataFrame = {
-      val a = refCounts.select(col("col_name"), col("v"), col("vn"),
-        col("n").as("na_v"))
-      val b = runRef.get().select(col("col_name"), col("v"), col("vn"),
-        col("n").as("nb_v"))
-      val j = a.join(b, Seq("col_name", "v", "vn"), "full_outer")
-        .select(col("col_name"),
-          coalesce(col("na_v"), lit(0L)).as("na_v"),
-          coalesce(col("nb_v"), lit(0L)).as("nb_v"))
-      val tot = j.groupBy(col("col_name"))
-        .agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
-      j.join(broadcast(tot), Seq("col_name"))
-        .select(col("col_name"), col("n_a"), col("n_b"),
-          expr("CASE WHEN n_a > 0 THEN na_v * 1000000 DIV n_a ELSE 0 END")
-            .as("pa_ppm"),
-          expr("CASE WHEN n_b > 0 THEN nb_v * 1000000 DIV n_b ELSE 0 END")
-            .as("pb_ppm"))
-        .groupBy(col("col_name"))
-        .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
-          count(lit(1)).as("ndv_union"),
-          sum(abs(col("pa_ppm") - col("pb_ppm"))).as("sad_ppm"))
-        .select(col("col_name"), col("n_a"), col("n_b"), col("ndv_union"),
-          expr("sad_ppm DIV 2").as("tvd_ppm"))
+      val run = runRef.get()
+      cols.map(c => graft.operators.Hygiene.tvdFromCells(
+          cells(refCounts, c), cells(run, c), c))
+        .reduce(_ unionAll _)
+    }
+
+    /** The [[graft.operators.Hygiene.psiDrift]] serve off the SAME folded
+      * counts: `(col_name, n_a, n_b, ndv_union, psi)` — Laplace-smoothed
+      * population-stability index via the shared
+      * [[graft.operators.Hygiene.psiFromCells]] fold, so the alarm a
+      * pipeline thresholds (PSI > 0.2/0.25) and the forensic TVD row are
+      * served consistently from one state table.
+      */
+    def currentPsi: DataFrame = {
+      val run = runRef.get()
+      cols.map(c => graft.operators.Hygiene.psiFromCells(
+          cells(refCounts, c), cells(run, c), c))
+        .reduce(_ unionAll _)
     }
   }
 

@@ -4251,6 +4251,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(4)))).toMap
     val expect = key(graft.operators.Hygiene.driftReport(
       ref, all.toDF("cat", "grp"), Seq("cat", "grp")))
+    // PSI serve off the SAME folded counts must equal the batch psiDrift
+    def psiKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val expectPsi = psiKey(graft.operators.Hygiene.psiDrift(
+      ref, all.toDF("cat", "grp"), Seq("cat", "grp")))
     for (nBatches <- Seq(1, 3)) {
       val store = new DriftStream.DriftStore(spark, Seq("cat", "grp"), ref)
       val per = math.ceil(all.size.toDouble / nBatches).toInt
@@ -4261,9 +4267,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // union of all delivered rows — same floor-share integer algebra
       assert(key(store.current) == expect,
         s"nBatches=$nBatches: ${key(store.current)} vs $expect")
+      assert(psiKey(store.currentPsi) == expectPsi,
+        s"nBatches=$nBatches psi: ${psiKey(store.currentPsi)} vs $expectPsi")
       // replay guard: re-delivering a folded batch must not move counts
       assert(!store.merge(all.toDF("cat", "grp"), 0L))
       assert(key(store.current) == expect)
+      assert(psiKey(store.currentPsi) == expectPsi)
     }
   }
 

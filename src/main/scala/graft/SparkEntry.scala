@@ -2673,6 +2673,15 @@ object SparkEntry {
           Seq("l_returnflag", "l_linestatus", "l_linenumber"))
         .orderBy(col("col_name"))
     }),
+    "q_benford_audit" -> ((s, dir) => {
+      // Benford first-digit forensics on extended price: per digit 1..9
+      // the observed floor-share ppm vs round(1e6*log10(1+1/d)) and the
+      // signed deviation — prices are qty-scaled retail values spanning
+      // ~3 decades, so low digits dominate but the fit is imperfect (a
+      // real audit read, not a planted pass)
+      Hygiene.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy(col("digit"))
+    }),
     "q_drift_numeric" -> ((s, dir) => {
       // the documented NUMERIC seam of the drift report, oracled:
       // bucket first (closed-form fixed-width floor bins — engine-exact,
@@ -7399,6 +7408,27 @@ object SparkEntry {
         |         AS value_u6
         |FROM s CROSS JOIN qs
         |ORDER BY event_type, q_ppm""".stripMargin,
+    "q_benford_audit" ->
+      """WITH cnt AS (
+        |  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),
+        |           '[1-9]') AS BIGINT) AS digit,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+        |), tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total FROM cnt),
+        |be AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |         (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |         (9, 45757)) e(digit, exp_ppm))
+        |SELECT CAST(be.digit AS BIGINT) AS digit,
+        |       COALESCE(cnt.n, 0) AS n,
+        |       CAST(CASE WHEN tot.total > 0
+        |            THEN COALESCE(cnt.n, 0) * 1000000 // tot.total
+        |            ELSE 0 END AS BIGINT) AS obs_ppm,
+        |       CAST(be.exp_ppm AS BIGINT) AS exp_ppm,
+        |       CAST(CASE WHEN tot.total > 0
+        |            THEN COALESCE(cnt.n, 0) * 1000000 // tot.total
+        |            ELSE 0 END - be.exp_ppm AS BIGINT) AS dev_ppm
+        |FROM be LEFT JOIN cnt ON be.digit = cnt.digit CROSS JOIN tot
+        |ORDER BY digit""".stripMargin,
     "q_drift_report" -> {
       // identical floor-share integer TVD per column — generated so the
       // three per-column subqueries can't drift from each other

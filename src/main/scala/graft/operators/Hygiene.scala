@@ -640,6 +640,53 @@ object Hygiene {
         (lit(1000000L) * col("n_rows") + col("s1") - col("s2")).as("chi2_ppm"))
   }
 
+  /** Benford first-significant-digit audit — the forensic data-quality
+    * read over a positive numeric column (Benford 1938; Nigrini's fraud
+    * practice): naturally occurring multi-magnitude quantities put
+    * digit d first with probability log10(1+1/d), and synthetic /
+    * fabricated / truncated feeds don't. Per digit 1..9: observed
+    * count, floor-share observed ppm, the expected ppm (the nine
+    * round(10⁶·log10(1+1/d)) constants — they sum to exactly 10⁶), and
+    * the signed deviation. A scrape whose "sizes" were invented, a
+    * price feed that clipped at a cap, or a unit mix-up all read as
+    * large |dev_ppm| on specific digits.
+    *
+    * Reference scope note: no counterpart in the reference engine
+    * (its analytics stop at SUM/COUNT rollups, `handler.go:139-153`);
+    * extension-mandate operator for ingest forensics.
+    *
+    * Digit extraction is STRING-form: the first `[1-9]` char of the
+    * value's decimal string (sign, zeros and the point never match), so
+    * it is exact on DECIMAL/integer carriers in both engines — callers
+    * pass decimals or integers, never raw doubles (scientific notation
+    * would lie about the leading digit).
+    *
+    * Scale: one 9-group map-side-combined count, two broadcast joins,
+    * 9-row output — corpus-size independent memory.
+    */
+  def benfordAudit(df: DataFrame, c: String): DataFrame = {
+    val digits = df
+      .filter(col(c).isNotNull && col(c) > lit(0))
+      .select(regexp_extract(col(c).cast("string"), "[1-9]", 0).as("d"))
+      .filter(col("d") =!= "")
+      .select(col("d").cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+    val expected = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"), expr(
+        """CAST(CASE id WHEN 1 THEN 301030 WHEN 2 THEN 176091
+          |  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+          |  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+          |  ELSE 45757 END AS BIGINT)""".stripMargin).as("exp_ppm"))
+    expected.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs_ppm",
+        expr("CASE WHEN total > 0 THEN n * 1000000 DIV total ELSE 0 END"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
   /** l-diversity audit — [[kAnonAudit]]'s stronger sibling: k-anonymity
     * bounds group SIZE, but a group whose sensitive attribute is
     * constant still leaks it to anyone who can name the group

@@ -4276,6 +4276,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("benford audit: string-form first digits, floor-share ppm") {
+    import spark.implicits._
+    // digits: 123.45→1, 0.00234→2, 987→9, 0.19→1, 2.00→2; -5, 0 and
+    // null are filtered. total 5 → d1: 2/5 = 400000 ppm, d2: 400000,
+    // d9: 200000, the other six digits 0 with their full negative dev
+    val rows = Seq(Some(BigDecimal("123.45")), Some(BigDecimal("0.00234")),
+      Some(BigDecimal("987")), Some(BigDecimal("0.19")),
+      Some(BigDecimal("2.00")), Some(BigDecimal("-5")),
+      Some(BigDecimal("0")), Option.empty[BigDecimal]).toDF("v")
+    val out = Hygiene.benfordAudit(rows, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out.size == 9)
+    assert(out(1L) == ((2L, 400000L, 301030L, 98970L)), out.toString)
+    assert(out(2L) == ((2L, 400000L, 176091L, 223909L)))
+    assert(out(9L) == ((1L, 200000L, 45757L, 154243L)))
+    assert(out(5L) == ((0L, 0L, 79181L, -79181L)))
+    // the nine expected constants partition exactly one million
+    assert(out.values.map(_._3).sum == 1000000L)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

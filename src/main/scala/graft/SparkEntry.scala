@@ -1652,6 +1652,16 @@ object SparkEntry {
             .cast("long").as("qty_x10k")),
         "rid", Seq("l_returnflag", "l_linestatus"), "qty_x10k", num = 32)
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "split_bootstrap_ci" -> ((s, dir) =>
+      // the error bar for a corpus mean: 40 deterministic Poisson(1)
+      // bootstrap replicas of mean price (cents), percentile 95% CI over
+      // the replica means — one exploded map-side-combined agg
+      Splits.bootstrapCiMean(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents")),
+        "rid", "cents", b = 40)),
     "split_stats" -> ((s, dir) =>
       // stratification check: split × language counts
       Splits.assign(t(s, dir, "documents"), "doc_id",
@@ -5996,6 +6006,56 @@ object SparkEntry {
         |            THEN (1000000 * abs(est_sum - sum_exact)) // abs(sum_exact)
         |            END AS err_ppm
         |FROM e ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "split_bootstrap_ci" ->
+      // the identical (id,replica)-keyed 5-hex md5 uniform inverted
+      // through the integer Poisson(1) CDF thresholds, replica means as
+      // sign-safe ppm divisions, CI = floor-rank order statistics
+      """WITH v AS (
+        |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |wts AS (
+        |  SELECT r.j, v.x,
+        |         CAST(('0x' || substring(md5(CAST(v.rid AS VARCHAR) || ':' ||
+        |           CAST(r.j AS VARCHAR)), 1, 5)) AS BIGINT) AS u
+        |  FROM v CROSS JOIN range(0, 40) r(j)),
+        |w2 AS (
+        |  SELECT j, x,
+        |         CASE WHEN u < 385750 THEN 0 WHEN u < 771499 THEN 1
+        |              WHEN u < 964374 THEN 2 WHEN u < 1028665 THEN 3
+        |              WHEN u < 1044738 THEN 4 WHEN u < 1047953 THEN 5
+        |              ELSE 6 END AS w
+        |  FROM wts),
+        |reps AS (
+        |  SELECT j, CAST(SUM(w) AS BIGINT) AS sw,
+        |         SUM(w * x) AS swx
+        |  FROM w2 GROUP BY j),
+        |means AS (
+        |  -- HUGEINT floor-division: DECIMAL // would ROUND where Spark's
+        |  -- decimal div floors
+        |  SELECT j, CASE WHEN sw > 0
+        |         THEN CAST(sign(swx) AS BIGINT) *
+        |              CAST((CAST(1000000 AS HUGEINT) * abs(CAST(swx AS HUGEINT)))
+        |                // sw AS BIGINT)
+        |         ELSE 0 END AS mean_ppm
+        |  FROM reps),
+        |ranked AS (
+        |  SELECT mean_ppm, ROW_NUMBER() OVER (ORDER BY mean_ppm, j) AS rk
+        |  FROM means),
+        |ci AS (
+        |  SELECT MIN(CASE WHEN rk = 2 THEN mean_ppm END) AS lo_ppm,
+        |         MIN(CASE WHEN rk = 39 THEN mean_ppm END) AS hi_ppm
+        |  FROM ranked),
+        |ex AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(sign(SUM(x)) AS BIGINT) *
+        |           CAST((CAST(1000000 AS HUGEINT) *
+        |             abs(CAST(SUM(x) AS HUGEINT))) // COUNT(*) AS BIGINT)
+        |           AS mean_ppm
+        |  FROM v)
+        |SELECT CAST(40 AS BIGINT) AS b_reps, ex.n_rows, ex.mean_ppm,
+        |       ci.lo_ppm, ci.hi_ppm
+        |FROM ex CROSS JOIN ci""".stripMargin,
     "split_stratified" -> {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${graft.operators.Splits.stratifiedSampleSql("doc_id", "lang", Map("en" -> 0.5))}

@@ -100,6 +100,72 @@ object Splits {
         col("est_n"), col("est_sum"), col("err_ppm")): _*)
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (Efron 1979; the
+    * Poisson(1)-weight streaming form per Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): classical bootstrap resampling
+    * needs n draws WITH replacement per replica — unshardable — but each
+    * row's multiplicity in a replica is asymptotically Poisson(1), so
+    * replica b's resample is "weight every row by an independent
+    * Poisson(1) draw keyed on (id, b)" — embarrassingly parallel and
+    * deterministic here: the draw inverts the Poisson CDF at the row's
+    * 5-hex md5 bucket u ∈ [0, 2²⁰) against integer thresholds (weights
+    * capped at 6; P(w>6) < 10⁻⁴ truncated — documented bias far below
+    * sampling noise). The CI is the percentile interval over the B
+    * replica means (alphaPpm/2 in each tail, floor-rank order
+    * statistics — integer-exact, no interpolation).
+    *
+    * Reference scope note: no counterpart in the reference engine
+    * (`handler.go` reports point sums only); extension-mandate operator —
+    * the error bar a pipeline attaches to any sampled/estimated metric.
+    *
+    * Scale shape: one explode(B) over the scan feeding a map-side-
+    * combined B-group aggregation — the shuffle carries only
+    * partitions×B partial rows, never the corpus; the window over B
+    * replica means is driver-trivial. `valCol` must already be an exact
+    * long (decimal-scaled upstream); sums are DECIMAL(38,0)-fenced
+    * (B·n·|x| passes int64 early at corpus scale).
+    */
+  def bootstrapCiMean(df: DataFrame, idCol: String, valCol: String,
+      b: Int, alphaPpm: Long = 50000L): DataFrame = {
+    require(b >= 4, s"need at least 4 replicas: $b")
+    require(alphaPpm >= 0L && alphaPpm < 1000000L, s"bad alphaPpm: $alphaPpm")
+    // Poisson(1) CDF at k = 0..5, scaled to 2^20: u below th(k) → weight k
+    val th = Seq(385750L, 771499L, 964374L, 1028665L, 1044738L, 1047953L)
+    val u = expr(s"CAST(CONV(substring(md5(concat(CAST($idCol AS STRING)," +
+      s" ':', CAST(j AS STRING))), 1, 5), 16, 10) AS BIGINT)")
+    val w = th.zipWithIndex.reverse
+      .foldLeft(lit(6L)) { case (acc, (t, k)) =>
+        when(col("u") < lit(t), lit(k.toLong)).otherwise(acc)
+      }
+    val reps = df
+      .select(col(idCol), col(valCol).cast("long").as("x"))
+      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("j"))
+      .agg(sum(col("w")).as("sw"),
+        sum((col("w") * col("x")).cast("decimal(38,0)")).as("swx"))
+      .withColumn("mean_ppm", when(col("sw") > 0L,
+        signum(col("swx")).cast("long") *
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * abs(swx)) div sw"))
+        .otherwise(lit(0L)))
+    val tail = b.toLong * alphaPpm / 2000000L
+    val ranked = reps.select(col("mean_ppm"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_ppm"), col("j"))).as("rk"))
+    val ci = ranked.agg(
+      min(when(col("rk") === lit(tail + 1L), col("mean_ppm"))).as("lo_ppm"),
+      min(when(col("rk") === lit(b.toLong - tail), col("mean_ppm"))).as("hi_ppm"))
+    val exact = df.agg(
+      count(lit(1)).as("n_rows"),
+      (signum(sum(col(valCol))).cast("long") * expr(
+        s"(CAST(1000000 AS DECIMAL(38,0)) * abs(CAST(SUM($valCol) AS " +
+          "DECIMAL(38,0)))) div COUNT(*)")).as("mean_ppm"))
+    exact.crossJoin(broadcast(ci))
+      .select(lit(b.toLong).as("b_reps"), col("n_rows"), col("mean_ppm"),
+        col("lo_ppm"), col("hi_ppm"))
+  }
+
   /** Leave-one-out target encoding — the leakage-free categorical
     * feature (Micci-Barreca 2001): each row's encoding is the mean
     * target of its CATEGORY EXCLUDING THE ROW ITSELF, so a category's

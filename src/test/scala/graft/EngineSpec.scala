@@ -4297,6 +4297,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._3).sum == 1000000L)
   }
 
+  test("bootstrap CI: constant column collapses, interval brackets the mean") {
+    import spark.implicits._
+    // constant value ⇒ EVERY replica mean is exactly c·10⁶ (weights
+    // cancel), so the interval must collapse onto the point
+    val const = (1L to 200L).map(i => (i, 7L)).toDF("id", "x")
+    val c = Splits.bootstrapCiMean(const, "id", "x", b = 8).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+      c.getLong(4)) == ((8L, 200L, 7000000L, 7000000L, 7000000L)), c.toString)
+    // mixed values: deterministic (md5-keyed) ⇒ rerun-identical, ranks
+    // ordered, and with n=500/B=40 the percentile interval brackets the
+    // sample mean (deterministic once green — no RNG to flake)
+    val mixed = (1L to 500L).map(i => (i, (i % 97) * 1000L)).toDF("id", "x")
+    val r1 = Splits.bootstrapCiMean(mixed, "id", "x", b = 40).collect().head
+    val r2 = Splits.bootstrapCiMean(mixed, "id", "x", b = 40).collect().head
+    assert(r1 == r2)
+    assert(r1.getLong(3) <= r1.getLong(4), r1.toString)
+    assert(r1.getLong(3) <= r1.getLong(2) && r1.getLong(2) <= r1.getLong(4),
+      r1.toString)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

@@ -2205,6 +2205,18 @@ object SparkEntry {
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       Hygiene.scoreAucByKey(scored, "key", "s", "y").orderBy(col("key"))
     }),
+    "q_spearman" -> ((s, dir) =>
+      // monotone association between quantity and line price: price is
+      // qty·unit_price so ρ is strongly positive but well short of 1
+      // (unit prices vary) — tie-heavy on the 50-value quantity side,
+      // exercising the average-rank fold; both carriers NDV-bounded
+      // (integral qty, cent prices)
+      Hygiene.spearmanCorr(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents")),
+        "qty", "cents")),
     "q_dp_sensitivity" -> ((s, dir) =>
       // the pre-release read for a user-level DP aggregate: per
       // event_type, how hard can ONE user move the count (max_user_rows)
@@ -6869,6 +6881,35 @@ object SparkEntry {
         |            THEN (1000000 * SUM(np * (2 * cumnn + nn)))
         |                 // (2 * SUM(np) * SUM(nn)) END AS BIGINT) AS auc_ppm
         |FROM u GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_spearman" ->
+      // identical doubled average ranks off distinct-value frames,
+      // HUGEINT moment algebra, one correctly-rounded sqrt/div at 6 dp
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |rx AS (
+        |  SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS r2x
+        |  FROM (SELECT x, COUNT(*) AS cnt FROM v GROUP BY x)),
+        |ry AS (
+        |  SELECT y, 2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1 AS r2y
+        |  FROM (SELECT y, COUNT(*) AS cnt FROM v GROUP BY y)),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |         SUM(CAST(r2x AS HUGEINT)) AS sa,
+        |         SUM(CAST(r2y AS HUGEINT)) AS sb,
+        |         SUM(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS saa,
+        |         SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sbb,
+        |         SUM(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sab
+        |  FROM v JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |       CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+        |             AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+        |            THEN ROUND(CAST(n * sab - sa * sb AS DOUBLE) /
+        |                 (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+        |                  sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) + 0.0
+        |            END AS rho
+        |FROM m""".stripMargin,
     "q_dp_sensitivity" ->
       // the same two-level aggregation: per-(type, user) exact moments,
       // then the per-type maxima and the dominance share

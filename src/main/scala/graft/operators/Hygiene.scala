@@ -965,6 +965,56 @@ object Hygiene {
           .as("auc_ppm"))
   }
 
+  /** Spearman rank correlation between two columns (Spearman 1904) —
+    * the MONOTONE-association audit to [[scoreAuc]]'s discrimination
+    * read: do two quality scores agree on ordering at all, robust to any
+    * monotone rescaling and to outliers (where Pearson on raw values is
+    * neither). Ties get average ranks (the exact tie-corrected form ρ =
+    * Pearson on ranks); doubled ranks (2·cum − cnt + 1) keep the
+    * half-integer averages integral, and the factor cancels in ρ.
+    *
+    * Computed without a corpus-wide rank window (the [[scoreAuc]]
+    * discipline): per column, ranks fold on the DISTINCT-value frame
+    * (one map-side-combined agg, one ordered window bounded by the
+    * column's NDV — callers pass NDV-bounded carriers: ppm scores,
+    * bucketed/decimal measures, never raw doubles), joined back
+    * value-keyed. Moments are DECIMAL(38,0)-fenced (Σr² ≈ 4n³ and the
+    * n·Σr² products pass int64 early); the only floats are the final
+    * correctly-rounded sqrt/div, 6-dp rounded (house float rule).
+    *
+    * Reference scope note: no counterpart in the reference engine
+    * (SUM/COUNT rollups only, `handler.go:139-153`); extension-mandate
+    * operator for scorer-agreement audits.
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val v = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def ranks2(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+      v.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .select(col(c),
+          (lit(2L) * sum(col("cnt")).over(w) - col("cnt") + lit(1L))
+            .cast("decimal(38,0)").as(s"r2$c"))
+    }
+    val dec = "decimal(38,0)"
+    v.join(ranks2("x"), Seq("x")).join(ranks2("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sa"), sum(col("r2y")).as("sb"),
+        sum(col("r2x") * col("r2x")).as("saa"),
+        sum(col("r2y") * col("r2y")).as("sbb"),
+        sum(col("r2x") * col("r2y")).as("sab"))
+      .withColumn("covn",
+        (col("n").cast(dec) * col("sab") - col("sa") * col("sb")).cast("double"))
+      .withColumn("vx",
+        (col("n").cast(dec) * col("saa") - col("sa") * col("sa")).cast("double"))
+      .withColumn("vy",
+        (col("n").cast(dec) * col("sbb") - col("sb") * col("sb")).cast("double"))
+      .select(col("n").as("n_rows"),
+        when(col("vx") > 0.0 && col("vy") > 0.0,
+          round(col("covn") / (sqrt(col("vx")) * sqrt(col("vy"))), 6)
+            + lit(0.0)).as("rho"))
+  }
+
   /** User-level differential-privacy sensitivity audit (Dwork et al.
     * 2006's sensitivity calculus applied at the USER grain — the unit
     * that matters for training-data releases; Amin et al. 2019 on the

@@ -4317,6 +4317,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       r1.toString)
   }
 
+  test("spearman: monotone ±1, tie-averaged ranks closed form") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val r = Hygiene.spearmanCorr(rows.toDF("x", "y"), "x", "y")
+        .collect().head
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))
+    }
+    // any monotone transform scores exactly ±1
+    assert(rho((1L to 5L).map(i => (i, i * i))) == ((5L, Some(1.0))))
+    assert(rho((1L to 5L).map(i => (i, -i))) == ((5L, Some(-1.0))))
+    // tie on x: avg-rank algebra by hand — x ranks (1.5, 1.5, 3), y
+    // ranks (1, 2, 3) → ρ = 18/√(18·24) = 0.8660254 → 0.866025
+    assert(rho(Seq((1L, 3L), (1L, 4L), (2L, 5L))) == ((3L, Some(0.866025))))
+    // constant column: zero variance → NULL, not NaN across the gate
+    assert(rho(Seq((7L, 1L), (7L, 2L), (7L, 3L))) == ((3L, None)))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

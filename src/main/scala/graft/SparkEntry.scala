@@ -3478,6 +3478,14 @@ object SparkEntry {
       // via Σe = n), exact ppm integers — a high value means per-source
       // language skew that temperature mixing must account for
       Hygiene.chiSquareAudit(t(s, dir, "documents"), "source", "lang")),
+    "q_cramers_matrix" -> ((s, dir) =>
+      // which metadata columns encode the same thing: the pairwise
+      // Cramér's V² effect-size matrix over three lineitem categoricals
+      // — returnflag↔linestatus are date-coupled (high V²), linenumber
+      // is near-independent of both (V² ≈ 0, the clamp-at-zero edge)
+      Hygiene.cramersVMatrix(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_a"), col("col_b"))),
     "text_source_concentration" -> ((s, dir) =>
       // the datasheet concentration row: top-1/top-5 source shares + HHI
       // in exact ppm integers — catches the three-domain "web-scale"
@@ -8895,6 +8903,40 @@ object SparkEntry {
         |            + SUM((1000000 * dev * dev) // (n * ra * cb))
         |            - SUM((1000000 * ra * cb) // n) AS BIGINT) AS chi2_ppm
         |FROM t""".stripMargin,
+    "q_cramers_matrix" -> {
+      // one chi² fold per pair, generated from a single template so the
+      // three subqueries cannot drift; HUGEINT-fenced products (10⁶·dev²
+      // passes int64 at lineitem scale), clamp-at-zero before the //
+      val pairs = Seq(("l_returnflag", "l_linestatus"),
+        ("l_returnflag", "l_linenumber"), ("l_linestatus", "l_linenumber"))
+      val per = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n_rows, n_a, n_b, chi2_ppm,
+           |  CASE WHEN n_rows > 0 AND least(n_a, n_b) > 1
+           |       THEN greatest(chi2_ppm, 0) // (n_rows * (least(n_a, n_b) - 1))
+           |       END AS v2_ppm
+           |FROM (
+           |  SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+           |         CAST(COUNT(DISTINCT va) AS BIGINT) AS n_a,
+           |         CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_b,
+           |         CAST(CAST(1000000 AS HUGEINT) * MIN(n)
+           |              + SUM((CAST(1000000 AS HUGEINT) * CAST(dev AS HUGEINT)
+           |                     * CAST(dev AS HUGEINT))
+           |                    // (CAST(n AS HUGEINT) * ra * cb))
+           |              - SUM((CAST(1000000 AS HUGEINT) * ra * cb) // n)
+           |           AS BIGINT) AS chi2_ppm
+           |  FROM (
+           |    SELECT cells.va, cells.vb, cells.o, ra.ra, cb.cb, tot.n,
+           |           cells.o * tot.n - ra.ra * cb.cb AS dev
+           |    FROM (SELECT $a AS va, $b AS vb, CAST(COUNT(*) AS BIGINT) AS o
+           |          FROM lineitem GROUP BY 1, 2) cells
+           |    JOIN (SELECT $a AS va, CAST(COUNT(*) AS BIGINT) AS ra
+           |          FROM lineitem GROUP BY 1) ra USING (va)
+           |    JOIN (SELECT $b AS vb, CAST(COUNT(*) AS BIGINT) AS cb
+           |          FROM lineitem GROUP BY 1) cb USING (vb)
+           |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem) tot))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) ORDER BY col_a, col_b"
+    },
     "text_source_concentration" ->
       // identical integral-div shares and HHI over the bounded counts
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n

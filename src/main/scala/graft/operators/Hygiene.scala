@@ -687,6 +687,41 @@ object Hygiene {
         (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** Cramér's V association matrix (Cramér 1946) — [[chiSquareAudit]]
+    * normalized onto [0,1] and swept over every unordered pair of a
+    * BOUNDED audit-column list: χ² grows with n so raw χ² values are
+    * incomparable across pairs, while V² = χ²/(n·(min(k_a,k_b)−1)) is
+    * the effect size that answers "which metadata columns encode the
+    * same thing" (redundant stratifiers, leaky label proxies) in one
+    * read. Reported as exact integer `v2_ppm` = 10⁶·V² (floor), χ²
+    * alongside for the significance read — no sqrt crosses the gate.
+    *
+    * Scale: |cols|²/2 independent [[chiSquareAudit]] folds (each one
+    * map-side-combined cell agg + broadcast margins, one output row);
+    * cols is a handful of audit columns by contract, the per-pair NDV
+    * product bounded as in the parent.
+    *
+    * Reference scope note: no counterpart in the reference engine
+    * (SUM/COUNT rollups only, `handler.go:139-153`); extension-mandate.
+    */
+  def cramersVMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2..16 audit columns: ${cols.size}")
+    cols.combinations(2).map { pair =>
+      val (a, b) = (pair.head, pair.last)
+      chiSquareAudit(df, a, b)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n_rows"),
+          col("n_a"), col("n_b"), col("chi2_ppm"),
+          // clamp at 0 BEFORE the division: the ppm-floored χ² can dip
+          // a few ppm negative near independence, and Spark's DIV
+          // truncates where the oracle's // floors — they only agree on
+          // non-negative operands (V² is non-negative anyway)
+          when(col("n_rows") > 0L && least(col("n_a"), col("n_b")) > 1L,
+            expr("greatest(chi2_ppm, 0) DIV (n_rows * (least(n_a, n_b) - 1))"))
+            .as("v2_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** l-diversity audit — [[kAnonAudit]]'s stronger sibling: k-anonymity
     * bounds group SIZE, but a group whose sensitive attribute is
     * constant still leaks it to anyone who can name the group

@@ -4334,6 +4334,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rho(Seq((7L, 1L), (7L, 2L), (7L, 3L))) == ((3L, None)))
   }
 
+  test("cramers v matrix: perfect pair reads 1e6, degenerate pair NULL") {
+    import spark.implicits._
+    // x≡y (perfect association → V²=1 exactly in the integer fold); z
+    // constant (min cardinality 1 → V² undefined → NULL, not div-zero)
+    val rows = Seq(("A", 1L, "k"), ("A", 1L, "k"), ("B", 2L, "k"),
+      ("B", 2L, "k")).toDF("x", "y", "z")
+    val out = Hygiene.cramersVMatrix(rows, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(out.size == 3)
+    assert(out(("x", "y")) == ((4L, 2L, 2L, Some(1000000L))), out.toString)
+    assert(out(("x", "z")) == ((4L, 2L, 1L, None)))
+    assert(out(("y", "z")) == ((4L, 2L, 1L, None)))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

@@ -2244,6 +2244,18 @@ object SparkEntry {
         // micro-units of the ORIGINAL value and keeps Σm² ≪ 2⁶³
         "event_type", "v", "event_id", scale = 100L)
         .orderBy(col("event_type"))),
+    "split_bootstrap_ci_by_key" -> ((s, dir) =>
+      // the stratified error bar next to q_jackknife_ci's variance read:
+      // per event_type, a 40-replica Poisson-bootstrap percentile CI of
+      // the mean value (x10k units) — every stage keyed, rank windows
+      // over B-bounded per-key partitions
+      Splits.bootstrapCiMeanByKey(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("event_id"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v")),
+        "event_id", "event_type", "v", b = 40)
+        .orderBy(col("event_type"))),
     "q_tcloseness_audit" -> ((s, dir) =>
       // the skew-leak audit completing the privacy ladder: per QI group,
       // ordered-EMD between the group's sensitive-level distribution and
@@ -6974,6 +6986,53 @@ object SparkEntry {
         |         ((n_replicas - 1) * (smm - 2*mbar*sm + n_replicas*mbar*mbar))
         |           // n_replicas END AS BIGINT) AS jk_var_u12
         |FROM fin ORDER BY event_type""".stripMargin,
+    "split_bootstrap_ci_by_key" ->
+      // the split_bootstrap_ci algebra with every stage keyed; HUGEINT
+      // floor-divisions (DECIMAL // would round where Spark div floors)
+      """WITH v AS (
+        |  SELECT event_type AS key, CAST(event_id AS BIGINT) AS rid,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+        |  FROM events),
+        |wts AS (
+        |  SELECT v.key, r.j, v.x,
+        |         CAST(('0x' || substring(md5(CAST(v.rid AS VARCHAR) || ':' ||
+        |           CAST(r.j AS VARCHAR)), 1, 5)) AS BIGINT) AS u
+        |  FROM v CROSS JOIN range(0, 40) r(j)),
+        |w2 AS (
+        |  SELECT key, j, x,
+        |         CASE WHEN u < 385750 THEN 0 WHEN u < 771499 THEN 1
+        |              WHEN u < 964374 THEN 2 WHEN u < 1028665 THEN 3
+        |              WHEN u < 1044738 THEN 4 WHEN u < 1047953 THEN 5
+        |              ELSE 6 END AS w
+        |  FROM wts),
+        |reps AS (
+        |  SELECT key, j, CAST(SUM(w) AS BIGINT) AS sw, SUM(w * x) AS swx
+        |  FROM w2 GROUP BY key, j),
+        |means AS (
+        |  SELECT key, j, CASE WHEN sw > 0
+        |         THEN CAST(sign(swx) AS BIGINT) *
+        |              CAST((CAST(1000000 AS HUGEINT) * abs(CAST(swx AS HUGEINT)))
+        |                // sw AS BIGINT)
+        |         ELSE 0 END AS mean_ppm
+        |  FROM reps),
+        |ranked AS (
+        |  SELECT key, mean_ppm,
+        |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY mean_ppm, j) AS rk
+        |  FROM means),
+        |ci AS (
+        |  SELECT key, MIN(CASE WHEN rk = 2 THEN mean_ppm END) AS lo_ppm,
+        |         MIN(CASE WHEN rk = 39 THEN mean_ppm END) AS hi_ppm
+        |  FROM ranked GROUP BY key),
+        |ex AS (
+        |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(sign(SUM(x)) AS BIGINT) *
+        |           CAST((CAST(1000000 AS HUGEINT) *
+        |             abs(CAST(SUM(x) AS HUGEINT))) // COUNT(*) AS BIGINT)
+        |           AS mean_ppm
+        |  FROM v GROUP BY key)
+        |SELECT ex.key AS event_type, CAST(40 AS BIGINT) AS b_reps, ex.n_rows,
+        |       ex.mean_ppm, ci.lo_ppm, ci.hi_ppm
+        |FROM ex JOIN ci USING (key) ORDER BY event_type""".stripMargin,
     "q_tcloseness_audit" ->
       // dense (group × level) grid so absent levels count as zeros, the
       // same cleared-denominator integer EMD, one cumulative window per

@@ -125,10 +125,11 @@ object Splits {
     * long (decimal-scaled upstream); sums are DECIMAL(38,0)-fenced
     * (B·n·|x| passes int64 early at corpus scale).
     */
-  def bootstrapCiMean(df: DataFrame, idCol: String, valCol: String,
-      b: Int, alphaPpm: Long = 50000L): DataFrame = {
-    require(b >= 4, s"need at least 4 replicas: $b")
-    require(alphaPpm >= 0L && alphaPpm < 1000000L, s"bad alphaPpm: $alphaPpm")
+  /** The shared replica-mean fold: `(keyCols..., j, mean_ppm)` — one
+    * exploded map-side-combined (keys, j)-group agg.
+    */
+  private def poissonReplicaMeans(df: DataFrame, idCol: String,
+      keyCols: Seq[String], valCol: String, b: Int): DataFrame = {
     // Poisson(1) CDF at k = 0..5, scaled to 2^20: u below th(k) → weight k
     val th = Seq(385750L, 771499L, 964374L, 1028665L, 1044738L, 1047953L)
     val u = expr(s"CAST(CONV(substring(md5(concat(CAST($idCol AS STRING)," +
@@ -137,18 +138,26 @@ object Splits {
       .foldLeft(lit(6L)) { case (acc, (t, k)) =>
         when(col("u") < lit(t), lit(k.toLong)).otherwise(acc)
       }
-    val reps = df
-      .select(col(idCol), col(valCol).cast("long").as("x"))
+    df
+      .select(col(idCol) +: col(valCol).cast("long").as("x")
+        +: keyCols.map(col): _*)
       .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("u", u)
       .withColumn("w", w)
-      .groupBy(col("j"))
+      .groupBy(keyCols.map(col) :+ col("j"): _*)
       .agg(sum(col("w")).as("sw"),
         sum((col("w") * col("x")).cast("decimal(38,0)")).as("swx"))
       .withColumn("mean_ppm", when(col("sw") > 0L,
         signum(col("swx")).cast("long") *
           expr("(CAST(1000000 AS DECIMAL(38,0)) * abs(swx)) div sw"))
         .otherwise(lit(0L)))
+  }
+
+  def bootstrapCiMean(df: DataFrame, idCol: String, valCol: String,
+      b: Int, alphaPpm: Long = 50000L): DataFrame = {
+    require(b >= 4, s"need at least 4 replicas: $b")
+    require(alphaPpm >= 0L && alphaPpm < 1000000L, s"bad alphaPpm: $alphaPpm")
+    val reps = poissonReplicaMeans(df, idCol, Nil, valCol, b)
     val tail = b.toLong * alphaPpm / 2000000L
     val ranked = reps.select(col("mean_ppm"),
       row_number().over(org.apache.spark.sql.expressions.Window
@@ -164,6 +173,36 @@ object Splits {
     exact.crossJoin(broadcast(ci))
       .select(lit(b.toLong).as("b_reps"), col("n_rows"), col("mean_ppm"),
         col("lo_ppm"), col("hi_ppm"))
+  }
+
+  /** [[bootstrapCiMean]] per key — the stratified read (an error bar per
+    * source/language/event-type, so the "corpus mean moved" alarm can
+    * say WHICH stratum moved beyond its own noise). Identical replica
+    * algebra with every stage keyed: the (key, j)-group agg shares one
+    * exchange shape, and the rank window runs over each key's B replica
+    * means (B-bounded partitions, never the corpus).
+    */
+  def bootstrapCiMeanByKey(df: DataFrame, idCol: String, keyCol: String,
+      valCol: String, b: Int, alphaPpm: Long = 50000L): DataFrame = {
+    require(b >= 4, s"need at least 4 replicas: $b")
+    require(alphaPpm >= 0L && alphaPpm < 1000000L, s"bad alphaPpm: $alphaPpm")
+    val reps = poissonReplicaMeans(df, idCol, Seq(keyCol), valCol, b)
+    val tail = b.toLong * alphaPpm / 2000000L
+    val ranked = reps.select(col(keyCol), col("mean_ppm"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))
+        .orderBy(col("mean_ppm"), col("j"))).as("rk"))
+    val ci = ranked.groupBy(col(keyCol)).agg(
+      min(when(col("rk") === lit(tail + 1L), col("mean_ppm"))).as("lo_ppm"),
+      min(when(col("rk") === lit(b.toLong - tail), col("mean_ppm"))).as("hi_ppm"))
+    val exact = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_rows"),
+      (signum(sum(col(valCol))).cast("long") * expr(
+        s"(CAST(1000000 AS DECIMAL(38,0)) * abs(CAST(SUM($valCol) AS " +
+          "DECIMAL(38,0)))) div COUNT(*)")).as("mean_ppm"))
+    exact.join(ci, Seq(keyCol))
+      .select(col(keyCol), lit(b.toLong).as("b_reps"), col("n_rows"),
+        col("mean_ppm"), col("lo_ppm"), col("hi_ppm"))
   }
 
   /** Leave-one-out target encoding — the leakage-free categorical

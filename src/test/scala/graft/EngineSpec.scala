@@ -4315,6 +4315,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getLong(3) <= r1.getLong(4), r1.toString)
     assert(r1.getLong(3) <= r1.getLong(2) && r1.getLong(2) <= r1.getLong(4),
       r1.toString)
+    // keyed form: per-key constants collapse per key independently
+    val kc = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", if (i % 2 == 0) 3L else 9L))
+      .toDF("id", "k", "x")
+    val byK = Splits.bootstrapCiMeanByKey(kc, "id", "k", "x", b = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(byK == Map(
+      "a" -> ((8L, 50L, 3000000L, 3000000L, 3000000L)),
+      "b" -> ((8L, 50L, 9000000L, 9000000L, 9000000L))), byK.toString)
   }
 
   test("spearman: monotone ±1, tie-averaged ranks closed form") {

@@ -3018,6 +3018,12 @@ object SparkEntry {
       // combined token count + a 500-row take-ordered head; regression
       // sums decimal-fenced — the corpus-datasheet naturalness signal
       TextAnalysis.zipfFit(t(s, dir, "documents"), topN = 500)),
+    "text_vocab_growth" -> ((s, dir) =>
+      // Heaps-law growth curve: 8 nested md5-prefix samples, vocab and
+      // token mass per prefix plus the fitted β in exact ppm — one token
+      // pass, everything after folds on ≤256-row frames
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"))
+        .orderBy(col("k_num"))),
     "text_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail quality buckets: per-LANGUAGE score-quantile
       // thresholds (approx_percentile — bounded mergeable buffer, rank-exact
@@ -8203,6 +8209,46 @@ object SparkEntry {
         |           // greatest(len(string_split(lower(text), ' ')), 1)
         |         AS flesch_m3
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab_growth" ->
+      // identical nested-prefix fold: per-token MIN doc bucket, per-bucket
+      // token mass, 8 prefix sums; ln pre-quantized to integer micro-units
+      // before the all-integer OLS, one ppm division at the end
+      """WITH d AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |           AS BIGINT) AS bkt,
+        |         string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |bt AS (SELECT bkt, CAST(SUM(len(toks)) AS BIGINT) AS nt
+        |       FROM d GROUP BY bkt),
+        |tm AS (SELECT term, MIN(bkt) AS mb
+        |       FROM (SELECT bkt, unnest(toks) AS term FROM d) GROUP BY term),
+        |mc AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS nv FROM tm GROUP BY mb),
+        |ks AS (SELECT * FROM (VALUES (2), (4), (8), (16), (32), (64), (128),
+        |         (256)) t(k)),
+        |pn AS (SELECT ks.k, CAST(COALESCE(SUM(bt.nt), 0) AS BIGINT) AS n_tokens
+        |       FROM ks LEFT JOIN bt ON bt.bkt < ks.k GROUP BY ks.k),
+        |pv AS (SELECT ks.k, CAST(COALESCE(SUM(mc.nv), 0) AS BIGINT) AS vocab
+        |       FROM ks LEFT JOIN mc ON mc.mb < ks.k GROUP BY ks.k),
+        |pts AS (SELECT k, n_tokens, vocab FROM pn JOIN pv USING (k)),
+        |lp AS (SELECT
+        |         CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+        |         CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+        |       FROM pts WHERE n_tokens > 0 AND vocab > 0),
+        |fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS p,
+        |               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |        FROM lp),
+        |beta AS (SELECT CASE WHEN p >= 2 AND (p * sxx - sx * CAST(sx AS HUGEINT)) > 0
+        |                THEN CAST(sign(p * sxy - sx * CAST(sy AS HUGEINT)) AS BIGINT) *
+        |                     CAST((CAST(1000000 AS HUGEINT) *
+        |                           abs(p * sxy - sx * CAST(sy AS HUGEINT)))
+        |                          // (p * sxx - sx * CAST(sx AS HUGEINT)) AS BIGINT)
+        |                END AS beta_ppm
+        |         FROM fit)
+        |SELECT CAST(pts.k AS BIGINT) AS k_num, pts.n_tokens, pts.vocab,
+        |       beta.beta_ppm
+        |FROM pts CROSS JOIN beta ORDER BY k_num""".stripMargin,
     "text_zipf_fit" ->
       // identical bounded regression: ln of exact integers fenced at 8,
       // products at 12, all four sums in DECIMAL(38,12) (order-free),

@@ -1702,4 +1702,69 @@ object TextAnalysis {
              col("sx").cast("double")) / col("n").cast("double"), 6)
         .as("intercept"))
   }
+
+  /** Heaps-law vocabulary-growth curve (Heaps 1978; Herdan 1960) —
+    * [[zipfFit]]'s companion scaling law and the "how much NEW text is
+    * left in this source" read: vocabulary grows as V(N) ≈ K·N^β
+    * (β ≈ 0.4–0.6 for natural language), so a source whose β collapses
+    * is recycling itself (template/boilerplate farms) and the fitted
+    * curve extrapolates dedup yield before you crawl more of it.
+    *
+    * Sampling is md5-prefix NESTED (the [[graft.operators.Splits]]
+    * bucket discipline): the 8 growth points are doc-bucket prefixes
+    * k ∈ {2,4,…,256}/256, so each sample contains the previous one —
+    * a growth CURVE, not 8 independent samples. The whole curve costs
+    * ONE token pass: per token its MINIMUM doc bucket (first prefix
+    * that contains it — V(k) = #{tokens: mb < k} by nesting), per
+    * bucket its token mass (N(k) = prefix-sum) — both fold to ≤256-row
+    * frames, then everything is broadcast arithmetic. β is the log-log
+    * OLS slope over the 8 points with each ln pre-quantized to integer
+    * micro-units (the psi ln-fence: quantize before accumulating so
+    * last-ulp libm differences cannot cross the gate), and the fit
+    * itself is exact integer arithmetic ending in one ppm division.
+    *
+    * Reference scope note: no counterpart in the reference engine
+    * (SUM/COUNT rollups only, `handler.go:139-153`); extension-mandate.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(
+      expr(s"CAST(CONV(substring(md5(CAST($idCol AS STRING)), 1, 2), 16, 10)" +
+        " AS BIGINT)").as("bkt"),
+      tokens(col(textCol)).as("toks"))
+    val byBkt = perDoc
+      .select(col("bkt"), size(col("toks")).cast("long").as("nt"))
+      .groupBy(col("bkt")).agg(sum(col("nt")).as("nt"))
+    val mbCnt = perDoc.select(col("bkt"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("bkt")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("nv"))
+    val ks = docs.sparkSession.range(1, 9)
+      .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("k"))
+    val pts = ks
+      .join(broadcast(byBkt), col("bkt") < col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+      .join(ks.join(broadcast(mbCnt), col("mb") < col("k"), "left")
+        .groupBy(col("k")).agg(coalesce(sum(col("nv")), lit(0L)).as("vocab")),
+        Seq("k"))
+    val lp = pts.filter(col("n_tokens") > 0L && col("vocab") > 0L)
+      .select(
+        expr("CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+          .as("x"),
+        expr("CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+          .as("y"))
+    val fit = lp
+      .agg(count(lit(1)).as("p"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        (col("p") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("p") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("p"))
+      .select(when(col("p") >= 2L && col("den") > 0L,
+        signum(col("num")).cast("long") * expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * abs(CAST(num AS DECIMAL(38,0))))" +
+            " div den")).as("beta_ppm"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("k").as("k_num"), col("n_tokens"), col("vocab"),
+        col("beta_ppm"))
+  }
 }

@@ -4360,6 +4360,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("y", "z")) == ((4L, 2L, 1L, None)))
   }
 
+  test("vocab growth: nested prefixes, full-corpus point, unique-token beta=1e6") {
+    import spark.implicits._
+    // every token globally unique → V(N) ≡ N on every nested prefix →
+    // the log-log points sit exactly on y = x → β is exactly 10⁶ (the
+    // fit is integer arithmetic, so EXACT, not approximately 1)
+    val docs = (1L to 50L).map(i => (i, s"t${i}a t${i}b t${i}c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs).orderBy("k_num").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L))
+    // nested prefixes → both curves monotone non-decreasing
+    assert(out.sliding(2).forall(p => p(0)._2 <= p(1)._2 && p(0)._3 <= p(1)._3))
+    // the k=256 prefix is the whole corpus: 150 tokens, 150 distinct
+    assert(out.last._2 == 150L && out.last._3 == 150L)
+    assert(out.forall(_._4 == 1000000L), out.mkString(","))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

@@ -127,6 +127,17 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))),
+    "du_gini" -> ((s, dir) =>
+      // how unevenly is usage spread across addresses: exact-ppm Gini
+      // over the A1 per-user rollup (x10k micro-units) — the ordered
+      // fold runs on the UNIT frame, never raw objects
+      Hygiene.giniIndex(
+        t(s, dir, "events")
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(18, 4)) * 10000)
+              .cast("long").as("v"))
+          .groupBy(col("user_id")).agg(sum(col("v")).as("v")),
+        "v")),
     "du_point_lookup" -> ((s, dir) => {
       // GetDiskUsage equality probe (handler.go:257-262) as an engine predicate.
       val inv = t(s, dir, "events").select(
@@ -4525,6 +4536,27 @@ object SparkEntry {
         |       COUNT(*) AS number_files
         |FROM inv WHERE key LIKE '%/%'
         |GROUP BY 1 ORDER BY address""".stripMargin,
+    "du_gini" ->
+      // identical distinct-value rank-mass fold in HUGEINT; // floors on
+      // non-negatives exactly like Spark's decimal div
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+        |           AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM u WHERE v IS NOT NULL AND v >= 0 GROUP BY v),
+        |cw AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cumc FROM cells),
+        |agg AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
+        |               SUM(CAST(v AS HUGEINT) * c) AS t,
+        |               SUM(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * (cumc - c)
+        |                   + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS s
+        |        FROM cw)
+        |SELECT CAST(n AS BIGINT) AS n_units, CAST(t AS BIGINT) AS total,
+        |       CAST(CASE WHEN n > 0 AND t > 0
+        |            THEN (CAST(1000000 AS HUGEINT) * (2 * s - (n + 1) * t))
+        |                 // (n * t) END AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin,
     "du_group_by_user" ->
       """SELECT user_id,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,

@@ -722,6 +722,44 @@ object Hygiene {
     }.reduce(_ unionAll _)
   }
 
+  /** Gini index of a non-negative measure (Gini 1912, via the exact
+    * sorted-rank identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx)) — the
+    * inequality number [[sourceConcentration]]'s HHI approximates: how
+    * unevenly is storage / token mass / compute spread across units
+    * (addresses, sources, users). 0 = perfectly even, →10⁶ = one unit
+    * holds everything. Integer-exact in ppm: rank mass folds per
+    * DISTINCT value (a block of c equal values at prior cumulative C
+    * contributes v·(c·C + c(c+1)/2) — no per-row rank window), sums
+    * DECIMAL(38,0)-fenced (Σi·x ≈ n²·max(x)/2 passes int64 early).
+    *
+    * Intended input is an already-AGGREGATED per-unit frame (the
+    * [[graft.operators.DiskUsageOp]] rollup, per-source token totals),
+    * so the ordered window runs over the unit frame's distinct values —
+    * units-bounded, never the raw corpus. Negative values are excluded
+    * by contract (sizes/counts); rows with NULL likewise.
+    *
+    * Reference scope note: composes over the reference's A1 rollup
+    * (`handler.go:231-251`); the index itself is extension-mandate.
+    */
+  def giniIndex(df: DataFrame, valCol: String): DataFrame = {
+    val cells = df.select(col(valCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0L)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+    cells.withColumn("cumc", sum(col("c")).over(w))
+      .agg(sum(col("c")).as("n"),
+        sum((col("v") * col("c")).cast("decimal(38,0)")).as("t"),
+        sum(expr(
+          "CAST(v AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) *" +
+            " CAST(cumc - c AS DECIMAL(38,0)) + (CAST(c AS DECIMAL(38,0)) *" +
+            " CAST(c + 1 AS DECIMAL(38,0))) div 2)")).as("s"))
+      .select(col("n").as("n_units"), col("t").cast("long").as("total"),
+        when(col("n") > 0L && col("t") > lit(0).cast("decimal(38,0)"), expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * (2 * s - (CAST(n AS" +
+            " DECIMAL(38,0)) + 1) * t)) div (CAST(n AS DECIMAL(38,0)) * t)"))
+          .as("gini_ppm"))
+  }
+
   /** l-diversity audit — [[kAnonAudit]]'s stronger sibling: k-anonymity
     * bounds group SIZE, but a group whose sensitive attribute is
     * constant still leaks it to anyone who can name the group

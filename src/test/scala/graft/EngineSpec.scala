@@ -4377,6 +4377,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_._4 == 1000000L), out.mkString(","))
   }
 
+  test("gini index: hand cases — even 0, skewed 2/3, tie blocks exact") {
+    import spark.implicits._
+    def g(xs: Seq[Long]): (Long, Long, Option[Long]) = {
+      val r = Hygiene.giniIndex(xs.toDF("v"), "v").collect().head
+      (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))
+    }
+    // [0,0,10]: ranks 1,2,3 → (2·30 − 4·10)/(3·10) = 2/3 → 666666 ppm;
+    // the v=0 tie block exercises the c·C + c(c+1)/2 rank-mass fold
+    assert(g(Seq(0L, 0L, 10L)) == ((3L, 10L, Some(666666L))))
+    // perfectly even and singleton both read exactly 0
+    assert(g(Seq(5L, 5L, 5L)) == ((3L, 15L, Some(0L))))
+    assert(g(Seq(7L)) == ((1L, 7L, Some(0L))))
+    // all-zero total → NULL (undefined), not a div-by-zero
+    assert(g(Seq(0L, 0L)) == ((2L, 0L, None)))
+    // negatives excluded by contract
+    assert(g(Seq(-3L, 4L, 4L)) == ((2L, 8L, Some(0L))))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

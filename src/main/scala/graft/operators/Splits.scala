@@ -125,10 +125,13 @@ object Splits {
     * long (decimal-scaled upstream); sums are DECIMAL(38,0)-fenced
     * (B·n·|x| passes int64 early at corpus scale).
     */
-  /** The shared replica-mean fold: `(keyCols..., j, mean_ppm)` — one
-    * exploded map-side-combined (keys, j)-group agg.
+  /** The shared replica PARTIALS fold: `(keyCols..., j, sw, swx)` — one
+    * exploded map-side-combined (keys, j)-group agg. The partials are
+    * ADDITIVE (plain sums), which is what lets the streaming twin
+    * ([[graft.streaming.BootstrapStream]]) fold them across micro-batches
+    * and still serve the batch operator's exact CI.
     */
-  private def poissonReplicaMeans(df: DataFrame, idCol: String,
+  private[graft] def poissonReplicaPartials(df: DataFrame, idCol: String,
       keyCols: Seq[String], valCol: String, b: Int): DataFrame = {
     // Poisson(1) CDF at k = 0..5, scaled to 2^20: u below th(k) → weight k
     val th = Seq(385750L, 771499L, 964374L, 1028665L, 1044738L, 1047953L)
@@ -147,24 +150,41 @@ object Splits {
       .groupBy(keyCols.map(col) :+ col("j"): _*)
       .agg(sum(col("w")).as("sw"),
         sum((col("w") * col("x")).cast("decimal(38,0)")).as("swx"))
-      .withColumn("mean_ppm", when(col("sw") > 0L,
-        signum(col("swx")).cast("long") *
-          expr("(CAST(1000000 AS DECIMAL(38,0)) * abs(swx)) div sw"))
-        .otherwise(lit(0L)))
   }
+
+  /** The sign-safe replica-mean expression over `(sw, swx)` partials. */
+  private[graft] def replicaMeanCol: Column = when(col("sw") > 0L,
+    signum(col("swx")).cast("long") *
+      expr("(CAST(1000000 AS DECIMAL(38,0)) * abs(swx)) div sw"))
+    .otherwise(lit(0L))
+
+  /** Unkeyed percentile CI over `(j, sw, swx)` partials: one
+    * `(lo_ppm, hi_ppm)` row — shared by the batch operator and the
+    * streaming serve so the interval algebra cannot drift.
+    */
+  private[graft] def ciFromReplicaPartials(partials: DataFrame, b: Int,
+      alphaPpm: Long): DataFrame = {
+    val tail = b.toLong * alphaPpm / 2000000L
+    partials.withColumn("mean_ppm", replicaMeanCol)
+      .select(col("mean_ppm"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean_ppm"), col("j"))).as("rk"))
+      .agg(
+        min(when(col("rk") === lit(tail + 1L), col("mean_ppm"))).as("lo_ppm"),
+        min(when(col("rk") === lit(b.toLong - tail), col("mean_ppm"))).as("hi_ppm"))
+  }
+
+  private def poissonReplicaMeans(df: DataFrame, idCol: String,
+      keyCols: Seq[String], valCol: String, b: Int): DataFrame =
+    poissonReplicaPartials(df, idCol, keyCols, valCol, b)
+      .withColumn("mean_ppm", replicaMeanCol)
 
   def bootstrapCiMean(df: DataFrame, idCol: String, valCol: String,
       b: Int, alphaPpm: Long = 50000L): DataFrame = {
     require(b >= 4, s"need at least 4 replicas: $b")
     require(alphaPpm >= 0L && alphaPpm < 1000000L, s"bad alphaPpm: $alphaPpm")
-    val reps = poissonReplicaMeans(df, idCol, Nil, valCol, b)
-    val tail = b.toLong * alphaPpm / 2000000L
-    val ranked = reps.select(col("mean_ppm"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("mean_ppm"), col("j"))).as("rk"))
-    val ci = ranked.agg(
-      min(when(col("rk") === lit(tail + 1L), col("mean_ppm"))).as("lo_ppm"),
-      min(when(col("rk") === lit(b.toLong - tail), col("mean_ppm"))).as("hi_ppm"))
+    val ci = ciFromReplicaPartials(
+      poissonReplicaPartials(df, idCol, Nil, valCol, b), b, alphaPpm)
     val exact = df.agg(
       count(lit(1)).as("n_rows"),
       (signum(sum(col(valCol))).cast("long") * expr(

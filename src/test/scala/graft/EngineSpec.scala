@@ -4395,6 +4395,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g(Seq(-3L, 4L, 4L)) == ((2L, 8L, Some(0L))))
   }
 
+  test("bootstrap stream: additive partials serve the batch CI, any split") {
+    import spark.implicits._
+    import graft.streaming.BootstrapStream
+    val all = (1L to 300L).map(i => (i, (i % 83) * 500L))
+    val expect = Splits.bootstrapCiMean(all.toDF("id", "x"), "id", "x",
+      b = 16).collect().head.toSeq
+    for (nBatches <- Seq(1, 4)) {
+      val store = new BootstrapStream.BootstrapStore(spark, "id", "x", b = 16)
+      val per = math.ceil(all.size.toDouble / nBatches).toInt
+      all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("id", "x"), i.toLong)
+      }
+      // the served row must equal the BATCH operator over the union of
+      // all delivered rows — shared partials + shared CI fold
+      assert(store.current.collect().head.toSeq == expect,
+        s"nBatches=$nBatches: ${store.current.collect().head} vs $expect")
+      // replay guard: re-delivering a folded batch must not move sums
+      assert(!store.merge(all.toDF("id", "x"), 0L))
+      assert(store.current.collect().head.toSeq == expect)
+    }
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

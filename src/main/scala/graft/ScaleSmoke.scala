@@ -708,6 +708,59 @@ object ScaleSmoke {
           .select(col("auc_ppm")).collect().head.getLong(0)
       }
     }
+
+    // Round-13 extras: the audit/statistics family at 5–20M rows. Every
+    // shape is either a map-side-combined agg onto a bounded frame
+    // (benford: 9 digits; cramérs: NDV-product cells), an explode whose
+    // shuffle is replica-bounded (bootstrap: partitions×B partial rows),
+    // or a rank fold whose ordered window runs on the DISTINCT-value
+    // frame — spearman/gini price that contract honestly at 10⁶/5·10⁶
+    // distinct values (single-task sort of the bounded frame, never the
+    // corpus). Consumers filter ON computed columns (the r13 lesson:
+    // a bare count lets Catalyst prune the chain).
+    if (enabled("r13x")) {
+      timed("r13x benford 20M") {
+        val d = spark.range(20000000L)
+          .select((pmod(xxhash64(col("id")), lit(999983L)) + 1L).as("v"))
+        graft.operators.Hygiene.benfordAudit(d, "v")
+          .filter(col("obs_ppm") >= 0L).count()
+      }
+      timed("r13x bootstrap ci 5M x B40") {
+        val d = spark.range(5000000L).select(col("id"),
+          pmod(xxhash64(col("id")), lit(100000L)).as("x"))
+        graft.operators.Splits.bootstrapCiMean(d, "id", "x", b = 40)
+          .filter(col("hi_ppm") >= col("lo_ppm")).count()
+      }
+      timed("r13x spearman 20M x 1e6 ndv") {
+        val d = spark.range(20000000L)
+          .select(pmod(xxhash64(col("id")), lit(1000000L)).as("x0"))
+          .select(col("x0"), (col("x0") * 3L +
+            pmod(xxhash64(col("x0") + 5L), lit(500000L))).as("y0"))
+        graft.operators.Hygiene.spearmanCorr(d, "x0", "y0")
+          .filter(col("rho").isNotNull).count()
+      }
+      timed("r13x cramers 20M 3cols") {
+        // ka/kb/kc: chiSquareAudit uses ra/cb internally for margins —
+        // a user column literally named "cb" would be ambiguous
+        val d = spark.range(20000000L).select(
+          pmod(xxhash64(col("id")), lit(7L)).cast("string").as("ka"),
+          pmod(xxhash64(col("id") + 3L), lit(5L)).cast("string").as("kb"),
+          (pmod(xxhash64(col("id")), lit(7L)) % 3L).cast("string").as("kc"))
+        graft.operators.Hygiene.cramersVMatrix(d, Seq("ka", "kb", "kc"))
+          .filter(col("v2_ppm").isNotNull).count()
+      }
+      timed("r13x gini 5M units") {
+        val d = spark.range(5000000L)
+          .select(pmod(xxhash64(col("id")), lit(10000000L)).as("v"))
+        graft.operators.Hygiene.giniIndex(d, "v")
+          .filter(col("gini_ppm").isNotNull).count()
+      }
+      timed("r13x vocab growth 50k docs") {
+        graft.operators.TextAnalysis
+          .vocabGrowth(spark.read.parquet(s"$dir/documents"))
+          .filter(col("n_tokens") >= 0L).count()
+      }
+    }
     spark.stop()
   }
 }

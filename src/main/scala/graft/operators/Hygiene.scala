@@ -607,10 +607,12 @@ object Hygiene {
     * throughout.
     */
   def chiSquareAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
-    val ra = cells.groupBy(col(aCol)).agg(sum(col("o")).as("ra"))
-    val cb = cells.groupBy(col(bCol)).agg(sum(col("o")).as("cb"))
-    val tot = cells.agg(sum(col("o")).as("n"))
+    // underscore-prefixed internals: a user column literally named "ra"
+    // or "cb" must not collide with the margin aliases
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("_g_o"))
+    val ra = cells.groupBy(col(aCol)).agg(sum(col("_g_o")).as("_g_ra"))
+    val cb = cells.groupBy(col(bCol)).agg(sum(col("_g_o")).as("_g_cb"))
+    val tot = cells.agg(sum(col("_g_o")).as("_g_n"))
     cells
       .join(broadcast(ra), Seq(aCol))
       .join(broadcast(cb), Seq(bCol))
@@ -622,20 +624,20 @@ object Hygiene {
       // 10⁶·dev² to |dev| ≈ 10¹⁶, i.e. n up to ~2·10⁸ rows per audited
       // pair — the corpus-scale regime the operator documents. `div` on
       // decimals still yields BIGINT, so the output schema is unchanged.
-      .withColumn("dev",
-        col("o").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
-          - col("ra").cast("decimal(38,0)") * col("cb").cast("decimal(38,0)"))
-      .withColumn("t1", expr(
-        "(CAST(1000000 AS DECIMAL(38,0)) * dev * dev) div " +
-          "(CAST(n AS DECIMAL(38,0)) * CAST(ra AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))"))
-      .withColumn("t2", expr(
-        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(ra AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) div CAST(n AS DECIMAL(38,0))"))
+      .withColumn("_g_dev",
+        col("_g_o").cast("decimal(38,0)") * col("_g_n").cast("decimal(38,0)")
+          - col("_g_ra").cast("decimal(38,0)") * col("_g_cb").cast("decimal(38,0)"))
+      .withColumn("_g_t1", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * _g_dev * _g_dev) div " +
+          "(CAST(_g_n AS DECIMAL(38,0)) * CAST(_g_ra AS DECIMAL(38,0)) * CAST(_g_cb AS DECIMAL(38,0)))"))
+      .withColumn("_g_t2", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(_g_ra AS DECIMAL(38,0)) * CAST(_g_cb AS DECIMAL(38,0))) div CAST(_g_n AS DECIMAL(38,0))"))
       .agg(
-        min(col("n")).as("n_rows"),
+        min(col("_g_n")).as("n_rows"),
         countDistinct(col(aCol)).as("n_a"),
         countDistinct(col(bCol)).as("n_b"),
         count(lit(1)).as("n_observed_cells"),
-        sum(col("t1")).as("s1"), sum(col("t2")).as("s2"))
+        sum(col("_g_t1")).as("s1"), sum(col("_g_t2")).as("s2"))
       .select(col("n_rows"), col("n_a"), col("n_b"), col("n_observed_cells"),
         (lit(1000000L) * col("n_rows") + col("s1") - col("s2")).as("chi2_ppm"))
   }
@@ -733,20 +735,37 @@ object Hygiene {
     * DECIMAL(38,0)-fenced (Σi·x ≈ n²·max(x)/2 passes int64 early).
     *
     * Intended input is an already-AGGREGATED per-unit frame (the
-    * [[graft.operators.DiskUsageOp]] rollup, per-source token totals),
-    * so the ordered window runs over the unit frame's distinct values —
-    * units-bounded, never the raw corpus. Negative values are excluded
+    * [[graft.operators.DiskUsageOp]] rollup, per-source token totals).
+    * The cumulative fold over the distinct-value frame is two-level
+    * range-sharded (never a one-task global window), so even a corpus
+    * of distinct unit sizes distributes. Negative values are excluded
     * by contract (sizes/counts); rows with NULL likewise.
     *
     * Reference scope note: composes over the reference's A1 rollup
     * (`handler.go:231-251`); the index itself is extension-mandate.
     */
-  def giniIndex(df: DataFrame, valCol: String): DataFrame = {
+  def giniIndex(df: DataFrame, valCol: String, shards: Int = 64): DataFrame = {
     val cells = df.select(col(valCol).cast("long").as("v"))
       .filter(col("v").isNotNull && col("v") >= 0L)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-    cells.withColumn("cumc", sum(col("c")).over(w))
+    // Two-level cumulative count mass (the [[graft.operators.Splits
+    // .globalOrder]] discipline — a bare ORDER BY window would sort the
+    // whole unit frame in ONE task): range-shard by value (partition id
+    // is monotone in v), cum-sum within shard, add the broadcast
+    // prefix-sum of lower shards' count mass. The localCheckpoint pins
+    // the SAMPLED range boundaries so the offsets branch and the main
+    // branch cannot disagree on a value's shard.
+    val sh = cells.repartitionByRange(shards, col("v"))
+      .withColumn("shard", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("shard")).orderBy(col("v"))
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sh.groupBy(col("shard")).agg(sum(col("c")).as("shard_c"))
+      .withColumn("c_off", coalesce(sum(col("shard_c")).over(wOff), lit(0L)))
+      .select(col("shard"), col("c_off"))
+    sh.join(broadcast(offsets), Seq("shard"))
+      .withColumn("cumc", col("c_off") + sum(col("c")).over(wLoc))
       .agg(sum(col("c")).as("n"),
         sum((col("v") * col("c")).cast("decimal(38,0)")).as("t"),
         sum(expr(

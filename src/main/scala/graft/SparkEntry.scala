@@ -1617,6 +1617,17 @@ object SparkEntry {
           rebaseDay = 19723L)
         .orderBy(col("user_id"))
     }),
+    "du_robust_trend" -> ((s, dir) => {
+      // du_growth_forecast's robust twin: Theil–Sen median-of-slopes +
+      // Mann–Kendall S per address — the forecast a single backfill
+      // spike cannot own; pair space bounded by the daily-totals frame
+      val ev = Temporal.eventsMicros(s, dir).select(
+        col("user_id"), col("ts_us"),
+        floor(col("value") * 100).cast("long").as("size"))
+      Temporal.theilSenTrend(ev, keyCol = "user_id", valCol = "size",
+          rebaseDay = 19723L)
+        .orderBy(col("user_id"))
+    }),
     "dedup_stats" -> ((s, dir) => {
       // one-row corpus summary of the dedup pass — banded-LSH hot path,
       // exact-Jaccard oracle (outputs proven equal at these parameters)
@@ -6013,6 +6024,40 @@ object SparkEntry {
         |                   // (n_days*sxx - sx*sx)) AS BIGINT)
         |       END AS slope_e6
         |FROM m ORDER BY user_id""".stripMargin,
+    "du_robust_trend" ->
+      // identical daily totals, HUGEINT-fenced sign-safe pair slopes,
+      // sorted-list order statistics (even count halves the abs sum —
+      // the truncation both engines share on non-negatives)
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS x,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |d AS (SELECT user_id, x, CAST(SUM(v) AS BIGINT) AS y
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.user_id, CAST(sign(b.y - a.y) AS BIGINT) AS sgn,
+        |             CAST(sign(b.y - a.y) AS BIGINT) *
+        |               CAST((CAST(1000000 AS HUGEINT) *
+        |                 abs(CAST(b.y AS HUGEINT) - a.y)) // (b.x - a.x)
+        |                 AS BIGINT) AS slope_ppm
+        |      FROM d a JOIN d b ON a.user_id = b.user_id AND b.x > a.x),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |             CAST(SUM(sgn) AS BIGINT) AS mk_s,
+        |             list_sort(list(slope_ppm)) AS sl
+        |      FROM p GROUP BY 1),
+        |nd AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM d GROUP BY 1)
+        |SELECT nd.user_id, nd.n_days, COALESCE(g.n_pairs, 0) AS n_pairs,
+        |       g.mk_s,
+        |       CASE WHEN g.n_pairs IS NULL THEN NULL
+        |            WHEN g.n_pairs % 2 = 1
+        |              THEN sl[CAST(g.n_pairs // 2 + 1 AS INT)]
+        |            ELSE CAST(sign(sl[CAST(g.n_pairs // 2 AS INT)] +
+        |                   sl[CAST(g.n_pairs // 2 + 1 AS INT)]) AS BIGINT) *
+        |                 (abs(sl[CAST(g.n_pairs // 2 AS INT)] +
+        |                   sl[CAST(g.n_pairs // 2 + 1 AS INT)]) // 2)
+        |       END AS ts_slope_ppm
+        |FROM nd LEFT JOIN g USING (user_id) ORDER BY user_id""".stripMargin,
     "dedup_stats" -> (shingleCte +
       """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
         |       (SELECT COUNT(*) FROM p

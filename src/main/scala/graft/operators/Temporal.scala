@@ -610,6 +610,59 @@ object Temporal {
       .agg(sum(col("v")).as("y"))
   }
 
+  /** Theil–Sen robust slope + Mann–Kendall trend test (Theil 1950; Sen
+    * 1968; Mann 1945) — [[linearTrend]]'s robust twin: least squares
+    * chases one outlier day (a single backfill spike owns the slope),
+    * while the MEDIAN of pairwise slopes has a 29% breakdown point, and
+    * the Mann–Kendall S = Σ sign(y_j − y_i) tests monotone trend with
+    * no distributional assumption. Per key over the per-(key, day)
+    * totals: `(key, n_days, n_pairs, mk_s, ts_slope_ppm)`; keys with
+    * one active day emit NULL trend columns (no pair exists — the
+    * honest answer, matching linearTrend's NULL).
+    *
+    * Integer-exact: each pairwise slope is a sign-safe ppm division
+    * (DECIMAL(38,0)-fenced numerator); the median picks order
+    * statistics off the sorted slope array (even count → sign-safe
+    * halved sum — Spark DIV truncates where the oracle's // floors, so
+    * the division runs on the absolute value). Nothing floats.
+    *
+    * Scale shape: the pair space is per-key QUADRATIC in active days —
+    * bounded because the input to the pair join is the daily-totals
+    * frame ([[cusumChangepoints]]'s bucketed contract: days-per-window
+    * class, ~6.6e4 pairs for a year of dailies), never raw events. One
+    * keyed self-join + one keyed agg; the collected slope list is
+    * bounded by the same contract.
+    */
+  def theilSenTrend(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", valCol: String = "value",
+      rebaseDay: Long = 0L): DataFrame = {
+    val daily = dailyTotals(events, keyCol, tsCol, valCol, rebaseDay)
+    val a = daily.select(col(keyCol), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col(keyCol), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq(keyCol)).filter(col("x2") > col("x1"))
+      .select(col(keyCol),
+        signum(col("y2") - col("y1")).cast("long").as("sgn"),
+        (signum(col("y2") - col("y1")).cast("long") * expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * abs(CAST(y2 AS DECIMAL(38,0))" +
+            " - CAST(y1 AS DECIMAL(38,0)))) div (x2 - x1)")).as("slope_ppm"))
+    val pairAgg = pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("mk_s"),
+        sort_array(collect_list(col("slope_ppm"))).as("slopes"))
+    daily.groupBy(col(keyCol)).agg(count(lit(1)).as("n_days"))
+      .join(pairAgg, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("mk_s"),
+        expr("""CASE
+          |  WHEN n_pairs IS NULL THEN NULL
+          |  WHEN n_pairs % 2 = 1
+          |    THEN element_at(slopes, CAST(n_pairs DIV 2 + 1 AS INT))
+          |  ELSE CAST(SIGNUM(element_at(slopes, CAST(n_pairs DIV 2 AS INT))
+          |         + element_at(slopes, CAST(n_pairs DIV 2 + 1 AS INT))) AS BIGINT)
+          |       * (abs(element_at(slopes, CAST(n_pairs DIV 2 AS INT))
+          |         + element_at(slopes, CAST(n_pairs DIV 2 + 1 AS INT))) DIV 2)
+          |END""".stripMargin).as("ts_slope_ppm"))
+  }
+
   /** CUSUM mean-shift changepoint scan (Page 1954; the offline
     * max-|CUSUM| form of Hinkley 1971) over a BUCKETED series — the
     * drift question q_drift_report answers for two named snapshots,

@@ -4417,6 +4417,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theil-sen: hand slopes, outlier-proof median, single-day NULL") {
+    import spark.implicits._
+    val day = 86400L * 1000000L
+    // key A dailies y = [0, 10, 5, 30] on days 0..3 → 6 pair slopes
+    // (·10⁶): [10, 2.5, 10, −5, 10, 25]e6 sorted → even median = 10e6;
+    // MK S = +4. The −5e6 dip and the 25e6 spike both lose to the
+    // median. Key B has one day → NULL trend columns.
+    val ev = Seq(
+      (1L, 0L * day, 0L), (1L, 1L * day, 10L), (1L, 2L * day, 5L),
+      (1L, 3L * day, 30L), (2L, 0L * day, 7L))
+      .toDF("user_id", "ts_us", "value")
+    val out = Temporal.theilSenTrend(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) == ((4L, 6L, Some(4L), Some(10000000L))), out.toString)
+    assert(out(2L) == ((1L, 0L, None, None)))
+    // odd-count median and the negative-slope sign-safety: y=[9,5,1] →
+    // slopes [−4, −4, −4]e6 → median −4000000, S = −3
+    val down = Seq((3L, 0L * day, 9L), (3L, 1L * day, 5L), (3L, 2L * day, 1L))
+      .toDF("user_id", "ts_us", "value")
+    val d3 = Temporal.theilSenTrend(down).collect().head
+    assert((d3.getLong(2), d3.getLong(3), d3.getLong(4)) ==
+      ((3L, -3L, -4000000L)), d3.toString)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

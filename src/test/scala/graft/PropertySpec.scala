@@ -1071,4 +1071,78 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     graft.operators.Dedup.uncacheAll()
   }
+
+  test("spearman: symmetric, and exactly invariant under strictly monotone maps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // tie-heavy on purpose: small codomains exercise the avg-rank fold
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong)).toDF("x", "y")
+    def rho(df: org.apache.spark.sql.DataFrame): Any =
+      graft.operators.Hygiene.spearmanCorr(df, "x", "y").collect().head.get(1)
+    val base = rho(rows)
+    // ranks are all that matter: an affine positive map changes nothing,
+    // EXACTLY (integer rank algebra, not approximately)
+    assert(rho(rows.select((col("x") * 7L + 3L).as("x"), col("y"))) == base)
+    // symmetry: corr(x,y) = corr(y,x)
+    assert(rho(rows.select(col("y").as("x"), col("x").as("y"))) == base)
+    // bounded: |ρ| ≤ 1
+    assert(math.abs(base.asInstanceOf[Double]) <= 1.0)
+  }
+
+  test("gini: scale-invariant, bounded, and 0 for constants on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vs = (1 to 500).map(_ => rnd.nextInt(100000).toLong.abs)
+    def g(xs: Seq[Long]): Option[Long] = Option(graft.operators.Hygiene
+      .giniIndex(xs.toDF("v"), "v").collect().head.get(2))
+      .map(_.asInstanceOf[Long])
+    val base = g(vs)
+    // multiplying every unit by the same positive constant cancels in
+    // the (2S − (n+1)T)/(nT) rational EXACTLY, floors included
+    assert(g(vs.map(_ * 13L)) == base)
+    assert(base.exists(x => x >= 0L && x < 1000000L))
+    assert(g(Seq.fill(100)(42L)).contains(0L))
+  }
+
+  test("benford: digit masses partition the positive rows, ppm sums to ~1e6") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 400).map(_ => BigDecimal(rnd.nextInt(2000000) - 500000) / 100)
+      .toDF("v")
+    val nPos = rows.filter(col("v") > 0).count()
+    val out = graft.operators.Hygiene.benfordAudit(rows, "v").collect()
+    assert(out.map(_.getLong(1)).sum == nPos, "every positive row lands in one digit")
+    val obs = out.map(_.getLong(2)).sum
+    assert(obs <= 1000000L && obs > 1000000L - 9L, s"floor-share total: $obs")
+    assert(out.map(_.getLong(3)).sum == 1000000L)
+  }
+
+  test("cramers v matrix: v2 bounded in [0, 1e6] over random tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 500).map(_ => (s"a${rnd.nextInt(5)}", s"b${rnd.nextInt(4)}",
+      s"c${rnd.nextInt(3)}")).toDF("x", "y", "z")
+    graft.operators.Hygiene.cramersVMatrix(rows, Seq("x", "y", "z"))
+      .collect().foreach { r =>
+        val v2 = Option(r.get(6)).map(_.asInstanceOf[Long])
+        assert(v2.forall(v => v >= 0L && v <= 1000000L), r.toString)
+      }
+  }
+
+  test("vocab growth: curves monotone and beta positive on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val docs = (1L to 80L).map { i =>
+      val toks = (0 until 20).map(_ => s"w${rnd.nextInt(300)}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.vocabGrowth(docs)
+      .orderBy("k_num").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sliding(2).forall(p => p(0)._1 <= p(1)._1 && p(0)._2 <= p(1)._2))
+    assert(out.last._1 == 80L * 20L)
+    // a growing corpus with a bounded type pool: 0 < β < 1 strictly
+    assert(out.head._3 > 0L && out.head._3 < 1000000L, out.head.toString)
+  }
 }

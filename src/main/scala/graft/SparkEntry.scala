@@ -2227,6 +2227,15 @@ object SparkEntry {
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       Hygiene.scoreAucByKey(scored, "key", "s", "y").orderBy(col("key"))
     }),
+    "q_trimmed_mean" -> ((s, dir) =>
+      // robust location of line price (cents): 5%-trimmed and
+      // winsorized means next to the plain mean — interval arithmetic
+      // over the sorted distinct-value fold, no per-row rank
+      Hygiene.trimmedMean(
+        t(s, dir, "lineitem").select(
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents")),
+        "cents", trimPpm = 50000L)),
     "q_spearman" -> ((s, dir) =>
       // monotone association between quantity and line price: price is
       // qty·unit_price so ρ is strongly positive but well short of 1
@@ -6984,6 +6993,39 @@ object SparkEntry {
         |            THEN (1000000 * SUM(np * (2 * cumnn + nn)))
         |                 // (2 * SUM(np) * SUM(nn)) END AS BIGINT) AS auc_ppm
         |FROM u GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_trimmed_mean" ->
+      // identical interval overlap per distinct-value cell, HUGEINT
+      // floor-divisions, sign-safe means
+      """WITH vals AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+        |cw AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cumc FROM cells),
+        |tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM cells),
+        |x AS (SELECT v, c, cumc, n, (n * 50000) // 1000000 AS k
+        |      FROM cw CROSS JOIN tot),
+        |z AS (SELECT *, greatest(least(cumc, n - k)
+        |               - greatest(cumc - c + 1, k + 1) + 1, 0) AS cnt
+        |      FROM x),
+        |agg AS (SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+        |               CAST(MIN(k) AS BIGINT) AS k_trim,
+        |               SUM(CAST(v AS HUGEINT) * cnt) AS ts,
+        |               CAST(SUM(cnt) AS BIGINT) AS tc,
+        |               MIN(CASE WHEN cumc >= k + 1 AND cumc - c < k + 1
+        |                   THEN v END) AS v_lo,
+        |               MIN(CASE WHEN cumc >= n - k AND cumc - c < n - k
+        |                   THEN v END) AS v_hi
+        |        FROM z),
+        |w AS (SELECT *, ts + CAST(k_trim AS HUGEINT) * v_lo
+        |               + CAST(k_trim AS HUGEINT) * v_hi AS ws FROM agg)
+        |SELECT n_rows, k_trim,
+        |       CAST(CASE WHEN tc > 0 THEN CAST(sign(ts) AS BIGINT) *
+        |            CAST((CAST(1000000 AS HUGEINT) * abs(ts)) // tc AS BIGINT)
+        |            END AS BIGINT) AS trimmed_mean_ppm,
+        |       CAST(CASE WHEN n_rows > 0 THEN CAST(sign(ws) AS BIGINT) *
+        |            CAST((CAST(1000000 AS HUGEINT) * abs(ws)) // n_rows AS BIGINT)
+        |            END AS BIGINT) AS winsor_mean_ppm
+        |FROM w""".stripMargin,
     "q_spearman" ->
       // identical doubled average ranks off distinct-value frames,
       // HUGEINT moment algebra, one correctly-rounded sqrt/div at 6 dp

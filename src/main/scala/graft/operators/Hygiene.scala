@@ -744,17 +744,20 @@ object Hygiene {
     * Reference scope note: composes over the reference's A1 rollup
     * (`handler.go:231-251`); the index itself is extension-mandate.
     */
-  def giniIndex(df: DataFrame, valCol: String, shards: Int = 64): DataFrame = {
-    val cells = df.select(col(valCol).cast("long").as("v"))
-      .filter(col("v").isNotNull && col("v") >= 0L)
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    // Two-level cumulative count mass (the [[graft.operators.Splits
-    // .globalOrder]] discipline — a bare ORDER BY window would sort the
-    // whole unit frame in ONE task): range-shard by value (partition id
-    // is monotone in v), cum-sum within shard, add the broadcast
-    // prefix-sum of lower shards' count mass. The localCheckpoint pins
-    // the SAMPLED range boundaries so the offsets branch and the main
-    // branch cannot disagree on a value's shard.
+  /** Shared sorted-fold input: a single-column `v` frame → `(v, c,
+    * cumc)` — per DISTINCT value its count and the INCLUSIVE cumulative
+    * count in value order, computed two-level range-sharded (the
+    * [[graft.operators.Splits.globalOrder]] discipline — a bare ORDER BY
+    * window would sort the whole frame in ONE task): range-shard by
+    * value (partition id is monotone in v), cum-sum within shard, add
+    * the broadcast prefix-sum of lower shards' count mass. The
+    * localCheckpoint pins the SAMPLED range boundaries so the offsets
+    * branch and the main branch cannot disagree on a value's shard.
+    * Every exact order-statistic operator ([[giniIndex]],
+    * [[trimmedMean]]) folds over this frame.
+    */
+  private[graft] def cellsCum(vals: DataFrame, shards: Int): DataFrame = {
+    val cells = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val sh = cells.repartitionByRange(shards, col("v"))
       .withColumn("shard", spark_partition_id().cast("long"))
       .localCheckpoint()
@@ -766,6 +769,13 @@ object Hygiene {
       .select(col("shard"), col("c_off"))
     sh.join(broadcast(offsets), Seq("shard"))
       .withColumn("cumc", col("c_off") + sum(col("c")).over(wLoc))
+      .select(col("v"), col("c"), col("cumc"))
+  }
+
+  def giniIndex(df: DataFrame, valCol: String, shards: Int = 64): DataFrame = {
+    cellsCum(
+      df.select(col(valCol).cast("long").as("v"))
+        .filter(col("v").isNotNull && col("v") >= 0L), shards)
       .agg(sum(col("c")).as("n"),
         sum((col("v") * col("c")).cast("decimal(38,0)")).as("t"),
         sum(expr(
@@ -777,6 +787,56 @@ object Hygiene {
           "(CAST(1000000 AS DECIMAL(38,0)) * (2 * s - (CAST(n AS" +
             " DECIMAL(38,0)) + 1) * t)) div (CAST(n AS DECIMAL(38,0)) * t)"))
           .as("gini_ppm"))
+  }
+
+  /** Trimmed and winsorized means (Tukey; Dixon 1960) — the robust
+    * location estimates a corpus metric should ship next to its plain
+    * mean: trim drops the k = ⌊n·trimPpm/10⁶⌋ smallest and largest
+    * values, winsorize CLAMPS them to the surviving extremes (rank k+1
+    * and rank n−k values) — one wild scrape batch cannot own either
+    * number, where the plain mean follows it linearly.
+    *
+    * Exact integer algebra over the [[cellsCum]] sorted fold: a cell of
+    * c equal values occupying ranks (cumc−c, cumc] contributes
+    * v·|[cumc−c+1, cumc] ∩ [k+1, n−k]| to the trimmed sum (pure
+    * interval arithmetic — no per-row rank ever materializes), and the
+    * two clamp values are the cells whose rank interval contains k+1 /
+    * n−k. Means are sign-safe ppm divisions (values may be negative),
+    * DECIMAL(38,0)-fenced. One distinct-value fold, one 1-row output.
+    *
+    * Reference scope note: no counterpart in the reference engine
+    * (plain SUM/COUNT only, `handler.go:139-153`); extension-mandate.
+    */
+  def trimmedMean(df: DataFrame, valCol: String, trimPpm: Long = 50000L,
+      shards: Int = 64): DataFrame = {
+    require(trimPpm >= 0L && trimPpm <= 400000L,
+      s"trimPpm must be in [0, 400000]: $trimPpm")
+    val cc = cellsCum(
+      df.select(col(valCol).cast("long").as("v"))
+        .filter(col("v").isNotNull), shards)
+    val tot = cc.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    cc.crossJoin(broadcast(tot))
+      .withColumn("k", expr(s"(n * ${trimPpm}L) DIV 1000000"))
+      .withColumn("lo", greatest(col("cumc") - col("c") + 1L, col("k") + 1L))
+      .withColumn("hi", least(col("cumc"), col("n") - col("k")))
+      .withColumn("cnt", greatest(col("hi") - col("lo") + 1L, lit(0L)))
+      .agg(min(col("n")).as("n_rows"), min(col("k")).as("k_trim"),
+        sum((col("v") * col("cnt")).cast("decimal(38,0)")).as("ts"),
+        sum(col("cnt")).as("tc"),
+        min(when(col("cumc") >= col("k") + 1L &&
+          col("cumc") - col("c") < col("k") + 1L, col("v"))).as("v_lo"),
+        min(when(col("cumc") >= col("n") - col("k") &&
+          col("cumc") - col("c") < col("n") - col("k"), col("v"))).as("v_hi"))
+      .withColumn("ws", col("ts") +
+        (col("k_trim") * col("v_lo") + col("k_trim") * col("v_hi"))
+          .cast("decimal(38,0)"))
+      .select(col("n_rows"), col("k_trim"),
+        when(col("tc") > 0L, signum(col("ts")).cast("long") * expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * abs(ts)) div tc"))
+          .as("trimmed_mean_ppm"),
+        when(col("n_rows") > 0L, signum(col("ws")).cast("long") * expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * abs(ws)) div n_rows"))
+          .as("winsor_mean_ppm"))
   }
 
   /** l-diversity audit — [[kAnonAudit]]'s stronger sibling: k-anonymity

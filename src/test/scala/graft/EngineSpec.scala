@@ -4443,6 +4443,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((3L, -3L, -4000000L)), d3.toString)
   }
 
+  test("trimmed/winsorized mean: interval algebra hand cases") {
+    import spark.implicits._
+    def tm(xs: Seq[Long], trim: Long): (Long, Long, Long, Long) = {
+      val r = Hygiene.trimmedMean(xs.toDF("v"), "v", trimPpm = trim)
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // [1,2,3,100,1000] k=1: trim → mean(2,3,100)=35e6; winsorize →
+    // (2+2+3+100+100)/5 = 41.4e6 — the outlier owns neither number
+    assert(tm(Seq(100L, 1L, 2L, 3L, 1000L), 200000L) ==
+      ((5L, 1L, 35000000L, 41400000L)))
+    // tie cells straddling the cut: [1,1,2,2,9] k=1 → keep (1,2,2):
+    // 5/3 floor; winsor v_lo=rank2=1, v_hi=rank4=2 → 8/5
+    assert(tm(Seq(1L, 1L, 2L, 2L, 9L), 200000L) ==
+      ((5L, 1L, 1666666L, 1600000L)))
+    // k=0 degenerates to the plain mean, sign-safe on negatives
+    assert(tm(Seq(-10L, -10L, -10L), 0L) ==
+      ((3L, 0L, -10000000L, -10000000L)))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

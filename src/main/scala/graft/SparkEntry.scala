@@ -1617,6 +1617,17 @@ object SparkEntry {
           rebaseDay = 19723L)
         .orderBy(col("user_id"))
     }),
+    "q_acf" -> ((s, dir) => {
+      // which lag does usage echo at: per-event-type ACF of daily
+      // totals to lag 7 — n-scaled integer moments, no window at all
+      val daily = Temporal.dailyTotals(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("ts_us"), floor(col("value") * 100).cast("long").as("size")),
+        keyCol = "event_type", valCol = "size", rebaseDay = 19723L)
+      Temporal.acfByKey(daily, keyCol = "event_type", bucketCol = "x",
+          valCol = "y", maxLag = 7)
+        .orderBy(col("event_type"), col("lag_n"))
+    }),
     "du_robust_trend" -> ((s, dir) => {
       // du_growth_forecast's robust twin: Theil–Sen median-of-slopes +
       // Mann–Kendall S per address — the forecast a single backfill
@@ -6033,6 +6044,36 @@ object SparkEntry {
         |                   // (n_days*sxx - sx*sx)) AS BIGINT)
         |       END AS slope_e6
         |FROM m ORDER BY user_id""".stripMargin,
+    "q_acf" ->
+      // identical n-scaled centered carrier (HUGEINT), lag pairs as an
+      // equi-join on (key, b + lag), sign-safe ppm ratio
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS b,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |d AS (SELECT event_type, b, CAST(SUM(v) AS BIGINT) AS x
+        |      FROM e GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(x) AS BIGINT) AS t
+        |       FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, d.b, CAST(tt.n AS HUGEINT) * d.x - tt.t AS dd
+        |      FROM d JOIN tt USING (event_type)),
+        |den AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |               SUM(dd * dd) AS den
+        |        FROM c GROUP BY 1),
+        |lg AS (SELECT c.event_type, r.lag_n, c.b + r.lag_n AS b, c.dd AS d_prev
+        |       FROM c CROSS JOIN
+        |         (SELECT CAST(range AS BIGINT) AS lag_n FROM range(1, 8)) r),
+        |nm AS (SELECT c.event_type, lg.lag_n, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |              SUM(lg.d_prev * c.dd) AS num
+        |       FROM c JOIN lg ON c.event_type = lg.event_type AND c.b = lg.b
+        |       GROUP BY 1, 2)
+        |SELECT nm.event_type, nm.lag_n, den.n_buckets, nm.n_pairs,
+        |       CAST(CASE WHEN den.den > 0 THEN CAST(sign(nm.num) AS BIGINT) *
+        |            CAST((CAST(1000000 AS HUGEINT) * abs(nm.num)) // den.den
+        |              AS BIGINT) END AS BIGINT) AS acf_ppm
+        |FROM nm JOIN den USING (event_type) ORDER BY event_type, lag_n""".stripMargin,
     "du_robust_trend" ->
       // identical daily totals, HUGEINT-fenced sign-safe pair slopes,
       // sorted-list order statistics (even count halves the abs sum —

@@ -663,6 +663,58 @@ object Temporal {
           |END""".stripMargin).as("ts_slope_ppm"))
   }
 
+  /** Per-key autocorrelation function (Box & Jenkins 1970) — the
+    * seasonality DETECTOR to [[seasonalDecompose]]'s extractor: which
+    * lag does a series echo at (r₇ spikes → weekly cycle; slow decay →
+    * trend; all ≈ 0 → noise). Per (key, lag ℓ ≤ maxLag):
+    * r_ℓ = Σ(x_t−x̄)(x_{t+ℓ}−x̄) / Σ(x_t−x̄)², computed integer-exact by
+    * n-scaling (n·x_t − T carries n·(x_t−x̄); the n² factors cancel in
+    * the ratio) — sign-safe ppm division, DECIMAL(38,0)-fenced
+    * products, nothing floats.
+    *
+    * Input is the BUCKETED series (key, bucket, v) — gap-filled by
+    * contract ([[gapFill]] first; a missing bucket silently drops its
+    * pairs from the numerator, which is Box–Jenkins-undefined).
+    *
+    * Scale shape: lag pairs via ONE equi-join on (key, bucket+ℓ) after
+    * an explode(maxLag) of the left side — shuffle bounded by
+    * maxLag·|buckets|, per-key partitions bounded by the bucketed-series
+    * contract; moments are two keyed map-side-combined aggs sharing the
+    * (key) exchange shape. No window at all.
+    */
+  def acfByKey(series: DataFrame, keyCol: String = "key",
+      bucketCol: String = "bucket", valCol: String = "v",
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000, s"maxLag must be in [1,1000]: $maxLag")
+    val s = series.select(col(keyCol).as("k"), col(bucketCol).as("b"),
+      col(valCol).cast("long").as("x"))
+    val tot = s.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("t"))
+    // d = n·x − T: the n-scaled centered value. Fence contract:
+    // n_buckets·max|x| must stay ≤ ~10¹⁸ so d² fits DECIMAL(38,0)
+    // (micro-unit daily totals over year-scale windows sit ≤ 10¹⁵).
+    val cent = s.join(tot, Seq("k"))
+      .select(col("k"), col("b"),
+        (col("n").cast("decimal(38,0)") * col("x") - col("t"))
+          .cast("decimal(38,0)").as("d"))
+    val den = cent.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"), sum(expr("d * d")).as("den"))
+    val lagged = cent
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("k"), col("lag"), (col("b") + col("lag")).as("b"),
+        col("d").as("d_prev"))
+    cent.join(lagged, Seq("k", "b"))
+      .groupBy(col("k"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("d_prev * d")).as("num"))
+      .join(den, Seq("k"))
+      .select(col("k").as(keyCol), col("lag").cast("long").as("lag_n"),
+        col("n_buckets"), col("n_pairs"),
+        when(col("den") > lit(0).cast("decimal(38,0)"),
+          signum(col("num")).cast("long") * expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * abs(num)) div den"))
+          .as("acf_ppm"))
+  }
+
   /** CUSUM mean-shift changepoint scan (Page 1954; the offline
     * max-|CUSUM| form of Hinkley 1971) over a BUCKETED series — the
     * drift question q_drift_report answers for two named snapshots,

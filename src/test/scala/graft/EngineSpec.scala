@@ -4463,6 +4463,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((3L, 0L, -10000000L, -10000000L)))
   }
 
+  test("acf by key: hand moments, alternating-series seasonality read") {
+    import spark.implicits._
+    def acf(rows: Seq[(String, Long, Long)], lags: Int) =
+      Temporal.acfByKey(rows.toDF("key", "bucket", "v"), maxLag = lags)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // linear ramp x=[1,2,3,4]: d=4x−10=[−6,−2,2,6], den=80 →
+    // lag1 20/80, lag2 −24/80, lag3 −36/80 (exact ppm floors)
+    val ramp = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 4L))
+    val r = acf(ramp, 3)
+    assert(r(("a", 1L)) == ((4L, 3L, Some(250000L))), r.toString)
+    assert(r(("a", 2L)) == ((4L, 2L, Some(-300000L))))
+    assert(r(("a", 3L)) == ((4L, 1L, Some(-450000L))))
+    // alternating [1,3,1,3]: strong negative echo at lag 1, positive at
+    // lag 2 — the period-2 seasonality signature; constant key NULL
+    val mix = Seq(("p", 0L, 1L), ("p", 1L, 3L), ("p", 2L, 1L), ("p", 3L, 3L),
+      ("c", 0L, 5L), ("c", 1L, 5L), ("c", 2L, 5L))
+    val m = acf(mix, 2)
+    assert(m(("p", 1L)) == ((4L, 3L, Some(-750000L))), m.toString)
+    assert(m(("p", 2L)) == ((4L, 2L, Some(500000L))))
+    assert(m(("c", 1L)) == ((3L, 2L, None)))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

@@ -635,8 +635,15 @@ object Temporal {
     */
   def theilSenTrend(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts_us", valCol: String = "value",
-      rebaseDay: Long = 0L): DataFrame = {
-    val daily = dailyTotals(events, keyCol, tsCol, valCol, rebaseDay)
+      rebaseDay: Long = 0L): DataFrame =
+    theilSenFromDaily(dailyTotals(events, keyCol, tsCol, valCol, rebaseDay),
+      keyCol)
+
+  /** [[theilSenTrend]]'s second half over an already-built `(key, x, y)`
+    * daily frame — shared with [[graft.streaming.TrendStream]]'s robust
+    * serve so batch and stream cannot drift.
+    */
+  def theilSenFromDaily(daily: DataFrame, keyCol: String): DataFrame = {
     val a = daily.select(col(keyCol), col("x").as("x1"), col("y").as("y1"))
     val b = daily.select(col(keyCol), col("x").as("x2"), col("y").as("y2"))
     val pairs = a.join(b, Seq(keyCol)).filter(col("x2") > col("x1"))

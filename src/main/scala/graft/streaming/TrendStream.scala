@@ -74,6 +74,21 @@ object TrendStream {
       * [[Temporal.linearTrend]] over the concatenated stream.
       */
     def current: DataFrame = Temporal.trendFromDaily(runRef.get(), keyCol)
+
+    /** The robust read off the SAME state: exactly
+      * [[Temporal.theilSenTrend]] (median-of-slopes + Mann–Kendall S)
+      * over the concatenated stream — the dashboard number one backfill
+      * spike cannot own.
+      */
+    def currentRobust: DataFrame =
+      Temporal.theilSenFromDaily(runRef.get(), keyCol)
+
+    /** The seasonality read off the SAME state: exactly
+      * [[Temporal.acfByKey]] over the concatenated stream's daily
+      * totals (gap-fill contract inherited from the batch operator).
+      */
+    def currentAcf(maxLag: Int = 7): DataFrame =
+      Temporal.acfByKey(runRef.get(), keyCol, "x", "y", maxLag)
   }
 
   /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */

@@ -5758,6 +5758,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(key(store.current) == expect,
         s"nBatches=$nBatches: ${key(store.current)} vs $expect")
+      // the robust and seasonality serves ride the SAME state and must
+      // equal their batch operators over the delivered union
+      assert(store.currentRobust.collect().map(_.toSeq).toSet ==
+        Temporal.theilSenTrend(all.toDF("user_id", "ts_us", "value"))
+          .collect().map(_.toSeq).toSet, s"robust nBatches=$nBatches")
+      assert(store.currentAcf(2).collect().map(_.toSeq).toSet ==
+        Temporal.acfByKey(
+          Temporal.dailyTotals(all.toDF("user_id", "ts_us", "value")),
+          "user_id", "x", "y", 2).collect().map(_.toSeq).toSet,
+        s"acf nBatches=$nBatches")
       // replay guard: re-delivering a folded batch must not move totals
       assert(!store.merge(all.toDF("user_id", "ts_us", "value"), 0L))
       assert(key(store.current) == expect)

@@ -761,6 +761,36 @@ object ScaleSmoke {
           .filter(col("n_tokens") >= 0L).count()
       }
     }
+
+    // Round-13 temporal/statistics extras: theil-sen prices its per-key
+    // QUADRATIC honestly (200k keys × 50 dailies = 245M pair slopes
+    // through one keyed self-join + bounded collect_list); acf is the
+    // linear (key, b+lag) equi-join shape; trimmed mean rides the shared
+    // range-sharded cellsCum fold at 10⁷ distinct values.
+    if (enabled("r13y")) {
+      timed("r13y theil-sen 200k x 50d") {
+        val daily = spark.range(10000000L).select(
+          (col("id") % 200000L).as("k"), expr("id DIV 200000").as("x"),
+          (pmod(xxhash64(col("id")), lit(1000L)) +
+            expr("id DIV 200000") * 10L).as("y"))
+        graft.operators.Temporal.theilSenFromDaily(daily, "k")
+          .filter(col("ts_slope_ppm").isNotNull).count()
+      }
+      timed("r13y acf 200k x 100d lag7") {
+        val s2 = spark.range(20000000L).select(
+          (col("id") % 200000L).as("k"), expr("id DIV 200000").as("b"),
+          (pmod(xxhash64(col("id")), lit(1000L)) +
+            when(expr("id DIV 200000") % 7L === 0L, 500L).otherwise(0L)).as("v"))
+        graft.operators.Temporal.acfByKey(s2, "k", "b", "v", maxLag = 7)
+          .filter(col("acf_ppm").isNotNull).count()
+      }
+      timed("r13y trimmed mean 20M") {
+        val d = spark.range(20000000L)
+          .select(pmod(xxhash64(col("id")), lit(10000000L)).as("v"))
+        graft.operators.Hygiene.trimmedMean(d, "v")
+          .filter(col("trimmed_mean_ppm").isNotNull).count()
+      }
+    }
     spark.stop()
   }
 }

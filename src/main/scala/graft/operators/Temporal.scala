@@ -643,7 +643,10 @@ object Temporal {
     * daily frame — shared with [[graft.streaming.TrendStream]]'s robust
     * serve so batch and stream cannot drift.
     */
-  def theilSenFromDaily(daily: DataFrame, keyCol: String): DataFrame = {
+  def theilSenFromDaily(dailyIn: DataFrame, keyCol: String): DataFrame = {
+    // three consumers (both join sides + the n_days agg): cut the
+    // lineage or the daily aggregation recomputes per consumer
+    val daily = graft.operators.Dedup.cached(dailyIn)
     val a = daily.select(col(keyCol), col("x").as("x1"), col("y").as("y1"))
     val b = daily.select(col(keyCol), col("x").as("x2"), col("y").as("y2"))
     val pairs = a.join(b, Seq(keyCol)).filter(col("x2") > col("x1"))
@@ -700,10 +703,12 @@ object Temporal {
     // d = n·x − T: the n-scaled centered value. Fence contract:
     // n_buckets·max|x| must stay ≤ ~10¹⁸ so d² fits DECIMAL(38,0)
     // (micro-unit daily totals over year-scale windows sit ≤ 10¹⁵).
-    val cent = s.join(tot, Seq("k"))
+    // three consumers (den, the lag explode, the pair join): cut the
+    // lineage or the centered join recomputes per consumer
+    val cent = graft.operators.Dedup.cached(s.join(tot, Seq("k"))
       .select(col("k"), col("b"),
         (col("n").cast("decimal(38,0)") * col("x") - col("t"))
-          .cast("decimal(38,0)").as("d"))
+          .cast("decimal(38,0)").as("d")))
     val den = cent.groupBy(col("k"))
       .agg(count(lit(1)).as("n_buckets"), sum(expr("d * d")).as("den"))
     val lagged = cent

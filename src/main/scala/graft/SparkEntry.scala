@@ -1628,6 +1628,17 @@ object SparkEntry {
           valCol = "y", maxLag = 7)
         .orderBy(col("event_type"), col("lag_n"))
     }),
+    "q_ljung_box" -> ((s, dir) => {
+      // is per-type usage just noise? Ljung–Box Q over the q_acf lags —
+      // one keyed fold on the same chain, χ²-comparable ppm output
+      val daily = Temporal.dailyTotals(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("ts_us"), floor(col("value") * 100).cast("long").as("size")),
+        keyCol = "event_type", valCol = "size", rebaseDay = 19723L)
+      Temporal.ljungBoxByKey(daily, keyCol = "event_type", bucketCol = "x",
+          valCol = "y", maxLag = 7)
+        .orderBy(col("event_type"))
+    }),
     "du_robust_trend" -> ((s, dir) => {
       // du_growth_forecast's robust twin: Theil–Sen median-of-slopes +
       // Mann–Kendall S per address — the forecast a single backfill
@@ -2749,6 +2760,13 @@ object SparkEntry {
           Seq("l_returnflag", "l_linestatus", "l_linenumber"))
         .orderBy(col("col_name"))
     }),
+    "q_column_entropy" -> ((s, dir) =>
+      // the concentration read NDV can't give: per-column Shannon
+      // entropy + H/ln(NDV) uniformity over the drift family's watched
+      // columns — linenumber near-uniform, returnflag mass-skewed
+      Hygiene.columnEntropy(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_name"))),
     "q_benford_audit" -> ((s, dir) => {
       // Benford first-digit forensics on extended price: per digit 1..9
       // the observed floor-share ppm vs round(1e6*log10(1+1/d)) and the
@@ -4136,6 +4154,40 @@ object SparkEntry {
     * 11 following), sign·abs divisions everywhere a value is signed,
     * per-phase detrended means. Ends at `seas`, no trailing comma.
     */
+  /** The q_acf chain (n-scaled centered carrier → per-lag numerators +
+    * per-key denominator), shared with q_ljung_box so the ACF algebra
+    * cannot drift between the two oracles.
+    */
+  private lazy val acfOracleCtes: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS b,
+      |         CAST(floor(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |d AS (SELECT event_type, b, CAST(SUM(v) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |              CAST(SUM(x) AS BIGINT) AS t
+      |       FROM d GROUP BY 1),
+      |c AS (SELECT d.event_type, d.b, CAST(tt.n AS HUGEINT) * d.x - tt.t AS dd
+      |      FROM d JOIN tt USING (event_type)),
+      |den AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |               SUM(dd * dd) AS den
+      |        FROM c GROUP BY 1),
+      |lg AS (SELECT c.event_type, r.lag_n, c.b + r.lag_n AS b, c.dd AS d_prev
+      |       FROM c CROSS JOIN
+      |         (SELECT CAST(range AS BIGINT) AS lag_n FROM range(1, 8)) r),
+      |nm AS (SELECT c.event_type, lg.lag_n, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |              SUM(lg.d_prev * c.dd) AS num
+      |       FROM c JOIN lg ON c.event_type = lg.event_type AND c.b = lg.b
+      |       GROUP BY 1, 2),
+      |acf AS (
+      |  SELECT nm.event_type, nm.lag_n, den.n_buckets, nm.n_pairs,
+      |         CAST(CASE WHEN den.den > 0 THEN CAST(sign(nm.num) AS BIGINT) *
+      |              CAST((CAST(1000000 AS HUGEINT) * abs(nm.num)) // den.den
+      |                AS BIGINT) END AS BIGINT) AS acf_ppm
+      |  FROM nm JOIN den USING (event_type))""".stripMargin
+
   private lazy val seasonalOracleCtes =
     """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
       |                  CAST(value AS DECIMAL(18,4)) AS dv
@@ -6045,35 +6097,23 @@ object SparkEntry {
         |       END AS slope_e6
         |FROM m ORDER BY user_id""".stripMargin,
     "q_acf" ->
-      // identical n-scaled centered carrier (HUGEINT), lag pairs as an
-      // equi-join on (key, b + lag), sign-safe ppm ratio
-      """WITH e AS (
-        |  SELECT event_type,
-        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS b,
-        |         CAST(floor(value * 100) AS BIGINT) AS v
-        |  FROM events),
-        |d AS (SELECT event_type, b, CAST(SUM(v) AS BIGINT) AS x
-        |      FROM e GROUP BY 1, 2),
-        |tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |              CAST(SUM(x) AS BIGINT) AS t
-        |       FROM d GROUP BY 1),
-        |c AS (SELECT d.event_type, d.b, CAST(tt.n AS HUGEINT) * d.x - tt.t AS dd
-        |      FROM d JOIN tt USING (event_type)),
-        |den AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-        |               SUM(dd * dd) AS den
-        |        FROM c GROUP BY 1),
-        |lg AS (SELECT c.event_type, r.lag_n, c.b + r.lag_n AS b, c.dd AS d_prev
-        |       FROM c CROSS JOIN
-        |         (SELECT CAST(range AS BIGINT) AS lag_n FROM range(1, 8)) r),
-        |nm AS (SELECT c.event_type, lg.lag_n, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |              SUM(lg.d_prev * c.dd) AS num
-        |       FROM c JOIN lg ON c.event_type = lg.event_type AND c.b = lg.b
-        |       GROUP BY 1, 2)
-        |SELECT nm.event_type, nm.lag_n, den.n_buckets, nm.n_pairs,
-        |       CAST(CASE WHEN den.den > 0 THEN CAST(sign(nm.num) AS BIGINT) *
-        |            CAST((CAST(1000000 AS HUGEINT) * abs(nm.num)) // den.den
-        |              AS BIGINT) END AS BIGINT) AS acf_ppm
-        |FROM nm JOIN den USING (event_type) ORDER BY event_type, lag_n""".stripMargin,
+      // shared acfOracleCtes (n-scaled centered carrier, HUGEINT, lag
+      // pairs as an equi-join on (key, b + lag), sign-safe ppm ratio)
+      (acfOracleCtes +
+        "\nSELECT event_type, lag_n, n_buckets, n_pairs, acf_ppm" +
+        "\nFROM acf ORDER BY event_type, lag_n"),
+    "q_ljung_box" ->
+      // the same ACF chain folded to Q = n(n+2)·Σ r²/(n−ℓ); any
+      // undefined lag nulls the whole key, exactly like the Spark side
+      (acfOracleCtes + """
+        |SELECT event_type, CAST(MIN(n_buckets) AS BIGINT) AS n_buckets,
+        |       CAST(COUNT(*) AS BIGINT) AS h_lags,
+        |       CAST(CASE WHEN COUNT(acf_ppm) = COUNT(*) THEN
+        |            (CAST(MIN(n_buckets) AS HUGEINT) * (MIN(n_buckets) + 2) *
+        |             SUM((CAST(acf_ppm AS HUGEINT) * acf_ppm)
+        |                 // (n_buckets - lag_n))) // 1000000
+        |            END AS BIGINT) AS lb_q_ppm
+        |FROM acf GROUP BY event_type ORDER BY event_type""".stripMargin),
     "du_robust_trend" ->
       // identical daily totals, HUGEINT-fenced sign-safe pair slopes,
       // sorted-list order statistics (even count halves the abs sum —
@@ -7742,6 +7782,33 @@ object SparkEntry {
         |         AS value_u6
         |FROM s CROSS JOIN qs
         |ORDER BY event_type, q_ppm""".stripMargin,
+    "q_column_entropy" -> {
+      // identical null-safe cells, psi ln-fence (round ln and product at
+      // 6 dp per cell, DECIMAL(28,12) sums), one rounded edge division
+      val per = Seq("l_returnflag", "l_linestatus", "l_linenumber").map { c =>
+        s"""SELECT col_name, n_rows, ndv, entropy,
+           |       CASE WHEN ndv > 1 THEN
+           |            ROUND(entropy / ROUND(ln(CAST(ndv AS DOUBLE)), 6), 6)
+           |              + 0.0 END AS norm_entropy
+           |FROM (
+           |  SELECT '$c' AS col_name, CAST(MIN(t.nr) AS BIGINT) AS n_rows,
+           |         CAST(MIN(t.ndv) AS BIGINT) AS ndv,
+           |         ROUND(-CAST(SUM(CAST(ROUND(
+           |           (CAST(cells.n AS DOUBLE) / t.nr) *
+           |           ROUND(ln(CAST(cells.n AS DOUBLE) / t.nr), 6), 6)
+           |           AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS entropy
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM lineitem GROUP BY 1, 2) cells
+           |  CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS nr,
+           |                     CAST(COUNT(*) AS BIGINT) AS ndv
+           |              FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |                           ($c IS NULL) AS vn,
+           |                           CAST(COUNT(*) AS BIGINT) AS n
+           |                    FROM lineitem GROUP BY 1, 2)) t)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) ORDER BY col_name"
+    },
     "q_benford_audit" ->
       """WITH cnt AS (
         |  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),

@@ -565,6 +565,42 @@ object Hygiene {
       .reduce(_ unionAll _)
   }
 
+  /** Per-column Shannon entropy profile (Shannon 1948) — the
+    * concentration read [[tableProfile]]'s NDV alone can't give: a
+    * column with 10⁶ distinct values and 99% mass on one of them has
+    * high NDV and near-zero entropy (a skew trap for stratifiers and
+    * partition keys). Per watched column: rows, NDV, H = −Σ p·ln p in
+    * nats, and H/ln(NDV) ∈ [0,1] as the uniformity score (NULL for
+    * constant columns — normalization is undefined, not 1).
+    *
+    * Shares [[categoryCells]]' null-safe cell grain with the drift
+    * family (NULL is a real category). Floats only in the psi ln-fence
+    * form: each cell's contribution rounds its ln and its product to
+    * 6 dp, sums are DECIMAL(28,12)-exact, one rounded division at the
+    * edge. One NDV-bounded agg per column (watched columns are
+    * categorical/bucketed by the drift contract).
+    */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    def one(c: String): DataFrame = {
+      val cells = categoryCells(df, c)
+      val tot = cells.agg(sum(col("n")).as("nr"), count(lit(1)).as("ndv"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("p", col("n").cast("double") / col("nr"))
+        .withColumn("contrib",
+          round(col("p") * round(log(col("p")), 6), 6))
+        .agg(min(col("nr")).as("n_rows"), min(col("ndv")).as("ndv"),
+          (round(-sum(col("contrib").cast(DecimalType(28, 12)))
+            .cast("double"), 6) + lit(0.0)).as("entropy"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("ndv"),
+          col("entropy"),
+          when(col("ndv") > 1L,
+            round(col("entropy") / round(log(col("ndv").cast("double")), 6), 6)
+              + lit(0.0)).as("norm_entropy"))
+    }
+    cols.map(one).reduce(_ unionAll _)
+  }
+
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
     * — public privacy methodology): a row is k-anonymous when at least
     * `k` rows share its full quasi-identifier tuple; releasing groups

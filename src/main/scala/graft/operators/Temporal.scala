@@ -727,6 +727,31 @@ object Temporal {
           .as("acf_ppm"))
   }
 
+  /** Ljung–Box portmanteau statistic (Ljung & Box 1978) — the one-number
+    * "is this series just noise?" test over [[acfByKey]]'s lags:
+    * Q = n(n+2)·Σ_{ℓ≤h} r_ℓ²/(n−ℓ), χ²_h-distributed under white noise
+    * (Q_ppm ≫ 10⁶·χ²₀.₉₅(h) ⇒ real temporal structure — autocorrelated
+    * residuals, seasonality the sampler must respect). Exact integers
+    * over the ppm ACF values (per-lag floor term, DECIMAL(38,0)-fenced
+    * product); a key with ANY undefined lag (constant series) reports
+    * NULL rather than a partial sum.
+    *
+    * Scale shape: [[acfByKey]] + one keyed agg — nothing new exchanges.
+    */
+  def ljungBoxByKey(series: DataFrame, keyCol: String = "key",
+      bucketCol: String = "bucket", valCol: String = "v",
+      maxLag: Int = 7): DataFrame =
+    acfByKey(series, keyCol, bucketCol, valCol, maxLag)
+      .groupBy(col(keyCol))
+      .agg(min(col("n_buckets")).as("n_buckets"),
+        count(lit(1)).as("h_lags"), count(col("acf_ppm")).as("h_def"),
+        sum(expr("(CAST(acf_ppm AS DECIMAL(38,0)) * acf_ppm)" +
+          " div (n_buckets - lag_n)")).as("s"))
+      .select(col(keyCol), col("n_buckets"), col("h_lags"),
+        when(col("h_def") === col("h_lags"), expr(
+          "(CAST(n_buckets AS DECIMAL(38,0)) * (n_buckets + 2) * s)" +
+            " div 1000000")).as("lb_q_ppm"))
+
   /** CUSUM mean-shift changepoint scan (Page 1954; the offline
     * max-|CUSUM| form of Hinkley 1971) over a BUCKETED series — the
     * drift question q_drift_report answers for two named snapshots,

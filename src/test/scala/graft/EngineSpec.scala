@@ -4485,6 +4485,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(("p", 1L)) == ((4L, 3L, Some(-750000L))), m.toString)
     assert(m(("p", 2L)) == ((4L, 2L, Some(500000L))))
     assert(m(("c", 1L)) == ((3L, 2L, None)))
+    // Ljung–Box over the ramp's two lags: terms 250000²//3 + 300000²//2,
+    // Q = 4·6·s // 10⁶ = 1579999 (≈1.58 — small n, mild structure);
+    // the constant key must null out, not report a partial Q
+    val lb = Temporal.ljungBoxByKey(
+      (ramp ++ Seq(("c", 0L, 5L), ("c", 1L, 5L), ("c", 2L, 5L)))
+        .toDF("key", "bucket", "v"), maxLag = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(lb("a") == ((4L, 2L, Some(1579999L))), lb.toString)
+    assert(lb("c") == ((3L, 2L, None)))
+  }
+
+  test("column entropy: uniform/constant/null-category closed forms") {
+    import spark.implicits._
+    // 4 uniform values: H = ln 4 through the 6-dp fence chain =
+    // 1.386296 (round(ln)·p rounds to .346574 per cell), norm ≈ 1;
+    // constant: exactly 0.0 with NULL norm; the NULL category is a real
+    // level (2 levels in c3, not 1)
+    val rows = Seq(("a", "k", Some("x")), ("b", "k", Some("x")),
+      ("c", "k", None), ("d", "k", None)).toDF("c1", "c2", "c3")
+    val out = Hygiene.columnEntropy(rows, Seq("c1", "c2", "c3")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("c1") == ((4L, 4L, 1.386296, Some(1.000001))), out.toString)
+    assert(out("c2") == ((4L, 1L, 0.0, None)))
+    assert(out("c3") == ((4L, 2L, 0.693148, Some(1.000001))))
   }
 
   test("churn labels leak-free split; loo encoding excludes own row") {

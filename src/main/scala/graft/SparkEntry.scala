@@ -3564,6 +3564,12 @@ object SparkEntry {
       Hygiene.cramersVMatrix(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus", "l_linenumber"))
         .orderBy(col("col_a"), col("col_b"))),
+    "q_mi_matrix" -> ((s, dir) =>
+      // the information-theoretic read of the same three columns: MI
+      // sees any dependence structure, NMI = MI/min(H) lands on [0,1]
+      Hygiene.mutualInfoMatrix(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_a"), col("col_b"))),
     "text_source_concentration" -> ((s, dir) =>
       // the datasheet concentration row: top-1/top-5 source shares + HHI
       // in exact ppm integers — catches the three-domain "web-scale"
@@ -9266,6 +9272,44 @@ object SparkEntry {
            |    JOIN (SELECT $b AS vb, CAST(COUNT(*) AS BIGINT) AS cb
            |          FROM lineitem GROUP BY 1) cb USING (vb)
            |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem) tot))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) ORDER BY col_a, col_b"
+    },
+    "q_mi_matrix" -> {
+      // identical joint/margin cells, psi ln-fence (ln and product
+      // rounded at 6 per cell, DECIMAL(28,12) sums), edge division
+      val pairs = Seq(("l_returnflag", "l_linestatus"),
+        ("l_returnflag", "l_linenumber"), ("l_linestatus", "l_linenumber"))
+      def hSub(c: String, out: String) =
+        s"""SELECT ROUND(-CAST(SUM(CAST(ROUND((CAST(cn AS DOUBLE) / n) *
+           |         ROUND(ln(CAST(cn AS DOUBLE) / n), 6), 6)
+           |         AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS $out
+           |FROM (SELECT $c AS vv, CAST(COUNT(*) AS BIGINT) AS cn
+           |      FROM lineitem GROUP BY 1)
+           |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)""".stripMargin
+      val per = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, m.n_rows, m.mi,
+           |       CASE WHEN least(h1.ha, h2.hb) > 0
+           |            THEN ROUND(m.mi / least(h1.ha, h2.hb), 6) + 0.0
+           |            END AS nmi
+           |FROM (
+           |  SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+           |         ROUND(CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) / n) *
+           |           ROUND(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE) /
+           |                    CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE)), 6), 6)
+           |           AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS mi
+           |  FROM (
+           |    SELECT cells.o, ra.ra, cb.cb, tot.n
+           |    FROM (SELECT $a AS va, $b AS vb, CAST(COUNT(*) AS BIGINT) AS o
+           |          FROM lineitem GROUP BY 1, 2) cells
+           |    JOIN (SELECT $a AS va, CAST(COUNT(*) AS BIGINT) AS ra
+           |          FROM lineitem GROUP BY 1) ra USING (va)
+           |    JOIN (SELECT $b AS vb, CAST(COUNT(*) AS BIGINT) AS cb
+           |          FROM lineitem GROUP BY 1) cb USING (vb)
+           |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+           |      tot)) m
+           |CROSS JOIN (${hSub(a, "ha")}) h1
+           |CROSS JOIN (${hSub(b, "hb")}) h2""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"SELECT * FROM (\n$per\n) ORDER BY col_a, col_b"
     },

@@ -601,6 +601,60 @@ object Hygiene {
     cols.map(one).reduce(_ unionAll _)
   }
 
+  /** Normalized mutual-information matrix (Shannon 1948; Strehl & Ghosh
+    * 2002 for the normalization) — the information-theoretic companion
+    * to [[cramersVMatrix]]: MI sees ANY dependence structure (χ²-family
+    * scores are moment-based and can under-read non-linear co-encodings)
+    * and NMI = MI/min(H_a, H_b) lands on [0,1] with 1 = one column
+    * determines the other. Per unordered pair: (col_a, col_b, n_rows,
+    * mi, nmi); a constant column has zero entropy → NMI NULL (undefined,
+    * not 1).
+    *
+    * Float discipline: the psi ln-fence — each joint cell's contribution
+    * rounds its ln and its product at 6 dp, sums are DECIMAL(28,12)-
+    * exact, the single normalization division rounds at the edge. The
+    * ln ratio (o·n)/(ra·cb) is formed from DECIMAL(38,0)-exact integer
+    * products cast to double (n² passes int64 at corpus scale).
+    *
+    * Scale: per pair one joint agg (NDV-product-bounded cells, the
+    * [[chiSquareAudit]] contract), margins broadcast; |cols| ≤ 16.
+    */
+  def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2..16 audit columns: ${cols.size}")
+    def one(a: String, b: String): DataFrame = {
+      val joint = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("_g_o"))
+      val ra = joint.groupBy(col(a)).agg(sum(col("_g_o")).as("_g_ra"))
+      val cb = joint.groupBy(col(b)).agg(sum(col("_g_o")).as("_g_cb"))
+      val tot = joint.agg(sum(col("_g_o")).as("_g_n"))
+      def marginH(m: DataFrame, cnt: String, out: String): DataFrame = m
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col(cnt).cast("double") / col("_g_n"))
+        .withColumn("hc", round(col("p") * round(log(col("p")), 6), 6))
+        .agg((round(-sum(col("hc").cast(DecimalType(28, 12)))
+          .cast("double"), 6) + lit(0.0)).as(out))
+      val mi = joint
+        .join(broadcast(ra), Seq(a)).join(broadcast(cb), Seq(b))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib", round(
+          (col("_g_o").cast("double") / col("_g_n")) * round(log(
+            (col("_g_o").cast("decimal(38,0)") * col("_g_n")).cast("double") /
+              (col("_g_ra").cast("decimal(38,0)") * col("_g_cb"))
+                .cast("double")), 6), 6))
+        .agg(min(col("_g_n")).as("n_rows"),
+          (round(sum(col("contrib").cast(DecimalType(28, 12)))
+            .cast("double"), 6) + lit(0.0)).as("mi"))
+      mi.crossJoin(broadcast(marginH(ra, "_g_ra", "ha")))
+        .crossJoin(broadcast(marginH(cb, "_g_cb", "hb")))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n_rows"),
+          col("mi"),
+          when(least(col("ha"), col("hb")) > 0.0,
+            round(col("mi") / least(col("ha"), col("hb")), 6) + lit(0.0))
+            .as("nmi"))
+    }
+    cols.combinations(2).map(p => one(p.head, p.last)).reduce(_ unionAll _)
+  }
+
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
     * — public privacy methodology): a row is k-anonymous when at least
     * `k` rows share its full quasi-identifier tuple; releasing groups

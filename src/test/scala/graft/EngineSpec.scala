@@ -4513,6 +4513,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("c3") == ((4L, 2L, 0.693148, Some(1.000001))))
   }
 
+  test("mutual info matrix: perfect pair NMI 1, independent pair 0") {
+    import spark.implicits._
+    // x≡y uniform 2×2: MI = H = 0.693148 through the 6-dp chain, NMI
+    // exactly 1.0; z constant: MI 0.0, NMI NULL (zero entropy)
+    val rows = Seq(("A", 1L, "k"), ("A", 1L, "k"), ("B", 2L, "k"),
+      ("B", 2L, "k")).toDF("x", "y", "z")
+    val out = Hygiene.mutualInfoMatrix(rows, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("x", "y")) == ((4L, 0.693148, Some(1.0))), out.toString)
+    assert(out(("x", "z")) == ((4L, 0.0, None)))
+    assert(out(("y", "z")) == ((4L, 0.0, None)))
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

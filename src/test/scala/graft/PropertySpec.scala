@@ -1130,6 +1130,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("acf: bounded by ±1e6 on random series; theil-sen exactly shift-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val series = (0 until 200).flatMap { i =>
+      Seq((s"k${i % 5}", (i / 5).toLong, rnd.nextInt(1000).toLong))
+    }
+    // |r_ℓ| ≤ 1 is Cauchy–Schwarz on the truncated numerator — the
+    // integer fold must respect it for every key and lag
+    graft.operators.Temporal.acfByKey(series.toDF("key", "bucket", "v"),
+      maxLag = 5).collect().foreach { r =>
+      val a = Option(r.get(4)).map(_.asInstanceOf[Long])
+      assert(a.forall(v => math.abs(v) <= 1000000L), r.toString)
+    }
+    // slopes depend only on differences: shifting every day index and
+    // every value by constants changes NOTHING, exactly
+    val day = 86400000000L
+    val ev = (0 until 120).map { i =>
+      (s"u${i % 4}", (i / 4).toLong * day + 17L, rnd.nextInt(500).toLong)
+    }
+    def ts(rows: Seq[(String, Long, Long)]) = graft.operators.Temporal
+      .theilSenTrend(rows.toDF("user_id", "ts_us", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(ts(ev) == ts(ev.map { case (k, t, v) => (k, t + 3L * day, v + 250L) }))
+  }
+
   test("vocab growth: curves monotone and beta positive on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)

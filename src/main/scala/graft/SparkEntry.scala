@@ -3564,6 +3564,12 @@ object SparkEntry {
       Hygiene.cramersVMatrix(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus", "l_linenumber"))
         .orderBy(col("col_a"), col("col_b"))),
+    "q_gini_by_source" -> ((s, dir) =>
+      // is document length skewed WITHIN each source, or only across
+      // them: per-source exact-ppm Gini of n_chars — the stratified
+      // inequality read next to text_source_concentration's HHI
+      Hygiene.giniByKey(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))),
     "q_mi_matrix" -> ((s, dir) =>
       // the information-theoretic read of the same three columns: MI
       // sees any dependence structure, NMI = MI/min(H) lands on [0,1]
@@ -9275,6 +9281,27 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"SELECT * FROM (\n$per\n) ORDER BY col_a, col_b"
     },
+    "q_gini_by_source" ->
+      // identical rank-mass fold with PARTITION BY source, HUGEINT
+      """WITH cells AS (
+        |  SELECT source AS k, CAST(n_chars AS BIGINT) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1, 2),
+        |cw AS (SELECT k, v, c,
+        |              SUM(c) OVER (PARTITION BY k ORDER BY v) AS cumc
+        |       FROM cells),
+        |agg AS (SELECT k, CAST(SUM(c) AS HUGEINT) AS n,
+        |               SUM(CAST(v AS HUGEINT) * c) AS t,
+        |               SUM(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * (cumc - c)
+        |                   + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS s
+        |        FROM cw GROUP BY k)
+        |SELECT k AS source, CAST(n AS BIGINT) AS n_units,
+        |       CAST(t AS BIGINT) AS total,
+        |       CAST(CASE WHEN n > 0 AND t > 0
+        |            THEN (CAST(1000000 AS HUGEINT) * (2 * s - (n + 1) * t))
+        |                 // (n * t) END AS BIGINT) AS gini_ppm
+        |FROM agg ORDER BY source""".stripMargin,
     "q_mi_matrix" -> {
       // identical joint/margin cells, psi ln-fence (ln and product
       // rounded at 6 per cell, DECIMAL(28,12) sums), edge division

@@ -879,6 +879,35 @@ object Hygiene {
           .as("gini_ppm"))
   }
 
+  /** [[giniIndex]] per key — the stratified inequality read (is doc
+    * length / usage / token mass skewed WITHIN each source, or only
+    * across sources): identical rank-mass algebra with the cumulative
+    * fold partitioned by key. The ordered window runs over each key's
+    * distinct-value frame — per-key-NDV-bounded partitions, the
+    * [[groupedQuantiles]] contract (keys whose value NDV outgrows a
+    * task belong on the unkeyed [[giniIndex]]'s sharded fold).
+    */
+  def giniByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val cells = df.select(col(keyCol).as("k"), col(valCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0L)
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+    cells.withColumn("cumc", sum(col("c")).over(w))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("v") * col("c")).cast("decimal(38,0)")).as("t"),
+        sum(expr(
+          "CAST(v AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) *" +
+            " CAST(cumc - c AS DECIMAL(38,0)) + (CAST(c AS DECIMAL(38,0)) *" +
+            " CAST(c + 1 AS DECIMAL(38,0))) div 2)")).as("s"))
+      .select(col("k").as(keyCol), col("n").as("n_units"),
+        col("t").cast("long").as("total"),
+        when(col("n") > 0L && col("t") > lit(0).cast("decimal(38,0)"), expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * (2 * s - (CAST(n AS" +
+            " DECIMAL(38,0)) + 1) * t)) div (CAST(n AS DECIMAL(38,0)) * t)"))
+          .as("gini_ppm"))
+  }
+
   /** Trimmed and winsorized means (Tukey; Dixon 1960) — the robust
     * location estimates a corpus metric should ship next to its plain
     * mean: trim drops the k = ⌊n·trimPpm/10⁶⌋ smallest and largest

@@ -4393,6 +4393,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g(Seq(0L, 0L)) == ((2L, 0L, None)))
     // negatives excluded by contract
     assert(g(Seq(-3L, 4L, 4L)) == ((2L, 8L, Some(0L))))
+    // keyed form: each key's fold independent — a's [0,0,10] reads the
+    // same 2/3 as the unkeyed case, b's evens read exactly 0
+    val byK = Hygiene.giniByKey(
+      (Seq(("a", 0L), ("a", 0L), ("a", 10L)) ++ Seq(("b", 5L), ("b", 5L)))
+        .toDF("src", "v"), "src", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(byK == Map("a" -> ((3L, 10L, Some(666666L))),
+      "b" -> ((2L, 10L, Some(0L)))), byK.toString)
   }
 
   test("bootstrap stream: additive partials serve the batch CI, any split") {

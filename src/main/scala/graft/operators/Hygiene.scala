@@ -1260,13 +1260,14 @@ object Hygiene {
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val v = df.select(col(xCol).as("x"), col(yCol).as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-    def ranks2(c: String): DataFrame = {
-      val w = Window.orderBy(col(c))
-      v.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-        .select(col(c),
-          (lit(2L) * sum(col("cnt")).over(w) - col("cnt") + lit(1L))
-            .cast("decimal(38,0)").as(s"r2$c"))
-    }
+    // doubled average ranks off the SHARED range-sharded sorted fold
+    // ([[cellsCum]]) — never a one-task global window, even when the
+    // carrier's NDV approaches the corpus
+    def ranks2(cn: String): DataFrame =
+      cellsCum(v.select(col(cn).as("v")), 64)
+        .select(col("v").as(cn),
+          (lit(2L) * col("cumc") - col("c") + lit(1L))
+            .cast("decimal(38,0)").as(s"r2$cn"))
     val dec = "decimal(38,0)"
     v.join(ranks2("x"), Seq("x")).join(ranks2("y"), Seq("y"))
       .agg(count(lit(1)).as("n"),

@@ -50,11 +50,40 @@ object SparkEntry {
     * LabelStore swap discipline); |nodes| rows, trivially resident.
     * The ORACLE side is untouched — both oracles already share
     * `lpOracleCtes` and re-derive the labeling independently.
+    *
+    * Cache key is the session's `sessionUUID` (stable, never reused —
+    * `identityHashCode` can collide across GC'd sessions); a sweep
+    * driver that regenerates the data under a dir mid-session must call
+    * [[invalidateLpaCache]] or the cached labeling is stale by design
+    * (it memoizes a read of immutable dump artifacts).
     */
   private val lpaCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop every memoized LPA labeling and unpersist its blocks — the
+    * invalidation hook for long-lived sessions whose dump dirs get
+    * regenerated (the reference engine is a refresh loop; a refreshed
+    * dump must not serve the previous dump's labels).
+    */
+  def invalidateLpaCache(): Unit = {
+    val it = lpaCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue.unpersist(blocking = false)
+      it.remove()
+    }
+  }
+
+  // a fresh UUID per live session, weakly keyed on the session object —
+  // unlike identityHashCode it cannot collide across GC'd sessions, and
+  // the entry disappears with the session
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
-    lpaCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    lpaCache.computeIfAbsent(s"${sessionKey(s)}:$dir", _ => {
       val edges = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("a"),
           (col("l_partkey") + 1000000000L).as("b"))
@@ -6116,14 +6145,18 @@ object SparkEntry {
         "\nFROM acf ORDER BY event_type, lag_n"),
     "q_ljung_box" ->
       // the same ACF chain folded to Q = n(n+2)·Σ r²/(n−ℓ); any
-      // undefined lag nulls the whole key, exactly like the Spark side
+      // undefined OR gap-violating lag (n_buckets ≤ lag_n would make
+      // the divisor non-positive) nulls the whole key, exactly like
+      // the Spark side
       (acfOracleCtes + """
         |SELECT event_type, CAST(MIN(n_buckets) AS BIGINT) AS n_buckets,
         |       CAST(COUNT(*) AS BIGINT) AS h_lags,
-        |       CAST(CASE WHEN COUNT(acf_ppm) = COUNT(*) THEN
+        |       CAST(CASE WHEN COUNT(CASE WHEN acf_ppm IS NOT NULL
+        |                 AND n_buckets > lag_n THEN 1 END) = COUNT(*) THEN
         |            (CAST(MIN(n_buckets) AS HUGEINT) * (MIN(n_buckets) + 2) *
-        |             SUM((CAST(acf_ppm AS HUGEINT) * acf_ppm)
-        |                 // (n_buckets - lag_n))) // 1000000
+        |             SUM(CASE WHEN n_buckets > lag_n THEN
+        |                 (CAST(acf_ppm AS HUGEINT) * acf_ppm)
+        |                 // (n_buckets - lag_n) END)) // 1000000
         |            END AS BIGINT) AS lb_q_ppm
         |FROM acf GROUP BY event_type ORDER BY event_type""".stripMargin),
     "du_robust_trend" ->
@@ -9304,15 +9337,20 @@ object SparkEntry {
         |FROM agg ORDER BY source""".stripMargin,
     "q_mi_matrix" -> {
       // identical joint/margin cells, psi ln-fence (ln and product
-      // rounded at 6 per cell, DECIMAL(28,12) sums), edge division
+      // rounded at 6 per cell, DECIMAL(28,12) sums), edge division.
+      // Cells/margins keyed on the null-safe (coalesced varchar,
+      // is-null) pair — mirrors the operator's categoryCells discipline
+      // so NULL-keyed joint cells stay in the MI sum in both engines.
       val pairs = Seq(("l_returnflag", "l_linestatus"),
         ("l_returnflag", "l_linenumber"), ("l_linestatus", "l_linenumber"))
+      def nsKey(c: String, v: String, vn: String) =
+        s"COALESCE(CAST($c AS VARCHAR), '') AS $v, $c IS NULL AS $vn"
       def hSub(c: String, out: String) =
         s"""SELECT ROUND(-CAST(SUM(CAST(ROUND((CAST(cn AS DOUBLE) / n) *
            |         ROUND(ln(CAST(cn AS DOUBLE) / n), 6), 6)
            |         AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS $out
-           |FROM (SELECT $c AS vv, CAST(COUNT(*) AS BIGINT) AS cn
-           |      FROM lineitem GROUP BY 1)
+           |FROM (SELECT ${nsKey(c, "vv", "vvn")}, CAST(COUNT(*) AS BIGINT) AS cn
+           |      FROM lineitem GROUP BY 1, 2)
            |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)""".stripMargin
       val per = pairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_a, '$b' AS col_b, m.n_rows, m.mi,
@@ -9327,12 +9365,13 @@ object SparkEntry {
            |           AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS mi
            |  FROM (
            |    SELECT cells.o, ra.ra, cb.cb, tot.n
-           |    FROM (SELECT $a AS va, $b AS vb, CAST(COUNT(*) AS BIGINT) AS o
-           |          FROM lineitem GROUP BY 1, 2) cells
-           |    JOIN (SELECT $a AS va, CAST(COUNT(*) AS BIGINT) AS ra
-           |          FROM lineitem GROUP BY 1) ra USING (va)
-           |    JOIN (SELECT $b AS vb, CAST(COUNT(*) AS BIGINT) AS cb
-           |          FROM lineitem GROUP BY 1) cb USING (vb)
+           |    FROM (SELECT ${nsKey(a, "va", "vna")}, ${nsKey(b, "vb", "vnb")},
+           |                 CAST(COUNT(*) AS BIGINT) AS o
+           |          FROM lineitem GROUP BY 1, 2, 3, 4) cells
+           |    JOIN (SELECT ${nsKey(a, "va", "vna")}, CAST(COUNT(*) AS BIGINT) AS ra
+           |          FROM lineitem GROUP BY 1, 2) ra USING (va, vna)
+           |    JOIN (SELECT ${nsKey(b, "vb", "vnb")}, CAST(COUNT(*) AS BIGINT) AS cb
+           |          FROM lineitem GROUP BY 1, 2) cb USING (vb, vnb)
            |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
            |      tot)) m
            |CROSS JOIN (${hSub(a, "ha")}) h1

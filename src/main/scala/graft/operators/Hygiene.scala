@@ -618,14 +618,28 @@ object Hygiene {
     *
     * Scale: per pair one joint agg (NDV-product-bounded cells, the
     * [[chiSquareAudit]] contract), margins broadcast; |cols| ≤ 16.
+    *
+    * NULL discipline: joint cells and margins are keyed on the
+    * [[categoryCells]] null-safe (coalesced string, is-null) pair — a
+    * raw NULL key never matches itself in an equi-join, so keying on
+    * the raw values would drop NULL-bearing joint cells from the MI sum
+    * while `n` and the margin entropies still count those rows, biasing
+    * MI low and making mi/nmi inconsistent with n_rows.
     */
   def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 16,
       s"need 2..16 audit columns: ${cols.size}")
     def one(a: String, b: String): DataFrame = {
-      val joint = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("_g_o"))
-      val ra = joint.groupBy(col(a)).agg(sum(col("_g_o")).as("_g_ra"))
-      val cb = joint.groupBy(col(b)).agg(sum(col("_g_o")).as("_g_cb"))
+      val joint = df.groupBy(
+        coalesce(col(a).cast("string"), lit("")).as("_g_va"),
+        col(a).isNull.as("_g_vna"),
+        coalesce(col(b).cast("string"), lit("")).as("_g_vb"),
+        col(b).isNull.as("_g_vnb"))
+        .agg(count(lit(1)).as("_g_o"))
+      val ra = joint.groupBy(col("_g_va"), col("_g_vna"))
+        .agg(sum(col("_g_o")).as("_g_ra"))
+      val cb = joint.groupBy(col("_g_vb"), col("_g_vnb"))
+        .agg(sum(col("_g_o")).as("_g_cb"))
       val tot = joint.agg(sum(col("_g_o")).as("_g_n"))
       def marginH(m: DataFrame, cnt: String, out: String): DataFrame = m
         .crossJoin(broadcast(tot))
@@ -634,7 +648,8 @@ object Hygiene {
         .agg((round(-sum(col("hc").cast(DecimalType(28, 12)))
           .cast("double"), 6) + lit(0.0)).as(out))
       val mi = joint
-        .join(broadcast(ra), Seq(a)).join(broadcast(cb), Seq(b))
+        .join(broadcast(ra), Seq("_g_va", "_g_vna"))
+        .join(broadcast(cb), Seq("_g_vb", "_g_vnb"))
         .crossJoin(broadcast(tot))
         .withColumn("contrib", round(
           (col("_g_o").cast("double") / col("_g_n")) * round(log(

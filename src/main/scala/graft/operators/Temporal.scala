@@ -736,6 +736,15 @@ object Temporal {
     * product); a key with ANY undefined lag (constant series) reports
     * NULL rather than a partial sum.
     *
+    * Gap discipline: the n−ℓ divisor assumes the gap-filled contract
+    * (buckets contiguous, so a lag-ℓ pair implies n_buckets > ℓ). On
+    * contract-violating input (buckets {0,7} has a lag-7 pair with
+    * n_buckets = 2) the divisor is ≤ 0 — Spark truncates toward zero
+    * where DuckDB floors, and a zero divisor yields a silent NULL term.
+    * Each per-lag term is therefore gated on n_buckets > lag_n and a
+    * gated-out lag counts as UNDEFINED, nulling the key's Q loudly
+    * instead of diverging silently.
+    *
     * Scale shape: [[acfByKey]] + one keyed agg — nothing new exchanges.
     */
   def ljungBoxByKey(series: DataFrame, keyCol: String = "key",
@@ -744,9 +753,12 @@ object Temporal {
     acfByKey(series, keyCol, bucketCol, valCol, maxLag)
       .groupBy(col(keyCol))
       .agg(min(col("n_buckets")).as("n_buckets"),
-        count(lit(1)).as("h_lags"), count(col("acf_ppm")).as("h_def"),
-        sum(expr("(CAST(acf_ppm AS DECIMAL(38,0)) * acf_ppm)" +
-          " div (n_buckets - lag_n)")).as("s"))
+        count(lit(1)).as("h_lags"),
+        count(when(col("acf_ppm").isNotNull &&
+          col("n_buckets") > col("lag_n"), lit(1))).as("h_def"),
+        sum(when(col("n_buckets") > col("lag_n"), expr(
+          "(CAST(acf_ppm AS DECIMAL(38,0)) * acf_ppm)" +
+            " div (n_buckets - lag_n)"))).as("s"))
       .select(col(keyCol), col("n_buckets"), col("h_lags"),
         when(col("h_def") === col("h_lags"), expr(
           "(CAST(n_buckets AS DECIMAL(38,0)) * (n_buckets + 2) * s)" +

@@ -47,17 +47,24 @@ object ComponentsStream {
     * initial [[Dedup.components]] fixpoint (or an empty (doc_id,
     * component) frame for a cold start).
     *
-    * Durability: with `snapshotDir` set, every applied batch persists the
-    * labels table as an `upto=<batchId>` [[SnapshotStore]] snapshot
-    * (write-before-commit, newest-two retention — the sketch-store
-    * discipline one rung up), and a rebuilt store restores the newest
-    * snapshot instead of cold-starting from `initial` while the
-    * checkpoint marks earlier batches delivered. Replayed batches drop
-    * on the restored monotone guard; a replay that slips the guard
-    * (torn write) is still a NO-OP by the merge idempotence below.
+    * Durability: with `snapshotDir` set, the labels table persists as an
+    * `upto=<batchId>` [[SnapshotStore]] snapshot (write-before-commit,
+    * newest-two retention — the sketch-store discipline one rung up),
+    * and a rebuilt store restores the newest snapshot instead of
+    * cold-starting from `initial` while the checkpoint marks earlier
+    * batches delivered. Unlike the KB-bounded sketch stores, the labels
+    * table is CORPUS-sized, so (a) it writes partitioned (no coalesce(1)
+    * single-task funnel) and (b) it snapshots only every
+    * `snapshotEvery`-th applied batch — merge idempotence makes the gap
+    * safe: a restart replays at most `snapshotEvery` batches, each a
+    * no-op on already-reflected pairs and a legit merge otherwise.
+    * Empty batches never write (replaying a skipped empty batch is
+    * trivially idempotent). Replayed batches otherwise drop on the
+    * restored monotone guard.
     */
   final class LabelStore(spark: SparkSession, initial: DataFrame,
-      snapshotDir: Option[String] = None) {
+      snapshotDir: Option[String] = None, snapshotEvery: Int = 1) {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1: $snapshotEvery")
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -72,6 +79,7 @@ object ComponentsStream {
       restored.map(_._2.select(col("doc_id"), col("component")))
         .getOrElse(initial.select(col("doc_id"), col("component")))))
     @volatile private var lastBatch = restored.map(_._1).getOrElse(-1L)
+    @volatile private var lastSnap = lastBatch
 
     /** The current labels fixpoint (doc_id, component) — always a fully
       * materialized table, never a mid-merge view.
@@ -88,15 +96,18 @@ object ComponentsStream {
       val old = ref.get()
       if (!deltaPairs.isEmpty) {
         val next = materialize(Dedup.componentsIncremental(old, deltaPairs))
-        if (batchId >= 0) snapshotDir.foreach(d =>
-          SnapshotStore.write(spark, d, next, batchId))
+        if (batchId >= 0 && batchId >= lastSnap + snapshotEvery) {
+          snapshotDir.foreach(d =>
+            SnapshotStore.write(spark, d, next, batchId, singleFile = false))
+          lastSnap = batchId
+        }
         ref.set(next)
         if (batchId >= 0) lastBatch = batchId
         old.unpersist()
       } else if (batchId >= 0) {
-        // an empty batch still advances the durable guard so its replay
-        // after a restart does not re-run later batches' guard window
-        snapshotDir.foreach(d => SnapshotStore.write(spark, d, old, batchId))
+        // empty batches only advance the in-memory guard: replaying a
+        // skipped empty batch after a restart is trivially idempotent,
+        // so no durable write is owed
         lastBatch = batchId
       }
     }

@@ -60,11 +60,17 @@ object IngestDedupStream {
     // accumulated bands/sets this loop exists to grow, while the
     // checkpoint already marks earlier batches committed (never
     // re-probed). So: (a) `indexed` initializes from the artifact itself
-    // (bands/_SUCCESS present), and (b) the accumulated pair table +
-    // lastBatch persist as `pairs_snap/upto=<batchId>` snapshots
-    // ([[SnapshotStore]]: write-before-commit, newest-two retention), so
-    // a rebuilt store resumes where the artifact is and replayed batches
-    // drop on the monotone guard instead of double-appending.
+    // (bands/_SUCCESS present), and (b) each batch's NEW pairs + the
+    // batch id persist as `pairs_snap/delta=<batchId>` entries in a
+    // [[SnapshotStore]] DELTA LOG (write-before-commit), so a rebuilt
+    // store resumes where the artifact is and replayed batches drop on
+    // the monotone guard instead of double-appending. The pair table is
+    // append-only and grows without bound, so a full per-batch snapshot
+    // would cost O(total) I/O per batch (quadratic cumulative) through
+    // one coalesced task — the delta log keeps per-batch I/O O(delta).
+    // No pair lands in two deltas: (a,b) is emitted only by the later
+    // doc's batch, and the torn-replay self-probe duplicates collapse
+    // under the per-batch distinct below.
     private def artifactExists: Boolean = {
       val p = new Path(s"$dir/bands/_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -72,7 +78,7 @@ object IngestDedupStream {
 
     private val snapDir = s"$dir/pairs_snap"
 
-    private val restored = SnapshotStore.newest(spark, snapDir)
+    private val restored = SnapshotStore.restoreDeltas(spark, snapDir)
 
     private val pairsRef = new AtomicReference[DataFrame](materialize(
       restored.map(_._2.select(col("doc_a"), col("doc_b"), col("jaccard")))
@@ -110,8 +116,8 @@ object IngestDedupStream {
       // double-appended signatures duplicate candidate rows — jaccard is
       // a pure function of the two shingle sets, so exact-row distinct
       // collapses both. Outside that window it is a no-op on unique pairs.
-      val next = materialize(
-        pairsRef.get().unionAll(within.unionAll(cross).distinct()))
+      val delta = materialize(within.unionAll(cross).distinct())
+      val next = materialize(pairsRef.get().unionAll(delta))
       // grow the artifact only after the pair fold is safely materialized:
       // a failure above leaves both the pairs AND the index at the old
       // batch, so the checkpoint replays the whole batch consistently
@@ -121,8 +127,10 @@ object IngestDedupStream {
       } else {
         DedupIndex.append(spark, dir, batch, idCol, textCol, n, bands, rows)
       }
-      // durable commit point: pairs + lastBatch survive a driver restart
-      SnapshotStore.write(spark, snapDir, next, batchId)
+      // durable commit point: only THIS batch's pairs are written — the
+      // accumulated table is the union of the delta log on restore
+      SnapshotStore.writeDelta(spark, snapDir, delta, batchId)
+      delta.unpersist()
       val old = pairsRef.get()
       pairsRef.set(next)
       lastBatch = batchId

@@ -36,11 +36,14 @@ private[streaming] object SnapshotStore {
   }
 
   /** Write a bounded counter table as the `batchId` snapshot (one file —
-    * the tables are KBs by contract), then prune to the newest two.
+    * the tables are KBs by contract — unless `singleFile=false`, for
+    * corpus-sized state tables that must not funnel through one task),
+    * then prune to the newest two.
     */
   def write(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Long): Unit = {
-    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/upto=$batchId")
+      batchId: Long, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").parquet(s"$dir/upto=$batchId")
     val (f, _) = fs(spark, dir)
     snapshotIds(spark, dir).dropRight(2).foreach { case (_, p) =>
       f.delete(p, true)
@@ -52,4 +55,43 @@ private[streaming] object SnapshotStore {
     snapshotIds(spark, dir).lastOption.map { case (id, p) =>
       id -> spark.read.parquet(p.toString)
     }
+
+  // ---- append-only delta log -------------------------------------------
+  //
+  // For APPEND-ONLY state (the ingest-dedup pair table): snapshotting the
+  // whole accumulated table per batch costs O(total) I/O per batch —
+  // quadratic cumulative — and coalesce(1) funnels it through one task.
+  // A delta log writes only each batch's new rows (`delta=<batchId>`,
+  // `_SUCCESS`-gated like snapshots, never pruned): per-batch cost is
+  // O(delta), cumulative cost is O(total) once, and restore is the union
+  // of complete deltas. Correct ONLY when rows are never updated or
+  // deleted and no row lands in two deltas (the caller's dedup contract).
+
+  /** Complete deltas under `dir`, ascending batch id. */
+  def deltaIds(spark: SparkSession, dir: String): Seq[(Long, Path)] = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta="))
+      .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => st.getPath.getName.stripPrefix("delta=").toLong -> st.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Write one batch's NEW rows as the `batchId` delta (one file — a
+    * micro-batch's delta is small by construction; overwrite mode so a
+    * torn earlier attempt at the same id is replaced whole).
+    */
+  def writeDelta(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Long): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/delta=$batchId")
+
+  /** The union of all complete deltas as (newest batchId, rows), if any. */
+  def restoreDeltas(spark: SparkSession, dir: String)
+      : Option[(Long, DataFrame)] = {
+    val ids = deltaIds(spark, dir)
+    ids.lastOption.map { case (last, _) =>
+      last -> spark.read.parquet(ids.map(_._2.toString): _*)
+    }
+  }
 }

@@ -4536,6 +4536,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("y", "z")) == ((4L, 0.0, None)))
   }
 
+  test("mutual info matrix: NULL is a real category, not a dropped cell") {
+    import spark.implicits._
+    // x = [A, A, NULL, NULL] determines y = [1, 1, 2, 2]: the NULL level
+    // is half the mass, so MI = H = ln 2 and NMI = 1. Raw-value joins
+    // would drop the (NULL, 2) joint cell from the MI sum (NULL never
+    // equi-joins to itself) while n_rows and the margin entropies still
+    // count those rows — reading MI = 0.346574 and NMI ≈ 0.5 on a
+    // perfectly dependent pair.
+    val rows = Seq((Option("A"), 1L), (Option("A"), 1L),
+      (Option.empty[String], 2L), (Option.empty[String], 2L)).toDF("x", "y")
+    val out = Hygiene.mutualInfoMatrix(rows, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("x", "y")) == ((4L, 0.693148, Some(1.0))), out.toString)
+  }
+
+  test("ljung-box: a gap-violating lag nulls the key loudly") {
+    import spark.implicits._
+    // buckets {0, 7} with maxLag 7: a lag-7 pair exists while
+    // n_buckets = 2, so the n−ℓ divisor is −5 — Spark truncates toward
+    // zero where DuckDB floors, so the term must be gated out and the
+    // key's Q reported NULL (contract violation: gapFill first), never a
+    // silently-divergent number. A contiguous key on the same frame
+    // still computes.
+    val rows = Seq(("gap", 0L, 1L), ("gap", 7L, 2L),
+      ("ok", 0L, 1L), ("ok", 1L, 2L), ("ok", 2L, 3L), ("ok", 3L, 4L))
+      .toDF("key", "bucket", "v")
+    val lb = Temporal.ljungBoxByKey(rows, maxLag = 7)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(lb("gap")._2.isEmpty, lb.toString)
+    assert(lb("ok")._2.nonEmpty, lb.toString)
+  }
+
   test("churn labels leak-free split; loo encoding excludes own row") {
     import spark.implicits._
     // max ts 900, horizon 200 → cutoff 700. u1 active after, u2

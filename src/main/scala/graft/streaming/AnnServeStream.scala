@@ -65,8 +65,19 @@ object AnnServeStream {
 
   /** (query_id, neighbor_id, score, rank) answers accumulated across
     * batches.
+    *
+    * Durability (with `durable` set): the answer table is APPEND-ONLY
+    * (per-query results are independent and each query lands in exactly
+    * one batch), so each batch's answers persist as a [[SnapshotStore]]
+    * delta log — per-batch I/O is O(batch·k), never O(history) —
+    * written BEFORE the batch is acknowledged; a rebuilt store restores
+    * the union of complete deltas via [[AnswerStore.restore]] and
+    * replayed batches drop on the restored monotone guard. Every batch
+    * writes a delta — even an empty one — so the guard itself is
+    * durable.
     */
-  final class AnswerStore(spark: SparkSession, initial: DataFrame) {
+  final class AnswerStore(spark: SparkSession, initial: DataFrame,
+      durable: Option[String] = None) {
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -80,6 +91,15 @@ object AnnServeStream {
     /** The current answer table — always fully materialized. */
     def current: DataFrame = ref.get()
 
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(df.select(
+        col("query_id"), col("neighbor_id"), col("score"), col("rank")))
+      val old = ref.get()
+      ref.set(next)
+      lastBatch.set(upto)
+      old.unpersist()
+    }
+
     /** Serve one micro-batch of query vectors (vec_id, embedding) against
       * the index and append the answers; re-delivered batch ids are
       * dropped. Returns whether the batch was applied.
@@ -87,16 +107,35 @@ object AnnServeStream {
     def serve(batchId: Long, index: Index, queries: DataFrame): Boolean = synchronized {
       if (batchId <= lastBatch.get()) return false
       val old = ref.get()
-      if (!queries.isEmpty) {
-        val answers = Similarity.ivfTopK(
-          index.emb, queries, index.centroids, index.k, index.nprobe)
-        val next = materialize(old.unionByName(
-          answers.select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))))
+      val delta = materialize {
+        if (queries.isEmpty) old.limit(0)
+        else Similarity.ivfTopK(
+            index.emb, queries, index.centroids, index.k, index.nprobe)
+          .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      }
+      // durable: the delta commits BEFORE the batch is acknowledged
+      durable.foreach(dir => SnapshotStore.writeDelta(spark, dir, delta, batchId))
+      if (!delta.isEmpty) {
+        val next = materialize(old.unionByName(delta))
         ref.set(next)
         old.unpersist()
       }
+      delta.unpersist()
       lastBatch.set(batchId)
       true
+    }
+  }
+
+  object AnswerStore {
+    /** Rebuild a durable store from `dir`'s delta log — the restart
+      * path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String): AnswerStore = {
+      val store = new AnswerStore(spark, emptyAnswers(spark), Some(dir))
+      SnapshotStore.restoreDeltas(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
     }
   }
 

@@ -34,9 +34,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object BootstrapStream {
 
-  /** Running replica partials + exact totals for one monitored measure. */
+  /** Running replica partials + exact totals for one monitored measure.
+    * When `durable` carries a snapshot directory, every applied batch
+    * writes BOTH state tables as one multi-table snapshot
+    * ([[SnapshotStore.writeMulti]] — complete iff both tables landed, so
+    * a crash mid-snapshot falls back to the previous one and the gap
+    * replays on the guard) BEFORE the batch is acknowledged. State is
+    * B+1 rows — KBs. Restore via [[BootstrapStore.restore]].
+    */
   final class BootstrapStore(spark: SparkSession, idCol: String,
-      valCol: String, b: Int, alphaPpm: Long = 50000L) {
+      valCol: String, b: Int, alphaPpm: Long = 50000L,
+      durable: Option[String] = None) {
     require(b >= 4, s"need at least 4 replicas: $b")
     import spark.implicits._
 
@@ -55,6 +63,18 @@ object BootstrapStream {
         .select(col("n"), col("sx").cast("decimal(38,0)"))))
     @volatile private var lastBatch = -1L
 
+    private[streaming] def seed(partials: DataFrame, totals: DataFrame,
+        upto: Long): Unit = synchronized {
+      val nP = materialize(partials.select(col("j"), col("sw"),
+        col("swx").cast("decimal(38,0)").as("swx")))
+      val nT = materialize(totals.select(col("n"),
+        col("sx").cast("decimal(38,0)").as("sx")))
+      val (oP, oT) = (partialsRef.get(), totalsRef.get())
+      partialsRef.set(nP); totalsRef.set(nT)
+      lastBatch = upto
+      oP.unpersist(); oT.unpersist()
+    }
+
     /** Fold one micro-batch in; replays drop on the guard. */
     def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
       if (batchId <= lastBatch) return false
@@ -72,6 +92,9 @@ object BootstrapStream {
           sum(col("sx")).cast("decimal(38,0)").as("sx"))
       val nextP = materialize(mergedP)
       val nextT = materialize(mergedT)
+      // durable: both tables snapshot atomically BEFORE acknowledging
+      durable.foreach(dir => SnapshotStore.writeMulti(spark, dir,
+        Seq("partials" -> nextP, "totals" -> nextT), batchId))
       val (oldP, oldT) = (partialsRef.get(), totalsRef.get())
       partialsRef.set(nextP)
       totalsRef.set(nextT)
@@ -94,6 +117,22 @@ object BootstrapStream {
       exact.crossJoin(broadcast(ci))
         .select(lit(b.toLong).as("b_reps"), col("n_rows"), col("mean_ppm"),
           col("lo_ppm"), col("hi_ppm"))
+    }
+  }
+
+  object BootstrapStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String, idCol: String,
+        valCol: String, b: Int, alphaPpm: Long = 50000L): BootstrapStore = {
+      val store = new BootstrapStore(spark, idCol, valCol, b, alphaPpm,
+        Some(dir))
+      SnapshotStore.newestMulti(spark, dir, Seq("partials", "totals"))
+        .foreach { case (upto, tables) =>
+          store.seed(tables("partials"), tables("totals"), upto)
+        }
+      store
     }
   }
 

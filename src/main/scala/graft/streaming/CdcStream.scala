@@ -34,9 +34,21 @@ object CdcStream {
 
   /** Compacted (key → latest struct) table held across micro-batches.
     * Schema: keyCols ++ (last: struct(ts, tiebreak, payload...)).
+    *
+    * Durability (with `durable` set): the table is one row per live key
+    * — corpus-key-sized — so it writes PARTITIONED (no single-task
+    * funnel) and only every `snapshotEvery`-th applied batch; merge
+    * idempotence makes the gap safe (a restart replays ≤ snapshotEvery
+    * batches, each re-taking maxes that cannot move). A rebuilt store
+    * restores the newest snapshot via [[CompactStore.restore]] instead
+    * of serving an empty compaction while the checkpoint marks batches
+    * delivered.
     */
-  final class CompactStore(spark: SparkSession, keyCols: Seq[String], initial: DataFrame) {
+  final class CompactStore(spark: SparkSession, keyCols: Seq[String],
+      initial: DataFrame, durable: Option[String] = None,
+      snapshotEvery: Int = 1) {
     require(keyCols.nonEmpty, "need at least one key column")
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1: $snapshotEvery")
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -44,14 +56,24 @@ object CdcStream {
       cut
     }
     private val ref = new AtomicReference[DataFrame](materialize(initial))
+    @volatile private var lastSnap = Long.MinValue
 
     /** The current compacted table — always fully materialized. */
     def current: DataFrame = ref.get()
 
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(df)
+      val old = ref.get()
+      ref.set(next)
+      lastSnap = upto
+      old.unpersist()
+    }
+
     /** Merge one micro-batch of per-batch argmaxes; idempotent, so
-      * at-least-once replay needs no guard.
+      * at-least-once replay needs no guard. `batchId` (when ≥ 0) drives
+      * the durable snapshot cadence.
       */
-    def merge(batchCompact: DataFrame): Unit = {
+    def merge(batchCompact: DataFrame, batchId: Long = -1L): Unit = synchronized {
       val old = ref.get()
       if (!batchCompact.isEmpty) {
         val merged = old.as("o")
@@ -62,9 +84,32 @@ object CdcStream {
             keyCols.map(k => coalesce(col(s"o.$k"), col(s"b.$k")).as(k)) :+
               greatest(col("o.last"), col("b.last")).as("last"): _*)
         val next = materialize(merged)
+        if (batchId >= 0 &&
+            (lastSnap == Long.MinValue || batchId >= lastSnap + snapshotEvery)) {
+          durable.foreach { dir =>
+            SnapshotStore.write(spark, dir, next, batchId, singleFile = false)
+            lastSnap = batchId
+          }
+        }
         ref.set(next)
         old.unpersist()
       }
+    }
+  }
+
+  object CompactStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores the cold
+      * `initial` table.
+      */
+    def restore(spark: SparkSession, dir: String, keyCols: Seq[String],
+        initial: DataFrame, snapshotEvery: Int = 1): CompactStore = {
+      val store = new CompactStore(spark, keyCols, initial, Some(dir),
+        snapshotEvery)
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
     }
   }
 
@@ -79,7 +124,7 @@ object CdcStream {
   /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */
   def sink(store: CompactStore, keyCols: Seq[String],
       orderCols: Seq[String], payloadCols: Seq[String]): (DataFrame, Long) => Unit =
-    (batch, _) => store.merge(compact(batch, keyCols, orderCols, payloadCols))
+    (batch, id) => store.merge(compact(batch, keyCols, orderCols, payloadCols), id)
 
   /** Wire a streaming change source into `store` and start the query;
     * callers read `store.current` at any time.

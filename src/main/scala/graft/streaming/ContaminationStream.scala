@@ -40,8 +40,20 @@ import graft.operators.Dedup
   */
 object ContaminationStream {
 
-  /** Accumulated flagged pairs (train_id, eval_id, jaccard). */
-  final class PairStore(spark: SparkSession, initial: DataFrame) {
+  /** Accumulated flagged pairs (train_id, eval_id, jaccard).
+    *
+    * Durability (with `durable` set): the pair table is APPEND-ONLY
+    * (each train doc's verdict lands in exactly one batch), so each
+    * batch's new pairs persist as a [[SnapshotStore]] delta log —
+    * per-batch I/O is O(batch's pairs), never O(history) — written
+    * BEFORE the batch is acknowledged; a rebuilt store restores the
+    * union of complete deltas via [[PairStore.restore]] and replayed
+    * batches drop on the restored monotone guard (a torn delta is
+    * overwritten whole by its replay). Every batch writes a delta —
+    * even an empty one — so the guard itself is durable.
+    */
+  final class PairStore(spark: SparkSession, initial: DataFrame,
+      durable: Option[String] = None) {
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -55,6 +67,15 @@ object ContaminationStream {
     /** The accumulated pairs — always fully materialized, never mid-swap. */
     def current: DataFrame = ref.get()
 
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(
+        df.select(col("train_id"), col("eval_id"), col("jaccard")))
+      val old = ref.get()
+      ref.set(next)
+      lastBatch.set(upto)
+      old.unpersist()
+    }
+
     /** Append one micro-batch's flagged pairs; re-delivered batch ids
       * (≤ the last applied) are dropped so replay never duplicates rows.
       * Returns whether the batch was applied.
@@ -62,14 +83,31 @@ object ContaminationStream {
     def add(batchId: Long, pairs: DataFrame): Boolean = synchronized {
       if (batchId <= lastBatch.get()) return false
       val old = ref.get()
-      if (!pairs.isEmpty) {
-        val next = materialize(old.unionAll(
-          pairs.select(col("train_id"), col("eval_id"), col("jaccard"))))
+      val delta = materialize(
+        pairs.select(col("train_id"), col("eval_id"), col("jaccard")))
+      // durable: the delta commits BEFORE the batch is acknowledged
+      durable.foreach(dir => SnapshotStore.writeDelta(spark, dir, delta, batchId))
+      if (!delta.isEmpty) {
+        val next = materialize(old.unionAll(delta))
         ref.set(next)
         old.unpersist()
       }
+      delta.unpersist()
       lastBatch.set(batchId)
       true
+    }
+  }
+
+  object PairStore {
+    /** Rebuild a durable store from `dir`'s delta log — the restart
+      * path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String): PairStore = {
+      val store = new PairStore(spark, emptyPairs(spark), Some(dir))
+      SnapshotStore.restoreDeltas(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
     }
   }
 

@@ -38,9 +38,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object DriftStream {
 
-  /** Running per-column value counts vs a fixed reference dump. */
+  /** Running per-column value counts vs a fixed reference dump. When
+    * `durable` carries a snapshot directory, every applied batch writes
+    * the merged counts table (NDV-bounded by the watched-column
+    * contract) BEFORE the batch is acknowledged — a restarted drift
+    * monitor that silently serves reset counts while the checkpoint
+    * marks batches delivered is the worst failure mode a drift alarm
+    * can have. Restore via [[DriftStore.restore]]; the reference side
+    * is re-counted from the (immutable) reference dump at construction.
+    */
   final class DriftStore(spark: SparkSession, cols: Seq[String],
-      reference: DataFrame) {
+      reference: DataFrame, durable: Option[String] = None) {
     require(cols.nonEmpty, "need at least one column to monitor")
     import spark.implicits._
 
@@ -66,6 +74,15 @@ object DriftStream {
       Seq.empty[(String, String, Boolean, Long)].toDF("col_name", "v", "vn", "n")))
     @volatile private var lastBatch = -1L
 
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(
+        df.select(col("col_name"), col("v"), col("vn"), col("n")))
+      val old = runRef.get()
+      runRef.set(next)
+      lastBatch = upto
+      old.unpersist()
+    }
+
     /** Fold one micro-batch's counts in; replays drop on the guard. */
     def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
       if (batchId <= lastBatch) return false
@@ -73,6 +90,9 @@ object DriftStream {
         .groupBy(col("col_name"), col("v"), col("vn"))
         .agg(sum(col("n")).as("n"))
       val next = materialize(merged)
+      // durable: snapshot BEFORE acknowledging, so a crash between write
+      // and ack only re-folds a batch the guard then drops
+      durable.foreach(dir => SnapshotStore.write(spark, dir, next, batchId))
       val old = runRef.get()
       runRef.set(next)
       lastBatch = batchId
@@ -110,6 +130,20 @@ object DriftStream {
       cols.map(c => graft.operators.Hygiene.psiFromCells(
           cells(refCounts, c), cells(run, c), c))
         .reduce(_ unionAll _)
+    }
+  }
+
+  object DriftStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String, cols: Seq[String],
+        reference: DataFrame): DriftStore = {
+      val store = new DriftStore(spark, cols, reference, Some(dir))
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
     }
   }
 

@@ -29,8 +29,19 @@ import graft.operators.Temporal
   */
 object EwmaStream {
 
+  /** Durability (with `durable` set): the scored-output table grows
+    * without bound (every scored row ever), so it persists as an
+    * APPEND-ONLY [[SnapshotStore]] delta log under `dir/out` — per-batch
+    * I/O is O(batch), never O(history) — while the bounded tail
+    * (≤ span−1 rows per key) snapshots whole under `dir/tail`. Write
+    * order is delta FIRST, tail snapshot SECOND: the tail snapshot is
+    * the commit point, so restore takes the newest tail id G and only
+    * the out-deltas with id ≤ G — a torn delta at G+1 is ignored and
+    * overwritten whole when batch G+1 replays against the tail at G.
+    */
   final class SmoothStore(spark: SparkSession, keyCol: String, tsCol: String,
-      tieCol: String, valCol: String, span: Int = 8) {
+      tieCol: String, valCol: String, span: Int = 8,
+      durable: Option[String] = None) {
     require(span >= 1, s"span must be >= 1: $span")
     import spark.implicits._
 
@@ -75,11 +86,12 @@ object EwmaStream {
       // ewmaSmooth drops extra columns; re-attach is_tail by key join
       val flags = combined.select(col(keyCol), col(tsCol), col(tieCol),
         col("is_tail"))
-      val newOut = outRef.get().unionAll(
+      val outDelta = materialize(
         scoredAll.join(flags, Seq(keyCol, tsCol, tieCol))
           .filter(!col("is_tail"))
           .select(col(keyCol), col(tsCol), col(tieCol),
             col("value_u6"), col("ewma_u6")))
+      val newOut = outRef.get().unionAll(outDelta)
       // the union's last span−1 rows per key become the next tail
       val w = Window.partitionBy(col(keyCol))
         .orderBy(col(tsCol).desc, col(tieCol).desc)
@@ -88,11 +100,56 @@ object EwmaStream {
         .filter(col("rn") < span)
         .select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
       val (no, nt) = (materialize(newOut), materialize(newTail))
+      // durable: out-delta first, then the tail snapshot as commit point
+      durable.foreach { dir =>
+        SnapshotStore.writeDelta(spark, s"$dir/out", outDelta, batchId)
+        SnapshotStore.write(spark, s"$dir/tail", nt, batchId)
+      }
       val (oo, ot) = (outRef.get(), tailRef.get())
       outRef.set(no); tailRef.set(nt)
       lastBatch = batchId
       oo.unpersist(); ot.unpersist()
+      outDelta.unpersist()
       true
+    }
+
+    private[streaming] def seed(tail: DataFrame, out: DataFrame,
+        upto: Long): Unit = synchronized {
+      val nt = materialize(
+        tail.select(col(keyCol), col(tsCol), col(tieCol), col(valCol)))
+      val no = materialize(out.select(col(keyCol), col(tsCol), col(tieCol),
+        col("value_u6"), col("ewma_u6")))
+      val (oo, ot) = (outRef.get(), tailRef.get())
+      outRef.set(no); tailRef.set(nt)
+      lastBatch = upto
+      oo.unpersist(); ot.unpersist()
+    }
+  }
+
+  object SmoothStore {
+    /** Rebuild a durable store from `dir` — the restart path: the newest
+      * complete tail snapshot (id G) is the commit point; scored output
+      * is the union of out-deltas with id ≤ G. A missing/empty `dir`
+      * restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+        tsCol: String, tieCol: String, valCol: String,
+        span: Int = 8): SmoothStore = {
+      val store = new SmoothStore(spark, keyCol, tsCol, tieCol, valCol, span,
+        Some(dir))
+      SnapshotStore.newest(spark, s"$dir/tail").foreach { case (upto, tail) =>
+        val deltas = SnapshotStore.deltaIds(spark, s"$dir/out")
+          .filter(_._1 <= upto).map(_._2.toString)
+        val out =
+          if (deltas.nonEmpty) spark.read.parquet(deltas: _*)
+          else {
+            import spark.implicits._
+            Seq.empty[(Long, Long, Long, Long, Long)]
+              .toDF(keyCol, tsCol, tieCol, "value_u6", "ewma_u6")
+          }
+        store.seed(tail, out, upto)
+      }
+      store
     }
   }
 

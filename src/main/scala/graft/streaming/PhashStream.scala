@@ -43,8 +43,27 @@ import graft.operators.Multimodal
   */
 object PhashStream {
 
-  /** (ahash_hi, ahash_lo, rep_id, n_dups) registry held across batches. */
-  final class HashGroupStore(spark: SparkSession, initial: DataFrame) {
+  /** (ahash_hi, ahash_lo, rep_id, n_dups) registry held across batches.
+    *
+    * Durability (with `durable` set): the registry is a SUM-merged table
+    * (one row per distinct content hash — corpus-scale), so neither a
+    * per-batch full snapshot (O(registry) I/O per batch through one
+    * task) nor a snapshot-every-K gap (sum merge is NOT idempotent —
+    * replays would double-count) is right. Instead the per-batch GROUPED
+    * counts — a commutative-monoid delta: min-merge rep_id, sum-merge
+    * n_dups — persist as a [[SnapshotStore]] delta log under
+    * `dir/deltas` (the commit point, written every batch so the guard is
+    * durable; a torn delta is overwritten whole by its replay, and the
+    * grouped counts are deterministic so the overwrite is identical),
+    * and every `compactEvery`-th batch the folded registry itself
+    * snapshots under `dir/full` (partitioned — no single-task funnel),
+    * after which the now-redundant deltas ≤ that id are pruned. Restore
+    * = newest full snapshot ∪ deltas after it, re-grouped — exactly the
+    * merge algebra.
+    */
+  final class HashGroupStore(spark: SparkSession, initial: DataFrame,
+      durable: Option[String] = None, compactEvery: Int = 64) {
+    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,9 +73,19 @@ object PhashStream {
     private val ref = new AtomicReference[DataFrame](materialize(
       initial.select(col("ahash_hi"), col("ahash_lo"), col("rep_id"), col("n_dups"))))
     private val lastBatch = new AtomicLong(-1L)
+    @volatile private var lastCompact = -1L
 
     /** The current registry — always fully materialized, never mid-merge. */
     def current: DataFrame = ref.get()
+
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(df.select(
+        col("ahash_hi"), col("ahash_lo"), col("rep_id"), col("n_dups")))
+      val old = ref.get()
+      ref.set(next)
+      lastBatch.set(upto)
+      old.unpersist()
+    }
 
     /** Merge one micro-batch of hashed rows (doc_id, ahash_hi, ahash_lo);
       * re-delivered batch ids (≤ the last applied) are dropped so replay
@@ -65,19 +94,63 @@ object PhashStream {
     def merge(batchId: Long, hashed: DataFrame): Boolean = synchronized {
       if (batchId <= lastBatch.get()) return false
       val old = ref.get()
-      val grouped = hashed
+      val grouped = materialize(hashed
         .filter(col("ahash_hi") >= 0)
         .groupBy(col("ahash_hi"), col("ahash_lo"))
-        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups")))
+      // durable: the per-batch delta commits BEFORE the batch is
+      // acknowledged — every batch, even empty, so the guard is durable
+      durable.foreach(dir =>
+        SnapshotStore.writeDelta(spark, s"$dir/deltas", grouped, batchId))
       if (!grouped.isEmpty) {
         val next = materialize(old.unionAll(grouped)
           .groupBy(col("ahash_hi"), col("ahash_lo"))
           .agg(min(col("rep_id")).as("rep_id"), sum(col("n_dups")).as("n_dups")))
+        durable.foreach { dir =>
+          if (batchId >= lastCompact + compactEvery) {
+            SnapshotStore.write(spark, s"$dir/full", next, batchId,
+              singleFile = false)
+            SnapshotStore.pruneDeltas(spark, s"$dir/deltas", batchId)
+            lastCompact = batchId
+          }
+        }
         ref.set(next)
         old.unpersist()
       }
+      grouped.unpersist()
       lastBatch.set(batchId)
       true
+    }
+  }
+
+  object HashGroupStore {
+    /** Rebuild a durable store from `dir` — the restart path: the newest
+      * complete full snapshot (if any) unioned with the deltas after it,
+      * re-grouped under the registry's own merge algebra. A
+      * missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String,
+        compactEvery: Int = 64): HashGroupStore = {
+      val store = new HashGroupStore(spark, emptyGroups(spark), Some(dir),
+        compactEvery)
+      val full = SnapshotStore.newest(spark, s"$dir/full")
+      val fullId = full.map(_._1).getOrElse(-1L)
+      val deltas = SnapshotStore.deltaIds(spark, s"$dir/deltas")
+        .filter(_._1 > fullId)
+      val parts = full.map(_._2).toSeq ++
+        (if (deltas.nonEmpty)
+          Seq(spark.read.parquet(deltas.map(_._2.toString): _*)
+            .select(col("ahash_hi"), col("ahash_lo"),
+              col("rep_id"), col("n_dups")))
+        else Seq.empty)
+      if (parts.nonEmpty) {
+        val folded = parts.reduce(_ unionAll _)
+          .groupBy(col("ahash_hi"), col("ahash_lo"))
+          .agg(min(col("rep_id")).as("rep_id"), sum(col("n_dups")).as("n_dups"))
+        store.seed(folded, math.max(fullId,
+          deltas.lastOption.map(_._1).getOrElse(-1L)))
+      }
+      store
     }
   }
 

@@ -42,10 +42,18 @@ import graft.operators.Splits
   */
 object SampleStream {
 
-  /** (stratum, id, sample_key) running sample held across batches. */
+  /** (stratum, id, sample_key) running sample held across batches. When
+    * `durable` carries a snapshot directory, every applied batch writes
+    * the merged sample (≤ k rows per stratum — bounded) BEFORE the batch
+    * is acknowledged; a rebuilt store restores the newest snapshot via
+    * [[SampleStore.restore]] instead of serving a reset sample while the
+    * checkpoint marks batches delivered. Merge idempotence means a
+    * replay that slips the restored guard is harmless anyway.
+    */
   final class SampleStore(
       spark: SparkSession, initial: DataFrame,
-      stratumCol: String, idCol: String, k: Int, seed: Long = 12345L) {
+      stratumCol: String, idCol: String, k: Int, seed: Long = 12345L,
+      durable: Option[String] = None) {
     require(k >= 1, "k must be positive")
 
     private def reselect(df: DataFrame): DataFrame =
@@ -79,11 +87,38 @@ object SampleStream {
       if (!batchTop.isEmpty) {
         val next = materialize(reselect(old.unionByName(
           batchTop.select(col(stratumCol), col(idCol), col("sample_key")))))
+        // durable: snapshot BEFORE acknowledging (empty batches skip —
+        // replaying one is trivially idempotent)
+        durable.foreach(dir => SnapshotStore.write(spark, dir, next, batchId))
         ref.set(next)
         old.unpersist()
       }
       lastBatch.set(batchId)
       true
+    }
+
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(
+        df.select(col(stratumCol), col(idCol), col("sample_key")))
+      val old = ref.get()
+      ref.set(next)
+      lastBatch.set(upto)
+      old.unpersist()
+    }
+  }
+
+  object SampleStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String, stratumCol: String,
+        idCol: String, k: Int, seed: Long = 12345L): SampleStore = {
+      val store = new SampleStore(spark, emptySample(spark, stratumCol, idCol),
+        stratumCol, idCol, k, seed, Some(dir))
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
     }
   }
 

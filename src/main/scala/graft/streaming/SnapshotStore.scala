@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-start while the checkpoint marks batches delivered — exactly
   * the loss the durability contract exists to prevent.
   */
-private[streaming] object SnapshotStore {
+private[graft] object SnapshotStore {
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -94,4 +94,68 @@ private[streaming] object SnapshotStore {
       last -> spark.read.parquet(ids.map(_._2.toString): _*)
     }
   }
+
+  /** Delete all complete deltas with id ≤ `upto` — the compaction step
+    * after a full snapshot at `upto` has made them redundant.
+    */
+  def pruneDeltas(spark: SparkSession, dir: String, upto: Long): Unit = {
+    val (f, _) = fs(spark, dir)
+    deltaIds(spark, dir).takeWhile(_._1 <= upto).foreach { case (_, p) =>
+      f.delete(p, true)
+    }
+  }
+
+  // ---- multi-table snapshots ---------------------------------------------
+  //
+  // For stores whose state is SEVERAL tables with different schemas that
+  // must commit together (transition counts + last-event rows): one
+  // `upto=<batchId>/<name>` parquet dir per table, the snapshot complete
+  // iff EVERY named table has its `_SUCCESS` — a crash between table
+  // writes leaves an incomplete snapshot that restore skips, falling back
+  // to the previous complete one (whose batches then replay on the guard).
+
+  /** Complete multi-table snapshots under `dir`, ascending batch id. */
+  def multiIds(spark: SparkSession, dir: String,
+      names: Seq[String]): Seq[(Long, Path)] = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("upto="))
+      .filter(st => names.forall(n =>
+        f.exists(new Path(st.getPath, s"$n/_SUCCESS"))))
+      .map(st => st.getPath.getName.stripPrefix("upto=").toLong -> st.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Write several tables as one `batchId` snapshot, then prune to the
+    * newest two complete snapshots (plus any in-progress newer dir, which
+    * a replay overwrites in place).
+    */
+  def writeMulti(spark: SparkSession, dir: String,
+      tables: Seq[(String, DataFrame)], batchId: Long,
+      singleFile: Boolean = true): Unit = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.foreach { case (name, df) =>
+      val out = if (singleFile) df.coalesce(1) else df
+      out.write.mode("overwrite").parquet(s"$dir/upto=$batchId/$name")
+    }
+    val names = tables.map(_._1)
+    val keep = multiIds(spark, dir, names).map(_._1).takeRight(2).toSet
+    val (f, p) = fs(spark, dir)
+    val newestKept = if (keep.isEmpty) Long.MinValue else keep.max
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("upto="))
+      .filter { st =>
+        val id = st.getPath.getName.stripPrefix("upto=").toLong
+        !keep.contains(id) && id < newestKept
+      }
+      .foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** The newest complete multi-table snapshot as (batchId, name → rows). */
+  def newestMulti(spark: SparkSession, dir: String,
+      names: Seq[String]): Option[(Long, Map[String, DataFrame])] =
+    multiIds(spark, dir, names).lastOption.map { case (id, p) =>
+      id -> names.map(n => n -> spark.read.parquet(s"$p/$n")).toMap
+    }
 }

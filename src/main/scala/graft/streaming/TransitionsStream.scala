@@ -30,9 +30,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object TransitionsStream {
 
-  /** Counts + last-event state across micro-batches. */
+  /** Counts + last-event state across micro-batches. When `durable`
+    * carries a snapshot directory, every applied batch writes BOTH state
+    * tables (|types|² counts + one last-event row per key — bounded) as
+    * one multi-table snapshot ([[SnapshotStore.writeMulti]]: complete
+    * iff both landed; a torn snapshot falls back to the previous and
+    * the gap replays on the guard) BEFORE the batch is acknowledged —
+    * count merge is NOT idempotent, so losing this state on restart
+    * silently under-counts while the checkpoint marks batches
+    * delivered. Restore via [[TransitionStore.restore]].
+    */
   final class TransitionStore(spark: SparkSession, keyCol: String,
-      typeCol: String, tsCol: String, tieCol: String) {
+      typeCol: String, tsCol: String, tieCol: String,
+      durable: Option[String] = None) {
     import spark.implicits._
 
     private def materialize(df: DataFrame): DataFrame = {
@@ -55,6 +65,18 @@ object TransitionsStream {
       c.join(f, Seq("prev_type"))
         .select(col("prev_type"), col("next_type"), col("n"),
           expr("CAST((n * 1000000) DIV n_from AS BIGINT)").as("p_ppm"))
+    }
+
+    private[streaming] def seed(counts: DataFrame, last: DataFrame,
+        upto: Long): Unit = synchronized {
+      val nc = materialize(
+        counts.select(col("prev_type"), col("next_type"), col("n")))
+      val nl = materialize(
+        last.select(col(keyCol), col(typeCol), col(tsCol), col(tieCol)))
+      val (oc, ol) = (countsRef.get(), lastRef.get())
+      countsRef.set(nc); lastRef.set(nl)
+      lastBatch = upto
+      oc.unpersist(); ol.unpersist()
     }
 
     /** Fold one micro-batch; single-writer synchronized, batch-id guard. */
@@ -92,11 +114,30 @@ object TransitionsStream {
         .select(col(keyCol), col("l").getField(typeCol).as(typeCol),
           col("l").getField(tsCol).as(tsCol), col("l").getField(tieCol).as(tieCol))
       val (nc, nl) = (materialize(merged), materialize(newLast))
+      // durable: both tables snapshot atomically BEFORE acknowledging
+      durable.foreach(dir => SnapshotStore.writeMulti(spark, dir,
+        Seq("counts" -> nc, "last" -> nl), batchId))
       val (oc, ol) = (countsRef.get(), lastRef.get())
       countsRef.set(nc); lastRef.set(nl)
       lastBatch = batchId
       oc.unpersist(); ol.unpersist()
       true
+    }
+  }
+
+  object TransitionStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+        typeCol: String, tsCol: String, tieCol: String): TransitionStore = {
+      val store = new TransitionStore(spark, keyCol, typeCol, tsCol, tieCol,
+        Some(dir))
+      SnapshotStore.newestMulti(spark, dir, Seq("counts", "last"))
+        .foreach { case (upto, tables) =>
+          store.seed(tables("counts"), tables("last"), upto)
+        }
+      store
     }
   }
 

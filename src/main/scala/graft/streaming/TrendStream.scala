@@ -36,10 +36,18 @@ import graft.operators.Temporal
   */
 object TrendStream {
 
-  /** Running per-(key, day) totals; trends derived at read time. */
+  /** Running per-(key, day) totals; trends derived at read time. When
+    * `durable` carries a snapshot directory, every applied batch writes
+    * the merged table (keys × active-days bounded by contract) BEFORE
+    * the batch is acknowledged, so a driver restart rebuilds the exact
+    * folded state via [[TrendStore.restore]] and checkpoint-replayed
+    * batches drop on the monotone guard — the [[CusumStream.CusumStore]]
+    * durability shape. A restarted dashboard that silently serves reset
+    * trends is the failure mode this exists to prevent.
+    */
   final class TrendStore(spark: SparkSession, keyCol: String = "user_id",
       tsCol: String = "ts_us", valCol: String = "value",
-      rebaseDay: Long = 0L) {
+      rebaseDay: Long = 0L, durable: Option[String] = None) {
     import spark.implicits._
 
     private def materialize(df: DataFrame): DataFrame = {
@@ -53,6 +61,14 @@ object TrendStream {
       Seq.empty[(Long, Long, Long)].toDF(keyCol, "x", "y")))
     @volatile private var lastBatch = -1L
 
+    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+      val next = materialize(df.select(col(keyCol), col("x"), col("y")))
+      val old = runRef.get()
+      runRef.set(next)
+      lastBatch = upto
+      old.unpersist()
+    }
+
     /** Fold one micro-batch's daily totals in; replays drop on the
       * guard.
       */
@@ -63,6 +79,9 @@ object TrendStream {
         .groupBy(col(keyCol), col("x"))
         .agg(sum(col("y")).as("y"))
       val next = materialize(merged)
+      // durable: snapshot BEFORE acknowledging, so a crash between write
+      // and ack only re-folds a batch the guard then drops
+      durable.foreach(dir => SnapshotStore.write(spark, dir, next, batchId))
       val old = runRef.get()
       runRef.set(next)
       lastBatch = batchId
@@ -89,6 +108,22 @@ object TrendStream {
       */
     def currentAcf(maxLag: Int = 7): DataFrame =
       Temporal.acfByKey(runRef.get(), keyCol, "x", "y", maxLag)
+  }
+
+  object TrendStore {
+    /** Rebuild a durable store from `dir`'s newest complete snapshot —
+      * the restart path; a missing/empty `dir` restores a cold store.
+      */
+    def restore(spark: SparkSession, dir: String, keyCol: String = "user_id",
+        tsCol: String = "ts_us", valCol: String = "value",
+        rebaseDay: Long = 0L): TrendStore = {
+      val store = new TrendStore(spark, keyCol, tsCol, valCol, rebaseDay,
+        Some(dir))
+      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
+        store.seed(df, upto)
+      }
+      store
+    }
   }
 
   /** `(batch, batchId) => Unit` for `writeStream.foreachBatch`. */

@@ -6225,4 +6225,323 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out == exact, s"parts=$parts: $out vs $exact")
     }
   }
+
+  // ------------------------------------------------ durable twin restarts
+  //
+  // One restart simulation per stateful twin: merge a prefix of batches
+  // into a durable store, rebuild a FRESH store from the snapshot dir (the
+  // driver-restart path — the checkpoint already marks those batches
+  // delivered, so a cold store would silently serve reset state), assert
+  // the restored state equals the pre-restart state, that checkpoint
+  // re-delivery drops on the restored guard, and that the continued fold
+  // equals the uninterrupted batch operator over everything delivered.
+
+  test("trend stream: a rebuilt durable store restores the folded dailies") {
+    import spark.implicits._
+    import graft.streaming.TrendStream
+    val day = 86400L * 1000000L
+    val dir = Files.createTempDirectory("trenddur").toString
+    val b0 = Seq((1L, 0L * day, 10.0), (1L, 1L * day, 20.0), (2L, 0L * day, 5.0))
+    val b1 = Seq((1L, 2L * day, 30.0), (2L, 1L * day, 15.0))
+    val b2 = Seq((1L, 3L * day, 40.0), (2L, 2L * day, 25.0))
+    def df(s: Seq[(Long, Long, Double)]) = s.toDF("user_id", "ts_us", "value")
+    val store = new TrendStream.TrendStore(spark, durable = Some(dir))
+    store.merge(df(b0), 0L); store.merge(df(b1), 1L)
+    val mid = store.current.collect().map(_.toSeq).toSet
+    val store2 = TrendStream.TrendStore.restore(spark, dir)
+    assert(store2.current.collect().map(_.toSeq).toSet == mid,
+      "restored trend must equal the pre-restart state")
+    assert(!store2.merge(df(b1), 1L), "replay must drop on the restored guard")
+    store2.merge(df(b2), 2L)
+    val expect = Temporal.linearTrend(df(b0 ++ b1 ++ b2))
+      .collect().map(_.toSeq).toSet
+    assert(store2.current.collect().map(_.toSeq).toSet == expect,
+      "post-restart merge must continue the uninterrupted fold")
+    Dedup.uncacheAll()
+  }
+
+  test("drift stream: a rebuilt durable store restores the folded counts") {
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    val dir = Files.createTempDirectory("driftdur").toString
+    val ref = Seq(("a", "x"), ("b", "y"), ("a", "y")).toDF("cat", "grp")
+    val b0 = Seq(("a", "x"), ("a", "x"), ("b", "z"))
+    val b1 = Seq(("b", "y"), ("c", "x"))
+    val b2 = Seq(("a", "z"), ("c", "y"))
+    def df(s: Seq[(String, String)]) = s.toDF("cat", "grp")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    val store = new DriftStream.DriftStore(spark, Seq("cat", "grp"), ref,
+      durable = Some(dir))
+    store.merge(df(b0), 0L); store.merge(df(b1), 1L)
+    val mid = key(store.current)
+    val store2 = DriftStream.DriftStore.restore(spark, dir, Seq("cat", "grp"), ref)
+    assert(key(store2.current) == mid,
+      "restored drift must equal the pre-restart state")
+    assert(!store2.merge(df(b1), 1L), "replay must drop on the restored guard")
+    store2.merge(df(b2), 2L)
+    val expect = key(Hygiene.driftReport(ref, df(b0 ++ b1 ++ b2), Seq("cat", "grp")))
+    assert(key(store2.current) == expect,
+      "post-restart merge must continue the uninterrupted fold")
+    val expectPsi = key(Hygiene.psiDrift(ref, df(b0 ++ b1 ++ b2), Seq("cat", "grp")))
+    assert(key(store2.currentPsi) == expectPsi)
+    Dedup.uncacheAll()
+  }
+
+  test("bootstrap stream: a rebuilt durable store restores partials AND totals") {
+    import spark.implicits._
+    import graft.streaming.BootstrapStream
+    val dir = Files.createTempDirectory("bootdur").toString
+    val all = (1L to 120L).map(i => (i, (i % 37) * 400L))
+    val (b0, rest) = all.splitAt(40)
+    val (b1, b2) = rest.splitAt(40)
+    def df(s: Seq[(Long, Long)]) = s.toDF("id", "x")
+    val store = new BootstrapStream.BootstrapStore(spark, "id", "x", b = 16,
+      durable = Some(dir))
+    store.merge(df(b0), 0L); store.merge(df(b1), 1L)
+    val mid = store.current.collect().head.toSeq
+    val store2 = BootstrapStream.BootstrapStore.restore(spark, dir, "id", "x", b = 16)
+    assert(store2.current.collect().head.toSeq == mid,
+      "restored CI must equal the pre-restart state")
+    assert(!store2.merge(df(b1), 1L), "replay must drop on the restored guard")
+    store2.merge(df(b2), 2L)
+    val expect = Splits.bootstrapCiMean(df(all), "id", "x", b = 16)
+      .collect().head.toSeq
+    assert(store2.current.collect().head.toSeq == expect,
+      "post-restart merge must continue the uninterrupted fold")
+    Dedup.uncacheAll()
+  }
+
+  test("transitions stream: a rebuilt durable store restores counts AND the boundary row") {
+    import spark.implicits._
+    import graft.streaming.TransitionsStream
+    val dir = Files.createTempDirectory("transdur").toString
+    val rnd = new scala.util.Random(11)
+    val types = Array("view", "click", "buy")
+    val all = (1L to 5L).flatMap { k =>
+      (0 until 9).map(i => (k, types(rnd.nextInt(3)), 100L * (i + 1), k * 1000 + i))
+    }.sortBy(e => (e._3, e._4))
+    val chunks = all.grouped(15).toSeq
+    def df(s: Seq[(Long, String, Long, Long)]) =
+      s.toDF("user_id", "event_type", "ts_us", "event_id")
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val store = new TransitionsStream.TransitionStore(spark, "user_id",
+      "event_type", "ts_us", "event_id", durable = Some(dir))
+    store.merge(df(chunks(0)), 0L); store.merge(df(chunks(1)), 1L)
+    val mid = key(store.current)
+    val store2 = TransitionsStream.TransitionStore.restore(spark, dir,
+      "user_id", "event_type", "ts_us", "event_id")
+    assert(key(store2.current) == mid,
+      "restored transitions must equal the pre-restart state")
+    assert(!store2.merge(df(chunks(1)), 1L), "replay must drop on the restored guard")
+    store2.merge(df(chunks(2)), 2L)
+    // the boundary last-event row restored too: counts equal the batch
+    // operator over the WHOLE ordered stream, straddling the restart
+    val expect = key(Temporal.eventTransitions(df(all)))
+    assert(key(store2.current) == expect,
+      "post-restart merge must recover the restart-straddling pairs")
+    Dedup.uncacheAll()
+  }
+
+  test("ewma stream: a rebuilt durable store restores the tail and the scored log") {
+    import spark.implicits._
+    import graft.streaming.EwmaStream
+    val dir = Files.createTempDirectory("ewmadur").toString
+    val rnd = new scala.util.Random(23)
+    val all = (1L to 4L).flatMap { k =>
+      (0 until 12).map(i => (k, 1000L * (i + 1), k * 100 + i,
+        rnd.nextDouble() * 100))
+    }.sortBy(e => (e._2, e._3))
+    val chunks = all.grouped(16).toSeq
+    def df(s: Seq[(Long, Long, Long, Double)]) =
+      s.toDF("user_id", "ts_us", "event_id", "value")
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val store = new EwmaStream.SmoothStore(spark, "user_id", "ts_us",
+      "event_id", "value", durable = Some(dir))
+    store.merge(df(chunks(0)), 0L); store.merge(df(chunks(1)), 1L)
+    val mid = key(store.scored)
+    val store2 = EwmaStream.SmoothStore.restore(spark, dir, "user_id",
+      "ts_us", "event_id", "value")
+    assert(key(store2.scored) == mid,
+      "restored scored log must equal the pre-restart state")
+    assert(!store2.merge(df(chunks(1)), 1L), "replay must drop on the restored guard")
+    store2.merge(df(chunks(2)), 2L)
+    // the restored TAIL carries the span window across the restart: the
+    // continued scores equal the batch fold over the whole stream
+    val expect = key(Temporal.ewmaSmooth(df(all)))
+    assert(key(store2.scored) == expect,
+      "post-restart scores must continue the span window across the restart")
+    Dedup.uncacheAll()
+  }
+
+  test("cdc stream: a rebuilt durable store restores the compacted table") {
+    import spark.implicits._
+    import graft.streaming.CdcStream
+    val dir = Files.createTempDirectory("cdcdur").toString
+    val keys = Seq("user_id", "event_type")
+    val order = Seq("ts_us", "event_id")
+    val payload = Seq("value")
+    val b0 = Seq((1L, "a", 100L, 7L, 1.0), (2L, "a", 50L, 1L, 4.0))
+    val b1 = Seq((1L, "a", 90L, 9L, 9.0), (2L, "b", 60L, 2L, 5.0))
+    val b2 = Seq((1L, "a", 200L, 3L, 2.0))
+    def df(s: Seq[(Long, String, Long, Long, Double)]) =
+      s.toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    def emptyInit = CdcStream.compact(
+      df(Seq.empty[(Long, String, Long, Long, Double)]), keys, order, payload)
+    def flat(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("user_id"), col("event_type"), col("last.ts_us"),
+        col("last.event_id"), col("last.value"))
+      .collect().map(_.toSeq).toSet
+    val store = new CdcStream.CompactStore(spark, keys, emptyInit,
+      durable = Some(dir))
+    store.merge(CdcStream.compact(df(b0), keys, order, payload), 0L)
+    store.merge(CdcStream.compact(df(b1), keys, order, payload), 1L)
+    val mid = flat(store.current)
+    val store2 = CdcStream.CompactStore.restore(spark, dir, keys, emptyInit)
+    assert(flat(store2.current) == mid,
+      "restored compaction must equal the pre-restart state")
+    // replay after restart: idempotent by the max algebra, no guard needed
+    store2.merge(CdcStream.compact(df(b1), keys, order, payload), 1L)
+    assert(flat(store2.current) == mid)
+    store2.merge(CdcStream.compact(df(b2), keys, order, payload), 2L)
+    val expect = flat(CdcStream.compact(df(b0 ++ b1 ++ b2), keys, order, payload))
+    assert(flat(store2.current) == expect,
+      "post-restart merge must continue the compaction")
+    Dedup.uncacheAll()
+  }
+
+  test("contamination stream: a rebuilt durable store restores the pair log") {
+    import spark.implicits._
+    import graft.streaming.ContaminationStream
+    val dir = Files.createTempDirectory("decontdur").toString
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about distributed engines and planning"))
+    val b1 = Seq(
+      (3L, "nothing shared with any held out document at all"))
+    val b2 = Seq(
+      (4L, "pack my box with five dozen liquor jugs"))
+    def df(s: Seq[(Long, String)]) = s.toDF("doc_id", "text")
+    def pairs(st: ContaminationStream.PairStore) = st.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val store = new ContaminationStream.PairStore(spark,
+      ContaminationStream.emptyPairs(spark), durable = Some(dir))
+    ContaminationStream.sink(store, evalDocs)(df(b0), 0L)
+    ContaminationStream.sink(store, evalDocs)(df(b1), 1L) // empty delta —
+    // the durable guard must still advance past it
+    val mid = pairs(store)
+    val store2 = ContaminationStream.PairStore.restore(spark, dir)
+    assert(pairs(store2) == mid,
+      "restored pairs must equal the pre-restart state")
+    assert(!store2.add(1L, df(Seq.empty[(Long, String)])
+        .select(col("doc_id").as("train_id"), col("doc_id").as("eval_id"),
+          col("doc_id").cast("double").as("jaccard"))),
+      "replay must drop on the restored guard (incl. the empty batch)")
+    ContaminationStream.sink(store2, evalDocs)(df(b2), 2L)
+    val expect = Dedup.crossJaccardPairs(df(b0 ++ b1 ++ b2), evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(store2) == expect,
+      "post-restart merge must continue the accumulated pair log")
+    Dedup.uncacheAll()
+  }
+
+  test("ann serve stream: a rebuilt durable store restores the answer log") {
+    import spark.implicits._
+    import graft.streaming.AnnServeStream
+    val dir = Files.createTempDirectory("anndur").toString
+    val index = AnnServeStream.buildIndex(emb, kCentroids = 4, iters = 2,
+      k = 3, nprobe = 2)
+    def queriesBelow(lo: Long, hi: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding"))
+    def answers(st: AnnServeStream.AnswerStore) = st.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val store = new AnnServeStream.AnswerStore(spark,
+      AnnServeStream.emptyAnswers(spark), durable = Some(dir))
+    store.serve(0L, index, queriesBelow(0, 4))
+    store.serve(1L, index, queriesBelow(4, 7))
+    val mid = answers(store)
+    val store2 = AnnServeStream.AnswerStore.restore(spark, dir)
+    assert(answers(store2) == mid,
+      "restored answers must equal the pre-restart state")
+    assert(!store2.serve(1L, index, queriesBelow(4, 7)),
+      "replay must drop on the restored guard")
+    store2.serve(2L, index, queriesBelow(7, 10))
+    val expect = Similarity.ivfTopK(emb, queriesBelow(0, 10),
+        index.centroids, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(answers(store2) == expect,
+      "post-restart serving must continue the answer log")
+    Dedup.uncacheAll()
+  }
+
+  test("phash stream: a rebuilt durable store restores the registry via delta log + compaction") {
+    import spark.implicits._
+    import graft.streaming.PhashStream
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("phashdur").toString
+    def hashed(ids: Seq[Long]) = Multimodal.imageAHash(
+      Multimodal.synthesizeGradientPayloads(ids.toDF("doc_id")))
+    def reg(st: PhashStream.HashGroupStore) = st.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // compactEvery=2 so the run exercises BOTH restore sources: a full
+    // snapshot (written at batch 1, deltas 0..1 pruned) plus the delta
+    // written after it (batch 2 lands as a delta only)
+    val store = new PhashStream.HashGroupStore(spark,
+      PhashStream.emptyGroups(spark), durable = Some(dir), compactEvery = 2)
+    store.merge(0L, hashed(0L until 6L))
+    store.merge(1L, hashed(6L until 12L))
+    store.merge(2L, hashed(12L until 18L))
+    val mid = reg(store)
+    assert(graft.streaming.SnapshotStore
+      .deltaIds(spark, s"$dir/deltas").map(_._1) == Seq(2L),
+      "compaction must prune the deltas the full snapshot covers")
+    val store2 = PhashStream.HashGroupStore.restore(spark, dir, compactEvery = 2)
+    assert(reg(store2) == mid,
+      "restored registry must equal the pre-restart state (full ∪ deltas)")
+    assert(!store2.merge(2L, hashed(12L until 18L)),
+      "replay must drop on the restored guard")
+    store2.merge(3L, hashed(18L until 24L))
+    val ref = new PhashStream.HashGroupStore(spark, PhashStream.emptyGroups(spark))
+    ref.merge(0L, hashed(0L until 24L))
+    assert(reg(store2) == reg(ref),
+      "post-restart merge must continue the uninterrupted registry")
+    Dedup.uncacheAll()
+  }
+
+  test("sample stream: a rebuilt durable store restores the running sample") {
+    import spark.implicits._
+    import graft.streaming.SampleStream
+    val dir = Files.createTempDirectory("sampledur").toString
+    val k = 3
+    def df(s: Seq[(String, Long)]) = s.toDF("lang", "doc_id")
+    def sample(st: SampleStream.SampleStore) = st.current.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val b0 = Seq.tabulate(20)(i => ("en", i.toLong)) ++ Seq(("de", 100L))
+    val b1 = Seq.tabulate(20)(i => ("en", (50 + i).toLong)) ++ Seq(("de", 101L))
+    val b2 = Seq.tabulate(10)(i => ("en", (90 + i).toLong)) ++ Seq(("fr", 200L))
+    val store = new SampleStream.SampleStore(spark,
+      SampleStream.emptySample(spark, "lang", "doc_id"), "lang", "doc_id", k,
+      durable = Some(dir))
+    store.merge(0L, df(b0)); store.merge(1L, df(b1))
+    val mid = sample(store)
+    val store2 = SampleStream.SampleStore.restore(spark, dir, "lang", "doc_id", k)
+    assert(sample(store2) == mid,
+      "restored sample must equal the pre-restart state")
+    assert(!store2.merge(1L, df(b1)), "replay must drop on the restored guard")
+    store2.merge(2L, df(b2))
+    val expect = Splits.samplePerStratum(df(b0 ++ b1 ++ b2), "doc_id", "lang", k)
+      .select("lang", "doc_id", "sample_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(sample(store2) == expect,
+      "post-restart merge must continue the running sample")
+    Dedup.uncacheAll()
+  }
 }

@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** `precomputedPairs`: an already-materialized near-dup pair frame
+    * (doc_a, doc_b) to use instead of deriving one here — the shared-
+    * artifact seam: a sweep that has already built the LSH pair set for
+    * its dedup rows feeds the SAME frame to the composed pipeline rather
+    * than paying a second banding pass. The caller owns the contract
+    * that the frame came from the same (docs, n, tau) parameters.
+    */
   def prepareCorpus(
       docs: DataFrame,
       dedupTau: Double = 0.6,
@@ -40,10 +47,12 @@ object Pipeline {
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       idCol: String = "doc_id",
       textCol: String = "text",
-      exactDedup: Boolean = false): DataFrame = {
-    val pairs =
+      exactDedup: Boolean = false,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse {
       if (exactDedup) Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3, tau = dedupTau)
       else Dedup.minhashLshPairs(docs, idCol, textCol, n = 3, tau = dedupTau)
+    }
     val deduped = Dedup.survivors(docs, pairs, idCol)
     val scored = TextAnalysis.qualityScore(deduped, idCol, textCol)
       .filter(col("quality_score") >= minQuality)

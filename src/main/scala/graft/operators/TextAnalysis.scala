@@ -806,18 +806,32 @@ object TextAnalysis {
   def bpeVocab(docs: DataFrame, textCol: String = "text", merges: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var repr = docs.select(
+    // ONE persisted frame for the whole loop: the UNMERGED delimited
+    // corpus. Each round re-applies the learned merge chain to it as a
+    // row-local codegen'd `replace` fold inside that round's pair-count
+    // job — so the loop runs exactly ONE Spark job per round (the argmax
+    // collect; the first one also materializes the cache) instead of the
+    // old shape's per-round persist + count() materialization + collect.
+    // Under a loaded scheduler, job COUNT is the contention multiplier
+    // (each job pays queueing latency), so halving jobs-per-round halves
+    // the loop's load sensitivity; the re-applied replace chain costs
+    // O(round) row-local string passes — trivial next to the shuffle, and
+    // bounded by the merge budget.
+    val base = docs.select(
       concat(lit("⟨"),
         array_join(split(lower(delimiterChecked(col(textCol), "bpeVocab")), " "), "⟩⟨"),
         lit("⟩")).as("r"))
       .persist(lvl)
-    repr.count()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= merges && !exhausted) {
-      val top = repr
-        .select(split(regexp_replace(col("r"), "^⟨|⟩$", ""), "⟩⟨").as("t"))
+      val repr = learned.foldLeft(col("r")) { case (acc, (_, l, r, _)) =>
+        call_function("replace", acc,
+          lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩"))
+      }
+      val top = base
+        .select(split(regexp_replace(repr, "^⟨|⟩$", ""), "⟩⟨").as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS l, t[i+1] AS rt))")).as("p"))
@@ -829,16 +843,10 @@ object TextAnalysis {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((round.toLong, l, r, n))
-        val prev = repr
-        repr = repr.select(call_function("replace", col("r"),
-            lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩")).as("r"))
-          .persist(lvl)
-        repr.count()
-        prev.unpersist(blocking = false)
       }
       round += 1
     }
-    repr.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     import spark.implicits._
     learned.toSeq.toDF("merge_round", "lhs", "rhs", "n_occurrences")
   }

@@ -352,19 +352,38 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 3,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = Dedup.cached(
       edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct())
-    // each half-step's raw scores are referenced TWICE (the L1 total and
-    // the normalized output) — uncut, the duplicated subtree compounds
-    // 2^(2·iters)× across half-steps (measured: 132 s vs 13 s at sf0.1
-    // for iters=3 — the kCore 5^rounds lesson in its 2^n form), so the
-    // raw frame localCheckpoints per half-step; |V| rows per cut
-    def l1Norm(scores: DataFrame, vCol: String): DataFrame = {
-      val s = scores.localCheckpoint()
-      val tot = s.agg(
+    // ONE Spark job per half-step: the raw-score frame persists LAZILY and
+    // the L1 total's collect materializes it, with the total re-entering
+    // the plan as a DRIVER-SIDE LITERAL (the bounded-global pattern — one
+    // scalar at any graph size). Because the normalizer is a literal, the
+    // normalized frame references the raw subtree exactly ONCE, so the
+    // 2^(2·iters) duplicated-subtree compounding the old per-half-step
+    // localCheckpoint existed to cut (measured 132 s vs 13 s at sf0.1)
+    // cannot arise, and the checkpoint's extra materialization job — a
+    // pure scheduler-latency multiplier under host load — is gone: 6
+    // half-step jobs total for iters=3, vs 12 + two crossJoin stages.
+    // Determinism fencing unchanged: DECIMAL(28,14) order-free sums, one
+    // IEEE divide by the decimal-exact double, 12-dp round before the
+    // next half-step consumes a score — the oracle still replays every
+    // half-step bit-identically.
+    var live: List[DataFrame] = Nil // persisted raws not yet releasable
+    def l1Norm(raw: DataFrame, vCol: String): DataFrame = {
+      val s = raw.persist(lvl)
+      val tRow = s.agg(
         sum(col(vCol).cast(DecimalType(28, 14))).cast("double").as("t"))
-      s.crossJoin(broadcast(tot))
-        .select(col("node"), round(col(vCol) / col("t"), 12).as(vCol))
+        .collect()(0)
+      // empty graph: sum is NULL and the frame has no rows — any finite
+      // divisor keeps the (empty) output well-typed
+      val t = if (tRow.isNullAt(0)) 1.0 else tRow.getDouble(0)
+      // s is materialized: the half-step BEFORE last (still needed while
+      // this one's join executed) is now fully superseded
+      live = s :: live
+      live.drop(2).foreach(_.unpersist(blocking = false))
+      live = live.take(2)
+      s.select(col("node"), round(col(vCol) / lit(t), 12).as(vCol))
     }
     var h = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -384,6 +403,10 @@ object Graph {
           .select(col("src").as("node"), col("h")),
         "h")
     }
+    // the two final raws back the returned frame — hand them to the shared
+    // pool so Dedup.uncacheAll() (the between-rows release hook) owns them
+    live.foreach(Dedup.cached)
+    live = Nil
     h.join(a, Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
         coalesce(col("a"), lit(0.0)).as("auth"))

@@ -791,6 +791,49 @@ object ScaleSmoke {
           .filter(col("trimmed_mean_ppm").isNotNull).count()
       }
     }
+
+    // Round-14: the keyed gini hot-key A/B — one VIRAL key carrying 5M
+    // distinct values next to 500 normal keys. The sharded cellsCumByKey
+    // fold spreads the viral key's cells across range shards (broadcast
+    // boundary offsets), where the old Window.partitionBy(key) shape pins
+    // the whole 5M-cell sort on ONE task. Both shapes run and must agree
+    // exactly — the A/B is a correctness witness, not just a stopwatch.
+    if (enabled("r14")) {
+      def hotKeyFrame = spark.range(6000000L).select(
+        when(col("id") < 5000000L, lit("viral"))
+          .otherwise(concat(lit("k"), (col("id") % 500L).cast("string"))).as("k"),
+        when(col("id") < 5000000L, col("id") * 3L)
+          .otherwise(pmod(xxhash64(col("id")), lit(1000L))).as("v"))
+      var sharded: Map[String, Long] = Map.empty
+      timed("r14 giniByKey hot 5M-ndv SHARDED") {
+        val r = graft.operators.Hygiene.giniByKey(hotKeyFrame, "k", "v")
+          .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+        sharded = r
+        r.size.toLong
+      }
+      timed("r14 giniByKey hot 5M-ndv OLD one-task window") {
+        val cells = hotKeyFrame.groupBy(col("k"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("v"))
+        val r = cells.withColumn("cumc", sum(col("c")).over(w))
+          .groupBy(col("k"))
+          .agg(sum(col("c")).as("n"),
+            sum((col("v") * col("c")).cast("decimal(38,0)")).as("t"),
+            sum(expr(
+              "CAST(v AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) *" +
+                " CAST(cumc - c AS DECIMAL(38,0)) + (CAST(c AS DECIMAL(38,0)) *" +
+                " CAST(c + 1 AS DECIMAL(38,0))) div 2)")).as("s"))
+          .select(col("k"), expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2 * s - (CAST(n AS" +
+              " DECIMAL(38,0)) + 1) * t)) div (CAST(n AS DECIMAL(38,0)) * t)" +
+              " AS BIGINT)").as("g"))
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        require(r == sharded,
+          s"sharded/window gini mismatch: ${r.size} vs ${sharded.size} keys")
+        r.size.toLong
+      }
+    }
     spark.stop()
   }
 }

@@ -877,6 +877,46 @@ object Hygiene {
       .select(col("v"), col("c"), col("cumc"))
   }
 
+  /** Keyed variant of [[cellsCum]]: a `(k, v)` frame → `(k, v, c, cumc)`
+    * with each key's inclusive cumulative distinct-value count in value
+    * order, range-sharded on (k, v) — so a VIRAL key's distinct-value
+    * frame spans as many shards as it needs instead of pinning one task
+    * (the `Window.partitionBy(k)` failure mode this replaces: per-key
+    * partitions are single-task no matter the key's NDV).
+    *
+    * Offset algebra: lexicographic (k, v) range partitioning keeps every
+    * key's cells on a CONTIGUOUS shard interval, so a cell's global
+    * offset is the sum of its key's counts on strictly-lower shards.
+    * Only keys that CROSS a shard boundary have nonzero offsets, and at
+    * most `shards` keys can cross (one straddler per boundary), so the
+    * offset table is ≤ 2·shards rows at ANY key cardinality — always
+    * broadcastable, never a key-cardinality exchange.
+    */
+  private[graft] def cellsCumByKey(kv: DataFrame, shards: Int): DataFrame = {
+    val cells = kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val sh = cells.repartitionByRange(shards, col("k"), col("v"))
+      .withColumn("shard", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("shard"), col("k")).orderBy(col("v"))
+    // per-(shard, key) mass: the group is partition-local by construction
+    // (map-side combine collapses it before the exchange), ≤ keys+shards
+    // rows move
+    val perShardKey = sh.groupBy(col("shard"), col("k"))
+      .agg(sum(col("c")).as("shard_c"))
+    val spanning = perShardKey.groupBy(col("k"))
+      .agg(count(lit(1)).as("_ns")).filter(col("_ns") > 1L).select(col("k"))
+    val wOff = Window.partitionBy(col("k")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perShardKey.join(spanning, Seq("k"), "left_semi")
+      .withColumn("c_off", coalesce(sum(col("shard_c")).over(wOff), lit(0L)))
+      .filter(col("c_off") > 0L)
+      .select(col("shard"), col("k"), col("c_off"))
+    sh.join(broadcast(offsets), Seq("shard", "k"), "left")
+      .withColumn("cumc",
+        coalesce(col("c_off"), lit(0L)) + sum(col("c")).over(wLoc))
+      .select(col("k"), col("v"), col("c"), col("cumc"))
+  }
+
   def giniIndex(df: DataFrame, valCol: String, shards: Int = 64): DataFrame = {
     cellsCum(
       df.select(col(valCol).cast("long").as("v"))
@@ -897,17 +937,17 @@ object Hygiene {
   /** [[giniIndex]] per key — the stratified inequality read (is doc
     * length / usage / token mass skewed WITHIN each source, or only
     * across sources): identical rank-mass algebra with the cumulative
-    * fold partitioned by key. The ordered window runs over each key's
-    * distinct-value frame — per-key-NDV-bounded partitions, the
-    * [[groupedQuantiles]] contract (keys whose value NDV outgrows a
-    * task belong on the unkeyed [[giniIndex]]'s sharded fold).
+    * fold over [[cellsCumByKey]]'s (k, v)-range-sharded frame — a viral
+    * key's distinct-value cells spread across shards with broadcast
+    * boundary offsets, so NO key can pin a single task no matter its
+    * NDV (ScaleSmoke A/Bs one 5M-distinct-value key against the old
+    * per-key-window shape).
     */
-  def giniByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
-    val cells = df.select(col(keyCol).as("k"), col(valCol).cast("long").as("v"))
-      .filter(col("v").isNotNull && col("v") >= 0L)
-      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("k")).orderBy(col("v"))
-    cells.withColumn("cumc", sum(col("c")).over(w))
+  def giniByKey(df: DataFrame, keyCol: String, valCol: String,
+      shards: Int = 64): DataFrame = {
+    cellsCumByKey(
+      df.select(col(keyCol).as("k"), col(valCol).cast("long").as("v"))
+        .filter(col("v").isNotNull && col("v") >= 0L), shards)
       .groupBy(col("k"))
       .agg(sum(col("c")).as("n"),
         sum((col("v") * col("c")).cast("decimal(38,0)")).as("t"),

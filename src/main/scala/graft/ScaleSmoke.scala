@@ -833,6 +833,24 @@ object ScaleSmoke {
           s"sharded/window gini mismatch: ${r.size} vs ${sharded.size} keys")
         r.size.toLong
       }
+      // the global bucketed-series family at 5M buckets — the r14 range-
+      // sharded folds (prefix CUSUM, prefix-difference moving average)
+      // must survive a series 3 orders past the hours-per-year contract
+      def series5m = spark.range(5000000L).select(col("id").as("bucket"),
+        (pmod(xxhash64(col("id")), lit(1000L)) +
+          when(col("id") >= 2500000L, 800L).otherwise(0L)).as("v"))
+      timed("r14 cusum changepoints 5M buckets") {
+        graft.operators.Temporal.cusumChangepoints(series5m)
+          .filter(col("is_changepoint")).count()
+      }
+      timed("r14 cusum segments d3 5M buckets") {
+        graft.operators.Temporal.cusumSegments(series5m, depth = 3)
+          .filter(col("is_boundary")).count()
+      }
+      timed("r14 seasonal decompose 5M s=24") {
+        graft.operators.Temporal.seasonalDecompose(series5m, season = 24)
+          .filter(col("residual_e6").isNotNull).count()
+      }
     }
     spark.stop()
   }

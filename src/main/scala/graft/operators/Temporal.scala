@@ -785,18 +785,46 @@ object Temporal {
     * never the raw event count; the peak pick is two broadcast 1-row
     * globals. Raw-event inputs must bucket first.
     */
+  /** Range-sharded global ordered prefix fold over a (bucket, v) series:
+    * emits `(bucket, v, i, cum)` — the 1-based row index in global bucket
+    * order and the inclusive prefix sum of v — WITHOUT a one-task global
+    * window: range-shard by bucket (partition id monotone in bucket),
+    * index/cum-sum within shard, add the broadcast (count, sum) prefix of
+    * lower shards (≤ `shards` offset rows at any series length — the
+    * [[graft.operators.Hygiene.cellsCum]] discipline on time). The
+    * localCheckpoint pins the sampled range boundaries so the offsets
+    * branch and the main branch cannot disagree on a row's shard.
+    */
+  private[graft] def shardedPrefix(s: DataFrame, shards: Int): DataFrame = {
+    val sh = s.select(col("bucket"), col("v"))
+      .repartitionByRange(shards, col("bucket"))
+      .withColumn("_shard", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("_shard")).orderBy(col("bucket"))
+    val wOff = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sh.groupBy(col("_shard"))
+      .agg(count(lit(1)).as("_sn"), sum(col("v")).as("_sv"))
+      .select(col("_shard"),
+        coalesce(sum(col("_sn")).over(wOff), lit(0L)).as("_n_off"),
+        coalesce(sum(col("_sv")).over(wOff), lit(0L)).as("_v_off"))
+    sh.join(broadcast(offs), Seq("_shard"))
+      .withColumn("i", col("_n_off") + row_number().over(wLoc).cast("long"))
+      .withColumn("cum", col("_v_off") + sum(col("v")).over(wLoc))
+      .select(col("bucket"), col("v"), col("i"), col("cum"))
+  }
+
   def cusumChangepoints(series: DataFrame,
-      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+      bucketCol: String = "bucket", valCol: String = "v",
+      shards: Int = 64): DataFrame = {
     val s = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
     val tot = s.agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
-    val w = Window.orderBy(col("bucket"))
+    // prefix sum via the range-sharded fold — a 10⁶⁺-bucket series never
+    // funnels through a single ordered-window task
     val st = graft.operators.Dedup.cached(
-      s.crossJoin(broadcast(tot))
-        .withColumn("i", row_number().over(w).cast("long"))
+      shardedPrefix(s, shards).crossJoin(broadcast(tot))
         .withColumn("cusum_n",
-          col("n") * sum(col("v")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
-            col("i") * col("t"))
+          col("n") * col("cum") - col("i") * col("t"))
         .select(col("bucket"), col("v"), col("cusum_n")))
     val peak = st.agg(max(abs(col("cusum_n"))).as("mx"))
     val pb = st.crossJoin(broadcast(peak))
@@ -869,10 +897,62 @@ object Temporal {
     * q_hits 2^n lesson does not bite).
     */
   def cusumSegments(series: DataFrame, depth: Int,
-      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+      bucketCol: String = "bucket", valCol: String = "v",
+      shards: Int = 64): DataFrame = {
     require(depth >= 1 && depth <= 5, s"depth must be in [1,5]: $depth")
-    cusumSegLoop(series.select(col(bucketCol).as("bucket"),
-      col(valCol).as("v"), lit(0L).as("seg")), depth, Nil)
+    // UNKEYED form: level 1's segment is the WHOLE series, so the keyed
+    // loop's partitionBy(seg) window would pin a 10⁶⁺-bucket series on
+    // one task. Instead: range-shard by bucket ONCE (segments are
+    // bucket-contiguous, so the sharding stays valid at every level —
+    // a segment always occupies a contiguous shard interval), then per
+    // level fold each segment's prefix sums within shards + broadcast
+    // per-(shard, seg) offsets, and take the ≤ 2^depth segment totals /
+    // peaks through tiny broadcast aggs. One localCheckpoint per level
+    // cuts the three-consumer lineage (the q_hits 2^n lesson).
+    val sh0 = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
+      .repartitionByRange(shards, col("bucket"))
+      .withColumn("_shard", spark_partition_id().cast("long"))
+      .withColumn("seg", lit(0L))
+      .localCheckpoint()
+    var cur = sh0
+    (1 to depth).foreach { _ =>
+      val wLoc = Window.partitionBy(col("_shard"), col("seg"))
+        .orderBy(col("bucket"))
+      val wOff = Window.partitionBy(col("seg")).orderBy(col("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // ≤ (#segs + shards) rows: each shard holds a contiguous run of
+      // segments, so (shard, seg) pairs ≤ segs + shards − 1
+      val offs = cur.groupBy(col("_shard"), col("seg"))
+        .agg(count(lit(1)).as("_sn"), sum(col("v")).as("_sv"))
+        .select(col("_shard"), col("seg"),
+          coalesce(sum(col("_sn")).over(wOff), lit(0L)).as("_n_off"),
+          coalesce(sum(col("_sv")).over(wOff), lit(0L)).as("_v_off"))
+      val segTot = cur.groupBy(col("seg"))
+        .agg(count(lit(1)).as("_tn"), sum(col("v")).as("_tt"))
+      val st = cur.join(broadcast(offs), Seq("_shard", "seg"))
+        .join(broadcast(segTot), Seq("seg"))
+        .withColumn("cusum_n",
+          col("_tn") * (col("_v_off") + sum(col("v")).over(wLoc)) -
+            (col("_n_off") + row_number().over(wLoc).cast("long")) * col("_tt"))
+        .select(col("_shard"), col("seg"), col("bucket"), col("v"),
+          col("cusum_n"))
+      val mx = st.groupBy(col("seg")).agg(max(abs(col("cusum_n"))).as("mx"))
+      val pb = st.join(broadcast(mx), Seq("seg"))
+        .filter(abs(col("cusum_n")) === col("mx"))
+        .groupBy(col("seg")).agg(min(col("bucket")).as("pb"))
+      cur = st.join(broadcast(mx), Seq("seg")).join(broadcast(pb), Seq("seg"))
+        .withColumn("seg",
+          when(col("mx") > lit(0L) && col("bucket") > col("pb"),
+            col("pb") + 1L).otherwise(col("seg")))
+        .select(col("_shard"), col("bucket"), col("v"), col("seg"))
+        .localCheckpoint()
+    }
+    val segStat = cur.groupBy(col("seg")).agg(
+      min(col("bucket")).as("segment"), count(lit(1)).as("seg_n"),
+      sum(col("v")).as("seg_sum"))
+    cur.join(broadcast(segStat), Seq("seg"))
+      .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
+        col("seg_sum"), (col("bucket") === col("segment")).as("is_boundary"))
   }
 
   /** Per-key binary segmentation — [[cusumSegments]] composed with the
@@ -1011,24 +1091,43 @@ object Temporal {
     * trend estimate; centering would re-divide and double the
     * truncation surface — documented, mirrored in the oracle).
     *
-    * Scale shape: one global ordered window over the BUCKETED series
-    * (time-bounded, the [[cusumChangepoints]] contract — raw events
-    * bucket first, gaps filled first or the row-based window slips) +
-    * one season-bounded phase agg broadcast back. Even seasons use the
-    * deterministic asymmetric window [−⌈m/2⌉, +(m−1−⌈m/2⌉)].
+    * Scale shape: the centered moving sum is the PREFIX-SUM DIFFERENCE
+    * `cum(i+h2) − cum(i−h1−1)` over the [[shardedPrefix]] range-sharded
+    * fold (never a one-task global window), realized as two row-index
+    * equi-joins of the series against itself — series-bounded exchanges
+    * that AQE broadcasts when small — plus one season-bounded phase agg
+    * broadcast back. The full-window guard `h1 < i ≤ n − h2` is exactly
+    * the old count-over-window === season test (honest NULL edges).
+    * Even seasons use the deterministic asymmetric window
+    * [−⌈m/2⌉, +(m−1−⌈m/2⌉)].
     */
   def seasonalDecompose(series: DataFrame, season: Int,
-      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+      bucketCol: String = "bucket", valCol: String = "v",
+      shards: Int = 64): DataFrame = {
     require(season >= 2 && season <= 100000, s"season must be in [2,100000]: $season")
     val h1 = season / 2
     val h2 = season - 1 - h1
-    val w = Window.orderBy(col("bucket")).rowsBetween(-h1, h2)
-    val base = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
+    val p = graft.operators.Dedup.cached(shardedPrefix(
+      series.select(col(bucketCol).as("bucket"), col(valCol).as("v")), shards))
+    val tot = p.agg(coalesce(max(col("i")), lit(0L)).as("_nn"))
+    // cum at the window's upper edge (row i+h2) keyed to row i; cum at
+    // the row BELOW its lower edge (row i−h1−1) keyed to row i — absent
+    // only when that row is 0, where the prefix is 0 by definition
+    val cumHi = p.select((col("i") - lit(h2.toLong)).as("i"),
+      col("cum").as("_cum_hi"))
+    val cumLo = p.select((col("i") + lit(h1.toLong + 1L)).as("i"),
+      col("cum").as("_cum_lo"))
+    val base = p
+      .join(cumHi, Seq("i"), "left")
+      .join(cumLo, Seq("i"), "left")
+      .crossJoin(broadcast(tot))
       .withColumn("phase", pmod(col("bucket"), lit(season.toLong)))
-      .withColumn("wn", count(lit(1)).over(w))
-      .withColumn("wsum", sum(col("v")).over(w))
+      .withColumn("wsum",
+        when(col("i") > lit(h1.toLong) &&
+            col("i") + lit(h2.toLong) <= col("_nn"),
+          col("_cum_hi") - coalesce(col("_cum_lo"), lit(0L))))
       .withColumn("trend_e6",
-        when(col("wn") === season.toLong,
+        when(col("wsum").isNotNull,
           signum(col("wsum")).cast("long") *
             expr(s"(1000000 * abs(wsum)) DIV $season")))
       .withColumn("det_e6", col("v") * 1000000L - col("trend_e6"))

@@ -1320,6 +1320,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gramNovelty df aggregation lost map-side combine:\n$gn")
   }
 
+  test("round-14 plan pins: bucketed-series folds plan no global one-task window") {
+    // cusumChangepoints / seasonalDecompose / giniByKey now ride range-
+    // sharded prefix folds: every Window the plan keeps must be shard-
+    // partitioned (or the ≤shards-row offsets fold ordered BY shard) —
+    // a bare ORDER BY window over the series would re-pin one task.
+    // cusumSegments localCheckpoints per level, so its final plan shows
+    // no windows at all — the assert is vacuous there by construction.
+    def shardedWindowsOnly(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("Window ")).foreach { w =>
+          assert(w.contains("shard"),
+            s"$name: non-sharded window survives:\n$w")
+        }
+    val s = spark.range(2000L).select(col("id").as("bucket"),
+      (col("id") % 97L).as("v"))
+    shardedWindowsOnly("cusumChangepoints", Temporal.cusumChangepoints(s))
+    shardedWindowsOnly("cusumSegments", Temporal.cusumSegments(s, depth = 2))
+    shardedWindowsOnly("seasonalDecompose",
+      Temporal.seasonalDecompose(s, season = 24))
+    shardedWindowsOnly("giniByKey", Hygiene.giniByKey(
+      spark.range(2000L).select((col("id") % 5L).cast("string").as("src"),
+        col("id").as("v")), "src", "v"))
+    // and the sharded prefix genuinely appears where lineage is visible
+    val cp = Temporal.cusumChangepoints(s)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("Window"), s"cusumChangepoints lost its sharded fold:\n$cp")
+  }
+
   test("dimension join is broadcast") {
     val plan = SparkEntry.queries("q_join_broadcast_nation")(spark, sf)
       .queryExecution.executedPlan.toString

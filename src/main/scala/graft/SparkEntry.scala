@@ -3412,6 +3412,17 @@ object SparkEntry {
       Multimodal.extractAudioFeatures(
           Multimodal.synthesizeAudioPayloads(t(s, dir, "documents").select(col("doc_id"))))
         .orderBy(col("doc_id"))),
+    "mm_mp4_meta" -> ((s, dir) =>
+      // REAL MP4 metadata decode, oracle-checked: synthesize a minimal
+      // ISO-BMFF payload per doc id (mvhd timescale/duration and the trak
+      // census closed-form in the id; id%10==0 garbage, id%10==5
+      // truncated-box), box-walk it and emit exact integer metadata.
+      // DuckDB recomputes the closed forms — the MP4 encode → box-walk
+      // path is value-verified; both corruption classes surface as all
+      // -1s on both sides.
+      Multimodal.extractMp4Meta(
+          Multimodal.synthesizeMp4Payloads(t(s, dir, "documents").select(col("doc_id"))))
+        .orderBy(col("doc_id"))),
     "mm_features" -> ((s, dir) =>
       // mapPartitions byte-lane profile stage (real byte math). The raw
       // array<double> output is not oracle-hashable, so the verified shape
@@ -9012,6 +9023,24 @@ object SparkEntry {
         |       CAST(COALESCE(a.peak_amp, 0) AS BIGINT) AS peak_amp
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "mm_mp4_meta" ->
+      // closed-form expectations of the synthesized ISO-BMFF payloads: the
+      // Spark side must reproduce these through a real MP4 write + box
+      // walk; both corruption lanes (garbage magic, truncated moov) read
+      // all -1s. duration·1000 and timescale are positive BIGINTs, so
+      // DuckDB // and Spark DIV agree (floor == truncate on non-negatives)
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
+        |            ELSE 600 + (doc_id % 5) * 400 END AS BIGINT) AS timescale,
+        |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
+        |            ELSE (doc_id % 240 + 60) * 100 END AS BIGINT) AS duration,
+        |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
+        |            ELSE 1 + doc_id % 3 END AS BIGINT) AS n_tracks,
+        |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
+        |            ELSE ((doc_id % 240 + 60) * 100 * 1000)
+        |                   // (600 + (doc_id % 5) * 400) END AS BIGINT)
+        |         AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       // recomputes the byte-lane profile's math: lane i accumulates
       // byte/255.0 over payload positions ≡ i (mod 8), so lane×255 rounds to

@@ -783,6 +783,144 @@ object Multimodal {
     if (fmtOk && rate > 0 && data != null) Some((rate, data)) else None
   }
 
+  /** An MP4 metadata row: movie-header fields + track count, with the
+    * corrupt-accounting lane as all -1s.
+    */
+  final case class Mp4Meta(
+      doc_id: Long,
+      timescale: Long,
+      duration: Long,
+      n_tracks: Long,
+      duration_ms: Long)
+
+  /** A synthesized MP4 payload row (the fixture generator's output). */
+  final case class Mp4Payload(doc_id: Long, payload: Array[Byte])
+
+  /** Deterministic ISO-BMFF fixture generator: one minimal MP4 per id —
+    * `ftyp` (isom/mp41), then `moov` holding a version-0 `mvhd` with
+    * `timescale = 600 + (id%5)·400`, `duration = (id%240 + 60)·100`, and
+    * `1 + id%3` header-only `trak` boxes — every field closed-form in the
+    * id. Corruption lanes exercise both guard classes: `id % 10 == 0`
+    * rows are garbage bytes (no `ftyp`), `id % 10 == 5` rows declare a
+    * `moov` longer than the payload (the truncated-box class). Same
+    * design as [[synthesizeAudioPayloads]]: DuckDB cannot walk a box
+    * tree, but it can recompute the closed forms, so the MP4 encode →
+    * box-walk path is value-verified by the standard harness
+    * (registry row `mm_mp4_meta`).
+    */
+  def synthesizeMp4Payloads(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    implicit val enc = Encoders.product[Mp4Payload]
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 0) Mp4Payload(id, Array[Byte](0x13, 0x37, 0x00, 0x42))
+        else {
+          val timescale = (600 + (id % 5) * 400).toInt
+          val duration = ((id % 240 + 60) * 100).toInt
+          val nTracks = (1 + id % 3).toInt
+          val mvhdSize = 108 // v0: 8 header + 4 ver/flags + 96 body
+          val moovSize = 8 + mvhdSize + 8 * nTracks
+          val buf = java.nio.ByteBuffer.allocate(20 + moovSize)
+            .order(java.nio.ByteOrder.BIG_ENDIAN) // ISO-BMFF is big-endian
+          buf.putInt(20).put("ftyp".getBytes("US-ASCII"))
+          buf.put("isom".getBytes("US-ASCII")).putInt(512)
+          buf.put("mp41".getBytes("US-ASCII"))
+          buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+          buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+          buf.putInt(0) // version 0 + flags
+          buf.putInt(0).putInt(0) // creation / modification
+          buf.putInt(timescale).putInt(duration)
+          buf.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume
+          buf.position(buf.position() + 70) // reserved + matrix + pre_defined
+          buf.putInt(nTracks + 1) // next_track_ID
+          var k = 0
+          while (k < nTracks) {
+            buf.putInt(8).put("trak".getBytes("US-ASCII"))
+            k += 1
+          }
+          val bytes = buf.array()
+          // truncated lane: moov's declared size now exceeds the payload
+          if (id % 10 == 5) Mp4Payload(id, bytes.dropRight(4))
+          else Mp4Payload(id, bytes)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** REAL MP4 metadata decode — an ISO-BMFF box walk (top-level `ftyp`
+    * check, `moov` child scan, version-0 `mvhd` field extraction, `trak`
+    * census), dependency-free and row-local — behind the same
+    * `mapPartitions` seam as [[extractAudioFeatures]]. Emits the movie
+    * timescale, duration (in timescale units), track count, and the
+    * derived `duration_ms = duration·1000 DIV timescale` — all exact
+    * integers. Any structural violation (bad magic, box overrunning its
+    * parent or the payload, box size < 8 — which also rejects the
+    * size-0 "to end of file" and size-1 64-bit largesize specials this
+    * minimal lane does not model — or a non-v0 mvhd) lands the row in
+    * the corrupt-accounting lane (all fields -1) instead of throwing:
+    * at 100 TB a single bad object must never kill the stage.
+    */
+  def extractMp4Meta(withPayload: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[Mp4Meta]
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseMp4(r.getAs[Array[Byte]](1)) match {
+            case Some((ts, dur, nt)) =>
+              Mp4Meta(id, ts, dur, nt, dur * 1000L / ts)
+            case None => Mp4Meta(id, -1L, -1L, -1L, -1L)
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** ISO-BMFF box walk: (timescale, duration, n_tracks) for payloads whose
+    * top level carries `ftyp` and a `moov` with a version-0 `mvhd`; None
+    * for anything structurally invalid.
+    */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) << 24 | (bytes(off + 1) & 0xffL) << 16 |
+        (bytes(off + 2) & 0xffL) << 8 | (bytes(off + 3) & 0xffL)
+    if (bytes.length < 8 || fourcc(4) != "ftyp") return None
+    var off = 0
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0L
+    var sawMoov = false
+    while (off + 8 <= bytes.length) {
+      val size = u32(off)
+      val id = fourcc(off + 4)
+      if (size < 8 || off + size > bytes.length) return None
+      if (id == "moov") {
+        sawMoov = true
+        val end = off + size.toInt
+        var c = off + 8
+        while (c + 8 <= end) {
+          val cs = u32(c)
+          val cid = fourcc(c + 4)
+          if (cs < 8 || c + cs > end) return None
+          if (cid == "mvhd") {
+            // v0 body: ver/flags(4) creation(4) modification(4)
+            // timescale(4) duration(4) ...
+            if (cs < 28 || bytes(c + 8) != 0) return None
+            timescale = u32(c + 20)
+            duration = u32(c + 24)
+          } else if (cid == "trak") nTracks += 1
+          c += cs.toInt
+        }
+      }
+      off += size.toInt
+    }
+    if (sawMoov && timescale > 0 && duration >= 0) Some((timescale, duration, nTracks))
+    else None
+  }
+
   /** Decode + feature-extract via `mapPartitions`: per-partition iterator so a
     * real decoder's init cost amortizes across the partition (the reason this
     * is `mapPartitions`, not `map`/UDF). Input must carry (doc_id, payload).

@@ -1183,6 +1183,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"structural rejects must be accounted: ${got.toSeq}")
   }
 
+  test("multimodal MP4 metadata: box walk matches the synthesized closed forms") {
+    import spark.implicits._
+    // synthesized lane: closed forms for clean ids, all -1 for BOTH
+    // corruption classes (garbage magic at id%10==0, truncated moov at
+    // id%10==5)
+    val got = Multimodal.extractMp4Meta(
+        Multimodal.synthesizeMp4Payloads((1L to 31L).toDF("doc_id")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    (1L to 31L).foreach { id =>
+      val expect =
+        if (id % 10 == 0 || id % 10 == 5) (-1L, -1L, -1L, -1L)
+        else {
+          val ts = 600L + (id % 5) * 400L
+          val dur = (id % 240 + 60) * 100L
+          (ts, dur, 1L + id % 3, dur * 1000L / ts)
+        }
+      assert(got(id) == expect, s"id=$id: ${got(id)} vs $expect")
+    }
+    // hand-built structural rejects: an mvhd that is version 1, and a
+    // child box overrunning its moov parent
+    def mp4WithMvhdVersion(v: Byte): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(20 + 8 + 108)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.putInt(20).put("ftypisom".getBytes("US-ASCII")).putInt(512)
+        .put("mp41".getBytes("US-ASCII"))
+      buf.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+      buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      buf.put(v).put(Array[Byte](0, 0, 0))
+      buf.putInt(0).putInt(0).putInt(1000).putInt(5000)
+      buf.array() // trailing mvhd body bytes stay zero
+    }
+    assert(Multimodal.parseMp4(mp4WithMvhdVersion(0)) == Some((1000L, 5000L, 0L)))
+    assert(Multimodal.parseMp4(mp4WithMvhdVersion(1)).isEmpty,
+      "version-1 mvhd must land in the corrupt lane")
+    val overrun = mp4WithMvhdVersion(0)
+    // child mvhd now claims 4 GiB-ish: overruns moov → reject
+    overrun(28) = 0x7f
+    assert(Multimodal.parseMp4(overrun).isEmpty,
+      "child box overrunning its parent must be rejected")
+  }
+
   test("perceptual aHash: brightness shifts collapse, structures separate, bytes differ") {
     import spark.implicits._
     val ids = (1L to 40L).toDF("doc_id")

@@ -936,7 +936,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bRows == fRows)
   }
 
-  test("nprobeSweep: each point equals ivfTopK at that nprobe + recallAt; cost axis pinned") {
+  test("nprobeSweep: each point equals ivfTopK at that nprobe + recallAt; cost axis pinned", SlowTest) {
     val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
     val q = emb.filter(col("vec_id") < 10)
     val sweep = Similarity.nprobeSweep(emb, q, cents, k = 3, maxNprobe = 3)
@@ -1920,7 +1920,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("streaming incremental components: multi-batch equals full recompute; replay idempotent") {
+  test("streaming incremental components: multi-batch equals full recompute; replay idempotent", SlowTest) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     import graft.streaming.ComponentsStream
@@ -1958,7 +1958,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("streaming components: a rebuilt durable store restores the labels fixpoint") {
+  test("streaming components: a rebuilt durable store restores the labels fixpoint", SlowTest) {
     import spark.implicits._
     import graft.streaming.ComponentsStream
     val dir = Files.createTempDirectory("ccdur").toString
@@ -2696,7 +2696,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
-  test("stream-stream interval join: bounded look-back, equals the batch join") {
+  test("stream-stream interval join: bounded look-back, equals the batch join", SlowTest) {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -4408,7 +4408,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nn("cat") == ((4L, 4L, 3L, 0L)), nn.toString)
   }
 
-  test("drift stream: folded counts serve the batch operator's exact drift, any split") {
+  test("drift stream: folded counts serve the batch operator's exact drift, any split", SlowTest) {
     import spark.implicits._
     import graft.streaming.DriftStream
     // null categories included on BOTH sides — the stream must match
@@ -4796,7 +4796,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fz.toSeq == Seq((1L, 2L, 1L)), fz.mkString(","))
   }
 
-  test("ewma stream: tail-carry makes any ordered split equal the batch fold") {
+  test("ewma stream: tail-carry makes any ordered split equal the batch fold", SlowTest) {
     import spark.implicits._
     import graft.streaming.EwmaStream
     val rnd = new scala.util.Random(31)
@@ -4943,7 +4943,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped") {
+  test("scd2 stream: any ordered batch split equals the batch operator; late rows dropped", SlowTest) {
     import spark.implicits._
     import graft.streaming.Scd2Stream
     val rnd = new scala.util.Random(42)
@@ -4980,7 +4980,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("scd2 stream: a row between a compressed interval's start and the last folded event is late") {
+  test("scd2 stream: a row between a compressed interval's start and the last folded event is late", SlowTest) {
     import spark.implicits._
     import graft.streaming.Scd2Stream
     // fold A@100 then A@900 (same attr — the open interval compresses to
@@ -5013,7 +5013,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 2L, "B", 950L, None, true)), closed.toString)
   }
 
-  test("scd2 stream: a rebuilt durable store resumes history, versions, and the late guard") {
+  test("scd2 stream: a rebuilt durable store resumes history, versions, and the late guard", SlowTest) {
     import spark.implicits._
     import graft.streaming.Scd2Stream
     val dir = Files.createTempDirectory("scd2dur").toString
@@ -5440,7 +5440,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.corpus.count() == emb.count())
   }
 
-  test("DedupIndex: probe equals batch cross pairs; append-grown index identical") {
+  test("DedupIndex: probe equals batch cross pairs; append-grown index identical", SlowTest) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val delta = docs.filter(col("doc_id") < 20)
     val dir = Files.createTempDirectory("dedupindex").toString
@@ -5464,7 +5464,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append-grown index must probe identically to a one-shot build")
   }
 
-  test("ingest dedup stream: accumulated pairs equal the batch run, any split") {
+  test("ingest dedup stream: accumulated pairs equal the batch run, any split", SlowTest) {
     import graft.streaming.IngestDedupStream
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
@@ -5490,7 +5490,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("ingest dedup stream: a rebuilt store resumes instead of destroying the index") {
+  test("ingest dedup stream: a rebuilt store resumes instead of destroying the index", SlowTest) {
     import graft.streaming.IngestDedupStream
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
@@ -5524,7 +5524,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes") {
+  test("AnnIndex PQ: artifact serving equals in-memory ivfPqTopK; codes beat vectors on bytes", SlowTest) {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annindexpq").toString
     graft.sources.AnnIndex.buildPq(emb, dir, pqIters = 2, trainFrac = 0.5)
@@ -5568,7 +5568,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
-  test("AnnIndex PQ append: a grown index serves like a full build with the frozen model") {
+  test("AnnIndex PQ append: a grown index serves like a full build with the frozen model", SlowTest) {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val first = emb.filter(col("vec_id") % 2 === 0)
     val rest = emb.filter(col("vec_id") % 2 =!= 0)
@@ -5991,7 +5991,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 3L, -180000000000L, 0L, None)))
   }
 
-  test("trend stream: folded daily totals serve the batch operator's exact trend, any split") {
+  test("trend stream: folded daily totals serve the batch operator's exact trend, any split", SlowTest) {
     import spark.implicits._
     import graft.streaming.TrendStream
     val day = 86400000000L
@@ -6433,7 +6433,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("drift stream: a rebuilt durable store restores the folded counts") {
+  test("drift stream: a rebuilt durable store restores the folded counts", SlowTest) {
     import spark.implicits._
     import graft.streaming.DriftStream
     val dir = Files.createTempDirectory("driftdur").toString
@@ -6461,7 +6461,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("bootstrap stream: a rebuilt durable store restores partials AND totals") {
+  test("bootstrap stream: a rebuilt durable store restores partials AND totals", SlowTest) {
     import spark.implicits._
     import graft.streaming.BootstrapStream
     val dir = Files.createTempDirectory("bootdur").toString
@@ -6485,7 +6485,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("transitions stream: a rebuilt durable store restores counts AND the boundary row") {
+  test("transitions stream: a rebuilt durable store restores counts AND the boundary row", SlowTest) {
     import spark.implicits._
     import graft.streaming.TransitionsStream
     val dir = Files.createTempDirectory("transdur").toString
@@ -6518,7 +6518,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("ewma stream: a rebuilt durable store restores the tail and the scored log") {
+  test("ewma stream: a rebuilt durable store restores the tail and the scored log", SlowTest) {
     import spark.implicits._
     import graft.streaming.EwmaStream
     val dir = Files.createTempDirectory("ewmadur").toString
@@ -6625,7 +6625,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
-  test("ann serve stream: a rebuilt durable store restores the answer log") {
+  test("ann serve stream: a rebuilt durable store restores the answer log", SlowTest) {
     import spark.implicits._
     import graft.streaming.AnnServeStream
     val dir = Files.createTempDirectory("anndur").toString

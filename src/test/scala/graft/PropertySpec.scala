@@ -664,7 +664,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == row.getLong(1), row.toString)
   }
 
-  test("median2Pass equals sorted-middle selection under forced multi-pass narrowing") {
+  test("median2Pass equals sorted-middle selection under forced multi-pass narrowing", SlowTest) {
     import spark.implicits._
     import graft.operators.Hygiene
     val rng = new scala.util.Random(19)
@@ -686,7 +686,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("madOutliersScalable equals exact madOutliers under forced multi-pass narrowing") {
+  test("madOutliersScalable equals exact madOutliers under forced multi-pass narrowing", SlowTest) {
     import spark.implicits._
     import graft.operators.Hygiene
     val rng = new scala.util.Random(23)

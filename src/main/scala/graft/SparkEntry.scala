@@ -1865,6 +1865,24 @@ object SparkEntry {
         sum(when(col("n") >= 2 && col("has_train") === 1L, col("n_eval"))
           .otherwise(0L)).as("n_eval_contaminated"))
     }),
+    "split_cluster_assign" -> ((s, dir) => {
+      // the FIX for what split_leakage_audit measures: hash the split off
+      // the near-dup CLUSTER's canonical label (singletons label
+      // themselves), so a doc and its twins land in the SAME split by
+      // construction — train/eval contamination through duplicates is
+      // structurally impossible, not merely audited. Serves the shared
+      // pair+components artifacts; one broadcast-able label join + a
+      // row-local md5 bucket, no new exchange class.
+      val docs = t(s, dir, "documents")
+      val grouped = docs.select(col("doc_id"))
+        .join(lshComponents(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      Splits.assign(grouped, "group_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "split_kfold" -> ((s, dir) =>
       // cross-validation folds as a pure function of the id (md5 bucket
       // mod k): row-local, no shuffle, stable across engines and
@@ -6677,6 +6695,20 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN n >= 2 AND has_train = 1 THEN n_eval ELSE 0 END)
          |         AS BIGINT) AS n_eval_contaminated
          |FROM g""".stripMargin
+    },
+    "split_cluster_assign" -> {
+      // recursive exact-Jaccard components (the dedup_components chain),
+      // then the split hashes off the canonical cluster label
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      componentsOracleCtes +
+        s""",comp AS (SELECT node AS doc_id, MIN(lbl) AS component
+           |          FROM reach GROUP BY node)
+           |SELECT d.doc_id,
+           |       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id,
+           |       ${graft.operators.Splits.splitCaseSql(
+                     "COALESCE(c.component, d.doc_id)", splits)} AS split
+           |FROM documents d LEFT JOIN comp c USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
     },
     "split_kfold" ->
       s"""SELECT ${graft.operators.Splits.kfoldSql("doc_id", 5)} AS fold, lang,

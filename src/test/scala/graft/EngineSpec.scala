@@ -1493,6 +1493,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cp.contains("Window"), s"cusumChangepoints lost its sharded fold:\n$cp")
   }
 
+  test("cluster-consistent split: twins never straddle splits; per-doc assign does") {
+    import spark.implicits._
+    // 300 docs in 150 planted twin pairs: (2k, 2k+1) share a component
+    val pairs = (0L until 300L by 2).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs)
+    val grouped = (0L until 300L).toDF("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("group_id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def crossGroups(assigned: org.apache.spark.sql.DataFrame): Long = assigned
+      .groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    // hashing the CLUSTER label: a component is structurally one split
+    val clustered = Splits.assign(grouped, "group_id", splits)
+    assert(crossGroups(clustered) == 0L)
+    // hashing the doc id: this fixture demonstrably leaks (what
+    // split_leakage_audit measures and split_cluster_assign fixes)
+    assert(crossGroups(Splits.assign(grouped, "doc_id", splits)) > 0L,
+      "fixture must demonstrate the per-doc leak")
+    // the split fractions still roughly hold at GROUP grain
+    val train = clustered.filter(col("split") === "train").count()
+    assert(train > 180L && train < 290L, s"train=$train of 300")
+  }
+
   test("dimension join is broadcast") {
     val plan = SparkEntry.queries("q_join_broadcast_nation")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1156,6 +1156,81 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ts(ev) == ts(ev.map { case (k, t, v) => (k, t + 3L * day, v + 250L) }))
   }
 
+  test("cellsCumByKey equals the per-key window fold for any shard count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    // hot key "h" with many distinct values + 30 normal keys with heavy
+    // ties; values collide across keys on purpose
+    val rows = (0 until 4000).map(_ => ("h", rnd.nextInt(3000).toLong)) ++
+      (0 until 4000).map(_ => (s"k${rnd.nextInt(30)}", rnd.nextInt(40).toLong))
+    val kv = rows.toDF("k", "v")
+    val expected = {
+      val cells = kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"))
+      cells.withColumn("cumc", sum(col("c")).over(w))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    }
+    for (shards <- Seq(1, 7, 64, 512)) {
+      val got = graft.operators.Hygiene.cellsCumByKey(kv, shards)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"shards=$shards: sharded keyed fold diverges")
+    }
+  }
+
+  test("shardedPrefix equals the global ordered window for any shard count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // sparse unordered buckets, signed values
+    val rows = rnd.shuffle((0 until 3000).map(i =>
+      (i * 13L + (i % 7), rnd.nextInt(2001).toLong - 1000L)).toList)
+    val s = rows.toDF("bucket", "v")
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      s.withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("v")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    }
+    for (shards <- Seq(1, 16, 256)) {
+      val got = graft.operators.Temporal.shardedPrefix(s, shards)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"shards=$shards: sharded prefix diverges")
+    }
+  }
+
+  test("sharded unkeyed segmentation equals the keyed-loop form on random series") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    val rnd = new scala.util.Random(7)
+    // random walk with two planted level shifts
+    var lvl = 0L
+    val rows = (0L until 600L).map { b =>
+      if (b == 200L) lvl += 4000L
+      if (b == 430L) lvl -= 2500L
+      (b, lvl + rnd.nextInt(200).toLong)
+    }
+    val s = rows.toDF("bucket", "v")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    for (depth <- 1 to 3) {
+      // the keyed loop (old per-segment-window shape) on a constant key
+      // IS the pre-r14 formulation of the unkeyed operator
+      val keyed = Temporal.cusumSegmentsByKey(
+          s.withColumn("key", lit("only")), depth)
+        .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
+          col("seg_sum"), col("is_boundary"), col("key"))
+        .drop("key")
+      val unkeyed = Temporal.cusumSegments(s, depth)
+        .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
+          col("seg_sum"), col("is_boundary"))
+      assert(key(unkeyed) == key(keyed), s"depth=$depth: sharded loop diverges")
+    }
+  }
+
   test("vocab growth: curves monotone and beta positive on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)

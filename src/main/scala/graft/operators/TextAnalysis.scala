@@ -817,16 +817,24 @@ object TextAnalysis {
     // the loop's load sensitivity; the re-applied replace chain costs
     // O(round) row-local string passes — trivial next to the shuffle, and
     // bounded by the merge budget.
-    val base = docs.select(
+    var base = docs.select(
       concat(lit("⟨"),
         array_join(split(lower(delimiterChecked(col(textCol), "bpeVocab")), " "), "⟩⟨"),
         lit("⟩")).as("r"))
       .persist(lvl)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // merges already BAKED INTO base's rows; the per-round fold re-applies
+    // only the pending suffix, and every `foldEvery` rounds the suffix is
+    // materialized into a fresh cached base — bounding both the Catalyst
+    // expression depth and the per-round row-local work at O(foldEvery)
+    // for ANY merge budget (one extra materialization job per chunk,
+    // amortized 1/foldEvery per round)
+    var folded = 0
+    val foldEvery = 16
     var round = 1
     var exhausted = false
     while (round <= merges && !exhausted) {
-      val repr = learned.foldLeft(col("r")) { case (acc, (_, l, r, _)) =>
+      val repr = learned.drop(folded).foldLeft(col("r")) { case (acc, (_, l, r, _)) =>
         call_function("replace", acc,
           lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩"))
       }
@@ -843,6 +851,18 @@ object TextAnalysis {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((round.toLong, l, r, n))
+      }
+      if (learned.size - folded >= foldEvery) {
+        val pendRepr = learned.drop(folded).foldLeft(col("r")) {
+          case (acc, (_, l, r, _)) =>
+            call_function("replace", acc,
+              lit("⟨" + l + "⟩⟨" + r + "⟩"), lit("⟨" + l + " " + r + "⟩"))
+        }
+        val prev = base
+        base = prev.select(pendRepr.as("r")).persist(lvl)
+        base.count() // materialize before releasing the chunk's parent
+        prev.unpersist(blocking = false)
+        folded = learned.size
       }
       round += 1
     }

@@ -421,6 +421,53 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpeVocab 40-merge training (chunked fold) equals a pure-Scala replay") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // enough pair mass to learn 40 real merges — crosses the foldEvery=16
+    // re-materialization boundary twice, so the chunk fold itself is what
+    // this test exercises
+    val rnd = new scala.util.Random(11)
+    val syms = Vector("a", "b", "c", "d", "e", "ab", "cd", "ee")
+    val texts = (0 until 60).map(_ =>
+      (0 until (4 + rnd.nextInt(10))).map(_ => syms(rnd.nextInt(syms.size)))
+        .mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeVocab(docs, merges = 40).orderBy("merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // pure-Scala reference: overlapping adjacent-pair counts, argmax by
+    // (n desc, lhs, rhs), left-to-right non-overlapping merge application
+    var corpus = texts.map(_.split(" ").toList)
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    for (_ <- 1 to 40 if !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach(ts => ts.zip(ts.drop(1)).foreach(p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1L))
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        expect += ((l, r, n))
+        corpus = corpus.map { ts =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+              out += s"$l $r"; i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          out.toList
+        }
+      }
+    }
+    assert(got.size == expect.size, s"${got.size} vs ${expect.size} merges learned")
+    got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"merge ${i + 1}: $g vs $e")
+    }
+    assert(got.size == 40, "fixture must actually learn 40 merges")
+  }
+
   test("per-stratum sample: window-form equality for any shard count; k saturation") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -1065,6 +1065,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "ann_filtered_topk" -> ((s, dir) => {
+      // metadata-FILTERED serving: top-3 among label=1 vectors only — the
+      // predicate prunes the index side BEFORE the cell join (pushdown on
+      // a persisted index), queries stay unfiltered. Oracle replays the
+      // identical probe with the label join on the candidate side.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      Similarity.filteredIvfTopK(emb, emb.filter(col("vec_id") < 10), cents,
+          k = 3, pred = col("label") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "ann_ivf_trained_topk" -> ((s, dir) => {
       // END-TO-END IVF: deterministic k-means quantizer training (2 Lloyd's
       // rounds, md5-bucket init) + nprobe=2 multi-probe serving — the oracle
@@ -5543,6 +5556,46 @@ object SparkEntry {
         |cand AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM cell q JOIN cell n ON q.cell=n.cell AND q.vec_id<10 AND q.vec_id<>n.vec_id),
+        |dd AS (
+        |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+        |  FROM cand c
+        |  JOIN f a ON a.vec_id=c.query_id
+        |  JOIN f b ON b.vec_id=c.neighbor_id AND a.i=b.i
+        |  GROUP BY 1,2),
+        |ss AS (
+        |  SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nn2.nrm),4)+0.0 AS score
+        |  FROM dd JOIN nrm nq ON nq.vec_id=dd.query_id
+        |          JOIN nrm nn2 ON nn2.vec_id=dd.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM ss)
+        |SELECT query_id, neighbor_id, score, rnk FROM rr
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "ann_filtered_topk" -> (embCte +
+      // the ann_ivf_topk probe with the metadata predicate joined onto
+      // the CANDIDATE side (cell assignment is row-local, so filtering
+      // candidates ≡ filtering the index before assignment)
+      """, cd AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 4),
+        |cdot AS (
+        |  SELECT f.vec_id, cd.cid, list_reduce(list(f.v*cd.v ORDER BY f.i), (x,y) -> x+y) AS d
+        |  FROM f JOIN cd ON f.i=cd.i GROUP BY 1,2),
+        |cscore AS (
+        |  SELECT cdot.vec_id, cdot.cid, ROUND(d/(nv.nrm*nc.nrm),4) AS cs
+        |  FROM cdot JOIN nrm nv ON nv.vec_id=cdot.vec_id
+        |          JOIN nrm nc ON nc.vec_id=cdot.cid),
+        |cell AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS crn
+        |    FROM cscore)
+        |  WHERE crn = 1),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM cell q
+        |  JOIN cell n ON q.cell=n.cell AND q.vec_id<10 AND q.vec_id<>n.vec_id
+        |  JOIN embeddings me ON me.vec_id = n.vec_id AND me.label = 1),
         |dd AS (
         |  SELECT c.query_id, c.neighbor_id, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
         |  FROM cand c

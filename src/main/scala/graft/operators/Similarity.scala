@@ -446,6 +446,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Metadata-FILTERED IVF serving — the query shape vector search runs
+    * in production: "top-k neighbors of q WHERE label = …" (language,
+    * quality band, license, tenant). The predicate applies to the INDEX
+    * side BEFORE the cell join — cell assignment is row-local, so
+    * filter-then-assign ≡ assign-then-filter, and on a persisted
+    * [[graft.sources.AnnIndex]] the predicate lands in the parquet scan
+    * next to the cell partition filter (pushdown) instead of paying
+    * rank-then-discard. Exactness contract is [[ivfTopK]]'s, restricted
+    * to the filtered corpus: results equal brute force over the
+    * predicate's survivors within the probed cells. A highly selective
+    * predicate THINS cells (fewer than k survivors in-probe); raise
+    * `nprobe` to recover recall — the classic post-filter trade, priced
+    * here explicitly rather than hidden in a serving default.
+    */
+  def filteredIvfTopK(
+      emb: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      pred: Column, nprobe: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfTopK(emb.filter(pred), queries, centroids, k, nprobe, idCol, embCol)
+
   /** [[assignCellsLocal]] keeping the PROBE RANK: one (id, v, nrm, cell,
     * probe_rank) row per probed cell, probe_rank 1-based in nearest-first
     * order ([[graft.functions.NearestCentroidCells]] emits ids in rank

@@ -1493,6 +1493,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cp.contains("Window"), s"cusumChangepoints lost its sharded fold:\n$cp")
   }
 
+  test("filtered IVF: full probe equals brute force over the filtered corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val q = emb.filter(col("vec_id") < 8)
+    val pred = col("label") === 1
+    // probing every cell voids the cell restriction: the filtered serve
+    // must equal brute force over the predicate's survivors
+    val full = Similarity.filteredIvfTopK(emb, q, cents, k = 5, pred, nprobe = 4)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb.filter(pred), q, k = 5)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(_.toSeq).toSet
+    assert(full == brute, "full-probe filtered IVF must be the filtered brute force")
+    // and only predicate survivors ever emit, at any nprobe
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val narrow = Similarity.filteredIvfTopK(emb, q, cents, k = 5, pred, nprobe = 1)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(narrow.nonEmpty && narrow.forall(labels(_) == 1),
+      "a non-matching neighbor leaked through the predicate")
+  }
+
   test("cluster-consistent split: twins never straddle splits; per-doc assign does") {
     import spark.implicits._
     // 300 docs in 150 planted twin pairs: (2k, 2k+1) share a component

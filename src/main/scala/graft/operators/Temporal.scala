@@ -1158,16 +1158,20 @@ object Temporal {
     * `10⁶·Σ|d₁| DIV Σ|d_s|` — all non-negative, no float. Lags are
     * ROW lags over the ordered buckets: gap-fill a holey series first
     * (q_gap_fill's operator) or the season offset slips. Scale shape:
-    * one global ordered window over the BUCKETED series (time-bounded,
-    * the [[cusumChangepoints]] contract) + one 1-row agg.
+    * lags are row-index equi-joins over the [[shardedPrefix]]
+    * range-sharded fold (never a one-task global window — the r14
+    * bucketed-series discipline) + one 1-row agg.
     */
   def forecastBaselines(series: DataFrame, season: Int,
-      bucketCol: String = "bucket", valCol: String = "v"): DataFrame = {
+      bucketCol: String = "bucket", valCol: String = "v",
+      shards: Int = 64): DataFrame = {
     require(season >= 2, s"season must be >= 2: $season")
-    val w = Window.orderBy(col(bucketCol))
-    series.select(col(bucketCol), col(valCol).as("v"))
-      .withColumn("p", lag(col("v"), 1).over(w))
-      .withColumn("sn", lag(col("v"), season).over(w))
+    val p = graft.operators.Dedup.cached(shardedPrefix(
+      series.select(col(bucketCol).as("bucket"), col(valCol).as("v")), shards))
+    p
+      .join(p.select((col("i") + 1L).as("i"), col("v").as("p")), Seq("i"), "left")
+      .join(p.select((col("i") + season.toLong).as("i"), col("v").as("sn")),
+        Seq("i"), "left")
       .filter(col("sn").isNotNull)
       .agg(count(lit(1)).as("n_eval"),
         sum(abs(col("v") - col("p"))).as("sae_persist"),

@@ -977,9 +977,25 @@ object TextAnalysis {
         posexplode(split(regexp_replace(col("r"), "^⟨|⟩$", ""), "⟩⟨"))
           .as(Seq("pos", "token")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
-    val vocab = enc.select(col("token")).distinct()
+    // alphabetical dense rank over DISTINCT tokens ≡ row_number in token
+    // order, computed range-sharded (the cellsCum discipline): a 100 TB
+    // corpus's multi-million-type vocabulary never funnels through one
+    // ordered-window task; ≤ shards offset rows broadcast
+    val shards = 64
+    val sh = enc.select(col("token")).distinct()
+      .repartitionByRange(shards, col("token"))
+      .withColumn("_shard", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sh.groupBy(col("_shard")).agg(count(lit(1)).as("_c"))
+      .select(col("_shard"),
+        coalesce(sum(col("_c")).over(wOff), lit(0L)).as("_off"))
+    val vocab = sh.join(broadcast(offs), Seq("_shard"))
       .withColumn("token_id",
-        dense_rank().over(Window.orderBy(col("token"))).cast("long"))
+        (col("_off") + row_number().over(
+          Window.partitionBy(col("_shard")).orderBy(col("token")))).cast("long"))
+      .select(col("token"), col("token_id"))
     enc.join(vocab, "token")
       .select(col(idCol), col("pos"), col("token"), col("token_id"))
   }

@@ -1487,6 +1487,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     shardedWindowsOnly("giniByKey", Hygiene.giniByKey(
       spark.range(2000L).select((col("id") % 5L).cast("string").as("src"),
         col("id").as("v")), "src", "v"))
+    shardedWindowsOnly("forecastBaselines",
+      Temporal.forecastBaselines(s, season = 24))
+    shardedWindowsOnly("bpeEncode",
+      TextAnalysis.bpeEncode(
+        spark.range(50L).select(col("id").as("doc_id"),
+          concat(lit("tok"), (col("id") % 7L).cast("string"), lit(" x")).as("text")),
+        Seq(("a", "b"))))
     // and the sharded prefix genuinely appears where lineage is visible
     val cp = Temporal.cusumChangepoints(s)
       .queryExecution.executedPlan.toString

@@ -32,16 +32,27 @@ object AnnIndex {
   /** Train the quantizer and write the (centroids, cell-partitioned
     * corpus) artifact. Deterministic end-to-end: same corpus + params →
     * byte-identical artifact content.
+    *
+    * `metaCols` names FILTERABLE metadata columns (language, license,
+    * quality band, tenant) to carry into the corpus table alongside the
+    * vector: a [[topK]] serve with a predicate on them then pushes the
+    * filter into the parquet scan NEXT TO the cell partition filter
+    * (spec-pinned `PushedFilters`), which is what makes metadata-filtered
+    * vector search an index read instead of a rank-then-discard pass.
     */
   def build(emb: DataFrame, k: Int, iters: Int, dir: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit = {
     val cents = Similarity.trainCentroids(emb, k, iters, idCol, embCol)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     val assigned = Similarity.assignCells(
       Similarity.prepared(emb, idCol, embCol),
       cents, nprobe = 1)
-    assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/corpus")
+    val withMeta =
+      if (metaCols.isEmpty) assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
+      else assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
+        .join(emb.select((col(idCol).as("id") +: metaCols.map(col)): _*), Seq("id"))
+    withMeta.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/corpus")
   }
 
   /** Append new vectors to an existing IVF artifact WITHOUT retraining:
@@ -55,12 +66,18 @@ object AnnIndex {
     * building against the union corpus with the same frozen quantizer.
     */
   def append(spark: SparkSession, dir: String, emb: DataFrame,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      metaCols: Seq[String] = Nil): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    Similarity.assignCells(
+    val assigned = Similarity.assignCells(
         Similarity.prepared(emb, idCol, embCol), cents, nprobe = 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
-      .write.partitionBy("cell").mode("append").parquet(s"$dir/corpus")
+    // metaCols must match the build's — appends share the corpus schema
+    val withMeta =
+      if (metaCols.isEmpty) assigned
+      else assigned.join(
+        emb.select((col(idCol).as("id") +: metaCols.map(col)): _*), Seq("id"))
+    withMeta.write.partitionBy("cell").mode("append").parquet(s"$dir/corpus")
   }
 
   /** The loaded artifact: `centroids` (cid, cv, cnrm) and `corpus`
@@ -80,14 +97,21 @@ object AnnIndex {
     * so the plan is one cell-keyed candidate join + the per-query rank.
     */
   def topK(index: Loaded, queries: DataFrame, k: Int, nprobe: Int = 1,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = Similarity.collectCentroids(index.centroids)
     val q = Similarity.assignCellsLocal(
         Similarity.prepared(queries, idCol, embCol), cents, nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))
-    q.join(index.corpus,
+    // metadata-filtered serving: the predicate applies to the corpus READ
+    // (PushedFilters on the scan, next to the cell PartitionFilters when
+    // composed with [[probe]]) — the [[Similarity.filteredIvfTopK]]
+    // contract served off the artifact; needs the column in `metaCols`
+    // at build time
+    val corpus = pred.fold(index.corpus)(index.corpus.filter)
+    q.join(corpus,
         col("query_id") =!= col("id") && col("qcell") === col("cell"))
       .select(
         col("query_id"),
@@ -107,11 +131,12 @@ object AnnIndex {
     * nprobe of k cell directories are read at all.
     */
   def probe(index: Loaded, queries: DataFrame, k: Int, cells: Seq[Long],
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(cells.nonEmpty, "probe cells must be non-empty")
     val pruned = index.corpus.filter(col("cell").isin(cells.map(java.lang.Long.valueOf): _*))
     topK(index.copy(corpus = pruned), queries, k,
-      nprobe = cells.length, idCol = idCol, embCol = embCol)
+      nprobe = cells.length, idCol = idCol, embCol = embCol, pred = pred)
   }
 
   // ───────────────────────── IVF-PQ artifact ─────────────────────────

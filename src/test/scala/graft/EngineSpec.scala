@@ -5475,6 +5475,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("AnnIndex filtered serve: metadata predicate pushes into the scan next to the cell filter") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("annfiltered").toString
+    graft.sources.AnnIndex.build(emb, k = 4, iters = 2, dir,
+      metaCols = Seq("label"))
+    val idx = graft.sources.AnnIndex.load(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val pred = col("label") === 1
+    // artifact-served filtered top-k ≡ the in-memory filtered operator
+    // under the same (deterministic) trained quantizer
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+    val mem = Similarity.filteredIvfTopK(emb, q, cents, k = 3, pred, nprobe = 2)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    val served = graft.sources.AnnIndex.topK(idx, q, k = 3, nprobe = 2,
+        pred = Some(pred))
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(served == mem, "filtered artifact serving must equal the in-memory operator")
+    // composed with probe: BOTH pruning layers land on one scan — cell
+    // directories as PartitionFilters, the metadata predicate as
+    // PushedFilters
+    val q1 = emb.filter(col("vec_id") === 0)
+    val qCells = Similarity.assignCellsLocal(
+        Similarity.prepared(q1, "vec_id", "embedding"),
+        Similarity.collectCentroids(idx.centroids), nprobe = 2)
+      .select(col("cell")).collect().map(_.getLong(0)).toSeq
+    val probed = graft.sources.AnnIndex.probe(idx, q1, k = 3, qCells,
+      pred = Some(pred))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell pruning lost:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      s"metadata predicate must reach the parquet scan:\n$plan")
+  }
+
   test("AnnIndex append: grown index serves identically to a union rebuild") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val base = emb.filter(col("vec_id") < 30)

@@ -96,14 +96,23 @@ object SparkEntry {
     * plans constant-size.
     */
   private def memoFrame(s: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
-    artifactCache.computeIfAbsent(s"${sessionKey(s)}:$dir:$name", _ => {
-      val df = build
-      val cut = s.createDataFrame(df.rdd, df.schema)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cut.count()
-      cut
-    })
+      build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: builds nest (lshComponents builds FROM
+    // lshPairs), and a recursive computeIfAbsent on one ConcurrentHashMap
+    // is undefined (IllegalStateException or a stuck bin, depending on
+    // where the keys hash). Get-then-putIfAbsent holds no lock during the
+    // build; a concurrent duplicate build is benign — the loser unpersists
+    // its copy and adopts the winner's.
+    val key = s"${sessionKey(s)}:$dir:$name"
+    val existing = artifactCache.get(key)
+    if (existing != null) return existing
+    val df = build
+    val cut = s.createDataFrame(df.rdd, df.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cut.count()
+    val prev = artifactCache.putIfAbsent(key, cut)
+    if (prev != null) { cut.unpersist(blocking = false); prev } else cut
+  }
 
   /** The shared LPA labeling over the order—part incidence graph —
     * `q_label_propagation` censuses it, `q_modularity` audits it; the

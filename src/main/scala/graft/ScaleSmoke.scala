@@ -851,6 +851,18 @@ object ScaleSmoke {
         graft.operators.Temporal.seasonalDecompose(series5m, season = 24)
           .filter(col("residual_e6").isNotNull).count()
       }
+      timed("r14 forecast baselines 5M s=24") {
+        graft.operators.Temporal.forecastBaselines(series5m, season = 24)
+          .filter(col("n_eval") > 0L).count()
+      }
+      timed("r14 bpe encode 50k docs") {
+        // the encode pass over the scaled (10×) corpus: row-local merge fold +
+        // the range-sharded vocabulary rank (the r14 reroute under test)
+        graft.operators.TextAnalysis.bpeEncode(
+            spark.read.parquet(s"$dir/documents"),
+            Seq(("the", "quick"), ("brown", "fox")))
+          .filter(col("token_id") > 0L).count()
+      }
     }
     spark.stop()
   }

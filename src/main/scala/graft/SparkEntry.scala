@@ -3255,6 +3255,17 @@ object SparkEntry {
       Splits.mixWeights(t(s, dir, "documents"), "lang",
           Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
         .orderBy(col("lang"))),
+    "split_epoch_plan" -> ((s, dir) =>
+      // data-constrained epoch planning: a 10⁶-token budget against the
+      // 40/20/20/20 target mix (zh unlisted → share 0, shown excluded);
+      // n_chars is the token-mass column. Scarce strata repeat
+      // (epochs_ppm > 1e6) — the number a pretraining run reads BEFORE
+      // deciding the mix is affordable.
+      Splits.epochPlan(t(s, dir, "documents"), "lang", "n_chars",
+          Map("en" -> 400000L, "de" -> 200000L, "fr" -> 200000L,
+            "es" -> 200000L),
+          budgetTokens = 1000000L)
+        .orderBy(col("lang"))),
     "split_temperature_mix" -> ((s, dir) =>
       // temperature-smoothed mix (mT5's alpha=0.3): target shares DERIVED
       // from the corpus (q ∝ p^α) instead of hand-written; sample_rate is
@@ -8541,6 +8552,28 @@ object SparkEntry {
         |         ORDER BY md5(CAST(doc_id AS VARCHAR)||':12345'), doc_id) - 1
         |         AS BIGINT) AS shuffle_pos
         |FROM keep ORDER BY shuffle_pos""".stripMargin,
+    "split_epoch_plan" ->
+      // integer epoch plan: HUGEINT-fenced budget·share and target·1e6
+      // divisions (// floors ≡ Spark's decimal div on non-negatives)
+      """WITH g AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+        |         CAST(CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 200000
+        |              WHEN 'fr' THEN 200000 WHEN 'es' THEN 200000
+        |              ELSE 0 END AS BIGINT) AS share_ppm
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST((CAST(1000000 AS HUGEINT) * share_ppm) // 1000000
+        |         AS BIGINT) AS target_tokens
+        |  FROM g),
+        |e AS (
+        |  SELECT *, CASE WHEN n_tokens > 0 THEN
+        |           CAST((CAST(target_tokens AS HUGEINT) * 1000000) // n_tokens
+        |             AS BIGINT) END AS epochs_ppm
+        |  FROM t)
+        |SELECT lang, n_docs, n_tokens, share_ppm, target_tokens, epochs_ppm,
+        |       COALESCE(epochs_ppm > 1000000, FALSE) AS is_repeated
+        |FROM e ORDER BY lang""".stripMargin,
     "split_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS n_total FROM documents),

@@ -410,6 +410,55 @@ object Splits {
     * total — the output is stratum-sized, trivially small at any corpus
     * scale.
     */
+  /** Token-budget EPOCH PLANNER — the data-constrained mixing table
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"): given a target mix, a per-stratum token-mass column, and a
+    * total training-token budget, how many EPOCHS of each stratum does
+    * the run consume? [[mixWeights]] caps its weight at 1 (down-sample
+    * only); real pretraining REPEATS scarce high-quality strata, and the
+    * repeat factor is the number every data-constrained run needs on the
+    * table before training starts (epochs ≳ 4 ⇒ sharply diminishing
+    * returns per the paper — `is_repeated` flags any stratum that cycles
+    * at all).
+    *
+    * Integer-exact: shares enter as ppm, `target_tokens = budget·share
+    * DIV 10⁶` and `epochs_ppm = target·10⁶ DIV n_tokens` both
+    * DECIMAL(38,0)-fenced (a 10¹³-token budget × 10⁶ passes int64).
+    * Strata absent from `sharesPpm` plan at share 0 (excluded — shown,
+    * not dropped). One map-side-combined stratum agg, one broadcast CASE;
+    * one output row per stratum at any corpus size.
+    */
+  def epochPlan(
+      df: DataFrame, stratumCol: String, tokenCol: String,
+      sharesPpm: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0L, s"budgetTokens must be > 0: $budgetTokens")
+    require(sharesPpm.values.forall(v => v >= 0L && v <= 1000000L),
+      s"shares must be ppm in [0, 1e6]: $sharesPpm")
+    require(sharesPpm.values.sum <= 1000000L,
+      s"shares must sum to <= 1e6 ppm: ${sharesPpm.values.sum}")
+    val shareCol = sharesPpm.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (k, ppm)) =>
+        when(col(stratumCol) === lit(k), lit(ppm)).otherwise(acc)
+      }
+    df.select(col(stratumCol), col(tokenCol).cast("long").as("_t"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
+      .select(
+        col(stratumCol),
+        col("n_docs"),
+        col("n_tokens"),
+        shareCol.as("share_ppm"))
+      .withColumn("target_tokens", expr(
+        s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * share_ppm)" +
+          " div 1000000 AS BIGINT)"))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0L, expr(
+          "CAST((CAST(target_tokens AS DECIMAL(38,0)) * 1000000)" +
+            " div n_tokens AS BIGINT)")))
+      .withColumn("is_repeated",
+        coalesce(col("epochs_ppm") > 1000000L, lit(false)))
+  }
+
   def mixWeights(
       df: DataFrame, stratumCol: String, targets: Map[String, Double]): DataFrame = {
     val targetCol = targets.toSeq.sortBy(_._1)

@@ -1524,6 +1524,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a non-matching neighbor leaked through the predicate")
   }
 
+  test("epoch plan: budget·share targets, repeat flags, unlisted stratum excluded") {
+    import spark.implicits._
+    val df = Seq(("en", 100L), ("en", 100L), ("de", 50L), ("zh", 25L))
+      .toDF("lang", "toks")
+    val got = Splits.epochPlan(df, "lang", "toks",
+        Map("en" -> 600000L, "de" -> 400000L), budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(6)))).toMap
+    // en: 200 of a 1000-token budget's 600-token target → 3 epochs
+    assert(got("en") == ((2L, 200L, 600000L, 600L, Some(3000000L), true)),
+      got("en").toString)
+    assert(got("de") == ((1L, 50L, 400000L, 400L, Some(8000000L), true)))
+    // unlisted stratum: planned at share 0 — shown excluded, never dropped
+    assert(got("zh") == ((1L, 25L, 0L, 0L, Some(0L), false)))
+    intercept[IllegalArgumentException] {
+      Splits.epochPlan(df, "lang", "toks",
+        Map("en" -> 700000L, "de" -> 400000L), budgetTokens = 1000L)
+    }
+  }
+
   test("cluster-consistent split: twins never straddle splits; per-doc assign does") {
     import spark.implicits._
     // 300 docs in 150 planted twin pairs: (2k, 2k+1) share a component

@@ -907,11 +907,18 @@ object Hygiene {
       .agg(count(lit(1)).as("_ns")).filter(col("_ns") > 1L).select(col("k"))
     val wOff = Window.partitionBy(col("k")).orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perShardKey.join(spanning, Seq("k"), "left_semi")
+    // NULL-SAFE joins throughout (<=>): groupBy/Window keep the NULL-key
+    // group, so a NULL key that straddles a shard boundary has offset
+    // rows — a null-unsafe equi-join would silently drop them and
+    // restart the null stratum's cumsum at 0 per shard (the
+    // categoryCells trap in join form)
+    val offsets = perShardKey.as("_p")
+      .join(spanning.as("_s"), col("_p.k") <=> col("_s.k"), "left_semi")
       .withColumn("c_off", coalesce(sum(col("shard_c")).over(wOff), lit(0L)))
       .filter(col("c_off") > 0L)
-      .select(col("shard"), col("k"), col("c_off"))
-    sh.join(broadcast(offsets), Seq("shard", "k"), "left")
+      .select(col("shard").as("_oshard"), col("k").as("_ok"), col("c_off"))
+    sh.join(broadcast(offsets),
+        col("shard") === col("_oshard") && col("k") <=> col("_ok"), "left")
       .withColumn("cumc",
         coalesce(col("c_off"), lit(0L)) + sum(col("c")).over(wLoc))
       .select(col("k"), col("v"), col("c"), col("cumc"))

@@ -1206,22 +1206,25 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cellsCumByKey equals the per-key window fold for any shard count") {
     import spark.implicits._
     val rnd = new scala.util.Random(14)
-    // hot key "h" with many distinct values + 30 normal keys with heavy
-    // ties; values collide across keys on purpose
+    // hot key "h" with many distinct values, 30 normal keys with heavy
+    // ties, AND a NULL key wide enough to straddle shard boundaries —
+    // groupBy/Window keep the NULL group, so the fold's internal joins
+    // must be null-safe or the null stratum's offsets silently vanish
     val rows = (0 until 4000).map(_ => ("h", rnd.nextInt(3000).toLong)) ++
-      (0 until 4000).map(_ => (s"k${rnd.nextInt(30)}", rnd.nextInt(40).toLong))
+      (0 until 4000).map(_ => (s"k${rnd.nextInt(30)}", rnd.nextInt(40).toLong)) ++
+      (0 until 3000).map(_ => (null.asInstanceOf[String], rnd.nextInt(2500).toLong))
     val kv = rows.toDF("k", "v")
     val expected = {
       val cells = kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("k")).orderBy(col("v"))
       cells.withColumn("cumc", sum(col("c")).over(w))
-        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
           ((r.getLong(2), r.getLong(3)))).toMap
     }
     for (shards <- Seq(1, 7, 64, 512)) {
       val got = graft.operators.Hygiene.cellsCumByKey(kv, shards)
-        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
           ((r.getLong(2), r.getLong(3)))).toMap
       assert(got == expected, s"shards=$shards: sharded keyed fold diverges")
     }

@@ -36,13 +36,16 @@ object CdcStream {
     * Schema: keyCols ++ (last: struct(ts, tiebreak, payload...)).
     *
     * Durability (with `durable` set): the table is one row per live key
-    * — corpus-key-sized — so it writes PARTITIONED (no single-task
-    * funnel) and only every `snapshotEvery`-th applied batch; merge
-    * idempotence makes the gap safe (a restart replays ≤ snapshotEvery
-    * batches, each re-taking maxes that cannot move). A rebuilt store
-    * restores the newest snapshot via [[CompactStore.restore]] instead
-    * of serving an empty compaction while the checkpoint marks batches
-    * delivered.
+    * — corpus-key-sized — so FULL snapshots write PARTITIONED (no
+    * single-task funnel) and only every `snapshotEvery`-th applied
+    * batch; every OTHER applied batch writes its O(batch-keys) argmax
+    * rows as a `delta=<batchId>` log entry, still BEFORE the checkpoint
+    * commits it. The gap cannot be left to replay — structured streaming
+    * re-delivers only the single uncommitted batch, never committed
+    * ones — so [[CompactStore.restore]] folds the newest snapshot plus
+    * all later deltas (greatest is associative-commutative, so the union
+    * pre-folds to one per-key argmax); a full snapshot prunes the deltas
+    * it supersedes.
     */
   final class CompactStore(spark: SparkSession, keyCols: Seq[String],
       initial: DataFrame, durable: Option[String] = None,
@@ -84,11 +87,17 @@ object CdcStream {
             keyCols.map(k => coalesce(col(s"o.$k"), col(s"b.$k")).as(k)) :+
               greatest(col("o.last"), col("b.last")).as("last"): _*)
         val next = materialize(merged)
-        if (batchId >= 0 &&
-            (lastSnap == Long.MinValue || batchId >= lastSnap + snapshotEvery)) {
-          durable.foreach { dir =>
+        if (batchId >= 0) durable.foreach { dir =>
+          if (lastSnap == Long.MinValue || batchId >= lastSnap + snapshotEvery) {
             SnapshotStore.write(spark, dir, next, batchId, singleFile = false)
+            SnapshotStore.pruneDeltas(spark, dir, batchId)
             lastSnap = batchId
+          } else {
+            // off-cadence batches persist their O(batch-keys) argmax rows
+            // as a delta BEFORE the checkpoint commits the batch —
+            // structured streaming never re-delivers committed batches,
+            // so an unwritten gap would be lost, not replayed
+            SnapshotStore.writeDelta(spark, dir, batchCompact, batchId)
           }
         }
         ref.set(next)
@@ -106,8 +115,19 @@ object CdcStream {
         initial: DataFrame, snapshotEvery: Int = 1): CompactStore = {
       val store = new CompactStore(spark, keyCols, initial, Some(dir),
         snapshotEvery)
-      SnapshotStore.newest(spark, dir).foreach { case (upto, df) =>
-        store.seed(df, upto)
+      val snap = SnapshotStore.newest(spark, dir)
+      val snapId = snap.map(_._1).getOrElse(Long.MinValue)
+      snap.foreach { case (upto, df) => store.seed(df, upto) }
+      // fold every delta NEWER than the full snapshot back in: these are
+      // committed batches the checkpoint will never re-deliver. greatest
+      // is associative-commutative, so the union pre-folds to one
+      // per-key argmax and merges in a single pass; a stale delta that
+      // survives past its superseding snapshot re-merges as a no-op.
+      val later = SnapshotStore.deltaIds(spark, dir)
+        .filter(d => snapId == Long.MinValue || d._1 > snapId)
+      if (later.nonEmpty) {
+        store.merge(spark.read.parquet(later.map(_._2.toString): _*)
+          .groupBy(keyCols.map(col): _*).agg(max(col("last")).as("last")))
       }
       store
     }

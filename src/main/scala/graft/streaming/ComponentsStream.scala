@@ -47,17 +47,19 @@ object ComponentsStream {
     * initial [[Dedup.components]] fixpoint (or an empty (doc_id,
     * component) frame for a cold start).
     *
-    * Durability: with `snapshotDir` set, the labels table persists as an
-    * `upto=<batchId>` [[SnapshotStore]] snapshot (write-before-commit,
-    * newest-two retention — the sketch-store discipline one rung up),
-    * and a rebuilt store restores the newest snapshot instead of
-    * cold-starting from `initial` while the checkpoint marks earlier
-    * batches delivered. Unlike the KB-bounded sketch stores, the labels
-    * table is CORPUS-sized, so (a) it writes partitioned (no coalesce(1)
-    * single-task funnel) and (b) it snapshots only every
-    * `snapshotEvery`-th applied batch — merge idempotence makes the gap
-    * safe: a restart replays at most `snapshotEvery` batches, each a
-    * no-op on already-reflected pairs and a legit merge otherwise.
+    * Durability: with `snapshotDir` set, every applied batch persists
+    * BEFORE the checkpoint commits it (write-before-commit). Unlike the
+    * KB-bounded sketch stores the labels table is CORPUS-sized, so full
+    * snapshots (`upto=<batchId>`, partitioned — no coalesce(1) funnel,
+    * newest-two retention) happen only every `snapshotEvery`-th applied
+    * batch; BETWEEN them each batch writes its O(batch) PAIR set as a
+    * `delta=<batchId>` log entry instead. The gap is NOT left to replay:
+    * structured streaming re-delivers only the single uncommitted batch,
+    * so committed-but-unsnapshotted batches would otherwise be lost —
+    * restore therefore folds the newest full snapshot plus ALL later
+    * pair deltas through ONE [[Dedup.componentsIncremental]] merge (the
+    * min-label algebra makes the union of deltas a legal single delta).
+    * A full snapshot prunes the deltas it supersedes.
     * Empty batches never write (replaying a skipped empty batch is
     * trivially idempotent). Replayed batches otherwise drop on the
     * restored monotone guard.
@@ -72,14 +74,27 @@ object ComponentsStream {
       cut
     }
 
-    private val restored =
+    private val restoredSnap =
       snapshotDir.flatMap(d => SnapshotStore.newest(spark, d))
+    private val restoredSnapId = restoredSnap.map(_._1).getOrElse(-1L)
+    // pair deltas NEWER than the newest full snapshot: the committed
+    // batches a restart would otherwise lose (the checkpoint never
+    // re-delivers them)
+    private val laterDeltas = snapshotDir
+      .map(d => SnapshotStore.deltaIds(spark, d).filter(_._1 > restoredSnapId))
+      .getOrElse(Seq.empty)
 
-    private val ref = new AtomicReference[DataFrame](materialize(
-      restored.map(_._2.select(col("doc_id"), col("component")))
-        .getOrElse(initial.select(col("doc_id"), col("component")))))
-    @volatile private var lastBatch = restored.map(_._1).getOrElse(-1L)
-    @volatile private var lastSnap = lastBatch
+    private val ref = new AtomicReference[DataFrame](materialize {
+      val base = restoredSnap.map(_._2.select(col("doc_id"), col("component")))
+        .getOrElse(initial.select(col("doc_id"), col("component")))
+      if (laterDeltas.isEmpty) base
+      else Dedup.componentsIncremental(base,
+        spark.read.parquet(laterDeltas.map(_._2.toString): _*)
+          .select(col("doc_a"), col("doc_b")))
+    })
+    @volatile private var lastBatch =
+      math.max(restoredSnapId, laterDeltas.lastOption.map(_._1).getOrElse(-1L))
+    @volatile private var lastSnap = restoredSnapId
 
     /** The current labels fixpoint (doc_id, component) — always a fully
       * materialized table, never a mid-merge view.
@@ -95,11 +110,19 @@ object ComponentsStream {
       if (batchId >= 0 && batchId <= lastBatch) return
       val old = ref.get()
       if (!deltaPairs.isEmpty) {
-        val next = materialize(Dedup.componentsIncremental(old, deltaPairs))
-        if (batchId >= 0 && batchId >= lastSnap + snapshotEvery) {
-          snapshotDir.foreach(d =>
-            SnapshotStore.write(spark, d, next, batchId, singleFile = false))
-          lastSnap = batchId
+        val pairsProj = deltaPairs.select(col("doc_a"), col("doc_b"))
+        val next = materialize(Dedup.componentsIncremental(old, pairsProj))
+        if (batchId >= 0) snapshotDir.foreach { d =>
+          if (batchId >= lastSnap + snapshotEvery) {
+            SnapshotStore.write(spark, d, next, batchId, singleFile = false)
+            SnapshotStore.pruneDeltas(spark, d, batchId)
+            lastSnap = batchId
+          } else {
+            // off-cadence batches still persist BEFORE the checkpoint
+            // commits them — as their O(batch) pair set, not the
+            // corpus-sized labels table
+            SnapshotStore.writeDelta(spark, d, pairsProj, batchId)
+          }
         }
         ref.set(next)
         if (batchId >= 0) lastBatch = batchId

@@ -2068,6 +2068,74 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("streaming components: snapshotEvery gap restores from the pair-delta log", SlowTest) {
+    import spark.implicits._
+    import graft.streaming.ComponentsStream
+    val dir = Files.createTempDirectory("ccgap").toString
+    def cold = Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    val store = new ComponentsStream.LabelStore(spark, cold, Some(dir),
+      snapshotEvery = 3)
+    // cadence trace: batches 0,1 → pair deltas; 2 → full snapshot (prunes
+    // ≤2); 3,4 → pair deltas. A restart must NOT lose 3,4 — the
+    // checkpoint has committed them, so they never replay.
+    val batches = Seq(Seq((1L, 2L)), Seq((2L, 3L)), Seq((10L, 11L)),
+      Seq((3L, 10L)), Seq((20L, 21L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ComponentsStream.sink(store)(b.toDF("doc_a", "doc_b"), i.toLong)
+    }
+    def labels(s: ComponentsStream.LabelStore) = s.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = labels(store)
+    val store2 = new ComponentsStream.LabelStore(spark, cold, Some(dir),
+      snapshotEvery = 3)
+    assert(labels(store2) == expect,
+      "restore must fold the post-snapshot pair deltas back in")
+    // and the restored state IS the batch fixpoint over every delivered pair
+    val full = Dedup.components(batches.flatten.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels(store2) == full)
+    // re-delivery of the newest delta'd batch drops on the restored guard
+    ComponentsStream.sink(store2)(batches(4).toDF("doc_a", "doc_b"), 4L)
+    assert(labels(store2) == expect)
+    Dedup.uncacheAll()
+  }
+
+  test("cdc stream: snapshotEvery gap restores from the argmax delta log", SlowTest) {
+    import spark.implicits._
+    import graft.streaming.CdcStream
+    val dir = Files.createTempDirectory("cdcgap").toString
+    val keys = Seq("user_id", "event_type")
+    val order = Seq("ts_us", "event_id")
+    val payload = Seq("value")
+    def df(s: Seq[(Long, String, Long, Long, Double)]) =
+      s.toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    def emptyInit = CdcStream.compact(
+      df(Seq.empty[(Long, String, Long, Long, Double)]), keys, order, payload)
+    def flat(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("user_id"), col("event_type"), col("last.ts_us"),
+        col("last.event_id"), col("last.value"))
+      .collect().map(_.toSeq).toSet
+    val store = new CdcStream.CompactStore(spark, keys, emptyInit,
+      durable = Some(dir), snapshotEvery = 4)
+    // batch 0 full-snapshots (cold store), 1..3 write deltas only; the
+    // newest values for BOTH keys live exclusively in the delta log
+    val batches = Seq(
+      Seq((1L, "a", 100L, 7L, 1.0), (2L, "a", 50L, 1L, 4.0)),
+      Seq((1L, "a", 150L, 2L, 8.0)),
+      Seq((2L, "a", 90L, 5L, 6.0)),
+      Seq((1L, "a", 160L, 4L, 3.0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      store.merge(CdcStream.compact(df(b), keys, order, payload), i.toLong)
+    }
+    val expect = flat(store.current)
+    val store2 = CdcStream.CompactStore.restore(spark, dir, keys, emptyInit,
+      snapshotEvery = 4)
+    assert(flat(store2.current) == expect,
+      "restore must fold the post-snapshot argmax deltas back in")
+    assert(flat(store2.current) ==
+      flat(CdcStream.compact(df(batches.flatten), keys, order, payload)))
+  }
+
   test("streaming perceptual dedup: multi-batch equals batch registry; replay guarded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -71,7 +71,15 @@ object SparkEntry {
     val it = artifactCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      e.getValue.unpersist(blocking = false)
+      // an entry may belong to a since-stopped session whose block
+      // manager is gone — nothing to release there; a throw here would
+      // abort the sweep and leave the REMAINING entries (and the BPE
+      // cache) stale, which is exactly what this hook exists to prevent
+      try e.getValue.unpersist(blocking = false)
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
       it.remove()
     }
     bpeMergeCache.clear()

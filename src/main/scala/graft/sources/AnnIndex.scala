@@ -72,11 +72,19 @@ object AnnIndex {
     val assigned = Similarity.assignCells(
         Similarity.prepared(emb, idCol, embCol), cents, nprobe = 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
-    // metaCols must match the build's — appends share the corpus schema
     val withMeta =
       if (metaCols.isEmpty) assigned
       else assigned.join(
         emb.select((col(idCol).as("id") +: metaCols.map(col)): _*), Seq("id"))
+    // loud schema fence: an append whose metaCols differ from the build's
+    // would write null-filled columns that a filtered serve then silently
+    // excludes (NULL === x is never true) — confidently wrong neighbors,
+    // so refuse instead
+    val existing = spark.read.parquet(s"$dir/corpus").columns.toSet
+    require(existing == withMeta.columns.toSet,
+      s"append metaCols must match the built corpus schema: " +
+        s"existing=${existing.toSeq.sorted.mkString(",")} " +
+        s"appending=${withMeta.columns.sorted.mkString(",")}")
     withMeta.write.partitionBy("cell").mode("append").parquet(s"$dir/corpus")
   }
 

@@ -78,12 +78,26 @@ object IngestDedupStream {
 
     private val snapDir = s"$dir/pairs_snap"
 
-    private val restored = SnapshotStore.restoreDeltas(spark, snapDir)
+    // restore = (newest LEGACY full `upto=` snapshot, if one exists — the
+    // pre-delta-log format this store wrote before; without this read an
+    // upgraded deployment would restore empty while its checkpoint marks
+    // every earlier batch delivered) + all deltas NEWER than it
+    private val legacySnap = SnapshotStore.newest(spark, snapDir)
+    private val legacyId = legacySnap.map(_._1).getOrElse(-1L)
+    private val deltas =
+      SnapshotStore.deltaIds(spark, snapDir).filter(_._1 > legacyId)
 
-    private val pairsRef = new AtomicReference[DataFrame](materialize(
-      restored.map(_._2.select(col("doc_a"), col("doc_b"), col("jaccard")))
-        .getOrElse(Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard"))))
-    @volatile private var lastBatch = restored.map(_._1).getOrElse(-1L)
+    private val pairsRef = new AtomicReference[DataFrame](materialize {
+      val base = legacySnap
+        .map(_._2.select(col("doc_a"), col("doc_b"), col("jaccard")))
+        .getOrElse(Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard"))
+      if (deltas.isEmpty) base
+      else base.unionAll(
+        spark.read.parquet(deltas.map(_._2.toString): _*)
+          .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    })
+    @volatile private var lastBatch =
+      math.max(legacyId, deltas.lastOption.map(_._1).getOrElse(-1L))
     @volatile private var indexed = artifactExists
 
     /** Near-dup pairs among everything delivered so far — spec-pinned

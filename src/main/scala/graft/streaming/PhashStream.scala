@@ -84,6 +84,11 @@ object PhashStream {
       val old = ref.get()
       ref.set(next)
       lastBatch.set(upto)
+      // the restored state IS a compaction point: without seeding the
+      // cadence, the first post-restart batch would satisfy
+      // `id >= -1 + compactEvery` and rewrite the full corpus-scale
+      // registry one batch after an equivalent snapshot already exists
+      lastCompact = upto
       old.unpersist()
     }
 

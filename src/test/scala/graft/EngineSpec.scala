@@ -2068,6 +2068,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("ingest dedup: a legacy upto= pair snapshot still restores post-migration") {
+    import spark.implicits._
+    import graft.streaming.{IngestDedupStream, SnapshotStore}
+    val dir = Files.createTempDirectory("ingmig").toString
+    // a deployment running the pre-delta-log build left a full `upto=`
+    // snapshot; the delta-log restore must adopt it as the base instead
+    // of silently restoring empty while the checkpoint marks batches
+    // 0..41 delivered
+    val legacy = Seq((1L, 2L, 0.9), (3L, 4L, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    SnapshotStore.write(spark, s"$dir/pairs_snap", legacy, 41L)
+    val store = new IngestDedupStream.IngestStore(spark, dir)
+    val got = store.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)),
+      s"legacy snapshot must restore: $got")
+    // and the guard resumed past the legacy id: replaying batch 41 drops
+    assert(!store.merge(Seq((100L, "a b c")).toDF("doc_id", "text"), 41L))
+  }
+
   test("streaming components: snapshotEvery gap restores from the pair-delta log", SlowTest) {
     import spark.implicits._
     import graft.streaming.ComponentsStream

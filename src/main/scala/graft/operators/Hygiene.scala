@@ -861,21 +861,11 @@ object Hygiene {
     * Every exact order-statistic operator ([[giniIndex]],
     * [[trimmedMean]]) folds over this frame.
     */
-  private[graft] def cellsCum(vals: DataFrame, shards: Int): DataFrame = {
-    val cells = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val sh = cells.repartitionByRange(shards, col("v"))
-      .withColumn("shard", spark_partition_id().cast("long"))
-      .localCheckpoint()
-    val wLoc = Window.partitionBy(col("shard")).orderBy(col("v"))
-    val wOff = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sh.groupBy(col("shard")).agg(sum(col("c")).as("shard_c"))
-      .withColumn("c_off", coalesce(sum(col("shard_c")).over(wOff), lit(0L)))
-      .select(col("shard"), col("c_off"))
-    sh.join(broadcast(offsets), Seq("shard"))
-      .withColumn("cumc", col("c_off") + sum(col("c")).over(wLoc))
-      .select(col("v"), col("c"), col("cumc"))
-  }
+  private[graft] def cellsCum(vals: DataFrame, shards: Int): DataFrame =
+    ShardedFold.prefix(
+      vals.groupBy(col("v")).agg(count(lit(1)).as("c")),
+      keyCols = Nil, orderCols = Seq("v"),
+      sums = Seq("c" -> "cumc"), idxCol = None, shards = shards)
 
   /** Keyed variant of [[cellsCum]]: a `(k, v)` frame → `(k, v, c, cumc)`
     * with each key's inclusive cumulative distinct-value count in value
@@ -892,37 +882,11 @@ object Hygiene {
     * offset table is ≤ 2·shards rows at ANY key cardinality — always
     * broadcastable, never a key-cardinality exchange.
     */
-  private[graft] def cellsCumByKey(kv: DataFrame, shards: Int): DataFrame = {
-    val cells = kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
-    val sh = cells.repartitionByRange(shards, col("k"), col("v"))
-      .withColumn("shard", spark_partition_id().cast("long"))
-      .localCheckpoint()
-    val wLoc = Window.partitionBy(col("shard"), col("k")).orderBy(col("v"))
-    // per-(shard, key) mass: the group is partition-local by construction
-    // (map-side combine collapses it before the exchange), ≤ keys+shards
-    // rows move
-    val perShardKey = sh.groupBy(col("shard"), col("k"))
-      .agg(sum(col("c")).as("shard_c"))
-    val spanning = perShardKey.groupBy(col("k"))
-      .agg(count(lit(1)).as("_ns")).filter(col("_ns") > 1L).select(col("k"))
-    val wOff = Window.partitionBy(col("k")).orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // NULL-SAFE joins throughout (<=>): groupBy/Window keep the NULL-key
-    // group, so a NULL key that straddles a shard boundary has offset
-    // rows — a null-unsafe equi-join would silently drop them and
-    // restart the null stratum's cumsum at 0 per shard (the
-    // categoryCells trap in join form)
-    val offsets = perShardKey.as("_p")
-      .join(spanning.as("_s"), col("_p.k") <=> col("_s.k"), "left_semi")
-      .withColumn("c_off", coalesce(sum(col("shard_c")).over(wOff), lit(0L)))
-      .filter(col("c_off") > 0L)
-      .select(col("shard").as("_oshard"), col("k").as("_ok"), col("c_off"))
-    sh.join(broadcast(offsets),
-        col("shard") === col("_oshard") && col("k") <=> col("_ok"), "left")
-      .withColumn("cumc",
-        coalesce(col("c_off"), lit(0L)) + sum(col("c")).over(wLoc))
-      .select(col("k"), col("v"), col("c"), col("cumc"))
-  }
+  private[graft] def cellsCumByKey(kv: DataFrame, shards: Int): DataFrame =
+    ShardedFold.prefix(
+      kv.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c")),
+      keyCols = Seq("k"), orderCols = Seq("v"),
+      sums = Seq("c" -> "cumc"), idxCol = None, shards = shards)
 
   def giniIndex(df: DataFrame, valCol: String, shards: Int = 64): DataFrame = {
     cellsCum(

@@ -610,20 +610,21 @@ object Splits {
           .cast("long") % shards)
       .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("local_batch", expr(s"(cum_tokens - $tokensCol) div $budget"))
-    // Tiny side: batches per shard, then the exclusive prefix sum over
-    // shard ids gives each shard its stratum-global batch-id offset.
-    val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(partCol)).orderBy(col("pack_shard"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = local
-      .groupBy(col(partCol), col("pack_shard"))
-      .agg((max(col("local_batch")) + 1L).as("n_batches"))
-      .withColumn("batch_offset",
-        coalesce(sum(col("n_batches")).over(wOff), lit(0L)))
-      .select(col(partCol), col("pack_shard"), col("batch_offset"))
+    // Tiny side ([[ShardedFold.shardOffsets]]): batches per shard, then
+    // the exclusive prefix sum over shard ids gives each shard its
+    // stratum-global batch-id offset. contiguousKeys = false — every
+    // stratum hash-spreads over ALL shards, so the straddler cut does
+    // not apply; the broadcast-tiny contract is strata × shards rows.
+    val offsets = ShardedFold.shardOffsets(local, Seq(partCol), "pack_shard",
+      Seq((max(col("local_batch")) + 1L, "batch_offset")),
+      contiguousKeys = false)
     local
-      .join(broadcast(offsets), Seq(partCol, "pack_shard"))
-      .withColumn("batch_id", col("batch_offset") + col("local_batch"))
+      .join(broadcast(offsets),
+        col("pack_shard") === col("_o_pack_shard") &&
+          col(partCol) <=> col("_o_" + partCol), "left")
+      .select(local.columns.map(col) :+ col("batch_offset"): _*)
+      .withColumn("batch_id",
+        coalesce(col("batch_offset"), lit(0L)) + col("local_batch"))
       .drop("local_batch", "batch_offset")
   }
 
@@ -706,19 +707,18 @@ object Splits {
           (256 / shards)).cast("long"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("order_shard")).orderBy(col("shuffle_key"), col(idCol))
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("order_shard"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // Tiny side: rows per shard → exclusive prefix sum = shard offset. The
-    // offsets frame is ≤ `shards` rows, so its global window is free.
-    val offsets = keyed.groupBy(col("order_shard"))
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn("shard_offset", coalesce(sum(col("n_rows")).over(wOff), lit(0L)))
-      .select(col("order_shard"), col("shard_offset"))
-    keyed
+    // Tiny side ([[ShardedFold.shardOffsets]]): rows per shard →
+    // exclusive prefix sum = shard offset, ≤ `shards` rows.
+    val offsets = ShardedFold.shardOffsets(keyed, Nil, "order_shard",
+      Seq((count(lit(1)), "shard_offset")), contiguousKeys = false)
+    val ranked = keyed
       .withColumn("local_rank", row_number().over(wRank).cast("long") - 1L)
-      .join(broadcast(offsets), Seq("order_shard"))
-      .withColumn("shuffle_pos", col("shard_offset") + col("local_rank"))
+    ranked
+      .join(broadcast(offsets),
+        col("order_shard") === col("_o_order_shard"), "left")
+      .select(ranked.columns.map(col) :+ col("shard_offset"): _*)
+      .withColumn("shuffle_pos",
+        coalesce(col("shard_offset"), lit(0L)) + col("local_rank"))
       .drop("order_shard", "local_rank", "shard_offset")
   }
 

@@ -795,24 +795,10 @@ object Temporal {
     * localCheckpoint pins the sampled range boundaries so the offsets
     * branch and the main branch cannot disagree on a row's shard.
     */
-  private[graft] def shardedPrefix(s: DataFrame, shards: Int): DataFrame = {
-    val sh = s.select(col("bucket"), col("v"))
-      .repartitionByRange(shards, col("bucket"))
-      .withColumn("_shard", spark_partition_id().cast("long"))
-      .localCheckpoint()
-    val wLoc = Window.partitionBy(col("_shard")).orderBy(col("bucket"))
-    val wOff = Window.orderBy(col("_shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sh.groupBy(col("_shard"))
-      .agg(count(lit(1)).as("_sn"), sum(col("v")).as("_sv"))
-      .select(col("_shard"),
-        coalesce(sum(col("_sn")).over(wOff), lit(0L)).as("_n_off"),
-        coalesce(sum(col("_sv")).over(wOff), lit(0L)).as("_v_off"))
-    sh.join(broadcast(offs), Seq("_shard"))
-      .withColumn("i", col("_n_off") + row_number().over(wLoc).cast("long"))
-      .withColumn("cum", col("_v_off") + sum(col("v")).over(wLoc))
-      .select(col("bucket"), col("v"), col("i"), col("cum"))
-  }
+  private[graft] def shardedPrefix(s: DataFrame, shards: Int): DataFrame =
+    ShardedFold.prefix(s.select(col("bucket"), col("v")),
+      keyCols = Nil, orderCols = Seq("bucket"),
+      sums = Seq("v" -> "cum"), idxCol = Some("i"), shards = shards)
 
   def cusumChangepoints(series: DataFrame,
       bucketCol: String = "bucket", valCol: String = "v",
@@ -904,13 +890,24 @@ object Temporal {
     // loop's partitionBy(seg) window would pin a 10⁶⁺-bucket series on
     // one task. Instead: range-shard by bucket ONCE (segments are
     // bucket-contiguous, so the sharding stays valid at every level —
-    // a segment always occupies a contiguous shard interval), then per
-    // level fold each segment's prefix sums within shards + broadcast
-    // per-(shard, seg) offsets, and take the ≤ 2^depth segment totals /
-    // peaks through tiny broadcast aggs. One localCheckpoint per level
-    // cuts the three-consumer lineage (the q_hits 2^n lesson).
-    val sh0 = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
-      .repartitionByRange(shards, col("bucket"))
+    // a segment always occupies a contiguous shard interval, which is
+    // exactly [[ShardedFold.shardOffsets]]' contiguousKeys contract),
+    // then per level fold each segment's prefix sums within shards +
+    // broadcast per-(shard, seg) offsets, and take the ≤ 2^depth segment
+    // totals / peaks through tiny broadcast aggs. One localCheckpoint
+    // per level cuts the three-consumer lineage (the q_hits 2^n lesson).
+    // ADAPTIVE (the r15 cost knob): below the sharding floor the level
+    // machinery (offset joins + per-level checkpoints) costs more than
+    // the windows it replaces, so small series run [[cusumSegLoop]]'s
+    // window loop unkeyed — bit-identical output (PropertySpec pins
+    // keyed ≡ unkeyed ≡ sharded at every depth).
+    val base0 = series.select(col(bucketCol).as("bucket"), col(valCol).as("v"))
+      .localCheckpoint()
+    val eff = ShardedFold.effectiveShards(base0.count(), shards)
+    if (eff <= 1)
+      return cusumSegLoop(base0.withColumn("seg", lit(0L)), depth, Nil)
+    val sh0 = base0
+      .repartitionByRange(eff, col("bucket"))
       .withColumn("_shard", spark_partition_id().cast("long"))
       .withColumn("seg", lit(0L))
       .localCheckpoint()
@@ -918,22 +915,24 @@ object Temporal {
     (1 to depth).foreach { _ =>
       val wLoc = Window.partitionBy(col("_shard"), col("seg"))
         .orderBy(col("bucket"))
-      val wOff = Window.partitionBy(col("seg")).orderBy(col("_shard"))
-        .rowsBetween(Window.unboundedPreceding, -1)
       // ≤ (#segs + shards) rows: each shard holds a contiguous run of
       // segments, so (shard, seg) pairs ≤ segs + shards − 1
-      val offs = cur.groupBy(col("_shard"), col("seg"))
-        .agg(count(lit(1)).as("_sn"), sum(col("v")).as("_sv"))
-        .select(col("_shard"), col("seg"),
-          coalesce(sum(col("_sn")).over(wOff), lit(0L)).as("_n_off"),
-          coalesce(sum(col("_sv")).over(wOff), lit(0L)).as("_v_off"))
+      val offs = ShardedFold.shardOffsets(cur, Seq("seg"), "_shard",
+        Seq((count(lit(1)), "_n_off"), (sum(col("v")), "_v_off")),
+        contiguousKeys = true)
       val segTot = cur.groupBy(col("seg"))
         .agg(count(lit(1)).as("_tn"), sum(col("v")).as("_tt"))
-      val st = cur.join(broadcast(offs), Seq("_shard", "seg"))
+      val st = cur.join(broadcast(offs),
+          col("_shard") === col("_o__shard") && col("seg") <=> col("_o_seg"),
+          "left")
+        .select(col("_shard"), col("seg"), col("bucket"), col("v"),
+          col("_n_off"), col("_v_off"))
         .join(broadcast(segTot), Seq("seg"))
         .withColumn("cusum_n",
-          col("_tn") * (col("_v_off") + sum(col("v")).over(wLoc)) -
-            (col("_n_off") + row_number().over(wLoc).cast("long")) * col("_tt"))
+          col("_tn") * (coalesce(col("_v_off"), lit(0L)) +
+            sum(col("v")).over(wLoc)) -
+            (coalesce(col("_n_off"), lit(0L)) +
+              row_number().over(wLoc).cast("long")) * col("_tt"))
         .select(col("_shard"), col("seg"), col("bucket"), col("v"),
           col("cusum_n"))
       val mx = st.groupBy(col("seg")).agg(max(abs(col("cusum_n"))).as("mx"))

@@ -978,24 +978,13 @@ object TextAnalysis {
           .as(Seq("pos", "token")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
     // alphabetical dense rank over DISTINCT tokens ≡ row_number in token
-    // order, computed range-sharded (the cellsCum discipline): a 100 TB
-    // corpus's multi-million-type vocabulary never funnels through one
-    // ordered-window task; ≤ shards offset rows broadcast
-    val shards = 64
-    val sh = enc.select(col("token")).distinct()
-      .repartitionByRange(shards, col("token"))
-      .withColumn("_shard", spark_partition_id().cast("long"))
-      .localCheckpoint()
-    val wOff = Window.orderBy(col("_shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sh.groupBy(col("_shard")).agg(count(lit(1)).as("_c"))
-      .select(col("_shard"),
-        coalesce(sum(col("_c")).over(wOff), lit(0L)).as("_off"))
-    val vocab = sh.join(broadcast(offs), Seq("_shard"))
-      .withColumn("token_id",
-        (col("_off") + row_number().over(
-          Window.partitionBy(col("_shard")).orderBy(col("token")))).cast("long"))
-      .select(col("token"), col("token_id"))
+    // order, computed range-sharded ([[graft.operators.ShardedFold]]): a
+    // 100 TB corpus's multi-million-type vocabulary never funnels through
+    // one ordered-window task; ≤ shards offset rows broadcast
+    val vocab = graft.operators.ShardedFold.prefix(
+      enc.select(col("token")).distinct(),
+      keyCols = Nil, orderCols = Seq("token"),
+      sums = Nil, idxCol = Some("token_id"), shards = 64)
     enc.join(vocab, "token")
       .select(col(idCol), col("pos"), col("token"), col("token_id"))
   }

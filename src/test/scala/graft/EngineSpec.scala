@@ -1470,6 +1470,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sharded prefix folds: every Window the plan keeps must be shard-
     // partitioned (or the ≤shards-row offsets fold ordered BY shard) —
     // a bare ORDER BY window over the series would re-pin one task.
+    // r15: the folds are ADAPTIVE (fixture-sized inputs legitimately
+    // plan the single window); force the sharded path so this test pins
+    // the shape that runs at scale.
+    val savedFloor = graft.operators.ShardedFold.minRowsPerShard
+    graft.operators.ShardedFold.minRowsPerShard = 1L
+    try {
     // cusumSegments localCheckpoints per level, so its final plan shows
     // no windows at all — the assert is vacuous there by construction.
     def shardedWindowsOnly(name: String, df: org.apache.spark.sql.DataFrame): Unit =
@@ -1498,6 +1504,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cp = Temporal.cusumChangepoints(s)
       .queryExecution.executedPlan.toString
     assert(cp.contains("Window"), s"cusumChangepoints lost its sharded fold:\n$cp")
+    } finally { graft.operators.ShardedFold.minRowsPerShard = savedFloor }
   }
 
   test("filtered IVF: full probe equals brute force over the filtered corpus") {

@@ -1222,12 +1222,25 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
           ((r.getLong(2), r.getLong(3)))).toMap
     }
-    for (shards <- Seq(1, 7, 64, 512)) {
-      val got = graft.operators.Hygiene.cellsCumByKey(kv, shards)
-        .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
-          ((r.getLong(2), r.getLong(3)))).toMap
-      assert(got == expected, s"shards=$shards: sharded keyed fold diverges")
-    }
+    // force the sharded machinery at fixture scale (the adaptive floor
+    // would legitimately collapse every shard count to the single-window
+    // fallback); shards = 1 still exercises the fallback plan
+    val savedFloor = graft.operators.ShardedFold.minRowsPerShard
+    graft.operators.ShardedFold.minRowsPerShard = 1L
+    try {
+      for (shards <- Seq(1, 7, 64, 512)) {
+        val got = graft.operators.Hygiene.cellsCumByKey(kv, shards)
+          .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+        assert(got == expected, s"shards=$shards: sharded keyed fold diverges")
+      }
+    } finally { graft.operators.ShardedFold.minRowsPerShard = savedFloor }
+    // and the adaptive floor itself: default floor at fixture scale ≡
+    // the same answers through the fallback dispatch
+    val adaptive = graft.operators.Hygiene.cellsCumByKey(kv, 64)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(adaptive == expected, "adaptive fallback diverges")
   }
 
   test("shardedPrefix equals the global ordered window for any shard count") {
@@ -1244,11 +1257,18 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     }
-    for (shards <- Seq(1, 16, 256)) {
-      val got = graft.operators.Temporal.shardedPrefix(s, shards)
-        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
-      assert(got == expected, s"shards=$shards: sharded prefix diverges")
-    }
+    val savedFloor = graft.operators.ShardedFold.minRowsPerShard
+    graft.operators.ShardedFold.minRowsPerShard = 1L
+    try {
+      for (shards <- Seq(1, 16, 256)) {
+        val got = graft.operators.Temporal.shardedPrefix(s, shards)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+        assert(got == expected, s"shards=$shards: sharded prefix diverges")
+      }
+    } finally { graft.operators.ShardedFold.minRowsPerShard = savedFloor }
+    val adaptive = graft.operators.Temporal.shardedPrefix(s, 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(adaptive == expected, "adaptive fallback diverges")
   }
 
   test("sharded unkeyed segmentation equals the keyed-loop form on random series") {
@@ -1266,18 +1286,26 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
         r.getBoolean(5)))).toMap
-    for (depth <- 1 to 3) {
+    val savedFloor = graft.operators.ShardedFold.minRowsPerShard
+    for (depth <- 1 to 3; forceSharded <- Seq(true, false)) {
       // the keyed loop (old per-segment-window shape) on a constant key
-      // IS the pre-r14 formulation of the unkeyed operator
-      val keyed = Temporal.cusumSegmentsByKey(
-          s.withColumn("key", lit("only")), depth)
-        .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
-          col("seg_sum"), col("is_boundary"), col("key"))
-        .drop("key")
-      val unkeyed = Temporal.cusumSegments(s, depth)
-        .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
-          col("seg_sum"), col("is_boundary"))
-      assert(key(unkeyed) == key(keyed), s"depth=$depth: sharded loop diverges")
+      // IS the pre-r14 formulation of the unkeyed operator; run the
+      // unkeyed operator BOTH forced-sharded and through its adaptive
+      // fallback (fixture scale → the cusumSegLoop window plan)
+      graft.operators.ShardedFold.minRowsPerShard =
+        if (forceSharded) 1L else savedFloor
+      try {
+        val keyed = Temporal.cusumSegmentsByKey(
+            s.withColumn("key", lit("only")), depth)
+          .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
+            col("seg_sum"), col("is_boundary"), col("key"))
+          .drop("key")
+        val unkeyed = Temporal.cusumSegments(s, depth)
+          .select(col("bucket"), col("v"), col("segment"), col("seg_n"),
+            col("seg_sum"), col("is_boundary"))
+        assert(key(unkeyed) == key(keyed),
+          s"depth=$depth forceSharded=$forceSharded: sharded loop diverges")
+      } finally { graft.operators.ShardedFold.minRowsPerShard = savedFloor }
     }
   }
 

@@ -83,6 +83,7 @@ object SparkEntry {
       it.remove()
     }
     bpeMergeCache.clear()
+    modelCache.clear()
   }
 
   /** Back-compat alias for [[invalidateArtifactCaches]]. */
@@ -121,6 +122,73 @@ object SparkEntry {
     val prev = artifactCache.putIfAbsent(key, cut)
     if (prev != null) { cut.unpersist(blocking = false); prev } else cut
   }
+
+  /** Driver-side trained-model memo (PQ models: tiny case classes of
+    * centroids + codebooks) — the [[memoFrame]] discipline for values
+    * that are not DataFrames. Same get-then-putIfAbsent nesting rule.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memoModel[T <: AnyRef](s: SparkSession, dir: String,
+      name: String)(build: => T): T = {
+    val key = s"${sessionKey(s)}:$dir:$name"
+    val existing = modelCache.get(key)
+    if (existing != null) return existing.asInstanceOf[T]
+    val m = build
+    val prev = modelCache.putIfAbsent(key, m)
+    if (prev != null) prev.asInstanceOf[T] else m
+  }
+
+  /** The shared coarse IVF quantizer (k = 4, 2 Lloyd's rounds) over the
+    * `embeddings` table — trained once per (session, dir) and served to
+    * every IVF-family consumer: plain trained serving
+    * (`ann_ivf_trained_topk`), the recall row, the nprobe sweep, and
+    * BOTH PQ models' coarse stage. Training is deterministic, so each
+    * row's oracle keeps replaying it independently.
+    */
+  private def coarseCents4(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "cents_k4_i2") {
+      Similarity.trainCentroids(t(s, dir, "embeddings"), k = 4, iters = 2)
+    }
+
+  /** The shared trained IVF-PQ model at the registry parameterization
+    * (m = 8, ksub = 8, pqIters = 2) — `trainFrac` keys the memo, so the
+    * full-train model serves `ann_ivfpq_topk` + `ann_recall_eval_pq`
+    * and the sampled-train model serves `ann_ivfpq_sampled`; the first
+    * consumer prices the (sample-)training, later consumers are
+    * serve-only. Coarse centroids come from [[coarseCents4]].
+    */
+  private def pqModel2(s: SparkSession, dir: String,
+      trainFrac: Double): Similarity.PqModel =
+    memoModel[Similarity.PqModel](s, dir, s"pq_i2_f$trainFrac") {
+      Similarity.trainPqWith(
+        Similarity.collectCentroids(coarseCents4(s, dir)),
+        t(s, dir, "embeddings"), m = 8, ksub = 8, pqIters = 2,
+        trainFrac = trainFrac)
+    }
+
+  /** The prepared `(id, v, nrm)` embedding frame — the raw-vector side
+    * every ANN serve stage (refine, brute baselines) re-derives; one
+    * artifact per (session, dir).
+    */
+  private def preparedEmb(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "prepared_emb") {
+      Similarity.prepared(t(s, dir, "embeddings"), "vec_id", "embedding")
+    }
+
+  /** The ENCODED PQ corpus (m codeword ids per vector) for the shared
+    * [[pqModel2]] — the in-session twin of the
+    * [[graft.sources.AnnIndex.buildPq]] artifact: encode once, serve
+    * every query batch off the codes. The encode projection's literal
+    * codebook expressions are planning-heavy, which is exactly why
+    * production persists codes instead of re-deriving them per query.
+    */
+  private def pqCodes(s: SparkSession, dir: String,
+      trainFrac: Double): DataFrame =
+    memoFrame(s, dir, s"pq_codes_f$trainFrac") {
+      Similarity.encodePq(t(s, dir, "embeddings"), pqModel2(s, dir, trainFrac))
+    }
 
   /** The shared LPA labeling over the order—part incidence graph —
     * `q_label_propagation` censuses it, `q_modularity` audits it; the
@@ -1102,7 +1170,7 @@ object SparkEntry {
       // rounded-cosine assignment), so the full train→index→query path is
       // value-checked, not just the serving join
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+      val cents = coarseCents4(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents, k = 3, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
@@ -1133,7 +1201,10 @@ object SparkEntry {
       // baseline — L2, not cosine, because that is the metric PQ serves
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val approx = Similarity.ivfPqTopK(emb, q, k = 3, pqIters = 2)
+      val model = pqModel2(s, dir, 1.0)
+      val approx = Similarity.pqServe(pqCodes(s, dir, 1.0),
+        Similarity.pqQueryTables(q, model, nprobe = 2),
+        preparedEmb(s, dir), q, k = 3, rerank = 50, model)
       Similarity.recallAt(approx, Similarity.bruteForceTopKL2(emb, q, k = 3))
         .orderBy(col("query_id"))
     }),
@@ -1145,7 +1216,7 @@ object SparkEntry {
       // chains and the same recall join.
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+      val cents = coarseCents4(s, dir)
       val approx = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 2)
       Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
         .orderBy(col("query_id"))
@@ -1233,7 +1304,7 @@ object SparkEntry {
       // recall tail.
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+      val cents = coarseCents4(s, dir)
       Similarity.nprobeSweep(emb, q, cents, k = 3, maxNprobe = 3)
         .orderBy(col("nprobe"))
     }),
@@ -1281,8 +1352,11 @@ object SparkEntry {
       // oracle replays the same 2 rounds, so the exact-replay contract is
       // unchanged (codebook quality only affects the ADC shortlist, and
       // the exact refine re-ranks it either way)
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 3, pqIters = 2)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+      val model = pqModel2(s, dir, 1.0)
+      Similarity.pqServe(pqCodes(s, dir, 1.0),
+          Similarity.pqQueryTables(q, model, nprobe = 2),
+          preparedEmb(s, dir), q, k = 3, rerank = 50, model)
         .orderBy(col("query_id"), col("rnk"))
     }),
     "ann_ivfpq_sampled" -> ((s, dir) => {
@@ -1292,9 +1366,11 @@ object SparkEntry {
       // sample), everything ENCODED and served full-corpus. The pqIters
       // training aggregations now scan the sample, not the corpus — at
       // 100 TB that is the entire feasibility of in-pipeline PQ training
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
-          pqIters = 2, trainFrac = 0.5)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+      val model = pqModel2(s, dir, 0.5)
+      Similarity.pqServe(pqCodes(s, dir, 0.5),
+          Similarity.pqQueryTables(q, model, nprobe = 2),
+          preparedEmb(s, dir), q, k = 3, rerank = 50, model)
         .orderBy(col("query_id"), col("rnk"))
     }),
     "ann_centroid_outlier" -> ((s, dir) =>

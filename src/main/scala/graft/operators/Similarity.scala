@@ -1439,6 +1439,20 @@ object Similarity {
       s"bad IVF-PQ parameters: k=$k nprobe=$nprobe rerank=$rerank")
     val model = trainPq(emb, kCoarse, coarseIters, m, ksub, pqIters,
       trainFrac, idCol, embCol)
+    ivfPqTopKWith(model, emb, queries, k, nprobe, rerank, idCol, embCol)
+  }
+
+  /** The SERVE half of [[ivfPqTopK]] against an ALREADY-TRAINED model —
+    * encode + ADC shortlist + exact refine, no training jobs. This is
+    * the build-once/serve-many seam: train the model once (per corpus,
+    * per parameterization), serve every query batch through it.
+    */
+  def ivfPqTopKWith(
+      model: PqModel, emb: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2, rerank: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && rerank >= k,
+      s"bad IVF-PQ parameters: k=$k nprobe=$nprobe rerank=$rerank")
     // one prepared corpus frame shared by the encode pass AND the exact
     // refine (training caches its own internally) — without the persist
     // each stage would re-derive and re-scan the corpus
@@ -1480,22 +1494,37 @@ object Similarity {
       emb: DataFrame, kCoarse: Int = 4, coarseIters: Int = 2,
       m: Int = 8, ksub: Int = 8, pqIters: Int = 3, trainFrac: Double = 1.0,
       idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
-    require(kCoarse >= 1 && m >= 1 && ksub >= 2 &&
-      pqIters >= 1 && coarseIters >= 1,
-      s"bad IVF-PQ parameters: kCoarse=$kCoarse m=$m ksub=$ksub " +
+    require(kCoarse >= 1 && coarseIters >= 1,
+      s"bad IVF-PQ parameters: kCoarse=$kCoarse coarseIters=$coarseIters")
+    trainPqWith(
+      collectCentroids(
+        trainCentroids(emb, kCoarse, iters = coarseIters, idCol, embCol)),
+      emb, m, ksub, pqIters, trainFrac, idCol, embCol)
+  }
+
+  /** [[trainPq]] with the coarse quantizer ALREADY trained — the seam
+    * that lets a registry/serving layer train the coarse centroids once
+    * and share them across every IVF consumer (plain IVF serving, the
+    * full-train PQ model, the sampled-train PQ model) instead of
+    * re-running coarse Lloyd's per caller. Value-identical to
+    * [[trainPq]] when `cents` came from the same
+    * [[trainCentroids]](kCoarse, coarseIters) call.
+    */
+  def trainPqWith(
+      cents: Seq[(Long, Array[Double], Double)], emb: DataFrame,
+      m: Int = 8, ksub: Int = 8, pqIters: Int = 3, trainFrac: Double = 1.0,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
+    require(cents.nonEmpty && m >= 1 && ksub >= 2 && pqIters >= 1,
+      s"bad IVF-PQ parameters: kCoarse=${cents.size} m=$m ksub=$ksub " +
         s"pqIters=$pqIters")
     require(trainFrac > 0.0 && trainFrac <= 1.0,
       s"trainFrac must be in (0,1], got $trainFrac")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val p = prepared(emb, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dims = p.select(size(col("v"))).first().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val dsub = dims / m
 
-    val cents = collectCentroids(
-      trainCentroids(emb, kCoarse, iters = coarseIters, idCol, embCol))
     val sorted = cents.sortBy(_._1)
 
     val assigned = assignCellsLocal(p, cents, nprobe = 1)

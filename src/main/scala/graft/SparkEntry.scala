@@ -219,6 +219,18 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
     }
 
+  /** The blocked-Levenshtein candidate pair set over `customer` at the
+    * registry parameterization — `q_fuzzy_blocked` publishes it,
+    * `q_entity_resolution` clusters it; one (nation, segment)-blocked
+    * DP scan instead of two.
+    */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "fuzzyPairs") {
+      Joins.blockedFuzzyJoin(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
+        maxDist = 2)
+    }
+
   /** The components fixpoint of [[lshPairs]] — the dup-cluster labeling
     * `dedup_components`, `dedup_best_rep` and `split_dedup_reweighted`
     * all describe. Sharing it removes two redundant fixpoint loops per
@@ -2572,10 +2584,9 @@ object SparkEntry {
     "q_fuzzy_blocked" -> ((s, dir) =>
       // entity-resolution candidates: (nation, segment)-blocked customer
       // self-join scored by exact Levenshtein ≤ 2 — candidate volume is
-      // Σ block², never all-pairs
-      Joins.blockedFuzzyJoin(t(s, dir, "customer"),
-          Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
-          maxDist = 2)
+      // Σ block², never all-pairs; the pair artifact is shared with
+      // q_entity_resolution (build-once/consume-many)
+      fuzzyPairs(s, dir)
         .orderBy(col("u_key"), col("v_key"))),
     "q_entity_resolution" -> ((s, dir) => {
       // record linkage end-to-end: blocked Levenshtein candidates →
@@ -2585,9 +2596,7 @@ object SparkEntry {
       // Every stage is its verified operator (q_fuzzy_blocked,
       // dedup_components) — this row pins the composition.
       val cust = t(s, dir, "customer")
-      val pairs = Joins.blockedFuzzyJoin(cust,
-          Seq("c_nationkey", "c_mktsegment"), "c_custkey", "c_name",
-          maxDist = 2)
+      val pairs = fuzzyPairs(s, dir)
         .select(col("u_key").as("doc_a"), col("v_key").as("doc_b"))
       val comp = Dedup.components(pairs)
         .withColumnRenamed("doc_id", "c_custkey")

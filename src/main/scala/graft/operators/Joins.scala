@@ -99,16 +99,55 @@ object Joins {
     *
     * Emits (u_key, v_key, u_str, v_str, dist) with u_key < v_key.
     */
+  /** Per-row digit-frequency bag PACKED into one long (10 counts × 6
+    * bits, each capped at 63 — capping is a contraction, so the lower
+    * bound below stays valid) — the character-bag side of the
+    * edit-distance lower bound. Row-local, computed once per side
+    * before the blocked join fans out to candidates; packing keeps the
+    * join payload one long and the per-candidate L1 an UNROLLED integer
+    * expression inside whole-stage codegen (an array + higher-order
+    * fold here would fall out of codegen on the hottest filter).
+    */
+  private def digitBagPacked(c: Column): Column =
+    (0 to 9).map { d =>
+      shiftleft(least(
+        length(c) - length(call_function("replace", c, lit(d.toString), lit(""))),
+        lit(63)).cast("long"), 6 * d)
+    }.reduce(_ + _)
+
+  /** Σ_d |count_d(u) − count_d(v)| over two packed bags — 10 unrolled
+    * mask-and-abs terms, no arrays, no lambdas.
+    */
+  private def packedBagL1(u: Column, v: Column): Column =
+    (0 to 9).map { d =>
+      abs(shiftright(u, 6 * d).bitwiseAND(lit(63L)) -
+        shiftright(v, 6 * d).bitwiseAND(lit(63L)))
+    }.reduce(_ + _)
+
   def blockedFuzzyJoin(df: DataFrame, blockCols: Seq[String],
       keyCol: String, strCol: String, maxDist: Int): DataFrame = {
     require(blockCols.nonEmpty, "need at least one blocking column")
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val x = df.select(
       (blockCols.map(col) :+ col(keyCol).as("u_key") :+ col(strCol).as("u_str")): _*)
+      .withColumn("u_len", length(col("u_str")))
+      .withColumn("u_bag", digitBagPacked(col("u_str")))
     val y = df.select(
       (blockCols.map(col) :+ col(keyCol).as("v_key") :+ col(strCol).as("v_str")): _*)
+      .withColumn("v_len", length(col("v_str")))
+      .withColumn("v_bag", digitBagPacked(col("v_str")))
     x.join(y, blockCols)
       .filter(col("u_key") < col("v_key"))
+      // EXACT lower-bound prefilters before the DP (never drop a true
+      // <= maxDist pair): ed >= |len_a - len_b| (each edit changes the
+      // length by at most 1), and ed >= L1(charBag_a, charBag_b) / 2
+      // (an insert/delete moves the bag by 1, a substitution by 2 —
+      // restricting the bag to digits only LOWERS the bound, so it
+      // stays valid for any alphabet while catching the numeric-suffix
+      // differences that dominate id-like strings). Both are row-local
+      // integer math, orders of magnitude cheaper than the banded DP.
+      .filter(abs(col("u_len") - col("v_len")) <= maxDist)
+      .filter(packedBagL1(col("u_bag"), col("v_bag")) <= maxDist * 2)
       // threshold form: the banded DP early-exits once the distance
       // provably exceeds maxDist (returns -1), turning the O(|s|·|t|)
       // matrix into an O(maxDist·|s|) band per pair — same kept rows and

@@ -326,6 +326,44 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("weightedSample"), s"guard message: ${bad.getMessage}")
   }
 
+  test("blocked fuzzy join prefilters are lossless on adversarial strings") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(73)
+    // adversarial mix for the length / digit-bag lower bounds: id-like
+    // numeric suffixes (transpositions keep the bag EQUAL — must survive
+    // to the DP), >63 repeats of one digit (the 6-bit cap saturates —
+    // capping must stay a valid lower bound), multi-byte letters, empty
+    // strings, and NULLs
+    val strs = Seq("", "é1ü2", "1" * 70, "1" * 70 + "2", null) ++
+      (0 until 120).map { i =>
+        val base = f"Customer#${rnd.nextInt(100000)}%09d"
+        rnd.nextInt(4) match {
+          case 0 => base
+          case 1 => val a = base.toCharArray; // transposition
+            val p = 10 + rnd.nextInt(7); val t = a(p); a(p) = a(p + 1); a(p + 1) = t
+            new String(a)
+          case 2 => base.dropRight(rnd.nextInt(3)) // length change
+          case _ => base + rnd.nextInt(10)
+        }
+      }
+    val df = strs.zipWithIndex
+      .map { case (nm, i) => (i.toLong, (i % 3).toLong, nm) }
+      .toDF("id", "blk", "nm")
+    for (maxDist <- Seq(0, 1, 2, 3)) {
+      val got = Joins.blockedFuzzyJoin(df, Seq("blk"), "id", "nm", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      // naive oracle: every in-block pair through unbounded levenshtein
+      val naive = df.as("a").join(df.as("b"), col("a.blk") === col("b.blk"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.nm"), col("b.nm")).as("d"))
+        .filter(col("d") <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(got == naive, s"maxDist=$maxDist: prefilter dropped or added pairs")
+    }
+  }
+
   test("global order: dense permutation equal to the single-window rank for any shard count") {
     import spark.implicits._
     import graft.operators.Splits

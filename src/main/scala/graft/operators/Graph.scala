@@ -424,6 +424,18 @@ object Graph {
     * join for the zero-triangle nodes; all node-keyed equi-exchanges.
     */
   def clusteringCoefficient(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame =
+    clusteringCoefficientWith(edges,
+      triangleCounts(edges, aCol, bCol), aCol, bCol)
+
+  /** [[clusteringCoefficient]] against an ALREADY-COUNTED per-node
+    * triangle frame — the seam that lets a registry share one
+    * [[triangleCounts]] pass between the triangle census and the
+    * coefficient (the count is the expensive stage; the coefficient
+    * adds one degree agg and a join). `triangles` must be
+    * [[triangleCounts]]' output over the same edge set.
+    */
+  def clusteringCoefficientWith(edges: DataFrame, triangles: DataFrame,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     val und = edges.select(
         least(col(aCol), col(bCol)).as("a"),
@@ -432,7 +444,7 @@ object Graph {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(und), Seq("node"), "left")
+    deg.join(triangles, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("cc_ppm",
         when(col("deg") >= 2L,

@@ -252,6 +252,19 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
     }
 
+  /** The SimHash near-dup pair set (collapse path, the library default)
+    * at the registry parameterization — `dedup_simhash_collapse`
+    * publishes it, `dedup_simhash_recall` audits it; one fingerprint +
+    * block-join scan instead of two. (`dedup_simhash` deliberately keeps
+    * pricing the DIRECT single-stage build — that row exists to bench
+    * the alternative plan, not to consume this artifact.)
+    */
+  private def simhashPairsArt(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "simhashPairs") {
+      Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6,
+        maxHamming = 6)
+    }
+
   /** The blocked-Levenshtein candidate pair set over `customer` at the
     * registry parameterization — `q_fuzzy_blocked` publishes it,
     * `q_entity_resolution` clusters it; one (nation, segment)-blocked
@@ -1130,15 +1143,18 @@ object SparkEntry {
     "dedup_simhash_collapse" -> ((s, dir) =>
       // the dup-safe default: collapse exact duplicates to one
       // representative per distinct text BEFORE fingerprinting (bounding
-      // the pigeonhole join's hot keys), expand groups back afterwards
-      Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6, maxHamming = 6)
+      // the pigeonhole join's hot keys), expand groups back afterwards;
+      // published as the shared [[simhashPairsArt]] artifact
+      simhashPairsArt(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash_recall" -> ((s, dir) =>
       // prefilter-quality audit at the SHIPPED simhash config: recall of
       // the Hamming-6 pair set vs the exact-Jaccard truth at the same tau
-      // (emitted ⊆ truth because simhash pairs are Jaccard-verified)
-      Dedup.simhashRecallEval(t(s, dir, "documents"), n = 3, tau = 0.6,
-        maxHamming = 6)),
+      // (emitted ⊆ truth because simhash pairs are Jaccard-verified);
+      // audits the SHARED pair artifact — the same frame the collapse
+      // row publishes
+      Dedup.simhashRecallEvalWith(t(s, dir, "documents"),
+        simhashPairsArt(s, dir), n = 3, tau = 0.6)),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau = 0.4)
         .orderBy(col("id_a"), col("id_b"))),

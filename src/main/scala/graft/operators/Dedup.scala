@@ -474,12 +474,25 @@ object Dedup {
     */
   def simhashRecallEval(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6): DataFrame = {
+      n: Int = 3, tau: Double = 0.6, maxHamming: Int = 6): DataFrame =
+    simhashRecallEvalWith(docs,
+      simhashPairs(docs, idCol, textCol, n, tau, maxHamming),
+      idCol, textCol, n, tau)
+
+  /** [[simhashRecallEval]] against an ALREADY-BUILT emitted pair frame —
+    * the seam that lets a registry audit the SAME shared pair artifact
+    * its collapse row publishes instead of re-running the fingerprint +
+    * block-join scan. `emitted` must be [[simhashPairs]]' output over
+    * the same corpus and parameters.
+    */
+  def simhashRecallEvalWith(
+      docs: DataFrame, emitted: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, tau: Double = 0.6): DataFrame = {
     val truth = ngramJaccardPairs(docs, idCol, textCol, n, tau)
       .select(col("doc_a"), col("doc_b"))
-    val emitted = simhashPairs(docs, idCol, textCol, n, tau, maxHamming)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
-    truth.join(emitted, Seq("doc_a", "doc_b"), "left_outer")
+    val em = emitted.select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(em, Seq("doc_a", "doc_b"), "left_outer")
       .agg(
         count(lit(1)).as("n_truth"),
         coalesce(sum(col("hit")), lit(0L)).as("n_emitted"))

@@ -9265,20 +9265,28 @@ object SparkEntry {
       // closed-form expectations of the synthesized ISO-BMFF payloads: the
       // Spark side must reproduce these through a real MP4 write + box
       // walk; both corruption lanes (garbage magic, truncated moov) read
-      // all -1s. duration·1000 and timescale are positive BIGINTs, so
+      // all -1s. Odd ids carry a VERSION-1 mvhd whose 64-bit duration is
+      // pushed past 2^32 — the v1 read path is value-pinned, not just
+      // exercised. duration·1000 and timescale are positive BIGINTs, so
       // DuckDB // and Spark DIV agree (floor == truncate on non-negatives)
-      """SELECT doc_id,
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         600 + (doc_id % 5) * 400 AS ts,
+        |         (doc_id % 240 + 60) * 100 +
+        |           CASE WHEN doc_id % 2 = 1
+        |                THEN (doc_id % 3) * 4294967296 ELSE 0 END AS dur
+        |  FROM documents)
+        |SELECT doc_id,
         |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
-        |            ELSE 600 + (doc_id % 5) * 400 END AS BIGINT) AS timescale,
+        |            ELSE ts END AS BIGINT) AS timescale,
         |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
-        |            ELSE (doc_id % 240 + 60) * 100 END AS BIGINT) AS duration,
+        |            ELSE dur END AS BIGINT) AS duration,
         |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
         |            ELSE 1 + doc_id % 3 END AS BIGINT) AS n_tracks,
         |       CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN -1
-        |            ELSE ((doc_id % 240 + 60) * 100 * 1000)
-        |                   // (600 + (doc_id % 5) * 400) END AS BIGINT)
+        |            ELSE (dur * 1000) // ts END AS BIGINT)
         |         AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       // recomputes the byte-lane profile's math: lane i accumulates
       // byte/255.0 over payload positions ≡ i (mod 8), so lane×255 rounds to

@@ -797,10 +797,11 @@ object Multimodal {
   final case class Mp4Payload(doc_id: Long, payload: Array[Byte])
 
   /** Deterministic ISO-BMFF fixture generator: one minimal MP4 per id —
-    * `ftyp` (isom/mp41), then `moov` holding a version-0 `mvhd` with
-    * `timescale = 600 + (id%5)·400`, `duration = (id%240 + 60)·100`, and
-    * `1 + id%3` header-only `trak` boxes — every field closed-form in the
-    * id. Corruption lanes exercise both guard classes: `id % 10 == 0`
+    * `ftyp` (isom/mp41), then `moov` holding an `mvhd` with
+    * `timescale = 600 + (id%5)·400`, `duration = (id%240 + 60)·100`
+    * (odd ids: + (id%3)·2³², written as a VERSION-1 64-bit box; even
+    * ids version 0), and `1 + id%3` header-only `trak` boxes — every
+    * field closed-form in the id. Corruption lanes exercise both guard classes: `id % 10 == 0`
     * rows are garbage bytes (no `ftyp`), `id % 10 == 5` rows declare a
     * `moov` longer than the payload (the truncated-box class). Same
     * design as [[synthesizeAudioPayloads]]: DuckDB cannot walk a box
@@ -815,10 +816,18 @@ object Multimodal {
         val id = r.getLong(0)
         if (id % 10 == 0) Mp4Payload(id, Array[Byte](0x13, 0x37, 0x00, 0x42))
         else {
+          // odd ids write a VERSION-1 mvhd (64-bit creation/modification/
+          // duration — the layout real long-form video predominantly
+          // carries), with a duration pushed past 2³² so the 64-bit read
+          // is actually exercised; even ids stay version 0
+          val v1 = id % 2 == 1
           val timescale = (600 + (id % 5) * 400).toInt
-          val duration = ((id % 240 + 60) * 100).toInt
+          val duration: Long =
+            (id % 240 + 60) * 100 + (if (v1) (id % 3) * 4294967296L else 0L)
           val nTracks = (1 + id % 3).toInt
-          val mvhdSize = 108 // v0: 8 header + 4 ver/flags + 96 body
+          // v0: 8 header + 4 ver/flags + 96 body; v1: +12 for the three
+          // widened 64-bit fields
+          val mvhdSize = if (v1) 120 else 108
           val moovSize = 8 + mvhdSize + 8 * nTracks
           val buf = java.nio.ByteBuffer.allocate(20 + moovSize)
             .order(java.nio.ByteOrder.BIG_ENDIAN) // ISO-BMFF is big-endian
@@ -827,9 +836,15 @@ object Multimodal {
           buf.put("mp41".getBytes("US-ASCII"))
           buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
           buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
-          buf.putInt(0) // version 0 + flags
-          buf.putInt(0).putInt(0) // creation / modification
-          buf.putInt(timescale).putInt(duration)
+          if (v1) {
+            buf.putInt(0x01000000) // version 1 + flags
+            buf.putLong(0L).putLong(0L) // creation / modification (64-bit)
+            buf.putInt(timescale).putLong(duration)
+          } else {
+            buf.putInt(0) // version 0 + flags
+            buf.putInt(0).putInt(0) // creation / modification
+            buf.putInt(timescale).putInt(duration.toInt)
+          }
           buf.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume
           buf.position(buf.position() + 70) // reserved + matrix + pre_defined
           buf.putInt(nTracks + 1) // next_track_ID
@@ -848,7 +863,7 @@ object Multimodal {
   }
 
   /** REAL MP4 metadata decode — an ISO-BMFF box walk (top-level `ftyp`
-    * check, `moov` child scan, version-0 `mvhd` field extraction, `trak`
+    * check, `moov` child scan, version-0/1 `mvhd` field extraction, `trak`
     * census), dependency-free and row-local — behind the same
     * `mapPartitions` seam as [[extractAudioFeatures]]. Emits the movie
     * timescale, duration (in timescale units), track count, and the
@@ -856,8 +871,8 @@ object Multimodal {
     * integers. Any structural violation (bad magic, box overrunning its
     * parent or the payload, box size < 8 — which also rejects the
     * size-0 "to end of file" and size-1 64-bit largesize specials this
-    * minimal lane does not model — or a non-v0 mvhd) lands the row in
-    * the corrupt-accounting lane (all fields -1) instead of throwing:
+    * minimal lane does not model — or an mvhd version above 1) lands the
+    * row in the corrupt-accounting lane (all fields -1) instead of throwing:
     * at 100 TB a single bad object must never kill the stage.
     */
   def extractMp4Meta(withPayload: DataFrame): DataFrame = {
@@ -877,8 +892,8 @@ object Multimodal {
   }
 
   /** ISO-BMFF box walk: (timescale, duration, n_tracks) for payloads whose
-    * top level carries `ftyp` and a `moov` with a version-0 `mvhd`; None
-    * for anything structurally invalid.
+    * top level carries `ftyp` and a `moov` with a version-0 or version-1
+    * `mvhd`; None for anything structurally invalid.
     */
   private[graft] def parseMp4(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
     def fourcc(off: Int): String =
@@ -907,10 +922,22 @@ object Multimodal {
           if (cs < 8 || c + cs > end) return None
           if (cid == "mvhd") {
             // v0 body: ver/flags(4) creation(4) modification(4)
-            // timescale(4) duration(4) ...
-            if (cs < 28 || bytes(c + 8) != 0) return None
-            timescale = u32(c + 20)
-            duration = u32(c + 24)
+            //          timescale(4) duration(4) ...
+            // v1 body: ver/flags(4) creation(8) modification(8)
+            //          timescale(4) duration(8) ... — the layout real
+            //          long-form video predominantly carries
+            bytes(c + 8) match {
+              case 0 =>
+                if (cs < 28) return None
+                timescale = u32(c + 20)
+                duration = u32(c + 24)
+              case 1 =>
+                if (cs < 40) return None
+                timescale = u32(c + 28)
+                duration = (u32(c + 32) << 32) | u32(c + 36)
+                if (duration < 0) return None // > 2^63 is structural garbage
+              case _ => return None
+            }
           } else if (cid == "trak") nTracks += 1
           c += cs.toInt
         }

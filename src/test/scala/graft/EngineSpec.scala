@@ -1300,27 +1300,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (id % 10 == 0 || id % 10 == 5) (-1L, -1L, -1L, -1L)
         else {
           val ts = 600L + (id % 5) * 400L
-          val dur = (id % 240 + 60) * 100L
+          // odd ids: version-1 mvhd with the duration pushed past 2^32
+          val dur = (id % 240 + 60) * 100L +
+            (if (id % 2 == 1) (id % 3) * 4294967296L else 0L)
           (ts, dur, 1L + id % 3, dur * 1000L / ts)
         }
       assert(got(id) == expect, s"id=$id: ${got(id)} vs $expect")
     }
-    // hand-built structural rejects: an mvhd that is version 1, and a
-    // child box overrunning its moov parent
+    // hand-built boxes: a valid v0, a valid v1 (64-bit duration read from
+    // the widened offsets), an unknown version, and a child box
+    // overrunning its moov parent
     def mp4WithMvhdVersion(v: Byte): Array[Byte] = {
-      val buf = java.nio.ByteBuffer.allocate(20 + 8 + 108)
+      val size = if (v == 1) 120 else 108
+      val buf = java.nio.ByteBuffer.allocate(20 + 8 + size)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
       buf.putInt(20).put("ftypisom".getBytes("US-ASCII")).putInt(512)
         .put("mp41".getBytes("US-ASCII"))
-      buf.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
-      buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      buf.putInt(8 + size).put("moov".getBytes("US-ASCII"))
+      buf.putInt(size).put("mvhd".getBytes("US-ASCII"))
       buf.put(v).put(Array[Byte](0, 0, 0))
-      buf.putInt(0).putInt(0).putInt(1000).putInt(5000)
+      if (v == 1) buf.putLong(0L).putLong(0L).putInt(1000)
+        .putLong(4294967296L + 5000L)
+      else buf.putInt(0).putInt(0).putInt(1000).putInt(5000)
       buf.array() // trailing mvhd body bytes stay zero
     }
     assert(Multimodal.parseMp4(mp4WithMvhdVersion(0)) == Some((1000L, 5000L, 0L)))
-    assert(Multimodal.parseMp4(mp4WithMvhdVersion(1)).isEmpty,
-      "version-1 mvhd must land in the corrupt lane")
+    assert(Multimodal.parseMp4(mp4WithMvhdVersion(1)) ==
+      Some((1000L, 4294967296L + 5000L, 0L)),
+      "version-1 mvhd must read the 64-bit duration")
+    assert(Multimodal.parseMp4(mp4WithMvhdVersion(2)).isEmpty,
+      "unknown mvhd versions must land in the corrupt lane")
     val overrun = mp4WithMvhdVersion(0)
     // child mvhd now claims 4 GiB-ish: overruns moov → reject
     overrun(28) = 0x7f

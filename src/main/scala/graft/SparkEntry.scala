@@ -97,6 +97,71 @@ object SparkEntry {
   private def sessionKey(s: SparkSession): String =
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
+  // Memoized frames strongly reference their SparkSession through the
+  // persisted plan, so WITHOUT an eviction hook a stopped session (and
+  // every artifact built on it) would stay reachable until someone calls
+  // invalidateArtifactCaches() by hand. A listener on the session's
+  // context drops that session's cache entries at application end; the
+  // blocks themselves die with the context, so only the references need
+  // releasing there.
+  private val cleanupRegistered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Test seam + listener body: drop one session's memoized artifacts. */
+  private[graft] def dropSessionCaches(s: SparkSession): Unit =
+    dropSessionCaches(sessionKey(s))
+
+  /** Count of live memoized entries for a session (test observability). */
+  private[graft] def cachedEntryCount(s: SparkSession): Int = {
+    val prefix = sessionKey(s) + ":"
+    var n = 0
+    val it = artifactCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) n += 1
+    val it2 = modelCache.keySet().iterator()
+    while (it2.hasNext) if (it2.next().startsWith(prefix)) n += 1
+    n
+  }
+
+  private def dropSessionCaches(key: String): Unit = {
+    val prefix = key + ":"
+    val it = artifactCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        try e.getValue.unpersist(blocking = false)
+        catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => ()
+        }
+        it.remove()
+      }
+    }
+    def dropKeys(m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit = {
+      val ks = m.keySet().iterator()
+      while (ks.hasNext) if (ks.next().startsWith(prefix)) ks.remove()
+    }
+    dropKeys(modelCache)
+    dropKeys(bpeMergeCache)
+    cleanupRegistered.remove(key)
+  }
+
+  private def registerSessionCleanup(s: SparkSession): Unit = {
+    val key = sessionKey(s)
+    if (cleanupRegistered.add(key)) {
+      try s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            dropSessionCaches(key)
+        })
+      catch {
+        // a context already stopping cannot register — nothing to leak
+        // then either
+        case scala.util.control.NonFatal(_) => cleanupRegistered.remove(key)
+      }
+    }
+  }
+
   /** Memoize `build`'s result as a materialized, lineage-cut, persisted
     * table keyed on (session, dir, name). The lineage cut
     * (`createDataFrame(rdd, schema)`) makes the cached frame independent
@@ -112,6 +177,7 @@ object SparkEntry {
     // where the keys hash). Get-then-putIfAbsent holds no lock during the
     // build; a concurrent duplicate build is benign — the loser unpersists
     // its copy and adopts the winner's.
+    registerSessionCleanup(s)
     val key = s"${sessionKey(s)}:$dir:$name"
     val existing = artifactCache.get(key)
     if (existing != null) return existing
@@ -132,6 +198,7 @@ object SparkEntry {
 
   private def memoModel[T <: AnyRef](s: SparkSession, dir: String,
       name: String)(build: => T): T = {
+    registerSessionCleanup(s)
     val key = s"${sessionKey(s)}:$dir:$name"
     val existing = modelCache.get(key)
     if (existing != null) return existing.asInstanceOf[T]
@@ -298,11 +365,13 @@ object SparkEntry {
     */
   private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, Long)]]()
-  private def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    registerSessionCleanup(s)
     bpeMergeCache.computeIfAbsent(s"${sessionKey(s)}:$dir", _ =>
       TextAnalysis.bpeVocab(t(s, dir, "documents"), merges = 4)
         .orderBy(col("merge_round")).collect().toSeq
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+  }
 
   /** '/'-joined key with NULL-PROPAGATING semantics: one null segment nulls
     * the whole key, exactly like the oracle's `||`. (concat_ws would skip

@@ -74,10 +74,16 @@ object AnnServeStream {
     * the union of complete deltas via [[AnswerStore.restore]] and
     * replayed batches drop on the restored monotone guard. Every batch
     * writes a delta — even an empty one — so the guard itself is
-    * durable.
+    * durable. Every `compactEvery`-th applied batch additionally folds
+    * the accumulated table into a full `upto=` snapshot (partitioned)
+    * and prunes the deltas it supersedes — without this a long-lived
+    * stream pays O(#batches-ever) directory listings, `_SUCCESS` checks
+    * and parquet footers at every restore, unbounded even though
+    * steady-state I/O is fine.
     */
   final class AnswerStore(spark: SparkSession, initial: DataFrame,
-      durable: Option[String] = None) {
+      durable: Option[String] = None, compactEvery: Int = 64) {
+    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -87,16 +93,22 @@ object AnnServeStream {
     private val ref = new AtomicReference[DataFrame](materialize(
       initial.select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))))
     private val lastBatch = new AtomicLong(-1L)
+    @volatile private var lastCompact = -1L
 
     /** The current answer table — always fully materialized. */
     def current: DataFrame = ref.get()
 
-    private[streaming] def seed(df: DataFrame, upto: Long): Unit = synchronized {
+    private[streaming] def seed(df: DataFrame, upto: Long,
+        snapAt: Long = -1L): Unit = synchronized {
       val next = materialize(df.select(
         col("query_id"), col("neighbor_id"), col("score"), col("rank")))
       val old = ref.get()
       ref.set(next)
       lastBatch.set(upto)
+      // the restored state is a compaction point: re-snapshotting one
+      // batch later would rewrite the table an equivalent snapshot (or
+      // folded log) already covers
+      lastCompact = upto
       old.unpersist()
     }
 
@@ -120,6 +132,16 @@ object AnnServeStream {
         ref.set(next)
         old.unpersist()
       }
+      // cadence check OUTSIDE the non-empty branch (the PhashStream idle
+      // lesson): a quiet stream still accumulates guard deltas
+      durable.foreach { dir =>
+        if (batchId >= lastCompact + compactEvery) {
+          SnapshotStore.write(spark, dir, ref.get(), batchId,
+            singleFile = false)
+          SnapshotStore.pruneDeltas(spark, dir, batchId)
+          lastCompact = batchId
+        }
+      }
       delta.unpersist()
       lastBatch.set(batchId)
       true
@@ -127,14 +149,27 @@ object AnnServeStream {
   }
 
   object AnswerStore {
-    /** Rebuild a durable store from `dir`'s delta log — the restart
-      * path; a missing/empty `dir` restores a cold store.
+    /** Rebuild a durable store from `dir` — the restart path: the newest
+      * complete full snapshot (if compaction has run) unioned with the
+      * deltas after it; a missing/empty `dir` restores a cold store.
       */
-    def restore(spark: SparkSession, dir: String): AnswerStore = {
-      val store = new AnswerStore(spark, emptyAnswers(spark), Some(dir))
-      SnapshotStore.restoreDeltas(spark, dir).foreach { case (upto, df) =>
-        store.seed(df, upto)
-      }
+    def restore(spark: SparkSession, dir: String,
+        compactEvery: Int = 64): AnswerStore = {
+      val store = new AnswerStore(spark, emptyAnswers(spark), Some(dir),
+        compactEvery)
+      val cols = Seq(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank"))
+      val snap = SnapshotStore.newest(spark, dir)
+      val snapId = snap.map(_._1).getOrElse(-1L)
+      val deltas = SnapshotStore.deltaIds(spark, dir).filter(_._1 > snapId)
+      val parts = snap.map(_._2.select(cols: _*)).toSeq ++
+        (if (deltas.nonEmpty)
+          Seq(spark.read.parquet(deltas.map(_._2.toString): _*)
+            .select(cols: _*))
+        else Seq.empty)
+      if (parts.nonEmpty)
+        store.seed(parts.reduce(_ unionAll _),
+          math.max(snapId, deltas.lastOption.map(_._1).getOrElse(-1L)))
       store
     }
   }

@@ -53,7 +53,8 @@ object ContaminationStream {
     * even an empty one — so the guard itself is durable.
     */
   final class PairStore(spark: SparkSession, initial: DataFrame,
-      durable: Option[String] = None) {
+      durable: Option[String] = None, compactEvery: Int = 64) {
+    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
     private def materialize(df: DataFrame): DataFrame = {
       val cut = spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -63,6 +64,7 @@ object ContaminationStream {
     private val ref = new AtomicReference[DataFrame](materialize(
       initial.select(col("train_id"), col("eval_id"), col("jaccard"))))
     private val lastBatch = new AtomicLong(-1L)
+    @volatile private var lastCompact = -1L
 
     /** The accumulated pairs — always fully materialized, never mid-swap. */
     def current: DataFrame = ref.get()
@@ -73,6 +75,7 @@ object ContaminationStream {
       val old = ref.get()
       ref.set(next)
       lastBatch.set(upto)
+      lastCompact = upto // the restored state is a compaction point
       old.unpersist()
     }
 
@@ -92,6 +95,18 @@ object ContaminationStream {
         ref.set(next)
         old.unpersist()
       }
+      // periodic compaction, evaluated even on empty batches: fold the
+      // accumulated table into a full `upto=` snapshot and prune the
+      // deltas it supersedes, bounding restore-time listing/union cost
+      // for long-lived streams
+      durable.foreach { dir =>
+        if (batchId >= lastCompact + compactEvery) {
+          SnapshotStore.write(spark, dir, ref.get(), batchId,
+            singleFile = false)
+          SnapshotStore.pruneDeltas(spark, dir, batchId)
+          lastCompact = batchId
+        }
+      }
       delta.unpersist()
       lastBatch.set(batchId)
       true
@@ -99,14 +114,26 @@ object ContaminationStream {
   }
 
   object PairStore {
-    /** Rebuild a durable store from `dir`'s delta log — the restart
-      * path; a missing/empty `dir` restores a cold store.
+    /** Rebuild a durable store from `dir` — the restart path: the newest
+      * complete full snapshot (if compaction has run) unioned with the
+      * deltas after it; a missing/empty `dir` restores a cold store.
       */
-    def restore(spark: SparkSession, dir: String): PairStore = {
-      val store = new PairStore(spark, emptyPairs(spark), Some(dir))
-      SnapshotStore.restoreDeltas(spark, dir).foreach { case (upto, df) =>
-        store.seed(df, upto)
-      }
+    def restore(spark: SparkSession, dir: String,
+        compactEvery: Int = 64): PairStore = {
+      val store = new PairStore(spark, emptyPairs(spark), Some(dir),
+        compactEvery)
+      val cols = Seq(col("train_id"), col("eval_id"), col("jaccard"))
+      val snap = SnapshotStore.newest(spark, dir)
+      val snapId = snap.map(_._1).getOrElse(-1L)
+      val deltas = SnapshotStore.deltaIds(spark, dir).filter(_._1 > snapId)
+      val parts = snap.map(_._2.select(cols: _*)).toSeq ++
+        (if (deltas.nonEmpty)
+          Seq(spark.read.parquet(deltas.map(_._2.toString): _*)
+            .select(cols: _*))
+        else Seq.empty)
+      if (parts.nonEmpty)
+        store.seed(parts.reduce(_ unionAll _),
+          math.max(snapId, deltas.lastOption.map(_._1).getOrElse(-1L)))
       store
     }
   }

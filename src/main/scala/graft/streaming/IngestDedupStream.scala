@@ -43,7 +43,9 @@ object IngestDedupStream {
   /** Accumulated near-dup pairs + the growing on-disk index at `dir`. */
   final class IngestStore(spark: SparkSession, dir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, tau: Double = 0.6, bands: Int = 32, rows: Int = 2) {
+      n: Int = 3, tau: Double = 0.6, bands: Int = 32, rows: Int = 2,
+      compactEvery: Int = 64) {
+    require(compactEvery >= 1, s"compactEvery must be >= 1: $compactEvery")
     import spark.implicits._
 
     private def materialize(df: DataFrame): DataFrame = {
@@ -78,8 +80,9 @@ object IngestDedupStream {
 
     private val snapDir = s"$dir/pairs_snap"
 
-    // restore = (newest LEGACY full `upto=` snapshot, if one exists — the
-    // pre-delta-log format this store wrote before; without this read an
+    // restore = (newest full `upto=` snapshot — either a compaction
+    // point written on the compactEvery cadence, or a legacy full
+    // snapshot from the pre-delta-log format; without this read an
     // upgraded deployment would restore empty while its checkpoint marks
     // every earlier batch delivered) + all deltas NEWER than it
     private val legacySnap = SnapshotStore.newest(spark, snapDir)
@@ -98,6 +101,7 @@ object IngestDedupStream {
     })
     @volatile private var lastBatch =
       math.max(legacyId, deltas.lastOption.map(_._1).getOrElse(-1L))
+    @volatile private var lastCompact = lastBatch
     @volatile private var indexed = artifactExists
 
     /** Near-dup pairs among everything delivered so far — spec-pinned
@@ -144,6 +148,17 @@ object IngestDedupStream {
       // durable commit point: only THIS batch's pairs are written — the
       // accumulated table is the union of the delta log on restore
       SnapshotStore.writeDelta(spark, snapDir, delta, batchId)
+      // periodic compaction: fold the accumulated pairs into a full
+      // `upto=` snapshot (the same format the restore path already
+      // reads) and prune the deltas it supersedes — without a cadence a
+      // long-lived ingest pays O(#batches-ever) listing/footers on
+      // every restore
+      if (batchId >= lastCompact + compactEvery) {
+        SnapshotStore.write(spark, snapDir, next, batchId,
+          singleFile = false)
+        SnapshotStore.pruneDeltas(spark, snapDir, batchId)
+        lastCompact = batchId
+      }
       delta.unpersist()
       val old = pairsRef.get()
       pairsRef.set(next)

@@ -111,16 +111,23 @@ object PhashStream {
         val next = materialize(old.unionAll(grouped)
           .groupBy(col("ahash_hi"), col("ahash_lo"))
           .agg(min(col("rep_id")).as("rep_id"), sum(col("n_dups")).as("n_dups")))
-        durable.foreach { dir =>
-          if (batchId >= lastCompact + compactEvery) {
-            SnapshotStore.write(spark, s"$dir/full", next, batchId,
-              singleFile = false)
-            SnapshotStore.pruneDeltas(spark, s"$dir/deltas", batchId)
-            lastCompact = batchId
-          }
-        }
         ref.set(next)
         old.unpersist()
+      }
+      // compaction cadence OUTSIDE the non-empty branch: an idle stream
+      // (sparse or empty batches) still accumulates one tiny delta per
+      // batch for the durable guard, and without this the delta log
+      // would grow — and restore-time listing/union cost with it —
+      // until the next non-empty batch past the cadence; snapshotting
+      // the (possibly unchanged) registry keeps the log bounded at
+      // compactEvery entries regardless of traffic shape
+      durable.foreach { dir =>
+        if (batchId >= lastCompact + compactEvery) {
+          SnapshotStore.write(spark, s"$dir/full", ref.get(), batchId,
+            singleFile = false)
+          SnapshotStore.pruneDeltas(spark, s"$dir/deltas", batchId)
+          lastCompact = batchId
+        }
       }
       grouped.unpersist()
       lastBatch.set(batchId)

@@ -105,6 +105,50 @@ private[graft] object SnapshotStore {
     }
   }
 
+  // ---- multi-table deltas --------------------------------------------
+  //
+  // The delta-log idea for MULTI-TABLE stores (transition counts +
+  // last-event rows): one `delta=<batchId>/<name>` dir per table, the
+  // delta complete iff every named table has its `_SUCCESS`. Off-cadence
+  // batches write O(batch) delta rows; the full multi snapshot prunes
+  // the deltas it supersedes.
+
+  /** Complete multi-table deltas under `dir`, ascending batch id. */
+  def deltaMultiIds(spark: SparkSession, dir: String,
+      names: Seq[String]): Seq[(Long, Path)] = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta="))
+      .filter(st => names.forall(n =>
+        f.exists(new Path(st.getPath, s"$n/_SUCCESS"))))
+      .map(st => st.getPath.getName.stripPrefix("delta=").toLong -> st.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Write one batch's per-table NEW/changed rows as the `batchId`
+    * multi-table delta (one file per table — a micro-batch's delta is
+    * small by construction; overwrite replaces a torn earlier attempt).
+    */
+  def writeDeltaMulti(spark: SparkSession, dir: String,
+      tables: Seq[(String, DataFrame)], batchId: Long): Unit =
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/delta=$batchId/$name")
+    }
+
+  /** Delete every `delta=` dir (complete OR torn) with id ≤ `upto` —
+    * the compaction step after a full multi snapshot at `upto`.
+    */
+  def pruneDeltasUpTo(spark: SparkSession, dir: String, upto: Long): Unit = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) return
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta="))
+      .filter(st => st.getPath.getName.stripPrefix("delta=").toLong <= upto)
+      .foreach(st => f.delete(st.getPath, true))
+  }
+
   // ---- multi-table snapshots ---------------------------------------------
   //
   // For stores whose state is SEVERAL tables with different schemas that

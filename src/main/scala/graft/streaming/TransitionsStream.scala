@@ -31,18 +31,24 @@ import org.apache.spark.storage.StorageLevel
 object TransitionsStream {
 
   /** Counts + last-event state across micro-batches. When `durable`
-    * carries a snapshot directory, every applied batch writes BOTH state
-    * tables (|types|² counts + one last-event row per key — bounded) as
-    * one multi-table snapshot ([[SnapshotStore.writeMulti]]: complete
-    * iff both landed; a torn snapshot falls back to the previous and
-    * the gap replays on the guard) BEFORE the batch is acknowledged —
-    * count merge is NOT idempotent, so losing this state on restart
-    * silently under-counts while the checkpoint marks batches
-    * delivered. Restore via [[TransitionStore.restore]].
+    * carries a snapshot directory, state lands BEFORE the batch is
+    * acknowledged — count merge is NOT idempotent, so losing this state
+    * on restart silently under-counts while the checkpoint marks
+    * batches delivered. The `last` table is one row per live key —
+    * bounded only by the key-cardinality contract — so FULL multi-table
+    * snapshots ([[SnapshotStore.writeMulti]], written PARTITIONED — no
+    * coalesce(1) funnel) happen only every `snapshotEvery`-th applied
+    * batch; every other applied batch writes its O(batch) rows (the
+    * batch's transition-count increments, additive, and the batch's
+    * per-key argmax events, idempotent under max-merge) as a
+    * `delta=<batchId>` multi-table log entry, which the superseding
+    * snapshot prunes. Restore ([[TransitionStore.restore]]) folds the
+    * newest complete snapshot plus all later complete deltas.
     */
   final class TransitionStore(spark: SparkSession, keyCol: String,
       typeCol: String, tsCol: String, tieCol: String,
-      durable: Option[String] = None) {
+      durable: Option[String] = None, snapshotEvery: Int = 1) {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1: $snapshotEvery")
     import spark.implicits._
 
     private def materialize(df: DataFrame): DataFrame = {
@@ -57,6 +63,7 @@ object TransitionsStream {
     private val lastRef = new AtomicReference[DataFrame](materialize(
       Seq.empty[(Long, String, Long, Long)].toDF(keyCol, typeCol, tsCol, tieCol)))
     @volatile private var lastBatch = -1L
+    @volatile private var lastSnap = Long.MinValue
 
     /** The transition matrix so far, with read-time ppm probabilities. */
     def current: DataFrame = {
@@ -68,7 +75,7 @@ object TransitionsStream {
     }
 
     private[streaming] def seed(counts: DataFrame, last: DataFrame,
-        upto: Long): Unit = synchronized {
+        upto: Long, snapAt: Long = Long.MinValue): Unit = synchronized {
       val nc = materialize(
         counts.select(col("prev_type"), col("next_type"), col("n")))
       val nl = materialize(
@@ -76,6 +83,7 @@ object TransitionsStream {
       val (oc, ol) = (countsRef.get(), lastRef.get())
       countsRef.set(nc); lastRef.set(nl)
       lastBatch = upto
+      lastSnap = snapAt
       oc.unpersist(); ol.unpersist()
     }
 
@@ -114,9 +122,29 @@ object TransitionsStream {
         .select(col(keyCol), col("l").getField(typeCol).as(typeCol),
           col("l").getField(tsCol).as(tsCol), col("l").getField(tieCol).as(tieCol))
       val (nc, nl) = (materialize(merged), materialize(newLast))
-      // durable: both tables snapshot atomically BEFORE acknowledging
-      durable.foreach(dir => SnapshotStore.writeMulti(spark, dir,
-        Seq("counts" -> nc, "last" -> nl), batchId))
+      // durable BEFORE acknowledging: a full multi snapshot on cadence
+      // (partitioned — the last-event table is key-cardinality-sized),
+      // an O(batch) multi-table delta off cadence. The batch's per-key
+      // argmax suffices for the last-event delta: max-merge over
+      // held ∪ deltas reproduces the full table on restore.
+      durable.foreach { dir =>
+        if (lastSnap == Long.MinValue || batchId >= lastSnap + snapshotEvery) {
+          SnapshotStore.writeMulti(spark, dir,
+            Seq("counts" -> nc, "last" -> nl), batchId, singleFile = false)
+          SnapshotStore.pruneDeltasUpTo(spark, dir, batchId)
+          lastSnap = batchId
+        } else {
+          val batchLast = b.groupBy(col(keyCol))
+            .agg(max(struct(col(tsCol), col(tieCol), col(typeCol))).as("l"))
+            .select(col(keyCol), col("l").getField(typeCol).as(typeCol),
+              col("l").getField(tsCol).as(tsCol),
+              col("l").getField(tieCol).as(tieCol))
+          SnapshotStore.writeDeltaMulti(spark, dir,
+            Seq("counts" -> batchCounts.select(col("prev_type"),
+              col("next_type"), col("bn").as("n")),
+              "last" -> batchLast), batchId)
+        }
+      }
       val (oc, ol) = (countsRef.get(), lastRef.get())
       countsRef.set(nc); lastRef.set(nl)
       lastBatch = batchId
@@ -130,13 +158,47 @@ object TransitionsStream {
       * the restart path; a missing/empty `dir` restores a cold store.
       */
     def restore(spark: SparkSession, dir: String, keyCol: String,
-        typeCol: String, tsCol: String, tieCol: String): TransitionStore = {
+        typeCol: String, tsCol: String, tieCol: String,
+        snapshotEvery: Int = 1): TransitionStore = {
       val store = new TransitionStore(spark, keyCol, typeCol, tsCol, tieCol,
-        Some(dir))
-      SnapshotStore.newestMulti(spark, dir, Seq("counts", "last"))
-        .foreach { case (upto, tables) =>
-          store.seed(tables("counts"), tables("last"), upto)
+        Some(dir), snapshotEvery)
+      val names = Seq("counts", "last")
+      val snap = SnapshotStore.newestMulti(spark, dir, names)
+      val snapId = snap.map(_._1).getOrElse(Long.MinValue)
+      // fold every complete delta NEWER than the snapshot back in: count
+      // increments are additive, last-event rows max-merge — both
+      // order-free, so one union + one agg per table replays any number
+      // of committed-but-unsnapshotted batches
+      val later = SnapshotStore.deltaMultiIds(spark, dir, names)
+        .filter(_._1 > snapId)
+      if (snap.isEmpty && later.isEmpty) return store
+      val baseCounts = snap.map(_._2("counts")).getOrElse(
+        { import spark.implicits._
+          Seq.empty[(String, String, Long)].toDF("prev_type", "next_type", "n") })
+      val baseLast = snap.map(_._2("last")).getOrElse(
+        { import spark.implicits._
+          Seq.empty[(Long, String, Long, Long)]
+            .toDF(keyCol, typeCol, tsCol, tieCol) })
+      val (counts, last) =
+        if (later.isEmpty) (baseCounts, baseLast)
+        else {
+          val dc = spark.read.parquet(
+            later.map(d => s"${d._2}/counts"): _*)
+          val dl = spark.read.parquet(
+            later.map(d => s"${d._2}/last"): _*)
+          (baseCounts.unionAll(dc)
+            .groupBy(col("prev_type"), col("next_type"))
+            .agg(sum(col("n")).as("n")),
+            baseLast.unionAll(dl)
+              .groupBy(col(keyCol))
+              .agg(max(struct(col(tsCol), col(tieCol), col(typeCol))).as("l"))
+              .select(col(keyCol), col("l").getField(typeCol).as(typeCol),
+                col("l").getField(tsCol).as(tsCol),
+                col("l").getField(tieCol).as(tieCol)))
         }
+      store.seed(counts, last,
+        upto = math.max(snapId, later.lastOption.map(_._1).getOrElse(Long.MinValue)),
+        snapAt = snapId)
       store
     }
   }

@@ -1376,6 +1376,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resized.count() == docs.count())
   }
 
+  test("session cache eviction drops every memoized artifact for the session") {
+    // populate at least one memoFrame artifact + one driver-side model
+    SparkEntry.queries("q_label_propagation")(spark, sf).count()
+    SparkEntry.queries("ann_ivfpq_topk")(spark, sf).count()
+    assert(SparkEntry.cachedEntryCount(spark) > 0, "artifacts did not memoize")
+    // the SparkListener body the application-end hook runs
+    SparkEntry.dropSessionCaches(spark)
+    assert(SparkEntry.cachedEntryCount(spark) == 0,
+      "session eviction left memoized entries behind")
+    // caches rebuild cleanly after eviction (same values, fresh entries)
+    SparkEntry.queries("q_label_propagation")(spark, sf).count()
+    assert(SparkEntry.cachedEntryCount(spark) > 0)
+    SparkEntry.dropSessionCaches(spark)
+  }
+
   // ------------------------------------------------------------ plan shape
 
   test("projection + predicate are pushed into the parquet scan") {
@@ -6733,6 +6748,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = key(Temporal.eventTransitions(df(all)))
     assert(key(store2.current) == expect,
       "post-restart merge must recover the restart-straddling pairs")
+    // snapshotEvery cadence: batch 0 snapshots, 1-2 land as multi-table
+    // DELTAS (count increments + per-key argmax) — a restore must fold
+    // snapshot + deltas to the same state, and the guard must hold at
+    // the newest DELTA id, not the snapshot id
+    val dir3 = Files.createTempDirectory("transdur3").toString
+    val store3 = new TransitionsStream.TransitionStore(spark, "user_id",
+      "event_type", "ts_us", "event_id", durable = Some(dir3),
+      snapshotEvery = 3)
+    store3.merge(df(chunks(0)), 0L)
+    store3.merge(df(chunks(1)), 1L)
+    store3.merge(df(chunks(2)), 2L)
+    val store4 = TransitionsStream.TransitionStore.restore(spark, dir3,
+      "user_id", "event_type", "ts_us", "event_id", snapshotEvery = 3)
+    assert(key(store4.current) == expect,
+      "snapshot+delta restore must equal the fully-folded state")
+    assert(!store4.merge(df(chunks(2)), 2L),
+      "replay of a delta-logged batch must drop on the restored guard")
     Dedup.uncacheAll()
   }
 
@@ -6870,6 +6902,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(answers(store2) == expect,
       "post-restart serving must continue the answer log")
+    // compaction cadence: with compactEvery=2 the delta log must fold
+    // into a full snapshot and prune instead of growing forever, and a
+    // restore must read snapshot ∪ later deltas to the same answers
+    val dirC = Files.createTempDirectory("anndurC").toString
+    val storeC = new AnnServeStream.AnswerStore(spark,
+      AnnServeStream.emptyAnswers(spark), durable = Some(dirC),
+      compactEvery = 2)
+    storeC.serve(0L, index, queriesBelow(0, 4))
+    storeC.serve(1L, index, queriesBelow(4, 7))  // cadence: snapshot + prune
+    storeC.serve(2L, index, queriesBelow(7, 10)) // delta after it
+    storeC.serve(3L, index, queriesBelow(0, 0))  // idle cadence: snapshot
+    val live = graft.streaming.SnapshotStore.deltaIds(spark, dirC).map(_._1)
+    assert(live.isEmpty,
+      s"compaction must prune superseded deltas, saw $live")
+    assert(graft.streaming.SnapshotStore.newest(spark, dirC)
+      .map(_._1).contains(3L),
+      "the idle cadence must have folded the log into the batch-3 snapshot")
+    val storeC2 = AnnServeStream.AnswerStore.restore(spark, dirC,
+      compactEvery = 2)
+    assert(answers(storeC2) == expect,
+      "snapshot+delta restore must reproduce the answer log")
+    assert(!storeC2.serve(3L, index, queriesBelow(0, 0)),
+      "replay must drop on the guard restored past the snapshot")
     Dedup.uncacheAll()
   }
 
@@ -6904,6 +6959,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ref.merge(0L, hashed(0L until 24L))
     assert(reg(store2) == reg(ref),
       "post-restart merge must continue the uninterrupted registry")
+    // IDLE compaction: empty batches still write their guard deltas, and
+    // the cadence fires even with no non-empty batch — the delta log must
+    // not grow unboundedly on a quiet stream
+    val empty = hashed(Seq.empty[Long])
+    store2.merge(4L, empty)
+    store2.merge(5L, empty) // >= lastCompact(3?) — cadence reached
+    store2.merge(6L, empty)
+    store2.merge(7L, empty)
+    val liveDeltas = graft.streaming.SnapshotStore
+      .deltaIds(spark, s"$dir/deltas").map(_._1)
+    assert(liveDeltas.size <= 2,
+      s"idle stream must keep compacting its delta log, saw $liveDeltas")
+    assert(reg(PhashStream.HashGroupStore.restore(spark, dir,
+        compactEvery = 2)) == reg(ref),
+      "idle-compacted restore must preserve the registry")
     Dedup.uncacheAll()
   }
 

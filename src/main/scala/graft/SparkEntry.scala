@@ -300,6 +300,22 @@ object SparkEntry {
       Graph.triangleCounts(partCoEdges(s, dir))
     }
 
+  /** The degree-annotated directed edge frame (`src, dst, deg(src)` —
+    * both directions) the damped-iteration family walks: `q_pagerank`
+    * and `q_ppr` run the same |E|-row degree join before their
+    * iterations; one build, two consumers. [[prDeg]] derives the degree
+    * table from it (every edge endpoint appears as `src`).
+    */
+  private def prEdges(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "prEdges") {
+      Graph.degreeAnnotatedEdges(incidenceEdges(s, dir))._1
+    }
+
+  private def prDeg(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "prDeg") {
+      prEdges(s, dir).select(col("src"), col("deg")).distinct()
+    }
+
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
     memoFrame(s, dir, "lpa") {
       Graph.labelPropagation(incidenceEdges(s, dir), rounds = 3)
@@ -317,6 +333,28 @@ object SparkEntry {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     memoFrame(s, dir, "lshPairs") {
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
+    }
+
+  /** The semDedup verdict frame at the registry parameterization —
+    * `dedup_semantic` deliberately prices the full train→cluster→prune
+    * build itself (the minhash-LSH canonical-row discipline);
+    * `dedup_semantic_rep` and `q_crossmodal_agreement` are its
+    * serve-side consumers.
+    */
+  private def semDedupArt(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "semDedup") {
+      Similarity.semDedup(t(s, dir, "embeddings"),
+        k = semDedupK, iters = semDedupIters, tau = semDedupTau)
+    }
+
+  /** The window-5 / support-20 PMI collocation table —
+    * `text_collocations` publishes it, `text_textrank` builds its word
+    * graph from it; one co-occurrence scan instead of two.
+    */
+  private def collocationsArt(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "collocations") {
+      TextAnalysis.collocations(t(s, dir, "documents"), window = 5,
+        minCount = 20)
     }
 
   /** The SimHash near-dup pair set (collapse path, the library default)
@@ -1621,8 +1659,7 @@ object SparkEntry {
       // Scale shape: the edge set is ≤ one edge per non-keep vector (tiny
       // vs the corpus), components runs on that graph only, and the
       // quality join is keyed on the doc id.
-      val sem = Similarity.semDedup(t(s, dir, "embeddings"),
-        k = semDedupK, iters = semDedupIters, tau = semDedupTau)
+      val sem = semDedupArt(s, dir)
       val pairs = sem.filter(col("dup_of").isNotNull)
         .select(col("dup_of").as("doc_a"), col("vec_id").as("doc_b"))
       val comp = Dedup.components(pairs)
@@ -1647,8 +1684,7 @@ object SparkEntry {
       // replace — or must complement — the lexical pass on a corpus.
       // Shape: one key-agg + one id-keyed join on the lexical side, the
       // verified cluster-bounded semDedup on the semantic side.
-      val sem = Similarity.semDedup(t(s, dir, "embeddings"),
-          k = semDedupK, iters = semDedupIters, tau = semDedupTau)
+      val sem = semDedupArt(s, dir)
         .select(col("vec_id").as("doc_id"), (!col("keep")).as("sem_removed"))
       val docs = t(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 10 === 0,
@@ -2227,8 +2263,7 @@ object SparkEntry {
       // edge-keyed join + one decimal-fenced map-side-combined agg; top
       // 100 by (rank, node). The oracle unrolls the same three
       // iterations with the identical rounding fences.
-      val edges = incidenceEdges(s, dir)
-      Graph.pageRank(edges, iters = 3)
+      Graph.pageRankWith(prEdges(s, dir), prDeg(s, dir), iters = 3)
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     }),
@@ -2307,8 +2342,8 @@ object SparkEntry {
       // personalized PageRank from part 0 over the order—part incidence
       // graph: the random-walk-with-restart proximity ranking — same
       // fenced iteration as q_pagerank, teleport mass pinned to the seed
-      val edges = incidenceEdges(s, dir)
-      Graph.personalizedPageRank(edges, seed = 1000000000L, iters = 3)
+      Graph.personalizedPageRankWith(prEdges(s, dir), prDeg(s, dir),
+          seed = 1000000000L, iters = 3)
         .orderBy(col("rank").desc, col("node"))
         .limit(50)
     }),
@@ -3235,9 +3270,9 @@ object SparkEntry {
       TextAnalysis.hllDistinct(t(s, dir, "documents"))),
     "text_collocations" -> ((s, dir) =>
       // PMI collocation mining: window-5 co-occurrence, support >= 20,
-      // fenced-ln scoring — top 50 strongest associations
-      TextAnalysis.collocations(t(s, dir, "documents"), window = 5,
-          minCount = 20)
+      // fenced-ln scoring — top 50 strongest associations; published as
+      // the shared [[collocationsArt]] artifact (text_textrank's graph)
+      collocationsArt(s, dir)
         .orderBy(col("pmi").desc, col("w_a"), col("w_b"))
         .limit(50)),
     "text_textrank" -> ((s, dir) => {
@@ -3245,8 +3280,7 @@ object SparkEntry {
       // over the support-bounded word co-occurrence graph — two verified
       // operators composed; the ≥ 20 support filter bounds the graph
       // BEFORE any iteration touches it
-      val edges = TextAnalysis.collocations(t(s, dir, "documents"),
-          window = 5, minCount = 20)
+      val edges = collocationsArt(s, dir)
         .filter(col("w_a") =!= col("w_b"))
         .select(col("w_a").as("a"), col("w_b").as("b"))
       Graph.pageRank(edges, iters = 3)

@@ -40,6 +40,19 @@ object Graph {
     // ITERATION (the audited 3-iteration plan re-scanned the base 6
     // times), which at 100 TB is the difference between an iterative job
     // and repeated corpus scans.
+    val (ed, deg) = degreeAnnotatedEdges(edges, aCol, bCol)
+    pageRankWith(ed, deg, iters)
+  }
+
+  /** The UNDIRECTED degree-annotated edge frame both damped-iteration
+    * operators walk — `(src, dst, deg(src))`, both directions, cached —
+    * plus the degree table. Built once here; a registry can memoize the
+    * pair and serve [[pageRankWith]] AND [[personalizedPageRankWith]]
+    * from one build (the degree join is a full |E|-row shuffle that
+    * never changes between the two).
+    */
+  def degreeAnnotatedEdges(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): (DataFrame, DataFrame) = {
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     val deg = Dedup.cached(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
@@ -47,7 +60,12 @@ object Graph {
     // once, reused every iteration) — the naive form re-joined deg per
     // iteration, a third shuffle of |E| rows each round for a value that
     // never changes (A/B'd: 3.2 s vs 4.6 s warm at sf0.1)
-    val ed = Dedup.cached(e.join(deg, Seq("src")))
+    (Dedup.cached(e.join(deg, Seq("src"))), deg)
+  }
+
+  /** [[pageRank]] over an already-built [[degreeAnnotatedEdges]] pair. */
+  def pageRankWith(ed: DataFrame, deg: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     // one bounded global: the node count rides a broadcast 1-row frame;
     // the uniform start and teleport base are rounded IN ENGINE so both
     // engines run the identical ROUND, never a driver-formatted literal
@@ -79,11 +97,16 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seed: Long, iters: Int = 3,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val (ed, deg) = degreeAnnotatedEdges(edges, aCol, bCol)
+    personalizedPageRankWith(ed, deg, seed, iters)
+  }
+
+  /** [[personalizedPageRank]] over an already-built
+    * [[degreeAnnotatedEdges]] pair.
+    */
+  def personalizedPageRankWith(ed: DataFrame, deg: DataFrame, seed: Long,
+      iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val deg = Dedup.cached(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val ed = Dedup.cached(e.join(deg, Seq("src")))
     var r = deg.filter(col("src") === seed)
       .select(col("src").as("node"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {

@@ -76,8 +76,13 @@ object ScaleSmoke {
       Dedup.minhashLshPairs(docs, tau = 0.6).count()
     }
     Dedup.uncacheAll()
-    // connected components over the 250k-pair near-dup graph: replica
-    // cliques have diameter 1, so label propagation converges in 2 rounds
+    // connected components: force the DISTRIBUTED fixpoint (these smokes
+    // witness the hook+jump loop's scale shape — the r15 small-graph
+    // union-find cutover would otherwise absorb both fixture graphs)
+    val savedLocalMax = Dedup.localMaxEdges
+    Dedup.localMaxEdges = 0L
+    // over the 250k-pair near-dup graph: replica cliques have diameter 1,
+    // so label propagation converges in 2 rounds
     timed("components over LSH pairs (50k)") {
       Dedup.components(Dedup.minhashLshPairs(docs, tau = 0.6)).count()
     }
@@ -93,6 +98,7 @@ object ScaleSmoke {
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       Dedup.components(chain).count()
     }
+    Dedup.localMaxEdges = savedLocalMax
     Dedup.uncacheAll()
     // decontamination: 45k-doc training slice vs 5k-doc eval slice — the
     // two-sided index join is Σ df_train·df_eval, linear in the training

@@ -326,6 +326,34 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("weightedSample"), s"guard message: ${bad.getMessage}")
   }
 
+  test("components: driver union-find equals the distributed fixpoint") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(19)
+    // chain + clique + self-contained mixture with duplicate and reversed
+    // pairs — the shapes where min-label semantics could diverge
+    val chains = (0L until 300L).filter(_ % 10 != 9).map(i => (i, i + 1))
+    val cliques = for {
+      c <- 0 until 10; a <- 0 until 5; b <- (a + 1) until 5
+    } yield (1000L + c * 10 + a, 1000L + c * 10 + b)
+    val random = (0 until 200).map(_ =>
+      (2000L + rnd.nextInt(100), 2000L + rnd.nextInt(100)))
+      .filter { case (a, b) => a != b }
+    val reversed = chains.take(20).map(_.swap)
+    val pairs = (chains ++ cliques ++ random ++ reversed)
+      .toDF("doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(Dedup.components(pairs)) // under the default cutover
+    val saved = Dedup.localMaxEdges
+    Dedup.localMaxEdges = 0L
+    try {
+      val dist = labels(Dedup.components(pairs))
+      assert(local == dist, "union-find fast path diverges from the fixpoint")
+    } finally { Dedup.localMaxEdges = saved }
+    Dedup.uncacheAll()
+  }
+
   test("blocked fuzzy join prefilters are lossless on adversarial strings") {
     import spark.implicits._
     import graft.operators.Joins

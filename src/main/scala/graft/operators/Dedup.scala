@@ -79,14 +79,14 @@ object Dedup {
   private val persisted =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** [[components]]' small-graph cutover: at or below this many DIRECTED
-    * edges the fixpoint runs as a driver union-find (a bounded global
-    * decision — ≤ 16 MB of (long, long) rows at the default); above it,
-    * the distributed hook+jump loop. Package-visible and mutable ONLY so
-    * tests and scale smokes can force the distributed path on
-    * fixture-sized graphs.
+  /** [[components]]' (and [[Graph.kCore]]'s) small-graph cutover: at or
+    * below this many DIRECTED edges the fixpoint runs as a driver
+    * union-find / peel simulation (a bounded global decision — ≤ 64 MB
+    * of (long, long) rows at the default); above it, the distributed
+    * loop. Package-visible and mutable ONLY so tests and scale smokes
+    * can force the distributed path on fixture-sized graphs.
     */
-  @volatile private[graft] var localMaxEdges: Long = 1L << 20
+  @volatile private[graft] var localMaxEdges: Long = 1L << 22
 
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val df = TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
@@ -914,7 +914,7 @@ object Dedup {
     * local[32]) dominates any data cost — a 32k-edge fuzzy-match graph
     * with digit-chain components was measured at 8 rounds ≈ 13 s where a
     * driver union-find closes it in milliseconds. The collect is a
-    * BOUNDED global decision (≤ localMaxEdges (long, long) rows — 16 MB
+    * BOUNDED global decision (≤ localMaxEdges (long, long) rows — 64 MB
     * at the default — gated by an exact count on the already-persisted
     * edge frame, never a guess), union-by-min-root makes every tree root
     * the component minimum by induction, so the labeling is
@@ -933,7 +933,11 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
-    if (edges.count() <= localMaxEdges) {
+    // the union-find walks primitive longs; any other id type keeps the
+    // (type-generic) distributed loop
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= localMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()

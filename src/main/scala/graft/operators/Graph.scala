@@ -283,6 +283,41 @@ object Graph {
     // paid cost into a cap (a k far below the degree floor converges in
     // one round instead of `rounds`)
     var nEdges = e.count()
+    // SMALL-GRAPH CUTOVER (the [[graft.operators.Dedup.components]]
+    // union-find discipline): each synchronous peel round costs two
+    // semi-joins + a degree exchange + a checkpoint regardless of size;
+    // at or below the shared [[graft.operators.Dedup.localMaxEdges]]
+    // bound the identical peel simulates on the driver in milliseconds
+    // — same rounds cap, same early exit, bit-identical output. Long
+    // ids only (the simulation walks primitives); anything else keeps
+    // the distributed loop.
+    val longIds = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nEdges <= Dedup.localMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var cur = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      def degs(ed: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+        val m = new java.util.HashMap[Long, Long]()
+        ed.foreach { case (a, b) =>
+          m.merge(a, 1L, (x, y) => x + y); m.merge(b, 1L, (x, y) => x + y)
+        }
+        m
+      }
+      var converged = false
+      var r = 0
+      while (r < rounds && !converged) {
+        val d = degs(cur)
+        val next = cur.filter { case (a, b) => d.get(a) >= k && d.get(b) >= k }
+        converged = next.length == cur.length
+        cur = next
+        r += 1
+      }
+      val d = degs(cur)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](d.size())
+      d.forEach((n, deg) => out += ((n, deg)))
+      return out.toSeq.toDF("node", "core_deg")
+    }
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val keep = degOf(e).filter(col("d") >= k).select(col("n"))

@@ -354,6 +354,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("kCore: driver peel simulation equals the distributed peel") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    val rnd = new scala.util.Random(29)
+    // a K6 core + degree-2 fringe chains hanging off it + random noise
+    val core = for (a <- 0 until 6; b <- (a + 1) until 6) yield (a.toLong, b.toLong)
+    val fringe = (0 until 30).map(i => ((i % 6).toLong, 100L + i)) ++
+      (0 until 30).map(i => (100L + i, 200L + i))
+    val noise = (0 until 60).map(_ =>
+      (300L + rnd.nextInt(40), 300L + rnd.nextInt(40))).filter(p => p._1 != p._2)
+    val edges = (core ++ fringe ++ noise).toDF("a", "b")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(2, 3, 5); rounds <- Seq(1, 3, 6)) {
+      val local = key(Graph.kCore(edges, k, rounds))
+      val saved = Dedup.localMaxEdges
+      Dedup.localMaxEdges = 0L
+      try {
+        val dist = key(Graph.kCore(edges, k, rounds))
+        assert(local == dist, s"k=$k rounds=$rounds: peel simulation diverges")
+      } finally { Dedup.localMaxEdges = saved }
+    }
+    Dedup.uncacheAll()
+  }
+
   test("blocked fuzzy join prefilters are lossless on adversarial strings") {
     import spark.implicits._
     import graft.operators.Joins

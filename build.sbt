@@ -42,7 +42,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the target environment has 128 GiB; a tight heap turns
-  // host-contention windows into GC storms that poison bench timings
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: the target environment has 128 GiB; a tight heap turns
+  // host-contention windows into GC storms that poison bench timings —
+  // observed again at 16g once the r15 artifact cache grew (a 46 s
+  // GC-storm iteration on q_hits with 21 s total GC in the run)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -63,9 +63,64 @@ object Graph {
     (Dedup.cached(e.join(deg, Seq("src"))), deg)
   }
 
+  /** Collected `(src, dst, deg(src))` rows for the damped-iteration
+    * local cutovers, or None above the [[Dedup.localMaxEdges]] bound.
+    */
+  private def collectDampedEdges(ed: DataFrame): Option[Array[(Any, Any, Long)]] =
+    if (ed.count() <= Dedup.localMaxEdges)
+      Some(ed.select(col("src"), col("dst"), col("deg")).collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2))))
+    else None
+
+  private def rankSchema(ed: DataFrame) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        ed.schema.fields.head.dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+
   /** [[pageRank]] over an already-built [[degreeAnnotatedEdges]] pair. */
   def pageRankWith(ed: DataFrame, deg: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // SMALL-GRAPH CUTOVER — the [[hits]] discipline: decimal sums are
+    // order-free, every round is HALF_UP over a Double.toString parse,
+    // so the driver replica is bit-identical to the distributed
+    // iteration (PropertySpec pins exact equality), at none of the
+    // per-round join/agg job cost.
+    collectDampedEdges(ed).foreach { earr =>
+      import java.math.{BigDecimal => JBD}
+      // per-SOURCE contribution decimals are computed once per round
+      // (≈ nodes entries), so the per-EDGE hot loop is one map lookup +
+      // one exact JBD.add — the Double.toString decimal parse never
+      // runs per edge
+      val degMap = new java.util.HashMap[Any, java.lang.Long]()
+      earr.foreach { case (s, _, dg) => degMap.put(s, dg) }
+      val n = degMap.size.toLong
+      var r = new java.util.HashMap[Any, java.lang.Double]()
+      degMap.keySet().forEach(nd => r.put(nd, roundAt(1.0 / n, 12)))
+      for (_ <- 1 to iters) {
+        val contrib = new java.util.HashMap[Any, JBD]()
+        r.forEach { (nd, rs) =>
+          val dg = degMap.get(nd)
+          if (dg != null)
+            contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
+        }
+        val acc = new java.util.HashMap[Any, JBD]()
+        earr.foreach { case (s, d, _) =>
+          val c = contrib.get(s)
+          if (c != null) acc.merge(d, c, (x, y) => x.add(y))
+        }
+        val base = roundAt(0.15 / n, 14)
+        val next = new java.util.HashMap[Any, java.lang.Double]()
+        acc.forEach((d, sdec) =>
+          next.put(d, roundAt(base + 0.85 * sdec.doubleValue(), 12)))
+        r = next
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      r.forEach((nd, rk) => out += org.apache.spark.sql.Row(nd, rk.doubleValue()))
+      return rowsToDf(ed.sparkSession, out.toSeq, rankSchema(ed))
+    }
     // one bounded global: the node count rides a broadcast 1-row frame;
     // the uniform start and teleport base are rounded IN ENGINE so both
     // engines run the identical ROUND, never a driver-formatted literal
@@ -107,6 +162,44 @@ object Graph {
   def personalizedPageRankWith(ed: DataFrame, deg: DataFrame, seed: Long,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // SMALL-GRAPH CUTOVER — same bit-exact replica discipline as
+    // [[pageRankWith]], with all teleport mass restarting at the seed.
+    collectDampedEdges(ed).foreach { earr =>
+      import java.math.{BigDecimal => JBD}
+      val degMap = new java.util.HashMap[Any, java.lang.Long]()
+      earr.foreach { case (s, _, dg) => degMap.put(s, dg) }
+      val inGraph = degMap.containsKey(seed)
+      var r = new java.util.HashMap[Any, java.lang.Double]()
+      if (inGraph) r.put(seed, 1.0)
+      for (_ <- 1 to iters) {
+        val contrib = new java.util.HashMap[Any, JBD]()
+        r.forEach { (nd, rs) =>
+          val dg = degMap.get(nd)
+          if (dg != null)
+            contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
+        }
+        val acc = new java.util.HashMap[Any, JBD]()
+        earr.foreach { case (s, d, _) =>
+          val c = contrib.get(s)
+          if (c != null) acc.merge(d, c, (x, y) => x.add(y))
+        }
+        // contribs + the seed restart row, re-grouped under the same
+        // decimal sum + 12-dp round as the distributed union+agg
+        val grouped = new java.util.HashMap[Any, JBD]()
+        acc.forEach((d, sdec) => grouped.merge(d,
+          toDec14(roundAt(0.85 * sdec.doubleValue(), 12)),
+          (x, y) => x.add(y)))
+        if (inGraph) grouped.merge(seed, toDec14(0.15), (x, y) => x.add(y))
+        val next = new java.util.HashMap[Any, java.lang.Double]()
+        grouped.forEach((nd, sdec) =>
+          next.put(nd, roundAt(sdec.doubleValue(), 12)))
+        r = next
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      r.forEach((nd, rk) => out += org.apache.spark.sql.Row(nd, rk.doubleValue()))
+      return rowsToDf(ed.sparkSession, out.toSeq, rankSchema(ed))
+    }
     var r = deg.filter(col("src") === seed)
       .select(col("src").as("node"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
@@ -407,12 +500,103 @@ object Graph {
     * Returns (node, hub, auth) with 0.0 for a side the node never
     * scores on (a pure source has auth 0; a pure sink hub 0).
     */
+  /** `CAST(double AS DECIMAL(28,14))` replicated on the driver: Spark
+    * parses `Double.toString` then rescales HALF_UP — both steps matter
+    * for bit-exactness of the local cutovers below.
+    */
+  private def toDec14(d: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(14, java.math.RoundingMode.HALF_UP)
+
+  /** Spark's `round(double, scale)` (BigDecimal.valueOf → HALF_UP). */
+  private def roundAt(d: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def rowsToDf(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+
   def hits(edges: DataFrame, iters: Int = 3,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = Dedup.cached(
       edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct())
+    // SMALL-GRAPH CUTOVER (the components/kCore discipline, extended to
+    // fenced numerics): every decimal sum is order-free and every round
+    // is HALF_UP on a Double.toString parse, so the driver replica below
+    // is BIT-IDENTICAL to the distributed half-steps — pinned by a
+    // PropertySpec exact-equality test — while skipping ~6 persisted
+    // frames + 6 normalizer collects of fixed per-job cost per call.
+    // Works for any node id type (the maps key on the raw values).
+    if (e.count() <= Dedup.localMaxEdges) {
+      val spark = edges.sparkSession
+      import java.math.{BigDecimal => JBD}
+      val earr = e.collect().map(r => (r.get(0), r.get(1)))
+      def l1Local(raw: java.util.HashMap[Any, JBD])
+          : java.util.HashMap[Any, java.lang.Double] = {
+        // raw values are the decimal-exact half-step sums CAST TO DOUBLE
+        // (the Spark agg's output), then re-cast to decimal for the L1
+        var t = JBD.ZERO
+        raw.forEach((_, v) => t = t.add(toDec14(v.doubleValue())))
+        val td = if (raw.isEmpty) 1.0 else t.doubleValue()
+        val out = new java.util.HashMap[Any, java.lang.Double]()
+        raw.forEach((n, v) => out.put(n, roundAt(v.doubleValue() / td, 12)))
+        out
+      }
+      // per-node score decimals are computed once per half-step (≈ nodes
+      // entries), so the per-EDGE hot loop is one lookup + one exact add
+      def decOf(scores: java.util.HashMap[Any, java.lang.Double])
+          : java.util.HashMap[Any, JBD] = {
+        val m = new java.util.HashMap[Any, JBD]()
+        scores.forEach((n, v) => m.put(n, toDec14(v.doubleValue())))
+        m
+      }
+      var h = new java.util.HashMap[Any, java.lang.Double]()
+      earr.foreach { case (s, d) =>
+        h.putIfAbsent(s, 1.0); h.putIfAbsent(d, 1.0); ()
+      }
+      var a = new java.util.HashMap[Any, java.lang.Double]()
+      for (_ <- 1 to iters) {
+        val hDec = decOf(h)
+        val araw = new java.util.HashMap[Any, JBD]()
+        earr.foreach { case (s, d) =>
+          val c = hDec.get(s)
+          if (c != null) araw.merge(d, c, (x, y) => x.add(y))
+        }
+        a = l1Local(araw)
+        val aDec = decOf(a)
+        val hraw = new java.util.HashMap[Any, JBD]()
+        earr.foreach { case (s, d) =>
+          val c = aDec.get(d)
+          if (c != null) hraw.merge(s, c, (x, y) => x.add(y))
+        }
+        h = l1Local(hraw)
+      }
+      val nodes = new java.util.LinkedHashSet[Any]()
+      h.keySet().forEach(k => { nodes.add(k); () })
+      a.keySet().forEach(k => { nodes.add(k); () })
+      val nodeType = e.schema.fields.head.dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("hub",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("auth",
+          org.apache.spark.sql.types.DoubleType)))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      nodes.forEach { n =>
+        val hv = h.get(n); val av = a.get(n)
+        out += org.apache.spark.sql.Row(n,
+          if (hv == null) 0.0 else hv.doubleValue(),
+          if (av == null) 0.0 else av.doubleValue())
+      }
+      return rowsToDf(spark, out.toSeq, schema)
+    }
     // ONE Spark job per half-step: the raw-score frame persists LAZILY and
     // the L1 total's collect materializes it, with the total re-entering
     // the plan as a DRIVER-SIDE LITERAL (the bounded-global pattern — one

@@ -379,6 +379,73 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("hits: driver half-step replica is BIT-identical to the distributed form") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    val rnd = new scala.util.Random(43)
+    // bipartite-ish hubs, pure sources, pure sinks, and random noise —
+    // the shapes where dropped-out score maps could diverge
+    val star = (1L to 20L).map(i => (0L, i))
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val noise = (0 until 150).map(_ =>
+      (rnd.nextInt(60).toLong, (60 + rnd.nextInt(60)).toLong))
+    val edges = (star ++ chain ++ noise).toDF("a", "b")
+    // doubles compared EXACTLY — the cutover claims bit-identity, so any
+    // ulp of drift in the replicated decimal/round fences must fail here
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for (iters <- Seq(1, 3, 4)) {
+      val local = key(Graph.hits(edges, iters))
+      val saved = Dedup.localMaxEdges
+      Dedup.localMaxEdges = 0L
+      try {
+        val dist = key(Graph.hits(edges, iters))
+        assert(local == dist, s"iters=$iters: local HITS diverges")
+      } finally { Dedup.localMaxEdges = saved }
+      Dedup.uncacheAll()
+    }
+    // string-keyed graphs take the cutover too (the textrank shape)
+    val sEdges = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("a", "b")
+    val sLocal = Graph.hits(sEdges, 2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    Dedup.localMaxEdges = 0L
+    try {
+      val sDist = Graph.hits(sEdges, 2).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(sLocal == sDist, "string-keyed local HITS diverges")
+    } finally { Dedup.localMaxEdges = 1L << 22 }
+    Dedup.uncacheAll()
+  }
+
+  test("pageRank/PPR: driver replicas are BIT-identical to the distributed forms") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    val rnd = new scala.util.Random(47)
+    val star = (1L to 15L).map(i => (0L, i))
+    val chain = (100L until 130L).map(i => (i, i + 1))
+    val noise = (0 until 120).map(_ =>
+      (rnd.nextInt(50).toLong, (50 + rnd.nextInt(50)).toLong))
+    val edges = (star ++ chain ++ noise).toDF("a", "b")
+    def keyD(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (iters <- Seq(1, 3)) {
+      val prL = keyD(Graph.pageRank(edges, iters))
+      val pprL = keyD(Graph.personalizedPageRank(edges, seed = 0L, iters))
+      val pprMissL = keyD(Graph.personalizedPageRank(edges, seed = -5L, iters))
+      val saved = Dedup.localMaxEdges
+      Dedup.localMaxEdges = 0L
+      try {
+        assert(keyD(Graph.pageRank(edges, iters)) == prL,
+          s"iters=$iters: local pageRank diverges")
+        assert(keyD(Graph.personalizedPageRank(edges, 0L, iters)) == pprL,
+          s"iters=$iters: local PPR diverges")
+        assert(keyD(Graph.personalizedPageRank(edges, -5L, iters)) == pprMissL,
+          s"iters=$iters: local PPR (absent seed) diverges")
+      } finally { Dedup.localMaxEdges = saved }
+      Dedup.uncacheAll()
+    }
+  }
+
   test("blocked fuzzy join prefilters are lossless on adversarial strings") {
     import spark.implicits._
     import graft.operators.Joins

@@ -113,8 +113,11 @@ private[graft] object ShardedFold {
     // join's left-outer + coalesce(…, 0) form exact. The shard/key columns
     // come back `_o_`-prefixed so the caller's join back onto the (same-
     // lineage) sharded frame never trips ambiguous-self-join resolution.
+    // `=!= 0`, NOT `> 0`: sum offsets over SIGNED values can be negative
+    // for a spanning group (count offsets are always ≥ 1 when present,
+    // but a sums-only signed fold has no count column to save it)
     withOffs
-      .filter(aggs.map { case (_, name) => col(name) > 0L }.reduce(_ || _))
+      .filter(aggs.map { case (_, name) => col(name) =!= 0L }.reduce(_ || _))
       .select((shardCol +: partCols).map(k => col(k).as("_o_" + k)) ++
         aggs.map { case (_, name) => col(name) }: _*)
   }

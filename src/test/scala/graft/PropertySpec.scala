@@ -1429,6 +1429,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adaptive == expected, "adaptive fallback diverges")
   }
 
+  test("sums-only SIGNED sharded fold keeps negative spanning offsets") {
+    import spark.implicits._
+    // no idxCol: the offsets frame has no count column, so a spanning
+    // group whose lower-shard mass is NEGATIVE must still emit its
+    // offset row (a > 0 filter would drop it and shift the whole tail)
+    val rows = (0 until 2000).map(i => (i.toLong, -5L)) ++
+      (2000 until 4000).map(i => (i.toLong, 3L))
+    val s = rows.toDF("bucket", "v")
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.withColumn("cum", sum(col("v")).over(w))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    val savedFloor = graft.operators.ShardedFold.minRowsPerShard
+    graft.operators.ShardedFold.minRowsPerShard = 1L
+    try {
+      val got = graft.operators.ShardedFold.prefix(s,
+          keyCols = Nil, orderCols = Seq("bucket"),
+          sums = Seq("v" -> "cum"), idxCol = None, shards = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, "signed sums-only fold diverges")
+    } finally { graft.operators.ShardedFold.minRowsPerShard = savedFloor }
+  }
+
   test("sharded unkeyed segmentation equals the keyed-loop form on random series") {
     import spark.implicits._
     import graft.operators.Temporal

@@ -88,6 +88,18 @@ object Dedup {
     */
   @volatile private[graft] var localMaxEdges: Long = 1L << 22
 
+  /** The BOXED damped-iteration cutovers' smaller bound: [[localMaxEdges]]
+    * is sized for primitive (long, long) rows (~64 MB at the default),
+    * but [[Graph]]'s replicas for non-long node ids retain boxed id
+    * values plus per-round HashMap/BigDecimal state — several× the
+    * primitive estimate — so those paths gate here (2²⁰ edges) instead.
+    * Long-id graphs stream into primitive arrays under the full bound.
+    * The effective boxed bound is `min(localMaxEdges, localMaxEdgesBoxed)`
+    * so tests that force the distributed loop via `localMaxEdges = 0`
+    * force EVERY cutover, boxed included.
+    */
+  @volatile private[graft] var localMaxEdgesBoxed: Long = 1L << 20
+
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val df = TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
       .withColumn("h", xxhash64(col("shingle")))
@@ -937,7 +949,14 @@ object Dedup {
     // (type-generic) distributed loop
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && edges.count() <= localMaxEdges) {
+    // ONE gating action: edge count + null-id count. A NULL doc id would
+    // NPE the primitive getLong walk below, while the distributed
+    // fixpoint tolerates it (its joins simply never match NULL keys) —
+    // so observed nulls send the graph to the distributed loop, keeping
+    // the two paths' semantics identical instead of crashing one of them
+    val gate = edges.agg(count(lit(1)),
+      count(when(col("src").isNull || col("dst").isNull, 1))).collect()(0)
+    if (longIds && gate.getLong(0) <= localMaxEdges && gate.getLong(1) == 0L) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()

@@ -63,14 +63,86 @@ object Graph {
     (Dedup.cached(e.join(deg, Seq("src"))), deg)
   }
 
-  /** Collected `(src, dst, deg(src))` rows for the damped-iteration
-    * local cutovers, or None above the [[Dedup.localMaxEdges]] bound.
+  /** Collected edges for the damped-iteration local cutovers. Long-id
+    * graphs (the common case) hold PRIMITIVE long arrays (~24 B/edge
+    * retained with `deg`, ~16 B without); other id types retain boxed
+    * values. Iteration boxes long ids transiently at the callback — the
+    * replicas key their HashMaps on the boxed values either way.
     */
-  private def collectDampedEdges(ed: DataFrame): Option[Array[(Any, Any, Long)]] =
-    if (ed.count() <= Dedup.localMaxEdges)
-      Some(ed.select(col("src"), col("dst"), col("deg")).collect()
-        .map(r => (r.get(0), r.get(1), r.getLong(2))))
-    else None
+  private final class DampedEdges(
+      srcL: Array[Long], dstL: Array[Long],
+      srcO: Array[AnyRef], dstO: Array[AnyRef], degA: Array[Long]) {
+    val longIds: Boolean = srcL != null
+    private val n = if (longIds) srcL.length else srcO.length
+    def foreach(f: (Any, Any, Long) => Unit): Unit = {
+      var i = 0
+      if (longIds) while (i < n) { f(srcL(i), dstL(i), degA(i)); i += 1 }
+      else while (i < n) { f(srcO(i), dstO(i), degA(i)); i += 1 }
+    }
+    def foreachPair(f: (Any, Any) => Unit): Unit = {
+      var i = 0
+      if (longIds) while (i < n) { f(srcL(i), dstL(i)); i += 1 }
+      else while (i < n) { f(srcO(i), dstO(i)); i += 1 }
+    }
+  }
+
+  /** Collected `(src, dst[, deg])` edges for the damped-iteration local
+    * cutovers, or None when the graph must keep the distributed loop.
+    *
+    * Gating (ONE action: edge count + null-id count):
+    *  - long-id graphs stream via `toLocalIterator` into primitive
+    *    arrays (the [[Dedup.components]] discipline — never a boxed-Row
+    *    collect spike) under the full [[Dedup.localMaxEdges]] bound;
+    *  - other id types retain boxed values plus per-round hash/decimal
+    *    state at several× the primitive footprint, so they gate at
+    *    `min(localMaxEdges, localMaxEdgesBoxed)` (the min keeps
+    *    "localMaxEdges = 0 forces distributed" true for every path);
+    *  - `requireLongIds` lets a caller whose replica keys a lookup on a
+    *    PRIMITIVE long (PPR's seed probe) refuse boxed graphs outright —
+    *    an Integer-keyed map would miss a Long seed by boxed equality
+    *    and silently return a seedless result;
+    *  - any NULL id sends the graph distributed: the joins there never
+    *    match NULL keys, and the replicas must not reinvent that
+    *    semantics with boxed nulls (or NPE on primitive reads).
+    */
+  private def collectDampedEdges(ed: DataFrame, withDeg: Boolean,
+      requireLongIds: Boolean): Option[DampedEdges] = {
+    val longIds = Seq("src", "dst").forall(c =>
+      ed.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (requireLongIds && !longIds) return None
+    val bound =
+      if (longIds) Dedup.localMaxEdges
+      else math.min(Dedup.localMaxEdges, Dedup.localMaxEdgesBoxed)
+    val gate = ed.agg(count(lit(1)),
+      count(when(col("src").isNull || col("dst").isNull, 1))).collect()(0)
+    if (gate.getLong(0) > bound || gate.getLong(1) > 0L) return None
+    val n = gate.getLong(0).toInt
+    val cols = if (withDeg) Seq(col("src"), col("dst"), col("deg"))
+      else Seq(col("src"), col("dst"))
+    val rows = ed.select(cols: _*).toLocalIterator()
+    val degA = if (withDeg) new Array[Long](n) else null
+    var i = 0
+    if (longIds) {
+      val s = new Array[Long](n); val d = new Array[Long](n)
+      while (rows.hasNext) {
+        val r = rows.next()
+        s(i) = r.getLong(0); d(i) = r.getLong(1)
+        if (withDeg) degA(i) = r.getLong(2)
+        i += 1
+      }
+      Some(new DampedEdges(s, d, null, null, degA))
+    } else {
+      val s = new Array[AnyRef](n); val d = new Array[AnyRef](n)
+      while (rows.hasNext) {
+        val r = rows.next()
+        s(i) = r.get(0).asInstanceOf[AnyRef]
+        d(i) = r.get(1).asInstanceOf[AnyRef]
+        if (withDeg) degA(i) = r.getLong(2)
+        i += 1
+      }
+      Some(new DampedEdges(null, null, s, d, degA))
+    }
+  }
 
   private def rankSchema(ed: DataFrame) =
     org.apache.spark.sql.types.StructType(Seq(
@@ -87,14 +159,14 @@ object Graph {
     // so the driver replica is bit-identical to the distributed
     // iteration (PropertySpec pins exact equality), at none of the
     // per-round join/agg job cost.
-    collectDampedEdges(ed).foreach { earr =>
+    collectDampedEdges(ed, withDeg = true, requireLongIds = false).foreach { de =>
       import java.math.{BigDecimal => JBD}
       // per-SOURCE contribution decimals are computed once per round
       // (≈ nodes entries), so the per-EDGE hot loop is one map lookup +
       // one exact JBD.add — the Double.toString decimal parse never
       // runs per edge
       val degMap = new java.util.HashMap[Any, java.lang.Long]()
-      earr.foreach { case (s, _, dg) => degMap.put(s, dg) }
+      de.foreach((s, _, dg) => degMap.put(s, dg))
       val n = degMap.size.toLong
       var r = new java.util.HashMap[Any, java.lang.Double]()
       degMap.keySet().forEach(nd => r.put(nd, roundAt(1.0 / n, 12)))
@@ -106,7 +178,7 @@ object Graph {
             contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
         }
         val acc = new java.util.HashMap[Any, JBD]()
-        earr.foreach { case (s, d, _) =>
+        de.foreach { (s, d, _) =>
           val c = contrib.get(s)
           if (c != null) acc.merge(d, c, (x, y) => x.add(y))
         }
@@ -164,10 +236,16 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     // SMALL-GRAPH CUTOVER — same bit-exact replica discipline as
     // [[pageRankWith]], with all teleport mass restarting at the seed.
-    collectDampedEdges(ed).foreach { earr =>
+    // LONG-ID GRAPHS ONLY (requireLongIds — the kCore gate, ADVICE r15):
+    // the seed probe below keys a HashMap on boxed node ids, and a
+    // non-Long id column (Integer(5) != Long(5)) would miss the seed by
+    // boxed equality and silently return a seedless result where the
+    // distributed join (`col("src") === seed`, numerically coerced)
+    // finds it. Non-long graphs keep the distributed loop.
+    collectDampedEdges(ed, withDeg = true, requireLongIds = true).foreach { de =>
       import java.math.{BigDecimal => JBD}
       val degMap = new java.util.HashMap[Any, java.lang.Long]()
-      earr.foreach { case (s, _, dg) => degMap.put(s, dg) }
+      de.foreach((s, _, dg) => degMap.put(s, dg))
       val inGraph = degMap.containsKey(seed)
       var r = new java.util.HashMap[Any, java.lang.Double]()
       if (inGraph) r.put(seed, 1.0)
@@ -179,7 +257,7 @@ object Graph {
             contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
         }
         val acc = new java.util.HashMap[Any, JBD]()
-        earr.foreach { case (s, d, _) =>
+        de.foreach { (s, d, _) =>
           val c = contrib.get(s)
           if (c != null) acc.merge(d, c, (x, y) => x.add(y))
         }
@@ -532,11 +610,13 @@ object Graph {
     // is BIT-IDENTICAL to the distributed half-steps — pinned by a
     // PropertySpec exact-equality test — while skipping ~6 persisted
     // frames + 6 normalizer collects of fixed per-job cost per call.
-    // Works for any node id type (the maps key on the raw values).
-    if (e.count() <= Dedup.localMaxEdges) {
+    // Works for any node id type (the maps key on the raw values) —
+    // long-id graphs stream into primitive arrays under the full bound,
+    // boxed id types gate at the smaller boxed bound, NULL ids keep the
+    // distributed form (see [[collectDampedEdges]]).
+    collectDampedEdges(e, withDeg = false, requireLongIds = false).foreach { de =>
       val spark = edges.sparkSession
       import java.math.{BigDecimal => JBD}
-      val earr = e.collect().map(r => (r.get(0), r.get(1)))
       def l1Local(raw: java.util.HashMap[Any, JBD])
           : java.util.HashMap[Any, java.lang.Double] = {
         // raw values are the decimal-exact half-step sums CAST TO DOUBLE
@@ -557,21 +637,21 @@ object Graph {
         m
       }
       var h = new java.util.HashMap[Any, java.lang.Double]()
-      earr.foreach { case (s, d) =>
+      de.foreachPair { (s, d) =>
         h.putIfAbsent(s, 1.0); h.putIfAbsent(d, 1.0); ()
       }
       var a = new java.util.HashMap[Any, java.lang.Double]()
       for (_ <- 1 to iters) {
         val hDec = decOf(h)
         val araw = new java.util.HashMap[Any, JBD]()
-        earr.foreach { case (s, d) =>
+        de.foreachPair { (s, d) =>
           val c = hDec.get(s)
           if (c != null) araw.merge(d, c, (x, y) => x.add(y))
         }
         a = l1Local(araw)
         val aDec = decOf(a)
         val hraw = new java.util.HashMap[Any, JBD]()
-        earr.foreach { case (s, d) =>
+        de.foreachPair { (s, d) =>
           val c = aDec.get(d)
           if (c != null) hraw.merge(s, c, (x, y) => x.add(y))
         }

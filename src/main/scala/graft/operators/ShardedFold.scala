@@ -84,6 +84,19 @@ private[graft] object ShardedFold {
     val groupCols = (shardCol +: partCols).map(col)
     val perShard = sh.groupBy(groupCols: _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
+    // same order-free exactness contract as [[prefix]], enforced on the
+    // resolved aggregate types so DIRECT callers (packBatchesSharded,
+    // globalOrder, cusumSegments) are covered too: a float/double
+    // per-shard aggregate depends on partition order and would make the
+    // stitch non-reproducible
+    aggs.foreach { case (_, name) =>
+      val dt = perShard.schema("_m_" + name).dataType
+      import org.apache.spark.sql.types._
+      require(dt.isInstanceOf[DecimalType] || dt == LongType ||
+        dt == IntegerType || dt == ShortType || dt == ByteType,
+        s"ShardedFold.shardOffsets: aggregate '$name' must be integral " +
+          s"or decimal (order-free across partitions); got $dt")
+    }
     val wOff = (if (partCols.isEmpty) Window.partitionBy()
       else Window.partitionBy(partCols.map(col): _*))
       .orderBy(col(shardCol))
@@ -143,6 +156,21 @@ private[graft] object ShardedFold {
       shards: Int): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(idxCol.nonEmpty || sums.nonEmpty, "nothing to fold")
+    // EXACTNESS CONTRACT (ADVICE r15): the sharded path's per-shard sums
+    // + offset stitch add in a different order than the single running
+    // window, so the adaptive dispatch is only a pure cost knob when the
+    // sums are ORDER-FREE — integral or decimal. Float/double sums would
+    // make the 65536-row floor a silent semantics switch; reject them at
+    // the API (cast through DECIMAL first — the Graph fencing discipline).
+    sums.foreach { case (valCol, _) =>
+      val dt = df.schema(valCol).dataType
+      import org.apache.spark.sql.types._
+      require(dt.isInstanceOf[DecimalType] || dt == LongType ||
+        dt == IntegerType || dt == ShortType || dt == ByteType,
+        s"ShardedFold.prefix: sum column '$valCol' must be integral or " +
+          s"decimal (order-free exact addition across shards); got $dt — " +
+          "cast through DecimalType first")
+    }
     val outCols = df.columns.toSeq ++ idxCol.toSeq ++ sums.map(_._2)
     val base = df.localCheckpoint()
     val n = base.count()

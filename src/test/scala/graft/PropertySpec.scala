@@ -446,6 +446,86 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PPR: non-Long node ids keep the distributed loop (no boxed-equality seed miss)") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    // INTEGER ids — under the old Any-keyed cutover, degMap.containsKey(5L)
+    // missed Integer(5) by boxed equality and the local path silently
+    // returned a seedless/empty result while the distributed join
+    // (numerically coerced) found the seed (ADVICE r15, medium)
+    val edges = Seq((5, 6), (6, 7), (5, 7), (7, 8))
+      .toDF("a", "b")
+      .select(col("a").cast("int").as("a"), col("b").cast("int").as("b"))
+    def keyD(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val dflt = keyD(Graph.personalizedPageRank(edges, seed = 5L, iters = 2))
+    assert(dflt.nonEmpty, "int-id PPR with an in-graph seed must rank nodes")
+    val saved = Dedup.localMaxEdges
+    Dedup.localMaxEdges = 0L
+    try {
+      val dist = keyD(Graph.personalizedPageRank(edges, seed = 5L, iters = 2))
+      assert(dflt == dist, "int-id PPR diverges between default and forced-distributed")
+    } finally { Dedup.localMaxEdges = saved }
+    Dedup.uncacheAll()
+  }
+
+  test("components/damped cutovers: NULL ids fall back to the distributed loop") {
+    import graft.operators.{Dedup, Graph}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType, nullable = true),
+      StructField("doc_b", LongType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, 2L), Row(2L, 3L), Row(null, 4L), Row(5L, null), Row(6L, 7L))
+    val pairs = spark.createDataFrame(rows, schema)
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull ->
+        Option(r.get(1)).map(_.toString).orNull).toSet
+    // before the fix this NPE'd in the union-find's getLong walk; now the
+    // null-id graph keeps the distributed fixpoint on BOTH settings
+    val dflt = labels(Dedup.components(pairs))
+    val saved = Dedup.localMaxEdges
+    Dedup.localMaxEdges = 0L
+    try assert(dflt == labels(Dedup.components(pairs)),
+      "null-id components diverge between default and forced-distributed")
+    finally { Dedup.localMaxEdges = saved }
+    Dedup.uncacheAll()
+    // same guard on the damped-iteration family (hits boxes NULL keys into
+    // its score maps where the distributed join would drop them)
+    val eSchema = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", LongType, nullable = true)))
+    val eRows = java.util.Arrays.asList(Row(1L, 2L), Row(null, 3L), Row(2L, 3L))
+    val edges = spark.createDataFrame(eRows, eSchema)
+    def hkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val hDflt = hkey(Graph.hits(edges, 2))
+    Dedup.localMaxEdges = 0L
+    try assert(hDflt == hkey(Graph.hits(edges, 2)),
+      "null-id HITS diverges between default and forced-distributed")
+    finally { Dedup.localMaxEdges = saved }
+    Dedup.uncacheAll()
+  }
+
+  test("ShardedFold rejects order-sensitive (floating) sum columns") {
+    import spark.implicits._
+    import graft.operators.ShardedFold
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("bucket", "v")
+    val e = intercept[IllegalArgumentException] {
+      ShardedFold.prefix(df, Nil, Seq("bucket"),
+        sums = Seq("v" -> "cum"), idxCol = None, shards = 4)
+    }
+    assert(e.getMessage.contains("integral or decimal"))
+    // the decimal-fenced form is the supported spelling
+    val ok = ShardedFold.prefix(
+      df.select(col("bucket"), col("v").cast("decimal(18,4)").as("v")),
+      Nil, Seq("bucket"), sums = Seq("v" -> "cum"), idxCol = None, shards = 4)
+    assert(ok.collect().map(_.getDecimal(2).doubleValue()).sorted.toSeq
+      == Seq(1.5, 4.0))
+  }
+
   test("blocked fuzzy join prefilters are lossless on adversarial strings") {
     import spark.implicits._
     import graft.operators.Joins

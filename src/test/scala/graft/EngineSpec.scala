@@ -7005,4 +7005,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-restart merge must continue the running sample")
     Dedup.uncacheAll()
   }
+
+  test("forced distributed graph loops keep exchange-bearing plans (cutover rot guard)") {
+    // The small-graph driver replicas now execute on every fixture-sized
+    // graph, so the DISTRIBUTED loops are only exercised by forced-path
+    // tests. PropertySpec pins their VALUES; this pins their SHAPE: under
+    // localMaxEdges = 0 each family's output plan must still carry an
+    // Exchange (the edge-keyed shuffle of the real iteration) and must
+    // NOT be the replica's LocalTableScan — so an edit that reroutes a
+    // forced path through a replica (or a driver collect) fails loudly
+    // here even if its numbers happen to agree.
+    import graft.operators.{Dedup, Graph}
+    // spark.range, NOT Seq.toDF: a local-Seq fixture would itself plan as
+    // a LocalTableScan and trip the replica check below
+    val edges = spark.range(200)
+      .select(col("id").as("a"), ((col("id") * 7L + 1L) % 200L).as("b"))
+    val saved = Dedup.localMaxEdges
+    Dedup.localMaxEdges = 0L
+    try {
+      def pin(name: String, df: org.apache.spark.sql.DataFrame,
+          needExchange: Boolean = true): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("LocalTableScan"),
+          s"$name: forced-distributed plan degenerated to a local replica:\n$plan")
+        if (needExchange) assert(plan.contains("Exchange"),
+          s"$name: forced-distributed plan lost its shuffle:\n$plan")
+      }
+      pin("pageRank", Graph.pageRank(edges, iters = 2))
+      pin("personalizedPageRank",
+        Graph.personalizedPageRank(edges, seed = 0L, iters = 2))
+      pin("hits", Graph.hits(edges, iters = 2))
+      pin("kCore", Graph.kCore(edges, k = 2, rounds = 2))
+      // components' distributed output is a lineage-cut ExistingRDD scan
+      // (the loop's exchanges already executed) — the LocalTableScan
+      // check alone distinguishes it from the union-find replica
+      pin("components",
+        Dedup.components(edges.toDF("doc_a", "doc_b")), needExchange = false)
+    } finally { Dedup.localMaxEdges = saved }
+    Dedup.uncacheAll()
+  }
 }

@@ -102,9 +102,18 @@ object Bench {
     val failed = med.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = med.values.filter(_ >= 0).sum
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // cache-residency line (r15 verdict task #1): live artifact frames,
+    // their resident bytes, evictions the budget performed, plus the
+    // whole block manager's persisted footprint for context
+    val (artFrames, artBytes, artEvictions) = SparkEntry.artifactResidency()
+    val rddBytes = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
     val telemetry =
       s""""n_iters":$iters,"gc_sec":${jnum(gcSeconds - gcStart)}""" +
         s""","load_avg_start":${jnum(loadStart)},"load_avg_end":${jnum(loadAvg)}""" +
+        s""","artifact_frames":$artFrames,"artifact_bytes":$artBytes""" +
+        s""","artifact_evictions":$artEvictions,"rdd_storage_bytes":$rddBytes""" +
+        s""","heap_max_bytes":${Runtime.getRuntime.maxMemory}""" +
         s""","failed":${failed.mkString("[", ",", "]")},"sf":${jstr(sfDir)}"""
     // stdout gets the COMPACT line (medians only): the driver parses a
     // bounded stdout tail, and round 3's full per-iteration dump overflowed

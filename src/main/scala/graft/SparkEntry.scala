@@ -59,8 +59,92 @@ object SparkEntry {
     * [[invalidateArtifactCaches]] or the cached artifacts are stale by
     * design (they memoize reads of immutable dump artifacts).
     */
+  private final class CachedFrame(val df: DataFrame, val bytes: Long) {
+    val lastUse = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
   private val artifactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedFrame]()
+
+  /** Total-bytes budget for the memoized artifact frames. The r15 cache
+    * pinned ~15 MEMORY_AND_DISK frames with NO cap — residency grew with
+    * the registry and forced the bench heap from 16g to 32g (GC storms
+    * were the symptom, unbounded cache the cause). When an insert pushes
+    * resident artifact bytes past this budget, the COLDEST entries
+    * (least-recently-served, never the one just inserted) are unpersisted
+    * and dropped until under budget. Eviction can never affect
+    * correctness by construction: a consumer's next call misses and
+    * re-derives the artifact from the immutable dump — it costs a
+    * rebuild, nothing else. Mutable ONLY so tests can force eviction on
+    * fixture-sized artifacts.
+    */
+  @volatile private[graft] var artifactBudgetBytes: Long = 8L << 30
+
+  /** Monotone access clock for the LRU order (wall time would tie under
+    * burst access).
+    */
+  private val useTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Evictions performed so far — bench telemetry. */
+  private val evictionCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (live artifact frames, resident bytes, evictions so far) across all
+    * sessions — the bench residency line.
+    */
+  def artifactResidency(): (Int, Long, Long) = {
+    var n = 0; var b = 0L
+    artifactCache.values().forEach { e => n += 1; b += e.bytes }
+    (n, b, evictionCount.get())
+  }
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    // an entry may belong to a since-stopped session whose block manager
+    // is gone — nothing to release there; a throw here must not abort
+    // the caller's sweep
+    try df.unpersist(blocking = false)
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
+
+  /** Unpersist-coldest until resident artifact bytes fit the budget.
+    * `keep` (the key just inserted) is never evicted — the budget is a
+    * pressure valve, not an admission policy; a single artifact larger
+    * than the whole budget still serves its consumers and simply evicts
+    * everything else.
+    */
+  private def enforceArtifactBudget(keep: String): Unit = {
+    var total = 0L
+    artifactCache.values().forEach(e => total += e.bytes)
+    if (total <= artifactBudgetBytes) return
+    val victims = new java.util.ArrayList[(String, CachedFrame)]()
+    artifactCache.forEach { (k, e) => if (k != keep) victims.add((k, e)); () }
+    victims.sort((a, b) => java.lang.Long.compare(
+      a._2.lastUse.get(), b._2.lastUse.get()))
+    val it = victims.iterator()
+    while (total > artifactBudgetBytes && it.hasNext) {
+      val (k, e) = it.next()
+      // remove(k, e) not remove(k): a concurrent re-insert under the same
+      // key must not lose its fresh entry to this sweep
+      if (artifactCache.remove(k, e)) {
+        unpersistQuietly(e.df)
+        total -= e.bytes
+        evictionCount.incrementAndGet()
+      }
+    }
+  }
+
+  /** Actual cached size of a persisted-and-materialized frame: the
+    * InMemoryRelation's accumulated batch statistics, read off the
+    * optimized plan (cache substitution has already resolved by the time
+    * this runs, right after the materializing count). Falls back to 0 —
+    * an unknown size must not block caching, it just escapes the budget.
+    */
+  private def cachedPlanBytes(df: DataFrame): Long =
+    try {
+      val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (s.isValidLong) s.toLong else Long.MaxValue
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Drop every memoized derived artifact and unpersist its blocks — the
     * invalidation hook for long-lived sessions whose dump dirs get
@@ -71,15 +155,7 @@ object SparkEntry {
     val it = artifactCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      // an entry may belong to a since-stopped session whose block
-      // manager is gone — nothing to release there; a throw here would
-      // abort the sweep and leave the REMAINING entries (and the BPE
-      // cache) stale, which is exactly what this hook exists to prevent
-      try e.getValue.unpersist(blocking = false)
-      catch {
-        case _: InterruptedException => Thread.currentThread().interrupt()
-        case scala.util.control.NonFatal(_) => ()
-      }
+      unpersistQuietly(e.getValue.df)
       it.remove()
     }
     bpeMergeCache.clear()
@@ -128,11 +204,7 @@ object SparkEntry {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.startsWith(prefix)) {
-        try e.getValue.unpersist(blocking = false)
-        catch {
-          case _: InterruptedException => Thread.currentThread().interrupt()
-          case scala.util.control.NonFatal(_) => ()
-        }
+        unpersistQuietly(e.getValue.df)
         it.remove()
       }
     }
@@ -180,13 +252,25 @@ object SparkEntry {
     registerSessionCleanup(s)
     val key = s"${sessionKey(s)}:$dir:$name"
     val existing = artifactCache.get(key)
-    if (existing != null) return existing
+    if (existing != null) {
+      existing.lastUse.set(useTick.incrementAndGet())
+      return existing.df
+    }
     val df = build
     val cut = s.createDataFrame(df.rdd, df.schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cut.count()
-    val prev = artifactCache.putIfAbsent(key, cut)
-    if (prev != null) { cut.unpersist(blocking = false); prev } else cut
+    val entry = new CachedFrame(cut, cachedPlanBytes(cut))
+    entry.lastUse.set(useTick.incrementAndGet())
+    val prev = artifactCache.putIfAbsent(key, entry)
+    if (prev != null) {
+      cut.unpersist(blocking = false)
+      prev.lastUse.set(useTick.incrementAndGet())
+      prev.df
+    } else {
+      enforceArtifactBudget(keep = key)
+      cut
+    }
   }
 
   /** Driver-side trained-model memo (PQ models: tiny case classes of
@@ -368,6 +452,19 @@ object SparkEntry {
     memoFrame(s, dir, "simhashPairs") {
       Dedup.simhashPairs(t(s, dir, "documents"), n = 3, tau = 0.6,
         maxHamming = 6)
+    }
+
+  /** The exact n-gram Jaccard truth pair set at the registry
+    * parameterization (n = 3, tau = 0.6) — `dedup_ngram_jaccard`
+    * deliberately prices the full inverted-index build itself (the
+    * minhash-LSH canonical-row discipline); `dedup_simhash_recall`'s
+    * truth side is its serve-side consumer (the recall audit previously
+    * re-derived this whole set per call — the r15 simhash-trio
+    * cost finding).
+    */
+  private def ngramTruthArt(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "ngramTruth") {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.6)
     }
 
   /** The blocked-Levenshtein candidate pair set over `customer` at the
@@ -1258,10 +1355,11 @@ object SparkEntry {
       // prefilter-quality audit at the SHIPPED simhash config: recall of
       // the Hamming-6 pair set vs the exact-Jaccard truth at the same tau
       // (emitted ⊆ truth because simhash pairs are Jaccard-verified);
-      // audits the SHARED pair artifact — the same frame the collapse
-      // row publishes
-      Dedup.simhashRecallEvalWith(t(s, dir, "documents"),
-        simhashPairsArt(s, dir), n = 3, tau = 0.6)),
+      // BOTH sides are shared artifacts — emitted is the collapse row's
+      // pair set, truth is the exact n-gram set dedup_ngram_jaccard
+      // prices at the identical (n, tau) — so the audit is one
+      // pair-keyed join, not a third derivation of either chain
+      Dedup.pairRecallEval(ngramTruthArt(s, dir), simhashPairsArt(s, dir))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau = 0.4)
         .orderBy(col("id_a"), col("id_b"))),

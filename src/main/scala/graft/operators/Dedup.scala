@@ -509,11 +509,22 @@ object Dedup {
   def simhashRecallEvalWith(
       docs: DataFrame, emitted: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, tau: Double = 0.6): DataFrame = {
-    val truth = ngramJaccardPairs(docs, idCol, textCol, n, tau)
-      .select(col("doc_a"), col("doc_b"))
+      n: Int = 3, tau: Double = 0.6): DataFrame =
+    pairRecallEval(ngramJaccardPairs(docs, idCol, textCol, n, tau), emitted)
+
+  /** The audit with BOTH sides already built — the registry seam that
+    * compares a shared emitted-pair artifact against a shared truth-pair
+    * artifact (the exact [[ngramJaccardPairs]] set another row already
+    * publishes) without re-running either derivation. `truth` and
+    * `emitted` must be (doc_a, doc_b)-keyed pair frames over the same
+    * corpus with `emitted ⊆ truth` for the recall semantics to hold
+    * (true for [[simhashPairs]]' Jaccard-verified output vs the same-tau
+    * truth set by construction).
+    */
+  def pairRecallEval(truth: DataFrame, emitted: DataFrame): DataFrame = {
+    val tr = truth.select(col("doc_a"), col("doc_b"))
     val em = emitted.select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
-    truth.join(em, Seq("doc_a", "doc_b"), "left_outer")
+    tr.join(em, Seq("doc_a", "doc_b"), "left_outer")
       .agg(
         count(lit(1)).as("n_truth"),
         coalesce(sum(col("hit")), lit(0L)).as("n_emitted"))

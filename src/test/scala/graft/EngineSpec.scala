@@ -7006,6 +7006,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("artifact cache evicts coldest under a byte budget and re-derives on miss") {
+    import graft.operators.Dedup
+    // dedup_best_rep consumes TWO memoized artifacts (the LSH pair set
+    // and its components fixpoint), so a 1-byte budget forces every
+    // insert to evict its predecessor — the row must then re-derive
+    // evicted artifacts on miss and return the identical result, while
+    // the residency line records the evictions (r15 verdict task #1).
+    def rows() = SparkEntry.queries("dedup_best_rep")(spark, sf).collect()
+      .map(_.toString).toSet
+    SparkEntry.invalidateArtifactCaches()
+    val baseline = rows()
+    Dedup.uncacheAll()
+    SparkEntry.invalidateArtifactCaches()
+    val savedBudget = SparkEntry.artifactBudgetBytes
+    val evictionsBefore = SparkEntry.artifactResidency()._3
+    SparkEntry.artifactBudgetBytes = 1L
+    try {
+      assert(rows() == baseline,
+        "budget-forced eviction changed a consumer's result")
+      val (frames, bytes, evictions) = SparkEntry.artifactResidency()
+      assert(frames <= 1,
+        s"1-byte budget must keep at most the just-inserted frame, got $frames")
+      assert(evictions > evictionsBefore, "no eviction recorded under pressure")
+      assert(bytes >= 0L)
+    } finally {
+      SparkEntry.artifactBudgetBytes = savedBudget
+      SparkEntry.invalidateArtifactCaches()
+      Dedup.uncacheAll()
+    }
+  }
+
   test("forced distributed graph loops keep exchange-bearing plans (cutover rot guard)") {
     // The small-graph driver replicas now execute on every fixture-sized
     // graph, so the DISTRIBUTED loops are only exercised by forced-path

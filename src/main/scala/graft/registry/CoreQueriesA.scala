@@ -1,0 +1,1823 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Assoc, Dedup, DiskUsageOp, Graph, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.SparkEntry._
+
+/** relational/temporal/graph core rows (A: keys up to q_kanon_audit) — mechanically split out of the monolithic SparkEntry registry
+  * (it had passed 10k lines); entry bodies and oracle SQL are unchanged,
+  * shared helpers stay on [[graft.SparkEntry]]. The CoreSpec source
+  * tripwire scans every file in this package.
+  */
+private[graft] object CoreQueriesA {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_hilbert_layout" -> ((s, dir) =>
+      // the same zone-map audit on the HILBERT key: one row-local
+      // bit-round fold per bit (linear chained projections, one codegen
+      // stage), then the per-bucket rectangle agg; oracle replays the
+      // identical fold as a generated CTE chain
+      Layout.hilbertStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bits = 16, bucketShift = 20)
+        .orderBy(col("h_bucket"))),
+    "q_curve_locality" -> ((s, dir) =>
+      // measured Morton-vs-Hilbert locality on real keys: per curve the
+      // bucket count + summed/max bounding-rectangle areas — the evidence
+      // for choosing a clustering key instead of taking the Hilbert
+      // guarantee on faith
+      Layout.curveLocality(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bits = 16, numFiles = 32)
+        .orderBy(col("curve"))),
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q3_join_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+    "q_join_broadcast_nation" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))),
+    "q_intersect_users" -> ((s, dir) =>
+      t(s, dir, "events").select(col("user_id").as("id"))
+        .intersect(t(s, dir, "customer").select(col("c_custkey").as("id")))
+        .orderBy(col("id"))),
+    "q_except_users" -> ((s, dir) =>
+      // customers minus event users — the direction that is NON-EMPTY on the
+      // fixtures (1350 rows at sf0.01), so a broken EXCEPT cannot pass by
+      // trivially agreeing on an empty result
+      t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .except(t(s, dir, "events").select(col("user_id").as("id")))
+        .orderBy(col("id"))),
+    "q_distinct_count" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))),
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod"))),
+
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .filter(col("n_cust") >= 50)
+        .orderBy(col("c_nationkey"))),
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("q"), col("m"), col("d"))),
+    "q_filtered_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_discounted"))
+        .orderBy(col("l_returnflag"))),
+    "q_grouping_sets" -> ((s, dir) => {
+      // SQL entry point: GROUPING SETS has no DataFrame-API form
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+          |       COALESCE(l_linestatus,'ALL') AS linestatus,
+          |       COUNT(*) AS n_items
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus))
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+    "q_correlated_subquery" -> ((s, dir) => {
+      // Catalyst decorrelates the scalar subqueries into aggregates + joins.
+      // "above the nation average" is phrased as bal·n > Σbal with a
+      // decimal-exact sum — an order-insensitive equivalent (a raw AVG of
+      // doubles differs in final ulps between engines).
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_v c
+          |WHERE c_acctbal * (SELECT COUNT(*) FROM customer_v c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |      > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+          |         FROM customer_v c3 WHERE c3.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          array_max(col("embedding")).cast("double").as("arr_max"),
+          array_min(col("embedding")).cast("double").as("arr_min"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"))
+        .orderBy(col("vec_id"))),
+    "q_asof_prev_order" -> ((s, dir) =>
+      Temporal.previousByKey(t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          col("prev_o_orderkey").as("prev_orderkey"),
+          to_date(col("prev_o_orderdate")).as("prev_date"),
+          datediff(to_date(col("o_orderdate")), to_date(col("prev_o_orderdate")))
+            .cast("long").as("gap_days"))
+        .filter(col("prev_orderkey").isNotNull) // first order per key has no as-of match
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+    "q_asof_join_2table" -> ((s, dir) => {
+      // true two-table AS-OF join (union-and-sweep rewrite, one exchange):
+      // each click joined to the user's most recent at-or-before purchase.
+      // The purchase side is pre-aggregated to unique (user, time) so tie
+      // resolution is well-defined in both engines; DuckDB's native ASOF
+      // LEFT JOIN is the oracle. ts unit: type-driven (Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // as-of with MAX STALENESS (pandas merge_asof tolerance): a matched
+      // purchase older than one day reads as no match — the sweep already
+      // found the nearest, so the tolerance is a row-local null-out, not
+      // a re-sweep. Mix at sf0.01: ~700 kept / ~1100 stale / ~140 bare.
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id",
+          toleranceMicros = Some(86400000000L))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q_asof_join_forward" -> ((s, dir) => {
+      // FORWARD as-of: each click joined to the user's EARLIEST
+      // at-or-after purchase (the next-delivery lookup) — the mirrored
+      // union-and-sweep, still one exchange, no join node
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id",
+          direction = "forward")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q_asof_join_payload" -> ((s, dir) => {
+      // as-of join WITH payload carry-through: the matched purchase's value
+      // arrives on the same single-exchange sweep (struct-atomic last), not
+      // via a second join back on asof_rid. Purchase side pre-aggregated to
+      // unique (user, time) with MAX id/value so tie resolution is
+      // well-defined in both engines; DuckDB native ASOF LEFT JOIN oracle.
+      // ts unit: type-driven (see q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          col("ts_us").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("p_id"), max(col("value")).as("p_value"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "us", "event_id", "p_id",
+          payload = Seq("p_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q_interval_join_2stream" -> ((s, dir) => {
+      // the stream-stream interval join's PLAN over batch frames — the same
+      // graft.streaming.StreamJoin.joinWithin function registered here so
+      // the two-stream policy has its own DuckDB range-join oracle row
+      // (EngineSpec separately asserts streaming output equals this batch
+      // form on the same rows; the watermark is a no-op on batch plans).
+      // ts unit: type-driven (see q_sessionize / Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamJoin
+        .joinWithin(clicks, purchases, watermarkDelay = "10 minutes", withinSeconds = 86400L)
+        .select(
+          col("key").as("user_id"),
+          col("l_id").as("click_id"), unix_micros(col("ts")).as("click_us"),
+          col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+    "q_interval_coalesce" -> ((s, dir) => {
+      // the interval-algebra primitive: per-customer order spans (start =
+      // order date as epoch days, length = orderkey-derived 1..10 days)
+      // merged into maximal disjoint spans; touching spans merge (closed
+      // intervals — the documented contract). Oracle replays the running-
+      // max flag, the span cumsum, and the aggregation verbatim.
+      val iv = t(s, dir, "orders").select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("s"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") +
+          col("o_orderkey") % 10 + 1).as("e"))
+      Temporal.coalesceIntervals(iv, "o_custkey", "s", "e")
+        .select(col("o_custkey"), col("span_idx"),
+          col("span_start"), col("span_end"), col("n_intervals"))
+        .orderBy(col("o_custkey"), col("span_idx"))
+    }),
+    "q_interval_join_outer" -> ((s, dir) => {
+      // the LEFT OUTER form: clicks with no in-window purchase survive with
+      // NULL purchase columns — on a stream these rows emit once both
+      // watermarks prove no match can still arrive; this batch plan is the
+      // identical join. ts unit: type-driven (Temporal.eventsMicros).
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamJoin
+        .joinWithin(clicks, purchases, watermarkDelay = "10 minutes",
+          withinSeconds = 86400L, joinType = "left_outer")
+        .select(
+          col("key").as("user_id"),
+          col("l_id").as("click_id"), unix_micros(col("ts")).as("click_us"),
+          col("r_id").as("purchase_id"), unix_micros(col("r_ts")).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+    "q_anti_join" -> ((s, dir) =>
+      // NOT EXISTS: customers with no orders in 1997-H1. Every fixture
+      // customer has SOME order, so the unfiltered anti-join is empty and
+      // non-discriminating; the date window makes the result non-empty
+      // (701 rows at sf0.01) while keeping the anti-join shape.
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1997-07-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "q_cube_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_items"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+    "q_collect_agg" -> ((s, dir) =>
+      // order-insensitive list aggregation made deterministic: collect,
+      // SORT, then join — the only portable way to verify an agg whose
+      // input order is partitioning-dependent
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))),
+    "q_bool_agg" -> ((s, dir) =>
+      // boolean aggregates (bool_and/bool_or) — deterministic regardless of
+      // evaluation order, pinned cross-engine
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bool_and(l_quantity > 1)").as("all_gt1"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("bool_and(l_quantity <= 50)").as("all_le50"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    "q_bitwise_agg" -> ((s, dir) =>
+      // bitwise aggregates — exact integer results at any evaluation order
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 16).as("user_bucket"))
+        .agg(
+          expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_bucket"))),
+    "q_datetime_funcs" -> ((s, dir) =>
+      // calendar function surface: month truncation, month end, day counts,
+      // day-of-week (normalized to DuckDB's Sunday=0 convention)
+      t(s, dir, "orders")
+        .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          col("month_start"),
+          last_day(col("month_start")).as("month_end"),
+          dayofmonth(last_day(col("month_start"))).cast("long").as("days_in_month"),
+          (dayofweek(col("month_start")) - 1).cast("long").as("dow_start"),
+          col("n_orders"))
+        .orderBy(col("month_start"))),
+    "q_crossmodal_agreement" -> ((s, dir) => {
+      // CROSS-MODAL dedup agreement audit — the id-aligned embeddings ↔
+      // documents contract (the one dedup_semantic_rep already exploits)
+      // priced on one verified surface: per aligned id, would LEXICAL
+      // dedup remove it (a lower-id doc shares its normalized key within
+      // the aligned population, planted-twin corpus) vs would SEMANTIC
+      // dedup remove it (semDedup keep = false)? The 2×2 agreement
+      // matrix is the number that says whether embedding dedup can
+      // replace — or must complement — the lexical pass on a corpus.
+      // Shape: one key-agg + one id-keyed join on the lexical side, the
+      // verified cluster-bounded semDedup on the semantic side.
+      val sem = semDedupArt(s, dir)
+        .select(col("vec_id").as("doc_id"), (!col("keep")).as("sem_removed"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val aligned = docs.join(sem, Seq("doc_id"))
+        .select(col("doc_id"), Dedup.normalizedKey(col("text")).as("k"),
+          col("sem_removed"))
+      val groups = aligned.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id"))
+      aligned.join(groups, Seq("k"))
+        .select(col("sem_removed"),
+          (col("doc_id") =!= col("keep_id")).as("lex_removed"))
+        .groupBy(col("lex_removed"), col("sem_removed"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lex_removed"), col("sem_removed"))
+    }),
+    "q_explode_lateral" -> ((s, dir) =>
+      // table-generating function surface: posexplode (LATERAL VIEW) with
+      // positions — one row per token with its 0-based offset
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+        .orderBy(col("doc_id"), col("pos"))),
+    "q_acf" -> ((s, dir) => {
+      // which lag does usage echo at: per-event-type ACF of daily
+      // totals to lag 7 — n-scaled integer moments, no window at all
+      val daily = Temporal.dailyTotals(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("ts_us"), floor(col("value") * 100).cast("long").as("size")),
+        keyCol = "event_type", valCol = "size", rebaseDay = 19723L)
+      Temporal.acfByKey(daily, keyCol = "event_type", bucketCol = "x",
+          valCol = "y", maxLag = 7)
+        .orderBy(col("event_type"), col("lag_n"))
+    }),
+    "q_clustering_coeff" -> ((s, dir) => {
+      // local cohesion per part: triangles / C(deg,2) in exact ppm over
+      // the part co-occurrence graph — composes the degree-oriented
+      // wedge closing with one degree agg; deg<2 nodes emit NULL
+      Graph.clusteringCoefficientWith(partCoEdges(s, dir), triCounts(s, dir))
+        .orderBy(col("node"))
+    }),
+    "q_degree_assortativity" -> ((s, dir) => {
+      // Newman degree-mixing audit over the order—part incidence graph:
+      // one row of integer sufficient statistics (directed edge count,
+      // Σd, Σd·d', Σd²) + the 6-dp coefficient — the structural read
+      // before hub caps / skew salting. Bipartite incidence graphs mix
+      // disassortatively, which the sign pins. The oracle replays the
+      // identical degree joins and the same fixed-order expression.
+      val edges = incidenceEdges(s, dir)
+      Graph.degreeAssortativity(edges)
+    }),
+    "q_hits" -> ((s, dir) => {
+      // HITS over the DIRECTED order→part incidence graph: 3 iterations
+      // of fenced half-steps (decimal-exact contribution sums, broadcast
+      // 1-row L1 normalizers); orders surface as hubs, parts as
+      // authorities — top 100 by (auth, hub, node)
+      val edges = incidenceEdges(s, dir)
+      Graph.hits(edges, iters = 3)
+        .orderBy(col("auth").desc, col("hub").desc, col("node"))
+        .limit(100)
+    }),
+    "q_cusum_changepoints" -> ((s, dir) => {
+      // WHERE does the event-value level shift? hourly decimal-fenced
+      // bucket sums first (the series is bounded by the time range,
+      // never the event count), then the integer-exact scaled CUSUM
+      // n·S_i = n·cum_i − i·T with max-|·| argmax flagged (smallest
+      // bucket on ties) — drift located on a timeline, the continuous
+      // companion of q_drift_report's two-snapshot compare
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumChangepoints(ev).orderBy(col("bucket"))
+    }),
+    "q_cusum_by_key" -> ((s, dir) => {
+      // the production form of the question: WHICH user's usage level
+      // shifted, and when — per-user daily decimal-fenced totals, then
+      // the same integer n_k·S_i algebra per key with a per-key argmax,
+      // all windows sharing ONE partitionBy(key) exchange
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id").as("key"),
+          expr("ts_us DIV 86400000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("key"), col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumChangepointsByKey(ev)
+        .orderBy(col("key"), col("bucket"))
+    }),
+    "q_cusum_segments" -> ((s, dir) => {
+      // how many TIMES did the level shift? binary segmentation (depth 2
+      // → up to 4 segments) over the same integer n·S_i statistic and
+      // the same hourly decimal-fenced series as q_cusum_changepoints
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumSegments(ev, depth = 2).orderBy(col("bucket"))
+    }),
+    "q_cusum_segments_by_key" -> ((s, dir) => {
+      // how many times did EACH user's level shift? per-user daily
+      // totals (the q_cusum_by_key input), depth-2 binary segmentation
+      // per key — every window shares the (key, seg) exchange
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id").as("key"),
+          expr("ts_us DIV 86400000000").as("bucket"),
+          col("value").cast(DecimalType(18, 4)).as("dv"))
+        .groupBy(col("key"), col("bucket"))
+        .agg((sum(col("dv")) * 10000).cast("long").as("v"))
+      Temporal.cusumSegmentsByKey(ev, depth = 2)
+        .orderBy(col("key"), col("bucket"))
+    }),
+    "q_funnel" -> ((s, dir) =>
+      // ordered conversion funnel view → click → purchase: one user-keyed
+      // filter+join+agg per step (greedy earliest-completion chain — no
+      // window, no per-user history in one task)
+      Temporal.funnel(Temporal.eventsMicros(s, dir),
+          steps = Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))),
+    "q_gap_fill" -> ((s, dir) => {
+      // time-series gap filling: hourly activity with EXPLICIT zero rows
+      // for silent hours (the densified grid downstream joins need) —
+      // grid exploded from a one-row bounds agg (the bounded
+      // global-decision pattern), counts left-joined back on the hour key
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(expr("ts_us DIV 3600000000").as("hour_idx"), col("value"))
+      val byHour = ev.groupBy(col("hour_idx"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      val grid = byHour.agg(min("hour_idx").as("lo"), max("hour_idx").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+      grid.join(byHour, Seq("hour_idx"), "left")
+        .select(col("hour_idx"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+        .orderBy(col("hour_idx"))
+    }),
+    "q_cdc_compact" -> ((s, dir) => {
+      // CDC log compaction: latest record per key WITHOUT a window —
+      // argmax as max(struct(ts, tiebreak, payload)), which is map-side
+      // combinable, so a hot key collapses to one row per task before the
+      // exchange (a window would sort the key's whole history inside ONE
+      // task; nothing splits a window partition)
+      val ev = Temporal.eventsMicros(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+      ev.groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    "q_event_transitions" -> ((s, dir) =>
+      // first-order Markov matrix over per-user event sequences: one lag
+      // window + one map-side-combined pair count; probabilities are
+      // integer ppm of the FROM state's outgoing mass
+      Temporal.eventTransitions(Temporal.eventsMicros(s, dir))
+        .orderBy(col("prev_type"), col("next_type"))),
+    "q_kanon_audit" -> ((s, dir) =>
+      // k-anonymity release audit on the (event_type, hour-of-day)
+      // quasi-identifier: one QI-keyed agg + a one-row summary — the
+      // suppression-cost number a privacy review wants
+      Hygiene.kAnonAudit(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          expr("(ts_us DIV 3600000000) % 24").as("hour_of_day")),
+        Seq("event_type", "hour_of_day"), k = 50)),
+    "q_assoc_rules" -> ((s, dir) => {
+      // which part brands co-occur in orders beyond chance: A-priori
+      // pairwise rules over (order, brand) baskets — within-basket pair
+      // expansion bounded by basket size, support prune before the
+      // per-item joins, integer-ppm support/confidence/lift; top 100 by
+      // (lift, pair)
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Assoc.pairRules(baskets, minPairN = 20)
+        .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+    "q_ess_weights" -> ((s, dir) =>
+      // is the reweighted "sample" real? Kish effective sample size per
+      // event_type over the decimal-scaled values-as-weights — ESS
+      // collapsing toward 1 means a few rows carry all the weight
+      Splits.effectiveSampleSize(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("w")),
+        Seq("event_type"), "w")
+        .orderBy(col("event_type"))),
+    "q_dp_sensitivity" -> ((s, dir) =>
+      // the pre-release read for a user-level DP aggregate: per
+      // event_type, how hard can ONE user move the count (max_user_rows)
+      // or the sum (max_user_abs_sum), and does any single user dominate
+      // the group (top_user_share_ppm) — two stacked keyed aggs, exact
+      // integers on the decimal-scaled value
+      Hygiene.dpSensitivityAudit(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("user_id"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v")),
+        "user_id", Seq("event_type"), "v")
+        .orderBy(col("event_type"))),
+    "q_jackknife_ci" -> ((s, dir) =>
+      // the error bar the per-type value means should ship with:
+      // delete-one-md5-fold jackknife variance, deterministic folds,
+      // exact integer moments — two keyed aggs + one keyed join, no
+      // window, no group buffered anywhere
+      Hygiene.jackknifeVariance(
+        Temporal.eventsMicros(s, dir).select(col("event_type"),
+          col("event_id"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v")),
+        // v already carries 10⁴: the residual 10² makes the means
+        // micro-units of the ORIGINAL value and keeps Σm² ≪ 2⁶³
+        "event_type", "v", "event_id", scale = 100L)
+        .orderBy(col("event_type"))),
+    "q_fuzzy_blocked" -> ((s, dir) =>
+      // entity-resolution candidates: (nation, segment)-blocked customer
+      // self-join scored by exact Levenshtein ≤ 2 — candidate volume is
+      // Σ block², never all-pairs; the pair artifact is shared with
+      // q_entity_resolution (build-once/consume-many)
+      fuzzyPairs(s, dir)
+        .orderBy(col("u_key"), col("v_key"))),
+    "q_entity_resolution" -> ((s, dir) => {
+      // record linkage end-to-end: blocked Levenshtein candidates →
+      // connected components (transitive closure — A≈B, B≈C ⇒ one
+      // entity) → canonical min-key entity ids with singletons kept as
+      // their own entity; the census a dedupe-merge pipeline ships.
+      // Every stage is its verified operator (q_fuzzy_blocked,
+      // dedup_components) — this row pins the composition.
+      val cust = t(s, dir, "customer")
+      val pairs = fuzzyPairs(s, dir)
+        .select(col("u_key").as("doc_a"), col("v_key").as("doc_b"))
+      val comp = Dedup.components(pairs)
+        .withColumnRenamed("doc_id", "c_custkey")
+      cust.select(col("c_custkey"))
+        .join(comp, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("component"), col("c_custkey")).as("entity"))
+        .groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("c_custkey")).as("min_member"),
+          max(col("c_custkey")).as("max_member"))
+        .orderBy(col("entity"))
+    }),
+    "q_churn_labels" -> ((s, dir) =>
+      // leakage-free churn labels: features from ≤ cutoff only, label
+      // from > cutoff only (cutoff = max ts − 7 days, a broadcast 1-row
+      // bounds agg); one keyed agg + one keyed left join
+      Temporal.churnLabels(Temporal.eventsMicros(s, dir),
+          horizonUs = 7L * 86400L * 1000000L)
+        .orderBy(col("user_id"))),
+    "q_attribution" -> ((s, dir) => {
+      // first-touch conversion attribution: sessions from the shared
+      // gap-flag chain (one exchange + sort), the session's first event
+      // as a struct-min (map-side combinable, no second window), then
+      // purchases credited to their session's first touch
+      val sess = Temporal.withSessionIds(Temporal.eventsMicros(s, dir),
+        "user_id", "ts_us", "event_id", gapMicros = 1800000000L)
+      val first = sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("user_id"), col("session_idx"),
+          col("f.event_type").as("first_touch"))
+      sess.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id", "session_idx"))
+        .groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+        .orderBy(col("first_touch"))
+    }),
+    "q_histogram_equidepth" -> ((s, dir) => {
+      // equi-depth histogram: quartile edges from the mergeable
+      // approx_percentile sketch (rank-exact at accuracy ≥ n — the
+      // q_percentile_approx contract), broadcast onto a row-local bucket
+      // test, one map-side-combined count agg; micro-unit integers
+      val v = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * lit(1000000L), 0)
+          .cast("long").as("v"))
+      val e = v.agg(expr(
+        "approx_percentile(v, array(0.25D, 0.5D, 0.75D), 1000000)").as("es"))
+      v.crossJoin(broadcast(e))
+        .select(col("v"),
+          when(col("v") <= element_at(col("es"), 1), 0L)
+            .when(col("v") <= element_at(col("es"), 2), 1L)
+            .when(col("v") <= element_at(col("es"), 3), 2L)
+            .otherwise(3L).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(col("bucket"))
+    }),
+    "q_join_size_estimate" -> ((s, dir) => {
+      // join cardinality from d×w sketch integers BEFORE any exchange:
+      // CMS inner product, a deterministic upper bound on the exact size
+      val e = t(s, dir, "events")
+      Joins.cmsJoinSizeEstimate(
+        e.filter(col("user_id") % 3 =!= 0),
+        e.filter(col("user_id") % 5 === 0),
+        "user_id", width = 256, depth = 3)
+    }),
+    "q_delete_closure" -> ((s, dir) => {
+      // deletion-closure audit: a right-to-be-forgotten delete that
+      // removes only the named doc leaves its near-twins serving the
+      // same content — the closure is every doc sharing a normalized
+      // dedup key with a tombstoned doc. Planted twin groups (the
+      // leakage-audit surface) + a deterministic tombstone set; one
+      // key-agg + a semi-join-shaped max flag + a one-row summary.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("leak "), expr("doc_id DIV 20").cast("string")))
+          .otherwise(col("text")).as("text"))
+        .withColumn("tombstoned", (col("doc_id") % 40 === 0).cast("int"))
+      val groups = docs
+        .select(Dedup.normalizedKey(col("text")).as("k"), col("tombstoned"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("tombstoned")).as("n_tomb"))
+      groups.agg(
+        sum(col("n_tomb")).as("n_tombstones"),
+        sum(when(col("n_tomb") > 0, col("n")).otherwise(0L)).as("n_closure_docs"),
+        sum(when(col("n_tomb") > 0, col("n") - col("n_tomb")).otherwise(0L))
+          .as("n_extra_deletes"))
+    }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // the ingestion contract under the oracle gate: documents written
+      // as JSONL and read back through the corrupt-lane reader must
+      // round-trip EVERY row losslessly (the oracle computes the same
+      // integrity row straight from parquet — any lossy line breaks the
+      // hash); per-PROCESS scratch path (pid-keyed, overwrite-idempotent
+      // across this JVM's iterations) so concurrent harness runs on one
+      // machine — bench + verify, parallel CI checkouts — cannot race on
+      // a shared fixed path
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_jsonl_roundtrip_${ProcessHandle.current().pid()}"
+      docs.write.mode("overwrite").json(path)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+      val in = graft.sources.Ingest.readJsonl(s, path, schema)
+      graft.sources.Ingest.clean(in).agg(
+        count(lit(1)).as("n_clean"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // the CSV lane of the same ingestion contract: headered CSV write
+      // (quoting handled by the writer) → corrupt-lane read → the same
+      // integrity row the oracle computes straight from parquet
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft_csv_roundtrip_${ProcessHandle.current().pid()}"
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+      val in = graft.sources.Ingest.readCsv(s, path, schema)
+      graft.sources.Ingest.clean(in).agg(
+        count(lit(1)).as("n_clean"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
+    "q_group_quantiles_scalable" -> ((s, dir) =>
+      // the GENERAL surface over the distributed rank selector: exact
+      // per-group p25/p50/p75/p90 as lower order statistics at rank
+      // ⌊q·(n−1)⌋ — engine-exact by construction (the oracle indexes a
+      // sorted list at the same rank), no group ever buffered
+      Hygiene.groupedQuantiles(t(s, dir, "events"), "event_type", "value",
+          qPpms = Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy(col("event_type"), col("q_ppm"))),
+    "q_drift_report" -> ((s, dir) => {
+      // between-dumps drift audit: lineitem split by orderkey parity as
+      // two crawl dumps, with drift PLANTED in dump B (half its 'R'
+      // returns dropped) — floor-share ppm total-variation distance per
+      // column, pure int64 (no float TVD can straddle the engines).
+      // l_returnflag reads high; the undrifted columns read near zero
+      val li = t(s, dir, "lineitem")
+      val dumpA = li.filter(col("l_orderkey") % 2 === 0)
+      val dumpB = li.filter(col("l_orderkey") % 2 === 1 &&
+        !(col("l_returnflag") === "R" && col("l_orderkey") % 4 === 1))
+      Hygiene.driftReport(dumpA, dumpB,
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_name"))
+    }),
+    "q_column_entropy" -> ((s, dir) =>
+      // the concentration read NDV can't give: per-column Shannon
+      // entropy + H/ln(NDV) uniformity over the drift family's watched
+      // columns — linenumber near-uniform, returnflag mass-skewed
+      Hygiene.columnEntropy(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_name"))),
+    "q_benford_audit" -> ((s, dir) => {
+      // Benford first-digit forensics on extended price: per digit 1..9
+      // the observed floor-share ppm vs round(1e6*log10(1+1/d)) and the
+      // signed deviation — prices are qty-scaled retail values spanning
+      // ~3 decades, so low digits dominate but the fit is imperfect (a
+      // real audit read, not a planted pass)
+      Hygiene.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy(col("digit"))
+    }),
+    "q_drift_numeric" -> ((s, dir) => {
+      // the documented NUMERIC seam of the drift report, oracled:
+      // bucket first (closed-form fixed-width floor bins — engine-exact,
+      // unlike sketch quantiles), then drift the bucket label. Dump B
+      // carries a planted 10% price inflation on half its rows — the
+      // upward mass shift the bucket drift must read
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_orderkey") % 2 === 0)
+        .select(expr("CAST(floor(l_extendedprice / 5000) AS BIGINT)")
+          .as("price_bucket"))
+      val b = li.filter(col("l_orderkey") % 2 === 1)
+        .select((col("l_extendedprice") *
+          when(col("l_linenumber") % 2 === 0, lit(1.1)).otherwise(lit(1.0)))
+          .as("p"))
+        .select(expr("CAST(floor(p / 5000) AS BIGINT)").as("price_bucket"))
+      Hygiene.driftReport(a, b, Seq("price_bucket"))
+    }),
+    "q_anomaly_flags" -> ((s, dir) => {
+      // leak-free anomaly screen: each point is judged against the
+      // PREVIOUS row's EWMA (a forecast from strictly-past data), and
+      // the alert threshold is the Hampel 3·MAD rule over the residual
+      // distribution in doubled-integer algebra — ewmaSmooth ∘ lag ∘
+      // madOutliers' test, three verified pieces composed
+      val e = Temporal.ewmaSmooth(
+        Temporal.eventsMicros(s, dir).filter(col("user_id") % 20 === 0))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val res = e.withColumn("pred", lag(col("ewma_u6"), 1).over(w))
+        .filter(col("pred").isNotNull)
+        .select((col("value_u6") - col("pred")).as("r"))
+      val med = res.agg(
+        (expr("percentile(r, 0.5)") * 2).cast("long").as("med2")).collect()
+        .head.getLong(0)
+      val d = res.select(col("r"), abs(col("r") * 2 - med).as("d"))
+      val dmed = d.agg(
+        (expr("percentile(d, 0.5)") * 2).cast("long").as("dmed2")).collect()
+        .head.getLong(0)
+      d.agg(count(lit(1)).as("n_scored"),
+        sum(when(col("d") * 2 > lit(dmed) * 3, 1L).otherwise(0L))
+          .as("n_flagged"))
+        .select(col("n_scored"), col("n_flagged"),
+          lit(med).as("med2"), lit(dmed).as("dmed2"))
+    }),
+    "q_ewma" -> ((s, dir) =>
+      // rolling EWMA over each user's last 8 values as an ORDERED fold
+      // (list_reduce-compatible: init = frame's first element) — fenced
+      // rounding, no unordered float SUM; keyed window, O(span) per row
+      // (the user_id pre-filter keeps the registry row small; per-user
+      // windows are independent so pre- and post-filter agree)
+      Temporal.ewmaSmooth(
+          Temporal.eventsMicros(s, dir).filter(col("user_id") % 20 === 0))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))),
+    "q_cramers_matrix" -> ((s, dir) =>
+      // which metadata columns encode the same thing: the pairwise
+      // Cramér's V² effect-size matrix over three lineitem categoricals
+      // — returnflag↔linestatus are date-coupled (high V²), linenumber
+      // is near-independent of both (V² ≈ 0, the clamp-at-zero edge)
+      Hygiene.cramersVMatrix(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+        .orderBy(col("col_a"), col("col_b"))),
+    "q_gini_by_source" -> ((s, dir) =>
+      // is document length skewed WITHIN each source, or only across
+      // them: per-source exact-ppm Gini of n_chars — the stratified
+      // inequality read next to text_source_concentration's HHI
+      Hygiene.giniByKey(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_hilbert_layout" ->
+      // the generated per-bit CTE chain IS the operator's arithmetic
+      // (hilbertSqlCtes — spec-pinned value-identical by running the
+      // chain in Spark itself)
+      s"""WITH base AS (SELECT l_orderkey AS x, l_partkey AS y FROM lineitem),
+         |${graft.operators.Layout.hilbertSqlCtes("base", "x", "y", 16, keep = Seq("x", "y"))}
+         |SELECT hkey >> 20 AS h_bucket, COUNT(*) AS n_rows,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM hfin GROUP BY 1 ORDER BY h_bucket""".stripMargin,
+    "q_curve_locality" ->
+      // equal-count range files (rank·32 // n) — the oracle affords ONE
+      // global window; the operator composes the same total order from
+      // sharded ranks + offsets (identical (ckey, x, y) tiebreak)
+      s"""WITH base AS (SELECT l_orderkey AS x, l_partkey AS y FROM lineitem),
+         |${graft.operators.Layout.hilbertSqlCtes("base", "x", "y", 16, keep = Seq("x", "y"))},
+         |hr AS (SELECT x, y,
+         |              CAST(row_number() OVER (ORDER BY hkey, x, y) AS BIGINT) - 1 AS rn,
+         |              CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |       FROM hfin),
+         |hst AS (SELECT (rn * 32) // n AS file,
+         |               MIN(x) AS x_min, MAX(x) AS x_max,
+         |               MIN(y) AS y_min, MAX(y) AS y_max
+         |        FROM hr GROUP BY 1),
+         |z AS (SELECT ${graft.operators.Layout.zOrderSql("x", "y", 16)} AS ckey, x, y
+         |      FROM base),
+         |zr AS (SELECT x, y,
+         |              CAST(row_number() OVER (ORDER BY ckey, x, y) AS BIGINT) - 1 AS rn,
+         |              CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |       FROM z),
+         |zst AS (SELECT (rn * 32) // n AS file,
+         |               MIN(x) AS x_min, MAX(x) AS x_max,
+         |               MIN(y) AS y_min, MAX(y) AS y_max
+         |        FROM zr GROUP BY 1),
+         |ha AS (SELECT (x_max - x_min + 1) * (y_max - y_min + 1) AS area FROM hst),
+         |za AS (SELECT (x_max - x_min + 1) * (y_max - y_min + 1) AS area FROM zst)
+         |SELECT 'morton' AS curve, COUNT(*) AS n_files,
+         |       CAST(SUM(area) AS BIGINT) AS sum_area, MAX(area) AS max_area
+         |FROM za
+         |UNION ALL
+         |SELECT 'hilbert', COUNT(*), CAST(SUM(area) AS BIGINT), MAX(area) FROM ha
+         |ORDER BY curve""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_revenue" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "q_join_broadcast_nation" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "q_intersect_users" ->
+      """SELECT user_id AS id FROM events
+        |INTERSECT
+        |SELECT c_custkey AS id FROM customer
+        |ORDER BY id""".stripMargin,
+    "q_except_users" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT
+        |SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_json_extract" ->
+      """SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 HAVING COUNT(*) >= 50
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS d,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1,2,3,4 ORDER BY y, q, m, d""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT l_returnflag,
+        |       COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_heavy,
+        |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |       COALESCE(l_linestatus,'ALL') AS linestatus,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal * (SELECT COUNT(*) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |      > (SELECT CAST(SUM(CAST(c3.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |         FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dims,
+        |       CAST(list_max(embedding) AS DOUBLE) AS arr_max,
+        |       CAST(list_min(embedding) AS DOUBLE) AS arr_min,
+        |       CAST(embedding[1] AS DOUBLE) AS first_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_asof_prev_order" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         lag(o_orderkey) OVER w AS prev_orderkey,
+        |         CAST(lag(o_orderdate) OVER w AS DATE) AS prev_date,
+        |         CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE prev_orderkey IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_asof_join_2table" ->
+      // DuckDB's NATIVE ASOF JOIN validates the Spark union-and-sweep
+      // rewrite — two entirely different algorithms, one result set
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      // the native ASOF match post-filtered by staleness: nearest-too-far
+      // ⟺ nothing within tolerance, so the CASE null-out is exact
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us,
+        |       CASE WHEN c.us - p.us > 86400000000 THEN NULL ELSE p.p_id END AS asof_rid,
+        |       CASE WHEN c.us - p.us > 86400000000 THEN NULL ELSE p.us END AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_join_forward" ->
+      // DuckDB's native ASOF LEFT JOIN with the inequality REVERSED
+      // (c.us <= p.us) validates the mirrored sweep — again two different
+      // algorithms, one result set
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us <= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_asof_join_payload" ->
+      // the payload-carrying form: DuckDB's native ASOF LEFT JOIN selects
+      // the matched row's value directly; the Spark side must surface the
+      // identical value through its struct-atomic single-sweep rewrite
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us, MAX(event_id) AS p_id, MAX(value) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.us, p.p_id AS asof_rid, p.us AS asof_rt,
+        |       p.p_value AS asof_p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_interval_join_2stream" ->
+      // DuckDB's IEJoin evaluates the keyed interval predicate directly;
+      // result must equal StreamJoin.joinWithin's batch plan
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_us, p.purchase_id, p.purchase_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |              AND p.purchase_us >= c.click_us - 86400000000
+        |              AND p.purchase_us <= c.click_us
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+    "q_interval_coalesce" ->
+      // identical running-max flag / cumsum / span aggregation; ROWS
+      // frames pin the same peer semantics as the Spark windows
+      """WITH iv AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS s,
+        |         CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+        |              + o_orderkey % 10 + 1 AS BIGINT) AS e
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |g AS (
+        |  SELECT o_custkey, s, e,
+        |         CAST(SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx
+        |  FROM w)
+        |SELECT o_custkey, span_idx, MIN(s) AS span_start, MAX(e) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_interval_join_outer" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_us, p.purchase_id, p.purchase_us
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |                   AND p.purchase_us >= c.click_us - 86400000000
+        |                   AND p.purchase_us <= c.click_us
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cube_lineitem" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |       COALESCE(l_linestatus,'ALL') AS linestatus,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_collect_agg" ->
+      """SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 1) AS all_gt1,
+        |       bool_or(l_discount > 0.09) AS any_deep_discount,
+        |       bool_and(l_quantity <= 50) AS all_le50,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT user_id % 16 AS user_bucket,
+        |       bit_and(event_id) AS band,
+        |       bit_or(event_id) AS bor,
+        |       bit_xor(event_id) AS bxor,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q_datetime_funcs" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start,
+        |       last_day(month_start) AS month_end,
+        |       CAST(day(last_day(month_start)) AS BIGINT) AS days_in_month,
+        |       CAST(dayofweek(month_start) AS BIGINT) AS dow_start,
+        |       n_orders
+        |FROM m ORDER BY month_start""".stripMargin,
+    // semantic verdict = the dedup_semantic chain verbatim; lexical
+    // verdict = the dedup_rate_by_source normalized-key discipline over
+    // the id-aligned population; agree/disagree counted on the 2×2
+    "q_crossmodal_agreement" -> (embCte +
+      Similarity.kmeansOracleCtes(k = semDedupK, iters = semDedupIters) +
+      semDedupPairCtes +
+      """,
+        |sem AS (SELECT n.vec_id AS doc_id,
+        |               (dup.id_a IS NOT NULL) AS sem_removed
+        |        FROM ncell n LEFT JOIN dup ON dup.id_a = n.vec_id),
+        |v AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 10 = 0
+        |                  THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+        |                  ELSE text END AS text
+        |      FROM documents),
+        |kk AS (SELECT v.doc_id,
+        |              md5(nfc_normalize(regexp_replace(trim(lower(v.text)),
+        |                '[ \t\n\r]+', ' ', 'g'))) AS k,
+        |              sem.sem_removed
+        |       FROM v JOIN sem USING (doc_id)),
+        |g AS (SELECT k, MIN(doc_id) AS keep_id FROM kk GROUP BY 1)
+        |SELECT (kk.doc_id <> g.keep_id) AS lex_removed, kk.sem_removed,
+        |       COUNT(*) AS n
+        |FROM kk JOIN g ON g.k = kk.k
+        |GROUP BY 1, 2 ORDER BY lex_removed, sem_removed""".stripMargin),
+    "q_explode_lateral" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS word
+        |FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |             generate_subscripts(string_split(lower(text),' '),1) AS i
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_acf" ->
+      // shared acfOracleCtes (n-scaled centered carrier, HUGEINT, lag
+      // pairs as an equi-join on (key, b + lag), sign-safe ppm ratio)
+      (acfOracleCtes +
+        "\nSELECT event_type, lag_n, n_buckets, n_pairs, acf_ppm" +
+        "\nFROM acf ORDER BY event_type, lag_n"),
+    "q_clustering_coeff" ->
+      // the triangle chain (orientation + sorted wedge close) plus the
+      // degree frame, left-joined so zero-triangle nodes keep their row
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+        |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS MATERIALIZED (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        |        GROUP BY 1),
+        |o AS MATERIALIZED (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+        |             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+        |      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |tri AS (SELECT u, v, w2 FROM w
+        |        JOIN e0 ON e0.a = least(w.v, w.w2) AND e0.b = greatest(w.v, w.w2)),
+        |corners AS (SELECT unnest([u, v, w2]) AS node FROM tri),
+        |tc AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS deg,
+        |       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN deg.d >= 2
+        |            THEN (2000000 * COALESCE(tc.n_triangles, 0))
+        |                 // (deg.d * (deg.d - 1)) END AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN tc ON tc.node = deg.n
+        |ORDER BY node""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+        |       FROM e JOIN s1 ON s1.user_id = e.user_id AND e.ts_us > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+        |       FROM e JOIN s2 ON s2.user_id = e.user_id AND e.ts_us > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |       (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, value FROM events),
+        |b AS (SELECT hour_idx, COUNT(*) AS n_events,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT unnest(generate_series((SELECT MIN(hour_idx) FROM b),
+        |                                    (SELECT MAX(hour_idx) FROM b))) AS hour_idx)
+        |SELECT g.hour_idx, COALESCE(b.n_events, 0) AS n_events,
+        |       COALESCE(b.total_value, 0.0) AS total_value
+        |FROM g LEFT JOIN b ON b.hour_idx = g.hour_idx
+        |ORDER BY g.hour_idx""".stripMargin,
+    "q_cusum_changepoints" ->
+      // the identical decimal-fenced hourly sums, integer scaled CUSUM
+      // over the bucketed series, two one-row globals for the peak pick
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |                  CAST(value AS DECIMAL(18,4)) AS dv
+        |           FROM events),
+        |b AS (SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+        |      FROM e GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(v) AS BIGINT) AS t
+        |       FROM b),
+        |st AS (SELECT bucket, v,
+        |              n * SUM(v) OVER (ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - row_number() OVER (ORDER BY bucket) * t AS cusum_n
+        |       FROM b CROSS JOIN tt),
+        |mx AS (SELECT MAX(abs(cusum_n)) AS mx FROM st),
+        |pb AS (SELECT MIN(bucket) AS pb
+        |       FROM st CROSS JOIN mx WHERE abs(cusum_n) = mx)
+        |SELECT bucket, v, CAST(cusum_n AS BIGINT) AS cusum_n,
+        |       (bucket = pb) AS is_changepoint
+        |FROM st CROSS JOIN pb ORDER BY bucket""".stripMargin,
+    "q_cusum_segments" ->
+      // the same hourly series, two unrolled binary-segmentation levels
+      // (each: keyed n·S_i windows → per-segment peak → split at pb),
+      // then the final relabel/stat windows — [[cusumSegLevelSql]]
+      ("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+         |                  CAST(value AS DECIMAL(18,4)) AS dv
+         |           FROM events),
+         |s0 AS MATERIALIZED (
+         |      SELECT bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v,
+         |             CAST(0 AS BIGINT) AS seg
+         |      FROM e GROUP BY 1),
+         |""".stripMargin +
+        cusumSegLevelSql("s0", "s1") + ",\n" +
+        cusumSegLevelSql("s1", "s2") + """
+         |SELECT bucket, v, segment, seg_n, CAST(seg_sum AS BIGINT) AS seg_sum,
+         |       (bucket = segment) AS is_boundary
+         |FROM (SELECT bucket, v,
+         |             MIN(bucket) OVER (PARTITION BY seg) AS segment,
+         |             COUNT(*) OVER (PARTITION BY seg) AS seg_n,
+         |             SUM(v) OVER (PARTITION BY seg) AS seg_sum
+         |      FROM s2)
+         |ORDER BY bucket""".stripMargin),
+    "q_cusum_segments_by_key" ->
+      // per-user daily totals seeded seg=0, two unrolled per-(key, seg)
+      // segmentation levels, keyed relabel/stat windows
+      ("""WITH e AS (SELECT user_id AS key,
+         |                  epoch_us(ts) // 86400000000 AS bucket,
+         |                  CAST(value AS DECIMAL(18,4)) AS dv
+         |           FROM events),
+         |s0 AS MATERIALIZED (
+         |      SELECT key, bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v,
+         |             CAST(0 AS BIGINT) AS seg
+         |      FROM e GROUP BY 1, 2),
+         |""".stripMargin +
+        cusumSegLevelSql("s0", "s1", Seq("key")) + ",\n" +
+        cusumSegLevelSql("s1", "s2", Seq("key")) + """
+         |SELECT key, bucket, v, segment, seg_n,
+         |       CAST(seg_sum AS BIGINT) AS seg_sum,
+         |       (bucket = segment) AS is_boundary
+         |FROM (SELECT key, bucket, v,
+         |             MIN(bucket) OVER (PARTITION BY key, seg) AS segment,
+         |             COUNT(*) OVER (PARTITION BY key, seg) AS seg_n,
+         |             SUM(v) OVER (PARTITION BY key, seg) AS seg_sum
+         |      FROM s2)
+         |ORDER BY key, bucket""".stripMargin),
+    "q_cusum_by_key" ->
+      // the same n·S_i algebra replayed PER KEY: per-user daily
+      // decimal-fenced totals, per-key totals join, keyed prefix windows,
+      // keyed max-|·| and smallest-bucket tie-break
+      """WITH e AS (SELECT user_id AS key,
+        |                  epoch_us(ts) // 86400000000 AS bucket,
+        |                  CAST(value AS DECIMAL(18,4)) AS dv
+        |           FROM events),
+        |b AS MATERIALIZED (
+        |      SELECT key, bucket, CAST(SUM(dv) * 10000 AS BIGINT) AS v
+        |      FROM e GROUP BY 1, 2),
+        |tt AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(v) AS BIGINT) AS t
+        |       FROM b GROUP BY 1),
+        |st AS MATERIALIZED (
+        |       SELECT b.key, b.bucket, b.v,
+        |              tt.n * SUM(b.v) OVER (PARTITION BY b.key ORDER BY b.bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - row_number() OVER (PARTITION BY b.key ORDER BY b.bucket) * tt.t
+        |                AS cusum_n
+        |       FROM b JOIN tt USING (key)),
+        |mx AS (SELECT key, MAX(abs(cusum_n)) AS mx FROM st GROUP BY 1),
+        |pb AS (SELECT st.key, MIN(st.bucket) AS pb
+        |       FROM st JOIN mx ON mx.key = st.key AND abs(st.cusum_n) = mx.mx
+        |       GROUP BY 1)
+        |SELECT st.key, st.bucket, st.v, CAST(st.cusum_n AS BIGINT) AS cusum_n,
+        |       (st.bucket = pb.pb) AS is_changepoint
+        |FROM st JOIN pb USING (key) ORDER BY key, bucket""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, event_type, ts_us AS last_ts_us,
+        |       event_id AS last_event_id, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_degree_assortativity" ->
+      // both-orientations edge list, degrees joined onto each endpoint,
+      // integer moment sums (CAST from HUGEINT), and the identical
+      // fixed-order double expression rounded at 6 dp
+      """WITH e0 AS (SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b
+        |            FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |ed AS (SELECT ds.deg AS dsrc, dd.deg AS ddst
+        |       FROM e JOIN d ds ON ds.src = e.src JOIN d dd ON dd.src = e.dst),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |             CAST(SUM(dsrc) AS BIGINT) AS s1,
+        |             CAST(SUM(dsrc*ddst) AS BIGINT) AS s11,
+        |             CAST(SUM(dsrc*dsrc) AS BIGINT) AS s2
+        |      FROM ed)
+        |SELECT m2, s1, s11, s2,
+        |       ROUND((CAST(s11 AS DOUBLE)/m2
+        |              - (CAST(s1 AS DOUBLE)/m2)*(CAST(s1 AS DOUBLE)/m2))
+        |           / (CAST(s2 AS DOUBLE)/m2
+        |              - (CAST(s1 AS DOUBLE)/m2)*(CAST(s1 AS DOUBLE)/m2)), 6)+0.0
+        |         AS assortativity
+        |FROM s""".stripMargin,
+    "q_hits" -> (
+      // three fenced half-step pairs replayed: decimal-exact contribution
+      // sums, one-scalar L1 normalizers, ROUND(v/t, 12) — then the full
+      // outer hub/auth stitch with zeros for the side a node never scores
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem),
+        |""".stripMargin + hitsOracleIters(3) + """
+        |SELECT COALESCE(h.node, a.node) AS node,
+        |       COALESCE(h.h, 0.0)+0.0 AS hub,
+        |       COALESCE(a.a, 0.0)+0.0 AS auth
+        |FROM h3 h FULL OUTER JOIN a3 a ON a.node = h.node
+        |ORDER BY auth DESC, hub DESC, node LIMIT 100""".stripMargin),
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |p AS (SELECT user_id, event_type AS next_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       CAST((c.n * 1000000) // f.n_from AS BIGINT) AS p_ppm
+        |FROM c JOIN f ON f.prev_type = c.prev_type
+        |ORDER BY c.prev_type, next_type""".stripMargin,
+    "q_kanon_audit" ->
+      """WITH e AS (SELECT event_type,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day
+        |           FROM events),
+        |g AS (SELECT event_type, hour_of_day, COUNT(*) AS n
+        |      FROM e GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |       CAST(SUM(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_groups,
+        |       CAST(SUM(CASE WHEN n < 50 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_suppressed_rows
+        |FROM g""".stripMargin,
+    "q_assoc_rules" ->
+      // the same dedup'd incidence, canonical within-basket pair join,
+      // support prune, and integer-ppm scores
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+        |itn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY 1),
+        |pr AS (SELECT x.item AS item_a, y.item AS item_b,
+        |              CAST(COUNT(*) AS BIGINT) AS n_pair
+        |       FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+        |       GROUP BY 1, 2
+        |       HAVING COUNT(*) >= 20)
+        |SELECT pr.item_a, pr.item_b, pr.n_pair,
+        |       na.n_item AS n_a, nb2.n_item AS n_b,
+        |       (pr.n_pair * 1000000) // nb.n_baskets AS support_ppm,
+        |       (pr.n_pair * 1000000) // na.n_item AS conf_ab_ppm,
+        |       (pr.n_pair * 1000000) // nb2.n_item AS conf_ba_ppm,
+        |       (pr.n_pair * nb.n_baskets * 1000000) // (na.n_item * nb2.n_item)
+        |         AS lift_ppm
+        |FROM pr JOIN itn na ON na.item = pr.item_a
+        |        JOIN itn nb2 ON nb2.item = pr.item_b
+        |        CROSS JOIN nb
+        |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 100""".stripMargin,
+    "q_ess_weights" ->
+      // the same Kish fold: HUGEINT carries (Σw)² natively in DuckDB,
+      // mirroring Spark's DECIMAL(38,0) fence; div on non-negatives
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS w
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(w) AS BIGINT) AS sum_w,
+        |       CAST(SUM(w*w) AS BIGINT) AS sum_w2,
+        |       CAST((1000 * SUM(w) * SUM(w)) // SUM(w*w) AS BIGINT) AS ess_e3,
+        |       CAST((1000000 * SUM(w) * SUM(w)) // (COUNT(*) * SUM(w*w)) AS BIGINT)
+        |         AS ess_ratio_ppm
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_dp_sensitivity" ->
+      // the same two-level aggregation: per-(type, user) exact moments,
+      // then the per-type maxima and the dominance share
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |pu AS (
+        |  SELECT event_type, user_id, COUNT(*) AS u_rows,
+        |         CAST(SUM(v) AS BIGINT) AS u_sum
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(SUM(u_rows) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MAX(u_rows) AS BIGINT) AS max_user_rows,
+        |       CAST(MAX(abs(u_sum)) AS BIGINT) AS max_user_abs_sum,
+        |       CAST((1000000 * MAX(abs(u_sum))) // SUM(abs(u_sum)) AS BIGINT)
+        |         AS top_user_share_ppm
+        |FROM pu GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_jackknife_ci" ->
+      // identical md5 fold assignment (one hex digit % 8), micro-unit
+      // replicate means, exact integer variance expansion
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+        |         CAST(('0x'||substring(md5(CAST(event_id AS VARCHAR)),1,1)) AS BIGINT) % 8
+        |           AS bkt
+        |  FROM events),
+        |cell AS (SELECT event_type, bkt, CAST(SUM(v) AS BIGINT) AS tb,
+        |                CAST(COUNT(*) AS BIGINT) AS nb
+        |         FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(tb) AS BIGINT) AS t,
+        |               CAST(SUM(nb) AS BIGINT) AS n
+        |        FROM cell GROUP BY 1),
+        |rep AS (SELECT cell.event_type,
+        |               CAST(sign(t - tb) AS BIGINT)
+        |                 * ((100 * abs(t - tb)) // (n - nb)) AS m
+        |        FROM cell JOIN tot ON tot.event_type = cell.event_type
+        |        WHERE n > nb),
+        |st AS (SELECT rep.event_type,
+        |              CAST(COUNT(*) AS BIGINT) AS n_replicas,
+        |              CAST(SUM(m) AS BIGINT) AS sm,
+        |              CAST(SUM(m*m) AS BIGINT) AS smm
+        |       FROM rep GROUP BY 1),
+        |fin AS (SELECT st.event_type, tot.n,
+        |               CAST(sign(tot.t) AS BIGINT)
+        |                 * ((100 * abs(tot.t)) // tot.n) AS mean_u6,
+        |               st.n_replicas,
+        |               CAST(sign(sm) AS BIGINT) * (abs(sm) // n_replicas) AS mbar,
+        |               sm, smm
+        |        FROM st JOIN tot ON tot.event_type = st.event_type)
+        |SELECT event_type, n, CAST(mean_u6 AS BIGINT) AS mean_u6, n_replicas,
+        |       CAST(CASE WHEN n_replicas > 1 THEN
+        |         ((n_replicas - 1) * (smm - 2*mbar*sm + n_replicas*mbar*mbar))
+        |           // n_replicas END AS BIGINT) AS jk_var_u12
+        |FROM fin ORDER BY event_type""".stripMargin,
+    "q_entity_resolution" ->
+      // the same blocked candidates, then recursive reachability with
+      // min-label canonicalization and a left join keeping singletons
+      """WITH RECURSIVE qp AS (
+        |  SELECT x.c_custkey AS a, y.c_custkey AS b
+        |  FROM customer x JOIN customer y
+        |    ON x.c_nationkey = y.c_nationkey
+        |   AND x.c_mktsegment = y.c_mktsegment
+        |   AND x.c_custkey < y.c_custkey
+        |  WHERE levenshtein(x.c_name, y.c_name) <= 2),
+        |e AS (SELECT a AS src, b AS dst FROM qp UNION ALL SELECT b, a FROM qp),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(lbl) AS entity FROM reach GROUP BY 1),
+        |asg AS (SELECT c.c_custkey, COALESCE(comp.entity, c.c_custkey) AS entity
+        |        FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey)
+        |SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(MIN(c_custkey) AS BIGINT) AS min_member,
+        |       CAST(MAX(c_custkey) AS BIGINT) AS max_member
+        |FROM asg GROUP BY 1 ORDER BY entity""".stripMargin,
+    "q_fuzzy_blocked" ->
+      // exact Levenshtein is integer and engine-identical; the block
+      // equi-keys bound candidate volume to Σ block²
+      """SELECT x.c_custkey AS u_key, y.c_custkey AS v_key,
+        |       x.c_name AS u_str, y.c_name AS v_str,
+        |       CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+        |FROM customer x JOIN customer y
+        |  ON x.c_nationkey = y.c_nationkey
+        | AND x.c_mktsegment = y.c_mktsegment
+        | AND x.c_custkey < y.c_custkey
+        |WHERE levenshtein(x.c_name, y.c_name) <= 2
+        |ORDER BY u_key, v_key""".stripMargin,
+    "q_churn_labels" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT MAX(ts_us) - 604800000000 AS cutoff FROM e),
+        |f AS (SELECT user_id, COUNT(*) AS n_before,
+        |             ((SELECT cutoff FROM c) - MAX(ts_us)) // 3600000000
+        |               AS hours_since_last
+        |      FROM e WHERE ts_us <= (SELECT cutoff FROM c) GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id FROM e
+        |      WHERE ts_us > (SELECT cutoff FROM c))
+        |SELECT f.user_id, f.n_before, f.hours_since_last,
+        |       a.user_id IS NULL AS churned
+        |FROM f LEFT JOIN a ON a.user_id = f.user_id
+        |ORDER BY f.user_id""".stripMargin,
+    "q_attribution" ->
+      // identical gap-flag → running-sum session chain; DuckDB's ordered
+      // first() is the struct-min's (ts, id) order
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |                  event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM f),
+        |ft AS (SELECT user_id, session_idx,
+        |              first(event_type ORDER BY ts_us, event_id) AS first_touch
+        |       FROM s GROUP BY 1, 2)
+        |SELECT ft.first_touch, COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s p JOIN ft ON ft.user_id = p.user_id
+        |                AND ft.session_idx = p.session_idx
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram_equidepth" ->
+      // quantile_disc ≡ approx_percentile at accuracy ≥ n (the
+      // q_percentile_approx equivalence), then the identical bucket rule
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |e AS (SELECT quantile_disc(v, [0.25, 0.5, 0.75]) AS es FROM v)
+        |SELECT CAST(CASE WHEN v <= es[1] THEN 0
+        |                 WHEN v <= es[2] THEN 1
+        |                 WHEN v <= es[3] THEN 2
+        |                 ELSE 3 END AS BIGINT) AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(MIN(v) AS BIGINT) AS min_v,
+        |       CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM v CROSS JOIN e
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_join_size_estimate" ->
+      // identical sketch replay (the text_cms_counts hash chain) + the
+      // exact group-count product for verification
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events
+        |           WHERE user_id % 3 <> 0),
+        |r AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events
+        |      WHERE user_id % 5 = 0),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |lc AS (SELECT js.j,
+        |              CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||t),1,4))
+        |                   AS BIGINT) % 256 AS b,
+        |              COUNT(*) AS n
+        |       FROM l CROSS JOIN js GROUP BY 1, 2),
+        |rc AS (SELECT js.j,
+        |              CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||t),1,4))
+        |                   AS BIGINT) % 256 AS b,
+        |              COUNT(*) AS m
+        |       FROM r CROSS JOIN js GROUP BY 1, 2),
+        |e AS (SELECT lc.j, CAST(SUM(lc.n * rc.m) AS BIGINT) AS e
+        |      FROM lc JOIN rc ON rc.j = lc.j AND rc.b = lc.b GROUP BY 1),
+        |x AS (SELECT CAST(COALESCE(SUM(cl.n * cr.n), 0) AS BIGINT) AS exact_size
+        |      FROM (SELECT t, COUNT(*) AS n FROM l GROUP BY 1) cl
+        |      JOIN (SELECT t, COUNT(*) AS n FROM r GROUP BY 1) cr ON cr.t = cl.t)
+        |SELECT x.exact_size,
+        |       (SELECT MIN(e) FROM e) AS cms_estimate,
+        |       (SELECT MIN(e) FROM e) >= x.exact_size AS upper_bound_holds
+        |FROM x""".stripMargin,
+    "q_delete_closure" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN 'leak '||CAST(doc_id//20 AS VARCHAR)
+        |              ELSE text END AS text,
+        |         CASE WHEN doc_id % 40 = 0 THEN 1 ELSE 0 END AS tombstoned
+        |  FROM documents),
+        |g AS (SELECT md5(nfc_normalize(regexp_replace(trim(lower(text)),
+        |               '[ \t\n\r]+', ' ', 'g'))) AS k,
+        |             COUNT(*) AS n, CAST(SUM(tombstoned) AS BIGINT) AS n_tomb
+        |      FROM v GROUP BY 1)
+        |SELECT CAST(SUM(n_tomb) AS BIGINT) AS n_tombstones,
+        |       CAST(SUM(CASE WHEN n_tomb > 0 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_closure_docs,
+        |       CAST(SUM(CASE WHEN n_tomb > 0 THEN n - n_tomb ELSE 0 END)
+        |         AS BIGINT) AS n_extra_deletes
+        |FROM g""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      // straight from parquet: equal ⟺ the jsonl write→read preserved
+      // every row, char, and hash
+      """SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+    "q_csv_roundtrip" ->
+      // same integrity row — equal ⟺ the CSV write→read (quoting and
+      // all) preserved every row, char, and hash
+      """SELECT COUNT(*) AS n_clean,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+    "q_group_quantiles_scalable" ->
+      // exact lower order statistic at rank ⌊q·(n−1)⌋, 1-based list
+      // index — the identical rank formula the Spark selector targets
+      """WITH v AS (SELECT event_type AS k,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT k, list(v ORDER BY v) AS lst, COUNT(*) AS n
+        |      FROM v GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([250000, 500000, 750000, 900000]) AS BIGINT)
+        |         AS q_ppm)
+        |SELECT s.k AS event_type, qs.q_ppm,
+        |       lst[CAST(floor((qs.q_ppm / 1000000.0) * (s.n - 1)) AS BIGINT) + 1]
+        |         AS value_u6
+        |FROM s CROSS JOIN qs
+        |ORDER BY event_type, q_ppm""".stripMargin,
+    "q_column_entropy" -> {
+      // identical null-safe cells, psi ln-fence (round ln and product at
+      // 6 dp per cell, DECIMAL(28,12) sums), one rounded edge division
+      val per = Seq("l_returnflag", "l_linestatus", "l_linenumber").map { c =>
+        s"""SELECT col_name, n_rows, ndv, entropy,
+           |       CASE WHEN ndv > 1 THEN
+           |            ROUND(entropy / ROUND(ln(CAST(ndv AS DOUBLE)), 6), 6)
+           |              + 0.0 END AS norm_entropy
+           |FROM (
+           |  SELECT '$c' AS col_name, CAST(MIN(t.nr) AS BIGINT) AS n_rows,
+           |         CAST(MIN(t.ndv) AS BIGINT) AS ndv,
+           |         ROUND(-CAST(SUM(CAST(ROUND(
+           |           (CAST(cells.n AS DOUBLE) / t.nr) *
+           |           ROUND(ln(CAST(cells.n AS DOUBLE) / t.nr), 6), 6)
+           |           AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS entropy
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM lineitem GROUP BY 1, 2) cells
+           |  CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS nr,
+           |                     CAST(COUNT(*) AS BIGINT) AS ndv
+           |              FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |                           ($c IS NULL) AS vn,
+           |                           CAST(COUNT(*) AS BIGINT) AS n
+           |                    FROM lineitem GROUP BY 1, 2)) t)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) ORDER BY col_name"
+    },
+    "q_benford_audit" ->
+      """WITH cnt AS (
+        |  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),
+        |           '[1-9]') AS BIGINT) AS digit,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+        |), tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total FROM cnt),
+        |be AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |         (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |         (9, 45757)) e(digit, exp_ppm))
+        |SELECT CAST(be.digit AS BIGINT) AS digit,
+        |       COALESCE(cnt.n, 0) AS n,
+        |       CAST(CASE WHEN tot.total > 0
+        |            THEN COALESCE(cnt.n, 0) * 1000000 // tot.total
+        |            ELSE 0 END AS BIGINT) AS obs_ppm,
+        |       CAST(be.exp_ppm AS BIGINT) AS exp_ppm,
+        |       CAST(CASE WHEN tot.total > 0
+        |            THEN COALESCE(cnt.n, 0) * 1000000 // tot.total
+        |            ELSE 0 END - be.exp_ppm AS BIGINT) AS dev_ppm
+        |FROM be LEFT JOIN cnt ON be.digit = cnt.digit CROSS JOIN tot
+        |ORDER BY digit""".stripMargin,
+    "q_drift_report" -> {
+      // identical floor-share integer TVD per column — generated so the
+      // three per-column subqueries can't drift from each other
+      val per = Seq("l_returnflag", "l_linestatus", "l_linenumber").map { c =>
+        s"""SELECT '$c' AS col_name, MIN(t.n_a) AS n_a, MIN(t.n_b) AS n_b,
+           |       CAST(COUNT(*) AS BIGINT) AS ndv_union,
+           |       CAST(SUM(ABS(
+           |         CASE WHEN t.n_a > 0 THEN j.na_v * 1000000 // t.n_a ELSE 0 END -
+           |         CASE WHEN t.n_b > 0 THEN j.nb_v * 1000000 // t.n_b ELSE 0 END)) // 2
+           |         AS BIGINT) AS tvd_ppm
+           |FROM (
+           |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1, 2) a
+           |  FULL OUTER JOIN
+           |       (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1, 2) b
+           |  USING (v, vn)) j
+           |CROSS JOIN (SELECT (SELECT COUNT(*) FROM da) AS n_a,
+           |                   (SELECT COUNT(*) FROM db) AS n_b) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH da AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+         |db AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
+         |       AND NOT (l_returnflag = 'R' AND l_orderkey % 4 = 1))
+         |SELECT * FROM (
+         |$per
+         |) ORDER BY col_name""".stripMargin
+    },
+    "q_drift_numeric" -> {
+      // single-column drift over the closed-form floor buckets; 1.1/1.0
+      // CAST AS DOUBLE — DuckDB would otherwise parse them as DECIMAL
+      // and diverge from Spark's double arithmetic at bucket edges
+      val per = Seq("price_bucket").map { c =>
+        s"""SELECT '$c' AS col_name, MIN(t.n_a) AS n_a, MIN(t.n_b) AS n_b,
+           |       CAST(COUNT(*) AS BIGINT) AS ndv_union,
+           |       CAST(SUM(ABS(
+           |         CASE WHEN t.n_a > 0 THEN j.na_v * 1000000 // t.n_a ELSE 0 END -
+           |         CASE WHEN t.n_b > 0 THEN j.nb_v * 1000000 // t.n_b ELSE 0 END)) // 2
+           |         AS BIGINT) AS tvd_ppm
+           |FROM (
+           |  SELECT COALESCE(a.na_v, 0) AS na_v, COALESCE(b.nb_v, 0) AS nb_v
+           |  FROM (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS na_v
+           |        FROM da GROUP BY 1, 2) a
+           |  FULL OUTER JOIN
+           |       (SELECT COALESCE(CAST($c AS VARCHAR), '') AS v,
+           |               ($c IS NULL) AS vn, COUNT(*) AS nb_v
+           |        FROM db GROUP BY 1, 2) b
+           |  USING (v, vn)) j
+           |CROSS JOIN (SELECT (SELECT COUNT(*) FROM da) AS n_a,
+           |                   (SELECT COUNT(*) FROM db) AS n_b) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH da AS (
+         |  SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS price_bucket
+         |  FROM lineitem WHERE l_orderkey % 2 = 0),
+         |db AS (
+         |  SELECT CAST(floor((l_extendedprice *
+         |           CASE WHEN l_linenumber % 2 = 0 THEN CAST(1.1 AS DOUBLE)
+         |                ELSE CAST(1.0 AS DOUBLE) END) / 5000) AS BIGINT)
+         |           AS price_bucket
+         |  FROM lineitem WHERE l_orderkey % 2 = 1)
+         |$per""".stripMargin
+    },
+    "q_anomaly_flags" ->
+      // the q_ewma fold + a strictly-past lag forecast + the doubled-
+      // median Hampel test — exact-integer medians survive negatives
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS value_u6
+        |           FROM events WHERE user_id % 20 = 0),
+        |l AS (SELECT user_id, ts_us, event_id, value_u6,
+        |             list(value_u6) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |      FROM e),
+        |w AS (SELECT user_id, ts_us, event_id, value_u6,
+        |             list_reduce(lst,
+        |               (acc, x) -> CAST(floor((acc * 3 + x) / 4) AS BIGINT))
+        |               AS ewma_u6
+        |      FROM l),
+        |p AS (SELECT value_u6, lag(ewma_u6) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS pred FROM w),
+        |res AS (SELECT value_u6 - pred AS r FROM p WHERE pred IS NOT NULL),
+        |m AS (SELECT CAST(median(r) * 2 AS BIGINT) AS med2 FROM res),
+        |d AS (SELECT r, abs(r * 2 - (SELECT med2 FROM m)) AS d FROM res),
+        |dm AS (SELECT CAST(median(d) * 2 AS BIGINT) AS dmed2 FROM d)
+        |SELECT COUNT(*) AS n_scored,
+        |       CAST(SUM(CASE WHEN d.d * 2 > (SELECT dmed2 FROM dm) * 3
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       (SELECT med2 FROM m) AS med2,
+        |       (SELECT dmed2 FROM dm) AS dmed2
+        |FROM d""".stripMargin,
+    "q_ewma" ->
+      // the same fixed-point ordered fold: DuckDB's list_reduce seeds
+      // from the first element, matching the Spark side's slice-tail
+      // fold with element_at(lst, 1) as init; /4 is a power of two so
+      // floor((3·acc+x)/4) is the exact integer floor-div on both sides
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 1000000, 0) AS BIGINT) AS value_u6
+        |           FROM events WHERE user_id % 20 = 0),
+        |l AS (SELECT user_id, ts_us, event_id, value_u6,
+        |             list(value_u6) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |      FROM e)
+        |SELECT user_id, ts_us, event_id, value_u6,
+        |       list_reduce(lst,
+        |         (acc, x) -> CAST(floor((acc * 3 + x) / 4) AS BIGINT)) AS ewma_u6
+        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_cramers_matrix" -> {
+      // one chi² fold per pair, generated from a single template so the
+      // three subqueries cannot drift; HUGEINT-fenced products (10⁶·dev²
+      // passes int64 at lineitem scale), clamp-at-zero before the //
+      val pairs = Seq(("l_returnflag", "l_linestatus"),
+        ("l_returnflag", "l_linenumber"), ("l_linestatus", "l_linenumber"))
+      val per = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n_rows, n_a, n_b, chi2_ppm,
+           |  CASE WHEN n_rows > 0 AND least(n_a, n_b) > 1
+           |       THEN greatest(chi2_ppm, 0) // (n_rows * (least(n_a, n_b) - 1))
+           |       END AS v2_ppm
+           |FROM (
+           |  SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+           |         CAST(COUNT(DISTINCT va) AS BIGINT) AS n_a,
+           |         CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_b,
+           |         CAST(CAST(1000000 AS HUGEINT) * MIN(n)
+           |              + SUM((CAST(1000000 AS HUGEINT) * CAST(dev AS HUGEINT)
+           |                     * CAST(dev AS HUGEINT))
+           |                    // (CAST(n AS HUGEINT) * ra * cb))
+           |              - SUM((CAST(1000000 AS HUGEINT) * ra * cb) // n)
+           |           AS BIGINT) AS chi2_ppm
+           |  FROM (
+           |    SELECT cells.va, cells.vb, cells.o, ra.ra, cb.cb, tot.n,
+           |           cells.o * tot.n - ra.ra * cb.cb AS dev
+           |    FROM (SELECT $a AS va, $b AS vb, CAST(COUNT(*) AS BIGINT) AS o
+           |          FROM lineitem GROUP BY 1, 2) cells
+           |    JOIN (SELECT $a AS va, CAST(COUNT(*) AS BIGINT) AS ra
+           |          FROM lineitem GROUP BY 1) ra USING (va)
+           |    JOIN (SELECT $b AS vb, CAST(COUNT(*) AS BIGINT) AS cb
+           |          FROM lineitem GROUP BY 1) cb USING (vb)
+           |    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem) tot))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) ORDER BY col_a, col_b"
+    },
+    "q_gini_by_source" ->
+      // identical rank-mass fold with PARTITION BY source, HUGEINT
+      """WITH cells AS (
+        |  SELECT source AS k, CAST(n_chars AS BIGINT) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1, 2),
+        |cw AS (SELECT k, v, c,
+        |              SUM(c) OVER (PARTITION BY k ORDER BY v) AS cumc
+        |       FROM cells),
+        |agg AS (SELECT k, CAST(SUM(c) AS HUGEINT) AS n,
+        |               SUM(CAST(v AS HUGEINT) * c) AS t,
+        |               SUM(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * (cumc - c)
+        |                   + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS s
+        |        FROM cw GROUP BY k)
+        |SELECT k AS source, CAST(n AS BIGINT) AS n_units,
+        |       CAST(t AS BIGINT) AS total,
+        |       CAST(CASE WHEN n > 0 AND t > 0
+        |            THEN (CAST(1000000 AS HUGEINT) * (2 * s - (n + 1) * t))
+        |                 // (n * t) END AS BIGINT) AS gini_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+  )
+}

@@ -1,0 +1,1167 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Assoc, Dedup, DiskUsageOp, Graph, Hygiene, Joins, Layout, Multimodal, Similarity, Splits, Temporal, TextAnalysis}
+import graft.SparkEntry._
+
+/** text-analysis rows — mechanically split out of the monolithic SparkEntry registry
+  * (it had passed 10k lines); entry bodies and oracle SQL are unchanged,
+  * shared helpers stay on [[graft.SparkEntry]]. The CoreSpec source
+  * tripwire scans every file in this package.
+  */
+private[graft] object TextQueries {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_hash_audit" -> ((s, dir) => {
+      // the no-collision audit under the dedup stack: every shingle-hash
+      // equality the LSH/exact-substring/chunk families treat as string
+      // identity is verified here — n_collisions counts distinct shingle
+      // STRINGS that share an xxhash64. The oracle pins 0 (string-side
+      // counts recomputed independently): a real collision fails this
+      // row loudly instead of silently merging two unrelated documents.
+      // One distinct + one agg over the shingle universe.
+      val shingled = TextAnalysis.shingles(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+      shingled.select(col("shingle")).distinct()
+        .agg(
+          count(lit(1)).as("n_distinct_shingles"),
+          countDistinct(xxhash64(col("shingle"))).as("n_distinct_hashes"))
+        .select(col("n_distinct_shingles"), col("n_distinct_hashes"),
+          (col("n_distinct_shingles") - col("n_distinct_hashes"))
+            .as("n_collisions"))
+    }),
+    "text_ngrams_top" -> ((s, dir) =>
+      // corpus document-frequency of shingles — the statistic that drives
+      // common-shingle pruning of the exact-Jaccard join at scale
+      TextAnalysis.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("shingle"))
+        .limit(20)),
+
+    // -------- text analysis (SURVEY §2.12)
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_score_calibrate" -> ((s, dir) =>
+      // cross-source score calibration: each doc's n_chars re-expressed
+      // as its integer percentile WITHIN its source (ties share — equal
+      // scores must calibrate identically) + the calibrated decile, so
+      // one global "top X%" predicate means the same thing on every
+      // source; two windows share one source-keyed exchange
+      Hygiene.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("score")),
+        "source", "score", Seq("doc_id"))
+        .orderBy(col("doc_id"))),
+    "text_score_calibrate_hist" -> ((s, dir) =>
+      // the SCALE form of text_score_calibrate: per-source equi-depth
+      // decile boundaries via distributed histogram narrowing (no
+      // per-source sort or window anywhere), then a row-local
+      // boundaries-≤-score count against the broadcast (source × 9)
+      // frame — the path to take when one source outgrows spill
+      Hygiene.quantileNormalizeHist(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("score")),
+        "source", "score", Seq("doc_id"))
+        .orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
+        .orderBy(col("doc_id"))),
+    "text_lang_confusion" -> ((s, dir) =>
+      // language-ID evaluation as a confusion matrix: one map-side-
+      // combined agg over the row-local predictions — the per-language
+      // shippability number for the heuristic
+      TextAnalysis.languageId(t(s, dir, "documents"), actualLangCol = Some("lang"))
+        .groupBy(col("actual_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual_lang"), col("predicted_lang"))),
+    "text_corpus_datasheet" -> ((s, dir) =>
+      // the corpus data card in one row: doc/lang/source cardinalities and
+      // integer-exact size stats (mean in basis points to stay integer) —
+      // one map-side-combined global agg, no shuffle wider than one row
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(lower(col("text")), " ")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_tokens"), col("total_chars"), col("min_chars"), col("max_chars"),
+          expr("CAST(total_chars * 100 DIV n_docs AS BIGINT)").as("mean_chars_x100"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_scrub" -> ((s, dir) => {
+      // synthesize text that actually contains PII so the redaction fires
+      val raw = t(s, dir, "events").select(
+        col("event_id"),
+        concat(
+          lit("user u"), col("user_id"),
+          lit(" mail u"), col("user_id"), lit("@mail.example"),
+          lit(" see http://site.example/e/"), col("event_id"),
+          lit(" type "), col("event_type")).as("text"))
+      TextAnalysis.scrub(raw, "event_id", "text").orderBy(col("event_id"))
+    }),
+    "text_cms_counts" -> ((s, dir) => {
+      // Count-Min Sketch estimates (64 buckets x 3 rows) for a probe set
+      // spanning hot template words, the top stopword, and an
+      // out-of-vocabulary token (its estimate is pure collision mass) —
+      // sketch build AND probe replayed by the oracle
+      import s.implicits._
+      val probes = Seq("table", "query", "the", "vector", "customer",
+        "scan", "merge", "zebra").toDF("token")
+      TextAnalysis.cmsTokenEstimates(t(s, dir, "documents"), probes,
+          width = 64, depth = 3)
+        .orderBy(col("token"))
+    }),
+    "text_hll_distinct" -> ((s, dir) =>
+      // cardinality sketch over the corpus vocabulary: 256 registers,
+      // integer-exact harmonic sum; the exact-distinct column is the
+      // fixture-scale accuracy A/B
+      TextAnalysis.hllDistinct(t(s, dir, "documents"))),
+    "text_collocations" -> ((s, dir) =>
+      // PMI collocation mining: window-5 co-occurrence, support >= 20,
+      // fenced-ln scoring — top 50 strongest associations; published as
+      // the shared [[collocationsArt]] artifact (text_textrank's graph)
+      collocationsArt(s, dir)
+        .orderBy(col("pmi").desc, col("w_a"), col("w_b"))
+        .limit(50)),
+    "text_textrank" -> ((s, dir) => {
+      // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+      // over the support-bounded word co-occurrence graph — two verified
+      // operators composed; the ≥ 20 support filter bounds the graph
+      // BEFORE any iteration touches it
+      val edges = collocationsArt(s, dir)
+        .filter(col("w_a") =!= col("w_b"))
+        .select(col("w_a").as("a"), col("w_b").as("b"))
+      Graph.pageRank(edges, iters = 3)
+        .select(col("node").as("token"), col("rank"))
+        .orderBy(col("rank").desc, col("token"))
+        .limit(30)
+    }),
+    "text_heavy_hitters" -> ((s, dir) =>
+      // two-pass Misra–Gries: bounded-state candidate pass (≤ s counters
+      // per task, cardinality-independent), then an exact recount of the
+      // tiny candidate set — output identical to the brute groupBy+HAVING
+      // the oracle runs, by the MG superset guarantee
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), s = heavyHitterS)),
+    "text_encoding_stats" -> ((s, dir) => {
+      // mojibake screen over deterministic damage planting: U+FFFD pairs
+      // on doc_id%6, C0 controls on %9, legitimate accents on %5 —
+      // damaged/clean and ascii/non-ascii all exercised; counts are code
+      // points in both engines
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0,
+            lit(" damaged �� here")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" ctl  end")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" café naïve")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.encodingStats(docs).orderBy(col("doc_id"))
+    }),
+    "text_repetition_lines" -> ((s, dir) => {
+      // Gopher A1.1 line-level repetition: four line-break injections give
+      // ~8 lines/doc and 77 of 500 docs a within-doc duplicated line —
+      // dup and clean paths both exercised; all outputs integers
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        replace(replace(replace(replace(col("text"),
+          lit("line "), lit("line\n")),
+          lit("value "), lit("value\n")),
+          lit("table "), lit("table\n")),
+          lit("scan "), lit("scan\n")).as("text"))
+      TextAnalysis.lineRepetitionStats(docs).orderBy(col("doc_id"))
+    }),
+    "text_pii_stats" -> ((s, dir) => {
+      // deterministic PII planting (the corpus has none): emails on
+      // doc_id%3, TEST-NET IPs on %4, formatted phones on %5, a
+      // Luhn-VALID card on %7 and a Luhn-INVALID 16-digit run on %11 —
+      // candidate counts vs validated cards discriminate exactly on the
+      // integer mod-10 checksum
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.invalid"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, concat(lit(" from 203.0.113."),
+            (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call +1 555 010 "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" card 4111111111111111 ok")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" card 4111111111111112 bad")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.piiStats(docs).orderBy(col("doc_id"))
+    }),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents")).orderBy(col("doc_id"), col("word"))),
+    "text_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_tfidf_topk" -> ((s, dir) =>
+      // top-3 characteristic words per document: TF-IDF composed with the
+      // custom TopKPerKey physical operator (bounded per-key heaps — no
+      // per-key sort of the full posting list, the 100 TB shape for
+      // "top terms per doc"); oracle = the window-function SQL
+      graft.plans.TopK.perKey(
+          TextAnalysis.tfIdf(t(s, dir, "documents")),
+          keyCols = Seq("doc_id"),
+          orderCols = Seq("tfidf" -> false, "word" -> true),
+          k = 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("word"))),
+    "text_lm_score" -> ((s, dir) =>
+      // bigram-LM quality scoring (CCNet lineage): mean log conditional
+      // probability under the corpus's own MLE bigram model — per-term
+      // ln over an exact integer ratio, rounded, decimal-summed
+      TextAnalysis.lmScore(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_entropy" -> ((s, dir) =>
+      // within-doc token-distribution entropy: the quality screen for
+      // keyword-stuffed/templated text that never literally repeats an
+      // n-gram — 6-dp-fenced lns, decimal-summed terms, edge rounding
+      TextAnalysis.entropyStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_readability" -> ((s, dir) =>
+      // Flesch reading ease in milli-points — three row-local counts +
+      // integer floor-div formula, zero exchanges
+      TextAnalysis.readability(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    "text_zipf_fit" -> ((s, dir) =>
+      // Zipf slope of the corpus rank–frequency curve: one map-side-
+      // combined token count + a 500-row take-ordered head; regression
+      // sums decimal-fenced — the corpus-datasheet naturalness signal
+      TextAnalysis.zipfFit(t(s, dir, "documents"), topN = 500)),
+    "text_vocab_growth" -> ((s, dir) =>
+      // Heaps-law growth curve: 8 nested md5-prefix samples, vocab and
+      // token mass per prefix plus the fitted β in exact ppm — one token
+      // pass, everything after folds on ≤256-row frames
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"))
+        .orderBy(col("k_num"))),
+    "text_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail quality buckets: per-LANGUAGE score-quantile
+      // thresholds (approx_percentile — bounded mergeable buffer, rank-exact
+      // at accuracy ≥ group size) broadcast back onto a row-local bucket
+      // comparison — never a per-language ntile window, which would
+      // serialize each language's corpus onto one task chain
+      TextAnalysis.ccnetBuckets(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_markup_strip" -> ((s, dir) => {
+      // markup hygiene with DETERMINISTIC planting (the pii-stats
+      // discipline): docs get tag/entity wrapping by doc_id residue in
+      // BOTH engines, then the strip chain runs — tags out, entities
+      // decoded, whitespace collapsed, removal counts auditable
+      val marked = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<p class=\"c\"> "), col("text"), lit(" </p><br/>")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("<div id=\"d\">&nbsp;"), col("text"), lit(" &amp; more</div>")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripMarkup(marked).orderBy(col("doc_id"))
+    }),
+    "text_gram_novelty" -> ((s, dir) =>
+      // corpus-duplicated shingle mass per doc. Skew-safe shape: row-local
+      // n_shingles + the df-1 complement trick (unique shingles name their
+      // owner via min(doc_id) inside the map-side-combining df agg), so no
+      // shingle-keyed window/join ever sees a viral key's full row set
+      TextAnalysis.gramNovelty(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition screen: duplicate-trigram fraction +
+      // top-bigram share, computed entirely row-locally (zero exchanges)
+      TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy(col("doc_id"))),
+    "text_bpe_vocab" -> ((s, dir) => {
+      // tokenizer training: 4 BPE merge rounds — distributed pair counting,
+      // driver argmax (the merge decision IS global), row-local merge
+      // apply. Publishes the shared trained-merge artifact (bpeMerges);
+      // the first sweep row to need it prices the training run.
+      import s.implicits._
+      bpeMerges(s, dir).toDF("merge_round", "lhs", "rhs", "n_occurrences")
+        .orderBy(col("merge_round"))
+    }),
+    "text_bpe_encode" -> ((s, dir) => {
+      // the APPLY side: encode a doc slice to (pos, token, token_id) with
+      // the shared trained 4-merge vocabulary (bpeMerges — train once,
+      // apply everywhere; the merge fold is row-local, ids are the
+      // vocabulary's alphabetical dense rank). Oracle replays the
+      // identical training rounds as unrolled CTEs and encodes the same
+      // slice.
+      val m = bpeMerges(s, dir).map { case (_, l, r, _) => (l, r) }
+      TextAnalysis.bpeEncode(t(s, dir, "documents").filter(col("doc_id") < 40), m)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+    "text_bpe_sampled" -> ((s, dir) => {
+      // the PRODUCTION tokenizer shape: train the merge table on a
+      // deterministic md5-bucket sample (25% of docs — the Splits
+      // discipline, so the oracle re-draws the identical sample), then
+      // encode with the row-local fold. Training cost scales with the
+      // sample; the encode side is 100 TB-safe as-is.
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocabSampled(docs, merges = 4, sampleFrac = 0.25)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 40), m)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+    "text_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-fit audit per source: OOV rate against the corpus' own
+      // top-200 term vocabulary (count desc, term asc — deterministic),
+      // plus the distinct-OOV driver count; the broadcast-vocab explode
+      // is the plan a real 10^5-term vocab would use unchanged
+      val docs = t(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(200)
+        .select(col("term"))
+      TextAnalysis.vocabCoverage(docs, vocab).orderBy(col("source"))
+    }),
+    "text_fertility" -> ((s, dir) => {
+      // tokenizer fairness across languages: tokens-per-byte (ppm,
+      // integral div) under the trained 4-merge vocabulary, per lang —
+      // row-local merge fold + one lang-keyed map-side-combined agg
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocab(docs, merges = 4)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
+    }),
+    "text_fertility_sampled" -> ((s, dir) => {
+      // the production pairing: fertility audited under the SAMPLED-
+      // training vocabulary (the tokenizer a real pipeline actually
+      // ships) — same md5-bucket sample as text_bpe_sampled, so the
+      // oracle re-draws it exactly
+      val docs = t(s, dir, "documents")
+      val m = TextAnalysis.bpeVocabSampled(docs, merges = 4, sampleFrac = 0.25)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
+    }),
+    "text_c4_filter" -> ((s, dir) => {
+      // C4-style boilerplate removal (keep lines with terminal punctuation
+      // and ≥3 words; drop docs left with <3 lines). The fixture corpus has
+      // no newlines, so line structure is synthesized deterministically in
+      // BOTH engines: 'line ' ends a punctuated line, 'value ' an
+      // unpunctuated one — kept/dropped lines and surviving/culled docs all
+      // exercised (98 of 500 docs survive at sf0.01)
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        replace(replace(col("text"), lit("line "), lit("line.\n")),
+          lit("value "), lit("value\n")).as("text"))
+      TextAnalysis.c4LineFilter(docs)
+        .select(col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_gopher_filter" -> ((s, dir) => {
+      // Gopher document-level quality rules over a deterministically
+      // synthesized structure (the corpus has no newlines/bullets):
+      // 'customer' injects the required stopword 'with', 'line ' ends a
+      // punctuated line, 'slow ' an ellipsis line, 'value ' starts a
+      // bullet line. Thresholds sized so every discriminating rule fires
+      // on the fixture: word bounds (93 docs out), symbol ratio (6),
+      // ellipsis-line frac (210), bullet-line frac @40% (100), alpha-word
+      // frac @94% (53), stopword hits (189) — 120 of 500 keep=true. All
+      // verdicts are pure integer comparisons: no float in either engine.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        replace(replace(replace(replace(concat(col("text"), lit(" ")),
+          lit("customer "), lit("customer with ")),
+          lit("line "), lit("line.\n")),
+          lit("slow "), lit("slow...\n")),
+          lit("value "), lit("\n- value ")).as("text"))
+      TextAnalysis.gopherRules(docs, minWords = 30, maxWords = 120,
+          maxBulletLinePct = 40, minAlphaWordPct = 94)
+        .orderBy(col("doc_id"))
+    }),
+    "text_source_concentration" -> ((s, dir) =>
+      // the datasheet concentration row: top-1/top-5 source shares + HHI
+      // in exact ppm integers — catches the three-domain "web-scale"
+      // corpus before it skews every downstream audit
+      Hygiene.sourceConcentration(t(s, dir, "documents"))),
+    "text_filter_kappa" -> ((s, dir) => {
+      // filter-swap calibration: Cohen's kappa between the Gopher and C4
+      // verdicts over the same corpus (each under its own synthesized
+      // structure, verbatim from its row) — chance-corrected, so two
+      // filters that both keep most docs can't fake agreement; one
+      // 5-counter aggregation, integer-exact kappa
+      val raw = t(s, dir, "documents")
+      val g = TextAnalysis.gopherRules(
+          raw.select(col("doc_id"),
+            replace(replace(replace(replace(concat(col("text"), lit(" ")),
+              lit("customer "), lit("customer with ")),
+              lit("line "), lit("line.\n")),
+              lit("slow "), lit("slow...\n")),
+              lit("value "), lit("\n- value ")).as("text")),
+          minWords = 30, maxWords = 120,
+          maxBulletLinePct = 40, minAlphaWordPct = 94)
+        .select(col("doc_id"), col("keep").as("a"))
+      val c = TextAnalysis.c4LineFilter(
+          raw.select(col("doc_id"),
+            replace(replace(col("text"), lit("line "), lit("line.\n")),
+              lit("value "), lit("value\n")).as("text")))
+        .select(col("doc_id"), lit(true).as("b"))
+      Hygiene.agreementKappa(
+        g.join(c, Seq("doc_id"), "left")
+          .select(col("a"), coalesce(col("b"), lit(false)).as("b")),
+        "a", "b")
+    }),
+    "text_chunk_windows" -> ((s, dir) =>
+      // overlapping context-window chunking: 12-token windows at stride 8
+      // (4 tokens of overlap), every token in ≥1 window, short final window
+      // kept — the count + boundary tokens identify each chunk without
+      // duplicating its text through the pipeline
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), winSize = 12, stride = 8)
+        .select(col("doc_id"), col("win_id"),
+          col("win_tokens").cast("long").as("win_tokens"),
+          col("first_tok"), col("last_tok"))
+        .orderBy(col("doc_id"), col("win_id"))),
+    "text_bm25_topk" -> ((s, dir) => {
+      // BM25 lexical retrieval: top-10 docs per query through the custom
+      // TopKPerKey operator; corpus pruned to query terms by a broadcast
+      // semi-join BEFORE any shuffle (the inverted-index probe); query 5
+      // carries an out-of-vocabulary term that must contribute nothing
+      import s.implicits._
+      val qs = Seq(
+        (0L, "fast table scan"), (1L, "join query order"),
+        (2L, "stream window batch"), (3L, "slow merge"),
+        (4L, "customer value vector"), (5L, "zebra hash")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    }),
+    "text_perceptron" -> ((s, dir) =>
+      // model-in-the-loop quality filtering: integer-exact batch perceptron
+      // over hashed bag-of-words, trained to separate English docs
+      // (label +1 iff lang='en' — the English-stopword hash buckets make
+      // the signal genuinely learnable). The oracle replays all 3 epochs
+      // as CTEs over the identical md5 feature hash; batch summation makes
+      // both sides independent of row order, so the margins match exactly.
+      TextAnalysis.perceptronQuality(t(s, dir, "documents"),
+          labelCol = when(col("lang") === "en", 1L).otherwise(-1L),
+          dims = 64, epochs = 3)
+        .orderBy(col("doc_id"))),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "text_hash_audit" -> (shingleCte +
+      // the oracle counts shingle STRINGS only (DuckDB has no xxhash64)
+      // and pins n_collisions to 0 — the exact claim under audit; a real
+      // collision makes the Spark side's hash count fall short and the
+      // row fail loudly
+      """SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_shingles,
+        |       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_hashes,
+        |       CAST(0 AS BIGINT) AS n_collisions
+        |FROM sh""".stripMargin),
+    // identical planting by residue, then the identical strip chain: regex
+    // tag removal with 'g', exact-string entity replaces in the same
+    // order (&amp; LAST — the non-cascading decode, mirroring the Spark
+    // fold), ASCII whitespace collapse, trim
+    "text_markup_strip" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN '<p class="c"> '||text||' </p><br/>'
+        |              WHEN doc_id % 5 = 1 THEN '<div id="d">&nbsp;'||text||' &amp; more</div>'
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(
+        |         replace(replace(replace(replace(replace(
+        |           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&nbsp;', ' '), '&amp;', '&'),
+        |         '[ \t\n\r]+', ' ', 'g')) AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |       CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp);')) AS BIGINT) AS n_entities
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_gram_novelty" -> (shingleCte +
+      """,df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS shared_frac
+        |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY sh.doc_id""".stripMargin),
+    "text_ngrams_top" -> (shingleCte +
+      """SELECT s AS shingle, COUNT(*) AS doc_freq
+        |FROM sh GROUP BY s
+        |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin),
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(lower(text),' '))) AS BIGINT) AS n_unique_tokens,
+        |       CAST(len(regexp_extract_all(lower(text),'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens,
+        |         CAST(length(regexp_replace(lower(text),'[^a-z]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT) AS alpha_ratio,
+        |         CAST(length(regexp_replace(text,'[^ ]','','g')) AS DOUBLE)/CAST(length(text) AS BIGINT) AS ws_ratio,
+        |         CAST(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(string_split(lower(text),' ')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, alpha_ratio, ws_ratio, stopword_ratio,
+        |       ROUND(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 + alpha_ratio*0.5, 6) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" -> (langidCtes +
+      """SELECT doc_id, c_de, c_en, c_es, c_fr, actual_lang, predicted_lang
+        |FROM p ORDER BY doc_id""".stripMargin),
+    "text_lang_confusion" -> (langidCtes +
+      // the language-ID EVALUATION: actual × predicted cell counts — the
+      // number that says whether the heuristic is shippable per language
+      """SELECT actual_lang, predicted_lang, COUNT(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY actual_lang, predicted_lang""".stripMargin),
+    "text_corpus_datasheet" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |       CAST((SUM(n_chars) * 100) // COUNT(*) AS BIGINT) AS mean_chars_x100
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS norm, string_split(lower(text),' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, norm, i, md5(w[i+1]||' '||w[i+2]||' '||w[i+3]) AS h
+        |  FROM (SELECT doc_id, norm, w, unnest(range(len(w)-2)) AS i FROM t WHERE len(w) >= 3)),
+        |m AS (
+        |  SELECT doc_id, norm,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        |  FROM g)
+        |SELECT doc_id,
+        |       CAST(COUNT(DISTINCT win_min) AS BIGINT) AS n_fingerprints,
+        |       MIN(win_min) AS min_fingerprint,
+        |       md5(MIN(norm)) AS doc_md5
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_score_calibrate" ->
+      // the identical per-source rank window (ties share), integer
+      // percentile, derived decile
+      """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |             rank() OVER (PARTITION BY source ORDER BY score) AS rk,
+        |             COUNT(*) OVER (PARTITION BY source) AS n
+        |      FROM d),
+        |p AS (SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+        |             CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+        |                       ELSE 0 END AS BIGINT) AS pct_ppm
+        |      FROM r)
+        |SELECT doc_id, source, score, pct_ppm,
+        |       CAST(least(9, pct_ppm // 100000) AS BIGINT) AS calib_decile
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "text_score_calibrate_hist" ->
+      // the identical lower-order-statistic boundaries (the
+      // q_group_quantiles_scalable rank formula) and the same
+      // boundaries-≤-score decile count
+      """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+        |v AS (SELECT source, CAST(round(n_chars * 1000000, 0) AS BIGINT) AS v
+        |      FROM documents),
+        |s AS (SELECT source, list(v ORDER BY v) AS lst, COUNT(*) AS n
+        |      FROM v GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([100000,200000,300000,400000,500000,
+        |                           600000,700000,800000,900000]) AS BIGINT)
+        |         AS q_ppm),
+        |bounds AS (SELECT s.source,
+        |                  lst[CAST(floor((qs.q_ppm / 1000000.0) * (s.n - 1))
+        |                      AS BIGINT) + 1] AS bv
+        |           FROM s CROSS JOIN qs)
+        |SELECT d.doc_id, d.source, CAST(d.score AS BIGINT) AS score,
+        |       CAST(SUM(CASE WHEN b.bv <= CAST(round(d.score * 1000000, 0) AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS calib_decile
+        |FROM d JOIN bounds b ON b.source = d.source
+        |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    "text_scrub" -> {
+      // interpolate the shared pattern constants — the oracle must follow
+      // any future pattern change automatically
+      val em = TextAnalysis.EmailPattern
+      val url = TextAnalysis.UrlPattern
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |         'user u'||CAST(user_id AS VARCHAR)||' mail u'||CAST(user_id AS VARCHAR)||'@mail.example'||
+         |         ' see http://site.example/e/'||CAST(event_id AS VARCHAR)||' type '||event_type AS text
+         |  FROM events)
+         |SELECT event_id,
+         |       regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+         |                      '$em', '<EMAIL>', 'g') AS scrubbed,
+         |       CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls
+         |FROM raw ORDER BY event_id""".stripMargin
+    },
+    "text_cms_counts" ->
+      // full sketch replay: same per-row md5 bucket hash, same d x w
+      // counter build, same min-over-rows probe
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |cells AS (
+        |  SELECT js.j,
+        |         CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||t),1,4)) AS BIGINT) % 64 AS b,
+        |         COUNT(*) AS n
+        |  FROM tok CROSS JOIN js GROUP BY 1, 2),
+        |probes(token) AS (VALUES ('table'), ('query'), ('the'), ('vector'),
+        |                         ('customer'), ('scan'), ('merge'), ('zebra')),
+        |e AS (
+        |  SELECT p.token, js.j,
+        |         CAST(('0x'||substring(md5(CAST(js.j AS VARCHAR)||':'||p.token),1,4)) AS BIGINT) % 64 AS b
+        |  FROM probes p CROSS JOIN js),
+        |l AS (SELECT e.token, COALESCE(c.n, 0) AS n
+        |      FROM e LEFT JOIN cells c ON c.j = e.j AND c.b = e.b)
+        |SELECT token, CAST(MIN(n) AS BIGINT) AS est_count
+        |FROM l GROUP BY token ORDER BY token""".stripMargin,
+    "text_collocations" ->
+      // the identical fenced-ln chain in the identical left-assoc order;
+      // positions are 1-based here vs 0-based in Spark — the window
+      // condition uses differences, so the offset cancels
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |         generate_subscripts(string_split(lower(text),' '),1) AS i
+        |  FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM tok),
+        |pairs AS (
+        |  SELECT least(x.w, y.w) AS w_a, greatest(x.w, y.w) AS w_b
+        |  FROM tok x JOIN tok y
+        |    ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + 5),
+        |ptot AS (SELECT COUNT(*) AS p FROM pairs),
+        |pc AS (SELECT w_a, w_b, COUNT(*) AS c_ab
+        |       FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT pc.w_a, pc.w_b, CAST(pc.c_ab AS BIGINT) AS c_ab,
+        |       ua.cw AS c_a, ub.cw AS c_b,
+        |       ROUND(ROUND(ln(pc.c_ab), 6) - ROUND(ln(ptot.p), 6) -
+        |             ROUND(ln(ua.cw), 6) - ROUND(ln(ub.cw), 6) +
+        |             ROUND(ln(tot.t), 6) + ROUND(ln(tot.t), 6), 6) + 0.0 AS pmi
+        |FROM pc JOIN uni ua ON ua.w = pc.w_a
+        |        JOIN uni ub ON ub.w = pc.w_b
+        |CROSS JOIN tot CROSS JOIN ptot
+        |ORDER BY pmi DESC, w_a, w_b LIMIT 50""".stripMargin,
+    "text_textrank" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w,
+        |         generate_subscripts(string_split(lower(text),' '),1) AS i
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT least(x.w, y.w) AS w_a, greatest(x.w, y.w) AS w_b
+        |  FROM tok x JOIN tok y
+        |    ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + 5),
+        |pc AS (SELECT w_a, w_b, COUNT(*) AS c_ab
+        |       FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        |e0 AS (SELECT w_a AS a, w_b AS b FROM pc WHERE w_a <> w_b)
+        |""".stripMargin + pageRankOracleIters +
+      """SELECT node AS token, r AS rank FROM r3
+        |ORDER BY rank DESC, token LIMIT 30""".stripMargin),
+    "text_heavy_hitters" ->
+      // brute-force form of the same statistic: the MG candidate pass is
+      // output-invisible (superset + exact recount), so the oracle needs
+      // no sketch replay — just the exact counts and the shared threshold
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+         |SELECT token, COUNT(*) AS n_occurrences,
+         |       CAST((COUNT(*) * 1000000) // MIN(tot.n_total) AS BIGINT) AS share_ppm
+         |FROM tok CROSS JOIN tot
+         |GROUP BY token
+         |HAVING COUNT(*) * $heavyHitterS >= MIN(tot.n_total)
+         |ORDER BY n_occurrences DESC, token""".stripMargin,
+    "text_hll_distinct" ->
+      // full sketch replay: same md5 register/rank split (rank via binary-
+      // string length — integer, no log), same EXACT integer harmonic sum
+      // (2^62 >> rank summed wide), same one-shot rounded division and
+      // 6-dp-rounded-ln linear-counting branch
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |h AS (SELECT md5(t) AS h FROM tok),
+        |r AS (SELECT CAST(('0x'||substring(h, 1, 2)) AS BIGINT) AS reg,
+        |             CAST(('0x'||substring(h, 3, 15)) AS BIGINT) AS v
+        |      FROM h),
+        |r2 AS (SELECT reg,
+        |              CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rank
+        |       FROM r),
+        |mx AS (SELECT reg, MAX(rank) AS mr FROM r2 GROUP BY reg),
+        |agg AS (SELECT COUNT(*) AS present,
+        |               SUM(4611686018427387904 >> mr) AS ssum
+        |        FROM mx),
+        |st AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct_exact
+        |       FROM tok),
+        |x AS (SELECT n_tokens, n_distinct_exact,
+        |             CAST(256 - present AS BIGINT) AS zero_registers,
+        |             CAST(ssum + (256 - present) * CAST(4611686018427387904 AS HUGEINT)
+        |                  AS DOUBLE) AS sd
+        |      FROM agg CROSS JOIN st),
+        |e AS (SELECT n_tokens, n_distinct_exact, zero_registers,
+        |             round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |                     CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |                   * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |                   * CAST(4611686018427387904 AS DOUBLE) / sd, 6) AS raw_estimate
+        |      FROM x)
+        |SELECT 256 AS m, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_distinct_exact AS BIGINT) AS n_distinct_exact,
+        |       zero_registers, raw_estimate,
+        |       CASE WHEN raw_estimate <= 640.0 AND zero_registers > 0
+        |            THEN round(CAST(256.0 AS DOUBLE) *
+        |                   round(ln(CAST(256.0 AS DOUBLE) / zero_registers), 6), 6)
+        |            ELSE raw_estimate END AS estimate
+        |FROM e""".stripMargin,
+    "text_encoding_stats" ->
+      // identical planting (controls built via chr() so no raw control
+      // bytes ride in SQL text), identical regex classes, length() =
+      // code points on both engines
+      s"""WITH syn AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' damaged �� here' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN ' ctl ' || chr(1) || chr(7) || ' end' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' café naïve' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+         |       CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS BIGINT) AS n_control,
+         |       CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS n_non_ascii,
+         |       (len(regexp_extract_all(text, '�')) +
+         |        len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) = 0) AS clean
+         |FROM syn ORDER BY doc_id""".stripMargin,
+    "text_repetition_lines" ->
+      // relational replay of the run-length fold: group lines per doc,
+      // tally occurrences in groups of size >= 2 — different algorithm,
+      // same integers
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |         replace(replace(replace(replace(text,
+        |           'line ', 'line' || chr(10)),
+        |           'value ', 'value' || chr(10)),
+        |           'table ', 'table' || chr(10)),
+        |           'scan ', 'scan' || chr(10)) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM syn),
+        |g AS (SELECT doc_id, line, COUNT(*) AS c, strlen(line) AS len
+        |      FROM l GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_lines,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+        |       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_line_occurrences,
+        |       CAST(SUM(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS dup_line_chars,
+        |       CAST(SUM(c * len) AS BIGINT) AS total_line_chars
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pii_stats" -> {
+      // identical planting, identical patterns (interpolated from the
+      // shared constants), identical integer Luhn fold over the reversed
+      // digit string
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      val cd = TextAnalysis.CardPattern
+      s"""WITH syn AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.invalid' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' from 203.0.113.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 010 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111 ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' card 4111111111111112 bad' ELSE '' END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+         |    CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(text, '$cd')) AS BIGINT) AS n_card_candidates,
+         |    CAST(len(list_filter(regexp_extract_all(text, '$cd'),
+         |      d -> list_sum(list_transform(generate_series(1, strlen(d)),
+         |        i -> CASE WHEN i % 2 = 0
+         |          THEN 2 * (ascii(substring(reverse(d), i, 1)) - 48) -
+         |            CASE WHEN ascii(substring(reverse(d), i, 1)) - 48 > 4 THEN 9 ELSE 0 END
+         |          ELSE ascii(substring(reverse(d), i, 1)) - 48 END)) % 10 = 0))
+         |      AS BIGINT) AS n_cards_valid
+         |  FROM syn)
+         |SELECT doc_id, n_emails, n_ipv4, n_phones, n_card_candidates, n_cards_valid,
+         |       (n_emails + n_ipv4 + n_phones + n_cards_valid > 0) AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "text_bpe_vocab" ->
+      graft.operators.TextAnalysis.bpeVocabSql(4),
+    "text_bpe_encode" ->
+      graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L),
+    "text_bpe_sampled" ->
+      // replays training restricted to the SAME md5-bucket sample, then
+      // encodes the same slice with the sampled merges
+      graft.operators.TextAnalysis.bpeEncodeSql(merges = 4, maxDocId = 40L,
+        trainWhere = graft.operators.TextAnalysis.bpeSampleWhereSql("doc_id", 0.25)),
+    "text_vocab_coverage" ->
+      // the same top-200 vocab (count desc, term asc) and the same
+      // left-join coverage fold, truncating ppm on non-negatives
+      """WITH tok AS MATERIALIZED (
+        |  SELECT source, doc_id, unnest(string_split(lower(text),' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+        |vocab AS MATERIALIZED (
+        |  SELECT term FROM tf ORDER BY c DESC, term LIMIT 200),
+        |mk AS (SELECT tok.source, tok.doc_id, tok.term,
+        |              CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |       FROM tok LEFT JOIN vocab v ON v.term = tok.term)
+        |SELECT source,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(1 - iv) AS BIGINT) AS n_oov,
+        |       CAST(COUNT(DISTINCT CASE WHEN iv = 0 THEN term END) AS BIGINT)
+        |         AS n_oov_terms,
+        |       CAST((1000000 * SUM(1 - iv)) // COUNT(*) AS BIGINT) AS oov_ppm
+        |FROM mk GROUP BY 1 ORDER BY source""".stripMargin,
+    "text_fertility" ->
+      // same unrolled training rounds, per-language integer fertility
+      graft.operators.TextAnalysis.fertilitySql(merges = 4),
+    "text_fertility_sampled" ->
+      // training rounds restricted to the identical md5-bucket sample
+      graft.operators.TextAnalysis.fertilitySql(merges = 4,
+        trainWhere = graft.operators.TextAnalysis.bpeSampleWhereSql("doc_id", 0.25)),
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |tri AS (
+        |  SELECT doc_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i FROM t WHERE len(w) >= 3)),
+        |bg AS (
+        |  SELECT doc_id, w[i+1]||' '||w[i+2] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t WHERE len(w) >= 2)),
+        |ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_tri_d FROM tri GROUP BY 1),
+        |bt AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY 1),
+        |bp AS (SELECT doc_id, MAX(c) AS top_n
+        |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1,2) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(COALESCE(ts.n_tri, 0) AS BIGINT) AS n_trigrams,
+        |       CAST(COALESCE(ts.n_tri_d, 0) AS BIGINT) AS n_distinct_trigrams,
+        |       CAST(COALESCE(bt.n_bg, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(bp.top_n, 0) AS BIGINT) AS top_bigram_n,
+        |       CASE WHEN COALESCE(ts.n_tri, 0) > 0
+        |            THEN CAST(ts.n_tri - ts.n_tri_d AS DOUBLE) / ts.n_tri
+        |            ELSE 0.0 END AS dup_trigram_frac,
+        |       CASE WHEN COALESCE(bt.n_bg, 0) > 0
+        |            THEN CAST(bp.top_n AS DOUBLE) / bt.n_bg
+        |            ELSE 0.0 END AS top_bigram_frac
+        |FROM t LEFT JOIN ts USING (doc_id)
+        |       LEFT JOIN bt USING (doc_id)
+        |       LEFT JOIN bp USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "text_rarity" ->
+      // mean_freq is ONE int64/int64 division on both engines (no float
+      // summation anywhere), so the double compares bit-exact
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+        |freq AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(freq) AS BIGINT) AS sum_freq, COUNT(*) AS n_tokens,
+        |       CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
+        |FROM toks JOIN freq USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+        |dfreq AS (
+        |  SELECT word, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |x AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+        |         ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN nd)
+        |SELECT doc_id, word, tf, df, tfidf FROM (
+        |  SELECT x.*, row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY tfidf DESC, word) AS rn
+        |  FROM x)
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, word""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t WHERE len(w) >= 2)),
+        |c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT bg.doc_id, ROUND(ln(CAST(c2t.c2 AS DOUBLE)/c1t.c1), 6) AS lp
+        |  FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) AS sum_logp,
+        |       ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean_logp
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      // identical term chain: integer counts, each ln fenced at 6 dp, one
+      // rounded double product per (doc, token), decimal sum, edge round;
+      // +0.0 normalizes the single-token doc's -0.0
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w
+        |             FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1,2),
+        |nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |tm AS (
+        |  SELECT wc.doc_id, nd.n,
+        |         ROUND(CAST(wc.c AS DOUBLE) *
+        |           (ROUND(ln(CAST(wc.c AS DOUBLE)),6) - ROUND(ln(CAST(nd.n AS DOUBLE)),6)),
+        |           6) AS term
+        |  FROM wc JOIN nd USING (doc_id))
+        |SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_distinct,
+        |       ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)/MAX(n), 6)+0.0
+        |         AS entropy
+        |FROM tm GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """SELECT doc_id,
+        |       greatest(len(string_split(lower(text), ' ')), 1) AS n_words,
+        |       greatest(len(regexp_extract_all(lower(text), '[.!?]')), 1)
+        |         AS n_sentences,
+        |       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |         AS n_syllables,
+        |       206835
+        |         - (1015 * greatest(len(string_split(lower(text), ' ')), 1))
+        |           // greatest(len(regexp_extract_all(lower(text), '[.!?]')), 1)
+        |         - (84600 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+        |           // greatest(len(string_split(lower(text), ' ')), 1)
+        |         AS flesch_m3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab_growth" ->
+      // identical nested-prefix fold: per-token MIN doc bucket, per-bucket
+      // token mass, 8 prefix sums; ln pre-quantized to integer micro-units
+      // before the all-integer OLS, one ppm division at the end
+      """WITH d AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |           AS BIGINT) AS bkt,
+        |         string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |bt AS (SELECT bkt, CAST(SUM(len(toks)) AS BIGINT) AS nt
+        |       FROM d GROUP BY bkt),
+        |tm AS (SELECT term, MIN(bkt) AS mb
+        |       FROM (SELECT bkt, unnest(toks) AS term FROM d) GROUP BY term),
+        |mc AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS nv FROM tm GROUP BY mb),
+        |ks AS (SELECT * FROM (VALUES (2), (4), (8), (16), (32), (64), (128),
+        |         (256)) t(k)),
+        |pn AS (SELECT ks.k, CAST(COALESCE(SUM(bt.nt), 0) AS BIGINT) AS n_tokens
+        |       FROM ks LEFT JOIN bt ON bt.bkt < ks.k GROUP BY ks.k),
+        |pv AS (SELECT ks.k, CAST(COALESCE(SUM(mc.nv), 0) AS BIGINT) AS vocab
+        |       FROM ks LEFT JOIN mc ON mc.mb < ks.k GROUP BY ks.k),
+        |pts AS (SELECT k, n_tokens, vocab FROM pn JOIN pv USING (k)),
+        |lp AS (SELECT
+        |         CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+        |         CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+        |       FROM pts WHERE n_tokens > 0 AND vocab > 0),
+        |fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS p,
+        |               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |        FROM lp),
+        |beta AS (SELECT CASE WHEN p >= 2 AND (p * sxx - sx * CAST(sx AS HUGEINT)) > 0
+        |                THEN CAST(sign(p * sxy - sx * CAST(sy AS HUGEINT)) AS BIGINT) *
+        |                     CAST((CAST(1000000 AS HUGEINT) *
+        |                           abs(p * sxy - sx * CAST(sy AS HUGEINT)))
+        |                          // (p * sxx - sx * CAST(sx AS HUGEINT)) AS BIGINT)
+        |                END AS beta_ppm
+        |         FROM fit)
+        |SELECT CAST(pts.k AS BIGINT) AS k_num, pts.n_tokens, pts.vocab,
+        |       beta.beta_ppm
+        |FROM pts CROSS JOIN beta ORDER BY k_num""".stripMargin,
+    "text_zipf_fit" ->
+      // identical bounded regression: ln of exact integers fenced at 8,
+      // products at 12, all four sums in DECIMAL(38,12) (order-free),
+      // slope/intercept as fixed-order double ops rounded to 6; the
+      // intercept reuses the ROUNDED slope exactly as the Spark side does
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |             FROM documents),
+        |tc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |top AS (SELECT w, c FROM tc ORDER BY c DESC, w LIMIT 500),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+        |               AS rank FROM top),
+        |xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 8) AS x,
+        |              round(ln(CAST(c AS DOUBLE)), 8) AS y FROM r),
+        |s AS (SELECT COUNT(*) AS n,
+        |             SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+        |             SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+        |             SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+        |             SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx
+        |      FROM xy)
+        |SELECT n AS n_top,
+        |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) -
+        |              round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |                    (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+        |              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM s""".stripMargin,
+    // same bigram-LM CTEs as text_lm_score, then per-language rank-exact
+    // order-statistic thresholds (quantile_disc ≡ approx_percentile at
+    // accuracy ≥ group size — the q_percentile_approx contract) and the
+    // identical strict-greater bucket rule
+    "text_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t WHERE len(w) >= 2)),
+        |c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1,2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT bg.doc_id, ROUND(ln(CAST(c2t.c2 AS DOUBLE)/c1t.c1), 6) AS lp
+        |  FROM bg JOIN c2t USING (w1, w2) JOIN c1t USING (w1)),
+        |sc AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean_logp
+        |  FROM lp GROUP BY 1),
+        |sl AS (SELECT sc.doc_id, d.lang, sc.mean_logp
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang, quantile_disc(mean_logp, 1.0/3) AS t_low,
+        |              quantile_disc(mean_logp, 2.0/3) AS t_high
+        |       FROM sl GROUP BY 1)
+        |SELECT sl.doc_id, sl.lang, sl.mean_logp,
+        |       CASE WHEN sl.mean_logp > th.t_high THEN 'head'
+        |            WHEN sl.mean_logp > th.t_low THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sl JOIN th USING (lang)
+        |ORDER BY sl.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+        |dfreq AS (
+        |  SELECT word, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+        |       ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+        |ORDER BY doc_id, word""".stripMargin,
+    "text_c4_filter" ->
+      // identical line synthesis, then the same keep predicate via the
+      // shared lambda; kept lists re-joined with the same newline
+      (c4OracleCtes +
+      """
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, chr(10)) AS clean_text
+        |FROM k WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin),
+    "text_gopher_filter" ->
+      // identical synthesis, then the identical integer rule arithmetic —
+      // cross-multiplied thresholds, no ratio ever materializes
+      (s"WITH $gopherOracleCtes" +
+      s"""
+         |SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines, n_bullet_lines,
+         |       n_ellipsis_lines, n_alpha_words, stop_hits,
+         |       $gopherKeepSql AS keep
+         |FROM c ORDER BY doc_id""".stripMargin),
+    "text_source_concentration" ->
+      // identical integral-div shares and HHI over the bounded counts
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_sources FROM c),
+        |r AS (SELECT c.n, (c.n * 1000000) // t.n_docs AS share_ppm,
+        |             row_number() OVER (ORDER BY c.n DESC, c.source) AS rn
+        |      FROM c, t)
+        |SELECT t.n_docs, t.n_sources,
+        |       CAST((SUM(CASE WHEN rn = 1 THEN n ELSE 0 END) * 1000000) // t.n_docs AS BIGINT) AS top1_ppm,
+        |       CAST((SUM(CASE WHEN rn <= 5 THEN n ELSE 0 END) * 1000000) // t.n_docs AS BIGINT) AS topk_ppm,
+        |       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM r, t GROUP BY t.n_docs, t.n_sources""".stripMargin,
+    "text_filter_kappa" ->
+      // the two filter chains verbatim (shared CTE vals — cannot drift),
+      // verdicts joined per doc, then the exact-integer kappa: num/den
+      // are count rationals, ppm is sign·(10⁶·|num| // den) — the same
+      // truncation-toward-zero both engines land on
+      (c4OracleCtes + s",\n$gopherOracleCtes" +
+      s"""
+         |,ga AS (SELECT doc_id, $gopherKeepSql AS a FROM c),
+         |cb AS (SELECT doc_id FROM k WHERE len(kept) >= 3),
+         |v AS (SELECT ga.a, (cb.doc_id IS NOT NULL) AS b
+         |      FROM ga LEFT JOIN cb USING (doc_id)),
+         |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |       CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |       CAST(SUM(CASE WHEN (NOT a) AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+         |       CAST(SUM(CASE WHEN (NOT a) AND (NOT b) THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |       FROM v),
+         |kp AS (SELECT *,
+         |       (n_both+n_only_a)*(n_both+n_only_b)
+         |         + (n_only_b+n_neither)*(n_only_a+n_neither) AS chance
+         |       FROM cm)
+         |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+         |       CASE WHEN n*n - chance = 0 THEN NULL
+         |            ELSE CAST(sign(n*(n_both+n_neither) - chance) *
+         |                 ((1000000 * abs(n*(n_both+n_neither) - chance))
+         |                   // (n*n - chance)) AS BIGINT)
+         |       END AS kappa_ppm
+         |FROM kp""".stripMargin),
+    "text_chunk_windows" ->
+      // windows [i*8+1, i*8+12] over the whitespace token list, 1-based
+      // stop-inclusive list_slice ≡ Spark's slice(toks, start, 12)
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, CAST((len(toks) - 1) // 8 AS BIGINT))) AS win_id
+        |  FROM t),
+        |sl AS (
+        |  SELECT doc_id, win_id,
+        |         list_slice(toks, win_id * 8 + 1, win_id * 8 + 12) AS win
+        |  FROM w)
+        |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+        |       CAST(len(win) AS BIGINT) AS win_tokens,
+        |       win[1] AS first_tok, win[-1] AS last_tok
+        |FROM sl ORDER BY doc_id, win_id""".stripMargin,
+    "text_bm25_topk" -> (bm25OracleCtes +
+      """
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin),
+    "text_perceptron" ->
+      // the 3 training epochs unrolled as CTEs over the same md5 feature
+      // hash (featureBucketSql). Epoch 1 starts from zero weights, so every
+      // margin is 0 and EVERY doc is misclassified — w1/b1 are whole-corpus
+      // sums; epochs 2-3 score under the previous weights, fold only the
+      // misclassified docs' deltas in. All integers — no float tolerance.
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS label, text
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, label,
+        |         CAST(('0x'||substring(md5(term),1,4)) AS BIGINT) % 64 AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, label, unnest(string_split(lower(text),' ')) AS term
+        |        FROM docs)
+        |  GROUP BY 1,2,3),
+        |dlab AS (SELECT DISTINCT doc_id, label FROM feats),
+        |w1 AS (SELECT bucket, SUM(label*cnt) AS wv FROM feats GROUP BY 1),
+        |b1 AS (SELECT SUM(label) AS bias FROM dlab),
+        |m2 AS (SELECT f.doc_id, f.label,
+        |              SUM(COALESCE(w.wv,0)*f.cnt) + (SELECT bias FROM b1) AS margin
+        |       FROM feats f LEFT JOIN w1 w USING (bucket) GROUP BY 1,2),
+        |mis2 AS (SELECT doc_id, label FROM m2 WHERE label*margin <= 0),
+        |d2 AS (SELECT f.bucket, SUM(m.label*f.cnt) AS dw
+        |       FROM feats f JOIN mis2 m USING (doc_id) GROUP BY 1),
+        |w2 AS (SELECT bucket, SUM(v) AS wv FROM (
+        |         SELECT bucket, wv AS v FROM w1
+        |         UNION ALL SELECT bucket, dw AS v FROM d2) GROUP BY 1),
+        |b2 AS (SELECT (SELECT bias FROM b1) +
+        |              COALESCE((SELECT SUM(label) FROM mis2), 0) AS bias),
+        |m3 AS (SELECT f.doc_id, f.label,
+        |              SUM(COALESCE(w.wv,0)*f.cnt) + (SELECT bias FROM b2) AS margin
+        |       FROM feats f LEFT JOIN w2 w USING (bucket) GROUP BY 1,2),
+        |mis3 AS (SELECT doc_id, label FROM m3 WHERE label*margin <= 0),
+        |d3 AS (SELECT f.bucket, SUM(m.label*f.cnt) AS dw
+        |       FROM feats f JOIN mis3 m USING (doc_id) GROUP BY 1),
+        |w3 AS (SELECT bucket, SUM(v) AS wv FROM (
+        |         SELECT bucket, wv AS v FROM w2
+        |         UNION ALL SELECT bucket, dw AS v FROM d3) GROUP BY 1),
+        |b3 AS (SELECT (SELECT bias FROM b2) +
+        |              COALESCE((SELECT SUM(label) FROM mis3), 0) AS bias),
+        |mf AS (SELECT f.doc_id, f.label,
+        |              SUM(COALESCE(w.wv,0)*f.cnt) + (SELECT bias FROM b3) AS margin
+        |       FROM feats f LEFT JOIN w3 w USING (bucket) GROUP BY 1,2)
+        |SELECT doc_id, CAST(label AS BIGINT) AS label,
+        |       CAST(margin AS BIGINT) AS margin,
+        |       (label*margin > 0) AS correct
+        |FROM mf ORDER BY doc_id""".stripMargin,
+  )
+}

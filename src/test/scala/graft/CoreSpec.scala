@@ -102,14 +102,26 @@ class CoreSpec extends AnyFunSuite {
     // runtime maps can't reveal duplicates, so this reads the SOURCE:
     // top-level registry entries are exactly the 4-space-indented
     // '"name" ->' lines.
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    // the registry is split across graft/registry/*.scala (plus whatever
+    // may remain in SparkEntry.scala): in each file, entries before the
+    // `val oracles` (or legacy `def oracleSql`) marker are query keys,
+    // entries after it oracle keys — scanning EVERY file keeps the
+    // tripwire sound against cross-file re-additions too
+    import scala.jdk.CollectionConverters._
+    val regDir = java.nio.file.Paths.get("src/main/scala/graft/registry")
+    val files = java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala") +:
+      java.nio.file.Files.list(regDir).iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".scala")).sortBy(_.toString)
+    assert(files.size >= 2, s"registry files missing: $files")
     val entry = """(?m)^    "([a-z0-9_]+)" ->""".r
-    val oi = src.indexOf("def oracleSql")
-    assert(oi > 0, "oracleSql marker not found")
     def keys(span: String): Seq[String] = entry.findAllMatchIn(span).map(_.group(1)).toSeq
-    val q = keys(src.substring(0, oi))
-    val o = keys(src.substring(oi))
+    val (q, o) = files.foldLeft((Seq.empty[String], Seq.empty[String])) {
+      case ((qa, oa), f) =>
+        val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val oi = math.max(src.indexOf("val oracles"), src.indexOf("def oracleSql"))
+        if (oi < 0) (qa ++ keys(src), oa)
+        else (qa ++ keys(src.substring(0, oi)), oa ++ keys(src.substring(oi)))
+    }
     def dups(xs: Seq[String]) = xs.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dups(q).isEmpty, s"duplicate queries keys: ${dups(q).mkString(",")}")
     assert(dups(o).isEmpty, s"duplicate oracleSql keys: ${dups(o).mkString(",")}")

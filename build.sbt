@@ -42,9 +42,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g default: the target environment has 128 GiB; a tight heap turns
-  // host-contention windows into GC storms that poison bench timings —
-  // observed again at 16g once the r15 artifact cache grew (a 46 s
-  // GC-storm iteration on q_hits with 21 s total GC in the run)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 16g default (restored r16): the r15 GC storms at 16g were the BOXED
+  // damped-edge collects (hundreds of MB of tuples per graph call), not
+  // cache residency — with those primitive-array'd and the artifact
+  // cache budgeted, back-to-back full benches measured 16g ≥ 32g
+  // (0.924 vs 1.110 s/q, GC 13.4 vs 18.4 s; per-row median ratio 1.18 =
+  // ambient noise, artifact residency 67.8 MB). A tight-but-sufficient
+  // heap is the honest default; SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

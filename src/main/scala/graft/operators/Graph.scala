@@ -90,9 +90,13 @@ object Graph {
     * cutovers, or None when the graph must keep the distributed loop.
     *
     * Gating (ONE action: edge count + null-id count):
-    *  - long-id graphs stream via `toLocalIterator` into primitive
-    *    arrays (the [[Dedup.components]] discipline — never a boxed-Row
-    *    collect spike) under the full [[Dedup.localMaxEdges]] bound;
+    *  - long-id graphs land in primitive long arrays under the full
+    *    [[Dedup.localMaxEdges]] bound — the per-partition rows are
+    *    compacted into primitive arrays EXECUTOR-SIDE inside ONE
+    *    mapPartitions job, so the driver never holds a boxed-Row
+    *    collect spike AND never pays `toLocalIterator`'s
+    *    job-per-partition scheduling (32 sequential tiny jobs ≈ +1 s
+    *    per call on a warm local[32] — measured, the r16 first cut);
     *  - other id types retain boxed values plus per-round hash/decimal
     *    state at several× the primitive footprint, so they gate at
     *    `min(localMaxEdges, localMaxEdgesBoxed)` (the min keeps
@@ -119,22 +123,33 @@ object Graph {
     val n = gate.getLong(0).toInt
     val cols = if (withDeg) Seq(col("src"), col("dst"), col("deg"))
       else Seq(col("src"), col("dst"))
-    val rows = ed.select(cols: _*).toLocalIterator()
-    val degA = if (withDeg) new Array[Long](n) else null
-    var i = 0
     if (longIds) {
+      // one job; each task ships (srcs, dsts[, degs]) primitive chunks
+      val parts = ed.select(cols: _*).rdd.mapPartitions { it =>
+        val s = Array.newBuilder[Long]; val d = Array.newBuilder[Long]
+        val g = Array.newBuilder[Long]
+        it.foreach { r =>
+          s += r.getLong(0); d += r.getLong(1)
+          if (withDeg) g += r.getLong(2)
+        }
+        Iterator.single((s.result(), d.result(), g.result()))
+      }.collect()
       val s = new Array[Long](n); val d = new Array[Long](n)
-      while (rows.hasNext) {
-        val r = rows.next()
-        s(i) = r.getLong(0); d(i) = r.getLong(1)
-        if (withDeg) degA(i) = r.getLong(2)
-        i += 1
+      val degA = if (withDeg) new Array[Long](n) else null
+      var i = 0
+      parts.foreach { case (ps, pd, pg) =>
+        System.arraycopy(ps, 0, s, i, ps.length)
+        System.arraycopy(pd, 0, d, i, pd.length)
+        if (withDeg) System.arraycopy(pg, 0, degA, i, pg.length)
+        i += ps.length
       }
       Some(new DampedEdges(s, d, null, null, degA))
     } else {
+      val rows = ed.select(cols: _*).collect()
       val s = new Array[AnyRef](n); val d = new Array[AnyRef](n)
-      while (rows.hasNext) {
-        val r = rows.next()
+      val degA = if (withDeg) new Array[Long](n) else null
+      var i = 0
+      rows.foreach { r =>
         s(i) = r.get(0).asInstanceOf[AnyRef]
         d(i) = r.get(1).asInstanceOf[AnyRef]
         if (withDeg) degA(i) = r.getLong(2)
@@ -541,9 +556,13 @@ object Graph {
     // table — the pair table is the Σ deg² blow-up side (measured 10M+
     // rows at sf0.1 vs 1.2M adjacency rows), so joining before the
     // wedge is the strictly smaller plan
-    val adjD = adj
+    // CACHED: both legs of the wedge self-join read this frame — uncached,
+    // the degree join + center semi-join subtree computes twice (exchange
+    // reuse does not cover the join ABOVE the reused exchanges), a full
+    // O(|E|) duplicate at the operator's hottest input
+    val adjD = Dedup.cached(adj
       .join(deg.select(col("n").as("m"), col("d").as("dm")), Seq("m"))
-      .join(centerOk, Seq("n"), "left_semi")
+      .join(centerOk, Seq("n"), "left_semi"))
     val wedges = adjD.as("x").join(adjD.as("y"),
         col("x.n") === col("y.n") && col("x.m") < col("y.m"))
       .select(col("x.m").as("u"), col("y.m").as("v"),

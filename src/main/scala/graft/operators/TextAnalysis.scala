@@ -1561,14 +1561,24 @@ object TextAnalysis {
       for (_ <- 1 to epochs) {
         val mis = margins.filter(col("label") * col("margin") <= 0)
           .select(col(idCol), col("label"))
-        val deltas = feats.join(mis.withColumnRenamed("label", "mlabel"), Seq(idCol))
+        // ONE action per epoch: the bias update (Σ label over
+        // misclassified docs, i.e. each doc counted once with cnt = 1)
+        // rides the SAME bucket-keyed aggregation as the weight deltas
+        // under the sentinel bucket -1 — the two-collect form paid a
+        // second job per epoch plus a second computation of `mis`, pure
+        // scheduler latency on a frame this small (the row's cost is
+        // fixed per-job overhead, not data). Arithmetic is unchanged
+        // integer addition, so margins stay oracle-exact.
+        val misL = mis.withColumnRenamed("label", "mlabel")
+        val deltas = feats.join(misL, Seq(idCol))
+          .select(col("bucket"), (col("mlabel") * col("cnt")).as("c"))
+          .unionAll(misL.select(lit(-1L).as("bucket"), col("mlabel").as("c")))
           .groupBy(col("bucket"))
-          .agg(sum(col("mlabel") * col("cnt")).as("dw"))
+          .agg(sum(col("c")).as("dw"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val biasDelta = mis.agg(coalesce(sum(col("label")), lit(0L)))
-          .collect().head.getLong(0)
-        w = deltas.foldLeft(w) { case (m, (b, dw)) => m.updated(b, m(b) + dw) }
-        bias += biasDelta
+        w = deltas.filter(_._1 >= 0L)
+          .foldLeft(w) { case (m, (b, dw)) => m.updated(b, m(b) + dw) }
+        bias += deltas.collectFirst { case (-1L, dw) => dw }.getOrElse(0L)
       }
       margins.select(col(idCol), col("label"), col("margin"),
         (col("label") * col("margin") > 0).as("correct"))

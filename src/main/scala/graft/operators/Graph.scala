@@ -618,11 +618,22 @@ object Graph {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
 
   def hits(edges: DataFrame, iters: Int = 3,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
+      aCol: String = "a", bCol: String = "b"): DataFrame =
+    hitsWith(Dedup.cached(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct()),
+      iters)
+
+  /** [[hits]] over an ALREADY-DISTINCT directed `(src, dst)` edge frame —
+    * the seam that lets a registry serve a memoized distinct edge
+    * artifact without paying the canonicalizing distinct exchange +
+    * persist again on every call (the [[pageRankWith]] discipline). The
+    * caller owns the distinctness contract; duplicate edges would
+    * double-count contributions on both paths identically, so the seam
+    * shifts cost, never semantics.
+    */
+  def hitsWith(e: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = Dedup.cached(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst")).distinct())
     // SMALL-GRAPH CUTOVER (the components/kCore discipline, extended to
     // fenced numerics): every decimal sum is order-free and every round
     // is HALF_UP on a Double.toString parse, so the driver replica below
@@ -634,7 +645,7 @@ object Graph {
     // boxed id types gate at the smaller boxed bound, NULL ids keep the
     // distributed form (see [[collectDampedEdges]]).
     collectDampedEdges(e, withDeg = false, requireLongIds = false).foreach { de =>
-      val spark = edges.sparkSession
+      val spark = e.sparkSession
       import java.math.{BigDecimal => JBD}
       def l1Local(raw: java.util.HashMap[Any, JBD])
           : java.util.HashMap[Any, java.lang.Double] = {

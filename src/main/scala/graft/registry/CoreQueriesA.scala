@@ -413,9 +413,12 @@ private[graft] object CoreQueriesA {
       // HITS over the DIRECTED order→part incidence graph: 3 iterations
       // of fenced half-steps (decimal-exact contribution sums, broadcast
       // 1-row L1 normalizers); orders surface as hubs, parts as
-      // authorities — top 100 by (auth, hub, node)
+      // authorities — top 100 by (auth, hub, node). The incidence
+      // artifact is already distinct, so the With-seam skips hits'
+      // canonicalizing distinct exchange + persist per call
       val edges = incidenceEdges(s, dir)
-      Graph.hits(edges, iters = 3)
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.hitsWith(edges, iters = 3)
         .orderBy(col("auth").desc, col("hub").desc, col("node"))
         .limit(100)
     }),

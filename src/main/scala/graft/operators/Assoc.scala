@@ -42,9 +42,21 @@ object Assoc {
       col(basketCol).as("basket"), col(itemCol).as("item")).distinct())
     val nB = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    // within-basket pairs are generated ROW-LOCALLY from each basket's
+    // sorted distinct item array (the simhashPairs within-group pattern):
+    // one basket-keyed exchange feeding a row-local inline expansion,
+    // where the earlier basket self-join shuffled the full incidence
+    // TWICE and materialized the join before the pair count. Items are
+    // distinct and ascending per basket, so i < j ⟺ item_i < item_j —
+    // the identical canonical (item_a < item_b) pair set.
+    val pairs = b.groupBy(col("basket"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(expr(
+        """inline(flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |            y -> struct(x AS item_a, y AS item_b)))))""".stripMargin))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairN)
     pairs

@@ -324,11 +324,13 @@ private[graft] object TextQueries {
     "text_fertility" -> ((s, dir) => {
       // tokenizer fairness across languages: tokens-per-byte (ppm,
       // integral div) under the trained 4-merge vocabulary, per lang —
-      // row-local merge fold + one lang-keyed map-side-combined agg
+      // row-local merge fold + one lang-keyed map-side-combined agg.
+      // The vocabulary is the SHARED bpeMerges artifact (text_bpe_vocab
+      // prices the training); re-training it here per call was pure
+      // duplicate work — train-once/apply-everywhere is the operator's
+      // own scale story
       val docs = t(s, dir, "documents")
-      val m = TextAnalysis.bpeVocab(docs, merges = 4)
-        .orderBy(col("merge_round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = bpeMerges(s, dir).map(mr => (mr._2, mr._3))
       TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
     }),
     "text_fertility_sampled" -> ((s, dir) => {

@@ -192,11 +192,7 @@ object Graph {
           if (dg != null)
             contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
         }
-        val acc = new java.util.HashMap[Any, JBD]()
-        de.foreach { (s, d, _) =>
-          val c = contrib.get(s)
-          if (c != null) acc.merge(d, c, (x, y) => x.add(y))
-        }
+        val acc = accumulate14(de, bySrc = true, contrib)
         val base = roundAt(0.15 / n, 14)
         val next = new java.util.HashMap[Any, java.lang.Double]()
         acc.forEach((d, sdec) =>
@@ -271,11 +267,7 @@ object Graph {
           if (dg != null)
             contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
         }
-        val acc = new java.util.HashMap[Any, JBD]()
-        de.foreach { (s, d, _) =>
-          val c = contrib.get(s)
-          if (c != null) acc.merge(d, c, (x, y) => x.add(y))
-        }
+        val acc = accumulate14(de, bySrc = true, contrib)
         // contribs + the seed restart row, re-grouped under the same
         // decimal sum + 12-dp round as the distributed union+agg
         val grouped = new java.util.HashMap[Any, JBD]()
@@ -605,6 +597,71 @@ object Graph {
     new java.math.BigDecimal(java.lang.Double.toString(d))
       .setScale(14, java.math.RoundingMode.HALF_UP)
 
+  /** The replicas' per-edge Σ as UNSCALED-LONG integer adds: adding two
+    * scale-14 decimals IS adding their unscaled values (BigDecimal.add
+    * aligns scales — here both are already 14), so accumulating the
+    * unscaled longs with `Math.addExact` is bit-identical to the JBD
+    * fold at none of its per-add BigInteger allocation (~3.6M adds per
+    * damped row at the 4M-edge bound). Throws ArithmeticException on
+    * overflow — reachable only when one node accumulates > 2⁶³/10¹⁴ ≈
+    * 9.2·10⁴ unit-bounded contributions (a hub with in-degree beyond
+    * that) — and the caller then reruns the exact JBD fold.
+    */
+  private def edgeAccumulate(de: DampedEdges, bySrc: Boolean,
+      vals: java.util.HashMap[Any, java.lang.Long])
+      : java.util.HashMap[Any, java.lang.Long] = {
+    val out = new java.util.HashMap[Any, java.lang.Long]()
+    val add = new java.util.function.BiFunction[
+        java.lang.Long, java.lang.Long, java.lang.Long] {
+      def apply(x: java.lang.Long, y: java.lang.Long): java.lang.Long =
+        java.lang.Long.valueOf(Math.addExact(x.longValue(), y.longValue()))
+    }
+    de.foreachPair { (s, d) =>
+      val v = vals.get(if (bySrc) s else d)
+      if (v != null) { out.merge(if (bySrc) d else s, v, add); () }
+    }
+    out
+  }
+
+  /** Unscaled scale-14 views of a decimal map (`longValueExact` cannot
+    * overflow for the unit-bounded scores these replicas carry, but the
+    * caller's catch covers it anyway) and back.
+    */
+  private def unscaled14(m: java.util.HashMap[Any, java.math.BigDecimal])
+      : java.util.HashMap[Any, java.lang.Long] = {
+    val out = new java.util.HashMap[Any, java.lang.Long](m.size() * 2)
+    m.forEach((k, v) =>
+      out.put(k, java.lang.Long.valueOf(v.unscaledValue().longValueExact())))
+    out
+  }
+
+  private def fromUnscaled14(m: java.util.HashMap[Any, java.lang.Long])
+      : java.util.HashMap[Any, java.math.BigDecimal] = {
+    val out = new java.util.HashMap[Any, java.math.BigDecimal](m.size() * 2)
+    m.forEach((k, v) =>
+      out.put(k, java.math.BigDecimal.valueOf(v.longValue(), 14)))
+    out
+  }
+
+  /** [[edgeAccumulate]] with the exact-JBD fallback — the seam every
+    * damped replica's per-edge Σ goes through.
+    */
+  private def accumulate14(de: DampedEdges, bySrc: Boolean,
+      vals: java.util.HashMap[Any, java.math.BigDecimal])
+      : java.util.HashMap[Any, java.math.BigDecimal] =
+    try fromUnscaled14(edgeAccumulate(de, bySrc, unscaled14(vals)))
+    catch {
+      case _: ArithmeticException =>
+        val out = new java.util.HashMap[Any, java.math.BigDecimal]()
+        de.foreachPair { (s, d) =>
+          val c = vals.get(if (bySrc) s else d)
+          if (c != null) {
+            out.merge(if (bySrc) d else s, c, (x, y) => x.add(y)); ()
+          }
+        }
+        out
+    }
+
   /** Spark's `round(double, scale)` (BigDecimal.valueOf → HALF_UP). */
   private def roundAt(d: Double, scale: Int): Double =
     java.math.BigDecimal.valueOf(d)
@@ -672,20 +729,8 @@ object Graph {
       }
       var a = new java.util.HashMap[Any, java.lang.Double]()
       for (_ <- 1 to iters) {
-        val hDec = decOf(h)
-        val araw = new java.util.HashMap[Any, JBD]()
-        de.foreachPair { (s, d) =>
-          val c = hDec.get(s)
-          if (c != null) araw.merge(d, c, (x, y) => x.add(y))
-        }
-        a = l1Local(araw)
-        val aDec = decOf(a)
-        val hraw = new java.util.HashMap[Any, JBD]()
-        de.foreachPair { (s, d) =>
-          val c = aDec.get(d)
-          if (c != null) hraw.merge(s, c, (x, y) => x.add(y))
-        }
-        h = l1Local(hraw)
+        a = l1Local(accumulate14(de, bySrc = true, decOf(h)))
+        h = l1Local(accumulate14(de, bySrc = false, decOf(a)))
       }
       val nodes = new java.util.LinkedHashSet[Any]()
       h.keySet().forEach(k => { nodes.add(k); () })

@@ -509,6 +509,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("damped replicas: unscaled-long overflow falls back to the exact decimal fold") {
+    import graft.operators.Graph
+    // a 93k-source star: the hub's first HITS authority half-step
+    // accumulates 93 000 × 10¹⁴ unscaled > 2⁶³, so the long fast path
+    // must throw and the JBD fallback must produce the identical result
+    // — compared against the distributed form, which never overflows
+    // (DECIMAL(28,14) sums)
+    val spark2 = spark
+    import org.apache.spark.sql.functions.{col, lit}
+    val star = spark2.range(93000L)
+      .select((col("id") + 10L).as("a"), lit(0L).as("b"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val local = key(Graph.hits(star, iters = 2))
+    val saved = graft.operators.Dedup.localMaxEdges
+    graft.operators.Dedup.localMaxEdges = 0L
+    try assert(key(Graph.hits(star, iters = 2)) == local,
+      "overflow-fallback replica diverges from the distributed form")
+    finally { graft.operators.Dedup.localMaxEdges = saved }
+    graft.operators.Dedup.uncacheAll()
+  }
+
   test("ShardedFold rejects order-sensitive (floating) sum columns") {
     import spark.implicits._
     import graft.operators.ShardedFold

@@ -442,14 +442,23 @@ object Graph {
     * surviving subgraph.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 3,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    var e = edges.select(
+      aCol: String = "a", bCol: String = "b"): DataFrame =
+    kCoreWith(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct(), k, rounds)
+
+  /** [[kCore]] over an ALREADY-CANONICAL undirected edge frame —
+    * distinct `(a, b)` with `a < b`, no self-loops (the caller's
+    * contract, e.g. a memoized canonical edge artifact). Skips the
+    * canonicalizing exchange per call; the local cutover also skips the
+    * up-front `localCheckpoint` (it collects — only the distributed
+    * loop needs the lineage cut).
+    */
+  def kCoreWith(canonical: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = canonical.select(col("a"), col("b"))
     def degOf(ed: DataFrame): DataFrame =
       ed.select(col("a").as("n")).unionAll(ed.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -460,7 +469,13 @@ object Graph {
     // pattern), and it turns the over-provisioned round budget from a
     // paid cost into a cap (a k far below the degree floor converges in
     // one round instead of `rounds`)
-    var nEdges = e.count()
+    //
+    // ONE gating action: edge count + null-id count (the
+    // collectDampedEdges discipline — a NULL id would NPE the primitive
+    // peel below, so observed NULLs keep the distributed loop)
+    val gate = e0.agg(count(lit(1)),
+      count(when(col("a").isNull || col("b").isNull, 1))).collect()(0)
+    var nEdges = gate.getLong(0)
     // SMALL-GRAPH CUTOVER (the [[graft.operators.Dedup.components]]
     // union-find discipline): each synchronous peel round costs two
     // semi-joins + a degree exchange + a checkpoint regardless of size;
@@ -469,12 +484,12 @@ object Graph {
     // — same rounds cap, same early exit, bit-identical output. Long
     // ids only (the simulation walks primitives); anything else keeps
     // the distributed loop.
-    val longIds = e.schema.fields.forall(
+    val longIds = e0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && nEdges <= Dedup.localMaxEdges) {
-      val spark = edges.sparkSession
+    if (longIds && nEdges <= Dedup.localMaxEdges && gate.getLong(1) == 0L) {
+      val spark = e0.sparkSession
       import spark.implicits._
-      var cur = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var cur = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
       def degs(ed: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
         val m = new java.util.HashMap[Long, Long]()
         ed.foreach { case (a, b) =>
@@ -496,6 +511,9 @@ object Graph {
       d.forEach((n, deg) => out += ((n, deg)))
       return out.toSeq.toDF("node", "core_deg")
     }
+    // distributed loop: the per-round lineage-cut discipline needs the
+    // input checkpointed once up front (see the scaladoc's 5^rounds note)
+    var e = e0.localCheckpoint()
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val keep = degOf(e).filter(col("d") >= k).select(col("n"))

@@ -463,8 +463,10 @@ private[graft] object CoreQueriesB {
       // k=80 cascades for 5 rounds on this fixture (108821 → 105232
       // edges) and round 5 IS the fixpoint — the oracle replays the
       // identical 5 peels; per round one degree agg + two semi-joins
-      val edges = partCoEdges(s, dir)
-      Graph.kCore(edges, k = 80, rounds = 5).orderBy(col("node"))
+      // the co-occurrence artifact is already canonical distinct (a < b),
+      // so the With-seam skips the re-canonicalizing exchange per call
+      Graph.kCoreWith(partCoEdges(s, dir), k = 80, rounds = 5)
+        .orderBy(col("node"))
     }),
     "q_seasonal_decompose" -> ((s, dir) => {
       // trend / 24h-seasonal / residual split of the hourly value series

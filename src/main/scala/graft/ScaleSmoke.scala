@@ -870,6 +870,51 @@ object ScaleSmoke {
           .filter(col("token_id") > 0L).count()
       }
     }
+
+    // DISTRIBUTED graph family at ~6M edges (r16): the fixture graphs all
+    // sit under Dedup.localMaxEdges (2²²), so at bench scale the damped
+    // iterations / peel / wedge machinery run as driver replicas — these
+    // sections build a bipartite incidence graph that EXCEEDS the bound
+    // (no forcing needed; the cutovers gate themselves off) and witness
+    // the real per-iteration edge-keyed join+agg loops, the synchronous
+    // peel, and the Σ deg² wedge shuffle at 10× bench volume.
+    if (enabled("r16 graph")) {
+      val inc6m = spark.range(0, 6000000L)
+        .select(
+          pmod(xxhash64(col("id")), lit(600000L)).as("a"),
+          (lit(1000000000L) + pmod(xxhash64(col("id") + 7L), lit(50000L))).as("b"))
+        .distinct()
+        .localCheckpoint()
+      val nE = inc6m.count()
+      require(nE > Dedup.localMaxEdges,
+        s"graph smoke must exceed the cutover bound, got $nE")
+      println(s"[scale-smoke] graph edges = $nE (> 2^22 = ${Dedup.localMaxEdges})")
+      val seed = inc6m.select(col("a")).limit(1).collect()(0).getLong(0)
+      timed("r16 graph pagerank 6M edges dist") {
+        graft.operators.Graph.pageRank(inc6m, iters = 3).count()
+      }
+      Dedup.uncacheAll()
+      timed("r16 graph ppr 6M edges dist") {
+        graft.operators.Graph.personalizedPageRank(inc6m, seed, iters = 3).count()
+      }
+      Dedup.uncacheAll()
+      timed("r16 graph hits 6M edges dist") {
+        graft.operators.Graph.hits(inc6m, iters = 3).count()
+      }
+      Dedup.uncacheAll()
+      timed("r16 graph kcore k=15 6M edges dist") {
+        graft.operators.Graph.kCore(inc6m, k = 15, rounds = 3).count()
+      }
+      timed("r16 graph triangles 6M edges") {
+        graft.operators.Graph.triangleCounts(inc6m).count()
+      }
+      Dedup.uncacheAll()
+      timed("r16 graph neighbor jaccard cap20 6M") {
+        graft.operators.Graph.neighborJaccard(inc6m,
+          maxCenterDeg = Some(20L)).count()
+      }
+      Dedup.uncacheAll()
+    }
     spark.stop()
   }
 }

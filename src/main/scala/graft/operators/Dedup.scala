@@ -100,6 +100,31 @@ object Dedup {
     */
   @volatile private[graft] var localMaxEdgesBoxed: Long = 1L << 20
 
+  /** ONE-job primitive collect of a 2-long-column frame: per-partition
+    * rows compact into primitive arrays EXECUTOR-SIDE (the
+    * Graph.collectDampedEdges discipline), so the driver never holds a
+    * boxed-Row spike and never pays toLocalIterator's job-per-partition
+    * scheduling. Callers own the non-null contract (their gates count
+    * NULLs in the same action as the bound check).
+    */
+  private[operators] def collectLongPairs(df: DataFrame)
+      : (Array[Long], Array[Long]) = {
+    val parts = df.rdd.mapPartitions { it =>
+      val a = Array.newBuilder[Long]; val b = Array.newBuilder[Long]
+      it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
+      Iterator.single((a.result(), b.result()))
+    }.collect()
+    val n = parts.iterator.map(_._1.length).sum
+    val a = new Array[Long](n); val b = new Array[Long](n)
+    var i = 0
+    parts.foreach { case (pa, pb) =>
+      System.arraycopy(pa, 0, a, i, pa.length)
+      System.arraycopy(pb, 0, b, i, pb.length)
+      i += pa.length
+    }
+    (a, b)
+  }
+
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val df = TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
       .withColumn("h", xxhash64(col("shingle")))
@@ -978,8 +1003,10 @@ object Dedup {
         while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      edges.toLocalIterator().forEachRemaining { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      val (ea, eb) = collectLongPairs(edges)
+      var i = 0
+      while (i < ea.length) {
+        val a = ea(i); val b = eb(i)
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)
@@ -987,6 +1014,7 @@ object Dedup {
         // minimum id by induction — exactly the fixpoint's label
         if (ra < rb) parent.put(rb, ra)
         else if (rb < ra) parent.put(ra, rb)
+        i += 1
       }
       edges.unpersist(blocking = false)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())

@@ -489,24 +489,38 @@ object Graph {
     if (longIds && nEdges <= Dedup.localMaxEdges && gate.getLong(1) == 0L) {
       val spark = e0.sparkSession
       import spark.implicits._
-      var cur = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
-      def degs(ed: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+      // primitive arrays end-to-end (the collectDampedEdges discipline):
+      // one collect job, ~16 B/edge retained, in-place peel rounds
+      var (curA, curB) = Dedup.collectLongPairs(e0)
+      def degs(ea: Array[Long], eb: Array[Long]): java.util.HashMap[Long, Long] = {
         val m = new java.util.HashMap[Long, Long]()
-        ed.foreach { case (a, b) =>
-          m.merge(a, 1L, (x, y) => x + y); m.merge(b, 1L, (x, y) => x + y)
+        var i = 0
+        while (i < ea.length) {
+          m.merge(ea(i), 1L, (x, y) => x + y)
+          m.merge(eb(i), 1L, (x, y) => x + y)
+          i += 1
         }
         m
       }
       var converged = false
       var r = 0
       while (r < rounds && !converged) {
-        val d = degs(cur)
-        val next = cur.filter { case (a, b) => d.get(a) >= k && d.get(b) >= k }
-        converged = next.length == cur.length
-        cur = next
+        val d = degs(curA, curB)
+        val na = new Array[Long](curA.length)
+        val nb = new Array[Long](curA.length)
+        var i = 0; var j = 0
+        while (i < curA.length) {
+          if (d.get(curA(i)) >= k && d.get(curB(i)) >= k) {
+            na(j) = curA(i); nb(j) = curB(i); j += 1
+          }
+          i += 1
+        }
+        converged = j == curA.length
+        curA = java.util.Arrays.copyOf(na, j)
+        curB = java.util.Arrays.copyOf(nb, j)
         r += 1
       }
-      val d = degs(cur)
+      val d = degs(curA, curB)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](d.size())
       d.forEach((n, deg) => out += ((n, deg)))
       return out.toSeq.toDF("node", "core_deg")

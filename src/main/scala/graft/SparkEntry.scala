@@ -143,7 +143,15 @@ object SparkEntry {
   private[graft] def cachedPlanBytes(df: DataFrame): Long =
     try {
       val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (s.isValidLong) s.toLong else Long.MaxValue
+      // an implausible size (BigInt beyond Long, or the
+      // defaultSizeInBytes = Long.MaxValue estimator fallback when cache
+      // substitution didn't resolve) must degrade to "unknown → escapes
+      // the budget" (0), NOT poison the running total — a MaxValue entry
+      // would either evict everything forever or overflow the sum
+      // negative and silently disable enforcement
+      if (s.isValidLong && s.toLong != Long.MaxValue && s.toLong >= 0L)
+        s.toLong
+      else 0L
     } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Drop every memoized derived artifact and unpersist its blocks — the

@@ -49,7 +49,15 @@ object Assoc {
     // TWICE and materialized the join before the pair count. Items are
     // distinct and ascending per basket, so i < j ⟺ item_i < item_j —
     // the identical canonical (item_a < item_b) pair set.
-    val pairs = b.groupBy(col("basket"))
+    //
+    // NULL-basket rows are EXCLUDED from pairing only (matching the
+    // self-join form, whose null-rejecting basket equality never paired
+    // them — groupBy would instead collapse every NULL-basket row into
+    // one giant pseudo-basket); they still count into n_item, exactly as
+    // before. NULL items need no filter: collect_list skips them, as the
+    // old item comparison did.
+    val pairs = b.filter(col("basket").isNotNull)
+      .groupBy(col("basket"))
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .filter(size(col("items")) >= 2)
       .select(expr(

@@ -109,20 +109,34 @@ object Dedup {
     */
   private[operators] def collectLongPairs(df: DataFrame)
       : (Array[Long], Array[Long]) = {
+    val cols = collectLongCols(df, 2)
+    (cols(0), cols(1))
+  }
+
+  /** The N-column generalization [[collectLongPairs]] and
+    * [[Graph]]'s damped-edge collector share — ONE discipline, one copy.
+    */
+  private[operators] def collectLongCols(df: DataFrame, nCols: Int)
+      : Array[Array[Long]] = {
     val parts = df.rdd.mapPartitions { it =>
-      val a = Array.newBuilder[Long]; val b = Array.newBuilder[Long]
-      it.foreach { r => a += r.getLong(0); b += r.getLong(1) }
-      Iterator.single((a.result(), b.result()))
+      val bs = Array.fill(nCols)(Array.newBuilder[Long])
+      it.foreach { r =>
+        var c = 0
+        while (c < nCols) { bs(c) += r.getLong(c); c += 1 }
+      }
+      Iterator.single(bs.map(_.result()))
     }.collect()
-    val n = parts.iterator.map(_._1.length).sum
-    val a = new Array[Long](n); val b = new Array[Long](n)
+    val n = parts.iterator.map(_(0).length).sum
+    val out = Array.fill(nCols)(new Array[Long](n))
     var i = 0
-    parts.foreach { case (pa, pb) =>
-      System.arraycopy(pa, 0, a, i, pa.length)
-      System.arraycopy(pb, 0, b, i, pb.length)
-      i += pa.length
+    parts.foreach { p =>
+      var c = 0
+      while (c < nCols) {
+        System.arraycopy(p(c), 0, out(c), i, p(c).length); c += 1
+      }
+      i += p(0).length
     }
-    (a, b)
+    out
   }
 
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {

@@ -124,26 +124,11 @@ object Graph {
     val cols = if (withDeg) Seq(col("src"), col("dst"), col("deg"))
       else Seq(col("src"), col("dst"))
     if (longIds) {
-      // one job; each task ships (srcs, dsts[, degs]) primitive chunks
-      val parts = ed.select(cols: _*).rdd.mapPartitions { it =>
-        val s = Array.newBuilder[Long]; val d = Array.newBuilder[Long]
-        val g = Array.newBuilder[Long]
-        it.foreach { r =>
-          s += r.getLong(0); d += r.getLong(1)
-          if (withDeg) g += r.getLong(2)
-        }
-        Iterator.single((s.result(), d.result(), g.result()))
-      }.collect()
-      val s = new Array[Long](n); val d = new Array[Long](n)
-      val degA = if (withDeg) new Array[Long](n) else null
-      var i = 0
-      parts.foreach { case (ps, pd, pg) =>
-        System.arraycopy(ps, 0, s, i, ps.length)
-        System.arraycopy(pd, 0, d, i, pd.length)
-        if (withDeg) System.arraycopy(pg, 0, degA, i, pg.length)
-        i += ps.length
-      }
-      Some(new DampedEdges(s, d, null, null, degA))
+      // one job; each task ships primitive column chunks — the shared
+      // [[Dedup.collectLongCols]] discipline
+      val colsArr = Dedup.collectLongCols(ed.select(cols: _*), cols.size)
+      Some(new DampedEdges(colsArr(0), colsArr(1), null, null,
+        if (withDeg) colsArr(2) else null))
     } else {
       val rows = ed.select(cols: _*).collect()
       val s = new Array[AnyRef](n); val d = new Array[AnyRef](n)
@@ -443,10 +428,13 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 3,
       aCol: String = "a", bCol: String = "b"): DataFrame =
-    kCoreWith(edges.select(
+    // cached: the gate action AND the taken path (collect or checkpoint)
+    // both read the canonical frame — uncached, the canonicalizing
+    // exchange would execute twice on the distributed branch
+    kCoreWith(Dedup.cached(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct(), k, rounds)
+      .filter(col("a") =!= col("b")).distinct()), k, rounds)
 
   /** [[kCore]] over an ALREADY-CANONICAL undirected edge frame —
     * distinct `(a, b)` with `a < b`, no self-loops (the caller's

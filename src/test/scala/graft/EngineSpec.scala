@@ -3893,6 +3893,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("pairRules: NULL-basket rows never pair (the self-join's null-rejecting semantics)") {
+    import spark.implicits._
+    import graft.operators.{Assoc, Dedup}
+    // the row-local array form must not collapse NULL-basket rows into
+    // one pseudo-basket: only basket 1 pairs; the NULL rows still count
+    // into n_item (the old join's exact behavior)
+    val bi = Seq(
+      (Some(1L), "x"), (Some(1L), "y"),
+      (None, "x"), (None, "y"), (None, "z")
+    ).toDF("basket", "item")
+    val out = Assoc.pairRules(bi).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("x", "y", 1L, 2L, 2L)),
+      s"NULL baskets must not pair; n_item must still count them: ${out.toSeq}")
+    Dedup.uncacheAll()
+  }
+
   test("pairRules: closed-form support/confidence/lift; incidence dedup; prune") {
     import spark.implicits._
     // 4 baskets: {a,b}, {a,b}, {a,c}, {b} (with a duplicated incidence

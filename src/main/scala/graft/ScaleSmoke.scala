@@ -915,6 +915,33 @@ object ScaleSmoke {
       }
       Dedup.uncacheAll()
     }
+
+    // VIRAL-BASKET guard A/B (r17): one pathological 10⁵-item basket —
+    // unguarded it would expand C(1e5,2) ≈ 5·10⁹ pairs inside ONE task
+    // (hours / OOM; deliberately NOT run); with the default cap (10⁴) the
+    // hot basket costs one linear array build and is excluded, so the
+    // section completes in seconds and the worst surviving task is
+    // bounded at C(maxBasketItems,2). 100k normal baskets (≤6 items)
+    // pair alongside it untouched.
+    if (enabled("r17 assoc")) {
+      val hot = spark.range(0, 100000L)
+        .select(lit(0L).as("basket"), col("id").as("item"))
+      val normal = spark.range(0, 600000L)
+        .select((pmod(xxhash64(col("id")), lit(100000L)) + 1L).as("basket"),
+          pmod(xxhash64(col("id") + 3L), lit(500L)).as("item"))
+      val bi = hot.unionAll(normal).localCheckpoint()
+      timed("r17 assoc guarded hot-basket 1e5") {
+        graft.operators.Assoc.pairRules(bi, minPairN = 2).count()
+      }
+      timed("r17 assoc oversized audit") {
+        val a = graft.operators.Assoc.oversizedBaskets(bi)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(a.toSeq == Seq((0L, 100000L)),
+          s"audit must name exactly the hot basket: ${a.toSeq}")
+        a.length.toLong
+      }
+      Dedup.uncacheAll()
+    }
     spark.stop()
   }
 }

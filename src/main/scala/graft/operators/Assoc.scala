@@ -31,13 +31,37 @@ object Assoc {
     * per-item joins — at scale the pair table is the big side and the
     * prune is where the algorithm earns its keep.
     *
+    * VIRAL-BASKET GUARD: a basket with m distinct items expands to
+    * C(m,2) pairs inside ONE task (the row-local expansion cannot be
+    * split), so one pathological basket — a default tag, a crawl
+    * artifact — of 10⁶ items would be a 5·10¹¹-pair straggler/OOM.
+    * Baskets with more than `maxBasketItems` distinct items are
+    * therefore EXCLUDED from pairing (the same treatment NULL baskets
+    * get: their items still count into `n_a`/`n_b` and the basket into
+    * `n_baskets` — only the co-occurrence edges are dropped). This is
+    * the df-cap / maxCenterDeg discipline of
+    * [[Dedup.ngramJaccardPairs]] / [[Graph.neighborJaccard]]: the
+    * oversized baskets are precisely the promiscuous ones that carry
+    * the least association signal per pair. The drop is auditable —
+    * [[oversizedBaskets]] lists exactly what was excluded (run it
+    * before trusting a capped result) — or loud: `failOnOversized =
+    * true` turns the exclusion into a plan-side `raise_error` naming
+    * the basket, for pipelines that must not silently lose signal.
+    * The pre-guard array build is linear (one m-entry array per
+    * basket), so the surviving worst task is O(maxBasketItems²) pairs
+    * — 5·10⁷ at the default cap, a bounded task anywhere.
+    *
     * Overflow fence: lift's numerator n_pair·n_baskets·10⁶ needs
     * n_baskets² < ~9·10¹² (n_baskets < 3M); beyond that cast the three
     * count columns to DECIMAL(38,0) (same plan).
     */
   def pairRules(bi: DataFrame, basketCol: String = "basket",
-      itemCol: String = "item", minPairN: Long = 1L): DataFrame = {
+      itemCol: String = "item", minPairN: Long = 1L,
+      maxBasketItems: Int = 10000,
+      failOnOversized: Boolean = false): DataFrame = {
     require(minPairN >= 1, s"minPairN must be >= 1: $minPairN")
+    require(maxBasketItems >= 2,
+      s"maxBasketItems must be >= 2 (a pair needs two items): $maxBasketItems")
     val b = Dedup.cached(bi.select(
       col(basketCol).as("basket"), col(itemCol).as("item")).distinct())
     val nB = b.agg(countDistinct(col("basket")).as("n_baskets"))
@@ -56,10 +80,24 @@ object Assoc {
     // one giant pseudo-basket); they still count into n_item, exactly as
     // before. NULL items need no filter: collect_list skips them, as the
     // old item comparison did.
-    val pairs = b.filter(col("basket").isNotNull)
+    val sized = b.filter(col("basket").isNotNull)
       .groupBy(col("basket"))
       .agg(sort_array(collect_list(col("item"))).as("items"))
-      .filter(size(col("items")) >= 2)
+    // the guard runs BEFORE the quadratic inline expansion: an oversized
+    // basket costs one linear array build, never its C(m,2) pairs
+    val guarded =
+      if (failOnOversized)
+        sized.filter(
+          when(size(col("items")) > maxBasketItems,
+            raise_error(concat(
+              lit(s"pairRules: basket exceeds maxBasketItems=$maxBasketItems ("),
+              size(col("items")).cast("string"), lit(" items): "),
+              col("basket").cast("string"))).cast("boolean"))
+          .otherwise(size(col("items")) >= 2))
+      else
+        sized.filter(size(col("items")) >= 2 &&
+          size(col("items")) <= maxBasketItems)
+    val pairs = guarded
       .select(expr(
         """inline(flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items) - i - 1),
@@ -79,5 +117,23 @@ object Assoc {
         expr("(n_pair * 1000000) DIV n_a").as("conf_ab_ppm"),
         expr("(n_pair * 1000000) DIV n_b").as("conf_ba_ppm"),
         expr("(n_pair * n_baskets * 1000000) DIV (n_a * n_b)").as("lift_ppm"))
+  }
+
+  /** The audit side of [[pairRules]]' viral-basket guard: the baskets a
+    * capped run excluded from pairing, as `(basket, n_items)`. Same
+    * incidence dedup and NULL-basket exclusion as the main pass, but
+    * counts only — no arrays, map-side-combinable, O(|incidence|) with
+    * one basket-keyed exchange at any scale. Empty ⟺ the capped result
+    * equals the uncapped one.
+    */
+  def oversizedBaskets(bi: DataFrame, basketCol: String = "basket",
+      itemCol: String = "item", maxBasketItems: Int = 10000): DataFrame = {
+    require(maxBasketItems >= 2,
+      s"maxBasketItems must be >= 2 (a pair needs two items): $maxBasketItems")
+    bi.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+      .groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > maxBasketItems)
   }
 }

@@ -3942,6 +3942,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("pairRules: viral-basket guard excludes oversized baskets from pairing only") {
+    import spark.implicits._
+    import graft.operators.{Assoc, Dedup}
+    // basket 1 is "hot" (5 items > cap 3) — it must pair NOTHING, but its
+    // items still count into n_item and it still counts into n_baskets
+    // (the NULL-basket treatment); baskets 2 and 3 pair normally
+    val bi = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"),
+      (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b")).toDF("basket", "item")
+    val capped = Assoc.pairRules(bi, maxBasketItems = 3).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // only ab survives: n_pair 2 (baskets 2,3 — NOT basket 1), n_a 3,
+    // n_b 3 (basket 1's incidence still counted), support 2/3 baskets
+    assert(capped.keySet == Set(("a", "b")), capped.toString)
+    assert(capped(("a", "b")) == ((2L, 3L, 3L, 666666L)), capped.toString)
+    // the audit companion names exactly the excluded basket and its size
+    val audit = Assoc.oversizedBaskets(bi, maxBasketItems = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(audit.toSeq == Seq((1L, 5L)), audit.toSeq.toString)
+    // a generous cap is a no-op: identical pair set to the unguarded form
+    assert(Assoc.oversizedBaskets(bi, maxBasketItems = 5).count() == 0L)
+    val loose = Assoc.pairRules(bi, maxBasketItems = 5).collect().length
+    assert(loose == 10, s"cap 5 must pair all C(5,2) of basket 1: $loose")
+    Dedup.uncacheAll()
+    // loud mode: the oversized basket raises a descriptive plan-side error
+    val e = intercept[Exception] {
+      Assoc.pairRules(bi, maxBasketItems = 3, failOnOversized = true).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBasketItems=3") && msg.contains("5 items"),
+      s"error must name the cap and the size: $msg")
+    Dedup.uncacheAll()
+  }
+
   test("jackknifeVariance: replicate means match the hand fold; 1-row groups vanish") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => ("a", i, i * 1000L)) :+ (("solo", 99L, 5L))

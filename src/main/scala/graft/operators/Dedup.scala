@@ -559,6 +559,15 @@ object Dedup {
     * corpus with `emitted ⊆ truth` for the recall semantics to hold
     * (true for [[simhashPairs]]' Jaccard-verified output vs the same-tau
     * truth set by construction).
+    *
+    * CONTRACT VIOLATIONS DEGRADE SILENTLY, and the observable symptom
+    * is specific: `emitted ⊄ truth` (e.g. different n/tau between the
+    * two builds, or an unverified candidate set) makes the semi-join
+    * undercount ONLY the stray pairs, so the reported recall is of the
+    * intersection — it can read high while the emitted set is wrong;
+    * non-distinct pair rows double-count matches and can push
+    * `recall_ppm` PAST 10⁶. A recall above 10⁶ is therefore always a
+    * caller bug, never a valid result — treat it as such.
     */
   def pairRecallEval(truth: DataFrame, emitted: DataFrame): DataFrame = {
     val tr = truth.select(col("doc_a"), col("doc_b"))

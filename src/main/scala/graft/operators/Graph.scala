@@ -131,6 +131,13 @@ object Graph {
         if (withDeg) colsArr(2) else null))
     } else {
       val rows = ed.select(cols: _*).collect()
+      // the gate count and this collect are SEPARATE actions: if the
+      // caller's frame is uncached/nondeterministic and drifts between
+      // them, silently sizing from the gate would corrupt the replica
+      // (index overflow, or phantom null-keyed tail nodes) — fail loudly
+      require(rows.length == n,
+        s"damped-edge frame drifted between gate ($n rows) and collect " +
+          s"(${rows.length} rows) — pass a cached or memoized frame")
       val s = new Array[AnyRef](n); val d = new Array[AnyRef](n)
       val degA = if (withDeg) new Array[Long](n) else null
       var i = 0
@@ -442,6 +449,14 @@ object Graph {
     * canonicalizing exchange per call; the local cutover also skips the
     * up-front `localCheckpoint` (it collects — only the distributed
     * loop needs the lineage cut).
+    *
+    * CONTRACT VIOLATIONS DEGRADE SILENTLY — this seam cannot check them
+    * cheaply (re-deriving distinctness would re-pay the exchange it
+    * exists to skip). A duplicate edge inflates both endpoints' degrees,
+    * so nodes survive the peel that the true graph would drop (a
+    * too-large "k-core"); a self-loop inflates its node's degree by 2;
+    * an uncanonicalized (b, a) twin acts as a duplicate. When in doubt
+    * call [[kCore]], which canonicalizes first.
     */
   def kCoreWith(canonical: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -706,7 +721,13 @@ object Graph {
     * persist again on every call (the [[pageRankWith]] discipline). The
     * caller owns the distinctness contract; duplicate edges would
     * double-count contributions on both paths identically, so the seam
-    * shifts cost, never semantics.
+    * shifts cost, never semantics. That failure is SILENT — the scores
+    * are still a valid HITS fixpoint, just of the multigraph, so no
+    * assertion can catch it downstream; dedup at the source. The frame
+    * is also read by MULTIPLE actions (the cutover gate, then either the
+    * collect or the iteration joins): pass a cached or memoized frame —
+    * an uncached nondeterministic one now fails the gate/collect
+    * row-count cross-check loudly rather than corrupting the replica.
     */
   def hitsWith(e: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")

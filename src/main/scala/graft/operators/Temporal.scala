@@ -784,6 +784,10 @@ object Temporal {
     * the time range (hours-per-year class, the q_gap_fill contract),
     * never the raw event count; the peak pick is two broadcast 1-row
     * globals. Raw-event inputs must bucket first.
+    *
+    * `valCol` must be integral or DECIMAL (float/double raise at
+    * runtime): cast float series through an explicit DecimalType first
+    * — see [[shardedPrefix]].
     */
   /** Range-sharded global ordered prefix fold over a (bucket, v) series:
     * emits `(bucket, v, i, cum)` — the 1-based row index in global bucket
@@ -794,6 +798,15 @@ object Temporal {
     * [[graft.operators.Hygiene.cellsCum]] discipline on time). The
     * localCheckpoint pins the sampled range boundaries so the offsets
     * branch and the main branch cannot disagree on a row's shard.
+    *
+    * Value-type contract (inherited by every public operator that
+    * forwards its `valCol` here — [[cusumChangepoints]],
+    * [[cusumSegments]], [[seasonalDecompose]], [[forecastBaselines]]):
+    * `v` must be integral or DECIMAL. [[ShardedFold.prefix]] rejects
+    * float/double at runtime because the shard-stitched sum is only
+    * order-free exact over those types; cast a float series through an
+    * explicit DecimalType FIRST — the precision choice is the caller's
+    * rounding decision, not the engine's.
     */
   private[graft] def shardedPrefix(s: DataFrame, shards: Int): DataFrame =
     ShardedFold.prefix(s.select(col("bucket"), col("v")),
@@ -881,6 +894,10 @@ object Temporal {
     * collect; lineage grows linearly in `depth` (each level reads only
     * the previous level's columns — no twice-referenced frame, the
     * q_hits 2^n lesson does not bite).
+    *
+    * `valCol` must be integral or DECIMAL (float/double raise at
+    * runtime): cast float series through an explicit DecimalType first
+    * — see [[shardedPrefix]].
     */
   def cusumSegments(series: DataFrame, depth: Int,
       bucketCol: String = "bucket", valCol: String = "v",
@@ -1099,6 +1116,10 @@ object Temporal {
     * the old count-over-window === season test (honest NULL edges).
     * Even seasons use the deterministic asymmetric window
     * [−⌈m/2⌉, +(m−1−⌈m/2⌉)].
+    *
+    * `valCol` must be integral or DECIMAL (float/double raise at
+    * runtime): cast float series through an explicit DecimalType first
+    * — see [[shardedPrefix]].
     */
   def seasonalDecompose(series: DataFrame, season: Int,
       bucketCol: String = "bucket", valCol: String = "v",
@@ -1160,6 +1181,10 @@ object Temporal {
     * lags are row-index equi-joins over the [[shardedPrefix]]
     * range-sharded fold (never a one-task global window — the r14
     * bucketed-series discipline) + one 1-row agg.
+    *
+    * `valCol` must be integral or DECIMAL (float/double raise at
+    * runtime): cast float series through an explicit DecimalType first
+    * — see [[shardedPrefix]].
     */
   def forecastBaselines(series: DataFrame, season: Int,
       bucketCol: String = "bucket", valCol: String = "v",

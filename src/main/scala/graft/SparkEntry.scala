@@ -383,13 +383,26 @@ object SparkEntry {
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
     }
 
+  /** The `(n, d)` degree table of [[partCoEdges]] — one degree pass
+    * serving the whole co-occurrence-graph family (triangle orientation,
+    * clustering-coefficient denominators) instead of each operator
+    * re-aggregating it privately over the same shared edge artifact.
+    */
+  private[graft] def coDeg(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "coDeg") {
+      Graph.canonicalDegrees(partCoEdges(s, dir))
+    }
+
   /** Per-node triangle counts over [[partCoEdges]] — the expensive
     * degree-oriented wedge-closing pass `q_triangle_counts` censuses and
-    * `q_clustering_coeff` normalizes; one count, two readers.
+    * `q_clustering_coeff` normalizes; one count, two readers. Served
+    * through the canonical seam: [[partCoEdges]] is already distinct
+    * a < b and [[coDeg]] already holds its degrees, so the operator
+    * skips both the re-canonicalizing exchange and the degree agg.
     */
   private[graft] def triCounts(s: SparkSession, dir: String): DataFrame =
     memoFrame(s, dir, "triCounts") {
-      Graph.triangleCounts(partCoEdges(s, dir))
+      Graph.triangleCountsWith(partCoEdges(s, dir), coDeg(s, dir))
     }
 
   /** The degree-annotated directed edge frame (`src, dst, deg(src)` —

@@ -332,8 +332,38 @@ object Graph {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+    triangleCountsWith(und, canonicalDegrees(und))
+  }
+
+  /** The `(n, d)` undirected degree table of an already-canonical edge
+    * frame — the derivation [[triangleCountsWith]],
+    * [[neighborJaccardWith]] and [[clusteringCoefficientWithDeg]] all
+    * consume, exposed so a registry can memoize ONE degree pass per
+    * graph and serve the whole family ([[graft.SparkEntry]]'s shared
+    * edge-artifact discipline extended to degrees).
+    */
+  def canonicalDegrees(canonical: DataFrame): DataFrame =
+    canonical.select(col("a").as("n"))
+      .unionAll(canonical.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** [[triangleCounts]] over an ALREADY-CANONICAL undirected edge frame
+    * and its ALREADY-DERIVED degree table — the seam that lets a
+    * registry skip both the canonicalizing distinct exchange AND the
+    * degree aggregation when it already memoizes them (the
+    * [[kCoreWith]]/[[hitsWith]] discipline). `canonical` must be
+    * distinct `(a, b)` with `a < b` and no self-loops; `deg` must be
+    * `(n, d)` with the EXACT undirected degree of every endpoint in
+    * `canonical` ([[canonicalDegrees]]' output).
+    *
+    * CONTRACT VIOLATIONS DEGRADE SILENTLY: a duplicate/uncanonical edge
+    * both double-counts wedges and corrupts the degree orientation; a
+    * stale `deg` (from a different edge set) breaks the orientation's
+    * √|E| out-degree bound — counts stay plausible-looking in both
+    * cases. When in doubt call [[triangleCounts]].
+    */
+  def triangleCountsWith(canonical: DataFrame, deg: DataFrame): DataFrame = {
+    val und = canonical.select(col("a"), col("b"))
     val oriented = Dedup.cached(und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -569,10 +599,22 @@ object Graph {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
+    neighborJaccardWith(und, Dedup.cached(canonicalDegrees(und)), maxCenterDeg)
+  }
+
+  /** [[neighborJaccard]] over an ALREADY-CANONICAL undirected edge frame
+    * and its ALREADY-DERIVED `(n, d)` degree table — same contract and
+    * silent-failure story as [[triangleCountsWith]] (stale or inexact
+    * degrees corrupt BOTH the union term `du + dv − c` and the center
+    * cap's hub cut, while the emitted pairs stay plausible). `deg` is
+    * read twice (the center filter and the endpoint annotation): pass a
+    * cached or memoized frame.
+    */
+  def neighborJaccardWith(canonical: DataFrame, deg: DataFrame,
+      maxCenterDeg: Option[Long] = None): DataFrame = {
+    val und = canonical
     val adj = und.select(col("a").as("n"), col("b").as("m"))
       .unionAll(und.select(col("b").as("n"), col("a").as("m")))
-    val deg = Dedup.cached(
-      adj.groupBy(col("n")).agg(count(lit(1)).as("d")))
     val centerOk = maxCenterDeg match {
       case Some(cap) => deg.filter(col("d") <= cap).select(col("n"))
       case None      => deg.select(col("n"))
@@ -879,10 +921,20 @@ object Graph {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.join(triangles, Seq("node"), "left")
+    clusteringCoefficientWithDeg(canonicalDegrees(und), triangles)
+  }
+
+  /** The coefficient with BOTH inputs already built — `deg` is a
+    * [[canonicalDegrees]]-shaped `(n, d)` table and `triangles` a
+    * [[triangleCounts]] output over the SAME edge set. The registry seam
+    * when the degree pass is itself a shared artifact; mismatched inputs
+    * degrade silently (a stale degree table shifts every C(d,2)
+    * denominator), same story as [[triangleCountsWith]].
+    */
+  def clusteringCoefficientWithDeg(deg: DataFrame,
+      triangles: DataFrame): DataFrame = {
+    deg.select(col("n").as("node"), col("d").as("deg"))
+      .join(triangles, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("cc_ppm",
         when(col("deg") >= 2L,

@@ -394,9 +394,9 @@ private[graft] object CoreQueriesA {
     }),
     "q_clustering_coeff" -> ((s, dir) => {
       // local cohesion per part: triangles / C(deg,2) in exact ppm over
-      // the part co-occurrence graph — composes the degree-oriented
-      // wedge closing with one degree agg; deg<2 nodes emit NULL
-      Graph.clusteringCoefficientWith(partCoEdges(s, dir), triCounts(s, dir))
+      // the part co-occurrence graph — the shared triangle artifact
+      // normalized by the shared degree artifact; deg<2 nodes emit NULL
+      Graph.clusteringCoefficientWithDeg(coDeg(s, dir), triCounts(s, dir))
         .orderBy(col("node"))
     }),
     "q_degree_assortativity" -> ((s, dir) => {

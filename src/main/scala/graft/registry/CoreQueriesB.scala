@@ -423,8 +423,14 @@ private[graft] object CoreQueriesB {
       // hubs carry 6.7× the wedge mass of the ≤ 20 centers (measured:
       // 21.6M vs 3.2M at sf0.1) while being the least-informative
       // promiscuous routes — the cap bounds the pair table
-      val edges = incidenceEdges(s, dir)
-      Graph.neighborJaccard(edges, maxCenterDeg = Some(20L))
+      // the canonical seam: incidenceEdges is already distinct with
+      // a < b by id-space construction, and prDeg (the pagerank family's
+      // shared degree artifact) IS this graph's undirected degree table
+      // — so the row skips the re-canonicalizing exchange and the degree
+      // agg both
+      Graph.neighborJaccardWith(incidenceEdges(s, dir),
+          prDeg(s, dir).select(col("src").as("n"), col("deg").as("d")),
+          maxCenterDeg = Some(20L))
         .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
         .limit(100)
     }),

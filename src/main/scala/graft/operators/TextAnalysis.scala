@@ -1515,10 +1515,22 @@ object TextAnalysis {
     * order and partitioning — a prerequisite for cross-engine replay.
     *
     * Returns per-doc (id, label, margin, correct) under the FINAL weights —
-    * the trained filter applied back to its corpus. The feature frame is
-    * persisted across epochs (each epoch reads it twice) and unpersisted
-    * before returning; at 100 TB each epoch is one scan of the cached
-    * features + a broadcast of 64 longs.
+    * the trained filter applied back to its corpus.
+    *
+    * Epoch shape: the bucket counts are pre-aggregated ONCE into a
+    * per-doc `(bucket, cnt)` array (bounded by `dims` entries — 64
+    * longs-pairs per doc at the default — so the array is a fixed-size
+    * payload at any corpus scale) and persisted across epochs. Each
+    * epoch is then ONE job over that cached frame: the margin is a
+    * row-local integer fold over the array (weights ride as a literal
+    * map inside the expression — zero joins), the misclassified docs
+    * explode their arrays (plus a sentinel bucket −1 element carrying
+    * the bias delta), and the only exchange is the map-side-combined
+    * ≤ dims+1-row bucket aggregation to the driver. The earlier form
+    * paid a doc-keyed margin exchange PLUS a features-to-misclassified
+    * join per epoch; integer addition is associative-commutative, so
+    * the fold order change is value-identical and the oracle replays
+    * unchanged.
     *
     * Labels MUST be exactly −1 or +1: the misclassification predicate
     * (label·margin ≤ 0) counts a 0-label as always wrong while its weight
@@ -1541,38 +1553,39 @@ object TextAnalysis {
         featureBucket(col("term"), dims).as("bucket"))
       .groupBy(col(idCol), col("label"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("label"))
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("bc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var w = Map.empty[Long, Long].withDefaultValue(0L)
       var bias = 0L
-      def margins: DataFrame = {
-        // weights ride as a literal map (≤ dims entries) inside the
-        // aggregation expression — zero joins, zero extra exchanges
-        val wCol =
-          if (w.isEmpty) lit(0L)
-          else coalesce(
-            element_at(
-              map(w.toSeq.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*),
-              col("bucket")),
-            lit(0L))
-        feats.groupBy(col(idCol), col("label"))
-          .agg((sum(wCol * col("cnt")) + bias).as("margin"))
-      }
+      // the margin is a row-local integer fold over the ≤ dims-entry
+      // array; weights ride as a literal map (≤ dims entries) inside
+      // the expression — zero joins, zero exchanges. collect_list's
+      // element order is partition-dependent, but integer addition is
+      // order-free, so the fold is deterministic regardless.
+      def marginCol: Column =
+        if (w.isEmpty) lit(bias)
+        else {
+          val wMap =
+            map(w.toSeq.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+          aggregate(col("bc"), lit(bias), (acc, x) =>
+            acc + coalesce(element_at(wMap, x.getField("bucket")), lit(0L)) *
+              x.getField("cnt"))
+        }
       for (_ <- 1 to epochs) {
-        val mis = margins.filter(col("label") * col("margin") <= 0)
-          .select(col(idCol), col("label"))
-        // ONE action per epoch: the bias update (Σ label over
-        // misclassified docs, i.e. each doc counted once with cnt = 1)
-        // rides the SAME bucket-keyed aggregation as the weight deltas
-        // under the sentinel bucket -1 — the two-collect form paid a
-        // second job per epoch plus a second computation of `mis`, pure
-        // scheduler latency on a frame this small (the row's cost is
-        // fixed per-job overhead, not data). Arithmetic is unchanged
-        // integer addition, so margins stay oracle-exact.
-        val misL = mis.withColumnRenamed("label", "mlabel")
-        val deltas = feats.join(misL, Seq(idCol))
-          .select(col("bucket"), (col("mlabel") * col("cnt")).as("c"))
-          .unionAll(misL.select(lit(-1L).as("bucket"), col("mlabel").as("c")))
+        // ONE action per epoch, one tiny exchange: misclassified docs
+        // explode their arrays with a sentinel bucket −1 element
+        // appended (carrying Σ label — the bias delta), and the
+        // map-side-combined bucket agg ships ≤ dims+1 rows to the
+        // driver. Arithmetic is unchanged integer addition, so margins
+        // stay oracle-exact.
+        val deltas = feats
+          .filter(col("label") * marginCol <= 0)
+          .select(col("label"), explode(concat(col("bc"),
+            array(struct(lit(-1L).as("bucket"), lit(1L).as("cnt"))))).as("x"))
+          .select(col("x.bucket").as("bucket"),
+            (col("label") * col("x.cnt")).as("c"))
           .groupBy(col("bucket"))
           .agg(sum(col("c")).as("dw"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -1580,8 +1593,9 @@ object TextAnalysis {
           .foldLeft(w) { case (m, (b, dw)) => m.updated(b, m(b) + dw) }
         bias += deltas.collectFirst { case (-1L, dw) => dw }.getOrElse(0L)
       }
-      margins.select(col(idCol), col("label"), col("margin"),
-        (col("label") * col("margin") > 0).as("correct"))
+      feats.select(col(idCol), col("label"), marginCol.as("margin"))
+        .select(col(idCol), col("label"), col("margin"),
+          (col("label") * col("margin") > 0).as("correct"))
     } finally feats.unpersist(blocking = false)
   }
 

@@ -522,6 +522,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("bandedSignatures: band b hashes exactly signature positions [b·rows+1, (b+1)·rows]") {
+    // STRUCTURAL pin (r17 mutation finding): the output-level LSH≡exact
+    // pin above is blind to banding mutations — the exact-Jaccard verify
+    // stage filters any EXTRA candidates a broken banding admits, and
+    // the fixture's near-dup pairs are high-J, so they collide in band 0
+    // alone and survive even an all-bands-identical mutant. Two such
+    // mutants (slice start b·rows+2; slice start pinned to 1) passed the
+    // output pin. This test recomputes every band hash INDEPENDENTLY —
+    // raw signatures collected, sliced in Scala, hashed over literal
+    // arrays — so any drift in the slicing arithmetic fails a direct
+    // value comparison, not a recall probability.
+    import spark.implicits._
+    val two = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different sentence with other words entirely")
+    ).toDF("doc_id", "text")
+    val bands = 4; val rows = 3
+    val (banded, _) =
+      Dedup.bandedSignatures(two, "doc_id", "text", n = 3, bands = bands, rows = rows)
+    val got = banded.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val sigs = graft.operators.TextAnalysis.shingles(two, "doc_id", "text", 3)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSketch(col("h"), bands * rows).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = sigs.toSeq.flatMap { case (id, s) =>
+      assert(s.length == bands * rows, s"signature length: ${s.length}")
+      (0 until bands).map(b => (id, b, s.slice(b * rows, b * rows + rows)))
+    }.toDF("doc_id", "band", "sl")
+      .select(col("doc_id"), col("band"), hash(col("sl")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"band slicing drifted from [b*rows+1, +rows]: got ${got.size} rows")
+    Dedup.uncacheAll()
+  }
+
   test("minhashCalibration: identical pair calibrates exactly; ppm arithmetic fenced") {
     import spark.implicits._
     val fixture = Seq(

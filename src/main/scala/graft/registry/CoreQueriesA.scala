@@ -543,6 +543,19 @@ private[graft] object CoreQueriesA {
         .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
         .limit(100)
     }),
+    "q_assoc_basket_audit" -> ((s, dir) => {
+      // the audit side of pairRules' viral-basket guard as a first-class
+      // row: which (order, brand) baskets WOULD a cap of 7 exclude from
+      // pairing, and how big are they — the list a pipeline reviews
+      // before trusting a capped association run. Counts only, no
+      // arrays: one basket-keyed map-side-combined agg at any scale.
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Assoc.oversizedBaskets(baskets, maxBasketItems = 7)
+        .orderBy(col("n_items").desc, col("basket"))
+    }),
     "q_ess_weights" -> ((s, dir) =>
       // is the reweighted "sample" real? Kish effective sample size per
       // event_type over the decimal-scaled values-as-weights — ESS
@@ -1357,6 +1370,14 @@ private[graft] object CoreQueriesA {
         |       CAST(SUM(CASE WHEN n < 50 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_suppressed_rows
         |FROM g""".stripMargin,
+    "q_assoc_basket_audit" ->
+      // same dedup'd incidence, NULL exclusion, count > cap
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |            WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL)
+        |SELECT basket, CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM bi GROUP BY 1 HAVING COUNT(*) > 7
+        |ORDER BY n_items DESC, basket""".stripMargin,
     "q_assoc_rules" ->
       // the same dedup'd incidence, canonical within-basket pair join,
       // support prune, and integer-ppm scores

@@ -393,6 +393,20 @@ object SparkEntry {
       Graph.canonicalDegrees(partCoEdges(s, dir))
     }
 
+  /** The deduped (order, brand) incidence frame — the assoc family's
+    * shared input: `q_assoc_rules` mines it, `q_assoc_basket_audit`
+    * audits it; rebuilding the lineitem+part join + distinct per row
+    * paid the family's most expensive derivation twice per sweep.
+    */
+  private[graft] def brandBaskets(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "brandBaskets") {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        .distinct()
+    }
+
   /** Per-node triangle counts over [[partCoEdges]] — the expensive
     * degree-oriented wedge-closing pass `q_triangle_counts` censuses and
     * `q_clustering_coeff` normalizes; one count, two readers. Served

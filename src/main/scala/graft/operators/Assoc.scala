@@ -58,12 +58,32 @@ object Assoc {
   def pairRules(bi: DataFrame, basketCol: String = "basket",
       itemCol: String = "item", minPairN: Long = 1L,
       maxBasketItems: Int = 10000,
+      failOnOversized: Boolean = false): DataFrame =
+    pairRulesDistinct(
+      Dedup.cached(bi.select(
+        col(basketCol).as("basket"), col(itemCol).as("item")).distinct()),
+      minPairN, maxBasketItems, failOnOversized)
+
+  /** [[pairRules]] over an ALREADY-DEDUPED `(basket, item)` incidence
+    * frame — the seam that lets a registry serve one memoized distinct
+    * incidence artifact to both the rules row and the
+    * [[oversizedBaskets]] audit row instead of each paying the
+    * dedup exchange privately (the graph family's canonical-seam
+    * discipline). The caller owns the distinctness contract, and a
+    * violation degrades SILENTLY in a specific direction: a duplicated
+    * incidence row inflates that item's `n_item` AND its pairs'
+    * `n_pair` together, so supports/confidences read high while staying
+    * internally consistent — no downstream check catches it. When in
+    * doubt call [[pairRules]]. The frame is read by several subplans
+    * (n_baskets, item counts, pairing): pass a cached or memoized
+    * frame.
+    */
+  def pairRulesDistinct(b: DataFrame, minPairN: Long = 1L,
+      maxBasketItems: Int = 10000,
       failOnOversized: Boolean = false): DataFrame = {
     require(minPairN >= 1, s"minPairN must be >= 1: $minPairN")
     require(maxBasketItems >= 2,
       s"maxBasketItems must be >= 2 (a pair needs two items): $maxBasketItems")
-    val b = Dedup.cached(bi.select(
-      col(basketCol).as("basket"), col(itemCol).as("item")).distinct())
     val nB = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     // within-basket pairs are generated ROW-LOCALLY from each basket's
@@ -127,12 +147,24 @@ object Assoc {
     * equals the uncapped one.
     */
   def oversizedBaskets(bi: DataFrame, basketCol: String = "basket",
-      itemCol: String = "item", maxBasketItems: Int = 10000): DataFrame = {
+      itemCol: String = "item", maxBasketItems: Int = 10000): DataFrame =
+    oversizedBasketsDistinct(
+      bi.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+        .distinct(),
+      maxBasketItems)
+
+  /** [[oversizedBaskets]] over an ALREADY-DEDUPED `(basket, item)`
+    * incidence — the audit half of the [[pairRulesDistinct]] seam, so
+    * both rows read ONE shared artifact. Same silent failure mode:
+    * duplicate incidence inflates `n_items` and can flag a basket the
+    * capped [[pairRulesDistinct]] run did NOT exclude.
+    */
+  def oversizedBasketsDistinct(b: DataFrame,
+      maxBasketItems: Int = 10000): DataFrame = {
     require(maxBasketItems >= 2,
       s"maxBasketItems must be >= 2 (a pair needs two items): $maxBasketItems")
-    bi.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+    b.select(col("basket"), col("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
-      .distinct()
       .groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
       .filter(col("n_items") > maxBasketItems)
   }

@@ -535,11 +535,9 @@ private[graft] object CoreQueriesA {
       // expansion bounded by basket size, support prune before the
       // per-item joins, integer-ppm support/confidence/lift; top 100 by
       // (lift, pair)
-      val baskets = t(s, dir, "lineitem")
-        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      Assoc.pairRules(baskets, minPairN = 20)
+      // served through the distinct seam off the shared brandBaskets
+      // artifact (the audit row reads the same frame)
+      Assoc.pairRulesDistinct(brandBaskets(s, dir), minPairN = 20)
         .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
         .limit(100)
     }),
@@ -549,11 +547,7 @@ private[graft] object CoreQueriesA {
       // pairing, and how big are they — the list a pipeline reviews
       // before trusting a capped association run. Counts only, no
       // arrays: one basket-keyed map-side-combined agg at any scale.
-      val baskets = t(s, dir, "lineitem")
-        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      Assoc.oversizedBaskets(baskets, maxBasketItems = 7)
+      Assoc.oversizedBasketsDistinct(brandBaskets(s, dir), maxBasketItems = 7)
         .orderBy(col("n_items").desc, col("basket"))
     }),
     "q_ess_weights" -> ((s, dir) =>

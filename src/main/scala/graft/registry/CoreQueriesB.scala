@@ -707,12 +707,19 @@ private[graft] object CoreQueriesB {
       // part — depth-bounded UNION ALL recursion (the engine-portable
       // form; cycles are tamed by the bound, min-depth dedup after),
       // then reachability census per hop count
+      // the recursion is the row's point (Spark 4 SQL surface); its edge
+      // CTE is NOT — serve it from the shared partCoEdges artifact
+      // (canonical a<b, distinct) instead of re-running the order-keyed
+      // self-join inside the recursive plan. Result-identical to the
+      // oracle's self-contained text: e as distinct directed edges vs
+      // the oracle's multiplicity-carrying pairs only changes frontier
+      // ROW COUNTS, and the census reads MIN(d) per node — the
+      // min-depth dedup erases multiplicity on both sides.
+      partCoEdges(s, dir).createOrReplaceTempView("co_rb")
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_rb")
       s.sql(
-        """WITH RECURSIVE li AS (
-          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem_rb),
-          |e AS (SELECT x.p AS a, y.p AS b FROM li x JOIN li y
-          |      ON x.o = y.o AND x.p <> y.p),
+        """WITH RECURSIVE e AS (
+          |  SELECT a, b FROM co_rb UNION ALL SELECT b AS a, a AS b FROM co_rb),
           |seed AS (SELECT MIN(l_partkey) AS n FROM lineitem_rb),
           |bfs(n, d) AS (
           |  SELECT n, 0 FROM seed

@@ -916,6 +916,24 @@ object ScaleSmoke {
       Dedup.uncacheAll()
     }
 
+    // Perceptron epoch shape at 10× bench volume (r17): the restructured
+    // operator's per-epoch cost is one scan of the cached per-doc
+    // (bucket, cnt) arrays + a ≤ dims+1-row bucket exchange — this
+    // section witnesses that the 50k-doc corpus holds that shape (the
+    // old form paid a doc-keyed margin exchange + a features join per
+    // epoch, which at 10× volume would grow linearly in the exchanges).
+    if (enabled("r17 perceptron")) {
+      timed("r17 perceptron 50k docs e3") {
+        graft.operators.TextAnalysis.perceptronQuality(
+          spark.read.parquet(s"$dir/documents"),
+          labelCol = when(pmod(col("doc_id"), lit(2L)) === 0L, 1L)
+            .otherwise(-1L),
+          dims = 64, epochs = 3)
+          .filter(col("correct")).count()
+      }
+      Dedup.uncacheAll()
+    }
+
     // VIRAL-BASKET guard A/B (r17): one pathological 10⁵-item basket —
     // unguarded it would expand C(1e5,2) ≈ 5·10⁹ pairs inside ONE task
     // (hours / OOM; deliberately NOT run); with the default cap (10⁴) the

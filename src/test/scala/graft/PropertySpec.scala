@@ -950,6 +950,57 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonical graph seams equal their public wrappers on random graphs") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    // the r17 artifact seams (triangleCountsWith / neighborJaccardWith /
+    // clusteringCoefficientWithDeg) take caller-owned canonical-edge and
+    // degree contracts; this pins that honoring the contract reproduces
+    // the self-deriving wrapper EXACTLY — the equivalence the registry
+    // rewiring rests on
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val g = (0 until 120).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("a", "b")
+      val canonical = Dedup.cached(g.select(
+          least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      val deg = Dedup.cached(Graph.canonicalDegrees(canonical))
+      def set(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(set(Graph.triangleCountsWith(canonical, deg)) ==
+        set(Graph.triangleCounts(g)), s"trial $trial: triangles")
+      assert(set(Graph.neighborJaccardWith(canonical, deg, Some(5L))) ==
+        set(Graph.neighborJaccard(g, Some(5L))), s"trial $trial: jaccard")
+      val tri = Graph.triangleCounts(g)
+      assert(set(Graph.clusteringCoefficientWithDeg(deg, tri)) ==
+        set(Graph.clusteringCoefficientWith(g, tri)), s"trial $trial: cc")
+      Dedup.uncacheAll()
+    }
+  }
+
+  test("pairRulesDistinct on a deduped incidence equals pairRules on its raw form") {
+    import spark.implicits._
+    import graft.operators.{Assoc, Dedup}
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 3) {
+      val raw = (0 until 300).map(_ =>
+        (rnd.nextInt(40).toLong, s"i${rnd.nextInt(12)}")).toDF("basket", "item")
+      val distinctInc = Dedup.cached(
+        raw.select(col("basket"), col("item")).distinct())
+      def set(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(set(Assoc.pairRulesDistinct(distinctInc, minPairN = 2)) ==
+        set(Assoc.pairRules(raw, minPairN = 2)), s"trial $trial: rules")
+      assert(set(Assoc.oversizedBasketsDistinct(distinctInc, 5)) ==
+        set(Assoc.oversizedBaskets(raw, maxBasketItems = 5)),
+        s"trial $trial: audit")
+      Dedup.uncacheAll()
+    }
+  }
+
   test("cms join-size estimate: always an upper bound; exact when collision-free") {
     import spark.implicits._
     import graft.operators.Joins

@@ -393,6 +393,23 @@ object SparkEntry {
       Graph.canonicalDegrees(partCoEdges(s, dir))
     }
 
+  /** The BM25 lexical top-10 list at the registry's standard query set —
+    * `ret_rrf_fusion` fuses it with the semantic list; `text_bm25_topk`
+    * deliberately does NOT read this cache (it PRICES the inverted-index
+    * probe + scoring build, the [[lshPairs]] pricing-row convention) —
+    * one build, one priced row, consumers serve-only.
+    */
+  private[graft] def bm25Lex10(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bm25Lex10") {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "fast table scan"), (1L, "join query order"),
+        (2L, "stream window batch"), (3L, "slow merge"),
+        (4L, "customer value vector"), (5L, "zebra hash")
+      ).toDF("query_id", "q_text")
+      graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+    }
+
   /** The deduped (order, brand) incidence frame — the assoc family's
     * shared input: `q_assoc_rules` mines it, `q_assoc_basket_audit`
     * audits it; rebuilding the lineitem+part join + distinct per row

@@ -170,15 +170,11 @@ private[graft] object MiscQueries {
       // embedding semantically), fused by integer reciprocal-rank —
       // rewards docs surfacing in EITHER modality without comparing
       // incomparable scores; fusion moves only queries × k × 2 rows
-      import s.implicits._
-      val qs = Seq(
-        (0L, "fast table scan"), (1L, "join query order"),
-        (2L, "stream window batch"), (3L, "slow merge"),
-        (4L, "customer value vector"), (5L, "zebra hash")
-      ).toDF("query_id", "q_text")
+      // the lexical list is the shared bm25Lex10 artifact (standard
+      // 6-query set defined there; text_bm25_topk prices the build)
       val lexW = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("doc_id"))
-      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+      val lex = bm25Lex10(s, dir)
         .withColumn("rank", row_number().over(lexW).cast("long"))
         .select(col("query_id"), col("doc_id"), col("rank"))
       val emb = t(s, dir, "embeddings")

@@ -393,6 +393,21 @@ object SparkEntry {
       Graph.canonicalDegrees(partCoEdges(s, dir))
     }
 
+  /** The banded-LSH top-4 neighbor list at the registry's standard
+    * parameterization (planes = vectors 0-3, bands = 2) — `ann_knn_graph`
+    * takes its mutual closure, `ann_label_noise` its neighbor vote; the
+    * band-bucketed candidate join + scoring is the expensive stage, one
+    * build, two readers.
+    */
+  private[graft] def bandedKnn4(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bandedKnn4") {
+      val emb = t(s, dir, "embeddings")
+      val planes = graft.operators.Similarity
+        .prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      graft.operators.Similarity.bandedTopK(emb, planes, bands = 2, k = 4)
+    }
+
   /** The BM25 lexical top-10 list at the registry's standard query set —
     * `ret_rrf_fusion` fuses it with the semantic list; `text_bm25_topk`
     * deliberately does NOT read this cache (it PRICES the inverted-index

@@ -854,16 +854,35 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
   }
 
-  def knnGraph(
+  /** The banded top-k neighbor list (id_a, id_b, cosine, rnk) BOTH
+    * [[knnGraph]] and [[labelNoise]] rank over — exposed so a registry
+    * can build it once and serve the two consumers through the seams
+    * below (rank ties broken (cosine desc, id_b), the house
+    * determinism).
+    */
+  def bandedTopK(
       emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val p = prepared(emb, idCol, embCol)
-    val scored = bandedScoredCandidates(p, planes, bands)
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cosine").desc, col("id_b"))
-    val knn = scored
+    bandedScoredCandidates(p, planes, bands)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  def knnGraph(
+      emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    knnGraphWith(bandedTopK(emb, planes, bands, k, idCol, embCol))
+
+  /** [[knnGraph]] over an ALREADY-BUILT [[bandedTopK]] list — the
+    * mutuality join + canonicalization only. `knn` must be a bandedTopK
+    * output (per-id_a top-k with its rnk); a frame with more than k
+    * rows per id silently widens the graph, a re-ranked one silently
+    * changes which edges count as mutual.
+    */
+  def knnGraphWith(knn: DataFrame): DataFrame = {
     val rev = knn.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
       col("rnk").as("rank_ba"))
     knn.join(rev, Seq("id_a", "id_b"))
@@ -895,13 +914,19 @@ object Similarity {
   def labelNoise(
       emb: DataFrame, planes: DataFrame, bands: Int, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val p = prepared(emb, idCol, embCol)
-    val lab = emb.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl"))
-    val scored = bandedScoredCandidates(p, planes, bands)
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("cosine").desc, col("id_b"))
-    val knn = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      labelCol: String = "label"): DataFrame =
+    labelNoiseWith(
+      bandedTopK(emb, planes, bands, k, idCol, embCol),
+      emb.select(col(idCol).as("id"), col(labelCol).cast("long").as("lbl")))
+
+  /** [[labelNoise]] over an ALREADY-BUILT [[bandedTopK]] list and an
+    * (id, lbl) label frame — the neighbor-vote read only. Same caller
+    * contract (and silent widening failure) as [[knnGraphWith]]; `labels`
+    * must cover every id in `knn` or those vectors silently drop from
+    * the audit (inner joins).
+    */
+  def labelNoiseWith(knn: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("lbl"))
     val withLbl = knn
       .join(lab.select(col("id").as("id_a"), col("lbl").as("own_label")), Seq("id_a"))
       .join(lab.select(col("id").as("id_b"), col("lbl").as("nbr_lbl")), Seq("id_b"))

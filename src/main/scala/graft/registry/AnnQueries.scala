@@ -272,10 +272,10 @@ private[graft] object AnnQueries {
       // edges pruned) — the structure semantic clustering / diversity
       // sampling starts from; candidates are band-bucketed, never
       // all-pairs, and both mutuality sides are k-bounded
-      val emb = t(s, dir, "embeddings")
-      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
-        .select(col("id").as("plane_id"), col("v").as("pv"))
-      Similarity.knnGraph(emb, planes, bands = 2, k = 4)
+      // mutual closure over the shared bandedKnn4 artifact (one
+      // candidate-join + scoring pass serving this row and the label
+      // audit below)
+      Similarity.knnGraphWith(bandedKnn4(s, dir))
         .select(col("id_a"), col("id_b"),
           (col("cosine") + lit(0.0)).as("cosine"),
           col("rank_ab"), col("rank_ba"))
@@ -287,10 +287,10 @@ private[graft] object AnnQueries {
       // other label (count-plurality, smallest-label tie-break) — the
       // confident-learning-style screen run before trusting `label` as
       // supervision; candidates band-bucketed, never all-pairs
-      val emb = t(s, dir, "embeddings")
-      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
-        .select(col("id").as("plane_id"), col("v").as("pv"))
-      Similarity.labelNoise(emb, planes, bands = 2, k = 4)
+      // neighbor vote over the same shared bandedKnn4 artifact
+      Similarity.labelNoiseWith(bandedKnn4(s, dir),
+          t(s, dir, "embeddings").select(col("vec_id").as("id"),
+            col("label").cast("long").as("lbl")))
         .orderBy(col("vec_id"))
     }),
     "ann_hard_negatives" -> ((s, dir) => {

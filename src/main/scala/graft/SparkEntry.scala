@@ -408,6 +408,27 @@ object SparkEntry {
       graft.operators.Similarity.bandedTopK(emb, planes, bands = 2, k = 4)
     }
 
+  /** The LSH-fed MMR pick chain at the registry's standard
+    * parameterization (queries 0-9, planes 0-3, bands = 2, shortlist 12,
+    * k = 4) — `ann_mmr_rerank_lsh` publishes it, `ann_mmr_recall` grades
+    * it against the brute chain; the LSH serve + pair sims + driver
+    * greedy runs once for both.
+    */
+  private[graft] def mmrFedPicks(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "mmrFedPicks") {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding")
+        .select(col("id").as("plane_id"), col("v").as("pv"))
+      val short = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 12)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score") * 10000, 0).cast("long").as("rel"))
+      Similarity.mmrRerank(emb, q, shortlist = 12, k = 4,
+        candidates = Some(short))
+    }
+
   /** The BM25 lexical top-10 list at the registry's standard query set —
     * `ret_rrf_fusion` fuses it with the semantic list; `text_bm25_topk`
     * deliberately does NOT read this cache (it PRICES the inverted-index

@@ -318,17 +318,9 @@ private[graft] object AnnQueries {
       // queries×corpus θ-join — no BroadcastNestedLoopJoin anywhere in
       // the plan (EngineSpec-pinned); the oracle replays the identical
       // LSH chain, trim, pair sims, and greedy picks
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4),
-          "vec_id", "embedding")
-        .select(col("id").as("plane_id"), col("v").as("pv"))
-      val short = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 12)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("score") * 10000, 0).cast("long").as("rel"))
-      Similarity.mmrRerank(emb, q, shortlist = 12, k = 4,
-          candidates = Some(short))
-        .orderBy(col("query_id"), col("mmr_step"))
+      // the shared mmrFedPicks artifact (the recall row below grades the
+      // SAME chain — one LSH serve + greedy for both)
+      mmrFedPicks(s, dir).orderBy(col("query_id"), col("mmr_step"))
     }),
     "ann_mmr_recall" -> ((s, dir) => {
       // the QUALITY number for the fed form: per-query recall of the
@@ -339,14 +331,7 @@ private[graft] object AnnQueries {
       // (namespaced step CTEs) with the recall join.
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val planes = Similarity.prepared(emb.filter(col("vec_id") < 4),
-          "vec_id", "embedding")
-        .select(col("id").as("plane_id"), col("v").as("pv"))
-      val short = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 12)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("score") * 10000, 0).cast("long").as("rel"))
-      val fed = Similarity.mmrRerank(emb, q, shortlist = 12, k = 4,
-        candidates = Some(short))
+      val fed = mmrFedPicks(s, dir)
       val brute = Similarity.mmrRerank(emb, q, shortlist = 12, k = 4)
       Similarity.recallAt(fed, brute).orderBy(col("query_id"))
     }),

@@ -408,6 +408,21 @@ object SparkEntry {
       graft.operators.Similarity.bandedTopK(emb, planes, bands = 2, k = 4)
     }
 
+  /** The exact cosine top-3 truth set at the registry's standard recall
+    * parameterization (queries 0-9 against the full corpus) — the
+    * baseline side of SIX recall rows (ivf, lsh, binary, binary-banded,
+    * matryoshka, rp); each previously re-ran the brute queries×corpus
+    * scoring privately. The PQ recall row keeps its own L2 baseline
+    * (different metric), and `ann_cosine_topk` keeps pricing the brute
+    * scan itself at its own k.
+    */
+  private[graft] def bruteTruth3(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bruteTruth3") {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), k = 3)
+    }
+
   /** The LSH-fed MMR pick chain at the registry's standard
     * parameterization (queries 0-9, planes 0-3, bands = 2, shortlist 12,
     * k = 4) — `ann_mmr_rerank_lsh` publishes it, `ann_mmr_recall` grades

@@ -118,7 +118,7 @@ private[graft] object AnnQueries {
       val q = emb.filter(col("vec_id") < 10)
       val cents = coarseCents4(s, dir)
       val approx = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 2)
-      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+      Similarity.recallAt(approx, bruteTruth3(s, dir))
         .orderBy(col("query_id"))
     }),
     "ann_recall_eval_lsh" -> ((s, dir) => {
@@ -131,7 +131,7 @@ private[graft] object AnnQueries {
       val planes = Similarity.prepared(emb.filter(col("vec_id") < 4), "vec_id", "embedding")
         .select(col("id").as("plane_id"), col("v").as("pv"))
       val approx = Similarity.lshTopKBanded(emb, q, planes, bands = 2, k = 3)
-      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+      Similarity.recallAt(approx, bruteTruth3(s, dir))
         .orderBy(col("query_id"))
     }),
     "ann_binary_topk" -> ((s, dir) => {
@@ -166,7 +166,7 @@ private[graft] object AnnQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val approx = Similarity.binaryHammingTopKBanded(emb, q, k = 3, rerank = 20, bands = 8)
-      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+      Similarity.recallAt(approx, bruteTruth3(s, dir))
         .orderBy(col("query_id"))
     }),
     "ann_recall_eval_binary" -> ((s, dir) => {
@@ -176,7 +176,7 @@ private[graft] object AnnQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val approx = Similarity.binaryHammingTopK(emb, q, k = 3, rerank = 20)
-      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+      Similarity.recallAt(approx, bruteTruth3(s, dir))
         .orderBy(col("query_id"))
     }),
     "ann_nprobe_sweep" -> ((s, dir) => {
@@ -209,7 +209,7 @@ private[graft] object AnnQueries {
         slice(col("embedding"), 1, matryoshkaDims).as("embedding"))
       val q = emb.filter(col("vec_id") < 10)
       val approx = Similarity.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 10), k = 3)
-      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, q, k = 3))
+      Similarity.recallAt(approx, bruteTruth3(s, dir))
         .orderBy(col("query_id"))
     }),
     "ann_rp_recall" -> ((s, dir) => {
@@ -224,7 +224,7 @@ private[graft] object AnnQueries {
       val emb = t(s, dir, "embeddings")
       val proj = Similarity.rpProject(emb, outDims = rpDims, inDims = rpInDims)
       val approx = Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 10), k = 3)
-      Similarity.recallAt(approx, Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 3))
+      Similarity.recallAt(approx, bruteTruth3(s, dir))
         .orderBy(col("query_id"))
     }),
     "ann_ivfpq_topk" -> ((s, dir) => {

@@ -45,9 +45,26 @@ object Bench {
     import scala.jdk.CollectionConverters._
     sys.env.get("SPARK_GRAFT_BENCH_REF") match {
       case Some(p) =>
-        Some(java.nio.file.Paths.get(p))
+        // an explicit override that doesn't resolve is a misconfiguration
+        // (typo'd path, wrong CWD), not a fresh checkout: warn loudly and
+        // fall back to the directory scan rather than silently emitting
+        // the null ratio fields a bare checkout would (ADVICE r17)
+        val explicit = Some(java.nio.file.Paths.get(p))
           .filter(java.nio.file.Files.isReadable)
+        if (explicit.isEmpty) {
+          System.err.println(
+            s"[bench] WARNING: SPARK_GRAFT_BENCH_REF='$p' is not readable — " +
+              "falling back to the bench_close_r{N}.json directory scan")
+          scanLatestClose()
+        } else explicit
       case None =>
+        scanLatestClose()
+    }
+  }
+
+  private def scanLatestClose(): Option[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    locally {
         val re = "bench_close_r(\\d+)\\.json".r
         val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
         try s.iterator().asScala.flatMap { p =>
@@ -162,8 +179,13 @@ object Bench {
           v / ref(k)
       }.sorted
     }.getOrElse(Vector.empty[Double])
+    // true midpoint median (average the two middle elements for even n —
+    // the upper-middle shortcut biased even-count ratios slightly high)
+    def midMedian(xs: Seq[Double]): Double =
+      if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
     val ratioJson =
-      (if (ratios.nonEmpty) s""""ratio_vs_close":${jnum(ratios(ratios.size / 2))}"""
+      (if (ratios.nonEmpty) s""""ratio_vs_close":${jnum(midMedian(ratios))}"""
        else """"ratio_vs_close":null""") +
         s""","ratio_vs_close_n":${ratios.size}""" +
         s""","ratio_vs_close_ref":${refOpt.map(r => jstr(r._1)).getOrElse("null")}"""

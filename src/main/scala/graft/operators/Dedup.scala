@@ -583,6 +583,31 @@ object Dedup {
                |""".stripMargin.replace("\n", " ")).as("recall_ppm"))
   }
 
+  /** The pair-of-blocks pigeonhole key derivation, extracted as a seam so
+    * the structural pin (EngineSpec "simhashBlockKeys: block (j1,j2)…") can
+    * feed literal fingerprints and compare every emitted key against an
+    * independent Scala recomputation — the r17 mutation lesson: recall-
+    * calibrated candidate stages pass output-level pins even when their
+    * banding arithmetic is broken, because the exact verify stage filters
+    * the damage on friendly fixtures.
+    *
+    * Contract (the oracle replays it digit-for-digit): the 64-bit
+    * fingerprint splits into 8 byte-blocks; for every unordered block pair
+    * (j1 < j2), enumerated in (j1, j2) lexicographic order as blk
+    * 0..C(8,2)-1, the key is byte(j1) · 256 + byte(j2) where
+    * byte(j) = (simhash >>> 8·j) & 255.
+    */
+  private[graft] def simhashBlockKeys(sig: DataFrame): DataFrame = {
+    val pairKeys = for {
+      j1 <- 0 until 8
+      j2 <- (j1 + 1) until 8
+    } yield shiftrightunsigned(col("simhash"), j1 * 8).bitwiseAND(lit(255L)) * 256 +
+      shiftrightunsigned(col("simhash"), j2 * 8).bitwiseAND(lit(255L))
+    sig.select(
+      col("id"), col("simhash"),
+      posexplode(array(pairKeys: _*)).as(Seq("blk", "blk_val")))
+  }
+
   /** The SimHash fingerprint → pair-of-blocks candidates → Hamming filter →
     * exact-Jaccard verify pipeline over an (assumed mostly-distinct) corpus.
     */
@@ -639,14 +664,7 @@ object Dedup {
         }.reduce(_.bitwiseOR(_)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.add(sig)
-    val pairKeys = for {
-      j1 <- 0 until 8
-      j2 <- (j1 + 1) until 8
-    } yield shiftrightunsigned(col("simhash"), j1 * 8).bitwiseAND(lit(255L)) * 256 +
-      shiftrightunsigned(col("simhash"), j2 * 8).bitwiseAND(lit(255L))
-    val blocks = sig.select(
-      col("id"), col("simhash"),
-      posexplode(array(pairKeys: _*)).as(Seq("blk", "blk_val")))
+    val blocks = simhashBlockKeys(sig)
     // persisted: the candidate set is read twice (Jaccard verification and
     // the final hamming join-back) and is small by construction — bounded
     // by block-key collisions, never all-pairs

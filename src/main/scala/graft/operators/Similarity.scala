@@ -700,28 +700,44 @@ object Similarity {
     * `bands` ∈ {2, 4, 8, 16, 32} (slices must tile the two 32-bit
     * halves). bands=8 → byte slices: 256-way selectivity per band.
     */
+  /** The banded slicing of a packed (lo, hi) 64-bit code — extracted as a
+    * seam so the structural pin (EngineSpec "codeBandSlices: band j…") can
+    * feed literal codes and compare every (band, bval) row against an
+    * independent Scala recomputation (the r17 mutation lesson — see
+    * [[graft.operators.Dedup.simhashBlockKeys]]).
+    *
+    * Contract: with w = 64/bands bits per slice and half = bands/2, band
+    * j < half is bits [j·w, (j+1)·w) of `lo` and band j ≥ half is bits
+    * [(j−half)·w, (j−half+1)·w) of `hi` — both halves hold their 32 bits
+    * in the low word (see [[binaryCodes]]), so plain shiftright + mask
+    * never touches a sign bit.
+    */
+  private[graft] def codeBandSlices(
+      codes: DataFrame, idc: String, lo: String, hi: String,
+      bands: Int): DataFrame = {
+    require(Set(2, 4, 8, 16, 32)(bands), s"bands must tile 32-bit halves, got $bands")
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    val half = bands / 2
+    codes.select(col(idc), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), j -> " +
+        s"CASE WHEN j < $half THEN shiftright($lo, j * $w) & $mask " +
+        s"ELSE shiftright($hi, (j - $half) * $w) & $mask END)"))
+      .as(Seq("band", "bval")))
+  }
+
   def binaryHammingTopKBanded(
       emb: DataFrame, queries: DataFrame, k: Int, rerank: Int = 20,
       bands: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(Set(2, 4, 8, 16, 32)(bands), s"bands must tile 32-bit halves, got $bands")
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
-    val w = 64 / bands
-    val mask = (1L << w) - 1
-    val half = bands / 2
     val np = prepared(emb, idCol, embCol)
     val qp = prepared(queries, idCol, embCol)
     val nc = binaryCodes(np).select(col("id"), col("code_lo"), col("code_hi"))
     val qc = binaryCodes(qp).select(col("id").as("query_id"),
       col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
-    def slices(df: DataFrame, idc: String, lo: String, hi: String) =
-      df.select(col(idc), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> " +
-          s"CASE WHEN j < $half THEN shiftright($lo, j * $w) & $mask " +
-          s"ELSE shiftright($hi, (j - $half) * $w) & $mask END)"))
-        .as(Seq("band", "bval")))
-    val cand = slices(qc, "query_id", "q_lo", "q_hi")
-      .join(slices(nc, "id", "code_lo", "code_hi"), Seq("band", "bval"))
+    val cand = codeBandSlices(qc, "query_id", "q_lo", "q_hi", bands)
+      .join(codeBandSlices(nc, "id", "code_lo", "code_hi", bands), Seq("band", "bval"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"))
       .distinct()

@@ -547,6 +547,11 @@ private[graft] object CoreQueriesA {
       // pairing, and how big are they — the list a pipeline reviews
       // before trusting a capped association run. Counts only, no
       // arrays: one basket-keyed map-side-combined agg at any scale.
+      // Note (ADVICE r17): cap=7 is a deliberately NON-VACUOUS
+      // demonstration, not q_assoc_rules' audit — the rules row runs at
+      // the default cap 10^4, which on this data (≤ 25 brands/basket)
+      // can exclude nothing, so auditing AT 10^4 would always emit zero
+      // rows and pin nothing.
       Assoc.oversizedBasketsDistinct(brandBaskets(s, dir), maxBasketItems = 7)
         .orderBy(col("n_items").desc, col("basket"))
     }),

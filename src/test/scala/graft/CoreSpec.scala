@@ -111,7 +111,10 @@ class CoreSpec extends AnyFunSuite {
     val regDir = java.nio.file.Paths.get("src/main/scala/graft/registry")
     val files = java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala") +:
       java.nio.file.Files.list(regDir).iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".scala")).sortBy(_.toString)
+        .filter(_.toString.endsWith(".scala"))
+        // the pricing manifest holds artifact entries, not registry rows
+        .filterNot(_.getFileName.toString == "PricingManifest.scala")
+        .sortBy(_.toString)
     assert(files.size >= 2, s"registry files missing: $files")
     val entry = """(?m)^    "([a-z0-9_]+)" ->""".r
     def keys(span: String): Seq[String] = entry.findAllMatchIn(span).map(_.group(1)).toSeq
@@ -132,5 +135,81 @@ class CoreSpec extends AnyFunSuite {
     // drift in a refactor would silently blind this tripwire otherwise)
     assert(q.size == SparkEntry.queries.size, s"${q.size} source vs runtime map")
     assert(o.size == SparkEntry.oracleSql.size)
+  }
+
+  test("pricing manifest tripwire: every memoized artifact is declared; pricing rows bypass their memo") {
+    // The pricing-row convention (which registry row pays a shared
+    // artifact's build, which rows serve it) lived in scaladoc prose
+    // through ten r17 reroutes — this reads the SOURCE and keeps
+    // registry/PricingManifest.scala honest: a reroute that forgets the
+    // manifest, a consumer added without declaring it, or a pricing row
+    // that silently starts reading its memo all fail here.
+    import scala.jdk.CollectionConverters._
+    import graft.registry.PricingManifest
+    def read(p: java.nio.file.Path) =
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val entrySrc = read(java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+
+    // 1. census of registered memo names (memoFrame/memoModel literals,
+    //    interpolated names normalized; the bespoke bpeMergeCache counted
+    //    under its accessor name)
+    val memoPat = """memo(?:Frame|Model)(?:\[[^\]]*\])?\(s, dir,\s*s?"([^"]+)"\)""".r
+    val scanned = memoPat.findAllMatchIn(entrySrc).map(_.group(1))
+      .map(n => PricingManifest.interpolated.getOrElse(n, n)).toSet ++
+      (if (entrySrc.contains("bpeMergeCache")) Set("bpeMerges") else Set.empty)
+    assert(scanned == PricingManifest.artifacts.keySet,
+      s"manifest drift: unlisted=${(scanned -- PricingManifest.artifacts.keySet).mkString(",")} " +
+        s"stale=${(PricingManifest.artifacts.keySet -- scanned).mkString(",")}")
+
+    // 2. per-accessor consumer scan of the registry sources: attribute
+    //    every word-boundary accessor mention (calls AND row comments —
+    //    a pricing row must not even name its accessor) to the enclosing
+    //    registry row, queries section only
+    val regDir = java.nio.file.Paths.get("src/main/scala/graft/registry")
+    val regFiles = java.nio.file.Files.list(regDir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.getFileName.toString == "PricingManifest.scala")
+    val rowPat = """^    "([a-z0-9_]+)" ->""".r
+    val consumers: Map[String, Set[String]] = {
+      val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+      regFiles.foreach { f =>
+        val src = read(f)
+        val oi = math.max(src.indexOf("val oracles"), src.indexOf("def oracleSql"))
+        val span = if (oi < 0) src else src.substring(0, oi)
+        var current: String = null
+        span.linesIterator.foreach { line =>
+          rowPat.findFirstMatchIn(line).foreach(m => current = m.group(1))
+          if (current != null)
+            PricingManifest.artifacts.values.map(_.accessor).foreach { a =>
+              if (("""\b""" + a + """\b""").r.findFirstIn(line).isDefined)
+                acc(a) = acc.getOrElse(a, Set.empty) + current
+            }
+        }
+      }
+      acc.toMap
+    }
+
+    val allRows = SparkEntry.queries.keySet
+    PricingManifest.artifacts.foreach { case (name, p) =>
+      val scannedRows = consumers.getOrElse(p.accessor, Set.empty)
+      assert(scannedRows == p.servedBy,
+        s"$name servedBy drift: scanned-only=${(scannedRows -- p.servedBy).mkString(",")} " +
+          s"declared-only=${(p.servedBy -- scannedRows).mkString(",")}")
+      assert(p.servedBy.subsetOf(allRows),
+        s"$name serves unknown rows: ${(p.servedBy -- allRows).mkString(",")}")
+      p.pricedBy.foreach { pr =>
+        assert(allRows(pr), s"$name priced by unknown row $pr")
+        assert(!scannedRows(pr),
+          s"$name pricing row $pr reads (or names) the memo it must bypass")
+      }
+      if (p.pricedBy.isEmpty)
+        assert(p.note.nonEmpty,
+          s"$name is first-build-amortized but carries no note saying where " +
+            "the build's cost story lives")
+    }
+    // 3. no undeclared accessor leakage: every scanned consumer set maps
+    //    to exactly one manifest entry (accessor uniqueness)
+    val accessors = PricingManifest.artifacts.values.map(_.accessor).toSeq
+    assert(accessors.distinct.size == accessors.size, "duplicate accessors in manifest")
   }
 }

@@ -559,6 +559,116 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  // STRUCTURAL pins for the rest of the probabilistic-recall candidate
+  // stages (r17 verdict task 1): each recomputes the stage's banding /
+  // blocking / ranking arithmetic INDEPENDENTLY in Scala over literal
+  // inputs and compares exact values — because output-level recall pins
+  // are provably blind to banding mutants on friendly fixtures (the r17
+  // mutation exercise: exact-verify filters extra candidates, and high-J
+  // fixture pairs survive even a collapsed banding).
+
+  test("simhashBlockKeys: block pair (j1,j2) keys recomputed independently") {
+    import spark.implicits._
+    val fixtures = Seq((1L, 0x0123456789ABCDEFL), (2L, -1L), (3L, 0L),
+      (4L, 0x8000000000000001L))
+    val got = Dedup.simhashBlockKeys(fixtures.toDF("id", "simhash"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val pairIdx = (for { j1 <- 0 until 8; j2 <- (j1 + 1) until 8 }
+      yield (j1, j2)).zipWithIndex
+    val expected = (for {
+      (id, s) <- fixtures
+      ((j1, j2), blk) <- pairIdx
+    } yield (id, blk,
+      ((s >>> (8 * j1)) & 255L) * 256L + ((s >>> (8 * j2)) & 255L))).toSet
+    assert(pairIdx.size == 28 && got.size == fixtures.size * 28)
+    assert(got == expected, "pigeonhole block keys drifted from byte(j1)*256+byte(j2)")
+  }
+
+  test("withBandBuckets: plane i sets bit i%perBand of band i/perBand, recomputed independently") {
+    import spark.implicits._
+    val planeRows = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0)), (3L, Seq(-1.0, -1.0, 1.0)))
+    val vecRows = Seq(
+      (10L, Seq(0.5, -0.2, 0.7)), (11L, Seq(-0.3, 0.9, -0.1)),
+      (12L, Seq(0.0, 0.0, 0.0)), (13L, Seq(1.0, 1.0, 1.0)))
+    val bands = 2
+    val got = Similarity.withBandBuckets(
+        Similarity.prepared(vecRows.toDF("vec_id", "embedding"), "vec_id", "embedding"),
+        planeRows.toDF("plane_id", "pv"), bands)
+      .select(col("id"), col("band"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pl = planeRows.sortBy(_._1).map(_._2)
+    val perBand = pl.size / bands
+    val expected = vecRows.flatMap { case (id, v) =>
+      val acc = Array.fill(bands)(0L)
+      pl.zipWithIndex.foreach { case (p, i) =>
+        val d = p.lazyZip(v).map(_ * _).sum
+        if (d > 0) acc(i / perBand) |= 1L << (i % perBand)
+      }
+      (0 until bands).map(b => (id, b, acc(b)))
+    }.toSet
+    assert(got == expected,
+      "band-bucket arithmetic drifted from mask 1<<(i%perBand), band i/perBand")
+  }
+
+  test("codeBandSlices: band j slices recomputed independently at every legal bands") {
+    import spark.implicits._
+    val codes = Seq(
+      (1L, 0xF0F0A5A5L, 0x12345678L), (2L, 0xFFFFFFFFL, 0L),
+      (3L, 0L, 0xFFFFFFFFL), (4L, 0x80000001L, 0x7FFFFFFFL))
+    val df = codes.toDF("id", "code_lo", "code_hi")
+    for (bands <- Seq(2, 4, 8, 16, 32)) {
+      val got = Similarity.codeBandSlices(df, "id", "code_lo", "code_hi", bands)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val w = 64 / bands; val mask = (1L << w) - 1; val half = bands / 2
+      val expected = (for {
+        (id, lo, hi) <- codes
+        j <- 0 until bands
+      } yield (id, j,
+        if (j < half) (lo >> (j * w)) & mask
+        else (hi >> ((j - half) * w)) & mask)).toSet
+      assert(got == expected, s"code band slicing drifted at bands=$bands")
+    }
+  }
+
+  test("NearestCentroidCells: probe ranking recomputed independently (tie → lower cid; nulls last)") {
+    import spark.implicits._
+    import graft.functions.{CentroidMatrix, NearestCentroidCells}
+    // cid 10 and cid 20 are PARALLEL (exact rounded-cosine tie for any
+    // query): the earlier-index-wins selection must emit 10 before 20 —
+    // a flipped tie order or a >= in the comparator fails here
+    val cids = Array(10L, 20L, 30L, 40L)
+    val cvs = Array(Array(2.0, 0.0), Array(1.0, 0.0),
+      Array(0.0, 1.0), Array(-1.0, 0.0))
+    val cnrms = cvs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val bc = spark.sparkContext.broadcast(CentroidMatrix(cids, cvs, cnrms, nprobe = 3))
+    def round4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def topCells(v: Seq[Double]): List[Long] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      cids.indices.map { c =>
+        (cids(c), round4(v.lazyZip(cvs(c)).map(_ * _).sum / (nrm * cnrms(c))))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toList
+    }
+    val vecRows = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.6, 0.8)),
+      (4L, Seq(-0.8, 0.6)))
+    val df = vecRows.toDF("id", "v")
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+    val got = df.select(col("id"), NearestCentroidCells(col("v"), col("nrm"), bc).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    vecRows.foreach { case (id, v) =>
+      assert(got(id) == topCells(v), s"probe ranking drifted for vector $id")
+    }
+    assert(got(1L) == List(10L, 20L, 30L), "exact-tie case must break to the lower cid")
+    // a null element nulls every score: the kernel must still emit the
+    // first nprobe cids in id order (the row_number-over-all-null contract)
+    val nullGot = spark.sql("SELECT 9L AS id, array(1.0d, cast(null AS double)) AS v, 1.0d AS nrm")
+      .select(NearestCentroidCells(col("v"), col("nrm"), bc))
+      .collect().head.getSeq[Long](0).toList
+    assert(nullGot == List(10L, 20L, 30L), "all-null scores must emit cids in id order")
+  }
+
   test("minhashCalibration: identical pair calibrates exactly; ppm arithmetic fenced") {
     import spark.implicits._
     val fixture = Seq(

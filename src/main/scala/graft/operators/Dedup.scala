@@ -583,6 +583,76 @@ object Dedup {
                |""".stripMargin.replace("\n", " ")).as("recall_ppm"))
   }
 
+  /** The (id, simhash) fingerprint frame over a shingled (id, shingle)
+    * input — the fingerprint stage of [[simhashCore]], extracted so the
+    * block-pressure audit ([[SparkEntry]] row `dedup_block_skew`) can
+    * fingerprint a corpus without paying the pair join + verify tail.
+    * Unpersisted: single-consumer callers read it once; [[simhashCore]]
+    * persists its copy because two join legs share it.
+    */
+  private[graft] def simhashSignatures(shingled: DataFrame): DataFrame = {
+    val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
+    val limbs = (0 until 4).map(m =>
+      conv(substring(col("h"), m * 8 + 1, 8), 16, 10).cast("long").as(s"v$m"))
+    val withLimbs = hashed.select(col("id") +: limbs: _*)
+    // vote b_k ∈ {0,1} for fingerprint bit k: hex digit k/2 sits in limb
+    // digit/8 at nibble shift 28-4·(digit%8); take digit bit 3 (even k)
+    // or bit 2 (odd k)
+    def bitOf(k: Int): Column = {
+      val digit = k / 2
+      val nibbleShift = 28 - 4 * (digit % 8)
+      val bitInDigit = if (k % 2 == 0) 3 else 2
+      shiftrightunsigned(col(s"v${digit / 8}"), nibbleShift + bitInDigit)
+        .bitwiseAND(lit(1L))
+    }
+    val packed = (0 until 22).map { j =>
+      ((3 * j) until math.min(3 * j + 3, 64))
+        .map(k => shiftleft(bitOf(k), 20 * (k % 3)))
+        .reduce(_ + _)
+    }
+    val aggs = packed.zipWithIndex.map { case (c, j) => sum(c).as(s"p$j") } :+
+      count(lit(1)).as("n_sh")
+    withLimbs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("id"),
+        (0 until 64).map { k =>
+          val cnt = shiftrightunsigned(col(s"p${k / 3}"), 20 * (k % 3))
+            .bitwiseAND(lit(0xFFFFFL))
+          when(cnt * 2 > col("n_sh"), shiftleft(lit(1L), k)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Per-block candidate-pressure audit — THE operational question before
+    * running the pigeonhole block join at corpus scale: each (blk,
+    * blk_val) key becomes one join cell, its candidate volume is
+    * n·(n−1)/2, and a viral key (boilerplate documents collapsing to one
+    * fingerprint byte-pair) is a straggler task / dead executor long
+    * before it is a correctness problem. Emits the `topN` hottest keys by
+    * member count with their exact pair pressure — integers only, fully
+    * oracle-replayable since the fingerprint definition is shared with
+    * the DuckDB oracle digit-for-digit.
+    *
+    * At 100 TB this is one fingerprint scan + one (blk, blk_val) count
+    * agg (map-side combined, 28 rows per doc) + a top-N — strictly
+    * cheaper than the block join it de-risks. Fingerprints are taken over
+    * the RAW corpus (no exact-dup collapse): the audit must price the
+    * join shape the direct plan would face, and collapsing first would
+    * hide exactly the hot keys the audit exists to surface.
+    */
+  def blockSkew(
+      input: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, topN: Int = 20): DataFrame = {
+    val sig = simhashSignatures(sh(input, idCol, textCol, n))
+    simhashBlockKeys(sig)
+      .groupBy(col("blk"), col("blk_val"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("blk").cast("long").as("blk"), col("blk_val"),
+        col("n_members"),
+        expr("(n_members * (n_members - 1)) div 2").as("pair_pressure"))
+      .orderBy(col("n_members").desc, col("blk"), col("blk_val"))
+      .limit(topN)
+  }
+
   /** The pair-of-blocks pigeonhole key derivation, extracted as a seam so
     * the structural pin (EngineSpec "simhashBlockKeys: block (j1,j2)…") can
     * feed literal fingerprints and compare every emitted key against an
@@ -630,38 +700,10 @@ object Dedup {
     // and a 64-buffer aggregation map entry per doc). 20-bit fields hold
     // popcounts exactly up to 2²⁰-1 shingles per document (~1M — far
     // beyond any real document; callers with larger blobs should chunk).
-    val hashed = shingled.select(col("id"), md5(col("shingle")).as("h"))
-    val limbs = (0 until 4).map(m =>
-      conv(substring(col("h"), m * 8 + 1, 8), 16, 10).cast("long").as(s"v$m"))
-    val withLimbs = hashed.select(col("id") +: limbs: _*)
-    // vote b_k ∈ {0,1} for fingerprint bit k: hex digit k/2 sits in limb
-    // digit/8 at nibble shift 28-4·(digit%8); take digit bit 3 (even k)
-    // or bit 2 (odd k)
-    def bitOf(k: Int): Column = {
-      val digit = k / 2
-      val nibbleShift = 28 - 4 * (digit % 8)
-      val bitInDigit = if (k % 2 == 0) 3 else 2
-      shiftrightunsigned(col(s"v${digit / 8}"), nibbleShift + bitInDigit)
-        .bitwiseAND(lit(1L))
-    }
-    val packed = (0 until 22).map { j =>
-      ((3 * j) until math.min(3 * j + 3, 64))
-        .map(k => shiftleft(bitOf(k), 20 * (k % 3)))
-        .reduce(_ + _)
-    }
-    val aggs = packed.zipWithIndex.map { case (c, j) => sum(c).as(s"p$j") } :+
-      count(lit(1)).as("n_sh")
     // persisted: one narrow (id, simhash) row per doc, read by both legs of
     // the block self-join below — without it the full 1M-shingle-row
     // aggregation re-executes per consumer subtree
-    val sig = withLimbs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("id"),
-        (0 until 64).map { k =>
-          val cnt = shiftrightunsigned(col(s"p${k / 3}"), 20 * (k % 3))
-            .bitwiseAND(lit(0xFFFFFL))
-          when(cnt * 2 > col("n_sh"), shiftleft(lit(1L), k)).otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_)).as("simhash"))
+    val sig = simhashSignatures(shingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.add(sig)
     val blocks = simhashBlockKeys(sig)

@@ -67,6 +67,17 @@ private[graft] object DedupQueries {
       // published as the shared [[simhashPairsArt]] artifact
       simhashPairsArt(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_block_skew" -> ((s, dir) =>
+      // candidate-pressure audit of the pigeonhole block join — the
+      // operational go/no-go BEFORE running simhash dedup at corpus
+      // scale: the hottest (blk, blk_val) keys, their member counts and
+      // exact pair pressure n·(n−1)/2 (a viral key = a straggler task).
+      // One fingerprint scan + a 28-rows-per-doc map-side-combined count;
+      // strictly cheaper than the join it de-risks. Fingerprints over the
+      // RAW corpus (no dup collapse) — the audit prices the join shape
+      // the direct plan faces; collapsing first would hide exactly the
+      // hot keys it exists to surface.
+      Dedup.blockSkew(t(s, dir, "documents"), topN = 20)),
     "dedup_simhash_recall" -> ((s, dir) =>
       // prefilter-quality audit at the SHIPPED simhash config: recall of
       // the Hamming-6 pair set vs the exact-Jaccard truth at the same tau
@@ -438,6 +449,31 @@ private[graft] object DedupQueries {
     // identical oracle by design: the collapse rewrite must never change
     // the emitted pair set, only the plan shape
     "dedup_simhash_collapse" -> simhashOracle(0.6, 6),
+    "dedup_block_skew" -> (shingleCte + simhashCtes + {
+      // block keys rebuilt from the oracle's per-bit fingerprint columns:
+      // byte(j) = Σ t_{8j+b}·2^b, key = byte(j1)·256 + byte(j2), blk index
+      // = lexicographic rank of (j1, j2) among the C(8,2) ordered pairs
+      val bytes = (0 until 8).map(j =>
+        (0 until 8).map(b => s"${1 << b}*t${8 * j + b}").mkString(" + ") +
+          s" AS by$j").mkString(", ")
+      def sel(v: String) =
+        "CASE " + (0 until 8).map(j => s"WHEN $v = $j THEN by$j").mkString(" ") + " END"
+      s""", bytes AS (SELECT doc_id, $bytes FROM bits),
+         |blocks AS (
+         |  SELECT b.doc_id,
+         |         CAST(p1.j*(15-p1.j)//2 + (p2.j-p1.j-1) AS BIGINT) AS blk,
+         |         CAST((${sel("p1.j")})*256 + (${sel("p2.j")}) AS BIGINT) AS blk_val
+         |  FROM bytes b
+         |  CROSS JOIN range(0,8) p1(j)
+         |  CROSS JOIN range(0,8) p2(j)
+         |  WHERE p2.j > p1.j)
+         |SELECT blk, blk_val,
+         |       CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(COUNT(*)*(COUNT(*)-1)//2 AS BIGINT) AS pair_pressure
+         |FROM blocks GROUP BY 1, 2
+         |ORDER BY n_members DESC, blk, blk_val
+         |LIMIT 20""".stripMargin
+    }),
     "dedup_embedding_cosine" -> (embCte +
       """, d AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot

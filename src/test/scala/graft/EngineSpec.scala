@@ -669,6 +669,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullGot == List(10L, 20L, 30L), "all-null scores must emit cids in id order")
   }
 
+  test("blockSkew: identical docs pin every block key's pressure; order and arithmetic exact") {
+    import spark.implicits._
+    // three byte-identical docs fingerprint identically → all 28 of their
+    // block keys hold exactly those 3 members (the outlier doc shares a
+    // key only by fingerprint-byte coincidence, which would only ADD
+    // members — n_members >= 3 still holds); pressure = 3·2/2 = 3
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "a completely different sentence with other words entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockSkew(fixture, topN = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    assert(got.forall { case (_, _, n, p) => n >= 3 && p == n * (n - 1) / 2 },
+      s"every top key must hold the 3 identical docs: ${got.take(3).mkString(",")}")
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq,
+      "rows must be in descending member-count order")
+    assert(got.map(t => (t._1, t._2)).distinct.length == 20, "keys must be unique")
+    Dedup.uncacheAll()
+  }
+
   test("minhashCalibration: identical pair calibrates exactly; ppm arithmetic fenced") {
     import spark.implicits._
     val fixture = Seq(

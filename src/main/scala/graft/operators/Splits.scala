@@ -628,6 +628,46 @@ object Splits {
       .drop("local_batch", "batch_offset")
   }
 
+  /** Packing-efficiency sweep — the seqlen decision table every packed
+    * pre-training run reads before committing FLOPs: for each candidate
+    * token budget, run the [[packBatchesSharded]] packer and emit ONE
+    * summary row (batch count, capacity = n_batches·budget, fill ppm,
+    * overshooting batches). Fill under ~900k ppm means the budget wastes
+    * >10% of every forward pass on padding; overshoot counts how many
+    * batches exceeded budget by their straddling document (the packer's
+    * documented at-most-one-doc overshoot).
+    *
+    * Plan shape: one packing window pass per budget (each
+    * strata × shards parallel, exactly the packer's own cost), each
+    * collapsing through a two-level count/sum agg to a single row before
+    * the 4-row union — the [[graft.operators.Similarity.nprobeSweep]]
+    * sweep-spine discipline: the sweep costs |budgets| × one packing, and
+    * nothing wide survives past the per-budget aggregate. Integer ppm
+    * only; every step replays in the oracle.
+    */
+  def packEfficiencySweep(
+      df: DataFrame, partCol: String, orderCol: String, tokensCol: String,
+      budgets: Seq[Long], shards: Int): DataFrame = {
+    require(budgets.nonEmpty && budgets.distinct == budgets,
+      s"budgets must be non-empty and distinct, got $budgets")
+    budgets.map { b =>
+      packBatchesSharded(df, partCol, orderCol, tokensCol, b, shards)
+        .groupBy(col(partCol), col("batch_id"))
+        .agg(sum(col(tokensCol)).as("bt"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("bt")).as("sum_tokens"),
+          sum(when(col("bt") > b, 1L).otherwise(0L)).as("n_overshoot"))
+        .select(
+          lit(b).as("budget"),
+          col("n_batches"),
+          (col("n_batches") * b).as("capacity"),
+          col("sum_tokens"),
+          expr(s"(1000000 * sum_tokens) div (n_batches * $b)").as("fill_ppm"),
+          col("n_overshoot"))
+    }.reduce(_.unionAll(_)).orderBy(col("budget"))
+  }
+
   /** The same 4-hex md5 shard assignment as SQL text, for oracle mirroring. */
   def packShardSql(orderExpr: String, shards: Int): String =
     s"CAST(('0x'||substring(md5(CAST($orderExpr AS VARCHAR)),1,4)) AS BIGINT) % $shards"

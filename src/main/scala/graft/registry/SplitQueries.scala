@@ -77,6 +77,16 @@ private[graft] object SplitQueries {
         .groupBy(col("lang"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
         .orderBy(col("lang"), col("batch_id"))),
+    "split_pack_efficiency" -> ((s, dir) =>
+      // the seqlen decision table: fill ppm + overshoot count per
+      // candidate token budget, each arm one packer pass collapsed to a
+      // single row before the union (nprobeSweep's sweep-spine shape)
+      Splits.packEfficiencySweep(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
+          "lang", "doc_id", "n_tokens",
+          budgets = Seq(512L, 1024L, 2048L, 4096L), shards = 8)),
     "split_leakage_audit" -> ((s, dir) => {
       // train/eval contamination THROUGH DUPLICATES: a doc's near-twin
       // landing in a different split leaks training signal into eval —
@@ -426,6 +436,47 @@ private[graft] object SplitQueries {
         |       COUNT(*) AS n_docs, CAST(SUM(lb.n_tokens) AS BIGINT) AS batch_tokens
         |FROM lb JOIN offs o ON lb.lang = o.lang AND lb.shard = o.shard
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "split_pack_efficiency" -> {
+      // one packing CTE chain per budget (same replay as
+      // split_pack_batches), each collapsed to its one summary row
+      def arm(b: Long) =
+        s"""c$b AS (
+           |  SELECT lang, shard, n_tokens,
+           |         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d),
+           |lb$b AS (
+           |  SELECT lang, shard, n_tokens, (cum - n_tokens) // $b AS local_batch
+           |  FROM c$b),
+           |offs$b AS (
+           |  SELECT lang, shard,
+           |         COALESCE(SUM(MAX(local_batch) + 1) OVER (PARTITION BY lang
+           |           ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS batch_offset
+           |  FROM lb$b GROUP BY lang, shard),
+           |bt$b AS (
+           |  SELECT lb.lang, o.batch_offset + lb.local_batch AS batch_id,
+           |         SUM(lb.n_tokens) AS bt
+           |  FROM lb$b lb JOIN offs$b o ON lb.lang = o.lang AND lb.shard = o.shard
+           |  GROUP BY 1, 2),
+           |s$b AS (
+           |  SELECT CAST($b AS BIGINT) AS budget,
+           |         CAST(COUNT(*) AS BIGINT) AS n_batches,
+           |         CAST(COUNT(*) * $b AS BIGINT) AS capacity,
+           |         CAST(SUM(bt) AS BIGINT) AS sum_tokens,
+           |         CAST((1000000 * SUM(bt)) // (COUNT(*) * $b) AS BIGINT) AS fill_ppm,
+           |         CAST(SUM(CASE WHEN bt > $b THEN 1 ELSE 0 END) AS BIGINT) AS n_overshoot
+           |  FROM bt$b)""".stripMargin
+      val budgets = Seq(512L, 1024L, 2048L, 4096L)
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |         ${graft.operators.Splits.packShardSql("doc_id", 8)} AS shard
+         |  FROM documents),
+         |${budgets.map(arm).mkString(",\n")}
+         |${budgets.map(b => s"SELECT * FROM s$b").mkString(" UNION ALL ")}
+         |ORDER BY budget""".stripMargin
+    },
     "split_curriculum" ->
       // the text_quality score chain (identical expression order) feeding
       // the split_pack_batches window replay, stratified by difficulty

@@ -236,6 +236,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fullBatches.forall(_._2 >= 100L - 59), "non-final batch suspiciously empty")
   }
 
+  test("pack efficiency sweep: arithmetic pinned against its own packer; monotone invariants") {
+    import spark.implicits._
+    import graft.operators.Splits
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", 5L + (i * 11) % 60)).toDF("id", "g", "n_tok")
+    val budgets = Seq(64L, 128L, 256L)
+    val got = Splits.packEfficiencySweep(docs, "g", "id", "n_tok", budgets, shards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == budgets.toSet)
+    val totalTok = docs.agg(sum(col("n_tok"))).collect().head.getLong(0)
+    budgets.foreach { b =>
+      val (nb, cap, tok, fill, over) = got(b)
+      // each summary row recomputed independently from the packer output
+      val batches = Splits.packBatchesSharded(docs, "g", "id", "n_tok", b, shards = 4)
+        .groupBy(col("g"), col("batch_id")).agg(sum(col("n_tok")).as("bt"))
+        .collect().map(_.getLong(2))
+      assert(nb == batches.length.toLong, s"budget $b batch count")
+      assert(tok == totalTok, s"budget $b must account every token")
+      assert(cap == nb * b && fill == 1000000L * tok / cap, s"budget $b arithmetic")
+      assert(over == batches.count(_ > b).toLong, s"budget $b overshoot census")
+    }
+    // a larger budget can only pack tighter or equal: batch count non-increasing
+    assert(got(64L)._1 >= got(128L)._1 && got(128L)._1 >= got(256L)._1)
+  }
+
   test("sharded pack batches: per-shard straddler bound, contiguous ids, shards=1 ≡ baseline") {
     import spark.implicits._
     import graft.operators.Splits

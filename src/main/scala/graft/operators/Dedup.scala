@@ -641,17 +641,33 @@ object Dedup {
     */
   def blockSkew(
       input: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, topN: Int = 20): DataFrame = {
-    val sig = simhashSignatures(sh(input, idCol, textCol, n))
-    simhashBlockKeys(sig)
+      n: Int = 3, topN: Int = 20): DataFrame =
+    blockSkewOf(blockPressure(input, idCol, textCol, n), topN)
+
+  /** The additive stage of [[blockSkew]]: per-(blk, blk_val) member
+    * counts. Counts are ADDITIVE over any partition of the corpus (each
+    * doc contributes its 28 keys independently), which is what makes the
+    * streaming twin ([[graft.streaming.BlockSkewStream]]) exact: merging
+    * per-batch count tables by keyed sum IS this aggregate over the
+    * union.
+    */
+  private[graft] def blockPressure(
+      input: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    simhashBlockKeys(simhashSignatures(sh(input, idCol, textCol, n)))
       .groupBy(col("blk"), col("blk_val"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** The read stage of [[blockSkew]] over a folded (blk, blk_val,
+    * n_members) count table — shared with the streaming twin so the
+    * projection, pressure arithmetic, and top-N order cannot drift.
+    */
+  private[graft] def blockSkewOf(counts: DataFrame, topN: Int): DataFrame =
+    counts
       .select(col("blk").cast("long").as("blk"), col("blk_val"),
         col("n_members"),
         expr("(n_members * (n_members - 1)) div 2").as("pair_pressure"))
       .orderBy(col("n_members").desc, col("blk"), col("blk_val"))
       .limit(topN)
-  }
 
   /** The pair-of-blocks pigeonhole key derivation, extracted as a seam so
     * the structural pin (EngineSpec "simhashBlockKeys: block (j1,j2)…") can

@@ -5344,6 +5344,55 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("block-skew stream: any batch split equals the batch audit; replays drop") {
+    import spark.implicits._
+    import graft.streaming.BlockSkewStream
+    // duplicated texts make the top keys non-trivial (shared fingerprints
+    // collide in all 28 blocks); distinct texts fill the tail
+    val all = (0L until 30L).map { i =>
+      val text =
+        if (i % 3 == 0) "the quick brown fox jumps over the lazy dog again"
+        else s"unique document number $i with some distinct words ${i * 7} here"
+      (i, text)
+    }
+    val expect = Dedup.blockSkew(all.toDF("doc_id", "text"), topN = 20)
+      .collect().map(_.toSeq).toSeq
+    Dedup.uncacheAll()
+    for (nBatches <- Seq(1, 4)) {
+      val store = new BlockSkewStream.SkewStore(spark)
+      val per = math.ceil(all.size.toDouble / nBatches).toInt
+      all.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        store.merge(chunk.toDF("doc_id", "text"), i.toLong)
+      }
+      val got = store.current(topN = 20).collect().map(_.toSeq).toSeq
+      assert(got == expect, s"nBatches=$nBatches")
+      // replay of a delivered batch id is a no-op
+      assert(!store.merge(all.take(3).toDF("doc_id", "text"), 0L))
+    }
+  }
+
+  test("block-skew stream durability: restore rebuilds the folded counts; replays drop") {
+    import spark.implicits._
+    import graft.streaming.BlockSkewStream
+    val dir = Files.createTempDirectory("skewstream").toString
+    val s1 = new BlockSkewStream.SkewStore(spark, durable = Some(dir))
+    s1.merge(Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), 0L)
+    s1.merge(Seq((3L, "totally different words in this one here")).toDF("doc_id", "text"), 1L)
+    val want = s1.current().collect().map(_.toSeq).toSeq
+    // the identical pair must co-occupy its keys with count 2
+    assert(want.nonEmpty && want.head(2) == 2L, s"dup pair not folded: ${want.take(2)}")
+    // a fresh process restores the exact folded state from the snapshot
+    val s2 = BlockSkewStream.SkewStore.restore(spark, dir)
+    assert(s2.current().collect().map(_.toSeq).toSeq == want)
+    // checkpoint-replayed batches at or below the restored id drop
+    assert(!s2.merge(Seq((9L, "late replayed doc")).toDF("doc_id", "text"), 1L))
+    assert(s2.current().collect().map(_.toSeq).toSeq == want)
+    // a cold dir restores an empty store
+    assert(BlockSkewStream.SkewStore.restore(spark, s"$dir-cold").counts.count() == 0)
+    Dedup.uncacheAll()
+  }
+
   test("cusum stream durability: restore rebuilds the folded sums; replays drop") {
     import spark.implicits._
     import graft.streaming.CusumStream

@@ -1164,6 +1164,66 @@ object Similarity {
     * map-side combine collapses every task to ≤ dims rows before the
     * single exchange; output is dims-bounded.
     */
+  /** Anisotropy audit — the common-direction bias check (Ethayarajh 2019's
+    * embedding-geometry finding): how concentrated the corpus is around
+    * its own MEAN direction. Contextual/encoder embeddings routinely
+    * collapse into a narrow cone (average cosine-to-mean ≫ 0), which
+    * silently inflates every cosine similarity an ANN index serves; this
+    * row is the one-pass census a pipeline reads before trusting raw
+    * cosine scores. Complements the spectrum screens ([[pcaTop]] /
+    * [[effectiveRank]] measure variance shape AFTER centering; this
+    * measures the uncentered mean-direction bias those screens remove).
+    *
+    * Output (one row, integers only): n_vecs, the mean vector's squared
+    * norm in e-8 units (exact — 0 ⟺ perfectly balanced corpus), and a
+    * fixed-threshold census of per-vector cosine-to-mean (< 0, ≥ .25,
+    * ≥ .5, ≥ .75, ≥ .9).
+    *
+    * Determinism: the mean direction is fenced to an exact integer e-4
+    * vector FIRST (per-dim sign-safe floor division, the [[dimStats]]
+    * idiom — engine `div` vs `//` semantics never touch a negative), so
+    * both engines agree on μ bit-for-bit; per-vector cosines then follow
+    * the house ordered-fold + round-4dp discipline, and the census
+    * compares rounded values against exactly-representable literals.
+    *
+    * Scale shape: one explode + dims-bounded agg for μ (map-side
+    * combined), the tiny μ row broadcast, then one row-local projection
+    * + one global count agg — no corpus-keyed exchange at all.
+    */
+  def anisotropy(
+      emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = prepared(emb, idCol, embCol)
+    val v4 = expr(
+      "transform(v, x -> CAST(sign(x) * floor(abs(x) * 10000 + 0.5) AS BIGINT))")
+    val mu = p.select(posexplode(v4).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"),
+        expr("CAST(sign(s) * (abs(s) div n) AS BIGINT)").as("m4"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(i, m4))), " +
+          "e -> CAST(e.m4 AS DOUBLE) / 10000.0)").as("mud"),
+        expr("aggregate(collect_list(m4 * m4), 0L, (a, x) -> a + x)")
+          .as("mu_norm_sq_e8"))
+    // try_divide: a zero-mean (perfectly balanced) corpus or a zero-norm
+    // vector makes cosine-to-mean undefined → NULL, counted in no census
+    // bucket — DuckDB's x/0.0 is NULL too, so parity is exact
+    val cos = round(
+      try_divide(dot(col("v"), col("mud")),
+        col("nrm") * sqrt(expr("aggregate(mud, 0d, (a, x) -> a + x * x)"))),
+      4)
+    p.crossJoin(broadcast(mu))
+      .select(col("mu_norm_sq_e8"), cos.as("c"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max(col("mu_norm_sq_e8")).as("mu_norm_sq_e8"),
+        sum(when(col("c") < 0.0, 1L).otherwise(0L)).as("n_cos_lt_0"),
+        sum(when(col("c") >= 0.25, 1L).otherwise(0L)).as("n_cos_ge_25"),
+        sum(when(col("c") >= 0.5, 1L).otherwise(0L)).as("n_cos_ge_50"),
+        sum(when(col("c") >= 0.75, 1L).otherwise(0L)).as("n_cos_ge_75"),
+        sum(when(col("c") >= 0.9, 1L).otherwise(0L)).as("n_cos_ge_90"))
+  }
+
   def dimStats(
       emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val p = prepared(emb, idCol, embCol)

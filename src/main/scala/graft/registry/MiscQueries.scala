@@ -74,6 +74,11 @@ private[graft] object MiscQueries {
       // three iterations with ordered list_reduce norms
       Similarity.pcaTop(t(s, dir, "embeddings"), dims = 64, covDiv = pcaCovDiv)
         .orderBy(col("i"))),
+    "emb_anisotropy" -> ((s, dir) =>
+      // common-direction bias census (cone concentration around the
+      // corpus mean) — the check before trusting raw cosine scores;
+      // integer-fenced mean direction, ordered-fold cosines, one row
+      Similarity.anisotropy(t(s, dir, "embeddings"))),
     "emb_mean_pool" -> ((s, dir) =>
       // chunk→document pooling: 5 consecutive vecs per synthetic doc,
       // exact-decimal per-dimension means rounded at 6 dp, emitted
@@ -328,6 +333,39 @@ private[graft] object MiscQueries {
         |                 floor(abs(ray.num / dn.den / tr.t) * 1000000 + 0.5) AS BIGINT)
         |       END AS var_top_ppm
         |FROM v3, ray, dn, tr ORDER BY i""".stripMargin),
+    "emb_anisotropy" -> (embCte +
+      // μ fenced to exact integer e-4 per dim (sign-safe floor division —
+      // abs before // so engine division semantics never meet a negative),
+      // then the house ordered-fold cosine at 4 dp vs exact literals
+      """, g AS (
+        |  SELECT vec_id, i,
+        |         CAST(sign(v) * floor(abs(v)*10000 + 0.5) AS BIGINT) AS x
+        |  FROM f),
+        |mu AS (
+        |  SELECT i, CAST(sign(SUM(x)) * (abs(SUM(x)) // COUNT(*)) AS BIGINT) AS m4
+        |  FROM g GROUP BY i),
+        |mun AS (
+        |  SELECT sqrt(list_reduce(
+        |           list((CAST(m4 AS DOUBLE)/10000.0)*(CAST(m4 AS DOUBLE)/10000.0)
+        |                ORDER BY i), (a, b) -> a + b)) AS munrm,
+        |         CAST(SUM(m4*m4) AS BIGINT) AS mu_norm_sq_e8
+        |  FROM mu),
+        |d AS (
+        |  SELECT f.vec_id,
+        |         list_reduce(list(f.v * (CAST(mu.m4 AS DOUBLE)/10000.0)
+        |                          ORDER BY f.i), (a, b) -> a + b) AS dot
+        |  FROM f JOIN mu ON mu.i = f.i GROUP BY 1),
+        |c AS (
+        |  SELECT ROUND(d.dot/(nrm.nrm * mun.munrm), 4) AS cs
+        |  FROM d JOIN nrm ON nrm.vec_id = d.vec_id CROSS JOIN mun)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       (SELECT mu_norm_sq_e8 FROM mun) AS mu_norm_sq_e8,
+        |       CAST(SUM(CASE WHEN cs < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cos_lt_0,
+        |       CAST(SUM(CASE WHEN cs >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_cos_ge_25,
+        |       CAST(SUM(CASE WHEN cs >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_cos_ge_50,
+        |       CAST(SUM(CASE WHEN cs >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_cos_ge_75,
+        |       CAST(SUM(CASE WHEN cs >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_cos_ge_90
+        |FROM c""".stripMargin),
     "emb_mean_pool" -> (embCte +
       // the kmeans c{r} per-dimension decimal-mean formula applied to
       // the DIV-5 grouping; i is 1-based on both sides

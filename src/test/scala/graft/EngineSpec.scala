@@ -669,6 +669,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullGot == List(10L, 20L, 30L), "all-null scores must emit cids in id order")
   }
 
+  test("anisotropy: cone census counts every vector; balanced corpus has zero mean") {
+    import spark.implicits._
+    // a deliberate cone: all three vectors within ~8° of their mean
+    val cone = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.anisotropy(cone).collect().head
+    assert(a.getLong(0) == 3L, "n_vecs")
+    assert(a.getLong(1) > 0L, "cone mean must be non-zero")
+    assert(a.getAs[Long]("n_cos_ge_90") == 3L, s"cone census: $a")
+    assert(a.getAs[Long]("n_cos_lt_0") == 0L)
+    // perfectly balanced corpus: per-dim sums are exactly 0 → μ = 0,
+    // cosine-to-mean undefined (null) → every census bucket empty
+    val balanced = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.anisotropy(balanced).collect().head
+    assert(b.getLong(0) == 4L && b.getLong(1) == 0L, s"balanced mean: $b")
+    assert(Seq("n_cos_lt_0", "n_cos_ge_25", "n_cos_ge_50", "n_cos_ge_75", "n_cos_ge_90")
+      .forall(c => b.getAs[Long](c) == 0L), s"null cosines must count nowhere: $b")
+  }
+
   test("blockSkew: identical docs pin every block key's pressure; order and arithmetic exact") {
     import spark.implicits._
     // three byte-identical docs fingerprint identically → all 28 of their

@@ -557,6 +557,18 @@ object SparkEntry {
         maxHamming = 6)
     }
 
+  /** The raw-corpus (id, simhash) fingerprint frame at the registry
+    * parameterization (n = 3, no dup collapse) — `dedup_block_skew`
+    * serves its candidate-pressure census from it; the fingerprint build
+    * itself stays priced by `dedup_simhash`'s direct chain (which
+    * re-derives the identical signatures inside its own plan every
+    * iteration — the [[bruteTruth3]] "the scan is the cost" convention).
+    */
+  private[graft] def simhashSigArt(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "simhashSig") {
+      Dedup.simhashFingerprints(t(s, dir, "documents"), n = 3)
+    }
+
   /** The exact n-gram Jaccard truth pair set at the registry
     * parameterization (n = 3, tau = 0.6) — `dedup_ngram_jaccard`
     * deliberately prices the full inverted-index build itself (the

@@ -644,6 +644,29 @@ object Dedup {
       n: Int = 3, topN: Int = 20): DataFrame =
     blockSkewOf(blockPressure(input, idCol, textCol, n), topN)
 
+  /** [[blockSkew]] served from a precomputed (id, simhash) fingerprint
+    * frame ([[simhashSignatures]]' shape) — the artifact seam: the
+    * registry's audit row reads the shared raw-corpus fingerprint build
+    * (priced by `dedup_simhash`'s direct chain) instead of
+    * re-fingerprinting the corpus per sweep. Contract mirror of the
+    * wrapper: `blockSkewWith(simhashSignatures(sh(input…)), topN)` ≡
+    * `blockSkew(input…, topN)` (PropertySpec-pinned).
+    */
+  def blockSkewWith(sig: DataFrame, topN: Int = 20): DataFrame =
+    blockSkewOf(
+      simhashBlockKeys(sig)
+        .groupBy(col("blk"), col("blk_val"))
+        .agg(count(lit(1)).as("n_members")),
+      topN)
+
+  /** The raw-corpus (id, simhash) fingerprint frame — public entry for
+    * the artifact build ([[graft.SparkEntry]] `simhashSig`).
+    */
+  def simhashFingerprints(
+      input: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame =
+    simhashSignatures(sh(input, idCol, textCol, n))
+
   /** The additive stage of [[blockSkew]]: per-(blk, blk_val) member
     * counts. Counts are ADDITIVE over any partition of the corpus (each
     * doc contributes its 28 keys independently), which is what makes the

@@ -72,12 +72,13 @@ private[graft] object DedupQueries {
       // operational go/no-go BEFORE running simhash dedup at corpus
       // scale: the hottest (blk, blk_val) keys, their member counts and
       // exact pair pressure n·(n−1)/2 (a viral key = a straggler task).
-      // One fingerprint scan + a 28-rows-per-doc map-side-combined count;
-      // strictly cheaper than the join it de-risks. Fingerprints over the
-      // RAW corpus (no dup collapse) — the audit prices the join shape
-      // the direct plan faces; collapsing first would hide exactly the
-      // hot keys it exists to surface.
-      Dedup.blockSkew(t(s, dir, "documents"), topN = 20)),
+      // A 28-rows-per-doc map-side-combined count over the shared
+      // raw-corpus fingerprint artifact (simhashSigArt — the build stays
+      // priced by dedup_simhash's direct chain); raw corpus, no dup
+      // collapse: the audit prices the join shape the direct plan faces,
+      // and collapsing first would hide exactly the hot keys it exists
+      // to surface.
+      Dedup.blockSkewWith(simhashSigArt(s, dir), topN = 20)),
     "dedup_simhash_recall" -> ((s, dir) =>
       // prefilter-quality audit at the SHIPPED simhash config: recall of
       // the Hamming-6 pair set vs the exact-Jaccard truth at the same tau

@@ -86,6 +86,13 @@ object PricingManifest {
       note = "pricing row runs the DIRECT (collapseExactDups=false) plan " +
         "of the same exact-verified pair semantics; the artifact holds " +
         "the collapse-path default"),
+    "simhashSig" -> ArtifactPricing(
+      accessor = "simhashSigArt",
+      pricedBy = Some("dedup_simhash"),
+      servedBy = Set("dedup_block_skew"),
+      note = "pricing row re-derives the identical raw-corpus fingerprints " +
+        "inside its own direct chain every iteration (the bruteTruth3 " +
+        "'the scan is the cost' convention)"),
     "semDedup" -> ArtifactPricing(
       accessor = "semDedupArt",
       pricedBy = Some("dedup_semantic"),

@@ -977,6 +977,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("blockSkewWith over the fingerprint seam equals the self-deriving wrapper") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the simhashSig artifact seam: serving the audit from a precomputed
+    // fingerprint frame must reproduce the wrapper EXACTLY — the
+    // equivalence the dedup_block_skew rewiring rests on
+    val rnd = new scala.util.Random(47)
+    val words = Array("alpha", "beta", "gamma", "delta", "echo", "fox", "golf")
+    val docs = (0L until 40L).map { i =>
+      val text =
+        if (i % 4 == 0) "alpha beta gamma delta echo fox golf alpha beta"
+        else (0 until 8).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val direct = Dedup.blockSkew(docs, topN = 20).collect().map(_.toSeq).toSeq
+    val served = Dedup.blockSkewWith(
+      Dedup.simhashFingerprints(docs), topN = 20).collect().map(_.toSeq).toSeq
+    assert(direct == served, "fingerprint seam drifted from the wrapper")
+    Dedup.uncacheAll()
+  }
+
   test("canonical graph seams equal their public wrappers on random graphs") {
     import spark.implicits._
     import graft.operators.{Dedup, Graph}

@@ -64,6 +64,21 @@ class CoreSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       Manifest.resolveWithFallback(today)(_ => throw new RuntimeException("forbidden"))
     }
+    // …and propagate WITHOUT a previous-day probe: the fallback is for
+    // not-found ONLY (handler.go:127-131 returns any other error as-is).
+    // An always-throwing fixture can't see this — a mutant that swallows
+    // the day-0 error and retries still throws on day −1 and slips
+    // through the intercept above (found by the r18 mutation exercise).
+    probes = Nil
+    intercept[RuntimeException] {
+      Manifest.resolveWithFallback(today) { ts =>
+        probes ::= ts
+        if (ts == today) throw new RuntimeException("forbidden")
+        else Some("must not be reached")
+      }
+    }
+    assert(probes == List(today),
+      s"a day-0 error must not trigger the fallback probe: ${probes.reverse}")
   }
 
   test("parseInventory maps the manifest document (types.go:28-43)") {

@@ -960,6 +960,35 @@ object ScaleSmoke {
       }
       Dedup.uncacheAll()
     }
+
+    // r18: the BlockSkewStream twin at 10× bench volume — 50k docs folded
+    // in 10 micro-batches. Evidence sought: (a) held state stays at its
+    // key-space bound (≪ corpus), (b) per-batch merge cost is flat (the
+    // fold joins two bounded count tables, never the corpus), (c) the
+    // streamed census equals the one-shot batch audit row-for-row.
+    if (enabled("r18 blockskew stream")) {
+      val docs = spark.read.parquet(s"$dir/documents")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val nDocs = docs.count()
+      val store = new graft.streaming.BlockSkewStream.SkewStore(spark)
+      timed(s"r18 blockskew stream $nDocs docs x10") {
+        (0 until 10).foreach { b =>
+          val t0 = System.nanoTime()
+          store.merge(docs.filter(pmod(col("doc_id"), lit(10)) === b), b.toLong)
+          println(f"[scale-smoke]   batch $b merge ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            s"state=${store.counts.count()} rows")
+        }
+        store.counts.count()
+      }
+      timed("r18 blockskew streamed==batch") {
+        val streamed = store.current(topN = 20).collect().map(_.toSeq).toSeq
+        val batch = Dedup.blockSkew(docs, topN = 20).collect().map(_.toSeq).toSeq
+        require(streamed == batch,
+          s"streamed census diverged from batch:\n$streamed\nvs\n$batch")
+        streamed.length.toLong
+      }
+      Dedup.uncacheAll()
+    }
     spark.stop()
   }
 }

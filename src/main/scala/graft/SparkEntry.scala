@@ -242,6 +242,43 @@ object SparkEntry {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Runtime pricing tripwire (r19 — upgrades the CoreSpec text scan):
+  // while a registry-row label is set on the thread, every memo accessor
+  // call is logged against that row, hit or miss — "serving is serving"
+  // even when the cache is warm, and a pricing row that reaches a memo
+  // through a renamed helper (invisible to the source scan) is caught by
+  // construction. Verify wraps each row in [[recordingMemoTouches]] and
+  // asserts the log against [[graft.registry.PricingManifest]].
+  private[graft] val memoTouches = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[String]]()
+  private val memoTouchRow = new ThreadLocal[String]()
+
+  /** Run `body` with memo-accessor logging credited to registry row
+    * `row`. Nests (inner label wins, outer restored) — though in
+    * practice rows run flat and sequentially.
+    */
+  private[graft] def recordingMemoTouches[T](row: String)(body: => T): T = {
+    val prev = memoTouchRow.get()
+    memoTouchRow.set(row)
+    try body
+    finally if (prev eq null) memoTouchRow.remove() else memoTouchRow.set(prev)
+  }
+
+  private def recordMemoTouch(name: String): Unit = {
+    val row = memoTouchRow.get()
+    if (row ne null)
+      memoTouches.computeIfAbsent(row, _ => java.util.concurrent
+        .ConcurrentHashMap.newKeySet[String]()).add(name)
+  }
+
+  private[graft] def memoTouchSnapshot(): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    memoTouches.asScala.map { case (r, s) => r -> s.asScala.toSet }.toMap
+  }
+
+  private[graft] def clearMemoTouches(): Unit = memoTouches.clear()
+
   /** Memoize `build`'s result as a materialized, lineage-cut, persisted
     * table keyed on (session, dir, name). The lineage cut
     * (`createDataFrame(rdd, schema)`) makes the cached frame independent
@@ -258,6 +295,7 @@ object SparkEntry {
     // build; a concurrent duplicate build is benign — the loser unpersists
     // its copy and adopts the winner's.
     registerSessionCleanup(s)
+    recordMemoTouch(name)
     val key = s"${sessionKey(s)}:$dir:$name"
     val existing = artifactCache.get(key)
     if (existing != null) {
@@ -291,6 +329,7 @@ object SparkEntry {
   private[graft] def memoModel[T <: AnyRef](s: SparkSession, dir: String,
       name: String)(build: => T): T = {
     registerSessionCleanup(s)
+    recordMemoTouch(name)
     val key = s"${sessionKey(s)}:$dir:$name"
     val existing = modelCache.get(key)
     if (existing != null) return existing.asInstanceOf[T]
@@ -617,6 +656,7 @@ object SparkEntry {
     String, Seq[(Long, String, String, Long)]]()
   private[graft] def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     registerSessionCleanup(s)
+    recordMemoTouch("bpeMerges")
     bpeMergeCache.computeIfAbsent(s"${sessionKey(s)}:$dir", _ =>
       TextAnalysis.bpeVocab(t(s, dir, "documents"), merges = 4)
         .orderBy(col("merge_round")).collect().toSeq

@@ -29,14 +29,33 @@ object Verify {
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       case None => SparkEntry.queries
     }
+    SparkEntry.clearMemoTouches()
+    val completed = Set.newBuilder[String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // label the row for the runtime pricing tripwire: every
+      // memoFrame/memoModel/bpeMerges call below logs against `name`
+      try {
+        SparkEntry.recordingMemoTouches(name) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        completed += name
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally graft.operators.Dedup.uncacheAll() // drop superseded shingle indexes
     }
+    // Runtime pricing tripwire (full pass only — a filtered run skips
+    // serving rows by design): assert the recorded memo touches against
+    // the manifest. This is the check the CoreSpec source scan cannot
+    // do — a pricing row served through a renamed helper lands here.
+    val pricingViolations =
+      if (sys.env.contains("SPARK_GRAFT_VERIFY_FILTER")) Seq.empty
+      else graft.registry.PricingManifest.runtimeViolations(
+        completed.result(), SparkEntry.memoTouchSnapshot())
+    pricingViolations.foreach(v =>
+      System.err.println(s"[verify] pricing tripwire: $v"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,5 +72,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // throw AFTER the dump + oracle_sql.json land, so the correctness
+    // artifacts survive for diagnosis — but the run still fails loudly
+    if (pricingViolations.nonEmpty)
+      throw new IllegalStateException(
+        s"pricing tripwire: ${pricingViolations.size} violation(s) — see [verify] lines")
   }
 }

@@ -79,6 +79,55 @@ object Dedup {
   private val persisted =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** When set on the calling thread, frames go to this scope-local list
+    * instead of the process-global [[persisted]] queue — see
+    * [[releasingScoped]]. Plan construction (and therefore every
+    * `persist()` registration in this object) happens on the caller's
+    * thread, so a thread-local capture is exact: it can neither miss a
+    * frame this scope registered nor steal one a concurrent pipeline did.
+    */
+  private val scopedCapture =
+    new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+
+  private def register(df: DataFrame): Unit = {
+    val cap = scopedCapture.get()
+    if (cap ne null) cap.add(df) else persisted.add(df)
+  }
+
+  private def safeUnpersist(df: DataFrame): Unit =
+    // an entry may belong to a session that has since been stopped (e.g.
+    // another test suite's), whose block manager is gone — nothing to
+    // release there, so swallow that failure; anything fatal (VM errors)
+    // and interrupts still propagate
+    try df.unpersist(blocking = false)
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
+
+  /** Run `body`, then release exactly the shingle/fingerprint caches it
+    * registered — the surgical alternative to [[uncacheAll]] for callers
+    * embedded in long-lived services (the streaming twins' per-batch
+    * folds), where draining the process-global queue would also unpersist
+    * caches belonging to a co-resident dedup pipeline in the same session
+    * (e.g. a [[graft.sources.DedupIndex]] ingest running alongside the
+    * skew monitor). Results there would stay correct via deterministic
+    * recompute, but the purge silently degrades the neighbor — so scope
+    * the release instead. Nests: an inner scope releases only its own
+    * frames and restores the outer capture. Releases on ALL exits
+    * (including a throwing `body` — no storage leak on the failure path).
+    */
+  private[graft] def releasingScoped[T](body: => T): T = {
+    val prev = scopedCapture.get()
+    val cap = new java.util.ArrayDeque[DataFrame]()
+    scopedCapture.set(cap)
+    try body
+    finally {
+      if (prev eq null) scopedCapture.remove() else scopedCapture.set(prev)
+      cap.forEach(safeUnpersist(_))
+    }
+  }
+
   /** [[components]]' (and [[Graph.kCore]]'s) small-graph cutover: at or
     * below this many DIRECTED edges the fixpoint runs as a driver
     * union-find / peel simulation (a bounded global decision — ≤ 64 MB
@@ -143,7 +192,7 @@ object Dedup {
     val df = TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
       .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(df)
+    register(df)
     df
   }
 
@@ -184,7 +233,7 @@ object Dedup {
     val sets = shingled.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(sets)
+    register(sets)
     cand
       .join(sets.select(col("id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
       .join(sets.select(col("id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
@@ -395,7 +444,7 @@ object Dedup {
     val sets = shingled.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(sets)
+    register(sets)
     (banded, sets)
   }
 
@@ -744,7 +793,7 @@ object Dedup {
     // aggregation re-executes per consumer subtree
     val sig = simhashSignatures(shingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(sig)
+    register(sig)
     val blocks = simhashBlockKeys(sig)
     // persisted: the candidate set is read twice (Jaccard verification and
     // the final hamming join-back) and is small by construction — bounded
@@ -759,7 +808,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(cand)
+    register(cand)
     verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
       .join(cand, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
@@ -773,7 +822,7 @@ object Dedup {
     */
   def cached(df: DataFrame): DataFrame = {
     val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(c)
+    register(c)
     c
   }
 
@@ -785,15 +834,7 @@ object Dedup {
   def uncacheAll(): Unit = {
     var df = persisted.poll()
     while (df != null) {
-      // the queue is process-global: an entry may belong to a session that
-      // has since been stopped (e.g. another test suite's), whose block
-      // manager is gone — nothing to release there, so swallow that
-      // failure; anything fatal (VM errors) and interrupts still propagate
-      try df.unpersist(blocking = false)
-      catch {
-        case _: InterruptedException => Thread.currentThread().interrupt()
-        case scala.util.control.NonFatal(_) => ()
-      }
+      safeUnpersist(df)
       df = persisted.poll()
     }
   }
@@ -1207,7 +1248,7 @@ object Dedup {
     // register the final round's cache BEFORE the convergence check: if the
     // require throws, uncacheAll() can still release it (no storage leak on
     // the failure path)
-    persisted.add(cached)
+    register(cached)
     require(converged, s"label propagation did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("component"))
   }

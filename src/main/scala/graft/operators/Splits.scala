@@ -663,7 +663,13 @@ object Splits {
           col("n_batches"),
           (col("n_batches") * b).as("capacity"),
           col("sum_tokens"),
-          expr(s"(1000000 * sum_tokens) div (n_batches * $b)").as("fill_ppm"),
+          // DECIMAL(38,0) carrier for the 1e6 scale-up: Long would
+          // overflow past ~9.2e12 sum_tokens, and multi-trillion-token
+          // corpora are exactly what this decision table is for (ANSI
+          // mode would throw, not wrap — but the row must WORK there);
+          // result ≤ ~2e6 ppm, so the final BIGINT cast is safe
+          expr(s"CAST((CAST(sum_tokens AS DECIMAL(38,0)) * 1000000) div " +
+            s"(CAST(n_batches AS DECIMAL(38,0)) * $b) AS BIGINT)").as("fill_ppm"),
           col("n_overshoot"))
     }.reduce(_.unionAll(_)).orderBy(col("budget"))
   }

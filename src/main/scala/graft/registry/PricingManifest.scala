@@ -236,4 +236,61 @@ object PricingManifest {
   val interpolated: Map[String, String] = Map(
     "pq_codes_f$trainFrac" -> "pq_codes_f1.0",
     "pq_i2_f$trainFrac" -> "pq_i2_f1.0")
+
+  /** Map a RUNTIME memo name to its manifest key: parameter-interpolated
+    * names (`pq_codes_f0.5`) fold onto the manifest row that documents
+    * the whole accessor family; anything else passes through (and, if
+    * absent from [[artifacts]], gets flagged by [[runtimeViolations]]).
+    */
+  def normalize(name: String): String =
+    if (artifacts.contains(name)) name
+    else interpolated.collectFirst {
+      case (pat, key) if name.startsWith(pat.takeWhile(_ != '$')) => key
+    }.getOrElse(name)
+
+  /** The RUNTIME half of the pricing tripwire (r19 — the source scan in
+    * CoreSpec cannot see an accessor reached through a renamed helper;
+    * this can, because [[graft.SparkEntry.memoFrame]]/`memoModel`/
+    * `bpeMerges` log every call against the row label Verify sets).
+    * Order-independent assertions only:
+    *
+    *  1. a `pricedBy` row must record ZERO touches of its artifact —
+    *     direct or through any helper chain (the bench median it
+    *     produces must price the build, never serve the cache);
+    *  2. every `servedBy` row that RAN must touch its artifact at least
+    *     once (the accessor call is logged before the cache lookup, so
+    *     this holds regardless of warm/cold state);
+    *  3. every touched name must normalize to a manifest key (a new memo
+    *     without a manifest entry fails here even if the source scan's
+    *     regexes miss it).
+    *
+    * Touches a row picks up INDIRECTLY (a nested build — e.g. the first
+    * `lshComponents` consumer building `lshPairs` underneath) are
+    * deliberately NOT violations for serving rows: nesting is
+    * order-dependent, and the manifest's `feeds` field documents it.
+    *
+    * @param ranRows rows that completed (a serving row that never ran
+    *                cannot be expected to have touched anything)
+    * @param touches row → memo names logged while it ran
+    * @return human-readable violations; empty = manifest and runtime agree
+    */
+  def runtimeViolations(
+      ranRows: Set[String], touches: Map[String, Set[String]]): Seq[String] = {
+    val norm: Map[String, Set[String]] =
+      touches.map { case (r, as) => r -> as.map(normalize) }
+    val out = Seq.newBuilder[String]
+    for ((r, as) <- norm.toSeq.sortBy(_._1); a <- as.toSeq.sorted
+         if !artifacts.contains(a))
+      out += s"row '$r' touched memo '$a' absent from the pricing manifest"
+    for ((key, ap) <- artifacts.toSeq.sortBy(_._1)) {
+      ap.pricedBy.foreach { pr =>
+        if (norm.getOrElse(pr, Set.empty).contains(key))
+          out += s"pricing row '$pr' touched the memo it must price ('$key')"
+      }
+      for (srv <- ap.servedBy.toSeq.sorted
+           if ranRows.contains(srv) && !norm.getOrElse(srv, Set.empty).contains(key))
+        out += s"serving row '$srv' ran but never touched its declared memo '$key'"
+    }
+    out.result()
+  }
 }

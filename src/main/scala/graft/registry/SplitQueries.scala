@@ -464,7 +464,7 @@ private[graft] object SplitQueries {
            |         CAST(COUNT(*) AS BIGINT) AS n_batches,
            |         CAST(COUNT(*) * $b AS BIGINT) AS capacity,
            |         CAST(SUM(bt) AS BIGINT) AS sum_tokens,
-           |         CAST((1000000 * SUM(bt)) // (COUNT(*) * $b) AS BIGINT) AS fill_ppm,
+           |         CAST((1000000 * CAST(SUM(bt) AS HUGEINT)) // (COUNT(*) * $b) AS BIGINT) AS fill_ppm,
            |         CAST(SUM(CASE WHEN bt > $b THEN 1 ELSE 0 END) AS BIGINT) AS n_overshoot
            |  FROM bt$b)""".stripMargin
       val budgets = Seq(512L, 1024L, 2048L, 4096L)

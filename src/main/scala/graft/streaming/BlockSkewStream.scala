@@ -78,27 +78,31 @@ object BlockSkewStream {
       */
     def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
       if (batchId <= lastBatch) return false
-      val bc = graft.operators.Dedup
-        .blockPressure(batch, "doc_id", "text", n)
-      val merged = countsRef.get().as("o")
-        .join(bc.as("b"),
-          col("o.blk") === col("b.blk") && col("o.blk_val") === col("b.blk_val"),
-          "full_outer")
-        .select(
-          coalesce(col("o.blk"), col("b.blk")).as("blk"),
-          coalesce(col("o.blk_val"), col("b.blk_val")).as("blk_val"),
-          (coalesce(col("o.n_members"), lit(0L)) +
-            coalesce(col("b.n_members"), lit(0L))).as("n_members"))
-      val nc = materialize(merged)
+      // the per-batch fingerprint stage registers shingle caches; scope
+      // the release so exactly THIS batch's caches drop once the fold is
+      // materialized and lineage-cut — a global uncacheAll() here would
+      // also purge caches belonging to a co-resident dedup pipeline in
+      // the same session (e.g. the DedupIndex ingest this monitor guards)
+      val nc = graft.operators.Dedup.releasingScoped {
+        val bc = graft.operators.Dedup
+          .blockPressure(batch, "doc_id", "text", n)
+        val merged = countsRef.get().as("o")
+          .join(bc.as("b"),
+            col("o.blk") === col("b.blk") && col("o.blk_val") === col("b.blk_val"),
+            "full_outer")
+          .select(
+            coalesce(col("o.blk"), col("b.blk")).as("blk"),
+            coalesce(col("o.blk_val"), col("b.blk_val")).as("blk_val"),
+            (coalesce(col("o.n_members"), lit(0L)) +
+              coalesce(col("b.n_members"), lit(0L))).as("n_members"))
+        materialize(merged)
+      }
       // durable: snapshot BEFORE acknowledging, so a crash between write
       // and ack only re-folds a batch the guard then drops
       durable.foreach(dir => SnapshotStore.write(spark, dir, nc, batchId))
       val oc = countsRef.get()
       countsRef.set(nc)
       lastBatch = batchId
-      // the per-batch fingerprint stage registers shingle caches; drop
-      // them now that the fold is materialized and lineage-cut
-      graft.operators.Dedup.uncacheAll()
       oc.unpersist()
       true
     }

@@ -227,4 +227,40 @@ class CoreSpec extends AnyFunSuite {
     val accessors = PricingManifest.artifacts.values.map(_.accessor).toSeq
     assert(accessors.distinct.size == accessors.size, "duplicate accessors in manifest")
   }
+
+  test("pricing tripwire (runtime half): violation shapes flag; healthy + interpolated pass") {
+    // the Verify-side enforcement is PricingManifest.runtimeViolations
+    // over SparkEntry's memo-touch log — pin each violation class on
+    // synthetic logs so the assertion's polarity can never silently
+    // invert (r18 verdict task 3: the text scan cannot see an accessor
+    // reached through a renamed helper; the runtime counter can)
+    import graft.registry.PricingManifest
+    // 1. a pricing row that served its own memo (the hole the text scan
+    //    cannot see) is flagged
+    val v1 = PricingManifest.runtimeViolations(
+      Set("dedup_simhash"), Map("dedup_simhash" -> Set("simhashSig")))
+    assert(v1.exists(s => s.contains("pricing row 'dedup_simhash'") &&
+      s.contains("simhashSig")), v1.mkString("; "))
+    // 2. a serving row that ran but never touched its declared memo
+    val v2 = PricingManifest.runtimeViolations(
+      Set("dedup_block_skew"), Map.empty)
+    assert(v2.exists(s => s.contains("serving row 'dedup_block_skew'") &&
+      s.contains("simhashSig")), v2.mkString("; "))
+    // 3. a memo name with no manifest entry
+    val v3 = PricingManifest.runtimeViolations(
+      Set("some_row"), Map("some_row" -> Set("mystery_memo")))
+    assert(v3.exists(_.contains("mystery_memo")), v3.mkString("; "))
+    // 4. healthy shape — serving row touches, pricing row doesn't
+    assert(PricingManifest.runtimeViolations(
+      Set("dedup_simhash", "dedup_block_skew"),
+      Map("dedup_block_skew" -> Set("simhashSig"))).isEmpty)
+    // 5. interpolated runtime names fold onto their manifest key: the
+    //    sampled-PQ row's f0.5 touches satisfy the f1.0 manifest entries
+    assert(PricingManifest.runtimeViolations(
+      Set("ann_ivfpq_sampled"),
+      Map("ann_ivfpq_sampled" -> Set(
+        "pq_codes_f0.5", "pq_i2_f0.5", "prepared_emb", "cents_k4_i2"))).isEmpty)
+    // 6. a row that did not run owes nothing
+    assert(PricingManifest.runtimeViolations(Set.empty, Map.empty).isEmpty)
+  }
 }

@@ -1581,6 +1581,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkEntry.dropSessionCaches(spark)
   }
 
+  test("memo touch recorder: accessor calls log to the active row, warm or cold") {
+    import spark.implicits._
+    SparkEntry.clearMemoTouches()
+    // outside any row scope: nothing is recorded (unit suites and ad-hoc
+    // sessions must not accumulate a phantom log)
+    SparkEntry.memoFrame(spark, "/tmp/touchprobe", "touch_probe") {
+      Seq((1L, 2L)).toDF("a", "b")
+    }
+    assert(SparkEntry.memoTouchSnapshot().isEmpty)
+    SparkEntry.recordingMemoTouches("probe_row") {
+      // warm: the frame above is cached — serving a warm memo is still
+      // serving, so the touch must log BEFORE the cache lookup
+      SparkEntry.memoFrame(spark, "/tmp/touchprobe", "touch_probe") {
+        fail("memo must be warm"): org.apache.spark.sql.DataFrame
+      }
+      SparkEntry.memoModel[String](spark, "/tmp/touchprobe", "touch_model")("m")
+    }
+    assert(SparkEntry.memoTouchSnapshot() ==
+      Map("probe_row" -> Set("touch_probe", "touch_model")))
+    SparkEntry.clearMemoTouches()
+    SparkEntry.dropSessionCaches(spark)
+  }
+
   // ------------------------------------------------------------ plan shape
 
   test("projection + predicate are pushed into the parquet scan") {
@@ -3224,6 +3247,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h2 = HeavyHittersStream.MgStore.restore(spark, s"$dir/mg", 4)
     assert(h2.lastApplied == 1L && h2.summary == h1.summary)
     assert(!h2.add(0L, Map("bogus" -> 100L)))
+    // EXACT-id replay — the at-least-once case a `<`-guard mutant
+    // accepts (r19 guard-mutation exercise: the stale-id asserts alone
+    // let exactly that mutant survive)
+    assert(!h2.add(1L, Map("bogus" -> 100L)),
+      "exact last-applied id must drop")
+    assert(h2.summary == h1.summary)
     assert(h2.add(2L, Map("d" -> 7L)))
     val href = new HeavyHittersStream.MgStore(4)
     href.add(0L, Map("a" -> 5L, "b" -> 2L))
@@ -3266,9 +3295,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // … and every token above the support line is guaranteed retained
     freq.filter { case (_, f) => f * 21 > n }.keys
       .foreach(t => assert(s.contains(t), s"heavy '$t' evicted"))
-    // replay guard: a re-delivered batch id must not merge again
+    // replay guard: a re-delivered batch id must not merge again —
+    // including the EXACT last-applied id (the at-least-once case;
+    // a `<` mutant survives the stale-id assert alone)
     val before = store.summary
     assert(!store.add(0L, Map("bogus" -> 100L)))
+    assert(!store.add(2L, Map("bogus" -> 100L)),
+      "exact last-applied id must drop")
     assert(store.summary == before)
     assert(store.add(1000L, Map("hot" -> 2L)))
   }
@@ -5389,6 +5422,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // replay of a delivered batch id is a no-op
       assert(!store.merge(all.take(3).toDF("doc_id", "text"), 0L))
     }
+  }
+
+  test("skew store merge releases only its own caches, not a co-resident pipeline's") {
+    import spark.implicits._
+    import graft.streaming.BlockSkewStream
+    import org.apache.spark.storage.StorageLevel
+    // a neighbor pipeline's cache registered in the session pool (the
+    // DedupIndex-ingest shape the store's scaladoc names as companion)
+    val neighbor = Dedup.cached(Seq((99L, "neighbor pipeline artifact")).toDF("doc_id", "text"))
+    neighbor.count()
+    val store = new BlockSkewStream.SkewStore(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(store.merge(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"), 0L))
+    // the neighbor's cache must survive the per-batch fold...
+    assert(neighbor.storageLevel != StorageLevel.NONE,
+      "merge purged a co-resident pipeline's cache")
+    // ...while the fold's own scratch caches (the shingle index the
+    // fingerprint stage registers) are gone: the new fold replaced the
+    // old one-for-one, so the persistent-RDD census is unchanged
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "merge leaked its per-batch scratch caches")
+    // the neighbor still sits in the global pool: an explicit between-
+    // rounds uncacheAll (the documented contract) is what releases it
+    Dedup.uncacheAll()
+    assert(neighbor.storageLevel == StorageLevel.NONE)
   }
 
   test("block-skew stream durability: restore rebuilds the folded counts; replays drop") {

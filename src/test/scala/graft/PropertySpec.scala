@@ -263,6 +263,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(64L)._1 >= got(128L)._1 && got(128L)._1 >= got(256L)._1)
   }
 
+  test("pack efficiency sweep: fill_ppm exact past the Long 1e6 scale-up bound") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // multi-trillion-token fixture: sum_tokens = 1.2e13, so the naive
+    // 1000000 * sum_tokens = 1.2e19 exceeds Long.MaxValue (~9.22e18) —
+    // the DECIMAL(38,0) carrier must still produce the exact floor ppm
+    val docs = (0L until 4L).map(i => (i, "g", 3000000000000L)).toDF("id", "g", "n_tok")
+    val row = Splits.packEfficiencySweep(
+        docs, "g", "id", "n_tok", budgets = Seq(5000000000000L), shards = 1)
+      .collect().head
+    val (nb, cap, tok, fill) =
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(tok == 12000000000000L)
+    assert(cap == nb * 5000000000000L)
+    val exact = (BigInt(1000000) * BigInt(tok) / BigInt(cap)).toLong
+    assert(fill == exact, s"fill_ppm $fill != BigInt-exact $exact")
+    // the fixture overfills (overshoot batches), so fill > 1e6 — the
+    // regime where the wrapped Long product would have gone negative
+    assert(fill > 1000000L)
+  }
+
   test("sharded pack batches: per-shard straddler bound, contiguous ids, shards=1 ≡ baseline") {
     import spark.implicits._
     import graft.operators.Splits

@@ -77,6 +77,24 @@ object Bench {
     }
   }
 
+  /** Slow-row floor table (r18 PLANS.md "slow-row floors", machine-read
+    * since r19): quiet-close medians of rows that are PRICED builds or
+    * fixed-iteration loops — their cost is the design, not an accident,
+    * and re-auditing them every round wasted rounds 14-17. The watch
+    * rule: a row is a BREACH when its median exceeds floor × 1.25; a
+    * breach matters only in a QUIET window (read ratio_vs_close first —
+    * ambient contention inflates every row uniformly), and only a SECOND
+    * consecutive quiet-close breach re-opens the row's audit. Floors are
+    * re-based when an adjudication lands a new quiet level (PLANS.md
+    * records each re-base).
+    */
+  private val floors: Map[String, Double] = Map(
+    "q_hits" -> 3.0,
+    "q_pagerank" -> 3.7,
+    "dedup_simhash" -> 3.2,
+    "dedup_incremental_probe" -> 3.0,
+    "q_spearman" -> 3.0)
+
   private def refMedians(p: java.nio.file.Path): Map[String, Double] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val q = om.readTree(java.nio.file.Files.readString(p)).get("queries")
@@ -189,8 +207,17 @@ object Bench {
        else """"ratio_vs_close":null""") +
         s""","ratio_vs_close_n":${ratios.size}""" +
         s""","ratio_vs_close_ref":${refOpt.map(r => jstr(r._1)).getOrElse("null")}"""
+    // floor watch, produced by the artifact rather than a reader
+    // remembering the PLANS.md rule (r18 verdict task 6): the floors
+    // map plus this run's breaches (median > floor × 1.25; rows absent
+    // from this run's filter, or failed, are not breaches)
+    val floorBreaches = floors.toSeq.sorted.collect {
+      case (k, f) if med.getOrElse(k, -1.0) > f * 1.25 => "\"" + k + "\""
+    }
+    val floorJson =
+      s""""floors":${jmap(floors)},"floor_breaches":${floorBreaches.mkString("[", ",", "]")}"""
     val telemetry =
-      s"""$ratioJson,"n_iters":$iters,"gc_sec":${jnum(gcSeconds - gcStart)}""" +
+      s"""$ratioJson,$floorJson,"n_iters":$iters,"gc_sec":${jnum(gcSeconds - gcStart)}""" +
         s""","load_avg_start":${jnum(loadStart)},"load_avg_end":${jnum(loadAvg)}""" +
         s""","artifact_frames":$artFrames,"artifact_bytes":$artBytes""" +
         s""","artifact_evictions":$artEvictions,"rdd_storage_bytes":$rddBytes""" +

@@ -1552,6 +1552,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!java.util.Arrays.equals(bytes(1L), bytes(5L)),
       "same-class payloads must differ at the byte level")
     assert(hashed(1L) == hashed(5L), "…but share the perceptual hash")
+    // VALUE pin (r19 mm mutation exercise): the bit-packing order —
+    // bit index cj·grid+ci, idx < 32 → hi bit idx, else lo bit idx−32 —
+    // is the contract the DuckDB oracle replays. Every assert above is
+    // BLIND to a bijective remap of hashes (a 31−idx bit-order mutant
+    // passed them all; only the oracle's closed-form replay bit). Pin
+    // the packing by recomputing from the generator's pixel closed form
+    // (16×16, g = (x·13·k + y·29) mod 64 + bright, p = 3g, 2×2 cells),
+    // never touching the decode/packing loop under test.
+    def expectedHash(id: Long): (Long, Long) = {
+      val k = (id % 4 + 1).toInt
+      val bright = (id % 128).toInt
+      val p = Array.tabulate(16, 16)((y, x) =>
+        3L * (((x * 13 * k + y * 29) % 64) + bright))
+      val total = p.map(_.sum).sum
+      var hi = 0L
+      var lo = 0L
+      for (cj <- 0 until 8; ci <- 0 until 8) {
+        val cell = (for (y <- cj * 2 until cj * 2 + 2;
+                         x <- ci * 2 until ci * 2 + 2) yield p(y)(x)).sum
+        if (cell * 256L > total * 4L) {
+          val idx = cj * 8 + ci
+          if (idx < 32) hi |= 1L << idx else lo |= 1L << (idx - 32)
+        }
+      }
+      (hi, lo)
+    }
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(hashed(id) == expectedHash(id),
+        s"id $id: packed ${hashed(id)} != closed-form ${expectedHash(id)}"))
     payloads.unpersist()
   }
 

@@ -1015,6 +1015,8 @@ object SparkEntry {
   private[graft] val semDedupK = 8
   private[graft] val semDedupIters = 2
   private[graft] val semDedupTau = 0.4
+  // cross-split semantic-contamination threshold (dedup_semantic_contamination)
+  private[graft] val semContamTau = 0.4
 
   /** Heavy-hitter support denominator: emit tokens with freq ≥ n_total/s.
     * Shared by the `text_heavy_hitters` operator call and its oracle's
@@ -1569,7 +1571,13 @@ object SparkEntry {
     * Ends WITHOUT a trailing comma: consumers append either the final
     * SELECT (`dedup_semantic`) or `,e AS …` (`dedup_semantic_rep`).
     */
-  private[graft] lazy val semDedupPairCtes =
+  /** Final-assignment CTEs under a 2-round Lloyd's replay (`dfin` →
+    * `rfin` → `ncell`) — the piece of [[semDedupPairCtes]] every
+    * cell-reading oracle shares (k is whatever the preceding
+    * `kmeansOracleCtes` built; these reference its `c2`/`cn2`). Ends
+    * WITHOUT a trailing comma.
+    */
+  private[graft] lazy val kmeansFinalAssignCtes =
     s""",
       |dfin AS (
       |  SELECT f.vec_id, c2.cell,
@@ -1581,7 +1589,10 @@ object SparkEntry {
       |           ORDER BY ROUND(dfin.dot/(nrm.nrm*cn2.cnrm),4) DESC, dfin.cell) AS rn
       |  FROM dfin JOIN nrm ON nrm.vec_id=dfin.vec_id
       |            JOIN cn2 ON cn2.cell=dfin.cell),
-      |ncell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn = 1),
+      |ncell AS MATERIALIZED (SELECT vec_id, cell FROM rfin WHERE rn = 1)""".stripMargin
+
+  private[graft] lazy val semDedupPairCtes =
+    kmeansFinalAssignCtes + s""",
       |prs AS MATERIALIZED (
       |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
       |  FROM ncell ca JOIN ncell cb ON cb.cell=ca.cell AND cb.vec_id < ca.vec_id),

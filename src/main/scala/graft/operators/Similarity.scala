@@ -2092,6 +2092,57 @@ object Similarity {
         col("dup_of").isNull.as("keep"), col("dup_of"), col("max_cosine"))
   }
 
+  /** Cross-split SEMANTIC contamination audit — the embedding-space
+    * answer to [[graft.operators.Dedup.contaminationPairs]]: n-gram
+    * decontamination (the Brown et al. 2020 appendix-C practice) cannot
+    * see a PARAPHRASED eval document, whose rewrite shares no shingles
+    * with its train twin but lands next to it in embedding space. For
+    * each eval vector: the same-cell train-side cosines under a shared
+    * trained quantizer (the [[semDedup]] cluster-bounded pair pruning,
+    * Abbas et al. 2023, §SemDeDup — applied across the split boundary
+    * instead of within the corpus), flagged at rounded cosine ≥ tau.
+    *
+    * This is the pre-eval go/no-go a training pipeline reads: a
+    * contaminated=true row names the train document whose presence
+    * invalidates the eval example BEFORE any benchmark number ships.
+    *
+    * Returns one row PER EVAL vector (nothing silently dropped):
+    * `(idCol, cell, contaminated, train_match, max_cosine)` —
+    * `train_match` the smallest same-cell train id at ≥ tau (null when
+    * clean; the [[semDedup]] dup_of convention), `max_cosine` the
+    * strongest such similarity.
+    *
+    * Scale shape: both assignments are the zero-exchange broadcast-
+    * matrix map ([[assignCellsLocal]]); the only wide ops are the
+    * cell-keyed cross join — candidate volume Σ|cell_t|·|cell_e|, and
+    * the EVAL side is the small one by construction (benchmarks are
+    * thousands of rows against a 100 TB train corpus), so each cell's
+    * probe set broadcasts — and the eval-id-keyed reduce + left join
+    * (eval-sized, not corpus-sized). k must scale with the TRAIN corpus
+    * exactly as [[semDedup]]'s scale contract prescribes.
+    */
+  def semanticContamination(
+      train: DataFrame, eval: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val at = assignCells(prepared(train, idCol, embCol), centroids, nprobe = 1)
+    val ae = assignCells(prepared(eval, idCol, embCol), centroids, nprobe = 1)
+    val hits = ae.select(col("cell"), col("id").as("id_e"), col("v").as("ve"),
+        col("nrm").as("ne"))
+      .join(at.select(col("cell"), col("id").as("id_t"), col("v").as("vt"),
+        col("nrm").as("nt")), Seq("cell"))
+      .select(col("id_e"), col("id_t"),
+        (round(dot(col("ve"), col("vt")) / (col("ne") * col("nt")), 4) + lit(0.0))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("id_e"))
+      .agg(min(col("id_t")).as("train_match"), max(col("cosine")).as("max_cosine"))
+    ae.select(col("id"), col("cell"))
+      .join(hits.withColumnRenamed("id_e", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        col("train_match").isNotNull.as("contaminated"),
+        col("train_match"), col("max_cosine"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
     * diversity-aware serving: from each query's relevance-ranked
     * shortlist, greedily pick items maximizing

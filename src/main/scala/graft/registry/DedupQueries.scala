@@ -185,6 +185,25 @@ private[graft] object DedupQueries {
           n = 3, tau = 0.6)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    "dedup_semantic_contamination" -> ((s, dir) => {
+      // PARAPHRASE-proof decontamination: the three lexical screens above
+      // (shared-shingle count, cross Jaccard, containment) cannot see an
+      // eval doc REWRITTEN in new words — its embedding still lands next
+      // to its train twin. Same-cell rounded cosine across the split
+      // boundary under the SHARED trained quantizer (coarseCents4 — the
+      // serving surface the IVF family reads; trained once on the corpus
+      // before any split), one row per eval vector, nothing dropped.
+      // vec_id % 4 = 0 is the eval slice — coarser than the lexical
+      // screens' % 10 so the audited boundary differs from theirs, and
+      // the eval side stays the broadcast-small one (the real shape:
+      // benchmarks are thousands of rows vs a 100 TB train corpus).
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") % 4 =!= 0),
+          emb.filter(col("vec_id") % 4 === 0),
+          coarseCents4(s, dir), tau = semContamTau)
+        .orderBy(col("vec_id"))
+    }),
     "dedup_contamination_bloom" -> ((s, dir) => {
       // the scale form: eval shingles fold into ONE broadcast Bloom filter
       // that pre-filters the (huge) training side before any join; the
@@ -604,6 +623,37 @@ private[graft] object DedupQueries {
         |  WHERE (p.a % 10 = 0) <> (p.b % 10 = 0))
         |SELECT train_id, eval_id, containment FROM ct WHERE containment >= 0.6
         |ORDER BY train_id, eval_id""".stripMargin),
+    // full replay of the semantic screen: Lloyd's training on the whole
+    // corpus (the coarseCents4 params, k=4 iters=2) + final assignment
+    // (shared dfin/rfin/ncell CTEs) + the CROSS-boundary same-cell pair
+    // scan — dots are ordered list_reduce folds (the semDedup fencing)
+    "dedup_semantic_contamination" -> (embCte +
+      Similarity.kmeansOracleCtes(k = 4, iters = 2) +
+      kmeansFinalAssignCtes +
+      s""",
+        |cprs AS MATERIALIZED (
+        |  SELECT ct.vec_id AS id_t, ce.vec_id AS id_e
+        |  FROM ncell ct JOIN ncell ce ON ce.cell=ct.cell
+        |  WHERE ct.vec_id % 4 <> 0 AND ce.vec_id % 4 = 0),
+        |cpd AS MATERIALIZED (
+        |  SELECT cprs.id_t, cprs.id_e,
+        |         list_reduce(list(a.v*b.v ORDER BY a.i), (x,y) -> x+y) AS dot
+        |  FROM cprs
+        |  JOIN f a ON a.vec_id=cprs.id_t
+        |  JOIN f b ON b.vec_id=cprs.id_e AND b.i=a.i
+        |  GROUP BY 1,2),
+        |csc AS (
+        |  SELECT cpd.id_e, cpd.id_t, ROUND(cpd.dot/(na.nrm*nb.nrm),4)+0.0 AS cosine
+        |  FROM cpd JOIN nrm na ON na.vec_id=cpd.id_t
+        |           JOIN nrm nb ON nb.vec_id=cpd.id_e),
+        |chit AS (
+        |  SELECT id_e, MIN(id_t) AS train_match, MAX(cosine) AS max_cosine
+        |  FROM csc WHERE cosine >= $semContamTau GROUP BY 1)
+        |SELECT n.vec_id, n.cell, (h.id_e IS NOT NULL) AS contaminated,
+        |       h.train_match, h.max_cosine
+        |FROM ncell n LEFT JOIN chit h ON h.id_e = n.vec_id
+        |WHERE n.vec_id % 4 = 0
+        |ORDER BY n.vec_id""".stripMargin),
     // identical oracle by design: the Bloom pre-filter must never change
     // the emitted pair set, only the join's input volume
     "dedup_contamination_bloom" -> (shingleCte +

@@ -102,7 +102,7 @@ object PricingManifest {
       accessor = "coarseCents4",
       pricedBy = None,
       servedBy = Set("ann_ivf_trained_topk", "ann_nprobe_sweep",
-        "ann_recall_eval"),
+        "ann_recall_eval", "dedup_semantic_contamination"),
       feeds = Set("pq_i2_f1.0", "pq_i2_f0.5"),
       note = "Lloyd's training is deterministic and every consumer's " +
         "oracle replays it; ann_ivf_topk prices the untrained IVF plan"),

@@ -2757,6 +2757,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.uncacheAll()
   }
 
+  test("semantic contamination: scaled twin flags across the split; cell bounds the scan") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.9, 0.1))).toDF("vec_id", "embedding")
+    val evalSide = Seq(
+      (100L, Seq(2.0, 0.0, 0.0, 0.0)), // scaled copy of train 1 (cosine 1.0)
+      (101L, Seq(0.0, 1.0, 0.0, 0.0)), // near nothing at tau 0.9
+      (102L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding") // = train 3
+    // literal quantizer: cell 0 along dim 0, cell 1 along dim 2
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Seq(0.0, 0.0, 1.0, 0.0), 1.0)).toDF("cid", "cv", "cnrm")
+    val byId = Similarity.semanticContamination(train, evalSide, cents, tau = 0.9)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("contaminated"), col("train_match"), col("max_cosine"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(100L, 101L, 102L),
+      "one row per eval vector, nothing dropped")
+    // the scaled paraphrase twin: byte-different, shingle-different,
+    // cosine-identical — flagged, naming the SMALLEST qualifying train id
+    // (train 2 also clears tau at 0.9939, so the min rule matters)
+    assert(byId(100L).getBoolean(2) && byId(100L).getLong(3) == 1L &&
+      byId(100L).getDouble(4) == 1.0, s"${byId(100L)}")
+    assert(byId(102L).getBoolean(2) && byId(102L).getLong(3) == 3L &&
+      byId(102L).getDouble(4) == 1.0, s"${byId(102L)}")
+    // clean rows report null match/null cosine, never a fake zero
+    assert(!byId(101L).getBoolean(2) && byId(101L).isNullAt(3) &&
+      byId(101L).isNullAt(4), s"${byId(101L)}")
+    // cell bounding is the contract: 102 lives in cell 1, 100/101 in
+    // cell 0 (101 ties 0.0/0.0 → smallest cell id, the rfin tie rule)
+    assert(byId(102L).getLong(1) == 1L && byId(100L).getLong(1) == 0L &&
+      byId(101L).getLong(1) == 0L)
+  }
+
   test("custom-state streaming sessionize: gap, cap, and watermark-timeout closes") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

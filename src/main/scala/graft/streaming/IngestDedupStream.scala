@@ -112,6 +112,15 @@ object IngestDedupStream {
     /** Fold one micro-batch in; replays drop on the guard. */
     def merge(batch: DataFrame, batchId: Long): Boolean = synchronized {
       if (batchId <= lastBatch) return false
+      // scope the per-batch shingle/signature caches (the LSH chain and
+      // the index probe both register into the session pool): releasing
+      // exactly this batch's registrations on exit replaces the previous
+      // global uncacheAll(), which also purged caches belonging to any
+      // co-resident dedup pipeline in the same session (ADVICE r18 on
+      // the BlockSkewStream twin — same class here). The delta/next
+      // folds are lineage-cut and persisted directly, so they outlive
+      // the release.
+      Dedup.releasingScoped {
       val within = Dedup.minhashLshPairs(batch, idCol, textCol, n, tau, bands, rows)
       val cross =
         if (!indexed) within.limit(0)
@@ -164,7 +173,7 @@ object IngestDedupStream {
       pairsRef.set(next)
       lastBatch = batchId
       old.unpersist()
-      Dedup.uncacheAll()
+      }
       true
     }
   }

@@ -6122,6 +6122,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = pairsOf(Dedup.minhashLshPairs(docs))
     Dedup.uncacheAll()
     assert(expect.nonEmpty, "fixture must exercise pairs")
+    // a neighbor pipeline's cache in the session pool: the per-batch
+    // scoped release must leave it alone (same pin as the BlockSkew
+    // store — merge used to drain the global pool every batch)
+    import spark.implicits._
+    val neighbor = Dedup.cached(Seq((7L, "ingest neighbor")).toDF("doc_id", "text"))
+    neighbor.count()
     for (nBatches <- Seq(1, 3)) {
       val dir = Files.createTempDirectory("ingestdedup").toString
       val store = new IngestDedupStream.IngestStore(spark, dir)
@@ -6130,6 +6136,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         store.merge(docs.filter(
           col("doc_id") >= i * step && col("doc_id") < (i + 1) * step), i.toLong)
       }
+      assert(neighbor.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "ingest merge purged a co-resident pipeline's cache")
       // intra-batch pairs come from the local pass, cross-batch pairs
       // from the probe — together exactly the batch operator's output
       assert(pairsOf(store.pairs) == expect,
@@ -6138,6 +6146,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!store.merge(docs.filter(col("doc_id") < step), 0L))
       assert(pairsOf(store.pairs) == expect)
     }
+    Dedup.uncacheAll()
   }
 
   test("ingest dedup stream: a rebuilt store resumes instead of destroying the index", SlowTest) {

@@ -989,6 +989,63 @@ object ScaleSmoke {
       }
       Dedup.uncacheAll()
     }
+
+    // r19: cross-split semantic contamination at 10× volume — 20k vectors,
+    // 64-cell quantizer, TWO eval sizes (200 and 2k). Replicas are EXACT
+    // copies of their source vector, so every eval vector has cosine-1.0
+    // twins on the train side IN ITS OWN CELL — the smoke REQUIRES all of
+    // them to flag (a recall hole in the cell bounding would surface here
+    // as a clean row). The A/B demonstrates the SCALING LAW, not a fixed
+    // speedup: the unbounded eval×train cross scan pays |eval|·|train|
+    // dots (grows 10× with the eval side), while the celled path pays a
+    // |train|-linear assignment plus ~1/64 of the cross's pairs (near-flat
+    // in |eval|) — at 200 eval rows the two roughly break even, and the
+    // cell bound's win appears exactly as the eval side grows.
+    if (enabled("r19 semcontam")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .select((col("vec_id") * 10 + col("rep")).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val cents64 = graft.operators.Similarity
+        .prepared(
+          emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 640),
+          "vec_id", "embedding")
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        .localCheckpoint()
+      for (evalMod <- Seq(100, 10)) {
+        val train = emb.filter(col("vec_id") % evalMod =!= 0)
+        val evalSide = emb.filter(col("vec_id") % evalMod === 0)
+        val nEval = evalSide.count()
+        var out: org.apache.spark.sql.DataFrame = null
+        timed(s"r19 semcontam celled (20k x $nEval)") {
+          out = graft.operators.Similarity
+            .semanticContamination(train, evalSide, cents64, tau = 0.97)
+            .localCheckpoint() // one materialization = the timed compute
+          nEval
+        }
+        require(out.count() == nEval, "one row per eval vector")
+        val flagged = out.filter(col("contaminated")).count()
+        require(flagged == nEval,
+          s"every eval vector has exact twins in-cell on the train side; " +
+            s"only $flagged/$nEval flagged")
+        timed(s"r19 semcontam brute cross (20k x $nEval)") {
+          // the shape the cell bound replaces: every eval vector scored
+          // against the WHOLE train side (the brute decontamination pass)
+          val pt = graft.operators.Similarity.prepared(train, "vec_id", "embedding")
+          val pe = graft.operators.Similarity.prepared(evalSide, "vec_id", "embedding")
+          pe.select(col("id").as("id_e"), col("v").as("ve"), col("nrm").as("ne"))
+            .crossJoin(pt.select(col("id").as("id_t"), col("v").as("vt"),
+              col("nrm").as("nt")))
+            .select(col("id_e"),
+              (round(graft.operators.Similarity.dot(col("ve"), col("vt")) /
+                (col("ne") * col("nt")), 4) + lit(0.0)).as("cosine"))
+            .filter(col("cosine") >= 0.97)
+            .groupBy(col("id_e")).agg(count(lit(1)).as("n"))
+            .count()
+        }
+      }
+      Dedup.uncacheAll()
+    }
     spark.stop()
   }
 }

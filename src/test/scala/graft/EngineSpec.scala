@@ -2792,6 +2792,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cell 0 (101 ties 0.0/0.0 → smallest cell id, the rfin tie rule)
     assert(byId(102L).getLong(1) == 1L && byId(100L).getLong(1) == 0L &&
       byId(101L).getLong(1) == 0L)
+    // and the PLAN is the celled shape, not the brute one it replaces:
+    // the only pair join is the cell-keyed equi-join — no cartesian
+    val plan = Similarity.semanticContamination(train, evalSide, cents, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic contamination must never θ-join eval×train:\n$plan")
   }
 
   test("custom-state streaming sessionize: gap, cap, and watermark-timeout closes") {

@@ -693,8 +693,12 @@ object SparkEntry {
           concat(lit("https://example.com:443/articles/"), p,
             lit("?utm_source=feed&utm_medium=rss")))
         .when(col("doc_id") % 5 === 3,
-          concat(lit("https://example.com/articles/"), p, lit("?id="), q,
-            lit("&utm_campaign=x#frag")))
+          // tracked param FIRST, real param after: exercises the r2
+          // '?'-handoff scrub step the r19 hygiene mutation found
+          // untested by any fixture (canonical output is ?id=q either
+          // way, so only a scrub bug changes the groups)
+          concat(lit("https://example.com/articles/"), p,
+            lit("?utm_campaign=x&id="), q, lit("#frag")))
         .otherwise(
           concat(lit("http://tracker.example.org:80/articles/"), p,
             lit("?fbclid=abc")))

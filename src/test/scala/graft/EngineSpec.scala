@@ -3628,6 +3628,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://example.com/articles/7?utm_campaign=x#frag",
       "http://example.com:80/articles/7",           // http default port
       "https://example.com/articles/7?id=3&utm_campaign=x",  // real param kept
+      // tracked param FIRST, real param after: the r2 scrub step must
+      // hand the '?' to the survivor (r19 hygiene mutation exercise —
+      // a mutant dropping the '?' survived every test and both oracles
+      // because no input exercised this ordering; this pin closes it)
+      "https://example.com/articles/7?utm_source=a&id=3",
       "not a url at all").toDF("url")
     val got = urls.select(Hygiene.canonicalizeUrl(col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq
@@ -3637,6 +3642,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://example.com/articles/7",
       "https://example.com/articles/7",
       "http://example.com/articles/7",   // scheme differs → distinct
+      "https://example.com/articles/7?id=3",
       "https://example.com/articles/7?id=3",
       "not a url at all"), s"got $got")
   }

@@ -663,6 +663,26 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
   }
 
+  /** The trained SAMPLED-corpus BPE merge list (25% md5-bucket sample,
+    * 4 merges), collected — the shipped-tokenizer twin of [[bpeMerges]]:
+    * `text_bpe_sampled` prices the sampled training DIRECTLY (the
+    * training economics are that row's point), `text_fertility_sampled`
+    * audits fertility under the SAME shipped vocabulary and serves this
+    * memo instead of re-running the whole sampled training per call
+    * (r19 reroute; the training is deterministic, so the oracle keeps
+    * replaying it independently).
+    */
+  private[graft] def bpeMergesSampled(s: SparkSession,
+      dir: String): Seq[(String, String)] =
+    // no explicit type param: the CoreSpec census regex reads the memo
+    // name off the call form, and nested type-param brackets break it
+    memoModel(s, dir, "bpeMergesSampled") {
+      TextAnalysis.bpeVocabSampled(t(s, dir, "documents"), merges = 4,
+          sampleFrac = 0.25)
+        .orderBy(col("merge_round")).collect().toSeq
+        .map(r => (r.getString(1), r.getString(2)))
+    }
+
   /** '/'-joined key with NULL-PROPAGATING semantics: one null segment nulls
     * the whole key, exactly like the oracle's `||`. (concat_ws would skip
     * null segments and silently diverge from the oracle on null inputs —

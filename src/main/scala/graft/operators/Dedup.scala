@@ -234,18 +234,24 @@ object Dedup {
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(sets)
+    // non-key candidate columns (e.g. simhash's hamming) ride through the
+    // verify — the caller previously re-joined its candidate frame on the
+    // verified pairs just to re-attach them, a pair-keyed SortMergeJoin
+    // (+2 exchanges) the carry-through makes unnecessary (r19)
+    val extra = cand.columns.toSeq
+      .filterNot(c => c == "doc_a" || c == "doc_b").map(col)
     cand
       .join(sets.select(col("id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
       .join(sets.select(col("id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
-      .select(
+      .select(Seq(
         col("doc_a"), col("doc_b"),
         graft.functions.SortedArrayIntersectCount(col("ha"), col("hb")).as("common"),
         size(col("ha")).cast("long").as("na"),
-        size(col("hb")).cast("long").as("nb"))
-      .select(
+        size(col("hb")).cast("long").as("nb")) ++ extra: _*)
+      .select(Seq(
         col("doc_a"), col("doc_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common")))
-          .as("jaccard"))
+          .as("jaccard")) ++ extra: _*)
       .filter(col("jaccard") >= tau)
   }
 
@@ -290,7 +296,12 @@ object Dedup {
         all.join(keep, Seq("h"))
       case None => all
     }
+    // persisted: consumers join this frame on BOTH pair legs, and each
+    // un-persisted broadcast leg re-ran the count pass over the whole
+    // shingle index (r19 plan audit); one narrow (id, n) row per doc
     val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(sizes)
     val inter = shingled.as("l")
       .join(shingled.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
@@ -366,8 +377,18 @@ object Dedup {
       min(conv(substring(md5(concat_ws(":", lit(s"mh$p"), col("shingle"))), 1, 15), 16, 10)
         .cast("long")).as(s"sig$p")
     }
-    val sigs = shingled.groupBy(col("id")).agg(permCols.head, permCols.tail: _*)
-    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // ONE per-doc pass for sizes AND signatures, persisted: the sig
+    // aggregation prices `perms` md5s per shingle row, and as separate
+    // unpersisted frames each pair-join leg re-executed it — the
+    // (sizes×2 + sigs×2) tail ran the md5 pass twice plus two extra
+    // count passes over the shingle index (r19 plan audit: two
+    // BroadcastExchange legs each carrying their own 16-min HashAggregate).
+    // Folding count into the same agg and persisting collapses that to
+    // one pass read by both legs; two joins instead of four.
+    val docProps = shingled.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), permCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(docProps)
     val inter = shingled.as("l")
       .join(shingled.as("r"), col("l.h") === col("r.h") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
@@ -375,10 +396,9 @@ object Dedup {
     val matches = (0 until perms).map(p =>
       when(col(s"a.sig$p") === col(s"b.sig$p"), 1L).otherwise(0L)).reduce(_ + _)
     inter
-      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .join(sigs.as("a"), col("doc_a") === col("a.id"))
-      .join(sigs.as("b"), col("doc_b") === col("b.id"))
+      .join(docProps.as("a"), col("doc_a") === col("a.id"))
+      .join(docProps.as("b"), col("doc_b") === col("b.id"))
+      .withColumn("na", col("a.n")).withColumn("nb", col("b.n"))
       .select(
         expr("(10L * common) div (na + nb - common)").as("j_e1"),
         expr("(1000000L * common) div (na + nb - common)").as("exact_ppm"),
@@ -795,9 +815,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(sig)
     val blocks = simhashBlockKeys(sig)
-    // persisted: the candidate set is read twice (Jaccard verification and
-    // the final hamming join-back) and is small by construction — bounded
-    // by block-key collisions, never all-pairs
+    // single-consumer since the hamming carry-through (r19): the verify
+    // is the only reader now, so the candidate persist (which existed
+    // for the join-back leg) is gone with the join-back itself
     val cand = blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.blk_val") === col("r.blk_val") &&
@@ -807,10 +827,9 @@ object Dedup {
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    register(cand)
-    verifyJaccard(shingled, cand.select(col("doc_a"), col("doc_b")), tau)
-      .join(cand, Seq("doc_a", "doc_b"))
+    // hamming rides through the verify's carry-through columns — the
+    // earlier pair-keyed join-back on cand is gone (r19)
+    verifyJaccard(shingled, cand, tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"))
   }
 

@@ -70,8 +70,8 @@ object Graph {
     * replicas key their HashMaps on the boxed values either way.
     */
   private final class DampedEdges(
-      srcL: Array[Long], dstL: Array[Long],
-      srcO: Array[AnyRef], dstO: Array[AnyRef], degA: Array[Long]) {
+      val srcL: Array[Long], val dstL: Array[Long],
+      srcO: Array[AnyRef], dstO: Array[AnyRef], val degA: Array[Long]) {
     val longIds: Boolean = srcL != null
     private val n = if (longIds) srcL.length else srcO.length
     def foreach(f: (Any, Any, Long) => Unit): Unit = {
@@ -158,6 +158,134 @@ object Graph {
       org.apache.spark.sql.types.StructField("rank",
         org.apache.spark.sql.types.DoubleType)))
 
+  /** Sorted deduplicated union of two long-id arrays — the dense
+    * replicas' node table (endpoint → index by binary search).
+    */
+  private def dedupSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val all = new Array[Long](a.length + b.length)
+    System.arraycopy(a, 0, all, 0, a.length)
+    System.arraycopy(b, 0, all, a.length, b.length)
+    java.util.Arrays.sort(all)
+    var m = 0; var i = 0
+    while (i < all.length) {
+      if (m == 0 || all(m - 1) != all(i)) { all(m) = all(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(all, m)
+  }
+
+  /** The boxed (any-id-type) PageRank driver replica — the exact-JBD
+    * fold [[pageRankDense]] falls back to on unscaled-long overflow.
+    */
+  private def pageRankBoxed(spark: SparkSession, de: DampedEdges,
+      iters: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    // per-SOURCE contribution decimals are computed once per round
+    // (≈ nodes entries), so the per-EDGE hot loop is one map lookup +
+    // one exact JBD.add — the Double.toString decimal parse never
+    // runs per edge
+    val degMap = new java.util.HashMap[Any, java.lang.Long]()
+    de.foreach((s, _, dg) => degMap.put(s, dg))
+    val n = degMap.size.toLong
+    var r = new java.util.HashMap[Any, java.lang.Double]()
+    degMap.keySet().forEach(nd => r.put(nd, roundAt(1.0 / n, 12)))
+    for (_ <- 1 to iters) {
+      val contrib = new java.util.HashMap[Any, JBD]()
+      r.forEach { (nd, rs) =>
+        val dg = degMap.get(nd)
+        if (dg != null)
+          contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
+      }
+      val acc = accumulate14(de, bySrc = true, contrib)
+      val base = roundAt(0.15 / n, 14)
+      val next = new java.util.HashMap[Any, java.lang.Double]()
+      acc.forEach((d, sdec) =>
+        next.put(d, roundAt(base + 0.85 * sdec.doubleValue(), 12)))
+      r = next
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    r.forEach((nd, rk) => out += org.apache.spark.sql.Row(nd, rk.doubleValue()))
+    rowsToDf(spark, out.toSeq, schema)
+  }
+
+  /** Dense-index PageRank replica for LONG-ID graphs: endpoints map to
+    * array indexes once (sort + binary search), every per-round
+    * structure is a primitive array, and the per-edge hot loop is two
+    * array reads + one `Math.addExact` — no boxing, no hash probes
+    * (the boxed loop allocated two boxed Longs per edge per round).
+    * Value-identical to [[pageRankBoxed]]: the same `toDec14`/`roundAt`
+    * fences run per NODE, unscaled-long sums are the same exact decimal
+    * adds, and contributions are non-negative so overflow (→ caller's
+    * boxed fallback) strikes order-independently.
+    */
+  private def pageRankDense(spark: SparkSession, de: DampedEdges,
+      iters: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    val nE = de.srcL.length
+    val nodes = dedupSorted(de.srcL, de.dstL)
+    val nV = nodes.length
+    val srcIdx = new Array[Int](nE); val dstIdx = new Array[Int](nE)
+    var i = 0
+    while (i < nE) {
+      srcIdx(i) = java.util.Arrays.binarySearch(nodes, de.srcL(i))
+      dstIdx(i) = java.util.Arrays.binarySearch(nodes, de.dstL(i))
+      i += 1
+    }
+    val deg = new Array[Long](nV); val hasDeg = new Array[Boolean](nV)
+    i = 0
+    while (i < nE) {
+      deg(srcIdx(i)) = de.degA(i); hasDeg(srcIdx(i)) = true; i += 1
+    }
+    var n = 0L; i = 0
+    while (i < nV) { if (hasDeg(i)) n += 1; i += 1 }
+    val r = new Array[Double](nV); val alive = new Array[Boolean](nV)
+    if (n > 0) {
+      val r0 = roundAt(1.0 / n, 12)
+      i = 0
+      while (i < nV) { if (hasDeg(i)) { r(i) = r0; alive(i) = true }; i += 1 }
+    }
+    val contribU = new Array[Long](nV); val hasC = new Array[Boolean](nV)
+    val accU = new Array[Long](nV); val seen = new Array[Boolean](nV)
+    for (_ <- 1 to iters) {
+      i = 0
+      while (i < nV) {
+        hasC(i) = alive(i) && hasDeg(i)
+        if (hasC(i))
+          contribU(i) =
+            toDec14(roundAt(r(i) / deg(i), 14)).unscaledValue().longValueExact()
+        accU(i) = 0L; seen(i) = false
+        i += 1
+      }
+      i = 0
+      while (i < nE) {
+        val s = srcIdx(i); val d = dstIdx(i)
+        if (hasC(s)) {
+          accU(d) = Math.addExact(accU(d), contribU(s)); seen(d) = true
+        }
+        i += 1
+      }
+      val base = roundAt(0.15 / n, 14)
+      i = 0
+      while (i < nV) {
+        alive(i) = seen(i)
+        if (seen(i))
+          r(i) = roundAt(base + 0.85 * JBD.valueOf(accU(i), 14).doubleValue(), 12)
+        i += 1
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    i = 0
+    while (i < nV) {
+      if (alive(i)) out += org.apache.spark.sql.Row(nodes(i), r(i))
+      i += 1
+    }
+    rowsToDf(spark, out.toSeq, schema)
+  }
+
   /** [[pageRank]] over an already-built [[degreeAnnotatedEdges]] pair. */
   def pageRankWith(ed: DataFrame, deg: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
@@ -165,36 +293,19 @@ object Graph {
     // order-free, every round is HALF_UP over a Double.toString parse,
     // so the driver replica is bit-identical to the distributed
     // iteration (PropertySpec pins exact equality), at none of the
-    // per-round join/agg job cost.
+    // per-round join/agg job cost. Long-id graphs run the DENSE-INDEX
+    // replica (primitive arrays, zero per-edge boxing — r19: the boxed
+    // per-edge HashMap loop was ~2.6 s of the row's 3.8 s at the 1.2M-
+    // edge bench graph); any unscaled-long overflow falls back to the
+    // boxed exact-JBD fold, whose per-accumulate fallback covers the
+    // same case (non-negative contributions make overflow order-free,
+    // so the two paths agree on when it happens).
     collectDampedEdges(ed, withDeg = true, requireLongIds = false).foreach { de =>
-      import java.math.{BigDecimal => JBD}
-      // per-SOURCE contribution decimals are computed once per round
-      // (≈ nodes entries), so the per-EDGE hot loop is one map lookup +
-      // one exact JBD.add — the Double.toString decimal parse never
-      // runs per edge
-      val degMap = new java.util.HashMap[Any, java.lang.Long]()
-      de.foreach((s, _, dg) => degMap.put(s, dg))
-      val n = degMap.size.toLong
-      var r = new java.util.HashMap[Any, java.lang.Double]()
-      degMap.keySet().forEach(nd => r.put(nd, roundAt(1.0 / n, 12)))
-      for (_ <- 1 to iters) {
-        val contrib = new java.util.HashMap[Any, JBD]()
-        r.forEach { (nd, rs) =>
-          val dg = degMap.get(nd)
-          if (dg != null)
-            contrib.put(nd, toDec14(roundAt(rs / dg.longValue(), 14)))
-        }
-        val acc = accumulate14(de, bySrc = true, contrib)
-        val base = roundAt(0.15 / n, 14)
-        val next = new java.util.HashMap[Any, java.lang.Double]()
-        acc.forEach((d, sdec) =>
-          next.put(d, roundAt(base + 0.85 * sdec.doubleValue(), 12)))
-        r = next
+      if (de.longIds) {
+        try return pageRankDense(ed.sparkSession, de, iters, rankSchema(ed))
+        catch { case _: ArithmeticException => () }
       }
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.spark.sql.Row]
-      r.forEach((nd, rk) => out += org.apache.spark.sql.Row(nd, rk.doubleValue()))
-      return rowsToDf(ed.sparkSession, out.toSeq, rankSchema(ed))
+      return pageRankBoxed(ed.sparkSession, de, iters, rankSchema(ed))
     }
     // one bounded global: the node count rides a broadcast 1-row frame;
     // the uniform start and teleport base are rounded IN ENGINE so both
@@ -771,6 +882,137 @@ object Graph {
     * an uncached nondeterministic one now fails the gate/collect
     * row-count cross-check loudly rather than corrupting the replica.
     */
+  /** The boxed (any-id-type) HITS driver replica — the exact-JBD fold
+    * [[hitsDense]] falls back to on unscaled-long overflow.
+    */
+  private def hitsBoxed(spark: SparkSession, de: DampedEdges, iters: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    def l1Local(raw: java.util.HashMap[Any, JBD])
+        : java.util.HashMap[Any, java.lang.Double] = {
+      // raw values are the decimal-exact half-step sums CAST TO DOUBLE
+      // (the Spark agg's output), then re-cast to decimal for the L1
+      var t = JBD.ZERO
+      raw.forEach((_, v) => t = t.add(toDec14(v.doubleValue())))
+      val td = if (raw.isEmpty) 1.0 else t.doubleValue()
+      val out = new java.util.HashMap[Any, java.lang.Double]()
+      raw.forEach((n, v) => out.put(n, roundAt(v.doubleValue() / td, 12)))
+      out
+    }
+    // per-node score decimals are computed once per half-step (≈ nodes
+    // entries), so the per-EDGE hot loop is one lookup + one exact add
+    def decOf(scores: java.util.HashMap[Any, java.lang.Double])
+        : java.util.HashMap[Any, JBD] = {
+      val m = new java.util.HashMap[Any, JBD]()
+      scores.forEach((n, v) => m.put(n, toDec14(v.doubleValue())))
+      m
+    }
+    var h = new java.util.HashMap[Any, java.lang.Double]()
+    de.foreachPair { (s, d) =>
+      h.putIfAbsent(s, 1.0); h.putIfAbsent(d, 1.0); ()
+    }
+    var a = new java.util.HashMap[Any, java.lang.Double]()
+    for (_ <- 1 to iters) {
+      a = l1Local(accumulate14(de, bySrc = true, decOf(h)))
+      h = l1Local(accumulate14(de, bySrc = false, decOf(a)))
+    }
+    val nodes = new java.util.LinkedHashSet[Any]()
+    h.keySet().forEach(k => { nodes.add(k); () })
+    a.keySet().forEach(k => { nodes.add(k); () })
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    nodes.forEach { n =>
+      val hv = h.get(n); val av = a.get(n)
+      out += org.apache.spark.sql.Row(n,
+        if (hv == null) 0.0 else hv.doubleValue(),
+        if (av == null) 0.0 else av.doubleValue())
+    }
+    rowsToDf(spark, out.toSeq, schema)
+  }
+
+  /** Dense-index HITS replica for LONG-ID graphs — the
+    * [[pageRankDense]] discipline on the two half-steps: primitive
+    * per-edge accumulation (`Math.addExact` on unscaled scale-14
+    * longs), the identical `toDec14`/`roundAt` fences per NODE, and the
+    * L1 total as the same exact decimal sum (order-free). Presence
+    * masks replicate the boxed maps' key sets exactly: a node scores on
+    * a side only once a half-step reached it, and the final rows cover
+    * hub-keys ∪ auth-keys with 0.0 on the missing side.
+    */
+  private def hitsDense(spark: SparkSession, de: DampedEdges, iters: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    val nE = de.srcL.length
+    val nodes = dedupSorted(de.srcL, de.dstL)
+    val nV = nodes.length
+    val srcIdx = new Array[Int](nE); val dstIdx = new Array[Int](nE)
+    var i = 0
+    while (i < nE) {
+      srcIdx(i) = java.util.Arrays.binarySearch(nodes, de.srcL(i))
+      dstIdx(i) = java.util.Arrays.binarySearch(nodes, de.dstL(i))
+      i += 1
+    }
+    val h = new Array[Double](nV); val hasH = new Array[Boolean](nV)
+    i = 0
+    while (i < nV) { h(i) = 1.0; hasH(i) = true; i += 1 }
+    val a = new Array[Double](nV); val hasA = new Array[Boolean](nV)
+    val scoreU = new Array[Long](nV)
+    val accU = new Array[Long](nV); val seen = new Array[Boolean](nV)
+    // one half-step: acc the `from` side's scores onto the `onto` side,
+    // then L1-normalize over reached nodes (the boxed l1Local algebra:
+    // t = Σ toDec14(sum-as-double), exact decimal adds — order-free)
+    def halfStep(score: Array[Double], present: Array[Boolean],
+        bySrc: Boolean, out: Array[Double], outP: Array[Boolean]): Unit = {
+      var i = 0
+      while (i < nV) {
+        if (present(i))
+          scoreU(i) = toDec14(score(i)).unscaledValue().longValueExact()
+        accU(i) = 0L; seen(i) = false
+        i += 1
+      }
+      i = 0
+      while (i < nE) {
+        val from = if (bySrc) srcIdx(i) else dstIdx(i)
+        val onto = if (bySrc) dstIdx(i) else srcIdx(i)
+        if (present(from)) {
+          accU(onto) = Math.addExact(accU(onto), scoreU(from)); seen(onto) = true
+        }
+        i += 1
+      }
+      var t = JBD.ZERO; var any = false
+      i = 0
+      while (i < nV) {
+        if (seen(i)) {
+          t = t.add(toDec14(JBD.valueOf(accU(i), 14).doubleValue())); any = true
+        }
+        i += 1
+      }
+      val td = if (!any) 1.0 else t.doubleValue()
+      i = 0
+      while (i < nV) {
+        outP(i) = seen(i)
+        if (seen(i))
+          out(i) = roundAt(JBD.valueOf(accU(i), 14).doubleValue() / td, 12)
+        i += 1
+      }
+    }
+    for (_ <- 1 to iters) {
+      halfStep(h, hasH, bySrc = true, a, hasA)
+      halfStep(a, hasA, bySrc = false, h, hasH)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    i = 0
+    while (i < nV) {
+      if (hasH(i) || hasA(i))
+        out += org.apache.spark.sql.Row(nodes(i),
+          if (hasH(i)) h(i) else 0.0,
+          if (hasA(i)) a(i) else 0.0)
+      i += 1
+    }
+    rowsToDf(spark, out.toSeq, schema)
+  }
+
   def hitsWith(e: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -785,39 +1027,6 @@ object Graph {
     // boxed id types gate at the smaller boxed bound, NULL ids keep the
     // distributed form (see [[collectDampedEdges]]).
     collectDampedEdges(e, withDeg = false, requireLongIds = false).foreach { de =>
-      val spark = e.sparkSession
-      import java.math.{BigDecimal => JBD}
-      def l1Local(raw: java.util.HashMap[Any, JBD])
-          : java.util.HashMap[Any, java.lang.Double] = {
-        // raw values are the decimal-exact half-step sums CAST TO DOUBLE
-        // (the Spark agg's output), then re-cast to decimal for the L1
-        var t = JBD.ZERO
-        raw.forEach((_, v) => t = t.add(toDec14(v.doubleValue())))
-        val td = if (raw.isEmpty) 1.0 else t.doubleValue()
-        val out = new java.util.HashMap[Any, java.lang.Double]()
-        raw.forEach((n, v) => out.put(n, roundAt(v.doubleValue() / td, 12)))
-        out
-      }
-      // per-node score decimals are computed once per half-step (≈ nodes
-      // entries), so the per-EDGE hot loop is one lookup + one exact add
-      def decOf(scores: java.util.HashMap[Any, java.lang.Double])
-          : java.util.HashMap[Any, JBD] = {
-        val m = new java.util.HashMap[Any, JBD]()
-        scores.forEach((n, v) => m.put(n, toDec14(v.doubleValue())))
-        m
-      }
-      var h = new java.util.HashMap[Any, java.lang.Double]()
-      de.foreachPair { (s, d) =>
-        h.putIfAbsent(s, 1.0); h.putIfAbsent(d, 1.0); ()
-      }
-      var a = new java.util.HashMap[Any, java.lang.Double]()
-      for (_ <- 1 to iters) {
-        a = l1Local(accumulate14(de, bySrc = true, decOf(h)))
-        h = l1Local(accumulate14(de, bySrc = false, decOf(a)))
-      }
-      val nodes = new java.util.LinkedHashSet[Any]()
-      h.keySet().forEach(k => { nodes.add(k); () })
-      a.keySet().forEach(k => { nodes.add(k); () })
       val nodeType = e.schema.fields.head.dataType
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", nodeType),
@@ -825,15 +1034,13 @@ object Graph {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("auth",
           org.apache.spark.sql.types.DoubleType)))
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.spark.sql.Row]
-      nodes.forEach { n =>
-        val hv = h.get(n); val av = a.get(n)
-        out += org.apache.spark.sql.Row(n,
-          if (hv == null) 0.0 else hv.doubleValue(),
-          if (av == null) 0.0 else av.doubleValue())
+      // dense primitive replica for long-id graphs, exact-JBD boxed
+      // fallback on unscaled overflow — the [[pageRankWith]] r19 split
+      if (de.longIds) {
+        try return hitsDense(e.sparkSession, de, iters, schema)
+        catch { case _: ArithmeticException => () }
       }
-      return rowsToDf(spark, out.toSeq, schema)
+      return hitsBoxed(e.sparkSession, de, iters, schema)
     }
     // ONE Spark job per half-step: the raw-score frame persists LAZILY and
     // the L1 total's collect materializes it, with the total re-entering

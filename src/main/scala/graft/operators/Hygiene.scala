@@ -463,6 +463,25 @@ object Hygiene {
       col(c).isNull.as("vn"))
     .agg(count(lit(1)).as("n"))
 
+  /** [[categoryCells]] for SEVERAL columns in one scan — (c, v, vn, n).
+    * The per-column drift operators previously ran one count-agg scan of
+    * each dump PER COLUMN (then unioned the per-column folds): a 3-column
+    * PSI read the base table many times for counts one pass can deliver
+    * (r19 plan audit: 24 scans / 42 exchanges on `q_psi_drift`). Here each
+    * input row expands to |cols| (column, value, is-null) structs inside
+    * the same codegen stage and ONE map-side-combined agg keys on
+    * (c, v, vn) — cell counts per column are identical to the
+    * single-column form by construction.
+    */
+  private[graft] def categoryCellsMulti(df: DataFrame,
+      cols: Seq[String]): DataFrame = df
+    .select(explode(array(cols.map(c => struct(
+      lit(c).as("c"),
+      coalesce(col(c).cast("string"), lit("")).as("v"),
+      col(c).isNull.as("vn"))): _*)).as("kv"))
+    .groupBy(col("kv.c").as("c"), col("kv.v").as("v"), col("kv.vn").as("vn"))
+    .agg(count(lit(1)).as("n"))
+
   /** The TVD fold over two pre-counted cell frames — shared by
     * [[driftReport]] and the streaming monitor so the algebra cannot
     * drift between them.
@@ -510,8 +529,46 @@ object Hygiene {
     */
   def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to drift-check")
-    cols.map(c => tvdFromCells(categoryCells(a, c), categoryCells(b, c), c))
-      .reduce(_ unionAll _)
+    // ONE stacked-cells scan per dump for every column (r19: was one
+    // scan per column per side), one (c, v, vn)-keyed full outer, the
+    // identical floor-share fold GROUPED BY column. Values are
+    // column-for-column the single-column [[tvdFromCells]]' (the
+    // streaming monitor's serve path still runs that form; the
+    // streamed ≡ batch spec pins both against this output).
+    val ca = categoryCellsMulti(a, cols).withColumnRenamed("n", "na_v")
+    val cb = categoryCellsMulti(b, cols).withColumnRenamed("n", "nb_v")
+    val j = ca.join(cb, Seq("c", "v", "vn"), "full_outer")
+      .select(col("c"),
+        coalesce(col("na_v"), lit(0L)).as("na_v"),
+        coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+    val tot = j.groupBy(col("c"))
+      .agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+    j.join(broadcast(tot), Seq("c"))
+      .select(col("c"), col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a > 0 THEN na_v * 1000000 DIV n_a ELSE 0 END")
+          .as("pa_ppm"),
+        expr("CASE WHEN n_b > 0 THEN nb_v * 1000000 DIV n_b ELSE 0 END")
+          .as("pb_ppm"))
+      .groupBy(col("c"))
+      .agg(
+        coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+        count(lit(1)).as("ndv_union"),
+        coalesce(sum(abs(col("pa_ppm") - col("pb_ppm"))), lit(0L))
+          .as("sad_ppm"))
+      .select(col("c").as("col_name"), col("n_a"), col("n_b"),
+        col("ndv_union"), expr("sad_ppm DIV 2").as("tvd_ppm"))
+      // literal column spine: the single-column global agg emitted one
+      // zero row per column even for two EMPTY dumps (a group-by emits
+      // none) — preserve that degenerate contract exactly
+      .join(a.sparkSession.range(1)
+        .select(explode(array(cols.map(lit): _*)).as("col_name")),
+        Seq("col_name"), "right")
+      .select(col("col_name"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("ndv_union"), lit(0L)).as("ndv_union"),
+        coalesce(col("tvd_ppm"), lit(0L)).as("tvd_ppm"))
   }
 
   /** The PSI fold over two pre-counted cell frames — shared by
@@ -561,8 +618,44 @@ object Hygiene {
     */
   def psiDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to drift-check")
-    cols.map(c => psiFromCells(categoryCells(a, c), categoryCells(b, c), c))
-      .reduce(_ unionAll _)
+    // stacked-cells single scan per dump + grouped fold — the
+    // [[driftReport]] r19 rewrite applied to the PSI algebra (identical
+    // per-column smoothing: ndv_union and totals are per-column groups)
+    val ca = categoryCellsMulti(a, cols).withColumnRenamed("n", "na_v")
+    val cb = categoryCellsMulti(b, cols).withColumnRenamed("n", "nb_v")
+    val j = ca.join(cb, Seq("c", "v", "vn"), "full_outer")
+      .select(col("c"),
+        coalesce(col("na_v"), lit(0L)).as("na_v"),
+        coalesce(col("nb_v"), lit(0L)).as("nb_v"))
+    val tot = j.groupBy(col("c"))
+      .agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+        count(lit(1)).as("ndv_union"))
+    j.join(broadcast(tot), Seq("c"))
+      .withColumn("pa",
+        (col("na_v") + 1L).cast("double") / (col("n_a") + col("ndv_union")))
+      .withColumn("pb",
+        (col("nb_v") + 1L).cast("double") / (col("n_b") + col("ndv_union")))
+      .withColumn("contrib",
+        round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6), 6))
+      .groupBy(col("c"))
+      .agg(
+        coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+        count(lit(1)).as("ndv_union"),
+        (round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6)
+          + lit(0.0)).as("psi"))
+      .select(col("c").as("col_name"), col("n_a"), col("n_b"),
+        col("ndv_union"), col("psi"))
+      // literal column spine — the [[driftReport]] empty-dumps contract
+      // (psi stays NULL there, exactly like the global agg's round(NULL))
+      .join(a.sparkSession.range(1)
+        .select(explode(array(cols.map(lit): _*)).as("col_name")),
+        Seq("col_name"), "right")
+      .select(col("col_name"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("ndv_union"), lit(0L)).as("ndv_union"),
+        col("psi"))
   }
 
   /** Per-column Shannon entropy profile (Shannon 1948) — the
@@ -629,45 +722,69 @@ object Hygiene {
   def mutualInfoMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 16,
       s"need 2..16 audit columns: ${cols.size}")
-    def one(a: String, b: String): DataFrame = {
-      val joint = df.groupBy(
-        coalesce(col(a).cast("string"), lit("")).as("_g_va"),
-        col(a).isNull.as("_g_vna"),
-        coalesce(col(b).cast("string"), lit("")).as("_g_vb"),
-        col(b).isNull.as("_g_vnb"))
-        .agg(count(lit(1)).as("_g_o"))
-      val ra = joint.groupBy(col("_g_va"), col("_g_vna"))
-        .agg(sum(col("_g_o")).as("_g_ra"))
-      val cb = joint.groupBy(col("_g_vb"), col("_g_vnb"))
-        .agg(sum(col("_g_o")).as("_g_cb"))
-      val tot = joint.agg(sum(col("_g_o")).as("_g_n"))
-      def marginH(m: DataFrame, cnt: String, out: String): DataFrame = m
-        .crossJoin(broadcast(tot))
-        .withColumn("p", col(cnt).cast("double") / col("_g_n"))
-        .withColumn("hc", round(col("p") * round(log(col("p")), 6), 6))
-        .agg((round(-sum(col("hc").cast(DecimalType(28, 12)))
-          .cast("double"), 6) + lit(0.0)).as(out))
-      val mi = joint
-        .join(broadcast(ra), Seq("_g_va", "_g_vna"))
-        .join(broadcast(cb), Seq("_g_vb", "_g_vnb"))
-        .crossJoin(broadcast(tot))
-        .withColumn("contrib", round(
-          (col("_g_o").cast("double") / col("_g_n")) * round(log(
-            (col("_g_o").cast("decimal(38,0)") * col("_g_n")).cast("double") /
-              (col("_g_ra").cast("decimal(38,0)") * col("_g_cb"))
-                .cast("double")), 6), 6))
-        .agg(min(col("_g_n")).as("n_rows"),
-          (round(sum(col("contrib").cast(DecimalType(28, 12)))
-            .cast("double"), 6) + lit(0.0)).as("mi"))
-      mi.crossJoin(broadcast(marginH(ra, "_g_ra", "ha")))
-        .crossJoin(broadcast(marginH(cb, "_g_cb", "hb")))
-        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n_rows"),
-          col("mi"),
-          when(least(col("ha"), col("hb")) > 0.0,
-            round(col("mi") / least(col("ha"), col("hb")), 6) + lit(0.0))
-            .as("nmi"))
-    }
-    cols.combinations(2).map(p => one(p.head, p.last)).reduce(_ unionAll _)
+    // ONE stacked scan for every unordered pair (r19 — the per-pair form
+    // re-ran a full joint-cells aggregation over the base table once per
+    // pair PER CONSUMER SUBTREE, ~7 base scans per pair): each row
+    // expands to C(k,2) (pair, cell) structs inside the scan's codegen
+    // stage, one (pair, cell)-keyed map-side-combined agg builds every
+    // pair's joint table at once, and that NDV-product-bounded cells
+    // frame persists (released by the session's uncache point) so the
+    // margin / entropy / contribution derivations never rescan the base.
+    // Per-pair cell counts — and therefore every ln-fenced fold below —
+    // are identical to the per-pair form by construction.
+    val pairs = cols.combinations(2).map(p => (p.head, p.last)).toSeq
+    val joint = Dedup.cached(df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("pa"), lit(b).as("pb"),
+          coalesce(col(a).cast("string"), lit("")).as("va"),
+          col(a).isNull.as("vna"),
+          coalesce(col(b).cast("string"), lit("")).as("vb"),
+          col(b).isNull.as("vnb"))
+      }: _*)).as("kv"))
+      .groupBy(col("kv.pa").as("pa"), col("kv.pb").as("pb"),
+        col("kv.va").as("va"), col("kv.vna").as("vna"),
+        col("kv.vb").as("vb"), col("kv.vnb").as("vnb"))
+      .agg(count(lit(1)).as("_g_o")))
+    val ra = joint.groupBy(col("pa"), col("pb"), col("va"), col("vna"))
+      .agg(sum(col("_g_o")).as("_g_ra"))
+    val cb = joint.groupBy(col("pa"), col("pb"), col("vb"), col("vnb"))
+      .agg(sum(col("_g_o")).as("_g_cb"))
+    val tot = joint.groupBy(col("pa"), col("pb"))
+      .agg(sum(col("_g_o")).as("_g_n"))
+    def marginH(m: DataFrame, cnt: String, out: String): DataFrame = m
+      .join(broadcast(tot), Seq("pa", "pb"))
+      .withColumn("p", col(cnt).cast("double") / col("_g_n"))
+      .withColumn("hc", round(col("p") * round(log(col("p")), 6), 6))
+      .groupBy(col("pa"), col("pb"))
+      .agg((round(-sum(col("hc").cast(DecimalType(28, 12)))
+        .cast("double"), 6) + lit(0.0)).as(out))
+    val mi = joint
+      .join(broadcast(ra), Seq("pa", "pb", "va", "vna"))
+      .join(broadcast(cb), Seq("pa", "pb", "vb", "vnb"))
+      .join(broadcast(tot), Seq("pa", "pb"))
+      .withColumn("contrib", round(
+        (col("_g_o").cast("double") / col("_g_n")) * round(log(
+          (col("_g_o").cast("decimal(38,0)") * col("_g_n")).cast("double") /
+            (col("_g_ra").cast("decimal(38,0)") * col("_g_cb"))
+              .cast("double")), 6), 6))
+      .groupBy(col("pa"), col("pb"))
+      .agg(min(col("_g_n")).as("n_rows"),
+        (round(sum(col("contrib").cast(DecimalType(28, 12)))
+          .cast("double"), 6) + lit(0.0)).as("mi"))
+    // literal pair spine — the per-pair global aggs emitted one
+    // (all-NULL) row per pair even over an empty input; preserve that
+    // degenerate contract exactly (no coalesce: NULLs stay NULLs)
+    val spine = df.sparkSession.range(1).select(
+      explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("pa"), lit(b).as("pb")) }: _*)).as("kv"))
+      .select(col("kv.pa").as("pa"), col("kv.pb").as("pb"))
+    mi.join(marginH(ra, "_g_ra", "ha"), Seq("pa", "pb"))
+      .join(marginH(cb, "_g_cb", "hb"), Seq("pa", "pb"))
+      .join(spine, Seq("pa", "pb"), "right")
+      .select(col("pa").as("col_a"), col("pb").as("col_b"), col("n_rows"),
+        col("mi"),
+        when(least(col("ha"), col("hb")) > 0.0,
+          round(col("mi") / least(col("ha"), col("hb")), 6) + lit(0.0))
+          .as("nmi"))
   }
 
   /** k-anonymity audit over a quasi-identifier combination (Sweeney 2002
@@ -814,19 +931,73 @@ object Hygiene {
   def cramersVMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 16,
       s"need 2..16 audit columns: ${cols.size}")
-    cols.combinations(2).map { pair =>
-      val (a, b) = (pair.head, pair.last)
-      chiSquareAudit(df, a, b)
-        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n_rows"),
-          col("n_a"), col("n_b"), col("chi2_ppm"),
-          // clamp at 0 BEFORE the division: the ppm-floored χ² can dip
-          // a few ppm negative near independence, and Spark's DIV
-          // truncates where the oracle's // floors — they only agree on
-          // non-negative operands (V² is non-negative anyway)
-          when(col("n_rows") > 0L && least(col("n_a"), col("n_b")) > 1L,
-            expr("greatest(chi2_ppm, 0) DIV (n_rows * (least(n_a, n_b) - 1))"))
-            .as("v2_ppm"))
-    }.reduce(_ unionAll _)
+    // ONE stacked scan for every unordered pair (r19, the
+    // [[mutualInfoMatrix]] rewrite applied to the χ² algebra — the
+    // per-pair [[chiSquareAudit]] calls each re-scanned the base table
+    // several times). Cells are keyed (stringified value, is-null flag)
+    // so one struct type fits every column; the single-pair audit joins
+    // on RAW keys, where a NULL never matches itself — the explicit
+    // `!vna && !vnb` filter replicates that null-cell drop exactly
+    // (margins still include null-partner cells, as the raw joins did).
+    // Per-pair cells, margins, and the decimal χ² fold are therefore
+    // value-identical to chiSquareAudit's (which single-pair rows keep).
+    val pairs = cols.combinations(2).map(p => (p.head, p.last)).toSeq
+    val cells = Dedup.cached(df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("pa"), lit(b).as("pb"),
+          col(a).cast("string").as("va"), col(a).isNull.as("vna"),
+          col(b).cast("string").as("vb"), col(b).isNull.as("vnb"))
+      }: _*)).as("kv"))
+      .groupBy(col("kv.pa").as("pa"), col("kv.pb").as("pb"),
+        col("kv.va").as("va"), col("kv.vna").as("vna"),
+        col("kv.vb").as("vb"), col("kv.vnb").as("vnb"))
+      .agg(count(lit(1)).as("_g_o")))
+    val ra = cells.groupBy(col("pa"), col("pb"), col("va"), col("vna"))
+      .agg(sum(col("_g_o")).as("_g_ra"))
+    val cb = cells.groupBy(col("pa"), col("pb"), col("vb"), col("vnb"))
+      .agg(sum(col("_g_o")).as("_g_cb"))
+    val tot = cells.groupBy(col("pa"), col("pb"))
+      .agg(sum(col("_g_o")).as("_g_n"))
+    val chi = cells
+      .join(broadcast(ra), Seq("pa", "pb", "va", "vna"))
+      .join(broadcast(cb), Seq("pa", "pb", "vb", "vnb"))
+      .join(broadcast(tot), Seq("pa", "pb"))
+      .filter(!col("vna") && !col("vnb"))
+      .withColumn("_g_dev",
+        col("_g_o").cast("decimal(38,0)") * col("_g_n").cast("decimal(38,0)")
+          - col("_g_ra").cast("decimal(38,0)") * col("_g_cb").cast("decimal(38,0)"))
+      .withColumn("_g_t1", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * _g_dev * _g_dev) div " +
+          "(CAST(_g_n AS DECIMAL(38,0)) * CAST(_g_ra AS DECIMAL(38,0)) * CAST(_g_cb AS DECIMAL(38,0)))"))
+      .withColumn("_g_t2", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(_g_ra AS DECIMAL(38,0)) * CAST(_g_cb AS DECIMAL(38,0))) div CAST(_g_n AS DECIMAL(38,0))"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(
+        min(col("_g_n")).as("n_rows"),
+        countDistinct(col("va")).as("n_a"),
+        countDistinct(col("vb")).as("n_b"),
+        count(lit(1)).as("n_observed_cells"),
+        sum(col("_g_t1")).as("s1"), sum(col("_g_t2")).as("s2"))
+      .select(col("pa"), col("pb"), col("n_rows"), col("n_a"), col("n_b"),
+        col("n_observed_cells"),
+        (lit(1000000L) * col("n_rows") + col("s1") - col("s2")).as("chi2_ppm"))
+    // literal pair spine — the per-pair global agg emitted one row per
+    // pair even over an empty input (counts 0, sums NULL); replicate
+    val spine = df.sparkSession.range(1).select(
+      explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("pa"), lit(b).as("pb")) }: _*)).as("kv"))
+      .select(col("kv.pa").as("pa"), col("kv.pb").as("pb"))
+    chi.join(spine, Seq("pa", "pb"), "right")
+      .select(col("pa").as("col_a"), col("pb").as("col_b"), col("n_rows"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("chi2_ppm"),
+        // clamp at 0 BEFORE the division: the ppm-floored χ² can dip
+        // a few ppm negative near independence, and Spark's DIV
+        // truncates where the oracle's // floors — they only agree on
+        // non-negative operands (V² is non-negative anyway)
+        when(col("n_rows") > 0L && least(col("n_a"), col("n_b")) > 1L,
+          expr("greatest(chi2_ppm, 0) DIV (n_rows * (least(n_a, n_b) - 1))"))
+          .as("v2_ppm"))
   }
 
   /** Gini index of a non-negative measure (Gini 1912, via the exact

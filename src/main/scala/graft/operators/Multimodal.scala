@@ -165,12 +165,17 @@ object Multimodal {
     * selection verbatim. Expected chunk length ≈ `divisor` bytes.
     * The final position always closes the last chunk.
     *
-    * Shape: one narrow explode to `(id, pos, byte)` rows (txt dropped in
-    * the same codegen stage), the hash as `window` lags over ONE
-    * per-payload position window (doc-length-bounded partitions — the
-    * [[sceneCuts]] discipline), a second bounded window for chunk spans
-    * (chunks-per-payload ≈ len/divisor rows), then one id-keyed join
-    * back to the payload for the chunk hash. Emits one row per chunk:
+    * Shape: ZERO exchanges — boundary selection is a pure function of
+    * the payload, so the whole operator is one codegen'd projection:
+    * the payload's chars become a per-row byte-value array once (O(len),
+    * never the per-position substring walk), the rolling hash and the
+    * boundary test run as a row-local `filter(sequence(...))` lambda
+    * over that array, and chunk spans derive in-array from consecutive
+    * boundaries. The previous form exploded one row PER BYTE through a
+    * per-payload window (an |corpus-bytes|-row exchange + sort — the
+    * scale killer at 100 TB), then paid a second window and an id-keyed
+    * join back for the chunk hash; all three are gone (r19 optimization,
+    * A/B'd bit-identical). Emits one row per chunk:
     * `(idCol, chunk_idx, start_pos, chunk_bytes, chunk_md5)` (1-based
     * positions). Runs on the ASCII text lane under the same
     * VARCHAR≡BINARY contract as the other `mm_*` rows; empty payloads
@@ -179,46 +184,61 @@ object Multimodal {
   def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", window: Int = 8, divisor: Int = 64,
       hashBase: Int = 31): DataFrame = {
-    val (base, hashed) = cdcHashedPositions(docs, idCol, textCol, window,
-      divisor, hashBase)
-    val bounds = hashed
-      .filter(col("i") === col("len") ||
-        (col("i") >= window && col("h") % divisor === 0))
-      .select(col(idCol), col("i").as("end_pos"))
-    spansToChunks(bounds, base, idCol)
+    val withCands = cdcCandidates(docs, idCol, textCol, window, divisor,
+      hashBase)
+    // the final position always closes the last chunk; array_distinct
+    // dedups a candidate that already sits exactly at len
+    chunksFromBounds(
+      withCands.select(col(idCol), col("txt"),
+        expr("array_distinct(concat(cands, array(len)))").as("bounds")),
+      idCol)
   }
 
-  /** The shared rolling-hash derivation both chunkers build on — THE
-    * definition the SQL oracles replay bit-for-bit, so it exists exactly
-    * once: `(base(id, txt, len), hashed(id, len, i, h))` with
-    * `h(i) = Σ_{j<window} byte(i−j)·base^j` over a per-payload position
-    * window. Empty payloads are dropped here (no chunks — and Spark's
-    * `sequence(1, 0)` would otherwise DESCEND, smuggling a phantom
-    * position-0 row in).
+  /** The shared rolling-hash candidate derivation both chunkers build on
+    * — THE definition the SQL oracles replay bit-for-bit, so it exists
+    * exactly once: `(id, txt, len, cands)` where `cands` is the
+    * ASCENDING array of positions i ∈ [window, len] with
+    * `divisor | h(i)`, `h(i) = Σ_{j<window} byte(i−j)·base^j`. Entirely
+    * row-local: the payload's chars land in a byte-value array once
+    * (`split` + `ascii` — O(len), where a per-position
+    * `ascii(substring(txt, i, 1))` would walk O(i) codepoints each), and
+    * the hash is `window` O(1) `element_at` reads per position inside
+    * one `filter(sequence(...))` lambda. Positions below `window` carry
+    * implicit zero-padding in the original definition and can only hash
+    * to 0 when every real byte contributes 0 — but `i ≥ window` keeps
+    * them out exactly like the windowed form did, so the candidate set
+    * is identical. Empty payloads are dropped here (no chunks — and
+    * Spark's `sequence(a, b)` with b < a would otherwise DESCEND).
     */
-  private def cdcHashedPositions(docs: DataFrame, idCol: String,
+  private def cdcCandidates(docs: DataFrame, idCol: String,
       textCol: String, window: Int, divisor: Int,
-      hashBase: Int): (DataFrame, DataFrame) = {
+      hashBase: Int): DataFrame = {
     require(window >= 1 && divisor >= 2 && hashBase >= 2,
       s"bad CDC parameters: window=$window divisor=$divisor base=$hashBase")
     require(BigInt(255) * BigInt(hashBase).pow(window - 1) * window <
       BigInt(Long.MaxValue), s"hash overflows int64: $window × base $hashBase")
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol), col(textCol).as("txt"),
-      length(col(textCol)).cast("long").as("len"))
-    val pos = base
+    // h(i) over the byte-value array: i ≥ window ⟹ i − j ≥ 1 for every
+    // j < window, so no zero-pad guard is needed inside the lambda
+    val hExpr = (0 until window).map { j =>
+      val pow = BigInt(hashBase).pow(j).toLong
+      s"element_at(bvs, CAST(i - $j AS INT)) * ${pow}L"
+    }.mkString(" + ")
+    docs
+      .select(col(idCol), col(textCol).as("txt"),
+        length(col(textCol)).cast("long").as("len"))
       .filter(col("len") >= 1)
-      .select(col(idCol), col("txt"), col("len"),
-        explode(sequence(lit(1L), col("len"))).as("i"))
-      .select(col(idCol), col("len"), col("i"),
-        expr("CAST(ascii(substring(txt, CAST(i AS INT), 1)) AS BIGINT)")
-          .as("bv"))
-    val wp = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    val h = (0 until window).map(j =>
-        coalesce(lag(col("bv"), j).over(wp), lit(0L)) *
-          lit(BigInt(hashBase).pow(j).toLong))
-      .reduceLeft(_ + _)
-    (base, pos.withColumn("h", h))
+      // split-per-char keeps multi-byte chars whole exactly like
+      // substring(txt, i, 1) did (both count CODEPOINTS; ascii() reads
+      // the first one); a trailing zero-width match may append one ""
+      // element past len — never read, element_at stays within 1..len
+      .withColumn("bvs",
+        expr("transform(split(txt, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("cands", expr(
+        s"""IF(len < $window, CAST(array() AS ARRAY<BIGINT>),
+           |   filter(sequence(CAST($window AS BIGINT), len),
+           |          i -> ($hExpr) % $divisor = 0))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col(idCol), col("txt"), col("len"), col("cands"))
   }
 
   /** [[cdcChunks]] with the PRODUCTION min-chunk clamp: boundary
@@ -258,12 +278,11 @@ object Multimodal {
     require(minChunk >= 1, s"minChunk must be >= 1: $minChunk")
     require(maxChunk >= minChunk,
       s"maxChunk ($maxChunk) must be >= minChunk ($minChunk)")
-    val (base, hashed) = cdcHashedPositions(docs, idCol, textCol, window,
-      divisor, hashBase)
-    val cands = hashed
-      .filter(col("i") >= window && col("h") % divisor === 0)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("i"))).as("cs"))
+    // candidates arrive row-local and already ascending (the fold
+    // contract) — the explode + groupBy(collect_list) round-trip the
+    // windowed form needed is gone with it
+    val withCands = cdcCandidates(docs, idCol, textCol, window, divisor,
+      hashBase)
     // the greedy fold: per candidate c, first emit every FORCED boundary
     // (full maxChunk steps strictly before c — nf of them), then keep c
     // iff it lies >= minChunk past the last (possibly forced) boundary.
@@ -286,37 +305,42 @@ object Multimodal {
          |    struct(acc.last + ${nf("acc.last", "c")} * $mc AS last,
          |           concat(acc.ks, ${forced("acc.last", "c")}) AS ks)),
          |  acc -> acc)""".stripMargin.replace("\n", " ")
-    val bounds = base
-      .filter(col("len") >= 1)
-      .join(cands, Seq(idCol), "left")
-      .select(col(idCol), col("len"),
-        coalesce(col("cs"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("cs"))
-      .select(col(idCol), col("len"), expr(foldExpr).as("fs"))
-      .select(col(idCol),
-        explode(array_distinct(concat(col("fs.ks"),
-          expr(forced("fs.last", "len").replace("\n", " ")),
-          array(col("len"))))).as("end_pos"))
-    spansToChunks(bounds, base, idCol)
+    chunksFromBounds(
+      withCands
+        .select(col(idCol), col("txt"), col("len"),
+          col("cands").as("cs"))
+        .select(col(idCol), col("txt"), col("len"), expr(foldExpr).as("fs"))
+        .select(col(idCol), col("txt"),
+          array_distinct(concat(col("fs.ks"),
+            expr(forced("fs.last", "len").replace("\n", " ")),
+            array(col("len")))).as("bounds")),
+      idCol)
   }
 
-  /** Shared chunk materialization: `(id, end_pos)` boundary rows →
-    * contiguous 1-based spans (bounded per-payload window) → chunk rows
-    * with content hashes via one id-keyed join back to the payload.
+  /** Shared chunk materialization over a row-local ASCENDING boundary
+    * array: spans derive in-array from consecutive bounds (previous
+    * bound + 1 → this bound; the first chunk starts at 1), one `inline`
+    * explodes chunks-per-payload ≈ len/divisor rows, and the chunk hash
+    * reads `txt` still on the row — no window, no join, no exchange
+    * (the windowed `(id, end_pos)`-row form this replaces paid two
+    * per-payload windows plus an id-keyed join back to the payload).
+    * `withBounds` must carry `(idCol, txt, bounds)` with `bounds`
+    * ascending and non-empty — both chunkers' boundary arrays are, by
+    * the candidate/fold contract.
     */
-  private def spansToChunks(bounds: DataFrame, base: DataFrame,
-      idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wb = Window.partitionBy(col(idCol)).orderBy(col("end_pos"))
-    bounds
-      .withColumn("start_pos",
-        coalesce(lag(col("end_pos"), 1).over(wb), lit(0L)) + 1)
-      .withColumn("chunk_idx", row_number().over(wb).cast("long") - 1)
-      .join(base.select(col(idCol), col("txt")), Seq(idCol))
+  private def chunksFromBounds(withBounds: DataFrame,
+      idCol: String): DataFrame =
+    withBounds
+      .select(col(idCol), col("txt"), expr(
+        """inline(transform(bounds, (e, k) ->
+          |  struct(CAST(k AS BIGINT) AS chunk_idx,
+          |         IF(k = 0, CAST(1 AS BIGINT),
+          |            element_at(bounds, k) + 1) AS start_pos,
+          |         e AS end_pos)))""".stripMargin.replace("\n", " ")))
       .select(col(idCol), col("chunk_idx"), col("start_pos"),
         (col("end_pos") - col("start_pos") + 1).as("chunk_bytes"),
         md5(expr("substring(txt, CAST(start_pos AS INT), " +
           "CAST(end_pos - start_pos + 1 AS INT))")).as("chunk_md5"))
-  }
 
   /** Cross-payload repeated-CHUNK diagnosis — [[frameDupStats]]' shape on
     * [[cdcChunks]]' content-defined boundaries: one hash aggregation on

@@ -138,7 +138,11 @@ private[graft] object MiscQueries {
         (4L, "customer value vector"), (5L, "zebra hash")
       ).toDF("query_id", "q_text")
       val docs = t(s, dir, "documents")
-      val results = TextAnalysis.bm25TopK(docs, qs, k = 10)
+      // the BM25 top-10 list is the SHARED bm25Lex10 artifact (identical
+      // query set and k; text_bm25_topk prices the inverted-index build)
+      // — this row prices the qrels derivation + the scorecard join, not
+      // a third BM25 build per sweep (r19 reroute)
+      val results = bm25Lex10(s, dir)
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("score").desc, col("doc_id"))).cast("long"))

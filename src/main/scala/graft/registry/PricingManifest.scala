@@ -153,7 +153,7 @@ object PricingManifest {
     "bm25Lex10" -> ArtifactPricing(
       accessor = "bm25Lex10",
       pricedBy = Some("text_bm25_topk"),
-      servedBy = Set("ret_rrf_fusion")),
+      servedBy = Set("ret_rrf_fusion", "ret_eval")),
     "collocations" -> ArtifactPricing(
       accessor = "collocationsArt",
       pricedBy = None,
@@ -168,6 +168,10 @@ object PricingManifest {
       note = "train-once/apply-everywhere is the operator's own scale " +
         "story (bespoke driver-side cache; text_bpe_vocab publishes the " +
         "merge table)"),
+    "bpeMergesSampled" -> ArtifactPricing(
+      accessor = "bpeMergesSampled",
+      pricedBy = Some("text_bpe_sampled"),
+      servedBy = Set("text_fertility_sampled")),
     // ----------------------------------------------------------- graph
     "incidenceEdges" -> ArtifactPricing(
       accessor = "incidenceEdges",

@@ -336,13 +336,13 @@ private[graft] object TextQueries {
     "text_fertility_sampled" -> ((s, dir) => {
       // the production pairing: fertility audited under the SAMPLED-
       // training vocabulary (the tokenizer a real pipeline actually
-      // ships) — same md5-bucket sample as text_bpe_sampled, so the
-      // oracle re-draws it exactly
+      // ships) — served from the shared bpeMergesSampled artifact
+      // (text_bpe_sampled prices the sampled training itself; this row
+      // prices the fertility fold under that vocabulary, r19 reroute);
+      // the oracle still re-draws the identical md5-bucket sample
       val docs = t(s, dir, "documents")
-      val m = TextAnalysis.bpeVocabSampled(docs, merges = 4, sampleFrac = 0.25)
-        .orderBy(col("merge_round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.tokenizerFertility(docs, m).orderBy(col("lang"))
+      TextAnalysis.tokenizerFertility(docs, bpeMergesSampled(s, dir))
+        .orderBy(col("lang"))
     }),
     "text_c4_filter" -> ((s, dir) => {
       // C4-style boilerplate removal (keep lines with terminal punctuation

@@ -189,7 +189,25 @@ object Dedup {
   }
 
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val df = TextAnalysis.shingles(docs, idCol, textCol, n).withColumnRenamed(idCol, "id")
+    // Parallelize the index BUILD (r19): a bench-scale documents scan
+    // yields far fewer splits than cores (one parquet file → 2-4 tasks),
+    // and every consumer of the persisted index inherits that
+    // partitioning — the shingle explode, the md5/minhash signature
+    // aggregations and the self-join stream sides all ran ~4-way on a
+    // 32-core host (measured: the calibration row's 16-perm md5 agg
+    // alone was 4.1 s warm). ONE narrow exchange of the raw doc rows
+    // BEFORE the ~10x shingle explosion fixes the whole family's
+    // parallelism; it is SKIPPED whenever the scan already has at least
+    // shuffle.partitions splits — the 100 TB case, where it would be a
+    // pointless corpus-wide text shuffle. Hash-partitioning on the doc
+    // id is deterministic and lets downstream per-id aggregations reuse
+    // the exchange.
+    val target =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(col(idCol))
+      else docs
+    val df = TextAnalysis.shingles(spread, idCol, textCol, n).withColumnRenamed(idCol, "id")
       .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(df)
@@ -290,10 +308,16 @@ object Dedup {
     val shingled = maxDf match {
       case Some(cap) =>
         // shingles are distinct per doc, so count(*) per hash IS document
-        // frequency; the anti-join drops the viral tail before any fan-out
+        // frequency; the anti-join drops the viral tail before any fan-out.
+        // PERSISTED (r19): the pruned frame feeds the sizes agg AND both
+        // self-join legs — un-persisted, each consumer re-ran the
+        // df-count + prune join over the whole index
         val keep = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select(col("h"))
-        all.join(keep, Seq("h"))
+        val pruned = all.join(keep, Seq("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        register(pruned)
+        pruned
       case None => all
     }
     // persisted: consumers join this frame on BOTH pair legs, and each

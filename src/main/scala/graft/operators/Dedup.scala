@@ -188,6 +188,22 @@ object Dedup {
     out
   }
 
+  /** Guarded scan-spread (r19): hash-repartition `df` on `key` ONLY when
+    * its current partitioning is narrower than the session's shuffle
+    * parallelism. The driver's bench fixtures are single-file,
+    * single-row-group parquet — Spark cannot split them, so every
+    * pre-exchange stage (tokenize/shingle explodes, row-local hash
+    * kernels, theta-join stream sides) otherwise runs ONE task on a
+    * 32-core host. At real corpus scale the scan has ≥ target splits and
+    * this is the identity — no corpus-wide exchange is ever added.
+    * Deterministic (hash of a real key column, never round-robin on
+    * nondeterministic input — SPARK-38388).
+    */
+  private[graft] def spreadNarrowScan(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+  }
+
   private def sh(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // Parallelize the index BUILD (r19): a bench-scale documents scan
     // yields far fewer splits than cores (one parquet file → 2-4 tasks),
@@ -202,12 +218,8 @@ object Dedup {
     // pointless corpus-wide text shuffle. Hash-partitioning on the doc
     // id is deterministic and lets downstream per-id aggregations reuse
     // the exchange.
-    val target =
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val spread =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(col(idCol))
-      else docs
-    val df = TextAnalysis.shingles(spread, idCol, textCol, n).withColumnRenamed(idCol, "id")
+    val df = TextAnalysis.shingles(spreadNarrowScan(docs, col(idCol)),
+        idCol, textCol, n).withColumnRenamed(idCol, "id")
       .withColumn("h", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(df)

@@ -223,7 +223,11 @@ object Multimodal {
       val pow = BigInt(hashBase).pow(j).toLong
       s"element_at(bvs, CAST(i - $j AS INT)) * ${pow}L"
     }.mkString(" + ")
-    docs
+    // guarded scan-spread: the whole chunker is row-local now, so on the
+    // unsplittable single-row-group bench fixtures it would otherwise run
+    // one task end to end (identity at real scale — see
+    // [[graft.operators.Dedup.spreadNarrowScan]])
+    graft.operators.Dedup.spreadNarrowScan(docs, col(idCol))
       .select(col(idCol), col(textCol).as("txt"),
         length(col(textCol)).cast("long").as("len"))
       .filter(col("len") >= 1)

@@ -2028,7 +2028,14 @@ object Similarity {
       emb: DataFrame, tau: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val p = prepared(emb, idCol, embCol)
-    val a = p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    // spread the STREAM side of the theta join: the `<` predicate plans
+    // as a nested-loop whose per-task cost is |stream-partition| · |N|
+    // dot products — on the unsplittable bench fixture that was ONE task
+    // scoring every pair (identity at real scale — see
+    // [[graft.operators.Dedup.spreadNarrowScan]])
+    val a = graft.operators.Dedup.spreadNarrowScan(
+      p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+      col("id_a"))
     val b = p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(

@@ -1546,7 +1546,11 @@ object TextAnalysis {
       .otherwise(raise_error(concat(
         lit("perceptronQuality: label must be -1 or 1, got "),
         coalesce(lbl.cast("string"), lit("NULL")))))
-    val feats = docs
+    // guarded scan-spread: the tokenize + feature-hash explode feeding
+    // the first aggregation ran one task on the unsplittable bench
+    // fixture (identity at real scale — see
+    // [[graft.operators.Dedup.spreadNarrowScan]])
+    val feats = graft.operators.Dedup.spreadNarrowScan(docs, col(idCol))
       .select(col(idCol), checkedLabel.as("label"),
         explode(tokens(col(textCol))).as("term"))
       .select(col(idCol), col("label"),

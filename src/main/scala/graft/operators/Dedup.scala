@@ -492,16 +492,24 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rows: Int): (DataFrame, DataFrame) = {
     val shingled = sh(docs, idCol, textCol, n)
-    val sig = shingled
-      .groupBy(col("id"))
-      .agg(graft.functions.MinHashSketch(col("h"), bands * rows).as("sig"))
-    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-    val sets = shingled.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    // ONE per-doc aggregation carries BOTH tables' payloads (the
+    // minhashCalibration r19 discipline, guide §2.4 share-the-exchange):
+    // the sketch and the sorted-set aggs previously each ran their own
+    // groupBy(id) exchange over the persisted shingle index — same keys,
+    // same input rows, two shuffles — and the UNPERSISTED sketch agg
+    // additionally executed once per banded self-join leg in
+    // [[minhashLshPairs]] (the r19 calibration plan pathology). One
+    // combined persisted agg: one exchange, one execution; banded and
+    // sets are narrow selects of it.
+    val props = shingled.groupBy(col("id"))
+      .agg(graft.functions.MinHashSketch(col("h"), bands * rows).as("sig"),
+        sort_array(collect_list(col("h"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    register(sets)
-    (banded, sets)
+    register(props)
+    val bandCols = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
+    val banded = props.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    (banded, props.select(col("id"), col("hs")))
   }
 
   /** Exact-Jaccard verification of (doc_a, doc_b) candidates over two

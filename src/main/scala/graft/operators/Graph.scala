@@ -1170,15 +1170,31 @@ object Graph {
     * `labels` must carry one (n, label) row per node covering every
     * edge endpoint (LPA's output contract).
     */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = Dedup.cached(edges.select(
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
+    modularityWith(Dedup.cached(edges.select(
         least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+      .filter(col("a") =!= col("b")).distinct()), labels)
+
+  /** [[modularity]] over an ALREADY-CANONICAL undirected edge frame —
+    * distinct `(a, b)` with `a < b`, no self-loops (the
+    * [[triangleCountsWith]]/[[kCoreWith]] seam discipline): skips the
+    * re-canonicalizing distinct exchange when the caller already holds
+    * the canonical artifact. Same silent-degradation contract as the
+    * other With-seams: a duplicate or uncanonical edge inflates m,
+    * intra, and the degree sums while Q stays plausible-looking — when
+    * in doubt call [[modularity]].
+    */
+  def modularityWith(canonical: DataFrame, labels: DataFrame): DataFrame = {
+    val und = canonical.select(col("a"), col("b"))
     val lab = Dedup.cached(labels.select(col("n"), col("label")))
-    val ed = und
+    // CACHED: the label-annotated edge frame feeds the (m, intra) agg AND
+    // both legs of the community-degree union — uncached, the two-join
+    // |E|-row subtree executes three times per call (exchange reuse does
+    // not cover the aggregations above the reused exchanges)
+    val ed = Dedup.cached(und
       .join(lab.select(col("n").as("a"), col("label").as("la")), Seq("a"))
-      .join(lab.select(col("n").as("b"), col("label").as("lb")), Seq("b"))
+      .join(lab.select(col("n").as("b"), col("label").as("lb")), Seq("b")))
     val intra = ed.agg(
       count(lit(1)).as("m"),
       sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra"))

@@ -259,8 +259,19 @@ object Hygiene {
     *
     * Nothing here buffers a group: aggregation states are counts, the
     * widest window partition is min(range width, binsPerPass) rows, and
-    * driver state is zero (the loop condition is a COUNT on the
-    * unit-sized ranges frame). Returns `(k, rid, sel)`.
+    * driver state is ONE bounded scalar — the widest unit range, read
+    * off the materialized unit-sized checkpoint (the kCore-gate bounded-
+    * global-decision pattern). It fixes the pass budget up front:
+    * narrowing shrinks every active unit's range to ≤ `(hi−lo) DIV
+    * binsPerPass` (new range ≤ width − 1), so simulating that shrink on
+    * the max range gives the exact pass count the old ANY-active COUNT
+    * loop discovered with one blocking action PER PASS plus one final
+    * no-pass probe (r20: each such count was a full job in a chain of
+    * sequential jobs — pure latency at any scale, since every action is
+    * a cluster-wide barrier). A unit whose range narrows faster than the
+    * bound (last-bin clipping) just sits inactive through the remaining
+    * passes — the pass body filters on `isActive`, so extra passes are
+    * identity for it. Returns `(k, rid, sel)`.
     */
   private[graft] def groupedSelectRanks(v: DataFrame, ranks: DataFrame,
       binsPerPass: Int = 4096, exactThreshold: Long = 262144L): DataFrame = {
@@ -270,7 +281,14 @@ object Hygiene {
     var ranges = ranks.select(col("k"), col("rid"), col("target"),
       col("lo"), col("hi"), lit(0L).as("below")).localCheckpoint()
     val isActive = col("hi") - col("lo") >= exactThreshold
-    while (ranges.filter(isActive).limit(1).count() > 0) {
+    // pass budget from the widest unit range (null = no units at all)
+    val maxRangeRow = ranges.agg(max(col("hi") - col("lo"))).collect()(0)
+    var maxRange = if (maxRangeRow.isNullAt(0)) 0L else maxRangeRow.getLong(0)
+    var passes = 0
+    while (maxRange >= exactThreshold) {
+      maxRange /= binsPerPass; passes += 1
+    }
+    for (p <- 1 to passes) {
       val active = ranges.filter(isActive)
       val hist = v.join(active, Seq("k"))
         .filter(col("v") >= col("lo") && col("v") <= col("hi"))
@@ -288,7 +306,14 @@ object Hygiene {
           (col("lo") + col("bin") * col("w")).as("lo"),
           least(col("hi"), col("lo") + (col("bin") + 1) * col("w") - 1).as("hi"),
           col("cum").as("below"))
-      ranges = ranges.filter(!isActive).unionByName(narrowed).localCheckpoint()
+      val next = ranges.filter(!isActive).unionByName(narrowed)
+      // checkpoint only BETWEEN passes: the next pass reads its input
+      // twice (the !active leg and the hist join), so an unmaterialized
+      // tree would double per pass — but the LAST pass's output flows
+      // into the single final-selection consumer exactly once, and
+      // materializing a unit-sized frame nobody re-reads was one more
+      // blocking job per call
+      ranges = if (p < passes) next.localCheckpoint() else next
     }
     val fin = v.join(ranges, Seq("k"))
       .filter(col("v") >= col("lo") && col("v") <= col("hi"))

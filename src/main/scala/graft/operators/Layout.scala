@@ -144,9 +144,12 @@ object Layout {
     val wOff = Window.orderBy(col("_shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val sharded = keyed.withColumn("_shard", shiftright(col("ckey"), shardShift))
-    val offsets = sharded.groupBy(col("_shard"))
+    // CACHED: the broadcast join AND the total agg both read this
+    // ≤ 2^(bits·2−shardShift)+1-row frame — uncached, each re-ran the
+    // full shard count-agg over the corpus (r20; guide §5)
+    val offsets = graft.operators.Dedup.cached(sharded.groupBy(col("_shard"))
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("_off", coalesce(sum(col("n_rows")).over(wOff), lit(0L)))
+      .withColumn("_off", coalesce(sum(col("n_rows")).over(wOff), lit(0L))))
     val total = offsets.agg(sum(col("n_rows")).as("n_total"))
     sharded
       .withColumn("_lr", row_number().over(wRank).cast("long") - 1L)
@@ -175,10 +178,19 @@ object Layout {
     */
   def curveLocality(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, numFiles: Int = 32, shardShift: Int = 24): DataFrame = {
-    val base = df.select(col(xCol).cast("long").as("x"),
-      col(yCol).cast("long").as("y"))
-    def summarize(keyed: DataFrame, curve: String): DataFrame =
-      rangeFileId(keyed, numFiles, shardShift)
+    // ONE CACHED scan carries BOTH curve keys: uncached, each curve's
+    // branch re-derived (x, y) + its key from the source for the ranked
+    // frame, the shard-offsets agg, and the total agg — six corpus scans
+    // for one (x, y) population (r20; guide §5 cache-when-reused). The
+    // key folds are row-local, so computing both keys in one pass costs
+    // one extra column, not a pass.
+    val keyed = Dedup.cached(df
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("zk", zOrderKey(col("x"), col("y"), bits))
+      .withColumn("hk", hilbertKey(col("x"), col("y"), bits)))
+    def summarize(ckeyCol: String, curve: String): DataFrame =
+      rangeFileId(keyed.select(col("x"), col("y"), col(ckeyCol).as("ckey")),
+          numFiles, shardShift)
         .groupBy(col("file"))
         .agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
@@ -191,9 +203,7 @@ object Layout {
           max(col("area")).as("max_area"))
         .select(lit(curve).as("curve"), col("n_files"),
           col("sum_area"), col("max_area"))
-    val z = base.withColumn("ckey", zOrderKey(col("x"), col("y"), bits))
-    val h = base.withColumn("ckey", hilbertKey(col("x"), col("y"), bits))
-    summarize(z, "morton").unionAll(summarize(h, "hilbert"))
+    summarize("zk", "morton").unionAll(summarize("hk", "hilbert"))
   }
 
   /** Small-file compaction plan: group a file inventory (one row per

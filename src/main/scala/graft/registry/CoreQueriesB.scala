@@ -452,8 +452,10 @@ private[graft] object CoreQueriesB {
       // communities are structure or noise. Audits the SHARED
       // [[lpaLabels]] artifact — the deterministic labeling both rows
       // describe (the oracle side already shares lpOracleCtes)
-      val edges = incidenceEdges(s, dir)
-      Graph.modularity(edges, lpaLabels(s, dir))
+      // the canonical seam (the q_neighbor_jaccard precedent):
+      // incidenceEdges is already distinct with a < b by id-space
+      // construction, so the row skips the re-canonicalizing exchange
+      Graph.modularityWith(incidenceEdges(s, dir), lpaLabels(s, dir))
     }),
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank from part 0 over the order—part incidence
@@ -715,16 +717,23 @@ private[graft] object CoreQueriesB {
       // the oracle's multiplicity-carrying pairs only changes frontier
       // ROW COUNTS, and the census reads MIN(d) per node — the
       // min-depth dedup erases multiplicity on both sides.
-      partCoEdges(s, dir).createOrReplaceTempView("co_rb")
+      // the both-directions frame is CACHED outside the recursion (r20):
+      // the recursive step re-executes its plan once per frontier
+      // expansion, so an inline `e AS (... UNION ALL ...)` CTE re-derived
+      // the direction union from the artifact on every iteration — a
+      // cached frame makes each expansion one in-memory scan (guide §5)
+      Dedup.cached(partCoEdges(s, dir).select(col("a"), col("b"))
+          .unionAll(partCoEdges(s, dir)
+            .select(col("b").as("a"), col("a").as("b"))))
+        .createOrReplaceTempView("e_rb")
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_rb")
       s.sql(
-        """WITH RECURSIVE e AS (
-          |  SELECT a, b FROM co_rb UNION ALL SELECT b AS a, a AS b FROM co_rb),
+        """WITH RECURSIVE
           |seed AS (SELECT MIN(l_partkey) AS n FROM lineitem_rb),
           |bfs(n, d) AS (
           |  SELECT n, 0 FROM seed
           |  UNION ALL
-          |  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.n
+          |  SELECT e.b, bfs.d + 1 FROM bfs JOIN e_rb e ON e.a = bfs.n
           |  WHERE bfs.d < 2),
           |m AS (SELECT n, MIN(d) AS depth FROM bfs GROUP BY n)
           |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes

@@ -120,7 +120,11 @@ private[graft] object MiscQueries {
       val keep = Dedup.exactNormalized(docs).select(col("keep_id").as("doc_id"))
       val kept = TextAnalysis.entropyStats(docs.join(keep, Seq("doc_id")))
         .filter(col("entropy") >= 2.8).select(col("doc_id"))
-      val screened = docs.join(keep, Seq("doc_id")).join(kept, Seq("doc_id"))
+      // kept ⊆ keep by construction (its rows come from docs ⋈ keep), so
+      // re-joining keep here was a redundant second execution of the
+      // whole normalized-dedup subtree — one semi-filter by kept is the
+      // identical row set (r20, guide §2.4: remove the exchange outright)
+      val screened = docs.join(kept, Seq("doc_id"))
         .select(col("doc_id"), col("lang"))
       Splits.samplePerStratum(screened, "doc_id", "lang", k = 25, shards = 4, seed = 11)
         .select(col("doc_id"), col("lang"), col("sample_key"))

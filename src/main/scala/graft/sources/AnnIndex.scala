@@ -29,6 +29,32 @@ import graft.operators.Similarity
   */
 object AnnIndex {
 
+  /** Cluster a cell-partitioned write by `cell` ONLY when the frame's
+    * planned parallelism exceeds the session's shuffle width — the
+    * [[DedupIndex.build]] small-files fix (guide §6: a dynamic-partition
+    * write from P input partitions opens up to P files under EVERY cell
+    * directory), guarded the [[graft.operators.Dedup.spreadNarrowScan]]
+    * way: IN CODE, not config. A fixture-scale write (1-2 input splits →
+    * ≤2 files per cell) skips the exchange as pure overhead; a
+    * corpus-scale write (thousands of splits → the P×k trap) pays one
+    * narrow keyed exchange and gets cell-contiguous files.
+    */
+  private def cellClustered(df: DataFrame, source: DataFrame): DataFrame = {
+    // The guard estimates the write's parallelism from the SOURCE frame's
+    // optimizer size statistics — never from `.rdd.getNumPartitions`,
+    // which forces physical planning + RDD codegen per call (measured
+    // ~0.5 s/iteration on the upsert row) and under AQE even materializes
+    // exchange stages. bytes / maxPartitionBytes IS how the scan planner
+    // sizes its splits, so the estimate tracks the real task count; the
+    // assignment join is broadcast-narrow and preserves it.
+    val spark = df.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val srcBytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (srcBytes > BigInt(width) * maxSplit) df.repartition(col("cell")) else df
+  }
+
   /** Train the quantizer and write the (centroids, cell-partitioned
     * corpus) artifact. Deterministic end-to-end: same corpus + params →
     * byte-identical artifact content.
@@ -52,7 +78,8 @@ object AnnIndex {
       if (metaCols.isEmpty) assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
       else assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
         .join(emb.select((col(idCol).as("id") +: metaCols.map(col)): _*), Seq("id"))
-    withMeta.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/corpus")
+    cellClustered(withMeta, emb)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/corpus")
   }
 
   /** Append new vectors to an existing IVF artifact WITHOUT retraining:
@@ -85,7 +112,8 @@ object AnnIndex {
       s"append metaCols must match the built corpus schema: " +
         s"existing=${existing.toSeq.sorted.mkString(",")} " +
         s"appending=${withMeta.columns.sorted.mkString(",")}")
-    withMeta.write.partitionBy("cell").mode("append").parquet(s"$dir/corpus")
+    cellClustered(withMeta, emb)
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/corpus")
   }
 
   /** The loaded artifact: `centroids` (cid, cv, cnrm) and `corpus`
@@ -183,11 +211,11 @@ object AnnIndex {
     model.cb.toSeq.map { case ((s, cw, j), cm) => (s, cw, j, cm) }
       .toDF("s", "cw", "j", "cm")
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    Similarity.encodePq(emb, model, idCol, embCol)
+    cellClustered(Similarity.encodePq(emb, model, idCol, embCol), emb)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
-    Similarity.assignCellsLocal(
+    cellClustered(Similarity.assignCellsLocal(
         Similarity.prepared(emb, idCol, embCol), model.cents, nprobe = 1)
-      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .select(col("id"), col("v"), col("nrm"), col("cell")), emb)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors")
   }
 
@@ -204,11 +232,11 @@ object AnnIndex {
   def appendPq(spark: SparkSession, dir: String, emb: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val model = loadPq(spark, dir).model
-    Similarity.encodePq(emb, model, idCol, embCol)
+    cellClustered(Similarity.encodePq(emb, model, idCol, embCol), emb)
       .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
-    Similarity.assignCellsLocal(
+    cellClustered(Similarity.assignCellsLocal(
         Similarity.prepared(emb, idCol, embCol), model.cents, nprobe = 1)
-      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .select(col("id"), col("v"), col("nrm"), col("cell")), emb)
       .write.partitionBy("cell").mode("append").parquet(s"$dir/vectors")
   }
 

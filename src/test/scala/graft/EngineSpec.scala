@@ -6044,6 +6044,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("AnnIndex build: wide scans cluster the cell-partitioned write to one file per cell") {
+    // force the r20 cellClustered guard's ENGAGED branch: shrink the scan
+    // split size so the source stats say "more splits than the shuffle
+    // width" — the un-clustered dynamic-partition write would then open
+    // one file per (input partition × cell), the guide §6 small-files
+    // trap; the clustered write must land exactly one file per cell dir
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("anncluster").toString
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      graft.sources.AnnIndex.build(emb, k = 4, iters = 2, dir)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    val cellDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, s"expected cell= partition dirs under $dir/corpus")
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1,
+        s"cell dir ${d.getName} must hold ONE clustered file, got $n")
+    }
+    // the layout decision never changes the answer: serving off the
+    // clustered artifact equals the in-memory operator
+    val idx = graft.sources.AnnIndex.load(spark, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 2)
+    assert(
+      graft.sources.AnnIndex.topK(idx, q, k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .collect().map(_.toSeq).toSet ==
+      Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .collect().map(_.toSeq).toSet,
+      "cell-clustered artifact serving must equal in-memory serving")
+  }
+
   test("AnnIndex filtered serve: metadata predicate pushes into the scan next to the cell filter") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("annfiltered").toString
